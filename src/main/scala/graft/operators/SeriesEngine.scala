@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.functions.JsonPointersExpr
+import graft.functions.JsonPointersExpr.{jsonPointers, KindMissing, KindNull, KindObject, KindScalar}
+import graft.timelib.TimeLib
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * The analytical query of the engine: a time-bucketed group-by with N
+ * parallel (JSON-pointer → reducer) aggregations and optional equality
+ * filters — the full semantics of the reference's `GET /db/_query`
+ * (reference: handlers.go:113-228, query.go:240-333).
+ *
+ * Input frame contract: `ts` LONG (epoch nanoseconds — the engine's
+ * ordering/grouping truth, see SURVEY.md §7.4.2) and `doc` STRING
+ * (schemaless JSON). An optional `seq` LONG column breaks ordering
+ * ties for same-ns rows (the reference's couchstore keys are unique
+ * strings, so ties cannot arise there).
+ *
+ * Plan shape (one shuffle for the group-by; Catalyst pushes the ts
+ * range to the parquet scan and prunes columns):
+ *   scan → range filter → single-parse pointer projection →
+ *   groupBy(bucket) agg(N masked exprs) [⟕ rate-pass agg] → sort.
+ *
+ * Scale notes: the rate reducers (`c*`) need a total order over the
+ * series (reference: query.go:358-405 is a sequential fold), which in
+ * Spark is a global `Window.orderBy(ts)`. A single seriesly database
+ * is one series, so this matches the reference's own sequential
+ * bottleneck; multi-series workloads should partition the window by
+ * the series key (`SeriesEngine.query(df, q, partitionBy = ...)`).
+ */
+object SeriesEngine {
+
+  /** Query parameters, mirroring `GET /db/_query` (handlers.go:113-166).
+   * `ptrs(i)` is reduced by `reducers(i)`; `filters` are ANDed equality
+   * tests on stringified pointer values; `from`/`to` accept every
+   * format `TimeLib.parseTime` accepts; range is [from, to). */
+  case class SeriesQuery(
+      groupMs: Long,
+      ptrs: Seq[String],
+      reducers: Seq[String],
+      from: Option[String] = None,
+      to: Option[String] = None,
+      filters: Seq[(String, String)] = Nil,
+      names: Seq[String] = Nil) {
+    require(groupMs > 0, "group must be a positive number of milliseconds")
+    require(ptrs.nonEmpty && ptrs.length == reducers.length,
+      "need equal, nonzero numbers of ptr and reducer params")
+    require(reducers.forall(allReducers.contains),
+      s"unknown reducer among $reducers")
+    def outNames: Seq[String] =
+      if (names.nonEmpty) names else reducers.indices.map(i => s"r$i")
+  }
+
+  val rateReducers = Set("c", "c_min", "c_avg", "c_max")
+  val allReducers: Set[String] = Set("identity", "any", "distinct", "count",
+    "sum", "sumsq", "max", "min", "avg", "obj_keys", "obj_distinct_keys") ++
+    rateReducers
+
+  /** Runs the query; output is one row per bucket that contains ≥1
+   * in-range document (pre-filter, as in the reference — query.go:264-289):
+   * `bucket_ms` LONG plus one column per reducer, ordered by bucket. */
+  def query(df: DataFrame, q: SeriesQuery,
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    val chunkNs = q.groupMs * 1000000L
+    val fromNs = q.from.map(s => TimeLib.parseTime(s).getOrElse(
+      throw new IllegalArgumentException(s"bad from timestamp: $s")))
+    val toNs = q.to.map(s => TimeLib.parseTime(s).getOrElse(
+      throw new IllegalArgumentException(s"bad to timestamp: $s")))
+
+    // ---- scan + range predicate (pushed to the source by Catalyst) ----
+    var base = df
+    fromNs.foreach(n => base = base.filter(col("ts") >= lit(n)))
+    toNs.foreach(n => base = base.filter(col("ts") < lit(n)))
+
+    // ---- single-parse pointer projection -----------------------------
+    // All pointers a query mentions (aggregation ∪ filter) are resolved
+    // in ONE document parse (reference dedups the same way,
+    // query.go:93-110). `_id` resolves to the canonical key string.
+    val uniquePtrs = (q.ptrs ++ q.filters.map(_._1)).distinct
+    val jsonPtrs = uniquePtrs.filterNot(_ == "_id")
+    val hasSeq = df.columns.contains("seq")
+    val seqCol = if (hasSeq) col("seq") else lit(0L)
+
+    var projected = base.withColumn("__ext",
+      if (jsonPtrs.nonEmpty) jsonPointers(col("doc"), jsonPtrs) else lit(null))
+    if (uniquePtrs.contains("_id"))
+      projected = projected.withColumn("__id_str", canonicalKeyCol(col("ts")))
+
+    def ext(ptr: String): Column =
+      if (ptr == "_id")
+        struct(lit(KindScalar).cast("byte").as("kind"),
+          col("__id_str").as("str"), lit(null).cast(DoubleType).as("num"),
+          lit(null).cast("array<string>").as("keys"), col("__id_str").as("raw"))
+      else col("__ext").getField(s"p${jsonPtrs.indexOf(ptr)}")
+
+    // Filters: stringified value equality; docs whose filter value is
+    // missing, null, an object, or an array are dropped
+    // (query.go:112-128) — their kind yields str NULL here, so `===`
+    // evaluates to null and coalesce makes the row fail the filter.
+    // Filtered docs still materialize their bucket (the reference
+    // buckets on pre-filter DocumentInfos), so we mask aggregation
+    // inputs instead of filtering rows.
+    val passes: Column = q.filters
+      .map { case (p, v) => coalesce(ext(p).getField("str") === lit(v), lit(false)) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+    projected = projected
+      .withColumn("__bucket", (col("ts") / lit(chunkNs)).cast("long") * lit(chunkNs))
+      .withColumn("__pass", passes)
+
+    // ---- per-reducer masked aggregation expressions -------------------
+    val named = q.ptrs.lazyZip(q.reducers).lazyZip(q.outNames).toSeq
+    val mainAggs = named.collect {
+      case (ptr, red, name) if !rateReducers.contains(red) =>
+        reducerAgg(red, ext(ptr), col("__pass"), seqCol).as(name)
+    }
+
+    val grouped = projected
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__ndocs"), mainAggs: _*)
+
+    // ---- rate pre-pass (c family) -------------------------------------
+    val ratePtrs = named.collect {
+      case (ptr, red, _) if rateReducers.contains(red) => ptr
+    }.distinct
+    val result =
+      if (ratePtrs.isEmpty) grouped
+      else {
+        val rates = ratePass(projected, ratePtrs, ext, partitionBy)
+        val rateAggs = named.collect {
+          case (ptr, red, name) if rateReducers.contains(red) =>
+            val r = col(s"__rate_${ratePtrs.indexOf(ptr)}")
+            (red match {
+              case "c" => sum(r)
+              case "c_min" => min(finiteOnly(r))
+              case "c_avg" => avg(r)
+              case "c_max" => max(finiteOnly(r))
+            }).as(name)
+        }
+        val rateGrouped = rates.groupBy(col("__rbucket")).agg(rateAggs.head, rateAggs.tail: _*)
+        grouped.join(rateGrouped, col("__bucket") === col("__rbucket"), "left")
+          .drop("__rbucket")
+      }
+
+    // ---- output: bucket-start ms key, reducer columns in query order,
+    //      NaN/±Inf → null at the result edge (query.go:200-203) -------
+    val outCols = named.map { case (_, red, name) =>
+      val c = col(name)
+      val normalized = red match {
+        case "sum" | "sumsq" | "c" => nanInfToNull(coalesce(c, lit(0.0)))
+        case "max" | "min" | "avg" | "c_min" | "c_avg" | "c_max" => nanInfToNull(c)
+        case _ => c
+      }
+      normalized.as(name)
+    }
+    result
+      .select((col("__bucket") / lit(1000000L)).cast("long").as("bucket_ms") +: outCols: _*)
+      .orderBy(col("bucket_ms"))
+  }
+
+  private def nanInfToNull(c: Column): Column =
+    when(isnan(c) || c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), lit(null).cast(DoubleType)).otherwise(c)
+
+  private def finiteOnly(c: Column): Column =
+    when(!isnan(c) && c =!= lit(Double.PositiveInfinity) &&
+      c =!= lit(Double.NegativeInfinity), c)
+
+  /** Canonical RFC3339Nano key string from epoch ns (Go trims trailing
+   * fraction zeros; date_format alone cannot, hence the regex). */
+  def canonicalKeyCol(ts: Column): Column = {
+    val secs = (ts / lit(1000000000L)).cast("long")
+    val frac = pmod(ts, lit(1000000000L)).cast("long")
+    val body = date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss")
+    val fracStr = regexp_replace(format_string("%09d", frac), "0+$", "")
+    when(frac === 0, concat(body, lit("Z")))
+      .otherwise(concat(body, lit("."), fracStr, lit("Z")))
+  }
+
+  /** One aggregation expression per non-rate reducer, masked by the
+   * filter predicate (reducer registry: query.go:407-570). */
+  private def reducerAgg(red: String, e: Column, pass: Column, seq: Column): Column = {
+    val kind = e.getField("kind")
+    val str = e.getField("str")
+    val num = e.getField("num")
+    val keys = e.getField("keys")
+    val raw = e.getField("raw")
+    val present = pass && kind =!= lit(KindMissing) && kind =!= lit(KindNull)
+    // identity/any carry the funnel value: scalars stringified,
+    // missing/JSON-null → SQL null (processDoc emits nil for both —
+    // query.go:130-145), objects/arrays as compact JSON text.
+    val value = when(kind === lit(KindScalar), str)
+      .when(kind === lit(KindObject) || kind === lit(JsonPointersExpr.KindArray), raw)
+    val ord = struct(col("ts"), seq)
+    red match {
+      case "identity" =>
+        // all included values in ts order, nulls kept (query.go:408-416)
+        transform(
+          array_sort(collect_list(when(pass, struct(ord.as("o"), value.as("v"))))),
+          x => x.getField("v"))
+      case "any" => // first included non-null value (query.go:417-425)
+        min_by(when(present, value), when(present, ord))
+      case "distinct" =>
+        // set of included scalars; objects/arrays skipped as unhashable
+        // (query.go:426-447); emitted sorted for determinism (the
+        // reference's order is map-iteration random)
+        array_sort(collect_set(when(pass && kind === lit(KindScalar), str)))
+      case "count" => // included non-null values, no float parse
+        count(when(present, lit(1)))
+      case "sum" => sum(when(pass, num))
+      case "sumsq" => sum(when(pass, num * num))
+      case "max" => max(when(pass, finiteOnly(num)))
+      case "min" => min(when(pass, finiteOnly(num)))
+      case "avg" => avg(when(pass, num))
+      case "obj_keys" =>
+        // every included object's keys, in ts order, duplicates kept
+        flatten(transform(
+          array_sort(collect_list(when(pass && kind === lit(KindObject),
+            struct(ord.as("o"), keys.as("k"))))),
+          x => x.getField("k")))
+      case "obj_distinct_keys" =>
+        array_sort(array_distinct(flatten(collect_list(
+          when(pass && kind === lit(KindObject), keys)))))
+    }
+  }
+
+  /**
+   * Rate stream for the `c*` family (reference: query.go:358-405): over
+   * passing, float-parsable values in ts order, each adjacent pair
+   * (i, j) yields `(v_j − v_i) / ((ts_j − ts_i)/1e9)` per-second rates,
+   * NaN/±Inf pairs dropped. A pair is charged to bucket(i), and is only
+   * emitted if no document (parsable or not, passing or not) strictly
+   * between i and j falls outside bucket(i) — that reproduces the
+   * reference's lookahead truncation, where bucket k's stream ends at
+   * the FIRST document of the next non-empty bucket (query.go:43-44,
+   * 177-194,291-296).
+   */
+  private def ratePass(projected: DataFrame, ratePtrs: Seq[String],
+      ext: String => Column, partitionBy: Seq[String]): DataFrame = {
+    val parts = partitionBy.map(col)
+    val seqC = if (projected.columns.contains("seq")) col("seq") else lit(0L)
+    val wAll = Window.partitionBy(parts: _*).orderBy(col("ts"), seqC)
+    // bucket of the document immediately before this one in the walk
+    var withPrev = projected.withColumn("__prev_doc_bucket", lag(col("__bucket"), 1).over(wAll))
+    ratePtrs.zipWithIndex.foreach { case (p, i) =>
+      withPrev = withPrev.withColumn(s"__num_$i", when(col("__pass"), ext(p).getField("num")))
+    }
+    // Rows where ANY rate pointer parses participate in that pointer's
+    // pair chain; chains are independent per pointer.
+    val rateCols = ratePtrs.indices.map { i =>
+      val n = col(s"__num_$i")
+      val wP = Window.partitionBy(parts: _*).orderBy(col("ts"), seqC)
+      // lag over only-parsable rows for THIS pointer: emulate with
+      // last_value(ignoreNulls) over preceding rows
+      val prevStruct = last(when(n.isNotNull,
+        struct(col("ts").as("ts"), n.as("v"), col("__bucket").as("b"))), ignoreNulls = true)
+        .over(wP.rowsBetween(Window.unboundedPreceding, -1))
+      (n, prevStruct)
+    }
+    var df = withPrev
+    rateCols.zipWithIndex.foreach { case ((n, prevStruct), i) =>
+      df = df.withColumn(s"__prev_$i", when(n.isNotNull, prevStruct))
+    }
+    // rate for pointer i at parsable row j, charged to prev bucket
+    val out = ratePtrs.indices.foldLeft(df) { case (d, i) =>
+      val n = col(s"__num_$i")
+      val p = col(s"__prev_$i")
+      val rate = (n - p.getField("v")) /
+        ((col("ts") - p.getField("ts")).cast(DoubleType) / lit(1e9))
+      val emit = n.isNotNull && p.isNotNull &&
+        col("__prev_doc_bucket") === p.getField("b") &&
+        !isnan(rate) && rate =!= lit(Double.PositiveInfinity) &&
+        rate =!= lit(Double.NegativeInfinity)
+      d.withColumn(s"__rate_$i", when(emit, rate))
+        .withColumn(s"__rbucket_$i", when(emit, p.getField("b")))
+    }
+    // union the per-pointer rate rows into (bucket, rate_0..rate_n)
+    // keyed by the charged bucket; a row can carry rates for several
+    // pointers only when they share the charged bucket, so emit one row
+    // per pointer and let the group-by recombine.
+    val pieces = ratePtrs.indices.map { i =>
+      val sel = out.filter(col(s"__rate_$i").isNotNull)
+        .select(col(s"__rbucket_$i").as("__rbucket") +:
+          ratePtrs.indices.map { k =>
+            (if (k == i) col(s"__rate_$i") else lit(null).cast(DoubleType)).as(s"__rate_$k")
+          }: _*)
+      sel
+    }
+    pieces.reduce(_ unionByName _)
+  }
+}
