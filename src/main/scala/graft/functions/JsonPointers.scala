@@ -78,7 +78,7 @@ object JsonPointersExpr {
   val KindObject: Byte = 3
   val KindArray: Byte = 4
 
-  private[functions] val mapper = new ObjectMapper()
+  private[graft] val mapper = new ObjectMapper()
 
   // Go strconv.ParseFloat surface: decimal floats with optional
   // exponent, and the Inf/NaN spellings Go accepts. (Java's

@@ -1,0 +1,230 @@
+package graft.sources
+
+import graft.functions.JsonPointersExpr
+import graft.operators.SeriesEngine
+import graft.operators.SeriesEngine.SeriesQuery
+import graft.timelib.TimeLib
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import java.util.concurrent.atomic.AtomicLong
+
+/**
+ * Multi-tenant series storage: one parquet directory per named
+ * database under a root, schema `(ts LONG epoch-ns, seq LONG, doc
+ * STRING)` — the Spark-native shape of the reference's one-couchstore-
+ * file-per-database layout (reference: database.go:25,57-59,76-93).
+ *
+ * The reference's B-tree key is the canonical timestamp string; here
+ * the key is the ns timestamp itself, ordered by parquet min/max
+ * statistics instead of a B-tree (range queries prune row groups).
+ * Same-key overwrites (PUT twice) are resolved read-side by highest
+ * `seq` wins, and rewritten physically by `compact()` — at cluster
+ * scale this layer maps onto a transactional table format (Delta/
+ * Iceberg MERGE + OPTIMIZE); the semantics here are identical.
+ */
+class SeriesStore(spark: SparkSession, root: String) {
+  import SeriesStore._
+
+  Files.createDirectories(Paths.get(root))
+
+  private def dbPath(db: String): Path = {
+    require(db.nonEmpty && db.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"invalid database name: $db")
+    Paths.get(root, db + dbExt)
+  }
+
+  /** PUT /{db} (handlers.go:36-43). */
+  def create(db: String): Unit = {
+    val p = dbPath(db)
+    if (!Files.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(p.toString)
+  }
+
+  /** DELETE /{db} (handlers.go:282-289). */
+  def drop(db: String): Unit = {
+    val p = dbPath(db)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** GET /_all_dbs (database.go:121-134). */
+  def list(): Seq[String] =
+    Option(Paths.get(root).toFile.listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.endsWith(dbExt))
+      .map(_.getName.stripSuffix(dbExt)).sorted.toSeq
+
+  def exists(db: String): Boolean = Files.exists(dbPath(db))
+
+  /** GET /{db} info: doc_count/space_used/last_seq (handlers.go:431-451). */
+  def info(db: String): DbInfo = {
+    val f = frame(db)
+    val r = f.agg(count(lit(1)), coalesce(max(col("seq")), lit(0L))).head()
+    val space = Files.walk(dbPath(db)).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size).sum()
+    DbInfo(r.getLong(0), space, r.getLong(1))
+  }
+
+  /** POST /{db} / PUT /{db}/{key}: validate JSON, key = parsed ts or
+   * now, append (handlers.go:56-100). Returns the canonical key. For
+   * bulk loads use [[storeBatch]] — per-doc parquet appends are the
+   * write-behind queue's job in the reference (database.go:175-254);
+   * here `graft.streaming.SeriesStream` is that path. */
+  def store(db: String, ts: Option[String], json: String): String = {
+    require(validJson(json), "invalid JSON document")
+    val ns = ts match {
+      case Some(s) => TimeLib.parseTime(s).getOrElse(
+        throw new IllegalArgumentException(s"unparsable timestamp: $s"))
+      case None => System.currentTimeMillis() * 1000000L
+    }
+    import spark.implicits._
+    Seq((ns, nextSeq(), json)).toDF("ts", "seq", "doc")
+      .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    TimeLib.formatCanonical(ns)
+  }
+
+  /** Batched ingest of a `(ts LONG ns, doc STRING)` frame. */
+  def storeBatch(db: String, docs: DataFrame): Unit = {
+    val base = nextSeq()
+    docs.select(col("ts").cast(LongType).as("ts"),
+        (monotonically_increasing_id() + lit(base)).as("seq"),
+        col("doc").cast(StringType).as("doc"))
+      .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+  }
+
+  /** The queryable view: latest write per key wins (couchstore Set
+   * overwrite semantics, database.go:293-302). */
+  def frame(db: String): DataFrame = {
+    require(exists(db), s"no such database: $db")
+    spark.read.schema(schema).parquet(dbPath(db).toString)
+      .groupBy(col("ts"))
+      .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
+  }
+
+  /** GET /{db}/{key} point get (handlers.go:422-429). */
+  def get(db: String, key: String): Option[String] = {
+    val ns = TimeLib.parseKey(key)
+    if (ns < 0) None
+    else frame(db).filter(col("ts") === lit(ns)).select("doc")
+      .collect().headOption.map(_.getString(0))
+  }
+
+  /** GET /{db}/_all range scan → (key STRING, ts LONG, doc STRING)
+   * ascending, `limit` rows (handlers.go:331-379). Range is [from, to). */
+  def all(db: String, from: Option[String] = None, to: Option[String] = None,
+      limit: Int = Int.MaxValue): DataFrame = {
+    var f = frame(db)
+    from.foreach(s => f = f.filter(col("ts") >= TimeLib.parseTime(s).get))
+    to.foreach(s => f = f.filter(col("ts") < TimeLib.parseTime(s).get))
+    f.orderBy(col("ts")).limit(limit)
+      .select(SeriesEngine.canonicalKeyCol(col("ts")).as("key"),
+        col("ts"), col("doc"))
+  }
+
+  /** GET /{db}/_dump: JSON-lines, one `{"key": doc}` per line, streamed
+   * without collecting the frame (handlers.go:381-420). */
+  def dump(db: String, from: Option[String] = None, to: Option[String] = None,
+      limit: Int = Int.MaxValue): Iterator[String] =
+    all(db, from, to, limit).select("key", "doc").toLocalIterator()
+      .asScala.map(r => s"""{"${r.getString(0)}": ${r.getString(1)}}""")
+
+  /** DELETE /{db}/_bulk range delete; returns deleted count
+   * (handlers.go:230-281). Copy-rewrite + atomic swap, which is also
+   * exactly what `compact` does in the reference (database.go:136-171). */
+  def deleteRange(db: String, from: Option[String], to: Option[String],
+      compactAfter: Boolean = false): Long = {
+    val f = frame(db)
+    var cond = lit(true)
+    from.foreach(s => cond = cond && col("ts") >= TimeLib.parseTime(s).get)
+    to.foreach(s => cond = cond && col("ts") < TimeLib.parseTime(s).get)
+    val survivors = f.filter(!cond)
+    val before = f.count()
+    rewrite(db, survivors)
+    before - frame(db).count()
+  }
+
+  /** POST /{db}/_compact: physically drop overwritten versions and
+   * merge small files (database.go:136-171 ≈ Delta OPTIMIZE). */
+  def compact(db: String): Unit = rewrite(db, frame(db))
+
+  private def rewrite(db: String, data: DataFrame): Unit = {
+    val p = dbPath(db)
+    val tmp = Paths.get(p.toString + ".compact")
+    // size output files for large stores; tiny stores become one file
+    data.repartition(math.max(1, (data.count() / 4000000L).toInt),
+        col("ts")).sortWithinPartitions("ts")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = Paths.get(p.toString + ".old")
+    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(old).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+  }
+
+  /** GET /{db}/_query — the analytical path (SeriesEngine). */
+  def query(db: String, q: SeriesQuery): DataFrame =
+    SeriesEngine.query(frame(db), q)
+
+  /** The reference's response shape: one JSON object keyed by
+   * bucket-start ms, each value the array of reducer results
+   * (handlers.go:170-227). Buckets emitted in ascending order (the
+   * reference emits in completion order; SURVEY.md §7.5). */
+  def queryJson(db: String, q: SeriesQuery): String = {
+    val df = query(db, q)
+    val names = q.outNames
+    val sb = new StringBuilder("{")
+    var first = true
+    df.toLocalIterator().asScala.foreach { row =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"').append(row.getLong(0)).append("\":[")
+      names.indices.foreach { i =>
+        if (i > 0) sb.append(',')
+        sb.append(jsonValue(row.get(i + 1)))
+      }
+      sb.append(']')
+    }
+    sb.append('}').toString
+  }
+
+  private implicit class IterAdapter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) "null" else graft.functions.GoFormat.goDouble(d)
+    case l: java.lang.Long => l.toString
+    case s: String =>
+      if (s.startsWith("{") || s.startsWith("[")) s // raw object/array passthrough
+      else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case seq: scala.collection.Seq[_] =>
+      seq.map(jsonValue).mkString("[", ",", "]")
+    case other => other.toString
+  }
+}
+
+object SeriesStore {
+  val dbExt = ".series"
+  val schema: StructType = StructType(Seq(
+    StructField("ts", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)))
+
+  case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
+
+  private val seqCounter = new AtomicLong(System.currentTimeMillis() << 20)
+  private def nextSeq(): Long = seqCounter.incrementAndGet()
+
+  def validJson(s: String): Boolean =
+    try { JsonPointersExpr.mapper.readTree(s); true }
+    catch { case _: Exception => false }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SeriesEngine.SeriesQuery
+import java.nio.file.Files
+
+class SeriesStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  def newStore(): SeriesStore =
+    new SeriesStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("db lifecycle: create, list, info, drop (S10)") {
+    val s = newStore()
+    s.create("db1"); s.create("db2")
+    assert(s.list() == Seq("db1", "db2"))
+    assert(s.info("db1").docCount == 0)
+    s.drop("db1")
+    assert(s.list() == Seq("db2"))
+  }
+
+  test("store validates JSON and assigns canonical keys (S1, S2)") {
+    val s = newStore()
+    s.create("db")
+    val k = s.store("db", Some("2012-08-28T21:24:35.37465188Z"), """{"v": 1}""")
+    assert(k == "2012-08-28T21:24:35.37465188Z")
+    assertThrows[IllegalArgumentException](s.store("db", None, "not json"))
+    assert(s.get("db", k).contains("""{"v": 1}"""))
+    assert(s.get("db", "2000-01-01T00:00:00Z").isEmpty)
+    // lenient ts formats work as keys too
+    val k2 = s.store("db", Some("1346189075"), """{"v": 2}""")
+    assert(k2 == "2012-08-28T21:24:35Z")
+  }
+
+  test("same-key overwrite: latest write wins (couchstore Set)") {
+    val s = newStore()
+    s.create("db")
+    s.store("db", Some("2012-08-28T21:24:35Z"), """{"v": 1}""")
+    s.store("db", Some("2012-08-28T21:24:35Z"), """{"v": 2}""")
+    assert(s.get("db", "2012-08-28T21:24:35Z").contains("""{"v": 2}"""))
+    assert(s.info("db").docCount == 1)
+    s.compact("db")
+    assert(s.get("db", "2012-08-28T21:24:35Z").contains("""{"v": 2}"""))
+  }
+
+  test("_all range scan with limit, _dump lines (S6, S7)") {
+    val s = newStore()
+    s.create("db")
+    val docs = (0 until 10).map(i =>
+      ((1346189000L + i * 10) * 1000000000L, s"""{"i": $i}"""))
+    s.storeBatch("db", docs.toDF("ts", "doc"))
+    val all = s.all("db", from = Some("1346189020"), to = Some("1346189080"))
+    assert(all.select("doc").as[String].collect().toSeq ==
+      (2 until 8).map(i => s"""{"i": $i}"""))
+    assert(s.all("db", limit = 3).count() == 3)
+    val lines = s.dump("db", limit = 2).toSeq
+    assert(lines == Seq(
+      """{"2012-08-28T21:23:20Z": {"i": 0}}""",
+      """{"2012-08-28T21:23:30Z": {"i": 1}}"""))
+  }
+
+  test("bulk range delete + compact (S8, S9)") {
+    val s = newStore()
+    s.create("db")
+    val docs = (0 until 10).map(i =>
+      ((1346189000L + i * 10) * 1000000000L, s"""{"i": $i}"""))
+    s.storeBatch("db", docs.toDF("ts", "doc"))
+    val deleted = s.deleteRange("db", Some("1346189020"), Some("1346189080"))
+    assert(deleted == 6)
+    assert(s.info("db").docCount == 4)
+    assert(s.all("db").select("doc").as[String].collect().toSeq ==
+      Seq("""{"i": 0}""", """{"i": 1}""", """{"i": 8}""", """{"i": 9}"""))
+  }
+
+  test("query + JSON emit over the store (minimum E2E slice, SURVEY §7.2)") {
+    val s = newStore()
+    s.create("db")
+    s.store("db", Some("2012-08-28T21:24:00Z"), """{"v": 10}""")
+    s.store("db", Some("2012-08-28T21:24:20Z"), """{"v": 20, "sub": {"x": "a"}}""")
+    s.store("db", Some("2012-08-28T21:24:40Z"), """{"v": 25}""")
+    val json = s.queryJson("db", SeriesQuery(60000, Seq("/v"), Seq("avg"),
+      filters = Seq("/sub/x" -> "a")))
+    assert(json == """{"1346189040000":[20]}""")
+  }
+}
