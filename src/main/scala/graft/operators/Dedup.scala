@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.functions.SimHash60.simhash60
+import graft.operators.TextOps.{hash60, shingles, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * for the 100 TB shape: no all-pairs comparison ever materializes —
+ * candidates come from hash buckets (exact), LSH band buckets
+ * (MinHash), or bit-band buckets (SimHash), so the quadratic step is
+ * confined to tiny per-bucket groups.
+ */
+object Dedup {
+
+  /** Exact duplicate clusters by content fingerprint: one row per
+   * duplicated text with the keeper (min id) and the dup ids. A plain
+   * hash group-by — one shuffle, partial-aggregated map-side. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextOps.fingerprint(text).as("fp"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n"),
+        array_sort(collect_list(id)).as("ids"))
+      .filter(col("n") > 1)
+
+  // ---------------- MinHash + LSH --------------------------------------
+
+  val MinhashP = 2147483647L // 2^31 − 1
+  /** Deterministic universal-hash parameters, reproducible in plain
+   * SQL: a_i = ((i+1)·2654435761) mod p (Knuth multiplicative),
+   * b_i = ((i+1)·1013904223) mod p (Numerical Recipes increment). */
+  def minhashA(i: Int): Long = ((i + 1) * 2654435761L) % MinhashP
+  def minhashB(i: Int): Long = ((i + 1) * 1013904223L) % MinhashP
+
+  /**
+   * MinHash signatures: one row per doc, `sig` = array of n minima of
+   * ((a_i·h + b_i) mod p) over the doc's shingle hashes. Implemented
+   * as ONE aggregation with n min-expressions over the exploded
+   * (doc, shingle) pairs — a single shuffle keyed by doc id, no
+   * n-way row blowup.
+   */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      n: Int = 64, shingleK: Int = 3): DataFrame = {
+    val ex = df.select(id.as("doc_id"), explode(shingles(text, shingleK)).as("sh"))
+      .withColumn("h", pmod(hash60(col("sh")), lit(MinhashP)))
+    val sigCols = (0 until n).map { i =>
+      min(pmod(col("h") * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"s$i")
+    }
+    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until n).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+   * n/bands rows; docs sharing any band bucket become a candidate
+   * pair. Join key is (band, band-signature) — the classic
+   * shingle→minhash→band→bucket-join plan; bucket sizes stay small so
+   * the self-join is cheap and skew-resistant. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, n: Int = 64): DataFrame = {
+    val rows = n / bands
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(":", (0 until rows).map(r =>
+          element_at(col("sig"), (b * rows) + r + 1)): _*))))
+      .toDF("doc_id", "band", "key")
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for given pairs (the verify step after
+   * LSH candidate generation). */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3): DataFrame = {
+    val sets = df.select(id.as("doc_id"), shingles(text, shingleK).as("ss"))
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
+          size(array_union(col("ss1"), col("ss2"))).cast("double"))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup pairs: signatures → LSH buckets →
+   * candidates → exact-Jaccard verify ≥ threshold. */
+  def minhashPairs(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, n: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, n)
+    val cands = lshCandidates(sigs, bands)
+    jaccardVerify(cands, df, id, text)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Direct n-gram (shingle) Jaccard near-dup pairs with lightweight
+   * blocking (equal shingle-count bucket ± handled by LSH variant;
+   * this is the exact quadratic-within-block baseline). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, threshold: Double, shingleK: Int = 3): DataFrame = {
+    val sets = df.select(id.as("doc_id"), block.as("blk"),
+      shingles(text, shingleK).as("ss"))
+    val l = sets.alias("l")
+    val r = sets.alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("l.ss"), col("r.ss"))).cast("double") /
+          size(array_union(col("l.ss"), col("r.ss"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ---------------------------------------------
+
+  /** 60-bit SimHash fingerprints (see graft.functions.SimHash60). */
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), simhash60(tokens(text)).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, using
+   * 15-bit band blocking (4 bands; pigeonhole guarantees recall for
+   * maxDist ≤ 3) — never an all-pairs join. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only to hamming 3")
+    val fp = simhashes(df, id, text)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .toDF("doc_id", "simhash", "band", "key")
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

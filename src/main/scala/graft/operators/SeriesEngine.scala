@@ -109,7 +109,9 @@ object SeriesEngine {
       .reduceOption(_ && _).getOrElse(lit(true))
 
     projected = projected
-      .withColumn("__bucket", (col("ts") / lit(chunkNs)).cast("long") * lit(chunkNs))
+      // floor-to-chunk in pure long arithmetic (Go truncates toward
+      // zero instead — differs only for pre-1970 timestamps)
+      .withColumn("__bucket", col("ts") - pmod(col("ts"), lit(chunkNs)))
       .withColumn("__pass", passes)
 
     // ---- per-reducer masked aggregation expressions -------------------
@@ -158,7 +160,7 @@ object SeriesEngine {
       normalized.as(name)
     }
     result
-      .select((col("__bucket") / lit(1000000L)).cast("long").as("bucket_ms") +: outCols: _*)
+      .select(graft.functions.ldiv(col("__bucket"), 1000000L).as("bucket_ms") +: outCols: _*)
       .orderBy(col("bucket_ms"))
   }
 
@@ -173,8 +175,8 @@ object SeriesEngine {
   /** Canonical RFC3339Nano key string from epoch ns (Go trims trailing
    * fraction zeros; date_format alone cannot, hence the regex). */
   def canonicalKeyCol(ts: Column): Column = {
-    val secs = (ts / lit(1000000000L)).cast("long")
     val frac = pmod(ts, lit(1000000000L)).cast("long")
+    val secs = graft.functions.ldiv(ts - frac, 1000000000L) // floor division
     val body = date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss")
     val fracStr = regexp_replace(format_string("%09d", frac), "0+$", "")
     when(frac === 0, concat(body, lit("Z")))

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.operators.TextOps.hash60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two tiers, as a 100 TB pipeline needs:
+ *  - [[cosineTopK]]: brute-force exact top-k for a SMALL query set —
+ *    the query side is broadcast, the corpus scan stays partitioned,
+ *    ranking is a per-query window. Cost O(|Q|·N), the right tool when
+ *    |Q| is tens-to-thousands.
+ *  - [[hyperplaneTopK]]: random-hyperplane LSH (sign sketches): corpus
+ *    and queries hash to bucket keys; only same-bucket pairs score.
+ *    Approximate, with multi-probe via several independent tables.
+ *    This is the scale path when |Q| is large.
+ */
+object Similarity {
+
+  /** Sequential-order dot product of two equal-length float arrays in
+   * double precision (element-wise promote, left-to-right sum — the
+   * deterministic order any sequential engine reproduces). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact cosine top-k: for each query vector, the k nearest corpus
+   * vectors (self-match excluded). The query set is broadcast — no
+   * shuffle of the corpus; the heavy scan is embarrassingly parallel.
+   */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("vec_id"), col("embedding").as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table,
+   * plane, dim): ±1 derived from the portable 60-bit hash — any SQL
+   * engine reproduces the same planes. */
+  private def sgn(table: Int, plane: Int, dim: Column): Column =
+    when(pmod(hash60(concat_ws(":", lit(table), lit(plane), dim)), lit(2)) === 1,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-sketch bucket key: `planes` sign bits of dot(v, r_p) per
+   * hash table. Rademacher (±1) hyperplanes, deterministic. */
+  def sketchKey(v: Column, table: Int, planes: Int): Column =
+    concat_ws("", (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * sgn(table, p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /**
+   * Approximate cosine top-k via random-hyperplane LSH: `tables`
+   * independent sketch tables of `planes` bits; same-bucket pairs are
+   * scored exactly and ranked. Recall grows with tables, candidate
+   * count shrinks with planes.
+   */
+  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 4, planes: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, idName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
+        .withColumn("tk", explode(array((0 until tables).map(t =>
+          concat_ws("#", lit(t), sketchKey(col(s"${idName}_v"), t, planes))): _*)))
+    val c = bucketed(corpus, "vec_id")
+    val q = bucketed(queries, "query_id")
+    val cand = c.join(q, Seq("tk")).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("query_id_v"), col("vec_id_v"))
+      .distinct()
+    val scored = cand.withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one corpus: LSH-
+   * bucketed self-join, exact cosine verify ≥ threshold. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      tables: Int = 4, planes: Int = 8): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("tk", explode(array((0 until tables).map(t =>
+        concat_ws("#", lit(t), sketchKey(col("embedding"), t, planes))): _*)))
+    val l = b.alias("l")
+    val r = b.alias("r")
+    l.join(r, col("l.tk") === col("r.tk") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+        col("l.embedding").as("v1"), col("r.embedding").as("v2"))
+      .distinct()
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, language ID, quality scoring, fingerprinting. All are
+ * pure codegen'd `functions._` compositions — no UDFs — so they
+ * whole-stage-compile and scale linearly with the scan.
+ */
+object TextOps {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Sliding k-word shingles, deduplicated; the standard unit for
+   * n-gram Jaccard / MinHash document similarity. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+        .otherwise(array()))
+  }
+
+  /** 60-bit stable content hash from md5 (portable: any engine with
+   * md5 + hex parsing reproduces it — the correctness oracle does). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // Minimal per-language stopword lists for the n-gram/stopword
+  // language-ID heuristic. Deliberately tiny and static: the operator
+  // shape (token-set membership scoring) is what matters at scale.
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就"),
+  )
+
+  /** Stopword-membership score per language. */
+  def langScore(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(filter(tokens(text), w => w.isInCollection(words)))
+  }
+
+  /** Language-ID: argmax of per-language stopword counts with a fixed
+   * tie-break order (list order above). */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> langScore(text, l) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier languages precedence on ties
+  }
+
+  /** Quality-signal columns: token count, mean word length, uppercase
+   * ratio, punctuation ratio, stopword ratio, and a weighted score. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val w = tokens(text)
+    val nWords = size(w).cast("double")
+    val nChars = length(text).cast("double")
+    val meanWordLen = (nChars - nWords + lit(1.0)) / nWords
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") / nChars
+    val stop = langScore(text, "en").cast("double") / nWords
+    val score = lit(0.4) * stop +
+      lit(0.3) * when(meanWordLen.between(3.0, 8.0), 1.0).otherwise(0.0) +
+      lit(0.3) * (lit(1.0) - punct)
+    Seq("n_words" -> nWords.cast("long"), "mean_word_len" -> meanWordLen,
+      "punct_ratio" -> punct, "stopword_ratio" -> stop, "quality" -> score)
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+   * (letter runs, digit runs, and single other non-space chars). */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(tokens(text)).cast("long"),
+    "bpe_tokens" -> regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")),
+  )
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased
+   * text — the portable exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}
