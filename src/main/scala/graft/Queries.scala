@@ -1,0 +1,458 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, SeriesEngine, Similarity, TextOps}
+import graft.operators.SeriesEngine.SeriesQuery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The correctness-gate registry: every operator exposes a named query
+ * over the driver's testdata plus (where SQL-expressible) an exactly
+ * equivalent DuckDB oracle. Column names/ordering/rounding match on
+ * both sides so value hashes compare equal.
+ *
+ * Float policy: aggregates whose summation order Spark may permute are
+ * either computed in DECIMAL (exact, order-free) and cast back to
+ * DOUBLE, or rounded to 6 dp on BOTH sides. Values produced by
+ * identical single-expression arithmetic (min/max, ratios, rates) are
+ * compared exactly.
+ */
+object Queries {
+
+  case class Entry(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- events as a seriesly database -----------------------------------
+  // ts is µs-truncated (the oracle reads parquet TIMESTAMP_NS at µs
+  // precision); the engine itself is ns-native. The JSON doc embeds the
+  // original `props` object verbatim so pointer extraction sees it.
+  private def eventsSeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (expr("ts div 1000") * 1000).as("ts"),
+      col("event_id").as("seq"),
+      concat(lit("{\"type\":\""), col("event_type"),
+        lit("\",\"v\":"), col("value").cast("string"),
+        lit(",\"user\":"), col("user_id").cast("string"),
+        lit(",\"props\":"), col("props"), lit("}")).as("doc"))
+
+  private val HourMs = 3600000L
+  private val DayMs = 86400000L
+
+  /** DuckDB bucket key for group-ms `g`: epoch µs floored to g. */
+  private def dbBucket(g: Long): String =
+    s"(epoch_us(ts) // ${g * 1000}) * $g"
+
+  val registry: Map[String, Entry] = Map(
+
+    // ================= seriesly _query parity (events) =================
+
+    "q_series_sum_hour" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+          SeriesQuery(HourMs, Seq("/v"), Seq("sum"), names = Seq("sum_v")))
+        .withColumn("sum_v", round(col("sum_v"), 6)),
+      Some(s"""SELECT ${dbBucket(HourMs)} AS bucket_ms,
+        round(coalesce(sum(value), 0), 6) AS sum_v
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_avg_filtered" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+          SeriesQuery(HourMs, Seq("/v"), Seq("avg"),
+            filters = Seq("/type" -> "purchase"), names = Seq("avg_v")))
+        .withColumn("avg_v", round(col("avg_v"), 6)),
+      Some(s"""SELECT ${dbBucket(HourMs)} AS bucket_ms,
+        round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS avg_v
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_multi_day" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+        SeriesQuery(DayMs, Seq("/v", "/v", "/v", "/type"),
+          Seq("count", "min", "max", "any"),
+          names = Seq("n", "min_v", "max_v", "first_type"))),
+      Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
+        count(value) AS n, min(value) AS min_v, max(value) AS max_v,
+        first(event_type ORDER BY ts, event_id) AS first_type
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_distinct_day" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+        SeriesQuery(DayMs, Seq("/type"), Seq("distinct"), names = Seq("types"))),
+      Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
+        list_sort(list(DISTINCT event_type)) AS types
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_rate_hour" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+          SeriesQuery(HourMs, Seq("/v", "/v", "/v", "/v"),
+            Seq("c", "c_min", "c_avg", "c_max"),
+            names = Seq("c", "c_min", "c_avg", "c_max")))
+        .withColumn("c", round(col("c"), 6))
+        .withColumn("c_avg", round(col("c_avg"), 6)),
+      Some(s"""WITH s AS (
+          SELECT epoch_us(ts)*1000 AS tns, value AS v, event_id,
+                 (epoch_us(ts) // ${HourMs * 1000}) * ${HourMs * 1000 * 1000} AS bucket
+          FROM events),
+        o AS (
+          SELECT bucket, tns, v,
+                 lag(tns) OVER w AS pts, lag(v) OVER w AS pv,
+                 lag(bucket) OVER w AS pbucket
+          FROM s WINDOW w AS (ORDER BY tns, event_id)),
+        r AS (
+          SELECT pbucket AS bucket, (v - pv) / ((tns - pts)::DOUBLE / 1e9) AS rate
+          FROM o WHERE pts IS NOT NULL
+            AND isfinite((v - pv) / ((tns - pts)::DOUBLE / 1e9))),
+        agg AS (
+          SELECT bucket, sum(rate) AS c, min(rate) AS c_min,
+                 avg(rate) AS c_avg, max(rate) AS c_max
+          FROM r GROUP BY bucket)
+        SELECT b.bucket // 1000000 AS bucket_ms,
+          round(coalesce(a.c, 0), 6) AS c, a.c_min AS c_min,
+          round(a.c_avg, 6) AS c_avg, a.c_max AS c_max
+        FROM (SELECT DISTINCT bucket FROM s) b
+        LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
+
+    "q_series_identity_day" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+        SeriesQuery(DayMs, Seq("/v"), Seq("identity"), names = Seq("vals"),
+          from = Some("2024-01-10"), to = Some("2024-01-13"))),
+      Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
+        list(regexp_replace(value::VARCHAR, '\\.0$$', '') ORDER BY ts, event_id) AS vals
+        FROM events
+        WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705104000000000
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q_series_objkeys_day" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+        SeriesQuery(DayMs, Seq("/props", "/props"),
+          Seq("obj_keys", "obj_distinct_keys"), names = Seq("ks", "dks"),
+          to = Some("2024-01-08"))),
+      Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
+        flatten(list(json_keys(props) ORDER BY ts, event_id)) AS ks,
+        list_sort(list_distinct(flatten(list(json_keys(props))))) AS dks
+        FROM events WHERE epoch_us(ts) < 1704672000000000
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ================= scan / point / delete parity ====================
+
+    "q_all_range_limit" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .select(expr("ts div 1000").as("ts_us"), col("event_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(col("ts_us") >= 1704844800000000L && col("ts_us") < 1705104000000000L)
+        .orderBy(col("ts_us"), col("event_id")).limit(500),
+      Some("""SELECT epoch_us(ts) AS ts_us, event_id, event_type, value, props
+        FROM events
+        WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705104000000000
+        ORDER BY 1, 2 LIMIT 500""")),
+
+    "q_point_get" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_id") === 4242)
+        .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+          col("value"), col("props")),
+      Some("""SELECT epoch_us(ts) AS ts_us, event_type, value, props
+        FROM events WHERE event_id = 4242""")),
+
+    "q_bulk_delete" -> Entry(
+      (s, dir) => {
+        // real store round-trip: ingest events, range-delete, checksum
+        val root = java.nio.file.Files.createTempDirectory("graft-verify").toString
+        val store = new graft.sources.SeriesStore(s, root)
+        store.create("ev")
+        store.storeBatch("ev", t(s, dir, "events")
+          .select((expr("ts div 1000") * 1000).as("ts"), col("props").as("doc")))
+        store.deleteRange("ev", Some("2024-01-10"), Some("2024-01-20"))
+        store.frame("ev").agg(
+          count(lit(1)).as("n"),
+          sum(expr("(ts div 1000) % 1000000007")).as("ts_checksum"))
+      },
+      Some("""SELECT count(*) AS n,
+          sum(epoch_us(ts) % 1000000007)::BIGINT AS ts_checksum
+        FROM events
+        WHERE NOT (epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000)""")),
+
+    // ================= general analytics (TPC-H-shaped) ================
+
+    "q1_agg" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+          (sum(l_quantity::DECIMAL(12,2)))::DOUBLE AS sum_qty,
+          (sum(l_extendedprice::DECIMAL(12,2)))::DOUBLE AS sum_base_price,
+          (sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))))::DOUBLE AS sum_disc_price,
+          count(*) AS count_order,
+          (sum(l_quantity::DECIMAL(12,2)))::DOUBLE / count(*) AS avg_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "q3_topk_join" -> Entry(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate::DATE AS o_orderdate,
+          (sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    "q5_multijoin" -> Entry(
+      (s, dir) => {
+        val dims = broadcast(
+          t(s, dir, "supplier")
+            .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+            .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val cust = broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")))
+        t(s, dir, "lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(dims, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+          (sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY revenue DESC, n_name""")),
+
+    "q_window_topk" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+          .orderBy(col("o_custkey"), col("rank"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""")),
+
+    "q_orders_monthly" -> Entry(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+        .orderBy(col("month")),
+      Some("""SELECT date_trunc('month', o_orderdate)::DATE AS month,
+          count(*) AS n, (sum(o_totalprice::DECIMAL(14,2)))::DOUBLE AS total
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ================= training-pipeline operators ======================
+
+    "dedup_exact" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(col("fp")),
+      Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+          min(doc_id) AS keep_id, count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    "dedup_minhash_lsh" -> Entry(
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), threshold = 0.8),
+      Some(minhashOracle(0.8))),
+
+    "dedup_simhash" -> Entry(
+      (s, dir) => Dedup.simhashes(t(s, dir, "documents"),
+        col("doc_id"), col("text")).orderBy(col("doc_id")),
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+        bits AS (
+          SELECT doc_id, b.bit,
+            sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT range AS bit FROM range(60)) b
+          GROUP BY 1, 2)
+        SELECT doc_id,
+          sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    "dedup_ngram_jaccard" -> Entry(
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), block = col("lang"), threshold = 0.5)
+        .orderBy(col("id1"), col("id2")),
+      Some("""WITH sets AS (
+          SELECT doc_id, lang, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 3)
+        SELECT id1, id2, jaccard FROM (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            len(list_intersect(a.ss, b.ss))::DOUBLE /
+              len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+          FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5 ORDER BY 1, 2""")),
+
+    "ann_cosine_topk" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+          .withColumn("sim", round(col("sim"), 6))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        n AS (SELECT vec_id, embedding AS v,
+          sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT qid AS query_id, vec_id,
+            list_sum(list_transform(range(1, len(qv) + 1),
+              i -> v[i]::DOUBLE * qv[i]::DOUBLE)) /
+            ((SELECT nrm FROM n x WHERE x.vec_id = q.qid) * n.nrm) AS sim
+          FROM n JOIN q ON vec_id <> qid),
+        ranked AS (SELECT query_id, vec_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    "text_langid" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextOps.stopwords.map { case (l, _) =>
+            TextOps.langScore(col("text"), l).cast("long").as(s"s_$l") } :+
+          TextOps.langId(col("text")).as("lang_pred"): _*)
+        .orderBy(col("doc_id")),
+      Some(langidOracle)),
+
+    "text_quality" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +: TextOps.qualityColumns(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id")),
+      Some(qualityOracle)),
+
+    "text_tokens" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +: TextOps.tokenCounts(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS ws_tokens,
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    "multimodal_meta" -> Entry(
+      (s, dir) => Multimodal.extractFeatures(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select(col("media_id"), col("n_bytes"), col("header_hex"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+          octet_length(encode(text))::BIGINT AS n_bytes,
+          lower(substr(hex(encode(text)), 1, 8)) AS header_hex
+        FROM documents ORDER BY 1""")),
+  )
+
+  // ---- generated oracle SQL ---------------------------------------------
+
+  /** Full MinHash+LSH pipeline in DuckDB SQL: md5-based shingle hashes,
+   * 64 universal-hash minima, 16 bands of 4, bucket self-join, exact
+   * Jaccard verify — mirrors Dedup.minhashPairs term for term. */
+  private def minhashOracle(threshold: Double): String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until 64).map { i =>
+      s"min((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 16).map { b =>
+      val key = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sets AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+        FROM w WHERE len(w) >= 3),
+      sh AS (SELECT doc_id, unnest(ss) AS sh FROM sets),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $p AS h FROM sh),
+      sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+          AND l.doc_id < r.doc_id)
+      SELECT id1, id2, jaccard FROM (
+        SELECT c.id1, c.id2,
+          len(list_intersect(a.ss, b.ss))::DOUBLE /
+            len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+        FROM cand c JOIN sets a ON a.doc_id = c.id1 JOIN sets b ON b.doc_id = c.id2)
+      WHERE jaccard >= $threshold ORDER BY 1, 2"""
+  }
+
+  private def langidOracle: String = {
+    val scores = TextOps.stopwords.map { case (l, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($set)))::BIGINT AS s_$l"
+    }.mkString(", ")
+    val langs = TextOps.stopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
+      .mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+        CASE $cases ELSE 'und' END AS lang_pred
+      FROM (SELECT doc_id, $scores FROM documents) ORDER BY doc_id"""
+  }
+
+  private def qualityOracle: String = {
+    val en = TextOps.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_words,
+        (length(text)::DOUBLE - len(string_split(text, ' '))::DOUBLE + 1.0)
+          / len(string_split(text, ' '))::DOUBLE AS mean_word_len,
+        length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+          / length(text)::DOUBLE AS punct_ratio,
+        len(list_filter(string_split(text, ' '), x -> x IN ($en)))::DOUBLE
+          / len(string_split(text, ' '))::DOUBLE AS stopword_ratio,
+        0.4 * (len(list_filter(string_split(text, ' '), x -> x IN ($en)))::DOUBLE
+          / len(string_split(text, ' '))::DOUBLE)
+        + 0.3 * (CASE WHEN ((length(text)::DOUBLE - len(string_split(text, ' '))::DOUBLE + 1.0)
+            / len(string_split(text, ' '))::DOUBLE) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+          / length(text)::DOUBLE) AS quality
+      FROM documents ORDER BY doc_id"""
+  }
+}

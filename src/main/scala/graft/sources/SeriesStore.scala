@@ -83,14 +83,17 @@ class SeriesStore(spark: SparkSession, root: String) {
       case None => System.currentTimeMillis() * 1000000L
     }
     import spark.implicits._
-    Seq((ns, nextSeq(), json)).toDF("ts", "seq", "doc")
+    Seq((ns, nextSeq() << 44, json)).toDF("ts", "seq", "doc")
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
     TimeLib.formatCanonical(ns)
   }
 
-  /** Batched ingest of a `(ts LONG ns, doc STRING)` frame. */
+  /** Batched ingest of a `(ts LONG ns, doc STRING)` frame. Each batch
+   * takes a fresh epoch (high bits); rows within it are ordered by
+   * `monotonically_increasing_id` (low bits) — later batches always
+   * win dedup against earlier ones. */
   def storeBatch(db: String, docs: DataFrame): Unit = {
-    val base = nextSeq()
+    val base = nextSeq() << 44 // monotonic ids stay below 2^44 locally
     docs.select(col("ts").cast(LongType).as("ts"),
         (monotonically_increasing_id() + lit(base)).as("seq"),
         col("doc").cast(StringType).as("doc"))
@@ -221,7 +224,8 @@ object SeriesStore {
 
   case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
 
-  private val seqCounter = new AtomicLong(System.currentTimeMillis() << 20)
+  // small write-epoch counter; shifted into the high bits of seq
+  private val seqCounter = new AtomicLong(0L)
   private def nextSeq(): Long = seqCounter.incrementAndGet()
 
   def validJson(s: String): Boolean =

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate: run each oracle
+SQL in DuckDB over the sf tables and compare against the parquet the
+Verify main dumped. Columns sorted by name, rows compared exactly."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes = [], []
+for name, sql in sorted(oracle.items()):
+    spark_path = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_path):
+        fails.append((name, "NO SPARK OUTPUT")); continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        exp = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, f"SQL ERROR: {e}")); continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        fails.append((name, f"SCHEMA {list(got.columns)} vs {list(exp.columns)}")); continue
+    if len(got) != len(exp):
+        fails.append((name, f"ROWS {len(got)} vs {len(exp)}")); continue
+    diffs = []
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        if a.dtype == object or b.dtype == object:
+            eq = [str(x) == str(y) or (pd.isna(x) and pd.isna(y))
+                  if not isinstance(x, (list, tuple)) and not hasattr(x, "__len__") or isinstance(x, str)
+                  else list(x) == list(y) for x, y in zip(a, b)]
+            if not all(eq):
+                i = eq.index(False)
+                diffs.append(f"{c}[{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+        else:
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append(f"{c}[{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+    if diffs:
+        fails.append((name, "; ".join(diffs[:3])))
+    else:
+        passes.append(name)
+
+for n in passes:
+    print(f"PASS {n}")
+for n, why in fails:
+    print(f"FAIL {n}: {why}")
+print(f"\n{len(passes)} passed, {len(fails)} failed")
+sys.exit(1 if fails else 0)
