@@ -79,7 +79,7 @@ object TextOps {
    * (letter runs, digit runs, and single other non-space chars). */
   def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
     "ws_tokens" -> size(tokens(text)).cast("long"),
-    "bpe_tokens" -> regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")),
+    "bpe_tokens" -> regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long"),
   )
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (3L, "completely different text about spark engines"),
+    (4L, "another unrelated document entirely different words"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds identical texts") {
+    val r = Dedup.exact(docs, col("doc_id"), col("text")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("keep_id") == 0L)
+    assert(r.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(0L, 1L))
+  }
+
+  test("minhash signatures: identical docs share all minima, near dups most") {
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    // true shingle jaccard(0,2) = 5/9 ≈ 0.56 → expect ≈ 0.56·64 ≈ 36 ± noise
+    val shared23 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(shared23 > 20, s"near dups should share many minima, got $shared23/64")
+    val shared03 = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(shared03 < 16, s"unrelated docs should share few minima, got $shared03/64")
+  }
+
+  test("minhash LSH pipeline returns verified near-dup pairs") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.filter(p => p._2 == 1L).head._3 == 1.0)
+  }
+
+  test("simhash: identical fingerprints for dups, close for near dups") {
+    val fp = Dedup.simhashes(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(2L)) <= 12, s"near dup hamming ${ham(fp(0L), fp(2L))}")
+    assert(ham(fp(0L), fp(3L)) > 12, s"unrelated hamming ${ham(fp(0L), fp(3L))}")
+  }
+
+  test("simhash banded pairs find hamming-0 dups without all-pairs join") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard pairs with blocking") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, col("doc_id"), col("text"),
+      col("blk"), threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}

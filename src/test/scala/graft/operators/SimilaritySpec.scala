@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("cosine math: orthogonal, parallel, antiparallel") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f),
+      2L -> Seq(2f, 0f, 0f), 3L -> Seq(-1f, 0f, 0f))
+    val r = Similarity.cosineTopK(df, df.filter($"vec_id" === 0), k = 3)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(r(2L) == 1.0)
+    assert(r(1L) == 0.0)
+    assert(r(3L) == -1.0)
+  }
+
+  test("brute-force top-k ranks by similarity with deterministic ties") {
+    val df = vecs((0L to 20L).map(i =>
+      i -> Seq(1f, i.toFloat / 20f, 0.5f)): _*)
+    val top = Similarity.cosineTopK(df, df.filter($"vec_id" === 20), k = 5)
+      .collect()
+    assert(top.length == 5)
+    assert(top.map(_.getInt(3)).toSeq == (1 to 5))
+    // nearest to vec 20 is vec 19 (closest direction)
+    assert(top.head.getLong(1) == 19L)
+  }
+
+  test("hyperplane LSH finds the exact nearest neighbor for clustered data") {
+    // two tight clusters; LSH must at least retrieve same-cluster items
+    val a = (0L to 9L).map(i => i -> Seq(1f, 0.01f * i, 0f))
+    val b = (10L to 19L).map(i => i -> Seq(-1f, 0f, 0.01f * (i - 10)))
+    val df = vecs((a ++ b): _*)
+    val res = Similarity.hyperplaneTopK(df, df.filter($"vec_id" === 0), k = 3,
+      tables = 8, planes = 4).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getLong(1) < 10L), "neighbors must come from cluster A")
+    assert(res.head.getDouble(2) > 0.99)
+  }
+
+  test("cosine near-dup pairs over one corpus") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0.001f, 0f),
+      2L -> Seq(0f, 1f, 0f))
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.999,
+      tables = 8, planes = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+}

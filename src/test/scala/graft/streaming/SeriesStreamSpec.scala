@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.SeriesEngine.SeriesQuery
+import graft.sources.SeriesStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SeriesStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest lands batches; query matches batch semantics (S1-S3)") {
+    val inDir = Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-stream-store").toString)
+
+    // stage two "arrivals" of documents as parquet files
+    val b = 1346189040L
+    (0 until 6).map(i => ((b + i * 10) * 1000000000L, s"""{"v": ${i * 10}}"""))
+      .toDF("ts", "doc").write.parquet(s"$inDir/batch0")
+
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("doc", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*")
+    val q = SeriesStream.ingest(store, "ev", stream, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    assert(store.info("ev").docCount == 6)
+    val rows = store.query("ev",
+      SeriesQuery(60000, Seq("/v", "/v"), Seq("sum", "count"), names = Seq("s", "n")))
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1346189040000L, 150.0, 6L)))
+
+    // late data: a second streaming run with an old timestamp lands at
+    // its key and is visible to subsequent queries (no watermark drop)
+    Seq(((b + 5) * 1000000000L, """{"v": 1000}"""))
+      .toDF("ts", "doc").write.parquet(s"$inDir/batch1")
+    val q2 = SeriesStream.ingest(store, "ev", spark.readStream.schema(schema)
+      .parquet(s"$inDir/*"), ckpt, trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(store.info("ev").docCount == 7)
+    val rows2 = store.query("ev",
+      SeriesQuery(60000, Seq("/v"), Seq("sum"), names = Seq("s"))).collect()
+    assert(rows2.head.getDouble(1) == 1150.0)
+  }
+}
