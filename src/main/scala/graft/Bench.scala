@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: initialize codegen, IO, and the parquet footers
+    // so the first timed query isn't charged session bring-up
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries("q_point_get")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     // headline queries: one per operator family (series agg, series
     // rate, scan, TPC-H agg/join, dedup, ANN, text)
     val headline = Seq("q_series_sum_hour", "q_series_rate_hour",

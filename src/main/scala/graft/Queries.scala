@@ -28,14 +28,23 @@ object Queries {
   // ts is µs-truncated (the oracle reads parquet TIMESTAMP_NS at µs
   // precision); the engine itself is ns-native. The JSON doc embeds the
   // original `props` object verbatim so pointer extraction sees it.
-  private def eventsSeries(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  // Range bounds (epoch ns, µs-aligned) are ALSO applied to the raw ts
+  // column before any projection so the predicate reaches the parquet
+  // scan — the engine re-applies the same [from,to) on its derived ts,
+  // which is then a no-op.
+  private def eventsSeries(s: SparkSession, dir: String,
+      fromNs: Option[Long] = None, toNs: Option[Long] = None): DataFrame = {
+    var raw = t(s, dir, "events")
+    fromNs.foreach(n => raw = raw.filter(col("ts") >= n))
+    toNs.foreach(n => raw = raw.filter(col("ts") < n))
+    raw.select(
       (expr("ts div 1000") * 1000).as("ts"),
       col("event_id").as("seq"),
       concat(lit("{\"type\":\""), col("event_type"),
         lit("\",\"v\":"), col("value").cast("string"),
         lit(",\"user\":"), col("user_id").cast("string"),
         lit(",\"props\":"), col("props"), lit("}")).as("doc"))
+  }
 
   private val HourMs = 3600000L
   private val DayMs = 86400000L
@@ -113,7 +122,8 @@ object Queries {
         LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
 
     "q_series_identity_day" -> Entry(
-      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+      (s, dir) => SeriesEngine.query(
+        eventsSeries(s, dir, Some(1704844800000000000L), Some(1705104000000000000L)),
         SeriesQuery(DayMs, Seq("/v"), Seq("identity"), names = Seq("vals"),
           from = Some("2024-01-10"), to = Some("2024-01-13"))),
       Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
@@ -123,7 +133,8 @@ object Queries {
         GROUP BY 1 ORDER BY 1""")),
 
     "q_series_objkeys_day" -> Entry(
-      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+      (s, dir) => SeriesEngine.query(
+        eventsSeries(s, dir, toNs = Some(1704672000000000000L)),
         SeriesQuery(DayMs, Seq("/props", "/props"),
           Seq("obj_keys", "obj_distinct_keys"), names = Seq("ks", "dks"),
           to = Some("2024-01-08"))),

@@ -34,20 +34,17 @@ object Dedup {
 
   /**
    * MinHash signatures: one row per doc, `sig` = array of n minima of
-   * ((a_i·h + b_i) mod p) over the doc's shingle hashes. Implemented
-   * as ONE aggregation with n min-expressions over the exploded
-   * (doc, shingle) pairs — a single shuffle keyed by doc id, no
-   * n-way row blowup.
+   * ((a_i·h + b_i) mod p) over the doc's shingle hashes. One shuffle
+   * keyed by doc id; the n minima fold in a single-buffer custom
+   * aggregate (graft.functions.MinHashSigAgg) — one pass, no n-wide
+   * intermediate row, no n-fold codegen blowup.
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 64, shingleK: Int = 3): DataFrame = {
     val ex = df.select(id.as("doc_id"), explode(shingles(text, shingleK)).as("sh"))
-      .withColumn("h", pmod(hash60(col("sh")), lit(MinhashP)))
-    val sigCols = (0 until n).map { i =>
-      min(pmod(col("h") * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"s$i")
-    }
-    ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until n).map(i => col(s"s$i")): _*).as("sig"))
+      .select(col("doc_id"), pmod(hash60(col("sh")), lit(MinhashP)).as("h"))
+    ex.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), n).as("sig"))
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
@@ -85,12 +82,40 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup pairs: signatures → LSH buckets →
-   * candidates → exact-Jaccard verify ≥ threshold. */
+   * candidates → exact-Jaccard verify ≥ threshold.
+   *
+   * Only the FLAT banded frame `(doc_id, band, key)` is cached: it
+   * feeds both sides of the bucket self-join, and a flat schema hits
+   * Spark's fast columnar cache path (caching the nested shingle
+   * arrays costs more than recomputing them — they rebuild in <0.5 s
+   * per verify-join side and never shuffle). */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.8, n: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, n)
-    val cands = lshCandidates(sigs, bands)
-    jaccardVerify(cands, df, id, text)
+      threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val sets = df.select(id.as("doc_id"), shingles(text, shingleK).as("ss"))
+    val sigs = minhashSignatures(df, id, text, n, shingleK)
+    val rows = n / bands
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", (0 until rows).map(r =>
+        element_at(col("sig"), b * rows + r + 1)): _*)
+    }
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "band", "key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
+          size(array_union(col("ss1"), col("ss2"))).cast("double"))
+      .select(col("id1"), col("id2"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
