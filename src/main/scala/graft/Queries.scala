@@ -84,6 +84,14 @@ object Queries {
         first(event_type ORDER BY ts, event_id) AS first_type
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    "q_series_sumsq_hour" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+          SeriesQuery(HourMs, Seq("/v"), Seq("sumsq"), names = Seq("sumsq_v")))
+        .withColumn("sumsq_v", round(col("sumsq_v"), 6)),
+      Some(s"""SELECT ${dbBucket(HourMs)} AS bucket_ms,
+        round(coalesce(sum(value * value), 0), 6) AS sumsq_v
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     "q_series_distinct_day" -> Entry(
       (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
         SeriesQuery(DayMs, Seq("/type"), Seq("distinct"), names = Seq("types"))),
@@ -364,6 +372,37 @@ object Queries {
         SELECT query_id, vec_id, round(sim, 6) AS sim, rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    "ann_lsh_topk" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hyperplaneTopK(emb, emb.filter(col("vec_id") < 8), k = 10,
+            tables = 4, planes = 4)
+          .withColumn("sim", round(col("sim"), 6))
+      },
+      Some(annLshOracle(tables = 4, planes = 4, k = 10))),
+
+    "dedup_embedding" -> Entry(
+      (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+          threshold = 0.4, tables = 4, planes = 4)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("id1"), col("id2")),
+      Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4))),
+
+    "text_fingerprint" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .filter(length(col("text")) >= 11)
+        .select(col("doc_id"),
+          TextOps.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
+        .orderBy(col("doc_id")),
+      Some("""WITH hs AS (
+          SELECT doc_id, list_transform(range(0, length(text) - 7),
+            i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT) AS h
+          FROM documents WHERE length(text) >= 11)
+        SELECT doc_id, list_sort(list_distinct(
+            list_transform(range(0, len(h) - 3),
+              j -> list_min(list_slice(h, j + 1, j + 4))))) AS fps
+        FROM hs ORDER BY doc_id""")),
+
     "text_langid" -> Entry(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id") +:
@@ -433,6 +472,60 @@ object Queries {
         FROM cand c JOIN sets a ON a.doc_id = c.id1 JOIN sets b ON b.doc_id = c.id2)
       WHERE jaccard >= $threshold ORDER BY 1, 2"""
   }
+
+  /** DuckDB mirror of [[Similarity.sketchKey]]: the `planes` sign bits
+   * of dot(v, r_p) for hash table `t`, with the same md5-derived ±1
+   * Rademacher planes (term-for-term float order). */
+  private def sketchKeySql(t: Int, planes: Int): String = {
+    val bits = (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+        i -> embedding[i]::DOUBLE *
+          (CASE WHEN ('0x' || substr(md5('$t' || ':' || '$p' || ':' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 1
+           THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+    s"'$t' || '#' || ($bits)"
+  }
+
+  private def tksSql(tables: Int, planes: Int): String =
+    (0 until tables).map(sketchKeySql(_, planes)).mkString(", ")
+
+  private def dotSql =
+    "list_sum(list_transform(range(1, len(%1$s) + 1), i -> %1$s[i]::DOUBLE * %2$s[i]::DOUBLE))"
+  private def nrmSql(v: String) = s"sqrt(${dotSql.format(v, v)})"
+
+  /** Hyperplane-LSH ANN in DuckDB: bucket corpus+queries with the same
+   * sketch keys, score same-bucket pairs exactly, rank per query. */
+  private def annLshOracle(tables: Int, planes: Int, k: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding, [${tksSql(tables, planes)}] AS tks
+          FROM embeddings),
+      c AS (SELECT vec_id, embedding AS v, unnest(tks) AS tk FROM b),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, unnest(tks) AS tk
+        FROM b WHERE vec_id < 8),
+      cand AS (SELECT DISTINCT query_id, vec_id, qv, v
+        FROM c JOIN q USING (tk) WHERE vec_id <> query_id),
+      scored AS (SELECT query_id, vec_id,
+          ${dotSql.format("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
+        FROM cand),
+      ranked AS (SELECT query_id, vec_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Embedding-cosine near-dup pairs in DuckDB: LSH-bucketed self-join
+   * + exact cosine verify, mirroring [[Similarity.cosineNearDupPairs]]. */
+  private def embNearDupOracle(threshold: Double, tables: Int, planes: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding, [${tksSql(tables, planes)}] AS tks
+          FROM embeddings),
+      e AS (SELECT vec_id, embedding AS v, unnest(tks) AS tk FROM b),
+      cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2,
+          l.v AS v1, r.v AS v2
+        FROM e l JOIN e r ON l.tk = r.tk AND l.vec_id < r.vec_id),
+      scored AS (SELECT id1, id2,
+          ${dotSql.format("v1", "v2")} / (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
+        FROM cand)
+      SELECT id1, id2, round(sim, 6) AS sim FROM scored
+      WHERE sim >= $threshold ORDER BY 1, 2"""
 
   private def langidOracle: String = {
     val scores = TextOps.stopwords.map { case (l, words) =>

@@ -86,4 +86,35 @@ object TextOps {
    * text — the portable exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Single-evaluation let-binding: evaluates `c` once and passes the
+   * result to `f` via a one-element array + lambda, so expressions
+   * that need their input twice (e.g. size + slice) don't recompute
+   * an expensive child. */
+  private def let(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Rolling k-char-gram hashes of `text` (position order): one
+   * portable 60-bit hash per overlapping k-gram. */
+  def gramHashes(text: Column, k: Int = 8): Column =
+    // NB: sequence(0, n) with n < 0 counts DOWN in Spark — guard short
+    // docs explicitly instead of relying on an empty sequence
+    when(length(text) >= k,
+      transform(sequence(lit(0), length(text) - k),
+        i => hash60(text.substr(i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Winnowing document fingerprint (Schleimer et al., MOSS): hash
+   * every overlapping k-char gram, take the minimum hash of each
+   * w-wide window, keep the distinct sorted minima. Robust to small
+   * edits — shared fingerprints ⇒ shared passages. Requires
+   * `length(text) >= k + w - 1`; shorter docs yield an empty array. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    let(gramHashes(text, k)) { h =>
+      when(size(h) >= w,
+        array_sort(array_distinct(
+          transform(sequence(lit(0), size(h) - w),
+            j => array_min(slice(h, j + lit(1), lit(w)))))))
+        .otherwise(array().cast("array<long>"))
+    }
 }

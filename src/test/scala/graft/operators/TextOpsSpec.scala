@@ -54,4 +54,30 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.fingerprint($"t")).as[String].collect()
     assert(df(0) == df(1))
   }
+
+  test("winnowing fingerprints: sorted, distinct, window minima of gram hashes") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val Seq(fps) = Seq(text).toDF("t")
+      .select(TextOps.winnowFingerprints($"t", k = 8, w = 4)).as[Seq[Long]].collect().toSeq
+    assert(fps.nonEmpty && fps == fps.sorted && fps.distinct == fps)
+    // reference recomputation: minima of each 4-window over 8-gram hashes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val grams = text.sliding(8).map(h60).toVector
+    val expect = grams.sliding(4).map(_.min).toVector.distinct.sorted
+    assert(fps == expect)
+  }
+
+  test("winnowing fingerprints: shared passages overlap, short docs empty") {
+    val a = "the quick brown fox jumps over the lazy dog in the park"
+    val b = "a quick brown fox jumps over the lazy dog near me"
+    val r = Seq(a, b).toDF("t")
+      .select(TextOps.winnowFingerprints($"t")).as[Seq[Long]].collect()
+    assert(r(0).toSet.intersect(r(1).toSet).nonEmpty) // shared passage survives edits
+    assert(Seq("tiny").toDF("t")
+      .select(TextOps.winnowFingerprints($"t")).as[Seq[Long]].head().isEmpty)
+  }
 }
