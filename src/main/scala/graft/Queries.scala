@@ -92,11 +92,15 @@ object Queries {
         round(coalesce(sum(value * value), 0), 6) AS sumsq_v
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // NB: array-valued results are serialized to one comma-joined
+    // string on BOTH sides — the driver's comparator hashes cell
+    // values and cannot hash arrays.
     "q_series_distinct_day" -> Entry(
       (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
-        SeriesQuery(DayMs, Seq("/type"), Seq("distinct"), names = Seq("types"))),
+          SeriesQuery(DayMs, Seq("/type"), Seq("distinct"), names = Seq("types")))
+        .withColumn("types", array_join(col("types"), ",")),
       Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
-        list_sort(list(DISTINCT event_type)) AS types
+        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         FROM events GROUP BY 1 ORDER BY 1""")),
 
     "q_series_rate_hour" -> Entry(
@@ -133,9 +137,11 @@ object Queries {
       (s, dir) => SeriesEngine.query(
         eventsSeries(s, dir, Some(1704844800000000000L), Some(1705104000000000000L)),
         SeriesQuery(DayMs, Seq("/v"), Seq("identity"), names = Seq("vals"),
-          from = Some("2024-01-10"), to = Some("2024-01-13"))),
+          from = Some("2024-01-10"), to = Some("2024-01-13")))
+        .withColumn("vals", array_join(col("vals"), ",")),
       Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
-        list(regexp_replace(value::VARCHAR, '\\.0$$', '') ORDER BY ts, event_id) AS vals
+        string_agg(regexp_replace(value::VARCHAR, '\\.0$$', ''), ','
+          ORDER BY ts, event_id) AS vals
         FROM events
         WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705104000000000
         GROUP BY 1 ORDER BY 1""")),
@@ -145,10 +151,12 @@ object Queries {
         eventsSeries(s, dir, toNs = Some(1704672000000000000L)),
         SeriesQuery(DayMs, Seq("/props", "/props"),
           Seq("obj_keys", "obj_distinct_keys"), names = Seq("ks", "dks"),
-          to = Some("2024-01-08"))),
+          to = Some("2024-01-08")))
+        .withColumn("ks", array_join(col("ks"), ","))
+        .withColumn("dks", array_join(col("dks"), ",")),
       Some(s"""SELECT ${dbBucket(DayMs)} AS bucket_ms,
-        flatten(list(json_keys(props) ORDER BY ts, event_id)) AS ks,
-        list_sort(list_distinct(flatten(list(json_keys(props))))) AS dks
+        array_to_string(flatten(list(json_keys(props) ORDER BY ts, event_id)), ',') AS ks,
+        array_to_string(list_sort(list_distinct(flatten(list(json_keys(props))))), ',') AS dks
         FROM events WHERE epoch_us(ts) < 1704672000000000
         GROUP BY 1 ORDER BY 1""")),
 
@@ -281,7 +289,7 @@ object Queries {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t(s, dir, "orders")
-          .withColumn("rank", row_number().over(w))
+          .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
           .orderBy(col("o_custkey"), col("rank"))
@@ -330,7 +338,7 @@ object Queries {
           FROM h CROSS JOIN (SELECT range AS bit FROM range(60)) b
           GROUP BY 1, 2)
         SELECT doc_id,
-          sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+          sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     "dedup_ngram_jaccard" -> Entry(
@@ -392,15 +400,15 @@ object Queries {
       (s, dir) => t(s, dir, "documents")
         .filter(length(col("text")) >= 11)
         .select(col("doc_id"),
-          TextOps.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
+          array_join(TextOps.winnowFingerprints(col("text"), k = 8, w = 4), ",").as("fps"))
         .orderBy(col("doc_id")),
       Some("""WITH hs AS (
           SELECT doc_id, list_transform(range(0, length(text) - 7),
             i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT) AS h
           FROM documents WHERE length(text) >= 11)
-        SELECT doc_id, list_sort(list_distinct(
+        SELECT doc_id, array_to_string(list_sort(list_distinct(
             list_transform(range(0, len(h) - 3),
-              j -> list_min(list_slice(h, j + 1, j + 4))))) AS fps
+              j -> list_min(list_slice(h, j + 1, j + 4))))), ',') AS fps
         FROM hs ORDER BY doc_id""")),
 
     "text_langid" -> Entry(

@@ -45,7 +45,7 @@ object Similarity {
       .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -89,7 +89,7 @@ object Similarity {
     val scored = cand.withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.cosineTopK(df, df.filter($"vec_id" === 20), k = 5)
       .collect()
     assert(top.length == 5)
-    assert(top.map(_.getInt(3)).toSeq == (1 to 5))
+    assert(top.map(_.getLong(3)).toSeq == (1L to 5L))
     // nearest to vec 20 is vec 19 (closest direction)
     assert(top.head.getLong(1) == 19L)
   }

@@ -30,6 +30,13 @@ for name, sql in sorted(oracle.items()):
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
         fails.append((name, f"SCHEMA {list(got.columns)} vs {list(exp.columns)}")); continue
+    # the driver hashes raw cell values, so a dtype skew (e.g. DuckDB
+    # HUGEINT -> float64 vs Spark int64) is a real failure even when
+    # values compare numerically equal
+    dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+          if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt:
+        fails.append((name, f"DTYPE {dt}")); continue
     if len(got) != len(exp):
         fails.append((name, f"ROWS {len(got)} vs {len(exp)}")); continue
     diffs = []
