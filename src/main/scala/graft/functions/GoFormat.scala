@@ -39,22 +39,29 @@ object GoFormat {
 
   /** Shortest-round-trip decimal digits of a positive finite double:
    * returns (digit string without trailing zeros, decimal point
-   * position) so that value = 0.digits × 10^dp. */
+   * position) so that value = 0.digits × 10^dp.
+   *
+   * JDK 17's Double.toString is "unique" but not always SHORTEST
+   * (Ryu landed in JDK 19) — ~0.3% of doubles carry one extra digit
+   * vs Go's strconv. Starting from the JDK digits, keep shortening a
+   * digit at a time: at each length the two bracketing decimals of
+   * the exact binary value are tested, and the closer round-tripping
+   * one adopted (what a shortest-correctly-rounded algorithm emits). */
   private def shortestDigits(d: Double): (String, Int) = {
-    val s = java.lang.Double.toString(d) // e.g. "123.45", "1.2345E7", "4.9E-324"
-    val (mant, e) = s.indexOf('E') match {
-      case -1 => (s, 0)
-      case i  => (s.substring(0, i), s.substring(i + 1).toInt)
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    var c = JBD.valueOf(d).stripTrailingZeros()
+    val exact = new JBD(d)
+    var done = false
+    while (!done && c.precision() > 1) {
+      val k = c.precision() - 1
+      val down = exact.round(new MathContext(k, RoundingMode.DOWN))
+      val up = exact.round(new MathContext(k, RoundingMode.UP))
+      val cands = Seq(down, up).filter(_.doubleValue() == d)
+      if (cands.isEmpty) done = true
+      else c = cands.minBy(_.subtract(exact).abs()).stripTrailingZeros()
     }
-    val dot = mant.indexOf('.')
-    val digitsRaw = mant.replace(".", "")
-    val intLen = if (dot == -1) mant.length else dot
-    var dp = intLen + e
-    // strip leading zeros (adjusting dp), then trailing zeros
-    var digits = digitsRaw
-    while (digits.length > 1 && digits.head == '0') { digits = digits.tail; dp -= 1 }
-    digits = digits.reverse.dropWhile(_ == '0').reverse
-    if (digits.isEmpty) ("0", 1) else (digits, dp)
+    val digits = c.unscaledValue.abs.toString
+    (digits, digits.length - c.scale)
   }
 
   /** Go `%v` of a JSON-decoded scalar: JSON numbers decode to float64

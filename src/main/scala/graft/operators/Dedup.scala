@@ -41,17 +41,26 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 64, shingleK: Int = 3): DataFrame = {
-    val ex = df.select(id.as("doc_id"), explode(shingles(text, shingleK)).as("sh"))
+    val ex = spread(df.select(id.as("doc_id"), shingles(text, shingleK).as("ss")))
+      .select(col("doc_id"), explode(col("ss")).as("sh"))
       .select(col("doc_id"), pmod(hash60(col("sh")), lit(MinhashP)).as("h"))
     ex.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), n).as("sig"))
   }
 
+  /** All ordered pairs (id1 < id2) from a bucket's sorted id list,
+   * generated inside the bucket row — no self-join, no cache: the
+   * quadratic step stays confined to each (band, key) group. */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
+      transform(slice(ids, i + lit(2), size(ids) - i - 1),
+        x => struct(element_at(ids, i + 1).as("id1"), x.as("id2")))))
+
   /** LSH candidate pairs: split the signature into `bands` bands of
    * n/bands rows; docs sharing any band bucket become a candidate
-   * pair. Join key is (band, band-signature) — the classic
-   * shingle→minhash→band→bucket-join plan; bucket sizes stay small so
-   * the self-join is cheap and skew-resistant. */
+   * pair. One shuffle groups (band, band-signature) buckets; pairs are
+   * emitted per bucket — the classic shingle→minhash→band→bucket plan,
+   * skew-resistant because bucket sizes stay small. */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, n: Int = 64): DataFrame = {
     val rows = n / bands
     val banded = sigs.select(col("doc_id"),
@@ -59,11 +68,11 @@ object Dedup {
         b => concat_ws(":", (0 until rows).map(r =>
           element_at(col("sig"), (b * rows) + r + 1)): _*))))
       .toDF("doc_id", "band", "key")
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
 
@@ -71,7 +80,7 @@ object Dedup {
    * LSH candidate generation). */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3): DataFrame = {
-    val sets = df.select(id.as("doc_id"), shingles(text, shingleK).as("ss"))
+    val sets = spread(df.select(id.as("doc_id"), shingles(text, shingleK).as("ss")))
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
@@ -81,34 +90,17 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** End-to-end MinHash near-dup pairs: signatures → LSH buckets →
-   * candidates → exact-Jaccard verify ≥ threshold.
-   *
-   * Only the FLAT banded frame `(doc_id, band, key)` is cached: it
-   * feeds both sides of the bucket self-join, and a flat schema hits
-   * Spark's fast columnar cache path (caching the nested shingle
-   * arrays costs more than recomputing them — they rebuild in <0.5 s
-   * per verify-join side and never shuffle). */
+  /** End-to-end MinHash near-dup pairs: signatures → LSH band buckets
+   * → per-bucket candidate pairs → exact-Jaccard verify ≥ threshold.
+   * No self-join and nothing cached: candidates come out of one
+   * group-by on (band, key), so the plan is shuffle-minimal and owns
+   * no cache lifetime (the prior persist leaked across calls). */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
-    val sets = df.select(id.as("doc_id"), shingles(text, shingleK).as("ss"))
+    val sets = spread(df.select(id.as("doc_id"), shingles(text, shingleK).as("ss")))
     val sigs = minhashSignatures(df, id, text, n, shingleK)
-    val rows = n / bands
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws(":", (0 until rows).map(r =>
-        element_at(col("sig"), b * rows + r + 1)): _*)
-    }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)))
-      .toDF("doc_id", "band", "key")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = banded.alias("l")
-      .join(banded.alias("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
-      .distinct()
+    val cands = lshCandidates(sigs, bands, n)
     cands
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
@@ -125,8 +117,8 @@ object Dedup {
    * this is the exact quadratic-within-block baseline). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       block: Column, threshold: Double, shingleK: Int = 3): DataFrame = {
-    val sets = df.select(id.as("doc_id"), block.as("blk"),
-      shingles(text, shingleK).as("ss"))
+    val sets = spread(df.select(id.as("doc_id"), block.as("blk"),
+      shingles(text, shingleK).as("ss")))
     val l = sets.alias("l")
     val r = sets.alias("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
@@ -141,11 +133,13 @@ object Dedup {
 
   /** 60-bit SimHash fingerprints (see graft.functions.SimHash60). */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), simhash60(tokens(text)).as("simhash"))
+    spread(df.select(id.as("doc_id"), tokens(text).as("w")))
+      .select(col("doc_id"), simhash60(col("w")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, using
    * 15-bit band blocking (4 bands; pigeonhole guarantees recall for
-   * maxDist ≤ 3) — never an all-pairs join. */
+   * maxDist ≤ 3) — never an all-pairs join: pairs are generated
+   * inside each (band, key) bucket after one group-by shuffle. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only to hamming 3")
@@ -154,12 +148,12 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
       .toDF("doc_id", "simhash", "band", "key")
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(bucketPairs(col("xs"))).as("p"))
+      .select(col("p.id1.doc_id").as("id1"), col("p.id2.doc_id").as("id2"),
+        bit_count(col("p.id1.simhash").bitwiseXOR(col("p.id2.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

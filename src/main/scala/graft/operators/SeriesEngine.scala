@@ -62,9 +62,15 @@ object SeriesEngine {
 
   /** Runs the query; output is one row per bucket that contains ≥1
    * in-range document (pre-filter, as in the reference — query.go:264-289):
-   * `bucket_ms` LONG plus one column per reducer, ordered by bucket. */
+   * `bucket_ms` LONG plus one column per reducer, ordered by bucket.
+   *
+   * With `jsonEncoded`, the identity/any reducers emit values already
+   * JSON-encoded (scalars as escaped JSON strings, objects/arrays as
+   * their raw JSON text) so a response writer needs no value-kind
+   * sniffing — a scalar that happens to start with '{' stays a
+   * properly quoted string. */
   def query(df: DataFrame, q: SeriesQuery,
-      partitionBy: Seq[String] = Nil): DataFrame = {
+      partitionBy: Seq[String] = Nil, jsonEncoded: Boolean = false): DataFrame = {
     val chunkNs = q.groupMs * 1000000L
     val fromNs = q.from.map(s => TimeLib.parseTime(s).getOrElse(
       throw new IllegalArgumentException(s"bad from timestamp: $s")))
@@ -118,7 +124,7 @@ object SeriesEngine {
     val named = q.ptrs.lazyZip(q.reducers).lazyZip(q.outNames).toSeq
     val mainAggs = named.collect {
       case (ptr, red, name) if !rateReducers.contains(red) =>
-        reducerAgg(red, ext(ptr), col("__pass"), seqCol).as(name)
+        reducerAgg(red, ext(ptr), col("__pass"), seqCol, jsonEncoded).as(name)
     }
 
     val grouped = projected
@@ -137,10 +143,12 @@ object SeriesEngine {
           case (ptr, red, name) if rateReducers.contains(red) =>
             val r = col(s"__rate_${ratePtrs.indexOf(ptr)}")
             (red match {
+              // rates are pre-filtered to finite values in ratePass
+              // (convertTofloat64Rate drops NaN/Inf pairs, query.go:390)
               case "c" => sum(r)
-              case "c_min" => min(finiteOnly(r))
+              case "c_min" => min(r)
               case "c_avg" => avg(r)
-              case "c_max" => max(finiteOnly(r))
+              case "c_max" => max(r)
             }).as(name)
         }
         val rateGrouped = rates.groupBy(col("__rbucket")).agg(rateAggs.head, rateAggs.tail: _*)
@@ -168,10 +176,6 @@ object SeriesEngine {
     when(isnan(c) || c === lit(Double.PositiveInfinity) ||
       c === lit(Double.NegativeInfinity), lit(null).cast(DoubleType)).otherwise(c)
 
-  private def finiteOnly(c: Column): Column =
-    when(!isnan(c) && c =!= lit(Double.PositiveInfinity) &&
-      c =!= lit(Double.NegativeInfinity), c)
-
   /** Canonical RFC3339Nano key string from epoch ns (Go trims trailing
    * fraction zeros; date_format alone cannot, hence the regex). */
   def canonicalKeyCol(ts: Column): Column = {
@@ -185,17 +189,25 @@ object SeriesEngine {
 
   /** One aggregation expression per non-rate reducer, masked by the
    * filter predicate (reducer registry: query.go:407-570). */
-  private def reducerAgg(red: String, e: Column, pass: Column, seq: Column): Column = {
+  private def reducerAgg(red: String, e: Column, pass: Column, seq: Column,
+      jsonEncoded: Boolean = false): Column = {
     val kind = e.getField("kind")
     val str = e.getField("str")
     val num = e.getField("num")
     val keys = e.getField("keys")
     val raw = e.getField("raw")
     val present = pass && kind =!= lit(KindMissing) && kind =!= lit(KindNull)
+    // JSON-encode a scalar with full escaping via to_json of a
+    // one-field struct (codegen'd), then strip the fixed {"v": … }
+    // wrapper: 5 chars of prefix, 1 of suffix.
+    def jsonStr(c: Column): Column = {
+      val js = to_json(struct(c.as("v")))
+      substring(js, lit(6), length(js) - 6)
+    }
     // identity/any carry the funnel value: scalars stringified,
     // missing/JSON-null → SQL null (processDoc emits nil for both —
     // query.go:130-145), objects/arrays as compact JSON text.
-    val value = when(kind === lit(KindScalar), str)
+    val value = when(kind === lit(KindScalar), if (jsonEncoded) jsonStr(str) else str)
       .when(kind === lit(KindObject) || kind === lit(JsonPointersExpr.KindArray), raw)
     val ord = struct(col("ts"), seq)
     red match {
@@ -215,8 +227,16 @@ object SeriesEngine {
         count(when(present, lit(1)))
       case "sum" => sum(when(pass, num))
       case "sumsq" => sum(when(pass, num * num))
-      case "max" => max(when(pass, finiteOnly(num)))
-      case "min" => min(when(pass, finiteOnly(num)))
+      // max/min feed ±Inf into the aggregation and null a non-finite
+      // FINAL result (nanInfToNull at the output edge), matching the
+      // reference for inf-is-the-extreme inputs (query.go:471-488).
+      // NaN inputs are dropped: the reference never keeps NaN once any
+      // finite value arrives, while Spark orders NaN above every value.
+      // Remaining documented divergence: the reference's accumulator is
+      // REPLACED by whatever follows a non-finite value ({+Inf, 3} ⇒ 3
+      // there, null here) — an order-dependent quirk of its fold.
+      case "max" => max(when(pass && !isnan(num), num))
+      case "min" => min(when(pass && !isnan(num), num))
       case "avg" => avg(when(pass, num))
       case "obj_keys" =>
         // every included object's keys, in ts order, duplicates kept

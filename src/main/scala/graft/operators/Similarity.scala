@@ -37,7 +37,7 @@ object Similarity {
    * shuffle of the corpus; the heavy scan is embarrassingly parallel.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("vec_id"), col("embedding").as("v"))
+    val c = spread(corpus.select(col("vec_id").as("vec_id"), col("embedding").as("v")))
       .withColumn("vn", l2norm(col("v")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
@@ -78,7 +78,7 @@ object Similarity {
   def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 4, planes: Int = 8): DataFrame = {
     def bucketed(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
+      spread(df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v")))
         .withColumn("tk", explode(array((0 until tables).map(t =>
           concat_ws("#", lit(t), sketchKey(col(s"${idName}_v"), t, planes))): _*)))
     val c = bucketed(corpus, "vec_id")
@@ -99,7 +99,7 @@ object Similarity {
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       tables: Int = 4, planes: Int = 8): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"))
+    val b = spread(corpus.select(col("vec_id"), col("embedding")))
       .withColumn("tk", explode(array((0 until tables).map(t =>
         concat_ws("#", lit(t), sketchKey(col("embedding"), t, planes))): _*)))
     val l = b.alias("l")

@@ -16,20 +16,22 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Sliding k-word shingles, deduplicated; the standard unit for
-   * n-gram Jaccard / MinHash document similarity. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = tokens(text)
-    array_distinct(
-      when(size(w) >= k,
-        transform(sequence(lit(0), size(w) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
-        .otherwise(array()))
-  }
+   * n-gram Jaccard / MinHash document similarity. The token array is
+   * let-bound so `split` runs once per document — an expression
+   * referenced inside a higher-order-function lambda is otherwise
+   * re-evaluated per element (O(words²) splits). */
+  def shingles(text: Column, k: Int = 3): Column =
+    let(tokens(text)) { w =>
+      array_distinct(
+        when(size(w) >= k,
+          transform(sequence(lit(0), size(w) - k),
+            i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+          .otherwise(array()))
+    }
 
   /** 60-bit stable content hash from md5 (portable: any engine with
    * md5 + hex parsing reproduces it — the correctness oracle does). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def hash60(c: Column): Column = graft.functions.Hash60Expr.hash60(c)
 
   // Minimal per-language stopword lists for the n-gram/stopword
   // language-ID heuristic. Deliberately tiny and static: the operator

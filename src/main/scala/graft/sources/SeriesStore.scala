@@ -83,22 +83,44 @@ class SeriesStore(spark: SparkSession, root: String) {
       case None => System.currentTimeMillis() * 1000000L
     }
     import spark.implicits._
-    Seq((ns, nextSeq() << 44, json)).toDF("ts", "seq", "doc")
+    val seq = seqBase(db).getAndIncrement()
+    Seq((ns, seq, json)).toDF("ts", "seq", "doc")
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
     TimeLib.formatCanonical(ns)
   }
 
-  /** Batched ingest of a `(ts LONG ns, doc STRING)` frame. Each batch
-   * takes a fresh epoch (high bits); rows within it are ordered by
-   * `monotonically_increasing_id` (low bits) — later batches always
-   * win dedup against earlier ones. */
+  /** Batched ingest of a `(ts LONG ns, doc STRING)` frame. The batch
+   * reserves a seq range above every previously persisted seq — later
+   * batches always win read-side dedup against earlier ones, including
+   * across process restarts. Within the batch, rows are numbered by
+   * `monotonically_increasing_id` (partition index · 2³³ + row), so
+   * the reserved range is `numPartitions · 2³³` wide; a partition would
+   * need > 8.6 B rows to overflow its slot. Writers are single-process
+   * per database (as in the reference's per-DB writer goroutine,
+   * database.go:175-254); cross-JVM concurrent writers would need a
+   * transactional table format underneath. */
   def storeBatch(db: String, docs: DataFrame): Unit = {
-    val base = nextSeq() << 44 // monotonic ids stay below 2^44 locally
-    docs.select(col("ts").cast(LongType).as("ts"),
-        (monotonically_increasing_id() + lit(base)).as("seq"),
-        col("doc").cast(StringType).as("doc"))
+    val selected = docs.select(col("ts").cast(LongType).as("ts"),
+      col("doc").cast(StringType).as("doc"))
+    val parts = math.max(1, selected.rdd.getNumPartitions)
+    val base = seqBase(db).getAndAdd(parts.toLong << 33)
+    selected.select(col("ts"),
+        (monotonically_increasing_id() + lit(base)).as("seq"), col("doc"))
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
   }
+
+  // per-DB next-seq floor, initialized from the persisted max so the
+  // ordering survives restarts (a fresh counter would let an old doc
+  // beat a newer overwrite in frame()'s max_by dedup)
+  private val seqBases = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  private def seqBase(db: String): AtomicLong =
+    seqBases.computeIfAbsent(db, _ => {
+      val persisted = if (exists(db))
+        spark.read.schema(schema).parquet(dbPath(db).toString)
+          .agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+      else 0L
+      new AtomicLong(persisted + 1)
+    })
 
   /** The queryable view: latest write per key wins (couchstore Set
    * overwrite semantics, database.go:293-302). */
@@ -175,19 +197,22 @@ class SeriesStore(spark: SparkSession, root: String) {
   /** The reference's response shape: one JSON object keyed by
    * bucket-start ms, each value the array of reducer results
    * (handlers.go:170-227). Buckets emitted in ascending order (the
-   * reference emits in completion order; SURVEY.md §7.5). */
+   * reference emits in completion order; SURVEY.md §7.5). Encoding is
+   * kind-aware, not sniffed: identity/any values arrive from the
+   * engine already JSON-encoded (a scalar string starting with '{' or
+   * '[' stays quoted), key/distinct sets are quoted with full control-
+   * char escaping, numerics go through Go's %v surface form. */
   def queryJson(db: String, q: SeriesQuery): String = {
-    val df = query(db, q)
-    val names = q.outNames
+    val df = SeriesEngine.query(frame(db), q, jsonEncoded = true)
     val sb = new StringBuilder("{")
     var first = true
     df.toLocalIterator().asScala.foreach { row =>
       if (!first) sb.append(',')
       first = false
       sb.append('"').append(row.getLong(0)).append("\":[")
-      names.indices.foreach { i =>
+      q.reducers.indices.foreach { i =>
         if (i > 0) sb.append(',')
-        sb.append(jsonValue(row.get(i + 1)))
+        sb.append(jsonCell(q.reducers(i), row.get(i + 1)))
       }
       sb.append(']')
     }
@@ -201,17 +226,37 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
   }
 
-  private def jsonValue(v: Any): String = v match {
-    case null => "null"
-    case d: java.lang.Double =>
-      if (d.isNaN || d.isInfinite) "null" else graft.functions.GoFormat.goDouble(d)
-    case l: java.lang.Long => l.toString
-    case s: String =>
-      if (s.startsWith("{") || s.startsWith("[")) s // raw object/array passthrough
-      else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case seq: scala.collection.Seq[_] =>
-      seq.map(jsonValue).mkString("[", ",", "]")
-    case other => other.toString
+  /** One reducer result cell → JSON, by reducer kind. */
+  private def jsonCell(red: String, v: Any): String = red match {
+    case _ if v == null => "null"
+    case "identity" => // elements pre-encoded by the engine (or null)
+      v.asInstanceOf[scala.collection.Seq[String]]
+        .map(x => if (x == null) "null" else x).mkString("[", ",", "]")
+    case "any" => v.toString // pre-encoded by the engine
+    case "distinct" | "obj_keys" | "obj_distinct_keys" =>
+      v.asInstanceOf[scala.collection.Seq[String]]
+        .map(jsonQuote).mkString("[", ",", "]")
+    case "count" => v.toString
+    case _ => v match { // numeric reducers
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) "null" else graft.functions.GoFormat.goDouble(d)
+      case other => other.toString
+    }
+  }
+
+  /** JSON string literal with full escaping (incl. control chars). */
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
   }
 }
 
@@ -223,10 +268,6 @@ object SeriesStore {
     StructField("doc", StringType, nullable = false)))
 
   case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
-
-  // small write-epoch counter; shifted into the high bits of seq
-  private val seqCounter = new AtomicLong(0L)
-  private def nextSeq(): Long = seqCounter.incrementAndGet()
 
   def validJson(s: String): Boolean =
     try { JsonPointersExpr.mapper.readTree(s); true }

@@ -34,6 +34,30 @@ class GoFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("goDouble emits SHORTEST digits even where JDK 17 Double.toString does not") {
+    // 5.722351919331477e17: JDK 17 renders an extra digit
+    // (5.7223519193314771e17); Go's shortest form has 16
+    assert(GoFormat.goDouble(5.722351919331477e17) == "5.722351919331477e+17")
+    // minimality sweep: for epoch-ns-sized magnitudes, dropping the
+    // last digit of our output must break the round-trip
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val d = (1e17 + rnd.nextDouble() * 9e17) * (if (rnd.nextBoolean()) 1 else -1)
+      val s = GoFormat.goDouble(d)
+      assert(s.toDouble == d, s"round-trip $d -> $s")
+      val m = "^(-?\\d\\.?\\d*?)(\\d)e\\+17$".r.findFirstMatchIn(s)
+      m.foreach { g =>
+        val shorter = g.group(1)
+        if (shorter.nonEmpty && shorter.last.isDigit && shorter.last != '9') {
+          val truncated = (shorter + "e+17").toDouble
+          val roundedUp = (shorter.dropRight(1) + (shorter.last + 1).toChar + "e+17").toDouble
+          assert(truncated != d && roundedUp != d,
+            s"$s not minimal for $d: a ${s.length - 1}-char form round-trips")
+        }
+      }
+    }
+  }
+
   test("goDouble round-trips through goParseFloat (10k random doubles)") {
     val rnd = new scala.util.Random(42)
     (1 to 10000).foreach { _ =>

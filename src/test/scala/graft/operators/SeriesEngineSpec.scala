@@ -92,6 +92,24 @@ class SeriesEngineSpec extends SparkSpec {
     assert(q("obj_distinct_keys").getSeq[String](1) == Seq())
   }
 
+  test("non-finite inputs: Inf extreme nulls the result, NaN is ignored") {
+    val df = Seq(
+      (B * 1000000000L + 1000000000L, """{"v": "3"}"""),
+      (B * 1000000000L + 2000000000L, """{"v": "+Inf"}"""),
+      (B * 1000000000L + 3000000000L, """{"v": "NaN"}""")
+    ).toDF("ts", "doc")
+    def q(r: String) = SeriesEngine.query(df,
+      SeriesQuery(12000, Seq("/v"), Seq(r), names = Seq("r"))).head()
+    // reference feeds +Inf into the fold and nulls a non-finite final
+    // result (query.go:471-488, 200-203): max{3, +Inf, NaN} ⇒ null
+    assert(q("max").isNullAt(1))
+    // min{3, +Inf, NaN}: 3 stays the minimum; NaN never displaces it
+    assert(q("min").getDouble(1) == 3.0)
+    // sum/avg absorb Inf/NaN → non-finite → null
+    assert(q("sum").isNullAt(1))
+    assert(q("avg").isNullAt(1))
+  }
+
   test("pair rate conversion (query_test.go:74-96): 20→25 over 5 s = 1.0") {
     val df = Seq(
       ((B + 2) * 1000000000L, """{"v": "20"}"""),

@@ -72,6 +72,34 @@ class SeriesStoreSpec extends SparkSpec {
       Seq("""{"i": 0}""", """{"i": 1}""", """{"i": 8}""", """{"i": 9}"""))
   }
 
+  test("overwrite ordering survives a process restart (seq from persisted max)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val s1 = new SeriesStore(spark, root)
+    s1.create("db")
+    s1.store("db", Some("2012-08-28T21:24:35Z"), """{"v": "old"}""")
+    // a fresh instance = a restarted process; its writes must still
+    // beat the earlier session's docs in last-write-wins dedup
+    val s2 = new SeriesStore(spark, root)
+    s2.store("db", Some("2012-08-28T21:24:35Z"), """{"v": "new"}""")
+    assert(s2.get("db", "2012-08-28T21:24:35Z").contains("""{"v": "new"}"""))
+    val s3 = new SeriesStore(spark, root)
+    s3.storeBatch("db",
+      Seq((1346189075000000000L, """{"v": "newer"}""")).toDF("ts", "doc"))
+    assert(s3.get("db", "2012-08-28T21:24:35Z").contains("""{"v": "newer"}"""))
+  }
+
+  test("queryJson encodes by value kind: scalars starting with '{'/'[' stay quoted") {
+    val s = newStore()
+    s.create("db")
+    s.store("db", Some("2012-08-28T21:24:00Z"), """{"v": "[note"}""")
+    s.store("db", Some("2012-08-28T21:24:10Z"), """{"v": "tab\tchar"}""")
+    s.store("db", Some("2012-08-28T21:24:20Z"), """{"v": {"a": 1}}""")
+    val json = s.queryJson("db", SeriesQuery(60000, Seq("/v"), Seq("identity")))
+    assert(json == """{"1346189040000":[["[note","tab\tchar",{"a":1}]]}""")
+    val any = s.queryJson("db", SeriesQuery(60000, Seq("/v"), Seq("any")))
+    assert(any == """{"1346189040000":["[note"]}""")
+  }
+
   test("query + JSON emit over the store (minimum E2E slice, SURVEY §7.2)") {
     val s = newStore()
     s.create("db")
