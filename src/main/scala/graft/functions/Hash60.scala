@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import java.security.MessageDigest
 
@@ -18,16 +19,19 @@ import java.security.MessageDigest
  * portable across engines.
  */
 case class Hash60Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hash60"
   override protected def withNewChildInternal(c: Expression): Hash60Expr = copy(c)
 
-  override def nullSafeEval(input: Any): Any = {
-    val md = Hash60Expr.digests.get()
-    SimHash60.hash60(md, input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Hash60Expr.hash60(input.asInstanceOf[UTF8String])
+
+  // stays inside whole-stage codegen: one static call, no boxing
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hash60Expr.hash60($c)")
 }
 
 object Hash60Expr {
@@ -35,6 +39,10 @@ object Hash60Expr {
   // can be shared across local-mode task threads
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Generated-code entry point. */
+  def hash60(s: UTF8String): Long =
+    SimHash60.hash60(digests.get(), s.getBytes)
 
   def hash60(c: Column): Column = Bridge.column(Hash60Expr(Bridge.expression(c)))
 }

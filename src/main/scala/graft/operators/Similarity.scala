@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.operators.TextOps.hash60
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,10 +21,9 @@ object Similarity {
 
   /** Sequential-order dot product of two equal-length float arrays in
    * double precision (element-wise promote, left-to-right sum — the
-   * deterministic order any sequential engine reproduces). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+   * deterministic order any sequential engine reproduces). Native
+   * expression: one primitive loop, no intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,7 +35,7 @@ object Similarity {
    * shuffle of the corpus; the heavy scan is embarrassingly parallel.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = spread(corpus.select(col("vec_id").as("vec_id"), col("embedding").as("v")))
+    val c = corpus.select(col("vec_id").as("vec_id"), col("embedding").as("v"))
       .withColumn("vn", l2norm(col("v")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
@@ -51,22 +49,29 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table,
-   * plane, dim): ±1 derived from the portable 60-bit hash — any SQL
-   * engine reproduces the same planes. */
-  private def sgn(table: Int, plane: Int, dim: Column): Column =
-    when(pmod(hash60(concat_ws(":", lit(table), lit(plane), dim)), lit(2)) === 1,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic pseudo-random hyperplane for (table, plane): ±1
+   * components derived from the portable 60-bit md5 hash of
+   * "table:plane:dim" — any SQL engine reproduces the same planes
+   * (the oracle does, term for term). Precomputed driver-side and
+   * shipped as an array literal: the alternative (a hash expression
+   * per dimension per row) costs tables·planes·dims hashes per
+   * vector. Planes are sized for up-to-[[MaxDims]] vectors; the dot
+   * iterates over the vector's own length, so longer plane literals
+   * are harmless. */
+  val MaxDims = 1024
+  private def planeSigns(table: Int, plane: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(MaxDims) { i =>
+      val h = graft.functions.SimHash60.hash60(md, s"$table:$plane:$i".getBytes("UTF-8"))
+      if (h % 2 == 1) 1.0 else -1.0
+    }
+  }
 
   /** Sign-sketch bucket key: `planes` sign bits of dot(v, r_p) per
    * hash table. Rademacher (±1) hyperplanes, deterministic. */
   def sketchKey(v: Column, table: Int, planes: Int): Column =
     concat_ws("", (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * sgn(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(s >= 0, lit("1")).otherwise(lit("0"))
+      when(dot(v, typedLit(planeSigns(table, p))) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /**
@@ -78,7 +83,7 @@ object Similarity {
   def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 4, planes: Int = 8): DataFrame = {
     def bucketed(df: DataFrame, idName: String): DataFrame =
-      spread(df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v")))
+      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
         .withColumn("tk", explode(array((0 until tables).map(t =>
           concat_ws("#", lit(t), sketchKey(col(s"${idName}_v"), t, planes))): _*)))
     val c = bucketed(corpus, "vec_id")
@@ -99,7 +104,7 @@ object Similarity {
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       tables: Int = 4, planes: Int = 8): DataFrame = {
-    val b = spread(corpus.select(col("vec_id"), col("embedding")))
+    val b = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("tk", explode(array((0 until tables).map(t =>
         concat_ws("#", lit(t), sketchKey(col("embedding"), t, planes))): _*)))
     val l = b.alias("l")

@@ -12,7 +12,7 @@ package object operators {
    * cores. Inputs already at-or-above default parallelism pass
    * through untouched, so at real scale this adds no shuffle.
    */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
