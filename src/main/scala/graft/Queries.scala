@@ -183,7 +183,8 @@ object Queries {
 
     "q_bulk_delete" -> Entry(
       (s, dir) => {
-        // real store round-trip: ingest events, range-delete, checksum
+        // real store round-trip: ingest events, range-delete (which
+        // copy-compacts, S8+S9), checksum the survivors
         val root = java.nio.file.Files.createTempDirectory("graft-verify").toString
         val store = new graft.sources.SeriesStore(s, root)
         store.create("ev")
@@ -198,6 +199,52 @@ object Queries {
           sum(epoch_us(ts) % 1000000007)::BIGINT AS ts_checksum
         FROM events
         WHERE NOT (epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000)""")),
+
+    // _dump's canonical key surface (S7): RFC3339Nano UTC keys with
+    // trailing fraction zeros trimmed, for the earliest 500 events.
+    "q_dump_keys" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .select((expr("ts div 1000") * 1000).as("tns"), col("event_id"))
+        .orderBy(col("tns"), col("event_id")).limit(500)
+        .select(col("event_id"),
+          SeriesEngine.canonicalKeyCol(col("tns")).as("key"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+          strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+          CASE WHEN epoch_us(ts) % 1000000 = 0 THEN ''
+               ELSE '.' || rtrim(lpad(((epoch_us(ts) % 1000000) * 1000)::VARCHAR, 9, '0'), '0')
+          END || 'Z' AS key
+        FROM (SELECT ts, event_id FROM events
+              ORDER BY epoch_us(ts), event_id LIMIT 500)
+        ORDER BY event_id""")),
+
+    // timelib's lenient multi-format parse (SURVEY §2.6): the same
+    // instant rendered as epoch seconds / ms / ns and ISO strings must
+    // parse back to the arithmetic truth (integer auto-ranging,
+    // timelib/time.go:132-145).
+    "q_time_parse" -> Entry(
+      (s, dir) => {
+        val parse = udf((x: String) => graft.timelib.TimeLib.parseTime(x))
+        t(s, dir, "events")
+          .filter(col("event_id") < 500)
+          .select(col("event_id"), expr("ts div 1000").as("us"))
+          .select(col("event_id"),
+            parse(expr("cast(us div 1000000 as string)")).as("p_sec"),
+            parse(expr("cast(us div 1000 as string)")).as("p_ms"),
+            parse(expr("cast(us * 1000 as string)")).as("p_ns"),
+            parse(concat(date_format(timestamp_seconds(expr("us div 1000000")),
+              "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))).as("p_iso"),
+            parse(date_format(timestamp_seconds(expr("us div 1000000")),
+              "yyyy-MM-dd")).as("p_date"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+          (epoch_us(ts) // 1000000) * 1000000000 AS p_sec,
+          (epoch_us(ts) // 1000) * 1000000 AS p_ms,
+          epoch_us(ts) * 1000 AS p_ns,
+          (epoch_us(ts) // 1000000) * 1000000000 AS p_iso,
+          epoch_us(date_trunc('day', ts)) * 1000 AS p_date
+        FROM events WHERE event_id < 500 ORDER BY event_id""")),
 
     // ================= general analytics (TPC-H-shaped) ================
 
@@ -389,6 +436,16 @@ object Queries {
       },
       Some(annLshOracle(tables = 4, planes = 4, k = 10))),
 
+    "ann_ivf_topk" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+            centroids = emb.filter(pmod(col("vec_id"), lit(16)) === 0),
+            k = 10, nprobe = 2)
+          .withColumn("sim", round(col("sim"), 6))
+      },
+      Some(annIvfOracle(centMod = 16, k = 10, nprobe = 2))),
+
     "dedup_embedding" -> Entry(
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
           threshold = 0.4, tables = 4, planes = 4)
@@ -436,6 +493,22 @@ object Queries {
           len(string_split(text, ' '))::BIGINT AS ws_tokens,
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
+
+    "multimodal_frames" -> Entry(
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.asMedia(t(s, dir, "documents")
+            .filter(col("doc_id") < 100), "doc_id", "text", "source"),
+          frameChars = 64, stride = 2)
+        .orderBy(col("media_id"), col("frame_no")),
+      Some("""WITH f AS (
+          SELECT doc_id, regexp_extract_all(lower(hex(encode(text))), '.{1,64}') AS fs
+          FROM documents WHERE doc_id < 100),
+        x AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(fs) + 1),
+              i -> {'no': i - 1, 'hx': fs[i]})) AS u
+          FROM f)
+        SELECT doc_id AS media_id, u.no AS frame_no, u.hx AS frame_hex
+        FROM x WHERE u.no % 2 = 0 ORDER BY 1, 2""")),
 
     "multimodal_meta" -> Entry(
       (s, dir) => Multimodal.extractFeatures(
@@ -514,6 +587,30 @@ object Queries {
       scored AS (SELECT query_id, vec_id,
           ${dotSql.format("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
         FROM cand),
+      ranked AS (SELECT query_id, vec_id, sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** IVF top-k in DuckDB, mirroring [[Similarity.ivfTopK]]: nearest-
+   * centroid assignment per corpus vector, nprobe nearest centroids
+   * per query, exact cosine within the probed lists. */
+  private def annIvfOracle(centMod: Int, k: Int, nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv,
+            ${nrmSql("embedding")} AS cn
+          FROM embeddings WHERE vec_id % $centMod = 0),
+      asn AS (SELECT e.vec_id, e.embedding AS v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${dotSql.format("e.embedding", "cv")} / (${nrmSql("e.embedding")} * cn)
+              DESC, cent_id) AS rn
+        FROM embeddings e CROSS JOIN c),
+      lists AS (SELECT vec_id, v, cent_id FROM asn WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, v AS qv, cent_id
+        FROM asn WHERE rn <= $nprobe AND vec_id < 8),
+      scored AS (SELECT query_id, vec_id,
+          ${dotSql.format("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
+        FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
       ranked AS (SELECT query_id, vec_id, sim,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         FROM scored)

@@ -78,11 +78,23 @@ object Multimodal {
   }
 
   /** Frame sampling stub for video-shaped payloads: every `stride`-th
-   * fixed-size window of the byte stream becomes one "frame" row —
-   * the explode/partition plumbing a real frame sampler needs. */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    media.select(col("media_id"),
-        posexplode(split(base64(col("bytes")), s"(?<=\\G.{${frameBytes}})")))
-      .toDF("media_id", "frame_no", "frame_b64")
+   * fixed-size window of the hex-encoded byte stream becomes one
+   * "frame" row — the explode/partition plumbing a real frame sampler
+   * needs. Windows are explicit substrings (a `\G`-lookbehind split
+   * chunker silently fails to split under Spark's regex split, and
+   * Spark's base64 is MIME-chunked with CRLFs — hex is stable across
+   * engines). Empty payloads yield no frames; the last window may be
+   * short. `frameChars` counts hex chars, i.e. frameChars/2 bytes. */
+  def sampleFrames(media: DataFrame, frameChars: Int, stride: Int): DataFrame =
+    media.select(col("media_id"), lower(hex(col("bytes"))).as("__hex"))
+      .filter(length(col("__hex")) > 0)
+      .select(col("media_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((length(col("__hex")) - 1) / lit(frameChars)).cast("int")),
+          i => col("__hex").substr(i * frameChars + 1, lit(frameChars)))))
+      .toDF("media_id", "frame_no", "frame_hex")
       .filter(pmod(col("frame_no"), lit(stride)) === 0)
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        col("frame_hex"))
 }

@@ -100,6 +100,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: the scale path between
+   * brute force and LSH. Centroids are broadcast; one corpus scan
+   * assigns each vector to its nearest centroid (the inverted lists);
+   * each query probes its `nprobe` nearest centroids and scores only
+   * those lists. At cluster scale the probe join is keyed on
+   * centroid id, so candidate scoring is co-partitioned and the
+   * corpus never re-shuffles per query.
+   *
+   * Centroids are caller-supplied (`(vec_id, embedding)`-shaped):
+   * real pipelines train them offline (k-means); the deterministic
+   * choice here keeps the operator reproducible in plain SQL.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      .withColumn("cn", l2norm(col("cv"))))
+    def assign(df: DataFrame, idName: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("__csim").desc, col("cent_id"))
+      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
+        .withColumn("__n", l2norm(col(s"${idName}_v")))
+        .crossJoin(cents)
+        .withColumn("__csim",
+          dot(col(s"${idName}_v"), col("cv")) / (col("__n") * col("cn")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(idName), col(s"${idName}_v"), col("cent_id"))
+    }
+    val lists = assign(corpus, "vec_id", 1)
+    val probes = assign(queries, "query_id", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    lists.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,

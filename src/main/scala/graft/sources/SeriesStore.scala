@@ -159,10 +159,10 @@ class SeriesStore(spark: SparkSession, root: String) {
       .asScala.map(r => s"""{"${r.getString(0)}": ${r.getString(1)}}""")
 
   /** DELETE /{db}/_bulk range delete; returns deleted count
-   * (handlers.go:230-281). Copy-rewrite + atomic swap, which is also
-   * exactly what `compact` does in the reference (database.go:136-171). */
-  def deleteRange(db: String, from: Option[String], to: Option[String],
-      compactAfter: Boolean = false): Long = {
+   * (handlers.go:230-281). Copy-rewrite + atomic swap — the delete
+   * inherently compacts, so the reference's optional `?compact=true`
+   * follow-up (handlers.go:269-276) is always-on here. */
+  def deleteRange(db: String, from: Option[String], to: Option[String]): Long = {
     val f = frame(db)
     var cond = lit(true)
     from.foreach(s => cond = cond && col("ts") >= TimeLib.parseTime(s).get)

@@ -33,10 +33,17 @@ class MultimodalSpec extends SparkSpec {
     assert(again.head.getSeq[Float](5) == r.getSeq[Float](5))
   }
 
-  test("sampleFrames explodes byte windows with stride") {
+  test("sampleFrames explodes hex windows with stride") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "source")
-    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
-    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_b64"))
-    assert(frames.filter($"media_id" === 1L).count() >= 1)
+    val frames = Multimodal.sampleFrames(media, frameChars = 4, stride = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_hex"))
+    // "hello world" = 11 bytes = 22 hex chars = 6 windows of 4 (last
+    // short); stride 2 keeps frames 0, 2, 4
+    val f1 = frames.filter($"media_id" === 1L).orderBy("frame_no").collect()
+    assert(f1.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L))
+    assert(f1.map(_.getString(2)).toSeq == Seq("6865", "6f20", "726c"))
+    // "xyz" = 6 hex chars = exactly 2 windows of 4? no: 2 windows (4+2)
+    val f2 = frames.filter($"media_id" === 2L).orderBy("frame_no").collect()
+    assert(f2.map(_.getString(2)).toSeq == Seq("78797a".take(4)))
   }
 }

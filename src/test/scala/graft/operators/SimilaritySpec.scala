@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getLong(1) == 19L)
   }
 
+  test("IVF top-k probes the right lists and ranks exactly") {
+    // two tight clusters around e1 and e2; centroids = one member of
+    // each; a query near cluster 1 must rank its own cluster first
+    val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f))
+    val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f))
+    val df = vecs(cluster1 ++ cluster2: _*)
+    val r = Similarity.ivfTopK(df, df.filter($"vec_id" === 0),
+      centroids = df.filter($"vec_id" === 2 || $"vec_id" === 7),
+      k = 3, nprobe = 1).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(r.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // nprobe=2 reaches the second list too and k widens
+    val r2 = Similarity.ivfTopK(df, df.filter($"vec_id" === 0),
+      centroids = df.filter($"vec_id" === 2 || $"vec_id" === 7),
+      k = 9, nprobe = 2).collect()
+    assert(r2.length == 9)
+  }
+
   test("hyperplane LSH finds the exact nearest neighbor for clustered data") {
     // two tight clusters; LSH must at least retrieve same-cluster items
     val a = (0L to 9L).map(i => i -> Seq(1f, 0.01f * i, 0f))
