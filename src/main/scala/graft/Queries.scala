@@ -164,9 +164,11 @@ object Queries {
 
     "q_all_range_limit" -> Entry(
       (s, dir) => t(s, dir, "events")
+        // range on the RAW ns column so the predicate reaches the scan
+        // (a filter on `ts div 1000` would not push down)
+        .filter(col("ts") >= 1704844800000000000L && col("ts") < 1705104000000000000L)
         .select(expr("ts div 1000").as("ts_us"), col("event_id"),
           col("event_type"), col("value"), col("props"))
-        .filter(col("ts_us") >= 1704844800000000L && col("ts_us") < 1705104000000000L)
         .orderBy(col("ts_us"), col("event_id")).limit(500),
       Some("""SELECT epoch_us(ts) AS ts_us, event_id, event_type, value, props
         FROM events

@@ -71,54 +71,7 @@ object SeriesEngine {
    * properly quoted string. */
   def query(df: DataFrame, q: SeriesQuery,
       partitionBy: Seq[String] = Nil, jsonEncoded: Boolean = false): DataFrame = {
-    val chunkNs = q.groupMs * 1000000L
-    val fromNs = q.from.map(s => TimeLib.parseTime(s).getOrElse(
-      throw new IllegalArgumentException(s"bad from timestamp: $s")))
-    val toNs = q.to.map(s => TimeLib.parseTime(s).getOrElse(
-      throw new IllegalArgumentException(s"bad to timestamp: $s")))
-
-    // ---- scan + range predicate (pushed to the source by Catalyst) ----
-    var base = df
-    fromNs.foreach(n => base = base.filter(col("ts") >= lit(n)))
-    toNs.foreach(n => base = base.filter(col("ts") < lit(n)))
-
-    // ---- single-parse pointer projection -----------------------------
-    // All pointers a query mentions (aggregation ∪ filter) are resolved
-    // in ONE document parse (reference dedups the same way,
-    // query.go:93-110). `_id` resolves to the canonical key string.
-    val uniquePtrs = (q.ptrs ++ q.filters.map(_._1)).distinct
-    val jsonPtrs = uniquePtrs.filterNot(_ == "_id")
-    val hasSeq = df.columns.contains("seq")
-    val seqCol = if (hasSeq) col("seq") else lit(0L)
-
-    var projected = base.withColumn("__ext",
-      if (jsonPtrs.nonEmpty) jsonPointers(col("doc"), jsonPtrs) else lit(null))
-    if (uniquePtrs.contains("_id"))
-      projected = projected.withColumn("__id_str", canonicalKeyCol(col("ts")))
-
-    def ext(ptr: String): Column =
-      if (ptr == "_id")
-        struct(lit(KindScalar).cast("byte").as("kind"),
-          col("__id_str").as("str"), lit(null).cast(DoubleType).as("num"),
-          lit(null).cast("array<string>").as("keys"), col("__id_str").as("raw"))
-      else col("__ext").getField(s"p${jsonPtrs.indexOf(ptr)}")
-
-    // Filters: stringified value equality; docs whose filter value is
-    // missing, null, an object, or an array are dropped
-    // (query.go:112-128) — their kind yields str NULL here, so `===`
-    // evaluates to null and coalesce makes the row fail the filter.
-    // Filtered docs still materialize their bucket (the reference
-    // buckets on pre-filter DocumentInfos), so we mask aggregation
-    // inputs instead of filtering rows.
-    val passes: Column = q.filters
-      .map { case (p, v) => coalesce(ext(p).getField("str") === lit(v), lit(false)) }
-      .reduceOption(_ && _).getOrElse(lit(true))
-
-    projected = projected
-      // floor-to-chunk in pure long arithmetic (Go truncates toward
-      // zero instead — differs only for pre-1970 timestamps)
-      .withColumn("__bucket", col("ts") - pmod(col("ts"), lit(chunkNs)))
-      .withColumn("__pass", passes)
+    val (projected, ext, seqCol) = prepare(df, q)
 
     // ---- per-reducer masked aggregation expressions -------------------
     val named = q.ptrs.lazyZip(q.reducers).lazyZip(q.outNames).toSeq
@@ -159,17 +112,107 @@ object SeriesEngine {
     // ---- output: bucket-start ms key, reducer columns in query order,
     //      NaN/±Inf → null at the result edge (query.go:200-203) -------
     val outCols = named.map { case (_, red, name) =>
-      val c = col(name)
-      val normalized = red match {
-        case "sum" | "sumsq" | "c" => nanInfToNull(coalesce(c, lit(0.0)))
-        case "max" | "min" | "avg" | "c_min" | "c_avg" | "c_max" => nanInfToNull(c)
-        case _ => c
-      }
-      normalized.as(name)
+      normalizeOut(red, col(name)).as(name)
     }
     result
       .select(graft.functions.ldiv(col("__bucket"), 1000000L).as("bucket_ms") +: outCols: _*)
       .orderBy(col("bucket_ms"))
+  }
+
+  /** NaN/±Inf → null at the result edge; empty sums ⇒ 0.0
+   * (query.go:200-203 and the 0-valued reducer initials). */
+  private def normalizeOut(red: String, c: Column): Column = red match {
+    case "sum" | "sumsq" | "c" => nanInfToNull(coalesce(c, lit(0.0)))
+    case "max" | "min" | "avg" | "c_min" | "c_avg" | "c_max" => nanInfToNull(c)
+    case _ => c
+  }
+
+  /**
+   * Shared front half of the query: range predicate (pushed to the
+   * source by Catalyst), single-parse pointer projection, filter mask,
+   * and epoch-anchored bucket column.
+   *
+   * All pointers a query mentions (aggregation ∪ filter) are resolved
+   * in ONE document parse (the reference dedups the same way,
+   * query.go:93-110); `_id` resolves to the canonical key string.
+   * Filters test stringified-value equality; docs whose filter value
+   * is missing, null, an object, or an array are dropped
+   * (query.go:112-128) — their kind yields str NULL here, so `===`
+   * evaluates to null and coalesce fails the row. Filtered docs still
+   * materialize their bucket (the reference buckets on pre-filter
+   * DocumentInfos), so aggregation inputs are masked instead of rows
+   * filtered.
+   */
+  private def prepare(df: DataFrame, q: SeriesQuery)
+      : (DataFrame, String => Column, Column) = {
+    val chunkNs = q.groupMs * 1000000L
+    val fromNs = q.from.map(s => TimeLib.parseTime(s).getOrElse(
+      throw new IllegalArgumentException(s"bad from timestamp: $s")))
+    val toNs = q.to.map(s => TimeLib.parseTime(s).getOrElse(
+      throw new IllegalArgumentException(s"bad to timestamp: $s")))
+
+    var base = df
+    fromNs.foreach(n => base = base.filter(col("ts") >= lit(n)))
+    toNs.foreach(n => base = base.filter(col("ts") < lit(n)))
+
+    val uniquePtrs = (q.ptrs ++ q.filters.map(_._1)).distinct
+    val jsonPtrs = uniquePtrs.filterNot(_ == "_id")
+    val seqCol = if (df.columns.contains("seq")) col("seq") else lit(0L)
+
+    var projected = base.withColumn("__ext",
+      if (jsonPtrs.nonEmpty) jsonPointers(col("doc"), jsonPtrs) else lit(null))
+    if (uniquePtrs.contains("_id"))
+      projected = projected.withColumn("__id_str", canonicalKeyCol(col("ts")))
+
+    def ext(ptr: String): Column =
+      if (ptr == "_id")
+        struct(lit(KindScalar).cast("byte").as("kind"),
+          col("__id_str").as("str"), lit(null).cast(DoubleType).as("num"),
+          lit(null).cast("array<string>").as("keys"), col("__id_str").as("raw"))
+      else col("__ext").getField(s"p${jsonPtrs.indexOf(ptr)}")
+
+    val passes: Column = q.filters
+      .map { case (p, v) => coalesce(ext(p).getField("str") === lit(v), lit(false)) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+    projected = projected
+      // floor-to-chunk in pure long arithmetic (Go truncates toward
+      // zero instead — differs only for pre-1970 timestamps)
+      .withColumn("__bucket", col("ts") - pmod(col("ts"), lit(chunkNs)))
+      .withColumn("__pass", passes)
+    (projected, ext, seqCol)
+  }
+
+  /**
+   * Streaming flavor of the bucketed aggregation (beyond the
+   * reference, which is query-batch only — SURVEY.md §2.7): the same
+   * projection/filter/reducer semantics over an unbounded `(ts, doc)`
+   * stream, as a watermarked tumbling-window aggregation. Append mode
+   * emits each bucket once its watermark passes — use it with
+   * `writeStream` into any sink. Rate reducers need the total series
+   * order and are not streamable.
+   */
+  def streamingQuery(df: DataFrame, q: SeriesQuery,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(q.reducers.forall(r => !rateReducers.contains(r)),
+      "rate reducers (c*) need total series order; not streamable")
+    require(q.from.isEmpty && q.to.isEmpty,
+      "range bounds are a batch concern; filter the stream instead")
+    val (projected, ext, seqCol) = prepare(df, q)
+    val named = q.ptrs.lazyZip(q.reducers).lazyZip(q.outNames).toSeq
+    val aggs = named.map { case (ptr, red, name) =>
+      reducerAgg(red, ext(ptr), col("__pass"), seqCol).as(name)
+    }
+    val outCols = named.map { case (_, red, name) =>
+      normalizeOut(red, col(name)).as(name)
+    }
+    projected
+      .withColumn("__event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("__event_time", watermark)
+      .groupBy(window(col("__event_time"), s"${q.groupMs} milliseconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(graft.functions.ldiv(unix_micros(col("window.start")), 1000L)
+        .as("bucket_ms") +: outCols: _*)
   }
 
   private def nanInfToNull(c: Column): Column =

@@ -50,4 +50,31 @@ class SeriesStreamSpec extends SparkSpec {
       SeriesQuery(60000, Seq("/v"), Seq("sum"), names = Seq("s"))).collect()
     assert(rows2.head.getDouble(1) == 1150.0)
   }
+
+  test("streaming bucketed aggregation: watermarked windows finalize in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.SeriesEngine
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val b = 1346189040L // divisible by the 10 s bucket
+    val out = SeriesEngine.streamingQuery(mem.toDF().toDF("ts", "doc"),
+      SeriesQuery(10000, Seq("/v", "/v"), Seq("sum", "count"),
+        names = Seq("s", "n")),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sq")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (b * 1000000000L, """{"v": "3"}"""),
+        ((b + 4) * 1000000000L, """{"v": "4"}"""))
+      q.processAllAvailable()
+      // bucket not final until the watermark passes its end
+      assert(spark.table("sq").count() == 0)
+      mem.addData(((b + 60) * 1000000000L, """{"v": "9"}"""))
+      q.processAllAvailable()
+      val rows = spark.table("sq").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+        Seq((b * 1000, 7.0, 2L)))
+    } finally q.stop()
+  }
 }
