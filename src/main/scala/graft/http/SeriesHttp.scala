@@ -1,0 +1,156 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.operators.SeriesEngine.SeriesQuery
+import graft.sources.SeriesStore
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * Thin HTTP façade over [[SeriesStore]] with the reference's route
+ * surface (main.go:80-110, handlers.go) — a seriesly client can point
+ * here and run every request it runs today:
+ *
+ *   GET    /_all_dbs                    list databases
+ *   PUT    /{db}                        create
+ *   DELETE /{db}                        drop
+ *   GET    /{db}                        info
+ *   POST   /{db}[?ts=]                  new document (ts defaults now)
+ *   PUT    /{db}/{key}                  put document at key
+ *   GET    /{db}/{key}                  point get
+ *   GET    /{db}/_all[?from&to&limit]   range scan → one JSON object
+ *   GET    /{db}/_dump[?from&to&limit]  range scan → JSON lines
+ *   DELETE /{db}/_bulk?from&to          bulk range delete
+ *   POST   /{db}/_compact               compaction
+ *   GET    /{db}/_query?group&ptr&reducer[&f&fv&from&to]
+ *                                       bucketed multi-reducer query
+ *
+ * Built on the JDK server: the engine stays dependency-free, and the
+ * façade is deliberately driver-side glue — every response is computed
+ * by the same store/engine code the batch gates verify. `_changes` and
+ * single-doc DELETE return 501 exactly like the reference
+ * (handlers.go:453-461).
+ */
+class SeriesHttp(store: SeriesStore, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/", (ex: HttpExchange) => safely(ex))
+
+  /** Starts the server; returns the bound port. */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def safely(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case e: IllegalArgumentException => send(ex, 400, err(e.getMessage))
+      case e: Exception => send(ex, 500, err(e.getMessage))
+    } finally ex.close()
+
+  private val dbRe = "^/([A-Za-z0-9_-]+)$".r
+  private val dbSubRe = "^/([A-Za-z0-9_-]+)/(.+)$".r
+
+  private def route(ex: HttpExchange): Unit = {
+    val m = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val p = params(ex)
+    (m, path) match {
+      case ("GET", "/_all_dbs") =>
+        send(ex, 200, store.list().map(jstr).mkString("[", ",", "]"))
+      case (_, dbRe(db)) => dbRoute(ex, m, db, p)
+      case (_, dbSubRe(db, sub)) => subRoute(ex, m, db, sub, p)
+      case _ => send(ex, 404, err("no such route"))
+    }
+  }
+
+  private def dbRoute(ex: HttpExchange, m: String, db: String,
+      p: Map[String, Seq[String]]): Unit = m match {
+    case "PUT" =>
+      store.create(db); send(ex, 201, "{\"ok\":true}")
+    case "DELETE" =>
+      if (!store.exists(db)) send(ex, 404, err("no such database"))
+      else { store.drop(db); send(ex, 200, "{\"ok\":true}") }
+    case "GET" | "HEAD" =>
+      if (!store.exists(db)) send(ex, 404, err("no such database"))
+      else {
+        val i = store.info(db)
+        send(ex, 200, s"""{"doc_count":${i.docCount},"space_used":${i.spaceUsed},"last_seq":${i.lastSeq}}""")
+      }
+    case "POST" =>
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val key = store.store(db, p.get("ts").map(_.head), body)
+      send(ex, 201, s"""{"ok":true,"id":${jstr(key)}}""")
+    case _ => send(ex, 405, err("method not allowed"))
+  }
+
+  private def subRoute(ex: HttpExchange, m: String, db: String, sub: String,
+      p: Map[String, Seq[String]]): Unit = (m, sub) match {
+    case ("GET", "_query") => query(ex, db, p)
+    case ("GET", "_all") =>
+      val body = store.all(db, p.get("from").map(_.head), p.get("to").map(_.head),
+          p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue))
+        .select("key", "doc").collect()
+        .map(r => s"${jstr(r.getString(0))}: ${r.getString(1)}")
+        .mkString("{", ",", "}")
+      send(ex, 200, body)
+    case ("GET", "_dump") =>
+      send(ex, 200, store.dump(db, p.get("from").map(_.head),
+        p.get("to").map(_.head),
+        p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue)).mkString("\n"))
+    case ("DELETE", "_bulk") =>
+      val n = store.deleteRange(db, p.get("from").map(_.head), p.get("to").map(_.head))
+      send(ex, 200, s"""{"deleted":$n}""")
+    case ("POST", "_compact") =>
+      store.compact(db); send(ex, 200, "{\"ok\":true}")
+    case (_, "_changes") => send(ex, 501, err("not implemented"))
+    case ("PUT", key) =>
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val k = store.store(db, Some(key), body)
+      send(ex, 201, s"""{"ok":true,"id":${jstr(k)}}""")
+    case ("GET", key) =>
+      store.get(db, key) match {
+        case Some(doc) => send(ex, 200, doc)
+        case None => send(ex, 404, err("not found"))
+      }
+    case ("DELETE", _) => send(ex, 501, err("not implemented"))
+    case _ => send(ex, 405, err("method not allowed"))
+  }
+
+  /** GET /{db}/_query — parameter surface of handlers.go:113-166. */
+  private def query(ex: HttpExchange, db: String,
+      p: Map[String, Seq[String]]): Unit = {
+    val group = p.get("group").map(_.head.toLong).getOrElse(
+      throw new IllegalArgumentException("group is required"))
+    val ptrs = p.getOrElse("ptr", Nil)
+    val reds = p.getOrElse("reducer", Nil)
+    val fs = p.getOrElse("f", Nil)
+    val fvs = p.getOrElse("fv", Nil)
+    require(fs.length == fvs.length, "f and fv counts must match")
+    val q = SeriesQuery(group, ptrs, reds,
+      from = p.get("from").map(_.head), to = p.get("to").map(_.head),
+      filters = fs.zip(fvs))
+    send(ex, 200, store.queryJson(db, q))
+  }
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+        case Array(k) => URLDecoder.decode(k, UTF_8) -> ""
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def err(msg: String): String = s"""{"error":${jstr(Option(msg).getOrElse("internal"))}}"""
+
+  private def send(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.http
+
+import graft.SparkSpec
+import graft.sources.SeriesStore
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** End-to-end HTTP surface test: every route a seriesly client uses,
+ * against the real store + engine (reference: main.go:80-110). */
+class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val store = new SeriesStore(spark,
+    Files.createTempDirectory("graft-http").toString)
+  private lazy val api = new SeriesHttp(store)
+  private lazy val port = api.start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("full HTTP lifecycle: create, ingest, query, scan, delete") {
+    assert(req("PUT", "/db1")._1 == 201)
+    assert(req("GET", "/_all_dbs")._2 == """["db1"]""")
+
+    // three documents at known keys (PUT /{db}/{key})
+    assert(req("PUT", "/db1/2012-08-28T21:24:00Z", """{"v": 10}""")._1 == 201)
+    assert(req("PUT", "/db1/2012-08-28T21:24:20Z",
+      """{"v": 20, "sub": {"x": "a"}}""")._1 == 201)
+    // POST with explicit ts param
+    assert(req("POST", "/db1?ts=2012-08-28T21:24:40Z", """{"v": 25}""")._1 == 201)
+    // invalid JSON rejected
+    assert(req("PUT", "/db1/2012-08-28T21:25:00Z", "not json")._1 == 400)
+
+    val (gc, doc) = req("GET", "/db1/2012-08-28T21:24:20Z")
+    assert(gc == 200 && doc == """{"v": 20, "sub": {"x": "a"}}""")
+    assert(req("GET", "/db1/2000-01-01T00:00:00Z")._1 == 404)
+
+    val (ic, info) = req("GET", "/db1")
+    assert(ic == 200 && info.contains("\"doc_count\":3"))
+
+    // the analytical path (minimum E2E slice, SURVEY §7.2)
+    val (qc, qbody) = req("GET",
+      "/db1/_query?group=60000&ptr=/v&reducer=avg&f=/sub/x&fv=a")
+    assert(qc == 200 && qbody == """{"1346189040000":[20]}""")
+
+    // multi-reducer with _id pointer
+    val (_, q2) = req("GET",
+      "/db1/_query?group=60000&ptr=/v&ptr=_id&reducer=sum&reducer=any")
+    assert(q2 == """{"1346189040000":[55,"2012-08-28T21:24:00Z"]}""")
+
+    val (_, all) = req("GET", "/db1/_all?limit=2")
+    assert(all == """{"2012-08-28T21:24:00Z": {"v": 10},"2012-08-28T21:24:20Z": {"v": 20, "sub": {"x": "a"}}}""")
+    val (_, dump) = req("GET", "/db1/_dump?from=2012-08-28T21:24:30Z")
+    assert(dump == """{"2012-08-28T21:24:40Z": {"v": 25}}""")
+
+    // unimplemented routes mirror the reference's 501
+    assert(req("GET", "/db1/_changes")._1 == 501)
+    assert(req("DELETE", "/db1/2012-08-28T21:24:00Z")._1 == 501)
+
+    val (_, del) = req("DELETE", "/db1/_bulk?from=2012-08-28T21:24:00Z&to=2012-08-28T21:24:30Z")
+    assert(del == """{"deleted":2}""")
+    assert(req("POST", "/db1/_compact")._1 == 200)
+    assert(req("GET", "/db1")._2.contains("\"doc_count\":1"))
+
+    assert(req("DELETE", "/db1")._1 == 200)
+    assert(req("GET", "/_all_dbs")._2 == "[]")
+    assert(req("GET", "/db1")._1 == 404)
+
+    // bad query params → 400 not 500
+    assert(req("GET", "/db1/_query?ptr=/v&reducer=sum")._1 == 400)
+  }
+
+  override def afterAll(): Unit = api.stop()
+}
