@@ -41,8 +41,10 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 64, shingleK: Int = 3): DataFrame = {
-    val ex = spread(df.select(id.as("doc_id"), shingles(text, shingleK).as("ss")))
-      .select(col("doc_id"), explode(col("ss")).as("sh"))
+    // spread the RAW text before shingling: the exchange then moves
+    // ~chars per doc instead of the ~4x-larger shingle arrays
+    val ex = spread(df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), explode(shingles(col("__text"), shingleK)).as("sh"))
       .select(col("doc_id"), pmod(hash60(col("sh")), lit(MinhashP)).as("h"))
     ex.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), n).as("sig"))
@@ -80,7 +82,8 @@ object Dedup {
    * LSH candidate generation). */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3): DataFrame = {
-    val sets = spread(df.select(id.as("doc_id"), shingles(text, shingleK).as("ss")))
+    val sets = spread(df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
@@ -98,7 +101,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
-    val sets = spread(df.select(id.as("doc_id"), shingles(text, shingleK).as("ss")))
+    val sets = spread(df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
     val sigs = minhashSignatures(df, id, text, n, shingleK)
     val cands = lshCandidates(sigs, bands, n)
     cands
@@ -112,21 +116,52 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Direct n-gram (shingle) Jaccard near-dup pairs with lightweight
-   * blocking (equal shingle-count bucket ± handled by LSH variant;
-   * this is the exact quadratic-within-block baseline). */
+  /**
+   * Direct n-gram (shingle) Jaccard near-dup pairs with blocking (the
+   * exact quadratic-within-block baseline; the LSH variant is the
+   * scale path). Two scale measures beyond the naive blocked
+   * self-join:
+   *
+   *  - **Triangle-cell decomposition**: a block key with few distinct
+   *    values (e.g. language) caps join parallelism at the key count
+   *    and concentrates the quadratic work on whole-block tasks. Docs
+   *    are split into `groups` sub-groups by id hash; each unordered
+   *    pair lands in exactly ONE (a ≤ b) cell of the group grid, so
+   *    the join keys on (block, cell) with groups·(groups+1)/2 cells
+   *    per block — parallelism and per-task work are now tunable,
+   *    at the cost of each doc shuffling ~groups times.
+   *  - **Length-ratio prefilter** in the join condition:
+   *    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires the size
+   *    ratio ≥ t — pairs are pruned before any array work. Both
+   *    measures are semantics-preserving.
+   */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      block: Column, threshold: Double, shingleK: Int = 3): DataFrame = {
-    val sets = spread(df.select(id.as("doc_id"), block.as("blk"),
-      shingles(text, shingleK).as("ss")))
-    val l = sets.alias("l")
-    val r = sets.alias("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      block: Column, threshold: Double, shingleK: Int = 3,
+      groups: Int = 8): DataFrame = {
+    val sets = spread(df.select(id.as("doc_id"), block.as("blk"), text.as("__text")))
+      .select(col("doc_id"), col("blk"), shingles(col("__text"), shingleK).as("ss"))
+      .withColumn("sz", size(col("ss")).cast("double"))
+      .withColumn("grp", pmod(hash(col("doc_id")), lit(groups)))
+    // left copy of a doc serves cells (grp, b ≥ grp); right copy
+    // serves cells (a ≤ grp, grp) — pair (x ∈ gx ≤ gy ∋ y) meets in
+    // exactly cell (gx, gy)
+    val lside = sets.withColumn("cb", explode(sequence(col("grp"), lit(groups - 1))))
+      .alias("l")
+    val rside = sets.withColumn("ca", explode(sequence(lit(0), col("grp"))))
+      .alias("r")
+    lside.join(rside,
+        col("l.blk") === col("r.blk") &&
+          col("l.grp") === col("r.ca") && col("l.cb") === col("r.grp") &&
+          // diagonal cells see both orderings; keep one
+          (col("l.grp") =!= col("r.grp") || col("l.doc_id") < col("r.doc_id")) &&
+          least(col("l.sz"), col("r.sz")) >=
+            lit(threshold) * greatest(col("l.sz"), col("r.sz")))
       .withColumn("jaccard",
         size(array_intersect(col("l.ss"), col("r.ss"))).cast("double") /
           size(array_union(col("l.ss"), col("r.ss"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"), col("jaccard"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("id1"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("id2"), col("jaccard"))
   }
 
   // ---------------- SimHash ---------------------------------------------
