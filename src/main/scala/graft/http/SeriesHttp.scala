@@ -147,8 +147,20 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   private def err(msg: String): String = s"""{"error":${jstr(Option(msg).getOrElse("internal"))}}"""
 
+  /** gzip-negotiated response (the reference gzips when the client
+   * accepts it — handlers.go:300-329, handlers_test.go:8-28). */
   private def send(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(UTF_8)
+    val plain = body.getBytes(UTF_8)
+    val accepts = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.contains("gzip"))
+    val bytes =
+      if (accepts && plain.nonEmpty) {
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        bos.toByteArray
+      } else plain
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)

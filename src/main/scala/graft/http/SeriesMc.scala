@@ -1,0 +1,152 @@
+package graft.http
+
+import graft.sources.SeriesStore
+import graft.timelib.TimeLib
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Memcached-binary-protocol ingest (the reference's second wire
+ * protocol, mcserver.go:25-89): `SELECT_BUCKET` picks the database,
+ * `SET`/`SETQ` store a document at key = parsed ts (or now when the
+ * key is empty), the bucket-admin opcodes map to create/drop/list.
+ *
+ * Quiet SETs buffer per connection and land as ONE batched write when
+ * a non-quiet op (SET/NOOP) forces a flush or the connection closes —
+ * the socket-level analog of the reference's write-behind queue
+ * (database.go:175-254): acks never wait on per-doc durability, and
+ * the fast path for bulk loads is a SETQ stream + trailing NOOP.
+ */
+class SeriesMc(store: SeriesStore, port: Int = 0) {
+  import SeriesMc._
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+
+  def start(): Int = {
+    val t = new Thread(() => acceptLoop(), "graft-mc-accept")
+    t.setDaemon(true)
+    t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => handle(s), "graft-mc-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception if !running => () case _: Exception => () }
+    }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    var db: String = ""
+    val pending = ArrayBuffer.empty[(Long, String)]
+
+    def flush(): Unit = if (pending.nonEmpty) {
+      val spark = store.session
+      import spark.implicits._
+      store.storeBatch(db, pending.toSeq.toDF("ts", "doc"))
+      pending.clear()
+    }
+
+    try {
+      while (true) {
+        val magic = in.readUnsignedByte()
+        if (magic != ReqMagic) throw new EOFException("bad magic")
+        val opcode = in.readUnsignedByte()
+        val keyLen = in.readUnsignedShort()
+        val extLen = in.readUnsignedByte()
+        in.readUnsignedByte() // datatype
+        in.readUnsignedShort() // vbucket
+        val bodyLen = in.readInt()
+        val opaque = in.readInt()
+        in.readLong() // cas
+        val body = new Array[Byte](bodyLen)
+        in.readFully(body)
+        val key = new String(body, extLen, keyLen, UTF_8)
+        val value = new String(body, extLen + keyLen, bodyLen - extLen - keyLen, UTF_8)
+
+        opcode match {
+          case SelectBucket =>
+            db = key
+            respond(out, opcode, opaque, Status.OK)
+          case CreateBucket =>
+            store.create(key); respond(out, opcode, opaque, Status.OK)
+          case DeleteBucket =>
+            if (store.exists(key)) { store.drop(key); respond(out, opcode, opaque, Status.OK) }
+            else respond(out, opcode, opaque, Status.KeyNotFound)
+          case ListBuckets =>
+            respond(out, opcode, opaque, Status.OK,
+              store.list().mkString(",").getBytes(UTF_8))
+          case Set | SetQ =>
+            val ns =
+              if (key.isEmpty) Some(System.currentTimeMillis() * 1000000L)
+              else TimeLib.parseTime(key)
+            if (ns.isEmpty)
+              respond(out, opcode, opaque, Status.Einval, "Invalid key".getBytes(UTF_8))
+            else if (!SeriesStore.validJson(value))
+              respond(out, opcode, opaque, Status.NotStored, "invalid JSON".getBytes(UTF_8))
+            else {
+              pending += ((ns.get, value))
+              if (opcode == Set) { flush(); respond(out, opcode, opaque, Status.OK) }
+            }
+          case Noop =>
+            flush(); respond(out, opcode, opaque, Status.OK)
+          case _ =>
+            respond(out, opcode, opaque, Status.UnknownCommand)
+        }
+      }
+    } catch { case _: Exception => () }
+    finally {
+      try flush() catch { case _: Exception => () }
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  private def respond(out: DataOutputStream, opcode: Int, opaque: Int,
+      status: Int, body: Array[Byte] = Array.empty): Unit = {
+    out.writeByte(ResMagic)
+    out.writeByte(opcode)
+    out.writeShort(0) // key length
+    out.writeByte(0) // extras length
+    out.writeByte(0) // datatype
+    out.writeShort(status)
+    out.writeInt(body.length)
+    out.writeInt(opaque)
+    out.writeLong(0L) // cas
+    out.write(body)
+    out.flush()
+  }
+}
+
+object SeriesMc {
+  val ReqMagic = 0x80
+  val ResMagic = 0x81
+
+  // standard opcodes + the reference's bucket-admin extensions
+  // (mcserver.go:15-20)
+  val Set = 0x01
+  val SetQ = 0x11
+  val Noop = 0x0a
+  val CreateBucket = 0x85
+  val DeleteBucket = 0x86
+  val ListBuckets = 0x87
+  val SelectBucket = 0x89
+
+  object Status {
+    val OK = 0x0000
+    val KeyNotFound = 0x0001
+    val Einval = 0x0004
+    val NotStored = 0x0005
+    val UnknownCommand = 0x0081
+  }
+}

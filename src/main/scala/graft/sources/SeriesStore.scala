@@ -29,6 +29,8 @@ import java.util.concurrent.atomic.AtomicLong
 class SeriesStore(spark: SparkSession, root: String) {
   import SeriesStore._
 
+  private[graft] def session: SparkSession = spark
+
   Files.createDirectories(Paths.get(root))
 
   private def dbPath(db: String): Path = {

@@ -80,5 +80,22 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(req("GET", "/db1/_query?ptr=/v&reducer=sum")._1 == 400)
   }
 
+  test("gzip negotiation: Accept-Encoding gzip compresses the response") {
+    req("PUT", "/gz")
+    req("PUT", "/gz/2012-08-28T21:24:00Z", """{"v": 1}""")
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/_all_dbs"))
+        .header("Accept-Encoding", "gzip").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+    val unzipped = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(r.body())).readAllBytes(), "UTF-8")
+    assert(unzipped.contains("\"gz\""))
+    // without the header, plain JSON
+    val plain = req("GET", "/_all_dbs")
+    assert(plain._2.contains("\"gz\""))
+  }
+
   override def afterAll(): Unit = api.stop()
 }
