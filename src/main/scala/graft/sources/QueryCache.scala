@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.operators.SeriesEngine.SeriesQuery
+
+import java.nio.file.{Files, Path}
+import java.util.{Collections, LinkedHashMap, Map => JMap}
+
+/**
+ * Query-result cache (the reference's memcached result cache,
+ * cache.go:54-172, S11): `_query` responses keyed by a 64-bit FNV-1a
+ * hash of the query shape plus a **storage version** of the database.
+ *
+ * The reference keys on the bucket's DocumentInfos, which it has for
+ * free mid-walk; recomputing that here would cost the very scan the
+ * cache avoids. Instead the version hashes the db directory's file
+ * (name, size, mtime) metadata — O(#files) listing, no data read; any
+ * append/delete/compact changes it and naturally invalidates. Entries
+ * are LRU-bounded. Correctness is unaffected by eviction: a miss just
+ * recomputes through the engine.
+ */
+class QueryCache(store: SeriesStore, capacity: Int = 256) {
+
+  private val lru: JMap[Long, String] = Collections.synchronizedMap(
+    new LinkedHashMap[Long, String](capacity, 0.75f, true) {
+      override def removeEldestEntry(e: JMap.Entry[Long, String]): Boolean =
+        size() > capacity
+    })
+
+  @volatile private var hitCount = 0L
+  @volatile private var missCount = 0L
+  def hits: Long = hitCount
+  def misses: Long = missCount
+
+  def queryJson(db: String, q: SeriesQuery): String = {
+    val key = cacheKey(db, q)
+    val cached = lru.get(key)
+    if (cached != null) { hitCount += 1; cached }
+    else {
+      missCount += 1
+      val result = store.queryJson(db, q)
+      lru.put(key, result)
+      result
+    }
+  }
+
+  def invalidateAll(): Unit = lru.clear()
+
+  private def cacheKey(db: String, q: SeriesQuery): Long = {
+    var h = Fnv.offset
+    def mix(s: String): Unit = { h = Fnv.mix(h, s); h = Fnv.mixByte(h, 0) }
+    mix(db)
+    mix(q.groupMs.toString)
+    q.ptrs.foreach(mix); mix("|")
+    q.reducers.foreach(mix); mix("|")
+    q.filters.foreach { case (f, v) => mix(f); mix(v) }
+    mix(q.from.getOrElse("")); mix(q.to.getOrElse(""))
+    h = Fnv.mixLong(h, storageVersion(db))
+    h
+  }
+
+  /** Metadata-only storage version: FNV-1a over sorted
+   * (name, size, mtime) of the db's files. */
+  private[sources] def storageVersion(db: String): Long = {
+    val dir = java.nio.file.Paths.get(store.rootDir, db + SeriesStore.dbExt)
+    if (!Files.isDirectory(dir)) return 0L
+    val files = Files.walk(dir).filter(Files.isRegularFile(_))
+      .sorted(java.util.Comparator.comparing[Path, String](_.toString))
+      .toArray(new Array[Path](_))
+    var h = Fnv.offset
+    files.foreach { p =>
+      h = Fnv.mix(h, p.getFileName.toString)
+      h = Fnv.mixLong(h, Files.size(p))
+      h = Fnv.mixLong(h, Files.getLastModifiedTime(p).toMillis)
+    }
+    h
+  }
+}
+
+/** FNV-1a 64-bit (the reference's cache key hash, cache.go:157-172). */
+private object Fnv {
+  val offset: Long = 0xcbf29ce484222325L
+  val prime: Long = 0x100000001b3L
+  def mixByte(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * prime
+  def mix(h: Long, s: String): Long = {
+    var x = h
+    s.getBytes("UTF-8").foreach(b => x = mixByte(x, b))
+    x
+  }
+  def mixLong(h: Long, v: Long): Long = {
+    var x = h
+    var i = 0
+    while (i < 8) { x = mixByte(x, ((v >>> (i * 8)) & 0xff).toByte); i += 1 }
+    x
+  }
+}

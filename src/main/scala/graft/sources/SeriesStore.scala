@@ -30,6 +30,7 @@ class SeriesStore(spark: SparkSession, root: String) {
   import SeriesStore._
 
   private[graft] def session: SparkSession = spark
+  private[graft] def rootDir: String = root
 
   Files.createDirectories(Paths.get(root))
 

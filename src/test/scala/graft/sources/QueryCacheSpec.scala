@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SeriesEngine.SeriesQuery
+import java.nio.file.Files
+
+class QueryCacheSpec extends SparkSpec {
+
+  test("caches _query responses; any write invalidates via storage version (S11)") {
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qc").toString)
+    store.create("db")
+    store.store("db", Some("2012-08-28T21:24:00Z"), """{"v": 10}""")
+    store.store("db", Some("2012-08-28T21:24:20Z"), """{"v": 30}""")
+    val cache = new QueryCache(store)
+    val q = SeriesQuery(60000, Seq("/v"), Seq("avg"), names = Seq("a"))
+
+    val first = cache.queryJson("db", q)
+    assert(first == """{"1346189040000":[20]}""")
+    assert(cache.queryJson("db", q) == first)
+    assert(cache.hits == 1 && cache.misses == 1)
+
+    // different query shape misses
+    cache.queryJson("db", q.copy(reducers = Seq("sum")))
+    assert(cache.misses == 2)
+
+    // a write changes the storage version: stale entry not served
+    val v0 = cache.storageVersion("db")
+    store.store("db", Some("2012-08-28T21:24:40Z"), """{"v": 50}""")
+    assert(cache.storageVersion("db") != v0)
+    assert(cache.queryJson("db", q) == """{"1346189040000":[30]}""")
+
+    // compaction also rolls the version (files rewritten)
+    val v1 = cache.storageVersion("db")
+    store.compact("db")
+    assert(cache.storageVersion("db") != v1)
+    assert(cache.queryJson("db", q) == """{"1346189040000":[30]}""")
+  }
+}
