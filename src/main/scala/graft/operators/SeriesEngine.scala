@@ -26,11 +26,12 @@ import org.apache.spark.sql.types.DoubleType
  *   groupBy(bucket) agg(N masked exprs) [⟕ rate-pass agg] → sort.
  *
  * Scale notes: the rate reducers (`c*`) need a total order over the
- * series (reference: query.go:358-405 is a sequential fold), which in
- * Spark is a global `Window.orderBy(ts)`. A single seriesly database
- * is one series, so this matches the reference's own sequential
- * bottleneck; multi-series workloads should partition the window by
- * the series key (`SeriesEngine.query(df, q, partitionBy = ...)`).
+ * series (reference: query.go:358-405 is a sequential fold). Rather
+ * than a global `Window.orderBy(ts)` (which moves the series to one
+ * partition), the rate pass windows within coarse time groups and
+ * broadcast-joins a tiny per-group carry frame — see [[ratePass]].
+ * Multi-series workloads additionally partition by the series key
+ * (`SeriesEngine.query(df, q, partitionBy = ...)`).
  */
 object SeriesEngine {
 
@@ -70,7 +71,8 @@ object SeriesEngine {
    * sniffing — a scalar that happens to start with '{' stays a
    * properly quoted string. */
   def query(df: DataFrame, q: SeriesQuery,
-      partitionBy: Seq[String] = Nil, jsonEncoded: Boolean = false): DataFrame = {
+      partitionBy: Seq[String] = Nil, jsonEncoded: Boolean = false,
+      rateGroupBuckets: Int = 64): DataFrame = {
     val (projected, ext, seqCol) = prepare(df, q)
 
     // ---- per-reducer masked aggregation expressions -------------------
@@ -91,7 +93,8 @@ object SeriesEngine {
     val result =
       if (ratePtrs.isEmpty) grouped
       else {
-        val rates = ratePass(projected, ratePtrs, ext, partitionBy)
+        val rates = ratePass(projected, ratePtrs, ext, partitionBy,
+          q.groupMs * 1000000L, rateGroupBuckets)
         val rateAggs = named.collect {
           case (ptr, red, name) if rateReducers.contains(red) =>
             val r = col(s"__rate_${ratePtrs.indexOf(ptr)}")
@@ -303,32 +306,74 @@ object SeriesEngine {
    * reference's lookahead truncation, where bucket k's stream ends at
    * the FIRST document of the next non-empty bucket (query.go:43-44,
    * 177-194,291-296).
+   *
+   * Scale shape: a naive global `Window.orderBy(ts)` moves the whole
+   * series to ONE partition. Instead rows are windowed within coarse
+   * time groups of `rateGroupBuckets` buckets, and the only cross-
+   * group state a row needs — the last parsable value and the last
+   * document bucket anywhere before its group — comes from a per-group
+   * summary frame (#groups rows, windowed globally at negligible cost)
+   * broadcast-joined back. Work parallelizes across groups; results
+   * are identical to the global-window formulation.
    */
   private def ratePass(projected: DataFrame, ratePtrs: Seq[String],
-      ext: String => Column, partitionBy: Seq[String]): DataFrame = {
+      ext: String => Column, partitionBy: Seq[String], chunkNs: Long,
+      rateGroupBuckets: Int): DataFrame = {
     val parts = partitionBy.map(col)
+    val partNames = partitionBy
     val seqC = if (projected.columns.contains("seq")) col("seq") else lit(0L)
-    val wAll = Window.partitionBy(parts: _*).orderBy(col("ts"), seqC)
-    // bucket of the document immediately before this one in the walk
-    var withPrev = projected.withColumn("__prev_doc_bucket", lag(col("__bucket"), 1).over(wAll))
+    val groupWidth =
+      if (chunkNs > Long.MaxValue / rateGroupBuckets) Long.MaxValue
+      else chunkNs * rateGroupBuckets
+    var df = projected.withColumn("__grp",
+      graft.functions.ldiv(col("__bucket"), groupWidth))
     ratePtrs.zipWithIndex.foreach { case (p, i) =>
-      withPrev = withPrev.withColumn(s"__num_$i", when(col("__pass"), ext(p).getField("num")))
+      df = df.withColumn(s"__num_$i", when(col("__pass"), ext(p).getField("num")))
     }
-    // Rows where ANY rate pointer parses participate in that pointer's
-    // pair chain; chains are independent per pointer.
-    val rateCols = ratePtrs.indices.map { i =>
+    val wG = Window.partitionBy(parts :+ col("__grp"): _*).orderBy(col("ts"), seqC)
+    // within-group: bucket of the immediately preceding doc, and (per
+    // pointer) the last preceding parsable value — lag over only-
+    // parsable rows emulated with last_value(ignoreNulls)
+    df = df.withColumn("__prev_doc_bucket_w", lag(col("__bucket"), 1).over(wG))
+    ratePtrs.indices.foreach { i =>
       val n = col(s"__num_$i")
-      val wP = Window.partitionBy(parts: _*).orderBy(col("ts"), seqC)
-      // lag over only-parsable rows for THIS pointer: emulate with
-      // last_value(ignoreNulls) over preceding rows
-      val prevStruct = last(when(n.isNotNull,
-        struct(col("ts").as("ts"), n.as("v"), col("__bucket").as("b"))), ignoreNulls = true)
-        .over(wP.rowsBetween(Window.unboundedPreceding, -1))
-      (n, prevStruct)
+      df = df.withColumn(s"__prev_${i}_w",
+        last(when(n.isNotNull,
+          struct(col("ts").as("ts"), n.as("v"), col("__bucket").as("b"))),
+          ignoreNulls = true)
+          .over(wG.rowsBetween(Window.unboundedPreceding, -1)))
     }
-    var df = withPrev
-    rateCols.zipWithIndex.foreach { case ((n, prevStruct), i) =>
-      df = df.withColumn(s"__prev_$i", when(n.isNotNull, prevStruct))
+    // per-group summaries → carry-in state for each group's first rows
+    val ordStruct = struct(col("ts").as("ts"), seqC.as("seq"))
+    val sumAggs =
+      max_by(col("__bucket"), ordStruct).as("__last_doc_bucket") +:
+        ratePtrs.indices.map { i =>
+          val n = col(s"__num_$i")
+          max_by(when(n.isNotNull,
+            struct(col("ts").as("ts"), n.as("v"), col("__bucket").as("b"))),
+            when(n.isNotNull, ordStruct)).as(s"__last_p_$i")
+        }
+    val sums = df.groupBy(parts :+ col("__grp"): _*)
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val wS = Window.partitionBy(parts: _*).orderBy(col("__grp"))
+    var carries = sums.withColumn("__carry_doc_bucket",
+      lag(col("__last_doc_bucket"), 1).over(wS))
+    ratePtrs.indices.foreach { i =>
+      carries = carries.withColumn(s"__carry_$i",
+        last(col(s"__last_p_$i"), ignoreNulls = true)
+          .over(wS.rowsBetween(Window.unboundedPreceding, -1)))
+    }
+    val carrySel = carries.select(
+      (parts :+ col("__grp") :+ col("__carry_doc_bucket")) ++
+        ratePtrs.indices.map(i => col(s"__carry_$i")): _*)
+    df = df.join(broadcast(carrySel), partNames :+ "__grp", "left")
+    // stitch: within-group state, else the carry from earlier groups
+    df = df.withColumn("__prev_doc_bucket",
+      coalesce(col("__prev_doc_bucket_w"), col("__carry_doc_bucket")))
+    ratePtrs.indices.foreach { i =>
+      df = df.withColumn(s"__prev_$i",
+        when(col(s"__num_$i").isNotNull,
+          coalesce(col(s"__prev_${i}_w"), col(s"__carry_$i"))))
     }
     // rate for pointer i at parsable row j, charged to prev bucket
     val out = ratePtrs.indices.foldLeft(df) { case (d, i) =>

@@ -147,6 +147,30 @@ class SeriesEngineSpec extends SparkSpec {
       Seq((B * 1000, 10.0), ((B + 5) * 1000, 0.0)))
   }
 
+  test("rate pass is group-boundary-invariant (scalable windows)") {
+    // 40 parsable docs at 1 s intervals, 12 s buckets: pair chains and
+    // doc-lag state cross every group boundary when groups are 1
+    // bucket wide; results must equal the wide-group (effectively
+    // global) formulation for every c* reducer
+    val df = (0 until 40).map(i =>
+      ((B + i) * 1000000000L, s"""{"v": "${i * i}"}""")).toDF("ts", "doc")
+    val q = SeriesQuery(12000, Seq("/v", "/v", "/v", "/v"),
+      Seq("c", "c_min", "c_avg", "c_max"),
+      names = Seq("c", "cmin", "cavg", "cmax"))
+    def run(g: Int) = SeriesEngine.query(df, q, rateGroupBuckets = g)
+      .collect().map(_.toSeq).toSeq
+    val wide = run(1000000)
+    assert(run(1) == wide)
+    assert(run(2) == wide)
+    assert(run(3) == wide)
+    // and with an unparsable doc at a group edge breaking a chain
+    val df2 = df.union(Seq(((B + 12) * 1000000000L + 1, """{"v": "x"}"""))
+      .toDF("ts", "doc"))
+    def run2(g: Int) = SeriesEngine.query(df2, q, rateGroupBuckets = g)
+      .collect().map(_.toSeq).toSeq
+    assert(run2(1) == run2(1000000))
+  }
+
   test("filters: equality on stringified values, pre-filter bucketing") {
     // minimum end-to-end slice (SURVEY.md §7.2 / FIXTURES.md §4)
     val df = Seq(
