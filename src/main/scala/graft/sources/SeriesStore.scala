@@ -43,9 +43,11 @@ class SeriesStore(spark: SparkSession, root: String) {
   /** PUT /{db} (handlers.go:36-43). */
   def create(db: String): Unit = {
     val p = dbPath(db)
-    if (!Files.exists(p))
+    if (!Files.exists(p)) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .write.mode(SaveMode.Overwrite).parquet(p.toString)
+      Files.createFile(cleanMarker(db))
+    }
   }
 
   /** DELETE /{db} (handlers.go:282-289). */
@@ -89,6 +91,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     val seq = seqBase(db).getAndIncrement()
     Seq((ns, seq, json)).toDF("ts", "seq", "doc")
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    Files.deleteIfExists(cleanMarker(db))
     TimeLib.formatCanonical(ns)
   }
 
@@ -110,6 +113,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     selected.select(col("ts"),
         (monotonically_increasing_id() + lit(base)).as("seq"), col("doc"))
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    Files.deleteIfExists(cleanMarker(db))
   }
 
   // per-DB next-seq floor, initialized from the persisted max so the
@@ -126,13 +130,24 @@ class SeriesStore(spark: SparkSession, root: String) {
     })
 
   /** The queryable view: latest write per key wins (couchstore Set
-   * overwrite semantics, database.go:293-302). */
+   * overwrite semantics, database.go:293-302).
+   *
+   * Scale note: the last-write-wins dedup is a full shuffle, so it
+   * runs only while the store is possibly-dirty. `compact`/`delete`
+   * rewrite the data duplicate-free and leave a cleanliness marker;
+   * appends remove it. Reads of a compacted store are plain
+   * partition-pruned scans with no exchange — the usual read path for
+   * analytical workloads that compact on a schedule. */
   def frame(db: String): DataFrame = {
     require(exists(db), s"no such database: $db")
-    spark.read.schema(schema).parquet(dbPath(db).toString)
-      .groupBy(col("ts"))
+    val raw = spark.read.schema(schema).parquet(dbPath(db).toString)
+    if (Files.exists(cleanMarker(db))) raw
+    else raw.groupBy(col("ts"))
       .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
   }
+
+  private def cleanMarker(db: String): Path =
+    dbPath(db).resolve("_graft_clean")
 
   /** GET /{db}/{key} point get (handlers.go:422-429). */
   def get(db: String, key: String): Option[String] = {
@@ -191,6 +206,8 @@ class SeriesStore(spark: SparkSession, root: String) {
     Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
     Files.walk(old).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    // the rewrite materialized last-write-wins: reads may skip dedup
+    Files.createFile(cleanMarker(db))
   }
 
   /** GET /{db}/_query — the analytical path (SeriesEngine). */

@@ -100,6 +100,22 @@ class SeriesStoreSpec extends SparkSpec {
     assert(any == """{"1346189040000":["[note"]}""")
   }
 
+  test("compacted stores read without the dedup shuffle; appends re-dirty") {
+    val s = newStore()
+    s.create("db")
+    s.store("db", Some("2012-08-28T21:24:35Z"), """{"v": 1}""")
+    s.store("db", Some("2012-08-28T21:24:35Z"), """{"v": 2}""")
+    def hasAgg = s.frame("db").queryExecution.optimizedPlan.toString
+      .contains("Aggregate")
+    assert(hasAgg) // dirty: last-write-wins dedup present
+    s.compact("db")
+    assert(!hasAgg) // clean: plain scan
+    assert(s.get("db", "2012-08-28T21:24:35Z").contains("""{"v": 2}"""))
+    s.store("db", Some("2012-08-28T21:24:36Z"), """{"v": 3}""")
+    assert(hasAgg) // append re-dirties
+    assert(s.info("db").docCount == 2)
+  }
+
   test("query + JSON emit over the store (minimum E2E slice, SURVEY §7.2)") {
     val s = newStore()
     s.create("db")
