@@ -496,6 +496,14 @@ object Queries {
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    "pipeline_clean" -> Entry(
+      (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8)
+        .orderBy(col("doc_id")),
+      Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
+        jaccardThreshold = 0.8))),
+
     "multimodal_frames" -> Entry(
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents")
@@ -633,6 +641,37 @@ object Queries {
         FROM cand)
       SELECT id1, id2, round(sim, 6) AS sim FROM scored
       WHERE sim >= $threshold ORDER BY 1, 2"""
+
+  /** Corpus-clean decisions in DuckDB, mirroring
+   * [[graft.operators.Pipeline.cleanCorpus]]: exact-dup keeper,
+   * MinHash near-dup drops (reusing the full LSH oracle as a
+   * subquery), language/quality gates, first-reason-wins. */
+  private def pipelineOracle(langs: Seq[String], minQuality: Double,
+      jaccardThreshold: Double): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH fpt AS (
+        SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents),
+      keepfp AS (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY 1),
+      exact_dups AS (SELECT f.doc_id FROM fpt f JOIN keepfp k USING (fp)
+        WHERE f.doc_id <> k.keep_id),
+      near AS (SELECT DISTINCT id2 AS doc_id FROM (${minhashOracle(jaccardThreshold)})),
+      lg AS (SELECT doc_id, lang_pred FROM (${langidOracle})),
+      qu AS (SELECT doc_id, quality FROM (${qualityOracle})),
+      decided AS (SELECT d.doc_id,
+        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+             WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN lg.lang_pred NOT IN ($langList) THEN 'lang'
+             WHEN qu.quality < $minQuality THEN 'quality'
+             ELSE 'keep' END AS reason
+        FROM documents d
+        LEFT JOIN exact_dups e ON d.doc_id = e.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id
+        JOIN lg ON d.doc_id = lg.doc_id
+        JOIN qu ON d.doc_id = qu.doc_id)
+      SELECT doc_id, reason = 'keep' AS keep, reason
+      FROM decided ORDER BY doc_id"""
+  }
 
   private def langidOracle: String = {
     val scores = TextOps.stopwords.map { case (l, words) =>

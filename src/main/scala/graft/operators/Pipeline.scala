@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end corpus cleaning: the composition a training-data run
+ * actually executes, as one DataFrame plan. Every doc gets a
+ * keep/drop decision with the first applicable reason:
+ *
+ *   1. `exact_dup` — another doc with the same content fingerprint
+ *      has a smaller id (greedy min-id keeper);
+ *   2. `near_dup`  — a MinHash+LSH verified pair marks this doc as
+ *      the larger id (greedy, deterministic — no transitive closure);
+ *   3. `lang`      — language ID outside the allowed set;
+ *   4. `quality`   — quality score below the floor;
+ *   5. `keep`.
+ *
+ * Plan shape: the fingerprint group-by, the LSH pipeline, and the
+ * per-doc text scores are independent branches over one corpus scan
+ * family, joined back on doc id; the joins against the (small) drop
+ * lists broadcast. Nothing here is quadratic in the corpus.
+ */
+object Pipeline {
+
+  def cleanCorpus(df: DataFrame, id: Column, text: Column,
+      langs: Seq[String], minQuality: Double,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val fp = df.select(id.as("doc_id"), TextOps.fingerprint(text).as("fp"))
+    val exactDups = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id")).withColumn("__exact", lit(true))
+
+    val nearDups = Dedup.minhashPairs(df, id, text, jaccardThreshold)
+      .select(col("id2").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+
+    val scored = df.select(id.as("doc_id"),
+      TextOps.langId(text).as("__lang"),
+      TextOps.qualityColumns(text).toMap.apply("quality").as("__quality"))
+
+    scored
+      .join(broadcast(exactDups), Seq("doc_id"), "left")
+      .join(broadcast(nearDups), Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("__exact"), "exact_dup")
+          .when(col("__near"), "near_dup")
+          .when(!col("__lang").isInCollection(langs), "lang")
+          .when(col("__quality") < minQuality, "quality")
+          .otherwise("keep"))
+      .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
+  }
+}
