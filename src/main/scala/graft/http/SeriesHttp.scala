@@ -143,8 +143,8 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // full JSON escaping (multi-line exception messages land in err())
+  private def jstr(s: String): String = graft.sources.SeriesStore.jsonQuote(s)
   private def err(msg: String): String = s"""{"error":${jstr(Option(msg).getOrElse("internal"))}}"""
 
   /** gzip-negotiated response (the reference gzips when the client
@@ -162,7 +162,10 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
         bos.toByteArray
       } else plain
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    }
   }
 }

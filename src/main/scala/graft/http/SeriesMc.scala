@@ -77,11 +77,14 @@ class SeriesMc(store: SeriesStore, port: Int = 0) {
 
         opcode match {
           case SelectBucket =>
+            flush() // pending quiet sets belong to the PREVIOUS bucket
             db = key
             respond(out, opcode, opaque, Status.OK)
           case CreateBucket =>
+            flush()
             store.create(key); respond(out, opcode, opaque, Status.OK)
           case DeleteBucket =>
+            flush()
             if (store.exists(key)) { store.drop(key); respond(out, opcode, opaque, Status.OK) }
             else respond(out, opcode, opaque, Status.KeyNotFound)
           case ListBuckets =>

@@ -50,19 +50,26 @@ object Dedup {
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), n).as("sig"))
   }
 
-  /** All ordered pairs (id1 < id2) from a bucket's sorted id list,
-   * generated inside the bucket row — no self-join, no cache: the
-   * quadratic step stays confined to each (band, key) group. */
-  private def bucketPairs(ids: Column): Column =
-    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
-      transform(slice(ids, i + lit(2), size(ids) - i - 1),
-        x => struct(element_at(ids, i + 1).as("id1"), x.as("id2")))))
+  /** All ordered pairs (first < second by the sorted position) from a
+   * bucket's id array, STREAMED via two chained explodes: the outer
+   * explode emits one row per position, the inner one pairs it with
+   * each later element. Memory per generated row is O(bucket), never
+   * the O(bucket²) a single materialized pair array would be — a
+   * mass-duplicate bucket produces many rows, not one giant value.
+   * Input frame: (ids ARRAY) sorted ascending. */
+  private def explodedPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("ids"), posexplode(col("ids")))
+      .toDF("ids", "i", "id1")
+      .select(col("id1"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - 1))
+          .as("id2"))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
    * n/bands rows; docs sharing any band bucket become a candidate
-   * pair. One shuffle groups (band, band-signature) buckets; pairs are
-   * emitted per bucket — the classic shingle→minhash→band→bucket plan,
-   * skew-resistant because bucket sizes stay small. */
+   * pair. One shuffle groups (band, band-signature) buckets; pairs
+   * stream out of each bucket (see [[explodedPairs]]) — the classic
+   * shingle→minhash→band→bucket plan. */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, n: Int = 64): DataFrame = {
     val rows = n / bands
     val banded = sigs.select(col("doc_id"),
@@ -70,11 +77,11 @@ object Dedup {
         b => concat_ws(":", (0 until rows).map(r =>
           element_at(col("sig"), (b * rows) + r + 1)): _*))))
       .toDF("doc_id", "band", "key")
-    banded.groupBy(col("band"), col("key"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+    explodedPairs(banded.groupBy(col("band"), col("key"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1))
+      // duplicate input ids would otherwise self-pair
+      .filter(col("id1") =!= col("id2"))
       .distinct()
   }
 
@@ -183,12 +190,12 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
       .toDF("doc_id", "simhash", "band", "key")
-    banded.groupBy(col("band"), col("key"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(bucketPairs(col("xs"))).as("p"))
-      .select(col("p.id1.doc_id").as("id1"), col("p.id2.doc_id").as("id2"),
-        bit_count(col("p.id1.simhash").bitwiseXOR(col("p.id2.simhash"))).as("hamming"))
+    explodedPairs(banded.groupBy(col("band"), col("key"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+        .filter(size(col("ids")) > 1))
+      .select(col("id1.doc_id").as("id1"), col("id2.doc_id").as("id2"),
+        bit_count(col("id1.simhash").bitwiseXOR(col("id2.simhash"))).as("hamming"))
+      .filter(col("id1") =!= col("id2"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
  *
  * Plan shape: the fingerprint group-by, the LSH pipeline, and the
  * per-doc text scores are independent branches over one corpus scan
- * family, joined back on doc id; the joins against the (small) drop
- * lists broadcast. Nothing here is quadratic in the corpus.
+ * family, joined back on doc id. Nothing here is quadratic in the
+ * corpus, and drop-list join strategies are left to AQE (the lists
+ * can be a large fraction of the corpus).
  */
 object Pipeline {
 
@@ -41,9 +42,11 @@ object Pipeline {
       TextOps.langId(text).as("__lang"),
       TextOps.qualityColumns(text).toMap.apply("quality").as("__quality"))
 
+    // drop lists can be a large fraction of the corpus on real data —
+    // no broadcast hint; AQE broadcasts them when they turn out small
     scored
-      .join(broadcast(exactDups), Seq("doc_id"), "left")
-      .join(broadcast(nearDups), Seq("doc_id"), "left")
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("__exact"), "exact_dup")
           .when(col("__near"), "near_dup")

@@ -68,11 +68,17 @@ object Similarity {
   }
 
   /** Sign-sketch bucket key: `planes` sign bits of dot(v, r_p) per
-   * hash table. Rademacher (±1) hyperplanes, deterministic. */
-  def sketchKey(v: Column, table: Int, planes: Int): Column =
-    concat_ws("", (0 until planes).map { p =>
+   * hash table. Rademacher (±1) hyperplanes, deterministic. Vectors
+   * beyond [[MaxDims]] would silently truncate against the fixed-size
+   * plane literals, so they raise instead. */
+  def sketchKey(v: Column, table: Int, planes: Int): Column = {
+    val guard = when(size(v) > MaxDims,
+      raise_error(concat(lit(s"sketchKey supports at most $MaxDims dims, got "),
+        size(v).cast("string")))).otherwise(lit(""))
+    concat_ws("", guard +: (0 until planes).map { p =>
       when(dot(v, typedLit(planeSigns(table, p))) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+  }
 
   /**
    * Approximate cosine top-k via random-hyperplane LSH: `tables`

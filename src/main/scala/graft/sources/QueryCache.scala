@@ -26,17 +26,17 @@ class QueryCache(store: SeriesStore, capacity: Int = 256) {
         size() > capacity
     })
 
-  @volatile private var hitCount = 0L
-  @volatile private var missCount = 0L
-  def hits: Long = hitCount
-  def misses: Long = missCount
+  private val hitCount = new java.util.concurrent.atomic.LongAdder
+  private val missCount = new java.util.concurrent.atomic.LongAdder
+  def hits: Long = hitCount.sum()
+  def misses: Long = missCount.sum()
 
   def queryJson(db: String, q: SeriesQuery): String = {
     val key = cacheKey(db, q)
     val cached = lru.get(key)
-    if (cached != null) { hitCount += 1; cached }
+    if (cached != null) { hitCount.increment(); cached }
     else {
-      missCount += 1
+      missCount.increment()
       val result = store.queryJson(db, q)
       lru.put(key, result)
       result
@@ -63,16 +63,19 @@ class QueryCache(store: SeriesStore, capacity: Int = 256) {
   private[sources] def storageVersion(db: String): Long = {
     val dir = java.nio.file.Paths.get(store.rootDir, db + SeriesStore.dbExt)
     if (!Files.isDirectory(dir)) return 0L
-    val files = Files.walk(dir).filter(Files.isRegularFile(_))
-      .sorted(java.util.Comparator.comparing[Path, String](_.toString))
-      .toArray(new Array[Path](_))
-    var h = Fnv.offset
-    files.foreach { p =>
-      h = Fnv.mix(h, p.getFileName.toString)
-      h = Fnv.mixLong(h, Files.size(p))
-      h = Fnv.mixLong(h, Files.getLastModifiedTime(p).toMillis)
-    }
-    h
+    val walk = Files.walk(dir)
+    try {
+      val files = walk.filter(Files.isRegularFile(_))
+        .sorted(java.util.Comparator.comparing[Path, String](_.toString))
+        .toArray(new Array[Path](_))
+      var h = Fnv.offset
+      files.foreach { p =>
+        h = Fnv.mix(h, p.getFileName.toString)
+        h = Fnv.mixLong(h, Files.size(p))
+        h = Fnv.mixLong(h, Files.getLastModifiedTime(p).toMillis)
+      }
+      h
+    } finally walk.close()
   }
 }
 

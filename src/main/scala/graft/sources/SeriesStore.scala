@@ -50,12 +50,18 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
   }
 
+  // Files.walk streams hold directory handles until closed
+  private def walked[T](p: Path)(f: java.util.stream.Stream[Path] => T): T = {
+    val s = Files.walk(p)
+    try f(s) finally s.close()
+  }
+
   /** DELETE /{db} (handlers.go:282-289). */
   def drop(db: String): Unit = {
     val p = dbPath(db)
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      walked(p)(_.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f)))
   }
 
   /** GET /_all_dbs (database.go:121-134). */
@@ -70,8 +76,8 @@ class SeriesStore(spark: SparkSession, root: String) {
   def info(db: String): DbInfo = {
     val f = frame(db)
     val r = f.agg(count(lit(1)), coalesce(max(col("seq")), lit(0L))).head()
-    val space = Files.walk(dbPath(db)).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size).sum()
+    val space = walked(dbPath(db))(_.filter(Files.isRegularFile(_))
+      .mapToLong(Files.size).sum())
     DbInfo(r.getLong(0), space, r.getLong(1))
   }
 
@@ -89,9 +95,12 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
     import spark.implicits._
     val seq = seqBase(db).getAndIncrement()
+    // marker removal precedes the append: a crash or concurrent read
+    // between the two must see a (conservatively) dirty store, never a
+    // clean-marked store with an uncompacted overwrite
+    Files.deleteIfExists(cleanMarker(db))
     Seq((ns, seq, json)).toDF("ts", "seq", "doc")
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
-    Files.deleteIfExists(cleanMarker(db))
     TimeLib.formatCanonical(ns)
   }
 
@@ -110,10 +119,10 @@ class SeriesStore(spark: SparkSession, root: String) {
       col("doc").cast(StringType).as("doc"))
     val parts = math.max(1, selected.rdd.getNumPartitions)
     val base = seqBase(db).getAndAdd(parts.toLong << 33)
+    Files.deleteIfExists(cleanMarker(db)) // before the append — see store()
     selected.select(col("ts"),
         (monotonically_increasing_id() + lit(base)).as("seq"), col("doc"))
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
-    Files.deleteIfExists(cleanMarker(db))
   }
 
   // per-DB next-seq floor, initialized from the persisted max so the
@@ -205,7 +214,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     val old = Paths.get(p.toString + ".old")
     Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(old).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    walked(old)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
     // the rewrite materialized last-write-wins: reads may skip dedup
     Files.createFile(cleanMarker(db))
   }
@@ -264,8 +273,20 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
   }
 
+  private def jsonQuote(s: String): String = SeriesStore.jsonQuote(s)
+}
+
+object SeriesStore {
+  val dbExt = ".series"
+  val schema: StructType = StructType(Seq(
+    StructField("ts", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)))
+
+  case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
+
   /** JSON string literal with full escaping (incl. control chars). */
-  private def jsonQuote(s: String): String = {
+  private[graft] def jsonQuote(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -278,16 +299,6 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
     sb.append('"').toString
   }
-}
-
-object SeriesStore {
-  val dbExt = ".series"
-  val schema: StructType = StructType(Seq(
-    StructField("ts", LongType, nullable = false),
-    StructField("seq", LongType, nullable = false),
-    StructField("doc", StringType, nullable = false)))
-
-  case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
 
   def validJson(s: String): Boolean =
     try { JsonPointersExpr.mapper.readTree(s); true }
