@@ -332,6 +332,25 @@ object Queries {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY 1 ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q6 shape: pure filtered aggregation — every predicate
+    // reaches the parquet scan, no shuffle beyond the final combine
+    "q6_filter_agg" -> Entry(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT
+          (sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2)))::DOUBLE AS revenue,
+          count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
     "q_window_topk" -> Entry(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

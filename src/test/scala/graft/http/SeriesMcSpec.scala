@@ -83,5 +83,24 @@ class SeriesMcSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     sock.close()
   }
 
+  test("SELECT_BUCKET flushes pending quiet sets to the PREVIOUS bucket") {
+    val sock = new Socket("127.0.0.1", port)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    request(out, SeriesMc.CreateBucket, "a"); response(in)
+    request(out, SeriesMc.CreateBucket, "b"); response(in)
+    request(out, SeriesMc.SelectBucket, "a"); response(in)
+    request(out, SeriesMc.SetQ, "2012-08-28T21:24:00Z", """{"in": "a"}""")
+    // switching buckets mid-stream must not carry the pending doc over
+    request(out, SeriesMc.SelectBucket, "b"); response(in)
+    request(out, SeriesMc.Set, "2012-08-28T21:25:00Z", """{"in": "b"}""")
+    response(in)
+    sock.close()
+    assert(store.info("a").docCount == 1)
+    assert(store.info("b").docCount == 1)
+    assert(store.get("a", "2012-08-28T21:24:00Z").contains("""{"in": "a"}"""))
+    assert(store.get("b", "2012-08-28T21:25:00Z").contains("""{"in": "b"}"""))
+  }
+
   override def afterAll(): Unit = mc.stop()
 }

@@ -60,5 +60,23 @@ class DedupSpec extends SparkSpec {
       col("blk"), threshold = 0.5).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // triangle-cell decomposition is group-count-invariant
+    Seq(1, 2, 5).foreach { g =>
+      val pg = Dedup.ngramJaccardPairs(blocked, col("doc_id"), col("text"),
+        col("blk"), threshold = 0.5, groups = g).collect()
+      assert(pg.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((0L, 1L), (0L, 2L), (1L, 2L)), s"groups=$g")
+    }
+  }
+
+  test("duplicate input ids never self-pair") {
+    // same doc_id appearing twice (un-deduplicated upstream union)
+    val dup = docs.union(docs.filter(col("doc_id") === 0L))
+    val mh = Dedup.minhashPairs(dup, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.forall(p => p._1 != p._2))
+    val sh = Dedup.simhashPairs(dup, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.forall(p => p._1 != p._2))
   }
 }
