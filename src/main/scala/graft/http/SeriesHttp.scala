@@ -88,16 +88,26 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
       p: Map[String, Seq[String]]): Unit = (m, sub) match {
     case ("GET", "_query") => query(ex, db, p)
     case ("GET", "_all") =>
-      val body = store.all(db, p.get("from").map(_.head), p.get("to").map(_.head),
+      // streamed: rows arrive via toLocalIterator, the response leaves
+      // in chunks — neither the driver nor the server buffers the scan
+      val rows = store.all(db, p.get("from").map(_.head), p.get("to").map(_.head),
           p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue))
-        .select("key", "doc").collect()
-        .map(r => s"${jstr(r.getString(0))}: ${r.getString(1)}")
-        .mkString("{", ",", "}")
-      send(ex, 200, body)
+        .select("key", "doc").toLocalIterator()
+      var first = true
+      sendStream(ex, Iterator.single("{") ++ new Iterator[String] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): String = {
+          val r = rows.next()
+          val sep = if (first) { first = false; "" } else ","
+          s"$sep${jstr(r.getString(0))}: ${r.getString(1)}"
+        }
+      } ++ Iterator.single("}"))
     case ("GET", "_dump") =>
-      send(ex, 200, store.dump(db, p.get("from").map(_.head),
+      val lines = store.dump(db, p.get("from").map(_.head),
         p.get("to").map(_.head),
-        p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue)).mkString("\n"))
+        p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue))
+      sendStream(ex, lines.zipWithIndex.map { case (l, i) =>
+        if (i == 0) l else "\n" + l })
     case ("DELETE", "_bulk") =>
       val n = store.deleteRange(db, p.get("from").map(_.head), p.get("to").map(_.head))
       send(ex, 200, s"""{"deleted":$n}""")
@@ -130,7 +140,7 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
     val q = SeriesQuery(group, ptrs, reds,
       from = p.get("from").map(_.head), to = p.get("to").map(_.head),
       filters = fs.zip(fvs))
-    send(ex, 200, store.queryJson(db, q))
+    sendStream(ex, store.queryJsonChunks(db, q))
   }
 
   private def params(ex: HttpExchange): Map[String, Seq[String]] = {
@@ -146,6 +156,23 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
   // full JSON escaping (multi-line exception messages land in err())
   private def jstr(s: String): String = graft.sources.SeriesStore.jsonQuote(s)
   private def err(msg: String): String = s"""{"error":${jstr(Option(msg).getOrElse("internal"))}}"""
+
+  /** Chunked-transfer streaming response (the reference streams scan
+   * and query results as they materialize — handlers.go:170-227,
+   * 331-420), gzip-wrapped when accepted. Response code is committed
+   * before the first chunk, as in the reference (errors after first
+   * byte truncate the stream). */
+  private def sendStream(ex: HttpExchange, chunks: Iterator[String]): Unit = {
+    val accepts = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.contains("gzip"))
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (accepts) ex.getResponseHeaders.set("Content-Encoding", "gzip")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val raw = ex.getResponseBody
+    val out = if (accepts) new java.util.zip.GZIPOutputStream(raw) else raw
+    try chunks.foreach(c => out.write(c.getBytes(UTF_8)))
+    finally out.close()
+  }
 
   /** gzip-negotiated response (the reference gzips when the client
    * accepts it — handlers.go:300-329, handlers_test.go:8-28). */

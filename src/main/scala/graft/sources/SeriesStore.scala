@@ -231,11 +231,19 @@ class SeriesStore(spark: SparkSession, root: String) {
    * engine already JSON-encoded (a scalar string starting with '{' or
    * '[' stays quoted), key/distinct sets are quoted with full control-
    * char escaping, numerics go through Go's %v surface form. */
-  def queryJson(db: String, q: SeriesQuery): String = {
+  def queryJson(db: String, q: SeriesQuery): String =
+    queryJsonChunks(db, q).mkString
+
+  /** Streaming form of [[queryJson]]: one chunk per bucket as rows
+   * arrive from the cluster, for chunked HTTP emit without buffering
+   * the response (the reference streams buckets the same way,
+   * handlers.go:170-227). */
+  def queryJsonChunks(db: String, q: SeriesQuery): Iterator[String] = {
     val df = SeriesEngine.query(frame(db), q, jsonEncoded = true)
-    val sb = new StringBuilder("{")
+    val rows = df.toLocalIterator().asScala
     var first = true
-    df.toLocalIterator().asScala.foreach { row =>
+    Iterator.single("{") ++ rows.map { row =>
+      val sb = new StringBuilder
       if (!first) sb.append(',')
       first = false
       sb.append('"').append(row.getLong(0)).append("\":[")
@@ -243,9 +251,8 @@ class SeriesStore(spark: SparkSession, root: String) {
         if (i > 0) sb.append(',')
         sb.append(jsonCell(q.reducers(i), row.get(i + 1)))
       }
-      sb.append(']')
-    }
-    sb.append('}').toString
+      sb.append(']').toString
+    } ++ Iterator.single("}")
   }
 
   private implicit class IterAdapter[T](it: java.util.Iterator[T]) {
