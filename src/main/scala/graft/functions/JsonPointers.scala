@@ -44,8 +44,13 @@ case class JsonPointersExpr(doc: Expression, ptrs: Seq[String])
     StructType(ptrs.indices.map(i => StructField(s"p$i", elemType, nullable = true)))
   override def nullable: Boolean = true
 
+  // an invalid pointer (e.g. no leading '/') never matches anything in
+  // the reference (resolveFetch swallows errors, query.go:70-84) — a
+  // null sentinel here resolves to kind=missing instead of throwing
   @transient private lazy val compiled: Array[JsonPointer] =
-    ptrs.map(p => JsonPointer.compile(p)).toArray
+    ptrs.map { p =>
+      try JsonPointer.compile(p) catch { case _: Exception => null }
+    }.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val root: JsonNode =
@@ -78,7 +83,13 @@ object JsonPointersExpr {
   val KindObject: Byte = 3
   val KindArray: Byte = 4
 
+  // BigDecimal floats keep the original magnitude, so overflow and
+  // underflow (which Go's json.Unmarshal REJECTS with ErrRange,
+  // dropping the value — resolveFetch omits the key) stay detectable
+  // after parsing instead of collapsing to Infinity/0.0
   private[graft] val mapper = new ObjectMapper()
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   // Go strconv.ParseFloat surface: decimal floats with optional
   // exponent, and the Inf/NaN spellings Go accepts. (Java's
@@ -88,7 +99,15 @@ object JsonPointersExpr {
   private val infNanRe = "^[+-]?([iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$".r
 
   def goParseFloat(s: String): java.lang.Double = {
-    if (floatRe.matches(s)) java.lang.Double.valueOf(s)
+    if (floatRe.matches(s)) {
+      val d = java.lang.Double.valueOf(s)
+      // Go returns ErrRange on overflow (±Inf) and on underflow to
+      // zero, and convertTofloat64 skips such values (query.go:345).
+      val mantissa = s.takeWhile(c => c != 'e' && c != 'E')
+      if (d.isInfinite) null
+      else if (d.doubleValue() == 0.0 && mantissa.exists(c => c >= '1' && c <= '9')) null
+      else d
+    }
     else if (infNanRe.matches(s)) {
       val l = s.toLowerCase
       if (l.endsWith("nan")) java.lang.Double.valueOf(Double.NaN)
@@ -97,10 +116,20 @@ object JsonPointersExpr {
     } else null
   }
 
+  /** A JSON number literal Go's float64 unmarshal would reject with
+   * ErrRange: overflow to ±Inf, or underflow of a nonzero literal to
+   * zero. The reference omits such values entirely (query.go:76-82). */
+  private def numberOutOfRange(node: JsonNode): Boolean = {
+    val d = node.doubleValue()
+    d.isInfinite || d.isNaN ||
+      (d == 0.0 && node.decimalValue().signum() != 0)
+  }
+
   private[functions] def resolve(root: JsonNode, ptr: JsonPointer): InternalRow = {
-    val node = root.at(ptr)
+    val node = if (ptr == null) com.fasterxml.jackson.databind.node.MissingNode.getInstance
+      else root.at(ptr)
     val out = new Array[Any](5)
-    if (node.isMissingNode) {
+    if (node.isMissingNode || (node.isNumber && numberOutOfRange(node))) {
       out(0) = KindMissing
     } else node.getNodeType match {
       case JsonNodeType.NULL => out(0) = KindNull

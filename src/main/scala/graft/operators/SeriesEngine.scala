@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.DoubleType
  * ties for same-ns rows (the reference's couchstore keys are unique
  * strings, so ties cannot arise there).
  *
+ * Deliberate divergence (SURVEY.md §7.5): ordering/bucketing is
+ * chronological (numeric ns). The reference compares trimmed
+ * RFC3339Nano key STRINGS, where `'.' < 'Z'` puts fractional keys
+ * before their whole-second boundary — a byte-order quirk this
+ * engine does not replicate.
+ *
  * Plan shape (one shuffle for the group-by; Catalyst pushes the ts
  * range to the parquet scan and prunes columns):
  *   scan → range filter → single-parse pointer projection →
@@ -52,6 +58,9 @@ object SeriesEngine {
       "need equal, nonzero numbers of ptr and reducer params")
     require(reducers.forall(allReducers.contains),
       s"unknown reducer among $reducers")
+    require(names.isEmpty || (names.length == ptrs.length &&
+      names.distinct.length == names.length),
+      "names must be absent, or one distinct name per ptr/reducer")
     def outNames: Seq[String] =
       if (names.nonEmpty) names else reducers.indices.map(i => s"r$i")
   }
@@ -174,8 +183,14 @@ object SeriesEngine {
           lit(null).cast("array<string>").as("keys"), col("__id_str").as("raw"))
       else col("__ext").getField(s"p${jsonPtrs.indexOf(ptr)}")
 
+    // `_id` is a ptrs-loop special case ONLY in the reference
+    // (query.go:130-133); as a filter it resolves to nothing and drops
+    // every doc (the filter type-switch default, query.go:112-128)
     val passes: Column = q.filters
-      .map { case (p, v) => coalesce(ext(p).getField("str") === lit(v), lit(false)) }
+      .map { case (p, v) =>
+        if (p == "_id") lit(false)
+        else coalesce(ext(p).getField("str") === lit(v), lit(false))
+      }
       .reduceOption(_ && _).getOrElse(lit(true))
 
     projected = projected
@@ -223,11 +238,22 @@ object SeriesEngine {
       c === lit(Double.NegativeInfinity), lit(null).cast(DoubleType)).otherwise(c)
 
   /** Canonical RFC3339Nano key string from epoch ns (Go trims trailing
-   * fraction zeros; date_format alone cannot, hence the regex). */
+   * fraction zeros). Built from date/second arithmetic only — NOT
+   * date_format on a timestamp, which renders in the session time
+   * zone and would mislabel keys 'Z' on non-UTC sessions. */
   def canonicalKeyCol(ts: Column): Column = {
     val frac = pmod(ts, lit(1000000000L)).cast("long")
     val secs = graft.functions.ldiv(ts - frac, 1000000000L) // floor division
-    val body = date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss")
+    val rem = pmod(secs, lit(86400L))
+    val days = graft.functions.ldiv(secs - rem, 86400L)
+    // DateType formatting carries no time zone
+    val dateStr = date_format(date_add(lit(java.time.LocalDate.EPOCH),
+      days.cast("int")), "yyyy-MM-dd")
+    val body = concat(dateStr, lit("T"),
+      format_string("%02d:%02d:%02d",
+        graft.functions.ldiv(rem, 3600L),
+        graft.functions.ldiv(pmod(rem, lit(3600L)), 60L),
+        pmod(rem, lit(60L))))
     val fracStr = regexp_replace(format_string("%09d", frac), "0+$", "")
     when(frac === 0, concat(body, lit("Z")))
       .otherwise(concat(body, lit("."), fracStr, lit("Z")))
@@ -267,8 +293,14 @@ object SeriesEngine {
       case "distinct" =>
         // set of included scalars; objects/arrays skipped as unhashable
         // (query.go:426-447); emitted sorted for determinism (the
-        // reference's order is map-iteration random)
-        array_sort(collect_set(when(pass && kind === lit(KindScalar), str)))
+        // reference's order is map-iteration random). A missing/null
+        // value lands in the reference's set as nil (the type-switch
+        // default hashes it), so any such doc appends one null.
+        val set = array_sort(collect_set(when(pass && kind === lit(KindScalar), str)))
+        val sawNil = max(when(pass &&
+          (kind === lit(KindMissing) || kind === lit(KindNull)), 1))
+        when(sawNil === 1, concat(set, array(lit(null).cast("string"))))
+          .otherwise(set)
       case "count" => // included non-null values, no float parse
         count(when(present, lit(1)))
       case "sum" => sum(when(pass, num))

@@ -83,17 +83,30 @@ object TimeLib {
     new DateTimeFormatterBuilder().parseCaseSensitive()
       .appendPattern(pattern).toFormatter(Locale.US)
 
-  private val zonedFormats: Seq[DateTimeFormatter] = Seq(
-    DateTimeFormatter.ISO_OFFSET_DATE_TIME, // RFC3339 / RFC3339Nano
-    fmt("EEE, dd MMM yyyy HH:mm:ss Z"),     // RFC1123Z
-    fmt("EEE, dd MMM yyyy HH:mm:ss zzz"),   // RFC1123
-    fmt("EEE MMM ppd HH:mm:ss zzz yyyy"),   // Unix date (space-padded day)
-    fmt("EEE MMM ppd HH:mm:ss Z yyyy"),     // Ruby date
+  // Weekday handling: Go's time.Parse requires a valid weekday NAME in
+  // the EEE slot but explicitly ignores its VALUE (no cross-check
+  // against the date), while java.time's resolver rejects mismatches —
+  // so the weekday token is stripped before parsing and the layouts
+  // below carry no EEE.
+  // Zone-abbreviation handling: Go on a UTC host maps EVERY
+  // abbreviation (EST, GMT, …) to a fabricated zero-offset zone; the
+  // abbreviation token is therefore stripped and the remainder parsed
+  // as UTC wall time. Numeric offsets (Z layouts) apply normally.
+  private val weekdayRe = "^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)(,)? ".r
+  private val rfc1123AbbrevRe = " ([A-Za-z]{2,5})$".r
+  private val unixAbbrevRe = " ([A-Za-z]{2,5}) (\\d{4})$".r
+
+  private val zonedNoDow: Seq[DateTimeFormatter] = Seq(
+    fmt("dd MMM yyyy HH:mm:ss Z"),  // RFC1123Z
+    fmt("MMM ppd HH:mm:ss Z yyyy"), // Ruby date
   )
-  private val localFormats: Seq[(DateTimeFormatter, Boolean)] = Seq(
-    (fmt("EEE MMM ppd HH:mm:ss yyyy"), true), // ANSI C
-    (fmt("yyyy-MM-dd'T'HH:mm"), true),
-    (fmt("yyyy-MM-dd'T'HH"), true),
+  private val localNoDow: Seq[DateTimeFormatter] = Seq(
+    fmt("dd MMM yyyy HH:mm:ss"),  // RFC1123 with abbrev stripped
+    fmt("MMM ppd HH:mm:ss yyyy"), // ANSI C; Unix date with abbrev stripped
+  )
+  private val localFormats: Seq[DateTimeFormatter] = Seq(
+    fmt("yyyy-MM-dd'T'HH:mm"),
+    fmt("yyyy-MM-dd'T'HH"),
   )
 
   private val intRe = "^-?[0-9]+$".r
@@ -121,19 +134,36 @@ object TimeLib {
   }
 
   private def parseFormats(in: String): Option[Long] = {
-    zonedFormats.foreach { f =>
+    def zoned(s: String, f: DateTimeFormatter): Option[Long] =
       try {
-        val zdt = ZonedDateTime.parse(in, f)
-        return Some(Math.addExact(
+        val zdt = ZonedDateTime.parse(s, f)
+        Some(Math.addExact(
           Math.multiplyExact(zdt.toEpochSecond, 1000000000L), zdt.getNano.toLong))
-      } catch { case _: Exception => () }
-    }
-    localFormats.foreach { case (f, _) =>
+      } catch { case _: Exception => None }
+    def local(s: String, f: DateTimeFormatter): Option[Long] =
       try {
-        val ldt = LocalDateTime.parse(in, f)
-        return Some(Math.multiplyExact(ldt.toEpochSecond(ZoneOffset.UTC), 1000000000L))
-      } catch { case _: Exception => () }
-    }
+        val ldt = LocalDateTime.parse(s, f)
+        Some(Math.multiplyExact(ldt.toEpochSecond(ZoneOffset.UTC), 1000000000L))
+      } catch { case _: Exception => None }
+
+    zoned(in, DateTimeFormatter.ISO_OFFSET_DATE_TIME) // RFC3339(Nano)
+      .orElse {
+        weekdayRe.findPrefixMatchOf(in).flatMap { m =>
+          val body = in.substring(m.end)
+          val deAbbrev1123 = rfc1123AbbrevRe.replaceAllIn(body, "")
+          val deAbbrevUnix = unixAbbrevRe.replaceAllIn(body, " $2")
+          zonedNoDow.view.flatMap(zoned(body, _)).headOption
+            .orElse(localNoDow.view.flatMap { f =>
+              local(body, f).orElse(local(deAbbrev1123, f))
+                .orElse(local(deAbbrevUnix, f))
+            }.headOption)
+        }
+      }
+      .orElse(localFormats.view.flatMap(local(in, _)).headOption)
+      .orElse(datePrefix(in))
+  }
+
+  private def datePrefix(in: String): Option[Long] = {
     // date-prefix forms, zero-filled (timelib/time.go:21-24)
     try {
       val ld = in.length match {

@@ -90,6 +90,62 @@ class SeriesEngineSpec extends SparkSpec {
     assert(q("any").isNullAt(1))
     assert(q("obj_keys").getSeq[String](1) == Seq())
     assert(q("obj_distinct_keys").getSeq[String](1) == Seq())
+    // the reference's distinct hashes nil like any value: one null
+    assert(q("distinct").getSeq[String](1) == Seq(null))
+  }
+
+  test("distinct includes a null for missing-pointer docs alongside scalars") {
+    val df = Seq(
+      (B * 1000000000L + 1000000000L, """{"v": "a"}"""),
+      (B * 1000000000L + 2000000000L, """{"other": 1}"""),
+      (B * 1000000000L + 3000000000L, """{"v": "a"}""")
+    ).toDF("ts", "doc")
+    val row = SeriesEngine.query(df,
+      SeriesQuery(12000, Seq("/v"), Seq("distinct"), names = Seq("r"))).head()
+    assert(row.getSeq[String](1) == Seq("a", null))
+  }
+
+  test("out-of-range JSON numbers are dropped like the reference's ErrRange") {
+    val df = Seq(
+      (B * 1000000000L + 1000000000L, """{"v": 1}"""),
+      (B * 1000000000L + 2000000000L, """{"v": 1e999}"""),     // literal overflow
+      (B * 1000000000L + 3000000000L, """{"v": "1e999"}"""),   // string overflow
+      (B * 1000000000L + 4000000000L, """{"v": "1e-999"}""")   // string underflow
+    ).toDF("ts", "doc")
+    def q(r: String) = SeriesEngine.query(df,
+      SeriesQuery(12000, Seq("/v"), Seq(r), names = Seq("r"))).head()
+    // literal 1e999: json.Unmarshal errors -> value missing entirely
+    assert(q("count").getLong(1) == 3L) // 1, "1e999", "1e-999" are non-nil
+    // strings parse-fail in the float funnel -> only 1 contributes
+    assert(q("sum").getDouble(1) == 1.0)
+    assert(q("max").getDouble(1) == 1.0)
+    assert(q("identity").getSeq[String](1) == Seq("1", null, "1e999", "1e-999"))
+  }
+
+  test("_id as a FILTER drops every doc (reference ptrs-loop-only special case)") {
+    val df = Seq((B * 1000000000L, """{"v": 1}""")).toDF("ts", "doc")
+    val rows = SeriesEngine.query(df, SeriesQuery(60000,
+      Seq("/v"), Seq("count"),
+      filters = Seq("_id" -> "2012-08-28T21:24:00Z"), names = Seq("n"))).collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 0L)
+  }
+
+  test("invalid pointers (no leading slash) resolve to missing, not errors") {
+    val df = Seq((B * 1000000000L, """{"v": 1}""")).toDF("ts", "doc")
+    val rows = SeriesEngine.query(df, SeriesQuery(60000,
+      Seq("v"), Seq("count"), names = Seq("n"))).collect()
+    assert(rows.head.getLong(1) == 0L)
+  }
+
+  test("canonical keys are session-time-zone independent") {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq((1346189075374651880L, """{"v": 1}""")).toDF("ts", "doc")
+      val rows = SeriesEngine.query(df, SeriesQuery(60000,
+        Seq("_id"), Seq("any"), names = Seq("k"))).collect()
+      assert(rows.head.getString(1) == "2012-08-28T21:24:35.37465188Z")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
   }
 
   test("non-finite inputs: Inf extreme nulls the result, NaN is ignored") {

@@ -72,6 +72,19 @@ class TimeLibSpec extends AnyFunSuite {
     assert(TimeLib.parseTime("an hour ago").isEmpty)
   }
 
+  test("weekday value is ignored like Go time.Parse (28 Aug 2012 was a Tuesday)") {
+    assert(canon("Mon, 28 Aug 2012 21:24:35 +0000") == second)
+    assert(canon("Fri Aug 28 21:24:35 UTC 2012") == second)
+  }
+
+  test("zone abbreviations resolve to zero offset (Go on a UTC host)") {
+    assert(canon("Tue, 28 Aug 2012 21:24:35 EST") == second)
+    assert(canon("Tue, 28 Aug 2012 21:24:35 GMT") == second)
+    assert(canon("Tue Aug 28 21:24:35 EST 2012") == second)
+    // numeric offsets still apply
+    assert(canon("Tue, 28 Aug 2012 21:24:35 -0500") == "2012-08-29T02:24:35Z")
+  }
+
   test("parseKey (database_test.go:7-19)") {
     assert(TimeLib.parseKey(example) == 1346189075374651880L)
     assert(TimeLib.parseKey("garbage") == -1L)
