@@ -160,6 +160,41 @@ object Queries {
         FROM events WHERE epoch_us(ts) < 1704672000000000
         GROUP BY 1 ORDER BY 1""")),
 
+    // multi-series flavor: one keyed table = many seriesly databases;
+    // grouping, rate chains, and ordering scope per series key
+    "q_series_per_type_day" -> Entry(
+      (s, dir) => {
+        val raw = t(s, dir, "events")
+        val df = raw.select(
+          (expr("ts div 1000") * 1000).as("ts"), col("event_id").as("seq"),
+          concat(lit("{\"v\":"), col("value").cast("string"), lit("}")).as("doc"),
+          col("event_type").as("series"))
+        SeriesEngine.query(df,
+            SeriesQuery(DayMs, Seq("/v", "/v"), Seq("sum", "c"),
+              names = Seq("sum_v", "c_v")),
+            partitionBy = Seq("series"))
+          .withColumn("sum_v", round(col("sum_v"), 6))
+          .withColumn("c_v", round(col("c_v"), 6))
+      },
+      Some(s"""WITH s AS (
+          SELECT event_type AS series, epoch_us(ts) * 1000 AS tns, value AS v,
+                 event_id, (epoch_us(ts) // ${DayMs * 1000}) * ${DayMs * 1000 * 1000} AS bucket
+          FROM events),
+        o AS (SELECT series, bucket, tns, v,
+                lag(tns) OVER w AS pts, lag(v) OVER w AS pv,
+                lag(bucket) OVER w AS pbucket
+              FROM s WINDOW w AS (PARTITION BY series ORDER BY tns, event_id)),
+        r AS (SELECT series, pbucket AS bucket,
+                (v - pv) / ((tns - pts)::DOUBLE / 1e9) AS rate
+              FROM o WHERE pts IS NOT NULL
+                AND isfinite((v - pv) / ((tns - pts)::DOUBLE / 1e9))),
+        agg AS (SELECT series, bucket, sum(rate) AS c FROM r GROUP BY 1, 2),
+        sums AS (SELECT series, bucket, sum(v) AS sv FROM s GROUP BY 1, 2)
+        SELECT sums.series, sums.bucket // 1000000 AS bucket_ms,
+          round(sums.sv, 6) AS sum_v, round(coalesce(agg.c, 0), 6) AS c_v
+        FROM sums LEFT JOIN agg USING (series, bucket)
+        ORDER BY 1, 2""")),
+
     // ================= scan / point / delete parity ====================
 
     "q_all_range_limit" -> Entry(

@@ -74,6 +74,11 @@ object SeriesEngine {
    * in-range document (pre-filter, as in the reference — query.go:264-289):
    * `bucket_ms` LONG plus one column per reducer, ordered by bucket.
    *
+   * `partitionBy` runs the query independently per series key (one
+   * seriesly database = one series; a keyed table holds many): the
+   * key columns prefix the output, and grouping, rate chains, and
+   * ordering are all scoped per key.
+   *
    * With `jsonEncoded`, the identity/any reducers emit values already
    * JSON-encoded (scalars as escaped JSON strings, objects/arrays as
    * their raw JSON text) so a response writer needs no value-kind
@@ -91,8 +96,9 @@ object SeriesEngine {
         reducerAgg(red, ext(ptr), col("__pass"), seqCol, jsonEncoded).as(name)
     }
 
+    val parts = partitionBy.map(col)
     val grouped = projected
-      .groupBy(col("__bucket"))
+      .groupBy(parts :+ col("__bucket"): _*)
       .agg(count(lit(1)).as("__ndocs"), mainAggs: _*)
 
     // ---- rate pre-pass (c family) -------------------------------------
@@ -116,9 +122,11 @@ object SeriesEngine {
               case "c_max" => max(r)
             }).as(name)
         }
-        val rateGrouped = rates.groupBy(col("__rbucket")).agg(rateAggs.head, rateAggs.tail: _*)
-        grouped.join(rateGrouped, col("__bucket") === col("__rbucket"), "left")
-          .drop("__rbucket")
+        val rateGrouped = rates
+          .groupBy(parts :+ col("__rbucket"): _*)
+          .agg(rateAggs.head, rateAggs.tail: _*)
+          .withColumnRenamed("__rbucket", "__bucket")
+        grouped.join(rateGrouped, partitionBy :+ "__bucket", "left")
       }
 
     // ---- output: bucket-start ms key, reducer columns in query order,
@@ -127,8 +135,9 @@ object SeriesEngine {
       normalizeOut(red, col(name)).as(name)
     }
     result
-      .select(graft.functions.ldiv(col("__bucket"), 1000000L).as("bucket_ms") +: outCols: _*)
-      .orderBy(col("bucket_ms"))
+      .select(parts ++
+        (graft.functions.ldiv(col("__bucket"), 1000000L).as("bucket_ms") +: outCols): _*)
+      .orderBy(parts :+ col("bucket_ms"): _*)
   }
 
   /** NaN/±Inf → null at the result edge; empty sums ⇒ 0.0
@@ -426,10 +435,10 @@ object SeriesEngine {
     // per pointer and let the group-by recombine.
     val pieces = ratePtrs.indices.map { i =>
       val sel = out.filter(col(s"__rate_$i").isNotNull)
-        .select(col(s"__rbucket_$i").as("__rbucket") +:
+        .select(parts ++ (col(s"__rbucket_$i").as("__rbucket") +:
           ratePtrs.indices.map { k =>
             (if (k == i) col(s"__rate_$i") else lit(null).cast(DoubleType)).as(s"__rate_$k")
-          }: _*)
+          }): _*)
       sel
     }
     pieces.reduce(_ unionByName _)

@@ -227,6 +227,23 @@ class SeriesEngineSpec extends SparkSpec {
     assert(run2(1) == run2(1000000))
   }
 
+  test("partitionBy scopes buckets, rate chains, and ordering per series") {
+    val df = Seq(
+      ("a", (B + 1) * 1000000000L, """{"v": "10"}"""),
+      ("b", (B + 2) * 1000000000L, """{"v": "100"}"""),
+      ("a", (B + 6) * 1000000000L, """{"v": "20"}"""),
+      ("b", (B + 7) * 1000000000L, """{"v": "600"}""")
+    ).toDF("series", "ts", "doc")
+    val rows = SeriesEngine.query(df, SeriesQuery(12000,
+      Seq("/v", "/v"), Seq("sum", "c"), names = Seq("s", "c")),
+      partitionBy = Seq("series")).collect()
+    // rate chains must NOT cross series: a = (20-10)/5 = 2, b = (600-100)/5 = 100
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq == Seq(
+        ("a", B * 1000, 30.0, 2.0),
+        ("b", B * 1000, 700.0, 100.0)))
+  }
+
   test("filters: equality on stringified values, pre-filter bucketing") {
     // minimum end-to-end slice (SURVEY.md §7.2 / FIXTURES.md §4)
     val df = Seq(
