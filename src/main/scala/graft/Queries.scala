@@ -419,8 +419,9 @@ object Queries {
       (s, dir) => t(s, dir, "documents")
         .groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
-        .orderBy(col("fp")),
-      Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        // DuckDB sorts ASC NULLS LAST; Spark's default is NULLS FIRST
+        .orderBy(col("fp").asc_nulls_last),
+      Some("""SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp,
           min(doc_id) AS keep_id, count(*) AS n
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
@@ -547,7 +548,7 @@ object Queries {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
           len(string_split(text, ' '))::BIGINT AS ws_tokens,
-          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS bpe_tokens
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]'))::BIGINT AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
     "pipeline_clean" -> Entry(
@@ -587,22 +588,28 @@ object Queries {
 
   // ---- generated oracle SQL ---------------------------------------------
 
-  /** Full MinHash+LSH pipeline in DuckDB SQL: md5-based shingle hashes,
-   * 64 universal-hash minima, 16 bands of 4, bucket self-join, exact
-   * Jaccard verify — mirrors Dedup.minhashPairs term for term. */
-  private def minhashOracle(threshold: Double): String = {
+  /** Full MinHash+LSH pipeline in DuckDB SQL: md5-based shingle
+   * hashes, n universal-hash minima, `bands` bands of n/bands rows,
+   * bucket join, exact Jaccard verify — mirrors Dedup.minhashPairs
+   * term for term. Loop bounds derive from the SAME parameters the
+   * Spark call sites pass, so the two sides cannot silently drift. */
+  private def minhashOracle(threshold: Double, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): String = {
+    require(n % bands == 0)
     val p = Dedup.MinhashP
-    val sigExprs = (0 until 64).map { i =>
+    val rows = n / bands
+    val sigExprs = (0 until n).map { i =>
       s"min((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS s$i"
     }.mkString(", ")
-    val bandSelects = (0 until 16).map { b =>
-      val key = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR").mkString(" || ':' || ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"s${b * rows + r}::VARCHAR").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
+    val shingle = (0 until shingleK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sets AS (SELECT doc_id, list_distinct(list_transform(
-          range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
-        FROM w WHERE len(w) >= 3),
+          range(1, len(w) - ${shingleK - 2}), i -> $shingle)) AS ss
+        FROM w WHERE len(w) >= $shingleK),
       sh AS (SELECT doc_id, unnest(ss) AS sh FROM sets),
       hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $p AS h FROM sh),
       sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
@@ -704,7 +711,7 @@ object Queries {
       jaccardThreshold: Double): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     s"""WITH fpt AS (
-        SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fp
         FROM documents),
       keepfp AS (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY 1),
       exact_dups AS (SELECT f.doc_id FROM fpt f JOIN keepfp k USING (fp)

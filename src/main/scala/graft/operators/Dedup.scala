@@ -71,6 +71,9 @@ object Dedup {
    * stream out of each bucket (see [[explodedPairs]]) — the classic
    * shingle→minhash→band→bucket plan. */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, n: Int = 64): DataFrame = {
+    require(n % bands == 0,
+      s"bands ($bands) must divide the signature width ($n); a remainder " +
+        "would silently drop trailing minima from candidate generation")
     val rows = n / bands
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -173,9 +176,10 @@ object Dedup {
 
   // ---------------- SimHash ---------------------------------------------
 
-  /** 60-bit SimHash fingerprints (see graft.functions.SimHash60). */
+  /** 60-bit SimHash fingerprints (see graft.functions.SimHash60).
+   * Null texts have no fingerprint and are dropped. */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
-    spread(df.select(id.as("doc_id"), tokens(text).as("w")))
+    spread(df.filter(text.isNotNull).select(id.as("doc_id"), tokens(text).as("w")))
       .select(col("doc_id"), simhash60(col("w")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, using

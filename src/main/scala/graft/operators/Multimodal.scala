@@ -28,7 +28,7 @@ object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
     StructField("header_hex", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -69,9 +69,9 @@ object Multimodal {
     val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
       // per-batch setup would open the codec/model exactly here
       it.map { r =>
-        val bytes = if (r.isNullAt(1)) Array.empty[Byte]
-          else r.getAs[Array[Byte]](1)
-        stubDecode(r.getLong(0), bytes)
+        // null payload → null features (a decoder has nothing to say)
+        if (r.isNullAt(1)) Row(r.getLong(0), null, null, null, null, null)
+        else stubDecode(r.getLong(0), r.getAs[Array[Byte]](1))
       }
     }
     spark.createDataFrame(rdd, featureSchema)

@@ -27,10 +27,13 @@ object Pipeline {
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double = 0.8): DataFrame = {
+    // bounded per-group state: only min(doc_id) aggregates; the dup
+    // ids come from joining the fingerprint frame back (a 10^8-times-
+    // duplicated boilerplate doc must not build a 10^8-element array
+    // in one aggregation buffer)
     val fp = df.select(id.as("doc_id"), TextOps.fingerprint(text).as("fp"))
-    val exactDups = fp.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+    val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val exactDups = fp.join(keepers, "fp")
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id")).withColumn("__exact", lit(true))
 

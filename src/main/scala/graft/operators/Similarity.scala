@@ -76,7 +76,10 @@ object Similarity {
       raise_error(concat(lit(s"sketchKey supports at most $MaxDims dims, got "),
         size(v).cast("string")))).otherwise(lit(""))
     concat_ws("", guard +: (0 until planes).map { p =>
-      when(dot(v, typedLit(planeSigns(table, p))) >= 0, lit("1")).otherwise(lit("0"))
+      // size guard keeps the empty-vector bit '0' on both engines
+      // (SQL's list_sum over an empty list is NULL, not 0.0)
+      when(size(v) > 0 && dot(v, typedLit(planeSigns(table, p))) >= 0,
+        lit("1")).otherwise(lit("0"))
     }: _*)
   }
 

@@ -77,17 +77,26 @@ object TextOps {
       "punct_ratio" -> punct, "stopword_ratio" -> stop, "quality" -> score)
   }
 
+  // Whitespace as an EXPLICIT class: Java's \s includes vertical tab
+  // (\x0B) while RE2 (DuckDB) excludes it — spelled out, both engines
+  // agree byte for byte.
+  private val WsClass = " \\t\\n\\x0B\\f\\r"
+
   /** Token counting: whitespace tokens and a BPE-ish regex token count
    * (letter runs, digit runs, and single other non-space chars). */
   def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
     "ws_tokens" -> size(tokens(text)).cast("long"),
-    "bpe_tokens" -> regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long"),
+    "bpe_tokens" -> regexp_count(text,
+      lit(s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$WsClass]")).cast("long"),
   )
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased
-   * text — the portable exact-dedup key. */
+   * text — the portable exact-dedup key. Caveat: lowercasing of
+   * non-ASCII depends on the engine's unicode tables (JVM full case
+   * mapping vs utf8proc simple mapping — e.g. 'İ'), so cross-engine
+   * fingerprints are guaranteed only for ASCII text. */
   def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+    md5(lower(trim(regexp_replace(text, s"[$WsClass]+", " "))))
 
   /** Single-evaluation let-binding: evaluates `c` once and passes the
    * result to `f` via a one-element array + lambda, so expressions
