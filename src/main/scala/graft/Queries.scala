@@ -720,7 +720,8 @@ object Queries {
       lg AS (SELECT doc_id, lang_pred FROM (${langidOracle})),
       qu AS (SELECT doc_id, quality FROM (${qualityOracle})),
       decided AS (SELECT d.doc_id,
-        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 'empty'
+             WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
              WHEN lg.lang_pred NOT IN ($langList) THEN 'lang'
              WHEN qu.quality < $minQuality THEN 'quality'

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
  *   4. `quality`   — quality score below the floor;
  *   5. `keep`.
  *
+ * An `empty` gate precedes everything: null/empty text has no
+ * fingerprint, no shingles, and no scores, so it is dropped outright
+ * rather than flowing through the dedup branches.
+ *
  * Plan shape: the fingerprint group-by, the LSH pipeline, and the
  * per-doc text scores are independent branches over one corpus scan
  * family, joined back on doc id. Nothing here is quadratic in the
@@ -31,17 +35,19 @@ object Pipeline {
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
     // in one aggregation buffer)
-    val fp = df.select(id.as("doc_id"), TextOps.fingerprint(text).as("fp"))
+    val nonEmpty = df.filter(text.isNotNull && length(text) > 0)
+    val fp = nonEmpty.select(id.as("doc_id"), TextOps.fingerprint(text).as("fp"))
     val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     val exactDups = fp.join(keepers, "fp")
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id")).withColumn("__exact", lit(true))
 
-    val nearDups = Dedup.minhashPairs(df, id, text, jaccardThreshold)
+    val nearDups = Dedup.minhashPairs(nonEmpty, id, text, jaccardThreshold)
       .select(col("id2").as("doc_id")).distinct()
       .withColumn("__near", lit(true))
 
     val scored = df.select(id.as("doc_id"),
+      (text.isNull || length(text) === 0).as("__empty"),
       TextOps.langId(text).as("__lang"),
       TextOps.qualityColumns(text).toMap.apply("quality").as("__quality"))
 
@@ -51,7 +57,8 @@ object Pipeline {
       .join(exactDups, Seq("doc_id"), "left")
       .join(nearDups, Seq("doc_id"), "left")
       .withColumn("reason",
-        when(col("__exact"), "exact_dup")
+        when(col("__empty"), "empty")
+          .when(col("__exact"), "exact_dup")
           .when(col("__near"), "near_dup")
           .when(!col("__lang").isInCollection(langs), "lang")
           .when(col("__quality") < minQuality, "quality")

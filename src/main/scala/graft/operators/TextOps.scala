@@ -65,11 +65,14 @@ object TextOps {
    * ratio, punctuation ratio, stopword ratio, and a weighted score. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val w = tokens(text)
+    // zero denominators (empty text) yield null ratios, as SQL's 0/0
+    // does — ANSI mode would otherwise raise
+    def div(a: Column, b: Column): Column = a / nullif(b, lit(0.0))
     val nWords = size(w).cast("double")
     val nChars = length(text).cast("double")
-    val meanWordLen = (nChars - nWords + lit(1.0)) / nWords
-    val punct = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") / nChars
-    val stop = langScore(text, "en").cast("double") / nWords
+    val meanWordLen = div(nChars - nWords + lit(1.0), nWords)
+    val punct = div(length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double"), nChars)
+    val stop = div(langScore(text, "en").cast("double"), nWords)
     val score = lit(0.4) * stop +
       lit(0.3) * when(meanWordLen.between(3.0, 8.0), 1.0).otherwise(0.0) +
       lit(0.3) * (lit(1.0) - punct)

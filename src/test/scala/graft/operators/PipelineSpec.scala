@@ -14,15 +14,18 @@ class PipelineSpec extends SparkSpec {
       (2L, good + "extra tail words"),  // near dup of 0 (high shingle overlap)
       (3L, "el perro y el gato de la casa que se fue en un dia y no " * 3), // keep (es)
       (4L, "der hund und die katze ist von dem haus mit zu den und " * 3),  // lang (de)
-      (5L, "zz!!! ??? !!!")             // lang (und) before quality
+      (5L, "zz!!! ??? !!!"),            // lang (und) before quality
+      (6L, ""),                         // empty
+      (7L, null.asInstanceOf[String])   // empty (null)
     ).toDF("doc_id", "text")
     val r = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
         langs = Seq("en", "es"), minQuality = 0.2, jaccardThreshold = 0.5)
       .orderBy("doc_id").collect()
     assert(r.map(x => (x.getLong(0), x.getString(2))).toSeq == Seq(
       0L -> "keep", 1L -> "exact_dup", 2L -> "near_dup",
-      3L -> "keep", 4L -> "lang", 5L -> "lang"))
+      3L -> "keep", 4L -> "lang", 5L -> "lang",
+      6L -> "empty", 7L -> "empty"))
     assert(r.map(_.getBoolean(1)).toSeq ==
-      Seq(true, false, false, true, false, false))
+      Seq(true, false, false, true, false, false, false, false))
   }
 }
