@@ -35,6 +35,14 @@ import java.nio.charset.StandardCharsets.UTF_8
 class SeriesHttp(store: SeriesStore, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // without an executor every request runs on the single dispatcher
+  // thread and one slow streaming response head-of-line-blocks the
+  // whole server
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-http")
+    t.setDaemon(true)
+    t
+  }))
   server.createContext("/", (ex: HttpExchange) => safely(ex))
 
   /** Starts the server; returns the bound port. */

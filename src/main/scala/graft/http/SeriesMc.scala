@@ -94,23 +94,42 @@ class SeriesMc(store: SeriesStore, port: Int = 0) {
             val ns =
               if (key.isEmpty) Some(System.currentTimeMillis() * 1000000L)
               else TimeLib.parseTime(key)
-            if (ns.isEmpty)
+            if (db.isEmpty) // no SELECT_BUCKET yet: refuse rather than buffer
+              respond(out, opcode, opaque, Status.Einval, "no bucket selected".getBytes(UTF_8))
+            else if (ns.isEmpty)
               respond(out, opcode, opaque, Status.Einval, "Invalid key".getBytes(UTF_8))
             else if (!SeriesStore.validJson(value))
               respond(out, opcode, opaque, Status.NotStored, "invalid JSON".getBytes(UTF_8))
             else {
               pending += ((ns.get, value))
-              if (opcode == Set) { flush(); respond(out, opcode, opaque, Status.OK) }
+              if (opcode == Set)
+
+                try { flush(); respond(out, opcode, opaque, Status.OK) }
+                catch { case e: Exception =>
+                  pending.clear()
+                  respond(out, opcode, opaque, Status.NotStored,
+                    String.valueOf(e.getMessage).getBytes(UTF_8))
+                }
             }
           case Noop =>
-            flush(); respond(out, opcode, opaque, Status.OK)
+            try { flush(); respond(out, opcode, opaque, Status.OK) }
+            catch { case e: Exception =>
+              pending.clear()
+              respond(out, opcode, opaque, Status.NotStored,
+                String.valueOf(e.getMessage).getBytes(UTF_8))
+            }
           case _ =>
             respond(out, opcode, opaque, Status.UnknownCommand)
         }
       }
     } catch { case _: Exception => () }
     finally {
-      try flush() catch { case _: Exception => () }
+      // quiet sets already implied success; a failed final flush is the
+      // one loss window the protocol allows — surface it in the log
+      try flush() catch { case e: Exception =>
+        System.err.println(s"[graft-mc] final flush of ${pending.size} pending " +
+          s"docs to '$db' failed: ${e.getMessage}")
+      }
       try sock.close() catch { case _: Exception => () }
     }
   }

@@ -18,12 +18,19 @@ import java.util.{Collections, LinkedHashMap, Map => JMap}
  * are LRU-bounded. Correctness is unaffected by eviction: a miss just
  * recomputes through the engine.
  */
-class QueryCache(store: SeriesStore, capacity: Int = 256) {
+class QueryCache(store: SeriesStore, capacity: Int = 256,
+    maxBytes: Long = 64L << 20) {
 
+  // bounded by entry count AND total bytes: identity/any responses can
+  // each be enormous, and 256 of those would pin gigabytes
+  private val bytesUsed = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lru: JMap[Long, String] = Collections.synchronizedMap(
     new LinkedHashMap[Long, String](capacity, 0.75f, true) {
-      override def removeEldestEntry(e: JMap.Entry[Long, String]): Boolean =
-        size() > capacity
+      override def removeEldestEntry(e: JMap.Entry[Long, String]): Boolean = {
+        val over = size() > capacity || bytesUsed.get() > maxBytes
+        if (over) bytesUsed.addAndGet(-2L * e.getValue.length)
+        over
+      }
     })
 
   private val hitCount = new java.util.concurrent.atomic.LongAdder
@@ -38,12 +45,15 @@ class QueryCache(store: SeriesStore, capacity: Int = 256) {
     else {
       missCount.increment()
       val result = store.queryJson(db, q)
-      lru.put(key, result)
+      if (2L * result.length <= maxBytes) { // never cache what busts the budget
+        bytesUsed.addAndGet(2L * result.length)
+        lru.put(key, result)
+      }
       result
     }
   }
 
-  def invalidateAll(): Unit = lru.clear()
+  def invalidateAll(): Unit = { lru.clear(); bytesUsed.set(0L) }
 
   private def cacheKey(db: String, q: SeriesQuery): Long = {
     var h = Fnv.offset

@@ -56,6 +56,32 @@ class SeriesStore(spark: SparkSession, root: String) {
     try f(s) finally s.close()
   }
 
+  // Per-database write serialization: concurrent parquet appends to
+  // one directory corrupt each other (both Spark jobs stage under the
+  // same _temporary/0 and job commit deletes it wholesale). The HTTP
+  // and memcached facades both spawn concurrent callers, so the
+  // single-writer contract is enforced HERE, not left to callers.
+  // Cross-JVM writers remain out of scope (documented).
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withWriteLock[T](db: String)(f: => T): T =
+    writeLocks.computeIfAbsent(db, _ => new Object).synchronized(f)
+
+  /** Completes an interrupted [[rewrite]]: a crash between its two
+   * renames leaves the data under `.old` with nothing at the db path —
+   * roll it back; a crash mid-cleanup leaves a stale `.old` — drop it. */
+  private def recover(db: String): Unit = {
+    val p = dbPath(db)
+    val old = Paths.get(p.toString + ".old")
+    if (Files.exists(old)) {
+      if (!Files.exists(p)) Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+      else walked(old)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
+    }
+    val tmp = Paths.get(p.toString + ".compact")
+    if (Files.exists(tmp))
+      walked(tmp)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
+  }
+
   /** DELETE /{db} (handlers.go:282-289). */
   def drop(db: String): Unit = {
     val p = dbPath(db)
@@ -94,13 +120,15 @@ class SeriesStore(spark: SparkSession, root: String) {
       case None => System.currentTimeMillis() * 1000000L
     }
     import spark.implicits._
-    val seq = seqBase(db).getAndIncrement()
-    // marker removal precedes the append: a crash or concurrent read
-    // between the two must see a (conservatively) dirty store, never a
-    // clean-marked store with an uncompacted overwrite
-    Files.deleteIfExists(cleanMarker(db))
-    Seq((ns, seq, json)).toDF("ts", "seq", "doc")
-      .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    withWriteLock(db) {
+      val seq = seqBase(db).getAndIncrement()
+      // marker removal precedes the append: a crash or concurrent read
+      // between the two must see a (conservatively) dirty store, never
+      // a clean-marked store with an uncompacted overwrite
+      Files.deleteIfExists(cleanMarker(db))
+      Seq((ns, seq, json)).toDF("ts", "seq", "doc")
+        .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    }
     TimeLib.formatCanonical(ns)
   }
 
@@ -114,7 +142,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * per database (as in the reference's per-DB writer goroutine,
    * database.go:175-254); cross-JVM concurrent writers would need a
    * transactional table format underneath. */
-  def storeBatch(db: String, docs: DataFrame): Unit = {
+  def storeBatch(db: String, docs: DataFrame): Unit = withWriteLock(db) {
     val selected = docs.select(col("ts").cast(LongType).as("ts"),
       col("doc").cast(StringType).as("doc"))
     val parts = math.max(1, selected.rdd.getNumPartitions)
@@ -148,6 +176,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * partition-pruned scans with no exchange — the usual read path for
    * analytical workloads that compact on a schedule. */
   def frame(db: String): DataFrame = {
+    recover(db)
     require(exists(db), s"no such database: $db")
     val raw = spark.read.schema(schema).parquet(dbPath(db).toString)
     if (Files.exists(cleanMarker(db))) raw
@@ -171,8 +200,8 @@ class SeriesStore(spark: SparkSession, root: String) {
   def all(db: String, from: Option[String] = None, to: Option[String] = None,
       limit: Int = Int.MaxValue): DataFrame = {
     var f = frame(db)
-    from.foreach(s => f = f.filter(col("ts") >= TimeLib.parseTime(s).get))
-    to.foreach(s => f = f.filter(col("ts") < TimeLib.parseTime(s).get))
+    from.foreach(s => f = f.filter(col("ts") >= parseBound(s)))
+    to.foreach(s => f = f.filter(col("ts") < parseBound(s)))
     f.orderBy(col("ts")).limit(limit)
       .select(SeriesEngine.canonicalKeyCol(col("ts")).as("key"),
         col("ts"), col("doc"))
@@ -192,31 +221,47 @@ class SeriesStore(spark: SparkSession, root: String) {
   def deleteRange(db: String, from: Option[String], to: Option[String]): Long = {
     val f = frame(db)
     var cond = lit(true)
-    from.foreach(s => cond = cond && col("ts") >= TimeLib.parseTime(s).get)
-    to.foreach(s => cond = cond && col("ts") < TimeLib.parseTime(s).get)
-    val survivors = f.filter(!cond)
+    from.foreach(s => cond = cond && col("ts") >= parseBound(s))
+    to.foreach(s => cond = cond && col("ts") < parseBound(s))
     val before = f.count()
-    rewrite(db, survivors)
-    before - frame(db).count()
+    val written = rewrite(db, f.filter(!cond))
+    before - written
   }
+
+  private def parseBound(s: String): Long =
+    TimeLib.parseTime(s).getOrElse(
+      throw new IllegalArgumentException(s"unparsable timestamp: $s"))
 
   /** POST /{db}/_compact: physically drop overwritten versions and
    * merge small files (database.go:136-171 ≈ Delta OPTIMIZE). */
   def compact(db: String): Unit = rewrite(db, frame(db))
 
-  private def rewrite(db: String, data: DataFrame): Unit = {
+  /** Copy-compact + swap; returns the number of rows written. The
+   * deduped input is cached across its two passes (sizing count +
+   * write). Range partitioning by ts keeps per-file min/max tight so
+   * file-level statistics prune narrow time ranges; hash partitioning
+   * would spread every file across the whole series. */
+  private def rewrite(db: String, data: DataFrame): Long = withWriteLock(db) {
+    recover(db)
     val p = dbPath(db)
     val tmp = Paths.get(p.toString + ".compact")
-    // size output files for large stores; tiny stores become one file
-    data.repartition(math.max(1, (data.count() / 4000000L).toInt),
-        col("ts")).sortWithinPartitions("ts")
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = Paths.get(p.toString + ".old")
-    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    walked(old)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-    // the rewrite materialized last-write-wins: reads may skip dedup
-    Files.createFile(cleanMarker(db))
+    val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      val partitions = math.max(1, (n / 4000000L).toInt)
+      val sized =
+        if (partitions == 1) cached.coalesce(1)
+        else cached.repartitionByRange(partitions, col("ts"))
+      sized.sortWithinPartitions("ts")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val old = Paths.get(p.toString + ".old")
+      Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      walked(old)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
+      // the rewrite materialized last-write-wins: reads may skip dedup
+      Files.createFile(cleanMarker(db))
+      n
+    } finally cached.unpersist()
   }
 
   /** GET /{db}/_query — the analytical path (SeriesEngine). */

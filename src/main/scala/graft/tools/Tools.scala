@@ -54,19 +54,29 @@ object Load {
       graft.timelib.TimeLib.parseTime(args(3)).getOrElse(Long.MinValue)
     else Long.MinValue
     import spark.implicits._
-    val it = Files.lines(Paths.get(args(2))).iterator()
-    val buf = Seq.newBuilder[(Long, String)]
+    import scala.jdk.CollectionConverters._
+    val lines = Files.lines(Paths.get(args(2)))
     var n = 0L
-    while (it.hasNext) {
-      val line = it.next()
-      if (line.nonEmpty) {
-        val node = JsonPointersExpr.mapper.readTree(line)
-        val key = node.fieldNames().next()
-        val ns = graft.timelib.TimeLib.parseKey(key)
-        if (ns >= minNs && ns >= 0) { buf += ((ns, node.get(key).toString)); n += 1 }
-      }
-    }
-    store.storeBatch(args(1), buf.result().toDF("ts", "doc"))
+    try {
+      // bounded driver memory: batches of 100k docs, not the whole file
+      lines.iterator().asScala
+        .filter(_.nonEmpty)
+        .flatMap { line =>
+          val node = JsonPointersExpr.mapper.readTree(line)
+          val names = node.fieldNames()
+          if (!names.hasNext) None
+          else {
+            val key = names.next()
+            val ns = graft.timelib.TimeLib.parseKey(key)
+            if (ns >= minNs && ns >= 0) Some((ns, node.get(key).toString)) else None
+          }
+        }
+        .grouped(100000)
+        .foreach { batch =>
+          store.storeBatch(args(1), batch.toDF("ts", "doc"))
+          n += batch.size
+        }
+    } finally lines.close()
     println(s"loaded $n documents into ${args(1)}")
   }
 }
