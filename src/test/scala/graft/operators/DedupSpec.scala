@@ -69,6 +69,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mass-duplicate bucket streams its quadratic pairs (no giant array)") {
+    import spark.implicits._
+    // 800 identical docs + 200 distinct: every identical doc shares
+    // every band bucket, so the bucket yields C(800,2) = 319,600 pairs
+    // — streamed via chained explodes, never one O(n^2) array value
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0 until 800).map(i => (i.toLong, base)) ++
+      (800 until 1000).map(i => (i.toLong, s"unique document number $i with words " +
+        s"that do not repeat elsewhere ${i * 7} ${i * 13} ${i * 31}")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.9)
+    assert(pairs.count() == 800L * 799 / 2)
+    // and simhash over the same corpus
+    val sh = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxDist = 0)
+    assert(sh.count() >= 800L * 799 / 2)
+  }
+
   test("duplicate input ids never self-pair") {
     // same doc_id appearing twice (un-deduplicated upstream union)
     val dup = docs.union(docs.filter(col("doc_id") === 0L))
