@@ -41,9 +41,10 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 64, shingleK: Int = 3): DataFrame = {
-    // spread the RAW text before shingling: the exchange then moves
-    // ~chars per doc instead of the ~4x-larger shingle arrays
-    val ex = spread(df.select(id.as("doc_id"), text.as("__text")))
+    // no pre-compute repartition here: with the let-bound shingles and
+    // the native hash expression, per-row work is cheap enough that an
+    // extra exchange of the raw text measured as pure overhead
+    val ex = df.select(id.as("doc_id"), text.as("__text"))
       .select(col("doc_id"), explode(shingles(col("__text"), shingleK)).as("sh"))
       .select(col("doc_id"), pmod(hash60(col("sh")), lit(MinhashP)).as("h"))
     ex.groupBy(col("doc_id"))
