@@ -313,7 +313,7 @@ object Queries {
         val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
         val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
           .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
@@ -341,8 +341,10 @@ object Queries {
         val ord = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") &&
             col("o_orderdate") < lit("1997-01-01"))
-        val cust = broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey")))
+        // no broadcast hint: customer grows with SF — at 100x a forced
+        // broadcast OOMs the executors; AQE picks broadcast when it fits
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
         t(s, dir, "lineitem")
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(dims, col("l_suppkey") === col("s_suppkey"))

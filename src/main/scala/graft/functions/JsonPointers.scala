@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.node.JsonNodeType
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
  *   raw  STRING — compact JSON text of the value (objects/arrays)
  */
 case class JsonPointersExpr(doc: Expression, ptrs: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def child: Expression = doc
   override protected def withNewChildInternal(c: Expression): JsonPointersExpr =
@@ -52,7 +52,10 @@ case class JsonPointersExpr(doc: Expression, ptrs: Seq[String])
       try JsonPointer.compile(p) catch { case _: Exception => null }
     }.toArray
 
-  override def nullSafeEval(input: Any): Any = {
+  /** Parse once, resolve every pointer. Shared by interpreted eval and
+   * the generated code below; never returns null (missing pointers are
+   * kind=0 struct fields, a wholly-null row when the doc won't parse). */
+  def resolveAll(input: UTF8String): InternalRow = {
     val root: JsonNode =
       try JsonPointersExpr.mapper.readTree(input.toString)
       catch { case _: Exception => null }
@@ -65,6 +68,21 @@ case class JsonPointersExpr(doc: Expression, ptrs: Seq[String])
       }
     }
     new GenericInternalRow(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    resolveAll(input.asInstanceOf[UTF8String])
+
+  // Not CodegenFallback: fallback would interpret the whole subtree per
+  // row AND evict the enclosing project from whole-stage codegen — the
+  // hot path of every _query (SURVEY §7.3 v2). The JSON parse itself
+  // can't be inlined, so the generated code evaluates the child in-gen
+  // and makes a single virtual call into [[resolveAll]].
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jsonPointersExpr", this,
+      classOf[JsonPointersExpr].getName)
+    nullSafeCodeGen(ctx, ev, docTerm =>
+      s"${ev.value} = $self.resolveAll($docTerm);")
   }
 }
 

@@ -91,16 +91,25 @@ object Similarity {
    */
   def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 4, planes: Int = 8): DataFrame = {
+    // Bucket frames drop the vectors after hashing: the multi-table
+    // candidate dedup below shuffles (query_id, vec_id) pairs only.
+    // Vectors rejoin once, against the (much smaller) deduped pair
+    // set, instead of riding through the distinct exchange `tables`×.
     def bucketed(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
         .withColumn("tk", explode(array((0 until tables).map(t =>
           concat_ws("#", lit(t), sketchKey(col(s"${idName}_v"), t, planes))): _*)))
+        .select(col(idName), col("tk"))
     val c = bucketed(corpus, "vec_id")
     val q = bucketed(queries, "query_id")
     val cand = c.join(q, Seq("tk")).filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("query_id_v"), col("vec_id_v"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-    val scored = cand.withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
+    val scored = cand
+      .join(corpus.select(col("vec_id"), col("embedding").as("vec_id_v")), Seq("vec_id"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_id_v")), Seq("query_id"))
+      .withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -156,15 +165,20 @@ object Similarity {
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       tables: Int = 4, planes: Int = 8): DataFrame = {
+    // Same slimming as hyperplaneTopK: hash, then drop the vectors so
+    // the cross-table candidate dedup shuffles bare id pairs; exact
+    // verification rejoins embeddings against the deduped pair set.
     val b = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("tk", explode(array((0 until tables).map(t =>
         concat_ws("#", lit(t), sketchKey(col("embedding"), t, planes))): _*)))
+      .select(col("vec_id"), col("tk"))
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r, col("l.tk") === col("r.tk") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
-        col("l.embedding").as("v1"), col("r.embedding").as("v2"))
+      .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"))
       .distinct()
+      .join(corpus.select(col("vec_id").as("id1"), col("embedding").as("v1")), Seq("id1"))
+      .join(corpus.select(col("vec_id").as("id2"), col("embedding").as("v2")), Seq("id2"))
       .withColumn("sim", cosine(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
