@@ -38,24 +38,28 @@ object Bench {
     }
     // best of two timed runs per query: local shuffles/GC add ±30%
     // run-to-run jitter at this data size, and the minimum is the
-    // stable estimator of the plan's actual cost. A failed query must
-    // NOT record its fast-fail elapsed as a result (a regression would
-    // read as a speedup) — it reports a 999s sentinel and a `failed`
-    // list instead.
+    // stable estimator of the plan's actual cost. Failures are tracked
+    // SEPARATELY from timing: a query that throws on any run lands in
+    // `failed` even if the other run succeeded (min-of-times alone
+    // would read an intermittent crash as healthy), and a query with
+    // no successful run records a 999s sentinel (its fast-fail elapsed
+    // would read a regression as a speedup).
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      var threw = false
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          999.0
+          threw = true
+          None
         }
       }
-      name -> times.min
+      (name, if (times.nonEmpty) times.min else 999.0, threw)
     }
-    val failed = results.collect { case (k, v) if v >= 999.0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")

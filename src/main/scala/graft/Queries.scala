@@ -133,6 +133,39 @@ object Queries {
         FROM (SELECT DISTINCT bucket FROM s) b
         LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
 
+    // two DISTINCT rate pointers: exercises the multi-pointer fan-out in
+    // ratePass (each pointer's pairs charge their own bucket; one
+    // window pass emits both chains)
+    "q_series_rate_two_ptrs" -> Entry(
+      (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
+          SeriesQuery(HourMs, Seq("/v", "/user"), Seq("c", "c_max"),
+            names = Seq("c_v", "cmax_u")))
+        .withColumn("c_v", round(col("c_v"), 6)),
+      Some(s"""WITH s AS (
+          SELECT epoch_us(ts)*1000 AS tns, value AS v, user_id::DOUBLE AS u,
+                 event_id,
+                 (epoch_us(ts) // ${HourMs * 1000}) * ${HourMs * 1000 * 1000} AS bucket
+          FROM events),
+        o AS (
+          SELECT bucket, tns, v, u,
+                 lag(tns) OVER w AS pts, lag(v) OVER w AS pv,
+                 lag(u) OVER w AS pu, lag(bucket) OVER w AS pbucket
+          FROM s WINDOW w AS (ORDER BY tns, event_id)),
+        r AS (
+          SELECT pbucket AS bucket,
+                 (v - pv) / ((tns - pts)::DOUBLE / 1e9) AS rv,
+                 (u - pu) / ((tns - pts)::DOUBLE / 1e9) AS ru
+          FROM o WHERE pts IS NOT NULL),
+        agg AS (
+          SELECT bucket,
+                 sum(rv) FILTER (WHERE isfinite(rv)) AS c,
+                 max(ru) FILTER (WHERE isfinite(ru)) AS cmax
+          FROM r GROUP BY bucket)
+        SELECT b.bucket // 1000000 AS bucket_ms,
+          round(coalesce(a.c, 0), 6) AS c_v, a.cmax AS cmax_u
+        FROM (SELECT DISTINCT bucket FROM s) b
+        LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
+
     "q_series_identity_day" -> Entry(
       (s, dir) => SeriesEngine.query(
         eventsSeries(s, dir, Some(1704844800000000000L), Some(1705104000000000000L)),

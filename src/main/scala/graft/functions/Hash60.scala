@@ -40,6 +40,9 @@ object Hash60Expr {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  /** Per-thread reusable MD5 for the other md5-based expressions. */
+  private[functions] def threadDigest(): MessageDigest = digests.get()
+
   /** Generated-code entry point. */
   def hash60(s: UTF8String): Long =
     SimHash60.hash60(digests.get(), s.getBytes)

@@ -2,33 +2,36 @@ package graft.functions
 
 import graft.operators.Dedup
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-import java.nio.ByteBuffer
-
 /**
- * One-pass MinHash signature aggregate: folds each shingle hash
- * `h ∈ [0, p)` into an n-wide vector of minima of
- * `(a_i·h + b_i) mod p`  (p = 2³¹−1, parameters from
- * [[graft.operators.Dedup.minhashA]]/[[Dedup.minhashB]]).
+ * One-pass scalar MinHash signature: maps a document's shingle array
+ * to the n-wide vector of minima of `(a_i·h + b_i) mod p` over the
+ * shingles' 60-bit md5 hashes (p = 2³¹−1, parameters from
+ * [[graft.operators.Dedup.minhashA]]/[[Dedup.minhashB]] — all
+ * reproducible in plain SQL, which is how the correctness oracle
+ * recomputes signatures).
  *
- * Equivalent to n separate `min(pmod(...))` aggregate expressions but
- * with a single mutable buffer — the n-expression form generates n
- * copies of aggregate update code that costs seconds of janino
- * compilation at n = 64 and a 64-column-wide intermediate row; this
- * buffer form is one tight loop.
+ * Being a scalar expression over the already-materialized shingle
+ * array — not an aggregate over exploded shingle rows — the signature
+ * stage needs NO explode and NO doc-keyed shuffle: it runs inside the
+ * scan's whole-stage-codegen'd projection and scales linearly with
+ * the scan. (A previous round used a single-buffer
+ * TypedImperativeAggregate over exploded hashes; that still paid one
+ * groupBy(doc_id) exchange of |doc|·|shingles| rows.)
  */
-case class MinHashSigAgg(
-    child: Expression,
-    n: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+case class MinHashSigExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
 
   private val p = Dedup.MinhashP
   @transient private lazy val as: Array[Long] =
@@ -36,59 +39,40 @@ case class MinHashSigAgg(
   @transient private lazy val bs: Array[Long] =
     (0 until n).map(Dedup.minhashB).toArray
 
-  override def children: Seq[Expression] = Seq(child)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinHashSigAgg =
-    copy(child = c.head)
-  override def withNewMutableAggBufferOffset(o: Int): MinHashSigAgg =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): MinHashSigAgg =
-    copy(inputAggBufferOffset = o)
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
-  override def prettyName: String = "minhash_sig"
-
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(n)(Long.MaxValue)
-
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var i = 0
-      while (i < n) {
-        val g = (as(i) * h + bs(i)) % p
-        if (g < buf(i)) buf(i) = g
-        i += 1
-      }
-    }
-    buf
-  }
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  /** Generated-code entry point: one tight loop over shingles × n. */
+  def sig(arr: ArrayData): ArrayData = {
+    val buf = Array.fill(n)(Long.MaxValue)
+    val md = Hash60Expr.threadDigest()
     var i = 0
-    while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
-    a
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash60.hash60(md, arr.getUTF8String(i).getBytes) % p
+        var j = 0
+        while (j < n) {
+          val g = (as(j) * h + bs(j)) % p
+          if (g < buf(j)) buf(j) = g
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(buf)
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def nullSafeEval(input: Any): Any =
+    sig(input.asInstanceOf[ArrayData])
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * n)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    Array.fill(n)(bb.getLong)
+  // stays inside whole-stage codegen: the shingle array is produced and
+  // consumed in the same generated stage, no fallback interpretation
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSig", this,
+      classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.sig($c);")
   }
 }
 
-object MinHashSigAgg {
-  /** `minhash_sig(h)`: aggregate a column of shingle hashes (already
-   * reduced mod p) into the n-minima signature array. */
-  def minhashSig(h: Column, n: Int = 64): Column =
-    Bridge.column(MinHashSigAgg(Bridge.expression(h), n)
-      .toAggregateExpression())
+object MinHashSigExpr {
+  /** `minhash_sig(ss)`: n-minima signature of a shingle string array. */
+  def minhashSig(ss: Column, n: Int = 64): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(ss), n))
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -23,20 +23,32 @@ import java.security.MessageDigest
  * bands equal) and verifies with `bit_count(xor)`.
  */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash60.fingerprint(input.asInstanceOf[ArrayData])
+
+  // stays inside whole-stage codegen (was CodegenFallback): one static
+  // call per row, token array produced and consumed in the same stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash60.fingerprint($c)")
+}
+
+object SimHash60 {
+  /** Generated-code entry point: ±1 bit votes per token hash, then
+   * majority per bit position. Token multiplicity acts as weight. */
+  def fingerprint(arr: ArrayData): Long = {
     val votes = new Array[Int](60)
-    val md = MessageDigest.getInstance("MD5")
+    val md = Hash60Expr.threadDigest()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = SimHash60.hash60(md, arr.getUTF8String(i).getBytes)
+        val h = hash60(md, arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < 60) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -53,9 +65,7 @@ case class SimHash60(child: Expression)
     }
     out
   }
-}
 
-object SimHash60 {
   /** First 15 hex chars of md5 as a long — identical to
    * `conv(substring(md5(x),1,15),16,10)`. */
   private[graft] def hash60(md: MessageDigest, bytes: Array[Byte]): Long = {

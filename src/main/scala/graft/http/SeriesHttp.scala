@@ -86,14 +86,25 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
         send(ex, 200, s"""{"doc_count":${i.docCount},"space_used":${i.spaceUsed},"last_seq":${i.lastSeq}}""")
       }
     case "POST" =>
-      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val key = store.store(db, p.get("ts").map(_.head), body)
-      send(ex, 201, s"""{"ok":true,"id":${jstr(key)}}""")
+      // the reference 404s writes to unknown DBs (handlers.go:56-61);
+      // without the check, parquet SaveMode.Append would silently
+      // create the directory
+      if (!store.exists(db)) send(ex, 404, err("no such database"))
+      else {
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val key = store.store(db, p.get("ts").map(_.head), body)
+        send(ex, 201, s"""{"ok":true,"id":${jstr(key)}}""")
+      }
     case _ => send(ex, 405, err("method not allowed"))
   }
 
   private def subRoute(ex: HttpExchange, m: String, db: String, sub: String,
-      p: Map[String, Seq[String]]): Unit = (m, sub) match {
+      p: Map[String, Seq[String]]): Unit =
+    // every sub-route (scan, query, doc write, point get) presupposes
+    // the database: missing → 404, matching the reference, instead of
+    // the 400 an engine-level require would surface as
+    if (!store.exists(db)) send(ex, 404, err("no such database"))
+    else (m, sub) match {
     case ("GET", "_query") => query(ex, db, p)
     case ("GET", "_all") =>
       // streamed: rows arrive via toLocalIterator, the response leaves

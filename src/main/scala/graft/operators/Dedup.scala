@@ -33,23 +33,32 @@ object Dedup {
   def minhashB(i: Int): Long = ((i + 1) * 1013904223L) % MinhashP
 
   /**
-   * MinHash signatures: one row per doc, `sig` = array of n minima of
-   * ((a_i·h + b_i) mod p) over the doc's shingle hashes. One shuffle
-   * keyed by doc id; the n minima fold in a single-buffer custom
-   * aggregate (graft.functions.MinHashSigAgg) — one pass, no n-wide
-   * intermediate row, no n-fold codegen blowup.
+   * MinHash signatures: one row per doc (docs with no shingles are
+   * dropped, as the former explode-based formulation dropped them),
+   * `sig` = array of n minima of ((a_i·h + b_i) mod p) over the doc's
+   * shingle hashes. The signature is a SCALAR expression over the
+   * shingle array (graft.functions.MinHashSigExpr): no explode, no
+   * doc-keyed shuffle — the whole stage is the scan's codegen'd
+   * projection, linear in the scan.
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      n: Int = 64, shingleK: Int = 3): DataFrame = {
-    // no pre-compute repartition here: with the let-bound shingles and
-    // the native hash expression, per-row work is cheap enough that an
-    // extra exchange of the raw text measured as pure overhead
-    val ex = df.select(id.as("doc_id"), text.as("__text"))
-      .select(col("doc_id"), explode(shingles(col("__text"), shingleK)).as("sh"))
-      .select(col("doc_id"), pmod(hash60(col("sh")), lit(MinhashP)).as("h"))
-    ex.groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), n).as("sig"))
-  }
+      n: Int = 64, shingleK: Int = 3): DataFrame =
+    sigsOf(shingled(df, id, text, shingleK), n)
+
+  /** The shared (doc_id, ss) shingle frame both the signature stage
+   * and the Jaccard-verify joins read — text is shingled in one
+   * projection. `spread` matters here: with no shuffle left in the
+   * signature stage, a few-row-group parquet scan would otherwise pin
+   * the per-shingle hashing to a handful of cores. */
+  private def shingled(df: DataFrame, id: Column, text: Column,
+      shingleK: Int): DataFrame =
+    spread(df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
+
+  private def sigsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(size(col("ss")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSig(col("ss"), n).as("sig"))
 
   /** All ordered pairs (first < second by the sorted position) from a
    * bucket's id array, STREAMED via two chained explodes: the outer
@@ -104,18 +113,24 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** End-to-end MinHash near-dup pairs: signatures → LSH band buckets
-   * → per-bucket candidate pairs → exact-Jaccard verify ≥ threshold.
-   * No self-join and nothing cached: candidates come out of one
-   * group-by on (band, key), so the plan is shuffle-minimal and owns
-   * no cache lifetime (the prior persist leaked across calls). */
+  /** End-to-end MinHash near-dup pairs: one shared shingle frame →
+   * scalar signatures → LSH band buckets → per-bucket candidate pairs
+   * → exact-Jaccard verify ≥ threshold. No self-join and nothing
+   * cached: candidates come out of one group-by on (band, key), so the
+   * plan is shuffle-minimal and owns no cache lifetime.
+   *
+   * Bucket-cardinality contract: [[lshCandidates]] materializes each
+   * (band, key) bucket's id array in one aggregation buffer (8 bytes
+   * per doc), and — more fundamentally — N exact copies of a document
+   * yield N²/2 output pairs. Collapse EXACT duplicates first (one
+   * hash group-by — [[exact]]; [[Pipeline.cleanCorpus]] orders its
+   * stages this way) so bucket size is bounded by the near-dup
+   * cluster size, not by boilerplate multiplicity. */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
-    val sets = spread(df.select(id.as("doc_id"), text.as("__text")))
-      .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
-    val sigs = minhashSignatures(df, id, text, n, shingleK)
-    val cands = lshCandidates(sigs, bands, n)
+    val sets = shingled(df, id, text, shingleK)
+    val cands = lshCandidates(sigsOf(sets, n), bands, n)
     cands
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")

@@ -429,18 +429,23 @@ object SeriesEngine {
       d.withColumn(s"__rate_$i", when(emit, rate))
         .withColumn(s"__rbucket_$i", when(emit, p.getField("b")))
     }
-    // union the per-pointer rate rows into (bucket, rate_0..rate_n)
-    // keyed by the charged bucket; a row can carry rates for several
-    // pointers only when they share the charged bucket, so emit one row
-    // per pointer and let the group-by recombine.
-    val pieces = ratePtrs.indices.map { i =>
-      val sel = out.filter(col(s"__rate_$i").isNotNull)
-        .select(parts ++ (col(s"__rbucket_$i").as("__rbucket") +:
-          ratePtrs.indices.map { k =>
-            (if (k == i) col(s"__rate_$i") else lit(null).cast(DoubleType)).as(s"__rate_$k")
-          }): _*)
-      sel
-    }
-    pieces.reduce(_ unionByName _)
+    // fan the per-pointer rates out to (bucket, rate_0..rate_n) rows in
+    // ONE pass: each row carries an array of (ptr idx, charged bucket,
+    // rate) entries, nulls dropped in-array, exploded once. (A per-
+    // pointer filter+union would re-execute the whole window pass N
+    // times absent exchange reuse.) Different pointers may charge a row
+    // to different buckets, so each entry becomes its own output row and
+    // the downstream bucket group-by recombines them.
+    val entries = array(ratePtrs.indices.map { i =>
+      struct(lit(i).as("i"), col(s"__rbucket_$i").as("b"), col(s"__rate_$i").as("r"))
+    }: _*)
+    out
+      .select(parts :+
+        explode(filter(entries, e => e.getField("r").isNotNull)).as("__e"): _*)
+      .select(parts ++ (col("__e").getField("b").as("__rbucket") +:
+        ratePtrs.indices.map { k =>
+          when(col("__e").getField("i") === lit(k), col("__e").getField("r"))
+            .as(s"__rate_$k")
+        }): _*)
   }
 }

@@ -22,16 +22,14 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
     maxBytes: Long = 64L << 20) {
 
   // bounded by entry count AND total bytes: identity/any responses can
-  // each be enormous, and 256 of those would pin gigabytes
+  // each be enormous, and 256 of those would pin gigabytes. Accounting
+  // and eviction happen together under the map's monitor (see put path):
+  // a removeEldestEntry hook would evict at most ONE entry per insert
+  // (making maxBytes a soft bound), and lost-update races between put
+  // and the byte counter would drift the budget permanently.
   private val bytesUsed = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lru: JMap[Long, String] = Collections.synchronizedMap(
-    new LinkedHashMap[Long, String](capacity, 0.75f, true) {
-      override def removeEldestEntry(e: JMap.Entry[Long, String]): Boolean = {
-        val over = size() > capacity || bytesUsed.get() > maxBytes
-        if (over) bytesUsed.addAndGet(-2L * e.getValue.length)
-        over
-      }
-    })
+    new LinkedHashMap[Long, String](capacity, 0.75f, true))
 
   private val hitCount = new java.util.concurrent.atomic.LongAdder
   private val missCount = new java.util.concurrent.atomic.LongAdder
@@ -46,8 +44,22 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
       missCount.increment()
       val result = store.queryJson(db, q)
       if (2L * result.length <= maxBytes) { // never cache what busts the budget
-        bytesUsed.addAndGet(2L * result.length)
-        lru.put(key, result)
+        // one monitor for put + replaced-entry credit + eviction loop:
+        // bytesUsed converges below maxBytes instead of drifting
+        lru.synchronized {
+          val prev = lru.put(key, result)
+          if (prev != null) bytesUsed.addAndGet(-2L * prev.length)
+          bytesUsed.addAndGet(2L * result.length)
+          val it = lru.entrySet().iterator()
+          while ((lru.size() > capacity || bytesUsed.get() > maxBytes) &&
+              it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) { // never evict the entry just inserted
+              bytesUsed.addAndGet(-2L * e.getValue.length)
+              it.remove()
+            }
+          }
+        }
       }
       result
     }

@@ -176,7 +176,11 @@ class SeriesStore(spark: SparkSession, root: String) {
    * partition-pruned scans with no exchange — the usual read path for
    * analytical workloads that compact on a schedule. */
   def frame(db: String): DataFrame = {
-    recover(db)
+    // recovery takes the db's write lock: unlocked, a read landing
+    // between rewrite()'s two renames would see the db path missing and
+    // roll .old back while the swap is mid-flight, failing the rewrite.
+    // Cost when no writer holds the lock: an uncontended monitor enter.
+    withWriteLock(db)(recover(db))
     require(exists(db), s"no such database: $db")
     val raw = spark.read.schema(schema).parquet(dbPath(db).toString)
     if (Files.exists(cleanMarker(db))) raw

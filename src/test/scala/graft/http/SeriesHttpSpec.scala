@@ -67,6 +67,9 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(req("GET", "/db1/_changes")._1 == 501)
     assert(req("DELETE", "/db1/2012-08-28T21:24:00Z")._1 == 501)
 
+    // bad query params on an EXISTING db → 400, not 500
+    assert(req("GET", "/db1/_query?ptr=/v&reducer=sum")._1 == 400)
+
     val (_, del) = req("DELETE", "/db1/_bulk?from=2012-08-28T21:24:00Z&to=2012-08-28T21:24:30Z")
     assert(del == """{"deleted":2}""")
     assert(req("POST", "/db1/_compact")._1 == 200)
@@ -76,8 +79,14 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(req("GET", "/_all_dbs")._2 == "[]")
     assert(req("GET", "/db1")._1 == 404)
 
-    // bad query params → 400 not 500
-    assert(req("GET", "/db1/_query?ptr=/v&reducer=sum")._1 == 400)
+    // routes on a missing db → 404, matching the reference: scans and
+    // queries, and crucially WRITES — parquet append would otherwise
+    // silently re-create the dropped db
+    assert(req("GET", "/db1/_query?group=60000&ptr=/v&reducer=sum")._1 == 404)
+    assert(req("GET", "/db1/_all")._1 == 404)
+    assert(req("POST", "/db1", """{"v": 1}""")._1 == 404)
+    assert(req("PUT", "/db1/2012-08-28T21:24:00Z", """{"v": 1}""")._1 == 404)
+    assert(req("GET", "/_all_dbs")._2 == "[]")
   }
 
   test("gzip negotiation: Accept-Encoding gzip compresses the response") {
