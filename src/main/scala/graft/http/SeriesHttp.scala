@@ -2,10 +2,11 @@ package graft.http
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.operators.SeriesEngine.SeriesQuery
-import graft.sources.SeriesStore
+import graft.sources.{QueryDeadline, QueryTimeoutException, SeriesStore}
 
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
+import scala.concurrent.duration.{Duration, DurationInt}
 
 /**
  * Thin HTTP façade over [[SeriesStore]] with the reference's route
@@ -32,7 +33,12 @@ import java.nio.charset.StandardCharsets.UTF_8
  * single-doc DELETE return 501 exactly like the reference
  * (handlers.go:453-461).
  */
-class SeriesHttp(store: SeriesStore, port: Int = 0) {
+/** `maxQueryTime` bounds the scan/query routes (_query, _all, _dump,
+ * _bulk — the same four the reference wires its `-maxQueryTime` flag
+ * into, main.go:88-94, default 5 min): past the deadline the query's
+ * Spark job group is cancelled and the request errors. */
+class SeriesHttp(store: SeriesStore, port: Int = 0,
+    maxQueryTime: Duration = 5.minutes) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // without an executor every request runs on the single dispatcher
@@ -52,9 +58,16 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
   private def safely(ex: HttpExchange): Unit =
     try route(ex)
     catch {
+      case e: QueryTimeoutException => send(ex, 500, err(e.getMessage))
       case e: IllegalArgumentException => send(ex, 400, err(e.getMessage))
       case e: Exception => send(ex, 500, err(e.getMessage))
     } finally ex.close()
+
+  /** Deadline scope for one request: body builds and streams the whole
+   * response on this thread, so the group covers every job it submits
+   * (including lazily-triggered toLocalIterator partitions). */
+  private def deadlined[T](what: String)(body: => T): T =
+    QueryDeadline.run(store.session, maxQueryTime, what)(body)
 
   private val dbRe = "^/([A-Za-z0-9_-]+)$".r
   private val dbSubRe = "^/([A-Za-z0-9_-]+)/(.+)$".r
@@ -105,8 +118,8 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
     // the 400 an engine-level require would surface as
     if (!store.exists(db)) send(ex, 404, err("no such database"))
     else (m, sub) match {
-    case ("GET", "_query") => query(ex, db, p)
-    case ("GET", "_all") =>
+    case ("GET", "_query") => deadlined(s"_query $db")(query(ex, db, p))
+    case ("GET", "_all") => deadlined(s"_all $db") {
       // streamed: rows arrive via toLocalIterator, the response leaves
       // in chunks — neither the driver nor the server buffers the scan
       val rows = store.all(db, p.get("from").map(_.head), p.get("to").map(_.head),
@@ -121,15 +134,18 @@ class SeriesHttp(store: SeriesStore, port: Int = 0) {
           s"$sep${jstr(r.getString(0))}: ${r.getString(1)}"
         }
       } ++ Iterator.single("}"))
-    case ("GET", "_dump") =>
+    }
+    case ("GET", "_dump") => deadlined(s"_dump $db") {
       val lines = store.dump(db, p.get("from").map(_.head),
         p.get("to").map(_.head),
         p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue))
       sendStream(ex, lines.zipWithIndex.map { case (l, i) =>
         if (i == 0) l else "\n" + l })
-    case ("DELETE", "_bulk") =>
+    }
+    case ("DELETE", "_bulk") => deadlined(s"_bulk $db") {
       val n = store.deleteRange(db, p.get("from").map(_.head), p.get("to").map(_.head))
       send(ex, 200, s"""{"deleted":$n}""")
+    }
     case ("POST", "_compact") =>
       store.compact(db); send(ex, 200, "{\"ok\":true}")
     case (_, "_changes") => send(ex, 501, err("not implemented"))

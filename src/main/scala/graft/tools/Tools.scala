@@ -29,15 +29,98 @@ private object ToolSession {
 }
 
 /** `Dump <root> <db> [outFile]` — stream the database as JSON lines
- * (`{"<canonical key>": <doc>}` per line, ts-ascending). */
+ * (`{"<canonical key>": <doc>}` per line, ts-ascending). The outFile
+ * is a `%`-template (see [[Dump.formatName]]). */
 object Dump {
+
+  /** Output-filename templating (tools/dump/format.go:18-52):
+   * `%n` db name, `%Y`/`%y` year, `%m` month, `%d` day (both
+   * UNPADDED, as in the reference), `%H`/`%M`/`%S` two-digit
+   * hour/minute/second, `%%` a literal `%`. Unknown verbs emit
+   * nothing (the reference's switch has no default case); a trailing
+   * lone `%` is dropped the same way. */
+  def formatName(template: String, dbname: String,
+      t: java.time.LocalDateTime): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < template.length) {
+      val c = template.charAt(i)
+      if (c != '%' || i == template.length - 1) { if (c != '%') sb.append(c) }
+      else {
+        i += 1
+        template.charAt(i) match {
+          case '%' => sb.append('%')
+          case 'n' => sb.append(dbname)
+          case 'Y' | 'y' => sb.append(t.getYear)
+          case 'm' => sb.append(t.getMonthValue)
+          case 'd' => sb.append(t.getDayOfMonth)
+          case 'H' => sb.append(f"${t.getHour}%02d")
+          case 'M' => sb.append(f"${t.getMinute}%02d")
+          case 'S' => sb.append(f"${t.getSecond}%02d")
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val store = new SeriesStore(ToolSession.spark(), args(0))
     val lines = store.dump(args(1))
     if (args.length > 2) {
-      val w = Files.newBufferedWriter(Paths.get(args(2)))
+      val out = formatName(args(2), args(1), java.time.LocalDateTime.now())
+      val w = Files.newBufferedWriter(Paths.get(out))
       try lines.foreach { l => w.write(l); w.newLine() } finally w.close()
     } else lines.foreach(println)
+  }
+}
+
+/** `Sample <fromurl> <tourl> [freqMs]` — the poll-copy sampler
+ * (tools/sample/sample.go:56-104): GET `fromurl`, POST the body
+ * unchanged to `tourl?ts=<poll-time ns>` (a seriesly/graft
+ * `POST /{db}` endpoint), repeating every `freqMs` (0 = one-shot;
+ * the reference's `-freq` default is 5000). Pure HTTP — no Spark
+ * session; errors are logged and polling continues, as in the
+ * reference. */
+object Sample {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  /** One copy: returns Left(message) on any HTTP failure. The dest
+   * query string is REPLACED by `ts=<tNanos>` (sample.go:62-67). */
+  def copyOnce(fromUrl: String, toUrl: String, tNanos: Long): Either[String, Unit] = {
+    import java.net.http.{HttpRequest, HttpResponse}
+    val src = client.send(
+      HttpRequest.newBuilder(java.net.URI.create(fromUrl)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (src.statusCode() != 200)
+      Left(s"HTTP error getting src data from $fromUrl: ${src.statusCode()}")
+    else {
+      val b = java.net.URI.create(toUrl)
+      val dest = new java.net.URI(b.getScheme, b.getAuthority, b.getPath,
+        s"ts=$tNanos", b.getFragment)
+      val ct = src.headers().firstValue("Content-Type")
+        .orElse("application/octet-stream")
+      val dres = client.send(
+        HttpRequest.newBuilder(dest).header("Content-Type", ct)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(src.body())).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (dres.statusCode() != 201)
+        Left(s"HTTP error posting result to $toUrl: ${dres.statusCode()} " +
+          dres.body().take(512))
+      else Right(())
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (from, to) = (args(0), args(1))
+    val freqMs = if (args.length > 2) args(2).toLong else 5000L
+    def poll(): Unit =
+      copyOnce(from, to, System.currentTimeMillis() * 1000000L)
+        .left.foreach(e => System.err.println(s"Error copying data: $e"))
+    poll()
+    while (freqMs > 0) { Thread.sleep(freqMs); poll() }
   }
 }
 

@@ -89,6 +89,27 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(req("GET", "/_all_dbs")._2 == "[]")
   }
 
+  test("a _query past maxQueryTime is cancelled and returns an error") {
+    // zero budget → deterministically past-deadline (the reference's
+    // queryExecutor refuses already-late work the same way,
+    // query.go:301-310); live mid-flight cancellation is covered by
+    // QueryDeadlineSpec
+    val timedOut = new SeriesHttp(store,
+      maxQueryTime = scala.concurrent.duration.Duration.Zero)
+    val tport = timedOut.start()
+    try {
+      req("PUT", "/slow")
+      req("PUT", "/slow/2012-08-28T21:24:00Z", """{"v": 1}""")
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$tport/slow/_query?group=60000&ptr=/v&reducer=sum"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 500)
+      assert(resp.body().contains("timed out"))
+    } finally timedOut.stop()
+  }
+
   test("gzip negotiation: Accept-Encoding gzip compresses the response") {
     req("PUT", "/gz")
     req("PUT", "/gz/2012-08-28T21:24:00Z", """{"v": 1}""")

@@ -32,4 +32,48 @@ class ToolsSpec extends SparkSpec {
     Load.main(Array(rootB, "db3", dumpFile, "2012-08-28T21:23:40Z"))
     assert(b.info("db3").docCount == 3)
   }
+
+  test("dump filename %-templating matches the reference's verbs") {
+    val t = java.time.LocalDateTime.of(2012, 8, 2, 9, 5, 7)
+    // %Y/%y year, %m/%d unpadded, %H/%M/%S two-digit — format.go:18-52
+    assert(Dump.formatName("%n-%Y%m%d-%H%M%S.json", "mydb", t) ==
+      "mydb-201282-090507.json")
+    assert(Dump.formatName("a%%b", "db", t) == "a%b")
+    assert(Dump.formatName("x%qy%", "db", t) == "xy") // unknown/lone % vanish
+    assert(Dump.formatName("plain.json", "db", t) == "plain.json")
+  }
+
+  test("sample tool poll-copies an HTTP source into a database (S12)") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    // a tiny source endpoint serving one JSON snapshot
+    val src = HttpServer.create(new InetSocketAddress(0), 0)
+    src.createContext("/stats", ex => {
+      val body = """{"temp": 21.5}""".getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    src.start()
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-sample").toString)
+    store.create("samples")
+    val api = new graft.http.SeriesHttp(store)
+    val port = api.start()
+    try {
+      val tNs = 1346189000123456789L
+      val r = Sample.copyOnce(
+        s"http://127.0.0.1:${src.getAddress.getPort}/stats",
+        s"http://127.0.0.1:$port/samples", tNs)
+      assert(r.isRight, r)
+      assert(store.get("samples", "2012-08-28T21:23:20.123456789Z")
+        .contains("""{"temp": 21.5}"""))
+      // a failing source is reported, not thrown (poll loop continues)
+      val bad = Sample.copyOnce(
+        s"http://127.0.0.1:${src.getAddress.getPort}/missing",
+        s"http://127.0.0.1:$port/samples", tNs)
+      assert(bad.isLeft)
+    } finally { api.stop(); src.stop(0) }
+  }
 }
