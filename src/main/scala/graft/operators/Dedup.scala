@@ -102,8 +102,7 @@ object Dedup {
    * LSH candidate generation). */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3): DataFrame = {
-    val sets = spread(df.select(id.as("doc_id"), text.as("__text")))
-      .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
+    val sets = shingled(df, id, text, shingleK)
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
@@ -131,7 +130,20 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val sets = shingled(df, id, text, shingleK)
     val cands = lshCandidates(sigsOf(sets, n), bands, n)
-    cands
+    // Length-ratio prefilter (an exact bound, not an approximation):
+    // J(A,B) ≤ min|·|/max|·|, so J ≥ t needs shingle-count ratio ≥ t.
+    // LSH floods candidates with just-below-threshold lookalikes; the
+    // prune runs against a bare (id, count) frame so the candidate
+    // joins shuffle two longs per pair — the full shingle arrays join
+    // only the survivors for the intersect/union verify.
+    val sizes = sets.select(col("doc_id"), size(col("ss")).as("sz"))
+    val pruned = cands
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .filter(least(col("sz1"), col("sz2")).cast("double") >=
+        lit(threshold) * greatest(col("sz1"), col("sz2")).cast("double"))
+      .select(col("id1"), col("id2"))
+    pruned
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
       .withColumn("jaccard",
