@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * exactly like the oracle's `range(1, len(v)+1)` indexing).
  */
 case class DotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
@@ -37,23 +37,34 @@ case class DotExpr(left: Expression, right: Expression)
   private lazy val leftFloat = elemIsFloat(left)
   private lazy val rightFloat = elemIsFloat(right)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      sum += x * y
-      i += 1
-    }
-    sum
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  // stays inside whole-stage codegen (was CodegenFallback — the ANN
+  // operators evaluate this once per corpus row × query, the hottest
+  // loop in the similarity family): one static call, primitive result
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.dot($a, $b, $leftFloat, $rightFloat)")
 }
 
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Generated-code entry point: left-to-right double accumulation
+   * over min(|a|, |b|) elements. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += x * y
+      i += 1
+    }
+    sum
+  }
 }

@@ -55,10 +55,13 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 
+  private val timeoutCount = new java.util.concurrent.atomic.LongAdder
+
   private def safely(ex: HttpExchange): Unit =
     try route(ex)
     catch {
-      case e: QueryTimeoutException => send(ex, 500, err(e.getMessage))
+      case e: QueryTimeoutException =>
+        timeoutCount.increment(); send(ex, 500, err(e.getMessage))
       case e: IllegalArgumentException => send(ex, 400, err(e.getMessage))
       case e: Exception => send(ex, 500, err(e.getMessage))
     } finally ex.close()
@@ -79,6 +82,20 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     (m, path) match {
       case ("GET", "/_all_dbs") =>
         send(ex, 200, store.list().map(jstr).mkString("[", ",", "]"))
+      // operational introspection (reference: /_debug/vars expvar +
+      // /_debug/open handle list, debug.go, main.go:72-75)
+      case ("GET", "/_debug/vars") =>
+        val rt = Runtime.getRuntime
+        send(ex, 200,
+          s"""{"dbs":${store.statsJson},""" +
+            s""""query_timeouts":${timeoutCount.sum()},""" +
+            s""""memstats":{"heap_used":${rt.totalMemory() - rt.freeMemory()},""" +
+            s""""heap_total":${rt.totalMemory()},"heap_max":${rt.maxMemory()}}}""")
+      case ("GET", "/_debug/open") =>
+        val scopes = QueryDeadline.activeScopes().map { case (g, (desc, t0)) =>
+          s"${jstr(g)}:{"+s""""desc":${jstr(desc)},"running_ms":${System.currentTimeMillis() - t0}}"""
+        }
+        send(ex, 200, scopes.mkString("{", ",", "}"))
       case (_, dbRe(db)) => dbRoute(ex, m, db, p)
       case (_, dbSubRe(db, sub)) => subRoute(ex, m, db, sub, p)
       case _ => send(ex, 404, err("no such route"))

@@ -32,6 +32,18 @@ object QueryDeadline {
   })
   private val seq = new AtomicLong(0L)
 
+  /** In-flight deadline scopes, for the `/_debug/open` introspection
+   * surface (the reference lists its open couchstore handles with the
+   * opening stack — debug.go:58-67; the Spark-side analog of an open
+   * handle is a live query scope and its job group). */
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  def activeScopes(): Map[String, (String, Long)] = {
+    val b = Map.newBuilder[String, (String, Long)]
+    active.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+
   /** Runs `body` — which must both build AND consume its Spark actions
    * on this thread (job groups are thread-local) — under `timeout`.
    * Infinite timeout runs unguarded; a non-positive one is refused up
@@ -50,12 +62,14 @@ object QueryDeadline {
     val cancel = timer.scheduleWithFixedDelay(new Runnable {
       def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
     }, timeout.toMillis, 250L, TimeUnit.MILLISECONDS)
+    active.put(group, (desc, System.currentTimeMillis()))
     try body
     catch {
       // the cancelled jobs surface as SparkException("... cancelled ...");
       // report the CAUSE (deadline) rather than the mechanism
       case _: Throwable if fired.get() => throw new QueryTimeoutException(timeout)
     } finally {
+      active.remove(group)
       cancel.cancel(false)
       sc.clearJobGroup()
     }

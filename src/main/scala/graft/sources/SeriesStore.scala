@@ -34,6 +34,35 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   Files.createDirectories(Paths.get(root))
 
+  /** Per-db operation counters for the `/_debug/vars` surface (the
+   * reference publishes `dbs` expvar stats — debug.go:69-112; its
+   * `written`/`qlen`/`opens`/`closes` map here to the operations a
+   * Spark-backed store actually performs). */
+  final class DbStat {
+    val written = new java.util.concurrent.atomic.LongAdder
+    val queries = new java.util.concurrent.atomic.LongAdder
+    val deletes = new java.util.concurrent.atomic.LongAdder
+    val compacts = new java.util.concurrent.atomic.LongAdder
+  }
+  private val dbStats =
+    new java.util.concurrent.ConcurrentHashMap[String, DbStat]()
+  private def stat(db: String): DbStat =
+    dbStats.computeIfAbsent(db, _ => new DbStat)
+
+  /** Snapshot of every db's counters, JSON-shaped for /_debug/vars. */
+  def statsJson: String = {
+    val sb = new StringBuilder("{")
+    var first = true
+    dbStats.forEach { (db, s) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append(jsonQuote(db)).append(s""":{"written":${s.written.sum()},""" +
+        s""""queries":${s.queries.sum()},"deletes":${s.deletes.sum()},""" +
+        s""""compacts":${s.compacts.sum()}}""")
+    }
+    sb.append('}').toString
+  }
+
   private def dbPath(db: String): Path = {
     require(db.nonEmpty && db.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"invalid database name: $db")
@@ -129,6 +158,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       Seq((ns, seq, json)).toDF("ts", "seq", "doc")
         .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
     }
+    stat(db).written.increment()
     TimeLib.formatCanonical(ns)
   }
 
@@ -151,6 +181,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     selected.select(col("ts"),
         (monotonically_increasing_id() + lit(base)).as("seq"), col("doc"))
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    stat(db).written.increment()
   }
 
   // per-DB next-seq floor, initialized from the persisted max so the
@@ -229,6 +260,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     to.foreach(s => cond = cond && col("ts") < parseBound(s))
     val before = f.count()
     val written = rewrite(db, f.filter(!cond))
+    stat(db).deletes.increment()
     before - written
   }
 
@@ -238,7 +270,7 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   /** POST /{db}/_compact: physically drop overwritten versions and
    * merge small files (database.go:136-171 ≈ Delta OPTIMIZE). */
-  def compact(db: String): Unit = rewrite(db, frame(db))
+  def compact(db: String): Unit = { rewrite(db, frame(db)); stat(db).compacts.increment() }
 
   /** Copy-compact + swap; returns the number of rows written. The
    * deduped input is cached across its two passes (sizing count +
@@ -288,6 +320,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * the response (the reference streams buckets the same way,
    * handlers.go:170-227). */
   def queryJsonChunks(db: String, q: SeriesQuery): Iterator[String] = {
+    stat(db).queries.increment()
     val df = SeriesEngine.query(frame(db), q, jsonEncoded = true)
     val rows = df.toLocalIterator().asScala
     var first = true
