@@ -2,7 +2,7 @@ package graft.http
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.operators.SeriesEngine.SeriesQuery
-import graft.sources.{QueryDeadline, QueryTimeoutException, SeriesStore}
+import graft.sources.{QueryCache, QueryDeadline, QueryTimeoutException, SeriesStore}
 
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
@@ -36,9 +36,16 @@ import scala.concurrent.duration.{Duration, DurationInt}
 /** `maxQueryTime` bounds the scan/query routes (_query, _all, _dump,
  * _bulk — the same four the reference wires its `-maxQueryTime` flag
  * into, main.go:88-94, default 5 min): past the deadline the query's
- * Spark job group is cancelled and the request errors. */
+ * Spark job group is cancelled and the request errors.
+ *
+ * `cache` serves repeat `_query` responses without touching the
+ * engine (the reference fronts queries with its memcached result
+ * cache the same way, cache.go:54-172); cached responses are sent
+ * whole rather than streamed — hit/miss counts appear in
+ * `/_debug/vars`. */
 class SeriesHttp(store: SeriesStore, port: Int = 0,
-    maxQueryTime: Duration = 5.minutes) {
+    maxQueryTime: Duration = 5.minutes,
+    cache: Option[QueryCache] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // without an executor every request runs on the single dispatcher
@@ -86,8 +93,10 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
       // /_debug/open handle list, debug.go, main.go:72-75)
       case ("GET", "/_debug/vars") =>
         val rt = Runtime.getRuntime
+        val cacheJson = cache.fold("")(c =>
+          s""""cache":{"hits":${c.hits},"misses":${c.misses}},""")
         send(ex, 200,
-          s"""{"dbs":${store.statsJson},""" +
+          s"""{"dbs":${store.statsJson},$cacheJson""" +
             s""""query_timeouts":${timeoutCount.sum()},""" +
             s""""memstats":{"heap_used":${rt.totalMemory() - rt.freeMemory()},""" +
             s""""heap_total":${rt.totalMemory()},"heap_max":${rt.maxMemory()}}}""")
@@ -192,7 +201,10 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     val q = SeriesQuery(group, ptrs, reds,
       from = p.get("from").map(_.head), to = p.get("to").map(_.head),
       filters = fs.zip(fvs))
-    sendStream(ex, store.queryJsonChunks(db, q))
+    cache match {
+      case Some(c) => send(ex, 200, c.queryJson(db, q))
+      case None => sendStream(ex, store.queryJsonChunks(db, q))
+    }
   }
 
   private def params(ex: HttpExchange): Map[String, Seq[String]] = {

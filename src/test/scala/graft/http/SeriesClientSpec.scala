@@ -47,6 +47,26 @@ class SeriesClientSpec extends SparkSpec {
     intercept[client.HttpError] { client.db("cdb").info() }
   }
 
+  test("cache-fronted _query serves repeats from cache and invalidates on write") {
+    val cache = new graft.sources.QueryCache(store)
+    val cachedApi = new SeriesHttp(store, cache = Some(cache))
+    val cport = cachedApi.start()
+    val cclient = new SeriesClient(s"http://127.0.0.1:$cport")
+    try {
+      cclient.create("qc")
+      val db = cclient.db("qc")
+      db.put("2012-08-28T21:24:00Z", """{"v": 7}""")
+      val q = SeriesQuery(60000L, Seq("/v"), Seq("sum"))
+      assert(db.query(q).get("1346189040000").get(0).asDouble() == 7.0)
+      assert(db.query(q).get("1346189040000").get(0).asDouble() == 7.0)
+      assert(cache.hits == 1 && cache.misses == 1)
+      // a write changes the storage version: same query misses again
+      db.put("2012-08-28T21:24:10Z", """{"v": 3}""")
+      assert(db.query(q).get("1346189040000").get(0).asDouble() == 10.0)
+      assert(cache.misses == 2)
+    } finally cachedApi.stop()
+  }
+
   test("debug endpoints expose per-db stats and active query scopes") {
     client.create("ddb")
     client.db("ddb").put("2012-08-28T21:24:00Z", """{"v": 1}""")
