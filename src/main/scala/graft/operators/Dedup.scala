@@ -170,36 +170,80 @@ object Dedup {
    *    at the cost of each doc shuffling ~groups times.
    *  - **Length-ratio prefilter** in the join condition:
    *    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires the size
-   *    ratio ≥ t — pairs are pruned before any array work. Both
-   *    measures are semantics-preserving.
+   *    ratio ≥ t — pairs are pruned before any array work.
+   *  - **Length-band blocking**: the same bound means a qualifying
+   *    pair's shingle counts lie within a factor 1/t of each other —
+   *    at most ONE logarithmic band (width ln(1/t)) apart. Each side
+   *    joins on a (own band, partner band) key covering only equal
+   *    and adjacent bands, so the quadratic step never crosses
+   *    far-apart length cohorts. Zero-shingle docs can satisfy no
+   *    pair (ratio 0 < t) and are dropped up front.
+   *
+   *    All three measures are semantics-preserving for t ∈ (0, 1].
    */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       block: Column, threshold: Double, shingleK: Int = 3,
       groups: Int = 8): DataFrame = {
     val sets = spread(df.select(id.as("doc_id"), block.as("blk"), text.as("__text")))
       .select(col("doc_id"), col("blk"), shingles(col("__text"), shingleK).as("ss"))
-      .withColumn("sz", size(col("ss")).cast("double"))
+    // The quadratic cell join runs on a SLIM (id, block, size) frame:
+    // the join buffers every equal-key group in memory and walks it
+    // O(n·m) times, so rows there must be a few longs, not
+    // hundred-element shingle arrays. The length-ratio bound
+    // (J ≤ min|·|/max|·|) prunes inside the join condition; only the
+    // surviving pairs — near-dups and near-misses — rejoin the arrays
+    // for the exact intersect/union.
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val logInvT = math.log(1.0 / threshold)
+    val slim = sets
+      .select(col("doc_id"), col("blk"), size(col("ss")).cast("double").as("sz"))
+      .filter(col("sz") > 0)
       .withColumn("grp", pmod(hash(col("doc_id")), lit(groups)))
-    // left copy of a doc serves cells (grp, b ≥ grp); right copy
-    // serves cells (a ≤ grp, grp) — pair (x ∈ gx ≤ gy ∋ y) meets in
-    // exactly cell (gx, gy)
-    val lside = sets.withColumn("cb", explode(sequence(col("grp"), lit(groups - 1))))
-      .alias("l")
-    val rside = sets.withColumn("ca", explode(sequence(lit(0), col("grp"))))
-      .alias("r")
-    lside.join(rside,
-        col("l.blk") === col("r.blk") &&
+      .withColumn("band",
+        if (logInvT == 0.0) lit(0)
+        else floor(log(col("sz")) / lit(logInvT)).cast("int"))
+    val ratioOk =
+      least(col("l.sz"), col("r.sz")) >=
+        lit(threshold) * greatest(col("l.sz"), col("r.sz"))
+    val pairCols = Seq(
+      least(col("l.doc_id"), col("r.doc_id")).as("id1"),
+      greatest(col("l.doc_id"), col("r.doc_id")).as("id2"))
+    // SAME-band pairs: the triangle-cell decomposition — left copy of
+    // a doc serves cells (grp, b ≥ grp); right copy serves cells
+    // (a ≤ grp, grp) — pair (x ∈ gx ≤ gy ∋ y) meets in exactly cell
+    // (gx, gy); diagonal cells see both orderings, keep one.
+    val lsame = slim.withColumn("cb",
+      explode(sequence(col("grp"), lit(groups - 1)))).alias("l")
+    val rsame = slim.withColumn("ca",
+      explode(sequence(lit(0), col("grp")))).alias("r")
+    val same = lsame.join(rsame,
+        col("l.blk") === col("r.blk") && col("l.band") === col("r.band") &&
           col("l.grp") === col("r.ca") && col("l.cb") === col("r.grp") &&
-          // diagonal cells see both orderings; keep one
           (col("l.grp") =!= col("r.grp") || col("l.doc_id") < col("r.doc_id")) &&
-          least(col("l.sz"), col("r.sz")) >=
-            lit(threshold) * greatest(col("l.sz"), col("r.sz")))
+          ratioOk)
+      .select(pairCols: _*)
+    // ADJACENT-band pairs (band b left, band b+1 right): the band
+    // inequality orients the pair, so each meets exactly once with no
+    // ordering guard; the left copy fans over the full grp grid for
+    // parallelism. (A single joint key covering both cases would need
+    // one orientation rule, and band- and grp-orientation can
+    // contradict each other — hence two joins.)
+    val lnext = slim.withColumn("cb",
+      explode(sequence(lit(0), lit(groups - 1)))).alias("l")
+    val next = lnext.join(slim.alias("r"),
+        col("l.blk") === col("r.blk") &&
+          col("l.band") + 1 === col("r.band") &&
+          col("l.cb") === col("r.grp") && ratioOk)
+      .select(pairCols: _*)
+    val cands = same.unionByName(next)
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
       .withColumn("jaccard",
-        size(array_intersect(col("l.ss"), col("r.ss"))).cast("double") /
-          size(array_union(col("l.ss"), col("r.ss"))).cast("double"))
+        size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
+          size(array_union(col("ss1"), col("ss2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("l.doc_id"), col("r.doc_id")).as("id1"),
-        greatest(col("l.doc_id"), col("r.doc_id")).as("id2"), col("jaccard"))
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   // ---------------- SimHash ---------------------------------------------

@@ -416,12 +416,17 @@ object SeriesEngine {
         when(col(s"__num_$i").isNotNull,
           coalesce(col(s"__prev_${i}_w"), col(s"__carry_$i"))))
     }
-    // rate for pointer i at parsable row j, charged to prev bucket
+    // rate for pointer i at parsable row j, charged to prev bucket.
+    // try_divide: two docs can legally share one ns timestamp (ties
+    // break on seq), and ANSI mode would THROW on the zero time gap
+    // where Go's float division yields ±Inf — either way the pair is
+    // dropped (the reference's isfinite check, query.go:390; the null
+    // here fails `emit` the same way), but the query must not abort.
     val out = ratePtrs.indices.foldLeft(df) { case (d, i) =>
       val n = col(s"__num_$i")
       val p = col(s"__prev_$i")
-      val rate = (n - p.getField("v")) /
-        ((col("ts") - p.getField("ts")).cast(DoubleType) / lit(1e9))
+      val rate = try_divide(n - p.getField("v"),
+        (col("ts") - p.getField("ts")).cast(DoubleType) / lit(1e9))
       val emit = n.isNotNull && p.isNotNull &&
         col("__prev_doc_bucket") === p.getField("b") &&
         !isnan(rate) && rate =!= lit(Double.PositiveInfinity) &&

@@ -203,6 +203,22 @@ class SeriesEngineSpec extends SparkSpec {
       Seq((B * 1000, 10.0), ((B + 5) * 1000, 0.0)))
   }
 
+  test("same-timestamp docs: zero time-gap pair is dropped, not an error") {
+    // ties are legal (seq breaks ordering); ANSI double division would
+    // abort the whole query on the 0 s gap where Go yields ±Inf and
+    // drops the pair (query.go:390)
+    val ts = (B + 1) * 1000000000L
+    val df = Seq(
+      (ts, 1L, """{"v": 10}"""),
+      (ts, 2L, """{"v": 99}"""), // same ns as the first: gap = 0
+      ((B + 3) * 1000000000L, 3L, """{"v": 20}""")
+    ).toDF("ts", "seq", "doc")
+    val rows = SeriesEngine.query(df, SeriesQuery(groupMs = 60000,
+      ptrs = Seq("/v"), reducers = Seq("c"), names = Seq("c"))).collect()
+    // only the (99 → 20 over 2 s) pair survives: (20-99)/2 = -39.5
+    assert(rows.map(_.get(1)).toSeq == Seq(-39.5))
+  }
+
   test("rate pass is group-boundary-invariant (scalable windows)") {
     // 40 parsable docs at 1 s intervals, 12 s buckets: pair chains and
     // doc-lag state cross every group boundary when groups are 1

@@ -12,7 +12,18 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver tables are single files; ScaleGen tables are directories
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    sel = f"SELECT * FROM read_parquet('{pat}')"
+    if name == "events":
+        # ScaleGen writes ts as epoch-ns BIGINT (Spark cannot write
+        # TIMESTAMP(NANOS)); the oracle SQL reads ts only at µs
+        # timestamp column — normalize in the view
+        t = con.execute(f"SELECT typeof(ts) FROM ({sel}) LIMIT 1").fetchone()[0]
+        if t == "BIGINT":
+            sel = (f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                   f"FROM read_parquet('{pat}')")
+    con.execute(f"CREATE VIEW {name} AS {sel}")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes = [], []
