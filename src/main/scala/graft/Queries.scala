@@ -465,6 +465,15 @@ object Queries {
         col("doc_id"), col("text"), threshold = 0.8),
       Some(minhashOracle(0.8))),
 
+    // pairs → connected components → keeper per component: the
+    // keep-list step a dedup pipeline consumes (transitive closure,
+    // not pairwise keeper-wins)
+    "dedup_clusters" -> Entry(
+      (s, dir) => Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), threshold = 0.8))
+        .orderBy(col("doc_id")),
+      Some(clustersOracle(0.8))),
+
     "dedup_simhash" -> Entry(
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"),
         col("doc_id"), col("text")).orderBy(col("doc_id")),
@@ -628,7 +637,9 @@ object Queries {
    * bucket join, exact Jaccard verify — mirrors Dedup.minhashPairs
    * term for term. Loop bounds derive from the SAME parameters the
    * Spark call sites pass, so the two sides cannot silently drift. */
-  private def minhashOracle(threshold: Double, n: Int = 64, bands: Int = 16,
+  /** The shared CTE chain ending in `pairs(id1, id2, jaccard)` — the
+   * DuckDB mirror of [[Dedup.minhashPairs]]. */
+  private def minhashPairsCte(threshold: Double, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): String = {
     require(n % bands == 0)
     val p = Dedup.MinhashP
@@ -641,7 +652,7 @@ object Queries {
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
     val shingle = (0 until shingleK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sets AS (SELECT doc_id, list_distinct(list_transform(
           range(1, len(w) - ${shingleK - 2}), i -> $shingle)) AS ss
         FROM w WHERE len(w) >= $shingleK),
@@ -651,14 +662,32 @@ object Queries {
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-          AND l.doc_id < r.doc_id)
-      SELECT id1, id2, jaccard FROM (
+          AND l.doc_id < r.doc_id),
+      pairs AS (SELECT id1, id2, jaccard FROM (
         SELECT c.id1, c.id2,
           len(list_intersect(a.ss, b.ss))::DOUBLE /
             len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
         FROM cand c JOIN sets a ON a.doc_id = c.id1 JOIN sets b ON b.doc_id = c.id2)
-      WHERE jaccard >= $threshold ORDER BY 1, 2"""
+        WHERE jaccard >= $threshold)"""
   }
+
+  private def minhashOracle(threshold: Double): String =
+    s"""WITH ${minhashPairsCte(threshold)}
+      SELECT id1, id2, jaccard FROM pairs ORDER BY 1, 2"""
+
+  /** Transitive closure of the pair graph via a recursive CTE: every
+   * (node, reachable node) pair, then min per node — the component
+   * minimum [[Dedup.clusters]] computes by label propagation. */
+  private def clustersOracle(threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairsCte(threshold)},
+      ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      walk(id, r) AS (
+        SELECT src, src FROM ed
+        UNION
+        SELECT wk.id, e.dst FROM walk wk JOIN ed e ON wk.r = e.src)
+      SELECT id AS doc_id, min(r) AS cluster_id FROM walk
+      GROUP BY id ORDER BY 1"""
 
   /** DuckDB mirror of [[Similarity.sketchKey]]: the `planes` sign bits
    * of dot(v, r_p) for hash table `t`, with the same md5-derived ±1

@@ -246,6 +246,55 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /**
+   * Cluster resolution over near-dup pairs: maps every paired doc to
+   * its connected component's minimum id (`cluster_id`) — the
+   * keep-list step a dedup pipeline actually consumes (keep rows with
+   * `doc_id == cluster_id`). Pairwise keeper-wins is not enough:
+   * near-dup relations chain (A~B, B~C with no A~C pair), and only
+   * the transitive closure dedups the whole chain against one keeper.
+   * Docs in no pair are absent (their cluster is trivially
+   * themselves).
+   *
+   * Implementation: join-based iterative min-label propagation — every
+   * node starts as its own label; each round takes the min of its and
+   * its neighbors' labels; converges in O(component diameter) rounds
+   * (duplicate clusters are near-cliques, so typically 1-3). Each
+   * round is one equi-join + group-by over the EDGE list — nothing is
+   * ever collected to the driver, so components of any size stay
+   * distributed. `localCheckpoint` materializes each round's labels,
+   * cutting the exponentially growing lineage the loop would
+   * otherwise build.
+   */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint() // pairs may be a whole LSH pipeline: run it once
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("dst_label")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+        .select(col("src").as("doc_id"), col("nbr_label"))
+      val next = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   // ---------------- SimHash ---------------------------------------------
 
   /** 60-bit SimHash fingerprints (see graft.functions.SimHash60).

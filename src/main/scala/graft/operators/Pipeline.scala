@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
  *   1. `exact_dup` — another doc with the same content fingerprint
  *      has a smaller id (greedy min-id keeper);
  *   2. `near_dup`  — a MinHash+LSH verified pair marks this doc as
- *      the larger id (greedy, deterministic — no transitive closure);
+ *      the larger id (greedy, deterministic; for full transitive-
+ *      closure resolution — one keeper per CHAIN of near-dups —
+ *      compose [[Dedup.clusters]] over the pairs instead);
  *   3. `lang`      — language ID outside the allowed set;
  *   4. `quality`   — quality score below the floor;
  *   5. `keep`.

@@ -4,6 +4,23 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
+
+  test("clusters: transitive closure maps chains to one keeper") {
+    import spark.implicits._
+    // components: {1,5,2} via chain 1-5, 5-2 (no 1-2 pair); {7,9}; 3 unpaired
+    val pairs = Seq((1L, 5L), (5L, 2L), (7L, 9L)).toDF("id1", "id2")
+    val got = Dedup.clusters(pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("clusters: long path needs multiple propagation rounds") {
+    import spark.implicits._
+    // a path 10-9-8-...-1: diameter 9, keeper 1 for every node
+    val pairs = (1L until 10L).map(i => (i + 1, i)).toDF("id1", "id2")
+    val got = Dedup.clusters(pairs).collect()
+    assert(got.length == 10 && got.forall(_.getLong(1) == 1L))
+  }
   import spark.implicits._
 
   val docs = Seq(
