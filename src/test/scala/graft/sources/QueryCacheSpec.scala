@@ -6,6 +6,28 @@ import java.nio.file.Files
 
 class QueryCacheSpec extends SparkSpec {
 
+  test("byte budget converges: replacement credits and looped eviction") {
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qcb").toString)
+    store.create("db")
+    (0 until 6).foreach(i =>
+      store.store("db", Some(s"2012-08-28T21:2$i:00Z"), s"""{"v": $i}"""))
+    // single-bucket responses (~48 bytes); the 160-byte budget fits 3,
+    // so six distinct shapes force the eviction loop repeatedly
+    def q(i: Int) = SeriesQuery(60000, Seq("/v"), Seq("sum"),
+      from = Some("2012-08-28T21:20:00Z"), to = Some("2012-08-28T21:20:59Z"),
+      filters = Seq("/v" -> s"$i"), names = Seq("s"))
+    val cache = new QueryCache(store, capacity = 256, maxBytes = 160)
+    (0 until 6).foreach(i => cache.queryJson("db", q(i)))
+    // the LAST shape survived eviction → hit; the FIRST was evicted by
+    // the byte bound → recomputes
+    val missesBefore = cache.misses
+    cache.queryJson("db", q(5))
+    assert(cache.misses == missesBefore && cache.hits >= 1)
+    cache.queryJson("db", q(0))
+    assert(cache.misses == missesBefore + 1)
+  }
+
   test("caches _query responses; any write invalidates via storage version (S11)") {
     val store = new SeriesStore(spark,
       Files.createTempDirectory("graft-qc").toString)

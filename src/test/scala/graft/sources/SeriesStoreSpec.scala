@@ -126,4 +126,31 @@ class SeriesStoreSpec extends SparkSpec {
       filters = Seq("/sub/x" -> "a")))
     assert(json == """{"1346189040000":[20]}""")
   }
+
+  test("concurrent reads, writes, and compacts never abort (recover/rewrite race)") {
+    // regression for the frame()-recover vs rewrite() two-rename race:
+    // an unlocked read landing mid-swap could roll .old back and fail
+    // the in-flight compact. Hammer all three paths concurrently.
+    val s = newStore()
+    s.create("db")
+    (0 until 20).foreach(i =>
+      s.store("db", Some(s"2012-08-28T21:24:${10 + i}Z"), s"""{"v": $i}"""))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def spawn(f: => Unit): Thread = {
+      val t = new Thread(() =>
+        while (!stop.get()) try f catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    val threads = Seq(
+      spawn { s.info("db"); () },
+      spawn { s.get("db", "2012-08-28T21:24:15Z"); () },
+      spawn { s.compact("db") },
+      spawn { s.store("db", None, """{"v": 99}"""); () })
+    Thread.sleep(4000)
+    stop.set(true)
+    threads.foreach(_.join(30000))
+    assert(errs.isEmpty, s"concurrent ops failed: ${errs.peek()}")
+    assert(s.info("db").docCount >= 20)
+  }
 }
