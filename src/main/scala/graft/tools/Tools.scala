@@ -70,7 +70,14 @@ object Dump {
     val lines = store.dump(args(1))
     if (args.length > 2) {
       val out = formatName(args(2), args(1), java.time.LocalDateTime.now())
-      val w = Files.newBufferedWriter(Paths.get(out))
+      // the reference's dump tool always gzips (dump.go:46-63); here a
+      // .gz suffix opts in, so plain-text dumps stay possible
+      val raw = Files.newOutputStream(Paths.get(out))
+      val os = if (out.endsWith(".gz"))
+        new java.util.zip.GZIPOutputStream(raw) { `def`.setLevel(9) }
+      else raw
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
       try lines.foreach { l => w.write(l); w.newLine() } finally w.close()
     } else lines.foreach(println)
   }
@@ -138,11 +145,22 @@ object Load {
     else Long.MinValue
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val lines = Files.lines(Paths.get(args(2)))
+    // auto-detect gzip dumps by magic bytes (reference dumps are
+    // always gzipped; ours opt in via .gz)
+    val path = Paths.get(args(2))
+    val head = {
+      val in = Files.newInputStream(path)
+      try { val b = new Array[Byte](2); in.read(b); b } finally in.close()
+    }
+    val gz = (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      if (gz) new java.util.zip.GZIPInputStream(Files.newInputStream(path))
+      else Files.newInputStream(path),
+      java.nio.charset.StandardCharsets.UTF_8))
     var n = 0L
     try {
       // bounded driver memory: batches of 100k docs, not the whole file
-      lines.iterator().asScala
+      reader.lines().iterator().asScala
         .filter(_.nonEmpty)
         .flatMap { line =>
           val node = JsonPointersExpr.mapper.readTree(line)
@@ -159,7 +177,7 @@ object Load {
           store.storeBatch(args(1), batch.toDF("ts", "doc"))
           n += batch.size
         }
-    } finally lines.close()
+    } finally reader.close()
     println(s"loaded $n documents into ${args(1)}")
   }
 }

@@ -87,6 +87,53 @@ class PropertySpec extends AnyFunSuite {
     }, min = 20)
   }
 
+  test("minhash signature expression matches a reference fold on random shingles") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, lit, split}
+    import spark.implicits._
+    val docGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty))
+        .map(_.take(30)))
+    check(Prop.forAllNoShrink(docGen) { docs =>
+      val n = 16
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          graft.functions.MinHashSigExpr.minhashSig(split(col("text"), " "), n)
+            .as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // reference fold: per-token md5-60 hash mod p, then n minima
+      val md = java.security.MessageDigest.getInstance("MD5")
+      docs.zipWithIndex.forall { case (ws, i) =>
+        val hs = ws.map(w => graft.functions.SimHash60
+          .hash60(md, w.getBytes("UTF-8")) % Dedup.MinhashP)
+        val expect = (0 until n).map(j =>
+          hs.map(h => (Dedup.minhashA(j) * h + Dedup.minhashB(j)) % Dedup.MinhashP).min)
+        got(i.toLong) == expect
+      }
+    }, min = 20)
+  }
+
+  test("cluster labels are a fixpoint: every edge joins equal labels") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))
+        .suchThat { case (a, b) => a != b }).map(_.take(40))
+    check(Prop.forAllNoShrink(edgeGen) { es =>
+      val pairs = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .toDF("id1", "id2")
+      val labels = Dedup.clusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // fixpoint (connected ⇒ same label) and minimality (label is a
+      // member of its own cluster and the min of its members)
+      val byLabel = labels.groupBy(_._2).view.mapValues(_.keys.min).toMap
+      es.forall { case (a, b) => labels(a) == labels(b) } &&
+        byLabel.forall { case (lbl, minMember) => lbl == minMember }
+    }, min = 15)
+  }
+
   test("identity preserves count and order for random string values") {
     import spark.implicits._
     val strGen = Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(8)))

@@ -33,6 +33,21 @@ class ToolsSpec extends SparkSpec {
     assert(b.info("db3").docCount == 3)
   }
 
+  test("gzipped dump round-trips through load (reference dumps always gzip)") {
+    val root = Files.createTempDirectory("graft-tools-gz").toString
+    val a = new SeriesStore(spark, root)
+    a.create("db")
+    a.storeBatch("db", Seq((1346189000L * 1000000000L, """{"z": 1}"""))
+      .toDF("ts", "doc"))
+    val gzFile = Files.createTempFile("graft-dump", ".jsonl.gz").toString
+    Dump.main(Array(root, "db", gzFile))
+    // really gzip on disk
+    val head = Files.readAllBytes(java.nio.file.Paths.get(gzFile)).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+    Load.main(Array(root, "db2", gzFile))
+    assert(a.get("db2", "2012-08-28T21:23:20Z").contains("""{"z":1}"""))
+  }
+
   test("dump filename %-templating matches the reference's verbs") {
     val t = java.time.LocalDateTime.of(2012, 8, 2, 9, 5, 7)
     // %Y/%y year, %m/%d unpadded, %H/%M/%S two-digit — format.go:18-52
