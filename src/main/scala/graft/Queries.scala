@@ -465,6 +465,36 @@ object Queries {
         col("doc_id"), col("text"), threshold = 0.8),
       Some(minhashOracle(0.8))),
 
+    // deterministic hash-based sampling: reproducible on any engine
+    // with md5 — the oracle recomputes the exact subset
+    "sample_stratified" -> Entry(
+      (s, dir) => graft.operators.Sampling.stratified(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some("""WITH f AS (SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0) AS fr
+        FROM documents)
+        SELECT doc_id, lang FROM f
+        WHERE fr < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+        ORDER BY doc_id""")),
+
+    "sample_split" -> Entry(
+      (s, dir) => graft.operators.Sampling.split(t(s, dir, "documents"),
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split")),
+      Some("""WITH f AS (SELECT doc_id,
+          (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0) AS fr
+        FROM documents)
+        SELECT (CASE WHEN fr < 0.8/(0.8+0.1+0.1) THEN 'train'
+                     WHEN fr < (0.8+0.1)/(0.8+0.1+0.1) THEN 'val'
+                     ELSE 'test' END) AS split,
+          count(*) AS n, sum(doc_id) AS id_sum
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
     // pairs → connected components → keeper per component: the
     // keep-list step a dedup pipeline consumes (transitive closure,
     // not pairwise keeper-wins)

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines: membership is a
+ * pure function of the row's id (60-bit md5 hash mapped to [0, 1)),
+ * so samples are reproducible across runs, engines, and cluster
+ * layouts — no RNG state, no per-partition seeds, and any engine with
+ * md5 can recompute the exact same subset (the correctness oracle
+ * does). Both operators are one codegen'd filter over the scan: no
+ * shuffle, no driver involvement, linear at any scale.
+ */
+object Sampling {
+
+  /** `hash60(id) / 2^60 ∈ [0, 1)` — the uniform deterministic
+   * coordinate every sampling decision derives from. Ids are hashed
+   * as strings so long and string keys sample identically. */
+  def fraction(id: Column): Column =
+    graft.functions.Hash60Expr.hash60(id.cast("string")) /
+      lit(1152921504606846976.0) // 2^60
+
+  /** Uniform `rate` sample: keep iff fraction(id) < rate. */
+  def uniform(df: DataFrame, id: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    df.filter(fraction(id) < lit(rate))
+  }
+
+  /**
+   * Stratified sampling with per-stratum rates (per-language /
+   * per-source quotas): keep a row iff `fraction(id) < rate(stratum)`,
+   * with `default` for strata not in the map. One scan, no shuffle;
+   * the rate lookup compiles to a CASE chain.
+   *
+   * Because every decision reuses the SAME id coordinate, the kept
+   * sets are NESTED across rates (a 10% sample is a subset of a 20%
+   * one) — lowering a stratum's quota never introduces previously
+   * unseen rows, which keeps incremental re-runs of a corpus build
+   * monotone.
+   */
+  def stratified(df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((default +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(default)) { case (acc, (k, r)) =>
+      when(stratum === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(fraction(id) < rate)
+  }
+
+  /**
+   * Deterministic K-way split (train/validation/test): assigns each
+   * row a split label by cumulative weight over the id coordinate.
+   * Splits are disjoint, exhaustive, and stable under re-runs; rows
+   * never migrate between splits when weights are appended (only when
+   * earlier weights change).
+   */
+  def split(df: DataFrame, id: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    val total = weights.map(_._2).sum
+    require(total > 0, "weights must sum > 0")
+    val f = fraction(id)
+    // thresholds are (w1+…+wi)/total with LEFT-TO-RIGHT addition —
+    // the exact FP ops an external engine writes as literal
+    // `(w1+…+wi)/(w1+…+wn)`, so boundary rows land identically
+    val (cases, _) = weights.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, cumRaw), (name, w)) =>
+        val nextRaw = cumRaw + w
+        val lo = cumRaw / total
+        val hi = nextRaw / total
+        (when(f >= lit(lo) && f < lit(hi), lit(name)).otherwise(acc), nextRaw)
+    }
+    // float edge: f is strictly < 1, but guard the last bucket anyway
+    df.withColumn("split", coalesce(cases, lit(weights.last._1)))
+  }
+}
