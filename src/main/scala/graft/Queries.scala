@@ -479,6 +479,16 @@ object Queries {
         WHERE fr < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
         ORDER BY doc_id""")),
 
+    "sample_uniform" -> Entry(
+      (s, dir) => graft.operators.Sampling.uniform(t(s, dir, "documents"),
+          col("doc_id"), rate = 0.3)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some("""WITH f AS (SELECT doc_id, lang,
+          (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0) AS fr
+        FROM documents)
+        SELECT doc_id, lang FROM f WHERE fr < 0.3 ORDER BY doc_id""")),
+
     "sample_split" -> Entry(
       (s, dir) => graft.operators.Sampling.split(t(s, dir, "documents"),
           col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -492,7 +502,7 @@ object Queries {
         SELECT (CASE WHEN fr < 0.8/(0.8+0.1+0.1) THEN 'train'
                      WHEN fr < (0.8+0.1)/(0.8+0.1+0.1) THEN 'val'
                      ELSE 'test' END) AS split,
-          count(*) AS n, sum(doc_id) AS id_sum
+          count(*) AS n, sum(doc_id)::BIGINT AS id_sum
         FROM f GROUP BY 1 ORDER BY 1""")),
 
     // pairs → connected components → keeper per component: the

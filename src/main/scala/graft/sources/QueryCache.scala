@@ -80,8 +80,11 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
     h
   }
 
-  /** Metadata-only storage version: FNV-1a over sorted
-   * (name, size, mtime) of the db's files. */
+  /** Metadata-only storage version: FNV-1a over the db's write-locked
+   * mutation counter (`_graft_version`, bumped by every store/delete/
+   * compact — immune to filesystem timestamp granularity) plus sorted
+   * (name, size, nanosecond mtime) of the db's files, which catches
+   * out-of-band modifications the counter can't see. */
   private[sources] def storageVersion(db: String): Long = {
     val dir = java.nio.file.Paths.get(store.rootDir, db + SeriesStore.dbExt)
     if (!Files.isDirectory(dir)) return 0L
@@ -90,11 +93,13 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
       val files = walk.filter(Files.isRegularFile(_))
         .sorted(java.util.Comparator.comparing[Path, String](_.toString))
         .toArray(new Array[Path](_))
-      var h = Fnv.offset
+      var h = Fnv.mixLong(Fnv.offset, store.currentVersion(db))
       files.foreach { p =>
         h = Fnv.mix(h, p.getFileName.toString)
         h = Fnv.mixLong(h, Files.size(p))
-        h = Fnv.mixLong(h, Files.getLastModifiedTime(p).toMillis)
+        val mtime = Files.getLastModifiedTime(p).toInstant
+        h = Fnv.mixLong(h, mtime.getEpochSecond)
+        h = Fnv.mixLong(h, mtime.getNano.toLong)
       }
       h
     } finally walk.close()

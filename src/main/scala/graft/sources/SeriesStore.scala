@@ -157,6 +157,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       Files.deleteIfExists(cleanMarker(db))
       Seq((ns, seq, json)).toDF("ts", "seq", "doc")
         .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+      bumpVersion(db)
     }
     stat(db).written.increment()
     TimeLib.formatCanonical(ns)
@@ -181,6 +182,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     selected.select(col("ts"),
         (monotonically_increasing_id() + lit(base)).as("seq"), col("doc"))
       .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
+    bumpVersion(db)
     stat(db).written.increment()
   }
 
@@ -221,6 +223,37 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   private def cleanMarker(db: String): Path =
     dbPath(db).resolve("_graft_clean")
+
+  /** Monotonic per-db mutation counter, persisted as `_graft_version`
+   * inside the db directory (leading `_` → invisible to parquet
+   * scans). File (size, mtime) metadata alone cannot distinguish two
+   * rewrites landing in the same mtime tick with identical sizes, so
+   * every mutating operation bumps this counter under the db's write
+   * lock and the query cache mixes its CONTENT into the storage
+   * version — invalidation is guaranteed regardless of filesystem
+   * timestamp granularity. */
+  private[sources] def versionFile(db: String): Path =
+    dbPath(db).resolve("_graft_version")
+
+  /** Must be called with the db's write lock held. */
+  private def bumpVersion(db: String): Unit =
+    writeVersion(db, currentVersion(db) + 1)
+
+  private def writeVersion(db: String, v: Long): Unit = {
+    val vf = versionFile(db)
+    val tmp = Paths.get(vf.toString + ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, vf, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def currentVersion(db: String): Long = {
+    val vf = versionFile(db)
+    if (Files.exists(vf))
+      try new String(Files.readAllBytes(vf), "UTF-8").trim.toLong
+      catch { case _: NumberFormatException => 0L }
+    else 0L
+  }
 
   /** GET /{db}/{key} point get (handlers.go:422-429). */
   def get(db: String, key: String): Option[String] = {
@@ -290,6 +323,13 @@ class SeriesStore(spark: SparkSession, root: String) {
         else cached.repartitionByRange(partitions, col("ts"))
       sized.sortWithinPartitions("ts")
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // the bumped counter is staged INSIDE tmp so the atomic rename
+      // carries data + version together: a crash at any point leaves
+      // either (old data, old counter) after recover()'s rollback or
+      // (new data, new counter) — never a mix that could alias a
+      // version already served to the cache
+      Files.write(tmp.resolve("_graft_version"),
+        (currentVersion(db) + 1).toString.getBytes("UTF-8"))
       val old = Paths.get(p.toString + ".old")
       Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
