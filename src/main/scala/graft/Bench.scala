@@ -14,11 +14,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // headline queries: one per operator family (series agg, series
-    // rate, scan, TPC-H agg/join, dedup, ANN, text)
+    // rate, scan, TPC-H agg/join, window, dedup incl. transitive
+    // clusters, ANN incl. IVF, text, sampling, full pipeline) — every
+    // family has a row here, so a perf regression anywhere is visible
+    // in BENCH_r*.json
     val headline = Seq("q_series_sum_hour", "q_series_rate_hour",
       "q_series_multi_day", "q_all_range_limit", "q1_agg", "q3_topk_join",
-      "q5_multijoin", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "ann_cosine_topk", "text_langid", "text_quality", "text_tokens")
+      "q5_multijoin", "q_window_topk", "q_orders_monthly",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+      "ann_cosine_topk", "ann_ivf_topk", "text_langid", "text_quality",
+      "text_tokens", "sample_stratified", "pipeline_clean")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -365,12 +365,19 @@ object Queries {
 
     "q5_multijoin" -> Entry(
       (s, dir) => {
-        val dims = broadcast(
-          t(s, dir, "supplier")
-            .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        // only nation x region is hinted: those are FIXED-cardinality
+        // (25 x 5 rows at any SF) so the broadcast is always safe;
+        // supplier grows with SF, so its join — like customer's — is
+        // left to AQE, which broadcasts while it fits and shuffles
+        // beyond that
+        val natRegion = broadcast(
+          t(s, dir, "nation")
             .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
               col("n_regionkey") === col("r_regionkey"))
-            .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+            .select(col("n_nationkey"), col("n_name")))
+        val dims = t(s, dir, "supplier")
+          .join(natRegion, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
         val ord = t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") &&
             col("o_orderdate") < lit("1997-01-01"))
@@ -643,6 +650,15 @@ object Queries {
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
         jaccardThreshold = 0.8))),
 
+    "pipeline_clean_clusters" -> Entry(
+      (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
+          useClusters = true)
+        .orderBy(col("doc_id")),
+      Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
+        jaccardThreshold = 0.8, useClusters = true))),
+
     "multimodal_frames" -> Entry(
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents")
@@ -812,15 +828,30 @@ object Queries {
    * MinHash near-dup drops (reusing the full LSH oracle as a
    * subquery), language/quality gates, first-reason-wins. */
   private def pipelineOracle(langs: Seq[String], minQuality: Double,
-      jaccardThreshold: Double): String = {
+      jaccardThreshold: Double, useClusters: Boolean = false): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
-    s"""WITH fpt AS (
+    // greedy: every id2 of a verified pair drops. clusters: the
+    // recursive-CTE transitive closure drops every non-minimum of its
+    // component (the clustersOracle shape composed into the pipeline)
+    val nearCte =
+      if (useClusters)
+        s"""ed AS (SELECT id1 AS src, id2 AS dst FROM (${minhashOracle(jaccardThreshold)})
+            UNION SELECT id2, id1 FROM (${minhashOracle(jaccardThreshold)})),
+          walk(id, r) AS (
+            SELECT src, src FROM ed
+            UNION
+            SELECT wk.id, e.dst FROM walk wk JOIN ed e ON wk.r = e.src),
+          near AS (SELECT id AS doc_id FROM walk GROUP BY id
+            HAVING id <> min(r))"""
+      else
+        s"near AS (SELECT DISTINCT id2 AS doc_id FROM (${minhashOracle(jaccardThreshold)}))"
+    s"""WITH ${if (useClusters) "RECURSIVE " else ""}fpt AS (
         SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fp
         FROM documents),
       keepfp AS (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY 1),
       exact_dups AS (SELECT f.doc_id FROM fpt f JOIN keepfp k USING (fp)
         WHERE f.doc_id <> k.keep_id),
-      near AS (SELECT DISTINCT id2 AS doc_id FROM (${minhashOracle(jaccardThreshold)})),
+      $nearCte,
       lg AS (SELECT doc_id, lang_pred FROM (${langidOracle})),
       qu AS (SELECT doc_id, quality FROM (${qualityOracle})),
       decided AS (SELECT d.doc_id,

@@ -40,12 +40,18 @@ import scala.concurrent.duration.{Duration, DurationInt}
  *
  * `cache` serves repeat `_query` responses without touching the
  * engine (the reference fronts queries with its memcached result
- * cache the same way, cache.go:54-172); cached responses are sent
- * whole rather than streamed — hit/miss counts appear in
- * `/_debug/vars`. */
+ * cache the same way, cache.go:54-172); cached responses stream out
+ * chunked exactly like computed ones — hit/miss counts appear in
+ * `/_debug/vars`.
+ *
+ * `minQueryLogDuration` is the reference's `-minQueryLogDuration`
+ * (main.go:41-42, query.go:329-331): any `_query` slower than the
+ * threshold is logged and lands in `/_debug/vars` under
+ * `slow_queries` (count) and `slow_query_log` (most recent 32). */
 class SeriesHttp(store: SeriesStore, port: Int = 0,
     maxQueryTime: Duration = 5.minutes,
-    cache: Option[QueryCache] = None) {
+    cache: Option[QueryCache] = None,
+    minQueryLogDuration: Duration = 100.millis) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // without an executor every request runs on the single dispatcher
@@ -63,6 +69,39 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
   def stop(): Unit = server.stop(0)
 
   private val timeoutCount = new java.util.concurrent.atomic.LongAdder
+
+  // slow-query observability: count + a bounded ring of the most
+  // recent offenders (query description, elapsed ms, wall time)
+  private val slowCount = new java.util.concurrent.atomic.LongAdder
+  private val slowLog = new java.util.ArrayDeque[(String, Long, Long)]()
+  private val logger = org.slf4j.LoggerFactory.getLogger(classOf[SeriesHttp])
+
+  private def timedQuery[T](desc: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally {
+      val ms = (System.nanoTime() - t0) / 1000000L
+      if (ms >= minQueryLogDuration.toMillis) {
+        slowCount.increment()
+        logger.warn(s"slow query ($ms ms): $desc")
+        slowLog.synchronized {
+          if (slowLog.size >= slowLogSize) slowLog.removeFirst()
+          slowLog.addLast((desc, ms, System.currentTimeMillis()))
+        }
+      }
+    }
+  }
+
+  private def slowLogJson: String = {
+    val entries = slowLog.synchronized {
+      val it = slowLog.iterator(); val buf = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) buf += it.next()
+      buf.result()
+    }
+    entries.map { case (desc, ms, at) =>
+      s"""{"query":${jstr(desc)},"elapsed_ms":$ms,"at_ms":$at}"""
+    }.mkString("[", ",", "]")
+  }
 
   private def safely(ex: HttpExchange): Unit =
     try route(ex)
@@ -98,6 +137,8 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
         send(ex, 200,
           s"""{"dbs":${store.statsJson},$cacheJson""" +
             s""""query_timeouts":${timeoutCount.sum()},""" +
+            s""""slow_queries":${slowCount.sum()},""" +
+            s""""slow_query_log":$slowLogJson,""" +
             s""""memstats":{"heap_used":${rt.totalMemory() - rt.freeMemory()},""" +
             s""""heap_total":${rt.totalMemory()},"heap_max":${rt.maxMemory()}}}""")
       case ("GET", "/_debug/open") =>
@@ -201,9 +242,15 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     val q = SeriesQuery(group, ptrs, reds,
       from = p.get("from").map(_.head), to = p.get("to").map(_.head),
       filters = fs.zip(fvs))
-    cache match {
-      case Some(c) => send(ex, 200, c.queryJson(db, q))
-      case None => sendStream(ex, store.queryJsonChunks(db, q))
+    // the timer wraps the full emit (compute + stream), matching the
+    // reference's executeQuery timing (query.go:318-331); cache hits
+    // stream chunked exactly like computed responses instead of being
+    // buffered into one send
+    timedQuery(s"_query $db ${ex.getRequestURI.getQuery}") {
+      cache match {
+        case Some(c) => sendStream(ex, c.queryJson(db, q).grouped(streamChunkChars))
+        case None => sendStream(ex, store.queryJsonChunks(db, q))
+      }
     }
   }
 
@@ -220,6 +267,9 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
   // full JSON escaping (multi-line exception messages land in err())
   private def jstr(s: String): String = graft.sources.SeriesStore.jsonQuote(s)
   private def err(msg: String): String = s"""{"error":${jstr(Option(msg).getOrElse("internal"))}}"""
+
+  private val slowLogSize = 32
+  private val streamChunkChars = 8192
 
   /** Chunked-transfer streaming response (the reference streams scan
    * and query results as they materialize — handlers.go:170-227,

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
  *   1. `exact_dup` — another doc with the same content fingerprint
  *      has a smaller id (greedy min-id keeper);
  *   2. `near_dup`  — a MinHash+LSH verified pair marks this doc as
- *      the larger id (greedy, deterministic; for full transitive-
- *      closure resolution — one keeper per CHAIN of near-dups —
- *      compose [[Dedup.clusters]] over the pairs instead);
+ *      the larger id (greedy, deterministic); with
+ *      `useClusters = true` the pairs instead flow through
+ *      [[Dedup.clusters]] and every doc that is not its connected
+ *      component's minimum id drops — one keeper per CHAIN of
+ *      near-dups (A~B, B~C keeps exactly A even with no A~C pair);
  *   3. `lang`      — language ID outside the allowed set;
  *   4. `quality`   — quality score below the floor;
  *   5. `keep`.
@@ -32,7 +34,7 @@ object Pipeline {
 
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8, useClusters: Boolean = false): DataFrame = {
     // bounded per-group state: only min(doc_id) aggregates; the dup
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
@@ -44,8 +46,24 @@ object Pipeline {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id")).withColumn("__exact", lit(true))
 
-    val nearDups = Dedup.minhashPairs(nonEmpty, id, text, jaccardThreshold)
-      .select(col("id2").as("doc_id")).distinct()
+    // the LSH stage sees only exact-dup KEEPERS: identical copies
+    // share identical signatures, so feeding them through would blow a
+    // single (band, key) bucket to the boilerplate multiplicity (the
+    // bucket-cardinality contract in Dedup.minhashPairs). Dropping
+    // them changes nothing observable — non-keepers drop as
+    // `exact_dup` before `near_dup` is consulted, and a copy's pair
+    // set is its keeper's pair set (same shingles), so keeper
+    // drop/cluster decisions are identical with or without copies.
+    val keeperDocs = nonEmpty.select(id.as("doc_id"), text.as("__text"))
+      .join(exactDups.select("doc_id"), Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashPairs(keeperDocs, col("doc_id"), col("__text"),
+      jaccardThreshold)
+    val nearDups = (if (useClusters)
+        // transitive closure: a doc survives only as its component's
+        // minimum — a chain A~B~C keeps exactly A
+        Dedup.clusters(pairs).filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+      else pairs.select(col("id2").as("doc_id")).distinct())
       .withColumn("__near", lit(true))
 
     val scored = df.select(id.as("doc_id"),

@@ -136,20 +136,33 @@ object Similarity {
     val cents = broadcast(centroids
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       .withColumn("cn", l2norm(col("cv"))))
-    def assign(df: DataFrame, idName: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idName))
-        .orderBy(col("__csim").desc, col("cent_id"))
+    def scored(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
         .withColumn("__n", l2norm(col(s"${idName}_v")))
         .crossJoin(cents)
         .withColumn("__csim",
           dot(col(s"${idName}_v"), col("cv")) / (col("__n") * col("cn")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(idName), col(s"${idName}_v"), col("cent_id"))
-    }
-    val lists = assign(corpus, "vec_id", 1)
-    val probes = assign(queries, "query_id", nprobe)
+    // corpus assignment keeps ONE centroid per vector, so it lowers to
+    // an aggregate with map-side partial combine: the broadcast-join
+    // stage reduces N·C scored rows to N before any exchange. (A
+    // row_number window here would shuffle the whole N·C cross
+    // product — the difference between IVF build being scan-bound and
+    // being the job's dominant exchange at corpus scale.) The struct
+    // max replicates the window's tie-break exactly: highest __csim,
+    // then LOWEST cent_id via the negated id.
+    val lists = scored(corpus, "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(first(col("vec_id_v")).as("vec_id_v"),
+        max(struct(col("__csim").as("s"), (-col("cent_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), col("vec_id_v"), (-col("m.negid")).as("cent_id"))
+    // queries probe nprobe > 1 lists and the query set is small by
+    // construction — the window shuffle is over #queries · C rows
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cent_id"))
+    val probes = scored(queries, "query_id")
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("query_id_v"), col("cent_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     lists.join(probes, Seq("cent_id"))

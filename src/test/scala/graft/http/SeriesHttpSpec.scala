@@ -127,5 +127,36 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(plain._2.contains("\"gz\""))
   }
 
+  test("cache hits stream chunked and slow queries land in /_debug/vars") {
+    val cached = new SeriesHttp(store,
+      cache = Some(new graft.sources.QueryCache(store)),
+      minQueryLogDuration = scala.concurrent.duration.Duration.Zero)
+    val cport = cached.start()
+    def creq(path: String): java.net.http.HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$cport$path"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    try {
+      req("PUT", "/qc")
+      req("PUT", "/qc/2012-08-28T21:24:00Z", """{"v": 10}""")
+      val q = "/qc/_query?group=60000&ptr=/v&reducer=sum"
+      val miss = creq(q)
+      val hit = creq(q)
+      assert(miss.body() == """{"1346189040000":[10]}""")
+      assert(hit.body() == miss.body())
+      // both emits are chunked transfers: the cached response is
+      // streamed, never buffered into a Content-Length send
+      assert(hit.headers().firstValue("Transfer-encoding").orElse("")
+        == "chunked")
+      assert(!hit.headers().firstValue("Content-length").isPresent)
+      // with a zero threshold both queries were logged as slow
+      val vars = creq("/_debug/vars").body()
+      assert(vars.contains(""""cache":{"hits":1,"misses":1}"""))
+      assert(""""slow_queries":(\d+)""".r.findFirstMatchIn(vars)
+        .exists(_.group(1).toLong >= 2))
+      assert(vars.contains("_query qc group=60000"))
+      assert(vars.contains("elapsed_ms"))
+    } finally cached.stop()
+  }
+
   override def afterAll(): Unit = api.stop()
 }

@@ -28,4 +28,28 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_.getBoolean(1)).toSeq ==
       Seq(true, false, false, true, false, false, false, false))
   }
+
+  test("useClusters resolves near-dup CHAINS to one keeper") {
+    // chain d0 ~ d2 ~ d1 (growing prefixes; d0~d1 is below threshold):
+    // the middle doc has the LARGEST id, so greedy id2-drops keep BOTH
+    // d0 and d1, while the transitive closure keeps exactly d0
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, words(40)),   // base
+      (2L, words(48)),   // ~0.83 jaccard vs d0
+      (1L, words(57))    // ~0.84 vs d2, ~0.69 vs d0 (< 0.8)
+    ).toDF("doc_id", "text")
+
+    def run(useClusters: Boolean) =
+      Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+          langs = Seq("und"), minQuality = -1, jaccardThreshold = 0.8,
+          useClusters = useClusters)
+        .orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getString(2))).toSeq
+
+    assert(run(useClusters = false) == Seq(
+      0L -> "keep", 1L -> "keep", 2L -> "near_dup"))
+    assert(run(useClusters = true) == Seq(
+      0L -> "keep", 1L -> "near_dup", 2L -> "near_dup"))
+  }
 }
