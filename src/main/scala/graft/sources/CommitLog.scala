@@ -1,0 +1,201 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+
+/**
+ * Per-database transactional commit log — the cross-process write
+ * protocol behind [[SeriesStore]]. The reference serializes all
+ * writers through one per-DB goroutine over couchstore's
+ * crash-consistent B-tree (database.go:175-254, 275-302); at cluster
+ * scale the equivalent is a table-format commit log (the public
+ * Delta/Iceberg design): immutable, uniquely-named data files plus an
+ * ordered log of JSON manifests, where **creating log entry N+1 with
+ * `CREATE_NEW` is the one atomic, contended operation**. Writers
+ * race; exactly one wins the filesystem's atomic create, losers
+ * re-read the new state and retry. Nothing else needs cross-process
+ * coordination:
+ *
+ *  - data files are written once under fresh UUID names and never
+ *    modified — a reader holding snapshot N scans exactly the files
+ *    N lists, unaffected by concurrent commits;
+ *  - a crash before the manifest lands leaves only orphan data files
+ *    (swept by vacuum), never a partial table state;
+ *  - sequence-number ranges are allocated by the commit itself
+ *    (`seqHi` in the manifest), so last-write-wins ordering is
+ *    defined by commit order, race-free across JVMs.
+ *
+ * Manifest kinds: `create` (v1, empty table), `append` (adds files,
+ * marks the table possibly-duplicated), `replace` (compaction /
+ * delete rewrite: swaps the whole live set, marks it clean). A
+ * full-state checkpoint is written every [[CommitLog.CheckpointEvery]]
+ * commits so snapshot reconstruction replays O(10) small JSON files,
+ * not the table's whole history.
+ *
+ * On a POSIX filesystem `CREATE_NEW` is atomic; object stores without
+ * atomic create-if-absent need a commit service in front of the log
+ * (the public Delta-on-S3 arrangement) — the protocol is unchanged.
+ */
+final class CommitLog(dbDir: Path) {
+  import CommitLog._
+
+  private val logDir = dbDir.resolve("_log")
+
+  def init(): Boolean = {
+    Files.createDirectories(logDir)
+    tryCommit(Manifest(1, "create", Vector(), seqHi = 0, clean = true))
+  }
+
+  def initialized: Boolean =
+    Files.isDirectory(logDir) && latestVersion() >= 1
+
+  /** Highest committed version, 0 if none. */
+  def latestVersion(): Long = listLog().lastOption.getOrElse(0L)
+
+  private def listLog(): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) return Nil
+    val s = Files.list(logDir)
+    try {
+      val it = s.iterator()
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".json") && !n.endsWith(ckptSuffix))
+          b += n.stripSuffix(".json").toLong
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  private def manifestPath(v: Long): Path =
+    logDir.resolve(f"$v%020d.json")
+  private def ckptPath(v: Long): Path =
+    logDir.resolve(f"$v%020d$ckptSuffix")
+
+  /** Atomically commit manifest `m` as version `m.v`. Returns false if
+   * another writer won the version — caller re-reads and retries. */
+  def tryCommit(m: Manifest): Boolean =
+    try {
+      Files.write(manifestPath(m.v), m.toJson.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Current table state: latest checkpoint + replay of newer
+   * manifests. */
+  def snapshot(): Snapshot = {
+    val versions = listLog()
+    if (versions.isEmpty) return Snapshot(0, Vector(), clean = true, 0)
+    val latest = versions.last
+    val ckpt = latestCheckpointAtMost(latest)
+    val base = ckpt.getOrElse(Snapshot(0, Vector(), clean = true, 0))
+    versions.filter(_ > base.version).foldLeft(base)((s, v) =>
+      apply(s, readManifest(v)))
+  }
+
+  /** Manifests with version strictly greater than `v`, ascending —
+   * the rebase input for replace commits that lost a race. */
+  def commitsSince(v: Long): Seq[Manifest] =
+    listLog().filter(_ > v).map(readManifest)
+
+  private def apply(s: Snapshot, m: Manifest): Snapshot = m.kind match {
+    case "create" => Snapshot(m.v, Vector(), clean = true, 0)
+    case "append" => Snapshot(m.v, s.files ++ m.files, clean = false,
+      math.max(s.lastSeq, m.seqHi))
+    case "replace" => Snapshot(m.v, m.files.toVector, m.clean,
+      math.max(s.lastSeq, m.seqHi))
+    case other => throw new IllegalStateException(
+      s"unknown manifest kind '$other' at version ${m.v}")
+  }
+
+  def readManifest(v: Long): Manifest =
+    Manifest.fromJson(new String(Files.readAllBytes(manifestPath(v)), "UTF-8"))
+
+  /** Write a checkpoint if the version hits the cadence. Idempotent
+   * and race-safe: content is a pure function of the version, and the
+   * atomic move makes the last writer win with identical bytes. */
+  def checkpointMaybe(s: Snapshot): Unit =
+    if (s.version > 0 && s.version % CheckpointEvery == 0 &&
+        !Files.exists(ckptPath(s.version))) {
+      val tmp = logDir.resolve(s".ckpt-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, s.toJson.getBytes("UTF-8"))
+      Files.move(tmp, ckptPath(s.version), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private def latestCheckpointAtMost(v: Long): Option[Snapshot] = {
+    if (!Files.isDirectory(logDir)) return None
+    val s = Files.list(logDir)
+    val best =
+      try {
+        val it = s.iterator()
+        var found = -1L
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.endsWith(ckptSuffix)) {
+            val cv = n.stripSuffix(ckptSuffix).toLong
+            if (cv <= v && cv > found) found = cv
+          }
+        }
+        found
+      } finally s.close()
+    if (best < 0) None
+    else Some(Snapshot.fromJson(
+      new String(Files.readAllBytes(ckptPath(best)), "UTF-8")))
+  }
+}
+
+object CommitLog {
+  val CheckpointEvery = 10
+  private val ckptSuffix = ".ckpt.json"
+
+  /** One immutable data file: name relative to the db dir + size (so
+   * `info`'s space accounting never walks the directory). */
+  case class FileEntry(name: String, bytes: Long) {
+    def toJson: String =
+      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes}"""
+  }
+
+  case class Manifest(v: Long, kind: String, files: Seq[FileEntry],
+      seqHi: Long, clean: Boolean) {
+    def toJson: String =
+      s"""{"v":$v,"kind":${SeriesStore.jsonQuote(kind)},""" +
+        s""""files":${files.map(_.toJson).mkString("[", ",", "]")},""" +
+        s""""seqHi":$seqHi,"clean":$clean}"""
+  }
+
+  object Manifest {
+    def fromJson(s: String): Manifest = {
+      val n = graft.functions.JsonPointersExpr.mapper.readTree(s)
+      Manifest(n.get("v").asLong(), n.get("kind").asText(),
+        fileEntries(n), n.get("seqHi").asLong(), n.get("clean").asBoolean())
+    }
+  }
+
+  case class Snapshot(version: Long, files: Vector[FileEntry],
+      clean: Boolean, lastSeq: Long) {
+    def toJson: String =
+      s"""{"v":$version,"files":${files.map(_.toJson).mkString("[", ",", "]")},""" +
+        s""""clean":$clean,"lastSeq":$lastSeq}"""
+  }
+
+  object Snapshot {
+    def fromJson(s: String): Snapshot = {
+      val n = graft.functions.JsonPointersExpr.mapper.readTree(s)
+      Snapshot(n.get("v").asLong(), fileEntries(n).toVector,
+        n.get("clean").asBoolean(), n.get("lastSeq").asLong())
+    }
+  }
+
+  private def fileEntries(n: JsonNode): Vector[FileEntry] = {
+    val arr = n.get("files")
+    val b = Vector.newBuilder[FileEntry]
+    val it = arr.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      b += FileEntry(e.get("f").asText(), e.get("bytes").asLong())
+    }
+    b.result()
+  }
+}

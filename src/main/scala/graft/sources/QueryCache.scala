@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.operators.SeriesEngine.SeriesQuery
 
-import java.nio.file.{Files, Path}
 import java.util.{Collections, LinkedHashMap, Map => JMap}
 
 /**
@@ -80,30 +79,13 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
     h
   }
 
-  /** Metadata-only storage version: FNV-1a over the db's write-locked
-   * mutation counter (`_graft_version`, bumped by every store/delete/
-   * compact — immune to filesystem timestamp granularity) plus sorted
-   * (name, size, nanosecond mtime) of the db's files, which catches
-   * out-of-band modifications the counter can't see. */
-  private[sources] def storageVersion(db: String): Long = {
-    val dir = java.nio.file.Paths.get(store.rootDir, db + SeriesStore.dbExt)
-    if (!Files.isDirectory(dir)) return 0L
-    val walk = Files.walk(dir)
-    try {
-      val files = walk.filter(Files.isRegularFile(_))
-        .sorted(java.util.Comparator.comparing[Path, String](_.toString))
-        .toArray(new Array[Path](_))
-      var h = Fnv.mixLong(Fnv.offset, store.currentVersion(db))
-      files.foreach { p =>
-        h = Fnv.mix(h, p.getFileName.toString)
-        h = Fnv.mixLong(h, Files.size(p))
-        val mtime = Files.getLastModifiedTime(p).toInstant
-        h = Fnv.mixLong(h, mtime.getEpochSecond)
-        h = Fnv.mixLong(h, mtime.getNano.toLong)
-      }
-      h
-    } finally walk.close()
-  }
+  /** The db's committed log version ([[SeriesStore.currentVersion]]):
+   * every mutation — append, delete, compact — is exactly one commit,
+   * so version equality IS table-state equality. No file metadata is
+   * consulted, so two rewrites landing in the same filesystem
+   * timestamp tick with identical names and sizes still invalidate. */
+  private[sources] def storageVersion(db: String): Long =
+    store.currentVersion(db)
 }
 
 /** FNV-1a 64-bit (the reference's cache key hash, cache.go:157-172). */

@@ -22,9 +22,17 @@ import java.util.concurrent.atomic.AtomicLong
  * the key is the ns timestamp itself, ordered by parquet min/max
  * statistics instead of a B-tree (range queries prune row groups).
  * Same-key overwrites (PUT twice) are resolved read-side by highest
- * `seq` wins, and rewritten physically by `compact()` — at cluster
- * scale this layer maps onto a transactional table format (Delta/
- * Iceberg MERGE + OPTIMIZE); the semantics here are identical.
+ * `seq` wins, and rewritten physically by `compact()`.
+ *
+ * Storage is transactional: every mutation is a [[CommitLog]] commit
+ * over immutable, uniquely-named parquet files, so CONCURRENT WRITERS
+ * — other threads, other SeriesStore instances, other JVMs on the
+ * same filesystem — are safe: the log's atomic create-if-absent
+ * serializes commits, losers restage and retry, and readers scan the
+ * exact file list of the snapshot they opened (the couchstore MVCC
+ * property, database.go:275-302, re-expressed as a table format).
+ * The in-JVM per-db lock below is only a fast path that keeps
+ * co-located writers from burning restage work on lost races.
  */
 class SeriesStore(spark: SparkSession, root: String) {
   import SeriesStore._
@@ -69,14 +77,20 @@ class SeriesStore(spark: SparkSession, root: String) {
     Paths.get(root, db + dbExt)
   }
 
-  /** PUT /{db} (handlers.go:36-43). */
+  // one CommitLog per db — stateless over the filesystem, so the map
+  // is only an allocation cache (two stores on one root interoperate)
+  private val logs =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitLog]()
+  private def logOf(db: String): CommitLog =
+    logs.computeIfAbsent(db, _ => new CommitLog(dbPath(db)))
+
+  /** PUT /{db} (handlers.go:36-43). Races between creators are decided
+   * by the log's atomic v1 commit — both callers see a created db. */
   def create(db: String): Unit = {
     val p = dbPath(db)
-    if (!Files.exists(p)) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .write.mode(SaveMode.Overwrite).parquet(p.toString)
-      Files.createFile(cleanMarker(db))
-    }
+    Files.createDirectories(p)
+    val log = logOf(db)
+    if (!log.initialized) log.init()
   }
 
   // Files.walk streams hold directory handles until closed
@@ -85,30 +99,70 @@ class SeriesStore(spark: SparkSession, root: String) {
     try f(s) finally s.close()
   }
 
-  // Per-database write serialization: concurrent parquet appends to
-  // one directory corrupt each other (both Spark jobs stage under the
-  // same _temporary/0 and job commit deletes it wholesale). The HTTP
-  // and memcached facades both spawn concurrent callers, so the
-  // single-writer contract is enforced HERE, not left to callers.
-  // Cross-JVM writers remain out of scope (documented).
+  // In-JVM per-database write serialization — an OPTIMIZATION, not the
+  // correctness mechanism: cross-process safety comes from the commit
+  // log's optimistic protocol. Serializing co-located writers (the
+  // HTTP and memcached facades spawn many) just avoids restaging work
+  // that intra-JVM races would otherwise lose.
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withWriteLock[T](db: String)(f: => T): T =
     writeLocks.computeIfAbsent(db, _ => new Object).synchronized(f)
 
-  /** Completes an interrupted [[rewrite]]: a crash between its two
-   * renames leaves the data under `.old` with nothing at the db path —
-   * roll it back; a crash mid-cleanup leaves a stale `.old` — drop it. */
-  private def recover(db: String): Unit = {
+  /** Stage a dataframe's parquet output as immutable uniquely-named
+   * files inside the db dir (not yet visible — only a committed
+   * manifest publishes them). Staging through a private temp dir per
+   * write job removes the shared `_temporary/0` that makes concurrent
+   * appends to one directory mutually destructive. */
+  private def stage(db: String, data: DataFrame): Seq[CommitLog.FileEntry] = {
     val p = dbPath(db)
-    val old = Paths.get(p.toString + ".old")
-    if (Files.exists(old)) {
-      if (!Files.exists(p)) Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
-      else walked(old)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-    }
-    val tmp = Paths.get(p.toString + ".compact")
-    if (Files.exists(tmp))
-      walked(tmp)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = p.resolve(s"_stage-$id")
+    data.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val parts = walked(tmp)(s => s
+      .filter((f: Path) => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .sorted(Comparator.comparing[Path, String]((f: Path) => f.getFileName.toString))
+      .toArray((n: Int) => new Array[Path](n)))
+    val entries = parts.zipWithIndex.map { case (part, i) =>
+      val name = f"$id-$i%05d.parquet"
+      Files.move(part, p.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      CommitLog.FileEntry(name, Files.size(p.resolve(name)))
+    }.toSeq
+    walked(tmp)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
+    entries
+  }
+
+  private def unstage(db: String, entries: Seq[CommitLog.FileEntry]): Unit =
+    entries.foreach(e => Files.deleteIfExists(dbPath(db).resolve(e.name)))
+
+  /** Remove data files no longer referenced by the current snapshot
+   * and stale staging dirs, keeping anything younger than `graceMs` —
+   * an in-flight reader may still be scanning files its (older)
+   * snapshot listed, exactly the window the grace period protects
+   * (the public table-format VACUUM contract). */
+  def vacuum(db: String, graceMs: Long = 10 * 60 * 1000L): Int = {
+    val p = dbPath(db)
+    if (!Files.isDirectory(p)) return 0
+    val live = logOf(db).snapshot().files.map(_.name).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    val s = Files.list(p)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getFileName.toString
+        def old = Files.getLastModifiedTime(f).toMillis < cutoff
+        if (name.endsWith(".parquet") && !live.contains(name) && old) {
+          Files.deleteIfExists(f); removed += 1
+        } else if (name.startsWith("_stage-") && Files.isDirectory(f) && old) {
+          walked(f)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
+          removed += 1
+        }
+      }
+    } finally s.close()
+    removed
   }
 
   /** DELETE /{db} (handlers.go:282-289). */
@@ -117,6 +171,7 @@ class SeriesStore(spark: SparkSession, root: String) {
     if (Files.exists(p))
       walked(p)(_.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f)))
+    logs.remove(db)
   }
 
   /** GET /_all_dbs (database.go:121-134). */
@@ -127,13 +182,15 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   def exists(db: String): Boolean = Files.exists(dbPath(db))
 
-  /** GET /{db} info: doc_count/space_used/last_seq (handlers.go:431-451). */
+  /** GET /{db} info: doc_count/space_used/last_seq (handlers.go:431-451).
+   * Space is the LIVE snapshot's bytes (manifest-recorded sizes — no
+   * directory walk), so compaction shrinks it even while replaced
+   * files await vacuum. */
   def info(db: String): DbInfo = {
-    val f = frame(db)
-    val r = f.agg(count(lit(1)), coalesce(max(col("seq")), lit(0L))).head()
-    val space = walked(dbPath(db))(_.filter(Files.isRegularFile(_))
-      .mapToLong(Files.size).sum())
-    DbInfo(r.getLong(0), space, r.getLong(1))
+    val snap = snapshotOf(db)
+    val r = frameOf(db, snap)
+      .agg(count(lit(1)), coalesce(max(col("seq")), lit(0L))).head()
+    DbInfo(r.getLong(0), snap.files.map(_.bytes).sum, r.getLong(1))
   }
 
   /** POST /{db} / PUT /{db}/{key}: validate JSON, key = parsed ts or
@@ -150,110 +207,99 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
     import spark.implicits._
     withWriteLock(db) {
-      val seq = seqBase(db).getAndIncrement()
-      // marker removal precedes the append: a crash or concurrent read
-      // between the two must see a (conservatively) dirty store, never
-      // a clean-marked store with an uncompacted overwrite
-      Files.deleteIfExists(cleanMarker(db))
-      Seq((ns, seq, json)).toDF("ts", "seq", "doc")
-        .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
-      bumpVersion(db)
+      appendCommit(db) { seqBase =>
+        (Seq((ns, seqBase, json)).toDF("ts", "seq", "doc"), seqBase)
+      }
     }
     stat(db).written.increment()
     TimeLib.formatCanonical(ns)
   }
 
+  /** Optimistic append: stage data with seqs from the snapshot's
+   * `lastSeq`, then race for the next log version. A lost race means
+   * another writer consumed our seq range — restage against the new
+   * snapshot and try again. `mk` receives the first free seq and
+   * returns (frame to stage, highest seq reserved). */
+  private def appendCommit(db: String)(
+      mk: Long => (DataFrame, Long)): Unit = {
+    val log = logOf(db)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val snap = log.snapshot()
+      require(snap.version >= 1, s"no such database: $db")
+      val (data, seqHi) = mk(snap.lastSeq + 1)
+      val staged = stage(db, data)
+      val m = CommitLog.Manifest(snap.version + 1, "append", staged,
+        seqHi = seqHi, clean = false)
+      if (log.tryCommit(m)) { log.checkpointMaybe(log.snapshot()); done = true }
+      else {
+        unstage(db, staged)
+        attempts += 1
+        require(attempts < 100, s"append to $db lost $attempts commit races")
+      }
+    }
+  }
+
   /** Batched ingest of a `(ts LONG ns, doc STRING)` frame. The batch
-   * reserves a seq range above every previously persisted seq — later
-   * batches always win read-side dedup against earlier ones, including
-   * across process restarts. Within the batch, rows are numbered by
-   * `monotonically_increasing_id` (partition index · 2³³ + row), so
-   * the reserved range is `numPartitions · 2³³` wide; a partition would
-   * need > 8.6 B rows to overflow its slot. Writers are single-process
-   * per database (as in the reference's per-DB writer goroutine,
-   * database.go:175-254); cross-JVM concurrent writers would need a
-   * transactional table format underneath. */
-  def storeBatch(db: String, docs: DataFrame): Unit = withWriteLock(db) {
+   * reserves a seq range above every seq any PREVIOUS COMMIT reserved
+   * (the manifest's `seqHi`) — later commits always win read-side
+   * dedup against earlier ones, across restarts and across JVMs,
+   * because allocation itself is part of the atomic commit. Within
+   * the batch, rows are numbered by `monotonically_increasing_id`
+   * (partition index · 2³³ + row), so the reserved range is
+   * `numPartitions · 2³³` wide; a partition would need > 8.6 B rows
+   * to overflow its slot. */
+  def storeBatch(db: String, docs: DataFrame): Unit = {
     val selected = docs.select(col("ts").cast(LongType).as("ts"),
       col("doc").cast(StringType).as("doc"))
     val parts = math.max(1, selected.rdd.getNumPartitions)
-    val base = seqBase(db).getAndAdd(parts.toLong << 33)
-    Files.deleteIfExists(cleanMarker(db)) // before the append — see store()
-    selected.select(col("ts"),
-        (monotonically_increasing_id() + lit(base)).as("seq"), col("doc"))
-      .write.mode(SaveMode.Append).parquet(dbPath(db).toString)
-    bumpVersion(db)
+    withWriteLock(db) {
+      appendCommit(db) { seqBase =>
+        (selected.select(col("ts"),
+          (monotonically_increasing_id() + lit(seqBase)).as("seq"), col("doc")),
+          seqBase + (parts.toLong << 33) - 1)
+      }
+    }
     stat(db).written.increment()
   }
-
-  // per-DB next-seq floor, initialized from the persisted max so the
-  // ordering survives restarts (a fresh counter would let an old doc
-  // beat a newer overwrite in frame()'s max_by dedup)
-  private val seqBases = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
-  private def seqBase(db: String): AtomicLong =
-    seqBases.computeIfAbsent(db, _ => {
-      val persisted = if (exists(db))
-        spark.read.schema(schema).parquet(dbPath(db).toString)
-          .agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
-      else 0L
-      new AtomicLong(persisted + 1)
-    })
 
   /** The queryable view: latest write per key wins (couchstore Set
    * overwrite semantics, database.go:293-302).
    *
    * Scale note: the last-write-wins dedup is a full shuffle, so it
-   * runs only while the store is possibly-dirty. `compact`/`delete`
-   * rewrite the data duplicate-free and leave a cleanliness marker;
-   * appends remove it. Reads of a compacted store are plain
-   * partition-pruned scans with no exchange — the usual read path for
-   * analytical workloads that compact on a schedule. */
-  def frame(db: String): DataFrame = {
-    // recovery takes the db's write lock: unlocked, a read landing
-    // between rewrite()'s two renames would see the db path missing and
-    // roll .old back while the swap is mid-flight, failing the rewrite.
-    // Cost when no writer holds the lock: an uncontended monitor enter.
-    withWriteLock(db)(recover(db))
+   * runs only while the snapshot is possibly-dirty (manifest `clean`
+   * flag: replace commits set it, appends clear it). Reads of a
+   * compacted store are plain partition-pruned scans with no
+   * exchange — the usual read path for analytical workloads that
+   * compact on a schedule. */
+  def frame(db: String): DataFrame = frameOf(db, snapshotOf(db))
+
+  private def snapshotOf(db: String): CommitLog.Snapshot = {
     require(exists(db), s"no such database: $db")
-    val raw = spark.read.schema(schema).parquet(dbPath(db).toString)
-    if (Files.exists(cleanMarker(db))) raw
-    else raw.groupBy(col("ts"))
-      .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
+    val snap = logOf(db).snapshot()
+    require(snap.version >= 1, s"no such database: $db")
+    snap
   }
 
-  private def cleanMarker(db: String): Path =
-    dbPath(db).resolve("_graft_clean")
+  private def frameOf(db: String, snap: CommitLog.Snapshot): DataFrame = {
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val paths = snap.files.map(f => dbPath(db).resolve(f.name).toString)
+      val raw = spark.read.schema(schema).parquet(paths: _*)
+      if (snap.clean) raw
+      else raw.groupBy(col("ts"))
+        .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
+    }
+  }
 
-  /** Monotonic per-db mutation counter, persisted as `_graft_version`
-   * inside the db directory (leading `_` → invisible to parquet
-   * scans). File (size, mtime) metadata alone cannot distinguish two
-   * rewrites landing in the same mtime tick with identical sizes, so
-   * every mutating operation bumps this counter under the db's write
-   * lock and the query cache mixes its CONTENT into the storage
-   * version — invalidation is guaranteed regardless of filesystem
+  /** The db's committed log version — the query cache's storage
+   * version: every mutation is exactly one commit, so equality of
+   * versions is equality of table states regardless of filesystem
    * timestamp granularity. */
-  private[sources] def versionFile(db: String): Path =
-    dbPath(db).resolve("_graft_version")
-
-  /** Must be called with the db's write lock held. */
-  private def bumpVersion(db: String): Unit =
-    writeVersion(db, currentVersion(db) + 1)
-
-  private def writeVersion(db: String, v: Long): Unit = {
-    val vf = versionFile(db)
-    val tmp = Paths.get(vf.toString + ".tmp")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, vf, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private[sources] def currentVersion(db: String): Long = {
-    val vf = versionFile(db)
-    if (Files.exists(vf))
-      try new String(Files.readAllBytes(vf), "UTF-8").trim.toLong
-      catch { case _: NumberFormatException => 0L }
-    else 0L
-  }
+  private[sources] def currentVersion(db: String): Long =
+    logOf(db).latestVersion()
 
   /** GET /{db}/{key} point get (handlers.go:422-429). */
   def get(db: String, key: String): Option[String] = {
@@ -287,12 +333,10 @@ class SeriesStore(spark: SparkSession, root: String) {
    * inherently compacts, so the reference's optional `?compact=true`
    * follow-up (handlers.go:269-276) is always-on here. */
   def deleteRange(db: String, from: Option[String], to: Option[String]): Long = {
-    val f = frame(db)
     var cond = lit(true)
     from.foreach(s => cond = cond && col("ts") >= parseBound(s))
     to.foreach(s => cond = cond && col("ts") < parseBound(s))
-    val before = f.count()
-    val written = rewrite(db, f.filter(!cond))
+    val (before, written) = withWriteLock(db)(rewrite(db, _.filter(!cond)))
     stat(db).deletes.increment()
     before - written
   }
@@ -302,42 +346,67 @@ class SeriesStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"unparsable timestamp: $s"))
 
   /** POST /{db}/_compact: physically drop overwritten versions and
-   * merge small files (database.go:136-171 ≈ Delta OPTIMIZE). */
-  def compact(db: String): Unit = { rewrite(db, frame(db)); stat(db).compacts.increment() }
+   * merge small files (database.go:136-171 — the table-format
+   * OPTIMIZE). Replaced files stay on disk for in-flight readers
+   * until [[vacuum]]. */
+  def compact(db: String): Unit = {
+    withWriteLock(db)(rewrite(db, identity))
+    stat(db).compacts.increment()
+  }
 
-  /** Copy-compact + swap; returns the number of rows written. The
-   * deduped input is cached across its two passes (sizing count +
-   * write). Range partitioning by ts keeps per-file min/max tight so
-   * file-level statistics prune narrow time ranges; hash partitioning
-   * would spread every file across the whole series. */
-  private def rewrite(db: String, data: DataFrame): Long = withWriteLock(db) {
-    recover(db)
-    val p = dbPath(db)
-    val tmp = Paths.get(p.toString + ".compact")
-    val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = cached.count()
-      val partitions = math.max(1, (n / 4000000L).toInt)
-      val sized =
-        if (partitions == 1) cached.coalesce(1)
-        else cached.repartitionByRange(partitions, col("ts"))
-      sized.sortWithinPartitions("ts")
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // the bumped counter is staged INSIDE tmp so the atomic rename
-      // carries data + version together: a crash at any point leaves
-      // either (old data, old counter) after recover()'s rollback or
-      // (new data, new counter) — never a mix that could alias a
-      // version already served to the cache
-      Files.write(tmp.resolve("_graft_version"),
-        (currentVersion(db) + 1).toString.getBytes("UTF-8"))
-      val old = Paths.get(p.toString + ".old")
-      Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-      walked(old)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-      // the rewrite materialized last-write-wins: reads may skip dedup
-      Files.createFile(cleanMarker(db))
-      n
-    } finally cached.unpersist()
+  /** Copy-compact as a `replace` commit; returns (rows read, rows
+   * written). The transformed input is cached across its two passes
+   * (sizing count + write). Range partitioning by ts keeps per-file
+   * min/max tight so file-level statistics prune narrow time ranges;
+   * hash partitioning would spread every file across the whole
+   * series.
+   *
+   * Concurrency: the rewrite is computed against one snapshot and
+   * committed optimistically. Appends that land in between are
+   * REBASED — they join the replace manifest's file set (dirty, so
+   * read-side dedup still applies) rather than being lost or delayed.
+   * A concurrent replace aborts this attempt and recomputes from the
+   * new state (the standard table-format conflict rule: append vs
+   * replace commutes, replace vs replace does not). */
+  private def rewrite(db: String,
+      xform: DataFrame => DataFrame): (Long, Long) = {
+    val log = logOf(db)
+    var outer = 0
+    while (outer < 10) {
+      val snap = snapshotOf(db)
+      val base = frameOf(db, snap)
+      val before = base.count()
+      val cached = xform(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = cached.count()
+        val partitions = math.max(1, (n / 4000000L).toInt)
+        val sized =
+          if (partitions == 1) cached.coalesce(1)
+          else cached.repartitionByRange(partitions, col("ts"))
+        val staged = stage(db, sized.sortWithinPartitions("ts"))
+        var committed = false
+        var aborted = false
+        while (!committed && !aborted) {
+          val current = log.snapshot()
+          val since = log.commitsSince(snap.version)
+          if (since.forall(_.kind == "append")) {
+            val appended = since.flatMap(_.files)
+            committed = log.tryCommit(CommitLog.Manifest(
+              current.version + 1, "replace", staged ++ appended,
+              seqHi = current.lastSeq, clean = appended.isEmpty))
+          } else aborted = true
+        }
+        if (committed) {
+          log.checkpointMaybe(log.snapshot())
+          return (before, n)
+        }
+        unstage(db, staged)
+      } finally cached.unpersist()
+      outer += 1
+    }
+    throw new IllegalStateException(
+      s"rewrite of $db lost $outer races to concurrent rewrites")
   }
 
   /** GET /{db}/_query — the analytical path (SeriesEngine). */

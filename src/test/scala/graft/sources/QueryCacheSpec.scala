@@ -61,17 +61,17 @@ class QueryCacheSpec extends SparkSpec {
 
   test("rewrite invalidates even when file metadata is indistinguishable") {
     // the mtime-collision case: a rewrite landing in the same
-    // timestamp tick with identical file names and sizes must still
-    // change the storage version. Metadata can't distinguish that, so
-    // the guarantee rests on two facts, each asserted here:
-    // (a) every mutating operation bumps the write-locked counter, and
-    // (b) the counter's VALUE participates in the storage version hash.
+    // filesystem timestamp tick with identical file names and sizes
+    // must still change the storage version. The storage version is
+    // the COMMIT-LOG version — every mutation class is exactly one
+    // commit — so invalidation never consults (name, size, mtime)
+    // metadata at all.
     val store = new SeriesStore(spark,
       Files.createTempDirectory("graft-qcm").toString)
     store.create("db")
     val cache = new QueryCache(store)
 
-    // (a) each mutation class advances the counter
+    // each mutation class advances the version
     val c0 = store.currentVersion("db")
     store.store("db", Some("2012-08-28T21:24:00Z"), """{"v": 10}""")
     val c1 = store.currentVersion("db")
@@ -82,17 +82,11 @@ class QueryCacheSpec extends SparkSpec {
     store.deleteRange("db", None, Some("2000-01-01T00:00:00Z"))
     assert(store.currentVersion("db") == c2 + 1)
 
-    // (b) with file metadata frozen byte-for-byte identical, rolling
-    // the counter back to its pre-rewrite value flips the hash —
-    // i.e. the hash distinguishes two states metadata cannot
-    val vNow = cache.storageVersion("db")
-    val vf = store.versionFile("db")
-    val mtime = Files.getLastModifiedTime(vf)
-    val content = Files.readAllBytes(vf)
-    Files.write(vf, c2.toString.getBytes("UTF-8")) // same byte length
-    Files.setLastModifiedTime(vf, mtime)
-    assert(cache.storageVersion("db") != vNow,
-      "counter value must feed the hash independently of metadata")
-    Files.write(vf, content) // restore
+    // two back-to-back compacts of identical rows produce
+    // content-identical data files — metadata cannot tell the states
+    // apart, the log version still can
+    val v0 = cache.storageVersion("db")
+    store.compact("db")
+    assert(cache.storageVersion("db") != v0)
   }
 }

@@ -153,4 +153,43 @@ class SeriesStoreSpec extends SparkSpec {
     assert(errs.isEmpty, s"concurrent ops failed: ${errs.peek()}")
     assert(s.info("db").docCount >= 20)
   }
+
+  test("two independent store instances interleave writers safely (commit log)") {
+    // cross-SESSION safety: two SeriesStore instances share no in-JVM
+    // locks, so every interleaving below is serialized only by the
+    // commit log's atomic create + optimistic retry — the same
+    // protocol two separate JVMs on one filesystem would use
+    val root = java.nio.file.Files.createTempDirectory("graft-2w").toString
+    val a = new SeriesStore(spark, root)
+    val b = new SeriesStore(spark, root)
+    a.create("db")
+    assert(b.exists("db")) // b discovers a's create through the log
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def spawn(f: => Unit): Thread = {
+      val t = new Thread(() => try f catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    // two writers with disjoint keys, one per instance, racing a
+    // compactor on the second instance
+    val w1 = spawn((0 until 12).foreach(i =>
+      a.store("db", Some(f"2012-08-28T21:24:${10 + i}%02dZ"), s"""{"v": $i}""")))
+    val w2 = spawn((0 until 12).foreach(i =>
+      b.store("db", Some(f"2012-08-28T21:24:${40 + i}%02dZ"), s"""{"v": ${100 + i}}""")))
+    val c = spawn((0 until 3).foreach { _ => b.compact("db"); Thread.sleep(50) })
+    Seq(w1, w2, c).foreach(_.join(120000))
+    assert(errs.isEmpty, s"cross-instance ops failed: ${errs.peek()}")
+
+    // nothing lost, nothing duplicated, both instances agree
+    assert(a.info("db").docCount == 24)
+    assert(b.info("db").docCount == 24)
+    assert(a.get("db", "2012-08-28T21:24:45Z") == Some("""{"v": 105}"""))
+    assert(b.get("db", "2012-08-28T21:24:11Z") == Some("""{"v": 1}"""))
+
+    // an overwrite through one instance is the winner in the other:
+    // seq allocation is transactional across instances
+    a.store("db", Some("2012-08-28T21:24:45Z"), """{"v": -1}""")
+    assert(b.get("db", "2012-08-28T21:24:45Z") == Some("""{"v": -1}"""))
+    assert(b.info("db").docCount == 24)
+  }
 }
