@@ -19,8 +19,17 @@ import scala.collection.mutable.ArrayBuffer
  * the socket-level analog of the reference's write-behind queue
  * (database.go:175-254): acks never wait on per-doc durability, and
  * the fast path for bulk loads is a SETQ stream + trailing NOOP.
- */
-class SeriesMc(store: SeriesStore, port: Int = 0) {
+ *
+ * With a `cache`, this server also speaks the reference's RESULT-
+ * CACHE transport (cache.go:54-155): a seriesly-style client GETs a
+ * content-derived `db#bucket#hash` key before computing and SETQs
+ * the result after. Routing is by connection state: SET/SETQ on a
+ * connection with NO selected bucket and a `#`-bearing key is a
+ * cache store (timestamp document keys can never contain `#`); GET/
+ * GETQ always address the cache. Entries share the in-process
+ * [[graft.sources.QueryCache]] the HTTP facade reads through. */
+class SeriesMc(store: SeriesStore, port: Int = 0,
+    cache: Option[graft.sources.QueryCache] = None) {
   import SeriesMc._
 
   private val server = new ServerSocket(port)
@@ -90,6 +99,20 @@ class SeriesMc(store: SeriesStore, port: Int = 0) {
           case ListBuckets =>
             respond(out, opcode, opaque, Status.OK,
               store.list().mkString(",").getBytes(UTF_8))
+          case Get | GetQ => cache match {
+            case Some(c) => c.getRaw(key) match {
+              case Some(v) => respondGet(out, opcode, opaque, v.getBytes(UTF_8))
+              case None =>
+                // quiet GET misses are silent by protocol contract
+                if (opcode == Get) respond(out, opcode, opaque, Status.KeyNotFound)
+            }
+            case None => respond(out, opcode, opaque, Status.UnknownCommand)
+          }
+          case Set | SetQ if db.isEmpty && cache.isDefined && key.contains('#') =>
+            // result-cache store from a seriesly-style client (the
+            // reference always SETQs results, cache.go:127-136)
+            cache.get.putRaw(key, value)
+            if (opcode == Set) respond(out, opcode, opaque, Status.OK)
           case Set | SetQ =>
             val ns =
               if (key.isEmpty) Some(System.currentTimeMillis() * 1000000L)
@@ -134,6 +157,24 @@ class SeriesMc(store: SeriesStore, port: Int = 0) {
     }
   }
 
+  /** GET success response: 4-byte flags extras (zero) + body, per the
+   * memcached binary protocol. */
+  private def respondGet(out: DataOutputStream, opcode: Int, opaque: Int,
+      body: Array[Byte]): Unit = {
+    out.writeByte(ResMagic)
+    out.writeByte(opcode)
+    out.writeShort(0) // key length
+    out.writeByte(4) // extras length (flags)
+    out.writeByte(0) // datatype
+    out.writeShort(Status.OK)
+    out.writeInt(4 + body.length)
+    out.writeInt(opaque)
+    out.writeLong(0L) // cas
+    out.writeInt(0) // flags
+    out.write(body)
+    out.flush()
+  }
+
   private def respond(out: DataOutputStream, opcode: Int, opaque: Int,
       status: Int, body: Array[Byte] = Array.empty): Unit = {
     out.writeByte(ResMagic)
@@ -156,7 +197,9 @@ object SeriesMc {
 
   // standard opcodes + the reference's bucket-admin extensions
   // (mcserver.go:15-20)
+  val Get = 0x00
   val Set = 0x01
+  val GetQ = 0x09
   val SetQ = 0x11
   val Noop = 0x0a
   val CreateBucket = 0x85

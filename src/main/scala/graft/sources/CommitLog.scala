@@ -86,12 +86,24 @@ final class CommitLog(dbDir: Path) {
    * manifests. */
   def snapshot(): Snapshot = {
     val versions = listLog()
-    if (versions.isEmpty) return Snapshot(0, Vector(), clean = true, 0)
-    val latest = versions.last
-    val ckpt = latestCheckpointAtMost(latest)
-    val base = ckpt.getOrElse(Snapshot(0, Vector(), clean = true, 0))
-    versions.filter(_ > base.version).foldLeft(base)((s, v) =>
-      apply(s, readManifest(v)))
+    if (versions.isEmpty) Snapshot(0, Vector(), clean = true, 0)
+    else stateAt(versions, versions.last)
+  }
+
+  /** Table state as of committed version `v` (time travel). The
+   * returned file list is exact while the files survive — i.e. until
+   * a later replace's vacuum grace expires. */
+  def snapshotAt(v: Long): Snapshot = {
+    val versions = listLog()
+    require(versions.contains(v), s"no committed version $v")
+    stateAt(versions, v)
+  }
+
+  private def stateAt(versions: Seq[Long], v: Long): Snapshot = {
+    val base = latestCheckpointAtMost(v)
+      .getOrElse(Snapshot(0, Vector(), clean = true, 0))
+    versions.filter(x => x > base.version && x <= v)
+      .foldLeft(base)((s, x) => apply(s, readManifest(x)))
   }
 
   /** Manifests with version strictly greater than `v`, ascending —

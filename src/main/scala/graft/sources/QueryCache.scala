@@ -27,8 +27,8 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
   // (making maxBytes a soft bound), and lost-update races between put
   // and the byte counter would drift the budget permanently.
   private val bytesUsed = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val lru: JMap[Long, String] = Collections.synchronizedMap(
-    new LinkedHashMap[Long, String](capacity, 0.75f, true))
+  private val lru: JMap[String, String] = Collections.synchronizedMap(
+    new LinkedHashMap[String, String](capacity, 0.75f, true))
 
   private val hitCount = new java.util.concurrent.atomic.LongAdder
   private val missCount = new java.util.concurrent.atomic.LongAdder
@@ -36,33 +36,52 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
   def misses: Long = missCount.sum()
 
   def queryJson(db: String, q: SeriesQuery): String = {
-    val key = cacheKey(db, q)
+    val key = "q#" + java.lang.Long.toUnsignedString(cacheKey(db, q))
     val cached = lru.get(key)
     if (cached != null) { hitCount.increment(); cached }
     else {
       missCount.increment()
       val result = store.queryJson(db, q)
-      if (2L * result.length <= maxBytes) { // never cache what busts the budget
-        // one monitor for put + replaced-entry credit + eviction loop:
-        // bytesUsed converges below maxBytes instead of drifting
-        lru.synchronized {
-          val prev = lru.put(key, result)
-          if (prev != null) bytesUsed.addAndGet(-2L * prev.length)
-          bytesUsed.addAndGet(2L * result.length)
-          val it = lru.entrySet().iterator()
-          while ((lru.size() > capacity || bytesUsed.get() > maxBytes) &&
-              it.hasNext) {
-            val e = it.next()
-            if (e.getKey != key) { // never evict the entry just inserted
-              bytesUsed.addAndGet(-2L * e.getValue.length)
-              it.remove()
-            }
-          }
-        }
-      }
+      putEntry(key, result)
       result
     }
   }
+
+  /** Raw-keyed surface for the memcached transport ([[graft.http
+   * .SeriesMc]]): a seriesly-style client GETs/SETQs query results
+   * under its own content-derived keys (reference cache.go:157-172 —
+   * `db#bucket#fnvhash`), sharing this cache's LRU + byte budget.
+   * Like the reference's external memcached, raw entries have no
+   * version-based invalidation: the client's keys are content-
+   * addressed, so staleness is the CLIENT's contract. The `m#`/`q#`
+   * namespaces keep the two keyspaces disjoint. */
+  def getRaw(key: String): Option[String] = {
+    val v = lru.get("m#" + key)
+    if (v != null) { hitCount.increment(); Some(v) }
+    else { missCount.increment(); None }
+  }
+
+  def putRaw(key: String, value: String): Unit = putEntry("m#" + key, value)
+
+  private def putEntry(key: String, result: String): Unit =
+    if (2L * result.length <= maxBytes) { // never cache what busts the budget
+      // one monitor for put + replaced-entry credit + eviction loop:
+      // bytesUsed converges below maxBytes instead of drifting
+      lru.synchronized {
+        val prev = lru.put(key, result)
+        if (prev != null) bytesUsed.addAndGet(-2L * prev.length)
+        bytesUsed.addAndGet(2L * result.length)
+        val it = lru.entrySet().iterator()
+        while ((lru.size() > capacity || bytesUsed.get() > maxBytes) &&
+            it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { // never evict the entry just inserted
+            bytesUsed.addAndGet(-2L * e.getValue.length)
+            it.remove()
+          }
+        }
+      }
+    }
 
   def invalidateAll(): Unit = { lru.clear(); bytesUsed.set(0L) }
 

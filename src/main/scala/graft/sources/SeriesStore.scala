@@ -275,6 +275,24 @@ class SeriesStore(spark: SparkSession, root: String) {
    * compact on a schedule. */
   def frame(db: String): DataFrame = frameOf(db, snapshotOf(db))
 
+  /** Time travel: the queryable view as of committed `version`
+   * ([[history]] lists them). Exact while the version's files
+   * survive — a replace (compact/delete) keeps its predecessors'
+   * files on disk until [[vacuum]]'s grace expires, so recent
+   * versions stay readable; vacuumed versions fail at scan time. */
+  def frameAt(db: String, version: Long): DataFrame = {
+    require(exists(db), s"no such database: $db")
+    frameOf(db, logOf(db).snapshotAt(version))
+  }
+
+  /** The db's commit history, ascending (create/append/replace with
+   * file counts and seq watermarks) — the audit surface a table
+   * format gets for free from its log. */
+  def history(db: String): Seq[CommitLog.Manifest] = {
+    require(exists(db), s"no such database: $db")
+    logOf(db).commitsSince(0)
+  }
+
   private def snapshotOf(db: String): CommitLog.Snapshot = {
     require(exists(db), s"no such database: $db")
     val snap = logOf(db).snapshot()

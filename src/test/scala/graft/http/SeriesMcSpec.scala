@@ -102,5 +102,40 @@ class SeriesMcSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(store.get("b", "2012-08-28T21:25:00Z").contains("""{"in": "b"}"""))
   }
 
+  test("result-cache transport: GET miss, SETQ store, GET hit (cache.go)") {
+    // a seriesly-style caching client: GET a content-derived key
+    // before computing, SETQ the result after (cache.go:86-136). Keys
+    // carry '#', which no timestamp document key can, so the routing
+    // needs no new opcodes.
+    val cache = new graft.sources.QueryCache(store)
+    val mcc = new SeriesMc(store, cache = Some(cache))
+    val cport = mcc.start()
+    val sock = new Socket("127.0.0.1", cport)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    try {
+      val key = "db#1346189040000#12345678901234567890"
+      request(out, SeriesMc.Get, key)
+      assert(response(in)._2 == SeriesMc.Status.KeyNotFound)
+      // a quiet GET miss is silent: only the trailing noop acks
+      request(out, SeriesMc.GetQ, key)
+      request(out, SeriesMc.Noop, "")
+      assert(response(in)._1 == SeriesMc.Noop)
+
+      request(out, SeriesMc.SetQ, key, """{"v":[1,2]}""") // quiet, no ack
+      request(out, SeriesMc.Get, key)
+      val (op, st, body) = response(in)
+      assert(op == SeriesMc.Get && st == SeriesMc.Status.OK)
+      assert(body.length >= 4 && body.drop(4) == """{"v":[1,2]}""", // 4 flag bytes
+        s"unexpected GET body: $body")
+
+      // the wire surface and the in-process HTTP cache are ONE cache
+      assert(cache.getRaw(key).contains("""{"v":[1,2]}"""))
+      cache.putRaw("other#k#1", "xyz")
+      request(out, SeriesMc.Get, "other#k#1")
+      assert(response(in)._3.drop(4) == "xyz")
+    } finally { sock.close(); mcc.stop() }
+  }
+
   override def afterAll(): Unit = mc.stop()
 }

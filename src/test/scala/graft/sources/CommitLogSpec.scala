@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Direct protocol-level tests of the commit log (no Spark): atomic
+ * version races, snapshot replay vs checkpoint equivalence, and the
+ * crash shapes the design claims to survive. */
+class CommitLogSpec extends AnyFunSuite {
+  import CommitLog._
+
+  private def fresh(): (Path, CommitLog) = {
+    val dir = Files.createTempDirectory("graft-log")
+    val log = new CommitLog(dir)
+    assert(log.init())
+    (dir, log)
+  }
+
+  private def fe(n: String) = FileEntry(n, 10)
+
+  test("exactly one writer wins a version; losers see the new state") {
+    val (_, log) = fresh()
+    val a = Manifest(2, "append", Seq(fe("a.parquet")), seqHi = 1, clean = false)
+    val b = Manifest(2, "append", Seq(fe("b.parquet")), seqHi = 1, clean = false)
+    assert(log.tryCommit(a))
+    assert(!log.tryCommit(b)) // atomic create: second writer loses
+    val s = log.snapshot()
+    assert(s.version == 2 && s.files.map(_.name) == Vector("a.parquet"))
+    // loser retries at the next version with a re-read seq base
+    assert(log.tryCommit(Manifest(3, "append", Seq(fe("b.parquet")),
+      seqHi = 2, clean = false)))
+    assert(log.snapshot().files.map(_.name) == Vector("a.parquet", "b.parquet"))
+  }
+
+  test("many concurrent committers: versions stay dense, nothing lost") {
+    val (_, log) = fresh()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        var committed = 0
+        while (committed < 5) {
+          val v = log.latestVersion() + 1
+          if (log.tryCommit(Manifest(v, "append",
+              Seq(fe(s"t$t-$committed.parquet")), seqHi = v, clean = false)))
+            committed += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val s = log.snapshot()
+    assert(s.version == 41) // 1 create + 40 appends, no gaps
+    assert(s.files.size == 40)
+    assert(s.files.map(_.name).distinct.size == 40)
+  }
+
+  test("replace swaps the live set; append marks it dirty again") {
+    val (_, log) = fresh()
+    assert(log.tryCommit(Manifest(2, "append", Seq(fe("a.parquet")), 5, clean = false)))
+    assert(log.tryCommit(Manifest(3, "replace", Seq(fe("c.parquet")), 5, clean = true)))
+    val s = log.snapshot()
+    assert(s.files.map(_.name) == Vector("c.parquet") && s.clean && s.lastSeq == 5)
+    assert(log.tryCommit(Manifest(4, "append", Seq(fe("d.parquet")), 7, clean = false)))
+    val s2 = log.snapshot()
+    assert(!s2.clean && s2.lastSeq == 7)
+  }
+
+  test("snapshot via checkpoint equals snapshot via full replay") {
+    val (dir, log) = fresh()
+    (2 to 25).foreach { v =>
+      assert(log.tryCommit(Manifest(v, "append", Seq(fe(s"f$v.parquet")),
+        seqHi = v, clean = false)))
+      log.checkpointMaybe(log.snapshot())
+    }
+    val withCkpt = log.snapshot()
+    // deleting the checkpoints forces a from-scratch replay
+    val s = Files.list(dir.resolve("_log"))
+    try s.forEach(p =>
+      if (p.getFileName.toString.endsWith(".ckpt.json")) Files.delete(p))
+    finally s.close()
+    val replayed = new CommitLog(dir).snapshot()
+    assert(withCkpt == replayed)
+    assert(replayed.version == 25 && replayed.files.size == 24)
+  }
+
+  test("manifests round-trip through JSON exactly") {
+    val m = Manifest(7, "replace",
+      Seq(FileEntry("x\"y.parquet", 123), FileEntry("z.parquet", 0)),
+      seqHi = 99, clean = true)
+    assert(Manifest.fromJson(m.toJson) == m)
+    val s = Snapshot(9, Vector(FileEntry("a.parquet", 5)), clean = false, 42)
+    assert(Snapshot.fromJson(s.toJson) == s)
+  }
+
+  test("commitsSince returns the rebase window in order") {
+    val (_, log) = fresh()
+    (2 to 5).foreach(v => assert(log.tryCommit(
+      Manifest(v, "append", Seq(fe(s"f$v.parquet")), v, clean = false))))
+    assert(log.commitsSince(3).map(_.v) == Seq(4, 5))
+    assert(log.commitsSince(5).isEmpty)
+  }
+}

@@ -192,4 +192,45 @@ class SeriesStoreSpec extends SparkSpec {
     assert(b.get("db", "2012-08-28T21:24:45Z") == Some("""{"v": -1}"""))
     assert(b.info("db").docCount == 24)
   }
+
+  test("time travel: frameAt reads committed versions; history audits them") {
+    val s = newStore()
+    s.create("tt")                                              // v1
+    s.store("tt", Some("2012-08-28T21:24:00Z"), """{"v": 1}""") // v2
+    s.store("tt", Some("2012-08-28T21:24:01Z"), """{"v": 2}""") // v3
+    s.compact("tt")                                             // v4
+    s.store("tt", Some("2012-08-28T21:24:00Z"), """{"v": 9}""") // v5 overwrite
+
+    def docsAt(v: Long) = s.frameAt("tt", v).orderBy("ts")
+      .select("doc").collect().map(_.getString(0)).toSeq
+    assert(docsAt(1).isEmpty)
+    assert(docsAt(2) == Seq("""{"v": 1}"""))
+    assert(docsAt(3) == Seq("""{"v": 1}""", """{"v": 2}"""))
+    assert(docsAt(4) == docsAt(3)) // compaction: same logical state
+    assert(docsAt(5) == Seq("""{"v": 9}""", """{"v": 2}"""))
+    assertThrows[IllegalArgumentException](s.frameAt("tt", 6))
+
+    assert(s.history("tt").map(_.kind) ==
+      Seq("create", "append", "append", "replace", "append"))
+    assert(s.history("tt").map(_.v) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("vacuum sweeps orphans and replaced files after grace, never live ones") {
+    val s = newStore()
+    s.create("vx")
+    s.store("vx", Some("2012-08-28T21:24:00Z"), """{"v": 1}""")
+    s.store("vx", Some("2012-08-28T21:24:01Z"), """{"v": 2}""")
+    s.compact("vx") // the two append files become unreferenced
+    // a crash between staging and commit leaves an orphan data file
+    val dbDir = java.nio.file.Paths.get(s.rootDir, "vx" + SeriesStore.dbExt)
+    Files.write(dbDir.resolve("deadbeef-00000.parquet"), Array[Byte](1, 2, 3))
+
+    // inside the grace window nothing is deleted
+    assert(s.vacuum("vx", graceMs = 60000) == 0)
+    // past it, exactly the orphan + the two replaced files go
+    assert(s.vacuum("vx", graceMs = -1000) == 3)
+    // the live state is untouched and still reads
+    assert(s.info("vx").docCount == 2)
+    assert(s.vacuum("vx", graceMs = -1000) == 0) // idempotent
+  }
 }
