@@ -642,6 +642,69 @@ object Queries {
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]'))::BIGINT AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    "text_repetition" -> Entry(
+      (s, dir) => TextOps.repetition(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END) AS gram FROM w),
+          c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+          agg AS (SELECT doc_id, sum(c) AS total, max(c) AS maxc,
+            count(*) AS dct FROM c GROUP BY 1)
+        SELECT d.doc_id,
+          (maxc::DOUBLE / total::DOUBLE) AS top_ngram_frac,
+          (1.0 - dct::DOUBLE / total::DOUBLE) AS dup_ngram_frac
+        FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+
+    "text_decontaminate" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.decontaminate(docs, col("doc_id"), col("text"),
+            docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"), n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          dg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 6), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+              ELSE [] END) AS gram FROM w)),
+          bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+          h AS (SELECT d.doc_id, count(*) AS hits FROM dg d
+            JOIN bg USING (gram) GROUP BY 1)
+        SELECT doc_id, coalesce(hits, 0)::BIGINT AS hits,
+          coalesce(hits, 0) > 0 AS contaminated
+        FROM documents LEFT JOIN h USING (doc_id) ORDER BY doc_id""")),
+
+    "text_redact" -> Entry(
+      (s, dir) => {
+        // PII synthesized deterministically from doc_id (the corpus
+        // has none); both engines construct the identical input
+        val withPii = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@ex.com ip 10.0."), pmod(col("doc_id"), lit(256)),
+            lit(".7 tel +1 55"), pmod(col("doc_id"), lit(10)),
+            lit(" 0100")).as("__t"))
+        val cols = TextOps.redactPii(col("__t")).map { case (n, c) => c.as(n) }
+        withPii.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+            text || ' contact u' || doc_id || '@ex.com ip 10.0.' ||
+              (doc_id % 256) || '.7 tel +1 55' || (doc_id % 10) || ' 0100' AS t
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(t, '${TextOps.EmailRe}'))::BIGINT AS n_emails,
+          len(regexp_extract_all(t, '${TextOps.Ipv4Re}'))::BIGINT AS n_ips,
+          len(regexp_extract_all(t, '${TextOps.PhoneRe}'))::BIGINT AS n_phones,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+            '${TextOps.Ipv4Re}', '<IP>', 'g'),
+            '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+        FROM p ORDER BY doc_id""")),
+
     "pipeline_clean" -> Entry(
       (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
           col("doc_id"), col("text"),

@@ -282,15 +282,16 @@ object Dedup {
           col("cluster_id").as("dst_label")), "dst")
         .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
         .select(col("src").as("doc_id"), col("nbr_label"))
-      val next = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // old and new labels ride the SAME checkpointed frame, so the
+      // convergence check is a scan of it — joining labels back for a
+      // `prev` column would add a whole shuffle per round
+      val step = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = step.filter(col("cluster_id") =!= col("prev")).count()
+      labels = step.select(col("doc_id"), col("cluster_id"))
     }
     labels
   }

@@ -15,19 +15,23 @@ object TextOps {
   /** Whitespace tokens (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Sliding k-word shingles, deduplicated; the standard unit for
-   * n-gram Jaccard / MinHash document similarity. The token array is
-   * let-bound so `split` runs once per document — an expression
-   * referenced inside a higher-order-function lambda is otherwise
-   * re-evaluated per element (O(words²) splits). */
-  def shingles(text: Column, k: Int = 3): Column =
+  /** All overlapping k-word grams in position order (duplicates
+   * kept). The token array is let-bound so `split` runs once per
+   * document — an expression referenced inside a higher-order-
+   * function lambda is otherwise re-evaluated per element
+   * (O(words²) splits). */
+  def ngrams(text: Column, k: Int): Column =
     let(tokens(text)) { w =>
-      array_distinct(
-        when(size(w) >= k,
-          transform(sequence(lit(0), size(w) - k),
-            i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
-          .otherwise(array()))
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
     }
+
+  /** Sliding k-word shingles, deduplicated; the standard unit for
+   * n-gram Jaccard / MinHash document similarity. */
+  def shingles(text: Column, k: Int = 3): Column =
+    array_distinct(ngrams(text, k))
 
   /** 60-bit stable content hash from md5 (portable: any engine with
    * md5 + hex parsing reproduces it — the correctness oracle does). */
@@ -100,6 +104,81 @@ object TextOps {
    * fingerprints are guaranteed only for ASCII text. */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, s"[$WsClass]+", " "))))
+
+  /**
+   * Repetition signals (the Gopher/C4 quality-filter family): per
+   * document, the fraction of all word n-gram occurrences taken by
+   * the single most frequent n-gram (`top_ngram_frac`) and the
+   * fraction that are duplicate occurrences (`dup_ngram_frac` =
+   * 1 − distinct/total). Boilerplate and looping generations score
+   * high on both. Docs with fewer than n words get null metrics.
+   *
+   * Shuffle shape: explode → (doc, gram) count → per-doc rollup,
+   * both partial-aggregated map-side and keyed by doc id — linear in
+   * corpus token count, no doc ever compares against another.
+   */
+  def repetition(df: DataFrame, id: Column, text: Column,
+      n: Int = 2): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("__text"))
+    val counts = base
+      .select(col("doc_id"), explode(ngrams(col("__text"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("total"), max(col("c")).as("maxc"),
+      count(lit(1)).as("dct"))
+    base.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("maxc").cast("double") / col("total")).as("top_ngram_frac"),
+        (lit(1.0) - col("dct").cast("double") / col("total")).as("dup_ngram_frac"))
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing any
+   * word n-gram with an evaluation set (the standard n-gram-overlap
+   * contamination check run before training). `hits` counts the
+   * DISTINCT shared n-grams per document.
+   *
+   * Scale shape: the benchmark side is tiny next to the corpus, so
+   * its distinct grams stay a broadcast; the corpus side is one scan
+   * + explode + broadcast-semi join + doc-keyed count — the corpus
+   * never shuffles its text, only (doc_id, matched-gram) pairs.
+   */
+  def decontaminate(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, n: Int = 8): DataFrame = {
+    val bg = broadcast(
+      bench.select(explode(ngrams(benchText, n)).as("gram")).distinct())
+    val hits = docs
+      .select(id.as("doc_id"), explode(ngrams(text, n)).as("gram"))
+      .distinct() // one hit per distinct gram, not per occurrence
+      .join(bg, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // PII patterns, written to the RE2 ∩ Java-regex dialect (no \b, no
+  // backrefs) so the DuckDB oracle matches byte for byte; the oracle
+  // SQL interpolates these SAME constants so they cannot drift
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[graft] val PhoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII redaction columns: emails, IPv4 addresses, and +prefixed
+   * phone-like digit runs replaced by typed placeholders, with
+   * per-category counts. Pure regexp codegen — scan-bound. Ordering
+   * matters: emails first (they contain dots and digits), then IPs,
+   * then phones; no placeholder re-triggers a later pattern. */
+  def redactPii(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)).cast("long"),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)).cast("long"),
+    "redacted" -> regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>"),
+  )
 
   /** Single-evaluation let-binding: evaluates `c` once and passes the
    * result to `f` via a one-element array + lambda, so expressions

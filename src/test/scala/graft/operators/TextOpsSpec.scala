@@ -71,6 +71,40 @@ class TextOpsSpec extends SparkSpec {
     assert(fps == expect)
   }
 
+  test("repetition metrics: top/dup n-gram fractions, short docs null") {
+    val df = Seq(
+      (0L, "a b a b a"), // 2-grams: ab, ba, ab, ba → top 2/4, dup 1 - 2/4
+      (1L, "x y"),       // one gram → top 1.0, dup 0.0
+      (2L, "q")          // no 2-grams → nulls
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(df, $"doc_id", $"text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(1) == 0.5 && r(0).getDouble(2) == 0.5)
+    assert(r(1).getDouble(1) == 1.0 && r(1).getDouble(2) == 0.0)
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2))
+  }
+
+  test("decontamination flags docs sharing an 8-gram with the benchmark") {
+    val bench = Seq("w1 w2 w3 w4 w5 w6 w7 w8").toDF("text")
+    val docs = Seq(
+      (0L, "pre w1 w2 w3 w4 w5 w6 w7 w8 post"), // contains the window
+      (1L, "w1 w2 w3 w4 w5 w6 w7 DIFFERENT"),   // 7-gram overlap only
+      (2L, "short doc")
+    ).toDF("doc_id", "text")
+    val r = TextOps.decontaminate(docs, $"doc_id", $"text", bench, $"text")
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getBoolean(2))).toSeq ==
+      Seq((1L, true), (0L, false), (0L, false)))
+  }
+
+  test("PII redaction replaces emails, IPs, phones and counts them") {
+    val t = "mail a@b.co now ip 1.2.3.4 call +1 (555) 010-0100 end"
+    val cols = TextOps.redactPii($"t").map { case (n, c) => c.as(n) }
+    val r = Seq(t).toDF("t").select(cols: _*).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(r.getString(3) == "mail <EMAIL> now ip <IP> call <PHONE> end")
+  }
+
   test("winnowing fingerprints: shared passages overlap, short docs empty") {
     val a = "the quick brown fox jumps over the lazy dog in the park"
     val b = "a quick brown fox jumps over the lazy dog near me"
