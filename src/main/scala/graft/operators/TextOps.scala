@@ -148,8 +148,12 @@ object TextOps {
     val bg = broadcast(
       bench.select(explode(ngrams(benchText, n)).as("gram")).distinct())
     val hits = docs
-      .select(id.as("doc_id"), explode(ngrams(text, n)).as("gram"))
-      .distinct() // one hit per distinct gram, not per occurrence
+      // one hit per distinct gram, not per occurrence: deduplicated
+      // INSIDE each row before the explode — a (doc_id, gram)
+      // `.distinct()` here would shuffle the corpus's whole gram
+      // stream for a result the per-doc array_distinct already gives
+      .select(id.as("doc_id"),
+        explode(array_distinct(ngrams(text, n))).as("gram"))
       .join(bg, "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
     docs.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
