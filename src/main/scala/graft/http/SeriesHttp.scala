@@ -214,7 +214,11 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
       send(ex, 200, s"""{"deleted":$n}""")
     }
     case ("POST", "_compact") =>
-      store.compact(db); send(ex, 200, "{\"ok\":true}")
+      store.compact(db)
+      // housekeeping ride-along: drop files no reader can still need
+      // (default grace protects in-flight snapshots)
+      store.vacuum(db)
+      send(ex, 200, "{\"ok\":true}")
     case (_, "_changes") => send(ex, 501, err("not implemented"))
     case ("PUT", key) =>
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)

@@ -182,11 +182,18 @@ object Load {
   }
 }
 
-/** `Compact <root> <db>` — physically drop overwritten versions and
- * merge small files. */
+/** `Compact <root> <db> [graceMs]` — physically drop overwritten
+ * versions, merge small files, and vacuum files no reader within the
+ * grace window can still reference. */
 object Compact {
-  def main(args: Array[String]): Unit =
-    new SeriesStore(ToolSession.spark(), args(0)).compact(args(1))
+  def main(args: Array[String]): Unit = {
+    val store = new SeriesStore(ToolSession.spark(), args(0))
+    store.compact(args(1))
+    val removed =
+      if (args.length > 2) store.vacuum(args(1), args(2).toLong)
+      else store.vacuum(args(1))
+    println(s"compacted ${args(1)}; vacuumed $removed stale files")
+  }
 }
 
 /** `Info <root> [db...]` — print `{doc_count, space_used, last_seq}`
