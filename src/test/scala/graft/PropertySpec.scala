@@ -147,4 +147,60 @@ class PropertySpec extends AnyFunSuite {
       row.getSeq[String](1) == xs
     }, min = 20)
   }
+
+  test("commit-log fold: random action sequences replay deterministically") {
+    import graft.sources.CommitLog
+    import graft.sources.CommitLog.{FileEntry, Manifest}
+    val actionGen = Gen.oneOf("append", "replace")
+    check(Prop.forAll(Gen.listOfN(30, Gen.zip(actionGen, Gen.choose(0, 3)))) {
+      actions =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-plog")
+        val log = new CommitLog(dir)
+        log.init()
+        actions.zipWithIndex.foreach { case ((kind, nf), i) =>
+          val v = i + 2L
+          val files = (0 until nf).map(j => FileEntry(s"f$v-$j.parquet", j + 1L))
+          assert(log.tryCommit(Manifest(v, kind, files, seqHi = v, clean = kind == "replace")))
+          log.checkpointMaybe(log.snapshot())
+        }
+        val viaCkpt = log.snapshot()
+        // a fresh log object over the same dir (≈ another JVM) agrees
+        val fresh = new CommitLog(dir).snapshot()
+        // pure fold of the action list = the expected state
+        val expect = actions.zipWithIndex.foldLeft(
+          (Vector.empty[FileEntry], true, 0L)) {
+          case ((fs, _, seq), ((kind, nf), i)) =>
+            val v = i + 2L
+            val files = (0 until nf).map(j => FileEntry(s"f$v-$j.parquet", j + 1L)).toVector
+            if (kind == "append") (fs ++ files, false, math.max(seq, v))
+            else (files, true, math.max(seq, v))
+        }
+        viaCkpt == fresh &&
+          viaCkpt.files == expect._1 &&
+          (actions.isEmpty || viaCkpt.clean == expect._2) &&
+          viaCkpt.lastSeq == expect._3
+    }, min = 30)
+  }
+
+  test("deterministic split partitions exactly and nests with uniform") {
+    // pure-function check of the md5 coordinate: every id lands in
+    // exactly one split, and a uniform sample at rate r is a subset
+    // of any sample at rate >= r (no Spark needed: recompute the
+    // hash the way the engine and the DuckDB oracle both do)
+    def frac(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / 1152921504606846976.0
+    }
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2),
+        Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (id, r1, r2) =>
+      val f = frac(id)
+      val lo = math.min(r1, r2); val hi = math.max(r1, r2)
+      f >= 0.0 && f < 1.0 &&
+        (!(f < lo) || f < hi) && // nesting: kept at lo ⇒ kept at hi
+        Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).sliding(2)
+          .count { case Seq(a, b) => f >= a && f < b } == 1 // exactly one split
+    })
+  }
 }
