@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Sampling, Similarity, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan regression guard: the scale properties the README
+ * claims — pushdown, pruning, no stray exchanges, bounded windows,
+ * broadcast sides — asserted against the actual executed plans so a
+ * refactor that silently reintroduces a shuffle or un-pushes a
+ * filter fails here, not in a 100 TB run.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(dir).isDirectory
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("time-range predicates reach the parquet scan (PushedFilters)") {
+    assume(available)
+    val df = SparkEntry.queries("q_all_range_limit")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"range not pushed:\n$p")
+  }
+
+  test("column pruning: q1 scans only the columns it aggregates") {
+    assume(available)
+    val p = planOf(SparkEntry.queries("q1_agg")(spark, dir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      s"unneeded lineitem columns read:\n$p")
+    // partial + final aggregation pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("deterministic sampling is a pure scan filter: zero exchanges") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = planOf(Sampling.uniform(docs, col("doc_id"), 0.3))
+    assert(!p.contains("Exchange"), s"sampling plan shuffles:\n$p")
+    val p2 = planOf(Sampling.split(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.2)))
+    assert(!p2.contains("Exchange"), s"split plan shuffles:\n$p2")
+  }
+
+  test("IVF assignment aggregates map-side: exactly one window (probes)") {
+    assume(available)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4),
+      centroids = emb.filter(pmod(col("vec_id"), lit(16)) === 0),
+      k = 5, nprobe = 2)
+    val p = planOf(df)
+    // windows may partition only by query_id (probe + final ranking);
+    // a window partitioned by the corpus's vec_id means the N·C
+    // assignment cross product is being shuffled again
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"corpus assignment regressed to a window:\n$p")
+    assert(p.contains("windowspecdefinition(query_id"),
+      s"expected query-side ranking windows:\n$p")
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark gram side") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = TextOps.decontaminate(docs, col("doc_id"), col("text"),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"))
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange"), s"benchmark side not broadcast:\n$p")
+  }
+
+  test("compacted store reads are plain scans; dirty reads add one dedup agg") {
+    val store = new graft.sources.SeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-plan").toString)
+    store.create("db")
+    store.store("db", Some("2012-08-28T21:24:00Z"), """{"v": 1}""")
+    store.compact("db")
+    val clean = planOf(store.frame("db"))
+    assert(!clean.contains("Exchange") && !clean.contains("Aggregate"),
+      s"clean read not a plain scan:\n$clean")
+    store.store("db", Some("2012-08-28T21:24:01Z"), """{"v": 2}""")
+    val dirty = planOf(store.frame("db"))
+    // max_by lowers to a sort/object aggregate — any Aggregate node
+    // keyed on ts is the last-write-wins dedup
+    assert(dirty.contains("Aggregate"), s"dirty read skips dedup:\n$dirty")
+  }
+}
