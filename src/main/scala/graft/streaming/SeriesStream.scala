@@ -1,7 +1,9 @@
 package graft.streaming
 
+import graft.operators.TextOps
 import graft.sources.SeriesStore
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
@@ -34,5 +36,38 @@ object SeriesStream {
         store.storeBatch(db, batch)
       }
       .start()
+  }
+
+  /**
+   * Streaming exact dedup for a continuously-ingested corpus: keep
+   * the FIRST arrival per content fingerprint, dropping later copies
+   * that arrive within the watermark horizon. State is the set of
+   * fingerprints younger than the watermark — BOUNDED, which is what
+   * makes this runnable forever; copies separated by more than the
+   * horizon are a batch `Dedup.exact` pass's job downstream (the
+   * standard streaming-dedup-then-batch-sweep split).
+   *
+   * `tsCol` must be a TimestampType event-time column.
+   */
+  def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /**
+   * Stateless streaming corpus scoring: language ID, quality
+   * columns, token counts, and PII redaction are pure projections,
+   * so the SAME codegen'd expressions the batch pipeline uses apply
+   * to an unbounded stream unchanged — no state, no watermark, one
+   * more reason the operators avoid UDFs and driver-side steps.
+   */
+  def scoreStream(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val cols = Seq("lang_pred" -> TextOps.langId(t)) ++
+      TextOps.qualityColumns(t) ++ TextOps.tokenCounts(t) ++
+      TextOps.redactPii(t)
+    cols.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
   }
 }

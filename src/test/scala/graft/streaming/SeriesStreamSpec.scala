@@ -77,4 +77,45 @@ class SeriesStreamSpec extends SparkSpec {
         Seq((b * 1000, 7.0, 2L)))
     } finally q.stop()
   }
+
+  test("streaming exact dedup keeps first arrival per fingerprint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = SeriesStream.dedupExact(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts",
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(1346189040000L + s * 1000)
+    try {
+      mem.addData((ts(0), 0L, "the same doc"), (ts(1), 1L, "another doc"))
+      q.processAllAvailable()
+      // same fingerprint despite whitespace jitter → dropped, even
+      // across micro-batches
+      mem.addData((ts(2), 2L, "  the   same doc "), (ts(3), 3L, "third doc"))
+      q.processAllAvailable()
+      val kept = spark.table("dd").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 1L, 3L))
+    } finally q.stop()
+  }
+
+  test("scoreStream projects the batch scoring columns onto a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = SeriesStream.scoreStream(mem.toDF().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("sc")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "the cat of the hat is a good cat mail me a@b.co"))
+      q.processAllAvailable()
+      val r = spark.table("sc").head()
+      assert(r.getAs[String]("lang_pred") == "en")
+      assert(r.getAs[Long]("n_emails") == 1)
+      assert(r.getAs[String]("redacted").endsWith("mail me <EMAIL>"))
+      assert(r.getAs[Long]("ws_tokens") == 12)
+    } finally q.stop()
+  }
 }
