@@ -196,6 +196,20 @@ object Compact {
   }
 }
 
+/** `Vacuum <root> <db> [graceMs]` — delete data files no snapshot
+ * references and stale staging dirs, sparing anything younger than
+ * the grace window (in-flight readers may still hold older
+ * snapshots). */
+object Vacuum {
+  def main(args: Array[String]): Unit = {
+    val store = new SeriesStore(ToolSession.spark(), args(0))
+    val removed =
+      if (args.length > 2) store.vacuum(args(1), args(2).toLong)
+      else store.vacuum(args(1))
+    println(s"vacuumed $removed stale files from ${args(1)}")
+  }
+}
+
 /** `Info <root> [db...]` — print `{doc_count, space_used, last_seq}`
  * per database (all databases when none named). */
 object Info {

@@ -33,6 +33,25 @@ class ToolsSpec extends SparkSpec {
     assert(b.info("db3").docCount == 3)
   }
 
+  test("compact + vacuum tools reclaim replaced files past the grace") {
+    val root = Files.createTempDirectory("graft-tools-v").toString
+    val s = new SeriesStore(spark, root)
+    s.create("db")
+    s.storeBatch("db", Seq((1346189000L * 1000000000L, """{"v": 1}"""),
+      (1346189010L * 1000000000L, """{"v": 2}""")).toDF("ts", "doc"))
+    Compact.main(Array(root, "db", "-1000")) // negative grace: sweep now
+    def dataFiles = {
+      val dir = java.nio.file.Paths.get(root, "db" + SeriesStore.dbExt)
+      val st = Files.list(dir)
+      try st.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    assert(dataFiles == 1) // exactly the compacted file survives
+    assert(s.info("db").docCount == 2)
+    assert(Vacuum.main(Array(root, "db", "-1000")) == (())) // idempotent
+    assert(dataFiles == 1)
+  }
+
   test("gzipped dump round-trips through load (reference dumps always gzip)") {
     val root = Files.createTempDirectory("graft-tools-gz").toString
     val a = new SeriesStore(spark, root)
