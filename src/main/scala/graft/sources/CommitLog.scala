@@ -44,7 +44,13 @@ final class CommitLog(dbDir: Path) {
 
   def init(): Boolean = {
     Files.createDirectories(logDir)
-    tryCommit(Manifest(1, "create", Vector(), seqHi = 0, clean = true))
+    // the create manifest carries a fresh table UID: a drop + recreate
+    // is a NEW incarnation even when its commit versions replay the
+    // same numbers — anything keyed on table state (the query cache)
+    // must mix the UID in, or version 2 of the new table aliases
+    // version 2 of the old one
+    tryCommit(Manifest(1, "create", Vector(), seqHi = 0, clean = true,
+      uid = java.util.UUID.randomUUID().toString))
   }
 
   def initialized: Boolean =
@@ -61,12 +67,15 @@ final class CommitLog(dbDir: Path) {
       val b = Seq.newBuilder[Long]
       while (it.hasNext) {
         val n = it.next().getFileName.toString
-        if (n.endsWith(".json") && !n.endsWith(ckptSuffix))
-          b += n.stripSuffix(".json").toLong
+        // strict name match: a stray foreign .json (editor backup,
+        // copied file) must not brick the db with a parse error
+        if (manifestName.matches(n)) b += n.stripSuffix(".json").toLong
       }
       b.result().sorted
     } finally s.close()
   }
+
+  private val manifestName = "^[0-9]{20}\\.json$".r
 
   private def manifestPath(v: Long): Path =
     logDir.resolve(f"$v%020d.json")
@@ -112,11 +121,11 @@ final class CommitLog(dbDir: Path) {
     listLog().filter(_ > v).map(readManifest)
 
   private def apply(s: Snapshot, m: Manifest): Snapshot = m.kind match {
-    case "create" => Snapshot(m.v, Vector(), clean = true, 0)
+    case "create" => Snapshot(m.v, Vector(), clean = true, 0, m.uid)
     case "append" => Snapshot(m.v, s.files ++ m.files, clean = false,
-      math.max(s.lastSeq, m.seqHi))
+      math.max(s.lastSeq, m.seqHi), s.uid)
     case "replace" => Snapshot(m.v, m.files.toVector, m.clean,
-      math.max(s.lastSeq, m.seqHi))
+      math.max(s.lastSeq, m.seqHi), s.uid)
     case other => throw new IllegalStateException(
       s"unknown manifest kind '$other' at version ${m.v}")
   }
@@ -169,34 +178,38 @@ object CommitLog {
       s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes}"""
   }
 
+  /** `uid` is set on `create` manifests only: the table-incarnation
+   * identity (see [[CommitLog.init]]). */
   case class Manifest(v: Long, kind: String, files: Seq[FileEntry],
-      seqHi: Long, clean: Boolean) {
+      seqHi: Long, clean: Boolean, uid: String = "") {
     def toJson: String =
       s"""{"v":$v,"kind":${SeriesStore.jsonQuote(kind)},""" +
         s""""files":${files.map(_.toJson).mkString("[", ",", "]")},""" +
-        s""""seqHi":$seqHi,"clean":$clean}"""
+        s""""seqHi":$seqHi,"clean":$clean,"uid":${SeriesStore.jsonQuote(uid)}}"""
   }
 
   object Manifest {
     def fromJson(s: String): Manifest = {
       val n = graft.functions.JsonPointersExpr.mapper.readTree(s)
       Manifest(n.get("v").asLong(), n.get("kind").asText(),
-        fileEntries(n), n.get("seqHi").asLong(), n.get("clean").asBoolean())
+        fileEntries(n), n.get("seqHi").asLong(), n.get("clean").asBoolean(),
+        if (n.has("uid")) n.get("uid").asText() else "")
     }
   }
 
   case class Snapshot(version: Long, files: Vector[FileEntry],
-      clean: Boolean, lastSeq: Long) {
+      clean: Boolean, lastSeq: Long, uid: String = "") {
     def toJson: String =
       s"""{"v":$version,"files":${files.map(_.toJson).mkString("[", ",", "]")},""" +
-        s""""clean":$clean,"lastSeq":$lastSeq}"""
+        s""""clean":$clean,"lastSeq":$lastSeq,"uid":${SeriesStore.jsonQuote(uid)}}"""
   }
 
   object Snapshot {
     def fromJson(s: String): Snapshot = {
       val n = graft.functions.JsonPointersExpr.mapper.readTree(s)
       Snapshot(n.get("v").asLong(), fileEntries(n).toVector,
-        n.get("clean").asBoolean(), n.get("lastSeq").asLong())
+        n.get("clean").asBoolean(), n.get("lastSeq").asLong(),
+        if (n.has("uid")) n.get("uid").asText() else "")
     }
   }
 

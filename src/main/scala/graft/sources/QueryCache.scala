@@ -11,11 +11,12 @@ import java.util.{Collections, LinkedHashMap, Map => JMap}
  *
  * The reference keys on the bucket's DocumentInfos, which it has for
  * free mid-walk; recomputing that here would cost the very scan the
- * cache avoids. Instead the version hashes the db directory's file
- * (name, size, mtime) metadata — O(#files) listing, no data read; any
- * append/delete/compact changes it and naturally invalidates. Entries
- * are LRU-bounded. Correctness is unaffected by eviction: a miss just
- * recomputes through the engine.
+ * cache avoids. Instead the version is the store's committed log
+ * identity — (table-incarnation UID, commit version) — no data or
+ * metadata scan at all: every append/delete/compact is exactly one
+ * commit, and the UID separates a dropped-and-recreated db from its
+ * predecessor. Entries are LRU+byte-bounded. Correctness is
+ * unaffected by eviction: a miss just recomputes through the engine.
  */
 class QueryCache(store: SeriesStore, capacity: Int = 256,
     maxBytes: Long = 64L << 20) {
@@ -98,13 +99,18 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
     h
   }
 
-  /** The db's committed log version ([[SeriesStore.currentVersion]]):
-   * every mutation — append, delete, compact — is exactly one commit,
-   * so version equality IS table-state equality. No file metadata is
-   * consulted, so two rewrites landing in the same filesystem
-   * timestamp tick with identical names and sizes still invalidate. */
-  private[sources] def storageVersion(db: String): Long =
-    store.currentVersion(db)
+  /** FNV over the db's (incarnation UID, committed version)
+   * ([[SeriesStore.tableState]]): every mutation is exactly one
+   * commit, so version equality within one incarnation IS table-state
+   * equality, and the UID keeps a drop + recreate (whose fresh log
+   * replays the same version numbers) from aliasing its predecessor.
+   * No file metadata is consulted, so two rewrites landing in the
+   * same filesystem timestamp tick with identical names and sizes
+   * still invalidate. */
+  private[sources] def storageVersion(db: String): Long = {
+    val (uid, version) = store.tableState(db)
+    Fnv.mixLong(Fnv.mix(Fnv.offset, uid), version)
+  }
 }
 
 /** FNV-1a 64-bit (the reference's cache key hash, cache.go:157-172). */

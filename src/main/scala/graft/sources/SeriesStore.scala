@@ -10,7 +10,6 @@ import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
-import java.util.concurrent.atomic.AtomicLong
 
 /**
  * Multi-tenant series storage: one parquet directory per named
@@ -89,8 +88,53 @@ class SeriesStore(spark: SparkSession, root: String) {
   def create(db: String): Unit = {
     val p = dbPath(db)
     Files.createDirectories(p)
+    ensureMigrated(db) // a legacy dir must adopt its data, not lose it
     val log = logOf(db)
     if (!log.initialized) log.init()
+  }
+
+  /** One-time adoption of a pre-commit-log database directory (plain
+   * parquet part files + `_graft_clean` marker): synthesize the
+   * create manifest and one commit covering the existing files, so
+   * upgraded stores read their old data instead of erroring. */
+  private val migrated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureMigrated(db: String): Unit = {
+    if (migrated.contains(db)) return
+    withWriteLock(db) {
+      if (!migrated.contains(db)) {
+        val p = dbPath(db)
+        val log = logOf(db)
+        if (Files.isDirectory(p) && !log.initialized) {
+          val s = Files.list(p)
+          val parts =
+            try {
+              val it = s.iterator()
+              val b = Seq.newBuilder[Path]
+              while (it.hasNext) {
+                val f = it.next()
+                val n = f.getFileName.toString
+                if (n.endsWith(".parquet") && !n.startsWith("_") &&
+                    !n.startsWith(".") && Files.isRegularFile(f)) b += f
+              }
+              b.result()
+            } finally s.close()
+          log.init()
+          if (parts.nonEmpty) {
+            val entries = parts.map(f =>
+              CommitLog.FileEntry(f.getFileName.toString, Files.size(f)))
+            val maxSeq = spark.read.schema(schema)
+              .parquet(parts.map(_.toString): _*)
+              .agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+            val clean = Files.exists(p.resolve("_graft_clean"))
+            log.tryCommit(CommitLog.Manifest(2,
+              if (clean) "replace" else "append", entries,
+              seqHi = maxSeq, clean = clean))
+            Files.deleteIfExists(p.resolve("_graft_clean"))
+          }
+        }
+        migrated.add(db)
+      }
+    }
   }
 
   // Files.walk streams hold directory handles until closed
@@ -137,13 +181,19 @@ class SeriesStore(spark: SparkSession, root: String) {
     entries.foreach(e => Files.deleteIfExists(dbPath(db).resolve(e.name)))
 
   /** Remove data files no longer referenced by the current snapshot
-   * and stale staging dirs, keeping anything younger than `graceMs` —
-   * an in-flight reader may still be scanning files its (older)
-   * snapshot listed, exactly the window the grace period protects
-   * (the public table-format VACUUM contract). */
+   * and stale staging dirs, keeping anything younger than `graceMs`.
+   * The grace window protects TWO in-flight populations: readers
+   * still scanning files an older snapshot listed, AND writers
+   * between [[stage]] and their commit, whose files are not yet in
+   * any snapshot — so `graceMs` must exceed the longest running
+   * read or write. Shorten it below that (the CLI accepts explicit
+   * values down to 0) only when the store is known quiescent.
+   * Concurrent vacuums/unstages may race deletions; each entry is
+   * handled independently and already-gone files are skipped. */
   def vacuum(db: String, graceMs: Long = 10 * 60 * 1000L): Int = {
     val p = dbPath(db)
     if (!Files.isDirectory(p)) return 0
+    ensureMigrated(db)
     val live = logOf(db).snapshot().files.map(_.name).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
@@ -153,12 +203,17 @@ class SeriesStore(spark: SparkSession, root: String) {
       while (it.hasNext) {
         val f = it.next()
         val name = f.getFileName.toString
-        def old = Files.getLastModifiedTime(f).toMillis < cutoff
-        if (name.endsWith(".parquet") && !live.contains(name) && old) {
-          Files.deleteIfExists(f); removed += 1
-        } else if (name.startsWith("_stage-") && Files.isDirectory(f) && old) {
-          walked(f)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-          removed += 1
+        try {
+          def old = Files.getLastModifiedTime(f).toMillis < cutoff
+          if (name.endsWith(".parquet") && !live.contains(name) && old) {
+            if (Files.deleteIfExists(f)) removed += 1
+          } else if (name.startsWith("_stage-") && Files.isDirectory(f) && old) {
+            walked(f)(_.sorted(Comparator.reverseOrder[Path]()).forEach(p =>
+              Files.deleteIfExists(p)))
+            removed += 1
+          }
+        } catch { // a racing vacuum/unstage finished first: not an error
+          case _: java.nio.file.NoSuchFileException => ()
         }
       }
     } finally s.close()
@@ -222,6 +277,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * returns (frame to stage, highest seq reserved). */
   private def appendCommit(db: String)(
       mk: Long => (DataFrame, Long)): Unit = {
+    ensureMigrated(db)
     val log = logOf(db)
     var attempts = 0
     var done = false
@@ -236,7 +292,10 @@ class SeriesStore(spark: SparkSession, root: String) {
       else {
         unstage(db, staged)
         attempts += 1
-        require(attempts < 100, s"append to $db lost $attempts commit races")
+        // server-side contention, not caller error: must not surface
+        // as the 400 an IllegalArgumentException would map to
+        if (attempts >= 100) throw new IllegalStateException(
+          s"append to $db lost $attempts commit races")
       }
     }
   }
@@ -282,6 +341,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * versions stay readable; vacuumed versions fail at scan time. */
   def frameAt(db: String, version: Long): DataFrame = {
     require(exists(db), s"no such database: $db")
+    ensureMigrated(db)
     frameOf(db, logOf(db).snapshotAt(version))
   }
 
@@ -290,11 +350,13 @@ class SeriesStore(spark: SparkSession, root: String) {
    * format gets for free from its log. */
   def history(db: String): Seq[CommitLog.Manifest] = {
     require(exists(db), s"no such database: $db")
+    ensureMigrated(db)
     logOf(db).commitsSince(0)
   }
 
   private def snapshotOf(db: String): CommitLog.Snapshot = {
     require(exists(db), s"no such database: $db")
+    ensureMigrated(db)
     val snap = logOf(db).snapshot()
     require(snap.version >= 1, s"no such database: $db")
     snap
@@ -312,12 +374,23 @@ class SeriesStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** The db's committed log version — the query cache's storage
-   * version: every mutation is exactly one commit, so equality of
-   * versions is equality of table states regardless of filesystem
-   * timestamp granularity. */
+  /** The db's committed log version — every mutation is exactly one
+   * commit, so version advancement tracks table-state change
+   * regardless of filesystem timestamp granularity. */
   private[sources] def currentVersion(db: String): Long =
     logOf(db).latestVersion()
+
+  /** (table incarnation UID, committed version) — the query cache's
+   * storage identity. The UID distinguishes a dropped-and-recreated
+   * db whose fresh log replays the same version NUMBERS; version
+   * equality alone would alias the two incarnations and serve stale
+   * results across a drop. */
+  private[sources] def tableState(db: String): (String, Long) = {
+    if (!exists(db)) return ("", 0L)
+    ensureMigrated(db)
+    val snap = logOf(db).snapshot()
+    (snap.uid, snap.version)
+  }
 
   /** GET /{db}/{key} point get (handlers.go:422-429). */
   def get(db: String, key: String): Option[String] = {
@@ -354,7 +427,8 @@ class SeriesStore(spark: SparkSession, root: String) {
     var cond = lit(true)
     from.foreach(s => cond = cond && col("ts") >= parseBound(s))
     to.foreach(s => cond = cond && col("ts") < parseBound(s))
-    val (before, written) = withWriteLock(db)(rewrite(db, _.filter(!cond)))
+    val (before, written) =
+      withWriteLock(db)(rewrite(db, _.filter(!cond), countBase = true))
     stat(db).deletes.increment()
     before - written
   }
@@ -368,7 +442,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * OPTIMIZE). Replaced files stay on disk for in-flight readers
    * until [[vacuum]]. */
   def compact(db: String): Unit = {
-    withWriteLock(db)(rewrite(db, identity))
+    withWriteLock(db)(rewrite(db, identity, countBase = false))
     stat(db).compacts.increment()
   }
 
@@ -386,14 +460,17 @@ class SeriesStore(spark: SparkSession, root: String) {
    * A concurrent replace aborts this attempt and recomputes from the
    * new state (the standard table-format conflict rule: append vs
    * replace commutes, replace vs replace does not). */
-  private def rewrite(db: String,
-      xform: DataFrame => DataFrame): (Long, Long) = {
+  private def rewrite(db: String, xform: DataFrame => DataFrame,
+      countBase: Boolean): (Long, Long) = {
     val log = logOf(db)
     var outer = 0
     while (outer < 10) {
       val snap = snapshotOf(db)
       val base = frameOf(db, snap)
-      val before = base.count()
+      // the base count is an extra full-table pass (incl. the dedup
+      // shuffle on dirty snapshots): only deleteRange's deleted-row
+      // arithmetic needs it, compaction must not pay for it
+      val before = if (countBase) base.count() else -1L
       val cached = xform(base)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

@@ -83,6 +83,36 @@ class CommitLogSpec extends AnyFunSuite {
     assert(replayed.version == 25 && replayed.files.size == 24)
   }
 
+  test("stray .json files in _log are ignored, not parsed") {
+    val (dir, log) = fresh()
+    assert(log.tryCommit(Manifest(2, "append", Seq(fe("a.parquet")), 1, clean = false)))
+    // foreign files whose names end in .json but are not 20-digit
+    // versions: editor backups, copied manifests, rsync temps
+    Files.write(dir.resolve("_log").resolve("manifest.json"),
+      "not a manifest".getBytes("UTF-8"))
+    Files.write(dir.resolve("_log").resolve("123.json"),
+      "short name".getBytes("UTF-8"))
+    assert(log.latestVersion() == 2)
+    assert(log.snapshot().files.map(_.name) == Vector("a.parquet"))
+    assert(log.tryCommit(Manifest(3, "append", Seq(fe("b.parquet")), 2, clean = false)))
+  }
+
+  test("create manifests carry a fresh incarnation UID") {
+    val dir = Files.createTempDirectory("graft-uid")
+    val log1 = new CommitLog(dir)
+    assert(log1.init())
+    val uid1 = log1.snapshot().uid
+    assert(uid1.nonEmpty)
+    // wipe and re-init (≈ drop + recreate): new incarnation, new UID
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .filter(_ != dir).forEach(Files.delete(_))
+    finally s.close()
+    val log2 = new CommitLog(dir)
+    assert(log2.init())
+    assert(log2.snapshot().uid != uid1)
+  }
+
   test("manifests round-trip through JSON exactly") {
     val m = Manifest(7, "replace",
       Seq(FileEntry("x\"y.parquet", 123), FileEntry("z.parquet", 0)),

@@ -89,4 +89,27 @@ class QueryCacheSpec extends SparkSpec {
     store.compact("db")
     assert(cache.storageVersion("db") != v0)
   }
+
+  test("drop + recreate never serves the previous incarnation's results") {
+    // the fresh log replays the same version NUMBERS (create=1,
+    // first store=2), so version equality alone would alias the two
+    // incarnations — the create manifest's UID breaks the tie
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qcd").toString)
+    val cache = new QueryCache(store)
+    val q = SeriesQuery(60000, Seq("/v"), Seq("sum"), names = Seq("s"))
+
+    store.create("dr")
+    store.store("dr", Some("2012-08-28T21:24:00Z"), """{"v": 10}""")
+    val gen1 = store.tableState("dr")
+    assert(cache.queryJson("dr", q) == """{"1346189040000":[10]}""")
+
+    store.drop("dr")
+    store.create("dr")
+    store.store("dr", Some("2012-08-28T21:24:00Z"), """{"v": 30}""")
+    val gen2 = store.tableState("dr")
+    assert(gen1._2 == gen2._2, "test setup: versions must collide")
+    assert(gen1._1 != gen2._1, "incarnation UIDs must differ")
+    assert(cache.queryJson("dr", q) == """{"1346189040000":[30]}""")
+  }
 }

@@ -215,6 +215,38 @@ class SeriesStoreSpec extends SparkSpec {
     assert(s.history("tt").map(_.v) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("legacy pre-commit-log directories are adopted, data intact") {
+    // old layout: parquet part files directly in the db dir + the
+    // _graft_clean marker; no _log. First access must adopt the data
+    // into a synthesized commit, not error with 'no such database'
+    val root = Files.createTempDirectory("graft-legacy").toString
+    val p = java.nio.file.Paths.get(root, "old" + SeriesStore.dbExt)
+    Seq((1346189040000000000L, 1L, """{"v": 1}"""),
+        (1346189050000000000L, 2L, """{"v": 2}"""))
+      .toDF("ts", "seq", "doc").write.parquet(p.toString)
+    Files.createFile(p.resolve("_graft_clean"))
+
+    val s = new SeriesStore(spark, root)
+    assert(s.exists("old"))
+    assert(s.info("old").docCount == 2)
+    assert(s.get("old", "2012-08-28T21:24:00Z").contains("""{"v": 1}"""))
+    // the adopted state is clean (marker honored) and versioned
+    assert(s.history("old").map(_.kind) == Seq("create", "replace"))
+    // new writes allocate seqs ABOVE the legacy maximum: an overwrite
+    // must beat the adopted row in last-write-wins dedup
+    s.store("old", Some("2012-08-28T21:24:00Z"), """{"v": 9}""")
+    assert(s.get("old", "2012-08-28T21:24:00Z").contains("""{"v": 9}"""))
+    assert(s.info("old").docCount == 2)
+
+    // dirty legacy dir (no marker): same-ts rows dedup on read
+    val p2 = java.nio.file.Paths.get(root, "dirty" + SeriesStore.dbExt)
+    Seq((1346189040000000000L, 1L, """{"v": 1}"""),
+        (1346189040000000000L, 2L, """{"v": 2}"""))
+      .toDF("ts", "seq", "doc").write.parquet(p2.toString)
+    assert(s.info("dirty").docCount == 1)
+    assert(s.get("dirty", "2012-08-28T21:24:00Z").contains("""{"v": 2}"""))
+  }
+
   test("vacuum sweeps orphans and replaced files after grace, never live ones") {
     val s = newStore()
     s.create("vx")
