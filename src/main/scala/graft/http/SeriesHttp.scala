@@ -188,9 +188,11 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     case ("GET", "_query") => deadlined(s"_query $db")(query(ex, db, p))
     case ("GET", "_all") => deadlined(s"_all $db") {
       // streamed: rows arrive via toLocalIterator, the response leaves
-      // in chunks — neither the driver nor the server buffers the scan
+      // in chunks — neither the driver nor the server buffers the scan.
+      // `version` (beyond-reference) time-travels to an older commit.
       val rows = store.all(db, p.get("from").map(_.head), p.get("to").map(_.head),
-          p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue))
+          p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue),
+          p.get("version").map(_.head.toLong))
         .select("key", "doc").toLocalIterator()
       var first = true
       sendStream(ex, Iterator.single("{") ++ new Iterator[String] {
@@ -205,7 +207,8 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     case ("GET", "_dump") => deadlined(s"_dump $db") {
       val lines = store.dump(db, p.get("from").map(_.head),
         p.get("to").map(_.head),
-        p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue))
+        p.get("limit").map(_.head.toInt).getOrElse(Int.MaxValue),
+        p.get("version").map(_.head.toLong))
       sendStream(ex, lines.zipWithIndex.map { case (l, i) =>
         if (i == 0) l else "\n" + l })
     }

@@ -401,10 +401,11 @@ class SeriesStore(spark: SparkSession, root: String) {
   }
 
   /** GET /{db}/_all range scan → (key STRING, ts LONG, doc STRING)
-   * ascending, `limit` rows (handlers.go:331-379). Range is [from, to). */
+   * ascending, `limit` rows (handlers.go:331-379). Range is [from, to).
+   * `version` reads an older committed snapshot (time travel). */
   def all(db: String, from: Option[String] = None, to: Option[String] = None,
-      limit: Int = Int.MaxValue): DataFrame = {
-    var f = frame(db)
+      limit: Int = Int.MaxValue, version: Option[Long] = None): DataFrame = {
+    var f = version.fold(frame(db))(frameAt(db, _))
     from.foreach(s => f = f.filter(col("ts") >= parseBound(s)))
     to.foreach(s => f = f.filter(col("ts") < parseBound(s)))
     f.orderBy(col("ts")).limit(limit)
@@ -415,8 +416,8 @@ class SeriesStore(spark: SparkSession, root: String) {
   /** GET /{db}/_dump: JSON-lines, one `{"key": doc}` per line, streamed
    * without collecting the frame (handlers.go:381-420). */
   def dump(db: String, from: Option[String] = None, to: Option[String] = None,
-      limit: Int = Int.MaxValue): Iterator[String] =
-    all(db, from, to, limit).select("key", "doc").toLocalIterator()
+      limit: Int = Int.MaxValue, version: Option[Long] = None): Iterator[String] =
+    all(db, from, to, limit, version).select("key", "doc").toLocalIterator()
       .asScala.map(r => s"""{"${r.getString(0)}": ${r.getString(1)}}""")
 
   /** DELETE /{db}/_bulk range delete; returns deleted count

@@ -127,6 +127,18 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(plain._2.contains("\"gz\""))
   }
 
+  test("_all?version= time-travels to an older commit") {
+    req("PUT", "/tt")
+    req("PUT", "/tt/2012-08-28T21:24:00Z", """{"v": 1}""") // version 2
+    req("PUT", "/tt/2012-08-28T21:24:10Z", """{"v": 2}""") // version 3
+    val (c, now) = req("GET", "/tt/_all")
+    assert(c == 200 && now.contains("\"v\": 1") && now.contains("\"v\": 2"))
+    val (c2, old) = req("GET", "/tt/_all?version=2")
+    assert(c2 == 200 && old.contains("\"v\": 1") && !old.contains("\"v\": 2"))
+    val (_, dump) = req("GET", "/tt/_dump?version=2")
+    assert(dump.trim == """{"2012-08-28T21:24:00Z": {"v": 1}}""")
+  }
+
   test("cache hits stream chunked and slow queries land in /_debug/vars") {
     val cached = new SeriesHttp(store,
       cache = Some(new graft.sources.QueryCache(store)),
