@@ -722,6 +722,22 @@ object Queries {
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
         jaccardThreshold = 0.8, useClusters = true))),
 
+    // every stage enabled: dedup chains via transitive closure,
+    // Gopher-style repetition filter, eval-set decontamination
+    "pipeline_clean_full" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.Pipeline.cleanCorpus(docs, col("doc_id"), col("text"),
+            langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
+            useClusters = true, maxTopNgramFrac = 0.08,
+            bench = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 0)),
+            benchText = col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
+        jaccardThreshold = 0.8, useClusters = true,
+        maxTopNgramFrac = Some(0.08), decon = true))),
+
     "multimodal_frames" -> Entry(
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents")
@@ -891,8 +907,39 @@ object Queries {
    * MinHash near-dup drops (reusing the full LSH oracle as a
    * subquery), language/quality gates, first-reason-wins. */
   private def pipelineOracle(langs: Seq[String], minQuality: Double,
-      jaccardThreshold: Double, useClusters: Boolean = false): String = {
+      jaccardThreshold: Double, useClusters: Boolean = false,
+      maxTopNgramFrac: Option[Double] = None,
+      decon: Boolean = false): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
+    // optional stage CTEs mirror TextOps.repetition / .decontaminate
+    val repCtes = maxTopNgramFrac.fold("") { f =>
+      s""", rep_g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+            ELSE [] END) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0)),
+        rep_c AS (SELECT doc_id, gram, count(*) AS c FROM rep_g GROUP BY 1, 2),
+        rep_f AS (SELECT doc_id FROM (
+          SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS topf
+          FROM rep_c GROUP BY 1) WHERE topf > $f)"""
+    }
+    val deconCtes = if (!decon) "" else {
+      val gram8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s""", dec_g AS (SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+            THEN list_transform(range(1, len(w) - 6), i -> $gram8)
+            ELSE [] END) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0))),
+        dec_b AS (SELECT DISTINCT gram FROM dec_g WHERE doc_id % 97 = 0),
+        dec_f AS (SELECT DISTINCT d.doc_id FROM dec_g d JOIN dec_b USING (gram))"""
+    }
+    val repJoin = maxTopNgramFrac.fold("")(_ =>
+      "LEFT JOIN rep_f rf ON d.doc_id = rf.doc_id")
+    val deconJoin = if (decon) "LEFT JOIN dec_f cf ON d.doc_id = cf.doc_id" else ""
+    val repWhen = maxTopNgramFrac.fold("")(_ =>
+      "WHEN rf.doc_id IS NOT NULL THEN 'repetition'")
+    val deconWhen = if (decon) "WHEN cf.doc_id IS NOT NULL THEN 'contaminated'" else ""
     // greedy: every id2 of a verified pair drops. clusters: the
     // recursive-CTE transitive closure drops every non-minimum of its
     // component (the clustersOracle shape composed into the pipeline)
@@ -916,17 +963,22 @@ object Queries {
         WHERE f.doc_id <> k.keep_id),
       $nearCte,
       lg AS (SELECT doc_id, lang_pred FROM (${langidOracle})),
-      qu AS (SELECT doc_id, quality FROM (${qualityOracle})),
+      qu AS (SELECT doc_id, quality FROM (${qualityOracle}))
+      $repCtes $deconCtes,
       decided AS (SELECT d.doc_id,
         CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 'empty'
              WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
              WHEN lg.lang_pred NOT IN ($langList) THEN 'lang'
              WHEN qu.quality < $minQuality THEN 'quality'
+             $repWhen
+             $deconWhen
              ELSE 'keep' END AS reason
         FROM documents d
         LEFT JOIN exact_dups e ON d.doc_id = e.doc_id
         LEFT JOIN near n ON d.doc_id = n.doc_id
+        $repJoin
+        $deconJoin
         JOIN lg ON d.doc_id = lg.doc_id
         JOIN qu ON d.doc_id = qu.doc_id)
       SELECT doc_id, reason = 'keep' AS keep, reason

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
  *      near-dups (A~B, B~C keeps exactly A even with no A~C pair);
  *   3. `lang`      — language ID outside the allowed set;
  *   4. `quality`   — quality score below the floor;
- *   5. `keep`.
+ *   5. `repetition` — top word-2-gram fraction above
+ *      `maxTopNgramFrac` (Gopher/C4 boilerplate filter; disabled at
+ *      the default 1.0);
+ *   6. `contaminated` — shares a word 8-gram with the `bench` eval
+ *      set (disabled when `bench` is None);
+ *   7. `keep`.
  *
  * An `empty` gate precedes everything: null/empty text has no
  * fingerprint, no shingles, and no scores, so it is dropped outright
@@ -34,7 +39,10 @@ object Pipeline {
 
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
-      jaccardThreshold: Double = 0.8, useClusters: Boolean = false): DataFrame = {
+      jaccardThreshold: Double = 0.8, useClusters: Boolean = false,
+      maxTopNgramFrac: Double = 1.0,
+      bench: Option[DataFrame] = None,
+      benchText: Column = col("text")): DataFrame = {
     // bounded per-group state: only min(doc_id) aggregates; the dup
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
@@ -71,17 +79,35 @@ object Pipeline {
       TextOps.langId(text).as("__lang"),
       TextOps.qualityColumns(text).toMap.apply("quality").as("__quality"))
 
+    // optional stages join as more per-doc flag frames — each is its
+    // own independent branch over the corpus scan family
+    val repFlags =
+      if (maxTopNgramFrac >= 1.0) None
+      else Some(TextOps.repetition(nonEmpty, id, text, n = 2)
+        .filter(col("top_ngram_frac") > maxTopNgramFrac)
+        .select(col("doc_id")).withColumn("__repet", lit(true)))
+    val conFlags = bench.map(b =>
+      TextOps.decontaminate(nonEmpty, id, text, b, benchText)
+        .filter(col("contaminated"))
+        .select(col("doc_id")).withColumn("__contam", lit(true)))
+
     // drop lists can be a large fraction of the corpus on real data —
     // no broadcast hint; AQE broadcasts them when they turn out small
-    scored
-      .join(exactDups, Seq("doc_id"), "left")
-      .join(nearDups, Seq("doc_id"), "left")
+    val joined = Seq(Some(exactDups), Some(nearDups), repFlags, conFlags)
+      .flatten.foldLeft(scored)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+    val repetCond =
+      repFlags.fold(lit(false))(_ => col("__repet").isNotNull && col("__repet"))
+    val contamCond =
+      conFlags.fold(lit(false))(_ => col("__contam").isNotNull && col("__contam"))
+    joined
       .withColumn("reason",
         when(col("__empty"), "empty")
           .when(col("__exact"), "exact_dup")
           .when(col("__near"), "near_dup")
           .when(!col("__lang").isInCollection(langs), "lang")
           .when(col("__quality") < minQuality, "quality")
+          .when(repetCond, "repetition")
+          .when(contamCond, "contaminated")
           .otherwise("keep"))
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
