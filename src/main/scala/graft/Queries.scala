@@ -736,7 +736,8 @@ object Queries {
       },
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
         jaccardThreshold = 0.8, useClusters = true,
-        maxTopNgramFrac = Some(0.08), decon = true))),
+        maxTopNgramFrac = Some(0.08),
+        deconBenchSql = Some("doc_id % 97 = 0")))),
 
     "multimodal_frames" -> Entry(
       (s, dir) => Multimodal.sampleFrames(
@@ -906,10 +907,14 @@ object Queries {
    * [[graft.operators.Pipeline.cleanCorpus]]: exact-dup keeper,
    * MinHash near-dup drops (reusing the full LSH oracle as a
    * subquery), language/quality gates, first-reason-wins. */
+  /** `deconBenchSql` is the SQL predicate selecting the benchmark
+   * docs (e.g. `"doc_id % 97 = 0"`) — passed explicitly so the
+   * oracle's eval set cannot silently diverge from the `bench` frame
+   * the Spark side was given. */
   private def pipelineOracle(langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double, useClusters: Boolean = false,
       maxTopNgramFrac: Option[Double] = None,
-      decon: Boolean = false): String = {
+      deconBenchSql: Option[String] = None): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     // optional stage CTEs mirror TextOps.repetition / .decontaminate
     val repCtes = maxTopNgramFrac.fold("") { f =>
@@ -923,7 +928,7 @@ object Queries {
           SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS topf
           FROM rep_c GROUP BY 1) WHERE topf > $f)"""
     }
-    val deconCtes = if (!decon) "" else {
+    val deconCtes = deconBenchSql.fold("") { benchPred =>
       val gram8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s""", dec_g AS (SELECT DISTINCT doc_id, gram FROM (
           SELECT doc_id, unnest(CASE WHEN len(w) >= 8
@@ -931,15 +936,17 @@ object Queries {
             ELSE [] END) AS gram
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
             WHERE text IS NOT NULL AND length(text) > 0))),
-        dec_b AS (SELECT DISTINCT gram FROM dec_g WHERE doc_id % 97 = 0),
+        dec_b AS (SELECT DISTINCT gram FROM dec_g WHERE $benchPred),
         dec_f AS (SELECT DISTINCT d.doc_id FROM dec_g d JOIN dec_b USING (gram))"""
     }
     val repJoin = maxTopNgramFrac.fold("")(_ =>
       "LEFT JOIN rep_f rf ON d.doc_id = rf.doc_id")
-    val deconJoin = if (decon) "LEFT JOIN dec_f cf ON d.doc_id = cf.doc_id" else ""
+    val deconJoin = deconBenchSql.fold("")(_ =>
+      "LEFT JOIN dec_f cf ON d.doc_id = cf.doc_id")
     val repWhen = maxTopNgramFrac.fold("")(_ =>
       "WHEN rf.doc_id IS NOT NULL THEN 'repetition'")
-    val deconWhen = if (decon) "WHEN cf.doc_id IS NOT NULL THEN 'contaminated'" else ""
+    val deconWhen = deconBenchSql.fold("")(_ =>
+      "WHEN cf.doc_id IS NOT NULL THEN 'contaminated'")
     // greedy: every id2 of a verified pair drops. clusters: the
     // recursive-CTE transitive closure drops every non-minimum of its
     // component (the clustersOracle shape composed into the pipeline)

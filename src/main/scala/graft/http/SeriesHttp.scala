@@ -219,8 +219,9 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     case ("POST", "_compact") =>
       store.compact(db)
       // housekeeping ride-along: drop files no reader can still need
-      // (default grace protects in-flight snapshots)
-      store.vacuum(db)
+      // (default grace protects in-flight snapshots). The compaction
+      // already committed — a vacuum hiccup must not fail the request
+      try store.vacuum(db) catch { case _: Exception => () }
       send(ex, 200, "{\"ok\":true}")
     case (_, "_changes") => send(ex, 501, err("not implemented"))
     case ("PUT", key) =>

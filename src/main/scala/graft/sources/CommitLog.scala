@@ -59,6 +59,19 @@ final class CommitLog(dbDir: Path) {
   /** Highest committed version, 0 if none. */
   def latestVersion(): Long = listLog().lastOption.getOrElse(0L)
 
+  /** The incarnation UID from the v1 create manifest, "" if absent.
+   * One small file read — deliberately NOT cached in this object:
+   * another process may drop + recreate the directory underneath us,
+   * and a stale cached UID would resurrect exactly the cache-aliasing
+   * bug the UID exists to prevent. */
+  def tableId(): String = {
+    val m = manifestPath(1)
+    if (Files.exists(m))
+      try Manifest.fromJson(new String(Files.readAllBytes(m), "UTF-8")).uid
+      catch { case _: Exception => "" }
+    else ""
+  }
+
   private def listLog(): Seq[Long] = {
     if (!Files.isDirectory(logDir)) return Nil
     val s = Files.list(logDir)

@@ -93,10 +93,21 @@ class SeriesStore(spark: SparkSession, root: String) {
     if (!log.initialized) log.init()
   }
 
-  /** One-time adoption of a pre-commit-log database directory (plain
-   * parquet part files + `_graft_clean` marker): synthesize the
-   * create manifest and one commit covering the existing files, so
-   * upgraded stores read their old data instead of erroring. */
+  /** Adoption of a pre-commit-log database directory (plain Spark
+   * `part-*.parquet` files + `_graft_clean` marker): synthesize the
+   * create manifest and one commit covering the legacy files, so
+   * upgraded stores read their old data instead of erroring.
+   *
+   * Crash/race safety: a legacy file needs adopting iff NO manifest
+   * in the db's history has ever referenced it — a crashed or
+   * race-lost adoption is retried on the next access (the legacy
+   * files are untouched until a manifest lands), while files a later
+   * compact replaced stay retired (their adoption manifest is still
+   * in the history, so they are never re-adopted and vacuum may
+   * sweep them). The adoption commit itself goes through the normal
+   * optimistic retry, with the result CHECKED — concurrent writers
+   * rebase it like any other append. Legacy names (`part-` prefix)
+   * can never collide with this layout's uuid-named data files. */
   private val migrated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def ensureMigrated(db: String): Unit = {
     if (migrated.contains(db)) return
@@ -104,7 +115,11 @@ class SeriesStore(spark: SparkSession, root: String) {
       if (!migrated.contains(db)) {
         val p = dbPath(db)
         val log = logOf(db)
-        if (Files.isDirectory(p) && !log.initialized) {
+        if (Files.isDirectory(p)) {
+          val everReferenced: Set[String] =
+            if (log.initialized)
+              log.commitsSince(0).flatMap(_.files.map(_.name)).toSet
+            else Set.empty
           val s = Files.list(p)
           val parts =
             try {
@@ -113,23 +128,37 @@ class SeriesStore(spark: SparkSession, root: String) {
               while (it.hasNext) {
                 val f = it.next()
                 val n = f.getFileName.toString
-                if (n.endsWith(".parquet") && !n.startsWith("_") &&
-                    !n.startsWith(".") && Files.isRegularFile(f)) b += f
+                if (n.startsWith("part-") && n.endsWith(".parquet") &&
+                    !everReferenced.contains(n) && Files.isRegularFile(f)) b += f
               }
               b.result()
             } finally s.close()
-          log.init()
-          if (parts.nonEmpty) {
+          if (parts.nonEmpty || !log.initialized) {
+            // everything expensive happens BEFORE any commit: a crash
+            // in the Spark read leaves the log untouched and adoption
+            // simply retries on the next access
             val entries = parts.map(f =>
               CommitLog.FileEntry(f.getFileName.toString, Files.size(f)))
-            val maxSeq = spark.read.schema(schema)
-              .parquet(parts.map(_.toString): _*)
-              .agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
-            val clean = Files.exists(p.resolve("_graft_clean"))
-            log.tryCommit(CommitLog.Manifest(2,
-              if (clean) "replace" else "append", entries,
-              seqHi = maxSeq, clean = clean))
-            Files.deleteIfExists(p.resolve("_graft_clean"))
+            val maxSeq =
+              if (parts.isEmpty) 0L
+              else spark.read.schema(schema).parquet(parts.map(_.toString): _*)
+                .agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+            val markerClean = Files.exists(p.resolve("_graft_clean"))
+            if (!log.initialized) log.init()
+            if (parts.nonEmpty) {
+              var done = false
+              while (!done) {
+                val snap = log.snapshot()
+                // clean only when nothing else landed first: with a
+                // concurrent append in the snapshot, the union needs
+                // the read-side dedup regardless of the marker
+                val asClean = markerClean && snap.files.isEmpty
+                done = log.tryCommit(CommitLog.Manifest(snap.version + 1,
+                  if (asClean) "replace" else "append", entries,
+                  seqHi = maxSeq, clean = asClean))
+              }
+              Files.deleteIfExists(p.resolve("_graft_clean"))
+            }
           }
         }
         migrated.add(db)
@@ -214,6 +243,9 @@ class SeriesStore(spark: SparkSession, root: String) {
           }
         } catch { // a racing vacuum/unstage finished first: not an error
           case _: java.nio.file.NoSuchFileException => ()
+          // Files.walk wraps mid-iteration disappearances
+          case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
         }
       }
     } finally s.close()
@@ -381,15 +413,17 @@ class SeriesStore(spark: SparkSession, root: String) {
     logOf(db).latestVersion()
 
   /** (table incarnation UID, committed version) — the query cache's
-   * storage identity. The UID distinguishes a dropped-and-recreated
-   * db whose fresh log replays the same version NUMBERS; version
-   * equality alone would alias the two incarnations and serve stale
-   * results across a drop. */
+   * storage identity, computed on EVERY cache key: the UID comes
+   * from one small manifest read and the version from one directory
+   * listing, never a full snapshot reconstruction. The UID
+   * distinguishes a dropped-and-recreated db whose fresh log replays
+   * the same version NUMBERS; version equality alone would alias the
+   * two incarnations and serve stale results across a drop. */
   private[sources] def tableState(db: String): (String, Long) = {
     if (!exists(db)) return ("", 0L)
     ensureMigrated(db)
-    val snap = logOf(db).snapshot()
-    (snap.uid, snap.version)
+    val log = logOf(db)
+    (log.tableId(), log.latestVersion())
   }
 
   /** GET /{db}/{key} point get (handlers.go:422-429). */

@@ -189,11 +189,16 @@ object Compact {
   def main(args: Array[String]): Unit = {
     val store = new SeriesStore(ToolSession.spark(), args(0))
     store.compact(args(1))
-    val removed =
-      if (args.length > 2) store.vacuum(args(1), args(2).toLong)
-      else store.vacuum(args(1))
+    val removed = vacuumWithGrace(store, args)
     println(s"compacted ${args(1)}; vacuumed $removed stale files")
   }
+}
+
+/** Shared `<root> <db> [graceMs]` vacuum invocation. */
+private object vacuumWithGrace {
+  def apply(store: SeriesStore, args: Array[String]): Int =
+    args.lift(2).map(_.toLong)
+      .fold(store.vacuum(args(1)))(store.vacuum(args(1), _))
 }
 
 /** `Vacuum <root> <db> [graceMs]` — delete data files no snapshot
@@ -203,10 +208,7 @@ object Compact {
 object Vacuum {
   def main(args: Array[String]): Unit = {
     val store = new SeriesStore(ToolSession.spark(), args(0))
-    val removed =
-      if (args.length > 2) store.vacuum(args(1), args(2).toLong)
-      else store.vacuum(args(1))
-    println(s"vacuumed $removed stale files from ${args(1)}")
+    println(s"vacuumed ${vacuumWithGrace(store, args)} stale files from ${args(1)}")
   }
 }
 

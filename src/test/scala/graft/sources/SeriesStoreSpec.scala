@@ -245,6 +245,25 @@ class SeriesStoreSpec extends SparkSpec {
       .toDF("ts", "seq", "doc").write.parquet(p2.toString)
     assert(s.info("dirty").docCount == 1)
     assert(s.get("dirty", "2012-08-28T21:24:00Z").contains("""{"v": 2}"""))
+
+    // crashed adoption (log initialized, no adoption commit landed):
+    // healed on next access — the legacy files are referenced by no
+    // manifest yet, so a FRESH store retries the adoption
+    val p3 = java.nio.file.Paths.get(root, "crashed" + SeriesStore.dbExt)
+    Seq((1346189040000000000L, 1L, """{"v": 7}"""))
+      .toDF("ts", "seq", "doc").write.parquet(p3.toString)
+    new CommitLog(p3).init() // ≈ crash between init and adoption
+    val s2 = new SeriesStore(spark, root) // fresh migrated-set
+    assert(s2.info("crashed").docCount == 1)
+    assert(s2.history("crashed").map(_.kind) == Seq("create", "append"))
+
+    // NO resurrection: after a compact retires the adopted part-
+    // files, a fresh store must not re-adopt them (their adoption
+    // manifest is still in the history)
+    s2.compact("crashed")
+    val s3 = new SeriesStore(spark, root)
+    assert(s3.info("crashed").docCount == 1)
+    assert(s3.history("crashed").map(_.kind) == Seq("create", "append", "replace"))
   }
 
   test("vacuum sweeps orphans and replaced files after grace, never live ones") {
