@@ -512,6 +512,35 @@ object Queries {
           count(*) AS n, sum(doc_id)::BIGINT AS id_sum
         FROM f GROUP BY 1 ORDER BY 1""")),
 
+    // leakage-safe K-way split: the split coordinate is the doc's
+    // near-dup CLUSTER id (docs in no pair are their own group), so a
+    // near-duplicate pair can never straddle train and test — the
+    // contamination channel a doc-keyed split leaves open
+    "sample_split_leakage_safe" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.clusters(Dedup.minhashPairs(docs,
+          col("doc_id"), col("text"), threshold = 0.8))
+        val grouped = docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+        graft.operators.Sampling.split(grouped, col("group_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH g AS (SELECT d.doc_id,
+            coalesce(c.cluster_id, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN (${clustersOracle(0.8)}) c USING (doc_id)),
+        f AS (SELECT doc_id,
+          (('0x' || substr(md5(group_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0) AS fr FROM g)
+        SELECT (CASE WHEN fr < 0.8/(0.8+0.1+0.1) THEN 'train'
+                     WHEN fr < (0.8+0.1)/(0.8+0.1+0.1) THEN 'val'
+                     ELSE 'test' END) AS split,
+          count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
     // pairs → connected components → keeper per component: the
     // keep-list step a dedup pipeline consumes (transitive closure,
     // not pairwise keeper-wins)

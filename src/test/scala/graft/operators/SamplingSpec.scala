@@ -37,6 +37,17 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == uni)
   }
 
+  test("group-keyed split never straddles a group across splits") {
+    // leakage-safe splitting: key the coordinate on a GROUP id (e.g.
+    // a near-dup cluster) and every member lands in the same split
+    val df = (0L until 300L).map(i => (i, i / 3)).toDF("id", "grp")
+    val parts = Sampling.split(df, $"grp", Seq("train" -> 0.8, "test" -> 0.2))
+    val straddling = parts.groupBy("grp")
+      .agg(countDistinct("split").as("k")).filter($"k" > 1).count()
+    assert(straddling == 0)
+    assert(parts.select("split").distinct().count() == 2)
+  }
+
   test("split is disjoint, exhaustive, and weight-proportional") {
     val parts = Sampling.split(ids, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val counts = parts.groupBy("split").count().as[(String, Long)].collect().toMap
