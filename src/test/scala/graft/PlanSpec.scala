@@ -76,6 +76,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"benchmark side not broadcast:\n$p")
   }
 
+  test("no registry query degenerates to a non-broadcast cartesian product") {
+    assume(available)
+    // BroadcastNestedLoopJoin with a bounded broadcast side is a
+    // legitimate plan (ANN query fan-out, IVF centroid scoring); a
+    // CartesianProduct of two unbounded sides is never intended and
+    // would be a 100 TB catastrophe regardless of sf0.001 timings
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans in: $offenders")
+  }
+
   test("compacted store reads are plain scans; dirty reads add one dedup agg") {
     val store = new graft.sources.SeriesStore(spark,
       java.nio.file.Files.createTempDirectory("graft-plan").toString)
