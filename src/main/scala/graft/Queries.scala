@@ -708,6 +708,27 @@ object Queries {
           coalesce(hits, 0) > 0 AS contaminated
         FROM documents LEFT JOIN h USING (doc_id) ORDER BY doc_id""")),
 
+    "text_decontaminate_fp" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.decontaminateByFingerprint(docs, col("doc_id"), col("text"),
+            docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fps AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(0, len(h) - 3),
+              j -> list_min(list_slice(h, j + 1, j + 4))))) AS fp
+          FROM (SELECT doc_id, list_transform(range(0, length(text) - 7),
+              i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT) AS h
+            FROM documents WHERE length(text) >= 11)),
+        bf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+        h2 AS (SELECT f.doc_id, count(*) AS shared_fps FROM fps f
+          JOIN bf USING (fp) GROUP BY 1)
+        SELECT doc_id, coalesce(shared_fps, 0)::BIGINT AS shared_fps,
+          coalesce(shared_fps, 0) > 0 AS contaminated
+        FROM documents LEFT JOIN h2 USING (doc_id) ORDER BY doc_id""")),
+
     "text_redact" -> Entry(
       (s, dir) => {
         // PII synthesized deterministically from doc_id (the corpus

@@ -161,6 +161,31 @@ object TextOps {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /**
+   * Passage-level decontamination via winnowing fingerprints: where
+   * [[decontaminate]]'s exact word-8-grams miss lightly edited reuse
+   * (tokenization drift, punctuation changes), shared winnow minima
+   * survive small edits — the MOSS property. `shared_fps` counts the
+   * distinct fingerprints a doc shares with the eval set. Same scale
+   * shape as [[decontaminate]]: benchmark fingerprints broadcast,
+   * corpus side scan + explode + broadcast join + doc-keyed count.
+   */
+  def decontaminateByFingerprint(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val bf = broadcast(
+      bench.select(explode(winnowFingerprints(benchText, k, w)).as("fp")).distinct())
+    val hits = docs
+      // winnow output is already distinct within a doc — no dedup step
+      .select(id.as("doc_id"), explode(winnowFingerprints(text, k, w)).as("fp"))
+      .join(bf, "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_fps"))
+    docs.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_fps"), lit(0L)).as("shared_fps"),
+        (coalesce(col("shared_fps"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // PII patterns, written to the RE2 ∩ Java-regex dialect (no \b, no
   // backrefs) so the DuckDB oracle matches byte for byte; the oracle
   // SQL interpolates these SAME constants so they cannot drift

@@ -97,6 +97,24 @@ class TextOpsSpec extends SparkSpec {
       Seq((1L, true), (0L, false), (0L, false)))
   }
 
+  test("fingerprint decontamination survives small edits; exact 8-grams don't") {
+    val passage = "the quick brown fox jumps over the lazy dog in the park today"
+    val bench = Seq(passage).toDF("text")
+    val docs = Seq(
+      (0L, s"intro $passage outro"),               // verbatim reuse
+      (1L, passage.replace("lazy", "lazyy") + "!"), // lightly edited reuse
+      (2L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.decontaminateByFingerprint(docs, $"doc_id", $"text",
+      bench, $"text").orderBy("doc_id").collect()
+    assert(fp(0).getBoolean(2) && fp(1).getBoolean(2) && !fp(2).getBoolean(2))
+    // the exact word-8-gram check misses the edited copy (word count
+    // differs inside every 8-gram window that spans the edit)
+    val exact = TextOps.decontaminate(docs, $"doc_id", $"text", bench, $"text")
+      .orderBy("doc_id").collect()
+    assert(exact(0).getBoolean(2))
+  }
+
   test("PII redaction replaces emails, IPs, phones and counts them") {
     val t = "mail a@b.co now ip 1.2.3.4 call +1 (555) 010-0100 end"
     val cols = TextOps.redactPii($"t").map { case (n, c) => c.as(n) }
