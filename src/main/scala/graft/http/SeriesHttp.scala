@@ -48,10 +48,18 @@ import scala.concurrent.duration.{Duration, DurationInt}
  * (main.go:41-42, query.go:329-331): any `_query` slower than the
  * threshold is logged and lands in `/_debug/vars` under
  * `slow_queries` (count) and `slow_query_log` (most recent 32). */
+/** `vacuumGraceMs` bounds the housekeeping vacuum that rides along
+ * `POST /{db}/_compact`: files younger than the grace (or still being
+ * staged by an in-process write — the store floors the cutoff under
+ * its in-flight stages) are never deleted. Cross-JVM writers have no
+ * in-flight registry, so this grace is their only protection and must
+ * exceed the longest concurrent write; operators who know the store
+ * is quiescent can pass `?grace_ms=` per request to reclaim sooner. */
 class SeriesHttp(store: SeriesStore, port: Int = 0,
     maxQueryTime: Duration = 5.minutes,
     cache: Option[QueryCache] = None,
-    minQueryLogDuration: Duration = 100.millis) {
+    minQueryLogDuration: Duration = 100.millis,
+    vacuumGraceMs: Long = 10 * 60 * 1000L) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // without an executor every request runs on the single dispatcher
@@ -132,8 +140,12 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
       // /_debug/open handle list, debug.go, main.go:72-75)
       case ("GET", "/_debug/vars") =>
         val rt = Runtime.getRuntime
+        // q# (version-invalidated) and m# (client-addressed, never
+        // invalidated) keyspaces report apart — their hit rates mean
+        // different things
         val cacheJson = cache.fold("")(c =>
-          s""""cache":{"hits":${c.hits},"misses":${c.misses}},""")
+          s""""cache":{"hits":${c.hits},"misses":${c.misses}},""" +
+            s""""cache_raw":{"hits":${c.rawHits},"misses":${c.rawMisses}},""")
         send(ex, 200,
           s"""{"dbs":${store.statsJson},$cacheJson""" +
             s""""query_timeouts":${timeoutCount.sum()},""" +
@@ -219,9 +231,11 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     case ("POST", "_compact") =>
       store.compact(db)
       // housekeeping ride-along: drop files no reader can still need
-      // (default grace protects in-flight snapshots). The compaction
+      // (grace protects in-flight snapshots and cross-JVM writers; the
+      // store itself shields in-process stages). The compaction
       // already committed — a vacuum hiccup must not fail the request
-      try store.vacuum(db) catch { case _: Exception => () }
+      val grace = p.get("grace_ms").map(_.head.toLong).getOrElse(vacuumGraceMs)
+      try store.vacuum(db, grace) catch { case _: Exception => () }
       send(ex, 200, "{\"ok\":true}")
     case (_, "_changes") => send(ex, 501, err("not implemented"))
     case ("PUT", key) =>

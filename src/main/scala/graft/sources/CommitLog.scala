@@ -89,11 +89,30 @@ final class CommitLog(dbDir: Path) {
   }
 
   private val manifestName = "^[0-9]{20}\\.json$".r
+  // same strictness as manifests: a stray foreign file ending in
+  // .ckpt.json (editor backup, copied checkpoint) must be skipped,
+  // not parsed as a version number
+  private val ckptName = "^[0-9]{20}\\.ckpt\\.json$".r
 
   private def manifestPath(v: Long): Path =
     logDir.resolve(f"$v%020d.json")
   private def ckptPath(v: Long): Path =
     logDir.resolve(f"$v%020d$ckptSuffix")
+
+  /** Checkpoint versions on disk, ascending. */
+  private def listCkpts(): Seq[Long] = {
+    if (!Files.isDirectory(logDir)) return Nil
+    val s = Files.list(logDir)
+    try {
+      val it = s.iterator()
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (ckptName.matches(n)) b += n.stripSuffix(ckptSuffix).toLong
+      }
+      b.result().sorted
+    } finally s.close()
+  }
 
   /** Atomically commit manifest `m` as version `m.v`. Returns false if
    * another writer won the version — caller re-reads and retries. */
@@ -128,19 +147,43 @@ final class CommitLog(dbDir: Path) {
       .foldLeft(base)((s, x) => apply(s, readManifest(x)))
   }
 
-  /** Manifests with version strictly greater than `v`, ascending —
-   * the rebase input for replace commits that lost a race. */
+  /** Manifests with version strictly greater than `v`, ascending.
+   * LENIENT: after [[prune]] the window may start later than `v+1` —
+   * fine for audit listings ([[SeriesStore.history]]), NOT for rebase
+   * (use [[commitsSinceExact]], which refuses a gapped window). */
   def commitsSince(v: Long): Seq[Manifest] =
     listLog().filter(_ > v).map(readManifest)
+
+  /** Strict rebase window: every manifest in `(v, latest]`, or None if
+   * pruning has removed part of it (possible only when ≥2 checkpoints
+   * landed after `v` — the caller must recompute from a fresh
+   * snapshot instead of silently dropping the missing commits). */
+  def commitsSinceExact(v: Long): Option[Seq[Manifest]] = {
+    val vs = listLog().filter(_ > v)
+    val contiguous = vs.zipWithIndex.forall { case (x, i) => x == v + 1 + i }
+    if (contiguous) Some(vs.map(readManifest)) else None
+  }
 
   private def apply(s: Snapshot, m: Manifest): Snapshot = m.kind match {
     case "create" => Snapshot(m.v, Vector(), clean = true, 0, m.uid)
     case "append" => Snapshot(m.v, s.files ++ m.files, clean = false,
-      math.max(s.lastSeq, m.seqHi), s.uid)
+      math.max(s.lastSeq, m.seqHi), s.uid, adoptedAfter(s, m))
     case "replace" => Snapshot(m.v, m.files.toVector, m.clean,
-      math.max(s.lastSeq, m.seqHi), s.uid)
+      math.max(s.lastSeq, m.seqHi), s.uid, adoptedAfter(s, m))
     case other => throw new IllegalStateException(
       s"unknown manifest kind '$other' at version ${m.v}")
+  }
+
+  /** Legacy (`part-*`) names ever referenced in this incarnation —
+   * the adoption-idempotence set ([[SeriesStore.ensureMigrated]]).
+   * Carried in the snapshot (and thus checkpoints) so it survives
+   * [[prune]], which deletes the old manifests it would otherwise be
+   * recomputed from. Bounded: legacy files are a one-time population.
+   * Kept sorted so checkpoint bytes stay a pure function of version. */
+  private def adoptedAfter(s: Snapshot, m: Manifest): Vector[String] = {
+    val add = m.files.iterator.map(_.name).filter(_.startsWith("part-")).toVector
+    if (add.isEmpty) s.adopted
+    else (s.adopted ++ add).distinct.sorted
   }
 
   def readManifest(v: Long): Manifest =
@@ -156,27 +199,39 @@ final class CommitLog(dbDir: Path) {
       Files.write(tmp, s.toJson.getBytes("UTF-8"))
       Files.move(tmp, ckptPath(s.version), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      prune()
     }
 
+  /** Bound the log. Checkpoints make manifests older than the newest
+   * one dead weight for replay, but concurrent rewrites still rebase
+   * through [[commitsSinceExact]] windows that can start one
+   * checkpoint back — so the floor is the newest checkpoint that is
+   * at least [[CheckpointEvery]] behind the newest, and everything
+   * strictly below it goes (manifests and older checkpoints), EXCEPT
+   * the v1 create manifest, which [[tableId]] reads as the incarnation
+   * identity. Retained steady state: ≤ ~2·CheckpointEvery manifests +
+   * 2 checkpoints + v1 — every directory listing ([[latestVersion]],
+   * [[snapshot]], the cache key) is O(1) in table age, not O(#commits).
+   * A rebase that spans the pruned gap anyway sees None from
+   * [[commitsSinceExact]] and recomputes; time travel below the floor
+   * fails with "no committed version" (table-format retention
+   * semantics). Races are benign: prune only deletes files replay no
+   * longer needs, and double deletes are no-ops. */
+  private def prune(): Unit = {
+    val ckpts = listCkpts()
+    if (ckpts.isEmpty) return
+    val newest = ckpts.last
+    for (floor <- ckpts.filter(_ <= newest - CheckpointEvery).lastOption) {
+      listLog().foreach(v =>
+        if (v > 1 && v < floor) Files.deleteIfExists(manifestPath(v)))
+      ckpts.foreach(c => if (c < floor) Files.deleteIfExists(ckptPath(c)))
+    }
+  }
+
   private def latestCheckpointAtMost(v: Long): Option[Snapshot] = {
-    if (!Files.isDirectory(logDir)) return None
-    val s = Files.list(logDir)
-    val best =
-      try {
-        val it = s.iterator()
-        var found = -1L
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.endsWith(ckptSuffix)) {
-            val cv = n.stripSuffix(ckptSuffix).toLong
-            if (cv <= v && cv > found) found = cv
-          }
-        }
-        found
-      } finally s.close()
-    if (best < 0) None
-    else Some(Snapshot.fromJson(
-      new String(Files.readAllBytes(ckptPath(best)), "UTF-8")))
+    val best = listCkpts().filter(_ <= v).lastOption
+    best.map(cv => Snapshot.fromJson(
+      new String(Files.readAllBytes(ckptPath(cv)), "UTF-8")))
   }
 }
 
@@ -210,19 +265,30 @@ object CommitLog {
     }
   }
 
+  /** `adopted`: legacy `part-*` names ever referenced in this
+   * incarnation (sorted) — see [[CommitLog.adoptedAfter]]. */
   case class Snapshot(version: Long, files: Vector[FileEntry],
-      clean: Boolean, lastSeq: Long, uid: String = "") {
+      clean: Boolean, lastSeq: Long, uid: String = "",
+      adopted: Vector[String] = Vector()) {
     def toJson: String =
       s"""{"v":$version,"files":${files.map(_.toJson).mkString("[", ",", "]")},""" +
-        s""""clean":$clean,"lastSeq":$lastSeq,"uid":${SeriesStore.jsonQuote(uid)}}"""
+        s""""clean":$clean,"lastSeq":$lastSeq,"uid":${SeriesStore.jsonQuote(uid)},""" +
+        s""""adopted":${adopted.map(SeriesStore.jsonQuote).mkString("[", ",", "]")}}"""
   }
 
   object Snapshot {
     def fromJson(s: String): Snapshot = {
       val n = graft.functions.JsonPointersExpr.mapper.readTree(s)
+      val adopted =
+        if (n.has("adopted")) {
+          val b = Vector.newBuilder[String]
+          val it = n.get("adopted").elements()
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        } else Vector[String]()
       Snapshot(n.get("v").asLong(), fileEntries(n).toVector,
         n.get("clean").asBoolean(), n.get("lastSeq").asLong(),
-        if (n.has("uid")) n.get("uid").asText() else "")
+        if (n.has("uid")) n.get("uid").asText() else "", adopted)
     }
   }
 

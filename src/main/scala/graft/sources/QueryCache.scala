@@ -31,10 +31,18 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
   private val lru: JMap[String, String] = Collections.synchronizedMap(
     new LinkedHashMap[String, String](capacity, 0.75f, true))
 
+  // the two keyspaces have different consistency contracts (q# entries
+  // are version-invalidated, m# entries are client-addressed and never
+  // invalidated), so their stats are tracked apart — conflated counts
+  // would muddy exactly the observability signal they exist for
   private val hitCount = new java.util.concurrent.atomic.LongAdder
   private val missCount = new java.util.concurrent.atomic.LongAdder
+  private val rawHitCount = new java.util.concurrent.atomic.LongAdder
+  private val rawMissCount = new java.util.concurrent.atomic.LongAdder
   def hits: Long = hitCount.sum()
   def misses: Long = missCount.sum()
+  def rawHits: Long = rawHitCount.sum()
+  def rawMisses: Long = rawMissCount.sum()
 
   def queryJson(db: String, q: SeriesQuery): String = {
     val key = "q#" + java.lang.Long.toUnsignedString(cacheKey(db, q))
@@ -58,8 +66,8 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
    * namespaces keep the two keyspaces disjoint. */
   def getRaw(key: String): Option[String] = {
     val v = lru.get("m#" + key)
-    if (v != null) { hitCount.increment(); Some(v) }
-    else { missCount.increment(); None }
+    if (v != null) { rawHitCount.increment(); Some(v) }
+    else { rawMissCount.increment(); None }
   }
 
   def putRaw(key: String, value: String): Unit = putEntry("m#" + key, value)

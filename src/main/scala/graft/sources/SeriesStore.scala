@@ -98,16 +98,20 @@ class SeriesStore(spark: SparkSession, root: String) {
    * create manifest and one commit covering the legacy files, so
    * upgraded stores read their old data instead of erroring.
    *
-   * Crash/race safety: a legacy file needs adopting iff NO manifest
-   * in the db's history has ever referenced it — a crashed or
-   * race-lost adoption is retried on the next access (the legacy
-   * files are untouched until a manifest lands), while files a later
-   * compact replaced stay retired (their adoption manifest is still
-   * in the history, so they are never re-adopted and vacuum may
-   * sweep them). The adoption commit itself goes through the normal
-   * optimistic retry, with the result CHECKED — concurrent writers
-   * rebase it like any other append. Legacy names (`part-` prefix)
-   * can never collide with this layout's uuid-named data files. */
+   * Crash/race safety: a legacy file needs adopting iff no manifest
+   * has ever referenced it — tracked as the snapshot's `adopted` set
+   * (replay-accumulated, checkpoint-persisted, so log pruning cannot
+   * forget it). A crashed or race-lost adoption is retried on the
+   * next access (the legacy files are untouched until a manifest
+   * lands), while files a later compact replaced stay retired (their
+   * names stay in `adopted`, so they are never re-adopted and vacuum
+   * may sweep them). The adoption commit goes through the normal
+   * optimistic retry with the adoptable set RE-DERIVED per attempt
+   * (and file existence re-checked), so concurrent adopters never
+   * duplicate entries and a stalled adopter never commits references
+   * to files a concurrent compact+vacuum already deleted. Legacy
+   * names (`part-` prefix) can never collide with this layout's
+   * uuid-named data files. */
   private val migrated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def ensureMigrated(db: String): Unit = {
     if (migrated.contains(db)) return
@@ -116,10 +120,11 @@ class SeriesStore(spark: SparkSession, root: String) {
         val p = dbPath(db)
         val log = logOf(db)
         if (Files.isDirectory(p)) {
-          val everReferenced: Set[String] =
-            if (log.initialized)
-              log.commitsSince(0).flatMap(_.files.map(_.name)).toSet
-            else Set.empty
+          // the snapshot's `adopted` set is the ever-referenced record
+          // for legacy names (accumulated in replay, persisted through
+          // checkpoints — so it survives log pruning)
+          val adopted0: Set[String] =
+            if (log.initialized) log.snapshot().adopted.toSet else Set.empty
           val s = Files.list(p)
           val parts =
             try {
@@ -129,7 +134,7 @@ class SeriesStore(spark: SparkSession, root: String) {
                 val f = it.next()
                 val n = f.getFileName.toString
                 if (n.startsWith("part-") && n.endsWith(".parquet") &&
-                    !everReferenced.contains(n) && Files.isRegularFile(f)) b += f
+                    !adopted0.contains(n) && Files.isRegularFile(f)) b += f
               }
               b.result()
             } finally s.close()
@@ -149,13 +154,22 @@ class SeriesStore(spark: SparkSession, root: String) {
               var done = false
               while (!done) {
                 val snap = log.snapshot()
-                // clean only when nothing else landed first: with a
-                // concurrent append in the snapshot, the union needs
-                // the read-side dedup regardless of the marker
-                val asClean = markerClean && snap.files.isEmpty
-                done = log.tryCommit(CommitLog.Manifest(snap.version + 1,
-                  if (asClean) "replace" else "append", entries,
-                  seqHi = maxSeq, clean = asClean))
+                // re-derive the adoptable set EACH attempt: a lost race
+                // means another adopter (or a compact+vacuum) moved the
+                // table — re-committing the precomputed entries would
+                // double-adopt what the winner already referenced, or
+                // resurrect references to files vacuum just deleted
+                val fresh = SeriesStore.adoptable(p, entries, snap)
+                if (fresh.isEmpty) done = true // all adopted elsewhere
+                else {
+                  // clean only when nothing else landed first: with a
+                  // concurrent append in the snapshot, the union needs
+                  // the read-side dedup regardless of the marker
+                  val asClean = markerClean && snap.files.isEmpty
+                  done = log.tryCommit(CommitLog.Manifest(snap.version + 1,
+                    if (asClean) "replace" else "append", fresh,
+                    seqHi = maxSeq, clean = asClean))
+                }
               }
               Files.deleteIfExists(p.resolve("_graft_clean"))
             }
@@ -181,6 +195,32 @@ class SeriesStore(spark: SparkSession, root: String) {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withWriteLock[T](db: String)(f: => T): T =
     writeLocks.computeIfAbsent(db, _ => new Object).synchronized(f)
+
+  // In-flight stage registry: between stage() and its commit the moved
+  // files are in NO snapshot, so a concurrent vacuum whose grace is
+  // shorter than the write would sweep them and the landing commit
+  // would reference missing files. vacuum() floors its cutoff below
+  // the oldest stage registered here, making in-process writes immune
+  // to any grace setting; writers in OTHER JVMs remain protected only
+  // by the grace window itself (document at the vacuum call site).
+  private val activeStages = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private[sources] def withStageGuard[T](db: String)(f: => T): T = {
+    val id = java.util.UUID.randomUUID().toString
+    val m = activeStages.computeIfAbsent(db,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
+    m.put(id, java.lang.Long.valueOf(System.currentTimeMillis()))
+    try f finally m.remove(id)
+  }
+  private[sources] def oldestActiveStageMs(db: String): Long = {
+    val m = activeStages.get(db)
+    if (m == null) Long.MaxValue
+    else {
+      var min = Long.MaxValue
+      m.values.forEach(v => if (v.longValue < min) min = v.longValue)
+      min
+    }
+  }
 
   /** Stage a dataframe's parquet output as immutable uniquely-named
    * files inside the db dir (not yet visible — only a committed
@@ -217,6 +257,15 @@ class SeriesStore(spark: SparkSession, root: String) {
    * any snapshot — so `graceMs` must exceed the longest running
    * read or write. Shorten it below that (the CLI accepts explicit
    * values down to 0) only when the store is known quiescent.
+   *
+   * Writes staged IN THIS PROCESS are additionally immune regardless
+   * of `graceMs`: the cutoff is floored below the oldest in-flight
+   * stage ([[withStageGuard]]), so an aggressive ride-along vacuum
+   * can never delete files a local commit is about to reference.
+   * Stages in other JVMs have no such registry — cross-process, the
+   * grace window is the only protection and must exceed the longest
+   * concurrent write.
+   *
    * Concurrent vacuums/unstages may race deletions; each entry is
    * handled independently and already-gone files are skipped. */
   def vacuum(db: String, graceMs: Long = 10 * 60 * 1000L): Int = {
@@ -224,7 +273,8 @@ class SeriesStore(spark: SparkSession, root: String) {
     if (!Files.isDirectory(p)) return 0
     ensureMigrated(db)
     val live = logOf(db).snapshot().files.map(_.name).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    val cutoff = math.min(System.currentTimeMillis() - graceMs,
+      oldestActiveStageMs(db) - 1)
     var removed = 0
     val s = Files.list(p)
     try {
@@ -308,7 +358,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * snapshot and try again. `mk` receives the first free seq and
    * returns (frame to stage, highest seq reserved). */
   private def appendCommit(db: String)(
-      mk: Long => (DataFrame, Long)): Unit = {
+      mk: Long => (DataFrame, Long)): Unit = withStageGuard(db) {
     ensureMigrated(db)
     val log = logOf(db)
     var attempts = 0
@@ -379,7 +429,10 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   /** The db's commit history, ascending (create/append/replace with
    * file counts and seq watermarks) — the audit surface a table
-   * format gets for free from its log. */
+   * format gets for free from its log. On long-lived dbs the log is
+   * pruned past a checkpoint floor (CommitLog.prune), so the listing
+   * is the create manifest plus the most recent ~2 checkpoint windows,
+   * not the table's whole life. */
   def history(db: String): Seq[CommitLog.Manifest] = {
     require(exists(db), s"no such database: $db")
     ensureMigrated(db)
@@ -496,10 +549,11 @@ class SeriesStore(spark: SparkSession, root: String) {
    * new state (the standard table-format conflict rule: append vs
    * replace commutes, replace vs replace does not). */
   private def rewrite(db: String, xform: DataFrame => DataFrame,
-      countBase: Boolean): (Long, Long) = {
+      countBase: Boolean): (Long, Long) = withStageGuard(db) {
     val log = logOf(db)
     var outer = 0
-    while (outer < 10) {
+    var result: (Long, Long) = null
+    while (outer < 10 && result == null) {
       val snap = snapshotOf(db)
       val base = frameOf(db, snap)
       // the base count is an extra full-table pass (incl. the dedup
@@ -519,24 +573,29 @@ class SeriesStore(spark: SparkSession, root: String) {
         var aborted = false
         while (!committed && !aborted) {
           val current = log.snapshot()
-          val since = log.commitsSince(snap.version)
-          if (since.forall(_.kind == "append")) {
-            val appended = since.flatMap(_.files)
-            committed = log.tryCommit(CommitLog.Manifest(
-              current.version + 1, "replace", staged ++ appended,
-              seqHi = current.lastSeq, clean = appended.isEmpty))
-          } else aborted = true
+          // STRICT window: if log pruning removed part of it (≥2
+          // checkpoints landed mid-rewrite), rebasing from what's left
+          // would silently drop the pruned appends — abort and
+          // recompute from the fresh snapshot instead
+          log.commitsSinceExact(snap.version) match {
+            case Some(since) if since.forall(_.kind == "append") =>
+              val appended = since.flatMap(_.files)
+              committed = log.tryCommit(CommitLog.Manifest(
+                current.version + 1, "replace", staged ++ appended,
+                seqHi = current.lastSeq, clean = appended.isEmpty))
+            case _ => aborted = true
+          }
         }
         if (committed) {
           log.checkpointMaybe(log.snapshot())
-          return (before, n)
-        }
-        unstage(db, staged)
+          result = (before, n)
+        } else unstage(db, staged)
       } finally cached.unpersist()
       outer += 1
     }
-    throw new IllegalStateException(
+    if (result == null) throw new IllegalStateException(
       s"rewrite of $db lost $outer races to concurrent rewrites")
+    result
   }
 
   /** GET /{db}/_query — the analytical path (SeriesEngine). */
@@ -631,4 +690,15 @@ object SeriesStore {
   def validJson(s: String): Boolean =
     try { JsonPointersExpr.mapper.readTree(s); true }
     catch { case _: Exception => false }
+
+  /** The legacy entries an adoption attempt may still commit against
+   * snapshot `snap`: drops names the snapshot has ever referenced
+   * (a concurrent adopter won the race) and files no longer on disk
+   * (a concurrent compact+vacuum retired them mid-adoption) — the
+   * per-attempt recheck that keeps a lost race from double-adopting
+   * or committing references to deleted files. */
+  private[sources] def adoptable(dir: Path, entries: Seq[CommitLog.FileEntry],
+      snap: CommitLog.Snapshot): Seq[CommitLog.FileEntry] =
+    entries.filter(e => !snap.adopted.contains(e.name) &&
+      Files.isRegularFile(dir.resolve(e.name)))
 }

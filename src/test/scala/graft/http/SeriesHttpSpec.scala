@@ -139,6 +139,30 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(dump.trim == """{"2012-08-28T21:24:00Z": {"v": 1}}""")
   }
 
+  test("_compact?grace_ms= controls the ride-along vacuum") {
+    req("PUT", "/cg")
+    req("PUT", "/cg/2012-08-28T21:24:00Z", """{"v": 1}""")
+    req("PUT", "/cg/2012-08-28T21:24:10Z", """{"v": 2}""")
+    // operator knows the store is quiescent: an explicit sub-default
+    // grace reclaims the replaced append files in the same request
+    // (default grace would keep them for 10 minutes)
+    val (c, _) = req("POST", "/cg/_compact?grace_ms=-1000")
+    assert(c == 200)
+    val dbDir = java.nio.file.Paths.get(store.rootDir,
+      "cg" + graft.sources.SeriesStore.dbExt)
+    val s = java.nio.file.Files.list(dbDir)
+    val parquets =
+      try {
+        val it = s.iterator(); var n = 0
+        while (it.hasNext)
+          if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+        n
+      } finally s.close()
+    assert(parquets == 1) // only the compacted live file remains
+    val (_, all) = req("GET", "/cg/_all")
+    assert(all.contains("\"v\": 1") && all.contains("\"v\": 2"))
+  }
+
   test("cache hits stream chunked and slow queries land in /_debug/vars") {
     val cached = new SeriesHttp(store,
       cache = Some(new graft.sources.QueryCache(store)),
@@ -163,6 +187,8 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // with a zero threshold both queries were logged as slow
       val vars = creq("/_debug/vars").body()
       assert(vars.contains(""""cache":{"hits":1,"misses":1}"""))
+      // raw (memcached-transport) keyspace reports apart, untouched here
+      assert(vars.contains(""""cache_raw":{"hits":0,"misses":0}"""))
       assert(""""slow_queries":(\d+)""".r.findFirstMatchIn(vars)
         .exists(_.group(1).toLong >= 2))
       assert(vars.contains("_query qc group=60000"))

@@ -66,8 +66,10 @@ class CommitLogSpec extends AnyFunSuite {
   }
 
   test("snapshot via checkpoint equals snapshot via full replay") {
+    // stays below the prune floor (2 checkpoints) so every manifest is
+    // still on disk and a from-scratch replay is possible
     val (dir, log) = fresh()
-    (2 to 25).foreach { v =>
+    (2 to 19).foreach { v =>
       assert(log.tryCommit(Manifest(v, "append", Seq(fe(s"f$v.parquet")),
         seqHi = v, clean = false)))
       log.checkpointMaybe(log.snapshot())
@@ -80,7 +82,79 @@ class CommitLogSpec extends AnyFunSuite {
     finally s.close()
     val replayed = new CommitLog(dir).snapshot()
     assert(withCkpt == replayed)
-    assert(replayed.version == 25 && replayed.files.size == 24)
+    assert(replayed.version == 19 && replayed.files.size == 18)
+  }
+
+  test("old manifests and checkpoints are pruned past the floor") {
+    val (dir, log) = fresh()
+    (2 to 35).foreach { v =>
+      assert(log.tryCommit(Manifest(v, "append", Seq(fe(s"f$v.parquet")),
+        seqHi = v, clean = false)))
+      log.checkpointMaybe(log.snapshot())
+    }
+    // checkpoints landed at 10/20/30; the floor after the 30-ckpt is
+    // 20 — manifests 2..19 and the 10-ckpt are gone, v1 stays (uid)
+    val names = {
+      val s = Files.list(dir.resolve("_log"))
+      try {
+        val it = s.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result().sorted
+      } finally s.close()
+    }
+    assert(names.contains(f"${1L}%020d.json"))
+    assert(!names.contains(f"${2L}%020d.json"))
+    assert(!names.contains(f"${19L}%020d.json"))
+    assert(names.contains(f"${20L}%020d.json"))
+    assert(!names.contains(f"${10L}%020d.ckpt.json"))
+    assert(names.contains(f"${20L}%020d.ckpt.json"))
+    assert(names.contains(f"${30L}%020d.ckpt.json"))
+    // bounded: ≤ v1 + ~2 windows of manifests + 2 checkpoints
+    assert(names.size <= 20)
+    // state is unaffected: full file set, version, uid all intact
+    val snap = log.snapshot()
+    assert(snap.version == 35 && snap.files.size == 34)
+    assert(log.tableId() == snap.uid && snap.uid.nonEmpty)
+    // time travel above the floor works; below it fails loudly
+    assert(log.snapshotAt(25).files.size == 24)
+    intercept[IllegalArgumentException](log.snapshotAt(5))
+    // rebase windows: exact succeeds when nothing was pruned out of
+    // the window, refuses (None) when the gap would drop commits
+    assert(log.commitsSinceExact(25).map(_.map(_.v)) == Some((26L to 35L)))
+    assert(log.commitsSinceExact(5).isEmpty)
+    // the lenient audit listing still returns what is retained
+    assert(log.commitsSince(0).map(_.v) == 1L +: (20L to 35L))
+  }
+
+  test("stray .ckpt.json files are ignored, not parsed") {
+    val (dir, log) = fresh()
+    assert(log.tryCommit(Manifest(2, "append", Seq(fe("a.parquet")), 1, clean = false)))
+    // an editor backup / copied checkpoint with a non-numeric name
+    // must not brick snapshot() with a NumberFormatException
+    Files.write(dir.resolve("_log").resolve("backup.ckpt.json"),
+      "not a checkpoint".getBytes("UTF-8"))
+    Files.write(dir.resolve("_log").resolve("123.ckpt.json"),
+      "short name".getBytes("UTF-8"))
+    assert(log.snapshot().files.map(_.name) == Vector("a.parquet"))
+    assert(log.latestVersion() == 2)
+  }
+
+  test("adopted legacy names accumulate, survive replace and checkpoints") {
+    val (dir, log) = fresh()
+    assert(log.tryCommit(Manifest(2, "append",
+      Seq(fe("part-00000-abc.parquet"), fe("u1.parquet")), 5, clean = false)))
+    assert(log.snapshot().adopted == Vector("part-00000-abc.parquet"))
+    // compaction replaces the legacy file with a uuid-named rewrite:
+    // the name must STAY adopted or a fresh store would re-adopt the
+    // original from disk while it awaits vacuum
+    assert(log.tryCommit(Manifest(3, "replace", Seq(fe("u2.parquet")), 5, clean = true)))
+    assert(log.snapshot().adopted == Vector("part-00000-abc.parquet"))
+    // and it round-trips through checkpoint JSON
+    (4 to 10).foreach(v => assert(log.tryCommit(
+      Manifest(v, "append", Seq(fe(s"u$v.parquet")), v, clean = false))))
+    log.checkpointMaybe(log.snapshot())
+    val viaCkpt = new CommitLog(dir).snapshot()
+    assert(viaCkpt.adopted == Vector("part-00000-abc.parquet"))
   }
 
   test("stray .json files in _log are ignored, not parsed") {

@@ -90,6 +90,20 @@ class QueryCacheSpec extends SparkSpec {
     assert(cache.storageVersion("db") != v0)
   }
 
+  test("raw (memcached) keyspace tracks hits/misses apart from _query") {
+    // the two keyspaces have different consistency contracts — q#
+    // entries are version-invalidated, m# entries never are — so
+    // conflated counters would muddy the observability signal
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qcr").toString)
+    val cache = new QueryCache(store)
+    assert(cache.getRaw("k").isEmpty)
+    cache.putRaw("k", "v")
+    assert(cache.getRaw("k").contains("v"))
+    assert(cache.rawHits == 1 && cache.rawMisses == 1)
+    assert(cache.hits == 0 && cache.misses == 0)
+  }
+
   test("drop + recreate never serves the previous incarnation's results") {
     // the fresh log replays the same version NUMBERS (create=1,
     // first store=2), so version equality alone would alias the two

@@ -284,4 +284,70 @@ class SeriesStoreSpec extends SparkSpec {
     assert(s.info("vx").docCount == 2)
     assert(s.vacuum("vx", graceMs = -1000) == 0) // idempotent
   }
+
+  test("vacuum never deletes files while an in-process stage is active") {
+    // a write between stage() and its commit has files in NO snapshot;
+    // vacuum must floor its cutoff below the oldest active stage, so
+    // even an aggressive (sub-write-duration) grace cannot delete the
+    // files the landing commit is about to reference
+    val s = newStore()
+    s.create("vg")
+    s.store("vg", Some("2012-08-28T21:24:00Z"), """{"v": 1}""")
+    val dbDir = java.nio.file.Paths.get(s.rootDir, "vg" + SeriesStore.dbExt)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => s.withStageGuard("vg") {
+      started.countDown(); release.await()
+    })
+    t.start(); started.await()
+    Thread.sleep(5) // file mtime strictly after the stage registered
+    // ≈ a file just moved into place by the in-flight write
+    Files.write(dbDir.resolve("cafebabe-00000.parquet"), Array[Byte](1))
+    // negative grace = cutoff in the future: would sweep everything
+    // unreferenced — the active stage must still protect it
+    assert(s.vacuum("vg", graceMs = -60000) == 0)
+    release.countDown(); t.join(10000)
+    // stage closed (committed or unstaged): the same vacuum reclaims
+    assert(s.vacuum("vg", graceMs = -60000) == 1)
+  }
+
+  test("concurrent adopters of one legacy directory never duplicate entries") {
+    val root = Files.createTempDirectory("graft-race").toString
+    val p = java.nio.file.Paths.get(root, "race" + SeriesStore.dbExt)
+    (0 until 4).map(i =>
+        (1346189000000000000L + i * 1000000000L, (i + 1).toLong, s"""{"i": $i}"""))
+      .toDF("ts", "seq", "doc").repartition(2).write.parquet(p.toString)
+    // two store instances ≈ two JVMs: separate migrated-sets and
+    // write locks, so their adoption commits genuinely race
+    val stores = (0 until 2).map(_ => new SeriesStore(spark, root))
+    val threads = stores.map(st => new Thread(() => st.create("race")))
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val s = new SeriesStore(spark, root)
+    assert(s.info("race").docCount == 4)
+    // the critical invariant: each legacy file referenced exactly once
+    // across the whole history (a stale-entry re-commit would list the
+    // winner's files again → double scan, doubled space accounting)
+    val refs = s.history("race").flatMap(_.files.map(_.name))
+    assert(refs.distinct.size == refs.size)
+  }
+
+  test("adoptable recheck drops already-adopted names and vanished files") {
+    val dir = Files.createTempDirectory("graft-adopt")
+    Files.write(dir.resolve("part-0.parquet"), Array[Byte](1))
+    Files.write(dir.resolve("part-1.parquet"), Array[Byte](1))
+    val entries = Seq(CommitLog.FileEntry("part-0.parquet", 1),
+      CommitLog.FileEntry("part-1.parquet", 1),
+      CommitLog.FileEntry("part-2.parquet", 1)) // deleted mid-adoption
+    val snap0 = CommitLog.Snapshot(2, Vector(), clean = false, 0, "u")
+    assert(SeriesStore.adoptable(dir, entries, snap0).map(_.name) ==
+      Seq("part-0.parquet", "part-1.parquet"))
+    // a concurrent adopter's commit already references part-0
+    val snap1 = snap0.copy(adopted = Vector("part-0.parquet"))
+    assert(SeriesStore.adoptable(dir, entries, snap1).map(_.name) ==
+      Seq("part-1.parquet"))
+    // everything referenced → nothing left to commit (attempt aborts
+    // instead of landing a duplicate adoption manifest)
+    val snap2 = snap0.copy(adopted = Vector("part-0.parquet", "part-1.parquet"))
+    assert(SeriesStore.adoptable(dir, entries, snap2).isEmpty)
+  }
 }
