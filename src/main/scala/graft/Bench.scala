@@ -23,7 +23,8 @@ object Bench {
       "q5_multijoin", "q_window_topk", "q_orders_monthly",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
       "ann_cosine_topk", "ann_ivf_topk", "text_langid", "text_quality",
-      "text_tokens", "sample_stratified", "pipeline_clean")
+      "text_tokens", "sample_stratified", "sample_token_budget",
+      "events_asof_join", "pipeline_clean")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

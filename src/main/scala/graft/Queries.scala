@@ -455,6 +455,43 @@ object Queries {
           count(*) AS n, (sum(o_totalprice::DECIMAL(14,2)))::DOUBLE AS total
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // point-in-time (as-of) join: every click gets the user's latest
+    // purchase at-or-before it, matches older than a day expire to
+    // null — the feature-lookup join (operators.AsOf: union + one
+    // window, no range-join row explosion). The oracle runs the
+    // identical union+window, with the matched row struct-packed so
+    // its three fields stay atomic under IGNORE NULLS.
+    "events_asof_join" -> Entry(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        graft.operators.AsOf.join(clicks, purchases, on = Seq("user_id"),
+            rightOrd = "event_id", tolerance = Some(86400000000L))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS ts, event_id, user_id,
+            event_type, value FROM events),
+        u AS (
+          SELECT user_id, ts, 1 AS side, 0::BIGINT AS ord, event_id, value,
+                 NULL::STRUCT(ts BIGINT, event_id BIGINT, value DOUBLE) AS r
+          FROM ev WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, NULL,
+                 struct_pack(ts := ts, event_id := event_id, value := value)
+          FROM ev WHERE event_type = 'purchase'),
+        w AS (SELECT *, last_value(r IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY ts, side, ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM u)
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN m.ts >= ts - 86400000000 THEN m.ts END AS asof_ts,
+          CASE WHEN m.ts >= ts - 86400000000 THEN m.event_id END AS asof_event_id,
+          CASE WHEN m.ts >= ts - 86400000000 THEN m.value END AS asof_value
+        FROM w WHERE side = 1 ORDER BY event_id""")),
+
     // ================= training-pipeline operators ======================
 
     "dedup_exact" -> Entry(
@@ -495,6 +532,29 @@ object Queries {
             / 1152921504606846976.0) AS fr
         FROM documents)
         SELECT doc_id, lang FROM f WHERE fr < 0.3 ORDER BY doc_id""")),
+
+    // token-budget mixture sampling (the data-mixing step): keep each
+    // group's hash-ordered prefix until its char budget fills; the
+    // oracle recomputes the identical prefix with one window — the
+    // engine's bucketed prefix-sum selects the same set without a
+    // per-group single-partition window (see Sampling.tokenBudget)
+    "sample_token_budget" -> Entry(
+      (s, dir) => graft.operators.Sampling.tokenBudget(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), col("n_chars"),
+          Map("en" -> 20000L, "zh" -> 8000L), default = 4000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, lang, n_chars,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        w AS (SELECT *, coalesce(sum(n_chars) OVER (PARTITION BY lang
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h)
+        SELECT doc_id, lang, n_chars FROM w
+        WHERE cum < (CASE lang WHEN 'en' THEN 20000
+                               WHEN 'zh' THEN 8000 ELSE 4000 END)
+        ORDER BY doc_id""")),
 
     "sample_split" -> Entry(
       (s, dir) => graft.operators.Sampling.split(t(s, dir, "documents"),

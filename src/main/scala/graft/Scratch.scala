@@ -32,6 +32,11 @@ object Scratch {
         time(s"$n#$round")(SparkEntry.queries(n)(spark, sfDir).count())
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      names.foreach { n =>
+        println(s"==== $n ====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -74,5 +75,66 @@ object Sampling {
     }
     // float edge: f is strictly < 1, but guard the last bucket anyway
     df.withColumn("split", coalesce(cases, lit(weights.last._1)))
+  }
+
+  /**
+   * Token-budget mixture sampling (the data-mixing step of a training
+   * build): per group (language / source / domain), keep the
+   * deterministic hash-ordered prefix of rows whose `weight` (token
+   * or char count) fills the group's budget — a row is kept iff the
+   * weights of all rows BEFORE it in (hash, id) order sum below the
+   * budget, so the boundary row is included and the selection is
+   * exactly reproducible by any engine with md5 (the oracle's window
+   * recomputes it). Like [[stratified]], selections are NESTED:
+   * raising a budget only adds rows, never replaces them.
+   *
+   * Scale shape (the reason this is not one window over the corpus):
+   * a per-group window is a single partition per group — at 100 TB a
+   * group is billions of rows through one task. Instead the hash
+   * space is cut into 4096 ordered buckets:
+   *
+   *  1. per-(group, bucket) weight sums — map-side partial agg, the
+   *     shuffle carries ≤ |groups|·4096 rows;
+   *  2. running bucket prefix-sums over that TINY frame (the only
+   *     per-group window, ≤4096 rows per group), broadcast back;
+   *  3. rows in buckets wholly past the budget are FILTERED OUT
+   *     before any shuffle — what survives is ≈ the selected prefix,
+   *     so the exact within-bucket window (partitioned by
+   *     (group, bucket), each ~1/4096 of a group) shuffles only
+   *     ~budget-sized data, not the corpus.
+   *
+   * Weights sum as LONGs — no float summation-order sensitivity in
+   * the kept-set boundary.
+   */
+  def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
+      budgets: Map[String, Long], default: Long = 0L): DataFrame = {
+    require((default +: budgets.values.toSeq).forall(_ >= 0),
+      "budgets must be >= 0")
+    val budgetOf: Column => Column = g => budgets.foldLeft(lit(default)) {
+      case (acc, (k, b)) => when(g === lit(k), lit(b)).otherwise(acc)
+    }
+    val base = df
+      .withColumn("_h", graft.functions.Hash60Expr.hash60(id.cast("string")))
+      .withColumn("_grp", group)
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_bkt", shiftright(col("_h"), 48)) // 4096 hash-range buckets
+    val bucketPrefix = base.groupBy(col("_grp"), col("_bkt"))
+      .agg(sum(col("_w")).as("_bsum"))
+      .withColumn("_bbefore", coalesce(
+        sum(col("_bsum")).over(Window.partitionBy(col("_grp"))
+          .orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_grp"), col("_bkt"), col("_bbefore"))
+    val inBucket = Window.partitionBy(col("_grp"), col("_bkt"))
+      .orderBy(col("_h"), id).rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(bucketPrefix), Seq("_grp", "_bkt"))
+      // whole-bucket prune: buckets past the boundary never reach the
+      // exact window below — the window's input is ~the selected set
+      .filter(col("_bbefore") < budgetOf(col("_grp")))
+      .withColumn("_before",
+        col("_bbefore") + coalesce(sum(col("_w")).over(inBucket), lit(0L)))
+      .filter(col("_before") < budgetOf(col("_grp")))
+      .drop("_h", "_grp", "_w", "_bkt", "_bbefore", "_before")
   }
 }

@@ -48,6 +48,45 @@ class SamplingSpec extends SparkSpec {
     assert(parts.select("split").distinct().count() == 2)
   }
 
+  test("tokenBudget selects the exact hash-ordered prefix per group") {
+    // reference semantics: order each group by (hash, id), keep while
+    // the PRECEDING weights sum below the budget (boundary row kept)
+    val df = ids.withColumn("g", when($"id" % 2 === 0, "en").otherwise("de"))
+      .withColumn("w", $"id" % 7 + 1)
+    val kept = Sampling.tokenBudget(df, $"id", $"g", $"w",
+      Map("en" -> 200L), default = 50L)
+      .select("id", "g", "w").as[(Long, String, Long)].collect().toSet
+
+    // naive single-window reference computed in-process
+    val hashed = df.withColumn("_h",
+        graft.functions.Hash60Expr.hash60($"id".cast("string")))
+      .select("id", "g", "w", "_h").as[(Long, String, Long, Long)]
+      .collect().toSeq
+    val expect = hashed.groupBy(_._2).flatMap { case (g, rows) =>
+      val budget = if (g == "en") 200L else 50L
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).takeWhile { r =>
+        val ok = cum < budget; cum += r._3; ok
+      }
+    }.map(r => (r._1, r._2, r._3)).toSet
+    assert(kept == expect)
+    // budget sanity: total kept weight stays within budget + boundary
+    val byGroup = kept.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    assert(byGroup("en") >= 200L && byGroup("en") < 200L + 7)
+    assert(byGroup("de") >= 50L && byGroup("de") < 50L + 7)
+  }
+
+  test("tokenBudget selections are nested across budgets") {
+    val df = ids.withColumn("g", lit("en")).withColumn("w", lit(3L))
+    val small = Sampling.tokenBudget(df, $"id", $"g", $"w", Map("en" -> 300L))
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.tokenBudget(df, $"id", $"g", $"w", Map("en" -> 900L))
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    // zero budget (and the default for unknown groups) keeps nothing
+    assert(Sampling.tokenBudget(df, $"id", $"g", $"w", Map("xx" -> 10L)).count() == 0)
+  }
+
   test("split is disjoint, exhaustive, and weight-proportional") {
     val parts = Sampling.split(ids, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val counts = parts.groupBy("split").count().as[(String, Long)].collect().toMap
