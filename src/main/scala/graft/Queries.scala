@@ -492,6 +492,36 @@ object Queries {
           CASE WHEN m.ts >= ts - 86400000000 THEN m.value END AS asof_value
         FROM w WHERE side = 1 ORDER BY event_id""")),
 
+    // gap-based sessionization (30-min gap): the canonical event rollup.
+    // One hash exchange on user_id total — the (user, session) group-by
+    // reuses the window's partitioning (plan-asserted in SessionizeSpec).
+    // µs ties order by event_id on both sides; the value sum runs in
+    // DECIMAL so summation order cannot skew the hash.
+    "events_sessionize" -> Entry(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          col("event_id"), col("user_id"), col("value"))
+        graft.operators.Sessionize.sessions(ev, col("user_id"), col("ts"),
+            col("event_id"), gap = 1800000000L,
+            extraAggs = Seq(sum(col("value").cast("decimal(38,6)"))
+              .cast("double").as("value_sum")))
+          .orderBy(col("user_id"), col("session"))
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts, event_id, user_id, value
+            FROM events),
+        l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev FROM e),
+        s AS (SELECT *, (sum(CASE WHEN prev IS NULL OR ts - prev > 1800000000
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS session
+          FROM l)
+        SELECT user_id, session, min(ts) AS session_start,
+          max(ts) AS session_end, count(*) AS n_events,
+          (sum(value::DECIMAL(38,6)))::DOUBLE AS value_sum
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ================= training-pipeline operators ======================
 
     "dedup_exact" -> Entry(
