@@ -720,6 +720,41 @@ object Queries {
         .orderBy(col("id1"), col("id2")),
       Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4))),
 
+    // symmetric int8 quantization: identical double arithmetic +
+    // half-away-from-zero rounding on both engines reproduces the
+    // exact int grid; the int array serializes to a CSV string for
+    // the hash compare (same convention as text_fingerprint)
+    "embed_quantize" -> Entry(
+      (s, dir) => graft.operators.Embeddings.quantize(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"))
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          array_join(transform(col("q"), x => x.cast("string")), ",").as("q"),
+          round(col("max_err"), 9).as("max_err"))
+        .orderBy(col("vec_id")),
+      Some("""WITH s AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+              AS scale
+          FROM embeddings),
+        q AS (SELECT vec_id, embedding, scale,
+            list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+              ELSE round(x::DOUBLE / scale)::INT END) AS qv
+          FROM s)
+        SELECT vec_id, round(scale, 9) AS scale,
+          array_to_string(qv, ',') AS q,
+          round(list_max(list_transform(range(1, len(qv) + 1),
+            i -> abs(embedding[i]::DOUBLE - qv[i] * scale))), 9) AS max_err
+        FROM q ORDER BY vec_id""")),
+
+    // one Lloyd iteration: centroid means in DECIMAL (order-free),
+    // assignment via sequential-order dots — the centroid-training
+    // step IVF consumes (Similarity.ivfTopK takes caller centroids)
+    "embed_kmeans" -> Entry(
+      (s, dir) => graft.operators.Embeddings.kmeansIter(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), col("label"))
+        .withColumn("d2", round(col("d2"), 6))
+        .orderBy(col("vec_id")),
+      Some(kmeansOracle)),
+
     "text_fingerprint" -> Entry(
       (s, dir) => t(s, dir, "documents")
         .filter(length(col("text")) >= 11)
@@ -1042,6 +1077,30 @@ object Queries {
         FROM cand)
       SELECT id1, id2, round(sim, 6) AS sim FROM scored
       WHERE sim >= $threshold ORDER BY 1, 2"""
+
+  /** One Lloyd iteration in DuckDB, mirroring
+   * [[graft.operators.Embeddings.kmeansIter]]: per-(label, dim)
+   * DECIMAL means (order-free, exactly as the Spark side sums), then
+   * nearest-centroid assignment with the same sequential-order dot
+   * expansion `‖x‖² − 2·x·c + ‖c‖²` and (d2, cent_id) tie-break. */
+  private def kmeansOracle: String =
+    s"""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
+          unnest(v) AS xv FROM e),
+      cpos AS (SELECT lbl, pos,
+          (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT lbl AS cent_id, list(cv ORDER BY pos) AS cv
+        FROM cpos GROUP BY 1),
+      scored AS (SELECT vec_id, label AS old_label, cent_id,
+          ${dotSql.format("v", "v")} - 2.0 * ${dotSql.format("v", "cv")} +
+            ${dotSql.format("cv", "cv")} AS d2
+        FROM e CROSS JOIN cent),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, cent_id) AS rn FROM scored)
+      SELECT vec_id, old_label, cent_id AS new_label, round(d2, 6) AS d2
+      FROM ranked WHERE rn = 1 ORDER BY vec_id"""
 
   /** Corpus-clean decisions in DuckDB, mirroring
    * [[graft.operators.Pipeline.cleanCorpus]]: exact-dup keeper,

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-column maintenance operators for training pipelines:
+ * storage quantization and centroid training — the steps that turn a
+ * raw `array<float>` column into the compact/indexed forms the
+ * similarity operators ([[Similarity]]) consume at scale.
+ *
+ * Both are scan-shaped: [[quantize]] is a pure projection (no
+ * shuffle, plan-asserted); [[kmeansIter]]'s only corpus-sized
+ * exchange is one map-side-combined aggregate (the per-(label, dim)
+ * centroid sums), with assignment a broadcast join over the tiny
+ * centroid frame — the IVF-build shape (`Similarity.ivfTopK`) reused
+ * for training.
+ */
+object Embeddings {
+
+  import Similarity.dot
+
+  /**
+   * Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+   * `q_i = round(x_i / scale)` ∈ [−127, 127], plus the max absolute
+   * reconstruction error `max|x_i − q_i·scale|` — 4× smaller storage
+   * for ANN candidate generation, with the error column driving
+   * re-rank decisions. A zero vector quantizes to all-zero with
+   * scale 0.
+   *
+   * All arithmetic is in double with round-half-away-from-zero, so
+   * any engine reproduces the identical int grid (the oracle does).
+   * One codegen'd projection over the scan; the higher-order
+   * functions here are per-element loops with no shuffle — at 100 TB
+   * this op is I/O-bound, not CPU-bound.
+   */
+  def quantize(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.filter(vec.isNotNull && size(vec) > 0)
+      .select(id.as("vec_id"), vec.as("__v"))
+      .withColumn("scale",
+        array_max(transform(col("__v"), x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("q", transform(col("__v"), x =>
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / col("scale")).cast("int"))))
+      .withColumn("max_err", array_max(zip_with(col("__v"), col("q"),
+        (x, qq) => abs(x.cast("double") - qq.cast("double") * col("scale")))))
+      .drop("__v")
+
+  /**
+   * Per-label elementwise mean vectors — the centroid-update half of
+   * a Lloyd iteration. Sums run in DECIMAL(38,12) so the mean is
+   * independent of partition/summation order (bit-exact across
+   * engines and cluster layouts), then return to double.
+   *
+   * Scale shape: the dim-explode multiplies rows ×dims, but the
+   * (label, dim) group-by partial-aggregates map-side, so the
+   * exchange carries |labels|·dims tiny rows — never the corpus.
+   */
+  def centroids(df: DataFrame, vec: Column, label: Column): DataFrame =
+    df.filter(vec.isNotNull && size(vec) > 0)
+      .select(label.as("lbl"), posexplode(vec))
+      .toDF("lbl", "pos", "xv")
+      .groupBy(col("lbl"), col("pos"))
+      .agg((sum(col("xv").cast("double").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy(col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cv"))
+
+  /**
+   * One Lloyd (k-means) iteration: recompute centroids from the
+   * current `label` assignment ([[centroids]]), then re-assign every
+   * vector to its nearest centroid by squared euclidean distance
+   * (`‖x‖² − 2·x·c + ‖c‖²`, sequential-order dots). Ties break to the
+   * lowest centroid id. Output: (vec_id, old_label, new_label, d2).
+   *
+   * Assignment mirrors the IVF-build shape: centroids broadcast, the
+   * corpus never shuffles with its vectors — the argmin lowers to an
+   * aggregate with map-side combine (a struct min), so the only
+   * exchange after the broadcast join carries one row per vector.
+   * Iterating to convergence is a driver loop over this function;
+   * each pass is one scan + one tiny exchange.
+   */
+  def kmeansIter(df: DataFrame, id: Column, vec: Column, label: Column): DataFrame = {
+    val cents = broadcast(centroids(df, vec, label)
+      .select(col("lbl").as("cent_id"), col("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv"))))
+    df.filter(vec.isNotNull && size(vec) > 0)
+      .select(id.as("vec_id"), label.as("old_label"), vec.as("v"))
+      .withColumn("xx", dot(col("v"), col("v")))
+      .crossJoin(cents)
+      .withColumn("d2",
+        col("xx") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("old_label")).as("old_label"),
+        min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("old_label"),
+        col("m.cent_id").as("new_label"), col("m.d2").as("d2"))
+  }
+}

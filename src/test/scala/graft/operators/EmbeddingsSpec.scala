@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, -2.0f, 0.5f), 0),
+    (2L, Array(0.0f, 0.0f, 0.0f), 0),   // zero vector
+    (3L, Array(127.0f, 0.0f, 0.0f), 1),
+    (4L, Array(10.0f, 10.0f, 10.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("quantize: grid, scale, zero vector, max error bound") {
+    val out = Embeddings.quantize(vecs, $"vec_id", $"embedding")
+      .select("vec_id", "scale", "q", "max_err")
+      .as[(Long, Double, Array[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // vec 1: scale = 2/127, q = round(x*127/2)
+    assert(out(1L)._2 == 2.0 / 127)
+    assert(out(1L)._3.sameElements(Array(64, -127, 32))) // 63.5 rounds half-up
+    // zero vector: scale 0, q all zero, no NaN
+    assert(out(2L)._2 == 0.0 && out(2L)._3.sameElements(Array(0, 0, 0)))
+    assert(out(2L)._4 == 0.0)
+    // exact representables: q*scale reconstructs exactly
+    assert(out(3L)._3.sameElements(Array(127, 0, 0)) && out(3L)._4 == 0.0)
+    // error bounded by scale/2 everywhere
+    out.values.foreach(r => assert(r._4 <= r._2 / 2 + 1e-12))
+  }
+
+  test("quantize plan is a pure projection: no shuffle") {
+    val p = Embeddings.quantize(vecs, $"vec_id", $"embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"quantize plan shuffles:\n$p")
+  }
+
+  test("centroids: per-label elementwise means") {
+    val cents = Embeddings.centroids(vecs, $"embedding", $"label")
+      .as[(Int, Array[Double])].collect().toMap
+    assert(cents(0).sameElements(Array(0.5, -1.0, 0.25)))
+    assert(cents(1).sameElements(Array(68.5, 5.0, 5.0)))
+  }
+
+  test("kmeansIter: vectors move to their nearest centroid") {
+    val out = Embeddings.kmeansIter(vecs, $"vec_id", $"embedding", $"label")
+      .select("vec_id", "old_label", "new_label")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // centroid 0 = (0.5, -1, 0.25); centroid 1 = (68.5, 5, 5)
+    assert(out(1L)._3 == 0) // (1,-2,0.5) stays near centroid 0
+    assert(out(2L)._3 == 0) // origin is nearer centroid 0
+    assert(out(3L)._3 == 1)
+    assert(out(4L)._3 == 0) // (10,10,10): d2 to c0 ≈306 beats c1 ≈3472 — moves
+  }
+
+  test("kmeansIter: assignment argmin is an aggregate, not a window") {
+    val p = Embeddings.kmeansIter(vecs, $"vec_id", $"embedding", $"label")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"assignment shuffles N·C rows:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$p")
+  }
+}
