@@ -671,6 +671,20 @@ object Queries {
           FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         WHERE jaccard >= 0.5 ORDER BY 1, 2""")),
 
+    // incremental (batch-vs-corpus) dedup: odd doc_ids are the new
+    // batch, even the existing corpus — the admission filter of a
+    // continuously built corpus. Candidates come from batch×corpus
+    // band-bucket joins, so work scales with the batch, not |corpus|²
+    "dedup_incremental" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incremental(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            col("doc_id"), col("text"), threshold = 0.8)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalOracle(0.8))),
+
     "ann_cosine_topk" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -951,7 +965,8 @@ object Queries {
   /** The shared CTE chain ending in `pairs(id1, id2, jaccard)` — the
    * DuckDB mirror of [[Dedup.minhashPairs]]. */
   private def minhashPairsCte(threshold: Double, n: Int = 64, bands: Int = 16,
-      shingleK: Int = 3): String = {
+      shingleK: Int = 3,
+      candPred: String = "l.doc_id < r.doc_id"): String = {
     require(n % bands == 0)
     val p = Dedup.MinhashP
     val rows = n / bands
@@ -973,7 +988,7 @@ object Queries {
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-          AND l.doc_id < r.doc_id),
+          AND ($candPred)),
       pairs AS (SELECT id1, id2, jaccard FROM (
         SELECT c.id1, c.id2,
           len(list_intersect(a.ss, b.ss))::DOUBLE /
@@ -985,6 +1000,28 @@ object Queries {
   private def minhashOracle(threshold: Double): String =
     s"""WITH ${minhashPairsCte(threshold)}
       SELECT id1, id2, jaccard FROM pairs ORDER BY 1, 2"""
+
+  /** Batch-vs-corpus incremental dedup in DuckDB, mirroring
+   * [[Dedup.incremental]]: the shared MinHash chain with a
+   * batch(odd)×corpus(even) candidate predicate, plus the normalized
+   * exact-fingerprint membership check from the dedup_exact oracle. */
+  private def incrementalOracle(threshold: Double): String =
+    s"""WITH ${minhashPairsCte(threshold,
+        candPred = "l.doc_id % 2 = 1 AND r.doc_id % 2 = 0")},
+      near AS (SELECT DISTINCT id1 AS doc_id FROM pairs),
+      nfp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text,
+          '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fp FROM documents),
+      cfp AS (SELECT DISTINCT fp FROM nfp
+        WHERE doc_id % 2 = 0 AND fp IS NOT NULL)
+      SELECT b.doc_id,
+        CASE WHEN cfp.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
+        CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_near,
+        CASE WHEN cfp.fp IS NOT NULL OR near.doc_id IS NOT NULL
+          THEN 0 ELSE 1 END AS keep
+      FROM nfp b LEFT JOIN cfp ON b.fp = cfp.fp
+        LEFT JOIN near ON near.doc_id = b.doc_id
+      WHERE b.doc_id % 2 = 1
+      ORDER BY b.doc_id"""
 
   /** Transitive closure of the pair graph via a recursive CTE: every
    * (node, reachable node) pair, then min per node — the component

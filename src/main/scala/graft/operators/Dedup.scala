@@ -75,21 +75,28 @@ object Dedup {
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - 1))
           .as("id2"))
 
+  /** (doc_id, band, key) LSH bucket keys for a signature frame: the
+   * signature splits into `bands` bands of n/bands rows, each
+   * concatenated into a bucket key. */
+  private def bandKeys(sigs: DataFrame, bands: Int, n: Int): DataFrame = {
+    require(n % bands == 0,
+      s"bands ($bands) must divide the signature width ($n); a remainder " +
+        "would silently drop trailing minima from candidate generation")
+    val rows = n / bands
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(":", (0 until rows).map(r =>
+          element_at(col("sig"), (b * rows) + r + 1)): _*))))
+      .toDF("doc_id", "band", "key")
+  }
+
   /** LSH candidate pairs: split the signature into `bands` bands of
    * n/bands rows; docs sharing any band bucket become a candidate
    * pair. One shuffle groups (band, band-signature) buckets; pairs
    * stream out of each bucket (see [[explodedPairs]]) — the classic
    * shingle→minhash→band→bucket plan. */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, n: Int = 64): DataFrame = {
-    require(n % bands == 0,
-      s"bands ($bands) must divide the signature width ($n); a remainder " +
-        "would silently drop trailing minima from candidate generation")
-    val rows = n / bands
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(":", (0 until rows).map(r =>
-          element_at(col("sig"), (b * rows) + r + 1)): _*))))
-      .toDF("doc_id", "band", "key")
+    val banded = bandKeys(sigs, bands, n)
     explodedPairs(banded.groupBy(col("band"), col("key"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1))
@@ -324,5 +331,74 @@ object Dedup {
       .filter(col("id1") =!= col("id2"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  // ---------------- Incremental (batch-vs-corpus) ------------------------
+
+  /**
+   * Incremental dedup — the add-a-batch step of a continuously built
+   * corpus: flag each NEW document against the EXISTING corpus,
+   * without ever comparing corpus docs to each other. Output: one row
+   * per batch doc with `dup_exact` (same normalized fingerprint as
+   * some corpus doc), `dup_near` (verified shingle-Jaccard ≥
+   * `threshold` with some corpus doc via MinHash+LSH banding), and
+   * `keep = !(dup_exact || dup_near)` — all 0/1 ints.
+   *
+   * Scale shape mirrors [[minhashPairs]], but the bucket join is
+   * batch×corpus instead of a self-join, so candidate volume scales
+   * with |batch|, not |corpus|²: band keys are equi-join keys (one
+   * shuffle each side), the (batch, corpus) candidate pairs carry
+   * bare ids through the size-ratio prune, and shingle arrays rejoin
+   * only the survivors. The exact check is one fingerprint semi-join.
+   * In a standing pipeline, persist the corpus's (band, key) frame
+   * and fingerprints once (they are plain columns — cheap parquet)
+   * and feed them here instead of re-deriving from text each batch;
+   * batch-INTERNAL duplicates are [[exact]]/[[minhashPairs]] over the
+   * batch alone — compose both for a full admission filter.
+   */
+  def incremental(batch: DataFrame, corpus: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    // exact: normalized-content fingerprint membership (null text has
+    // a null fingerprint and can never match — SQL join semantics)
+    val bFp = batch.select(id.as("doc_id"), TextOps.fingerprint(text).as("__fp"))
+    val cFp = corpus.select(TextOps.fingerprint(text).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    val exactFlag = bFp
+      .join(cFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
+      .select(col("doc_id"), coalesce(col("__hit"), lit(0)).as("dup_exact"))
+    // near: batch bands ⋈ corpus bands → id-pair candidates → exact
+    // size-ratio prune (J ≤ min|·|/max|·|) → Jaccard verify
+    val bSets = shingled(batch, id, text, shingleK)
+    val cSets = shingled(corpus, id, text, shingleK)
+    val cands = bandKeys(sigsOf(bSets, n), bands, n)
+      .join(bandKeys(sigsOf(cSets, n), bands, n)
+        .select(col("doc_id").as("cid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("doc_id"), col("cid"))
+      .distinct()
+    val pruned = cands
+      .join(bSets.select(col("doc_id"), size(col("ss")).as("bsz")), "doc_id")
+      .join(cSets.select(col("doc_id").as("cid"), size(col("ss")).as("csz")), "cid")
+      .filter(least(col("bsz"), col("csz")).cast("double") >=
+        lit(threshold) * greatest(col("bsz"), col("csz")).cast("double"))
+      .select(col("doc_id"), col("cid"))
+    // the verify division matches the oracle's formulation exactly —
+    // a rearranged `i >= t·u` flips borderline pairs (0.8·5 > 4.0 in
+    // doubles), so the SAME `i/u >= t` must run on both engines
+    val nearIds = pruned
+      .join(bSets.select(col("doc_id"), col("ss").as("ss1")), "doc_id")
+      .join(cSets.select(col("doc_id").as("cid"), col("ss").as("ss2")), "cid")
+      .filter(size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
+        size(array_union(col("ss1"), col("ss2"))).cast("double") >= threshold)
+      .select(col("doc_id")).distinct()
+      .withColumn("__near", lit(1))
+    exactFlag
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_exact"),
+        coalesce(col("__near"), lit(0)).as("dup_near"))
+      .withColumn("keep",
+        when(col("dup_exact") === 1 || col("dup_near") === 1, lit(0))
+          .otherwise(lit(1)))
   }
 }

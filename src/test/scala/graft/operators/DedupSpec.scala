@@ -86,6 +86,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental: batch flags against the corpus only") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some corpus document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+      (13L, "the quick brown fox jumps over the sleepy dog"), // near dup of 0
+      (15L, "a genuinely novel document with fresh content words"),
+      (17L, "a genuinely novel document with fresh content words")) // batch-internal dup: NOT flagged
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, corpus, col("doc_id"), col("text"),
+        threshold = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (11L, 1, 1, 0),   // exact dup is also a trivial near dup
+      (13L, 0, 1, 0),
+      (15L, 0, 0, 1),
+      (17L, 0, 0, 1)))  // internal dups are the batch-side exact() pass's job
+  }
+
   test("mass-duplicate bucket streams its quadratic pairs (no giant array)") {
     import spark.implicits._
     // 800 identical docs + 200 distinct: every identical doc shares
