@@ -56,6 +56,87 @@ object SeriesStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Open-session state for [[sessionize]]: epoch-ms bounds plus the
+   * running count/sum. */
+  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /**
+   * Streaming gap-based sessionization — the online counterpart of
+   * `graft.operators.Sessionize` built on
+   * `flatMapGroupsWithState` + event-time timeout (the custom-state
+   * Structured Streaming path; SURVEY §2.7): per key, events within
+   * `gapMs` of the open session extend it; a larger gap (or the
+   * watermark passing `end + gapMs` with no successor) emits the
+   * completed session downstream.
+   *
+   * State is ONE OpenSession per active key — bounded by the live-key
+   * count regardless of per-key volume (this is the hot-key escape
+   * hatch the batch operator's doc points to: a bot key costs O(1)
+   * state here, vs its whole history through one task there).
+   *
+   * Semantics note, stated honestly: events are merged in ARRIVAL
+   * order within each micro-batch after an in-batch sort; an
+   * out-of-order event that lands inside the open session's span
+   * extends it, but one older than the already-emitted session cannot
+   * reopen it (the batch operator replays history exactly — the
+   * standard online/batch sessionization split).
+   *
+   * Output: (key, session_start, session_end, n_events, value_sum),
+   * epoch-ms bounds, append mode.
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gapMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("v"))
+      // the watermark must tag the FINAL ts attribute: a projection
+      // after withWatermark would mint a new column without the
+      // event-time marker and event-time timeout then fails analysis
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (String, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = (key, s.start, s.end, s.n, s.sum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sorted
+            val done = Vector.newBuilder[(String, Long, Long, Long, Double)]
+            var cur = state.getOption
+            evs.foreach { case (t, v) =>
+              cur = cur match {
+                case Some(s) if t > s.end + gapMs =>
+                  done += emit(s)
+                  Some(OpenSession(t, t, 1, v))
+                case Some(s) =>
+                  Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.sum + v))
+                case None => Some(OpenSession(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit above the current watermark or the
+              // update throws; a session already past the horizon fires
+              // at the next possible instant instead
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            done.result().iterator
+          }
+      }
+      .toDF("key", "session_start", "session_end", "n_events", "value_sum")
+  }
+
   /**
    * Stateless streaming corpus scoring: language ID, quality
    * columns, token counts, and PII redaction are pure projections,

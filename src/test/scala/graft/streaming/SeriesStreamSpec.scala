@@ -101,6 +101,62 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize: gap closes sessions; timeout flushes the last one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = SeriesStream.sessionize(
+      mem.toDF().toDF("ts", "user", "value"), "user", "ts", "value",
+      gapMs = 60000L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    val base = 1346189040000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    try {
+      mem.addData((ts(0), "a", 1.0), (ts(30), "a", 2.0), (ts(10), "b", 5.0))
+      q.processAllAvailable()
+      // both sessions still open — nothing emitted
+      assert(spark.table("sess").count() == 0)
+      // 500 s later: a's gap (60 s) long exceeded → old session closes
+      // in-line with the new event; b gets no event, so only the
+      // advancing watermark's timeout can flush it
+      mem.addData((ts(500), "a", 3.0))
+      q.processAllAvailable()
+      mem.addData((ts(1000), "a", 4.0)) // advances watermark past b+gap
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("key", "session_start", "session_end", "n_events", "value_sum")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains(("a", base, base + 30000, 2L, 3.0)))
+      assert(rows.contains(("b", base + 10000, base + 10000, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize: out-of-order event inside the span extends it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = SeriesStream.sessionize(
+      mem.toDF().toDF("ts", "user", "value"), "user", "ts", "value",
+      gapMs = 60000L, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess2")
+      .outputMode("append").start()
+    val base = 1346189040000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    try {
+      mem.addData((ts(40), "a", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(20), "a", 1.0)) // older than the open start
+      q.processAllAvailable()
+      mem.addData((ts(700), "a", 1.0)) // gap break → emits merged session
+      q.processAllAvailable()
+      val rows = spark.table("sess2")
+        .select("session_start", "session_end", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((base + 20000, base + 40000, 2L)))
+    } finally q.stop()
+  }
+
   test("scoreStream projects the batch scoring columns onto a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
