@@ -279,8 +279,15 @@ object Dedup {
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .localCheckpoint() // pairs may be a whole LSH pipeline: run it once
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // Seeded initialization = the first propagation round for free:
+    // with identity labels, a node's neighbor labels ARE its neighbor
+    // ids, so round 1 collapses to one group-by over the edge list —
+    // no label join, and near-clique components (the common dedup
+    // case) arrive converged, leaving the loop only the verify pass.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nbr")).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
