@@ -24,8 +24,9 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
       "ann_cosine_topk", "ann_ivf_topk", "text_langid", "text_quality",
       "text_tokens", "sample_stratified", "sample_token_budget",
-      "events_asof_join", "events_sessionize", "dedup_incremental",
-      "embed_quantize", "embed_kmeans", "pipeline_clean")
+      "events_asof_join", "events_sessionize", "events_range_join",
+      "dedup_incremental", "embed_quantize", "embed_kmeans",
+      "text_decontaminate_bloom", "text_top_ngrams", "pipeline_clean")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -522,6 +522,48 @@ object Queries {
           (sum(value::DECIMAL(38,6)))::DOUBLE AS value_sum
         FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // bucketed interval join (attribution): clicks landing in the 30
+    // minutes before each same-user purchase. RangeJoin turns the
+    // BETWEEN predicate into an equi-join on (user, time-bucket) —
+    // hash exchange, never a nested loop (plan-asserted in
+    // RangeJoinSpec); the oracle runs the raw quadratic BETWEEN join
+    "events_range_join" -> Entry(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            (col("ts") - 1800000000L).as("win_lo"), col("ts").as("win_hi"))
+        val inWin = graft.operators.RangeJoin.pointInInterval(
+            clicks, "click_ts", purch, "win_lo", "win_hi",
+            on = Seq("user_id"), width = 600000000L)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(col("click_value").cast("decimal(38,6)")).cast("double")
+              .as("click_value_sum"))
+        purch.select(col("purchase_id"))
+          .join(inWin, Seq("purchase_id"), "left")
+          .select(col("purchase_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("click_value_sum"), lit(0.0)).as("click_value_sum"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS ts, event_id, user_id,
+            event_type, value FROM events),
+        c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ts - 1800000000 AS lo,
+            ts AS hi FROM ev WHERE event_type = 'purchase'),
+        j AS (SELECT p.purchase_id, count(*) AS n_clicks,
+            (sum(c.value::DECIMAL(38,6)))::DOUBLE AS click_value_sum
+          FROM p JOIN c ON c.user_id = p.user_id AND c.ts BETWEEN p.lo AND p.hi
+          GROUP BY 1)
+        SELECT purchase_id, coalesce(n_clicks, 0)::BIGINT AS n_clicks,
+          coalesce(click_value_sum, 0.0) AS click_value_sum
+        FROM p LEFT JOIN j USING (purchase_id) ORDER BY purchase_id""")),
+
     // ================= training-pipeline operators ======================
 
     "dedup_exact" -> Entry(
@@ -584,6 +626,25 @@ object Queries {
         SELECT doc_id, lang, n_chars FROM w
         WHERE cum < (CASE lang WHEN 'en' THEN 20000
                                WHEN 'zh' THEN 8000 ELSE 4000 END)
+        ORDER BY doc_id""")),
+
+    // per-source document caps (the per-domain cap of web pipelines):
+    // tokenBudget with unit weight — keep the hash-ordered first N of
+    // each source. The oracle's row_number() mirrors the prefix rule.
+    "sample_group_cap" -> Entry(
+      (s, dir) => graft.operators.Sampling.groupCap(t(s, dir, "documents"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 12L, "src1" -> 3L), default = 7L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, source,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        w AS (SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY h, doc_id) AS rn FROM h)
+        SELECT doc_id, source FROM w
+        WHERE rn <= (CASE source WHEN 'src0' THEN 12
+                                 WHEN 'src1' THEN 3 ELSE 7 END)
         ORDER BY doc_id""")),
 
     "sample_split" -> Entry(
@@ -810,6 +871,43 @@ object Queries {
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]'))::BIGINT AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // corpus vocabulary heavy hitters: top word-4-grams by DOCUMENT
+    // frequency (per-doc array_distinct before the explode — no
+    // corpus-wide distinct shuffle; top-k lowers to
+    // TakeOrderedAndProject). Ties break lexicographically so both
+    // engines cut the same 40 rows.
+    "text_top_ngrams" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.topNgrams(
+        t(s, dir, "documents"), col("text"), n = 4, k = 40),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          dg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+              THEN list_transform(range(1, len(w) - 2), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [] END) AS gram FROM w))
+        SELECT gram, count(*)::BIGINT AS doc_freq FROM dg
+        GROUP BY 1 ORDER BY doc_freq DESC, gram LIMIT 40""")),
+
+    // exact per-language length quantiles off the (lang, n_chars)
+    // histogram — the shuffle carries distinct lengths, not documents
+    // (CorpusStats.quantiles); DuckDB's quantile_cont shares the
+    // type-7 linear-interpolation definition
+    "text_length_quantiles" -> Entry(
+      (s, dir) => {
+        val q = graft.operators.CorpusStats.quantiles(
+          t(s, dir, "documents"), col("lang"), col("n_chars"),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        q.select(col("grp").as("lang") +:
+            Seq("p25", "p50", "p90", "p99").map(c => round(col(c), 6).as(c)): _*)
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang,
+          round(quantile_cont(n_chars, 0.25), 6) AS p25,
+          round(quantile_cont(n_chars, 0.5), 6) AS p50,
+          round(quantile_cont(n_chars, 0.9), 6) AS p90,
+          round(quantile_cont(n_chars, 0.99), 6) AS p99
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     "text_repetition" -> Entry(
       (s, dir) => TextOps.repetition(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 2)
@@ -833,19 +931,21 @@ object Queries {
             docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"), n = 8)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          dg AS (SELECT DISTINCT doc_id, gram FROM (
-            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
-              THEN list_transform(range(1, len(w) - 6), i ->
-                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
-              ELSE [] END) AS gram FROM w)),
-          bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
-          h AS (SELECT d.doc_id, count(*) AS hits FROM dg d
-            JOIN bg USING (gram) GROUP BY 1)
-        SELECT doc_id, coalesce(hits, 0)::BIGINT AS hits,
-          coalesce(hits, 0) > 0 AS contaminated
-        FROM documents LEFT JOIN h USING (doc_id) ORDER BY doc_id""")),
+      Some(deconExactOracle)),
+
+    // bloom-prefiltered decontamination: same EXACT result as
+    // text_decontaminate (probe, then confirm against the exact gram
+    // set — TextOps.decontaminateBloom), so it shares the oracle; the
+    // gate proves the bloom pre-drop changes nothing
+    "text_decontaminate_bloom" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.decontaminateBloom(docs, col("doc_id"), col("text"),
+            docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"),
+            n = 8, fpp = 0.01)
+          .orderBy(col("doc_id"))
+      },
+      Some(deconExactOracle)),
 
     "text_decontaminate_fp" -> Entry(
       (s, dir) => {
@@ -1000,6 +1100,25 @@ object Queries {
   private def minhashOracle(threshold: Double): String =
     s"""WITH ${minhashPairsCte(threshold)}
       SELECT id1, id2, jaccard FROM pairs ORDER BY 1, 2"""
+
+  /** Exact 8-gram decontamination vs the `doc_id % 97 == 0` eval
+   * slice — shared by `text_decontaminate` (broadcast grams) and
+   * `text_decontaminate_bloom` (bloom probe + exact confirm): both
+   * engines must produce this identical frame. */
+  private def deconExactOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          dg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 6), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+              ELSE [] END) AS gram FROM w)),
+          bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+          h AS (SELECT d.doc_id, count(*) AS hits FROM dg d
+            JOIN bg USING (gram) GROUP BY 1)
+        SELECT doc_id, coalesce(hits, 0)::BIGINT AS hits,
+          coalesce(hits, 0) > 0 AS contaminated
+        FROM documents LEFT JOIN h USING (doc_id) ORDER BY doc_id"""
 
   /** Batch-vs-corpus incremental dedup in DuckDB, mirroring
    * [[Dedup.incremental]]: the shared MinHash chain with a

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level descriptive statistics for training-data builds: the
+ * "what is in this 100 TB" pass that runs before any filtering
+ * decision — vocabulary heavy hitters and per-group length
+ * distributions. The reference has no corpus-wide surface at all
+ * (every query is one series, `query.go:54`); these are one-pass
+ * distributed aggregations.
+ */
+object CorpusStats {
+
+  /**
+   * Top-k n-grams by document frequency (the distinct-doc count, the
+   * dedup/boilerplate signal — counting occurrences would let one
+   * spammy doc dominate). Per-doc `array_distinct` BEFORE the explode
+   * keeps the stream one row per (doc, gram) without a corpus-wide
+   * distinct shuffle; the gram count partial-aggregates map-side, and
+   * the top-k lowers to `TakeOrderedAndProject` — each partition
+   * ships only its own k candidates to the driver, never the
+   * vocabulary. Ties break lexicographically so any engine returns
+   * the identical k rows.
+   */
+  def topNgrams(df: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    df.select(explode(array_distinct(TextOps.ngrams(text, n))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+  }
+
+  /**
+   * EXACT per-group quantiles (linear interpolation, the type-7 /
+   * `quantile_cont` definition every engine shares) over a
+   * discrete-valued column — lengths, token counts, scores on a
+   * fixed grid.
+   *
+   * The scale trick: `percentile()`-style exact quantiles buffer a
+   * group's every value on one reducer — dead at 100 TB. Here the
+   * corpus collapses FIRST to a (group, value) → count histogram
+   * (map-side combined; the shuffle carries distinct values, not
+   * rows), and the quantile is read off the histogram's cumulative
+   * ranges with one tiny per-group window. Exact for any column with
+   * bounded distinct values; for continuous doubles, bin first (or
+   * use `approx_percentile`, same call shape).
+   *
+   * Each distinct value `v` covers sorted 0-based row indexes
+   * `[lo, hi)`; quantile q sits at `pos = q·(n−1)`, interpolating
+   * between the values covering `floor(pos)` and `floor(pos)+1`.
+   */
+  def quantiles(df: DataFrame, group: Column, value: Column,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "quantiles must be in [0, 1]")
+    val hist = df.groupBy(group.as("grp"), value.cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    val aggs = qs.zipWithIndex.flatMap { case ((_, q), i) =>
+      val pos = lit(q) * (col("n") - 1).cast("double")
+      val k = floor(pos).cast("long")
+      Seq(
+        max(when(col("lo") <= k && k < col("hi"), col("v"))).as(s"_l$i"),
+        max(when(col("lo") <= k + 1 && k + 1 < col("hi"), col("v"))).as(s"_u$i"),
+        max(pos - k.cast("double")).as(s"_f$i"))
+    }
+    val outs = qs.zipWithIndex.map { case ((name, _), i) =>
+      (col(s"_l$i") + col(s"_f$i") *
+        (coalesce(col(s"_u$i"), col(s"_l$i")) - col(s"_l$i"))).as(name)
+    }
+    cum.groupBy(col("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("grp") +: outs: _*)
+  }
+}

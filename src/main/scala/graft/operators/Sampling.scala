@@ -106,6 +106,18 @@ object Sampling {
    * Weights sum as LONGs — no float summation-order sensitivity in
    * the kept-set boundary.
    */
+  /**
+   * Per-group document cap (per-domain / per-source caps of web
+   * pipelines): keep at most `caps(group)` rows per group — the
+   * deterministic hash-ordered first N, so re-runs and engines agree
+   * on WHICH rows survive, and raising a cap only adds rows.
+   * Exactly [[tokenBudget]] with unit weight, inheriting its
+   * bucketed no-giant-window scale shape.
+   */
+  def groupCap(df: DataFrame, id: Column, group: Column,
+      caps: Map[String, Long], default: Long = 0L): DataFrame =
+    tokenBudget(df, id, group, lit(1L), caps, default)
+
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {
     require((default +: budgets.values.toSeq).forall(_ >= 0),

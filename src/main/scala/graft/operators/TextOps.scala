@@ -162,6 +162,52 @@ object TextOps {
   }
 
   /**
+   * Bloom-prefiltered decontamination — the 100 TB shape of
+   * [[decontaminate]] for when the eval set itself is large (a full
+   * eval-suite union easily carries 10⁸ distinct grams; as strings
+   * that broadcast is GBs, as an 8-bits-per-key Bloom it is ~100 MB).
+   *
+   * Three stages, exact end to end:
+   *
+   *  1. BUILD — distributed: per-partition Blooms over the eval
+   *     grams' 60-bit hashes, tree-merged to the driver
+   *     (`stat.bloomFilter`); only the bitset ever leaves executors.
+   *  2. PROBE — a codegen'd [[graft.functions.BloomContainsExpr]]
+   *     filter on the corpus gram stream, applied BEFORE any join or
+   *     shuffle: the overwhelmingly-clean corpus drops here at scan
+   *     speed, with false positives at `fpp`.
+   *  3. CONFIRM — the surviving sliver joins the exact gram set, so
+   *     Bloom false positives are discarded and the output equals
+   *     [[decontaminate]] bit for bit (the gate runs both against the
+   *     same oracle).
+   *
+   * The confirm join's left side is ~`fpp`·|corpus grams| + true
+   * hits — small enough that the exact gram set's broadcast (or a
+   * shuffled join at extreme eval sizes) touches almost no corpus
+   * data.
+   */
+  def decontaminateBloom(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val bg = bench.select(explode(ngrams(benchText, n)).as("gram")).distinct()
+    val hashed = bg.select(hash60(col("gram")).as("gh"))
+    // sizing aggregate: one count over the (small) eval side — the
+    // same metadata-scale job stat.bloomFilter itself runs next
+    val items = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("gh", items, fpp)
+    val hits = docs
+      .select(id.as("doc_id"),
+        explode(array_distinct(ngrams(text, n))).as("gram"))
+      .filter(graft.functions.BloomContainsExpr.contains(
+        bloom, hash60(col("gram"))))
+      .join(broadcast(bg), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /**
    * Passage-level decontamination via winnowing fingerprints: where
    * [[decontaminate]]'s exact word-8-grams miss lightly edited reuse
    * (tokenization drift, punctuation changes), shared winnow minima

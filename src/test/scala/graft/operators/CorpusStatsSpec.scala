@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNgrams counts document frequency, not occurrences") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" appears 3x here but counts once
+      (2L, "a b c"),
+      (3L, "c d e")).toDF("doc_id", "text")
+    val out = CorpusStats.topNgrams(docs, $"text", n = 2, k = 2)
+      .as[(String, Long)].collect().toSeq
+    // "a b" is in docs 1 and 2 (df=2, counted once per doc despite 3
+    // occurrences in doc 1); the second row is the lexicographically
+    // first of the df=1 ties ("a b"'s runner-ups start at "b a")
+    assert(out == Seq(("a b", 2L), ("b a", 1L)))
+  }
+
+  test("topNgrams tie-break is lexicographic and stable") {
+    val docs = Seq((1L, "x y"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusStats.topNgrams(docs, $"text", n = 2, k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 1L)))
+  }
+
+  test("quantiles match the built-in exact percentile") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i =>
+      (if (i % 3 == 0) "g1" else "g2", rnd.nextInt(40).toLong))
+      .toDF("grp", "v")
+    val qs = Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9, "q100" -> 1.0)
+    val got = CorpusStats.quantiles(df, $"grp", $"v", qs)
+      .orderBy("grp")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    val want = df.groupBy($"grp")
+      .agg(percentile($"v", lit(0.25)), percentile($"v", lit(0.5)),
+        percentile($"v", lit(0.9)), percentile($"v", lit(1.0)))
+      .orderBy("grp")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(got.size == 2)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1)
+      assert(math.abs(g._2 - w._2) < 1e-9, s"q25 $g vs $w")
+      assert(math.abs(g._3 - w._3) < 1e-9, s"q50 $g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9, s"q90 $g vs $w")
+      assert(math.abs(g._5 - w._5) < 1e-9, s"q100 $g vs $w")
+    }
+  }
+
+  test("quantiles: single-value group and q=0/q=1 edges") {
+    val df = Seq(("g", 5L), ("h", 1L), ("h", 3L)).toDF("grp", "v")
+    val out = CorpusStats.quantiles(df, $"grp", $"v",
+        Seq("lo" -> 0.0, "mid" -> 0.5, "hi" -> 1.0))
+      .orderBy("grp").as[(String, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("g", 5.0, 5.0, 5.0), ("h", 1.0, 2.0, 3.0)))
+  }
+
+  test("quantiles shuffle carries the histogram, not the corpus") {
+    // the aggregate keyed on (grp, v) must partial-aggregate map-side:
+    // the plan has a partial HashAggregate BEFORE the first exchange
+    val df = (1 to 100).map(i => ("g", (i % 5).toLong)).toDF("grp", "v")
+    val plan = CorpusStats.quantiles(df, $"grp", $"v", Seq("m" -> 0.5))
+      .queryExecution.executedPlan.toString
+    val firstEx = plan.indexOf("Exchange")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstEx > firstAgg, plan)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // points: (key, pt, pid); intervals: (key, lo, hi, iid)
+  private lazy val points = Seq(
+    ("a", 5L, 1L), ("a", 10L, 2L), ("a", 25L, 3L), ("a", 40L, 4L),
+    ("b", 10L, 5L), ("c", 7L, 6L))
+    .toDF("k", "pt", "pid")
+  private lazy val intervals = Seq(
+    ("a", 5L, 25L, 10L),   // spans 3 width-10 buckets; closed both ends
+    ("a", 26L, 30L, 11L),  // empty of points
+    ("b", 0L, 100L, 12L),  // spans 11 buckets, catches one point
+    ("d", 0L, 50L, 13L))   // key with no points
+    .toDF("k", "lo", "hi", "iid")
+
+  private def joined = RangeJoin.pointInInterval(
+    points, "pt", intervals, "lo", "hi", on = Seq("k"), width = 10L)
+
+  test("matches exactly the BETWEEN pairs, closed at both ends") {
+    val got = joined.select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (10L, 3L), (12L, 5L)))
+  }
+
+  test("no duplicate pairs despite multi-bucket intervals") {
+    val n = joined.count()
+    assert(n == joined.select("iid", "pid").distinct().count())
+  }
+
+  test("interval wider than many buckets still meets each point once") {
+    val p = Seq(("x", 55L, 1L)).toDF("k", "pt", "pid")
+    val iv = Seq(("x", 0L, 1000L, 9L)).toDF("k", "lo", "hi", "iid")
+    val out = RangeJoin.pointInInterval(p, "pt", iv, "lo", "hi", Seq("k"), 10L)
+    assert(out.count() == 1)
+  }
+
+  test("degenerate and inverted intervals") {
+    val p = Seq(("x", 7L, 1L)).toDF("k", "pt", "pid")
+    val iv = Seq(("x", 7L, 7L, 1L), ("x", 9L, 2L, 2L)).toDF("k", "lo", "hi", "iid")
+    val out = RangeJoin.pointInInterval(p, "pt", iv, "lo", "hi", Seq("k"), 10L)
+      .select("iid").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // point interval matches; inverted drops
+  }
+
+  test("plan is an equi-join: no nested loop, no cartesian product") {
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -87,6 +87,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudget(df, $"id", $"g", $"w", Map("xx" -> 10L)).count() == 0)
   }
 
+  test("groupCap keeps the hash-ordered first N per group, nested in N") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val kept5 = Sampling.groupCap(df, $"id", $"grp", Map("g0" -> 5L), default = 2L)
+    val cnt5 = kept5.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(cnt5 == Map("g0" -> 5L, "g1" -> 2L, "g2" -> 2L))
+    // raising a cap only adds rows (prefix property)
+    val kept9 = Sampling.groupCap(df, $"id", $"grp", Map("g0" -> 9L), default = 2L)
+    val s5 = kept5.select("id").as[Long].collect().toSet
+    val s9 = kept9.select("id").as[Long].collect().toSet
+    assert(s5.subsetOf(s9))
+    // and the kept rows are exactly the N smallest by (hash, id)
+    val want = df.withColumn("h", Sampling.fraction($"id"))
+      .orderBy("h", "id").filter($"grp" === "g0")
+      .select("id").as[Long].collect().take(5).toSet
+    assert(kept5.filter($"grp" === "g0").select("id").as[Long].collect().toSet
+      == want)
+  }
+
   test("split is disjoint, exhaustive, and weight-proportional") {
     val parts = Sampling.split(ids, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val counts = parts.groupBy("split").count().as[(String, Long)].collect().toMap

@@ -97,6 +97,25 @@ class TextOpsSpec extends SparkSpec {
       Seq((1L, true), (0L, false), (0L, false)))
   }
 
+  test("bloom-prefiltered decontamination equals the exact path") {
+    // 60 docs, a few contaminated: the bloom probe + exact confirm
+    // must reproduce the broadcast-join result row for row, any fpp
+    val bench = Seq("w1 w2 w3 w4 w5 w6 w7 w8",
+      "q1 q2 q3 q4 q5 q6 q7 q8 q9").toDF("text")
+    val docs = ((0L until 50L).map(i => (i, s"filler$i a b c d e f g h")) ++
+      Seq((50L, "x w1 w2 w3 w4 w5 w6 w7 w8 y"),
+        (51L, "q2 q3 q4 q5 q6 q7 q8 q9 tail")))
+      .toDF("doc_id", "text")
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp stresses the confirm join
+      val exact = TextOps.decontaminate(docs, $"doc_id", $"text", bench, $"text")
+        .orderBy("doc_id").collect().toSeq
+      val bloom = TextOps.decontaminateBloom(docs, $"doc_id", $"text",
+          bench, $"text", fpp = fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
+
   test("fingerprint decontamination survives small edits; exact 8-grams don't") {
     val passage = "the quick brown fox jumps over the lazy dog in the park today"
     val bench = Seq(passage).toDF("text")
