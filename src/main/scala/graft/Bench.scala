@@ -26,7 +26,8 @@ object Bench {
       "text_tokens", "sample_stratified", "sample_token_budget",
       "events_asof_join", "events_sessionize", "events_range_join",
       "dedup_incremental", "embed_quantize", "embed_kmeans",
-      "text_decontaminate_bloom", "text_top_ngrams", "pipeline_clean")
+      "text_decontaminate_bloom", "text_top_ngrams", "text_bm25",
+      "pack_sequences", "pipeline_clean")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -647,6 +647,42 @@ object Queries {
                                  WHEN 'src1' THEN 3 ELSE 7 END)
         ORDER BY doc_id""")),
 
+    // Efraimidis–Spirakis weighted sampling: u^(1/w) keys, top-k.
+    // Selection and order are deterministic (rounded key, id
+    // tie-break) so the oracle reproduces the exact sample
+    "sample_weighted" -> Entry(
+      (s, dir) => graft.operators.Sampling.weighted(t(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("key")),
+      Some("""WITH f AS (SELECT doc_id, n_chars,
+          round(pow(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0, 1.0 / n_chars), 6) AS key
+        FROM documents WHERE n_chars > 0)
+        SELECT doc_id, key FROM f ORDER BY key DESC, doc_id LIMIT 100""")),
+
+    // deterministic sequence packing: the corpus laid out as one
+    // hash-ordered char stream cut into 2048-unit training windows;
+    // each doc reports its start window/offset/span. The oracle's
+    // single global window recomputes the bucketed prefix sums
+    "pack_sequences" -> Entry(
+      (s, dir) => graft.operators.Packing.packSequences(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+          seqLen = 2048L)
+        .select(col("doc_id"), col("start_seq"), col("offset"), col("n_seqs"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, n_chars AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h)
+        SELECT doc_id, (cum // 2048)::BIGINT AS start_seq,
+          (cum % 2048)::BIGINT AS offset,
+          (CASE WHEN w = 0 THEN 0
+                ELSE (cum + w - 1) // 2048 - cum // 2048 + 1 END)::BIGINT
+            AS n_seqs
+        FROM c ORDER BY doc_id""")),
+
     "sample_split" -> Entry(
       (s, dir) => graft.operators.Sampling.split(t(s, dir, "documents"),
           col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -887,6 +923,54 @@ object Queries {
               ELSE [] END) AS gram FROM w))
         SELECT gram, count(*)::BIGINT AS doc_freq FROM dg
         GROUP BY 1 ORDER BY doc_freq DESC, gram LIMIT 40""")),
+
+    // passage chunking: 200-char windows, 150-char stride (25%
+    // overlap) — pure per-doc explode, the text analogue of
+    // multimodal_frames
+    "text_chunks" -> Entry(
+      (s, dir) => graft.operators.TextOps.chunk(t(s, dir, "documents"),
+          col("doc_id"), col("text"), size = 200, stride = 150)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH n AS (SELECT doc_id, text, len(text) AS l,
+          (CASE WHEN len(text) = 0 THEN 0
+                WHEN len(text) <= 200 THEN 1
+                ELSE 1 + (len(text) - 200 + 149) // 150 END) AS nc
+        FROM documents)
+        SELECT doc_id, unnest(range(0, nc))::INT AS chunk_idx,
+          substr(text, unnest(range(0, nc))::INT * 150 + 1, 200) AS chunk
+        FROM n WHERE nc > 0 ORDER BY doc_id, chunk_idx""")),
+
+    // BM25 keyword relevance over the corpus: one stats row (N,
+    // decimal-exact avg length, per-term df) broadcast into a
+    // codegen'd scoring projection — no explode, no per-term join
+    "text_bm25" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.bm25(t(s, dir, "documents"),
+          col("doc_id"), col("text"), terms = Seq("join", "vector", "spark"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+        s AS (SELECT count(*)::DOUBLE AS n,
+            (sum(len(toks))::DECIMAL(38,6) / count(*))::DOUBLE AS avglen,
+            sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+            sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+            sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2
+          FROM t)
+        SELECT doc_id, round(
+            ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) *
+              len(list_filter(toks, x -> x = 'join'))::DOUBLE * (1.2 + 1) /
+              (len(list_filter(toks, x -> x = 'join'))::DOUBLE +
+                1.2 * (1.0 - 0.75 + 0.75 * len(toks)::DOUBLE / avglen)) +
+            ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) *
+              len(list_filter(toks, x -> x = 'vector'))::DOUBLE * (1.2 + 1) /
+              (len(list_filter(toks, x -> x = 'vector'))::DOUBLE +
+                1.2 * (1.0 - 0.75 + 0.75 * len(toks)::DOUBLE / avglen)) +
+            ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) *
+              len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (1.2 + 1) /
+              (len(list_filter(toks, x -> x = 'spark'))::DOUBLE +
+                1.2 * (1.0 - 0.75 + 0.75 * len(toks)::DOUBLE / avglen)), 6)
+            AS bm25
+        FROM t, s ORDER BY doc_id""")),
 
     // exact per-language length quantiles off the (lang, n_chars)
     // histogram — the shuffle carries distinct lengths, not documents

@@ -34,6 +34,50 @@ object CorpusStats {
   }
 
   /**
+   * BM25 keyword scoring (the Lucene `k1`/`b` form with
+   * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`) of every document
+   * against a fixed term list — the lexical-retrieval half of a
+   * hybrid search stack, and the relevance filter of a targeted
+   * corpus build.
+   *
+   * Scale shape: for a handful of terms, per-doc `tf` is an
+   * `array-filter` size — no explode, no per-term join; the corpus
+   * statistics (N, avg length, per-term df) are ONE map-side-combined
+   * aggregate producing a single broadcast row. Everything else is a
+   * codegen'd projection over the scan. Mean length is computed in
+   * DECIMAL (order-free) so scores are bit-reproducible across
+   * engines and partitionings.
+   */
+  def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val toks = TextOps.tokens(text)
+    val statAggs =
+      count(lit(1)).cast("double").as("_n") +:
+      (sum(size(toks).cast("long").cast("decimal(38,6)")) /
+        count(lit(1))).cast("double").as("_avglen") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L))
+          .cast("double").as(s"_df$i")
+      }
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+    def score(t2: Column): Column = {
+      val toks2 = TextOps.tokens(t2)
+      val dl = size(toks2).cast("double")
+      terms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter(toks2, x => x === lit(t))).cast("double")
+        val idf = log(lit(1.0) +
+          (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
+        idf * tf * (k1 + 1) /
+          (tf + lit(k1) * (lit(1.0) - b + lit(b) * dl / col("_avglen")))
+      }.reduce(_ + _)
+    }
+    df.select(id.as("doc_id"), text.as("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score(col("__t")).as("bm25"))
+  }
+
+  /**
    * EXACT per-group quantiles (linear interpolation, the type-7 /
    * `quantile_cont` definition every engine shares) over a
    * discrete-valued column — lengths, token counts, scores on a

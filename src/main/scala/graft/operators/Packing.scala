@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ldiv
+
+/**
+ * Deterministic sequence packing — the last step of a training-data
+ * build: lay the cleaned corpus out as one token stream in a
+ * reproducible order and cut it into fixed-length training windows.
+ * Every doc learns which window its tokens start in, at what offset,
+ * and how many windows it spans; a writer task can then materialize
+ * any window range independently (shard w knows exactly which docs
+ * intersect it), which is what makes the layout resumable and
+ * shardable at 100 TB.
+ *
+ * Stream order is (hash60(id), id) — the same portable coordinate the
+ * sampling family uses, so the layout is a pure function of doc ids:
+ * stable across runs, engines, partitionings, and appends of later
+ * shards.
+ *
+ * Scale shape, mirroring [[Sampling.tokenBudget]]: the global running
+ * sum would be one window over the corpus, so the hash space is cut
+ * into 4096 ordered buckets — per-bucket sums partial-aggregate
+ * map-side (the shuffle carries ≤4096 rows), the bucket prefix runs
+ * on that tiny frame, and the exact within-bucket running sum windows
+ * only ~1/4096 of the stream per partition.
+ */
+object Packing {
+
+  /**
+   * Assign each row its position in the packed stream of `seqLen`-unit
+   * windows: `start_seq` (window containing the row's first unit),
+   * `offset` (position within that window), `n_seqs` (windows the row
+   * intersects; 0 for empty rows). Weights are token/char counts and
+   * must be >= 0.
+   */
+  def packSequences(df: DataFrame, id: Column, weight: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be > 0")
+    val base = df
+      .withColumn("_h", graft.functions.Hash60Expr.hash60(id.cast("string")))
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_bkt", shiftright(col("_h"), 48))
+    val bucketPrefix = base.groupBy(col("_bkt"))
+      .agg(sum(col("_w")).as("_bsum"))
+      .withColumn("_bbefore", coalesce(
+        sum(col("_bsum")).over(Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_bbefore"))
+    val inBucket = Window.partitionBy(col("_bkt"))
+      .orderBy(col("_h"), id).rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(bucketPrefix), Seq("_bkt"))
+      .withColumn("_cum",
+        col("_bbefore") + coalesce(sum(col("_w")).over(inBucket), lit(0L)))
+      .withColumn("start_seq", ldiv(col("_cum"), seqLen))
+      .withColumn("offset", col("_cum") - col("start_seq") * seqLen)
+      .withColumn("n_seqs", when(col("_w") === 0, lit(0L))
+        .otherwise(ldiv(col("_cum") + col("_w") - 1, seqLen) -
+          col("start_seq") + 1))
+      .drop("_h", "_w", "_bkt", "_bbefore", "_cum")
+  }
+}

@@ -107,6 +107,28 @@ object Sampling {
    * the kept-set boundary.
    */
   /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis): each
+   * row draws key `u^(1/w)` with `u = fraction(id)` — its
+   * deterministic uniform coordinate — and the k largest keys win,
+   * which selects each row with probability proportional to `w`
+   * without ever materializing a cumulative distribution. One scan;
+   * the top-k lowers to `TakeOrderedAndProject`, so each partition
+   * ships only k candidates.
+   *
+   * The emitted `key` is rounded to 6 dp and the ordering ties break
+   * by id, so any md5-capable engine reproduces the identical sample
+   * (floating `pow` agrees across engines far past 6 dp).
+   */
+  def weighted(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = round(pow(fraction(id), lit(1.0) / weight.cast("double")), 6)
+    df.filter(weight > 0)
+      .withColumn("key", key)
+      .orderBy(col("key").desc, id)
+      .limit(k)
+  }
+
+  /**
    * Per-group document cap (per-domain / per-source caps of web
    * pipelines): keep at most `caps(group)` rows per group — the
    * deterministic hash-ordered first N, so re-runs and engines agree

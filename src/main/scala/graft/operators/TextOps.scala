@@ -162,6 +162,30 @@ object TextOps {
   }
 
   /**
+   * Passage chunking for retrieval/embedding pipelines: cut each
+   * document into fixed-size character windows with overlap
+   * (`stride` < `size` overlaps adjacent chunks so no passage is
+   * split mid-thought at every boundary). Chunk i covers
+   * `[i·stride, i·stride + size)`; the last chunk may be short;
+   * empty docs produce no chunks. Pure per-row explode — scan-bound,
+   * no shuffle, the [[Multimodal.sampleFrames]] shape for text.
+   */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val len = length(text)
+    val n = when(len === 0, lit(0))
+      .when(len <= size, lit(1))
+      .otherwise(lit(1) + ceil((len - size).cast("double") / stride).cast("int"))
+    df.select(id.as("doc_id"), text.as("__t"), n.as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("__n") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("__t").substr(col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
+  }
+
+  /**
    * Bloom-prefiltered decontamination — the 100 TB shape of
    * [[decontaminate]] for when the eval set itself is large (a full
    * eval-suite union easily carries 10⁸ distinct grams; as strings

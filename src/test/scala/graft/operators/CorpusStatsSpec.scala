@@ -58,6 +58,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out == Seq(("g", 5.0, 5.0, 5.0), ("h", 1.0, 2.0, 3.0)))
   }
 
+  test("bm25 matches a hand-computed score and zeroes absent terms") {
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog dog"), (3L, "bird")).toDF("doc_id", "text")
+    val out = CorpusStats.bm25(docs, $"doc_id", $"text", Seq("cat"),
+        k1 = 1.2, b = 0.75)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    // N=3, df(cat)=1, avglen=(3+2+1)/3=2; idf = ln(1 + 2.5/1.5)
+    val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    def s(tf: Double, len: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / 2.0))
+    assert(math.abs(out.head._2 - s(2.0, 3.0)) < 1e-12)
+    assert(out(1)._2 == 0.0 && out(2)._2 == 0.0)
+  }
+
+  test("bm25 ranks the rarer term higher at equal tf") {
+    val docs = (1 to 20).map(i => (i.toLong, "common x")).toDF("doc_id", "text")
+      .union(Seq((21L, "common rare")).toDF("doc_id", "text"))
+    val out = CorpusStats.bm25(docs, $"doc_id", $"text", Seq("common", "rare"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(21L) > out(1L)) // rare term dominates the shared one
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange

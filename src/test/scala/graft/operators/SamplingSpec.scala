@@ -105,6 +105,21 @@ class SamplingSpec extends SparkSpec {
       == want)
   }
 
+  test("weighted sampling favors heavy rows and is deterministic") {
+    // ids 0..999 weight 1, ids 1000..1999 weight 20: the heavy half
+    // should dominate a k=200 sample under u^(1/w) keys
+    val df = (0L until 2000L).map(i => (i, if (i < 1000) 1L else 20L))
+      .toDF("id", "w")
+    val a = Sampling.weighted(df, $"id", $"w", k = 200)
+      .select("id").as[Long].collect().toSet
+    val heavy = a.count(_ >= 1000L)
+    assert(heavy > 160, s"heavy rows in sample: $heavy")
+    val b = Sampling.weighted(df, $"id", $"w", k = 200)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size == 200)
+  }
+
   test("split is disjoint, exhaustive, and weight-proportional") {
     val parts = Sampling.split(ids, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val counts = parts.groupBy("split").count().as[(String, Long)].collect().toMap

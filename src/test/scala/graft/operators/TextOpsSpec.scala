@@ -97,6 +97,27 @@ class TextOpsSpec extends SparkSpec {
       Seq((1L, true), (0L, false), (0L, false)))
   }
 
+  test("chunking: size/stride windows, short and empty docs") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, $"doc_id", $"text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    // len 10, size 4, stride 3 -> chunks at 0,3,6 (ceil((10-4)/3)=2) = 3 chunks
+    assert(out == Seq(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"),
+      (2L, 0, "abc")))
+  }
+
+  test("chunking covers every character when stride < size") {
+    val docs = Seq((1L, "x" * 1013)).toDF("doc_id", "text")
+    val chunks = TextOps.chunk(docs, $"doc_id", $"text", 200, 150)
+      .as[(Long, Int, String)].collect()
+    val covered = chunks.map(c => (c._2 * 150, c._2 * 150 + c._3.length))
+      .sortBy(_._1)
+    assert(covered.head._1 == 0 && covered.last._2 == 1013)
+    covered.sliding(2).foreach { case Array((_, e), (s, _)) => assert(s <= e) }
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     // 60 docs, a few contaminated: the bloom probe + exact confirm
     // must reproduce the broadcast-join result row for row, any fpp
