@@ -138,6 +138,38 @@ object SeriesStream {
   }
 
   /**
+   * Streaming attribution join — the online counterpart of
+   * `graft.operators.RangeJoin`: match each purchase to the same
+   * key's clicks in the `windowMs` before it, as both streams flow.
+   * Built on Structured Streaming's native stream-stream inner join:
+   * the equi-key plus an event-time range condition is exactly the
+   * shape whose state the engine can bound — each side buffers only
+   * rows younger than (watermark + window), evicting as the watermark
+   * advances. Without the time-range condition the join state would
+   * grow forever; with it, this runs indefinitely.
+   *
+   * Output: one row per (click, purchase) pair in the window —
+   * downstream aggregation (count per purchase) composes as a normal
+   * streaming agg.
+   */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      keyCol: String, tsCol: String, windowMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col(keyCol).cast("string").as("click_key"),
+        col(tsCol).cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col(keyCol).cast("string").as("purchase_key"),
+        col(tsCol).cast("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, expr(
+      s"""click_key = purchase_key AND
+          click_ts BETWEEN purchase_ts - INTERVAL $windowMs MILLISECONDS
+                       AND purchase_ts"""))
+  }
+
+  /**
    * Stateless streaming corpus scoring: language ID, quality
    * columns, token counts, and PII redaction are pure projections,
    * so the SAME codegen'd expressions the batch pipeline uses apply

@@ -101,6 +101,38 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution join: clicks pair with in-window purchases only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String)]
+    val purchases = MemoryStream[(java.sql.Timestamp, String)]
+    val out = SeriesStream.attributionJoin(
+      clicks.toDF().toDF("ts", "user"), purchases.toDF().toDF("ts", "user"),
+      "user", "ts", windowMs = 60000L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    val base = 1346189040000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    try {
+      // a: clicks at 0 s and 30 s; purchase at 40 s → both in window;
+      // click at 200 s is after the purchase; b's click has no purchase
+      clicks.addData((ts(0), "a"), (ts(30), "a"), (ts(200), "a"), (ts(5), "b"))
+      purchases.addData((ts(40), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("click_key", "click_ts", "purchase_ts")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      assert(rows == Set(
+        ("a", ts(0), ts(40)), ("a", ts(30), ts(40))))
+      // a purchase arriving later still catches a buffered click ≤60 s
+      // back, but not one beyond the window
+      purchases.addData((ts(230), "a"))
+      q.processAllAvailable()
+      val rows2 = spark.table("attr").count()
+      assert(rows2 == 3) // + (click 200 s, purchase 230 s)
+    } finally q.stop()
+  }
+
   test("streaming sessionize: gap closes sessions; timeout flushes the last one") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
