@@ -924,6 +924,23 @@ object Queries {
         SELECT gram, count(*)::BIGINT AS doc_freq FROM dg
         GROUP BY 1 ORDER BY doc_freq DESC, gram LIMIT 40""")),
 
+    // exact per-group top-k: the 3 longest docs per language. The
+    // rank<=k shape triggers InferWindowGroupLimit: a map-side
+    // PARTIAL group limit bounds each input partition's shuffle
+    // contribution to k rows per group (TopKSpec asserts the plan),
+    // so no group crosses the exchange whole
+    "docs_topk_per_group" -> Entry(
+      (s, dir) => graft.operators.TopK.perGroup(t(s, dir, "documents"),
+          col("lang"), col("n_chars").desc, col("doc_id"), k = 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("lang"), col("rank")),
+      Some("""SELECT doc_id, lang, n_chars, rn::BIGINT AS rank FROM (
+          SELECT doc_id, lang, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 3 ORDER BY lang, rank""")),
+
     // passage chunking: 200-char windows, 150-char stride (25%
     // overlap) — pure per-doc explode, the text analogue of
     // multimodal_frames
