@@ -134,6 +134,59 @@ class PropertySpec extends AnyFunSuite {
     }, min = 15)
   }
 
+  test("bucketed range join equals the naive BETWEEN join on random data") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 300L))),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 300L),
+        Gen.chooseNum(0L, 120L))),
+      Gen.oneOf(7L, 50L, 400L)) // widths below/near/above interval spans
+    check(Prop.forAllNoShrink(gen) { case (ps, ivs, width) =>
+      val points = ps.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "pt", "pid")
+      val intervals = ivs.zipWithIndex.map { case ((k, lo, span), i) =>
+        (k, lo, lo + span, i.toLong) }.toDF("k", "lo", "hi", "iid")
+      val got = RangeJoin.pointInInterval(points, "pt", intervals,
+          "lo", "hi", Seq("k"), width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        ((pk, pt), pi) <- ps.zipWithIndex
+        ((ik, lo, span), ii) <- ivs.zipWithIndex
+        if pk == ik && pt >= lo && pt <= lo + span
+      } yield (pi.toLong, ii.toLong)).toSet
+      got == want
+    }, min = 10)
+  }
+
+  test("sequence packing tiles the stream: gapless, ordered, exact spans") {
+    import graft.operators.{Packing, Sampling}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 500L)).map(_.take(60)),
+      Gen.oneOf(16L, 64L, 1000L))
+    check(Prop.forAllNoShrink(gen) { case (ws, seqLen) =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val out = Packing.packSequences(docs, col("id"), col("w"), seqLen)
+        .select("id", "start_seq", "offset", "n_seqs")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // recompute expected positions from the same hash order
+      val order = docs.withColumn("h", Sampling.fraction(col("id")))
+        .orderBy("h", "id").select("id", "w").as[(Long, Long)].collect()
+      var cum = 0L
+      order.forall { case (id, w) =>
+        val (_, s, off, n) = out(id)
+        val ok = s == cum / seqLen && off == cum % seqLen &&
+          n == (if (w == 0) 0L else (cum + w - 1) / seqLen - cum / seqLen + 1)
+        cum += w
+        ok
+      }
+    }, min = 10)
+  }
+
   test("identity preserves count and order for random string values") {
     import spark.implicits._
     val strGen = Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(8)))
