@@ -772,6 +772,28 @@ object Queries {
     // batch, even the existing corpus — the admission filter of a
     // continuously built corpus. Candidates come from batch×corpus
     // band-bucket joins, so work scales with the batch, not |corpus|²
+    // exact shared-substring detection (12-word grams): the
+    // boilerplate/partial-copy case near-dup under-weighs. Gram
+    // hashes shuffle as 8-byte longs; only grams in >=2 docs rejoin
+    "dedup_substrings" -> Entry(
+      (s, dir) => Dedup.sharedSubstrings(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 12)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          dg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 12
+              THEN list_transform(range(1, len(w) - 10), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' ||
+                w[i+8] || ' ' || w[i+9] || ' ' || w[i+10] || ' ' || w[i+11])
+              ELSE [] END) AS gram FROM w)),
+          hot AS (SELECT gram FROM dg GROUP BY 1 HAVING count(*) >= 2),
+          h AS (SELECT doc_id, count(*) AS shared_grams FROM dg
+            JOIN hot USING (gram) GROUP BY 1)
+        SELECT doc_id, coalesce(shared_grams, 0)::BIGINT AS shared_grams,
+          coalesce(shared_grams, 0) > 0 AS flagged
+        FROM documents LEFT JOIN h USING (doc_id) ORDER BY doc_id""")),
+
     "dedup_incremental" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -23,6 +23,39 @@ object Dedup {
         array_sort(collect_list(id)).as("ids"))
       .filter(col("n") > 1)
 
+  /**
+   * Exact shared-substring (boilerplate/partial-copy) detection: flag
+   * documents sharing any `k`-word exact substring with ANOTHER
+   * document — the license-header / template / long-quote case that
+   * whole-document near-dup (Jaccard, MinHash) under-weighs when the
+   * rest of the two documents differs. `shared_grams` counts the
+   * distinct shared substrings per doc (the public exact-substring
+   * dedup recipe, run at gram granularity).
+   *
+   * Scale shape: grams are per-doc deduplicated BEFORE the explode
+   * (no corpus-wide distinct), carried as 60-bit hashes (8 bytes
+   * through the shuffle, not ~10-word strings; collision odds at
+   * 10⁹ distinct grams ≈ 10⁻⁴ per corpus — and a collision only
+   * inflates one count by one), counted with map-side partial
+   * aggregation, and only grams hitting ≥2 docs rejoin the stream.
+   */
+  def sharedSubstrings(df: DataFrame, id: Column, text: Column,
+      k: Int = 12): DataFrame = {
+    val grams = df.select(id.as("doc_id"),
+        explode(array_distinct(TextOps.ngrams(text, k))).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+    val hot = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd")) // grams are distinct per doc
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val hits = grams.join(hot, "gh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+    df.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        (coalesce(col("shared_grams"), lit(0L)) > 0).as("flagged"))
+  }
+
   // ---------------- MinHash + LSH --------------------------------------
 
   val MinhashP = 2147483647L // 2^31 − 1

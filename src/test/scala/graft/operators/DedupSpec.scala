@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     assert(r.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(0L, 1L))
   }
 
+  test("shared substrings: flags the boilerplate pair, counts distinct grams") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // exactly one 12-gram
+    val data = Seq(
+      (1L, s"$boiler unique tail one two three"),
+      (2L, s"different head $boiler"),
+      (3L, "totally unrelated words " + (1 to 12).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.sharedSubstrings(data, col("doc_id"), col("text"), k = 12)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r.map(x => (x._1, x._3)) == Seq((1L, true), (2L, true), (3L, false)))
+    assert(r(0)._2 >= 1 && r(1)._2 >= 1 && r(2)._2 == 0)
+  }
+
   test("minhash signatures: identical docs share all minima, near dups most") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
