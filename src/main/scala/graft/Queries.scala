@@ -1011,6 +1011,28 @@ object Queries {
             AS bm25
         FROM t, s ORDER BY doc_id""")),
 
+    // unigram-LM perplexity scoring: corpus-estimated top-32 vocab
+    // (count desc, word asc — both engines cut the identical table;
+    // the tail scores as OOV at the 1/total floor), per-token
+    // micro-nat rounding makes ln() portable, LONG sums are
+    // order-free; scoring is a broadcast-probe projection (no join)
+    "text_perplexity" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.unigramNll(
+          t(s, dir, "documents"), col("doc_id"), col("text"), vocabK = 32)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+          tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+          vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 32),
+          sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(round(-ln(coalesce(vocab.c, 1) / tot.total) * 1000000)::BIGINT)::BIGINT
+                AS nll_micro
+            FROM tok LEFT JOIN vocab USING (w) CROSS JOIN tot GROUP BY 1)
+        SELECT doc_id, n_tokens, nll_micro,
+          nll_micro / (n_tokens * 1000000.0) AS avg_nll
+        FROM sc ORDER BY doc_id""")),
+
     // exact per-language length quantiles off the (lang, n_chars)
     // histogram — the shuffle carries distinct lengths, not documents
     // (CorpusStats.quantiles); DuckDB's quantile_cont shares the

@@ -78,6 +78,42 @@ object CorpusStats {
   }
 
   /**
+   * Perplexity-style quality scoring: per-document negative
+   * log-likelihood under a unigram language model estimated from the
+   * corpus itself — the "does this read like the rest of the corpus"
+   * filter of web-scale pipelines (gibberish, boilerplate, and
+   * wrong-language docs score high; OOV-heavy docs get the floor
+   * probability `1/total` per unknown token).
+   *
+   * Scale shape: the model build is ONE map-side-combined token count
+   * (the shuffle carries distinct words, not tokens) whose top-`vocabK`
+   * rows lower to `TakeOrderedAndProject` (ties break
+   * lexicographically, so any engine picks the identical vocabulary);
+   * scoring is a broadcast-table probe per token inside whole-stage
+   * codegen ([[graft.functions.UnigramNllExpr]]) — a pure projection
+   * over the scan, no explode, no join, no shuffle. Scores are
+   * integer micro-nats (see the expression's scaladoc), so they are
+   * bit-reproducible regardless of partitioning or libm.
+   */
+  def unigramNll(df: DataFrame, id: Column, text: Column,
+      vocabK: Int = 65536): DataFrame = {
+    require(vocabK >= 1, "vocabK must be >= 1")
+    val counts = df.select(explode(TextOps.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head.getLong(0)
+    val micro = new java.util.HashMap[String, java.lang.Long](vocabK * 2)
+    def microNll(c: Long): Long =
+      Math.round(-Math.log(c.toDouble / total.toDouble) * 1000000.0)
+    counts.orderBy(col("c").desc, col("w")).limit(vocabK).collect()
+      .foreach(r => micro.put(r.getString(0), microNll(r.getLong(1))))
+    val nll = graft.functions.UnigramNllExpr.nllMicro(text, micro, microNll(1L))
+    df.select(id.as("doc_id"),
+        size(TextOps.tokens(text)).cast("long").as("n_tokens"),
+        nll.as("nll_micro"))
+      .withColumn("avg_nll", col("nll_micro") / (col("n_tokens") * lit(1000000.0)))
+  }
+
+  /**
    * EXACT per-group quantiles (linear interpolation, the type-7 /
    * `quantile_cont` definition every engine shares) over a
    * discrete-valued column — lengths, token counts, scores on a

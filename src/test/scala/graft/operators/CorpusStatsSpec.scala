@@ -80,6 +80,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(21L) > out(1L)) // rare term dominates the shared one
   }
 
+  test("unigramNll: rare and OOV tokens score higher; sums are exact") {
+    // vocab of size 2 keeps {"the","cat"}; "zyx" falls out → OOV floor
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "the cat zyx zyx")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramNll(docs, $"doc_id", $"text", vocabK = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // total=8 tokens: the=4, cat=2, zyx=2 (cut from the 2-word vocab)
+    def m(c: Long) = Math.round(-Math.log(c / 8.0) * 1e6)
+    assert(out(1L)._2 == 4 && out(1L)._3 == 3 * m(4) + m(2))
+    assert(out(2L)._2 == 4 && out(2L)._3 == m(4) + m(2) + 2 * m(1))
+    assert(out(2L)._4 > out(1L)._4) // OOV-heavy doc is more surprising
+    assert(out(1L)._4 == (3 * m(4) + m(2)) / (4 * 1e6))
+  }
+
+  test("unigramNll scoring is a pure projection over the scan") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val scored = CorpusStats.unigramNll(docs, $"doc_id", $"text", vocabK = 8)
+    // the scoring query itself (model already built) must not shuffle
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
