@@ -522,6 +522,36 @@ object Queries {
           (sum(value::DECIMAL(38,6)))::DOUBLE AS value_sum
         FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ordered-step funnel (view → click → purchase): cumulative-min
+    // RANGE windows over one (user, ts) exchange, per-user rollup
+    // reuses the partitioning — one shuffle regardless of step count.
+    // RANGE frames make equal-ts chains deterministic on both engines
+    "events_funnel" -> Entry(
+      (s, dir) => graft.operators.Funnel.stepReach(
+          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+            col("user_id"), col("event_type")),
+          col("user_id"), col("ts"), col("event_type"),
+          steps = Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type AS s
+            FROM events),
+          w1 AS (SELECT *, CASE WHEN s = 'view' THEN ts END AS v0 FROM e),
+          w2 AS (SELECT *, min(v0) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r0 FROM w1),
+          w3 AS (SELECT *, CASE WHEN s = 'click' AND r0 IS NOT NULL
+              THEN ts END AS v1 FROM w2),
+          w4 AS (SELECT *, min(v1) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1 FROM w3),
+          w5 AS (SELECT *, CASE WHEN s = 'purchase' AND r1 IS NOT NULL
+              THEN ts END AS v2 FROM w4),
+          g AS (SELECT user_id, min(v0) AS f0, min(v1) AS f1, min(v2) AS f2
+            FROM w5 GROUP BY 1)
+        SELECT user_id,
+          (CASE WHEN f2 IS NOT NULL THEN 3 WHEN f1 IS NOT NULL THEN 2
+                WHEN f0 IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS depth,
+          f0 AS first_us, f2 - f0 AS convert_us
+        FROM g ORDER BY user_id""")),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —

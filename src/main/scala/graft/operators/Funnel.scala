@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered-step funnel analysis over an event stream: for each user,
+ * how far along a fixed step sequence (e.g. view → click → purchase)
+ * did they get, where step `i+1` counts only if it happens at-or-after
+ * some qualifying occurrence of step `i`? The classic product-
+ * analytics conversion query (ClickHouse's `windowFunnel` family).
+ * The reference engine has no multi-series correlation at all (every
+ * query is one series, `query.go:54`); this is the cross-event
+ * extension of its time-bucketed model.
+ *
+ * Semantics: `f_0` = the user's earliest step-0 event; a step-`i`
+ * event at time `t` QUALIFIES iff a qualifying step-`i−1` event
+ * exists at time ≤ `t` (equal timestamps chain — the RANGE window
+ * frame makes ties deterministic regardless of within-tie row order);
+ * `f_i` = the earliest qualifying step-`i` time. Depth = the largest
+ * `i+1` with `f_i` defined; `f_i` is monotone in `i`.
+ *
+ * Scale shape: ONE shuffle total. All step passes are cumulative-min
+ * RANGE windows over the same (user, ts) partitioning+sort — Catalyst
+ * plans one Exchange + one Sort feeding a Window chain — and the
+ * final per-user rollup reuses the window's hash partitioning, so
+ * adding funnel steps adds zero shuffles. No per-user event buffering
+ * (nothing like `collect_list`): state per row is one running min per
+ * step.
+ */
+object Funnel {
+
+  /**
+   * Per-user funnel reach. Output: `user_id`, `depth` (0..n steps
+   * completed in order), `first_us` (time of the first step-0 event,
+   * null if depth 0), `convert_us` (completion time minus `first_us`,
+   * null unless the full funnel completed). `ts` must be a numeric
+   * (epoch) column; its unit is the unit of `convert_us`.
+   */
+  def stepReach(df: DataFrame, user: Column, ts: Column, step: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val cum = Window.partitionBy(col("_u")).orderBy(col("_ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = df.select(user.as("_u"), ts.as("_ts"), step.as("_s"))
+      .withColumn("_v0", when(col("_s") === steps.head, col("_ts")))
+    for (i <- 1 until steps.length) {
+      cur = cur
+        .withColumn(s"_r${i - 1}", min(col(s"_v${i - 1}")).over(cum))
+        .withColumn(s"_v$i", when(
+          col("_s") === steps(i) && col(s"_r${i - 1}").isNotNull, col("_ts")))
+    }
+    val mins = steps.indices.map(i => min(col(s"_v$i")).as(s"_f$i"))
+    val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_f$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    cur.groupBy(col("_u").as("user_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("user_id"), depth.as("depth"),
+        col("_f0").as("first_us"),
+        (col(s"_f${steps.length - 1}") - col("_f0")).as("convert_us"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def reach(rows: Seq[(Long, Long, String)]) =
+    Funnel.stepReach(rows.toDF("user_id", "ts", "et"),
+        $"user_id", $"ts", $"et", steps)
+      .as[(Long, Int, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("depth counts only in-order steps") {
+    val r = reach(Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "click"), (2L, 20L, "view"), (2L, 30L, "click"),
+      (3L, 10L, "purchase"), (3L, 20L, "view"),
+      (4L, 10L, "error")))
+    assert(r(1L) == ((1L, 3, Some(10L), Some(20L))))
+    // user 2: click before any view doesn't count; the later one does
+    assert(r(2L) == ((2L, 2, Some(20L), None)))
+    // user 3: purchase precedes the view — depth 1, no conversion
+    assert(r(3L) == ((3L, 1, Some(20L), None)))
+    assert(r(4L) == ((4L, 0, None, None)))
+  }
+
+  test("earliest qualifying occurrence wins, not the first of a type") {
+    // the user's first click is pre-view; convert time measures from
+    // the FIRST view even though a later view also precedes the click
+    val r = reach(Seq(
+      (1L, 5L, "click"), (1L, 10L, "view"), (1L, 12L, "view"),
+      (1L, 20L, "click"), (1L, 40L, "purchase")))
+    assert(r(1L) == ((1L, 3, Some(10L), Some(30L))))
+  }
+
+  test("equal timestamps chain within the tie") {
+    // all three steps at the same instant complete the funnel: the
+    // RANGE frame sees same-ts peers regardless of within-tie order
+    val r = reach(Seq(
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 10L, "purchase")))
+    assert(r(1L) == ((1L, 3, Some(10L), Some(0L))))
+  }
+
+  test("one exchange total: windows and rollup share the partitioning") {
+    val df = Seq((1L, 10L, "view")).toDF("user_id", "ts", "et")
+    val plan = Funnel.stepReach(df, $"user_id", $"ts", $"et", steps)
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding(8).count(_ == "Exchange") == 1, plan)
+  }
+}
