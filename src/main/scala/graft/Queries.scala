@@ -690,6 +690,22 @@ object Queries {
         FROM documents WHERE n_chars > 0)
         SELECT doc_id, key FROM f ORDER BY key DESC, doc_id LIMIT 100""")),
 
+    // deterministic export sharding: shard = md5-hash mod 8, position
+    // = hash rank within the shard — contents AND order are pure
+    // functions of the ids, so any engine reproduces the shards
+    // byte-identically (the dataloader-facing global shuffle)
+    "export_shards" -> Entry(
+      (s, dir) => graft.operators.Export.shards(t(s, dir, "documents"),
+          col("doc_id"), n = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents)
+        SELECT doc_id, (h % 8)::INTEGER AS shard,
+          (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            - 1)::INTEGER AS pos
+        FROM h ORDER BY doc_id""")),
+
     // deterministic sequence packing: the corpus laid out as one
     // hash-ordered char stream cut into 2048-unit training windows;
     // each doc reports its start window/offset/span. The oracle's

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic export sharding: the "global shuffle" step that turns
+ * a curated corpus into N training shards whose contents AND order are
+ * a pure function of the row ids — so re-running the export (on any
+ * engine, any cluster layout, after any upstream re-partitioning)
+ * produces byte-identical shards, and a dataloader seeking shard `s`
+ * position `p` always finds the same document. The shuffle coordinate
+ * is the same 60-bit md5 every sampling decision uses
+ * ([[Sampling.fraction]]), so shard membership is also independent of
+ * (and uncorrelated with) any sample/split taken upstream.
+ */
+object Export {
+
+  /**
+   * Shard assignment + within-shard position: `shard = h mod n`,
+   * `pos` = rank of `h` within the shard (ties — 60-bit md5
+   * collisions — break by id). Hash-ordering within the shard IS the
+   * deterministic shuffle: adjacent corpus rows land far apart.
+   *
+   * Scale shape: the per-shard `row_number` window is the export
+   * format's own requirement (each shard is written in order), and a
+   * shard is sized `corpus / n` BY CONSTRUCTION — at 100 TB you pick
+   * `n` so a shard is a file-sized unit (thousands of shards), which
+   * makes each window partition one output file's worth of rows:
+   * exactly the `repartition(n) + sortWithinPartitions` shape of the
+   * physical write in [[writeShards]].
+   */
+  def shards(df: DataFrame, id: Column, n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    val h = graft.functions.Hash60Expr.hash60(id.cast("string"))
+    df.select(id.as("doc_id"), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(n.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_h"), col("doc_id"))) - 1)
+      .drop("_h")
+  }
+
+  /**
+   * The physical write path: one task per shard, rows pre-sorted in
+   * the deterministic (hash, id) order — no driver involvement, no
+   * global sort. Returns the writer so callers pick format/path:
+   * `Export.writeShards(df, $"doc_id", 1024).parquet(out)`.
+   */
+  def writeShards(df: DataFrame, id: Column, n: Int): DataFrameWriter[Row] = {
+    require(n >= 1, "need at least one shard")
+    val h = graft.functions.Hash60Expr.hash60(id.cast("string"))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(n.toLong)).cast("int"))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("_h"), id)
+      .drop("_h")
+      .write.partitionBy("shard")
+  }
+}

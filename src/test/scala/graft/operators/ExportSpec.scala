@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+
+  test("shards partition the corpus: disjoint, exhaustive, stable") {
+    val a = Export.shards(docs, $"doc_id", n = 4)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are 0..size-1 within each shard, no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // determinism: a re-run over a different partitioning agrees exactly
+    val b = Export.shards(docs.repartition(7), $"doc_id", n = 4)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("within-shard order is the hash order, not the input order") {
+    val byPos = Export.shards(docs, $"doc_id", n = 1)
+      .orderBy($"pos").as[(Long, Int, Int)].collect().map(_._1)
+    assert(byPos.toSeq != byPos.sorted.toSeq) // shuffled vs insertion order
+    assert(byPos.sorted.toSeq == (0L until 200L))
+  }
+
+  test("writeShards round-trips with the logical assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Export.writeShards(docs, $"doc_id", n = 4).parquet(s"$dir/out")
+    val written = spark.read.parquet(s"$dir/out")
+      .select($"doc_id", $"shard".cast("int").as("shard"))
+      .as[(Long, Int)].collect().toMap
+    val logical = Export.shards(docs, $"doc_id", n = 4)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(written == logical)
+  }
+}
