@@ -311,6 +311,12 @@ object Dedup {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+      // pre-partition on the loop's join key: localCheckpoint preserves
+      // outputPartitioning, so when labels outgrow broadcast (heavy-dup
+      // corpora: one label row per paired node) the per-round sort-merge
+      // join exchanges only the label frame — the edge list, the big
+      // side, crosses the wire once here instead of once per round
+      .repartition(col("dst"))
       .localCheckpoint() // pairs may be a whole LSH pipeline: run it once
     // Seeded initialization = the first propagation round for free:
     // with identity labels, a node's neighbor labels ARE its neighbor
