@@ -1079,6 +1079,31 @@ object Queries {
           nll_micro / (n_tokens * 1000000.0) AS avg_nll
         FROM sc ORDER BY doc_id""")),
 
+    // TF-IDF keyword extraction: top-3 characteristic terms per doc.
+    // df exact for the 16 most common words, floored at 1 (max idf)
+    // for the tail — the gate exercises BOTH paths (corpus vocab is
+    // 31 words); scores round to 6 dp before ranking so both engines
+    // select identical rows
+    "text_keywords" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.keywords(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          k = 3, vocabK = 16)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+            GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 16),
+          n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+          sc AS (SELECT doc_id, term, tf,
+              round(tf * ln(n.n / coalesce(vocab.df, 1)), 6) AS score
+            FROM tf LEFT JOIN vocab USING (term) CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rank FROM sc)
+        SELECT doc_id, term, tf, score, rank::BIGINT AS rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // exact per-language length quantiles off the (lang, n_chars)
     // histogram — the shuffle carries distinct lengths, not documents
     // (CorpusStats.quantiles); DuckDB's quantile_cont shares the

@@ -114,6 +114,45 @@ object CorpusStats {
   }
 
   /**
+   * TF-IDF keyword extraction: the top-`k` most characteristic terms
+   * per document — the tagging/labeling pass of a corpus build and
+   * the lightweight alternative to embedding-based topic assignment.
+   * `score = tf · ln(N / df)` with document frequencies taken exactly
+   * for the `vocabK` most common words and floored at 1 (maximum
+   * idf) for the tail — exact idf where ranking precision matters
+   * (the common head), "rare = maximally characteristic" for the
+   * long tail, the direction tf-idf wants anyway.
+   *
+   * Scale shape: term frequencies are one map-side-combined
+   * (doc, word) count — the only corpus-sized shuffle; document
+   * frequencies reuse the same pre-aggregated frame (counting rows,
+   * never re-exploding tokens); the df table broadcasts into an O(1)
+   * codegen'd hash probe ([[graft.functions.LongMapLookupExpr]] — a
+   * literal-map `element_at` would linear-scan per row); and the
+   * per-doc top-k is the `row_number ≤ k` shape the optimizer lowers
+   * to a map-side partial `WindowGroupLimit`. Scores round to 6 dp
+   * BEFORE ranking so the selected rows are engine-portable.
+   */
+  def keywords(df: DataFrame, id: Column, text: Column, k: Int,
+      vocabK: Int = 65536): DataFrame = {
+    require(k >= 1 && vocabK >= 1, "k and vocabK must be >= 1")
+    val n = df.count().toDouble
+    val tf = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumed twice: df build + scoring
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val table = new java.util.HashMap[String, java.lang.Long](vocabK * 2)
+    dfreq.orderBy(col("df").desc, col("term")).limit(vocabK).collect()
+      .foreach(r => table.put(r.getString(0), r.getLong(1)))
+    val dfCol = graft.functions.LongMapLookupExpr.lookup(col("term"), table, 1L)
+    val scored = tf.withColumn("score",
+      round(col("tf") * log(lit(n) / dfCol.cast("double")), 6))
+    TopK.perGroup(scored, col("doc_id"), col("score").desc, col("term"), k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * EXACT per-group quantiles (linear interpolation, the type-7 /
    * `quantile_cont` definition every engine shares) over a
    * discrete-valued column — lengths, token counts, scores on a

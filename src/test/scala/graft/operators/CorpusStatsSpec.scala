@@ -103,6 +103,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("keywords: rare terms outrank common ones; OOV floors at max idf") {
+    // "filler" is in every doc (idf 0 → never a keyword); "rare" is
+    // OOV under vocabK=1 (only "filler" stays) → df floor 1, max idf
+    val docs = Seq(
+      (1L, "filler rare filler shared"),
+      (2L, "filler shared filler"),
+      (3L, "filler filler filler")).toDF("doc_id", "text")
+    val out = CorpusStats.keywords(docs, $"doc_id", $"text", k = 2, vocabK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getString(1)).toMap
+    assert(out((1L, 1L)) == "rare" || out((1L, 1L)) == "shared")
+    // both "rare" and "shared" score tf=1 * ln(3/1): tie → term asc
+    assert(out((1L, 1L)) == "rare" && out((1L, 2L)) == "shared")
+    // doc 3 has only the idf-0 word: its top keyword scores 0.0
+    val d3 = CorpusStats.keywords(docs, $"doc_id", $"text", k = 1, vocabK = 8)
+      .filter($"doc_id" === 3).collect().head
+    assert(d3.getString(1) == "filler" && d3.getDouble(3) == 0.0)
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
