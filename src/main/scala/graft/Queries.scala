@@ -873,6 +873,36 @@ object Queries {
         SELECT query_id, vec_id, round(sim, 6) AS sim, rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // contrastive hard-negative mining: per anchor, the 10 nearest
+    // DIFFERENT-label vectors — the label-mismatch predicate rides
+    // the broadcast join, so same-label rows never score
+    "embed_hard_negatives" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 10)
+          .withColumn("sim", round(col("sim"), 6))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+            FROM embeddings WHERE vec_id < 8),
+          n AS (SELECT vec_id, label, embedding AS v,
+            sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+            FROM embeddings),
+          scored AS (
+            SELECT qid AS query_id, ql AS query_label, vec_id,
+              label AS neg_label,
+              list_sum(list_transform(range(1, len(qv) + 1),
+                i -> v[i]::DOUBLE * qv[i]::DOUBLE)) /
+              ((SELECT nrm FROM n x WHERE x.vec_id = q.qid) * n.nrm) AS sim
+            FROM n JOIN q ON n.label <> q.ql),
+          ranked AS (SELECT query_id, query_label, vec_id, neg_label, sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS rank
+            FROM scored)
+        SELECT query_id, query_label, vec_id, neg_label,
+          round(sim, 6) AS sim, rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     "ann_lsh_topk" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

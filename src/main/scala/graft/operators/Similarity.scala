@@ -174,6 +174,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Contrastive hard-negative mining: for each anchor (query) vector,
+   * the `k` corpus vectors MOST similar to it among those with a
+   * DIFFERENT label — the negatives that sit closest to the decision
+   * boundary, which is what contrastive / metric-learning training
+   * wants sampled far above random negatives. Same execution shape as
+   * [[cosineTopK]] (anchors broadcast, corpus scan stays partitioned,
+   * per-anchor window ranks) with the label-mismatch predicate fused
+   * into the broadcast join, so excluded same-label rows never score.
+   * For anchor sets too large to broadcast, bucket with
+   * [[hyperplaneTopK]]'s sketches first and apply the same label
+   * filter on the candidate pairs.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"),
+        col("label").as("neg_label"))
+      .withColumn("vn", l2norm(col("v")))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("label").as("query_label"))
+      .withColumn("qn", l2norm(col("qv")))
+    val scored = c.join(broadcast(q), col("neg_label") =!= col("query_label"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("neg_label"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,

@@ -62,6 +62,26 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head.getDouble(2) > 0.99)
   }
 
+  test("hard negatives: nearest different-label vectors, same-label never scores") {
+    import spark.implicits._
+    // anchor 0 (label A): vec 1 is nearly identical but SAME label
+    // (excluded); vec 2 (label B) is the closest admissible negative
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f), "A"),
+      (1L, Seq(1f, 0.001f, 0f), "A"),
+      (2L, Seq(0.9f, 0.1f, 0f), "B"),
+      (3L, Seq(0f, 1f, 0f), "B"),
+      (4L, Seq(0f, 0f, 1f), "C")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 0), k = 2)
+      .collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L)) // by falling sim
+    assert(out.forall(_.getString(3) != "A"))
+    // the corpus side must not shuffle: anchors broadcast
+    val plan = Similarity.hardNegatives(df, df.filter($"vec_id" === 0), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("cosine near-dup pairs over one corpus") {
     val df = vecs(
       0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0.001f, 0f),
