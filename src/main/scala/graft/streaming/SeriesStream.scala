@@ -137,6 +137,74 @@ object SeriesStream {
       .toDF("key", "session_start", "session_end", "n_events", "value_sum")
   }
 
+  /** Open-funnel state for [[funnel]]: earliest qualifying epoch-ms
+   * time per step prefix (length = current depth). */
+  case class FunnelProgress(reach: List[Long])
+
+  /**
+   * Streaming ordered-step funnel — the online counterpart of
+   * `graft.operators.Funnel.stepReach`: as events flow, track each
+   * key's furthest in-order step prefix and EMIT A ROW EVERY TIME A
+   * KEY'S DEPTH ADVANCES (the "user converted to step N" event
+   * downstream alerting/feature pipelines subscribe to). A completed
+   * funnel retires its key's state immediately, so long-running
+   * streams hold state only for in-progress funnels — O(steps) per
+   * active key.
+   *
+   * Semantics vs batch, stated honestly: within a micro-batch events
+   * are time-sorted, so in-batch ties and reordering resolve exactly
+   * like the batch operator's RANGE frames; ACROSS batches an event
+   * older than an already-recorded step time cannot retroactively
+   * lower it (the batch operator replays history exactly — the same
+   * online/batch split as [[sessionize]]).
+   *
+   * Output (append): (key, depth, step_ms, first_ms, convert_ms) —
+   * `step_ms` the time of the step that advanced the funnel,
+   * `convert_ms` non-null only on the completing row.
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      stepCol: String, steps: Seq[String],
+      watermark: String = "10 minutes"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(stepCol).cast("string").as("step"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress,
+          (String, Int, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+            state: GroupState[FunnelProgress]) =>
+          val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sorted
+          val out = Vector.newBuilder[(String, Int, Long, Long, Option[Long])]
+          var reach = state.getOption.map(_.reach).getOrElse(Nil)
+          evs.foreach { case (t, s) =>
+            stepIdx.get(s).foreach { i =>
+              // advance only on the NEXT needed step, at-or-after the
+              // current prefix's last time (equal-ts events, sorted,
+              // chain — matching the batch RANGE-frame semantics)
+              if (i == reach.length && (i == 0 || reach.last <= t)) {
+                reach = reach :+ t
+                out += ((key, reach.length, t, reach.head,
+                  if (reach.length == steps.length)
+                    Some(t - reach.head) else None))
+              }
+            }
+          }
+          if (reach.length == steps.length) state.remove()
+          else if (reach.nonEmpty) state.update(FunnelProgress(reach))
+          out.result().iterator
+      }
+      .toDF("key", "depth", "step_ms", "first_ms", "convert_ms")
+  }
+
   /**
    * Streaming attribution join — the online counterpart of
    * `graft.operators.RangeJoin`: match each purchase to the same

@@ -206,4 +206,41 @@ class SeriesStreamSpec extends SparkSpec {
       assert(r.getAs[Long]("ws_tokens") == 12)
     } finally q.stop()
   }
+
+  test("streaming funnel: advancement rows, order enforced, state retires") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val out = SeriesStream.funnel(mem.toDF().toDF("ts", "user", "et"),
+      "user", "ts", "et", steps = Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funl")
+      .outputMode("append").start()
+    val base = 1346189040000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    try {
+      // a: out-of-order within the batch still resolves (sorted);
+      // b: click arrives BEFORE any view → no advancement
+      mem.addData((ts(20), "a", "click"), (ts(10), "a", "view"),
+        (ts(0), "b", "click"))
+      q.processAllAvailable()
+      val r1 = spark.table("funl")
+        .as[(String, Int, Long, Long, Option[Long])].collect().toSet
+      assert(r1 == Set(("a", 1, base + 10000, base + 10000, None),
+        ("a", 2, base + 20000, base + 10000, None)))
+      // completing purchase emits the conversion row with duration
+      mem.addData((ts(50), "a", "purchase"), (ts(30), "b", "view"))
+      q.processAllAvailable()
+      val r2 = spark.table("funl")
+        .as[(String, Int, Long, Long, Option[Long])].collect().toSet
+      assert(r2.contains(("a", 3, base + 50000, base + 10000, Some(40000L))))
+      assert(r2.contains(("b", 1, base + 30000, base + 30000, None)))
+      // a's funnel completed → its state retired: a new view restarts
+      // from depth 1, it does not re-complete on top of old state
+      mem.addData((ts(100), "a", "view"))
+      q.processAllAvailable()
+      val r3 = spark.table("funl")
+        .as[(String, Int, Long, Long, Option[Long])].collect().toSet
+      assert(r3.contains(("a", 1, base + 100000, base + 100000, None)))
+    } finally q.stop()
+  }
 }
