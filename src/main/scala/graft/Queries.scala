@@ -1109,6 +1109,30 @@ object Queries {
           nll_micro / (n_tokens * 1000000.0) AS avg_nll
         FROM sc ORDER BY doc_id""")),
 
+    // per-source data card: volumes, decimal-exact mean length, lang
+    // spread + dominant lang (ties → lang asc on both engines)
+    "corpus_datacard" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.dataCard(
+          t(s, dir, "documents"), col("source"), col("text"), col("lang"))
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source, lang,
+            len(string_split(text, ' '))::BIGINT AS toks,
+            len(text)::BIGINT AS ch FROM documents),
+          s AS (SELECT source, count(*)::BIGINT AS n_docs,
+              sum(toks)::BIGINT AS n_tokens, sum(ch)::BIGINT AS n_chars,
+              (sum(ch::DECIMAL(38,6)) / count(*))::DOUBLE AS mean_chars
+            FROM d GROUP BY 1),
+          l AS (SELECT source, lang, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+          nl AS (SELECT source, count(*)::BIGINT AS n_langs FROM l GROUP BY 1),
+          top AS (SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY c DESC, lang) AS rn FROM l) WHERE rn = 1)
+        SELECT s.source, n_docs, n_tokens, n_chars, mean_chars, n_langs,
+          top_lang, top_lang_docs,
+          round(top_lang_docs / n_docs, 6) AS top_lang_share
+        FROM s JOIN nl USING (source) JOIN top USING (source)
+        ORDER BY source""")),
+
     // TF-IDF keyword extraction: top-3 characteristic terms per doc.
     // df exact for the 16 most common words, floored at 1 (max idf)
     // for the tail — the gate exercises BOTH paths (corpus vocab is

@@ -114,6 +114,38 @@ object CorpusStats {
   }
 
   /**
+   * Per-source corpus "data card": the one-table summary a curation
+   * run publishes next to its output — document/token/char volumes,
+   * exact mean length, language spread and the dominant language with
+   * its share, per source. Two tiny aggregations (doc-level rollup by
+   * source; language histogram by (source, lang) whose top-1 rides
+   * the `row_number ≤ 1` group-limit shape) joined on the handful of
+   * source rows — every shuffle is map-side combined, nothing
+   * corpus-sized crosses the wire. Mean length divides in DECIMAL
+   * (order-free) so the card is bit-reproducible.
+   */
+  def dataCard(df: DataFrame, source: Column, text: Column,
+      lang: Column): DataFrame = {
+    val d = df.select(source.as("source"), lang.as("lang"),
+      size(TextOps.tokens(text)).cast("long").as("toks"),
+      length(text).cast("long").as("ch"))
+    val stats = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("ch")).as("n_chars"),
+      (sum(col("ch").cast("decimal(38,6)")) / count(lit(1)))
+        .cast("double").as("mean_chars"))
+    val l = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val nl = l.groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    val top = TopK.perGroup(l, col("source"), col("c").desc, col("lang"), 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_lang_docs"))
+    stats.join(nl, "source").join(top, "source")
+      .withColumn("top_lang_share",
+        round(col("top_lang_docs") / col("n_docs"), 6))
+  }
+
+  /**
    * TF-IDF keyword extraction: the top-`k` most characteristic terms
    * per document — the tagging/labeling pass of a corpus build and
    * the lightweight alternative to embedding-based topic assignment.

@@ -121,6 +121,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(d3.getString(1) == "filler" && d3.getDouble(3) == 0.0)
   }
 
+  test("dataCard: volumes, exact mean, dominant language with asc tie-break") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),     // 3 toks, 5 chars
+      (2L, "d e", "de", "s1"),       // 2 toks, 3 chars
+      (3L, "f", "fr", "s1"),         // tie de/fr/en at 1 → 'de' wins
+      (4L, "g h", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.dataCard(docs, $"source", $"text", $"lang")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") == 3 && s1.getAs[Long]("n_tokens") == 6 &&
+      s1.getAs[Long]("n_chars") == 9)
+    assert(s1.getAs[Double]("mean_chars") == 3.0)
+    assert(s1.getAs[Long]("n_langs") == 3)
+    assert(s1.getAs[String]("top_lang") == "de") // 1-doc tie, lang asc
+    val s2 = out(1)
+    assert(s2.getAs[String]("top_lang") == "en" &&
+      s2.getAs[Double]("top_lang_share") == 1.0)
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
