@@ -1109,6 +1109,45 @@ object Queries {
           nll_micro / (n_tokens * 1000000.0) AS avg_nll
         FROM sc ORDER BY doc_id""")),
 
+    // cross-source near-dup overlap matrix: where duplication comes
+    // from; pair order normalized so each source combo is one row
+    "dedup_source_overlap" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.sourceOverlap(
+            Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8),
+            docs, col("doc_id"), col("source"))
+          .orderBy(col("src1"), col("src2"))
+      },
+      Some(s"""WITH ${minhashPairsCte(0.8)},
+          src AS (SELECT doc_id, source FROM documents),
+          po AS (SELECT least(s1.source, s2.source) AS src1,
+              greatest(s1.source, s2.source) AS src2
+            FROM pairs JOIN src s1 ON pairs.id1 = s1.doc_id
+              JOIN src s2 ON pairs.id2 = s2.doc_id)
+        SELECT src1, src2, count(*)::BIGINT AS n_pairs
+        FROM po GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // per-group vocabulary drift: KL(source ‖ corpus) in nano-nats —
+    // per-(group,word) terms share one float-op sequence on both
+    // engines, quantize at 1e-9, and sum order-free as longs
+    "corpus_vocab_drift" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.vocabDivergence(
+          t(s, dir, "documents"), col("source"), col("text"))
+        .orderBy(col("source")),
+      Some("""WITH tok AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          gw AS (SELECT grp, w, count(*)::BIGINT AS cgw FROM tok GROUP BY 1, 2),
+          wc AS (SELECT w, sum(cgw)::BIGINT AS cw FROM gw GROUP BY 1),
+          ng AS (SELECT grp, sum(cgw)::BIGINT AS ngc FROM gw GROUP BY 1),
+          n AS (SELECT sum(cw)::BIGINT AS n FROM wc),
+          t AS (SELECT grp, round(((cgw / ngc) *
+                ln((cgw / ngc) / (cw / n.n))) * 1e9)::BIGINT AS t
+            FROM gw JOIN wc USING (w) JOIN ng USING (grp) CROSS JOIN n)
+        SELECT grp AS source, sum(t)::BIGINT AS kl_nano,
+          sum(t)::BIGINT / 1e9 AS kl
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
     // per-source data card: volumes, decimal-exact mean length, lang
     // spread + dominant lang (ties → lang asc on both engines)
     "corpus_datacard" -> Entry(

@@ -185,6 +185,40 @@ object CorpusStats {
   }
 
   /**
+   * Per-group vocabulary drift: `KL(p_group ‖ p_corpus)` in integer
+   * NANO-nats — how far each source/slice's unigram distribution sits
+   * from the corpus mixture. The monitoring statistic of a data-mixing
+   * pipeline: a source whose KL jumps between crawls changed character
+   * (template rollout, language shift, spam influx) before any
+   * downstream metric notices.
+   *
+   * Same portability construction as [[unigramNll]], per (group, word)
+   * term instead of per token: each term
+   * `(c_gw/N_g) · ln((c_gw/N_g)/(c_w/N))` is computed with an
+   * identical float-op sequence on any engine, quantized to 1e-9, and
+   * summed as LONGs — order-free and libm-proof (terms are signed:
+   * over-represented words contribute positive, under-represented
+   * negative; the sum is ≥ 0 up to quantization). Shuffles carry the
+   * (group, word) histogram, never tokens; the per-group and total
+   * frames broadcast back onto it.
+   */
+  def vocabDivergence(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val gw = df.select(group.as("grp"), explode(TextOps.tokens(text)).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("cgw"))
+      .localCheckpoint() // consumed three times: word/group/total rollups
+    val wc = gw.groupBy(col("w")).agg(sum(col("cgw")).as("cw"))
+    val ng = gw.groupBy(col("grp")).agg(sum(col("cgw")).as("ngc"))
+    val n = wc.agg(sum(col("cw")).as("n"))
+    val a = col("cgw") / col("ngc")
+    val b = col("cw") / col("n")
+    gw.join(wc, "w").join(broadcast(ng), "grp").crossJoin(broadcast(n))
+      .withColumn("t", round((a * log(a / b)) * lit(1e9)).cast("long"))
+      .groupBy(col("grp")).agg(sum(col("t")).as("kl_nano"))
+      .select(col("grp").as("source"), col("kl_nano"),
+        (col("kl_nano") / lit(1e9)).as("kl"))
+  }
+
+  /**
    * EXACT per-group quantiles (linear interpolation, the type-7 /
    * `quantile_cont` definition every engine shares) over a
    * discrete-valued column — lengths, token counts, scores on a

@@ -56,6 +56,31 @@ object Dedup {
         (coalesce(col("shared_grams"), lit(0L)) > 0).as("flagged"))
   }
 
+  /**
+   * Cross-source near-dup overlap matrix: how many near-duplicate
+   * pairs connect each (source, source) combination — the curation
+   * diagnostic that tells you WHERE duplication comes from (mirror
+   * sites, re-crawls, cross-posted content) before you decide which
+   * source a cluster's keeper should come from. Pair order is
+   * normalized (`least`, `greatest`) so each combination is one row;
+   * the diagonal counts within-source duplication.
+   *
+   * Scale shape: the pair list is tiny next to the corpus, so AQE
+   * broadcasts it into BOTH id→source lookups — the corpus-sized
+   * lookup frame never shuffles; the final rollup is a
+   * |sources|²-bounded aggregate.
+   */
+  def sourceOverlap(pairs: DataFrame, docs: DataFrame, id: Column,
+      source: Column): DataFrame = {
+    val g = docs.select(id.as("doc_id"), source.as("src"))
+    pairs.select(col("id1"), col("id2"))
+      .join(g.select(col("doc_id").as("id1"), col("src").as("g1")), "id1")
+      .join(g.select(col("doc_id").as("id2"), col("src").as("g2")), "id2")
+      .select(least(col("g1"), col("g2")).as("src1"),
+        greatest(col("g1"), col("g2")).as("src2"))
+      .groupBy(col("src1"), col("src2")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---------------- MinHash + LSH --------------------------------------
 
   val MinhashP = 2147483647L // 2^31 − 1

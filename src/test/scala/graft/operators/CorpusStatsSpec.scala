@@ -140,6 +140,21 @@ class CorpusStatsSpec extends SparkSpec {
       s2.getAs[Double]("top_lang_share") == 1.0)
   }
 
+  test("vocabDivergence: identical slice has zero KL, skewed slice positive") {
+    // s1 and s2 share the corpus distribution exactly (KL 0 up to
+    // quantization); s3 is all one rare-overall word → large KL
+    val docs = Seq(
+      (1L, "a a b", "s1"), (2L, "a a b", "s2"), (3L, "z z z", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.vocabDivergence(docs, $"source", $"text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // s1's dist (2/3 a, 1/3 b) vs corpus (4/9 a, 2/9 b, 3/9 z):
+    // positive — its words are over-represented relative to mixture
+    assert(out("s1")._1 == out("s2")._1) // same distribution, same KL
+    assert(out("s3")._2 > out("s1")._2 && out("s3")._2 > 1.0)
+    assert(out.values.forall(_._1 >= 0L))
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange

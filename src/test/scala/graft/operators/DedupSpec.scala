@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
     assert(r(0)._2 >= 1 && r(1)._2 >= 1 && r(2)._2 == 0)
   }
 
+  test("source overlap normalizes pair order and counts the diagonal") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "A"),
+      (5L, "A"), (6L, "A")).toDF("doc_id", "src")
+    val out = Dedup.sourceOverlap(pairs, docs, col("doc_id"), col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1,2)=A-B and (3,4)=B-A both normalize to (A,B); (5,6) is the
+    // within-A diagonal
+    assert(out == Map(("A", "B") -> 2L, ("A", "A") -> 1L))
+  }
+
   test("minhash signatures: identical docs share all minima, near dups most") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
