@@ -29,7 +29,8 @@ object Bench {
       "text_decontaminate_bloom", "text_top_ngrams", "text_bm25",
       "pack_sequences", "pipeline_clean", "dedup_substrings",
       "text_perplexity", "events_funnel", "export_shards", "text_keywords",
-      "embed_hard_negatives", "corpus_datacard", "corpus_vocab_drift")
+      "embed_hard_negatives", "corpus_datacard", "corpus_vocab_drift",
+      "dedup_source_overlap")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state
