@@ -256,4 +256,81 @@ class PropertySpec extends AnyFunSuite {
           .count { case Seq(a, b) => f >= a && f < b } == 1 // exactly one split
     })
   }
+
+  test("funnel reach matches the closed-form earliest-qualifying chain") {
+    import graft.operators.Funnel
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val steps = Seq("v", "c", "p")
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 40L),
+      Gen.oneOf("v", "c", "p", "x"))).map(_.take(50))
+    check(Prop.forAllNoShrink(evGen) { es =>
+      val got = Funnel.stepReach(es.toDF("u", "ts", "et"),
+          col("u"), col("ts"), col("et"), steps)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
+      es.groupBy(_._1).forall { case (u, evs) =>
+        // closed form: f_i = min ts of a step-i event at-or-after f_(i-1)
+        val fs = steps.scanLeft(Option(Long.MinValue)) { (prev, s) =>
+          prev.flatMap(p => evs.collect {
+            case (_, t, `s`) if t >= p => t }.minOption)
+        }.tail
+        val depth = fs.takeWhile(_.isDefined).length
+        val (gd, gf, gc) = got(u)
+        gd == depth && gf == fs.head &&
+          gc == (if (depth == 3) Some(fs(2).get - fs(0).get) else None)
+      }
+    }, min = 30)
+  }
+
+  test("export shards: recomputed md5 ranks reproduce shard and position") {
+    import graft.operators.Export
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct.take(40)),
+      Gen.oneOf(1, 3, 8))
+    check(Prop.forAllNoShrink(gen) { case (ids, n) =>
+      val got = Export.shards(ids.toDF("doc_id"), col("doc_id"), n)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val want = ids.map(i => i -> h60(i)).groupBy(_._2 % n).flatMap {
+        case (shard, members) =>
+          members.sortBy { case (i, h) => (h, i) }.zipWithIndex.map {
+            case ((i, _), pos) => i -> (shard.toInt, pos) }
+      }
+      got == want
+    }, min = 20)
+  }
+
+  test("unigram NLL matches an in-memory model with vocab cut and OOV floor") {
+    import graft.operators.CorpusStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(wordGen).map(_.take(12).mkString(" "))).map(_.take(15))
+    val kGen = Gen.oneOf(1, 3, 100)
+    check(Prop.forAllNoShrink(docGen, kGen) { (docs, vocabK) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = CorpusStats.unigramNll(df, col("doc_id"), col("text"), vocabK)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val toks = docs.map(_.split(" ", -1).toSeq)
+      val counts = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val total = toks.map(_.length).sum.toDouble
+      val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(vocabK).toMap
+      def m(c: Long) = Math.round(-Math.log(c / total) * 1e6)
+      toks.zipWithIndex.forall { case (ws, i) =>
+        got(i.toLong) == ((ws.length.toLong,
+          ws.map(w => m(vocab.getOrElse(w, 1L))).sum))
+      }
+    }, min = 20)
+  }
 }
