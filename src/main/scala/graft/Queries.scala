@@ -1337,6 +1337,21 @@ object Queries {
         maxTopNgramFrac = Some(0.08),
         deconBenchSql = Some("doc_id % 97 = 0")))),
 
+    // the full pipeline with the perplexity stage armed: avg-NLL
+    // above 3.41 (≈ the corpus p90) drops as 'perplexity' after the
+    // dedup/lang/quality gates — the composition an LM-data run uses
+    "pipeline_clean_perplexity" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.Pipeline.cleanCorpus(docs, col("doc_id"), col("text"),
+            langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
+            useClusters = true, maxAvgNll = 3.41, nllVocabK = 32)
+          .orderBy(col("doc_id"))
+      },
+      Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
+        jaccardThreshold = 0.8, useClusters = true,
+        maxAvgNll = Some((3.41, 32))))),
+
     "multimodal_frames" -> Entry(
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.asMedia(t(s, dir, "documents")
@@ -1577,9 +1592,29 @@ object Queries {
    * the Spark side was given. */
   private def pipelineOracle(langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double, useClusters: Boolean = false,
+      maxAvgNll: Option[(Double, Int)] = None,
       maxTopNgramFrac: Option[Double] = None,
       deconBenchSql: Option[String] = None): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
+    // mirrors CorpusStats.unigramNll over the non-empty corpus: vocab
+    // cut (count desc, word asc), micro-nat rounding, long sums
+    val pplCtes = maxAvgNll.fold("") { case (thr, vocabK) =>
+      s""", ppl_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        ppl_cnt AS (SELECT w, count(*)::BIGINT AS c FROM ppl_tok GROUP BY 1),
+        ppl_tot AS (SELECT sum(c)::BIGINT AS total FROM ppl_cnt),
+        ppl_voc AS (SELECT w, c FROM ppl_cnt ORDER BY c DESC, w LIMIT $vocabK),
+        ppl_sc AS (SELECT ppl_tok.doc_id, count(*)::BIGINT AS n,
+            sum(round(-ln(coalesce(ppl_voc.c, 1) / ppl_tot.total) * 1000000)::BIGINT)::BIGINT AS nll
+          FROM ppl_tok LEFT JOIN ppl_voc USING (w) CROSS JOIN ppl_tot
+          GROUP BY 1),
+        ppl_f AS (SELECT doc_id FROM ppl_sc
+          WHERE nll / (n * 1000000.0) > $thr)"""
+    }
+    val pplJoin = maxAvgNll.fold("")(_ =>
+      "LEFT JOIN ppl_f pf ON d.doc_id = pf.doc_id")
+    val pplWhen = maxAvgNll.fold("")(_ =>
+      "WHEN pf.doc_id IS NOT NULL THEN 'perplexity'")
     // optional stage CTEs mirror TextOps.repetition / .decontaminate
     val repCtes = maxTopNgramFrac.fold("") { f =>
       s""", rep_g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
@@ -1635,19 +1670,21 @@ object Queries {
       $nearCte,
       lg AS (SELECT doc_id, lang_pred FROM (${langidOracle})),
       qu AS (SELECT doc_id, quality FROM (${qualityOracle}))
-      $repCtes $deconCtes,
+      $pplCtes $repCtes $deconCtes,
       decided AS (SELECT d.doc_id,
         CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 'empty'
              WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
              WHEN lg.lang_pred NOT IN ($langList) THEN 'lang'
              WHEN qu.quality < $minQuality THEN 'quality'
+             $pplWhen
              $repWhen
              $deconWhen
              ELSE 'keep' END AS reason
         FROM documents d
         LEFT JOIN exact_dups e ON d.doc_id = e.doc_id
         LEFT JOIN near n ON d.doc_id = n.doc_id
+        $pplJoin
         $repJoin
         $deconJoin
         JOIN lg ON d.doc_id = lg.doc_id

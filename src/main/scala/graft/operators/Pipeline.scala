@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
  *      near-dups (A~B, B~C keeps exactly A even with no A~C pair);
  *   3. `lang`      — language ID outside the allowed set;
  *   4. `quality`   — quality score below the floor;
- *   5. `repetition` — top word-2-gram fraction above
+ *   5. `perplexity` — average NLL under the corpus-estimated unigram
+ *      LM above `maxAvgNll` (the "doesn't read like the corpus"
+ *      filter; disabled at the default infinity);
+ *   6. `repetition` — top word-2-gram fraction above
  *      `maxTopNgramFrac` (Gopher/C4 boilerplate filter; disabled at
  *      the default 1.0);
- *   6. `contaminated` — shares a word 8-gram with the `bench` eval
+ *   7. `contaminated` — shares a word 8-gram with the `bench` eval
  *      set (disabled when `bench` is None);
- *   7. `keep`.
+ *   8. `keep`.
  *
  * An `empty` gate precedes everything: null/empty text has no
  * fingerprint, no shingles, and no scores, so it is dropped outright
@@ -40,6 +43,7 @@ object Pipeline {
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double = 0.8, useClusters: Boolean = false,
+      maxAvgNll: Double = Double.PositiveInfinity, nllVocabK: Int = 65536,
       maxTopNgramFrac: Double = 1.0,
       bench: Option[DataFrame] = None,
       benchText: Column = col("text")): DataFrame = {
@@ -81,6 +85,11 @@ object Pipeline {
 
     // optional stages join as more per-doc flag frames — each is its
     // own independent branch over the corpus scan family
+    val pplFlags =
+      if (maxAvgNll.isPosInfinity) None
+      else Some(CorpusStats.unigramNll(nonEmpty, id, text, nllVocabK)
+        .filter(col("avg_nll") > maxAvgNll)
+        .select(col("doc_id")).withColumn("__ppl", lit(true)))
     val repFlags =
       if (maxTopNgramFrac >= 1.0) None
       else Some(TextOps.repetition(nonEmpty, id, text, n = 2)
@@ -93,8 +102,11 @@ object Pipeline {
 
     // drop lists can be a large fraction of the corpus on real data —
     // no broadcast hint; AQE broadcasts them when they turn out small
-    val joined = Seq(Some(exactDups), Some(nearDups), repFlags, conFlags)
+    val joined = Seq(Some(exactDups), Some(nearDups), pplFlags, repFlags,
+        conFlags)
       .flatten.foldLeft(scored)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+    val pplCond =
+      pplFlags.fold(lit(false))(_ => col("__ppl").isNotNull && col("__ppl"))
     val repetCond =
       repFlags.fold(lit(false))(_ => col("__repet").isNotNull && col("__repet"))
     val contamCond =
@@ -106,6 +118,7 @@ object Pipeline {
           .when(col("__near"), "near_dup")
           .when(!col("__lang").isInCollection(langs), "lang")
           .when(col("__quality") < minQuality, "quality")
+          .when(pplCond, "perplexity")
           .when(repetCond, "repetition")
           .when(contamCond, "contaminated")
           .otherwise("keep"))

@@ -29,6 +29,23 @@ class PipelineSpec extends SparkSpec {
       Seq(true, false, false, true, false, false, false, false))
   }
 
+  test("perplexity stage drops the doc that doesn't read like the corpus") {
+    // nine docs share a vocabulary; the outlier is all rare words →
+    // every token scores at/near the OOV floor, far above the rest
+    val docs = ((0L until 9L).map(i => (i, "the quick brown fox jumps")) :+
+      (9L, "zyxw qvut srqp onml")).toDF("doc_id", "text")
+    val out = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+        langs = Seq("und"), minQuality = -1,
+        maxAvgNll = 3.0, nllVocabK = 5)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getString(2)))
+    assert(out.count(_._2 == "perplexity") == 1 && out(9)._2 == "perplexity")
+    // disabled by default: same corpus, no perplexity drops
+    val off = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+        langs = Seq("und"), minQuality = -1)
+      .collect().map(_.getString(2))
+    assert(!off.contains("perplexity"))
+  }
+
   test("useClusters resolves near-dup CHAINS to one keeper") {
     // chain d0 ~ d2 ~ d1 (growing prefixes; d0~d1 is below threshold):
     // the middle doc has the LARGEST id, so greedy id2-drops keep BOTH
