@@ -30,7 +30,8 @@ object Bench {
       "pack_sequences", "pipeline_clean", "dedup_substrings",
       "text_perplexity", "events_funnel", "export_shards", "text_keywords",
       "embed_hard_negatives", "corpus_datacard", "corpus_vocab_drift",
-      "dedup_source_overlap")
+      "dedup_source_overlap", "text_perplexity_bigram",
+      "pipeline_clean_perplexity")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -1172,6 +1172,48 @@ object Queries {
         FROM s JOIN nl USING (source) JOIN top USING (source)
         ORDER BY source""")),
 
+    // bigram LM with stupid backoff: tiny tables (32 words, 64
+    // bigrams) so the gate exercises all three scoring paths —
+    // bigram hit, backoff through a known word, and the OOV floor
+    "text_perplexity_bigram" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.bigramNll(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          vocabK = 32, bigramK = 64, alpha = 0.4)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          cnt AS (SELECT w AS wd, count(*)::BIGINT AS c FROM (
+            SELECT unnest(w) AS w FROM tok) GROUP BY 1),
+          tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+          voc AS (SELECT wd, c FROM cnt ORDER BY c DESC, wd LIMIT 32),
+          bgr AS (SELECT s.pv AS pv, s.x AS x, count(*)::BIGINT AS c2 FROM (
+            SELECT unnest(CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                i -> {'pv': w[i], 'x': w[i+1]})
+              ELSE [] END) AS s FROM tok) GROUP BY 1, 2),
+          bvoc AS (SELECT pv, x, c2 FROM bgr
+            ORDER BY c2 DESC, pv || ' ' || x LIMIT 64),
+          pos AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+              i -> {'i': i, 'wd': w[i],
+                'pv': CASE WHEN i > 1 THEN w[i-1] END})) AS s FROM tok),
+          t2 AS (SELECT doc_id, s.i AS i, s.wd AS wd, s.pv AS pv FROM pos),
+          sc AS (SELECT t2.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(CASE
+                WHEN i = 1 THEN
+                  round(-ln(coalesce(voc.c, 1) / tot.total) * 1000000)::BIGINT
+                WHEN bvoc.c2 IS NOT NULL THEN
+                  round(-ln(bvoc.c2 / pc.c) * 1000000)::BIGINT
+                ELSE
+                  round(-ln(0.4 * (coalesce(voc.c, 1) / tot.total)) * 1000000)::BIGINT
+                END)::BIGINT AS nll_micro
+            FROM t2 LEFT JOIN voc ON t2.wd = voc.wd
+              LEFT JOIN bvoc ON t2.pv = bvoc.pv AND t2.wd = bvoc.x
+              LEFT JOIN cnt pc ON bvoc.pv = pc.wd
+              CROSS JOIN tot GROUP BY 1)
+        SELECT doc_id, n_tokens, nll_micro,
+          nll_micro / (n_tokens * 1000000.0) AS avg_nll
+        FROM sc ORDER BY doc_id""")),
+
     // TF-IDF keyword extraction: top-3 characteristic terms per doc.
     // df exact for the 16 most common words, floored at 1 (max idf)
     // for the tail — the gate exercises BOTH paths (corpus vocab is

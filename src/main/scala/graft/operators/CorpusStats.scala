@@ -146,6 +146,60 @@ object CorpusStats {
   }
 
   /**
+   * Bigram-LM scoring with stupid backoff (Brants et al., EMNLP 2007:
+   * no discounting, a fixed backoff factor `alpha` — the estimator of
+   * choice when the model comes from raw counts at corpus scale) —
+   * the stronger sibling of [[unigramNll]]: position 1 scores the
+   * unigram, later positions score `−ln(c(w₁w₂)/c(w₁))` when the
+   * bigram made the table and back off to `−ln(α·p(w))` otherwise.
+   *
+   * Same scale/portability shape as [[unigramNll]]: two
+   * map-side-combined count aggregations (words, word-pairs), tables
+   * cut deterministically (count desc, gram asc — the pair table
+   * orders by the concatenated gram so any engine cuts identically),
+   * every per-token case pre-rounded to integer micro-nats, LONG
+   * sums, scoring a pure codegen projection
+   * ([[graft.functions.BigramNllExpr]], two probes per token).
+   */
+  def bigramNll(df: DataFrame, id: Column, text: Column,
+      vocabK: Int = 65536, bigramK: Int = 262144,
+      alpha: Double = 0.4): DataFrame = {
+    require(vocabK >= 1 && bigramK >= 1, "vocabK and bigramK must be >= 1")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val uniCounts = df.select(explode(TextOps.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed by total, vocab cut, and bigram join
+    val total = uniCounts.agg(sum(col("c"))).head.getLong(0)
+    def mUni(c: Long): Long =
+      Math.round(-Math.log(c.toDouble / total.toDouble) * 1000000.0)
+    def mBack(c: Long): Long =
+      Math.round(-Math.log(alpha * (c.toDouble / total.toDouble)) * 1000000.0)
+    val uni = new java.util.HashMap[String, Array[Long]](vocabK * 2)
+    uniCounts.orderBy(col("c").desc, col("w")).limit(vocabK).collect()
+      .foreach { r =>
+        val c = r.getLong(1)
+        uni.put(r.getString(0), Array(mUni(c), mBack(c)))
+      }
+    val bi = new java.util.HashMap[String, java.lang.Long](bigramK * 2)
+    df.select(explode(TextOps.ngrams(text, 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .withColumn("p", substring_index(col("g"), " ", 1))
+      .join(uniCounts.select(col("w").as("p"), col("c").as("c1")), "p")
+      .orderBy(col("c2").desc, col("g")).limit(bigramK).collect()
+      .foreach { r =>
+        val c2 = r.getAs[Long]("c2"); val c1 = r.getAs[Long]("c1")
+        bi.put(r.getAs[String]("g"),
+          Math.round(-Math.log(c2.toDouble / c1.toDouble) * 1000000.0))
+      }
+    val nll = graft.functions.BigramNllExpr.nllMicro(text, uni, bi,
+      mUni(1L), mBack(1L))
+    df.select(id.as("doc_id"),
+        size(TextOps.tokens(text)).cast("long").as("n_tokens"),
+        nll.as("nll_micro"))
+      .withColumn("avg_nll", col("nll_micro") / (col("n_tokens") * lit(1000000.0)))
+  }
+
+  /**
    * TF-IDF keyword extraction: the top-`k` most characteristic terms
    * per document — the tagging/labeling pass of a corpus build and
    * the lightweight alternative to embedding-based topic assignment.
