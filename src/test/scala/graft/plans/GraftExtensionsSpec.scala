@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // extensions bind at session build: this suite owns a tiny session
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-spec")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("SQL functions evaluate through the same native expressions") {
+    val r = spark.sql(
+      """SELECT graft_hash60('abc') AS h,
+                graft_simhash60(array('a', 'b')) AS sh,
+                graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_json_ptr('{"a": {"b": 7}}', '/a/b').p0.num AS n""").head()
+    // md5('abc') = 900150983cd24fb0... → first 15 hex chars as long
+    assert(r.getLong(0) == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(r.getLong(1) == graft.functions.SimHash60.fingerprint(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getDouble(3) == 7.0)
+  }
+
+  test("non-literal pointer arguments are rejected at plan time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_json_ptr('{}', lower('X'))").head()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("GRAFT"),
+      e.getMessage)
+  }
+}
