@@ -97,6 +97,31 @@ object CorpusStats {
    */
   def unigramNll(df: DataFrame, id: Column, text: Column,
       vocabK: Int = 65536): DataFrame = {
+    val model = unigramModel(df, text, vocabK)
+    df.select(id.as("doc_id"),
+        size(TextOps.tokens(text)).cast("long").as("n_tokens"),
+        model.nll(text).as("nll_micro"))
+      .withColumn("avg_nll", col("nll_micro") / (col("n_tokens") * lit(1000000.0)))
+  }
+
+  /** A built unigram LM: the broadcastable word → micro-nat table plus
+   * the scoring column factory. `nll(text)` is a pure projection, so
+   * it applies to STREAMS as well as batches — estimate on a static
+   * corpus, score an unbounded one (`SeriesStream.scoreStream`-style)
+   * with zero per-batch state. */
+  final case class UnigramModel(
+      micro: java.util.HashMap[String, java.lang.Long], oovMicro: Long) {
+    def nll(text: Column): Column =
+      graft.functions.UnigramNllExpr.nllMicro(text, micro, oovMicro)
+    def avgNll(text: Column): Column =
+      nll(text) / (size(TextOps.tokens(text)).cast("long") * lit(1000000.0))
+  }
+
+  /** Estimate the [[UnigramModel]] from a STATIC corpus (two Spark
+   * actions: the total and the vocab cut — streams cannot run these,
+   * which is exactly why the model is a separate value). */
+  def unigramModel(df: DataFrame, text: Column,
+      vocabK: Int = 65536): UnigramModel = {
     require(vocabK >= 1, "vocabK must be >= 1")
     val counts = df.select(explode(TextOps.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -106,11 +131,7 @@ object CorpusStats {
       Math.round(-Math.log(c.toDouble / total.toDouble) * 1000000.0)
     counts.orderBy(col("c").desc, col("w")).limit(vocabK).collect()
       .foreach(r => micro.put(r.getString(0), microNll(r.getLong(1))))
-    val nll = graft.functions.UnigramNllExpr.nllMicro(text, micro, microNll(1L))
-    df.select(id.as("doc_id"),
-        size(TextOps.tokens(text)).cast("long").as("n_tokens"),
-        nll.as("nll_micro"))
-      .withColumn("avg_nll", col("nll_micro") / (col("n_tokens") * lit(1000000.0)))
+    UnigramModel(micro, microNll(1L))
   }
 
   /**

@@ -207,6 +207,29 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a batch-estimated unigram LM scores a stream as a pure projection") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusStats
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val model = CorpusStats.unigramModel(corpus, col("text"), vocabK = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("avg_nll", model.avgNll(col("text")))
+      .writeStream.format("memory").queryName("ppl").outputMode("append").start()
+    try {
+      mem.addData((10L, "a a a"), (11L, "zz zz zz"))
+      q.processAllAvailable()
+      val got = spark.table("ppl").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // hand values under the CORPUS model: total 6, c(a)=3, OOV → 1
+      def m(c: Long) = Math.round(-Math.log(c / 6.0) * 1e6)
+      assert(got(10L) == 3 * m(3) / 3e6)
+      assert(got(11L) == 3 * m(1) / 3e6)
+      assert(got(11L) > got(10L))
+    } finally q.stop()
+  }
+
   test("streaming funnel: advancement rows, order enforced, state retires") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
