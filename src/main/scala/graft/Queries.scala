@@ -552,6 +552,22 @@ object Queries {
           f0 AS first_us, f2 - f0 AS convert_us
         FROM g ORDER BY user_id""")),
 
+    // cohort retention matrix: first-seen day buckets × day offsets →
+    // distinct active users; cohort assignment is one per-user window,
+    // no self-join of the event stream
+    "events_retention" -> Entry(
+      (s, dir) => graft.operators.Retention.matrix(
+          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+            col("user_id")),
+          col("user_id"), col("ts"), periodUs = 86400000000L)
+        .orderBy(col("cohort"), col("offset")),
+      Some("""WITH e AS (SELECT user_id AS u,
+            epoch_us(ts) // 86400000000 AS p FROM events),
+          c AS (SELECT *, min(p) OVER (PARTITION BY u) AS cohort FROM e),
+          d AS (SELECT DISTINCT u, cohort, p - cohort AS "offset" FROM c)
+        SELECT cohort, "offset", count(*)::BIGINT AS users
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Cohort retention analysis: bucket every user by their FIRST-seen
+ * period (the cohort), then count how many of each cohort are still
+ * active `k` periods later — the (cohort, offset) → users matrix
+ * behind every retention curve. The events-side complement of the
+ * funnel: the funnel asks "how deep", retention asks "how long".
+ *
+ * Scale shape: the cohort assignment is a per-user running `min` over
+ * ONE (user) exchange (window, not a self-join back onto the event
+ * stream); activity collapses to distinct (user, period) INSIDE that
+ * same exchange via a per-partition-key distinct aggregate, and the
+ * final matrix is a |cohorts|·|offsets|-bounded count-distinct whose
+ * shuffle carries (cohort, offset, user) triples already deduplicated
+ * map-side. No event-level data crosses a second exchange.
+ */
+object Retention {
+
+  /**
+   * `user`/`ts` columns over an event frame; `periodUs` the cohort
+   * granularity in the `ts` unit (e.g. 86400e6 µs for daily).
+   * Output: (cohort, offset, users) — `cohort` the first-activity
+   * period index, `offset ≥ 0` periods since the cohort period,
+   * `users` distinct active users.
+   */
+  def matrix(df: DataFrame, user: Column, ts: Column,
+      periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    // integer division (graft.functions.ldiv): double division would
+    // lose precision past 2^53 — epoch-ns timestamps live there
+    val per = df.select(user.as("u"),
+      graft.functions.ldiv(ts.cast("long"), periodUs).as("p"))
+    val w = Window.partitionBy(col("u"))
+    per
+      .withColumn("cohort", min(col("p")).over(w))
+      .select(col("u"), col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

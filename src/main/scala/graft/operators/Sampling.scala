@@ -78,35 +78,6 @@ object Sampling {
   }
 
   /**
-   * Token-budget mixture sampling (the data-mixing step of a training
-   * build): per group (language / source / domain), keep the
-   * deterministic hash-ordered prefix of rows whose `weight` (token
-   * or char count) fills the group's budget — a row is kept iff the
-   * weights of all rows BEFORE it in (hash, id) order sum below the
-   * budget, so the boundary row is included and the selection is
-   * exactly reproducible by any engine with md5 (the oracle's window
-   * recomputes it). Like [[stratified]], selections are NESTED:
-   * raising a budget only adds rows, never replaces them.
-   *
-   * Scale shape (the reason this is not one window over the corpus):
-   * a per-group window is a single partition per group — at 100 TB a
-   * group is billions of rows through one task. Instead the hash
-   * space is cut into 4096 ordered buckets:
-   *
-   *  1. per-(group, bucket) weight sums — map-side partial agg, the
-   *     shuffle carries ≤ |groups|·4096 rows;
-   *  2. running bucket prefix-sums over that TINY frame (the only
-   *     per-group window, ≤4096 rows per group), broadcast back;
-   *  3. rows in buckets wholly past the budget are FILTERED OUT
-   *     before any shuffle — what survives is ≈ the selected prefix,
-   *     so the exact within-bucket window (partitioned by
-   *     (group, bucket), each ~1/4096 of a group) shuffles only
-   *     ~budget-sized data, not the corpus.
-   *
-   * Weights sum as LONGs — no float summation-order sensitivity in
-   * the kept-set boundary.
-   */
-  /**
    * Weighted sampling without replacement (Efraimidis–Spirakis): each
    * row draws key `u^(1/w)` with `u = fraction(id)` — its
    * deterministic uniform coordinate — and the k largest keys win,
@@ -140,6 +111,35 @@ object Sampling {
       caps: Map[String, Long], default: Long = 0L): DataFrame =
     tokenBudget(df, id, group, lit(1L), caps, default)
 
+  /**
+   * Token-budget mixture sampling (the data-mixing step of a training
+   * build): per group (language / source / domain), keep the
+   * deterministic hash-ordered prefix of rows whose `weight` (token
+   * or char count) fills the group's budget — a row is kept iff the
+   * weights of all rows BEFORE it in (hash, id) order sum below the
+   * budget, so the boundary row is included and the selection is
+   * exactly reproducible by any engine with md5 (the oracle's window
+   * recomputes it). Like [[stratified]], selections are NESTED:
+   * raising a budget only adds rows, never replaces them.
+   *
+   * Scale shape (the reason this is not one window over the corpus):
+   * a per-group window is a single partition per group — at 100 TB a
+   * group is billions of rows through one task. Instead the hash
+   * space is cut into 4096 ordered buckets:
+   *
+   *  1. per-(group, bucket) weight sums — map-side partial agg, the
+   *     shuffle carries ≤ |groups|·4096 rows;
+   *  2. running bucket prefix-sums over that TINY frame (the only
+   *     per-group window, ≤4096 rows per group), broadcast back;
+   *  3. rows in buckets wholly past the budget are FILTERED OUT
+   *     before any shuffle — what survives is ≈ the selected prefix,
+   *     so the exact within-bucket window (partitioned by
+   *     (group, bucket), each ~1/4096 of a group) shuffles only
+   *     ~budget-sized data, not the corpus.
+   *
+   * Weights sum as LONGs — no float summation-order sensitivity in
+   * the kept-set boundary.
+   */
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {
     require((default +: budgets.values.toSeq).forall(_ >= 0),
