@@ -552,6 +552,35 @@ object Queries {
           f0 AS first_us, f2 - f0 AS convert_us
         FROM g ORDER BY user_id""")),
 
+    // funnel with a conversion deadline: steps qualify only within
+    // 3 days of the user's FIRST view (anchored, deterministic)
+    "events_funnel_windowed" -> Entry(
+      (s, dir) => graft.operators.Funnel.stepReach(
+          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+            col("user_id"), col("event_type")),
+          col("user_id"), col("ts"), col("event_type"),
+          steps = Seq("view", "click", "purchase"),
+          within = Some(259200000000L))
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type AS s
+            FROM events),
+          w1 AS (SELECT *, CASE WHEN s = 'view' THEN ts END AS v0 FROM e),
+          w2 AS (SELECT *, min(v0) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r0 FROM w1),
+          w3 AS (SELECT *, CASE WHEN s = 'click' AND r0 IS NOT NULL
+              AND ts <= r0 + 259200000000 THEN ts END AS v1 FROM w2),
+          w4 AS (SELECT *, min(v1) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1 FROM w3),
+          w5 AS (SELECT *, CASE WHEN s = 'purchase' AND r1 IS NOT NULL
+              AND ts <= r0 + 259200000000 THEN ts END AS v2 FROM w4),
+          g AS (SELECT user_id, min(v0) AS f0, min(v1) AS f1, min(v2) AS f2
+            FROM w5 GROUP BY 1)
+        SELECT user_id,
+          (CASE WHEN f2 IS NOT NULL THEN 3 WHEN f1 IS NOT NULL THEN 2
+                WHEN f0 IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS depth,
+          f0 AS first_us, f2 - f0 AS convert_us
+        FROM g ORDER BY user_id""")),
+
     // cohort retention matrix: first-seen day buckets × day offsets →
     // distinct active users; cohort assignment is one per-user window,
     // no self-join of the event stream

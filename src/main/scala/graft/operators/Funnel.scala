@@ -36,21 +36,33 @@ object Funnel {
    * completed in order), `first_us` (time of the first step-0 event,
    * null if depth 0), `convert_us` (completion time minus `first_us`,
    * null unless the full funnel completed). `ts` must be a numeric
-   * (epoch) column; its unit is the unit of `convert_us`.
+   * (epoch) column; its unit is the unit of `convert_us` and `within`.
+   *
+   * `within` (optional) anchors a conversion deadline at the FIRST
+   * step-0 event: later steps qualify only inside
+   * `[first, first + within]` — the "converted within 24 h of first
+   * visit" business metric. Anchoring at the first occurrence keeps
+   * the semantics deterministic and one-pass (the sliding-anchor
+   * variant that maximizes depth over any occurrence needs per-user
+   * event buffering — a different cost class at 100 TB).
    */
   def stepReach(df: DataFrame, user: Column, ts: Column, step: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], within: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(within.forall(_ > 0), "within must be positive")
     val cum = Window.partitionBy(col("_u")).orderBy(col("_ts"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     var cur = df.select(user.as("_u"), ts.as("_ts"), step.as("_s"))
       .withColumn("_v0", when(col("_s") === steps.head, col("_ts")))
     for (i <- 1 until steps.length) {
+      val deadline = within.fold(lit(true))(w =>
+        col("_ts") <= min(col("_v0")).over(cum) + w)
       cur = cur
         .withColumn(s"_r${i - 1}", min(col(s"_v${i - 1}")).over(cum))
         .withColumn(s"_v$i", when(
-          col("_s") === steps(i) && col(s"_r${i - 1}").isNotNull, col("_ts")))
+          col("_s") === steps(i) && col(s"_r${i - 1}").isNotNull && deadline,
+          col("_ts")))
     }
     val mins = steps.indices.map(i => min(col(s"_v$i")).as(s"_f$i"))
     val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>

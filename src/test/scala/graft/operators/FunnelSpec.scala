@@ -45,6 +45,23 @@ class FunnelSpec extends SparkSpec {
     assert(r(1L) == ((1L, 3, Some(10L), Some(0L))))
   }
 
+  test("within-deadline anchors at the first view") {
+    val rows = Seq(
+      // u1 converts inside the window; u2's purchase misses it; u3's
+      // SECOND view would be in time, but the anchor is the FIRST view
+      (1L, 10L, "view"), (1L, 15L, "click"), (1L, 19L, "purchase"),
+      (2L, 10L, "view"), (2L, 15L, "click"), (2L, 25L, "purchase"),
+      (3L, 0L, "view"), (3L, 30L, "view"), (3L, 35L, "click"))
+      .toDF("user_id", "ts", "et")
+    val r = Funnel.stepReach(rows, $"user_id", $"ts", $"et", steps,
+        within = Some(10L))
+      .as[(Long, Int, Option[Long], Option[Long])].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 3, Some(10L), Some(9L))))
+    assert(r(2L) == ((2L, 2, Some(10L), None)))
+    assert(r(3L) == ((3L, 1, Some(0L), None)))
+  }
+
   test("one exchange total: windows and rollup share the partitioning") {
     val df = Seq((1L, 10L, "view")).toDF("user_id", "ts", "et")
     val plan = Funnel.stepReach(df, $"user_id", $"ts", $"et", steps)
