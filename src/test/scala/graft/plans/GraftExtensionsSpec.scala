@@ -5,14 +5,26 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  // extensions bind at session build: this suite owns a tiny session
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-spec")
-    .config("spark.sql.shuffle.partitions", 2)
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // extensions bind at session BUILD: when another suite already owns
+  // the JVM's default session, getOrCreate() would return it and skip
+  // the extensions — clear the defaults so the builder constructs a
+  // fresh session (sharing any existing SparkContext), then restore.
+  private lazy val spark = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    s
+  }
 
   test("SQL functions evaluate through the same native expressions") {
     val r = spark.sql(
