@@ -1304,6 +1304,29 @@ object Queries {
           round(quantile_cont(n_chars, 0.99), 6) AS p99
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // per-language robust scaling of doc lengths: exact median/IQR
+    // (type-7, shared definition) + min-max; degenerate spreads → null
+    "text_length_normalize" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.normalize(
+          t(s, dir, "documents"), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("robust"), 6).as("robust"),
+          round(col("minmax"), 6).as("minmax"))
+        .orderBy(col("doc_id")),
+      Some("""WITH s AS (SELECT lang,
+            quantile_cont(n_chars, 0.25) AS q25,
+            quantile_cont(n_chars, 0.5) AS q50,
+            quantile_cont(n_chars, 0.75) AS q75,
+            min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
+          FROM documents GROUP BY 1)
+        SELECT doc_id, d.lang, n_chars,
+          round(CASE WHEN q75 <> q25
+            THEN (n_chars::DOUBLE - q50) / (q75 - q25) END, 6) AS robust,
+          round(CASE WHEN mx <> mn
+            THEN (n_chars::DOUBLE - mn) / (mx - mn) END, 6) AS minmax
+        FROM documents d JOIN s ON d.lang = s.lang
+        ORDER BY doc_id""")),
+
     "text_repetition" -> Entry(
       (s, dir) => TextOps.repetition(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 2)

@@ -294,6 +294,38 @@ object CorpusStats {
   }
 
   /**
+   * Per-group robust feature normalization — the scaling pass before
+   * thresholding/mixing heterogeneous quality signals: within each
+   * group, `robust = (x − median) / IQR` (outlier-insensitive, the
+   * right scaler for heavy-tailed corpus features like lengths and
+   * scores) and `minmax = (x − min) / (max − min)`. Groups where the
+   * spread collapses (IQR or range 0) yield null rather than ±Inf.
+   *
+   * Scale shape: the group statistics ride [[quantiles]]' histogram
+   * construction (the shuffle carries distinct values, not rows) plus
+   * an exact min/max rollup, and broadcast back onto the scan as a
+   * handful of rows per group — the normalization itself is a
+   * projection. All statistics are exact, so scaled values are
+   * engine-reproducible (the oracle's `quantile_cont` shares the
+   * type-7 definition).
+   */
+  def normalize(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val qs = quantiles(df, group, value,
+      Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
+    val mm = df.groupBy(group.as("grp"))
+      .agg(min(v).as("mn"), max(v).as("mx"))
+    df.withColumn("__g", group)
+      .join(broadcast(qs.join(mm, "grp")), col("__g") === col("grp"))
+      .withColumn("robust",
+        when(col("q75") =!= col("q25"),
+          (v - col("q50")) / (col("q75") - col("q25"))))
+      .withColumn("minmax",
+        when(col("mx") =!= col("mn"), (v - col("mn")) / (col("mx") - col("mn"))))
+      .drop("__g", "grp", "q25", "q50", "q75", "mn", "mx")
+  }
+
+  /**
    * EXACT per-group quantiles (linear interpolation, the type-7 /
    * `quantile_cont` definition every engine shares) over a
    * discrete-valued column — lengths, token counts, scores on a

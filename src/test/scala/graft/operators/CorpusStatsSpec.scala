@@ -179,6 +179,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 0L))
   }
 
+  test("normalize: robust and minmax per group; degenerate spread → null") {
+    val docs = Seq(
+      ("g1", 0L), ("g1", 10L), ("g1", 20L), ("g1", 30L), ("g1", 100L),
+      ("g2", 7L), ("g2", 7L)).toDF("grp_in", "v")
+    val out = CorpusStats.normalize(docs, $"grp_in", $"v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    // g1: q25=10, q50=20, q75=30 (type-7 on 5 values), min 0 max 100
+    assert(out(("g1", 20L)) == ((Some(0.0), Some(0.2))))
+    assert(out(("g1", 0L)) == ((Some(-1.0), Some(0.0))))
+    assert(out(("g1", 100L)) == ((Some(4.0), Some(1.0))))
+    // g2 collapses: IQR 0 and range 0 → nulls, never ±Inf
+    assert(out(("g2", 7L)) == ((None, None)))
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
