@@ -31,7 +31,8 @@ object Bench {
       "text_perplexity", "events_funnel", "export_shards", "text_keywords",
       "embed_hard_negatives", "corpus_datacard", "corpus_vocab_drift",
       "dedup_source_overlap", "text_perplexity_bigram",
-      "pipeline_clean_perplexity", "events_retention")
+      "pipeline_clean_perplexity", "events_retention", "events_top_paths",
+      "text_length_normalize")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -581,6 +581,24 @@ object Queries {
           f0 AS first_us, f2 - f0 AS convert_us
         FROM g ORDER BY user_id""")),
 
+    // top user journeys: most common first-5-event paths; per-user
+    // truncation rides the map-side WindowGroupLimit, the path top-k
+    // lowers to TakeOrderedAndProject
+    "events_top_paths" -> Entry(
+      (s, dir) => graft.operators.Funnel.topPaths(
+          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+            col("user_id"), col("event_type"), col("event_id")),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          maxSteps = 5, k = 20),
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+            event_type AS s, event_id FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY u
+            ORDER BY ts, event_id) AS rn FROM e),
+          f AS (SELECT u, string_agg(s, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY u)
+        SELECT path, count(*)::BIGINT AS users FROM f
+        GROUP BY 1 ORDER BY users DESC, path LIMIT 20""")),
+
     // cohort retention matrix: first-seen day buckets × day offsets →
     // distinct active users; cohort assignment is one per-user window,
     // no self-join of the event stream

@@ -74,4 +74,39 @@ object Funnel {
         col("_f0").as("first_us"),
         (col(s"_f${steps.length - 1}") - col("_f0")).as("convert_us"))
   }
+
+  /**
+   * Top user journeys: the most common ordered event-type sequences,
+   * truncated to each user's first `maxSteps` events — the
+   * path-analysis query ("where do users actually go?") that funnels
+   * are the directed special case of.
+   *
+   * Scale shape: truncation runs FIRST through the `row_number ≤ k`
+   * shape the optimizer lowers to a map-side partial
+   * `WindowGroupLimit`, so no user contributes more than `maxSteps`
+   * rows past the first exchange and per-user state is bounded by
+   * construction (this is the guard that makes the per-user
+   * `collect_list` safe — a bot with 10⁸ events still folds to
+   * `maxSteps` entries). Path assembly sorts the bounded struct list
+   * in-row; the final path rollup is a heavy-hitter aggregate whose
+   * top-k lowers to `TakeOrderedAndProject`.
+   *
+   * Ordering ties (equal `ts`) break by `tie` — pass a unique column
+   * so paths are deterministic and engine-portable.
+   */
+  def topPaths(df: DataFrame, user: Column, ts: Column, step: Column,
+      tie: Column, maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, "maxSteps and k must be >= 1")
+    val firstN = TopK.perGroup(
+      df.select(user.as("_u"), ts.as("_ts"), step.as("_s"), tie.as("_tb")),
+      col("_u"), col("_ts").asc, col("_tb"), maxSteps)
+    val paths = firstN
+      .groupBy(col("_u"))
+      .agg(array_sort(collect_list(struct(col("rank"), col("_s")))).as("evs"))
+      .select(col("_u"),
+        concat_ws(">", transform(col("evs"), e => e.getField("_s"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path"))
+      .limit(k)
+  }
 }

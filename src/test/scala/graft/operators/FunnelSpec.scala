@@ -62,6 +62,23 @@ class FunnelSpec extends SparkSpec {
     assert(r(3L) == ((3L, 1, Some(0L), None)))
   }
 
+  test("topPaths truncates per user and counts identical journeys") {
+    val rows = Seq(
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "purchase", 3L),
+      (2L, 5L, "view", 4L), (2L, 6L, "click", 5L), (2L, 7L, "purchase", 6L),
+      (3L, 1L, "view", 7L), (3L, 2L, "view", 8L), (3L, 3L, "view", 9L),
+      (3L, 4L, "view", 10L)) // 4th event falls past maxSteps=3
+      .toDF("user_id", "ts", "et", "event_id")
+    val out = Funnel.topPaths(rows, $"user_id", $"ts", $"et", $"event_id",
+        maxSteps = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("view>click>purchase", 2L), ("view>view>view", 1L)))
+    // truncation must be the map-side group-limit shape
+    val plan = Funnel.topPaths(rows, $"user_id", $"ts", $"et", $"event_id",
+        maxSteps = 3, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("one exchange total: windows and rollup share the partitioning") {
     val df = Seq((1L, 10L, "view")).toDF("user_id", "ts", "et")
     val plan = Funnel.stepReach(df, $"user_id", $"ts", $"et", steps)
