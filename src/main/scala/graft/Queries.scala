@@ -1211,6 +1211,34 @@ object Queries {
           sum(t)::BIGINT / 1e9 AS kl
         FROM t GROUP BY 1 ORDER BY 1""")),
 
+    // corpus snapshot diff: v1 drops ids %5==0, v2 drops %7==0 and
+    // rewrites %11==0 — the changelog statuses fall out of one
+    // (id, fingerprint) full-outer join
+    "corpus_diff" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v1 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        graft.operators.Snapshot.diff(v1, v2, col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v1 AS (SELECT doc_id,
+            md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+          FROM documents WHERE doc_id % 5 <> 0),
+        v2 AS (SELECT doc_id, md5(lower(trim(regexp_replace(
+            CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END,
+            '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+          FROM documents WHERE doc_id % 7 <> 0)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.fp = v2.fp THEN 'unchanged'
+               ELSE 'modified' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id""")),
+
     // per-source data card: volumes, decimal-exact mean length, lang
     // spread + dominant lang (ties → lang asc on both engines)
     "corpus_datacard" -> Entry(
