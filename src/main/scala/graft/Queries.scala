@@ -615,6 +615,22 @@ object Queries {
         SELECT cohort, "offset", count(*)::BIGINT AS users
         FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // rolling 7-day active users: distinct (user, day) explodes to
+    // the 7 windows it feeds — cost bounded by active-pairs × 7,
+    // independent of per-user event volume
+    "events_rolling_active" -> Entry(
+      (s, dir) => graft.operators.Retention.rollingActive(
+          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+            col("user_id")),
+          col("user_id"), col("ts"), periodUs = 86400000000L,
+          windowPeriods = 7)
+        .orderBy(col("period")),
+      Some("""WITH e AS (SELECT DISTINCT user_id AS u,
+            epoch_us(ts) // 86400000000 AS p FROM events),
+          x AS (SELECT DISTINCT u, unnest(range(p, p + 7)) AS w FROM e)
+        SELECT w AS period, count(*)::BIGINT AS active_users
+        FROM x GROUP BY 1 ORDER BY 1""")),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —

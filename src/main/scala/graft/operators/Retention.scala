@@ -43,4 +43,33 @@ object Retention {
       .groupBy(col("cohort"), col("offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /**
+   * Rolling active users: for every period, the distinct users active
+   * in the trailing `windowPeriods`-period window — DAU at window 1,
+   * WAU at 7, MAU at 30. Exact, not sketched.
+   *
+   * The scale trick: a naive per-window `count(distinct)` re-scans
+   * `windowPeriods` days of events per output row. Instead activity
+   * first collapses to distinct (user, period) — map-side combined,
+   * the only event-sized shuffle — and each active period then
+   * CONTRIBUTES ITSELF to the `windowPeriods` windows it falls in via
+   * a bounded `sequence` explode (fan-out = window length, a
+   * constant), deduped per (user, window) and rolled up. Every stage
+   * is bounded by (active pairs) × window — independent of per-user
+   * event volume.
+   */
+  def rollingActive(df: DataFrame, user: Column, ts: Column,
+      periodUs: Long, windowPeriods: Int): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    require(windowPeriods >= 1, "windowPeriods must be >= 1")
+    df.select(user.as("u"),
+        graft.functions.ldiv(ts.cast("long"), periodUs).as("p"))
+      .distinct()
+      .select(col("u"),
+        explode(sequence(col("p"), col("p") + (windowPeriods - 1))).as("w"))
+      .distinct()
+      .groupBy(col("w").as("period"))
+      .agg(count(lit(1)).as("active_users"))
+  }
 }

@@ -22,6 +22,27 @@ class RetentionSpec extends SparkSpec {
       (1L, 0L) -> 1L))  // u2's own cohort
   }
 
+  test("rollingActive counts trailing-window distinct users exactly") {
+    // period 10, window 3: u1 active p0 and p2; u2 active p0 only.
+    // windows: p0 {u1,u2}=2, p1 {u1,u2}=2 (trailing), p2 {u1,u2}=2,
+    // p3 {u1}=1 (u2's p0 aged out), p4 {u1}=1
+    val events = Seq(
+      (1L, 0L), (1L, 5L), (1L, 25L),
+      (2L, 9L)).toDF("user_id", "ts")
+    val out = Retention.rollingActive(events, $"user_id", $"ts",
+        periodUs = 10L, windowPeriods = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // heavy per-user volume cannot inflate any stage: same answer,
+    // same bounded fan-out, with u1's day-0 events duplicated 50×
+    val heavy = events.union(
+      (1 to 50).map(_ => (1L, 3L)).toDF("user_id", "ts"))
+    val out2 = Retention.rollingActive(heavy, $"user_id", $"ts",
+        periodUs = 10L, windowPeriods = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("one event-level exchange: window and distinct share the partitioning") {
     val events = Seq((1L, 0L)).toDF("user_id", "ts")
     val plan = Retention.matrix(events, $"user_id", $"ts", periodUs = 10L)
