@@ -1389,6 +1389,19 @@ object Queries {
         FROM documents d JOIN s ON d.lang = s.lang
         ORDER BY doc_id""")),
 
+    // exact per-language percentile rank of doc length off the
+    // histogram — no per-group total-order window
+    "text_length_rank" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.percentileRank(
+          t(s, dir, "documents"), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("pct_rank"), 6).as("pct_rank"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, n_chars,
+          round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+            AS pct_rank
+        FROM documents ORDER BY doc_id""")),
+
     "text_repetition" -> Entry(
       (s, dir) => TextOps.repetition(t(s, dir, "documents"),
           col("doc_id"), col("text"), n = 2)

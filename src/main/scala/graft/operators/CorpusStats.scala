@@ -326,6 +326,40 @@ object CorpusStats {
   }
 
   /**
+   * Exact per-group percentile rank — `(rows strictly below x) /
+   * (n − 1)`, the `percent_rank()` definition — for "keep the top
+   * decile of quality per language" selections where the threshold
+   * must adapt to each group's own distribution.
+   *
+   * The scale trick is [[quantiles]]' histogram again: a direct
+   * `percent_rank` window needs each group's TOTAL ORDER through one
+   * task; here the corpus collapses to the (group, value) → count
+   * histogram (the shuffle carries distinct values), cumulative
+   * counts rank the histogram's rows, and the per-row rank comes back
+   * via a broadcastable join on (group, value). Single-row groups
+   * rank 0, matching SQL `percent_rank`.
+   */
+  def percentileRank(df: DataFrame, group: Column, value: Column): DataFrame = {
+    // internal names are prefixed: the rank frame joins back onto the
+    // caller's full row, whose columns must not collide
+    val hist = df.groupBy(group.as("__prg"), value.cast("double").as("__prv"))
+      .agg(count(lit(1)).as("__prc"))
+    val cum = hist
+      .withColumn("__prhi", sum(col("__prc")).over(
+        Window.partitionBy(col("__prg")).orderBy(col("__prv"))))
+      .withColumn("__prlo", col("__prhi") - col("__prc"))
+      .withColumn("__prn",
+        sum(col("__prc")).over(Window.partitionBy(col("__prg"))))
+      .select(col("__prg"), col("__prv"),
+        when(col("__prn") > 1, col("__prlo") / (col("__prn") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"))
+    df.withColumn("__g", group).withColumn("__v", value.cast("double"))
+      .join(broadcast(cum),
+        col("__g") === col("__prg") && col("__v") === col("__prv"))
+      .drop("__g", "__v", "__prg", "__prv")
+  }
+
+  /**
    * EXACT per-group quantiles (linear interpolation, the type-7 /
    * `quantile_cont` definition every engine shares) over a
    * discrete-valued column — lengths, token counts, scores on a

@@ -194,6 +194,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("g2", 7L)) == ((None, None)))
   }
 
+  test("percentileRank matches percent_rank semantics incl. ties") {
+    val docs = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 30L),
+      ("h", 5L)).toDF("grp_in", "v")
+    val out = CorpusStats.percentileRank(docs, $"grp_in", $"v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // g: n=4 → 10:0/3, 20 (tied): 1/3, 30: 3/3; single-row h: 0
+    assert(out == Set(("g", 10L, 0.0), ("g", 20L, 1.0 / 3), ("g", 30L, 1.0),
+      ("h", 5L, 0.0)))
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
