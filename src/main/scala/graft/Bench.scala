@@ -32,7 +32,8 @@ object Bench {
       "embed_hard_negatives", "corpus_datacard", "corpus_vocab_drift",
       "dedup_source_overlap", "text_perplexity_bigram",
       "pipeline_clean_perplexity", "events_retention", "events_top_paths",
-      "text_length_normalize", "events_rolling_active", "corpus_diff")
+      "text_length_normalize", "events_rolling_active", "corpus_diff",
+      "text_length_rank")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state
