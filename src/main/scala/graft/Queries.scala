@@ -631,6 +631,25 @@ object Queries {
         SELECT w AS period, count(*)::BIGINT AS active_users
         FROM x GROUP BY 1 ORDER BY 1""")),
 
+    // trailing 7-day revenue per day: the corpus collapses to one
+    // DECIMAL row per day first; the RANGE window runs over #days
+    // rows, not events, and handles gap days
+    "events_rolling_revenue" -> Entry(
+      (s, dir) => graft.operators.Retention.rollingSum(
+          t(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(expr("ts div 1000").as("ts"), col("value")),
+          col("ts"), col("value"), periodUs = 86400000000L,
+          windowPeriods = 7)
+        .orderBy(col("period")),
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS period,
+            sum(value::DECIMAL(38,6)) AS pv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT period, pv::DOUBLE AS period_value,
+          (sum(pv) OVER (ORDER BY period
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE
+            AS rolling_value
+        FROM d ORDER BY period""")),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —

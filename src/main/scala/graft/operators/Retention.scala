@@ -72,4 +72,35 @@ object Retention {
       .groupBy(col("w").as("period"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /**
+   * Rolling value aggregate: per period, the `value` total over the
+   * trailing `windowPeriods` periods (trailing 7-day revenue, 30-day
+   * event volume). Unlike [[rollingActive]] there is no cross-period
+   * distinct, so the corpus collapses FIRST to one row per period
+   * (map-side combined, DECIMAL so the sum is order-free) and the
+   * trailing window runs over that tiny frame — a RANGE window over
+   * #periods rows, not events. The RANGE frame also handles gaps:
+   * an empty period contributes nothing, but periods bounding it
+   * still see the right trailing total.
+   *
+   * Emitted periods are those with ≥1 event (gap periods have no row;
+   * callers wanting a dense axis join against a generated range).
+   */
+  def rollingSum(df: DataFrame, ts: Column, value: Column,
+      periodUs: Long, windowPeriods: Int): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    require(windowPeriods >= 1, "windowPeriods must be >= 1")
+    val daily = df.select(
+        graft.functions.ldiv(ts.cast("long"), periodUs).as("period"),
+        value.cast("decimal(38,6)").as("v"))
+      .groupBy(col("period")).agg(sum(col("v")).as("pv"))
+    daily
+      .withColumn("rolling_value",
+        sum(col("pv")).over(Window.orderBy(col("period"))
+          .rangeBetween(-(windowPeriods - 1).toLong, Window.currentRow))
+          .cast("double"))
+      .select(col("period"), col("pv").cast("double").as("period_value"),
+        col("rolling_value"))
+  }
 }

@@ -43,6 +43,21 @@ class RetentionSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("rollingSum handles gap periods through the RANGE frame") {
+    // period 10, window 3: values on p0 (5), p1 (2), p3 (4) — p2 empty
+    val events = Seq((0L, 5.0), (5L, 0.0), (12L, 2.0), (30L, 4.0))
+      .toDF("ts", "value")
+    val out = Retention.rollingSum(events, $"ts", $"value",
+        periodUs = 10L, windowPeriods = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(
+      0L -> ((5.0, 5.0)),
+      1L -> ((2.0, 7.0)),
+      // p3's trailing window is {p1, p2, p3}: p0 aged out, p2 empty
+      3L -> ((4.0, 6.0))))
+  }
+
   test("one event-level exchange: window and distinct share the partitioning") {
     val events = Seq((1L, 0L)).toDF("user_id", "ts")
     val plan = Retention.matrix(events, $"user_id", $"ts", periodUs = 10L)
