@@ -61,4 +61,21 @@ class EmbeddingsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"centroids not broadcast:\n$p")
   }
+
+  test("kmeansRun converges to a stable blob separation") {
+    // two tight, well-separated blobs: Lloyd from any seeding must end
+    // with each blob under one label, and the result must be a fixpoint
+    val blobs = ((0L to 9L).map(i => (i, Seq(0f, 0.01f * i))) ++
+      (10L to 19L).map(i => (i, Seq(50f, 0.01f * i)))).toDF("vec_id", "embedding")
+    val out = Embeddings.kmeansRun(blobs, $"vec_id", $"embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = (0L to 9L).map(out).toSet
+    val b = (10L to 19L).map(out).toSet
+    assert(a.size == 1 && b.size == 1 && a != b)
+    // fixpoint: one more iteration moves nothing
+    val labeled = blobs.withColumn("label",
+      when($"vec_id" < 10, a.head).otherwise(b.head))
+    val again = Embeddings.kmeansIter(labeled, $"vec_id", $"embedding", $"label")
+    assert(again.filter($"new_label" =!= $"old_label").count() == 0)
+  }
 }
