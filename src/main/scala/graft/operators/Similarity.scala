@@ -37,8 +37,10 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("vec_id"), col("embedding").as("v"))
       .withColumn("vn", l2norm(col("v")))
+      .filter(col("vn") > 0) // cosine is undefined for zero vectors
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
+      .filter(col("qn") > 0)
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
     val w = Window.partitionBy(col("query_id"))
@@ -135,10 +137,12 @@ object Similarity {
       k: Int, nprobe: Int = 2): DataFrame = {
     val cents = broadcast(centroids
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-      .withColumn("cn", l2norm(col("cv"))))
+      .withColumn("cn", l2norm(col("cv")))
+      .filter(col("cn") > 0)) // a zero centroid has no direction
     def scored(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
         .withColumn("__n", l2norm(col(s"${idName}_v")))
+        .filter(col("__n") > 0) // cosine is undefined for zero vectors
         .crossJoin(cents)
         .withColumn("__csim",
           dot(col(s"${idName}_v"), col("cv")) / (col("__n") * col("cn")))
@@ -191,9 +195,11 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col("embedding").as("v"),
         col("label").as("neg_label"))
       .withColumn("vn", l2norm(col("v")))
+      .filter(col("vn") > 0) // cosine is undefined for zero vectors
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"), col("label").as("query_label"))
       .withColumn("qn", l2norm(col("qv")))
+      .filter(col("qn") > 0)
     val scored = c.join(broadcast(q), col("neg_label") =!= col("query_label"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
     val w = Window.partitionBy(col("query_id"))
@@ -223,6 +229,7 @@ object Similarity {
       .distinct()
       .join(corpus.select(col("vec_id").as("id1"), col("embedding").as("v1")), Seq("id1"))
       .join(corpus.select(col("vec_id").as("id2"), col("embedding").as("v2")), Seq("id2"))
+      .filter(l2norm(col("v1")) > 0 && l2norm(col("v2")) > 0)
       .withColumn("sim", cosine(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))

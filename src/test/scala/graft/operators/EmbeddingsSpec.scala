@@ -62,6 +62,25 @@ class EmbeddingsSpec extends SparkSpec {
       s"centroids not broadcast:\n$p")
   }
 
+  test("trained centroids drive the IVF index end-to-end") {
+    // train k=2 on two blobs, feed the learned centroids into ivfTopK:
+    // with nprobe=1 a query probes only its own blob's list and must
+    // return exactly the brute-force neighbors from that blob
+    val blobs = ((0L to 9L).map(i => (i, Seq(0f, 0.01f * i))) ++
+      (10L to 19L).map(i => (i, Seq(50f, 0.01f * i)))).toDF("vec_id", "embedding")
+    val assign = Embeddings.kmeansRun(blobs, $"vec_id", $"embedding", k = 2)
+    val cents = Embeddings.centroids(blobs.join(assign, "vec_id"),
+        $"embedding", $"label")
+      .select($"lbl".as("vec_id"),
+        $"cv".cast("array<float>").as("embedding"))
+    val q = blobs.filter($"vec_id" === 0)
+    val ivf = Similarity.ivfTopK(blobs, q, cents, k = 5, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    val brute = Similarity.cosineTopK(blobs.filter($"vec_id" < 10), q, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(ivf == brute)
+  }
+
   test("kmeansRun converges to a stable blob separation") {
     // two tight, well-separated blobs: Lloyd from any seeding must end
     // with each blob under one label, and the result must be a fixpoint

@@ -82,6 +82,22 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("zero vectors neither crash nor rank: cosine has no direction") {
+    // ANSI mode turns 0/0 into an error — zero-norm rows must be
+    // excluded before any division, on every similarity path
+    val df = vecs(
+      0L -> Seq(0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f))
+    val bf = Similarity.cosineTopK(df, df.filter($"vec_id" === 1), k = 5)
+      .collect()
+    assert(bf.map(_.getLong(1)).toSeq == Seq(2L)) // the zero row is absent
+    val ivf = Similarity.ivfTopK(df, df.filter($"vec_id" === 1),
+      centroids = df.filter($"vec_id" === 2), k = 5, nprobe = 1).collect()
+    assert(ivf.map(_.getLong(1)).toSeq == Seq(2L))
+    val nd = Similarity.cosineNearDupPairs(df, threshold = 0.9,
+      tables = 4, planes = 2).collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("cosine near-dup pairs over one corpus") {
     val df = vecs(
       0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0.001f, 0f),
