@@ -827,6 +827,29 @@ object Queries {
             AS n_seqs
         FROM c ORDER BY doc_id""")),
 
+    // mixture planning: target shares → per-source budgets clamped to
+    // supply, shortfall reported (src1 is asked for more than it has)
+    "sample_mixture_budgets" -> Entry(
+      (s, dir) => graft.operators.Sampling.mixtureBudgets(
+          t(s, dir, "documents"), col("source"), col("n_chars"),
+          totalBudget = 40000L,
+          targetShares = Map("src0" -> 0.1, "src1" -> 0.3, "src2" -> 0.05))
+        .orderBy(col("source")),
+      Some("""SELECT source, sum(n_chars)::BIGINT AS available,
+          floor(40000.0 * (CASE source WHEN 'src0' THEN 0.1
+            WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.05
+            ELSE 0.0 END))::BIGINT AS target,
+          least(floor(40000.0 * (CASE source WHEN 'src0' THEN 0.1
+            WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.05
+            ELSE 0.0 END))::BIGINT, sum(n_chars)::BIGINT) AS budget,
+          floor(40000.0 * (CASE source WHEN 'src0' THEN 0.1
+            WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.05
+            ELSE 0.0 END))::BIGINT -
+          least(floor(40000.0 * (CASE source WHEN 'src0' THEN 0.1
+            WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.05
+            ELSE 0.0 END))::BIGINT, sum(n_chars)::BIGINT) AS shortfall
+        FROM documents GROUP BY source ORDER BY source""")),
+
     "sample_split" -> Entry(
       (s, dir) => graft.operators.Sampling.split(t(s, dir, "documents"),
           col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -140,6 +140,33 @@ object Sampling {
    * Weights sum as LONGs — no float summation-order sensitivity in
    * the kept-set boundary.
    */
+  /**
+   * Mixture-budget planning: turn a TARGET mixture (per-group shares
+   * of a total token budget) into the per-group budgets
+   * [[tokenBudget]] consumes, reconciled against what each group can
+   * actually supply. `budget = min(floor(total · share), available)`
+   * — a group short of its target share contributes what it has (the
+   * shortfall is reported, not silently redistributed: redistribution
+   * policy is a caller decision), and groups outside the target map
+   * get zero. One map-side-combined aggregate over the corpus; the
+   * arithmetic is integer/floor so any engine reproduces the plan.
+   */
+  def mixtureBudgets(df: DataFrame, group: Column, weight: Column,
+      totalBudget: Long, targetShares: Map[String, Double]): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    require(targetShares.values.forall(s => s >= 0 && s <= 1),
+      "shares must be in [0, 1]")
+    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (g, s)) =>
+      when(col("source") === lit(g), lit(s)).otherwise(acc)
+    }
+    df.groupBy(group.as("source"))
+      .agg(sum(weight.cast("long")).as("available"))
+      .withColumn("target",
+        floor(lit(totalBudget.toDouble) * share).cast("long"))
+      .withColumn("budget", least(col("target"), col("available")))
+      .withColumn("shortfall", col("target") - col("budget"))
+  }
+
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {
     require((default +: budgets.values.toSeq).forall(_ >= 0),

@@ -133,4 +133,16 @@ class SamplingSpec extends SparkSpec {
       .filter($"a.split" =!= $"b.split").count()
     assert(joined == 0)
   }
+
+  test("mixtureBudgets clamps to supply and reports the shortfall") {
+    val docs = Seq(("a", 100L), ("a", 100L), ("b", 50L), ("c", 10L))
+      .toDF("src", "w")
+    val out = Sampling.mixtureBudgets(docs, col("src"), col("w"),
+        totalBudget = 1000L, targetShares = Map("a" -> 0.1, "b" -> 0.2))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((200L, 100L, 100L, 0L)))  // target met
+    assert(out("b") == ((50L, 200L, 50L, 150L)))  // short 150
+    assert(out("c") == ((10L, 0L, 0L, 0L)))       // not in the mixture
+  }
 }
