@@ -125,6 +125,8 @@ object CorpusStats {
     require(vocabK >= 1, "vocabK must be >= 1")
     val counts = df.select(explode(TextOps.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed twice: total + vocab cut — without
+      // this the corpus-sized token explode runs twice
     val total = counts.agg(sum(col("c"))).head.getLong(0)
     val micro = new java.util.HashMap[String, java.lang.Long](vocabK * 2)
     def microNll(c: Long): Long =
