@@ -650,6 +650,29 @@ object Queries {
             AS rolling_value
         FROM d ORDER BY period""")),
 
+    // PageRank over the per-user event-transition graph (nodes =
+    // event_type × a coarse value bucket): 4 fixed iterations of
+    // integer micro-prob arithmetic — every floor reproduces
+    // bit-exactly in any engine, so the gate hash-matches without any
+    // float tolerance
+    "events_pagerank" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events").select(
+          expr("ts div 1000").as("ts"), col("user_id"), col("event_id"),
+          concat(col("event_type"), lit(":"),
+            (abs(floor(col("value"))).cast("long") % 4).cast("string"))
+            .as("node"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("nxt", lead(col("node"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        graft.operators.Graphs.pagerank(edges, col("node"), col("nxt"),
+            iterations = 4)
+          .orderBy(col("node"))
+      },
+      Some(pagerankOracle(4))),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —
@@ -1084,6 +1107,21 @@ object Queries {
         .withColumn("d2", round(col("d2"), 6))
         .orderBy(col("vec_id")),
       Some(kmeansOracle)),
+
+    // JL ±1 random projection 64 → 8 dims: the sign matrix is
+    // md5-derived so both engines embed the identical literals; each
+    // component is a sequential-order dot, rounded to 6 dp (+0.0
+    // normalizes any -0.0 the rounding produces on either side)
+    "embed_random_projection" -> Entry(
+      (s, dir) => {
+        val proj = graft.operators.Embeddings.randomProjection(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          outDim = 8, inDim = 64)
+        proj.select(col("vec_id") +: (0 until 8).map(k =>
+            (round(element_at(col("proj"), k + 1), 6) + lit(0.0)).as(s"p$k")): _*)
+          .orderBy(col("vec_id"))
+      },
+      Some(projectionOracle(outDim = 8, inDim = 64, seed = "jl"))),
 
     "text_fingerprint" -> Entry(
       (s, dir) => t(s, dir, "documents")
@@ -1790,6 +1828,61 @@ object Queries {
    * DECIMAL means (order-free, exactly as the Spark side sums), then
    * nearest-centroid assignment with the same sequential-order dot
    * expansion `‖x‖² − 2·x·c + ‖c‖²` and (d2, cent_id) tie-break. */
+  /** PageRank in DuckDB with the iterations unrolled as chained CTEs —
+   * the same integer micro-prob arithmetic as
+   * [[graft.operators.Graphs.pagerank]] (scale 1e12, damping 85%,
+   * `//` floors everywhere), over the same event-transition edges. */
+  private def pagerankOracle(iters: Int): String = {
+    val head = """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+          event_id, event_type || ':' ||
+            (abs(floor("value")::BIGINT) % 4) AS node FROM events),
+      tr AS (SELECT node, lead(node) OVER (PARTITION BY u
+          ORDER BY ts, event_id) AS nxt FROM ev),
+      ed AS (SELECT node AS src, nxt AS dst, count(*)::BIGINT AS w
+        FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      ot AS (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY 1),
+      ew AS (SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS ew
+        FROM ed e JOIN ot o USING (src)),
+      nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      pr0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS pr
+        FROM nodes)"""
+    val its = (1 to iters).map { k =>
+      s""",
+      d$k AS (SELECT coalesce(sum(pr), 0)::BIGINT AS dm FROM pr${k - 1}
+        WHERE node NOT IN (SELECT src FROM ed)),
+      pr$k AS (SELECT n0.node,
+          (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
+        + (SELECT (85 * (dm // (SELECT n FROM nn))) // 100 FROM d$k)
+        + (85 * coalesce(c.c, 0)) // 100 AS pr
+        FROM nodes n0 LEFT JOIN (
+          SELECT e.dst AS node, sum((p.pr * e.ew) // 1000000)::BIGINT AS c
+          FROM ew e JOIN pr${k - 1} p ON e.src = p.node GROUP BY 1) c
+          USING (node))"""
+    }.mkString
+    head + its + s"\n      SELECT node, pr FROM pr$iters ORDER BY node"
+  }
+
+  /** The JL projection in DuckDB: the SAME md5-derived ±1 matrix
+   * ([[graft.operators.Embeddings.signMatrix]]) embedded as literal
+   * lists, sequential-order dots, round 6 (+0 to normalize -0.0). */
+  private def projectionOracle(outDim: Int, inDim: Int, seed: String): String = {
+    val signs = graft.operators.Embeddings.signMatrix(outDim, inDim, seed)
+    val lists = signs.zipWithIndex.map { case (row, k) =>
+      s"[${row.map(v => if (v > 0) "1" else "-1").mkString(",")}]::DOUBLE[] AS s$k"
+    }.mkString(",\n        ")
+    val comps = (0 until outDim).map(k =>
+      s"round(list_sum(list_transform(range(1, ${inDim + 1}), " +
+        s"i -> embedding[i]::DOUBLE * s$k[i])), 6) + 0 AS p$k")
+      .mkString(",\n        ")
+    s"""WITH sg AS (SELECT $lists)
+      SELECT vec_id,
+        $comps
+      FROM embeddings, sg
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+      ORDER BY vec_id"""
+  }
+
   private def kmeansOracle: String =
     s"""WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

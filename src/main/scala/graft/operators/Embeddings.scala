@@ -117,6 +117,45 @@ object Embeddings {
     labels
   }
 
+  /**
+   * Johnson–Lindenstrauss random projection with a ±1 sign matrix
+   * (Achlioptas, 2003: database-friendly random projections — ±1
+   * entries preserve pairwise distances like Gaussian ones): project
+   * `inDim`-dim vectors to `outDim` dims as `proj_k = ⟨v, s_k⟩`,
+   * `s_k ∈ {−1,+1}^inDim`. The cheap dimensionality cut in front of
+   * ANN/clustering when 64–1024 dims are too wide to shuffle.
+   *
+   * The sign matrix is derived from md5 of `(seed, k, j)` — no RNG
+   * state, so ANY engine (and any re-run, any partition layout)
+   * builds the identical matrix; [[signMatrix]] is public so oracle
+   * generators embed the same literals. Each component is one
+   * codegen'd sequential dot against a literal array: a pure
+   * projection over the scan, no shuffle, `outDim` fused multiplies
+   * per row — I/O-bound at 100 TB like [[quantize]].
+   *
+   * `inDim` must equal the stored vector length (the dot truncates to
+   * the shorter operand, so a mismatch silently projects a prefix).
+   */
+  def randomProjection(df: DataFrame, id: Column, vec: Column,
+      outDim: Int, inDim: Int, seed: String = "jl"): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, "dims must be >= 1")
+    val signs = signMatrix(outDim, inDim, seed)
+    df.filter(vec.isNotNull && size(vec) > 0)
+      .select(id.as("vec_id"),
+        array(signs.toIndexedSeq.map(s => dot(vec, typedLit(s))): _*).as("proj"))
+  }
+
+  /** The ±1 projection matrix, row per output dim — deterministic in
+   * `(seed, k, j)` alone (first md5 nibble < 8 ⇒ +1). */
+  def signMatrix(outDim: Int, inDim: Int, seed: String): Array[Array[Double]] =
+    Array.tabulate(outDim) { k =>
+      Array.tabulate(inDim) { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$k:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((d(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+      }
+    }
+
   def kmeansIter(df: DataFrame, id: Column, vec: Column, label: Column): DataFrame = {
     val cents = broadcast(centroids(df, vec, label)
       .select(col("lbl").as("cent_id"), col("cv"))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ldiv
+
+/**
+ * Graph centrality over an edge frame: PageRank (Page et al., 1999)
+ * as a fixed-iteration, join-based computation — the link-analysis
+ * pass of a web-crawl curation pipeline (rank pages before filtering)
+ * and the generic "which node matters" statistic for any
+ * transition/citation/co-occurrence graph a corpus build derives.
+ *
+ * Determinism across engines is the design constraint (the oracle is
+ * a different engine): ALL arithmetic is integer. Rank mass lives in
+ * units of `1/scale` (default 1e-12); edge transition probabilities
+ * are pre-normalized to integer micro-fractions
+ * (`ew = (w · 10⁶) div outw(src)`, computed ONCE); every division is
+ * a floor on non-negative longs, which every engine reproduces
+ * bit-exactly. Floors leak a little mass per iteration — the ranking
+ * is unaffected and the leak is the price of cross-engine hash
+ * equality (float summation order would differ).
+ *
+ * Overflow bounds (documented, `require`-checked where cheap):
+ * `pr ≤ scale ≤ 1e12`, `ew ≤ 1e6`, so the per-edge product
+ * `pr·ew ≤ 1e18 < 2⁶³`; `w·10⁶` holds to ~9.2e12 edges per src —
+ * comfortably past a 100 TB corpus graph.
+ *
+ * Scale shape: one group-by to collapse raw edges, one to compute
+ * out-weights; each iteration is edges ⋈ ranks on `src` (both sides
+ * partitioned by the join key; AQE broadcasts the rank frame when
+ * |nodes| is small) followed by a map-side-combined sum per `dst`.
+ * Ranks `localCheckpoint` per round (the [[Dedup.clusters]]
+ * discipline) so lineage stays flat; the dangling mass is the one
+ * driver scalar per round — O(1) data, same as k-means' moved-count.
+ * Nothing corpus-sized ever sits in driver memory.
+ */
+object Graphs {
+
+  /**
+   * `edges`: one row per edge occurrence (or pre-weighted via
+   * repetition); multi-edges aggregate by count. Self-loops are legal
+   * and count toward out-weight. Returns (node, pr) with `pr` the
+   * integer rank in `1/scale` units — `pr/scale` sums to ≤ 1 (floor
+   * leak) and starts uniform.
+   */
+  def pagerank(edges: DataFrame, src: Column, dst: Column,
+      iterations: Int = 4, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(scale >= 1 && scale <= 1000000000000L,
+      "scale in [1, 1e12] (pr*ew must stay under 2^63)")
+    val e = edges.select(src.cast("string").as("src"),
+        dst.cast("string").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // per-edge µ-transition-probability, fixed for all iterations —
+    // pre-dividing caps the per-iteration product at pr·1e6 no matter
+    // how heavy the edge, which is what makes LONG arithmetic safe at
+    // any corpus size
+    val ew = e.join(outw, "src")
+      .select(col("src"), col("dst"),
+        ldiv(col("w") * lit(1000000L), col("ow")).as("ew"))
+      .localCheckpoint() // re-joined every iteration
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // re-joined every iteration
+    val n = nodes.count()
+    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .localCheckpoint() // dangling-mass probe every iteration
+    val base = ((100L - dampingPct) * (scale / n)) / 100L
+    var pr = nodes.withColumn("pr", lit(scale / n)).localCheckpoint()
+    var k = 0
+    while (k < iterations) {
+      // dangling nodes donate their mass uniformly — a driver scalar,
+      // evaluated in integer arithmetic identical to the oracle's
+      val dm = pr.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0L))).head.getLong(0)
+      val dangTerm = (dampingPct * (dm / n)) / 100L
+      val contrib = ew.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(ldiv(col("pr") * col("ew"), 1000000L)).as("c"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base + dangTerm) +
+            ldiv(lit(dampingPct.toLong) * coalesce(col("c"), lit(0L)), 100L))
+            .as("pr"))
+        .localCheckpoint()
+      k += 1
+    }
+    pr
+  }
+}

@@ -97,4 +97,29 @@ class EmbeddingsSpec extends SparkSpec {
     val again = Embeddings.kmeansIter(labeled, $"vec_id", $"embedding", $"label")
     assert(again.filter($"new_label" =!= $"old_label").count() == 0)
   }
+
+  test("randomProjection: deterministic ±1 matrix, exact linearity") {
+    val m = Embeddings.signMatrix(4, 8, "jl")
+    assert(m.length == 4 && m.forall(_.length == 8))
+    assert(m.flatten.forall(v => v == 1.0 || v == -1.0))
+    // seed-stable across calls, sensitive to the seed
+    assert(Embeddings.signMatrix(4, 8, "jl").flatten.toSeq == m.flatten.toSeq)
+    assert(Embeddings.signMatrix(4, 8, "other").flatten.toSeq != m.flatten.toSeq)
+
+    val v = Array.tabulate(8)(j => (j + 1).toFloat)
+    val df = Seq((1L, v), (2L, v.map(_ * 2f))).toDF("vec_id", "embedding")
+    val out = Embeddings.randomProjection(df, $"vec_id", $"embedding",
+        outDim = 4, inDim = 8)
+      .as[(Long, Array[Double])].collect().toMap
+    // component 0 equals the hand-computed sequential dot
+    val expect0 = m(0).zip(v).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    assert(out(1L)(0) == expect0)
+    // ×2 input: float doubling and double sums are exact → exactly ×2
+    assert(out(2L).toSeq == out(1L).map(_ * 2).toSeq)
+    // empty/null vectors are filtered, not scored
+    val e = Embeddings.randomProjection(
+      Seq((3L, null: Array[Float]), (4L, Array.empty[Float]))
+        .toDF("vec_id", "embedding"), $"vec_id", $"embedding", 4, 8)
+    assert(e.count() == 0)
+  }
 }

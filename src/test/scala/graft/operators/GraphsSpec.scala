@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 4) =
+    Graphs.pagerank(edges.toDF("s", "d"), $"s", $"d", iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("hub node outranks spokes; mass stays bounded") {
+    // star: a,b,c all point at hub; hub points back at a. The hub⇄a
+    // 2-cycle oscillates (amplitude decays ×0.7225 per double-step),
+    // so hub>a is asserted on a converged run, the rest at 4 iters.
+    val pr = ranks(Seq("a" -> "hub", "b" -> "hub", "c" -> "hub", "hub" -> "a"))
+    assert(pr("a") > pr("b")) // hub feeds a; b,c get only the base
+    assert(pr("b") == pr("c")) // symmetric nodes rank identically
+    // floors only ever LOSE mass: total ≤ scale
+    assert(pr.values.sum <= 1000000000000L)
+    assert(pr.values.forall(_ > 0))
+    val converged =
+      ranks(Seq("a" -> "hub", "b" -> "hub", "c" -> "hub", "hub" -> "a"), 30)
+    assert(converged("hub") > converged("a"))
+  }
+
+  test("one iteration of a 2-cycle is hand-exact") {
+    // a→b, b→a, N=2: pr0 = 5e11 each; no dangling; ew = 1e6 both.
+    // contrib = (5e11·1e6)//1e6 = 5e11;
+    // pr1 = (15·(1e12//2))//100 + 0 + (85·5e11)//100 = 75e9 + 425e9
+    val pr = ranks(Seq("a" -> "b", "b" -> "a"), iters = 1)
+    assert(pr("a") == 75000000000L + 425000000000L)
+    assert(pr("b") == pr("a"))
+  }
+
+  test("dangling node donates its mass back uniformly") {
+    // a→d; d has no out-edges. With no dangling redistribution d
+    // would hoard mass; with it, a keeps receiving a share and both
+    // stay positive across iterations.
+    val pr = ranks(Seq("a" -> "d"), iters = 6)
+    assert(pr("d") > pr("a")) // d still receives a's damped mass
+    assert(pr("a") > 0)
+    assert(pr.values.sum <= 1000000000000L)
+  }
+
+  test("multi-edges weight the transition probability") {
+    // a sends 3 of 4 units to b, 1 to c — b must outrank c
+    val pr = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "b", "a" -> "c",
+      "b" -> "a", "c" -> "a"))
+    assert(pr("b") > pr("c"))
+  }
+
+  test("deterministic across runs") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    assert(ranks(e) == ranks(e))
+  }
+}
