@@ -1359,6 +1359,32 @@ object Queries {
         FROM s JOIN nl USING (source) JOIN top USING (source)
         ORDER BY source""")),
 
+    // KMV distinct-token sketch per source: k smallest md5-derived
+    // hashes → (k−1)·(2⁶⁰ div kth) — integer arithmetic end-to-end,
+    // so the ESTIMATE itself hash-matches across engines (an HLL
+    // would not)
+    "corpus_distinct_kmv" -> Entry(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        graft.operators.CorpusStats.distinctKmv(tok, col("source"), col("w"),
+            k = 64)
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          h AS (SELECT DISTINCT source,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+          r AS (SELECT source, hv, row_number() OVER (PARTITION BY source
+            ORDER BY hv) AS rn FROM h),
+          kt AS (SELECT source, count(*)::BIGINT AS n_kept,
+            max(hv) AS kth_hash FROM r WHERE rn <= 64 GROUP BY 1)
+        SELECT source, n_kept, kth_hash,
+          CASE WHEN n_kept < 64 THEN n_kept
+            ELSE (1152921504606846976 // kth_hash) * 63 END AS est_distinct
+        FROM kt ORDER BY source""")),
+
     // bigram LM with stupid backoff: tiny tables (32 words, 64
     // bigrams) so the gate exercises all three scoring paths —
     // bigram hit, backoff through a known word, and the OOV floor

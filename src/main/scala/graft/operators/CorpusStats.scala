@@ -137,6 +137,42 @@ object CorpusStats {
   }
 
   /**
+   * KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+   * et al., RANDOM 2002): keep the k smallest distinct 60-bit hashes
+   * of the value; if fewer than k exist the count is EXACT, otherwise
+   * `est ≈ (k−1)·2⁶⁰/kth_min`. The cardinality sketch for "how many
+   * distinct tokens/urls/users per source" when an exact
+   * count-distinct would shuffle the full value set — the k-min set
+   * is tiny, MERGEABLE (union two groups' sets and re-cut to k), and,
+   * unlike HLL registers, deterministic enough to reproduce in any
+   * engine: md5-derived hashes, and the estimator floors as
+   * `(2⁶⁰ div kth)·(k−1)` so both sides do identical integer
+   * arithmetic (the inner floor biases ≤ kth/2⁶⁰ — noise next to the
+   * sketch's 1/√k error).
+   *
+   * Scale shape: the per-(group, hash) distinct partial-aggregates
+   * map-side; the k-smallest ride the `row_number ≤ k` shape the
+   * optimizer lowers to a PARTIAL WindowGroupLimit, so each partition
+   * ships at most k rows per group — the exchange is k·|groups|-
+   * bounded no matter the corpus. Hash collisions undercount by
+   * ~n²/2⁶¹ — irrelevant below ~10⁹ distincts per group, and the
+   * k-min construction is exactly as collision-exposed as any KMV.
+   */
+  def distinctKmv(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2") // k=1 admits kth_hash=0 (div 0)
+    val h = df.select(group.as("source"), TextOps.hash60(value).as("hv"))
+      .distinct()
+    TopK.perGroup(h, col("source"), col("hv").asc, col("hv"), k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(graft.functions.ldiv(lit(1152921504606846976L),
+            col("kth_hash")) * lit((k - 1).toLong)))
+  }
+
+  /**
    * Per-source corpus "data card": the one-table summary a curation
    * run publishes next to its output — document/token/char volumes,
    * exact mean length, language spread and the dominant language with

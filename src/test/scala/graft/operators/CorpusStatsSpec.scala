@@ -205,6 +205,24 @@ class CorpusStatsSpec extends SparkSpec {
       ("h", 5L, 0.0)))
   }
 
+  test("distinctKmv: exact below k, unbiased-ish above, dup-invariant") {
+    // 20 distinct values, k=64 → n_kept = exact distinct count
+    val small = (1 to 20).map(i => ("a", s"v$i")).toDF("g", "v")
+    val ex = CorpusStats.distinctKmv(small, $"g", $"v", k = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert(ex == ((20L, 20L)))
+    // 5000 distinct values, k=128: estimate within 3σ ≈ 3/√k ≈ 27%
+    val big = (1 to 5000).map(i => ("a", s"value$i")).toDF("g", "v")
+    val est = CorpusStats.distinctKmv(big, $"g", $"v", k = 128)
+      .collect().head.getLong(3)
+    assert(est > 5000 * 0.73 && est < 5000 * 1.27, s"est=$est")
+    // duplicates cannot move the sketch: same output on 3× the rows
+    val dup = CorpusStats.distinctKmv(
+      big.union(big).union(big), $"g", $"v", k = 128)
+      .collect().head.getLong(3)
+    assert(dup == est)
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
