@@ -673,6 +673,29 @@ object Queries {
       },
       Some(pagerankOracle(4))),
 
+    // skew-salted join: the heavy-key-safe join must produce EXACTLY
+    // the plain join's rows — the oracle is the unsalted SQL join and
+    // the aggregate makes any duplicate/lost row a hash mismatch
+    "events_salted_join" -> Entry(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(ev, cust,
+            col("user_id"), col("c_custkey"),
+            saltFrom = col("event_id"), salts = 16)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(38,6)")).cast("double")
+              .as("total_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+          sum("value"::DECIMAL(38,6))::DOUBLE AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —
