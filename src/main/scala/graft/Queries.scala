@@ -1382,6 +1382,36 @@ object Queries {
         FROM s JOIN nl USING (source) JOIN top USING (source)
         ORDER BY source""")),
 
+    // PMI collocations: ln of a ratio of exact integer counts, in
+    // micro-nats — the same cross-engine float discipline as the LM
+    // gates (identical longs → identical doubles → identical round)
+    "corpus_collocations" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.collocations(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0),
+        col("text"), minCount = 5, k = 50),
+      Some("""WITH d AS (SELECT text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0),
+          tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM d),
+          uni AS (SELECT w, count(*)::BIGINT AS c1 FROM tok GROUP BY 1),
+          t1 AS (SELECT sum(c1)::DOUBLE AS t FROM uni),
+          big AS (SELECT unnest(CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1]) ELSE [] END) AS g
+            FROM (SELECT string_split(text, ' ') AS ws FROM d)),
+          bi AS (SELECT g, count(*)::BIGINT AS c2 FROM big GROUP BY 1),
+          t2 AS (SELECT sum(c2)::DOUBLE AS t FROM bi),
+          sc AS (SELECT g AS gram, c2,
+              round(ln((c2::DOUBLE * (SELECT t FROM t1) * (SELECT t FROM t1))
+                / ((SELECT t FROM t2) * u1.c1::DOUBLE * u2.c1::DOUBLE))
+                * 1000000)::BIGINT AS pmi_micro
+            FROM bi
+            JOIN uni u1 ON split_part(g, ' ', 1) = u1.w
+            JOIN uni u2 ON split_part(g, ' ', 2) = u2.w
+            WHERE c2 >= 5)
+        SELECT gram, c2, pmi_micro FROM sc
+        ORDER BY pmi_micro DESC, gram LIMIT 50""")),
+
     // KMV distinct-token sketch per source: k smallest md5-derived
     // hashes → (k−1)·(2⁶⁰ div kth) — integer arithmetic end-to-end,
     // so the ESTIMATE itself hash-matches across engines (an HLL

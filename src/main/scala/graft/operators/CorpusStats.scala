@@ -173,6 +173,50 @@ object CorpusStats {
   }
 
   /**
+   * PMI collocation mining: the top-k adjacent word pairs by pointwise
+   * mutual information `ln(p(w₁w₂)/(p(w₁)p(w₂)))` with a minimum
+   * pair-count support — the collocation/"multi-word expression"
+   * detector of corpus analysis (Church & Hanks, 1990), and the raw
+   * material for tokenizer-merge and phrase-mining decisions.
+   *
+   * Portability: PMI reduces to `ln` of a RATIO OF EXACT INTEGER
+   * COUNTS, `(c₂·T·T)/(T₂·c₁ₐ·c₁ᵦ)` — both engines convert the same
+   * longs to double, multiply in the same order, and round to integer
+   * micro-nats, so the score hash-matches like the LM gates (counts
+   * must stay under 2⁵³ for the double conversion to be exact —
+   * ~9e15 tokens, past a 100 TB corpus).
+   *
+   * Scale shape: two map-side-combined count aggregations (words,
+   * adjacent pairs — both vocabulary-sized after the combine); the
+   * support filter runs BEFORE the unigram joins so only surviving
+   * pairs join; the top-k lowers to `TakeOrderedAndProject`. The
+   * unigram frame checkpoints once and serves both endpoint joins.
+   */
+  def collocations(df: DataFrame, text: Column, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val uni = df.select(explode(TextOps.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint() // consumed thrice: total + both endpoint joins
+    val t1 = uni.agg(sum(col("c1"))).head.getLong(0).toDouble
+    val bi = df.select(explode(TextOps.ngrams(text, 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // consumed twice: total + scoring
+    val t2 = bi.agg(sum(col("c2"))).head.getLong(0).toDouble
+    bi.filter(col("c2") >= minCount)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .select(col("g").as("gram"), col("c2"),
+        round(log((col("c2").cast("double") * lit(t1) * lit(t1)) /
+          (lit(t2) * col("c1a").cast("double") * col("c1b").cast("double")))
+          * lit(1000000.0)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("gram"))
+      .limit(k)
+  }
+
+  /**
    * Per-source corpus "data card": the one-table summary a curation
    * run publishes next to its output — document/token/char volumes,
    * exact mean length, language spread and the dominant language with

@@ -223,6 +223,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(dup == est)
   }
 
+  test("collocations: hand-computed PMI, support floor, tie-break") {
+    // "new york" always co-occurs (PMI high); "the cat" shares "the"
+    // with other pairs (PMI lower); pairs under minCount vanish
+    val docs = (Seq.fill(5)("new york") ++ Seq.fill(5)("the cat") ++
+      Seq.fill(5)("the dog") ++ Seq("rare pair")).toDF("text")
+    val out = CorpusStats.collocations(docs, $"text", minCount = 5, k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(!out.contains("rare pair")) // support floor
+    // T1 = 32 tokens, T2 = 16 pairs.
+    // new york: c2=5, c1=5,5 → ln(5*32*32/(16*5*5)) = ln(12.8)
+    assert(out("new york")._2 ==
+      Math.round(Math.log(5.0 * 32 * 32 / (16.0 * 5 * 5)) * 1e6))
+    // the cat: c2=5, c1(the)=10 → ln(5*32*32/(16*10*5)) = ln(6.4)
+    assert(out("the cat")._2 ==
+      Math.round(Math.log(5.0 * 32 * 32 / (16.0 * 10 * 5)) * 1e6))
+    assert(out("new york")._2 > out("the cat")._2)
+    // the cat / the dog tie on PMI: both present, gram-ordered
+    assert(out("the cat")._2 == out("the dog")._2)
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange
