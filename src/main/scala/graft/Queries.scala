@@ -673,6 +673,28 @@ object Queries {
       },
       Some(pagerankOracle(4))),
 
+    // HITS over the same transition graph: DECIMAL-exact step sums
+    // re-normalized by integral division — the second portability
+    // construction of the graph family (global normalization can't
+    // use pagerank's per-edge pre-scaling)
+    "events_hits" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events").select(
+          expr("ts div 1000").as("ts"), col("user_id"), col("event_id"),
+          concat(col("event_type"), lit(":"),
+            (abs(floor(col("value"))).cast("long") % 4).cast("string"))
+            .as("node"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("nxt", lead(col("node"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        graft.operators.Graphs.hits(edges, col("node"), col("nxt"),
+            iterations = 3)
+          .orderBy(col("node"))
+      },
+      Some(hitsOracle(3))),
+
     // skew-salted join: the heavy-key-safe join must produce EXACTLY
     // the plain join's rows — the oracle is the unsalted SQL join and
     // the aggregate makes any duplicate/lost row a hash mismatch
@@ -1917,20 +1939,20 @@ object Queries {
             (abs(floor("value")::BIGINT) % 4) AS node FROM events),
       tr AS (SELECT node, lead(node) OVER (PARTITION BY u
           ORDER BY ts, event_id) AS nxt FROM ev),
-      ed AS (SELECT node AS src, nxt AS dst, count(*)::BIGINT AS w
+      ed AS MATERIALIZED (SELECT node AS src, nxt AS dst, count(*)::BIGINT AS w
         FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
       ot AS (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY 1),
-      ew AS (SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS ew
+      ew AS MATERIALIZED (SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS ew
         FROM ed e JOIN ot o USING (src)),
-      nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
       nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
-      pr0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS pr
+      pr0 AS MATERIALIZED (SELECT node, (SELECT 1000000000000 // n FROM nn) AS pr
         FROM nodes)"""
     val its = (1 to iters).map { k =>
       s""",
       d$k AS (SELECT coalesce(sum(pr), 0)::BIGINT AS dm FROM pr${k - 1}
         WHERE node NOT IN (SELECT src FROM ed)),
-      pr$k AS (SELECT n0.node,
+      pr$k AS MATERIALIZED (SELECT n0.node,
           (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
         + (SELECT (85 * (dm // (SELECT n FROM nn))) // 100 FROM d$k)
         + (85 * coalesce(c.c, 0)) // 100 AS pr
@@ -1940,6 +1962,42 @@ object Queries {
           USING (node))"""
     }.mkString
     head + its + s"\n      SELECT node, pr FROM pr$iters ORDER BY node"
+  }
+
+  /** HITS in DuckDB, iterations unrolled: HUGEINT step sums (exact,
+   * like Spark's DECIMAL(38,0)) re-normalized to 1e12 units with `//`
+   * floors — mirrors [[graft.operators.Graphs.hits]] bit-for-bit. */
+  private def hitsOracle(iters: Int): String = {
+    val head = """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+          event_id, event_type || ':' ||
+            (abs(floor("value")::BIGINT) % 4) AS node FROM events),
+      tr AS (SELECT node, lead(node) OVER (PARTITION BY u
+          ORDER BY ts, event_id) AS nxt FROM ev),
+      ed AS MATERIALIZED (SELECT node AS src, nxt AS dst, count(*)::BIGINT AS w
+        FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      h0 AS MATERIALIZED (SELECT node, (SELECT 1000000000000 // n FROM nn) AS hub
+        FROM nodes)"""
+    val its = (1 to iters).map { k =>
+      s""",
+      a${k}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub::HUGEINT * e.w) AS ar
+        FROM ed e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+      a${k}t AS (SELECT sum(ar) AS s FROM a${k}r),
+      a$k AS MATERIALIZED (SELECT n0.node, coalesce(
+          (ar * 1000000000000) // (SELECT s FROM a${k}t), 0)::BIGINT AS auth
+        FROM nodes n0 LEFT JOIN a${k}r USING (node)),
+      h${k}r AS MATERIALIZED (SELECT e.src AS node, sum(a.auth::HUGEINT * e.w) AS hr
+        FROM ed e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+      h${k}t AS (SELECT sum(hr) AS s FROM h${k}r),
+      h$k AS MATERIALIZED (SELECT n0.node, coalesce(
+          (hr * 1000000000000) // (SELECT s FROM h${k}t), 0)::BIGINT AS hub
+        FROM nodes n0 LEFT JOIN h${k}r USING (node))"""
+    }.mkString
+    head + its + s"""
+      SELECT n0.node, a.auth, h.hub
+      FROM nodes n0 JOIN a$iters a USING (node) JOIN h$iters h USING (node)
+      ORDER BY n0.node"""
   }
 
   /** The JL projection in DuckDB: the SAME md5-derived ±1 matrix

@@ -44,6 +44,72 @@ object Graphs {
    * integer rank in `1/scale` units — `pr/scale` sums to ≤ 1 (floor
    * leak) and starts uniform.
    */
+  /**
+   * HITS hubs-and-authorities (Kleinberg, JACM 1999): the two-score
+   * complement of [[pagerank]] for directed graphs where "points at
+   * good things" (hub) and "is pointed at by good hubs" (authority)
+   * are distinct qualities — link curation, citation analysis,
+   * crawler seed selection. Fixed `iterations` of the mutual
+   * recursion, edge multiplicity as weight.
+   *
+   * Portability construction (different from pagerank's, deliberately:
+   * HITS normalizes GLOBALLY per step, so per-edge pre-normalization
+   * can't bound the products): per-step sums accumulate in
+   * DECIMAL(38,0) — exact, order-free, no overflow to ~1e38 — and
+   * re-normalize to integer `scale` units via integral division
+   * (`div`/`//`, floor on non-negatives in every engine). Scores stay
+   * LONGs ≤ scale between steps; the per-step total is the one driver
+   * scalar (exact BigDecimal), mirroring pagerank's dangling mass.
+   * Bound: Σ(score·w) per step ≤ scale · total-edge-weight ≤ 1e38 ⇒
+   * fine to ~1e14 weighted edges at the default scale.
+   *
+   * Scale shape: per iteration, two edges⋈scores equi-joins (src then
+   * dst) each followed by a map-side-combined sum — identical exchange
+   * structure to one pagerank round, run twice. Nodes without
+   * in-edges (resp. out-edges) get authority (resp. hub) 0, exactly
+   * as the oracle's left join + coalesce does.
+   */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+      iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale >= 1 && scale <= 1000000000000L, "scale in [1, 1e12]")
+    val e = edges.select(src.cast("string").as("src"),
+        dst.cast("string").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint() // re-joined twice per iteration
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    // normalize a raw DECIMAL score column to LONG scale units:
+    // (raw * scale) div total — floor, identical in any engine
+    def norm(raw: Column, total: java.math.BigDecimal): Column =
+      coalesce(ldiv((raw.cast("decimal(38,0)") * lit(scale))
+        .cast("decimal(38,0)"), lit(total)), lit(0L))
+    var hub = nodes.withColumn("hub", lit(scale / n)).localCheckpoint()
+    var auth = nodes.withColumn("auth", lit(scale / n))
+    var k = 0
+    while (k < iterations) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub").cast("decimal(38,0)") * col("w")).as("ar"))
+      val aTot = araw.agg(sum(col("ar"))).head.getDecimal(0)
+      auth = nodes.join(araw, Seq("node"), "left")
+        .select(col("node"), norm(col("ar"), aTot).as("auth"))
+        .localCheckpoint()
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth").cast("decimal(38,0)") * col("w")).as("hr"))
+      val hTot = hraw.agg(sum(col("hr"))).head.getDecimal(0)
+      hub = nodes.join(hraw, Seq("node"), "left")
+        .select(col("node"), norm(col("hr"), hTot).as("hub"))
+        .localCheckpoint()
+      k += 1
+    }
+    nodes.join(auth, "node").join(hub, "node")
+      .select(col("node"), col("auth"), col("hub"))
+  }
+
   def pagerank(edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 4, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {

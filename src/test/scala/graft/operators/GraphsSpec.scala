@@ -55,4 +55,31 @@ class GraphsSpec extends SparkSpec {
     val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
     assert(ranks(e) == ranks(e))
   }
+
+  private def hitsOf(edges: Seq[(String, String)], iters: Int = 3) =
+    Graphs.hits(edges.toDF("s", "d"), $"s", $"d", iterations = iters)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits: one iteration is hand-exact") {
+    // a→b, a→c, d→b; h0 = 2.5e11 each.
+    // a-raw: b = h(a)+h(d) = 5e11, c = 2.5e11; total 7.5e11
+    // auth:  b = (5e11·1e12)//7.5e11 = 666666666666, c = 333333333333
+    // h-raw: a = auth(b)+auth(c) = 999999999999, d = auth(b); total
+    //        1666666666665 → hub(a) = 6e11 exactly, hub(d) = 4e11
+    val out = hitsOf(Seq("a" -> "b", "a" -> "c", "d" -> "b"), iters = 1)
+    assert(out("b") == ((666666666666L, 0L)))
+    assert(out("c") == ((333333333333L, 0L)))
+    assert(out("a") == ((0L, 600000000000L)))
+    assert(out("d") == ((0L, 400000000000L)))
+  }
+
+  test("hits: multi-edges weight the scores; stable under iteration") {
+    // a cites b twice, c once — b the stronger authority at any depth
+    val e = Seq("a" -> "b", "a" -> "b", "a" -> "c")
+    val out = hitsOf(e, iters = 3)
+    assert(out("b")._1 > out("c")._1)
+    assert(out("a")._2 > 0 && out("a")._1 == 0)
+    assert(hitsOf(e, iters = 3) == out) // deterministic
+  }
 }
