@@ -149,7 +149,10 @@ class SeriesStoreSpec extends SparkSpec {
       spawn { s.store("db", None, """{"v": 99}"""); () })
     Thread.sleep(4000)
     stop.set(true)
-    threads.foreach(_.join(30000))
+    // a compact mid-flight can outlive a short join under suite-wide
+    // contention on the shared session; wait it out properly
+    threads.foreach(_.join(600000))
+    assert(threads.forall(!_.isAlive), "hammer threads still running")
     assert(errs.isEmpty, s"concurrent ops failed: ${errs.peek()}")
     assert(s.info("db").docCount >= 20)
   }
@@ -177,7 +180,11 @@ class SeriesStoreSpec extends SparkSpec {
     val w2 = spawn((0 until 12).foreach(i =>
       b.store("db", Some(f"2012-08-28T21:24:${40 + i}%02dZ"), s"""{"v": ${100 + i}}""")))
     val c = spawn((0 until 3).foreach { _ => b.compact("db"); Thread.sleep(50) })
-    Seq(w1, w2, c).foreach(_.join(120000))
+    // generous cap: under full-suite load the shared local[4] session
+    // serializes many suites' jobs — an expired join here leaves the
+    // writers mid-flight and fails the count below as a phantom flake
+    Seq(w1, w2, c).foreach(_.join(600000))
+    assert(Seq(w1, w2, c).forall(!_.isAlive), "writers still running")
     assert(errs.isEmpty, s"cross-instance ops failed: ${errs.peek()}")
 
     // nothing lost, nothing duplicated, both instances agree
