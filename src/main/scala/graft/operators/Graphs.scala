@@ -58,8 +58,8 @@ object Graphs {
    * DECIMAL(38,0) — exact, order-free, no overflow to ~1e38 — and
    * re-normalize to integer `scale` units via integral division
    * (`div`/`//`, floor on non-negatives in every engine). Scores stay
-   * LONGs ≤ scale between steps; the per-step total is the one driver
-   * scalar (exact BigDecimal), mirroring pagerank's dangling mass.
+   * LONGs ≤ scale between steps; the per-step total is a broadcast
+   * 1-row frame folded into the normalize step — no driver round-trip.
    * Bound: Σ(score·w) per step ≤ scale · total-edge-weight ≤ 1e38 ⇒
    * fine to ~1e14 weighted edges at the default scale.
    *
@@ -81,11 +81,18 @@ object Graphs {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    // no edges ⇒ no nodes: an empty (node, auth, hub) frame, not a
+    // division-by-zero on the uniform init
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("auth"), lit(0L).as("hub"))
     // normalize a raw DECIMAL score column to LONG scale units:
-    // (raw * scale) div total — floor, identical in any engine
-    def norm(raw: Column, total: java.math.BigDecimal): Column =
+    // (raw * scale) div total — floor, identical in any engine. The
+    // per-step total rides as a broadcast 1-row frame crossJoined into
+    // the normalize select, NOT a driver .head — the only per-step
+    // barrier is the localCheckpoint itself
+    def norm(raw: Column, total: Column): Column =
       coalesce(ldiv((raw.cast("decimal(38,0)") * lit(scale))
-        .cast("decimal(38,0)"), lit(total)), lit(0L))
+        .cast("decimal(38,0)"), total), lit(0L))
     var hub = nodes.withColumn("hub", lit(scale / n)).localCheckpoint()
     var auth = nodes.withColumn("auth", lit(scale / n))
     var k = 0
@@ -93,16 +100,16 @@ object Graphs {
       val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub").cast("decimal(38,0)") * col("w")).as("ar"))
-      val aTot = araw.agg(sum(col("ar"))).head.getDecimal(0)
       auth = nodes.join(araw, Seq("node"), "left")
-        .select(col("node"), norm(col("ar"), aTot).as("auth"))
+        .crossJoin(broadcast(araw.agg(sum(col("ar")).as("__atot"))))
+        .select(col("node"), norm(col("ar"), col("__atot")).as("auth"))
         .localCheckpoint()
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth").cast("decimal(38,0)") * col("w")).as("hr"))
-      val hTot = hraw.agg(sum(col("hr"))).head.getDecimal(0)
       hub = nodes.join(hraw, Seq("node"), "left")
-        .select(col("node"), norm(col("hr"), hTot).as("hub"))
+        .crossJoin(broadcast(hraw.agg(sum(col("hr")).as("__htot"))))
+        .select(col("node"), norm(col("hr"), col("__htot")).as("hub"))
         .localCheckpoint()
       k += 1
     }
@@ -133,6 +140,8 @@ object Graphs {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint() // re-joined every iteration
     val n = nodes.count()
+    // no edges ⇒ no nodes: empty result, not a division-by-zero
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("pr"))
     val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
       .localCheckpoint() // dangling-mass probe every iteration

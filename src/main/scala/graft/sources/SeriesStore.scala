@@ -209,8 +209,28 @@ class SeriesStore(spark: SparkSession, root: String) {
     val id = java.util.UUID.randomUUID().toString
     val m = activeStages.computeIfAbsent(db,
       _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
-    m.put(id, java.lang.Long.valueOf(System.currentTimeMillis()))
-    try f finally m.remove(id)
+    // Register the guard with a FILE-clock stamp, not
+    // System.currentTimeMillis: vacuum compares the floor against
+    // parquet mtimes, which come from the kernel's coarse clock and
+    // can lag the precise clock by a tick. A marker file touched here
+    // reads its stamp from the same clock as the files it protects,
+    // so a data file moved into place any time after this point is
+    // guaranteed mtime >= stamp. Falls back to a 2 s precise-clock
+    // margin only if the db dir is missing (nothing to protect yet).
+    val marker = dbPath(db).resolve(s"_stageguard-$id")
+    val stamp =
+      try {
+        Files.write(marker, Array.emptyByteArray)
+        Files.getLastModifiedTime(marker).toMillis
+      } catch { case _: java.io.IOException =>
+        System.currentTimeMillis() - 2000L
+      }
+    m.put(id, java.lang.Long.valueOf(stamp))
+    try f finally {
+      m.remove(id)
+      try Files.deleteIfExists(marker)
+      catch { case _: java.io.IOException => () }
+    }
   }
   private[sources] def oldestActiveStageMs(db: String): Long = {
     val m = activeStages.get(db)
@@ -290,6 +310,10 @@ class SeriesStore(spark: SparkSession, root: String) {
             walked(f)(_.sorted(Comparator.reverseOrder[Path]()).forEach(p =>
               Files.deleteIfExists(p)))
             removed += 1
+          } else if (name.startsWith("_stageguard-") && old) {
+            // crash-leftover guard marker from a dead JVM; reclaim but
+            // don't count — markers are bookkeeping, not data files
+            Files.deleteIfExists(f)
           }
         } catch { // a racing vacuum/unstage finished first: not an error
           case _: java.nio.file.NoSuchFileException => ()

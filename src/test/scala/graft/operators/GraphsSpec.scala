@@ -74,6 +74,14 @@ class GraphsSpec extends SparkSpec {
     assert(out("d") == ((0L, 400000000000L)))
   }
 
+  test("empty edge frame returns empty results, not a divide-by-zero") {
+    val none = Seq.empty[(String, String)].toDF("s", "d")
+    assert(Graphs.pagerank(none, $"s", $"d").count() == 0)
+    val h = Graphs.hits(none, $"s", $"d")
+    assert(h.count() == 0)
+    assert(h.columns.toSeq == Seq("node", "auth", "hub"))
+  }
+
   test("hits: multi-edges weight the scores; stable under iteration") {
     // a cites b twice, c once — b the stronger authority at any depth
     val e = Seq("a" -> "b", "a" -> "b", "a" -> "c")
