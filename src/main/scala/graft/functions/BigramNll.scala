@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -29,10 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * `uni` maps word → [microUnigram, microBackoff] (the backoff value
  * bakes α in, because `round(−ln(α·p))` is NOT `round(−ln α) +
  * round(−ln p)` once quantized); `bi` maps "w1 w2" → microBigram.
+ * Both ship as `Broadcast` handles — the table moves once per
+ * executor via TorrentBroadcast, not once per task in the expression
+ * closure (see [[UnigramNllExpr]]).
  */
 case class BigramNllExpr(child: Expression,
-    uni: java.util.HashMap[String, Array[Long]],
-    bi: java.util.HashMap[String, java.lang.Long],
+    uni: Broadcast[java.util.HashMap[String, Array[Long]]],
+    bi: Broadcast[java.util.HashMap[String, java.lang.Long]],
     oovUni: Long, oovBack: Long)
     extends UnaryExpression {
 
@@ -42,14 +46,22 @@ case class BigramNllExpr(child: Expression,
     copy(child = c)
 
   override def nullSafeEval(input: Any): Any =
-    BigramNllExpr.score(input.asInstanceOf[UTF8String], uni, bi, oovUni, oovBack)
+    BigramNllExpr.score(input.asInstanceOf[UTF8String], uni.value, bi.value,
+      oovUni, oovBack)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // raw types: the generated code is compiled by Janino, no generics
-    val uniRef = ctx.addReferenceObj("bigramUni", uni, "java.util.HashMap")
-    val biRef = ctx.addReferenceObj("bigramBi", bi, "java.util.HashMap")
+    // reference the BROADCASTs (small), resolve .value() once into
+    // mutable-state locals. Raw types: Janino, no generics.
+    val uniRef = ctx.addReferenceObj("bigramUniBc", uni,
+      "org.apache.spark.broadcast.Broadcast")
+    val biRef = ctx.addReferenceObj("bigramBiBc", bi,
+      "org.apache.spark.broadcast.Broadcast")
+    val uniTbl = ctx.addMutableState("java.util.HashMap", "bigramUni",
+      v => s"$v = (java.util.HashMap) $uniRef.value();")
+    val biTbl = ctx.addMutableState("java.util.HashMap", "bigramBi",
+      v => s"$v = (java.util.HashMap) $biRef.value();")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BigramNllExpr.score($c, $uniRef, $biRef, ${oovUni}L, ${oovBack}L)")
+      s"graft.functions.BigramNllExpr.score($c, $uniTbl, $biTbl, ${oovUni}L, ${oovBack}L)")
   }
 }
 
@@ -88,8 +100,9 @@ object BigramNllExpr {
     sum
   }
 
-  def nllMicro(text: Column, uni: java.util.HashMap[String, Array[Long]],
-      bi: java.util.HashMap[String, java.lang.Long],
+  def nllMicro(text: Column,
+      uni: Broadcast[java.util.HashMap[String, Array[Long]]],
+      bi: Broadcast[java.util.HashMap[String, java.lang.Long]],
       oovUni: Long, oovBack: Long): Column =
     Bridge.column(BigramNllExpr(Bridge.expression(text), uni, bi, oovUni, oovBack))
 }

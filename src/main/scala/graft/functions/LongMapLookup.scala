@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -9,9 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * `long_lookup(s)` — broadcast-table probe: map a string through a
- * driver-built string → long table riding into generated code via
- * `addReferenceObj`, with a default for absent keys. One hash probe
- * per row inside whole-stage codegen.
+ * driver-built string → long table shipped as a `Broadcast` handle
+ * (TorrentBroadcast once per executor; the serialized expression only
+ * carries the reference), with a default for absent keys. One hash
+ * probe per row inside whole-stage codegen.
  *
  * This is what `element_at(typedlit(map), key)` should be but isn't:
  * Spark's literal maps are `ArrayBasedMapData`, so `GetMapValue`
@@ -20,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * here is O(1) regardless of table size.
  */
 case class LongMapLookupExpr(child: Expression,
-    table: java.util.HashMap[String, java.lang.Long], default: Long)
+    table: Broadcast[java.util.HashMap[String, java.lang.Long]], default: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -29,13 +31,17 @@ case class LongMapLookupExpr(child: Expression,
     copy(child = c)
 
   override def nullSafeEval(input: Any): Any =
-    LongMapLookupExpr.probe(input.asInstanceOf[UTF8String], table, default)
+    LongMapLookupExpr.probe(input.asInstanceOf[UTF8String], table.value, default)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // raw type: the generated code is compiled by Janino, no generics
-    val ref = ctx.addReferenceObj("lookupTable", table, "java.util.HashMap")
+    // reference the BROADCAST (small), resolve .value() once into a
+    // mutable-state local — not per row. Raw types: Janino, no generics.
+    val ref = ctx.addReferenceObj("lookupTableBc", table,
+      "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.util.HashMap", "lookupTable",
+      v => s"$v = (java.util.HashMap) $ref.value();")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.LongMapLookupExpr.probe($c, $ref, ${default}L)")
+      c => s"graft.functions.LongMapLookupExpr.probe($c, $tbl, ${default}L)")
   }
 }
 
@@ -48,7 +54,8 @@ object LongMapLookupExpr {
     if (v == null) default else v.longValue()
   }
 
-  def lookup(key: Column, table: java.util.HashMap[String, java.lang.Long],
+  def lookup(key: Column,
+      table: Broadcast[java.util.HashMap[String, java.lang.Long]],
       default: Long): Column =
     Bridge.column(LongMapLookupExpr(Bridge.expression(key), table, default))
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -19,15 +20,19 @@ import org.apache.spark.unsafe.types.UTF8String
  * partitionings, and plans (the correctness oracle recomputes them in
  * SQL).
  *
- * The model rides into generated code via `addReferenceObj` as a
- * word → micro-nll table (out-of-vocabulary words get the floor
- * probability `1/total`); scoring is one hash probe per token inside
- * whole-stage codegen — the broadcast-LM scoring shape (KenLM-style)
- * of real corpus pipelines, with the probe table built by the engine
- * itself from corpus counts.
+ * The model ships as a `Broadcast` HANDLE: the expression (which
+ * Spark serializes into every task binary) carries only the tiny
+ * broadcast reference, and the table itself moves via TorrentBroadcast
+ * ONCE PER EXECUTOR — not once per task, which is what a
+ * closure-captured HashMap would cost on a 1000-executor cluster.
+ * Generated code resolves `.value()` into a local at codegen-object
+ * init, so scoring stays one hash probe per token inside whole-stage
+ * codegen — the broadcast-LM scoring shape (KenLM-style) of real
+ * corpus pipelines, with the probe table built by the engine itself
+ * from corpus counts.
  */
 case class UnigramNllExpr(child: Expression,
-    micro: java.util.HashMap[String, java.lang.Long], oovMicro: Long)
+    micro: Broadcast[java.util.HashMap[String, java.lang.Long]], oovMicro: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -36,13 +41,17 @@ case class UnigramNllExpr(child: Expression,
     copy(child = c)
 
   override def nullSafeEval(input: Any): Any =
-    UnigramNllExpr.score(input.asInstanceOf[UTF8String], micro, oovMicro)
+    UnigramNllExpr.score(input.asInstanceOf[UTF8String], micro.value, oovMicro)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // raw type: the generated code is compiled by Janino, no generics
-    val ref = ctx.addReferenceObj("unigramMicro", micro, "java.util.HashMap")
+    // reference the BROADCAST (small), resolve .value() once into a
+    // mutable-state local — not per row. Raw types: Janino, no generics.
+    val ref = ctx.addReferenceObj("unigramMicroBc", micro,
+      "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.util.HashMap", "unigramMicro",
+      v => s"$v = (java.util.HashMap) $ref.value();")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.UnigramNllExpr.score($c, $ref, ${oovMicro}L)")
+      c => s"graft.functions.UnigramNllExpr.score($c, $tbl, ${oovMicro}L)")
   }
 }
 
@@ -70,7 +79,8 @@ object UnigramNllExpr {
     sum
   }
 
-  def nllMicro(text: Column, micro: java.util.HashMap[String, java.lang.Long],
+  def nllMicro(text: Column,
+      micro: Broadcast[java.util.HashMap[String, java.lang.Long]],
       oovMicro: Long): Column =
     Bridge.column(UnigramNllExpr(Bridge.expression(text), micro, oovMicro))
 }

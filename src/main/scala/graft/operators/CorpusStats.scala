@@ -110,7 +110,8 @@ object CorpusStats {
    * corpus, score an unbounded one (`SeriesStream.scoreStream`-style)
    * with zero per-batch state. */
   final case class UnigramModel(
-      micro: java.util.HashMap[String, java.lang.Long], oovMicro: Long) {
+      micro: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]], oovMicro: Long) {
     def nll(text: Column): Column =
       graft.functions.UnigramNllExpr.nllMicro(text, micro, oovMicro)
     def avgNll(text: Column): Column =
@@ -133,7 +134,10 @@ object CorpusStats {
       Math.round(-Math.log(c.toDouble / total.toDouble) * 1000000.0)
     counts.orderBy(col("c").desc, col("w")).limit(vocabK).collect()
       .foreach(r => micro.put(r.getString(0), microNll(r.getLong(1))))
-    UnigramModel(micro, microNll(1L))
+    // ship the table ONCE PER EXECUTOR via TorrentBroadcast; the
+    // scoring expression carries only the broadcast handle, not a
+    // closure-captured copy re-serialized into every task binary
+    UnigramModel(df.sparkSession.sparkContext.broadcast(micro), microNll(1L))
   }
 
   /**
@@ -294,8 +298,9 @@ object CorpusStats {
         bi.put(r.getAs[String]("g"),
           Math.round(-Math.log(c2.toDouble / c1.toDouble) * 1000000.0))
       }
-    val nll = graft.functions.BigramNllExpr.nllMicro(text, uni, bi,
-      mUni(1L), mBack(1L))
+    val sc = df.sparkSession.sparkContext // tables broadcast once per executor
+    val nll = graft.functions.BigramNllExpr.nllMicro(text,
+      sc.broadcast(uni), sc.broadcast(bi), mUni(1L), mBack(1L))
     df.select(id.as("doc_id"),
         size(TextOps.tokens(text)).cast("long").as("n_tokens"),
         nll.as("nll_micro"))
@@ -333,7 +338,8 @@ object CorpusStats {
     val table = new java.util.HashMap[String, java.lang.Long](vocabK * 2)
     dfreq.orderBy(col("df").desc, col("term")).limit(vocabK).collect()
       .foreach(r => table.put(r.getString(0), r.getLong(1)))
-    val dfCol = graft.functions.LongMapLookupExpr.lookup(col("term"), table, 1L)
+    val dfCol = graft.functions.LongMapLookupExpr.lookup(col("term"),
+      df.sparkSession.sparkContext.broadcast(table), 1L)
     val scored = tf.withColumn("score",
       round(col("tf") * log(lit(n) / dfCol.cast("double")), 6))
     TopK.perGroup(scored, col("doc_id"), col("score").desc, col("term"), k)

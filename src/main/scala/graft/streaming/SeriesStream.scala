@@ -74,12 +74,14 @@ object SeriesStream {
    * hatch the batch operator's doc points to: a bot key costs O(1)
    * state here, vs its whole history through one task there).
    *
-   * Semantics note, stated honestly: events are merged in ARRIVAL
-   * order within each micro-batch after an in-batch sort; an
-   * out-of-order event that lands inside the open session's span
-   * extends it, but one older than the already-emitted session cannot
-   * reopen it (the batch operator replays history exactly — the
-   * standard online/batch sessionization split).
+   * Semantics note, stated honestly: each micro-batch runs the BATCH
+   * interval-merge over {open-session state} ∪ {in-batch events}, so a
+   * late event inside the open session's span extends it and one more
+   * than `gapMs` OLDER than the open session's start forms (and emits)
+   * its own separate session — exactly what the batch operator would
+   * produce. The remaining divergence: an event older than an
+   * already-EMITTED session cannot reopen it (the batch operator
+   * replays history exactly — the standard online/batch split).
    *
    * Output: (key, session_start, session_end, n_events, value_sum),
    * epoch-ms bounds, append mode.
@@ -109,18 +111,26 @@ object SeriesStream {
             state.remove()
             Iterator.single(emit(s))
           } else {
-            val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sorted
+            // the batch interval-merge over {state session} ∪ {events}:
+            // sort every item by START (the open session is an interval,
+            // events are points) and sweep, merging items within gapMs
+            // of the running session's end. A late event > gapMs older
+            // than the open session emits as its own session instead of
+            // extending the open one backwards.
+            val items = (rows.map(r => OpenSession(r._2.getTime,
+                r._2.getTime, 1, r._3)) ++ state.getOption.iterator)
+              .toArray.sortBy(s => (s.start, s.end))
             val done = Vector.newBuilder[(String, Long, Long, Long, Double)]
-            var cur = state.getOption
-            evs.foreach { case (t, v) =>
+            var cur: Option[OpenSession] = None
+            items.foreach { it =>
               cur = cur match {
-                case Some(s) if t > s.end + gapMs =>
+                case Some(s) if it.start > s.end + gapMs =>
                   done += emit(s)
-                  Some(OpenSession(t, t, 1, v))
+                  Some(it)
                 case Some(s) =>
-                  Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
-                    s.n + 1, s.sum + v))
-                case None => Some(OpenSession(t, t, 1, v))
+                  Some(OpenSession(s.start, math.max(s.end, it.end),
+                    s.n + it.n, s.sum + it.sum))
+                case None => Some(it)
               }
             }
             cur.foreach { s =>
@@ -147,9 +157,12 @@ object SeriesStream {
    * key's furthest in-order step prefix and EMIT A ROW EVERY TIME A
    * KEY'S DEPTH ADVANCES (the "user converted to step N" event
    * downstream alerting/feature pipelines subscribe to). A completed
-   * funnel retires its key's state immediately, so long-running
-   * streams hold state only for in-progress funnels — O(steps) per
-   * active key.
+   * funnel retires its key's state immediately, and a STALLED one —
+   * no activity on the key for `idleMs` of event time — is expired by
+   * an event-time timeout (same mechanism as [[sessionize]]), so
+   * long-running streams hold state only for live in-progress
+   * funnels — O(steps) per active key, bounded by the live-key count.
+   * A key that re-appears after expiry restarts from step 0.
    *
    * Semantics vs batch, stated honestly: within a micro-batch events
    * are time-sorted, so in-batch ties and reordering resolve exactly
@@ -164,9 +177,11 @@ object SeriesStream {
    */
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       stepCol: String, steps: Seq[String],
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      idleMs: Long = 24L * 3600 * 1000): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(idleMs > 0, "idleMs must be > 0")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stepIdx = steps.zipWithIndex.toMap
@@ -179,28 +194,44 @@ object SeriesStream {
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelProgress,
           (String, Int, Long, Long, Option[Long])](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[(String, java.sql.Timestamp, String)],
             state: GroupState[FunnelProgress]) =>
-          val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sorted
-          val out = Vector.newBuilder[(String, Int, Long, Long, Option[Long])]
-          var reach = state.getOption.map(_.reach).getOrElse(Nil)
-          evs.foreach { case (t, s) =>
-            stepIdx.get(s).foreach { i =>
-              // advance only on the NEXT needed step, at-or-after the
-              // current prefix's last time (equal-ts events, sorted,
-              // chain — matching the batch RANGE-frame semantics)
-              if (i == reach.length && (i == 0 || reach.last <= t)) {
-                reach = reach :+ t
-                out += ((key, reach.length, t, reach.head,
-                  if (reach.length == steps.length)
-                    Some(t - reach.head) else None))
+          if (state.hasTimedOut) {
+            // a stalled funnel: no activity on the key for idleMs of
+            // event time — abandon it (nothing to emit; partial depths
+            // already emitted as they happened)
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sorted
+            val out = Vector.newBuilder[(String, Int, Long, Long, Option[Long])]
+            var reach = state.getOption.map(_.reach).getOrElse(Nil)
+            evs.foreach { case (t, s) =>
+              stepIdx.get(s).foreach { i =>
+                // advance only on the NEXT needed step, at-or-after the
+                // current prefix's last time (equal-ts events, sorted,
+                // chain — matching the batch RANGE-frame semantics)
+                if (i == reach.length && (i == 0 || reach.last <= t)) {
+                  reach = reach :+ t
+                  out += ((key, reach.length, t, reach.head,
+                    if (reach.length == steps.length)
+                      Some(t - reach.head) else None))
+                }
               }
             }
+            if (reach.length == steps.length) state.remove()
+            else if (reach.nonEmpty) {
+              state.update(FunnelProgress(reach))
+              // ANY event on the key counts as activity (a browsing
+              // user's funnel shouldn't expire mid-journey); the stamp
+              // must sit above the watermark or update throws
+              val lastSeen = math.max(evs.last._1, reach.last)
+              state.setTimeoutTimestamp(
+                math.max(lastSeen + idleMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          if (reach.length == steps.length) state.remove()
-          else if (reach.nonEmpty) state.update(FunnelProgress(reach))
-          out.result().iterator
       }
       .toDF("key", "depth", "step_ms", "first_ms", "convert_ms")
   }

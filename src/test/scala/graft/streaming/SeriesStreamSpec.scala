@@ -266,4 +266,70 @@ class SeriesStreamSpec extends SparkSpec {
       assert(r3.contains(("a", 1, base + 100000, base + 100000, None)))
     } finally q.stop()
   }
+
+  test("streaming sessionize: a late event beyond the gap emits its own session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = SeriesStream.sessionize(
+      mem.toDF().toDF("ts", "user", "value"), "user", "ts", "value",
+      gapMs = 60000L, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess3")
+      .outputMode("append").start()
+    val base = 1346189040000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    try {
+      mem.addData((ts(500), "a", 1.0))
+      q.processAllAvailable()
+      // 400 s OLDER than the open session's start — more than the gap,
+      // still inside the watermark: the batch operator would produce
+      // two sessions, so this emits the older one instead of
+      // stretching the open session backwards
+      mem.addData((ts(100), "a", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess3")
+        .select("session_start", "session_end", "n_events", "value_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows == Set((base + 100000, base + 100000, 1L, 2.0)))
+      // the open session is untouched: a later gap break closes it with
+      // its original bounds
+      mem.addData((ts(1000), "a", 3.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("sess3")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      assert(rows2.contains(("a", base + 500000, base + 500000, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: stalled keys expire via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val out = SeriesStream.funnel(mem.toDF().toDF("ts", "user", "et"),
+      "user", "ts", "et", steps = Seq("view", "purchase"),
+      watermark = "0 seconds", idleMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("funl2")
+      .outputMode("append").start()
+    val base = 1346189040000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    try {
+      mem.addData((ts(0), "x", "view")) // x at depth 1, state held
+      q.processAllAvailable()
+      mem.addData((ts(1000), "y", "view")) // watermark → 1000 s
+      q.processAllAvailable()
+      mem.addData((ts(1001), "y", "other")) // x idle 1000 s > 60 s → expired
+      q.processAllAvailable()
+      // with state expired, a purchase is no longer the next needed
+      // step — the stalled funnel does NOT complete
+      mem.addData((ts(1100), "x", "purchase"))
+      q.processAllAvailable()
+      // and a fresh view restarts x from depth 1
+      mem.addData((ts(1200), "x", "view"))
+      q.processAllAvailable()
+      val xs = spark.table("funl2").filter(col("key") === "x")
+        .as[(String, Int, Long, Long, Option[Long])].collect().toSet
+      assert(xs == Set(("x", 1, base, base, None),
+        ("x", 1, base + 1200000, base + 1200000, None)))
+    } finally q.stop()
+  }
 }
