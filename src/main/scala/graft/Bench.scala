@@ -53,18 +53,22 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // best of two timed runs per query: local shuffles/GC add ±30%
+    // best of three timed runs per query: local shuffles/GC add ±30%
     // run-to-run jitter at this data size, and the minimum is the
-    // stable estimator of the plan's actual cost. Failures are tracked
-    // SEPARATELY from timing: a query that throws on any run lands in
-    // `failed` even if the other run succeeded (min-of-times alone
-    // would read an intermittent crash as healthy), and a query with
-    // no successful run records a 999s sentinel (its fast-fail elapsed
-    // would read a regression as a speedup).
+    // stable estimator of the plan's actual cost (best-of-2 left
+    // round totals ±25% apart under box load; the third sample pulls
+    // back-to-back totals inside ±15%). A GC between queries keeps one
+    // query's garbage from billing the next one's pause. Failures are
+    // tracked SEPARATELY from timing: a query that throws on any run
+    // lands in `failed` even if another run succeeded (min-of-times
+    // alone would read an intermittent crash as healthy), and a query
+    // with no successful run records a 999s sentinel (its fast-fail
+    // elapsed would read a regression as a speedup).
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       var threw = false
-      val times = (1 to 2).flatMap { _ =>
+      System.gc()
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

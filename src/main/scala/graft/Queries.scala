@@ -71,7 +71,9 @@ object Queries {
             filters = Seq("/type" -> "purchase"), names = Seq("avg_v")))
         .withColumn("avg_v", round(col("avg_v"), 6)),
       Some(s"""SELECT ${dbBucket(HourMs)} AS bucket_ms,
-        round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS avg_v
+        round(CAST(sum(CAST(value AS DECIMAL(38,12)))
+                     FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+              / count(value) FILTER (WHERE event_type = 'purchase'), 6) AS avg_v
         FROM events GROUP BY 1 ORDER BY 1""")),
 
     "q_series_multi_day" -> Entry(
@@ -991,16 +993,41 @@ object Queries {
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), block = col("lang"), threshold = 0.5)
         .orderBy(col("id1"), col("id2")),
-      Some("""WITH sets AS (
-          SELECT doc_id, lang, list_distinct(list_transform(
-            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
-          FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-          WHERE len(w) >= 3)
+      Some("""WITH sets AS MATERIALIZED (
+          -- same candidate discipline as the Spark side: PREFIX
+          -- FILTERING (Bayardo et al., WWW 2007) — a J >= t pair must
+          -- share a shingle inside each side's rarest-first prefix of
+          -- |s| - ceil(t*|s|) + 1 shingles, so candidates come from an
+          -- equi-join on rare prefix shingles, never a block-wide
+          -- cross pair. Candidate sets only need to be SUPERSETS (the
+          -- exact verify decides membership), so the two engines'
+          -- prefix tie-breaks need not agree.
+          SELECT doc_id, lang, ss, len(ss) AS sz FROM (
+            SELECT doc_id, lang, list_distinct(list_transform(
+              range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 3)),
+        tok AS MATERIALIZED (
+          SELECT doc_id, lang, sz, unnest(ss) AS sh FROM sets),
+        freq AS MATERIALIZED (
+          SELECT lang, sh, count(*) AS c FROM tok GROUP BY 1, 2),
+        pre AS MATERIALIZED (
+          SELECT doc_id, lang, sz, sh FROM (
+            SELECT t.doc_id, t.lang, t.sz, t.sh,
+              row_number() OVER (PARTITION BY t.doc_id ORDER BY f.c, t.sh) AS rn
+            FROM tok t JOIN freq f ON t.lang = f.lang AND t.sh = f.sh)
+          WHERE rn <= sz - ceil(0.5 * sz - 1e-9) + 1),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM pre a JOIN pre b ON a.lang = b.lang AND a.sh = b.sh
+            AND a.doc_id < b.doc_id
+            AND least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz))
         SELECT id1, id2, jaccard FROM (
-          SELECT a.doc_id AS id1, b.doc_id AS id2,
-            len(list_intersect(a.ss, b.ss))::DOUBLE /
-              len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
-          FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+          SELECT c.id1, c.id2,
+            len(list_intersect(x.ss, y.ss))::DOUBLE /
+              len(list_distinct(list_concat(x.ss, y.ss))) AS jaccard
+          FROM cand c JOIN sets x ON x.doc_id = c.id1
+            JOIN sets y ON y.doc_id = c.id2)
         WHERE jaccard >= 0.5 ORDER BY 1, 2""")),
 
     // incremental (batch-vs-corpus) dedup: odd doc_ids are the new

@@ -398,19 +398,24 @@ object CorpusStats {
    * type-7 definition).
    */
   def normalize(df: DataFrame, group: Column, value: Column): DataFrame = {
+    // internal stat columns are prefixed (like percentileRank's): the
+    // stats frame joins back onto the caller's FULL row, whose own
+    // columns must neither collide ambiguously nor get dropped
     val v = value.cast("double")
     val qs = quantiles(df, group, value,
-      Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
-    val mm = df.groupBy(group.as("grp"))
-      .agg(min(v).as("mn"), max(v).as("mx"))
+      Seq("__nmq25" -> 0.25, "__nmq50" -> 0.5, "__nmq75" -> 0.75))
+      .withColumnRenamed("grp", "__nmg")
+    val mm = df.groupBy(group.as("__nmg"))
+      .agg(min(v).as("__nmmn"), max(v).as("__nmmx"))
     df.withColumn("__g", group)
-      .join(broadcast(qs.join(mm, "grp")), col("__g") === col("grp"))
+      .join(broadcast(qs.join(mm, "__nmg")), col("__g") === col("__nmg"))
       .withColumn("robust",
-        when(col("q75") =!= col("q25"),
-          (v - col("q50")) / (col("q75") - col("q25"))))
+        when(col("__nmq75") =!= col("__nmq25"),
+          (v - col("__nmq50")) / (col("__nmq75") - col("__nmq25"))))
       .withColumn("minmax",
-        when(col("mx") =!= col("mn"), (v - col("mn")) / (col("mx") - col("mn"))))
-      .drop("__g", "grp", "q25", "q50", "q75", "mn", "mx")
+        when(col("__nmmx") =!= col("__nmmn"),
+          (v - col("__nmmn")) / (col("__nmmx") - col("__nmmn"))))
+      .drop("__g", "__nmg", "__nmq25", "__nmq50", "__nmq75", "__nmmn", "__nmmx")
   }
 
   /**

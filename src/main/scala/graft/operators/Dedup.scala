@@ -220,87 +220,66 @@ object Dedup {
   }
 
   /**
-   * Direct n-gram (shingle) Jaccard near-dup pairs with blocking (the
-   * exact quadratic-within-block baseline; the LSH variant is the
-   * scale path). Two scale measures beyond the naive blocked
-   * self-join:
+   * EXACT n-gram (shingle) Jaccard near-dup pairs with blocking —
+   * prefix filtering (the AllPairs/PPJoin principle: Bayardo et al.,
+   * WWW 2007; Xiao et al., WWW 2008) instead of a quadratic
+   * within-block self-join:
    *
-   *  - **Triangle-cell decomposition**: a block key with few distinct
-   *    values (e.g. language) caps join parallelism at the key count
-   *    and concentrates the quadratic work on whole-block tasks. Docs
-   *    are split into `groups` sub-groups by id hash; each unordered
-   *    pair lands in exactly ONE (a ≤ b) cell of the group grid, so
-   *    the join keys on (block, cell) with groups·(groups+1)/2 cells
-   *    per block — parallelism and per-task work are now tunable,
-   *    at the cost of each doc shuffling ~groups times.
-   *  - **Length-ratio prefilter** in the join condition:
-   *    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires the size
-   *    ratio ≥ t — pairs are pruned before any array work.
-   *  - **Length-band blocking**: the same bound means a qualifying
-   *    pair's shingle counts lie within a factor 1/t of each other —
-   *    at most ONE logarithmic band (width ln(1/t)) apart. Each side
-   *    joins on a (own band, partner band) key covering only equal
-   *    and adjacent bands, so the quadratic step never crosses
-   *    far-apart length cohorts. Zero-shingle docs can satisfy no
-   *    pair (ratio 0 < t) and are dropped up front.
+   *  - Order every block's shingles RAREST-FIRST (document frequency,
+   *    shingle text as tiebreak — one total order per block, shared by
+   *    construction across its docs).
+   *  - A pair with J ≥ t must share at least one shingle inside each
+   *    side's first `|s| − ⌈t·|s|⌉ + 1` shingles of that order (if the
+   *    prefixes were disjoint, the overlap is bounded below the
+   *    ⌈t·|s|⌉ that J ≥ t requires). So candidates = equi-join of the
+   *    exploded PREFIXES on (block, shingle) — rare tokens, tiny
+   *    buckets — never a block-wide cross pair.
+   *  - The length-ratio bound (J ≤ min|·|/max|·|) prunes inside the
+   *    join condition on the two size longs; only surviving pairs
+   *    rejoin the full arrays for the exact intersect/union verify,
+   *    which decides membership — candidate generation only has to be
+   *    a superset, and is.
    *
-   *    All three measures are semantics-preserving for t ∈ (0, 1].
+   * Scale shape: the shuffles are the shingle-frequency count (one
+   * map-side-combined aggregation), the per-doc prefix cut (a
+   * collect_list of the doc's own shingles — bounded by doc length,
+   * same as the shingle array itself), and the prefix-token equi-join.
+   * The ⌈·⌉ takes a 1e-9 slack so a float product landing just above
+   * an integer can only ENLARGE the prefix (a superset of candidates),
+   * never shrink it. Exactness: every J ≥ t pair survives; the verify
+   * keeps nothing below t. The prefix join is sized by rare-token
+   * bucket cardinalities — boilerplate-heavy corpora should collapse
+   * exact dups first ([[exact]]), same contract as [[minhashPairs]].
    */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      block: Column, threshold: Double, shingleK: Int = 3,
-      groups: Int = 8): DataFrame = {
+      block: Column, threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = spread(df.select(id.as("doc_id"), block.as("blk"), text.as("__text")))
       .select(col("doc_id"), col("blk"), shingles(col("__text"), shingleK).as("ss"))
-    // The quadratic cell join runs on a SLIM (id, block, size) frame:
-    // the join buffers every equal-key group in memory and walks it
-    // O(n·m) times, so rows there must be a few longs, not
-    // hundred-element shingle arrays. The length-ratio bound
-    // (J ≤ min|·|/max|·|) prunes inside the join condition; only the
-    // surviving pairs — near-dups and near-misses — rejoin the arrays
-    // for the exact intersect/union.
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val logInvT = math.log(1.0 / threshold)
-    val slim = sets
-      .select(col("doc_id"), col("blk"), size(col("ss")).cast("double").as("sz"))
-      .filter(col("sz") > 0)
-      .withColumn("grp", pmod(hash(col("doc_id")), lit(groups)))
-      .withColumn("band",
-        if (logInvT == 0.0) lit(0)
-        else floor(log(col("sz")) / lit(logInvT)).cast("int"))
-    val ratioOk =
-      least(col("l.sz"), col("r.sz")) >=
-        lit(threshold) * greatest(col("l.sz"), col("r.sz"))
-    val pairCols = Seq(
-      least(col("l.doc_id"), col("r.doc_id")).as("id1"),
-      greatest(col("l.doc_id"), col("r.doc_id")).as("id2"))
-    // SAME-band pairs: the triangle-cell decomposition — left copy of
-    // a doc serves cells (grp, b ≥ grp); right copy serves cells
-    // (a ≤ grp, grp) — pair (x ∈ gx ≤ gy ∋ y) meets in exactly cell
-    // (gx, gy); diagonal cells see both orderings, keep one.
-    val lsame = slim.withColumn("cb",
-      explode(sequence(col("grp"), lit(groups - 1)))).alias("l")
-    val rsame = slim.withColumn("ca",
-      explode(sequence(lit(0), col("grp")))).alias("r")
-    val same = lsame.join(rsame,
-        col("l.blk") === col("r.blk") && col("l.band") === col("r.band") &&
-          col("l.grp") === col("r.ca") && col("l.cb") === col("r.grp") &&
-          (col("l.grp") =!= col("r.grp") || col("l.doc_id") < col("r.doc_id")) &&
-          ratioOk)
-      .select(pairCols: _*)
-    // ADJACENT-band pairs (band b left, band b+1 right): the band
-    // inequality orients the pair, so each meets exactly once with no
-    // ordering guard; the left copy fans over the full grp grid for
-    // parallelism. (A single joint key covering both cases would need
-    // one orientation rule, and band- and grp-orientation can
-    // contradict each other — hence two joins.)
-    val lnext = slim.withColumn("cb",
-      explode(sequence(lit(0), lit(groups - 1)))).alias("l")
-    val next = lnext.join(slim.alias("r"),
-        col("l.blk") === col("r.blk") &&
-          col("l.band") + 1 === col("r.band") &&
-          col("l.cb") === col("r.grp") && ratioOk)
-      .select(pairCols: _*)
-    val cands = same.unionByName(next)
+      .filter(size(col("ss")) > 0) // zero-shingle docs satisfy no pair
+    val toks = sets.select(col("doc_id"), col("blk"),
+      size(col("ss")).as("sz"), explode(col("ss")).as("sh"))
+    val freq = toks.groupBy(col("blk"), col("sh")).agg(count(lit(1)).as("c"))
+    // rare-first prefix of each doc's shingle set, exploded to
+    // (block, shingle) join keys; localCheckpoint because the frame
+    // feeds both sides of the candidate self-join
+    val pre = toks.join(freq, Seq("blk", "sh"))
+      .groupBy(col("doc_id"), col("blk"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("c"), col("sh")))).as("ord"))
+      .withColumn("p", greatest(lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz").cast("double") -
+          lit(1e-9)) + 1).cast("int")))
+      .select(col("doc_id"), col("blk"), col("sz"),
+        explode(expr("slice(ord, 1, p)")).as("t"))
+      .select(col("doc_id"), col("blk"), col("sz"), col("t.sh").as("sh"))
+      .localCheckpoint()
+    val cands = pre.alias("l").join(pre.alias("r"),
+        col("l.blk") === col("r.blk") && col("l.sh") === col("r.sh") &&
+          col("l.doc_id") < col("r.doc_id") &&
+          least(col("l.sz"), col("r.sz")).cast("double") >=
+            lit(threshold) * greatest(col("l.sz"), col("r.sz")).cast("double"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
     cands
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
@@ -330,8 +309,22 @@ object Dedup {
    * distributed. `localCheckpoint` materializes each round's labels,
    * cutting the exponentially growing lineage the loop would
    * otherwise build.
+   *
+   * `alternatingStars = true` switches to alternating large-star /
+   * small-star rounds ([[clustersStars]]) — O(log diameter) rounds
+   * instead of O(diameter), for the rare corpus whose duplicate
+   * relation chains deeply (template families that drift one edit per
+   * generation) rather than forming the usual near-cliques. Identical
+   * output either way; label propagation stays the default because on
+   * near-clique components it converges in the same 1-3 rounds with
+   * one fewer shuffle per round.
    */
-  def clusters(pairs: DataFrame): DataFrame = {
+  def clusters(pairs: DataFrame, alternatingStars: Boolean = false): DataFrame =
+    (if (alternatingStars) clustersStars(pairs) else clustersLabelProp(pairs))._1
+
+  /** Min-label propagation rounds (see [[clusters]]); returns the
+   * round count for convergence tests. */
+  private[operators] def clustersLabelProp(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
@@ -353,8 +346,10 @@ object Dedup {
       .select(col("src").as("doc_id"),
         least(col("src"), col("nbr")).as("cluster_id"))
       .localCheckpoint()
+    var rounds = 1 // the seeded init is round one
     var changed = 1L
     while (changed > 0) {
+      rounds += 1
       val viaNbr = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster_id").as("dst_label")), "dst")
@@ -371,7 +366,73 @@ object Dedup {
       changed = step.filter(col("cluster_id") =!= col("prev")).count()
       labels = step.select(col("doc_id"), col("cluster_id"))
     }
-    labels
+    (labels, rounds)
+  }
+
+  /**
+   * Alternating large-star / small-star connected components (the
+   * public two-phase MapReduce CC algorithm: Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014 — also
+   * the design inside GraphFrames): edges converge onto each
+   * component's minimum in O(log diameter) rounds, vs label
+   * propagation's O(diameter).
+   *
+   *  - **large-star**: every node u connects its strictly LARGER
+   *    neighbors to `min(Γ(u) ∪ u)` — long chains halve (pointer
+   *    doubling) while edges only ever point to smaller ids, so no
+   *    step can lose a component's minimum.
+   *  - **small-star**: every node u connects its smaller neighbors
+   *    (and itself) to their minimum — flattens the local trees the
+   *    large-star step builds.
+   *
+   * Both phases are one group-by + one equi-join over the edge list —
+   * the same exchange shape as a label-propagation round, run twice
+   * per round. Converged when the edge set is a star forest (no
+   * parent is itself a child), which under the p < n invariant means
+   * every tree is a whole component hanging directly off its minimum
+   * — checked with a node-set semi-join, no driver-side edge
+   * materialization anywhere.
+   */
+  private[operators] def clustersStars(pairs: DataFrame): (DataFrame, Int) = {
+    var e = pairs
+      .select(greatest(col("id1"), col("id2")).as("n"),
+        least(col("id1"), col("id2")).as("p"))
+      .filter(col("n") =!= col("p"))
+      .distinct()
+      .localCheckpoint() // pairs may be a whole LSH pipeline: run it once
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      rounds += 1
+      // large-star over the full (bidirectional) neighborhood
+      val nbrs = e.select(col("n").as("u"), col("p").as("v"))
+        .unionByName(e.select(col("p").as("u"), col("n").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("n"), col("m").as("p"))
+        .distinct()
+      // small-star: all edges already point downward (p < n), so
+      // min(N ∪ u) = min(N); each edge re-emits both endpoints → min
+      val smins = large.groupBy(col("n")).agg(min(col("p")).as("m"))
+      val small = large.join(smins, "n")
+        .select(explode(array(
+          struct(col("n").as("a"), col("m").as("b")),
+          struct(col("p").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("n"), col("e.b").as("p"))
+        .filter(col("n") =!= col("p"))
+        .distinct()
+        .localCheckpoint()
+      done = small
+        .join(small.select(col("n").as("p")).distinct(), Seq("p"), "left_semi")
+        .isEmpty
+      e = small
+    }
+    val labels = e.select(col("n").as("doc_id"), col("p").as("cluster_id"))
+      .unionByName(e.select(col("p"), col("p")).distinct()
+        .toDF("doc_id", "cluster_id"))
+    (labels, rounds)
   }
 
   // ---------------- SimHash ---------------------------------------------

@@ -53,7 +53,13 @@ object Export {
     df.withColumn("_h", h)
       .withColumn("shard", pmod(col("_h"), lit(n.toLong)).cast("int"))
       .repartition(n, col("shard"))
-      .sortWithinPartitions(col("_h"), id)
+      // the partitionBy writer REQUIRES task rows ordered by the
+      // partition column and inserts its own (unstable) sort when they
+      // aren't — which could silently scramble the (hash, id) order.
+      // Leading the sort with `shard` satisfies the writer's required
+      // ordering exactly, so no extra sort is inserted and every
+      // shard file is written in the deterministic (hash, id) order.
+      .sortWithinPartitions(col("shard"), col("_h"), id)
       .drop("_h")
       .write.partitionBy("shard")
   }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
  * would amortize model/codec setup per-batch, exactly like a Pandas-
  * UDF/`mapInPandas` pipeline does in Python.
  *
- * The decoders themselves are STUBS (this environment ships no image/
- * audio codecs): `stubDecode` derives deterministic pseudo-features
- * from the bytes. The Spark-side contract — schema, batch iteration,
- * partitioning, output shape — is real and tested; swap `stubDecode`
- * for a JNI/ONNX call and nothing else changes.
+ * Container sniffing and dimension/duration extraction are REAL
+ * header parsers for the public formats (PNG, JPEG, GIF, BMP, WAV) —
+ * no native codec needed to read an IHDR or a RIFF chunk list. Only
+ * the `feature` embedding vector remains a deterministic byte-hash
+ * STAND-IN (this environment ships no image/audio models); swap
+ * [[Multimodal.pseudoFeature]] for a JNI/ONNX call and nothing else
+ * changes.
  */
 object Multimodal {
 
@@ -32,6 +34,8 @@ object Multimodal {
     StructField("header_hex", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Wrap a text/id frame as a media frame (bytes = utf-8 of the text
@@ -42,24 +46,113 @@ object Multimodal {
       struct(lit("application/octet-stream").as("mime"),
         col(source).as("source")).as("meta"))
 
-  /** STUB decoder — deterministic pseudo-features from raw bytes.
-   * Replace with a real codec (???) for production use; signature and
-   * batch shape are the real contract. */
-  private[operators] def stubDecode(id: Long, bytes: Array[Byte]): Row = {
-    val n = bytes.length
-    val header = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
-    // fake dimensions and an 8-dim feature from a rolling byte hash
-    val w = 16 + (math.abs(n * 2654435761L % 1024L)).toInt
-    val h = 16 + (math.abs((n + 7) * 1013904223L % 1024L)).toInt
+  /** Sniffed container facts: detected mime, pixel dims for images,
+   * duration for audio. All-null for unrecognized payloads. */
+  private[operators] final case class MediaInfo(
+      mime: String = null, width: Integer = null, height: Integer = null,
+      durationMs: java.lang.Long = null)
+
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length &&
+      s.indices.forall(j => (b(i + j) & 0xff) == s.charAt(j))
+
+  /** REAL container sniffing from header bytes — the public formats'
+   * own layouts, no codec libraries:
+   *  - PNG: 8-byte signature, then the IHDR chunk's big-endian
+   *    width/height (PNG spec §11.2.2).
+   *  - JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
+   *    C4/C8/CC); frame height/width are big-endian at +5/+7
+   *    (ITU T.81 §B.2.2).
+   *  - GIF: "GIF87a"/"GIF89a", little-endian logical-screen dims.
+   *  - BMP: "BM", BITMAPINFOHEADER little-endian dims (height may be
+   *    negative for top-down rows — absolute value).
+   *  - WAV: RIFF/WAVE chunk walk; duration = data-chunk bytes over
+   *    the fmt chunk's byte rate.
+   * Unknown containers (including this repo's text stand-in payloads)
+   * sniff to all-null, they do not fake dimensions. */
+  private[operators] def sniff(b: Array[Byte]): MediaInfo = {
+    val n = b.length
+    if (n >= 24 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG") &&
+        ascii(b, 12, "IHDR"))
+      MediaInfo("image/png", beU32(b, 16).toInt, beU32(b, 20).toInt)
+    else if (n >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      var out = MediaInfo("image/jpeg")
+      while (out.width == null && i + 3 < n) {
+        if ((b(i) & 0xff) != 0xff) i = n // desync: stop, keep mime only
+        else {
+          var j = i
+          while (j + 1 < n && (b(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+          val m = if (j + 1 < n) b(j + 1) & 0xff else 0
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (j + 8 < n)
+              out = MediaInfo("image/jpeg", beU16(b, j + 7), beU16(b, j + 5))
+            i = n
+          } else if (m == 0xd8 || m == 0xd9 || m == 0x01 ||
+              (m >= 0xd0 && m <= 0xd7)) {
+            i = j + 2 // standalone marker, no length field
+          } else if (j + 3 < n) {
+            i = j + 2 + beU16(b, j + 2) // segment length includes itself
+          } else i = n
+        }
+      }
+      out
+    } else if (n >= 10 && (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
+      MediaInfo("image/gif", leU16(b, 6), leU16(b, 8))
+    else if (n >= 26 && ascii(b, 0, "BM"))
+      MediaInfo("image/bmp", leU32(b, 18).toInt,
+        math.abs(leU32(b, 22).toInt))
+    else if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      var i = 12
+      var byteRate = 0L
+      var dataBytes = -1L
+      while (i + 8 <= n) {
+        val size = leU32(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 16 <= n) byteRate = leU32(b, i + 8 + 8)
+        else if (ascii(b, i, "data")) dataBytes = size
+        // a size past the buffer (truncated or malformed file) ends the
+        // walk — never let the cursor wrap
+        if (size > n - i - 8) i = n
+        else i += 8 + size.toInt + (size.toInt & 1) // chunks word-align
+      }
+      if (byteRate > 0 && dataBytes >= 0)
+        MediaInfo("audio/wav", durationMs = dataBytes * 1000L / byteRate)
+      else MediaInfo("audio/wav")
+    } else MediaInfo()
+  }
+
+  /** Deterministic byte-hash STAND-IN for a real embedding model —
+   * the one remaining stub (this environment ships no image/audio
+   * models). Swap for a JNI/ONNX call; the batch shape is the
+   * contract. */
+  private[operators] def pseudoFeature(bytes: Array[Byte]): Array[Float] = {
     var acc = 1469598103934665603L // FNV-64 offset basis
     val feat = new Array[Float](8)
     var i = 0
-    while (i < n) {
+    while (i < bytes.length) {
       acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
       feat(i % 8) += ((acc >>> 40) & 0xffff).toFloat / 65536f
       i += 1
     }
-    Row(id, n.toLong, header, w, h, feat.toSeq)
+    feat
+  }
+
+  private[operators] def decode(id: Long, bytes: Array[Byte]): Row = {
+    val n = bytes.length
+    val header = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+    val info = sniff(bytes)
+    Row(id, n.toLong, header, info.width, info.height, info.mime,
+      info.durationMs, pseudoFeature(bytes).toSeq)
   }
 
   /** Batched decode/feature-extract: one pass per partition, rows
@@ -70,8 +163,9 @@ object Multimodal {
       // per-batch setup would open the codec/model exactly here
       it.map { r =>
         // null payload → null features (a decoder has nothing to say)
-        if (r.isNullAt(1)) Row(r.getLong(0), null, null, null, null, null)
-        else stubDecode(r.getLong(0), r.getAs[Array[Byte]](1))
+        if (r.isNullAt(1))
+          Row(r.getLong(0), null, null, null, null, null, null, null)
+        else decode(r.getLong(0), r.getAs[Array[Byte]](1))
       }
     }
     spark.createDataFrame(rdd, featureSchema)

@@ -324,7 +324,24 @@ object SeriesEngine {
       // there, null here) — an order-dependent quirk of its fold.
       case "max" => max(when(pass && !isnan(num), num))
       case "min" => min(when(pass && !isnan(num), num))
-      case "avg" => avg(when(pass, num))
+      // avg is an order-free DECIMAL sum / count (dataCard's
+      // construction), not a double fold: partial-aggregation order
+      // flips a double avg's 6th decimal across partitionings, and the
+      // exact decimal sum is engine-reproducible. Per-value rounding to
+      // 12 dp is 6 digits below the result edge's own rounding.
+      // Non-finite inputs can't ride the decimal sum (Inf/NaN cast to
+      // decimal is null, which would silently DROP the value the
+      // reference's float fold poisons the whole sum with) — any
+      // passing Inf/NaN forces the fold's non-finite outcome, which
+      // the result edge then nulls.
+      case "avg" =>
+        val nonfinite = isnan(num) ||
+          num === lit(Double.PositiveInfinity) ||
+          num === lit(Double.NegativeInfinity)
+        when(count(when(pass && nonfinite, lit(1))) > lit(0), lit(Double.NaN))
+          .otherwise(
+            sum(when(pass, num).cast("decimal(38,12)")).cast("double") /
+              count(when(pass, num)))
       case "obj_keys" =>
         // every included object's keys, in ts order, duplicates kept
         flatten(transform(

@@ -194,6 +194,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(("g2", 7L)) == ((None, None)))
   }
 
+  test("normalize: caller columns named like internal stats survive") {
+    // a frame that already carries q50/mn/grp columns must neither fail
+    // analysis as ambiguous nor lose them to the internal drop
+    val docs = Seq(("g1", 0L, 1.0, 2.0, "keep"), ("g1", 10L, 3.0, 4.0, "keep"))
+      .toDF("grp", "v", "q50", "mn", "extra")
+    val out = CorpusStats.normalize(docs, $"grp", $"v")
+    assert(out.columns.toSeq ==
+      Seq("grp", "v", "q50", "mn", "extra", "robust", "minmax"))
+    val r = out.filter($"v" === 0L).head()
+    assert(r.getAs[Double]("q50") == 1.0 && r.getAs[Double]("mn") == 2.0)
+    assert(r.getAs[Double]("minmax") == 0.0)
+  }
+
   test("percentileRank matches percent_rank semantics incl. ties") {
     val docs = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 30L),
       ("h", 5L)).toDF("grp_in", "v")

@@ -21,6 +21,46 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.clusters(pairs).collect()
     assert(got.length == 10 && got.forall(_.getLong(1) == 1L))
   }
+
+  test("clusters: alternating stars agrees with label propagation") {
+    import spark.implicits._
+    // mixed shapes: a triangle-with-tail {1,5,2,12}, a pair {7,9}, a
+    // star {20,21,22,23}, and chained ids arriving in unhelpful order
+    val pairs = Seq((1L, 5L), (5L, 2L), (2L, 12L), (7L, 9L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (12L, 1L)).toDF("id1", "id2")
+    val lp = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = Dedup.clusters(pairs, alternatingStars = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st == lp)
+    assert(st.filter(_._2 == 1L).map(_._1) == Set(1L, 2L, 5L, 12L))
+  }
+
+  test("clusters: stars converge in fewer rounds on a depth-8 chain") {
+    import spark.implicits._
+    // path 1-2-...-9 (diameter 8), edges shuffled so no round gets a
+    // free ordering; both variants must label everything 1
+    val pairs = scala.util.Random.shuffle((1L until 9L).map(i => (i, i + 1)))
+      .toDF("id1", "id2")
+    val (lpDf, lpRounds) = Dedup.clustersLabelProp(pairs)
+    val (stDf, stRounds) = Dedup.clustersStars(pairs)
+    val lp = lpDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = stDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lp == st && st == (1L to 9L).map(i => i -> 1L).toSet)
+    // pointer doubling beats one-hop propagation on deep chains
+    assert(stRounds < lpRounds,
+      s"stars took $stRounds rounds, label prop $lpRounds")
+    // and stars stay cheap on the common near-clique shape
+    val clique = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      .toDF("id1", "id2")
+    assert(Dedup.clustersStars(clique)._2 <= 2)
+  }
+
+  test("clusters: stars handle empty pair frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.clusters(empty, alternatingStars = true).isEmpty)
+  }
   import spark.implicits._
 
   val docs = Seq(
@@ -104,12 +144,24 @@ class DedupSpec extends SparkSpec {
       col("blk"), threshold = 0.5).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((0L, 1L), (0L, 2L), (1L, 2L)))
-    // triangle-cell decomposition is group-count-invariant
-    Seq(1, 2, 5).foreach { g =>
-      val pg = Dedup.ngramJaccardPairs(blocked, col("doc_id"), col("text"),
-        col("blk"), threshold = 0.5, groups = g).collect()
-      assert(pg.map(r => (r.getLong(0), r.getLong(1))).toSet ==
-        Set((0L, 1L), (0L, 2L), (1L, 2L)), s"groups=$g")
+    // prefix filtering is EXACT: agrees with the brute-force all-pairs
+    // Jaccard at several thresholds (incl. boundary-sensitive ones)
+    import spark.implicits._
+    val sets = docs.collect().map { r =>
+      val w = r.getString(1).split(" ").toSeq
+      r.getLong(0) -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    Seq(0.3, 0.5, 0.7).foreach { t =>
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      val got = Dedup.ngramJaccardPairs(blocked, col("doc_id"), col("text"),
+        col("blk"), threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"threshold=$t")
     }
   }
 

@@ -40,4 +40,24 @@ class ExportSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().map(r => r._1 -> r._2).toMap
     assert(written == logical)
   }
+
+  test("writeShards: per-file row order is the deterministic (hash, id) order") {
+    // byte-identical shards require every shard FILE's internal order to
+    // be the logical `pos` order — independent of input partitioning
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardord").toString
+    Export.writeShards(docs.repartition(7), $"doc_id", n = 4)
+      .parquet(s"$dir/out")
+    val logical = Export.shards(docs, $"doc_id", n = 4)
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$dir/out/shard=$s").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      // one task owns each shard directory → exactly one data file
+      assert(files.length == 1, s"shard $s split across ${files.length} files")
+      val inFile = spark.read.parquet(files.head.getPath)
+        .select($"doc_id").as[Long].collect()
+      val expected = inFile.sortBy(id => logical((id, s)))
+      assert(inFile.toSeq == expected.toSeq, s"shard $s order diverged")
+    }
+  }
 }

@@ -17,7 +17,7 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getStruct(2).getString(1) == "srcA")
   }
 
-  test("extractFeatures runs the batched stub decode with real schema") {
+  test("extractFeatures runs the batched decode with real schema") {
     val f = Multimodal.extractFeatures(
       Multimodal.asMedia(docs, "doc_id", "text", "source"))
     val rows = f.orderBy("media_id").collect()
@@ -25,12 +25,78 @@ class MultimodalSpec extends SparkSpec {
     val r = rows.head
     assert(r.getLong(1) == 11L) // "hello world" bytes
     assert(r.getString(2) == "68656c6c") // 'hell' in hex
-    assert(r.getSeq[Float](5).length == 8)
+    // text payloads are no recognized container: dims/mime stay null,
+    // they are not faked
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    assert(r.getSeq[Float](7).length == 8)
     // determinism: same input → same features
     val again = Multimodal.extractFeatures(
       Multimodal.asMedia(docs, "doc_id", "text", "source"))
       .orderBy("media_id").collect()
-    assert(again.head.getSeq[Float](5) == r.getSeq[Float](5))
+    assert(again.head.getSeq[Float](7) == r.getSeq[Float](7))
+  }
+
+  // -- real fixture bytes, built from the formats' public layouts --
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    val ihdr = Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
+    sig ++ ihdr
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    // APP0 before the frame header: the walker must skip it by length
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes ++ new Array[Byte](10)
+    val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff).map(_.toByte) ++
+      new Array[Byte](10)
+    soi ++ app0 ++ sof0
+  }
+
+  private def wavBytes(byteRate: Int, dataSize: Int): Array[Byte] = {
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    "RIFF".getBytes ++ le32(36 + dataSize) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(byteRate) ++
+      le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(dataSize) // payload truncated: header-only
+  }
+
+  test("sniff reads real PNG/JPEG/GIF/BMP dims and WAV duration") {
+    assert(Multimodal.sniff(pngBytes(640, 480)) ==
+      Multimodal.MediaInfo("image/png", 640, 480))
+    assert(Multimodal.sniff(jpegBytes(1920, 1080)) ==
+      Multimodal.MediaInfo("image/jpeg", 1920, 1080))
+    val gif = "GIF89a".getBytes ++
+      Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00, 0, 0) // 320 x 240 LE
+    assert(Multimodal.sniff(gif) == Multimodal.MediaInfo("image/gif", 320, 240))
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      Array[Byte](100, 0, 0, 0) ++
+      Array[Byte](56, -1, -1, -1) ++ // height -200 LE: top-down rows
+      new Array[Byte](4)
+    assert(Multimodal.sniff(bmp) == Multimodal.MediaInfo("image/bmp", 100, 200))
+    // 32000 data bytes at 16000 B/s = 2 s
+    assert(Multimodal.sniff(wavBytes(16000, 32000)) ==
+      Multimodal.MediaInfo("audio/wav", durationMs = 2000L))
+    assert(Multimodal.sniff("not a container".getBytes) ==
+      Multimodal.MediaInfo())
+  }
+
+  test("decode surfaces sniffed dims through the frame") {
+    val media = Seq((7L, pngBytes(32, 16)), (8L, wavBytes(16000, 48000)))
+      .toDF("media_id", "bytes")
+      .withColumn("meta", struct(lit("x").as("mime"), lit("y").as("source")))
+    val out = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") == 32 &&
+      out(0).getAs[Int]("height") == 16 &&
+      out(0).getAs[String]("mime") == "image/png")
+    assert(out(1).getAs[Long]("duration_ms") == 3000L &&
+      out(1).getAs[String]("mime") == "audio/wav")
   }
 
   test("sampleFrames explodes hex windows with stride") {
