@@ -1056,6 +1056,46 @@ object Queries {
           coalesce(shared_grams, 0) > 0 AS flagged
         FROM documents LEFT JOIN h USING (doc_id) ORDER BY doc_id""")),
 
+    // sub-document span dedup: every occurrence of a duplicated
+    // non-overlapping 5-word span except the global first (by
+    // (doc_id, span index)) is deleted; text is rebuilt around the
+    // surviving spans. The oracle's row_number()-over-span is the
+    // same first-wins rule as the operator's min(struct) — both order
+    // by (doc_id, six). `nf` not `full`: FULL is a reserved word.
+    "dedup_spans" -> Entry(
+      (s, dir) => Dedup.spanDedup(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          sp AS (SELECT doc_id, ws, len(ws) AS n, len(ws) // 5 AS nf FROM w),
+          spans AS (SELECT doc_id,
+            unnest(range(0, nf))::INT AS six,
+            unnest(list_transform(range(0, nf), i ->
+              array_to_string(list_slice(ws, i * 5 + 1, i * 5 + 5), ' '))) AS span
+          FROM sp),
+          marked AS (SELECT doc_id, six, span,
+            row_number() OVER (PARTITION BY span ORDER BY doc_id, six) AS rn
+          FROM spans),
+          reb AS (SELECT doc_id,
+            array_to_string(list(span ORDER BY six) FILTER (WHERE rn = 1), ' ') AS kept,
+            count(*) FILTER (WHERE rn > 1)::BIGINT AS n_dropped,
+            count(*)::BIGINT AS n_spans
+          FROM marked GROUP BY doc_id),
+          tails AS (SELECT doc_id,
+            -- array_to_string of an EMPTY list is NULL in DuckDB
+            -- (Spark's array_join gives ''): coalesce, or every doc
+            -- whose length divides 5 exactly gets NULL text
+            coalesce(array_to_string(list_slice(ws, nf * 5 + 1, n), ' '), '')
+              AS tail
+          FROM sp)
+        SELECT t.doc_id,
+          CASE WHEN coalesce(reb.kept, '') = '' THEN t.tail
+               WHEN t.tail = '' THEN reb.kept
+               ELSE reb.kept || ' ' || t.tail END AS text,
+          coalesce(reb.n_spans, 0)::BIGINT AS n_spans,
+          coalesce(reb.n_dropped, 0)::BIGINT AS n_dropped
+        FROM tails t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id""")),
+
     "dedup_incremental" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -533,4 +533,64 @@ object Dedup {
         when(col("dup_exact") === 1 || col("dup_near") === 1, lit(0))
           .otherwise(lit(1)))
   }
+
+  /**
+   * Corpus-level duplicated-SPAN removal — the sub-document dedup the
+   * big web-corpus pipelines run after document dedup (C4 drops
+   * repeated three-sentence spans; the exact-substring dedup
+   * literature removes any repeated 50-token window): document text is
+   * cut into consecutive non-overlapping `k`-word spans, and every
+   * occurrence of a span except the globally FIRST one (by
+   * `(doc_id, span index)` order) is deleted from its document. The
+   * trailing `len % k` words are never candidates (too short to be a
+   * span) and always survive. Output: one row per input document with
+   * the rebuilt text (single-space re-joined), the span count, and
+   * how many spans were dropped — `n_dropped = 0` rows pass through
+   * verbatim (modulo whitespace normalization, documented).
+   *
+   * Scale shape: spans never leave their document until the
+   * first-occurrence resolution, which is one `groupBy(span)` whose
+   * map-side partial `min` collapses hot boilerplate spans BEFORE the
+   * shuffle (a window `row_number over (partition by span)` would
+   * ship every occurrence of the hottest span to one task); the
+   * keeper frame then equi-joins back on the span. Rebuild is one
+   * `groupBy(doc_id)` — rows ≤ #spans, grouped on the id the next
+   * pipeline stage joins on anyway. Nothing is quadratic and no
+   * corpus-sized state touches the driver.
+   */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+      k: Int = 5): DataFrame = {
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("ws"))
+      // non-negative sizes: floor == integer division on both engines
+      .withColumn("nf", floor(size(col("ws")) / k).cast("int"))
+    val spans = base.select(col("doc_id"),
+        posexplode(when(col("nf") > 0,
+          expr(s"transform(sequence(0, nf - 1), i -> " +
+            s"array_join(slice(ws, i * $k + 1, $k), ' '))"))
+          .otherwise(array().cast("array<string>"))).as(Seq("six", "span")))
+    val firsts = spans.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("six"))).as("__first"))
+    val rebuilt = spans.join(firsts, "span")
+      .withColumn("__keep",
+        struct(col("doc_id"), col("six")) === col("__first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        // when() yields null for dropped spans; collect_list skips
+        // nulls, so the sort_array is over kept (six, span) only
+        sort_array(collect_list(when(col("__keep"),
+          struct(col("six"), col("span"))))).as("__ks"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+        count(lit(1)).as("n_spans"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(concat(
+            coalesce(expr("transform(__ks, x -> x.span)"),
+              array().cast("array<string>")),
+            array(array_join(
+              slice(col("ws"), col("nf") * k + 1,
+                size(col("ws")) - col("nf") * k), " "))),
+          x => x =!= ""), " ").as("text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

@@ -214,4 +214,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sh.forall(p => p._1 != p._2))
   }
+
+  test("spanDedup: first occurrence survives, later ones are cut") {
+    import spark.implicits._
+    // k=2 spans: docs a and b share span "x y" at span 0; b's copy is
+    // cut. c is too short for any span (1 word) and passes verbatim.
+    // d duplicates ITS OWN span ("p q p q"): the second in-doc copy
+    // is cut too. Tails ("t1"/"t2"/odd trailing words) always survive.
+    val docs = Seq(
+      ("a", "x y a b t1"),
+      ("b", "x y c d t2"),
+      ("c", "z"),
+      ("d", "p q p q r")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", "x y a b t1", 2L, 0L),
+      ("b", "c d t2", 2L, 1L),
+      ("c", "z", 0L, 0L),
+      ("d", "p q r", 2L, 1L)))
+  }
+
+  test("spanDedup: doc losing every span keeps only its tail") {
+    import spark.implicits._
+    val docs = Seq(("a", "x y"), ("b", "x y tail")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", "x y", 1L, 0L), ("b", "tail", 1L, 1L)))
+  }
 }
