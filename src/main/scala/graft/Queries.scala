@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, SeriesEngine, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, SeriesEngine, SeriesStats, Similarity, TextOps}
 import graft.operators.SeriesEngine.SeriesQuery
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -167,6 +167,110 @@ object Queries {
           round(coalesce(a.c, 0), 6) AS c_v, a.cmax AS cmax_u
         FROM (SELECT DISTINCT bucket FROM s) b
         LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
+
+    // ========== bucket-series post-processing (SeriesStats) ==========
+
+    // gap-filled minute spine over a sparse series: every minute
+    // between the first and last purchase gets a row; minutes with no
+    // purchase carry null sum_v and is_gap = true. Bucket values are
+    // DECIMAL sums (order-free) rounded BEFORE the fill so both
+    // engines fill identical frames.
+    "q_series_gapfill" -> Entry(
+      (s, dir) => SeriesStats.gapFill(
+          t(s, dir, "events").filter(col("event_type") === "purchase")
+            .groupBy((expr("ts div 60000000000") * 60000L).as("bucket_ms"))
+            .agg(round(sum(col("value").cast("decimal(38,12)")).cast("double"), 6)
+              .as("sum_v")),
+          groupMs = 60000L)
+        .orderBy("bucket_ms"),
+      Some("""WITH b AS (SELECT (epoch_us(ts) // 60000000) * 60000 AS bucket_ms,
+            round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_v
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT sp.bucket_ms AS bucket_ms, b.sum_v AS sum_v,
+          b.bucket_ms IS NULL AS is_gap
+        FROM (SELECT unnest(generate_series((SELECT min(bucket_ms) FROM b),
+            (SELECT max(bucket_ms) FROM b), 60000)) AS bucket_ms) sp
+        LEFT JOIN b ON sp.bucket_ms = b.bucket_ms ORDER BY 1""")),
+
+    // trailing smoothers over the hourly sum series: 4-bucket rolling
+    // mean + truncated adjusted EWMA (α=0.3, 8 lags). The smoothed
+    // input is an exact DECIMAL sum cast to double so both engines
+    // smooth IDENTICAL values; EWMA weights are exact decimal
+    // literals on both sides (0.7^j — see SeriesStats.smooth).
+    "q_series_smooth" -> Entry(
+      (s, dir) => SeriesStats.smooth(
+          t(s, dir, "events")
+            .groupBy((expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
+            .agg(sum(col("value").cast("decimal(38,12)")).cast("double")
+              .as("sum_v")),
+          col("sum_v"), rollN = 4, alpha = 0.3, ewmaLags = 8)
+        .withColumn("sum_v", round(col("sum_v"), 6))
+        .orderBy("bucket_ms"),
+      Some("""WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600000 AS bucket_ms,
+            CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sum_v
+          FROM events GROUP BY 1),
+        s AS (SELECT bucket_ms, sum_v,
+            avg(sum_v) OVER (ORDER BY bucket_ms
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll,
+            lag(sum_v, 1) OVER (ORDER BY bucket_ms) AS l1,
+            lag(sum_v, 2) OVER (ORDER BY bucket_ms) AS l2,
+            lag(sum_v, 3) OVER (ORDER BY bucket_ms) AS l3,
+            lag(sum_v, 4) OVER (ORDER BY bucket_ms) AS l4,
+            lag(sum_v, 5) OVER (ORDER BY bucket_ms) AS l5,
+            lag(sum_v, 6) OVER (ORDER BY bucket_ms) AS l6,
+            lag(sum_v, 7) OVER (ORDER BY bucket_ms) AS l7
+          FROM b)
+        SELECT bucket_ms, round(sum_v, 6) AS sum_v,
+          round(roll, 6) AS roll_mean,
+          round((1.0::DOUBLE * sum_v
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.7::DOUBLE * l1 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.49::DOUBLE * l2 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.343::DOUBLE * l3 END
+              + CASE WHEN l4 IS NULL THEN 0 ELSE 0.2401::DOUBLE * l4 END
+              + CASE WHEN l5 IS NULL THEN 0 ELSE 0.16807::DOUBLE * l5 END
+              + CASE WHEN l6 IS NULL THEN 0 ELSE 0.117649::DOUBLE * l6 END
+              + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0823543::DOUBLE * l7 END)
+            / (1.0::DOUBLE
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.7::DOUBLE END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.49::DOUBLE END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.343::DOUBLE END
+              + CASE WHEN l4 IS NULL THEN 0 ELSE 0.2401::DOUBLE END
+              + CASE WHEN l5 IS NULL THEN 0 ELSE 0.16807::DOUBLE END
+              + CASE WHEN l6 IS NULL THEN 0 ELSE 0.117649::DOUBLE END
+              + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0823543::DOUBLE END), 6)
+            AS ewma
+        FROM s ORDER BY 1""")),
+
+    // per-event-type hourly COUNT series, each bucket z-scored
+    // against its own series' mean/σ over occupied buckets. Counts
+    // are integers, so both engines derive mean and variance from
+    // identical sums and z is bit-reproducible before the 6-dp round;
+    // the flag tests the ROUNDED z so it can never straddle.
+    "events_anomaly" -> Entry(
+      (s, dir) => SeriesStats.anomaly(
+          t(s, dir, "events")
+            .groupBy(col("event_type"),
+              (expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
+            .agg(count(lit(1)).cast("double").as("n")),
+          col("n"), threshold = 2.0, partitionBy = Seq("event_type"))
+        .orderBy("event_type", "bucket_ms"),
+      Some("""WITH b AS (SELECT event_type,
+            (epoch_us(ts) // 3600000000) * 3600000 AS bucket_ms,
+            count(*)::DOUBLE AS n
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type,
+            CAST(sum(CAST(n AS DECIMAL(38,12))) AS DOUBLE) AS s,
+            CAST(sum(CAST(n * n AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+            count(n) AS cnt
+          FROM b GROUP BY 1),
+        zt AS (SELECT b.event_type, b.bucket_ms, b.n,
+            round(CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
+              THEN (n - s / cnt) / sqrt(ss / cnt - (s / cnt) * (s / cnt))
+              END, 6) AS z
+          FROM b JOIN st USING (event_type))
+        SELECT event_type, bucket_ms, n, z,
+          coalesce(abs(z) > 2.0, false) AS is_anomaly
+        FROM zt ORDER BY 1, 2""")),
 
     "q_series_identity_day" -> Entry(
       (s, dir) => SeriesEngine.query(
@@ -773,6 +877,25 @@ object Queries {
       Some("""SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp,
           min(doc_id) AS keep_id, count(*) AS n
         FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // quality-aware keeper selection: per exact-dup cluster keep the
+    // LONGEST copy (tie → min id) instead of blind min-id; one row
+    // per input doc. The oracle's row_number order (n_chars DESC,
+    // doc_id) is the same rule as the operator's max(struct(q, -id)).
+    "dedup_keep_best" -> Entry(
+      (s, dir) => Dedup.exactKeepBest(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id, n_chars,
+            md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+          FROM documents),
+        r AS (SELECT doc_id, fp,
+            row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+          FROM f),
+        k AS (SELECT fp, doc_id AS keep_id FROM r WHERE rn = 1),
+        c AS (SELECT fp, count(*)::BIGINT AS n FROM f GROUP BY 1)
+        SELECT f.doc_id, k.keep_id, c.n, f.doc_id = k.keep_id AS is_keeper
+        FROM f JOIN k USING (fp) JOIN c USING (fp) ORDER BY f.doc_id""")),
 
     "dedup_minhash_lsh" -> Entry(
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"),
@@ -1665,6 +1788,32 @@ object Queries {
           (maxc::DOUBLE / total::DOUBLE) AS top_ngram_frac,
           (1.0 - dct::DOUBLE / total::DOUBLE) AS dup_ngram_frac
         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+
+    // n-gram novelty: fraction of each doc's distinct 12-word grams
+    // appearing in no other doc — the inverse of dedup_substrings'
+    // boilerplate count. Oracle counts string grams; the operator
+    // counts 60-bit hashes of them (identical modulo md5 collisions).
+    "text_novelty" -> Entry(
+      (s, dir) => TextOps.novelty(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 12)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          dg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 12
+              THEN list_transform(range(1, len(w) - 10), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' ||
+                w[i+8] || ' ' || w[i+9] || ' ' || w[i+10] || ' ' || w[i+11])
+              ELSE [] END) AS gram FROM w)),
+          fr AS (SELECT gram, count(*) AS nd FROM dg GROUP BY 1),
+          p AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+              count(*) FILTER (WHERE nd = 1)::BIGINT AS n_unique
+            FROM dg JOIN fr USING (gram) GROUP BY 1)
+        SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+          coalesce(p.n_unique, 0)::BIGINT AS n_unique,
+          CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(p.n_unique::DOUBLE / p.n_grams, 6) END AS novelty
+        FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""")),
 
     "text_decontaminate" -> Entry(
       (s, dir) => {

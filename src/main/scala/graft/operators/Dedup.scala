@@ -24,6 +24,35 @@ object Dedup {
       .filter(col("n") > 1)
 
   /**
+   * Exact dedup with QUALITY-AWARE keeper selection: instead of
+   * [[exact]]'s min-id keeper, each content-fingerprint cluster keeps
+   * the copy with the highest `quality` (longest, best-scored, …; tie
+   * → lowest id, so the choice is deterministic). This is the keeper
+   * rule real corpus pipelines want — duplicate crawls differ in
+   * truncation/encoding damage, and min-id throws away the best copy
+   * whenever it arrived later. Emits one row PER INPUT DOC (`keep_id`,
+   * cluster size, `is_keeper`), ready to filter or join.
+   *
+   * Same scale shape as [[exact]]: one hash group-by whose map-side
+   * partial `max(struct)` collapses clusters before the shuffle, then
+   * a per-doc rejoin on the fingerprint. `id` must be numeric — the
+   * tie-break rides the struct ordering as `(quality, −id)`.
+   */
+  def exactKeepBest(df: DataFrame, id: Column, text: Column,
+      quality: Column): DataFrame = {
+    val withFp = df.select(id.as("doc_id"),
+      TextOps.fingerprint(text).as("fp"),
+      quality.cast("double").as("__q"))
+    val keep = withFp.groupBy(col("fp"))
+      .agg(max(struct(col("__q"), (-col("doc_id")).as("__nid"))).as("__k"),
+        count(lit(1)).as("n"))
+      .select(col("fp"), (-col("__k.__nid")).as("keep_id"), col("n"))
+    withFp.join(keep, "fp")
+      .select(col("doc_id"), col("keep_id"), col("n"),
+        (col("doc_id") === col("keep_id")).as("is_keeper"))
+  }
+
+  /**
    * Exact shared-substring (boilerplate/partial-copy) detection: flag
    * documents sharing any `k`-word exact substring with ANOTHER
    * document — the license-header / template / long-quote case that

@@ -133,6 +133,41 @@ object TextOps {
   }
 
   /**
+   * Corpus-level n-gram NOVELTY: what fraction of each document's
+   * distinct `k`-word substrings appear in NO other document. The
+   * inverse view of [[Dedup.sharedSubstrings]] — that operator flags
+   * docs containing boilerplate; this one scores how much of a doc is
+   * original, the per-doc signal dataset builders threshold to prefer
+   * content-bearing pages over template farms. `novelty = n_unique /
+   * n_grams` (6 dp; null for docs too short to form any gram).
+   *
+   * Same scale shape as sharedSubstrings: grams deduplicate inside
+   * each row before the explode, travel as 60-bit hashes (8 bytes
+   * through the shuffle), and the gram-frequency group-by partial-
+   * aggregates map-side; per-doc ratios come back via one count-join.
+   */
+  def novelty(df: DataFrame, id: Column, text: Column,
+      k: Int = 12): DataFrame = {
+    val grams = df.select(id.as("doc_id"),
+        explode(array_distinct(ngrams(text, k))).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+    val freq = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd")) // grams are distinct per doc
+    val per = grams.join(freq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+    df.select(id.as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        // explicit null for gram-less docs: double 0/0 would be NaN
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_unique").cast("double") / col("n_grams"), 6))
+          .as("novelty"))
+  }
+
+  /**
    * Benchmark decontamination: flag corpus documents sharing any
    * word n-gram with an evaluation set (the standard n-gram-overlap
    * contamination check run before training). `hits` counts the

@@ -215,6 +215,23 @@ class DedupSpec extends SparkSpec {
     assert(sh.forall(p => p._1 != p._2))
   }
 
+  test("exactKeepBest: highest quality wins, ties break to min id") {
+    import spark.implicits._
+    // docs 1/3/5 identical text (whitespace-normalized): 3 has the
+    // best quality → keeper. docs 2/4 tie on quality → min id keeps.
+    val docs = Seq(
+      (1L, "same text", 9L), (3L, "same  text", 20L), (5L, "same text ", 9L),
+      (2L, "other", 7L), (4L, "other", 7L),
+      (6L, "solo", 4L)).toDF("doc_id", "text", "q")
+    val got = Dedup.exactKeepBest(docs, col("doc_id"), col("text"), col("q"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, false), (2L, 2L, 2L, true), (3L, 3L, 3L, true),
+      (4L, 2L, 2L, false), (5L, 3L, 3L, false), (6L, 6L, 1L, true)))
+  }
+
   test("spanDedup: first occurrence survives, later ones are cut") {
     import spark.implicits._
     // k=2 spans: docs a and b share span "x y" at span 0; b's copy is

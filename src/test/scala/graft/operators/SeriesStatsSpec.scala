@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeriesStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFill: missing buckets appear with nulls and is_gap") {
+    val b = Seq((0L, 1.0), (2000L, 2.0), (3000L, 3.0)).toDF("bucket_ms", "v")
+    val got = SeriesStats.gapFill(b, 1000L).orderBy("bucket_ms")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (0L, Some(1.0), false), (1000L, None, true),
+      (2000L, Some(2.0), false), (3000L, Some(3.0), false)))
+  }
+
+  test("gapFill: per-series spines are independent") {
+    val b = Seq(("a", 0L, 1.0), ("a", 2000L, 2.0), ("b", 5000L, 5.0))
+      .toDF("k", "bucket_ms", "v")
+    val got = SeriesStats.gapFill(b, 1000L, partitionBy = Seq("k"))
+      .orderBy("k", "bucket_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    // b's spine is a single bucket — a's gap never leaks into it
+    assert(got.toSeq == Seq(("a", 0L, false), ("a", 1000L, true),
+      ("a", 2000L, false), ("b", 5000L, false)))
+  }
+
+  test("gapFill: spans wider than one chunk are contiguous") {
+    // 3000 buckets > the 1024-bucket chunk: the two-level explode
+    // must produce exactly the arithmetic sequence, no seams
+    val b = Seq((0L, 1.0), (2999000L, 2.0)).toDF("bucket_ms", "v")
+    val got = SeriesStats.gapFill(b, 1000L)
+    assert(got.count() == 3000)
+    assert(got.agg(min("bucket_ms"), max("bucket_ms"), countDistinct("bucket_ms"))
+      .collect().head.toSeq == Seq(0L, 2999000L, 3000L))
+    assert(got.filter(!col("is_gap")).count() == 2)
+  }
+
+  test("gapFill: empty input produces an empty spine") {
+    val b = Seq.empty[(Long, Double)].toDF("bucket_ms", "v")
+    assert(SeriesStats.gapFill(b, 1000L).isEmpty)
+  }
+
+  test("smooth: rolling mean is partial at the head, ewma renormalizes") {
+    val b = Seq((0L, 1.0), (1000L, 2.0), (2000L, 3.0)).toDF("bucket_ms", "v")
+    val got = SeriesStats.smooth(b, col("v"), rollN = 2, alpha = 0.5,
+        ewmaLags = 2).orderBy("bucket_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // roll2: 1, 1.5, 2.5 ; ewma (w = 1, 0.5):
+    //   t0 = 1 ; t1 = (2 + .5)/1.5 = 1.666667 ; t2 = (3 + 1)/1.5 = 2.666667
+    assert(got.toSeq == Seq((0L, 1.0, 1.0), (1000L, 1.5, 1.666667),
+      (2000L, 2.5, 2.666667)))
+  }
+
+  test("smooth: null buckets drop out of both smoothers") {
+    val b = Seq((0L, Some(2.0)), (1000L, None), (2000L, Some(4.0)))
+      .toDF("bucket_ms", "v")
+    val got = SeriesStats.smooth(b, col("v"), rollN = 3, alpha = 0.5,
+        ewmaLags = 3).orderBy("bucket_ms")
+      .collect().map(r => (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // roll at t1 = avg(2) = 2 (null skipped); ewma t1 = 2·0.5/0.5 = 2
+    // ewma t2 = (4·1 + 2·0.25)/1.25 = 3.6 (the null lag's weight gone)
+    assert(got.toSeq == Seq((Some(2.0), Some(2.0)), (Some(2.0), Some(2.0)),
+      (Some(3.0), Some(3.6))))
+  }
+
+  test("anomaly: z against per-series integer-exact stats") {
+    val b = Seq(("a", 0L, 0.0), ("a", 1L, 0.0), ("a", 2L, 0.0),
+        ("a", 3L, 0.0), ("a", 4L, 10.0), ("b", 0L, 7.0))
+      .toDF("k", "bucket_ms", "n")
+    val got = SeriesStats.anomaly(b, col("n"), threshold = 1.5,
+        partitionBy = Seq("k")).orderBy("k", "bucket_ms")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    // a: m = 2, var = 20 − 4 = 16 → z = ±(x−2)/4 ; b: σ = 0 → null z
+    assert(got.toSeq == Seq(("a", Some(-0.5), false), ("a", Some(-0.5), false),
+      ("a", Some(-0.5), false), ("a", Some(-0.5), false),
+      ("a", Some(2.0), true), ("b", None, false)))
+  }
+
+  test("anomaly: global stats when unpartitioned") {
+    val b = Seq((0L, 1.0), (1L, 3.0)).toDF("bucket_ms", "n")
+    val got = SeriesStats.anomaly(b, col("n"), threshold = 0.5)
+      .orderBy("bucket_ms")
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    // m = 2, var = 5 − 4 = 1 → z = ∓1
+    assert(got.toSeq == Seq((-1.0, true), (1.0, true)))
+  }
+}

@@ -172,4 +172,18 @@ class TextOpsSpec extends SparkSpec {
     assert(Seq("tiny").toDF("t")
       .select(TextOps.winnowFingerprints($"t")).as[Seq[Long]].head().isEmpty)
   }
+
+  test("novelty: shared grams lower the ratio; short docs are null") {
+    // k=3 grams: doc 1 "a b c d" → {abc, bcd}; doc 2 "a b c" → {abc};
+    // abc is shared, bcd unique → doc 1 novelty 1/2, doc 2 0/1.
+    // doc 3 is too short for any gram → zero counts, null ratio.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.novelty(docs, $"doc_id", $"text", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq((1L, 2L, 1L, Some(0.5)), (2L, 1L, 0L, Some(0.0)),
+      (3L, 0L, 0L, None)))
+  }
 }
