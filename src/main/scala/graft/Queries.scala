@@ -24,27 +24,73 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // ---- events table: schema-adaptive epoch-ns contract -----------------
+  // The engine is ns-native: every series/events operator does integer
+  // epoch-nanosecond arithmetic on `ts`. The driver's testdata has
+  // shipped `ts` both as a raw BIGINT of epoch ns (parquet TIMESTAMP_NS
+  // under spark.sql.legacy.parquet.nanosAsLong) and as parquet
+  // TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize HERE, once,
+  // so downstream code never sees the drift. Optional [fromNs, toNs)
+  // bounds are applied to the RAW column with type-matched literals so
+  // the range predicate still reaches the parquet scan (PushedFilters)
+  // instead of dying on a derived expression.
+  private[graft] def eventsNs(s: SparkSession, dir: String,
+      fromNs: Option[Long] = None, toNs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, dir, "events")
+    val dt = raw.schema("ts").dataType
+    def bound(ns: Long): Column = dt match {
+      case LongType => lit(ns)
+      case TimestampNTZType => lit(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L).toInt,
+        java.time.ZoneOffset.UTC))
+      case TimestampType => lit(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L)))
+      case other => throw new IllegalStateException(
+        s"events.ts: expected BIGINT(ns) or TIMESTAMP, got $other")
+    }
+    var f = raw
+    fromNs.foreach(n => f = f.filter(col("ts") >= bound(n)))
+    toNs.foreach(n => f = f.filter(col("ts") < bound(n)))
+    f.withColumn("ts", normalizeTsNs(col("ts"), dt))
+  }
+
+  /** `ts` in any of the three shipped shapes → epoch ns BIGINT.
+    * NTZ values are naive wall-clock; the engine contract pins the
+    * session timezone to UTC (all mains + the test fixture set it), so
+    * the tz-independent timestampdiff against the NTZ epoch is used
+    * rather than a session-tz-dependent cast. */
+  private[graft] def normalizeTsNs(ts: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType => ts
+      case TimestampNTZType =>
+        timestamp_diff("MICROSECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)), ts) * 1000L
+      case TimestampType => unix_micros(ts) * 1000L
+      case other => throw new IllegalStateException(
+        s"events.ts: expected BIGINT(ns) or TIMESTAMP, got $other")
+    }
+  }
+
   // ---- events as a seriesly database -----------------------------------
-  // ts is µs-truncated (the oracle reads parquet TIMESTAMP_NS at µs
+  // ts is µs-truncated (the oracle reads the parquet timestamps at µs
   // precision); the engine itself is ns-native. The JSON doc embeds the
   // original `props` object verbatim so pointer extraction sees it.
-  // Range bounds (epoch ns, µs-aligned) are ALSO applied to the raw ts
-  // column before any projection so the predicate reaches the parquet
-  // scan — the engine re-applies the same [from,to) on its derived ts,
-  // which is then a no-op.
+  // Range bounds (epoch ns, µs-aligned) are applied by eventsNs to the
+  // raw ts column before any projection so the predicate reaches the
+  // parquet scan — the engine re-applies the same [from,to) on its
+  // derived ts, which is then a no-op.
   private def eventsSeries(s: SparkSession, dir: String,
-      fromNs: Option[Long] = None, toNs: Option[Long] = None): DataFrame = {
-    var raw = t(s, dir, "events")
-    fromNs.foreach(n => raw = raw.filter(col("ts") >= n))
-    toNs.foreach(n => raw = raw.filter(col("ts") < n))
-    raw.select(
+      fromNs: Option[Long] = None, toNs: Option[Long] = None): DataFrame =
+    eventsNs(s, dir, fromNs, toNs).select(
       (expr("ts div 1000") * 1000).as("ts"),
       col("event_id").as("seq"),
       concat(lit("{\"type\":\""), col("event_type"),
         lit("\",\"v\":"), col("value").cast("string"),
         lit(",\"user\":"), col("user_id").cast("string"),
         lit(",\"props\":"), col("props"), lit("}")).as("doc"))
-  }
 
   private val HourMs = 3600000L
   private val DayMs = 86400000L
@@ -177,7 +223,7 @@ object Queries {
     // engines fill identical frames.
     "q_series_gapfill" -> Entry(
       (s, dir) => SeriesStats.gapFill(
-          t(s, dir, "events").filter(col("event_type") === "purchase")
+          eventsNs(s, dir).filter(col("event_type") === "purchase")
             .groupBy((expr("ts div 60000000000") * 60000L).as("bucket_ms"))
             .agg(round(sum(col("value").cast("decimal(38,12)")).cast("double"), 6)
               .as("sum_v")),
@@ -199,7 +245,7 @@ object Queries {
     // literals on both sides (0.7^j — see SeriesStats.smooth).
     "q_series_smooth" -> Entry(
       (s, dir) => SeriesStats.smooth(
-          t(s, dir, "events")
+          eventsNs(s, dir)
             .groupBy((expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
             .agg(sum(col("value").cast("decimal(38,12)")).cast("double")
               .as("sum_v")),
@@ -248,7 +294,7 @@ object Queries {
     // the flag tests the ROUNDED z so it can never straddle.
     "events_anomaly" -> Entry(
       (s, dir) => SeriesStats.anomaly(
-          t(s, dir, "events")
+          eventsNs(s, dir)
             .groupBy(col("event_type"),
               (expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
             .agg(count(lit(1)).cast("double").as("n")),
@@ -303,7 +349,7 @@ object Queries {
     // grouping, rate chains, and ordering scope per series key
     "q_series_per_type_day" -> Entry(
       (s, dir) => {
-        val raw = t(s, dir, "events")
+        val raw = eventsNs(s, dir)
         val df = raw.select(
           (expr("ts div 1000") * 1000).as("ts"), col("event_id").as("seq"),
           concat(lit("{\"v\":"), col("value").cast("string"), lit("}")).as("doc"),
@@ -337,10 +383,11 @@ object Queries {
     // ================= scan / point / delete parity ====================
 
     "q_all_range_limit" -> Entry(
-      (s, dir) => t(s, dir, "events")
-        // range on the RAW ns column so the predicate reaches the scan
-        // (a filter on `ts div 1000` would not push down)
-        .filter(col("ts") >= 1704844800000000000L && col("ts") < 1705104000000000000L)
+      // range bounds go through eventsNs so they land on the RAW column
+      // with type-matched literals and reach the scan (a filter on the
+      // normalized/derived ts would not push down)
+      (s, dir) => eventsNs(s, dir,
+          Some(1704844800000000000L), Some(1705104000000000000L))
         .select(expr("ts div 1000").as("ts_us"), col("event_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy(col("ts_us"), col("event_id")).limit(500),
@@ -350,7 +397,7 @@ object Queries {
         ORDER BY 1, 2 LIMIT 500""")),
 
     "q_point_get" -> Entry(
-      (s, dir) => t(s, dir, "events")
+      (s, dir) => eventsNs(s, dir)
         .filter(col("event_id") === 4242)
         .select(expr("ts div 1000").as("ts_us"), col("event_type"),
           col("value"), col("props")),
@@ -364,7 +411,7 @@ object Queries {
         val root = java.nio.file.Files.createTempDirectory("graft-verify").toString
         val store = new graft.sources.SeriesStore(s, root)
         store.create("ev")
-        store.storeBatch("ev", t(s, dir, "events")
+        store.storeBatch("ev", eventsNs(s, dir)
           .select((expr("ts div 1000") * 1000).as("ts"), col("props").as("doc")))
         store.deleteRange("ev", Some("2024-01-10"), Some("2024-01-20"))
         store.frame("ev").agg(
@@ -379,7 +426,7 @@ object Queries {
     // _dump's canonical key surface (S7): RFC3339Nano UTC keys with
     // trailing fraction zeros trimmed, for the earliest 500 events.
     "q_dump_keys" -> Entry(
-      (s, dir) => t(s, dir, "events")
+      (s, dir) => eventsNs(s, dir)
         .select((expr("ts div 1000") * 1000).as("tns"), col("event_id"))
         .orderBy(col("tns"), col("event_id")).limit(500)
         .select(col("event_id"),
@@ -401,7 +448,7 @@ object Queries {
     "q_time_parse" -> Entry(
       (s, dir) => {
         val parse = udf((x: String) => graft.timelib.TimeLib.parseTime(x))
-        t(s, dir, "events")
+        eventsNs(s, dir)
           .filter(col("event_id") < 500)
           .select(col("event_id"), expr("ts div 1000").as("us"))
           .select(col("event_id"),
@@ -569,7 +616,7 @@ object Queries {
     // its three fields stay atomic under IGNORE NULLS.
     "events_asof_join" -> Entry(
       (s, dir) => {
-        val ev = t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+        val ev = eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
           col("event_id"), col("user_id"), col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
@@ -605,7 +652,7 @@ object Queries {
     // DECIMAL so summation order cannot skew the hash.
     "events_sessionize" -> Entry(
       (s, dir) => {
-        val ev = t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+        val ev = eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
           col("event_id"), col("user_id"), col("value"))
         graft.operators.Sessionize.sessions(ev, col("user_id"), col("ts"),
             col("event_id"), gap = 1800000000L,
@@ -634,7 +681,7 @@ object Queries {
     // RANGE frames make equal-ts chains deterministic on both engines
     "events_funnel" -> Entry(
       (s, dir) => graft.operators.Funnel.stepReach(
-          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
             col("user_id"), col("event_type")),
           col("user_id"), col("ts"), col("event_type"),
           steps = Seq("view", "click", "purchase"))
@@ -662,7 +709,7 @@ object Queries {
     // 3 days of the user's FIRST view (anchored, deterministic)
     "events_funnel_windowed" -> Entry(
       (s, dir) => graft.operators.Funnel.stepReach(
-          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
             col("user_id"), col("event_type")),
           col("user_id"), col("ts"), col("event_type"),
           steps = Seq("view", "click", "purchase"),
@@ -692,7 +739,7 @@ object Queries {
     // lowers to TakeOrderedAndProject
     "events_top_paths" -> Entry(
       (s, dir) => graft.operators.Funnel.topPaths(
-          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
             col("user_id"), col("event_type"), col("event_id")),
           col("user_id"), col("ts"), col("event_type"), col("event_id"),
           maxSteps = 5, k = 20),
@@ -710,7 +757,7 @@ object Queries {
     // no self-join of the event stream
     "events_retention" -> Entry(
       (s, dir) => graft.operators.Retention.matrix(
-          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
             col("user_id")),
           col("user_id"), col("ts"), periodUs = 86400000000L)
         .orderBy(col("cohort"), col("offset")),
@@ -726,7 +773,7 @@ object Queries {
     // independent of per-user event volume
     "events_rolling_active" -> Entry(
       (s, dir) => graft.operators.Retention.rollingActive(
-          t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+          eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
             col("user_id")),
           col("user_id"), col("ts"), periodUs = 86400000000L,
           windowPeriods = 7)
@@ -742,7 +789,7 @@ object Queries {
     // rows, not events, and handles gap days
     "events_rolling_revenue" -> Entry(
       (s, dir) => graft.operators.Retention.rollingSum(
-          t(s, dir, "events").filter(col("event_type") === "purchase")
+          eventsNs(s, dir).filter(col("event_type") === "purchase")
             .select(expr("ts div 1000").as("ts"), col("value")),
           col("ts"), col("value"), periodUs = 86400000000L,
           windowPeriods = 7)
@@ -764,7 +811,7 @@ object Queries {
     "events_pagerank" -> Entry(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = t(s, dir, "events").select(
+        val ev = eventsNs(s, dir).select(
           expr("ts div 1000").as("ts"), col("user_id"), col("event_id"),
           concat(col("event_type"), lit(":"),
             (abs(floor(col("value"))).cast("long") % 4).cast("string"))
@@ -786,7 +833,7 @@ object Queries {
     "events_hits" -> Entry(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = t(s, dir, "events").select(
+        val ev = eventsNs(s, dir).select(
           expr("ts div 1000").as("ts"), col("user_id"), col("event_id"),
           concat(col("event_type"), lit(":"),
             (abs(floor(col("value"))).cast("long") % 4).cast("string"))
@@ -806,7 +853,7 @@ object Queries {
     // the aggregate makes any duplicate/lost row a hash mismatch
     "events_salted_join" -> Entry(
       (s, dir) => {
-        val ev = t(s, dir, "events")
+        val ev = eventsNs(s, dir)
           .select(col("event_id"), col("user_id"), col("value"))
         val cust = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
@@ -831,7 +878,7 @@ object Queries {
     // RangeJoinSpec); the oracle runs the raw quadratic BETWEEN join
     "events_range_join" -> Entry(
       (s, dir) => {
-        val ev = t(s, dir, "events").select(expr("ts div 1000").as("ts"),
+        val ev = eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
           col("event_id"), col("user_id"), col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
