@@ -208,9 +208,11 @@ object Dedup {
 
   /** End-to-end MinHash near-dup pairs: one shared shingle frame →
    * scalar signatures → LSH band buckets → per-bucket candidate pairs
-   * → exact-Jaccard verify ≥ threshold. No self-join and nothing
-   * cached: candidates come out of one group-by on (band, key), so the
-   * plan is shuffle-minimal and owns no cache lifetime.
+   * → exact-Jaccard verify ≥ threshold. No self-join: candidates come
+   * out of one group-by on (band, key). The shingle frame is
+   * localCheckpoint'd because four plan branches consume it
+   * (signatures, the size prefilter, and both verify sides) — without
+   * it the shingling regex re-runs per branch.
    *
    * Bucket-cardinality contract: [[lshCandidates]] materializes each
    * (band, key) bucket's id array in one aggregation buffer (8 bytes
@@ -222,7 +224,7 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
-    val sets = shingled(df, id, text, shingleK)
+    val sets = shingled(df, id, text, shingleK).localCheckpoint()
     val cands = lshCandidates(sigsOf(sets, n), bands, n)
     // Length-ratio prefilter (an exact bound, not an approximation):
     // J(A,B) ≤ min|·|/max|·|, so J ≥ t needs shingle-count ratio ≥ t.

@@ -149,17 +149,22 @@ object Graphs {
     var pr = nodes.withColumn("pr", lit(scale / n)).localCheckpoint()
     var k = 0
     while (k < iterations) {
-      // dangling nodes donate their mass uniformly — a driver scalar,
-      // evaluated in integer arithmetic identical to the oracle's
-      val dm = pr.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("pr")), lit(0L))).head.getLong(0)
-      val dangTerm = (dampingPct * (dm / n)) / 100L
+      // dangling nodes donate their mass uniformly. The mass rides as
+      // a broadcast 1-row frame crossJoined into the update select
+      // (same construction as hits' norm total), NOT a driver .head —
+      // the only per-iteration barrier is the localCheckpoint itself.
+      // Integer shape mirrors the old driver math exactly:
+      // (dampingPct * (dm div n)) div 100, all on non-negative LONGs.
+      val dmF = broadcast(pr.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("__dm")))
       val contrib = ew.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(ldiv(col("pr") * col("ew"), 1000000L)).as("c"))
       pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dmF)
         .select(col("node"),
-          (lit(base + dangTerm) +
+          (lit(base) +
+            ldiv(lit(dampingPct.toLong) * ldiv(col("__dm"), n), 100L) +
             ldiv(lit(dampingPct.toLong) * coalesce(col("c"), lit(0L)), 100L))
             .as("pr"))
         .localCheckpoint()

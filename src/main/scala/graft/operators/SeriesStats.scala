@@ -29,32 +29,56 @@ object SeriesStats {
    * `is_gap = true`. Downstream `coalesce(v, 0)` / interpolation is
    * the caller's policy choice.
    *
-   * The spine is built in two explode levels (chunks of 1024 buckets,
-   * re-distributed between the levels): a year of 1-second buckets is
-   * 31M rows, and a single `sequence(lo, hi)` array that size would
-   * be one 250 MB value in one task — chunking keeps every generated
-   * array ≤1024 elements and spreads spine construction across the
-   * cluster. The join back to the data is a plain equi-join on
-   * (keys, bucket).
+   * The spine is built in two explode levels (re-distributed between
+   * the levels): a year of 1-second buckets is 31M rows, and a single
+   * `sequence(lo, hi)` array that size would be one 250 MB value in
+   * one task. The per-series chunk size adapts to the span —
+   * `max(1024, ⌈√#buckets⌉)` buckets per chunk — so BOTH explode
+   * levels stay balanced: neither the outer chunk array nor any inner
+   * bucket array exceeds ~√#buckets elements (≈5.6k for the 31M-row
+   * case) no matter how extreme the range-to-granularity ratio. The
+   * join back to the data is a plain equi-join on (keys, bucket).
+   *
+   * Alignment precondition, checked loudly: every occupied input
+   * bucket must sit on its series' `lo + k·groupMs` grid. A LEFT join
+   * from the spine would silently DROP misaligned rows (data loss);
+   * instead an `assert_true` guard fails the job with a clear message
+   * when the input grid does not match `groupMs`.
    */
   def gapFill(buckets: DataFrame, groupMs: Long,
       bucketCol: String = "bucket_ms",
       partitionBy: Seq[String] = Nil): DataFrame = {
     require(groupMs > 0, "groupMs must be positive")
     val parts = partitionBy.map(col)
-    val chunk = groupMs * 1024L
-    val chunks = buckets
+    val bounds = buckets
       .groupBy(parts: _*)
       .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
-      .select(parts :+ col("__lo") :+ col("__hi") :+
-        explode(sequence(col("__lo"), col("__hi"), lit(chunk))).as("__cs"): _*)
+    val chunks = bounds
+      .withColumn("__step", greatest(lit(groupMs * 1024L), lit(groupMs) *
+        ceil(sqrt(((col("__hi") - col("__lo")) / lit(groupMs) + 1)
+          .cast("double"))).cast("long")))
+      .select(parts :+ col("__hi") :+ col("__step") :+
+        explode(sequence(col("__lo"), col("__hi"), col("__step"))).as("__cs"): _*)
     val spine = chunks
       .repartition(parts :+ col("__cs"): _*)
       .select(parts :+
         explode(sequence(col("__cs"),
-          least(col("__cs") + (chunk - groupMs), col("__hi")),
+          least(col("__cs") + (col("__step") - groupMs), col("__hi")),
           lit(groupMs))).as(bucketCol): _*)
-    spine.join(buckets.withColumn("__present", lit(true)),
+    // #series-sized frame broadcast back for the misalignment guard;
+    // the filter is always-true (assert_true returns null) but forces
+    // the check to run on every occupied row
+    val loF = broadcast(bounds.select(parts :+ col("__lo"): _*))
+    val checked =
+      (if (parts.isEmpty) buckets.crossJoin(loF)
+       else buckets.join(loF, partitionBy))
+        .where(assert_true(
+          pmod(col(bucketCol) - col("__lo"), lit(groupMs)) === 0,
+          concat(lit(s"gapFill: input bucket "), col(bucketCol),
+            lit(s" is not on the series' lo + k*$groupMs grid — " +
+              "wrong groupMs or misaligned buckets"))).isNull)
+        .drop("__lo")
+    spine.join(checked.withColumn("__present", lit(true)),
         partitionBy :+ bucketCol, "left")
       .withColumn("is_gap", col("__present").isNull)
       .drop("__present")
@@ -97,12 +121,15 @@ object SeriesStats {
       (when(x.isNotNull, lit(wj) * x).otherwise(lit(0.0)),
         when(x.isNotNull, lit(wj)).otherwise(lit(0.0)))
     }
+    // an all-null window (possible when smoothing gapFill output with
+    // >= ewmaLags consecutive gaps) has denominator exactly 0.0 —
+    // guard it so the result is null, not an ANSI DIVIDE_BY_ZERO
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
     buckets
       .withColumn("roll_mean",
         round(avg(v).over(w.rowsBetween(-(rollN - 1), 0)), 6))
-      .withColumn("ewma",
-        round(terms.map(_._1).reduce(_ + _) /
-          terms.map(_._2).reduce(_ + _), 6))
+      .withColumn("ewma", round(when(den > 0.0, num / den), 6))
   }
 
   /**

@@ -82,6 +82,43 @@ class GraphsSpec extends SparkSpec {
     assert(h.columns.toSeq == Seq("node", "auth", "hub"))
   }
 
+  test("pagerank loop issues no driver scalar actions (no .head jobs)") {
+    // the dangling-mass term must ride a broadcast 1-row frame, not a
+    // per-iteration .head — watch every job's call site during a run
+    // and reject any head/collect/count coming from Graphs.scala
+    // (the single upfront nodes.count() is outside the loop and shows
+    // as "count at", exactly once, regardless of iteration count)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val group = "graphs-spec-pagerank-actions"
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val p = Option(j.properties)
+        // suites share one SparkContext and may run in parallel: keep
+        // only THIS test's jobs, tagged via its thread's job group
+        if (p.flatMap(x => Option(x.getProperty("spark.jobGroup.id")))
+            .contains(group))
+          sites.add(p.flatMap(x => Option(x.getProperty("callSite.short")))
+            .getOrElse(""))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "pagerank driver-action audit")
+      ranks(Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c"), iters = 4)
+      Thread.sleep(500) // listener bus is async; drain before asserting
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    import scala.jdk.CollectionConverters._
+    val graft = sites.asScala.filter(_.contains("Graphs.scala"))
+    assert(!graft.exists(_.startsWith("head at")),
+      s"driver .head inside pagerank: ${graft.mkString(", ")}")
+    assert(graft.count(_.startsWith("count at")) <= 1,
+      s"per-iteration counts inside pagerank: ${graft.mkString(", ")}")
+  }
+
   test("hits: multi-edges weight the scores; stable under iteration") {
     // a cites b twice, c once — b the stronger authority at any depth
     val e = Seq("a" -> "b", "a" -> "b", "a" -> "c")

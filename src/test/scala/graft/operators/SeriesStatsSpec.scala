@@ -89,4 +89,40 @@ class SeriesStatsSpec extends SparkSpec {
     // m = 2, var = 5 − 4 = 1 → z = ∓1
     assert(got.toSeq == Seq((-1.0, true), (1.0, true)))
   }
+
+  test("smooth: an all-null window yields null ewma, not DIVIDE_BY_ZERO") {
+    // gapFill-style input: ≥ ewmaLags consecutive null buckets put an
+    // exact 0.0 in the EWMA denominator — must come back null, the
+    // docstring's 'null buckets contribute nothing', not an ANSI error
+    val b = Seq((0L, Some(2.0)), (1000L, None), (2000L, None),
+        (3000L, None)).toDF("bucket_ms", "v")
+    val got = SeriesStats.smooth(b, col("v"), rollN = 2, alpha = 0.5,
+        ewmaLags = 2).orderBy("bucket_ms")
+      .collect().map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // t2, t3: both the bucket and its single lag are null → null ewma
+    assert(got.toSeq == Seq(Some(2.0), Some(2.0), None, None))
+  }
+
+  test("gapFill: misaligned buckets fail loudly instead of vanishing") {
+    // 1500 is not on the 0 + k·1000 grid — a silent LEFT join from
+    // the spine would drop the row; the guard must raise instead
+    val b = Seq((0L, 1.0), (1500L, 2.0)).toDF("bucket_ms", "v")
+    val e = intercept[Exception] {
+      SeriesStats.gapFill(b, 1000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("gapFill")), e.toString)
+  }
+
+  test("gapFill: adaptive chunking keeps wide spines contiguous") {
+    // 3,000,000 buckets: fixed 1024-chunking would make the OUTER
+    // array ~2930 elements; adaptive √n chunking (~1733 per level)
+    // must still produce the exact arithmetic sequence, no seams
+    val b = Seq((0L, 1.0), (2999999000L, 2.0)).toDF("bucket_ms", "v")
+    val got = SeriesStats.gapFill(b, 1000L)
+    assert(got.agg(min("bucket_ms"), max("bucket_ms"), countDistinct("bucket_ms"),
+        count(lit(1))).collect().head.toSeq ==
+      Seq(0L, 2999999000L, 3000000L, 3000000L))
+  }
 }
