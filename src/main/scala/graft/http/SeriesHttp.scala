@@ -25,7 +25,13 @@ import scala.concurrent.duration.{Duration, DurationInt}
  *   DELETE /{db}/_bulk?from&to          bulk range delete
  *   POST   /{db}/_compact               compaction
  *   GET    /{db}/_query?group&ptr&reducer[&f&fv&from&to]
- *                                       bucketed multi-reducer query
+ *                 [&fill&smooth_roll&smooth_alpha&smooth_lags&anomaly&post_col]
+ *                                       bucketed multi-reducer query;
+ *                                       the optional post-processing
+ *                                       params (beyond-reference) gap-
+ *                                       fill the bucket grid and append
+ *                                       roll_mean/ewma and z/is_anomaly
+ *                                       to each bucket's array
  *
  * Built on the JDK server: the engine stays dependency-free, and the
  * façade is deliberately driver-side glue — every response is computed
@@ -264,14 +270,25 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     val q = SeriesQuery(group, ptrs, reds,
       from = p.get("from").map(_.head), to = p.get("to").map(_.head),
       filters = fs.zip(fvs))
+    def truthy(k: String): Boolean =
+      p.get(k).exists(v => v.head == "" || v.head == "1" || v.head == "true")
+    val post = graft.operators.SeriesEngine.PostProcess(
+      fill = truthy("fill"),
+      smoothRoll = p.get("smooth_roll").map(_.head.toInt),
+      smoothAlpha = p.get("smooth_alpha").map(_.head.toDouble).getOrElse(0.3),
+      smoothLags = p.get("smooth_lags").map(_.head.toInt).getOrElse(8),
+      anomaly = p.get("anomaly").map(_.head.toDouble),
+      valueIndex = p.get("post_col").map(_.head.toInt).getOrElse(0))
     // the timer wraps the full emit (compute + stream), matching the
     // reference's executeQuery timing (query.go:318-331); cache hits
     // stream chunked exactly like computed responses instead of being
-    // buffered into one send
+    // buffered into one send. Post-processed responses bypass the
+    // cache (its key covers only the base SeriesQuery).
     timedQuery(s"_query $db ${ex.getRequestURI.getQuery}") {
       cache match {
-        case Some(c) => sendStream(ex, c.queryJson(db, q).grouped(streamChunkChars))
-        case None => sendStream(ex, store.queryJsonChunks(db, q))
+        case Some(c) if post.isNoop =>
+          sendStream(ex, c.queryJson(db, q).grouped(streamChunkChars))
+        case _ => sendStream(ex, store.queryJsonChunks(db, q, post))
       }
     }
   }

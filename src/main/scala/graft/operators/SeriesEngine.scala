@@ -70,6 +70,34 @@ object SeriesEngine {
     "sum", "sumsq", "max", "min", "avg", "obj_keys", "obj_distinct_keys") ++
     rateReducers
 
+  /** reducers whose output column supports numeric post-processing */
+  val numericReducers: Set[String] =
+    Set("count", "sum", "sumsq", "max", "min", "avg") ++ rateReducers
+
+  /** Optional derived-series post-processing over a finished `_query`
+   * bucket frame (beyond-reference: the reference's param surface,
+   * handlers.go:113-166, stops at reduce — this hangs gap-fill /
+   * smoothing / anomaly flags off the same table, applied in the
+   * order fill → smooth → anomaly over the reducer column selected
+   * by `valueIndex`). `fill` inserts every group-grid bucket between
+   * the first and last occupied one, with null reducer values (the
+   * smoothers then skip them — [[SeriesStats.smooth]]). Smoothing and
+   * anomaly scoring require the target reducer to be numeric
+   * ([[numericReducers]]). */
+  case class PostProcess(
+      fill: Boolean = false,
+      smoothRoll: Option[Int] = None,
+      smoothAlpha: Double = 0.3,
+      smoothLags: Int = 8,
+      anomaly: Option[Double] = None,
+      valueIndex: Int = 0) {
+    def isNoop: Boolean = !fill && smoothRoll.isEmpty && anomaly.isEmpty
+    /** extra per-bucket array elements, in emit order */
+    def derived: Seq[String] =
+      (if (smoothRoll.isDefined) Seq("roll_mean", "ewma") else Nil) ++
+        (if (anomaly.isDefined) Seq("z", "is_anomaly") else Nil)
+  }
+
   /** Runs the query; output is one row per bucket that contains ≥1
    * in-range document (pre-filter, as in the reference — query.go:264-289):
    * `bucket_ms` LONG plus one column per reducer, ordered by bucket.

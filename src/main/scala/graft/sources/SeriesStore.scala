@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.functions.JsonPointersExpr
-import graft.operators.SeriesEngine
+import graft.operators.{SeriesEngine, SeriesStats}
 import graft.operators.SeriesEngine.SeriesQuery
 import graft.timelib.TimeLib
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
@@ -641,9 +641,39 @@ class SeriesStore(spark: SparkSession, root: String) {
    * arrive from the cluster, for chunked HTTP emit without buffering
    * the response (the reference streams buckets the same way,
    * handlers.go:170-227). */
-  def queryJsonChunks(db: String, q: SeriesQuery): Iterator[String] = {
+  def queryJsonChunks(db: String, q: SeriesQuery): Iterator[String] =
+    queryJsonChunks(db, q, SeriesEngine.PostProcess())
+
+  /** [[queryJsonChunks]] with derived-series post-processing
+   * ([[SeriesEngine.PostProcess]]): gap-filled buckets emit null
+   * reducer values; smooth/anomaly results are APPENDED to each
+   * bucket's array after the reducer values, in [[SeriesEngine
+   * .PostProcess.derived]] order — array arity is `#reducers +
+   * #derived`, constant across the response. */
+  def queryJsonChunks(db: String, q: SeriesQuery,
+      post: SeriesEngine.PostProcess): Iterator[String] = {
     stat(db).queries.increment()
-    val df = SeriesEngine.query(frame(db), q, jsonEncoded = true)
+    var df = SeriesEngine.query(frame(db), q, jsonEncoded = true)
+    if (!post.isNoop) {
+      val base = df.columns.toSeq // bucket_ms +: one col per reducer
+      if (post.smoothRoll.isDefined || post.anomaly.isDefined) {
+        require(post.valueIndex >= 0 && post.valueIndex < q.reducers.length,
+          s"post_col ${post.valueIndex} out of range")
+        require(SeriesEngine.numericReducers.contains(q.reducers(post.valueIndex)),
+          s"smooth/anomaly need a numeric reducer at post_col, " +
+            s"got '${q.reducers(post.valueIndex)}'")
+      }
+      val vcol = col(df.columns(post.valueIndex + 1))
+      if (post.fill) df = SeriesStats.gapFill(df, q.groupMs).drop("is_gap")
+      post.smoothRoll.foreach { n =>
+        df = SeriesStats.smooth(df, vcol, n, post.smoothAlpha, post.smoothLags)
+      }
+      post.anomaly.foreach(t => df = SeriesStats.anomaly(df, vcol, t))
+      // fixed output shape + restored bucket order (the joins above
+      // do not preserve the engine's sort)
+      df = df.select((base ++ post.derived).map(col): _*)
+        .orderBy(col(base.head))
+    }
     val rows = df.toLocalIterator().asScala
     var first = true
     Iterator.single("{") ++ rows.map { row =>
@@ -654,6 +684,13 @@ class SeriesStore(spark: SparkSession, root: String) {
       q.reducers.indices.foreach { i =>
         if (i > 0) sb.append(',')
         sb.append(jsonCell(q.reducers(i), row.get(i + 1)))
+      }
+      post.derived.zipWithIndex.foreach { case (name, j) =>
+        val v = row.get(1 + q.reducers.length + j)
+        sb.append(',').append(
+          if (v == null) "null"
+          else if (name == "is_anomaly") v.toString
+          else jsonCell("sum", v)) // numeric derived: Go %v surface
       }
       sb.append(']').toString
     } ++ Iterator.single("}")

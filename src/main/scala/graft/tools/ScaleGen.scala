@@ -82,9 +82,17 @@ object ScaleGen {
 
     val ev = read("events")
     val me = maxOf(ev, "event_id")
+    // schema-adaptive nudge (the driver has shipped ts as both epoch-ns
+    // BIGINT and TIMESTAMP(MICROS)): +k at the column's own resolution —
+    // replicas stay distinct keys, buckets/windows unchanged. Output
+    // keeps the INPUT schema so the engine's normalizer sees the same
+    // shape the driver shipped.
+    val tsNudge = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts") + col("__k")
+      case _ => expr("timestampadd(MICROSECOND, __k, ts)")
+    }
     write("events", replicated(ev, "event_id" -> me)
-      // +k ns: replicas stay distinct keys, buckets/windows unchanged
-      .withColumn("ts", col("ts").cast("long") + col("__k"))
+      .withColumn("ts", tsNudge)
       .drop("__k"))
 
     val docs = read("documents")

@@ -89,6 +89,32 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(req("GET", "/_all_dbs")._2 == "[]")
   }
 
+  test("_query post-processing: fill + smooth + anomaly append derived values") {
+    assert(req("PUT", "/pp")._1 == 201)
+    // minute buckets 21:24 and 21:26 — 21:25 is a gap
+    assert(req("PUT", "/pp/2012-08-28T21:24:00Z", """{"v": 10}""")._1 == 201)
+    assert(req("PUT", "/pp/2012-08-28T21:26:00Z", """{"v": 30}""")._1 == 201)
+    // fill alone: the gap bucket appears with a null reducer value,
+    // base arity unchanged
+    val (fc, fo) = req("GET", "/pp/_query?group=60000&ptr=/v&reducer=sum&fill=1")
+    assert(fc == 200 && fo ==
+      """{"1346189040000":[10],"1346189100000":[null],"1346189160000":[30]}""")
+    // fill → smooth(roll 2, α=0.5, 2 lags) → anomaly(0.9) appends
+    // [roll_mean, ewma, z, is_anomaly] after the reducer value:
+    //   sums (10, null, 30); roll2 = 10, 10, 30; ewma = 10, 10, 30
+    //   occupied stats m=20 σ=10 → z = -1, null, 1; |z| > 0.9 flags
+    val (c, body) = req("GET", "/pp/_query?group=60000&ptr=/v&reducer=sum" +
+      "&fill=1&smooth_roll=2&smooth_alpha=0.5&smooth_lags=2&anomaly=0.9")
+    assert(c == 200 && body ==
+      """{"1346189040000":[10,10,10,-1,true],""" +
+        """"1346189100000":[null,10,10,null,false],""" +
+        """"1346189160000":[30,30,30,1,true]}""")
+    // smoothing a non-numeric reducer is a 400, not a plan explosion
+    assert(req("GET",
+      "/pp/_query?group=60000&ptr=/v&reducer=identity&smooth_roll=2")._1 == 400)
+    assert(req("DELETE", "/pp")._1 == 200)
+  }
+
   test("a _query past maxQueryTime is cancelled and returns an error") {
     // zero budget → deterministically past-deadline (the reference's
     // queryExecutor refuses already-late work the same way,
