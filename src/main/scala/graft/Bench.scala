@@ -36,7 +36,9 @@ object Bench {
       "text_length_rank", "events_pagerank", "embed_random_projection",
       "corpus_distinct_kmv", "events_salted_join", "corpus_collocations",
       "events_hits", "dedup_spans", "q_series_gapfill", "q_series_smooth",
-      "events_anomaly", "dedup_keep_best", "text_novelty")
+      "events_anomaly", "dedup_keep_best", "text_novelty",
+      "dedup_semantic", "events_triangles", "events_changepoint",
+      "events_seasonal", "events_ppr")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

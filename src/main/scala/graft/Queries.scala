@@ -318,6 +318,88 @@ object Queries {
           coalesce(abs(z) > 2.0, false) AS is_anomaly
         FROM zt ORDER BY 1, 2""")),
 
+    // seasonal (hour-of-day) decomposition of the per-event-type
+    // hourly count series, then z-flags on the DESEASONALIZED
+    // residual — the seasonality-aware upgrade of events_anomaly
+    // (same DECIMAL-sum portability; residuals are identical doubles
+    // in both engines before any sum)
+    "events_seasonal" -> Entry(
+      (s, dir) => SeriesStats.anomaly(
+          SeriesStats.seasonal(
+            eventsNs(s, dir)
+              .groupBy(col("event_type"),
+                (expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
+              .agg(count(lit(1)).cast("double").as("n")),
+            col("n"), groupMs = 3600000L, period = 24,
+            partitionBy = Seq("event_type")),
+          col("residual"), threshold = 2.0, partitionBy = Seq("event_type"))
+        .withColumn("seasonal_mean", round(col("seasonal_mean"), 6))
+        .withColumn("residual", round(col("residual"), 6))
+        .orderBy("event_type", "bucket_ms"),
+      Some("""WITH b AS (SELECT event_type,
+            (epoch_us(ts) // 3600000000) * 3600000 AS bucket_ms,
+            count(*)::DOUBLE AS n
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT *, ((bucket_ms // 3600000) % 24)::BIGINT AS phase
+          FROM b),
+        sm AS (SELECT event_type, phase,
+            CAST(sum(CAST(n AS DECIMAL(38,12))) AS DOUBLE) / count(n) AS smv
+          FROM p GROUP BY 1, 2),
+        r AS (SELECT p.event_type, bucket_ms, n, phase, smv,
+            n - smv AS resid
+          FROM p JOIN sm USING (event_type, phase)),
+        st AS (SELECT event_type,
+            CAST(sum(CAST(resid AS DECIMAL(38,12))) AS DOUBLE) AS s,
+            CAST(sum(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+            count(resid) AS cnt
+          FROM r GROUP BY 1),
+        zt AS (SELECT r.event_type, bucket_ms, n, phase, smv, resid,
+            round(CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
+              THEN (resid - s / cnt) / sqrt(ss / cnt - (s / cnt) * (s / cnt))
+              END, 6) AS z
+          FROM r JOIN st USING (event_type))
+        SELECT event_type, bucket_ms, n, phase,
+          round(smv, 6) AS seasonal_mean, round(resid, 6) AS residual, z,
+          coalesce(abs(z) > 2.0, false) AS is_anomaly
+        FROM zt ORDER BY 1, 2""")),
+
+    // CUSUM changepoint over the per-event-type daily COUNT series:
+    // integer micro-unit cumulative sums (order-free, exact in both
+    // engines), peak-|cusum| bucket flagged, single final double
+    // division. Counts are integral so the µ-quantization is lossless.
+    "events_changepoint" -> Entry(
+      (s, dir) => SeriesStats.changepoint(
+          eventsNs(s, dir)
+            .groupBy(col("event_type"),
+              (expr("ts div 86400000000000") * 86400000L).as("bucket_ms"))
+            .agg(count(lit(1)).as("n")),
+          col("n"), partitionBy = Seq("event_type"))
+        .orderBy("event_type", "bucket_ms"),
+      Some("""WITH b AS (SELECT event_type,
+            (epoch_us(ts) // 86400000000) * 86400000 AS bucket_ms,
+            count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        v AS (SELECT event_type, bucket_ms, n,
+            round(n * 1000000.0)::BIGINT AS vi FROM b),
+        st AS (SELECT event_type, sum(vi)::HUGEINT AS sv,
+            count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+        c AS (SELECT event_type, bucket_ms, n, vi,
+            (sum(vi) OVER (PARTITION BY event_type
+              ORDER BY bucket_ms))::HUGEINT AS cum,
+            (row_number() OVER (PARTITION BY event_type
+              ORDER BY bucket_ms))::HUGEINT AS i
+          FROM v),
+        sc AS (SELECT c.event_type, bucket_ms, n,
+            (cum * cnt - sv * i) AS s, cnt
+          FROM c JOIN st USING (event_type)),
+        pk AS (SELECT event_type, max(abs(s)) AS mx FROM sc GROUP BY 1),
+        cpb AS (SELECT sc.event_type, min(bucket_ms) AS cpb
+          FROM sc JOIN pk USING (event_type) WHERE abs(s) = mx GROUP BY 1)
+        SELECT sc.event_type, sc.bucket_ms, sc.n,
+          round(s::DOUBLE / (cnt * 1000000.0), 6) AS cusum,
+          sc.bucket_ms = cpb.cpb AS is_changepoint
+        FROM sc JOIN cpb USING (event_type) ORDER BY 1, 2""")),
+
     "q_series_identity_day" -> Entry(
       (s, dir) => SeriesEngine.query(
         eventsSeries(s, dir, Some(1704844800000000000L), Some(1705104000000000000L)),
@@ -826,6 +908,29 @@ object Queries {
       },
       Some(pagerankOracle(4))),
 
+    // personalized PageRank teleporting to the purchase nodes: rank
+    // concentrates around the seed set and decays with distance —
+    // same integer arithmetic, restart/dangling mass CASE-gated
+    "events_ppr" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = eventsNs(s, dir).select(
+          expr("ts div 1000").as("ts"), col("user_id"), col("event_id"),
+          concat(col("event_type"), lit(":"),
+            (abs(floor(col("value"))).cast("long") % 4).cast("string"))
+            .as("node"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("nxt", lead(col("node"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val teleport = ev.select(col("node"))
+          .filter(col("node").startsWith("purchase:")).distinct()
+        graft.operators.Graphs.personalizedPagerank(edges, col("node"),
+            col("nxt"), teleport, iterations = 4)
+          .orderBy(col("node"))
+      },
+      Some(pprOracle(4, "node LIKE 'purchase:%'"))),
+
     // HITS over the same transition graph: DECIMAL-exact step sums
     // re-normalized by integral division — the second portability
     // construction of the graph family (global normalization can't
@@ -847,6 +952,27 @@ object Queries {
           .orderBy(col("node"))
       },
       Some(hitsOracle(3))),
+
+    // per-node triangle count + clustering coefficient over the
+    // transition graph (finer value buckets than pagerank's, so the
+    // graph is sparse enough for triangles to discriminate). Wedges
+    // come from the degree-ordered orientation — the O(m^1.5) bound
+    "events_triangles" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = eventsNs(s, dir).select(
+          expr("ts div 1000").as("ts"), col("user_id"), col("event_id"),
+          concat(col("event_type"), lit(":"),
+            (abs(floor(col("value"))).cast("long") % 8).cast("string"))
+            .as("node"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = ev.withColumn("nxt", lead(col("node"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        graft.operators.Graphs.triangles(edges, col("node"), col("nxt"))
+          .orderBy(col("node"))
+      },
+      Some(trianglesOracle)),
 
     // skew-salted join: the heavy-key-safe join must produce EXACTLY
     // the plain join's rows — the oracle is the unsalted SQL join and
@@ -1354,6 +1480,22 @@ object Queries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy(col("id1"), col("id2")),
       Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4))),
+
+    // SemDeDup: cluster the embedding space (one Lloyd assignment —
+    // the same portable construction embed_kmeans gates), then score
+    // ONLY same-cluster pairs. Exact within a cluster, sub-quadratic
+    // across the corpus when k ≈ √N
+    "dedup_semantic" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val assign = graft.operators.Embeddings.kmeansIter(emb,
+            col("vec_id"), col("embedding"), col("label"))
+          .select(col("vec_id"), col("new_label").as("cluster"))
+        Similarity.semanticNearDupPairs(emb, assign, threshold = 0.4)
+          .withColumn("sim", round(col("sim"), 6))
+          .orderBy(col("cluster"), col("id1"), col("id2"))
+      },
+      Some(semanticDedupOracle(threshold = 0.4))),
 
     // symmetric int8 quantization: identical double arithmetic +
     // half-away-from-zero rounding on both engines reproduces the
@@ -2187,6 +2329,38 @@ object Queries {
       SELECT id1, id2, round(sim, 6) AS sim FROM scored
       WHERE sim >= $threshold ORDER BY 1, 2"""
 
+  /** SemDeDup in DuckDB, mirroring
+   * [[Similarity.semanticNearDupPairs]] over a one-Lloyd-iteration
+   * assignment: the kmeansOracle CTEs produce the cluster per vector
+   * (same DECIMAL centroid means, same (d2, cent_id) tie-break), then
+   * a within-cluster self-join scores exact cosine. */
+  private def semanticDedupOracle(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
+          unnest(v) AS xv FROM e),
+      cpos AS (SELECT lbl, pos,
+          (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT lbl AS cent_id, list(cv ORDER BY pos) AS cv
+        FROM cpos GROUP BY 1),
+      scored AS (SELECT vec_id, cent_id,
+          ${dotSql.format("v", "v")} - 2.0 * ${dotSql.format("v", "cv")} +
+            ${dotSql.format("cv", "cv")} AS d2
+        FROM e CROSS JOIN cent),
+      ranked AS (SELECT vec_id, cent_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, cent_id) AS rn FROM scored),
+      asn AS (SELECT e.vec_id, cent_id AS cluster, v
+        FROM ranked JOIN e USING (vec_id)
+        WHERE rn = 1 AND ${nrmSql("v")} > 0),
+      pairs AS (SELECT a.cluster, a.vec_id AS id1, b.vec_id AS id2,
+          ${dotSql.format("a.v", "b.v")} /
+            (${nrmSql("a.v")} * ${nrmSql("b.v")}) AS sim
+        FROM asn a JOIN asn b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      SELECT cluster, id1, id2, round(sim, 6) AS sim FROM pairs
+      WHERE sim >= $threshold ORDER BY 1, 2, 3"""
+
   /** One Lloyd iteration in DuckDB, mirroring
    * [[graft.operators.Embeddings.kmeansIter]]: per-(label, dim)
    * DECIMAL means (order-free, exactly as the Spark side sums), then
@@ -2218,6 +2392,45 @@ object Queries {
       pr$k AS MATERIALIZED (SELECT n0.node,
           (SELECT (15 * (1000000000000 // n)) // 100 FROM nn)
         + (SELECT (85 * (dm // (SELECT n FROM nn))) // 100 FROM d$k)
+        + (85 * coalesce(c.c, 0)) // 100 AS pr
+        FROM nodes n0 LEFT JOIN (
+          SELECT e.dst AS node, sum((p.pr * e.ew) // 1000000)::BIGINT AS c
+          FROM ew e JOIN pr${k - 1} p ON e.src = p.node GROUP BY 1) c
+          USING (node))"""
+    }.mkString
+    head + its + s"\n      SELECT node, pr FROM pr$iters ORDER BY node"
+  }
+
+  /** Personalized PageRank in DuckDB, mirroring
+   * [[graft.operators.Graphs.personalizedPagerank]]: pagerankOracle's
+   * skeleton with the restart + dangling mass CASE-gated onto the
+   * teleport node set (÷ |T| instead of ÷ n). */
+  private def pprOracle(iters: Int, teleportPred: String): String = {
+    val head = s"""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+          event_id, event_type || ':' ||
+            (abs(floor("value")::BIGINT) % 4) AS node FROM events),
+      tr AS (SELECT node, lead(node) OVER (PARTITION BY u
+          ORDER BY ts, event_id) AS nxt FROM ev),
+      ed AS MATERIALIZED (SELECT node AS src, nxt AS dst, count(*)::BIGINT AS w
+        FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      ot AS (SELECT src, sum(w)::BIGINT AS ow FROM ed GROUP BY 1),
+      ew AS MATERIALIZED (SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS ew
+        FROM ed e JOIN ot o USING (src)),
+      nodes AS MATERIALIZED (SELECT node, ($teleportPred) AS t FROM
+        (SELECT src AS node FROM ed UNION SELECT dst FROM ed)),
+      nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      tt AS (SELECT count(*)::BIGINT AS tn FROM nodes WHERE t),
+      pr0 AS MATERIALIZED (SELECT node, (SELECT 1000000000000 // n FROM nn) AS pr
+        FROM nodes)"""
+    val its = (1 to iters).map { k =>
+      s""",
+      d$k AS (SELECT coalesce(sum(pr), 0)::BIGINT AS dm FROM pr${k - 1}
+        WHERE node NOT IN (SELECT src FROM ed)),
+      pr$k AS MATERIALIZED (SELECT n0.node,
+          CASE WHEN n0.t THEN
+            (SELECT (15 * (1000000000000 // tn)) // 100 FROM tt)
+          + (SELECT (85 * (dm // (SELECT tn FROM tt))) // 100 FROM d$k)
+          ELSE 0 END
         + (85 * coalesce(c.c, 0)) // 100 AS pr
         FROM nodes n0 LEFT JOIN (
           SELECT e.dst AS node, sum((p.pr * e.ew) // 1000000)::BIGINT AS c
@@ -2262,6 +2475,40 @@ object Queries {
       FROM nodes n0 JOIN a$iters a USING (node) JOIN h$iters h USING (node)
       ORDER BY n0.node"""
   }
+
+  /** Triangle counting in DuckDB, mirroring
+   * [[graft.operators.Graphs.triangles]] over the same transition
+   * graph: canonical undirected edges, degree-ordered orientation
+   * ((deg, id) row comparison), wedge self-join at the pivot, closing
+   * edge join, per-corner explode. */
+  private def trianglesOracle: String =
+    """WITH ev AS (SELECT user_id AS uid, epoch_us(ts) AS ts,
+          event_id, event_type || ':' ||
+            (abs(floor("value")::BIGINT) % 8) AS node FROM events),
+      tr AS (SELECT node, lead(node) OVER (PARTITION BY uid
+          ORDER BY ts, event_id) AS nxt FROM ev),
+      und AS MATERIALIZED (SELECT DISTINCT least(node, nxt) AS a,
+          greatest(node, nxt) AS b
+        FROM tr WHERE nxt IS NOT NULL AND node <> nxt),
+      deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      o AS MATERIALIZED (SELECT
+          CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+          CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v
+        FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+      wdg AS (SELECT o1.u AS n0, least(o1.v, o2.v) AS a,
+          greatest(o1.v, o2.v) AS b
+        FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+      tri AS (SELECT n0, a AS n1, b AS n2 FROM wdg JOIN und USING (a, b)),
+      pn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+          SELECT unnest([n0, n1, n2]) AS node FROM tri) GROUP BY 1)
+      SELECT deg.node, deg.deg AS degree,
+        coalesce(pn.triangles, 0)::BIGINT AS triangles,
+        CASE WHEN deg.deg >= 2 THEN round(
+          2.0 * coalesce(pn.triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
+        END AS clustering
+      FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node"""
 
   /** The JL projection in DuckDB: the SAME md5-derived ±1 matrix
    * ([[graft.operators.Embeddings.signMatrix]]) embedded as literal

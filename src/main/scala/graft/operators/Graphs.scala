@@ -117,6 +117,144 @@ object Graphs {
       .select(col("node"), col("auth"), col("hub"))
   }
 
+  /**
+   * Per-node triangle count + local clustering coefficient — the
+   * cohesion statistic for co-occurrence/link graphs (community
+   * detection pre-pass, spam-farm detection in crawl curation; cf.
+   * Suri & Vassilvitskii, WWW 2011, "Counting triangles and the curse
+   * of the last reducer").
+   *
+   * Scale construction is the degree-ordered orientation from that
+   * paper: each undirected edge is directed from its lower-(degree,
+   * id)-ranked endpoint to the higher, so EVERY node's out-degree is
+   * O(√m) regardless of raw degree, and wedge generation (the
+   * quadratic step) is bounded O(m^1.5) total instead of O(Σdeg²) —
+   * the hub node that would explode a naive neighbor self-join
+   * becomes the TARGET of its edges, never the wedge pivot. Execution:
+   * canonical-edge distinct (one shuffle), two degree joins, one
+   * wedge self-join on the pivot, one closing equi-join against the
+   * edge set, then a 3-way explode + count per corner. Everything is
+   * equi-join + map-side-combined counts; nothing is driver-side.
+   *
+   * Returns (node, degree, triangles, clustering) where `clustering`
+   * = 2T / (deg·(deg−1)) rounded to 6 dp, null for deg < 2.
+   */
+  def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    // simple undirected graph: self-loops out, multi-edges collapsed,
+    // canonical (a < b) form
+    val und = edges.select(src.cast("string").as("x"),
+        dst.cast("string").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint() // consumed by degrees, orientation, closing join
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) -> high: out-neighborhoods stay O(√m)
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the pivot u (v1 < v2 so each unordered wedge appears
+    // once), closed by a canonical edge (v1, v2)∈und — min/max because
+    // rank order and id order can disagree
+    val wedges = oriented.alias("o1")
+      .join(oriented.alias("o2"),
+        col("o1.u") === col("o2.u") && col("o1.v") < col("o2.v"))
+      .select(col("o1.u").as("n0"),
+        least(col("o1.v"), col("o2.v")).as("a"),
+        greatest(col("o1.v"), col("o2.v")).as("b"))
+    val tris = wedges.join(und, Seq("a", "b"))
+      .select(col("n0"), col("a").as("n1"), col("b").as("n2"))
+    val perNode = tris
+      .select(explode(array(col("n0"), col("n1"), col("n2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2, round(
+          lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - 1)), 6)))
+  }
+
+  /**
+   * Personalized (topic-sensitive) PageRank (Haveliwala, WWW 2002):
+   * identical to [[pagerank]] except the teleport — the (1−d) restart
+   * mass and the dangling-node donation land uniformly on the
+   * `teleport` node set instead of all nodes, so rank concentrates
+   * around the seeds and decays with graph distance from them. The
+   * "importance relative to THIS topic/page set" statistic: seed-set
+   * expansion, related-content ranking, crawl frontier scoring.
+   *
+   * Same integer portability contract as [[pagerank]] (µ-fraction
+   * edges, floor divisions, LONG-safe products) and the same
+   * per-iteration shape — one edges⋈ranks equi-join + map-side
+   * combined sum, dangling mass on a broadcast 1-row frame, no driver
+   * scalars in the loop. Non-teleport nodes get ONLY damped link
+   * mass; the teleport membership rides the node frame as a boolean,
+   * so the update is one `when`, not a second join.
+   */
+  def personalizedPagerank(edges: DataFrame, src: Column, dst: Column,
+      teleport: DataFrame, iterations: Int = 4, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(scale >= 1 && scale <= 1000000000000L,
+      "scale in [1, 1e12] (pr*ew must stay under 2^63)")
+    val e = edges.select(src.cast("string").as("src"),
+        dst.cast("string").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ew = e.join(outw, "src")
+      .select(col("src"), col("dst"),
+        ldiv(col("w") * lit(1000000L), col("ow")).as("ew"))
+      .localCheckpoint()
+    val t = teleport.select(teleport.columns.head).toDF("node")
+      .select(col("node").cast("string").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(t.withColumn("__t", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(false)).as("__t"))
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("pr"))
+    val tn = nodes.filter(col("__t")).count()
+    require(tn > 0, "teleport set must intersect the graph's nodes")
+    val dangling = nodes.select(col("node"))
+      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val base = ((100L - dampingPct) * (scale / tn)) / 100L
+    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+      .localCheckpoint()
+    var k = 0
+    while (k < iterations) {
+      val dmF = broadcast(pr.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("__dm")))
+      val contrib = ew.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(ldiv(col("pr") * col("ew"), 1000000L)).as("c"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dmF)
+        .select(col("node"),
+          (when(col("__t"),
+            lit(base) +
+              ldiv(lit(dampingPct.toLong) * ldiv(col("__dm"), tn), 100L))
+            .otherwise(lit(0L)) +
+            ldiv(lit(dampingPct.toLong) * coalesce(col("c"), lit(0L)), 100L))
+            .as("pr"))
+        .localCheckpoint()
+      k += 1
+    }
+    pr
+  }
+
   def pagerank(edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 4, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {

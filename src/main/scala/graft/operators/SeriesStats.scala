@@ -149,6 +149,104 @@ object SeriesStats {
    * frame; `stddev_pop` would be one pass fewer but its Welford order
    * is engine-private.
    */
+  /**
+   * Seasonal decomposition over a bucket series (the seasonal-means
+   * half of an STL-style decomposition): each bucket's phase is its
+   * position in a `period`-bucket cycle (`(bucket div groupMs) mod
+   * period` — e.g. hour-of-day for hourly buckets, period 24), the
+   * seasonal component is the per-(series, phase) mean over all
+   * cycles, and `residual = value − seasonal_mean` is the
+   * deseasonalized series. Compose with [[anomaly]] on `residual` for
+   * seasonality-aware flags — a nightly traffic dip stops looking
+   * anomalous once the hour-of-day profile absorbs it.
+   *
+   * Engine-reproducible like [[anomaly]]: phase means come from
+   * order-free DECIMAL sums over identical doubles; the residual is
+   * one double subtraction. The profile frame is
+   * (#series · period)-sized and broadcasts back onto the buckets —
+   * no window, no sort, one map-side-combined groupBy.
+   */
+  def seasonal(buckets: DataFrame, value: Column, groupMs: Long,
+      period: Int, bucketCol: String = "bucket_ms",
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    require(groupMs > 0, "groupMs must be positive")
+    require(period >= 1, "period must be >= 1")
+    val parts = partitionBy.map(col)
+    val v = value.cast("double")
+    val wp = buckets.withColumn("phase",
+      pmod(graft.functions.ldiv(col(bucketCol), groupMs), lit(period.toLong)))
+    val profile = wp.groupBy(parts :+ col("phase"): _*)
+      .agg(sum(v.cast("decimal(38,12)")).cast("double").as("__s"),
+        count(v).as("__n"))
+      .select(parts :+ col("phase") :+
+        (col("__s") / col("__n")).as("seasonal_mean"): _*)
+    // equi-join reorders its keys to the front; restore input order
+    wp.join(broadcast(profile), partitionBy :+ "phase")
+      .select(buckets.columns.map(col) :+ col("phase") :+
+        col("seasonal_mean") :+
+        (v - col("seasonal_mean")).as("residual"): _*)
+  }
+
+  /**
+   * CUSUM changepoint detection over a bucket series (Page,
+   * Biometrika 1954; the cumulative-sum-of-deviations estimator): for
+   * each series, `cusum_i = Σ_{j≤i}(x_j − μ)` over the ordered
+   * buckets, and the estimated changepoint is the bucket where
+   * `|cusum|` peaks — a level shift at time t makes the deviation sum
+   * grow until t and shrink after, so the peak localizes the shift.
+   * Emits every bucket with its `cusum` (6 dp) plus
+   * `is_changepoint = true` on the peak bucket (earliest on ties).
+   *
+   * Engine-reproducible by construction, the integer discipline of
+   * [[Graphs.pagerank]]: values quantize to micro-units
+   * (`vi = round(v·10⁶)` — exact for integral inputs like counts),
+   * and `cusum_i·n = n·Σvi_{j≤i} − i·Σvi` is computed in
+   * DECIMAL(38,0) LONG products — order-free, no float summation
+   * anywhere until the single final division. Overflow bound:
+   * `n · Σ|vi| < 10³⁸`, comfortable to ~10¹⁴ micro-unit-weighted
+   * buckets per series.
+   *
+   * Scale shape: per-series totals are a map-side-combined groupBy
+   * broadcast back (#series rows); the ordered cumulative window runs
+   * over BUCKET frames (range/granularity-bounded, like the rest of
+   * this family); the peak is a second #series-sized aggregate
+   * broadcast back. No global sort, no driver scalars.
+   */
+  def changepoint(buckets: DataFrame, value: Column,
+      bucketCol: String = "bucket_ms",
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    val parts = partitionBy.map(col)
+    val withVi = buckets.withColumn("__vi",
+      round(value.cast("double") * lit(1000000.0)).cast("long"))
+    val totals = withVi.groupBy(parts: _*)
+      .agg(sum(col("__vi")).as("__sv"), count(col("__vi")).as("__n"))
+    val joined =
+      if (partitionBy.isEmpty) withVi.crossJoin(broadcast(totals))
+      else withVi.join(broadcast(totals), partitionBy)
+    val wOrd = Window.partitionBy(parts: _*).orderBy(col(bucketCol))
+    val scored = joined
+      .withColumn("__cum", sum(col("__vi")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__s",
+        col("__cum").cast("decimal(38,0)") * col("__n") -
+          col("__sv").cast("decimal(38,0)") * col("__i"))
+    // peak per series: max |cusum|, earliest bucket on ties — one
+    // max(struct) aggregate (map-side combined), broadcast back
+    val peak = scored.groupBy(parts: _*)
+      .agg(max(struct(abs(col("__s")).as("a"),
+        (-col(bucketCol)).as("nb"))).as("__m"))
+      .select(parts :+ (-col("__m.nb")).as("__cpb"): _*)
+    val flagged =
+      if (partitionBy.isEmpty) scored.crossJoin(broadcast(peak))
+      else scored.join(broadcast(peak), partitionBy)
+    flagged
+      .withColumn("cusum", round(col("__s").cast("double") /
+        (col("__n") * lit(1000000L)).cast("double"), 6))
+      .withColumn("is_changepoint", col(bucketCol) === col("__cpb"))
+      .drop("__vi", "__sv", "__n", "__cum", "__i", "__s", "__cpb")
+  }
+
   def anomaly(buckets: DataFrame, value: Column, threshold: Double = 2.0,
       partitionBy: Seq[String] = Nil): DataFrame = {
     require(threshold > 0, "threshold must be positive")

@@ -211,6 +211,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (cf. Abbas et al.
+   * 2023, "SemDeDup: Data-efficient learning at web-scale through
+   * semantic deduplication", arXiv:2303.09540): bound the pair search
+   * with a CLUSTERING of the embedding space — only pairs sharing a
+   * cluster are scored. The complement of [[cosineNearDupPairs]]'s
+   * random LSH buckets: k-means clusters follow the data's own
+   * density, so semantically-tight groups that hyperplane sketches
+   * split across buckets stay together, and recall within a cluster
+   * is exact (every same-cluster pair is scored, no multi-table
+   * probing).
+   *
+   * `assign` is a `(vec_id, cluster)` frame — in production
+   * [[Embeddings.kmeansRun]]'s labels with k ≈ √N, so the mean
+   * cluster holds √N vectors and the per-cluster self-join does
+   * O(N·√N) total work instead of O(N²); the one-iteration
+   * [[Embeddings.kmeansIter]] assignment is enough for the oracle
+   * gate. Execution: one shuffle of (id, vector) per side keyed on
+   * the cluster id, quadratic only within a cluster. The same
+   * discipline as MinHash applies at 100 TB: collapse exact
+   * duplicates first and size k so clusters stay bounded; a skewed
+   * giant cluster is a mis-sized k, not a shuffle pathology.
+   */
+  def semanticNearDupPairs(corpus: DataFrame, assign: DataFrame,
+      threshold: Double): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+      .filter(l2norm(col("embedding")) > 0) // cosine undefined at 0
+      .join(assign.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val l = e.select(col("cluster"), col("vec_id").as("id1"),
+      col("embedding").as("v1"))
+    val r = e.select(col("cluster"), col("vec_id").as("id2"),
+      col("embedding").as("v2"))
+    l.join(r, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("cluster"), col("id1"), col("id2"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,

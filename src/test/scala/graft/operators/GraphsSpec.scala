@@ -119,6 +119,80 @@ class GraphsSpec extends SparkSpec {
       s"per-iteration counts inside pagerank: ${graft.mkString(", ")}")
   }
 
+  private def ppr(edges: Seq[(String, String)], tel: Seq[String],
+      iters: Int = 4) =
+    Graphs.personalizedPagerank(edges.toDF("s", "d"), $"s", $"d",
+        tel.toDF("node"), iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("ppr: teleporting to every node IS plain pagerank") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    assert(ppr(e, Seq("a", "b", "c")) == ranks(e))
+  }
+
+  test("ppr: rank concentrates at the seed and decays with distance") {
+    // chain a→b→c→d, teleport {a}: a gets the restart mass, b the
+    // damped flow from a, and so on — strictly falling along the chain
+    val pr = ppr(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a"),
+      Seq("a"))
+    assert(pr("a") > pr("b") && pr("b") > pr("c") && pr("c") > pr("d"))
+  }
+
+  test("ppr: non-seed nodes with no in-links get exactly zero") {
+    // a→b with teleport {b}: a receives neither restart nor link mass
+    val pr = ppr(Seq("a" -> "b"), Seq("b"), iters = 2)
+    assert(pr("a") == 0L)
+    assert(pr("b") > 0L)
+  }
+
+  test("ppr: teleport set outside the graph is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      ppr(Seq("a" -> "b"), Seq("zzz"))
+    }
+  }
+
+  private def triOf(edges: Seq[(String, String)]) =
+    Graphs.triangles(edges.toDF("s", "d"), $"s", $"d")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+
+  test("triangles: K4 — every node in 3 triangles, clustering 1.0") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield a -> b
+    val out = triOf(k4)
+    assert(out.values.forall(_ == ((3L, 3L, Some(1.0)))))
+  }
+
+  test("triangles: path has none; clustering null below degree 2") {
+    val out = triOf(Seq("a" -> "b", "b" -> "c", "c" -> "d"))
+    assert(out.values.forall(_._2 == 0L))
+    assert(out("a") == ((1L, 0L, None))) // deg 1: coefficient undefined
+    assert(out("b") == ((2L, 0L, Some(0.0))))
+  }
+
+  test("triangles: direction, multi-edges, and self-loops are ignored") {
+    // one triangle however the edges point or repeat; self-loop dropped
+    val base = triOf(Seq("a" -> "b", "b" -> "c", "c" -> "a"))
+    val noisy = triOf(Seq("b" -> "a", "b" -> "c", "a" -> "c",
+      "a" -> "c", "c" -> "c"))
+    assert(base == noisy)
+    assert(base("a") == ((2L, 1L, Some(1.0))))
+  }
+
+  test("triangles: hub counts every rim pair that closes") {
+    // hub-x-y and hub-y-z triangles share the hub: hub has 2, y has 2
+    // (in both), x and z have 1 each
+    val out = triOf(Seq("hub" -> "x", "hub" -> "y", "hub" -> "z",
+      "x" -> "y", "y" -> "z"))
+    assert(out("hub")._2 == 2L && out("y")._2 == 2L)
+    assert(out("x")._2 == 1L && out("z")._2 == 1L)
+    // hub: deg 3, 2 triangles of 3 possible pairs → 2/3
+    assert(out("hub")._3.get == 0.666667)
+  }
+
   test("hits: multi-edges weight the scores; stable under iteration") {
     // a cites b twice, c once — b the stronger authority at any depth
     val e = Seq("a" -> "b", "a" -> "b", "a" -> "c")

@@ -103,6 +103,63 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(2.0), Some(2.0), None, None))
   }
 
+  test("seasonal: phase means absorb the cycle; residual is the rest") {
+    // period 2, groupMs 1000: phases 0,1,0,1 over values 10,1,12,3 —
+    // phase-0 mean 11, phase-1 mean 2
+    val b = Seq((0L, 10.0), (1000L, 1.0), (2000L, 12.0), (3000L, 3.0))
+      .toDF("bucket_ms", "v")
+    val got = SeriesStats.seasonal(b, col("v"), groupMs = 1000L, period = 2)
+      .orderBy("bucket_ms")
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 11.0, -1.0), (1L, 2.0, -1.0),
+      (0L, 11.0, 1.0), (1L, 2.0, 1.0)))
+  }
+
+  test("seasonal: profiles are per-series when partitioned") {
+    val b = Seq(("a", 0L, 4.0), ("a", 2000L, 6.0), ("b", 0L, 100.0))
+      .toDF("k", "bucket_ms", "v")
+    val got = SeriesStats.seasonal(b, col("v"), groupMs = 1000L,
+        period = 2, partitionBy = Seq("k"))
+      .orderBy("k", "bucket_ms")
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getDouble(5)))
+    // a's phase-0 mean is 5 (residuals ∓1); b's profile is its own
+    assert(got.toSeq == Seq(("a", 5.0, -1.0), ("a", 5.0, 1.0),
+      ("b", 100.0, 0.0)))
+  }
+
+  test("changepoint: level shift peaks |cusum| at the shift") {
+    // 4 buckets at 1 then 4 at 5: μ = 3, cusum walks -2,-4,-6,-8 then
+    // back up — the peak (|cusum| = 8) is the last low bucket
+    val b = (0L to 7L).map(i => (i * 1000L, if (i < 4) 1L else 5L))
+      .toDF("bucket_ms", "n")
+    val got = SeriesStats.changepoint(b, col("n")).orderBy("bucket_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(got.map(_._2).toSeq == Seq(-2.0, -4.0, -6.0, -8.0,
+      -6.0, -4.0, -2.0, 0.0))
+    assert(got.filter(_._3).map(_._1).toSeq == Seq(3000L))
+  }
+
+  test("changepoint: per-series peaks are independent; ties earliest") {
+    val b = Seq(("a", 0L, 1L), ("a", 1000L, 3L), // shift at bucket 0
+      ("b", 0L, 2L), ("b", 1000L, 2L)) // flat: cusum 0 everywhere, tie
+      .toDF("k", "bucket_ms", "n")
+    val got = SeriesStats.changepoint(b, col("n"), partitionBy = Seq("k"))
+      .orderBy("k", "bucket_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.filter(_._4).map(x => (x._1, x._2)).toSeq ==
+      Seq(("a", 0L), ("b", 0L))) // flat series: earliest bucket wins
+    assert(got.filter(_._1 == "a").map(_._3).toSeq == Seq(-1.0, 0.0))
+  }
+
+  test("changepoint: fractional values quantize losslessly at 6 dp") {
+    val b = Seq((0L, 0.5), (1000L, 1.5)).toDF("bucket_ms", "v")
+    val got = SeriesStats.changepoint(b, col("v")).orderBy("bucket_ms")
+      .collect().map(r => r.getDouble(2))
+    // μ = 1 → cusum = -0.5, 0
+    assert(got.toSeq == Seq(-0.5, 0.0))
+  }
+
   test("gapFill: misaligned buckets fail loudly instead of vanishing") {
     // 1500 is not on the 0 + k·1000 grid — a silent LEFT join from
     // the spine would drop the row; the guard must raise instead

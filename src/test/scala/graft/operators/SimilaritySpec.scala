@@ -106,4 +106,30 @@ class SimilaritySpec extends SparkSpec {
       tables = 8, planes = 2).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
+
+  test("semantic near-dup: only same-cluster pairs score") {
+    // 0 and 1 are near-identical but assigned to DIFFERENT clusters —
+    // SemDeDup must not see that pair; 1 and 2 share a cluster and
+    // clear the threshold
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0.001f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f), 3L -> Seq(0f, 1f, 0f))
+    val assign = Seq((0L, 10), (1L, 20), (2L, 20), (3L, 20))
+      .toDF("vec_id", "cluster")
+    val pairs = Similarity.semanticNearDupPairs(df, assign, threshold = 0.9)
+      .collect()
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 2L))) // (0,1) split across clusters; (1,3)/(2,3) below t
+    assert(pairs.head.getInt(0) == 20)
+  }
+
+  test("semantic near-dup: zero vectors are excluded, each pair once") {
+    val df = vecs(0L -> Seq(0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(1f, 0f, 0f))
+    val assign = Seq((0L, 1), (1L, 1), (2L, 1)).toDF("vec_id", "cluster")
+    val pairs = Similarity.semanticNearDupPairs(df, assign, threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L)))
+  }
 }
