@@ -39,6 +39,40 @@ object SeriesStream {
   }
 
   /**
+   * Streaming ADMISSION filter against a static corpus: every
+   * micro-batch runs [[graft.operators.Dedup.incremental]]'s exact
+   * fingerprint + banded MinHash near-dup checks (batch × corpus band
+   * join — per-batch work scales with the batch, never |corpus|²) and
+   * hands the admitted rows (`keep = 1`) to `sink`. The online
+   * counterpart of the batch admission filter: a crawl stream lands
+   * only documents that are neither exact nor near duplicates of the
+   * standing corpus. Batch-INTERNAL duplicates are the downstream
+   * sweep's job, same split as [[dedupExact]] documents.
+   *
+   * `corpus` is a BATCH frame, re-read per micro-batch; for a
+   * standing pipeline, point it at the parquet the admitted docs
+   * append to (each batch then also screens against earlier
+   * admissions) and persist its band/fingerprint frames as
+   * [[graft.operators.Dedup.incremental]]'s scaladoc describes.
+   */
+  def admitStream(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, checkpoint: String, sink: DataFrame => Unit,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdict = graft.operators.Dedup.incremental(batch, corpus,
+          col(idCol), col(textCol), threshold)
+        sink(batch.join(
+          verdict.filter(col("keep") === 1)
+            .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi"))
+      }
+      .start()
+
+  /**
    * Streaming exact dedup for a continuously-ingested corpus: keep
    * the FIRST arrival per content fingerprint, dropping later copies
    * that arrive within the watermark horizon. State is the set of

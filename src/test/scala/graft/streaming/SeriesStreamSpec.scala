@@ -101,6 +101,38 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming admission filter drops exact AND near corpus dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = SeriesStream.admitStream(
+      mem.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-admit").toString,
+      sink = b => admitted.synchronized {
+        admitted ++= b.select("doc_id").collect().map(_.getLong(0))
+      },
+      threshold = 0.5)
+    try {
+      mem.addData(
+        // exact duplicate of the corpus doc (whitespace-normalized)
+        (1L, "alpha  beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        // near duplicate: one word changed out of 12
+        (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+        // novel
+        (3L, "a completely different document about entirely other things"))
+      q.processAllAvailable()
+      // later micro-batch: still screened against the same corpus
+      mem.addData((4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(3L))
+    } finally q.stop()
+  }
+
   test("streaming attribution join: clicks pair with in-window purchases only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
