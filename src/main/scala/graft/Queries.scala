@@ -1731,6 +1731,34 @@ object Queries {
           sum(t)::BIGINT / 1e9 AS kl
         FROM t GROUP BY 1 ORDER BY 1""")),
 
+    // numeric-feature PSI per source (doc length in 200-char bins) vs
+    // the corpus mixture — the histogram complement of vocab drift;
+    // same nano-nat integer portability, +1-smoothed over occupied
+    // bins so absent bins contribute finite terms
+    "corpus_psi" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.psi(
+          t(s, dir, "documents"), col("source"), col("n_chars"),
+          binWidth = 200.0)
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source AS grp,
+            (floor(n_chars / 200.0))::BIGINT AS bin FROM documents),
+        gb AS (SELECT grp, bin, count(*)::BIGINT AS cgb FROM d GROUP BY 1, 2),
+        b AS (SELECT bin, sum(cgb)::BIGINT AS cb FROM gb GROUP BY 1),
+        g AS (SELECT grp, sum(cgb)::BIGINT AS ng FROM gb GROUP BY 1),
+        tt AS (SELECT sum(cb)::BIGINT AS n, count(*)::BIGINT AS nb FROM b),
+        grid AS (SELECT g.grp, g.ng, b.bin, b.cb,
+            coalesce(gb.cgb, 0)::BIGINT AS cgb
+          FROM g CROSS JOIN b
+          LEFT JOIN gb ON gb.grp = g.grp AND gb.bin = b.bin),
+        t AS (SELECT grp,
+            round((((cgb + 1.0) / (ng + nb)) - ((cb + 1.0) / (n + nb))) *
+              ln(((cgb + 1.0) / (ng + nb)) / ((cb + 1.0) / (n + nb))) *
+              1e9)::BIGINT AS t
+          FROM grid CROSS JOIN tt)
+        SELECT grp AS source, sum(t)::BIGINT AS psi_nano,
+          sum(t)::BIGINT / 1e9 AS psi
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
     // corpus snapshot diff: v1 drops ids %5==0, v2 drops %7==0 and
     // rewrites %11==0 — the changelog statuses fall out of one
     // (id, fingerprint) full-outer join

@@ -382,6 +382,48 @@ object CorpusStats {
   }
 
   /**
+   * Per-group Population Stability Index over a NUMERIC feature —
+   * the histogram complement of [[vocabDivergence]]: how far each
+   * source/slice's distribution of `value` (doc length, quality
+   * score, token count) sits from the corpus mixture, over
+   * fixed-width bins. `PSI = Σ_b (p_gb − q_b)·ln(p_gb/q_b)` — the
+   * symmetrized-KL-shaped drift statistic model-monitoring uses
+   * (PSI > 0.2 ≈ "investigate"). Counts are +1-smoothed over the
+   * occupied-bin set, so a bin one side lacks contributes a finite
+   * term instead of ln(0).
+   *
+   * Portability: the same nano-nat construction as
+   * [[vocabDivergence]] — identical integer counts feed an identical
+   * float-op sequence, quantized to 1e-9 and summed as LONGs. Scale
+   * shape: the only corpus-sized exchange is the (group, bin)
+   * histogram group-by (map-side combined); the #groups × #bins
+   * completion grid and the 1-row totals are broadcast-sized.
+   */
+  def psi(df: DataFrame, group: Column, value: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val d = df.select(group.as("grp"),
+      floor(value.cast("double") / lit(binWidth)).cast("long").as("bin"))
+    val gb = d.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("cgb"))
+      .localCheckpoint() // consumed three times: bin/group rollups + grid
+    val bins = gb.groupBy(col("bin")).agg(sum(col("cgb")).as("cb"))
+    val grps = gb.groupBy(col("grp")).agg(sum(col("cgb")).as("ng"))
+    val tots = bins.agg(sum(col("cb")).as("n"), count(lit(1)).as("nb"))
+    // every (group, occupied bin) cell, zeros included — the grid is
+    // #groups × #bins, nowhere near corpus-sized
+    val grid = grps.crossJoin(broadcast(bins))
+      .join(gb, Seq("grp", "bin"), "left")
+      .withColumn("cgb", coalesce(col("cgb"), lit(0L)))
+      .crossJoin(broadcast(tots))
+    val p = (col("cgb") + lit(1.0)) / (col("ng") + col("nb"))
+    val q = (col("cb") + lit(1.0)) / (col("n") + col("nb"))
+    grid.withColumn("t", round((p - q) * log(p / q) * lit(1e9)).cast("long"))
+      .groupBy(col("grp")).agg(sum(col("t")).as("psi_nano"))
+      .select(col("grp").as("source"), col("psi_nano"),
+        (col("psi_nano") / lit(1e9)).as("psi"))
+  }
+
+  /**
    * Per-group robust feature normalization — the scaling pass before
    * thresholding/mixing heterogeneous quality signals: within each
    * group, `robust = (x − median) / IQR` (outlier-insensitive, the

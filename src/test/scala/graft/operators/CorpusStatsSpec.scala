@@ -179,6 +179,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 0L))
   }
 
+  test("psi: drifted source scores higher; terms are never negative") {
+    // bulk and mix share the corpus's 50/50 length mixture; drift
+    // sits entirely in a bin nobody else occupies
+    val rows = Seq.fill(50)(("bulk", 100L)) ++ Seq.fill(50)(("bulk", 300L)) ++
+      Seq.fill(20)(("mix", 100L)) ++ Seq.fill(20)(("mix", 300L)) ++
+      Seq.fill(40)(("drift", 900L))
+    val got = CorpusStats.psi(rows.toDF("source", "n"), $"source", $"n",
+        binWidth = 100.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("drift")._2 > got("mix")._2)
+    assert(got("drift")._2 > 1.0) // own-bin drift is a loud signal
+    // every (p−q)·ln(p/q) term shares sign — PSI can't go negative
+    assert(got.values.forall(_._1 >= 0L))
+    got.values.foreach { case (nano, psi) => assert(psi == nano / 1e9) }
+  }
+
   test("normalize: robust and minmax per group; degenerate spread → null") {
     val docs = Seq(
       ("g1", 0L), ("g1", 10L), ("g1", 20L), ("g1", 30L), ("g1", 100L),
