@@ -1867,6 +1867,41 @@ object Queries {
             ELSE (1152921504606846976 // kth_hash) * 63 END AS est_distinct
         FROM kt ORDER BY source""")),
 
+    // column-level table profile: row/null counts, exact-below-k KMV
+    // cardinality, canonical-string length stats — one stacked scan,
+    // two aggregations, every statistic integer-derived
+    "corpus_profile" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.profile(
+          t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"), k = 64)
+        .orderBy(col("col_name")),
+      Some("""WITH s AS (
+          SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS v FROM documents
+          UNION ALL SELECT 'text', text FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents),
+        basic AS (SELECT col_name, count(*)::BIGINT AS n_rows,
+            sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+            (sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) / count(*))
+              AS null_frac,
+            (sum(length(v)) / count(v)) AS avg_len,
+            max(length(v))::BIGINT AS max_len
+          FROM s GROUP BY 1),
+        h AS (SELECT DISTINCT col_name,
+            ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+          FROM s WHERE v IS NOT NULL),
+        r AS (SELECT col_name, hv, row_number() OVER (
+            PARTITION BY col_name ORDER BY hv) AS rn FROM h),
+        kt AS (SELECT col_name, count(*)::BIGINT AS n_kept,
+            max(hv) AS kth FROM r WHERE rn <= 64 GROUP BY 1)
+        SELECT b.col_name, n_rows, n_null, null_frac,
+          coalesce(CASE WHEN n_kept < 64 THEN n_kept
+            ELSE (1152921504606846976 // kth) * 63 END, 0)::BIGINT
+            AS est_distinct,
+          avg_len, max_len
+        FROM basic b LEFT JOIN kt USING (col_name) ORDER BY col_name""")),
+
     // bigram LM with stupid backoff: tiny tables (32 words, 64
     // bigrams) so the gate exercises all three scoring paths —
     // bigram hit, backoff through a known word, and the OOV floor

@@ -177,6 +177,45 @@ object CorpusStats {
   }
 
   /**
+   * Column-level table profile — the schema-quality report a pipeline
+   * run records next to [[dataCard]]'s content stats: one row per
+   * profiled column with row/null counts, null fraction, a
+   * [[distinctKmv]] cardinality estimate (EXACT below k), and the
+   * mean/max length of the value's canonical string form. The
+   * "did a source start shipping empty/constant/exploded columns"
+   * check, cheap enough to run on every ingest.
+   *
+   * One scan: columns stack into (col_name, value-string) rows — the
+   * per-column aggregates and the KMV sketch both group on
+   * `col_name`, so the whole profile is two map-side-combined
+   * aggregations over a single pass, #cols × k state total. All
+   * statistics are integer-derived (the two ratios are exact-integer
+   * divisions), so the profile is engine-reproducible.
+   */
+  def profile(df: DataFrame, columns: Seq[String], k: Int = 64): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val stackExpr = s"stack(${columns.size}, " +
+      columns.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") as (col_name, v)"
+    val stacked = df.selectExpr(stackExpr)
+    val basic = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, lit(1L)).otherwise(lit(0L))).as("n_null"),
+      sum(length(col("v"))).as("__lensum"),
+      count(col("v")).as("__nnn"),
+      max(length(col("v"))).cast("long").as("max_len"))
+    val kmv = distinctKmv(stacked.filter(col("v").isNotNull),
+        col("col_name"), col("v"), k)
+      .select(col("source").as("col_name"), col("est_distinct"))
+    basic.join(kmv, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        (col("n_null") / col("n_rows")).as("null_frac"),
+        coalesce(col("est_distinct"), lit(0L)).as("est_distinct"),
+        (col("__lensum") / col("__nnn")).as("avg_len"),
+        col("max_len"))
+  }
+
+  /**
    * PMI collocation mining: the top-k adjacent word pairs by pointwise
    * mutual information `ln(p(w₁w₂)/(p(w₁)p(w₂)))` with a minimum
    * pair-count support — the collocation/"multi-word expression"

@@ -179,6 +179,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 0L))
   }
 
+  test("profile: per-column rows/nulls/distinct/lengths; exact below k") {
+    val df = Seq(
+      (1L, Some("aa"), "x"), (2L, Some("bbb"), "x"),
+      (3L, None, "x"), (4L, Some("aa"), "y"))
+      .toDF("id", "txt", "grp")
+    val got = CorpusStats.profile(df, Seq("id", "txt", "grp"), k = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getLong(6)))).toMap
+    assert(got("id") == ((4L, 0L, 0.0, 4L, Some(1.0), 1L)))
+    // txt: one null; distinct {aa, bbb}; lengths 2,3,2 → avg 7/3
+    assert(got("txt") == ((4L, 1L, 0.25, 2L, Some(7.0 / 3), 3L)))
+    assert(got("grp") == ((4L, 0L, 0.0, 2L, Some(1.0), 1L)))
+  }
+
   test("psi: drifted source scores higher; terms are never negative") {
     // bulk and mix share the corpus's 50/50 length mixture; drift
     // sits entirely in a bin nobody else occupies
