@@ -1402,6 +1402,22 @@ object Queries {
       },
       Some(incrementalOracle(0.8))),
 
+    // the SAME admission decision computed from a prebuilt compact
+    // index (fingerprint + shingle count + band keys per corpus doc):
+    // corpus text is touched only for pruned candidates. Oracle is
+    // dedup_incremental's — the two paths must be bit-identical
+    "dedup_incremental_indexed" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val index = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+        Dedup.incrementalIndexed(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), index, corpus,
+            col("doc_id"), col("text"), threshold = 0.8)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalOracle(0.8))),
+
     "ann_cosine_topk" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -519,6 +519,86 @@ object Dedup {
    * batch-INTERNAL duplicates are [[exact]]/[[minhashPairs]] over the
    * batch alone — compose both for a full admission filter.
    */
+  /**
+   * Persistable admission index: ONE compact row per corpus doc —
+   * content fingerprint `fp`, shingle count `sz`, and the LSH band
+   * keys `bkeys` (`bands` structs). This is the "persist the corpus's
+   * (band, key) frame and fingerprints once" object [[incremental]]'s
+   * scaladoc prescribes, materialized: a few hundred bytes per doc
+   * (vs the KB-scale text), plain columns — cheap parquet, appended
+   * per admitted batch. Docs whose text yields no shingles carry a
+   * null `bkeys` (they can exact-match but never near-match, same as
+   * the derive-from-text path).
+   */
+  def corpusIndex(corpus: DataFrame, id: Column, text: Column,
+      n: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val sets = shingled(corpus, id, text, shingleK)
+    val bk = bandKeys(sigsOf(sets, n), bands, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("band"), col("key"))).as("bkeys"))
+    corpus.select(id.as("doc_id"), TextOps.fingerprint(text).as("fp"))
+      .join(sets.select(col("doc_id"), size(col("ss")).as("sz")),
+        Seq("doc_id"), "left")
+      .join(bk, Seq("doc_id"), "left")
+  }
+
+  /**
+   * [[incremental]] against a PREBUILT [[corpusIndex]] — bit-identical
+   * output, radically different corpus cost: the exact check probes
+   * index fingerprints, candidates come from the batch-bands ⋈
+   * index-bands equi-join, the size prune reads `sz` off the index,
+   * and corpus TEXT is touched only for docs that survive the prune
+   * (a semi-join cut re-shingles candidates, not the corpus). Per
+   * batch, the standing corpus costs one index scan plus the
+   * candidate sliver — the 100 TB text is read ~never.
+   */
+  def incrementalIndexed(batch: DataFrame, index: DataFrame,
+      corpus: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val bFp = batch.select(id.as("doc_id"), TextOps.fingerprint(text).as("__fp"))
+    val cFp = index.select(col("fp").as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    val exactFlag = bFp
+      .join(cFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
+      .select(col("doc_id"), coalesce(col("__hit"), lit(0)).as("dup_exact"))
+    val bSets = shingled(batch, id, text, shingleK)
+    val cBands = index.filter(col("bkeys").isNotNull)
+      .select(col("doc_id").as("cid"), explode(col("bkeys")).as("bk"))
+      .select(col("cid"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bandKeys(sigsOf(bSets, n), bands, n)
+      .join(cBands, Seq("band", "key"))
+      .select(col("doc_id"), col("cid"))
+      .distinct()
+    val pruned = cands
+      .join(bSets.select(col("doc_id"), size(col("ss")).as("bsz")), "doc_id")
+      .join(index.select(col("doc_id").as("cid"), col("sz").as("csz")), "cid")
+      .filter(least(col("bsz"), col("csz")).cast("double") >=
+        lit(threshold) * greatest(col("bsz"), col("csz")).cast("double"))
+      .select(col("doc_id"), col("cid"))
+    // only candidate corpus docs get their text re-shingled
+    val touched = corpus.join(pruned.select(col("cid")).distinct(),
+      id === col("cid"), "left_semi")
+    val cSets = shingled(touched, id, text, shingleK)
+      .select(col("doc_id").as("cid"), col("ss").as("ss2"))
+    // the SAME i/u >= t formulation as incremental (borderline pairs
+    // flip under rearrangement — see the note there)
+    val nearIds = pruned
+      .join(bSets.select(col("doc_id"), col("ss").as("ss1")), "doc_id")
+      .join(cSets, "cid")
+      .filter(size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
+        size(array_union(col("ss1"), col("ss2"))).cast("double") >= threshold)
+      .select(col("doc_id")).distinct()
+      .withColumn("__near", lit(1))
+    exactFlag
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_exact"),
+        coalesce(col("__near"), lit(0)).as("dup_near"))
+      .withColumn("keep",
+        when(col("dup_exact") === 1 || col("dup_near") === 1, lit(0))
+          .otherwise(lit(1)))
+  }
+
   def incremental(batch: DataFrame, corpus: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {

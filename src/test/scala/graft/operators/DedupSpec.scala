@@ -187,6 +187,28 @@ class DedupSpec extends SparkSpec {
       (17L, 0, 0, 1)))  // internal dups are the batch-side exact() pass's job
   }
 
+  test("incrementalIndexed: identical verdicts from the prebuilt index") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some corpus document about distributed query engines"),
+      (4L, ""))                        // shingle-less: null bkeys path
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (13L, "the quick brown fox jumps over the sleepy dog"),
+      (15L, "a genuinely novel document with fresh content words"))
+      .toDF("doc_id", "text")
+    val index = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    val direct = rows(Dedup.incremental(batch, corpus,
+      col("doc_id"), col("text"), threshold = 0.5))
+    val indexed = rows(Dedup.incrementalIndexed(batch, index, corpus,
+      col("doc_id"), col("text"), threshold = 0.5))
+    assert(indexed == direct)
+    assert(indexed == Seq((11L, 1, 1, 0), (13L, 0, 1, 0), (15L, 0, 0, 1)))
+  }
+
   test("mass-duplicate bucket streams its quadratic pairs (no giant array)") {
     import spark.implicits._
     // 800 identical docs + 200 distinct: every identical doc shares
