@@ -2218,6 +2218,34 @@ object Queries {
         SELECT doc_id AS media_id, u.no AS frame_no, u.hx AS frame_hex
         FROM x WHERE u.no % 2 = 0 ORDER BY 1, 2""")),
 
+    // media near-dup by shared sampled frames: hash-bucketed frame
+    // equi-join (no all-pairs), pair rollup map-side combined — the
+    // video-dedup fingerprint-frame construction over the same hex
+    // windows multimodal_frames gates
+    "multimodal_near_dup" -> Entry(
+      (s, dir) => Multimodal.frameNearDupPairs(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text",
+            "source"),
+          frameChars = 64, stride = 2, minShared = 2)
+        .orderBy(col("id1"), col("id2")),
+      Some("""WITH f AS (SELECT doc_id,
+            regexp_extract_all(lower(hex(encode(text))), '.{1,64}') AS fs
+          FROM documents),
+        x AS (SELECT doc_id, unnest(list_transform(range(1, len(fs) + 1),
+            i -> {'no': i - 1, 'hx': fs[i]})) AS u FROM f),
+        fr AS (SELECT DISTINCT doc_id AS mid,
+            ('0x' || substr(md5(u.hx), 1, 15))::BIGINT AS fh
+          FROM x WHERE u.no % 2 = 0),
+        nf AS (SELECT mid, count(*)::BIGINT AS nf FROM fr GROUP BY 1),
+        p AS (SELECT a.mid AS id1, b.mid AS id2,
+            count(*)::BIGINT AS shared_frames
+          FROM fr a JOIN fr b ON a.fh = b.fh AND a.mid < b.mid
+          GROUP BY 1, 2)
+        SELECT id1, id2, shared_frames,
+          round(shared_frames / least(n1.nf, n2.nf), 6) AS containment
+        FROM p JOIN nf n1 ON p.id1 = n1.mid JOIN nf n2 ON p.id2 = n2.mid
+        WHERE shared_frames >= 2 ORDER BY 1, 2""")),
+
     "multimodal_meta" -> Entry(
       (s, dir) => Multimodal.extractFeatures(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))

@@ -171,6 +171,45 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /**
+   * Media near-duplicate pairs by SHARED SAMPLED FRAMES — the
+   * fingerprint-frame construction video dedup uses (sample frames,
+   * hash each, pair media that share ≥ `minShared` frame hashes;
+   * containment = shared / min(frame counts) grades the overlap).
+   * Catches re-encodes-with-trims and clipped copies that a
+   * whole-payload hash misses. Frames come from [[sampleFrames]];
+   * with a real decoder the hash input would be the decoded
+   * thumbnail — the plumbing is identical.
+   *
+   * Scale shape: frame hashes are 8-byte longs; the self-join is
+   * equi-keyed on the hash (each distinct frame is its own bucket —
+   * no all-pairs stage), and the pair rollup is a map-side-combined
+   * count. The same bucket-cardinality contract as MinHash LSH
+   * applies: collapse exact-duplicate payloads first so a
+   * boilerplate frame (black frame, silence) doesn't fan out — or
+   * raise `stride`.
+   */
+  def frameNearDupPairs(media: DataFrame, frameChars: Int, stride: Int,
+      minShared: Long = 2): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fh = sampleFrames(media, frameChars, stride)
+      .select(col("media_id"), TextOps.hash60(col("frame_hex")).as("fh"))
+      .distinct()
+      .localCheckpoint() // consumed by both join sides + the counts
+    val nf = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    fh.alias("a")
+      .join(fh.alias("b"),
+        col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+      .join(nf.select(col("media_id").as("id1"), col("nf").as("nf1")), "id1")
+      .join(nf.select(col("media_id").as("id2"), col("nf").as("nf2")), "id2")
+      .select(col("id1"), col("id2"), col("shared_frames"),
+        round(col("shared_frames").cast("double") /
+          least(col("nf1"), col("nf2")).cast("double"), 6).as("containment"))
+  }
+
   /** Frame sampling stub for video-shaped payloads: every `stride`-th
    * fixed-size window of the hex-encoded byte stream becomes one
    * "frame" row — the explode/partition plumbing a real frame sampler

@@ -112,4 +112,25 @@ class MultimodalSpec extends SparkSpec {
     val f2 = frames.filter($"media_id" === 2L).orderBy("frame_no").collect()
     assert(f2.map(_.getString(2)).toSeq == Seq("78797a".take(4)))
   }
+
+  test("frameNearDupPairs: shared frames pair media; threshold filters") {
+    import spark.implicits._
+    // 10 and 11 share a long aligned prefix (3 sampled 8-byte frames);
+    // 12 shares only the first frame with them; 13 is disjoint
+    val common = "0123456789abcdefghijklmnopqrstuv" // 32 bytes = 2 DISTINCT 16-byte frames
+    val m = Multimodal.asMedia(Seq(
+      (10L, common + "AAAAAAAAAAAAAAAA", "s"),
+      (11L, common + "BBBBBBBBBBBBBBBB", "s"),
+      (12L, common.take(16) + "CCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCC", "s"),
+      (13L, "entirely different payload bytes", "s"))
+      .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    // frameChars 32 = 16-byte windows; stride 1 samples every window
+    val pairs = Multimodal.frameNearDupPairs(m, frameChars = 32, stride = 1,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // only (10, 11): frames 0 and 1 match; 12 shares just one with them
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((10L, 11L)))
+    assert(pairs.head._3 == 2L && pairs.head._4 == 0.666667) // 2/3 @ 6 dp
+  }
 }
