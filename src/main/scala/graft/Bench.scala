@@ -39,7 +39,8 @@ object Bench {
       "events_anomaly", "dedup_keep_best", "text_novelty",
       "dedup_semantic", "events_triangles", "events_changepoint",
       "events_seasonal", "events_ppr", "corpus_psi", "corpus_profile",
-      "dedup_incremental_indexed", "multimodal_near_dup")
+      "dedup_incremental_indexed", "multimodal_near_dup",
+      "embed_cross_pairs")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

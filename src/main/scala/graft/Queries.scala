@@ -1497,6 +1497,21 @@ object Queries {
         .orderBy(col("id1"), col("id2")),
       Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4))),
 
+    // cross-corpus alignment pairs: even-id vs odd-id halves of the
+    // embedding table, shared LSH buckets, exact cosine verify — the
+    // both-sides-large join neither broadcast ANN path covers
+    "embed_cross_pairs" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.crossCosinePairs(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            threshold = 0.4, tables = 4, planes = 4)
+          .withColumn("sim", round(col("sim"), 6))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(crossPairsOracle(threshold = 0.4, tables = 4, planes = 4))),
+
     // SemDeDup: cluster the embedding space (one Lloyd assignment —
     // the same portable construction embed_kmeans gates), then score
     // ONLY same-cluster pairs. Exact within a cluster, sub-quadratic
@@ -2432,6 +2447,26 @@ object Queries {
         FROM e l JOIN e r ON l.tk = r.tk AND l.vec_id < r.vec_id),
       scored AS (SELECT id1, id2,
           ${dotSql.format("v1", "v2")} / (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
+        FROM cand)
+      SELECT id1, id2, round(sim, 6) AS sim FROM scored
+      WHERE sim >= $threshold ORDER BY 1, 2"""
+
+  /** Cross-corpus LSH pairs in DuckDB, mirroring
+   * [[Similarity.crossCosinePairs]] over the even/odd halves: same
+   * sketch keys, same-bucket (left, right) candidates, exact cosine
+   * verify. */
+  private def crossPairsOracle(threshold: Double, tables: Int,
+      planes: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding, [${tksSql(tables, planes)}] AS tks
+          FROM embeddings),
+      l AS (SELECT vec_id AS id1, embedding AS v1, unnest(tks) AS tk
+        FROM b WHERE vec_id % 2 = 0),
+      r AS (SELECT vec_id AS id2, embedding AS v2, unnest(tks) AS tk
+        FROM b WHERE vec_id % 2 = 1),
+      cand AS (SELECT DISTINCT id1, id2, v1, v2 FROM l JOIN r USING (tk)),
+      scored AS (SELECT id1, id2,
+          ${dotSql.format("v1", "v2")} /
+            (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
         FROM cand)
       SELECT id1, id2, round(sim, 6) AS sim FROM scored
       WHERE sim >= $threshold ORDER BY 1, 2"""

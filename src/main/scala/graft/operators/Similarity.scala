@@ -212,6 +212,36 @@ object Similarity {
   }
 
   /**
+   * Cross-corpus cosine pairs — align TWO large embedding tables
+   * (snapshot-vs-snapshot drift pairs, caption↔image retrieval in a
+   * shared space, translation mining) where NEITHER side fits a
+   * broadcast: both sides hash into the same hyperplane-LSH buckets,
+   * only same-bucket (left, right) pairs score, and the exact cosine
+   * verifies ≥ `threshold`. The two-table analog of
+   * [[cosineNearDupPairs]] — [[cosineTopK]]/[[hardNegatives]] cover
+   * the small-query-side case; this is the both-sides-corpus-scale
+   * shape (one bucket-keyed equi-join, candidate ids shuffle bare,
+   * vectors rejoin only the deduped candidate set).
+   */
+  def crossCosinePairs(left: DataFrame, right: DataFrame, threshold: Double,
+      tables: Int = 4, planes: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, idName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
+        .withColumn("tk", explode(array((0 until tables).map(t =>
+          concat_ws("#", lit(t), sketchKey(col(s"${idName}_v"), t, planes))): _*)))
+        .select(col(idName), col("tk"))
+    bucketed(left, "id1").join(bucketed(right, "id2"), Seq("tk"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+      .join(left.select(col("vec_id").as("id1"), col("embedding").as("v1")), Seq("id1"))
+      .join(right.select(col("vec_id").as("id2"), col("embedding").as("v2")), Seq("id2"))
+      .filter(l2norm(col("v1")) > 0 && l2norm(col("v2")) > 0)
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  /**
    * SemDeDup-style semantic near-duplicate pairs (cf. Abbas et al.
    * 2023, "SemDeDup: Data-efficient learning at web-scale through
    * semantic deduplication", arXiv:2303.09540): bound the pair search

@@ -107,6 +107,17 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("cross-corpus pairs: left x right only, never within a side") {
+    // 0 and 1 are near-identical but BOTH on the left — no pair; the
+    // (left 0, right 2) alignment clears the threshold
+    val l = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0.001f, 0f))
+    val r = vecs(2L -> Seq(0.9f, 0.1f, 0f), 3L -> Seq(0f, 1f, 0f))
+    val pairs = Similarity.crossCosinePairs(l, r, threshold = 0.9,
+        tables = 8, planes = 2)
+      .collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L), (1L, 2L)))
+  }
+
   test("semantic near-dup: only same-cluster pairs score") {
     // 0 and 1 are near-identical but assigned to DIFFERENT clusters —
     // SemDeDup must not see that pair; 1 and 2 share a cluster and
