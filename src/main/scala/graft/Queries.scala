@@ -1216,6 +1216,29 @@ object Queries {
             ELSE 0.0 END))::BIGINT, sum(n_chars)::BIGINT) AS shortfall
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // sqrt-temperature mixture planning: budgets ∝ ⌊√available⌋,
+    // reconciled against supply — pure integer arithmetic (floor-sqrt
+    // is IEEE-deterministic), so the plan is engine-exact
+    "sample_temperature" -> Entry(
+      (s, dir) => graft.operators.Sampling.temperatureBudgets(
+          t(s, dir, "documents"), col("source"), col("n_chars"),
+          totalBudget = 500000L)
+        .orderBy(col("source")),
+      Some("""WITH a AS (SELECT source, sum(n_chars)::BIGINT AS available
+            FROM documents GROUP BY 1),
+          i AS (SELECT source, available,
+            floor(sqrt(available))::BIGINT AS isq FROM a),
+          t AS (SELECT sum(isq)::HUGEINT AS tot FROM i),
+          x AS (SELECT source, available,
+            CASE WHEN tot > 0
+              THEN ((500000::HUGEINT * isq) // tot)::BIGINT ELSE 0 END
+              AS target
+            FROM i CROSS JOIN t)
+        SELECT source, available, target,
+          least(target, available) AS budget,
+          target - least(target, available) AS shortfall
+        FROM x ORDER BY source""")),
+
     "sample_split" -> Entry(
       (s, dir) => graft.operators.Sampling.split(t(s, dir, "documents"),
           col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

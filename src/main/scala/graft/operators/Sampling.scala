@@ -167,6 +167,39 @@ object Sampling {
       .withColumn("shortfall", col("target") - col("budget"))
   }
 
+  /**
+   * Temperature-flattened mixture planning (the multilingual-sampling
+   * rebalance, cf. XLM-R: `p_i ∝ q_i^α` with α < 1 upweights
+   * low-resource groups): per-group budgets proportional to
+   * `√available` — α = 0.5, the canonical flattening — reconciled
+   * against supply exactly like [[mixtureBudgets]]. The fixed α is
+   * what buys ENGINE-EXACT arithmetic: `⌊√n⌋` is deterministic in
+   * IEEE doubles (sqrt is correctly rounded; weights ≤ 2⁵² hold to
+   * ~4.5e15 tokens per group), so shares are a ratio of exact LONG
+   * sums and `target = (totalBudget · ⌊√a_i⌋) div Σ⌊√a_j⌋` is pure
+   * integer — no float mixture share anywhere near a floor boundary.
+   * For other temperatures, compute driver-side shares and feed
+   * [[mixtureBudgets]]. One map-side-combined aggregate; the totals
+   * ride a broadcast 1-row frame.
+   */
+  def temperatureBudgets(df: DataFrame, group: Column, weight: Column,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    val avail = df.groupBy(group.as("source"))
+      .agg(sum(weight.cast("long")).as("available"))
+      .withColumn("__isq",
+        floor(sqrt(col("available").cast("double"))).cast("long"))
+    val tot = avail.agg(sum(col("__isq")).as("__tot"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("target", when(col("__tot") > 0,
+        graft.functions.ldiv(
+          (lit(totalBudget).cast("decimal(38,0)") * col("__isq"))
+            .cast("decimal(38,0)"), col("__tot"))).otherwise(lit(0L)))
+      .withColumn("budget", least(col("target"), col("available")))
+      .withColumn("shortfall", col("target") - col("budget"))
+      .drop("__isq", "__tot")
+  }
+
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {
     require((default +: budgets.values.toSeq).forall(_ >= 0),

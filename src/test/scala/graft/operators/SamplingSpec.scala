@@ -145,4 +145,31 @@ class SamplingSpec extends SparkSpec {
     assert(out("b") == ((50L, 200L, 50L, 150L)))  // short 150
     assert(out("c") == ((10L, 0L, 0L, 0L)))       // not in the mixture
   }
+
+  test("temperatureBudgets: sqrt flattening upweights small groups") {
+    // available: a = 900, b = 100 → isq 30, 10; tot 40
+    // targets: a = 400·30/40 = 300, b = 400·10/40 = 100 (= its supply)
+    val docs = Seq(("a", 900L), ("b", 100L)).toDF("src", "w")
+    val out = Sampling.temperatureBudgets(docs, col("src"), col("w"),
+        totalBudget = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((900L, 300L, 300L, 0L)))
+    assert(out("b") == ((100L, 100L, 100L, 0L)))
+    // raw proportional would give b 40; sqrt temperature gives it 100
+  }
+
+  test("temperatureBudgets: clamps to supply; zero corpus yields zero") {
+    val docs = Seq(("a", 4L), ("b", 10000L)).toDF("src", "w")
+    val out = Sampling.temperatureBudgets(docs, col("src"), col("w"),
+        totalBudget = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // isq: 2, 100; tot 102 → targets 196, 9803; a clamps to 4
+    assert(out("a") == ((4L, 196L, 4L, 192L)))
+    assert(out("b") == ((10000L, 9803L, 9803L, 0L)))
+    val empty = Sampling.temperatureBudgets(
+      Seq.empty[(String, Long)].toDF("src", "w"), col("src"), col("w"), 100L)
+    assert(empty.count() == 0)
+  }
 }
