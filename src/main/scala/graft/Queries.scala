@@ -1579,6 +1579,16 @@ object Queries {
     // one Lloyd iteration: centroid means in DECIMAL (order-free),
     // assignment via sequential-order dots — the centroid-training
     // step IVF consumes (Similarity.ivfTopK takes caller centroids)
+    // label-outlier mining: distance to OWN label's centroid,
+    // z-scored per label — the mislabeled-example detector; reuses
+    // the kmeans centroid + anomaly stat constructions wholesale
+    "embed_label_outliers" -> Entry(
+      (s, dir) => graft.operators.Embeddings.labelOutliers(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          col("label"), threshold = 2.0)
+        .orderBy(col("vec_id")),
+      Some(labelOutliersOracle(2.0))),
+
     "embed_kmeans" -> Entry(
       (s, dir) => graft.operators.Embeddings.kmeansIter(t(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), col("label"))
@@ -2525,6 +2535,38 @@ object Queries {
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
       SELECT cluster, id1, id2, round(sim, 6) AS sim FROM pairs
       WHERE sim >= $threshold ORDER BY 1, 2, 3"""
+
+  /** Label-outlier mining in DuckDB, mirroring
+   * [[graft.operators.Embeddings.labelOutliers]]: kmeansOracle's
+   * DECIMAL centroid means, own-label d2 expansion, per-label
+   * DECIMAL-sum z (the events_anomaly stat construction). */
+  private def labelOutliersOracle(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
+          unnest(v) AS xv FROM e),
+      cpos AS (SELECT lbl, pos,
+          (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT lbl, list(cv ORDER BY pos) AS cv
+        FROM cpos GROUP BY 1),
+      sc AS (SELECT vec_id, e.label,
+          ${dotSql.format("v", "v")} - 2.0 * ${dotSql.format("v", "cv")} +
+            ${dotSql.format("cv", "cv")} AS d2
+        FROM e JOIN cent ON e.label = cent.lbl),
+      st AS (SELECT label,
+          CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS s,
+          CAST(sum(CAST(d2 * d2 AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+          count(d2) AS cnt
+        FROM sc GROUP BY 1),
+      zt AS (SELECT vec_id, sc.label, d2,
+          round(CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
+            THEN (d2 - s / cnt) / sqrt(ss / cnt - (s / cnt) * (s / cnt))
+            END, 6) AS z
+        FROM sc JOIN st USING (label))
+      SELECT vec_id, label, round(d2, 6) AS d2, z,
+        coalesce(z > $threshold, false) AS is_outlier
+      FROM zt ORDER BY vec_id"""
 
   /** One Lloyd iteration in DuckDB, mirroring
    * [[graft.operators.Embeddings.kmeansIter]]: per-(label, dim)

@@ -68,6 +68,53 @@ object Embeddings {
         s => s.getField("cv")).as("cv"))
 
   /**
+   * Label-outlier mining — the mislabeled/atypical-example detector
+   * of a curated-dataset pipeline (the geometric core of
+   * confident-learning-style cleaning): each vector's squared
+   * distance to ITS OWN label's centroid, z-scored against that
+   * label's distance distribution. A high `z` means the example sits
+   * far outside its class's cluster — a labeling error, an outlier,
+   * or a hard example, all of which deserve review before training.
+   * Emits (vec_id, label, d2, z, is_outlier = z > threshold); labels
+   * whose distance spread is 0 never flag.
+   *
+   * Portability and scale both reuse proven constructions:
+   * [[centroids]]' DECIMAL means broadcast back (the [[kmeansIter]]
+   * join shape — the corpus never shuffles with its vectors), `d2`
+   * is the same `‖x‖² − 2·x·c + ‖c‖²` sequential-dot expansion, and
+   * the per-label stats are [[SeriesStats.anomaly]]'s order-free
+   * DECIMAL sum construction. One scan, two broadcast-sized frames.
+   */
+  def labelOutliers(df: DataFrame, id: Column, vec: Column, label: Column,
+      threshold: Double = 2.0): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val cents = broadcast(centroids(df, vec, label)
+      .select(col("lbl"), col("cv"))
+      .withColumn("__cc", dot(col("cv"), col("cv"))))
+    val scored = df.filter(vec.isNotNull && size(vec) > 0)
+      .select(id.as("vec_id"), label.as("lbl"), vec.as("__v"))
+      .join(cents, "lbl")
+      .withColumn("d2",
+        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("cv")) +
+          col("__cc"))
+      .select(col("vec_id"), col("lbl").as("label"), col("d2"))
+    val stats = scored.groupBy(col("label"))
+      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("__s"),
+        sum((col("d2") * col("d2")).cast("decimal(38,12)")).cast("double")
+          .as("__ss"),
+        count(col("d2")).as("__n"))
+      .select(col("label"), (col("__s") / col("__n")).as("__m"),
+        (col("__ss") / col("__n") -
+          (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__var"))
+    scored.join(broadcast(stats), "label")
+      .withColumn("z", round(when(col("__var") > 0,
+        (col("d2") - col("__m")) / sqrt(col("__var"))), 6))
+      .withColumn("is_outlier", coalesce(col("z") > threshold, lit(false)))
+      .select(col("vec_id"), col("label"), round(col("d2"), 6).as("d2"),
+        col("z"), col("is_outlier"))
+  }
+
+  /**
    * One Lloyd (k-means) iteration: recompute centroids from the
    * current `label` assignment ([[centroids]]), then re-assign every
    * vector to its nearest centroid by squared euclidean distance

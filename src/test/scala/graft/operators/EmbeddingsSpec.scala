@@ -98,6 +98,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(again.filter($"new_label" =!= $"old_label").count() == 0)
   }
 
+  test("labelOutliers flags the example far from its own centroid") {
+    // label A: four vectors near the origin plus one far outlier;
+    // label B tight — nothing flags there
+    val df = (Seq(
+      (0L, Seq(0f, 0f), "A"), (1L, Seq(0.1f, 0f), "A"),
+      (2L, Seq(0f, 0.1f), "A"), (3L, Seq(0.1f, 0.1f), "A"),
+      (4L, Seq(10f, 10f), "A"),
+      (5L, Seq(5f, 5f), "B"), (6L, Seq(5.1f, 5f), "B")))
+      .toDF("vec_id", "embedding", "label")
+    val out = Embeddings.labelOutliers(df, $"vec_id", $"embedding",
+        $"label", threshold = 1.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(4))).toMap
+    assert(out(4L) == (("A", true)))
+    assert((0L to 3L).forall(i => !out(i)._2))
+    assert(!out(5L)._2 && !out(6L)._2) // degenerate-spread label: no flags
+  }
+
   test("randomProjection: deterministic ±1 matrix, exact linearity") {
     val m = Embeddings.signMatrix(4, 8, "jl")
     assert(m.length == 4 && m.forall(_.length == 8))

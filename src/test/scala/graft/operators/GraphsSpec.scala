@@ -193,6 +193,39 @@ class GraphsSpec extends SparkSpec {
     assert(out("hub")._3.get == 0.666667)
   }
 
+  test("ppr loop issues no driver scalar actions (no .head jobs)") {
+    // same audit as pagerank's: the dangling term must ride a
+    // broadcast 1-row frame; the only counts are the upfront
+    // nodes/teleport cardinalities (2), outside the loop
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val group = "graphs-spec-ppr-actions"
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val p = Option(j.properties)
+        if (p.flatMap(x => Option(x.getProperty("spark.jobGroup.id")))
+            .contains(group))
+          sites.add(p.flatMap(x => Option(x.getProperty("callSite.short")))
+            .getOrElse(""))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "ppr driver-action audit")
+      ppr(Seq("a" -> "b", "b" -> "c", "c" -> "a"), Seq("a"), iters = 4)
+      Thread.sleep(500)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    import scala.jdk.CollectionConverters._
+    val graft = sites.asScala.filter(_.contains("Graphs.scala"))
+    assert(!graft.exists(_.startsWith("head at")),
+      s"driver .head inside ppr: ${graft.mkString(", ")}")
+    assert(graft.count(_.startsWith("count at")) <= 2,
+      s"per-iteration counts inside ppr: ${graft.mkString(", ")}")
+  }
+
   test("hits: multi-edges weight the scores; stable under iteration") {
     // a cites b twice, c once — b the stronger authority at any depth
     val e = Seq("a" -> "b", "a" -> "b", "a" -> "c")
