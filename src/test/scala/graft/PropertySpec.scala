@@ -309,6 +309,105 @@ class PropertySpec extends AnyFunSuite {
     }, min = 20)
   }
 
+  test("triangles match brute-force enumeration on random graphs") {
+    import graft.operators.Graphs
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 9))).map(_.take(30))
+    check(Prop.forAllNoShrink(edgeGen) { raw =>
+      val und = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b).toString, math.max(a, b).toString) }.toSet
+      val got = Graphs.triangles(
+          raw.map { case (a, b) => (a.toString, b.toString) }.toDF("s", "d"),
+          col("s"), col("d"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      val triCount = nodes.map { v =>
+        val nbrs = und.collect { case (`v`, b) => b
+          case (a, `v`) => a }
+        v -> nbrs.toSeq.combinations(2).count { case Seq(x, y) =>
+          und.contains((Seq(x, y).min, Seq(x, y).max)) }
+      }.toMap
+      val degree = nodes.map(v => v -> und.count(e => e._1 == v || e._2 == v)).toMap
+      und.isEmpty && got.isEmpty ||
+        nodes.forall(v => got.get(v).contains((degree(v).toLong, triCount(v).toLong)))
+    }, min = 25)
+  }
+
+  test("changepoint cusum equals the closed form; peak flag is argmax") {
+    import graft.operators.SeriesStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val valsGen = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)).map(_.take(40))
+    check(Prop.forAllNoShrink(valsGen) { xs =>
+      val b = xs.zipWithIndex.map { case (v, i) => (i * 1000L, v) }
+        .toDF("bucket_ms", "v")
+      val got = SeriesStats.changepoint(b, col("v")).orderBy("bucket_ms")
+        .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+      val n = xs.length.toLong
+      val sv = xs.sum * 1000000L
+      val cums = xs.scanLeft(0L)(_ + _ * 1000000L).tail
+      val s = cums.zipWithIndex.map { case (c, i) =>
+        (BigInt(c) * n - BigInt(sv) * (i + 1)) }
+      val want = s.map(x =>
+        BigDecimal(x).toDouble / (n * 1000000L).toDouble)
+      val peakIdx = s.map(_.abs).zipWithIndex.maxBy { case (a, i) => (a, -i) }._2
+      val cusumOk = got.map(_._1).toSeq == want.map(w =>
+        BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      cusumOk &&
+        got.zipWithIndex.forall { case ((_, flag), i) => flag == (i == peakIdx) }
+    }, min = 25)
+  }
+
+  test("temperature budgets: integer plan invariants on random supplies") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.alphaLowerStr.map(_.take(3) + "g"),
+        Gen.chooseNum(0L, 1000000L))).map(_.take(8)),
+      Gen.chooseNum(0L, 10000000L))
+    check(Prop.forAllNoShrink(gen) { case (rows, total) =>
+      val out = Sampling.temperatureBudgets(rows.toDF("src", "w"),
+          col("src"), col("w"), total)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      out.forall { case (avail, target, budget, short) =>
+        budget <= avail && budget <= target && short == target - budget
+      } && out.map(_._2).sum <= total // floors never over-allocate
+    }, min = 25)
+  }
+
+  test("cross-corpus pairs: exact precision, brute-force subset") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vecGen = Gen.listOfN(3, Gen.chooseNum(-5, 5).map(_.toFloat))
+    val gen = Gen.zip(Gen.listOfN(6, vecGen), Gen.listOfN(6, vecGen))
+    def cos(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      val (na, nb) = (math.sqrt(d(a, a)), math.sqrt(d(b, b)))
+      if (na > 0 && nb > 0) Some(d(a, b) / (na * nb)) else None
+    }
+    check(Prop.forAllNoShrink(gen) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val r = rs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.crossCosinePairs(l, r, threshold = 0.7,
+          tables = 6, planes = 2)
+        .collect().map(p => (p.getLong(0), p.getLong(1), p.getDouble(2)))
+      val brute = (for {
+        (a, i) <- ls.zipWithIndex; (b, j) <- rs.zipWithIndex
+        c <- cos(a, b) if c >= 0.7
+      } yield (i.toLong, 100L + j) -> c).toMap
+      got.forall { case (i, j, sim) =>
+        brute.get((i, j)).contains(sim) } // precision: sim exact, ≥ t
+    }, min = 25)
+  }
+
   test("unigram NLL matches an in-memory model with vocab cut and OOV floor") {
     import graft.operators.CorpusStats
     import org.apache.spark.sql.functions.col
