@@ -185,12 +185,13 @@ object CorpusStats {
    * "did a source start shipping empty/constant/exploded columns"
    * check, cheap enough to run on every ingest.
    *
-   * One scan: columns stack into (col_name, value-string) rows — the
-   * per-column aggregates and the KMV sketch both group on
-   * `col_name`, so the whole profile is two map-side-combined
-   * aggregations over a single pass, #cols × k state total. All
-   * statistics are integer-derived (the two ratios are exact-integer
-   * divisions), so the profile is engine-reproducible.
+   * Shape: columns stack into (col_name, value-string) rows; the
+   * per-column aggregates and the KMV sketch are two independent
+   * map-side-combined aggregation branches over that stacked scan
+   * (two passes — the KMV's distinct cannot share the count
+   * aggregate's buffers), #cols × k state total. All statistics are
+   * integer-derived (the two ratios are exact-integer divisions), so
+   * the profile is engine-reproducible.
    */
   def profile(df: DataFrame, columns: Seq[String], k: Int = 64): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
