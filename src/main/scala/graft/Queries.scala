@@ -1284,6 +1284,24 @@ object Queries {
           count(*) AS n, sum(doc_id)::BIGINT AS id_sum
         FROM f GROUP BY 1 ORDER BY 1""")),
 
+    // preference-pair mining: within each near-dup cluster, the
+    // (best, worst)-quality members + margin — DPO/reward data prep
+    // from the dedup byproduct; deterministic tie-breaks, one
+    // max/min(struct) aggregate per cluster
+    "pairs_preference" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.clusters(Dedup.minhashPairs(docs,
+          col("doc_id"), col("text"), threshold = 0.8))
+        val scored = docs.select(col("doc_id"),
+          TextOps.qualityColumns(col("text")).toMap.apply("quality")
+            .as("quality"))
+        graft.operators.Pipeline.preferencePairs(scored, col("doc_id"),
+            col("quality"), clusters)
+          .orderBy(col("cluster_id"))
+      },
+      Some(preferenceOracle(0.8))),
+
     // pairs → connected components → keeper per component: the
     // keep-list step a dedup pipeline consumes (transitive closure,
     // not pairwise keeper-wins)
@@ -2880,6 +2898,41 @@ object Queries {
         CASE $cases ELSE 'und' END AS lang_pred
       FROM (SELECT doc_id, $scores FROM documents) ORDER BY doc_id"""
   }
+
+  /** The quality score as a standalone DuckDB expression over a
+   * `text` column — the same float-op order as qualityOracle's
+   * `quality` column (which hash-matches the Spark side). */
+  private def qualityExprSql: String = {
+    val en = TextOps.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""0.4 * (len(list_filter(string_split(text, ' '), x -> x IN ($en)))::DOUBLE
+          / len(string_split(text, ' '))::DOUBLE)
+        + 0.3 * (CASE WHEN ((length(text)::DOUBLE - len(string_split(text, ' '))::DOUBLE + 1.0)
+            / len(string_split(text, ' '))::DOUBLE) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+          / length(text)::DOUBLE)"""
+  }
+
+  /** Preference pairs in DuckDB: clustersOracle's components joined to
+   * the quality expression; chosen/rejected via the same
+   * (score, id) tie-breaks as [[graft.operators.Pipeline.preferencePairs]]. */
+  private def preferenceOracle(threshold: Double): String =
+    s"""WITH q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
+      cl AS (${clustersOracle(threshold)}),
+      j AS (SELECT cl.doc_id, cl.cluster_id, q.q
+        FROM cl JOIN q USING (doc_id)),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY q DESC, doc_id) AS rb,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY q ASC, doc_id DESC) AS rw,
+          count(*) OVER (PARTITION BY cluster_id) AS sz
+        FROM j)
+      SELECT b.cluster_id, b.doc_id AS chosen_id, b.q AS chosen_q,
+        w.doc_id AS rejected_id, w.q AS rejected_q,
+        round(b.q - w.q, 6) AS margin
+      FROM (SELECT * FROM r WHERE rb = 1 AND sz >= 2) b
+      JOIN (SELECT * FROM r WHERE rw = 1) w USING (cluster_id)
+      ORDER BY cluster_id"""
 
   private def qualityOracle: String = {
     val en = TextOps.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")

@@ -40,6 +40,42 @@ import org.apache.spark.sql.functions._
  */
 object Pipeline {
 
+  /**
+   * Preference-pair mining — DPO/reward-model data prep from the
+   * dedup byproduct: within each near-dup cluster of ≥ 2 docs
+   * ([[Dedup.clusters]] output), emit `(chosen, rejected)` = the
+   * highest- and lowest-scoring members with the score margin.
+   * Near-dup clusters are exactly the "same content, different
+   * renditions" sets where a quality delta is a meaningful
+   * preference signal rather than a topic difference. `minMargin`
+   * drops low-signal pairs; at the default 0, all-tied clusters
+   * still emit their deterministic (min-id, max-id) pair.
+   *
+   * Ties break deterministically: chosen = highest score then LOWEST
+   * id, rejected = lowest score then HIGHEST id — so chosen ≠
+   * rejected whenever the cluster has ≥ 2 members. One
+   * map-side-combined `max(struct)`/`min(struct)` aggregate per
+   * cluster — no per-cluster window, nothing corpus-sized in any
+   * buffer.
+   */
+  def preferencePairs(scored: DataFrame, id: Column, score: Column,
+      clusters: DataFrame, minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0, "minMargin must be >= 0")
+    val q = scored.select(id.as("doc_id"), score.cast("double").as("__q"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), "doc_id")
+    q.groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("__q").as("q"), (-col("doc_id")).as("nid"))).as("b"),
+        min(struct(col("__q").as("q"), (-col("doc_id")).as("nid"))).as("w"),
+        count(lit(1)).as("__sz"))
+      .filter(col("__sz") >= 2)
+      .select(col("cluster_id"),
+        (-col("b.nid")).as("chosen_id"), col("b.q").as("chosen_q"),
+        (-col("w.nid")).as("rejected_id"), col("w.q").as("rejected_q"))
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 6))
+      .filter(col("margin") >= minMargin)
+  }
+
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double = 0.8, useClusters: Boolean = false,

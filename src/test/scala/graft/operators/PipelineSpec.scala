@@ -69,4 +69,26 @@ class PipelineSpec extends SparkSpec {
     assert(run(useClusters = true) == Seq(
       0L -> "keep", 1L -> "near_dup", 2L -> "near_dup"))
   }
+
+  test("preferencePairs: best vs worst per cluster, deterministic ties") {
+    import org.apache.spark.sql.functions.col
+    val scored = Seq((1L, 0.9), (2L, 0.3), (3L, 0.6), // cluster 1
+      (10L, 0.5), (11L, 0.5),                         // all-tied cluster
+      (99L, 0.1))                                     // unclustered
+      .toDF("doc_id", "s")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Pipeline.preferencePairs(scored, col("doc_id"), col("s"),
+        clusters)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(5)))
+    // cluster 1: chosen 1 (0.9), rejected 2 (0.3); tied cluster:
+    // chosen = min id, rejected = max id, margin 0
+    assert(out.toSeq == Seq((1L, 1L, 2L, 0.6), (10L, 10L, 11L, 0.0)))
+    // margin floor drops the tied pair
+    val strict = Pipeline.preferencePairs(scored, col("doc_id"), col("s"),
+      clusters, minMargin = 0.1)
+    assert(strict.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
