@@ -25,13 +25,17 @@ import scala.concurrent.duration.{Duration, DurationInt}
  *   DELETE /{db}/_bulk?from&to          bulk range delete
  *   POST   /{db}/_compact               compaction
  *   GET    /{db}/_query?group&ptr&reducer[&f&fv&from&to]
- *                 [&fill&smooth_roll&smooth_alpha&smooth_lags&anomaly&post_col]
+ *                 [&fill&smooth_roll&smooth_alpha&smooth_lags&seasonal
+ *                  &anomaly&changepoint&post_col]
  *                                       bucketed multi-reducer query;
  *                                       the optional post-processing
  *                                       params (beyond-reference) gap-
  *                                       fill the bucket grid and append
- *                                       roll_mean/ewma and z/is_anomaly
- *                                       to each bucket's array
+ *                                       roll_mean/ewma, seasonal_mean/
+ *                                       residual (seasonal = period in
+ *                                       buckets), z/is_anomaly, and
+ *                                       cusum/is_changepoint to each
+ *                                       bucket's array
  *
  * Built on the JDK server: the engine stays dependency-free, and the
  * façade is deliberately driver-side glue — every response is computed
@@ -278,7 +282,9 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
       smoothAlpha = p.get("smooth_alpha").map(_.head.toDouble).getOrElse(0.3),
       smoothLags = p.get("smooth_lags").map(_.head.toInt).getOrElse(8),
       anomaly = p.get("anomaly").map(_.head.toDouble),
-      valueIndex = p.get("post_col").map(_.head.toInt).getOrElse(0))
+      valueIndex = p.get("post_col").map(_.head.toInt).getOrElse(0),
+      seasonalPeriod = p.get("seasonal").map(_.head.toInt),
+      changepoint = truthy("changepoint"))
     // the timer wraps the full emit (compute + stream), matching the
     // reference's executeQuery timing (query.go:318-331); cache hits
     // stream chunked exactly like computed responses instead of being

@@ -90,12 +90,22 @@ object SeriesEngine {
       smoothAlpha: Double = 0.3,
       smoothLags: Int = 8,
       anomaly: Option[Double] = None,
-      valueIndex: Int = 0) {
-    def isNoop: Boolean = !fill && smoothRoll.isEmpty && anomaly.isEmpty
-    /** extra per-bucket array elements, in emit order */
+      valueIndex: Int = 0,
+      seasonalPeriod: Option[Int] = None,
+      changepoint: Boolean = false) {
+    def isNoop: Boolean = !fill && smoothRoll.isEmpty && anomaly.isEmpty &&
+      seasonalPeriod.isEmpty && !changepoint
+    def needsNumeric: Boolean = smoothRoll.isDefined || anomaly.isDefined ||
+      seasonalPeriod.isDefined || changepoint
+    /** extra per-bucket array elements, in emit order: smooth →
+     * seasonal → anomaly → changepoint (each derived from the same
+     * `valueIndex` reducer column) */
     def derived: Seq[String] =
       (if (smoothRoll.isDefined) Seq("roll_mean", "ewma") else Nil) ++
-        (if (anomaly.isDefined) Seq("z", "is_anomaly") else Nil)
+        (if (seasonalPeriod.isDefined) Seq("seasonal_mean", "residual")
+         else Nil) ++
+        (if (anomaly.isDefined) Seq("z", "is_anomaly") else Nil) ++
+        (if (changepoint) Seq("cusum", "is_changepoint") else Nil)
   }
 
   /** Runs the query; output is one row per bucket that contains ≥1

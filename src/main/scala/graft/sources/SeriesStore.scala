@@ -656,19 +656,23 @@ class SeriesStore(spark: SparkSession, root: String) {
     var df = SeriesEngine.query(frame(db), q, jsonEncoded = true)
     if (!post.isNoop) {
       val base = df.columns.toSeq // bucket_ms +: one col per reducer
-      if (post.smoothRoll.isDefined || post.anomaly.isDefined) {
+      if (post.needsNumeric) {
         require(post.valueIndex >= 0 && post.valueIndex < q.reducers.length,
           s"post_col ${post.valueIndex} out of range")
         require(SeriesEngine.numericReducers.contains(q.reducers(post.valueIndex)),
-          s"smooth/anomaly need a numeric reducer at post_col, " +
-            s"got '${q.reducers(post.valueIndex)}'")
+          s"smooth/seasonal/anomaly/changepoint need a numeric reducer " +
+            s"at post_col, got '${q.reducers(post.valueIndex)}'")
       }
       val vcol = col(df.columns(post.valueIndex + 1))
       if (post.fill) df = SeriesStats.gapFill(df, q.groupMs).drop("is_gap")
       post.smoothRoll.foreach { n =>
         df = SeriesStats.smooth(df, vcol, n, post.smoothAlpha, post.smoothLags)
       }
+      post.seasonalPeriod.foreach { p =>
+        df = SeriesStats.seasonal(df, vcol, q.groupMs, p).drop("phase")
+      }
       post.anomaly.foreach(t => df = SeriesStats.anomaly(df, vcol, t))
+      if (post.changepoint) df = SeriesStats.changepoint(df, vcol)
       // fixed output shape + restored bucket order (the joins above
       // do not preserve the engine's sort)
       df = df.select((base ++ post.derived).map(col): _*)
@@ -689,7 +693,7 @@ class SeriesStore(spark: SparkSession, root: String) {
         val v = row.get(1 + q.reducers.length + j)
         sb.append(',').append(
           if (v == null) "null"
-          else if (name == "is_anomaly") v.toString
+          else if (name.startsWith("is_")) v.toString // boolean flags
           else jsonCell("sum", v)) // numeric derived: Go %v surface
       }
       sb.append(']').toString

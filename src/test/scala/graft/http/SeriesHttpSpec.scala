@@ -115,6 +115,29 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(req("DELETE", "/pp")._1 == 200)
   }
 
+  test("_query post-processing: seasonal + changepoint append derived values") {
+    assert(req("PUT", "/pp2")._1 == 201)
+    // perfectly periodic minute series, period 2: 10, 2, 10, 2
+    assert(req("PUT", "/pp2/2012-08-28T21:24:00Z", """{"v": 10}""")._1 == 201)
+    assert(req("PUT", "/pp2/2012-08-28T21:25:00Z", """{"v": 2}""")._1 == 201)
+    assert(req("PUT", "/pp2/2012-08-28T21:26:00Z", """{"v": 10}""")._1 == 201)
+    assert(req("PUT", "/pp2/2012-08-28T21:27:00Z", """{"v": 2}""")._1 == 201)
+    // seasonal(2): phase means 10/2, residuals all 0. changepoint on
+    // sums (10,2,10,2): μ=6, cusum 4,0,4,0 → earliest peak flags.
+    // Derived emit order: seasonal_mean, residual, cusum, is_changepoint
+    val (c, body) = req("GET", "/pp2/_query?group=60000&ptr=/v&reducer=sum" +
+      "&seasonal=2&changepoint=1")
+    assert(c == 200 && body ==
+      """{"1346189040000":[10,10,0,4,true],""" +
+        """"1346189100000":[2,2,0,0,false],""" +
+        """"1346189160000":[10,10,0,4,false],""" +
+        """"1346189220000":[2,2,0,0,false]}""", body)
+    // changepoint on a non-numeric reducer is a 400
+    assert(req("GET",
+      "/pp2/_query?group=60000&ptr=/v&reducer=identity&changepoint=1")._1 == 400)
+    assert(req("DELETE", "/pp2")._1 == 200)
+  }
+
   test("a _query past maxQueryTime is cancelled and returns an error") {
     // zero budget → deterministically past-deadline (the reference's
     // queryExecutor refuses already-late work the same way,
