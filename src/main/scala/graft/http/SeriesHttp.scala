@@ -288,12 +288,12 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
     // the timer wraps the full emit (compute + stream), matching the
     // reference's executeQuery timing (query.go:318-331); cache hits
     // stream chunked exactly like computed responses instead of being
-    // buffered into one send. Post-processed responses bypass the
-    // cache (its key covers only the base SeriesQuery).
+    // buffered into one send. Post-processed responses cache too —
+    // the key mixes every PostProcess field.
     timedQuery(s"_query $db ${ex.getRequestURI.getQuery}") {
       cache match {
-        case Some(c) if post.isNoop =>
-          sendStream(ex, c.queryJson(db, q).grouped(streamChunkChars))
+        case Some(c) =>
+          sendStream(ex, c.queryJson(db, q, post).grouped(streamChunkChars))
         case _ => sendStream(ex, store.queryJsonChunks(db, q, post))
       }
     }

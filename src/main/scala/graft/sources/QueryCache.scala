@@ -44,13 +44,23 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
   def rawHits: Long = rawHitCount.sum()
   def rawMisses: Long = rawMissCount.sum()
 
-  def queryJson(db: String, q: SeriesQuery): String = {
-    val key = "q#" + java.lang.Long.toUnsignedString(cacheKey(db, q))
+  def queryJson(db: String, q: SeriesQuery): String =
+    queryJson(db, q, graft.operators.SeriesEngine.PostProcess())
+
+  /** Post-processed responses cache under a key that mixes every
+   * [[graft.operators.SeriesEngine.PostProcess]] field — a smoothed
+   * and an unsmoothed run of the same base query are distinct
+   * entries, both version-invalidated like any other `q#` key. */
+  def queryJson(db: String, q: SeriesQuery,
+      post: graft.operators.SeriesEngine.PostProcess): String = {
+    val key = "q#" + java.lang.Long.toUnsignedString(cacheKey(db, q, post))
     val cached = lru.get(key)
     if (cached != null) { hitCount.increment(); cached }
     else {
       missCount.increment()
-      val result = store.queryJson(db, q)
+      val result =
+        if (post.isNoop) store.queryJson(db, q)
+        else store.queryJsonChunks(db, q, post).mkString
       putEntry(key, result)
       result
     }
@@ -94,7 +104,8 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
 
   def invalidateAll(): Unit = { lru.clear(); bytesUsed.set(0L) }
 
-  private def cacheKey(db: String, q: SeriesQuery): Long = {
+  private def cacheKey(db: String, q: SeriesQuery,
+      post: graft.operators.SeriesEngine.PostProcess): Long = {
     var h = Fnv.offset
     def mix(s: String): Unit = { h = Fnv.mix(h, s); h = Fnv.mixByte(h, 0) }
     mix(db)
@@ -103,6 +114,15 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
     q.reducers.foreach(mix); mix("|")
     q.filters.foreach { case (f, v) => mix(f); mix(v) }
     mix(q.from.getOrElse("")); mix(q.to.getOrElse(""))
+    if (!post.isNoop) { // base-query keys unchanged by the extension
+      mix(post.fill.toString)
+      mix(post.smoothRoll.fold("")(_.toString))
+      mix(post.smoothAlpha.toString); mix(post.smoothLags.toString)
+      mix(post.anomaly.fold("")(_.toString))
+      mix(post.valueIndex.toString)
+      mix(post.seasonalPeriod.fold("")(_.toString))
+      mix(post.changepoint.toString)
+    }
     h = Fnv.mixLong(h, storageVersion(db))
     h
   }

@@ -59,6 +59,37 @@ class QueryCacheSpec extends SparkSpec {
     assert(cache.queryJson("db", q) == """{"1346189040000":[30]}""")
   }
 
+  test("post-processed queries cache under distinct, invalidated keys") {
+    import graft.operators.SeriesEngine.PostProcess
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qcp").toString)
+    store.create("db")
+    store.store("db", Some("2012-08-28T21:24:00Z"), """{"v": 10}""")
+    store.store("db", Some("2012-08-28T21:26:00Z"), """{"v": 30}""")
+    val cache = new QueryCache(store)
+    val q = SeriesQuery(60000, Seq("/v"), Seq("sum"), names = Seq("s"))
+    val post = PostProcess(fill = true)
+
+    val filled = cache.queryJson("db", q, post)
+    assert(filled ==
+      """{"1346189040000":[10],"1346189100000":[null],"1346189160000":[30]}""")
+    assert(cache.queryJson("db", q, post) == filled) // hit
+    assert(cache.hits == 1 && cache.misses == 1)
+    // base query is its own key (and its key is unchanged by the
+    // PostProcess extension — a noop post behaves identically)
+    assert(cache.queryJson("db", q) ==
+      """{"1346189040000":[10],"1346189160000":[30]}""")
+    assert(cache.misses == 2)
+    // distinct post params → distinct entries
+    cache.queryJson("db", q, PostProcess(fill = true, changepoint = true))
+    assert(cache.misses == 3)
+    // writes invalidate post-processed entries like any q# key
+    store.store("db", Some("2012-08-28T21:25:00Z"), """{"v": 20}""")
+    assert(cache.queryJson("db", q, post) ==
+      """{"1346189040000":[10],"1346189100000":[20],"1346189160000":[30]}""")
+    assert(cache.misses == 4)
+  }
+
   test("rewrite invalidates even when file metadata is indistinguishable") {
     // the mtime-collision case: a rewrite landing in the same
     // filesystem timestamp tick with identical file names and sizes
