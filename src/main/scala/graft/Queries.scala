@@ -1823,7 +1823,8 @@ object Queries {
           binWidth = 200.0)
         .orderBy(col("source")),
       Some("""WITH d AS (SELECT source AS grp,
-            (floor(n_chars / 200.0))::BIGINT AS bin FROM documents),
+            (floor(n_chars / 200.0))::BIGINT AS bin FROM documents
+          WHERE n_chars IS NOT NULL),
         gb AS (SELECT grp, bin, count(*)::BIGINT AS cgb FROM d GROUP BY 1, 2),
         b AS (SELECT bin, sum(cgb)::BIGINT AS cb FROM gb GROUP BY 1),
         g AS (SELECT grp, sum(cgb)::BIGINT AS ng FROM gb GROUP BY 1),
@@ -2560,7 +2561,8 @@ object Queries {
    * DECIMAL-sum z (the events_anomaly stat construction). */
   private def labelOutliersOracle(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, label,
-          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0),
       ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
           unnest(v) AS xv FROM e),
       cpos AS (SELECT lbl, pos,

@@ -22,7 +22,10 @@ object SparkEntry {
     require(dt == org.apache.spark.sql.types.LongType,
       s"events.ts normalized to $dt, expected BIGINT epoch-ns — " +
         "update Queries.normalizeTsNs for the new testdata schema")
-    val sample = ev.select("ts").head().getLong(0)
+    val sampleRow = ev.select("ts").limit(1).collect()
+    require(sampleRow.nonEmpty,
+      s"events table at $dir is EMPTY — truncated testdata regeneration?")
+    val sample = sampleRow.head.getLong(0)
     require(sample > 1000000000000000000L && sample < 4000000000000000000L,
       s"events.ts sample $sample is not plausibly epoch NANOSECONDS " +
         "(expected ~1.7e18 for 2024 data) — unit drift in testdata?")

@@ -530,9 +530,18 @@ object Dedup {
    * null `bkeys` (they can exact-match but never near-match, same as
    * the derive-from-text path).
    */
+  /** The (n, bands, shingleK) stamp an index was built with, carried
+   * as a constant column — parquet RLE makes it ~free, and it lets
+   * [[incrementalIndexed]] reject a parameter mismatch loudly instead
+   * of silently admitting near-duplicates whose band keys could never
+   * match. */
+  private def indexParams(n: Int, bands: Int, shingleK: Int): String =
+    s"n=$n;bands=$bands;k=$shingleK"
+
   def corpusIndex(corpus: DataFrame, id: Column, text: Column,
       n: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val sets = shingled(corpus, id, text, shingleK)
+      .localCheckpoint() // consumed by the band keys AND the size join
     val bk = bandKeys(sigsOf(sets, n), bands, n)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("band"), col("key"))).as("bkeys"))
@@ -540,6 +549,7 @@ object Dedup {
       .join(sets.select(col("doc_id"), size(col("ss")).as("sz")),
         Seq("doc_id"), "left")
       .join(bk, Seq("doc_id"), "left")
+      .withColumn("idx_params", lit(indexParams(n, bands, shingleK)))
   }
 
   /**
@@ -556,14 +566,26 @@ object Dedup {
       corpus: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
+    // reject a parameter mismatch loudly: band keys built under other
+    // (n, bands, shingleK) would simply never match — silent missed
+    // duplicates. The guard rides the scan (constant-folded compare),
+    // no driver action.
+    val expect = indexParams(n, bands, shingleK)
+    val idx =
+      if (index.columns.contains("idx_params"))
+        index.where(assert_true(col("idx_params") === lit(expect),
+          concat(lit("corpusIndex built with "), col("idx_params"),
+            lit(s", queried with $expect"))).isNull)
+      else index
     val bFp = batch.select(id.as("doc_id"), TextOps.fingerprint(text).as("__fp"))
-    val cFp = index.select(col("fp").as("__fp"))
+    val cFp = idx.select(col("fp").as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
     val exactFlag = bFp
       .join(cFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
       .select(col("doc_id"), coalesce(col("__hit"), lit(0)).as("dup_exact"))
     val bSets = shingled(batch, id, text, shingleK)
-    val cBands = index.filter(col("bkeys").isNotNull)
+      .localCheckpoint() // consumed by band keys, size prune, verify
+    val cBands = idx.filter(col("bkeys").isNotNull)
       .select(col("doc_id").as("cid"), explode(col("bkeys")).as("bk"))
       .select(col("cid"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cands = bandKeys(sigsOf(bSets, n), bands, n)
@@ -572,7 +594,7 @@ object Dedup {
       .distinct()
     val pruned = cands
       .join(bSets.select(col("doc_id"), size(col("ss")).as("bsz")), "doc_id")
-      .join(index.select(col("doc_id").as("cid"), col("sz").as("csz")), "cid")
+      .join(idx.select(col("doc_id").as("cid"), col("sz").as("csz")), "cid")
       .filter(least(col("bsz"), col("csz")).cast("double") >=
         lit(threshold) * greatest(col("bsz"), col("csz")).cast("double"))
       .select(col("doc_id"), col("cid"))

@@ -211,6 +211,12 @@ object SeriesStats {
    * over BUCKET frames (range/granularity-bounded, like the rest of
    * this family); the peak is a second #series-sized aggregate
    * broadcast back. No global sort, no driver scalars.
+   *
+   * Null-valued buckets (e.g. [[gapFill]]'s inserted grid rows, or a
+   * reducer cell with no extractable value) contribute nothing: they
+   * are excluded from the totals AND the walk index, emit a null
+   * `cusum`, and are never flagged — the same "nulls drop out"
+   * contract as [[smooth]]/[[anomaly]].
    */
   def changepoint(buckets: DataFrame, value: Column,
       bucketCol: String = "bucket_ms",
@@ -224,18 +230,22 @@ object SeriesStats {
       if (partitionBy.isEmpty) withVi.crossJoin(broadcast(totals))
       else withVi.join(broadcast(totals), partitionBy)
     val wOrd = Window.partitionBy(parts: _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // sum and count both skip nulls, so a null bucket's (__cum, __i)
+    // repeat the previous occupied bucket's — its own __s is nulled
     val scored = joined
-      .withColumn("__cum", sum(col("__vi")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__i", row_number().over(wOrd).cast("long"))
-      .withColumn("__s",
+      .withColumn("__cum", sum(col("__vi")).over(wOrd))
+      .withColumn("__i", count(col("__vi")).over(wOrd))
+      .withColumn("__s", when(col("__vi").isNotNull,
         col("__cum").cast("decimal(38,0)") * col("__n") -
-          col("__sv").cast("decimal(38,0)") * col("__i"))
+          col("__sv").cast("decimal(38,0)") * col("__i")))
     // peak per series: max |cusum|, earliest bucket on ties — one
-    // max(struct) aggregate (map-side combined), broadcast back
+    // max(struct) aggregate (map-side combined), broadcast back;
+    // null-__s rows drop out of the max
     val peak = scored.groupBy(parts: _*)
-      .agg(max(struct(abs(col("__s")).as("a"),
-        (-col(bucketCol)).as("nb"))).as("__m"))
+      .agg(max(when(col("__s").isNotNull,
+        struct(abs(col("__s")).as("a"), (-col(bucketCol)).as("nb"))))
+        .as("__m"))
       .select(parts :+ (-col("__m.nb")).as("__cpb"): _*)
     val flagged =
       if (partitionBy.isEmpty) scored.crossJoin(broadcast(peak))
@@ -243,7 +253,8 @@ object SeriesStats {
     flagged
       .withColumn("cusum", round(col("__s").cast("double") /
         (col("__n") * lit(1000000L)).cast("double"), 6))
-      .withColumn("is_changepoint", col(bucketCol) === col("__cpb"))
+      .withColumn("is_changepoint",
+        coalesce(col(bucketCol) === col("__cpb"), lit(false)))
       .drop("__vi", "__sv", "__n", "__cum", "__i", "__s", "__cpb")
   }
 

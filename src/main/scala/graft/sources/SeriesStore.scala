@@ -663,7 +663,10 @@ class SeriesStore(spark: SparkSession, root: String) {
           s"smooth/seasonal/anomaly/changepoint need a numeric reducer " +
             s"at post_col, got '${q.reducers(post.valueIndex)}'")
       }
-      val vcol = col(df.columns(post.valueIndex + 1))
+      // lazy: only the numeric post-ops (whose guards above validated
+      // the index) dereference it — a fill-only request with a stray
+      // post_col must not throw AIOOBE here
+      def vcol = col(df.columns(post.valueIndex + 1))
       if (post.fill) df = SeriesStats.gapFill(df, q.groupMs).drop("is_gap")
       post.smoothRoll.foreach { n =>
         df = SeriesStats.smooth(df, vcol, n, post.smoothAlpha, post.smoothLags)

@@ -135,6 +135,10 @@ class SeriesHttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // changepoint on a non-numeric reducer is a 400
     assert(req("GET",
       "/pp2/_query?group=60000&ptr=/v&reducer=identity&changepoint=1")._1 == 400)
+    // fill-only ignores a stray post_col (no numeric op dereferences
+    // it) — must be a 200, not an index-out-of-bounds 500
+    assert(req("GET",
+      "/pp2/_query?group=60000&ptr=/v&reducer=sum&fill=1&post_col=5")._1 == 200)
     assert(req("DELETE", "/pp2")._1 == 200)
   }
 

@@ -209,6 +209,21 @@ class DedupSpec extends SparkSpec {
     assert(indexed == Seq((11L, 1, 1, 0), (13L, 0, 1, 0), (15L, 0, 0, 1)))
   }
 
+  test("incrementalIndexed rejects an index built with other parameters") {
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "some new batch document")).toDF("doc_id", "text")
+    val index = Dedup.corpusIndex(corpus, col("doc_id"), col("text"),
+      shingleK = 3)
+    val e = intercept[Exception] {
+      Dedup.incrementalIndexed(batch, index, corpus,
+        col("doc_id"), col("text"), shingleK = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("corpusIndex built with")), e.toString)
+  }
+
   test("mass-duplicate bucket streams its quadratic pairs (no giant array)") {
     import spark.implicits._
     // 800 identical docs + 200 distinct: every identical doc shares

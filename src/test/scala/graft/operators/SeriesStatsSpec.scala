@@ -152,6 +152,25 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got.filter(_._1 == "a").map(_._3).toSeq == Seq(-1.0, 0.0))
   }
 
+  test("changepoint: null buckets drop out of the walk, never flag") {
+    // gapFill-shaped input: 1, null, 1 — occupied cusums are 0 (μ=1),
+    // the gap emits null and cannot be the flagged peak
+    val b = Seq((0L, Some(1L)), (1000L, None), (2000L, Some(1L)))
+      .toDF("bucket_ms", "n")
+    val got = SeriesStats.changepoint(b, col("n")).orderBy("bucket_ms")
+      .collect().map(r => (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq((Some(0.0), true), (None, false),
+      (Some(0.0), false)))
+  }
+
+  test("changepoint: all-null series emits null cusums, no flags") {
+    val b = Seq((0L, Option.empty[Long]), (1000L, None)).toDF("bucket_ms", "n")
+    val got = SeriesStats.changepoint(b, col("n")).orderBy("bucket_ms")
+      .collect().map(r => (r.isNullAt(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((true, false), (true, false)))
+  }
+
   test("changepoint: fractional values quantize losslessly at 6 dp") {
     val b = Seq((0L, 0.5), (1000L, 1.5)).toDF("bucket_ms", "v")
     val got = SeriesStats.changepoint(b, col("v")).orderBy("bucket_ms")
