@@ -41,7 +41,7 @@ object Bench {
       "events_seasonal", "events_ppr", "corpus_psi", "corpus_profile",
       "dedup_incremental_indexed", "multimodal_near_dup",
       "embed_cross_pairs", "sample_temperature", "embed_label_outliers",
-      "pairs_preference")
+      "pairs_preference", "events_attribution")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

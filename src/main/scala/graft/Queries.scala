@@ -953,6 +953,34 @@ object Queries {
       },
       Some(hitsOracle(3))),
 
+    // linear multi-touch attribution: purchases split credit equally
+    // across the user's preceding 3-day touches, per channel —
+    // integer micro-credit shares (10^6 div n) so the sums are
+    // order-free and engine-exact
+    "events_attribution" -> Entry(
+      (s, dir) => {
+        val ev = eventsNs(s, dir)
+          .select(expr("ts div 1000").as("ts"), col("user_id"),
+            col("event_type"))
+        graft.operators.Funnel.linearAttribution(
+            ev.filter(col("event_type") =!= "purchase"),
+            ev.filter(col("event_type") === "purchase"),
+            col("user_id"), col("ts"), col("event_type"), col("ts"),
+            lookbackUs = 259200000000L)
+          .orderBy(col("channel"))
+      },
+      Some("""WITH t AS (SELECT user_id AS k, epoch_us(ts) AS tts,
+            event_type AS channel FROM events WHERE event_type <> 'purchase'),
+        c AS (SELECT user_id AS k, epoch_us(ts) AS cts FROM events
+          WHERE event_type = 'purchase'),
+        w AS (SELECT channel, k, cts FROM t JOIN c USING (k)
+          WHERE tts <= cts AND tts > cts - 259200000000),
+        n AS (SELECT k, cts, count(*)::BIGINT AS n FROM w GROUP BY 1, 2)
+        SELECT channel, count(*)::BIGINT AS touches,
+          count(DISTINCT (w.k, w.cts))::BIGINT AS conversions_touched,
+          round(sum(1000000 // n.n)::DOUBLE / 1000000.0, 6) AS credit
+        FROM w JOIN n USING (k, cts) GROUP BY 1 ORDER BY 1""")),
+
     // per-node triangle count + clustering coefficient over the
     // transition graph (finer value buckets than pagerank's, so the
     // graph is sparse enough for triangles to discriminate). Wedges

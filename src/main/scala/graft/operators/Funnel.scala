@@ -109,4 +109,50 @@ object Funnel {
       .orderBy(col("users").desc, col("path"))
       .limit(k)
   }
+
+  /**
+   * Linear multi-touch attribution: every conversion's credit splits
+   * EQUALLY across the same key's touches inside the lookback window
+   * (`cts − lookbackUs < tts ≤ cts`), rolled up per channel — the
+   * "which channel actually drives conversions" statistic that
+   * last-touch ([[AsOf.join]]) systematically biases toward the final
+   * click. Emits (channel, touches, conversions_touched, credit):
+   * `credit` sums each touch's `1/n` share; `conversions_touched`
+   * counts distinct conversions the channel participated in.
+   *
+   * Portability: per-touch shares are INTEGER micro-credits
+   * (`10⁶ div n`, floor — every engine reproduces the floor), summed
+   * as longs — no float summation order anywhere; the emitted credit
+   * is one final division. A conversion's total attributed credit is
+   * therefore ≤ 1 by exactly the floor dust (documented, determinate).
+   *
+   * Scale shape: touches ⋈ conversions is an equi-join on the key
+   * (both sides partitioned by it; per-key volumes are user-bounded),
+   * the in-window filter rides the join, and both rollups are
+   * map-side-combined counts/sums. Conversions with NO in-window
+   * touch simply contribute nothing (the reference set for
+   * conversion-rate math is the caller's).
+   */
+  def linearAttribution(touches: DataFrame, conversions: DataFrame,
+      key: Column, touchTs: Column, channel: Column, convTs: Column,
+      lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val t = touches.select(key.as("__k"), touchTs.as("__tts"),
+      channel.as("channel"))
+    val c = conversions.select(key.as("__k"), convTs.as("__cts"))
+    val inWindow = t.join(c, "__k")
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - lookbackUs)
+    val perConv = inWindow.groupBy(col("__k"), col("__cts"))
+      .agg(count(lit(1)).as("__n"))
+    inWindow.join(perConv, Seq("__k", "__cts"))
+      .withColumn("__ppm", graft.functions.ldiv(lit(1000000L), col("__n")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("__k"), col("__cts")).as("conversions_touched"),
+        sum(col("__ppm")).as("__credit_ppm"))
+      .select(col("channel"), col("touches"), col("conversions_touched"),
+        round(col("__credit_ppm").cast("double") / lit(1000000.0), 6)
+          .as("credit"))
+  }
 }

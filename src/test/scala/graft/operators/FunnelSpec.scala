@@ -85,4 +85,32 @@ class FunnelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.sliding(8).count(_ == "Exchange") == 1, plan)
   }
+
+  test("linearAttribution splits credit equally inside the lookback") {
+    import org.apache.spark.sql.functions.col
+    // user 1 converts at t=100 with touches a@90, b@95 (half credit
+    // each); user 2 converts at t=100 with ONE touch a@99; user 1's
+    // a@10 is outside the 50-unit lookback; user 3 never converts
+    val touches = Seq((1L, 10L, "a"), (1L, 90L, "a"), (1L, 95L, "b"),
+      (2L, 99L, "a"), (3L, 98L, "b")).toDF("u", "ts", "ch")
+    val convs = Seq((1L, 100L), (2L, 100L)).toDF("u", "ts")
+    val got = Funnel.linearAttribution(touches, convs,
+        col("u"), col("ts"), col("ch"), col("ts"), lookbackUs = 50L)
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 2L, 2L, 1.5), ("b", 1L, 1L, 0.5)))
+  }
+
+  test("linearAttribution floors: three-way split loses only dust") {
+    import org.apache.spark.sql.functions.col
+    val touches = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"))
+      .toDF("u", "ts", "ch")
+    val convs = Seq((1L, 4L)).toDF("u", "ts")
+    val got = Funnel.linearAttribution(touches, convs,
+        col("u"), col("ts"), col("ch"), col("ts"), lookbackUs = 10L)
+      .collect().map(_.getDouble(3))
+    // 10^6 div 3 = 333333 ppm each → 0.333333, total 0.999999
+    assert(got.toSeq.forall(_ == 0.333333))
+  }
 }
