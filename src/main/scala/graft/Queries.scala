@@ -981,6 +981,40 @@ object Queries {
           round(sum(1000000 // n.n)::DOUBLE / 1000000.0, 6) AS credit
         FROM w JOIN n USING (k, cts) GROUP BY 1 ORDER BY 1""")),
 
+    // U-shaped (position-based) attribution: first/last touches take
+    // 40% each, middles split 20% — same integer-ppm portability,
+    // plus one per-(user, conversion) ordered window
+    "events_attribution_position" -> Entry(
+      (s, dir) => {
+        val ev = eventsNs(s, dir)
+          .select(expr("ts div 1000").as("ts"), col("user_id"),
+            col("event_id"), col("event_type"))
+        graft.operators.Funnel.positionAttribution(
+            ev.filter(col("event_type") =!= "purchase"),
+            ev.filter(col("event_type") === "purchase"),
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            col("ts"), lookbackUs = 259200000000L)
+          .orderBy(col("channel"))
+      },
+      Some("""WITH t AS (SELECT user_id AS k, epoch_us(ts) AS tts,
+            event_id AS tie, event_type AS channel
+          FROM events WHERE event_type <> 'purchase'),
+        c AS (SELECT user_id AS k, epoch_us(ts) AS cts FROM events
+          WHERE event_type = 'purchase'),
+        w AS (SELECT channel, k, cts, tts, tie FROM t JOIN c USING (k)
+          WHERE tts <= cts AND tts > cts - 259200000000),
+        r AS (SELECT *, row_number() OVER (PARTITION BY k, cts
+            ORDER BY tts, tie) AS rn,
+          count(*) OVER (PARTITION BY k, cts) AS n FROM w),
+        p AS (SELECT channel, k, cts,
+            CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+              WHEN rn = 1 OR rn = n THEN 400000
+              ELSE 200000 // (n - 2) END AS ppm FROM r)
+        SELECT channel, count(*)::BIGINT AS touches,
+          count(DISTINCT (k, cts))::BIGINT AS conversions_touched,
+          round(sum(ppm)::DOUBLE / 1000000.0, 6) AS credit
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
     // per-node triangle count + clustering coefficient over the
     // transition graph (finer value buckets than pagerank's, so the
     // graph is sparse enough for triangles to discriminate). Wedges

@@ -133,6 +133,47 @@ object Funnel {
    * touch simply contribute nothing (the reference set for
    * conversion-rate math is the caller's).
    */
+  /**
+   * Position-based (U-shaped) multi-touch attribution: per
+   * conversion, the FIRST and LAST in-window touches take 40% each
+   * and the middles split the remaining 20% — the discovery-plus-
+   * closer weighting. Degenerate sets follow the standard convention:
+   * one touch takes 100%, two touches 50/50. Same integer-ppm
+   * portability and join shape as [[linearAttribution]]; the only
+   * addition is a per-(key, conversion) ordered window — bounded by
+   * one user's in-window touch count, never corpus-sized. `tie`
+   * breaks equal-timestamp touches deterministically (an event id).
+   */
+  def positionAttribution(touches: DataFrame, conversions: DataFrame,
+      key: Column, touchTs: Column, tie: Column, channel: Column,
+      convTs: Column, lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val t = touches.select(key.as("__k"), touchTs.as("__tts"),
+      tie.as("__tie"), channel.as("channel"))
+    val c = conversions.select(key.as("__k"), convTs.as("__cts"))
+    val inWindow = t.join(c, "__k")
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - lookbackUs)
+    val w = Window.partitionBy(col("__k"), col("__cts"))
+      .orderBy(col("__tts"), col("__tie"))
+    val weighted = inWindow
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__k"), col("__cts"))))
+      .withColumn("__ppm",
+        when(col("__n") === 1, lit(1000000L))
+          .when(col("__n") === 2, lit(500000L))
+          .when(col("__rn") === 1 || col("__rn") === col("__n"), lit(400000L))
+          .otherwise(graft.functions.ldiv(lit(200000L), col("__n") - 2)))
+    weighted.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("__k"), col("__cts")).as("conversions_touched"),
+        sum(col("__ppm")).as("__credit_ppm"))
+      .select(col("channel"), col("touches"), col("conversions_touched"),
+        round(col("__credit_ppm").cast("double") / lit(1000000.0), 6)
+          .as("credit"))
+  }
+
   def linearAttribution(touches: DataFrame, conversions: DataFrame,
       key: Column, touchTs: Column, channel: Column, convTs: Column,
       lookbackUs: Long): DataFrame = {

@@ -102,6 +102,25 @@ class FunnelSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2L, 2L, 1.5), ("b", 1L, 1L, 0.5)))
   }
 
+  test("positionAttribution: U-shape 40/20/40; degenerate 1 and 2 sets") {
+    import org.apache.spark.sql.functions.col
+    // user 1: four touches a,b,b,c → a 0.4, b 0.1+0.1, c 0.4
+    // user 2: single touch d → 1.0 ; user 3: two touches d,e → 0.5 each
+    val touches = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "b"),
+      (1L, 4L, 4L, "c"),
+      (2L, 1L, 5L, "d"), (3L, 1L, 6L, "d"), (3L, 2L, 7L, "e"))
+      .toDF("u", "ts", "id", "ch")
+    val convs = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("u", "ts")
+    val got = Funnel.positionAttribution(touches, convs,
+        col("u"), col("ts"), col("id"), col("ch"), col("ts"),
+        lookbackUs = 10L)
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 0.4), ("b", 0.2), ("c", 0.4),
+      ("d", 1.5), ("e", 0.5)))
+  }
+
   test("linearAttribution floors: three-way split loses only dust") {
     import org.apache.spark.sql.functions.col
     val touches = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"))
