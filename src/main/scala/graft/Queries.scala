@@ -971,15 +971,18 @@ object Queries {
       },
       Some("""WITH t AS (SELECT user_id AS k, epoch_us(ts) AS tts,
             event_type AS channel FROM events WHERE event_type <> 'purchase'),
-        c AS (SELECT user_id AS k, epoch_us(ts) AS cts FROM events
-          WHERE event_type = 'purchase'),
-        w AS (SELECT channel, k, cts FROM t JOIN c USING (k)
+        c AS (SELECT user_id AS k, epoch_us(ts) AS cts,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+              ORDER BY epoch_us(ts)) AS cix
+          FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT channel, k, cts, cix FROM t JOIN c USING (k)
           WHERE tts <= cts AND tts > cts - 259200000000),
-        n AS (SELECT k, cts, count(*)::BIGINT AS n FROM w GROUP BY 1, 2)
+        n AS (SELECT k, cts, cix, count(*)::BIGINT AS n FROM w
+          GROUP BY 1, 2, 3)
         SELECT channel, count(*)::BIGINT AS touches,
-          count(DISTINCT (w.k, w.cts))::BIGINT AS conversions_touched,
+          count(DISTINCT (w.k, w.cts, w.cix))::BIGINT AS conversions_touched,
           round(sum(1000000 // n.n)::DOUBLE / 1000000.0, 6) AS credit
-        FROM w JOIN n USING (k, cts) GROUP BY 1 ORDER BY 1""")),
+        FROM w JOIN n USING (k, cts, cix) GROUP BY 1 ORDER BY 1""")),
 
     // U-shaped (position-based) attribution: first/last touches take
     // 40% each, middles split 20% — same integer-ppm portability,
@@ -999,19 +1002,21 @@ object Queries {
       Some("""WITH t AS (SELECT user_id AS k, epoch_us(ts) AS tts,
             event_id AS tie, event_type AS channel
           FROM events WHERE event_type <> 'purchase'),
-        c AS (SELECT user_id AS k, epoch_us(ts) AS cts FROM events
-          WHERE event_type = 'purchase'),
-        w AS (SELECT channel, k, cts, tts, tie FROM t JOIN c USING (k)
+        c AS (SELECT user_id AS k, epoch_us(ts) AS cts,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+              ORDER BY epoch_us(ts)) AS cix
+          FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT channel, k, cts, cix, tts, tie FROM t JOIN c USING (k)
           WHERE tts <= cts AND tts > cts - 259200000000),
-        r AS (SELECT *, row_number() OVER (PARTITION BY k, cts
+        r AS (SELECT *, row_number() OVER (PARTITION BY k, cts, cix
             ORDER BY tts, tie) AS rn,
-          count(*) OVER (PARTITION BY k, cts) AS n FROM w),
-        p AS (SELECT channel, k, cts,
+          count(*) OVER (PARTITION BY k, cts, cix) AS n FROM w),
+        p AS (SELECT channel, k, cts, cix,
             CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
               WHEN rn = 1 OR rn = n THEN 400000
               ELSE 200000 // (n - 2) END AS ppm FROM r)
         SELECT channel, count(*)::BIGINT AS touches,
-          count(DISTINCT (k, cts))::BIGINT AS conversions_touched,
+          count(DISTINCT (k, cts, cix))::BIGINT AS conversions_touched,
           round(sum(ppm)::DOUBLE / 1000000.0, 6) AS credit
         FROM p GROUP BY 1 ORDER BY 1""")),
 
@@ -1886,7 +1891,7 @@ object Queries {
         .orderBy(col("source")),
       Some("""WITH d AS (SELECT source AS grp,
             (floor(n_chars / 200.0))::BIGINT AS bin FROM documents
-          WHERE n_chars IS NOT NULL),
+          WHERE n_chars IS NOT NULL AND source IS NOT NULL),
         gb AS (SELECT grp, bin, count(*)::BIGINT AS cgb FROM d GROUP BY 1, 2),
         b AS (SELECT bin, sum(cgb)::BIGINT AS cb FROM gb GROUP BY 1),
         g AS (SELECT grp, sum(cgb)::BIGINT AS ng FROM gb GROUP BY 1),
@@ -3008,12 +3013,7 @@ object Queries {
           / length(text)::DOUBLE AS punct_ratio,
         len(list_filter(string_split(text, ' '), x -> x IN ($en)))::DOUBLE
           / len(string_split(text, ' '))::DOUBLE AS stopword_ratio,
-        0.4 * (len(list_filter(string_split(text, ' '), x -> x IN ($en)))::DOUBLE
-          / len(string_split(text, ' '))::DOUBLE)
-        + 0.3 * (CASE WHEN ((length(text)::DOUBLE - len(string_split(text, ' '))::DOUBLE + 1.0)
-            / len(string_split(text, ' '))::DOUBLE) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
-        + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-          / length(text)::DOUBLE) AS quality
+        $qualityExprSql AS quality
       FROM documents ORDER BY doc_id"""
   }
 }

@@ -442,12 +442,13 @@ object CorpusStats {
   def psi(df: DataFrame, group: Column, value: Column,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // null values would mint a phantom null bin that inflates the
-    // totals but can never match a grid cell (null ≠ null in the
-    // equi-join) — they carry no distribution mass, drop them
+    // null values OR null groups would mint phantom histogram rows
+    // that inflate the shared totals but can never match a grid cell
+    // (null ≠ null in the equi-join) — they carry no attributable
+    // distribution mass, drop them
     val d = df.select(group.as("grp"),
         floor(value.cast("double") / lit(binWidth)).cast("long").as("bin"))
-      .filter(col("bin").isNotNull)
+      .filter(col("bin").isNotNull && col("grp").isNotNull)
     val gb = d.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("cgb"))
       .localCheckpoint() // consumed three times: bin/group rollups + grid
     val bins = gb.groupBy(col("bin")).agg(sum(col("cgb")).as("cb"))

@@ -498,27 +498,14 @@ object Dedup {
 
   // ---------------- Incremental (batch-vs-corpus) ------------------------
 
-  /**
-   * Incremental dedup — the add-a-batch step of a continuously built
-   * corpus: flag each NEW document against the EXISTING corpus,
-   * without ever comparing corpus docs to each other. Output: one row
-   * per batch doc with `dup_exact` (same normalized fingerprint as
-   * some corpus doc), `dup_near` (verified shingle-Jaccard ≥
-   * `threshold` with some corpus doc via MinHash+LSH banding), and
-   * `keep = !(dup_exact || dup_near)` — all 0/1 ints.
-   *
-   * Scale shape mirrors [[minhashPairs]], but the bucket join is
-   * batch×corpus instead of a self-join, so candidate volume scales
-   * with |batch|, not |corpus|²: band keys are equi-join keys (one
-   * shuffle each side), the (batch, corpus) candidate pairs carry
-   * bare ids through the size-ratio prune, and shingle arrays rejoin
-   * only the survivors. The exact check is one fingerprint semi-join.
-   * In a standing pipeline, persist the corpus's (band, key) frame
-   * and fingerprints once (they are plain columns — cheap parquet)
-   * and feed them here instead of re-deriving from text each batch;
-   * batch-INTERNAL duplicates are [[exact]]/[[minhashPairs]] over the
-   * batch alone — compose both for a full admission filter.
-   */
+  /** The (n, bands, shingleK) stamp an index was built with, carried
+   * as a constant column — parquet RLE makes it ~free, and it lets
+   * [[incrementalIndexed]] reject a parameter mismatch loudly instead
+   * of silently admitting near-duplicates whose band keys could never
+   * match. */
+  private def indexParams(n: Int, bands: Int, shingleK: Int): String =
+    s"n=$n;bands=$bands;k=$shingleK"
+
   /**
    * Persistable admission index: ONE compact row per corpus doc —
    * content fingerprint `fp`, shingle count `sz`, and the LSH band
@@ -530,14 +517,6 @@ object Dedup {
    * null `bkeys` (they can exact-match but never near-match, same as
    * the derive-from-text path).
    */
-  /** The (n, bands, shingleK) stamp an index was built with, carried
-   * as a constant column — parquet RLE makes it ~free, and it lets
-   * [[incrementalIndexed]] reject a parameter mismatch loudly instead
-   * of silently admitting near-duplicates whose band keys could never
-   * match. */
-  private def indexParams(n: Int, bands: Int, shingleK: Int): String =
-    s"n=$n;bands=$bands;k=$shingleK"
-
   def corpusIndex(corpus: DataFrame, id: Column, text: Column,
       n: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val sets = shingled(corpus, id, text, shingleK)
@@ -621,6 +600,26 @@ object Dedup {
           .otherwise(lit(1)))
   }
 
+  /**
+   * Incremental dedup — the add-a-batch step of a continuously built
+   * corpus: flag each NEW document against the EXISTING corpus,
+   * without ever comparing corpus docs to each other. Output: one row
+   * per batch doc with `dup_exact` (same normalized fingerprint as
+   * some corpus doc), `dup_near` (verified shingle-Jaccard ≥
+   * `threshold` with some corpus doc via MinHash+LSH banding), and
+   * `keep = !(dup_exact || dup_near)` — all 0/1 ints.
+   *
+   * Scale shape mirrors [[minhashPairs]], but the bucket join is
+   * batch×corpus instead of a self-join, so candidate volume scales
+   * with |batch|, not |corpus|²: band keys are equi-join keys (one
+   * shuffle each side), the (batch, corpus) candidate pairs carry
+   * bare ids through the size-ratio prune, and shingle arrays rejoin
+   * only the survivors. The exact check is one fingerprint semi-join.
+   * In a standing pipeline, persist [[corpusIndex]] once and use
+   * [[incrementalIndexed]] instead of re-deriving from text each
+   * batch; batch-INTERNAL duplicates are [[exact]]/[[minhashPairs]]
+   * over the batch alone — compose both for a full admission filter.
+   */
   def incremental(batch: DataFrame, corpus: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {

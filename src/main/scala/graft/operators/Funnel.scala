@@ -110,6 +110,28 @@ object Funnel {
       .limit(k)
   }
 
+  /** Conversions with a ROW identity: duplicate (key, ts) conversion
+   * rows are DISTINCT conversions (an at-least-once upstream, or two
+   * same-µs purchases) and must each receive full credit — `__cix`
+   * numbers the copies (they are indistinguishable, so any
+   * assignment yields identical results), and every attribution
+   * window/rollup keys on (key, ts, __cix). */
+  private def convFrame(conversions: DataFrame, key: Column,
+      convTs: Column): DataFrame =
+    conversions.select(key.as("__k"), convTs.as("__cts"))
+      .withColumn("__cix", row_number().over(
+        Window.partitionBy(col("__k"), col("__cts")).orderBy(col("__cts"))))
+
+  private def channelRollup(weighted: DataFrame): DataFrame =
+    weighted.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("__k"), col("__cts"), col("__cix"))
+          .as("conversions_touched"),
+        sum(col("__ppm")).as("__credit_ppm"))
+      .select(col("channel"), col("touches"), col("conversions_touched"),
+        round(col("__credit_ppm").cast("double") / lit(1000000.0), 6)
+          .as("credit"))
+
   /**
    * Linear multi-touch attribution: every conversion's credit splits
    * EQUALLY across the same key's touches inside the lookback window
@@ -128,11 +150,27 @@ object Funnel {
    *
    * Scale shape: touches ⋈ conversions is an equi-join on the key
    * (both sides partitioned by it; per-key volumes are user-bounded),
-   * the in-window filter rides the join, and both rollups are
-   * map-side-combined counts/sums. Conversions with NO in-window
-   * touch simply contribute nothing (the reference set for
-   * conversion-rate math is the caller's).
+   * the in-window filter rides the join, the per-conversion touch
+   * count is one bounded window over the join output (no second join
+   * of the same subtree), and the rollup is map-side-combined.
+   * Conversions with NO in-window touch simply contribute nothing
+   * (the reference set for conversion-rate math is the caller's).
    */
+  def linearAttribution(touches: DataFrame, conversions: DataFrame,
+      key: Column, touchTs: Column, channel: Column, convTs: Column,
+      lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val t = touches.select(key.as("__k"), touchTs.as("__tts"),
+      channel.as("channel"))
+    val inWindow = t.join(convFrame(conversions, key, convTs), "__k")
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - lookbackUs)
+    channelRollup(inWindow
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__k"), col("__cts"), col("__cix"))))
+      .withColumn("__ppm", graft.functions.ldiv(lit(1000000L), col("__n"))))
+  }
+
   /**
    * Position-based (U-shaped) multi-touch attribution: per
    * conversion, the FIRST and LAST in-window touches take 40% each
@@ -140,9 +178,9 @@ object Funnel {
    * closer weighting. Degenerate sets follow the standard convention:
    * one touch takes 100%, two touches 50/50. Same integer-ppm
    * portability and join shape as [[linearAttribution]]; the only
-   * addition is a per-(key, conversion) ordered window — bounded by
-   * one user's in-window touch count, never corpus-sized. `tie`
-   * breaks equal-timestamp touches deterministically (an event id).
+   * addition is an ORDERED per-conversion window — bounded by one
+   * user's in-window touch count, never corpus-sized. `tie` breaks
+   * equal-timestamp touches deterministically (an event id).
    */
   def positionAttribution(touches: DataFrame, conversions: DataFrame,
       key: Column, touchTs: Column, tie: Column, channel: Column,
@@ -150,50 +188,19 @@ object Funnel {
     require(lookbackUs > 0, "lookbackUs must be positive")
     val t = touches.select(key.as("__k"), touchTs.as("__tts"),
       tie.as("__tie"), channel.as("channel"))
-    val c = conversions.select(key.as("__k"), convTs.as("__cts"))
-    val inWindow = t.join(c, "__k")
+    val inWindow = t.join(convFrame(conversions, key, convTs), "__k")
       .filter(col("__tts") <= col("__cts") &&
         col("__tts") > col("__cts") - lookbackUs)
-    val w = Window.partitionBy(col("__k"), col("__cts"))
-      .orderBy(col("__tts"), col("__tie"))
+    val conv = Window.partitionBy(col("__k"), col("__cts"), col("__cix"))
     val weighted = inWindow
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("__k"), col("__cts"))))
+      .withColumn("__rn", row_number().over(
+        conv.orderBy(col("__tts"), col("__tie"))))
+      .withColumn("__n", count(lit(1)).over(conv))
       .withColumn("__ppm",
         when(col("__n") === 1, lit(1000000L))
           .when(col("__n") === 2, lit(500000L))
           .when(col("__rn") === 1 || col("__rn") === col("__n"), lit(400000L))
           .otherwise(graft.functions.ldiv(lit(200000L), col("__n") - 2)))
-    weighted.groupBy(col("channel"))
-      .agg(count(lit(1)).as("touches"),
-        countDistinct(col("__k"), col("__cts")).as("conversions_touched"),
-        sum(col("__ppm")).as("__credit_ppm"))
-      .select(col("channel"), col("touches"), col("conversions_touched"),
-        round(col("__credit_ppm").cast("double") / lit(1000000.0), 6)
-          .as("credit"))
-  }
-
-  def linearAttribution(touches: DataFrame, conversions: DataFrame,
-      key: Column, touchTs: Column, channel: Column, convTs: Column,
-      lookbackUs: Long): DataFrame = {
-    require(lookbackUs > 0, "lookbackUs must be positive")
-    val t = touches.select(key.as("__k"), touchTs.as("__tts"),
-      channel.as("channel"))
-    val c = conversions.select(key.as("__k"), convTs.as("__cts"))
-    val inWindow = t.join(c, "__k")
-      .filter(col("__tts") <= col("__cts") &&
-        col("__tts") > col("__cts") - lookbackUs)
-    val perConv = inWindow.groupBy(col("__k"), col("__cts"))
-      .agg(count(lit(1)).as("__n"))
-    inWindow.join(perConv, Seq("__k", "__cts"))
-      .withColumn("__ppm", graft.functions.ldiv(lit(1000000L), col("__n")))
-      .groupBy(col("channel"))
-      .agg(count(lit(1)).as("touches"),
-        countDistinct(col("__k"), col("__cts")).as("conversions_touched"),
-        sum(col("__ppm")).as("__credit_ppm"))
-      .select(col("channel"), col("touches"), col("conversions_touched"),
-        round(col("__credit_ppm").cast("double") / lit(1000000.0), 6)
-          .as("credit"))
+    channelRollup(weighted)
   }
 }

@@ -121,6 +121,27 @@ class FunnelSpec extends SparkSpec {
       ("d", 1.5), ("e", 0.5)))
   }
 
+  test("attribution: duplicate (key, ts) conversions each get full credit") {
+    import org.apache.spark.sql.functions.col
+    // at-least-once upstream: the same purchase row delivered twice —
+    // each copy is a conversion, so channel credit DOUBLES (a naive
+    // (key, ts) grouping would merge them and halve every share)
+    val touches = Seq((1L, 90L, 1L, "a"), (1L, 95L, 2L, "b"))
+      .toDF("u", "ts", "id", "ch")
+    val convs = Seq((1L, 100L), (1L, 100L)).toDF("u", "ts")
+    val lin = Funnel.linearAttribution(touches, convs,
+        col("u"), col("ts"), col("ch"), col("ts"), lookbackUs = 50L)
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(lin.toSeq == Seq(("a", 2L, 1.0), ("b", 2L, 1.0)))
+    val pos = Funnel.positionAttribution(touches, convs,
+        col("u"), col("ts"), col("id"), col("ch"), col("ts"),
+        lookbackUs = 50L)
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(pos.toSeq == Seq(("a", 1.0), ("b", 1.0))) // 0.5 × 2 convs each
+  }
+
   test("linearAttribution floors: three-way split loses only dust") {
     import org.apache.spark.sql.functions.col
     val touches = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"))
