@@ -984,6 +984,43 @@ object Queries {
           round(sum(1000000 // n.n)::DOUBLE / 1000000.0, 6) AS credit
         FROM w JOIN n USING (k, cts, cix) GROUP BY 1 ORDER BY 1""")),
 
+    // time-decay attribution: 2^(−Δt/halfLife) ppm weights (1-day
+    // half-life), per-conversion integer normalization — the
+    // recency-weighted member of the attribution family
+    "events_attribution_decay" -> Entry(
+      (s, dir) => {
+        val ev = eventsNs(s, dir)
+          .select(expr("ts div 1000").as("ts"), col("user_id"),
+            col("event_type"))
+        graft.operators.Funnel.timeDecayAttribution(
+            ev.filter(col("event_type") =!= "purchase"),
+            ev.filter(col("event_type") === "purchase"),
+            col("user_id"), col("ts"), col("event_type"), col("ts"),
+            lookbackUs = 259200000000L, halfLifeUs = 86400000000L)
+          .orderBy(col("channel"))
+      },
+      Some("""WITH t AS (SELECT user_id AS k, epoch_us(ts) AS tts,
+            event_type AS channel FROM events WHERE event_type <> 'purchase'),
+        c AS (SELECT user_id AS k, epoch_us(ts) AS cts,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+              ORDER BY epoch_us(ts)) AS cix
+          FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT channel, k, cts, cix,
+            round(1000000.0 * pow(0.5,
+              (cts - tts)::DOUBLE / 86400000000.0))::BIGINT AS wt
+          FROM t JOIN c USING (k)
+          WHERE tts <= cts AND tts > cts - 259200000000),
+        s AS (SELECT *, sum(wt) OVER (PARTITION BY k, cts, cix) AS wtot
+          FROM w),
+        p AS (SELECT channel, k, cts, cix,
+            CASE WHEN wtot > 0
+              THEN (wt::HUGEINT * 1000000) // wtot ELSE 0 END AS ppm
+          FROM s)
+        SELECT channel, count(*)::BIGINT AS touches,
+          count(DISTINCT (k, cts, cix))::BIGINT AS conversions_touched,
+          round(sum(ppm)::DOUBLE / 1000000.0, 6) AS credit
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
     // U-shaped (position-based) attribution: first/last touches take
     // 40% each, middles split 20% — same integer-ppm portability,
     // plus one per-(user, conversion) ordered window

@@ -172,6 +172,44 @@ object Funnel {
   }
 
   /**
+   * Time-decay multi-touch attribution: each in-window touch weighs
+   * `2^(−Δt/halfLife)` of a conversion's credit (Δt = conversion −
+   * touch), normalized per conversion — recency-weighted without
+   * last-touch's winner-take-all. The standard third member of the
+   * attribution family next to [[linearAttribution]] (uniform) and
+   * [[positionAttribution]] (U-shaped).
+   *
+   * Portability: raw weights quantize to ppm (`round(10⁶·2^(−Δt/h))`
+   * — the same quantize-after-libm discipline as the micro-nat LM
+   * scores), the per-conversion total is a LONG window sum, and each
+   * share is the integer `w·10⁶ div Σw` — no float division or
+   * float summation anywhere after the quantize. Touches older than
+   * ~20 half-lives round to weight 0 and zero credit.
+   */
+  def timeDecayAttribution(touches: DataFrame, conversions: DataFrame,
+      key: Column, touchTs: Column, channel: Column, convTs: Column,
+      lookbackUs: Long, halfLifeUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    val t = touches.select(key.as("__k"), touchTs.as("__tts"),
+      channel.as("channel"))
+    val inWindow = t.join(convFrame(conversions, key, convTs), "__k")
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - lookbackUs)
+    val conv = Window.partitionBy(col("__k"), col("__cts"), col("__cix"))
+    inWindow
+      .withColumn("__w", round(lit(1000000.0) *
+        pow(lit(0.5), (col("__cts") - col("__tts")).cast("double") /
+          lit(halfLifeUs.toDouble))).cast("long"))
+      .withColumn("__wtot", sum(col("__w")).over(conv))
+      .withColumn("__ppm", when(col("__wtot") > 0,
+        graft.functions.ldiv(
+          (col("__w").cast("decimal(38,0)") * lit(1000000L))
+            .cast("decimal(38,0)"), col("__wtot"))).otherwise(lit(0L)))
+      .transform(channelRollup)
+  }
+
+  /**
    * Position-based (U-shaped) multi-touch attribution: per
    * conversion, the FIRST and LAST in-window touches take 40% each
    * and the middles split the remaining 20% — the discovery-plus-

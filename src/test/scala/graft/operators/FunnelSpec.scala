@@ -121,6 +121,22 @@ class FunnelSpec extends SparkSpec {
       ("d", 1.5), ("e", 0.5)))
   }
 
+  test("timeDecayAttribution: recency wins; shares renormalize exactly") {
+    import org.apache.spark.sql.functions.col
+    // touch a one half-life before the conversion (weight 500000),
+    // touch b at the conversion instant (weight 1000000): b takes
+    // 2/3 of the credit, a 1/3 — by exact integer division
+    val touches = Seq((1L, 0L, "a"), (1L, 10L, "b")).toDF("u", "ts", "ch")
+    val convs = Seq((1L, 10L)).toDF("u", "ts")
+    val got = Funnel.timeDecayAttribution(touches, convs,
+        col("u"), col("ts"), col("ch"), col("ts"),
+        lookbackUs = 100L, halfLifeUs = 10L)
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    // a: 500000·1e6 div 1500000 = 333333 ppm; b: 666666 ppm
+    assert(got.toSeq == Seq(("a", 0.333333), ("b", 0.666666)))
+  }
+
   test("attribution: duplicate (key, ts) conversions each get full credit") {
     import org.apache.spark.sql.functions.col
     // at-least-once upstream: the same purchase row delivered twice —
