@@ -42,7 +42,8 @@ object Bench {
       "dedup_incremental_indexed", "multimodal_near_dup",
       "embed_cross_pairs", "sample_temperature", "embed_label_outliers",
       "pairs_preference", "events_attribution",
-      "events_attribution_position", "events_attribution_decay")
+      "events_attribution_position", "events_attribution_decay",
+      "export_kanon")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

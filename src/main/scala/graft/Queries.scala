@@ -1320,6 +1320,22 @@ object Queries {
             ELSE 0.0 END))::BIGINT, sum(n_chars)::BIGINT) AS shortfall
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // k-anonymity export gate: (lang, source) combinations smaller
+    // than 5 rows are suppressed before release — one count rollup
+    // joined back, survivors carry group_size for audit
+    "export_kanon" -> Entry(
+      (s, dir) => graft.operators.Sampling.suppressSmallGroups(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), minSize = 5)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("group_size"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT lang, source, count(*)::BIGINT AS group_size
+            FROM documents GROUP BY 1, 2)
+        SELECT doc_id, d.lang, d.source, group_size
+        FROM documents d JOIN c ON d.lang = c.lang AND d.source = c.source
+        WHERE group_size >= 5 ORDER BY doc_id""")),
+
     // sqrt-temperature mixture planning: budgets ∝ ⌊√available⌋,
     // reconciled against supply — pure integer arithmetic (floor-sqrt
     // is IEEE-deterministic), so the plan is engine-exact

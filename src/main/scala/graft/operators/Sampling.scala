@@ -200,6 +200,31 @@ object Sampling {
       .drop("__isq", "__tot")
   }
 
+  /**
+   * Small-group suppression — the k-anonymity gate before an export:
+   * rows whose quasi-identifier combination (the `keys` columns)
+   * occurs fewer than `minSize` times are dropped, so no released
+   * group is small enough to single out an individual/source. The
+   * standard pre-release privacy screen for grouped corpus stats and
+   * per-source exports; emits the surviving rows unchanged plus
+   * `group_size` for audit.
+   *
+   * Scale shape: one map-side-combined count per key combination,
+   * joined back (AQE broadcasts the count frame when the key space
+   * is small); rows with a NULL in any key column never match the
+   * count join and are suppressed too — a null quasi-identifier is
+   * its own singleton class.
+   */
+  def suppressSmallGroups(df: DataFrame, keys: Seq[String],
+      minSize: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(minSize >= 1, "minSize must be >= 1")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") >= minSize)
+    df.join(counts, keys)
+  }
+
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {
     require((default +: budgets.values.toSeq).forall(_ >= 0),

@@ -146,6 +146,17 @@ class SamplingSpec extends SparkSpec {
     assert(out("c") == ((10L, 0L, 0L, 0L)))       // not in the mixture
   }
 
+  test("suppressSmallGroups: below-k and null-key rows are withheld") {
+    val docs = Seq(
+      (1L, Some("en"), "s1"), (2L, Some("en"), "s1"), (3L, Some("en"), "s1"),
+      (4L, Some("fr"), "s1"),                      // singleton class
+      (5L, Option.empty[String], "s1"))            // null quasi-identifier
+      .toDF("id", "lang", "src")
+    val out = Sampling.suppressSmallGroups(docs, Seq("lang", "src"), 2)
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    assert(out == Set(1L, 2L, 3L))
+  }
+
   test("temperatureBudgets: sqrt flattening upweights small groups") {
     // available: a = 900, b = 100 → isq 30, 10; tot 40
     // targets: a = 400·30/40 = 300, b = 400·10/40 = 100 (= its supply)
