@@ -43,7 +43,9 @@ object Bench {
       "embed_cross_pairs", "sample_temperature", "embed_label_outliers",
       "pairs_preference", "events_attribution",
       "events_attribution_position", "events_attribution_decay",
-      "export_kanon")
+      "export_kanon", "embed_decontaminate", "text_importance",
+      "text_classify_nb", "docs_rrf_fusion", "text_postings",
+      "corpus_class_terms")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -1689,6 +1689,43 @@ object Queries {
       },
       Some(semanticDedupOracle(threshold = 0.4))),
 
+    // embedding-level benchmark decontamination: eval side (vec_id<16)
+    // broadcast, per-corpus-row max cosine via map-side-combined
+    // max(struct) — catches paraphrased leakage the n-gram
+    // decontaminations miss. Every corpus row emits exactly once.
+    "embed_decontaminate" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.decontaminateSemantic(
+            emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+            threshold = 0.4)
+          .withColumn("max_sim", round(col("max_sim"), 6))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS eval_id, embedding AS ev,
+            sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS en
+          FROM embeddings WHERE vec_id < 16),
+        c AS (SELECT vec_id, embedding AS v,
+            sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS vn
+          FROM embeddings WHERE vec_id >= 16),
+        s AS (SELECT c.vec_id, e.eval_id,
+            list_sum(list_transform(range(1, len(v) + 1),
+              i -> v[i]::DOUBLE * ev[i]::DOUBLE)) / (vn * en) AS sim
+          FROM c CROSS JOIN e WHERE vn > 0 AND en > 0),
+        r AS (SELECT vec_id, eval_id, sim, row_number() OVER
+            (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+          FROM s)
+        SELECT vec_id, eval_id, round(sim, 6) AS max_sim,
+          sim >= 0.4 AS contaminated
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT vec_id, NULL::BIGINT AS eval_id, NULL::DOUBLE AS max_sim,
+          false AS contaminated
+        FROM c WHERE NOT (vn > 0)
+        ORDER BY vec_id""")),
+
     // symmetric int8 quantization: identical double arithmetic +
     // half-away-from-zero rounding on both engines reproduces the
     // exact int grid; the int array serializes to a CSV string for
@@ -1893,6 +1930,157 @@ object Queries {
         SELECT doc_id, n_tokens, nll_micro,
           nll_micro / (n_tokens * 1000000.0) AS avg_nll
         FROM sc ORDER BY doc_id""")),
+
+    // DSIR importance weighting: every raw doc scored by how much more
+    // likely it is under the TARGET-domain LM (src0 docs) than under
+    // the raw corpus's own — imp_micro = nll_raw − nll_target, two
+    // broadcast-LM probes per token, order-free integer difference
+    "text_importance" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.CorpusStats.importanceWeights(
+            docs, docs.filter(col("source") === "src0"),
+            col("doc_id"), col("text"), vocabK = 32)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+          tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+          voc AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 32),
+          tokt AS (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE source = 'src0'),
+          cntt AS (SELECT w, count(*)::BIGINT AS ct FROM tokt GROUP BY 1),
+          tott AS (SELECT sum(ct)::BIGINT AS totalt FROM cntt),
+          voct AS (SELECT w, ct FROM cntt ORDER BY ct DESC, w LIMIT 32),
+          sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(round(-ln(coalesce(voc.c, 1) / tot.total) * 1000000)::BIGINT)::BIGINT
+                AS nll_raw_micro,
+              sum(round(-ln(coalesce(voct.ct, 1) / tott.totalt) * 1000000)::BIGINT)::BIGINT
+                AS nll_target_micro
+            FROM tok LEFT JOIN voc USING (w) LEFT JOIN voct USING (w)
+            CROSS JOIN tot CROSS JOIN tott GROUP BY 1)
+        SELECT doc_id, n_tokens, nll_raw_micro, nll_target_micro,
+          (nll_raw_micro - nll_target_micro)::BIGINT AS imp_micro,
+          (nll_raw_micro - nll_target_micro) / (n_tokens * 1000000.0) AS avg_imp
+        FROM sc ORDER BY doc_id""")),
+
+    // in-engine Naive Bayes classifier (train + score, no external
+    // model): per-class smoothed micro-nat tables probed in codegen,
+    // argmin (score, class) struct sort — predicts lang from text
+    "text_classify_nb" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.naiveBayesClassify(
+          t(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
+          vocabK = 64)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          lab AS (SELECT doc_id, lang AS cls FROM documents
+            WHERE lang IS NOT NULL),
+          cw AS (SELECT cls, w, count(*)::BIGINT AS c
+            FROM tok JOIN lab USING (doc_id) GROUP BY 1, 2),
+          voc AS (SELECT w FROM (SELECT w, sum(c) AS cc FROM cw
+            GROUP BY 1 ORDER BY cc DESC, w LIMIT 64)),
+          vn AS (SELECT count(*)::BIGINT AS v FROM voc),
+          nc AS (SELECT cls, sum(c)::BIGINT AS n FROM cw GROUP BY 1),
+          dc AS (SELECT lang AS cls, count(*)::BIGINT AS nd FROM documents
+            WHERE lang IS NOT NULL GROUP BY 1),
+          nd AS (SELECT sum(nd)::BIGINT AS n FROM dc),
+          mic AS (SELECT cw.cls, cw.w,
+              round(-ln((cw.c + 1.0) / (nc.n + vn.v + 1)) * 1000000)::BIGINT AS m
+            FROM cw JOIN voc USING (w) JOIN nc USING (cls) CROSS JOIN vn),
+          oov AS (SELECT cls,
+              round(-ln(1.0 / (nc.n + vn.v + 1)) * 1000000)::BIGINT AS m
+            FROM nc CROSS JOIN vn),
+          pri AS (SELECT dc.cls,
+              round(-ln(dc.nd * 1.0 / nd.n) * 1000000)::BIGINT AS p
+            FROM dc CROSS JOIN nd),
+          sc AS (SELECT t.doc_id, o.cls,
+              (pri.p + sum(coalesce(mic.m, o.m)))::BIGINT AS s
+            FROM tok t CROSS JOIN oov o
+            LEFT JOIN mic ON mic.cls = o.cls AND mic.w = t.w
+            JOIN pri ON pri.cls = o.cls
+            GROUP BY 1, 2, pri.p),
+          rk AS (SELECT doc_id, cls, s,
+              row_number() OVER (PARTITION BY doc_id ORDER BY s, cls) AS rn
+            FROM sc)
+        SELECT d.doc_id, d.lang AS label, b.cls AS pred, b.s AS nll_micro,
+          (r2.s - b.s)::BIGINT AS margin_micro, d.lang = b.cls AS correct
+        FROM documents d
+        JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
+        JOIN rk r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
+        ORDER BY d.doc_id""")),
+
+    // reciprocal-rank fusion of two discrete ranking signals into one
+    // consensus score — histogram-derived rank() ranks (no global
+    // sort), integer nano-unit reciprocal sums
+    "docs_rrf_fusion" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.rrfFuse(
+          t(s, dir, "documents"), col("doc_id"),
+          Seq("chars" -> col("n_chars"),
+            "tokens" -> size(split(col("text"), " ")).cast("long")))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, n_chars::DOUBLE AS vc,
+            len(string_split(text, ' '))::DOUBLE AS vt FROM documents),
+          rc AS (SELECT doc_id, rank() OVER (ORDER BY vc DESC) AS rank_chars
+            FROM d WHERE vc IS NOT NULL),
+          rt AS (SELECT doc_id, rank() OVER (ORDER BY vt DESC) AS rank_tokens
+            FROM d WHERE vt IS NOT NULL)
+        SELECT d.doc_id, rc.rank_chars, rt.rank_tokens,
+          (coalesce(1000000000 // (60 + rank_chars), 0) +
+           coalesce(1000000000 // (60 + rank_tokens), 0))::BIGINT AS rrf_nano
+        FROM d LEFT JOIN rc USING (doc_id) LEFT JOIN rt USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // inverted postings index: term → df + first-8 ascending doc ids;
+    // the posting cap rides the partial WindowGroupLimit so stopword
+    // terms never ship unbounded lists
+    "text_postings" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.postings(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          maxPostings = 8, minDf = 5)
+        .withColumn("postings",
+          array_join(transform(col("postings"), x => x.cast("string")), ","))
+        .orderBy(col("term")),
+      Some("""WITH p AS (SELECT DISTINCT doc_id, term FROM
+            (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)),
+          dfc AS (SELECT term, count(*)::BIGINT AS doc_freq FROM p
+            GROUP BY 1 HAVING count(*) >= 5),
+          r AS (SELECT term, doc_id,
+              row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+            FROM p),
+          cap AS (SELECT term, string_agg(doc_id, ',' ORDER BY doc_id)
+              AS postings
+            FROM r WHERE rn <= 8 GROUP BY 1)
+        SELECT dfc.term, doc_freq, postings
+        FROM dfc JOIN cap USING (term) ORDER BY term""")),
+
+    // c-TF-IDF class-characteristic terms: top-10 terms per source by
+    // tf·ln(1 + A/cf) — nano-nat idf factor, DECIMAL product, k·|cls|-
+    // bounded exchange via the partial WindowGroupLimit
+    "corpus_class_terms" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.classTerms(
+          t(s, dir, "documents"), col("source"), col("text"), k = 10)
+        .withColumn("ctfidf", round(col("ctfidf"), 6))
+        .orderBy(col("cls"), col("rank")),
+      Some("""WITH cw AS (SELECT cls, w AS term, count(*)::BIGINT AS tf FROM
+            (SELECT source AS cls, unnest(string_split(text, ' ')) AS w
+             FROM documents WHERE source IS NOT NULL)
+            GROUP BY 1, 2),
+          wt AS (SELECT term, sum(tf)::BIGINT AS cf FROM cw GROUP BY 1),
+          tot AS (SELECT sum(tf)::BIGINT AS tot,
+              count(DISTINCT cls)::BIGINT AS ncls FROM cw),
+          sc AS (SELECT cls, cw.term, tf,
+              tf * round(ln(1.0 + (tot.tot::DOUBLE / tot.ncls::DOUBLE) /
+                wt.cf::DOUBLE) * 1e9)::BIGINT AS s
+            FROM cw JOIN wt USING (term) CROSS JOIN tot),
+          rk AS (SELECT cls, term, tf, s,
+              row_number() OVER (PARTITION BY cls ORDER BY s DESC, term)
+                AS rank
+            FROM sc)
+        SELECT cls, term, tf, round(s::DOUBLE / 1e9, 6) AS ctfidf, rank
+        FROM rk WHERE rank <= 10 ORDER BY cls, rank""")),
 
     // cross-source near-dup overlap matrix: where duplication comes
     // from; pair order normalized so each source combo is one row

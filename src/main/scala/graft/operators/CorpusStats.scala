@@ -585,4 +585,242 @@ object CorpusStats {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("grp") +: outs: _*)
   }
+
+  /**
+   * DSIR-style importance weighting (cf. Xie et al. 2023, "Data
+   * Selection for Language Models via Importance Resampling",
+   * arXiv:2302.03169): score every RAW-corpus document by how much
+   * more likely it is under a TARGET-domain language model than under
+   * the raw corpus's own — `imp = log p_target(x) − log p_raw(x) =
+   * nll_raw − nll_target`. Positive means "reads more like the target
+   * than like the background"; feed `imp_micro` (or `exp(avg_imp)`)
+   * to [[Sampling.weighted]] for the resampling step.
+   *
+   * Both models are [[unigramModel]]s — each model's top-`vocabK`
+   * vocabulary with floor probability `1/total` for OOV (the same
+   * count-1 floor DSIR's hashed-ngram features effectively apply).
+   * Scoring is two broadcast-table probes per token inside whole-stage
+   * codegen; the difference of two integer micro-nat sums is itself an
+   * order-free integer — bit-reproducible anywhere. The model builds
+   * are the only shuffles (one distinct-word count each; the target
+   * corpus is typically small).
+   */
+  def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, vocabK: Int = 65536): DataFrame = {
+    val pRaw = unigramModel(raw, text, vocabK)
+    val pTgt = unigramModel(target, text, vocabK)
+    raw.select(id.as("doc_id"),
+        size(TextOps.tokens(text)).cast("long").as("n_tokens"),
+        pRaw.nll(text).as("nll_raw_micro"),
+        pTgt.nll(text).as("nll_target_micro"))
+      .withColumn("imp_micro", col("nll_raw_micro") - col("nll_target_micro"))
+      .withColumn("avg_imp",
+        col("imp_micro") / (col("n_tokens") * lit(1000000.0)))
+  }
+
+  /**
+   * Multinomial Naive Bayes text classification, trained AND applied
+   * in-engine — the fastText-shaped lightweight classifier of corpus
+   * pipelines (CCNet/CommonCrawl-style quality and language routing)
+   * without an external model artifact: per-class add-1-smoothed
+   * unigram likelihoods over a shared top-`vocabK` vocabulary, class
+   * priors from document counts, argmin total NLL.
+   *
+   * Portability discipline (the [[unigramNll]] construction, per
+   * class): token scores are integer micro-nats
+   * (`round(−ln((c+1)/(n_c+V+1))·1e6)`), absent-from-class vocabulary
+   * words and OOV words share the count-0 floor `1/(n_c+V+1)`, priors
+   * quantize the same way, and per-class document scores are LONG
+   * sums — order-free, so any engine reproduces them bit-for-bit. The
+   * argmin sorts `(score, class)` structs: ties go to the
+   * lexicographically smallest class in every engine.
+   *
+   * Scale shape: training is ONE token-explode groupBy (map-side
+   * combined; the shuffle carries distinct (class, word) pairs), the
+   * driver collects only the `vocabK·|classes|`-bounded count table,
+   * and scoring is |classes| broadcast-map probes per token inside
+   * whole-stage codegen — a pure projection over the scan, no join,
+   * no shuffle, stream-applicable. Suited to the small class counts
+   * (languages, quality tiers, sources) these routers have.
+   *
+   * Rows with a null label still get scored (their `label`/`correct`
+   * are null) — train on the labeled subset, predict everywhere.
+   */
+  def naiveBayesClassify(df: DataFrame, id: Column, text: Column,
+      label: Column, vocabK: Int = 65536): DataFrame = {
+    require(vocabK >= 1, "vocabK must be >= 1")
+    val labeled = df.filter(label.isNotNull)
+    val cw = labeled
+      .select(label.cast("string").as("cls"), explode(TextOps.tokens(text)).as("w"))
+      .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed 3×: vocab cut, class totals, class-vocab counts
+    val vocabDf = cw.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+      .orderBy(col("cc").desc, col("w")).limit(vocabK).select(col("w"))
+    val v = vocabDf.count()
+    val nTok = cw.groupBy(col("cls")).agg(sum(col("c")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDoc = labeled.groupBy(label.cast("string").as("cls"))
+      .agg(count(lit(1)).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalDocs = nDoc.values.sum
+    val classes = nDoc.keys.toSeq.sorted
+    require(classes.size >= 2, "naiveBayesClassify needs >= 2 classes")
+    // class-conditional counts restricted to the shared vocabulary:
+    // K·|classes|-bounded — the only corpus-derived table the driver
+    // ever holds
+    val cv = cw.join(broadcast(vocabDf), "w")
+      .select(col("cls"), col("w"), col("c")).collect()
+    def micro(num: Double, den: Double): Long =
+      Math.round(-Math.log(num / den) * 1000000.0)
+    val sc = df.sparkSession.sparkContext
+    val perClass = classes.map { c =>
+      val den = (nTok(c) + v + 1).toDouble
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      // only observed (class, vocab-word) counts: an absent vocab word's
+      // (0+1)/den equals the OOV floor, so the map stays sparse
+      cv.filter(_.getString(0) == c).foreach { r =>
+        m.put(r.getString(1), micro(r.getLong(2) + 1.0, den))
+      }
+      val prior = Math.round(-Math.log(nDoc(c).toDouble / totalDocs) * 1000000.0)
+      (c, sc.broadcast(m), micro(1.0, den), prior)
+    }
+    val scoreStructs = perClass.map { case (c, bc, oov, prior) =>
+      struct(
+        (graft.functions.UnigramNllExpr.nllMicro(text, bc, oov) + lit(prior)).as("s"),
+        lit(c).as("c"))
+    }
+    // ascending struct sort: [0] = (min score, then smallest class) —
+    // the deterministic argmin; [1] yields the runner-up margin
+    df.select(id.as("doc_id"), label.cast("string").as("label"),
+        array_sort(array(scoreStructs: _*)).as("__a"))
+      .select(col("doc_id"), col("label"),
+        col("__a")(0)("c").as("pred"),
+        col("__a")(0)("s").as("nll_micro"),
+        (col("__a")(1)("s") - col("__a")(0)("s")).as("margin_micro"))
+      .withColumn("correct", col("label") === col("pred"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+   * of several per-document ranking signals into one consensus score:
+   * `rrf(d) = Σ_s 1/(k + rank_s(d))`, emitted in integer NANO-units
+   * (`Σ ⌊1e9/(k+rank)⌋` — order-free LONG sums, engine-portable).
+   * The standard way to combine heterogeneous signals (length,
+   * quality, perplexity, novelty) without calibrating their scales —
+   * only the RANKS matter.
+   *
+   * Ranks are standard-competition (`rank()`) ranks, higher signal
+   * value = better = rank 1, computed WITHOUT a global sort: each
+   * signal collapses to its value histogram (map-side combined; the
+   * shuffle carries distinct values), cumulative counts over the
+   * descending histogram give each value's min-rank, and ranks come
+   * back via a broadcast join on the value. Same contract as
+   * [[quantiles]]: signals must have BOUNDED distinct values (lengths,
+   * counts, quantized scores — bin continuous doubles first), which is
+   * what keeps the histogram window trivial at any corpus size.
+   *
+   * A null signal value gets a null rank and contributes 0 to the
+   * fusion (the "skip missing lists" RRF convention).
+   */
+  def rrfFuse(df: DataFrame, id: Column, signals: Seq[(String, Column)],
+      rrfK: Int = 60): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(rrfK >= 0, "rrfK must be >= 0")
+    var out = df.select(id.as("doc_id") +:
+      signals.map { case (n, c) => c.cast("double").as(s"__v_$n") }: _*)
+    signals.foreach { case (n, _) =>
+      val ranked = out.filter(col(s"__v_$n").isNotNull)
+        .groupBy(col(s"__v_$n").as("__hv")).agg(count(lit(1)).as("__hc"))
+        .withColumn("__cum",
+          sum(col("__hc")).over(Window.orderBy(col("__hv").desc)))
+        .select(col("__hv"), (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+      out = out.join(broadcast(ranked),
+        out(s"__v_$n") === ranked("__hv"), "left").drop("__hv")
+    }
+    val fused = signals.map { case (n, _) =>
+      coalesce(graft.functions.ldiv(lit(1000000000L), lit(rrfK.toLong) + col(s"rank_$n")),
+        lit(0L))
+    }.reduce(_ + _)
+    out.withColumn("rrf_nano", fused)
+      .drop(signals.map { case (n, _) => s"__v_$n" }: _*)
+  }
+
+  /**
+   * Inverted postings index: term → document frequency + the first
+   * `maxPostings` doc ids (ascending) — the corpus-scale build of a
+   * keyword-search / retrieval index ([[bm25]] scores against a FIXED
+   * term list; this materializes the term-major view for arbitrary
+   * lookups and feeds df tables to anything idf-shaped).
+   *
+   * Scale shape: per-doc `array_distinct` BEFORE the explode (the
+   * [[topNgrams]] trick) keeps the stream one row per (doc, term)
+   * without a corpus-wide distinct; the pair frame is checkpointed
+   * once and feeds BOTH aggregates; df counts partial-aggregate
+   * map-side; the posting cap rides the `row_number ≤ k` shape the
+   * optimizer lowers to a PARTIAL WindowGroupLimit, so each partition
+   * ships at most `maxPostings` rows per term — a stopword's exchange
+   * is capped like everything else, and no unbounded per-term list is
+   * ever collected. `minDf` prunes the hapax tail, which at web scale
+   * is most of the vocabulary.
+   */
+  def postings(df: DataFrame, id: Column, text: Column,
+      maxPostings: Int = 8, minDf: Long = 1): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be >= 1")
+    val pairs = df.select(id.as("doc_id"),
+        explode(array_distinct(TextOps.tokens(text))).as("term"))
+      .localCheckpoint() // consumed twice: df counts + capped lists
+    val dfc = pairs.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val capped = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    // both sides keyed on term — the join reuses the agg partitioning
+    dfc.join(capped, "term")
+  }
+
+  /**
+   * Class-based TF-IDF (the c-TF-IDF of Grootendorst 2022, "BERTopic:
+   * Neural topic modeling with a class-based TF-IDF procedure",
+   * arXiv:2203.05794, §2.3): the top-`k` terms that CHARACTERIZE each
+   * class — `score(w, c) = tf(w, c) · ln(1 + A/cf(w))` where `cf(w)`
+   * is the term's corpus-wide count and `A` the average class token
+   * mass. The per-source / per-topic "what is this slice about"
+   * descriptor that [[dataCard]]'s aggregate stats don't give.
+   *
+   * Portability: the idf factor quantizes to integer nano-nats after
+   * one shared double expression (`round(ln(1 + A/cf)·1e9)`), the
+   * tf·idf product runs in DECIMAL(38,0) (exact, overflow-safe to
+   * ~10²⁰ token-weighted terms), and the emitted double is the one
+   * final cast — identical in any engine. Ties rank lexicographically.
+   *
+   * Scale shape: one token-explode groupBy to the (class, word) count
+   * table (map-side combined), word totals reuse it, the scalar
+   * totals row broadcasts, and the per-class top-k rides the
+   * `row_number ≤ k` PARTIAL WindowGroupLimit — the exchange is
+   * k·|classes|-bounded, never vocabulary-sized.
+   */
+  def classTerms(df: DataFrame, label: Column, text: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cw = df.filter(label.isNotNull)
+      .select(label.cast("string").as("cls"), explode(TextOps.tokens(text)).as("term"))
+      .groupBy(col("cls"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds word totals, the scalar row, and scoring
+    val wTot = cw.groupBy(col("term")).agg(sum(col("tf")).as("__cf"))
+    val tot = cw.agg(sum(col("tf")).as("__tot"),
+      count_distinct(col("cls")).as("__ncls"))
+    val scored = cw.join(wTot, "term").crossJoin(broadcast(tot))
+      .withColumn("__m", round(log(lit(1.0) +
+        (col("__tot").cast("double") / col("__ncls").cast("double")) /
+          col("__cf").cast("double")) * 1e9).cast("long"))
+      .withColumn("__score", col("tf").cast("decimal(38,0)") * col("__m"))
+    val w2 = Window.partitionBy(col("cls"))
+      .orderBy(col("__score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("term"), col("tf"),
+        (col("__score").cast("double") / 1e9).as("ctfidf"), col("rank"))
+  }
 }

@@ -303,4 +303,52 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
+
+  /**
+   * Semantic (embedding-level) benchmark decontamination: for every
+   * corpus vector, its maximum cosine against the EVAL-SET vectors and
+   * a `contaminated` flag at `threshold` — the embedding-space
+   * complement of [[graft.operators.TextOps.decontaminate]]'s n-gram
+   * overlap (which misses paraphrased leakage; cf. Yang et al. 2023,
+   * "Rethinking Benchmark and Contamination for Language Models with
+   * Rephrased Samples", arXiv:2311.04850 — rephrased eval items evade
+   * string matching but stay close in embedding space).
+   *
+   * Execution shape: eval sets are small by nature (10³–10⁵ rows), so
+   * the eval side is BROADCAST and the corpus scan stays partitioned —
+   * same discipline as [[cosineTopK]]. The per-corpus-row best match
+   * is a `max(struct(sim, -eval_id))` groupBy, which partial-aggregates
+   * map-side: since each corpus row sits in one partition, the
+   * post-combine exchange carries exactly one row per corpus vector —
+   * never the |corpus|·|eval| scored pairs. Zero-norm corpus vectors
+   * (cosine undefined) are re-emitted by a second pruned scan branch
+   * with null sim, never flagged — a union, not a corpus×corpus
+   * join-back.
+   *
+   * Every corpus row appears in the output exactly once: dropping
+   * below-threshold rows is the CALLER's policy (`filter(contaminated)`
+   * for the report, anti-join for the clean corpus) — the max-sim
+   * profile itself is what threshold tuning needs.
+   */
+  def decontaminateSemantic(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double): DataFrame = {
+    val e = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+      .withColumn("en", l2norm(col("ev")))
+      .filter(col("en") > 0) // cosine undefined for zero vectors
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val best = c.filter(col("vn") > 0).crossJoin(broadcast(e))
+      .withColumn("sim", dot(col("v"), col("ev")) / (col("vn") * col("en")))
+      .groupBy(col("vec_id"))
+      // struct max: highest sim, then (via the negated id) the SMALLEST
+      // eval_id on ties — deterministic in any engine
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+        col("m.sim").as("max_sim"))
+    val zeroNorm = c.filter(!(col("vn") > 0))
+      .select(col("vec_id"), lit(null).cast("long").as("eval_id"),
+        lit(null).cast("double").as("max_sim"))
+    best.unionByName(zeroNorm)
+      .withColumn("contaminated", coalesce(col("max_sim") >= threshold, lit(false)))
+  }
 }

@@ -288,6 +288,138 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out("the cat")._2 == out("the dog")._2)
   }
 
+  test("importanceWeights: identical raw and target models cancel to zero") {
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.importanceWeights(docs, docs, $"doc_id", $"text",
+        vocabK = 16)
+      .select($"doc_id", $"imp_micro").as[(Long, Long)].collect().toMap
+    assert(out.values.forall(_ == 0L), out.toString)
+  }
+
+  test("importanceWeights: target-like docs score higher") {
+    // target corpus speaks "wiki lore"; raw adds web noise. The doc
+    // made of target vocabulary must out-rank the noise doc.
+    val target = Seq((10L, "wiki lore wiki lore"), (11L, "lore wiki"))
+      .toDF("doc_id", "text")
+    // noise tokens appear often enough in raw that their raw
+    // probability clears the target model's OOV floor — otherwise the
+    // floor upweights raw-rare tokens (a real property of floor LMs)
+    val raw = Seq((1L, "wiki lore"), (2L, "spam click spam click"),
+        (3L, "wiki spam"))
+      .toDF("doc_id", "text").union(target)
+    val out = CorpusStats.importanceWeights(raw, target, $"doc_id", $"text",
+        vocabK = 16)
+      .select($"doc_id", $"avg_imp").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(3L) && out(3L) > out(2L), out.toString)
+    // nll columns agree with the standalone unigramNll construction
+    val nll = CorpusStats.unigramNll(raw, $"doc_id", $"text", vocabK = 16)
+      .select($"doc_id", $"nll_micro").as[(Long, Long)].collect().toMap
+    val rawSide = CorpusStats.importanceWeights(raw, target, $"doc_id",
+        $"text", vocabK = 16)
+      .select($"doc_id", $"nll_raw_micro").as[(Long, Long)].collect().toMap
+    assert(rawSide == nll)
+  }
+
+  test("naiveBayesClassify separates disjoint-vocabulary classes") {
+    val docs = Seq(
+      (1L, "x x y", "a"), (2L, "y x x x", "a"), (3L, "x y y", "a"),
+      (4L, "p q p", "b"), (5L, "q q p p", "b"), (6L, "p p q", "b"))
+      .toDF("doc_id", "text", "lab")
+    val out = CorpusStats.naiveBayesClassify(docs, $"doc_id", $"text",
+        $"lab", vocabK = 16)
+      .select($"doc_id", $"pred", $"margin_micro", $"correct")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.forall(_._4), out.toString) // all classified right
+    assert(out.values.forall(_._3 > 0), "margins must be positive")
+  }
+
+  test("naiveBayesClassify: OOV tie goes to the smallest class; null label scored") {
+    // classes are symmetric (same doc count, same token mass), so an
+    // all-OOV doc ties exactly and the struct sort picks class "a"
+    val docs = Seq(
+      (1L, "x x", "a"), (2L, "x x", "a"),
+      (3L, "p p", "b"), (4L, "p p", "b"),
+      (5L, "zzz qqq", null)).toDF("doc_id", "text", "lab")
+    val out = CorpusStats.naiveBayesClassify(docs, $"doc_id", $"text",
+        $"lab", vocabK = 16)
+      .select($"doc_id", $"label", $"pred", $"margin_micro")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getString(2), r.getLong(3))).toMap
+    assert(out(5L)._1.isEmpty)
+    assert(out(5L)._2 == "a")
+    assert(out(5L)._3 == 0L) // exact tie
+  }
+
+  test("rrfFuse matches SQL rank() semantics including ties and nulls") {
+    val docs = Seq(
+      (1L, Some(10L), Some(3L)), (2L, Some(20L), Some(3L)),
+      (3L, Some(20L), Some(1L)), (4L, None, Some(2L)))
+      .toDF("doc_id", "s1", "s2")
+    val out = CorpusStats.rrfFuse(docs, $"doc_id",
+        Seq("s1" -> $"s1", "s2" -> $"s2"), rrfK = 60)
+      .orderBy($"doc_id")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    // s1 desc: 20,20 → rank 1; 10 → rank 3 (competition ranking)
+    // s2 desc: 3,3 → rank 1; 2 → rank 3; 1 → rank 4
+    def t(r: Long) = 1000000000L / (60L + r)
+    assert(out == Seq(
+      (1L, Some(3L), Some(1L), t(3) + t(1)),
+      (2L, Some(1L), Some(1L), t(1) + t(1)),
+      (3L, Some(1L), Some(4L), t(1) + t(4)),
+      (4L, None, Some(3L), 0L + t(3))), out.toString)
+  }
+
+  test("postings caps lists, counts full df, and dedups within a doc") {
+    val docs = Seq(
+      (3L, "w w a"), (1L, "w b"), (2L, "w c"), (4L, "b b")) // w in 3 docs
+      .toDF("doc_id", "text")
+    val out = CorpusStats.postings(docs, $"doc_id", $"text",
+        maxPostings = 2, minDf = 2)
+      .orderBy($"term")
+      .as[(String, Long, Seq[Long])].collect().toSeq
+    // "w": df 3 (dup inside doc 3 counts once), postings capped to
+    // the 2 smallest doc ids ascending; "b": df 2; singles pruned
+    assert(out == Seq(("b", 2L, Seq(1L, 4L)), ("w", 3L, Seq(1L, 2L))),
+      out.toString)
+  }
+
+  test("classTerms surfaces class-exclusive vocabulary first") {
+    val docs = Seq(
+      (1L, "shared quantum quantum quantum", "sci"),
+      (2L, "quantum flux flux", "sci"),
+      (3L, "shared gossip gossip gossip", "ent"),
+      (4L, "gossip fame fame", "ent")).toDF("doc_id", "text", "src")
+    val out = CorpusStats.classTerms(docs, $"src", $"text", k = 2)
+      .orderBy($"cls", $"rank")
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq(("ent", "gossip"), ("ent", "fame"),
+          ("sci", "quantum"), ("sci", "flux")), out.toString)
+    // the ubiquitous low-tf term never makes a class's top list
+    assert(out.forall(_._2 != "shared"))
+    assert(out.map(_._5) == Seq(1L, 2L, 1L, 2L))
+  }
+
+  test("postings cap lowers to a partial WindowGroupLimit") {
+    val docs = (1 to 50).map(i => (i.toLong, s"w${i % 5} common"))
+      .toDF("doc_id", "text")
+    val df = CorpusStats.postings(docs, $"doc_id", $"text", maxPostings = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("classTerms top-k lowers to a partial WindowGroupLimit") {
+    val docs = (1 to 50).map(i => (i.toLong, s"w${i % 7} filler", s"s${i % 2}"))
+      .toDF("doc_id", "text", "src")
+    val df = CorpusStats.classTerms(docs, $"src", $"text", k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("quantiles shuffle carries the histogram, not the corpus") {
     // the aggregate keyed on (grp, v) must partial-aggregate map-side:
     // the plan has a partial HashAggregate BEFORE the first exchange

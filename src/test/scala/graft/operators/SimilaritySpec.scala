@@ -143,4 +143,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 2L)))
   }
+
+  test("decontaminateSemantic: max-sim profile, ties, zero vectors, coverage") {
+    val evalSet = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f))
+    val corpus = vecs(
+      10L -> Seq(2f, 0f, 0f),   // parallel to eval 0 AND 1 → tie, picks 0
+      11L -> Seq(0f, 0f, 1f),   // orthogonal to every eval vector
+      12L -> Seq(0f, 0f, 0f),   // zero norm: null sim, never flagged
+      13L -> Seq(1f, 1f, 0f))   // cos 1/√2 to eval 0/1/2 → tie, picks 0
+    val out = Similarity.decontaminateSemantic(corpus, evalSet, threshold = 0.9)
+      .orderBy($"vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L)) // every corpus row once
+    assert(out(10L) == (Some(0L), Some(1.0), true))
+    assert(out(11L) == (Some(0L), Some(0.0), false)) // max over all-zero sims
+    assert(out(12L) == (None, None, false))
+    assert(out(13L)._1 == Some(0L) && !out(13L)._3)
+    assert(math.abs(out(13L)._2.get - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("decontaminateSemantic broadcasts the eval side") {
+    val evalSet = vecs(0L -> Seq(1f, 0f))
+    val corpus = vecs((10L to 40L).map(i => i -> Seq(i.toFloat, 1f)): _*)
+    val df = Similarity.decontaminateSemantic(corpus, evalSet, 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"eval side not broadcast:\n$p")
+  }
 }
