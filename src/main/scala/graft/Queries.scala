@@ -1973,43 +1973,30 @@ object Queries {
           t(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
           vocabK = 64)
         .orderBy(col("doc_id")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents),
-          lab AS (SELECT doc_id, lang AS cls FROM documents
-            WHERE lang IS NOT NULL),
-          cw AS (SELECT cls, w, count(*)::BIGINT AS c
-            FROM tok JOIN lab USING (doc_id) GROUP BY 1, 2),
-          voc AS (SELECT w FROM (SELECT w, sum(c) AS cc FROM cw
-            GROUP BY 1 ORDER BY cc DESC, w LIMIT 64)),
-          vn AS (SELECT count(*)::BIGINT AS v FROM voc),
-          nc AS (SELECT cls, sum(c)::BIGINT AS n FROM cw GROUP BY 1),
-          dc AS (SELECT lang AS cls, count(*)::BIGINT AS nd FROM documents
-            WHERE lang IS NOT NULL GROUP BY 1),
-          nd AS (SELECT sum(nd)::BIGINT AS n FROM dc),
-          mic AS (SELECT cw.cls, cw.w,
-              round(-ln((cw.c + 1.0) / (nc.n + vn.v + 1)) * 1000000)::BIGINT AS m
-            FROM cw JOIN voc USING (w) JOIN nc USING (cls) CROSS JOIN vn),
-          oov AS (SELECT cls,
-              round(-ln(1.0 / (nc.n + vn.v + 1)) * 1000000)::BIGINT AS m
-            FROM nc CROSS JOIN vn),
-          pri AS (SELECT dc.cls,
-              round(-ln(dc.nd * 1.0 / nd.n) * 1000000)::BIGINT AS p
-            FROM dc CROSS JOIN nd),
-          sc AS (SELECT t.doc_id, o.cls,
-              (pri.p + sum(coalesce(mic.m, o.m)))::BIGINT AS s
-            FROM tok t CROSS JOIN oov o
-            LEFT JOIN mic ON mic.cls = o.cls AND mic.w = t.w
-            JOIN pri ON pri.cls = o.cls
-            GROUP BY 1, 2, pri.p),
-          rk AS (SELECT doc_id, cls, s,
-              row_number() OVER (PARTITION BY doc_id ORDER BY s, cls) AS rn
-            FROM sc)
+      Some(s"""WITH ${nbScoreCte(64)}
         SELECT d.doc_id, d.lang AS label, b.cls AS pred, b.s AS nll_micro,
           (r2.s - b.s)::BIGINT AS margin_micro, d.lang = b.cls AS correct
         FROM documents d
         JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
         JOIN rk r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
         ORDER BY d.doc_id""")),
+
+    // the NB classifier's confusion matrix: per (true label, predicted)
+    // doc counts — the calibration readout a routing decision needs
+    // before trusting the router. Same model, one extra map-side-
+    // combined rollup.
+    "text_classify_confusion" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.naiveBayesClassify(
+          t(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
+          vocabK = 64)
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("label"), col("pred")),
+      Some(s"""WITH ${nbScoreCte(64)}
+        SELECT d.lang AS label, b.cls AS pred, count(*)::BIGINT AS n_docs
+        FROM documents d
+        JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // reciprocal-rank fusion of two discrete ranking signals into one
     // consensus score — histogram-derived rank() ranks (no global
@@ -2081,6 +2068,28 @@ object Queries {
             FROM sc)
         SELECT cls, term, tf, round(s::DOUBLE / 1e9, 6) AS ctfidf, rank
         FROM rk WHERE rank <= 10 ORDER BY cls, rank""")),
+
+    // tokenizer fertility per source: BPE-ish tokens per whitespace
+    // word + chars per token — integer sums, one final division each
+    "corpus_fertility" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.fertility(
+          t(s, dir, "documents"), col("source"), col("text"))
+        .withColumn("fertility", round(col("fertility"), 6))
+        .withColumn("chars_per_token", round(col("chars_per_token"), 6))
+        .orderBy(col("source")),
+      Some("""SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+          sum(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::BIGINT AS bpe_tokens,
+          sum(length(text))::BIGINT AS n_chars,
+          round(sum(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE /
+            sum(len(string_split(text, ' ')))::DOUBLE, 6) AS fertility,
+          round(sum(length(text))::DOUBLE /
+            sum(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE, 6)
+            AS chars_per_token
+        FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // cross-source near-dup overlap matrix: where duplication comes
     // from; pair order normalized so each source combo is one row
@@ -2795,6 +2804,44 @@ object Queries {
         FROM scored)
       SELECT query_id, vec_id, round(sim, 6) AS sim, rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** NB classifier per-(doc, class) scores in DuckDB, mirroring
+   * [[graft.operators.CorpusStats.naiveBayesModel]] on the documents
+   * table (label = lang): shared top-`vocabK` vocabulary, add-1
+   * smoothing, micro-nat quantization, priors from doc counts. Ends
+   * with `rk(doc_id, cls, s, rn)` — rn 1 = argmin, rn 2 = runner-up. */
+  private def nbScoreCte(vocabK: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+      lab AS (SELECT doc_id, lang AS cls FROM documents
+        WHERE lang IS NOT NULL),
+      cw AS (SELECT cls, w, count(*)::BIGINT AS c
+        FROM tok JOIN lab USING (doc_id) GROUP BY 1, 2),
+      voc AS (SELECT w FROM (SELECT w, sum(c) AS cc FROM cw
+        GROUP BY 1 ORDER BY cc DESC, w LIMIT $vocabK)),
+      vn AS (SELECT count(*)::BIGINT AS v FROM voc),
+      nc AS (SELECT cls, sum(c)::BIGINT AS n FROM cw GROUP BY 1),
+      dc AS (SELECT lang AS cls, count(*)::BIGINT AS nd FROM documents
+        WHERE lang IS NOT NULL GROUP BY 1),
+      nd AS (SELECT sum(nd)::BIGINT AS n FROM dc),
+      mic AS (SELECT cw.cls, cw.w,
+          round(-ln((cw.c + 1.0) / (nc.n + vn.v + 1)) * 1000000)::BIGINT AS m
+        FROM cw JOIN voc USING (w) JOIN nc USING (cls) CROSS JOIN vn),
+      oov AS (SELECT cls,
+          round(-ln(1.0 / (nc.n + vn.v + 1)) * 1000000)::BIGINT AS m
+        FROM nc CROSS JOIN vn),
+      pri AS (SELECT dc.cls,
+          round(-ln(dc.nd * 1.0 / nd.n) * 1000000)::BIGINT AS p
+        FROM dc CROSS JOIN nd),
+      sc AS (SELECT t.doc_id, o.cls,
+          (pri.p + sum(coalesce(mic.m, o.m)))::BIGINT AS s
+        FROM tok t CROSS JOIN oov o
+        LEFT JOIN mic ON mic.cls = o.cls AND mic.w = t.w
+        JOIN pri ON pri.cls = o.cls
+        GROUP BY 1, 2, pri.p),
+      rk AS (SELECT doc_id, cls, s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY s, cls) AS rn
+        FROM sc)"""
 
   /** Embedding-cosine near-dup pairs in DuckDB: LSH-bucketed self-join
    * + exact cosine verify, mirroring [[Similarity.cosineNearDupPairs]]. */

@@ -646,8 +646,32 @@ object CorpusStats {
    * Rows with a null label still get scored (their `label`/`correct`
    * are null) — train on the labeled subset, predict everywhere.
    */
-  def naiveBayesClassify(df: DataFrame, id: Column, text: Column,
-      label: Column, vocabK: Int = 65536): DataFrame = {
+  /** A trained NB model: per-class broadcast micro-nat tables plus the
+   * scoring column factory. Like [[UnigramModel]], `scored(text)` is a
+   * pure projection — estimate on a static labeled corpus, classify an
+   * unbounded STREAM with zero per-batch state
+   * (`SeriesStream.scoreStream`-style). */
+  final case class NaiveBayesModel(classes: Seq[String],
+      perClass: Seq[(String, org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]], Long, Long)]) {
+    /** Ascending-sorted array of (score, class) structs: element 0 is
+     * the argmin (min NLL, ties to the smallest class name — the
+     * struct sort is deterministic in any engine), element 1 the
+     * runner-up for margins. */
+    def scored(text: Column): Column =
+      array_sort(array(perClass.map { case (c, bc, oov, prior) =>
+        struct(
+          (graft.functions.UnigramNllExpr.nllMicro(text, bc, oov) + lit(prior)).as("s"),
+          lit(c).as("c"))
+      }: _*))
+  }
+
+  /** Estimate a [[NaiveBayesModel]] from a labeled STATIC corpus (the
+   * driver actions — vocab cut, class totals, the K·|classes|-bounded
+   * class-vocab count collect — are why the model is a separate
+   * value, exactly like [[unigramModel]]). */
+  def naiveBayesModel(df: DataFrame, text: Column, label: Column,
+      vocabK: Int = 65536): NaiveBayesModel = {
     require(vocabK >= 1, "vocabK must be >= 1")
     val labeled = df.filter(label.isNotNull)
     val cw = labeled
@@ -664,7 +688,7 @@ object CorpusStats {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totalDocs = nDoc.values.sum
     val classes = nDoc.keys.toSeq.sorted
-    require(classes.size >= 2, "naiveBayesClassify needs >= 2 classes")
+    require(classes.size >= 2, "naiveBayesModel needs >= 2 classes")
     // class-conditional counts restricted to the shared vocabulary:
     // K·|classes|-bounded — the only corpus-derived table the driver
     // ever holds
@@ -673,7 +697,7 @@ object CorpusStats {
     def micro(num: Double, den: Double): Long =
       Math.round(-Math.log(num / den) * 1000000.0)
     val sc = df.sparkSession.sparkContext
-    val perClass = classes.map { c =>
+    NaiveBayesModel(classes, classes.map { c =>
       val den = (nTok(c) + v + 1).toDouble
       val m = new java.util.HashMap[String, java.lang.Long]()
       // only observed (class, vocab-word) counts: an absent vocab word's
@@ -683,16 +707,14 @@ object CorpusStats {
       }
       val prior = Math.round(-Math.log(nDoc(c).toDouble / totalDocs) * 1000000.0)
       (c, sc.broadcast(m), micro(1.0, den), prior)
-    }
-    val scoreStructs = perClass.map { case (c, bc, oov, prior) =>
-      struct(
-        (graft.functions.UnigramNllExpr.nllMicro(text, bc, oov) + lit(prior)).as("s"),
-        lit(c).as("c"))
-    }
-    // ascending struct sort: [0] = (min score, then smallest class) —
-    // the deterministic argmin; [1] yields the runner-up margin
+    })
+  }
+
+  def naiveBayesClassify(df: DataFrame, id: Column, text: Column,
+      label: Column, vocabK: Int = 65536): DataFrame = {
+    val model = naiveBayesModel(df, text, label, vocabK)
     df.select(id.as("doc_id"), label.cast("string").as("label"),
-        array_sort(array(scoreStructs: _*)).as("__a"))
+        model.scored(text).as("__a"))
       .select(col("doc_id"), col("label"),
         col("__a")(0)("c").as("pred"),
         col("__a")(0)("s").as("nll_micro"),
@@ -822,5 +844,32 @@ object CorpusStats {
       .filter(col("rank") <= k)
       .select(col("cls"), col("term"), col("tf"),
         (col("__score").cast("double") / 1e9).as("ctfidf"), col("rank"))
+  }
+
+  /**
+   * Tokenizer fertility per group: how many subword-ish tokens the
+   * BPE-shaped tokenization ([[TextOps.tokenCounts]]' letter-run /
+   * digit-run / symbol split) produces per whitespace word, and how
+   * many characters each costs — the budget-planning metric that
+   * decides how far a token budget actually stretches on each source
+   * or language (morphologically rich and non-spaced scripts fragment
+   * more; cf. the fertility analyses of multilingual tokenizers, e.g.
+   * Rust et al. 2021, arXiv:2012.15613).
+   *
+   * One map-side-combined groupBy over pure codegen'd projections;
+   * counts sum as integers (order-free), each ratio is a single final
+   * double division — engine-portable like [[dataCard]]'s means.
+   */
+  def fertility(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val tc = TextOps.tokenCounts(text).toMap
+    df.groupBy(group.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tc("ws_tokens")).as("ws_tokens"),
+        sum(tc("bpe_tokens")).as("bpe_tokens"),
+        sum(length(text).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
   }
 }

@@ -402,6 +402,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.map(_._5) == Seq(1L, 2L, 1L, 2L))
   }
 
+  test("fertility: hand-computed token ratios per source") {
+    val docs = Seq((1L, "ab cd", "s1"), (2L, "a-b x1y", "s1"),
+      (3L, "hello", "s2")).toDF("doc_id", "text", "src")
+    val out = CorpusStats.fertility(docs, $"src", $"text")
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // s1: ws 2+2; bpe "ab","cd" + "a","-","b","x","1","y" = 8; chars 5+7
+    assert(out == Seq(
+      ("s1", 2L, 4L, 8L, 12L, 2.0, 1.5),
+      ("s2", 1L, 1L, 1L, 5L, 1.0, 5.0)), out.toString)
+  }
+
   test("postings cap lowers to a partial WindowGroupLimit") {
     val docs = (1 to 50).map(i => (i.toLong, s"w${i % 5} common"))
       .toDF("doc_id", "text")

@@ -262,6 +262,28 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a batch-trained NB classifier routes a stream as a pure projection") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusStats
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "x x y", "a"), (2L, "y x", "a"),
+      (3L, "p q q", "b"), (4L, "q p", "b")).toDF("doc_id", "text", "lab")
+    val model = CorpusStats.naiveBayesModel(corpus, col("text"), col("lab"),
+      vocabK = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("pred", model.scored(col("text"))(0)("c"))
+      .writeStream.format("memory").queryName("nbcls")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "x y x"), (11L, "q p q"))
+      q.processAllAvailable()
+      val got = spark.table("nbcls").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == Map(10L -> "a", 11L -> "b"))
+    } finally q.stop()
+  }
+
   test("streaming funnel: advancement rows, order enforced, state retires") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
