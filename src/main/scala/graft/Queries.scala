@@ -1943,27 +1943,28 @@ object Queries {
             col("doc_id"), col("text"), vocabK = 32)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents),
-          cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
-          tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
-          voc AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 32),
-          tokt AS (SELECT unnest(string_split(text, ' ')) AS w
-            FROM documents WHERE source = 'src0'),
-          cntt AS (SELECT w, count(*)::BIGINT AS ct FROM tokt GROUP BY 1),
-          tott AS (SELECT sum(ct)::BIGINT AS totalt FROM cntt),
-          voct AS (SELECT w, ct FROM cntt ORDER BY ct DESC, w LIMIT 32),
-          sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
-              sum(round(-ln(coalesce(voc.c, 1) / tot.total) * 1000000)::BIGINT)::BIGINT
-                AS nll_raw_micro,
-              sum(round(-ln(coalesce(voct.ct, 1) / tott.totalt) * 1000000)::BIGINT)::BIGINT
-                AS nll_target_micro
-            FROM tok LEFT JOIN voc USING (w) LEFT JOIN voct USING (w)
-            CROSS JOIN tot CROSS JOIN tott GROUP BY 1)
+      Some(s"""WITH ${impScoreCte(32)}
         SELECT doc_id, n_tokens, nll_raw_micro, nll_target_micro,
           (nll_raw_micro - nll_target_micro)::BIGINT AS imp_micro,
           (nll_raw_micro - nll_target_micro) / (n_tokens * 1000000.0) AS avg_imp
         FROM sc ORDER BY doc_id""")),
+
+    // the DSIR selection step: the 100 most target-like docs by
+    // importance — lowers to TakeOrderedAndProject, never a global sort
+    "sample_importance_topk" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.CorpusStats.importanceWeights(
+            docs, docs.filter(col("source") === "src0"),
+            col("doc_id"), col("text"), vocabK = 32)
+          .orderBy(col("imp_micro").desc, col("doc_id")).limit(100)
+          .select(col("doc_id"), col("imp_micro"))
+      },
+      Some(s"""WITH ${impScoreCte(32)}
+        SELECT doc_id,
+          (nll_raw_micro - nll_target_micro)::BIGINT AS imp_micro
+        FROM sc
+        ORDER BY imp_micro DESC, doc_id LIMIT 100""")),
 
     // in-engine Naive Bayes classifier (train + score, no external
     // model): per-class smoothed micro-nat tables probed in codegen,
@@ -2804,6 +2805,30 @@ object Queries {
         FROM scored)
       SELECT query_id, vec_id, round(sim, 6) AS sim, rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DSIR importance scores in DuckDB, mirroring
+   * [[graft.operators.CorpusStats.importanceWeights]] with raw = all
+   * documents and target = source 'src0': two top-`vocabK` unigram
+   * models with count-1 OOV floors. Ends with
+   * `sc(doc_id, n_tokens, nll_raw_micro, nll_target_micro)`. */
+  private def impScoreCte(vocabK: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+      cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+      tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+      voc AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT $vocabK),
+      tokt AS (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE source = 'src0'),
+      cntt AS (SELECT w, count(*)::BIGINT AS ct FROM tokt GROUP BY 1),
+      tott AS (SELECT sum(ct)::BIGINT AS totalt FROM cntt),
+      voct AS (SELECT w, ct FROM cntt ORDER BY ct DESC, w LIMIT $vocabK),
+      sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+          sum(round(-ln(coalesce(voc.c, 1) / tot.total) * 1000000)::BIGINT)::BIGINT
+            AS nll_raw_micro,
+          sum(round(-ln(coalesce(voct.ct, 1) / tott.totalt) * 1000000)::BIGINT)::BIGINT
+            AS nll_target_micro
+        FROM tok LEFT JOIN voc USING (w) LEFT JOIN voct USING (w)
+        CROSS JOIN tot CROSS JOIN tott GROUP BY 1)"""
 
   /** NB classifier per-(doc, class) scores in DuckDB, mirroring
    * [[graft.operators.CorpusStats.naiveBayesModel]] on the documents

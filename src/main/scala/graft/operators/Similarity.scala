@@ -335,6 +335,12 @@ object Similarity {
     val e = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
       .withColumn("en", l2norm(col("ev")))
       .filter(col("en") > 0) // cosine undefined for zero vectors
+    // an empty (or all-zero) eval set would drop every scoreable corpus
+    // row from the cross join — fail loudly instead of emitting a frame
+    // that silently claims nothing is contaminated. The check is one
+    // action on the (small, broadcast-bound) eval side.
+    require(!e.isEmpty,
+      "decontaminateSemantic: eval set has no nonzero vectors")
     val c = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("vn", l2norm(col("v")))
     val best = c.filter(col("vn") > 0).crossJoin(broadcast(e))

@@ -432,4 +432,149 @@ class PropertySpec extends AnyFunSuite {
       }
     }, min = 20)
   }
+
+  test("rrf fusion equals brute-force competition-rank fusion") {
+    import graft.operators.CorpusStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // tiny value range → heavy ties; options → null signals
+    val rowGen = Gen.zip(Gen.option(Gen.chooseNum(0L, 6L)),
+      Gen.option(Gen.chooseNum(0L, 6L)))
+    val docsGen = Gen.nonEmptyListOf(rowGen).map(_.take(20))
+    check(Prop.forAllNoShrink(docsGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("doc_id", "s1", "s2")
+      val got = CorpusStats.rrfFuse(df, col("doc_id"),
+          Seq("s1" -> col("s1"), "s2" -> col("s2")), rrfK = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      def ranks(vs: Seq[Option[Long]]): Seq[Option[Long]] = {
+        val present = vs.flatten
+        vs.map(_.map(v => present.count(_ > v).toLong + 1))
+      }
+      val r1 = ranks(rows.map(_._1))
+      val r2 = ranks(rows.map(_._2))
+      rows.indices.forall { i =>
+        got(i.toLong) ==
+          r1(i).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+          r2(i).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      }
+    }, min = 20)
+  }
+
+  test("postings df and capped lists match brute force on random docs") {
+    import graft.operators.CorpusStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(8).mkString(" "))
+    val docsGen = Gen.nonEmptyListOf(docGen).map(_.take(12))
+    check(Prop.forAllNoShrink(docsGen, Gen.choose(1, 4), Gen.choose(1L, 3L)) {
+      (docs, cap, minDf) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = CorpusStats.postings(df, col("doc_id"), col("text"),
+            maxPostings = cap, minDf = minDf)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getSeq[Long](2).toList)).toMap
+        val inverted = docs.zipWithIndex
+          .flatMap { case (t, i) => t.split(" ", -1).distinct.map(_ -> i.toLong) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        val want = inverted.collect {
+          case (w, ds) if ds.length >= minDf =>
+            w -> ((ds.length.toLong, ds.take(cap).toList))
+        }
+        got == want
+    }, min = 20)
+  }
+
+  test("naive Bayes argmin and margin match an in-memory model") {
+    import graft.operators.CorpusStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wordGen = Gen.oneOf("u", "v", "w", "x")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(6).mkString(" "))
+    val labGen = Gen.option(Gen.oneOf("a", "b", "c"))
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(docGen, labGen)).map(_.take(10))
+    val kGen = Gen.oneOf(2, 100)
+    check(Prop.forAllNoShrink(rowsGen, docGen, docGen, kGen) {
+      (rows0, d1, d2, vocabK) =>
+        // force two classes so the model is always estimable
+        val rows = (d1, Some("a")) :: (d2, Some("b")) :: rows0
+        val df = rows.zipWithIndex.map { case ((t, l), i) =>
+          (i.toLong, t, l.orNull) }.toDF("doc_id", "text", "lab")
+        val got = CorpusStats.naiveBayesClassify(df, col("doc_id"),
+            col("text"), col("lab"), vocabK)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+        // in-memory replica of the model math
+        val labeled = rows.collect { case (t, Some(l)) => (t, l) }
+        val toks = labeled.map { case (t, l) => (t.split(" ", -1).toSeq, l) }
+        val cw = toks.flatMap { case (ws, l) => ws.map((l, _)) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val wc = cw.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+        val vocab = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(vocabK)
+          .map(_._1).toSet
+        val v = vocab.size
+        val nTok = toks.groupBy(_._2).view.mapValues(_.map(_._1.length).sum.toLong)
+        val nDoc = labeled.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val classes = nDoc.keys.toSeq.sorted
+        def micro(num: Double, den: Double) =
+          Math.round(-Math.log(num / den) * 1e6)
+        def score(text: String, c: String): Long = {
+          val den = (nTok(c) + v + 1).toDouble
+          val prior = micro(nDoc(c).toDouble, nDoc.values.sum.toDouble)
+          prior + text.split(" ", -1).map { w =>
+            if (vocab(w)) micro(cw.getOrElse((c, w), 0L) + 1.0, den)
+            else micro(1.0, den)
+          }.sum
+        }
+        rows.zipWithIndex.forall { case ((t, _), i) =>
+          val scored = classes.map(c => (score(t, c), c)).sorted
+          got(i.toLong) == ((scored.head._2, scored.head._1,
+            scored(1)._1 - scored.head._1))
+        }
+    }, min = 15)
+  }
+
+  test("semantic decontamination max-sim equals brute force") {
+    import graft.operators.Similarity
+    val compGen = Gen.chooseNum(-3, 3).map(_.toFloat)
+    val vecGen = Gen.listOfN(3, compGen).map(_.toSeq)
+    val corpusGen = Gen.nonEmptyListOf(vecGen).map(_.take(8))
+    // the operator requires >= 1 nonzero eval vector (all-zero eval
+    // sets fail loudly) — pin one into every generated set
+    val evalGen = Gen.nonEmptyListOf(vecGen)
+      .map(es => es.take(3) :+ Seq(1f, 1f, 0f))
+    check(Prop.forAllNoShrink(corpusGen, evalGen) { (cs, es) =>
+      import spark.implicits._
+      val corpus = cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val evalSet = es.zipWithIndex.map { case (v, i) => (100L + i, v) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.decontaminateSemantic(corpus, evalSet, 0.5)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            r.getBoolean(3)))).toMap
+      def dot(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+          s + x.toDouble * y.toDouble }
+      def nrm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+      val evalOk = es.zipWithIndex.map { case (v, i) => (100L + i, v, nrm(v)) }
+        .filter(_._3 > 0)
+      cs.zipWithIndex.forall { case (v, i) =>
+        val vn = nrm(v)
+        val want =
+          if (!(vn > 0) || evalOk.isEmpty) (None, None, false)
+          else {
+            // max by (sim, -eval_id): highest sim, smallest id on ties
+            val (eid, _, sim) = evalOk
+              .map { case (id, ev, en) => (id, ev, dot(v, ev) / (vn * en)) }
+              .maxBy { case (id, _, s) => (s, -id) }
+            (Some(eid), Some(sim), sim >= 0.5)
+          }
+        got(i.toLong) == want
+      }
+    }, min = 20)
+  }
 }
