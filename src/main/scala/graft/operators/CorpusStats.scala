@@ -694,15 +694,18 @@ object CorpusStats {
     // ever holds
     val cv = cw.join(broadcast(vocabDf), "w")
       .select(col("cls"), col("w"), col("c")).collect()
+      .groupBy(_.getString(0)) // one driver pass, not one scan per class
     def micro(num: Double, den: Double): Long =
       Math.round(-Math.log(num / den) * 1000000.0)
     val sc = df.sparkSession.sparkContext
     NaiveBayesModel(classes, classes.map { c =>
-      val den = (nTok(c) + v + 1).toDouble
+      // getOrElse: a class whose docs are all null-text has doc rows
+      // (so it IS a class with a prior) but zero token rows
+      val den = (nTok.getOrElse(c, 0L) + v + 1).toDouble
       val m = new java.util.HashMap[String, java.lang.Long]()
       // only observed (class, vocab-word) counts: an absent vocab word's
       // (0+1)/den equals the OOV floor, so the map stays sparse
-      cv.filter(_.getString(0) == c).foreach { r =>
+      cv.getOrElse(c, Array.empty).foreach { r =>
         m.put(r.getString(1), micro(r.getLong(2) + 1.0, den))
       }
       val prior = Math.round(-Math.log(nDoc(c).toDouble / totalDocs) * 1000000.0)
@@ -713,12 +716,16 @@ object CorpusStats {
   def naiveBayesClassify(df: DataFrame, id: Column, text: Column,
       label: Column, vocabK: Int = 65536): DataFrame = {
     val model = naiveBayesModel(df, text, label, vocabK)
+    // null text → null scores for EVERY class (the probe expression is
+    // null-propagating), so the struct sort would tie arbitrarily —
+    // gate the outputs on a non-null best score instead
+    val s0 = col("__a")(0)("s")
     df.select(id.as("doc_id"), label.cast("string").as("label"),
         model.scored(text).as("__a"))
       .select(col("doc_id"), col("label"),
-        col("__a")(0)("c").as("pred"),
-        col("__a")(0)("s").as("nll_micro"),
-        (col("__a")(1)("s") - col("__a")(0)("s")).as("margin_micro"))
+        when(s0.isNotNull, col("__a")(0)("c")).as("pred"),
+        s0.as("nll_micro"),
+        (col("__a")(1)("s") - s0).as("margin_micro"))
       .withColumn("correct", col("label") === col("pred"))
   }
 
@@ -748,16 +755,22 @@ object CorpusStats {
       rrfK: Int = 60): DataFrame = {
     require(signals.nonEmpty, "need at least one signal")
     require(rrfK >= 0, "rrfK must be >= 0")
-    var out = df.select(id.as("doc_id") +:
+    val base = df.select(id.as("doc_id") +:
       signals.map { case (n, c) => c.cast("double").as(s"__v_$n") }: _*)
-    signals.foreach { case (n, _) =>
-      val ranked = out.filter(col(s"__v_$n").isNotNull)
+    // every histogram derives from the BASE projection, not the
+    // progressively-joined frame — otherwise signal i's histogram job
+    // would re-execute the i−1 prior joins (O(S²) scan work)
+    val ranked = signals.map { case (n, _) =>
+      n -> base.filter(col(s"__v_$n").isNotNull)
         .groupBy(col(s"__v_$n").as("__hv")).agg(count(lit(1)).as("__hc"))
         .withColumn("__cum",
           sum(col("__hc")).over(Window.orderBy(col("__hv").desc)))
         .select(col("__hv"), (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
-      out = out.join(broadcast(ranked),
-        out(s"__v_$n") === ranked("__hv"), "left").drop("__hv")
+    }
+    var out = base
+    ranked.foreach { case (n, r) =>
+      out = out.join(broadcast(r), out(s"__v_$n") === r("__hv"), "left")
+        .drop("__hv")
     }
     val fused = signals.map { case (n, _) =>
       coalesce(graft.functions.ldiv(lit(1000000000L), lit(rrfK.toLong) + col(s"rank_$n")),
@@ -793,9 +806,8 @@ object CorpusStats {
       .localCheckpoint() // consumed twice: df counts + capped lists
     val dfc = pairs.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDf)
-    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-    val capped = pairs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxPostings)
+    val capped = TopK.perGroup(pairs, col("term"), col("doc_id").asc,
+        col("doc_id"), maxPostings)
       .groupBy(col("term"))
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
     // both sides keyed on term — the join reuses the agg partitioning
@@ -838,12 +850,10 @@ object CorpusStats {
         (col("__tot").cast("double") / col("__ncls").cast("double")) /
           col("__cf").cast("double")) * 1e9).cast("long"))
       .withColumn("__score", col("tf").cast("decimal(38,0)") * col("__m"))
-    val w2 = Window.partitionBy(col("cls"))
-      .orderBy(col("__score").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w2).cast("long"))
-      .filter(col("rank") <= k)
+    TopK.perGroup(scored, col("cls"), col("__score").desc, col("term"), k)
       .select(col("cls"), col("term"), col("tf"),
-        (col("__score").cast("double") / 1e9).as("ctfidf"), col("rank"))
+        (col("__score").cast("double") / 1e9).as("ctfidf"),
+        col("rank").cast("long").as("rank"))
   }
 
   /**

@@ -351,7 +351,10 @@ object Similarity {
       .agg(max(struct(col("sim"), (-col("eval_id")).as("nid"))).as("m"))
       .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
         col("m.sim").as("max_sim"))
-    val zeroNorm = c.filter(!(col("vn") > 0))
+    // isNull: a NULL embedding has null vn, which fails BOTH `vn > 0`
+    // and `!(vn > 0)` — without it such rows would vanish from the
+    // output, breaking the exactly-once contract
+    val zeroNorm = c.filter(col("vn").isNull || !(col("vn") > 0))
       .select(col("vec_id"), lit(null).cast("long").as("eval_id"),
         lit(null).cast("double").as("max_sim"))
     best.unionByName(zeroNorm)

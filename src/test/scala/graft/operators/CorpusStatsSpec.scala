@@ -352,6 +352,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(5L)._3 == 0L) // exact tie
   }
 
+  test("naiveBayesClassify survives a class whose docs are all null-text") {
+    val docs = Seq(
+      (1L, null, "a"), (2L, "x y", "b"), (3L, "x", "b"), (4L, "y", "c"))
+      .toDF("doc_id", "text", "lab")
+    val out = CorpusStats.naiveBayesClassify(docs, $"doc_id", $"text",
+        $"lab", vocabK = 16)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    // class "a" contributes a prior but no tokens (its smoothed model
+    // is the pure OOV floor); scoring must not crash and null-text
+    // rows score null
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L).isEmpty) // null text → null scores → null pred
+    assert(out(2L).nonEmpty)
+  }
+
   test("rrfFuse matches SQL rank() semantics including ties and nulls") {
     val docs = Seq(
       (1L, Some(10L), Some(3L)), (2L, Some(20L), Some(3L)),

@@ -165,6 +165,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(13L)._2.get - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("decontaminateSemantic: null-embedding corpus rows still emit once") {
+    val evalSet = vecs(0L -> Seq(1f, 0f))
+    val corpus = Seq((10L, Seq(1f, 0f)), (11L, null))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateSemantic(corpus, evalSet, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(11L) == ((true, false)))
+  }
+
   test("decontaminateSemantic broadcasts the eval side") {
     val evalSet = vecs(0L -> Seq(1f, 0f))
     val corpus = vecs((10L to 40L).map(i => i -> Seq(i.toFloat, 1f)): _*)
