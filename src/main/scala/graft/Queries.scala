@@ -1274,6 +1274,25 @@ object Queries {
             - 1)::INTEGER AS pos
         FROM h ORDER BY doc_id""")),
 
+    // per-shard export manifest: doc/token/byte volumes + an order-free
+    // mod-2^61−1 content checksum — the integrity sidecar a released
+    // dataset ships; one map-side-combined rollup, no window
+    "export_manifest" -> Entry(
+      (s, dir) => graft.operators.Export.manifest(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 8)
+        .orderBy(col("shard")),
+      Some("""WITH h AS (SELECT doc_id, text,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))))
+              ), 1, 15))::BIGINT AS rh
+          FROM documents)
+        SELECT (h % 8)::INTEGER AS shard, count(*)::BIGINT AS n_docs,
+          sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+          sum(length(text))::BIGINT AS n_chars,
+          (sum(rh::HUGEINT) % 2305843009213693951)::BIGINT AS checksum
+        FROM h GROUP BY 1 ORDER BY 1""")),
+
     // deterministic sequence packing: the corpus laid out as one
     // hash-ordered char stream cut into 2048-unit training windows;
     // each doc reports its start window/offset/span. The oracle's
@@ -1445,6 +1464,42 @@ object Queries {
         SELECT doc_id,
           sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // asymmetric containment pairs: |A∩B|/|A| ≥ 0.85 — the "doc inside
+    // a bigger doc" relation Jaccard-calibrated LSH misses. The oracle
+    // mirrors the Spark side's contained-side prefix filter (exact
+    // recall, see Dedup.containmentPairs) — an unfiltered shared-
+    // shingle candidate join is quadratic in shingle df and spills to
+    // death at 10×. Threshold 0.85: ScaleGen replicas share ~2/3 of
+    // their shingles by construction, so a lower threshold turns the
+    // 10× replica sets into ~10-cliques (hundreds of thousands of
+    // true pairs) — legitimate output, wrong scale for a gate.
+    "dedup_containment" -> Entry(
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), threshold = 0.85)
+        .orderBy(col("id_in"), col("id_out")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          sets AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+            FROM w WHERE len(w) >= 3),
+          sh AS (SELECT doc_id, unnest(ss) AS sh FROM sets),
+          szs AS (SELECT doc_id, len(ss)::BIGINT AS sz FROM sets),
+          freq AS (SELECT sh, count(*)::BIGINT AS c FROM sh GROUP BY 1),
+          ordd AS (SELECT sh.doc_id, sh.sh, row_number() OVER (
+              PARTITION BY sh.doc_id ORDER BY freq.c, sh.sh) AS rn
+            FROM sh JOIN freq USING (sh)),
+          pre AS (SELECT ordd.doc_id, ordd.sh FROM ordd JOIN szs USING (doc_id)
+            WHERE rn <= greatest(1, sz - ceil(0.85 * sz - 1e-9) + 1)),
+          cand AS (SELECT DISTINCT p.doc_id AS id_in, s.doc_id AS id_out
+            FROM pre p JOIN sh s ON p.sh = s.sh AND p.doc_id <> s.doc_id),
+          sc AS (SELECT c.id_in, c.id_out,
+              len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss)
+                AS containment
+            FROM cand c JOIN sets a ON a.doc_id = c.id_in
+            JOIN sets b ON b.doc_id = c.id_out)
+        SELECT id_in, id_out, containment FROM sc
+        WHERE containment >= 0.85 ORDER BY 1, 2""")),
 
     "dedup_ngram_jaccard" -> Entry(
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),

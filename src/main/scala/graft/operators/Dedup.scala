@@ -322,6 +322,68 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT near-dup pairs: `C(A→B) = |A∩B| / |A| ≥ t`
+   * over shingle sets — the "doc A is (mostly) inside doc B" relation
+   * that symmetric Jaccard misses by construction: a quote page or
+   * aggregator that wholesale-includes a smaller document has
+   * `J = |A|/|B| ≈ 0` but `C = 1`, and MinHash LSH recall (calibrated
+   * to J) misses exactly those pairs. Containment is the dedup mode
+   * for boilerplate-wrapped republication (cf. the MASSIVE/RefinedWeb
+   * line of corpus reports on aggregator duplication).
+   *
+   * Candidate generation is prefix filtering on the CONTAINED side
+   * only (the one-sided adaptation of [[ngramJaccardPairs]]'s
+   * AllPairs/PPJoin principle): `C(A→B) ≥ t` needs overlap
+   * `≥ ⌈t·|A|⌉`, so A's rarest `|A| − ⌈t·|A|⌉ + 1` shingles must
+   * intersect B's FULL set — if the prefix missed B entirely, the
+   * overlap tops out at `⌈t·|A|⌉ − 1`. Candidates are therefore the
+   * equi-join of A-prefixes against the full (doc, shingle) stream;
+   * exact recall, and the verify keeps nothing below t. The ⌈·⌉
+   * takes the same 1e-9 slack (can only ENLARGE the prefix).
+   *
+   * Scale shape: per-shingle join work is (prefix occurrences) ×
+   * (document frequency) — rare-first prefixes keep the probe side
+   * tiny, but unlike the symmetric join the index side is unpruned,
+   * so a corpus whose RAREST shingles are still boilerplate-common
+   * degrades; the [[minhashPairs]] contract applies doubly here:
+   * collapse exact duplicates first, and strip known boilerplate
+   * ([[sharedSubstrings]]) before containment mining. No size-ratio
+   * prune exists — a 50-word doc inside a 50k-word page is exactly
+   * the target, so size asymmetry must survive.
+   */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = shingled(df, id, text, shingleK)
+      .filter(size(col("ss")) > 0) // zero-shingle docs contain nothing
+      .localCheckpoint() // feeds the token stream and both verify joins
+    val toks = sets.select(col("doc_id"), size(col("ss")).as("sz"),
+      explode(col("ss")).as("sh"))
+    val freq = toks.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    val pre = toks.join(freq, Seq("sh"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("c"), col("sh")))).as("ord"))
+      .withColumn("p", greatest(lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz").cast("double") -
+          lit(1e-9)) + 1).cast("int")))
+      .select(col("doc_id"), explode(expr("slice(ord, 1, p)")).as("t"))
+      .select(col("doc_id"), col("t.sh").as("sh"))
+    val cands = pre.alias("l")
+      .join(toks.select(col("doc_id"), col("sh")).alias("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("id_in"), col("r.doc_id").as("id_out"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id_in"), col("ss").as("ss1")), "id_in")
+      .join(sets.select(col("doc_id").as("id_out"), col("ss").as("ss2")), "id_out")
+      .withColumn("containment",
+        size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
+          size(col("ss1")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_in"), col("id_out"), col("containment"))
+  }
+
+  /**
    * Cluster resolution over near-dup pairs: maps every paired doc to
    * its connected component's minimum id (`cluster_id`) — the
    * keep-list step a dedup pipeline actually consumes (keep rows with

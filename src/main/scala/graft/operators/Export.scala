@@ -47,6 +47,39 @@ object Export {
    * global sort. Returns the writer so callers pick format/path:
    * `Export.writeShards(df, $"doc_id", 1024).parquet(out)`.
    */
+  /**
+   * Per-shard export manifest: the checksum/accounting sidecar a
+   * released dataset ships next to its shards — doc counts, token and
+   * byte volumes, and an order-free content checksum per shard, so a
+   * consumer (or a later re-export) can verify shard integrity without
+   * re-reading payloads. One map-side-combined groupBy over the same
+   * shard assignment [[shards]]/[[writeShards]] compute — no window,
+   * no sort.
+   *
+   * The checksum is `Σ hash60(id || ':' || fingerprint) mod 2⁶¹−1`
+   * per shard — order-free LONG addition (mod a Mersenne prime keeps
+   * the sum in-range at any shard size), so any engine that can md5
+   * reproduces it: a re-run that drops, duplicates, or alters one row
+   * moves the sum with probability ~1.
+   */
+  def manifest(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    val h = graft.functions.Hash60Expr.hash60(id.cast("string"))
+    val rowSum = graft.functions.Hash60Expr.hash60(
+      concat(id.cast("string"), lit(":"), TextOps.fingerprint(text)))
+    df.select(pmod(h, lit(n.toLong)).cast("int").as("shard"),
+        text.as("__t"), rowSum.as("__rh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("__t"))).cast("long")).as("n_tokens"),
+        sum(length(col("__t")).cast("long")).as("n_chars"),
+        // DECIMAL sum: a LONG sum of 60-bit values overflows (ANSI
+        // throws) beyond a handful of rows; decimal is exact to 1e38
+        pmod(sum(col("__rh").cast("decimal(38,0)")),
+          lit(2305843009213693951L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
   def writeShards(df: DataFrame, id: Column, n: Int): DataFrameWriter[Row] = {
     require(n >= 1, "need at least one shard")
     val h = graft.functions.Hash60Expr.hash60(id.cast("string"))

@@ -429,6 +429,17 @@ class CorpusStatsSpec extends SparkSpec {
       ("s2", 1L, 1L, 1L, 5L, 1.0, 5.0)), out.toString)
   }
 
+  test("NB scoring is a pure projection: zero exchanges after model build") {
+    val docs = Seq((1L, "x x", "a"), (2L, "p p", "b"), (3L, "x p", "a"))
+      .toDF("doc_id", "text", "lab")
+    val model = CorpusStats.naiveBayesModel(docs, $"text", $"lab", vocabK = 8)
+    val scored = docs.select($"doc_id",
+      model.scored($"text")(0)("c").as("pred"))
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"NB scoring shuffles:\n$plan")
+  }
+
   test("postings cap lowers to a partial WindowGroupLimit") {
     val docs = (1 to 50).map(i => (i.toLong, s"w${i % 5} common"))
       .toDF("doc_id", "text")

@@ -123,6 +123,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(p => p._2 == 1L).head._3 == 1.0)
   }
 
+  test("containment: a doc inside a bigger doc pairs one-way") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"intro words here $small plus a very long tail of other tokens " +
+      "that keeps going well past the quoted body and dilutes jaccard a lot"
+    val other = "totally different content with no overlap at all whatsoever"
+    val d = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // small→big: every small shingle appears in big → containment 1.0;
+    // big→small is far below threshold; `other` pairs with nothing
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), got.toSeq)
+    assert(got.head._3 == 1.0)
+    // the symmetric jaccard between 1 and 2 is small — the pair LSH
+    // at J-threshold 0.5 would never score it
+    val j = Dedup.minhashPairs(d, col("doc_id"), col("text"), threshold = 0.5)
+      .collect()
+    assert(!j.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("containment: prefix filter preserves exact recall on forced ties") {
+    // every doc shares its commonest shingles; containment must still
+    // find the contained pair because the CONTAINED side's rarest
+    // shingles hit the container's full set
+    val base = "x y z w v u"
+    val d = Seq(
+      (1L, base),                        // contained in 2 and 3
+      (2L, s"$base extra padding tokens one"),
+      (3L, s"prefix words then $base more after"),
+      (4L, "x y z unrelated suffix here")) // partial overlap only
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+        threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L)), got.toString)
+  }
+
   test("simhash: identical fingerprints for dups, close for near dups") {
     val fp = Dedup.simhashes(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

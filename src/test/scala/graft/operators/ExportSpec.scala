@@ -60,4 +60,27 @@ class ExportSpec extends SparkSpec {
       assert(inFile.toSeq == expected.toSeq, s"shard $s order diverged")
     }
   }
+
+  test("manifest: volumes roll up per shard; checksum moves on any edit") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val m = Export.manifest(docs, $"doc_id", $"text", n = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m.values.map(_._1).sum == 40)           // every doc in one shard
+    assert(m.values.map(_._2).sum == 40 * 3)       // 3 ws-tokens per doc
+    // shard membership agrees with shards()
+    val byShard = Export.shards(docs, $"doc_id", n = 4)
+      .groupBy($"shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.view.mapValues(_._1).toMap == byShard)
+    // altering ONE doc's text moves exactly its shard's checksum
+    val docs2 = docs.withColumn("text",
+      when($"doc_id" === 7L, lit("doc 7 EDITED")).otherwise($"text"))
+    val m2 = Export.manifest(docs2, $"doc_id", $"text", n = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    val shard7 = Export.shards(docs, $"doc_id", n = 4)
+      .filter($"doc_id" === 7L).head().getInt(1)
+    assert(m2(shard7) != m(shard7)._4)
+    m.keys.filter(_ != shard7).foreach(s => assert(m2(s) == m(s)._4))
+  }
 }
