@@ -2301,6 +2301,57 @@ object Queries {
     // hashes → (k−1)·(2⁶⁰ div kth) — integer arithmetic end-to-end,
     // so the ESTIMATE itself hash-matches across engines (an HLL
     // would not)
+    // count-min sketch over the token stream: the (depth·width)-bounded
+    // cell table is itself oracle-checkable (md5-derived row hashes),
+    // not just its estimates — the frequency complement of the KMV
+    // distinct sketch, mergeable by cell-wise addition
+    "corpus_cms" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.countMinSketch(
+          t(s, dir, "documents")
+            .select(explode(TextOps.tokens(col("text"))).as("w")),
+          col("w"), width = 256, depth = 4)
+        .orderBy(col("row"), col("bucket")),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          rb AS (SELECT r.range::INTEGER AS row,
+              (('0x' || substr(md5('cms' || r.range || ':' || w), 1, 15))::BIGINT
+                % 256)::INTEGER AS bucket
+            FROM tok CROSS JOIN range(0, 4) r)
+        SELECT row, bucket, count(*)::BIGINT AS c
+        FROM rb GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // CMS point estimates for the 30 heaviest tokens, with the exact
+    // counts alongside: est ≥ exact always (the one-sided CMS error)
+    "corpus_cms_estimates" -> Entry(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        val sketch = graft.operators.CorpusStats.countMinSketch(
+          toks, col("w"), width = 256, depth = 4)
+        val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("w")).limit(30)
+        exact.join(graft.operators.CorpusStats.countMinEstimate(
+            sketch, exact.select(col("w")), col("w"), width = 256, depth = 4),
+            col("w") === col("v"))
+          .select(col("w").as("token"), col("exact"), col("est"))
+          .orderBy(col("token"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          cnt AS (SELECT w, count(*)::BIGINT AS exact FROM tok GROUP BY 1),
+          top AS (SELECT w, exact FROM cnt ORDER BY exact DESC, w LIMIT 30),
+          sk AS (SELECT r.range AS row,
+              ('0x' || substr(md5('cms' || r.range || ':' || w), 1, 15))::BIGINT
+                % 256 AS bucket, count(*)::BIGINT AS c
+            FROM tok CROSS JOIN range(0, 4) r GROUP BY 1, 2),
+          probe AS (SELECT top.w, top.exact, r.range AS row,
+              ('0x' || substr(md5('cms' || r.range || ':' || top.w), 1, 15))::BIGINT
+                % 256 AS bucket
+            FROM top CROSS JOIN range(0, 4) r)
+        SELECT probe.w AS token, probe.exact, min(sk.c)::BIGINT AS est
+        FROM probe JOIN sk USING (row, bucket)
+        GROUP BY 1, 2 ORDER BY token""")),
+
     "corpus_distinct_kmv" -> Entry(
       (s, dir) => {
         val tok = t(s, dir, "documents")

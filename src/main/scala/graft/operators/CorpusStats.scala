@@ -857,6 +857,54 @@ object CorpusStats {
   }
 
   /**
+   * Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+   * over a value stream: `depth` hash rows × `width` buckets of
+   * counts; a value's frequency estimate is the MIN of its bucket
+   * counts across rows — never an underestimate, overestimates
+   * bounded by `e·N/width` with probability `1 − e^−depth`. The
+   * frequency complement of [[distinctKmv]]: heavy-hitter queries and
+   * frequency joins over vocabularies too large to count exactly,
+   * MERGEABLE by cell-wise addition (union two corpora's sketches
+   * without touching either corpus).
+   *
+   * Determinism/portability: bucket hashes are the same md5-derived
+   * 60-bit construction every sampling/sketch decision uses (row `r`
+   * hashes `"cms<r>:" + value`), so any engine reproduces the exact
+   * cell table — the sketch itself is oracle-checkable, not just its
+   * estimates. One map-side-combined groupBy of (row, bucket) —
+   * `depth` rows per input value; the exchange is bounded by
+   * `depth · width`, never the vocabulary.
+   */
+  def countMinSketch(df: DataFrame, value: Column, width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"),
+          pmod(TextOps.hash60(concat(lit(s"cms$r:"), value.cast("string"))),
+            lit(width.toLong)).cast("int").as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates off a [[countMinSketch]]: for each
+   * queried value, `min` over the depth rows of its bucket's count.
+   * The probe is a `depth`-way explode joined once against the
+   * (depth·width)-bounded sketch — broadcastable, no corpus access. */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame, value: Column,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
+    queries.select(value.as("v"))
+      .select(col("v"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("row"),
+          pmod(TextOps.hash60(concat(lit(s"cms$r:"), col("v").cast("string"))),
+            lit(width.toLong)).cast("int").as("bucket"))): _*)).as("rb"))
+      .join(broadcast(sketch),
+        col("rb.row") === sketch("row") && col("rb.bucket") === sketch("bucket"))
+      .groupBy(col("v"))
+      .agg(min(col("c")).as("est"))
+  }
+
+  /**
    * Tokenizer fertility per group: how many subword-ish tokens the
    * BPE-shaped tokenization ([[TextOps.tokenCounts]]' letter-run /
    * digit-run / symbol split) produces per whitespace word, and how

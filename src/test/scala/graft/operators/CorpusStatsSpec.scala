@@ -417,6 +417,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.map(_._5) == Seq(1L, 2L, 1L, 2L))
   }
 
+  test("count-min: row mass conservation, one-sided error, mergeability") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b d e f")).toDF("doc_id", "text")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextOps.tokens($"text")).as("w"))
+    val sk = CorpusStats.countMinSketch(toks(docs), $"w", width = 8, depth = 3)
+    val cells = sk.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // each row is a full partition of the 9-token stream
+    (0 until 3).foreach { r =>
+      assert(cells.collect { case ((`r`, _), c) => c }.sum == 9L)
+    }
+    // estimates never undercount (CMS's one-sided guarantee)
+    val exact = toks(docs).groupBy($"w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = CorpusStats.countMinEstimate(sk,
+        toks(docs).distinct(), $"w", width = 8, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, c) => assert(est(w) >= c, s"$w: ${est(w)} < $c") }
+    // cell-wise addition of per-half sketches IS the union's sketch
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.countMinSketch(toks(df), $"w", width = 8, depth = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val a = cellsOf(docs.filter($"doc_id" === 1L))
+    val b = cellsOf(docs.filter($"doc_id" === 2L))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == cells)
+  }
+
   test("fertility: hand-computed token ratios per source") {
     val docs = Seq((1L, "ab cd", "s1"), (2L, "a-b x1y", "s1"),
       (3L, "hello", "s2")).toDF("doc_id", "text", "src")
