@@ -347,9 +347,13 @@ object Dedup {
    * so a corpus whose RAREST shingles are still boilerplate-common
    * degrades; the [[minhashPairs]] contract applies doubly here:
    * collapse exact duplicates first, and strip known boilerplate
-   * ([[sharedSubstrings]]) before containment mining. No size-ratio
-   * prune exists — a 50-word doc inside a 50k-word page is exactly
-   * the target, so size asymmetry must survive.
+   * ([[sharedSubstrings]]) before containment mining. The symmetric
+   * length-RATIO prune does not apply (a 50-word doc inside a
+   * 50k-word page is exactly the target), but the one-sided bound
+   * does: `overlap ≤ |B|`, so `C ≥ t` needs `|B| ≥ t·|A|` — a
+   * container can't be much smaller than what it contains. The bound
+   * rides the candidate join on two size longs and prunes before the
+   * exact-intersect verify ever sees a pair.
    */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double, shingleK: Int = 3): DataFrame = {
@@ -366,11 +370,14 @@ object Dedup {
       .withColumn("p", greatest(lit(1),
         (col("sz") - ceil(lit(threshold) * col("sz").cast("double") -
           lit(1e-9)) + 1).cast("int")))
-      .select(col("doc_id"), explode(expr("slice(ord, 1, p)")).as("t"))
-      .select(col("doc_id"), col("t.sh").as("sh"))
+      .select(col("doc_id"), col("sz"), explode(expr("slice(ord, 1, p)")).as("t"))
+      .select(col("doc_id"), col("sz"), col("t.sh").as("sh"))
     val cands = pre.alias("l")
-      .join(toks.select(col("doc_id"), col("sh")).alias("r"),
-        col("l.sh") === col("r.sh") && col("l.doc_id") =!= col("r.doc_id"))
+      .join(toks.select(col("doc_id"), col("sz"), col("sh")).alias("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") =!= col("r.doc_id") &&
+          // overlap ≤ |B|: a container smaller than t·|A| can't qualify
+          col("r.sz").cast("double") >=
+            lit(threshold) * col("l.sz").cast("double") - lit(1e-9))
       .select(col("l.doc_id").as("id_in"), col("r.doc_id").as("id_out"))
       .distinct()
     cands
