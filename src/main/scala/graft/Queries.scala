@@ -1483,8 +1483,10 @@ object Queries {
           sets AS (SELECT doc_id, list_distinct(list_transform(
               range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
             FROM w WHERE len(w) >= 3),
-          sh AS (SELECT doc_id, unnest(ss) AS sh FROM sets),
-          szs AS (SELECT doc_id, len(ss)::BIGINT AS sz FROM sets),
+          hsets AS (SELECT doc_id, list_distinct(list_transform(ss,
+              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM sets),
+          sh AS (SELECT doc_id, unnest(hs) AS sh FROM hsets),
+          szs AS (SELECT doc_id, len(hs)::BIGINT AS sz FROM hsets),
           freq AS (SELECT sh, count(*)::BIGINT AS c FROM sh GROUP BY 1),
           ordd AS (SELECT sh.doc_id, sh.sh, row_number() OVER (
               PARTITION BY sh.doc_id ORDER BY freq.c, sh.sh) AS rn
@@ -1494,10 +1496,10 @@ object Queries {
           cand AS (SELECT DISTINCT p.doc_id AS id_in, s.doc_id AS id_out
             FROM pre p JOIN sh s ON p.sh = s.sh AND p.doc_id <> s.doc_id),
           sc AS (SELECT c.id_in, c.id_out,
-              len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss)
+              len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs)
                 AS containment
-            FROM cand c JOIN sets a ON a.doc_id = c.id_in
-            JOIN sets b ON b.doc_id = c.id_out)
+            FROM cand c JOIN hsets a ON a.doc_id = c.id_in
+            JOIN hsets b ON b.doc_id = c.id_out)
         SELECT id_in, id_out, containment FROM sc
         WHERE containment >= 0.85 ORDER BY 1, 2""")),
 
@@ -2782,11 +2784,13 @@ object Queries {
       cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
           AND ($candPred)),
+      hsets AS (SELECT doc_id, list_distinct(list_transform(ss,
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM sets),
       pairs AS (SELECT id1, id2, jaccard FROM (
         SELECT c.id1, c.id2,
-          len(list_intersect(a.ss, b.ss))::DOUBLE /
-            len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
-        FROM cand c JOIN sets a ON a.doc_id = c.id1 JOIN sets b ON b.doc_id = c.id2)
+          len(list_intersect(a.hs, b.hs))::DOUBLE /
+            len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+        FROM cand c JOIN hsets a ON a.doc_id = c.id1 JOIN hsets b ON b.doc_id = c.id2)
         WHERE jaccard >= $threshold)"""
   }
 

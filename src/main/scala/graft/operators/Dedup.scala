@@ -226,13 +226,27 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val sets = shingled(df, id, text, shingleK).localCheckpoint()
     val cands = lshCandidates(sigsOf(sets, n), bands, n)
+    // The verify runs on 8-BYTE SHINGLE HASHES, not the shingle
+    // strings ([[sharedSubstrings]]' trick): set arithmetic over
+    // distinct md5-60 hashes is identical to string-set arithmetic
+    // unless two of the corpus's shingles collide (~|vocab|²/2⁶¹ —
+    // and the oracle hashes identically, so even then both engines
+    // agree). What it buys at scale: LSH floods candidates with
+    // just-below-threshold lookalikes (a near-dup CLIQUE — replica
+    // families, template spam — collides in nearly every band), and
+    // the verify join then shuffles each doc's set once per candidate
+    // pair: ~8 bytes/shingle instead of the full strings is the
+    // difference between a verify stage that fits in the shuffle and
+    // one that spills.
+    val hsets = sets.select(col("doc_id"),
+        array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+      .localCheckpoint() // consumed 3×: sizes + both verify sides
     // Length-ratio prefilter (an exact bound, not an approximation):
     // J(A,B) ≤ min|·|/max|·|, so J ≥ t needs shingle-count ratio ≥ t.
-    // LSH floods candidates with just-below-threshold lookalikes; the
-    // prune runs against a bare (id, count) frame so the candidate
-    // joins shuffle two longs per pair — the full shingle arrays join
-    // only the survivors for the intersect/union verify.
-    val sizes = sets.select(col("doc_id"), size(col("ss")).as("sz"))
+    // The prune runs against a bare (id, count) frame so the candidate
+    // joins shuffle two longs per pair — the hash arrays join only the
+    // survivors for the intersect/union verify.
+    val sizes = hsets.select(col("doc_id"), size(col("hs")).as("sz"))
     val pruned = cands
       .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
@@ -240,11 +254,11 @@ object Dedup {
         lit(threshold) * greatest(col("sz1"), col("sz2")).cast("double"))
       .select(col("id1"), col("id2"))
     pruned
-      .join(sets.select(col("doc_id").as("id1"), col("ss").as("ss1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("ss").as("ss2")), "id2")
+      .join(hsets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("jaccard",
-        size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
-          size(array_union(col("ss1"), col("ss2"))).cast("double"))
+        size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2"))).cast("double"))
       .select(col("id1"), col("id2"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
@@ -358,11 +372,18 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val sets = shingled(df, id, text, shingleK)
-      .filter(size(col("ss")) > 0) // zero-shingle docs contain nothing
+    // the whole pipeline — prefix order, candidate join keys, verify
+    // sets — runs on 8-BYTE SHINGLE HASHES ([[minhashPairs]]' verify
+    // discipline): join keys shuffle as longs, verify arrays carry
+    // ~8 B/shingle, and the oracle hashes identically so even a md5
+    // collision (~|vocab|²/2⁶¹) leaves both engines agreeing
+    val hsets = shingled(df, id, text, shingleK)
+      .select(col("doc_id"),
+        array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+      .filter(size(col("hs")) > 0) // zero-shingle docs contain nothing
       .localCheckpoint() // feeds the token stream and both verify joins
-    val toks = sets.select(col("doc_id"), size(col("ss")).as("sz"),
-      explode(col("ss")).as("sh"))
+    val toks = hsets.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("sh"))
     val freq = toks.groupBy(col("sh")).agg(count(lit(1)).as("c"))
     val pre = toks.join(freq, Seq("sh"))
       .groupBy(col("doc_id"), col("sz"))
@@ -381,11 +402,11 @@ object Dedup {
       .select(col("l.doc_id").as("id_in"), col("r.doc_id").as("id_out"))
       .distinct()
     cands
-      .join(sets.select(col("doc_id").as("id_in"), col("ss").as("ss1")), "id_in")
-      .join(sets.select(col("doc_id").as("id_out"), col("ss").as("ss2")), "id_out")
+      .join(hsets.select(col("doc_id").as("id_in"), col("hs").as("hs1")), "id_in")
+      .join(hsets.select(col("doc_id").as("id_out"), col("hs").as("hs2")), "id_out")
       .withColumn("containment",
-        size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
-          size(col("ss1")).cast("double"))
+        size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(col("hs1")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id_in"), col("id_out"), col("containment"))
   }

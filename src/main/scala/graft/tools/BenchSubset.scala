@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scale-probe bench: time a comma-separated subset of the
+ * [[graft.SparkEntry.queries]] registry against an arbitrary SF
+ * directory (ScaleGen output included) — the tool behind the
+ * BASELINE.md 10×/100× scaling tables, where running the full
+ * headline set would take too long per data point.
+ *
+ * Usage: `runMain graft.tools.BenchSubset <sfDir> <name1,name2,...>`
+ * Prints one `BENCHSUBSET <name> <best-of-3 sec>` line per query
+ * (warmup pass on sf0.001 charges codegen to the warmup, mirroring
+ * [[graft.Bench]]).
+ */
+object BenchSubset {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, namesCsv) = args.take(2)
+    val names = namesCsv.split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      System.gc()
+      val times = (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[benchsubset] $name failed: ${e.getMessage}")
+          None
+        }
+      }
+      println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f")
+    }
+    spark.stop()
+  }
+}

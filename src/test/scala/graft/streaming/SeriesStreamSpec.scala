@@ -262,6 +262,34 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count-min sketch aggregates a stream with depth×width-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusStats
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    // the CMS groupBy is the rare GLOBAL streaming aggregate that is
+    // safe without a watermark: its state is depth·width cells no
+    // matter how unbounded the stream's vocabulary is
+    val q = CorpusStats.countMinSketch(mem.toDF().toDF("w"), col("w"),
+        width = 8, depth = 2)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a", "a", "b")
+      q.processAllAvailable()
+      mem.addData("a", "c")
+      q.processAllAvailable()
+      val cells = spark.table("cms").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // the streamed cell table equals the batch sketch of all 5 rows
+      val batch = CorpusStats.countMinSketch(
+          Seq("a", "a", "b", "a", "c").toDF("w"), col("w"),
+          width = 8, depth = 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(cells == batch)
+    } finally q.stop()
+  }
+
   test("a batch-trained NB classifier routes a stream as a pure projection") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.CorpusStats
