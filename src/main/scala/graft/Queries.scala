@@ -1316,6 +1316,29 @@ object Queries {
             AS n_seqs
         FROM c ORDER BY doc_id""")),
 
+    // length-bucketed batch construction: 200-char bands, 8-row
+    // batches in portable hash order; every doc learns batch, slot,
+    // the batch's padded length and its own padding waste
+    "pack_batches" -> Entry(
+      (s, dir) => graft.operators.Packing.lengthBucketedBatches(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+          bucketWidth = 200L, batchSize = 8)
+        .select(col("doc_id"), col("length"), col("band"), col("batch"),
+          col("pos"), col("padded_to"), col("waste"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, n_chars::BIGINT AS len,
+            (n_chars // 200)::BIGINT AS band,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents),
+        r AS (SELECT *, (row_number() OVER (PARTITION BY band
+            ORDER BY h, doc_id) - 1)::BIGINT AS rank FROM h),
+        b AS (SELECT doc_id, len, band, (rank // 8)::BIGINT AS batch,
+            (rank % 8)::BIGINT AS pos FROM r),
+        p AS (SELECT band, batch, max(len) AS padded FROM b GROUP BY 1, 2)
+        SELECT doc_id, len AS length, band, batch, pos,
+          padded AS padded_to, (padded - len)::BIGINT AS waste
+        FROM b JOIN p USING (band, batch) ORDER BY doc_id""")),
+
     // mixture planning: target shares → per-source budgets clamped to
     // supply, shortfall reported (src1 is asked for more than it has)
     "sample_mixture_budgets" -> Entry(
@@ -1464,6 +1487,29 @@ object Queries {
         SELECT doc_id,
           sum(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // LSH recall audit: exact all-pairs ground truth on a 50%
+    // deterministic sample vs what the banded pipeline finds on the
+    // same sample — the measured recall number banding tuning needs
+    "dedup_lsh_audit" -> Entry(
+      (s, dir) => Dedup.lshRecallAudit(t(s, dir, "documents"),
+          col("doc_id"), col("text"), threshold = 0.8, rate = 0.5),
+      Some(s"""WITH ${minhashPairsCte(0.8, docsWhere =
+            "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT" +
+            " / 1152921504606846976.0) < 0.5")},
+          truth AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM hsets a JOIN hsets b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.hs, b.hs))::DOUBLE /
+              len(list_distinct(list_concat(a.hs, b.hs))) >= 0.8),
+          tp AS (SELECT t.id1, t.id2,
+              CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END AS f
+            FROM truth t LEFT JOIN pairs p
+              ON p.id1 = t.id1 AND p.id2 = t.id2)
+        SELECT count(*)::BIGINT AS true_pairs, sum(f)::BIGINT AS found_pairs,
+          (count(*) - sum(f))::BIGINT AS missed_pairs,
+          CASE WHEN count(*) > 0
+            THEN ((sum(f) * 1000000) // count(*))::BIGINT END AS recall_micro
+        FROM tp""")),
 
     // asymmetric containment pairs: |A∩B|/|A| ≥ 0.85 — the "doc inside
     // a bigger doc" relation Jaccard-calibrated LSH misses. The oracle
@@ -2761,7 +2807,8 @@ object Queries {
    * DuckDB mirror of [[Dedup.minhashPairs]]. */
   private def minhashPairsCte(threshold: Double, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3,
-      candPred: String = "l.doc_id < r.doc_id"): String = {
+      candPred: String = "l.doc_id < r.doc_id",
+      docsWhere: String = "TRUE"): String = {
     require(n % bands == 0)
     val p = Dedup.MinhashP
     val rows = n / bands
@@ -2773,7 +2820,8 @@ object Queries {
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
     val shingle = (0 until shingleK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE $docsWhere),
       sets AS (SELECT doc_id, list_distinct(list_transform(
           range(1, len(w) - ${shingleK - 2}), i -> $shingle)) AS ss
         FROM w WHERE len(w) >= $shingleK),

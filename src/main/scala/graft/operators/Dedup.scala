@@ -336,6 +336,55 @@ object Dedup {
   }
 
   /**
+   * LSH recall audit — measure the banding's recall instead of
+   * trusting the collision formula: on a deterministic `rate` sample
+   * of the corpus, compute the EXACT all-pairs Jaccard ground truth
+   * and compare against what [[minhashPairs]] (same n/bands/threshold)
+   * finds on the same sample. One summary row: true pairs, found
+   * pairs, missed pairs, and `recall_micro = ⌊found·10⁶/true⌋`
+   * (integer division — engine-portable). Precision needs no audit:
+   * the verify stage is exact, so every emitted pair is true by
+   * construction.
+   *
+   * The audit's budget knob is `rate`: ground truth is O((rate·N)²)
+   * pairs of 8-byte hash arrays — size the sample so that square fits
+   * (10⁴ docs → 5·10⁷ cheap comparisons). This is the "measure, don't
+   * guess" counterpart to tuning `bands` from the `(1/b)^(1/r)`
+   * S-curve alone: run it per-corpus after any threshold or banding
+   * change, and whenever the duplicate structure shifts (the 100×
+   * replica-clique probe in BASELINE.md is exactly the shape that
+   * invalidates a formula-only estimate).
+   */
+  def lshRecallAudit(df: DataFrame, id: Column, text: Column,
+      threshold: Double, rate: Double, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    val sample = df.filter(Sampling.fraction(id) < lit(rate))
+    val hsets = shingled(sample, id, text, shingleK)
+      .select(col("doc_id"),
+        array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint() // both sides of the all-pairs truth join
+    val truth = hsets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
+      .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")),
+        col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"))
+    val found = minhashPairs(sample, id, text, threshold, n, bands, shingleK)
+      .select(col("id1"), col("id2"), lit(1L).as("__f"))
+    truth.join(found, Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("true_pairs"),
+        sum(coalesce(col("__f"), lit(0L))).as("found_pairs"))
+      .withColumn("missed_pairs", col("true_pairs") - col("found_pairs"))
+      .withColumn("recall_micro", when(col("true_pairs") > 0,
+        graft.functions.ldiv(col("found_pairs") * lit(1000000L),
+          col("true_pairs"))))
+  }
+
+  /**
    * Asymmetric CONTAINMENT near-dup pairs: `C(A→B) = |A∩B| / |A| ≥ t`
    * over shingle sets — the "doc A is (mostly) inside doc B" relation
    * that symmetric Jaccard misses by construction: a quote page or

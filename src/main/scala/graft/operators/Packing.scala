@@ -63,4 +63,59 @@ object Packing {
           col("start_seq") + 1))
       .drop("_h", "_w", "_bkt", "_bbefore", "_cum")
   }
+
+  /**
+   * Length-bucketed batch construction — the padding-minimizing
+   * alternative to [[packSequences]]' concatenation for training
+   * setups that pad rather than pack (fine-tuning, contrastive,
+   * reranker training): rows land in a length BAND
+   * (`length div bucketWidth`), each band is laid out in the portable
+   * (hash60(id), id) order and cut into `batchSize`-row batches, and
+   * every row learns its batch, its position, the batch's padded
+   * length (the max length in it) and its own padding waste. Batching
+   * near-equal lengths bounds waste by `bucketWidth − 1` per row for
+   * every full batch (the final partial batch of a band is the only
+   * one that can pad worse).
+   *
+   * Deterministic like everything in this family: batch membership
+   * and order are a pure function of ids — stable across runs,
+   * engines, and partitionings, so a dataloader can seek batch
+   * (band, b) reproducibly.
+   *
+   * Scale shape: the within-band rank uses the same 4096-bucket
+   * prefix construction as [[packSequences]] (bucket COUNTS shuffle,
+   * ≤4096·#bands tiny rows broadcast back; the exact rank windows
+   * only ~1/4096 of a band per partition), and the padded-length
+   * window partitions by (band, batch) — at most `batchSize` rows
+   * per partition by construction.
+   */
+  def lengthBucketedBatches(df: DataFrame, id: Column, length: Column,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be > 0")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val base = df
+      .withColumn("_h", graft.functions.Hash60Expr.hash60(id.cast("string")))
+      .withColumn("length", length.cast("long"))
+      .withColumn("band", ldiv(col("length"), bucketWidth))
+      .withColumn("_bkt", shiftright(col("_h"), 48))
+    val bucketPrefix = base.groupBy(col("band"), col("_bkt"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_bbefore", coalesce(
+        sum(col("_bc")).over(Window.partitionBy(col("band"))
+          .orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("_bkt"), col("_bbefore"))
+    val inBucket = Window.partitionBy(col("band"), col("_bkt"))
+      .orderBy(col("_h"), id).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = base
+      .join(broadcast(bucketPrefix), Seq("band", "_bkt"))
+      .withColumn("_rank", col("_bbefore") + count(lit(1)).over(inBucket))
+      .withColumn("batch", ldiv(col("_rank"), batchSize.toLong))
+      .withColumn("pos", col("_rank") - col("batch") * batchSize)
+    ranked
+      .withColumn("padded_to", max(col("length")).over(
+        Window.partitionBy(col("band"), col("batch"))))
+      .withColumn("waste", col("padded_to") - col("length"))
+      .drop("_h", "_bkt", "_bbefore", "_rank")
+  }
 }

@@ -160,6 +160,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L)), got.toString)
   }
 
+  test("lshRecallAudit: exact truth vs banded pipeline, full recall on dups") {
+    val d = (0L to 39L).map(i => (i, if (i % 10 == 0)
+        "the quick brown fox jumps over the lazy dog again and again"
+      else s"unique document body number $i with its own distinct words $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshRecallAudit(d, col("doc_id"), col("text"),
+        threshold = 0.9, rate = 1.0).head()
+    // the 4 identical docs form C(4,2)=6 exact pairs; J=1.0 pairs
+    // share every band, so the banding finds all of them
+    assert(out.getLong(0) == 6L, out.toString)   // true_pairs
+    assert(out.getLong(1) == 6L)                 // found_pairs
+    assert(out.getLong(2) == 0L)                 // missed_pairs
+    assert(out.getLong(3) == 1000000L)           // recall_micro
+  }
+
   test("simhash: identical fingerprints for dups, close for near dups") {
     val fp = Dedup.simhashes(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -42,4 +42,37 @@ class PackingSpec extends SparkSpec {
     val maxEnd = packed.values.map { case (_, s, _, n) => s + math.max(n, 1) }.max
     assert(maxEnd == lastNeeded)
   }
+
+  test("length-bucketed batches: band purity, slot layout, padding math") {
+    val rows = (1L to 50L).map(i => (i, (i * 37) % 500))
+      .toDF("doc_id", "len")
+    val out = Packing.lengthBucketedBatches(rows, $"doc_id", $"len",
+        bucketWidth = 100L, batchSize = 4)
+      .select($"doc_id", $"length", $"band", $"batch", $"pos",
+        $"padded_to", $"waste")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 50)
+    out.foreach { case (_, len, band, _, pos, padded, waste) =>
+      assert(band == len / 100)          // band is the length bucket
+      assert(pos >= 0 && pos < 4)        // slot within batch
+      assert(padded >= len && waste == padded - len)
+    }
+    // batches are ≤ 4 rows, slots are exactly 0..n-1, padded = max len
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, b) =>
+      assert(b.length <= 4)
+      assert(b.map(_._5).sorted.toSeq == (0L until b.length).toSeq)
+      assert(b.map(_._6).distinct.length == 1)
+      assert(b.head._6 == b.map(_._2).max)
+    }
+    // full batches never pad more than bucketWidth − 1
+    out.groupBy(r => (r._3, r._4)).filter(_._2.length == 4)
+      .foreach { case (_, b) => b.foreach(r => assert(r._7 < 100)) }
+    // deterministic: a re-run reproduces the identical layout
+    val again = Packing.lengthBucketedBatches(rows, $"doc_id", $"len",
+        bucketWidth = 100L, batchSize = 4)
+      .select($"doc_id", $"length", $"band", $"batch", $"pos",
+        $"padded_to", $"waste")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
