@@ -1505,8 +1505,9 @@ object Queries {
               CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END AS f
             FROM truth t LEFT JOIN pairs p
               ON p.id1 = t.id1 AND p.id2 = t.id2)
-        SELECT count(*)::BIGINT AS true_pairs, sum(f)::BIGINT AS found_pairs,
-          (count(*) - sum(f))::BIGINT AS missed_pairs,
+        SELECT count(*)::BIGINT AS true_pairs,
+          coalesce(sum(f), 0)::BIGINT AS found_pairs,
+          (count(*) - coalesce(sum(f), 0))::BIGINT AS missed_pairs,
           CASE WHEN count(*) > 0
             THEN ((sum(f) * 1000000) // count(*))::BIGINT END AS recall_micro
         FROM tp""")),

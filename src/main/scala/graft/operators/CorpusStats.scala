@@ -888,8 +888,17 @@ object CorpusStats {
 
   /** Point-frequency estimates off a [[countMinSketch]]: for each
    * queried value, `min` over the depth rows of its bucket's count.
-   * The probe is a `depth`-way explode joined once against the
-   * (depth·width)-bounded sketch — broadcastable, no corpus access. */
+   * The probe is a `depth`-way explode LEFT-joined once against the
+   * (depth·width)-bounded sketch — broadcastable, no corpus access.
+   * The sketch is SPARSE (zero cells are unmaterialized), so an
+   * unmatched probe coalesces to 0: a value with any empty cell
+   * estimates 0 (the canonical CMS answer for never-seen values) and
+   * always emits a row — an inner join would silently drop it or
+   * over-estimate from its non-empty cells only.
+   *
+   * `width`/`depth` MUST match the sketch's build parameters — a
+   * mismatch probes the wrong cells and can UNDERCOUNT, voiding the
+   * one-sided guarantee. [[countMin]] carries them for you. */
   def countMinEstimate(sketch: DataFrame, queries: DataFrame, value: Column,
       width: Int = 1024, depth: Int = 4): DataFrame = {
     require(width >= 2 && depth >= 1, "need width >= 2, depth >= 1")
@@ -899,10 +908,23 @@ object CorpusStats {
           pmod(TextOps.hash60(concat(lit(s"cms$r:"), col("v").cast("string"))),
             lit(width.toLong)).cast("int").as("bucket"))): _*)).as("rb"))
       .join(broadcast(sketch),
-        col("rb.row") === sketch("row") && col("rb.bucket") === sketch("bucket"))
+        col("rb.row") === sketch("row") && col("rb.bucket") === sketch("bucket"),
+        "left")
       .groupBy(col("v"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  /** A built sketch WITH its parameters — use this pairing so probe
+   * hashing can never drift from build hashing (see
+   * [[countMinEstimate]]'s parameter-mismatch trap). */
+  final case class CountMin(cells: DataFrame, width: Int, depth: Int) {
+    def estimate(queries: DataFrame, value: Column): DataFrame =
+      countMinEstimate(cells, queries, value, width, depth)
+  }
+
+  def countMin(df: DataFrame, value: Column, width: Int = 1024,
+      depth: Int = 4): CountMin =
+    CountMin(countMinSketch(df, value, width, depth), width, depth)
 
   /**
    * Tokenizer fertility per group: how many subword-ish tokens the

@@ -142,6 +142,18 @@ object Dedup {
     spread(df.select(id.as("doc_id"), text.as("__text")))
       .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
 
+  /** `ss` (shingle strings) → distinct 8-byte `hs` hash sets — the ONE
+   * definition of the hashing discipline every verify shares (minhash,
+   * containment, the recall audit, and their oracles' mirrored
+   * `hsets` CTE). Set arithmetic over distinct md5-60 hashes equals
+   * string-set arithmetic unless two corpus shingles collide
+   * (~|vocab|²/2⁶¹ — and the oracle hashes identically, so even then
+   * both engines agree); what it buys is a verify shuffle that
+   * carries ~8 B per shingle instead of the strings. */
+  private def hashedSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+
   private def sigsOf(docs: DataFrame, n: Int): DataFrame =
     docs.filter(size(col("ss")) > 0)
       .select(col("doc_id"),
@@ -225,22 +237,24 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
     val sets = shingled(df, id, text, shingleK).localCheckpoint()
-    val cands = lshCandidates(sigsOf(sets, n), bands, n)
-    // The verify runs on 8-BYTE SHINGLE HASHES, not the shingle
-    // strings ([[sharedSubstrings]]' trick): set arithmetic over
-    // distinct md5-60 hashes is identical to string-set arithmetic
-    // unless two of the corpus's shingles collide (~|vocab|²/2⁶¹ —
-    // and the oracle hashes identically, so even then both engines
-    // agree). What it buys at scale: LSH floods candidates with
-    // just-below-threshold lookalikes (a near-dup CLIQUE — replica
-    // families, template spam — collides in nearly every band), and
-    // the verify join then shuffles each doc's set once per candidate
-    // pair: ~8 bytes/shingle instead of the full strings is the
-    // difference between a verify stage that fits in the shuffle and
-    // one that spills.
-    val hsets = sets.select(col("doc_id"),
-        array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+    // the verify runs on [[hashedSets]] hashes, not shingle strings:
+    // LSH floods candidates with just-below-threshold lookalikes (a
+    // near-dup CLIQUE — replica families, template spam — collides in
+    // nearly every band), and the verify join shuffles each doc's set
+    // once per candidate pair — ~8 B/shingle instead of the strings is
+    // the difference between a verify that fits the shuffle and one
+    // that spills (the BASELINE.md 100× probe: 159 s → 32 s)
+    val hsets = hashedSets(sets)
       .localCheckpoint() // consumed 3×: sizes + both verify sides
+    minhashVerify(lshCandidates(sigsOf(sets, n), bands, n), hsets, threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Shared size-prune + exact-Jaccard verify over candidate (id1,
+   * id2) pairs and a [[hashedSets]] frame (see [[minhashPairs]]);
+   * emits unordered output — callers sort if they need to. */
+  private def minhashVerify(cands: DataFrame, hsets: DataFrame,
+      threshold: Double): DataFrame = {
     // Length-ratio prefilter (an exact bound, not an approximation):
     // J(A,B) ≤ min|·|/max|·|, so J ≥ t needs shingle-count ratio ≥ t.
     // The prune runs against a bare (id, count) frame so the candidate
@@ -261,7 +275,6 @@ object Dedup {
           size(array_union(col("hs1"), col("hs2"))).cast("double"))
       .select(col("id1"), col("id2"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
   }
 
   /**
@@ -360,11 +373,12 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
     val sample = df.filter(Sampling.fraction(id) < lit(rate))
-    val hsets = shingled(sample, id, text, shingleK)
-      .select(col("doc_id"),
-        array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+    // ONE shingled/hashed build feeds truth AND the banded pipeline —
+    // calling minhashPairs here would shingle the sample a second time
+    val sets = shingled(sample, id, text, shingleK).localCheckpoint()
+    val hsets = hashedSets(sets)
       .filter(size(col("hs")) > 0)
-      .localCheckpoint() // both sides of the all-pairs truth join
+      .localCheckpoint() // truth join (both sides) + the banded verify
     val truth = hsets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
       .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")),
         col("id1") < col("id2"))
@@ -373,11 +387,14 @@ object Dedup {
           size(array_union(col("hs1"), col("hs2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"))
-    val found = minhashPairs(sample, id, text, threshold, n, bands, shingleK)
+    val found = minhashVerify(
+        lshCandidates(sigsOf(sets, n), bands, n), hsets, threshold)
       .select(col("id1"), col("id2"), lit(1L).as("__f"))
+    // coalesce AFTER the aggregate too: over an empty truth frame,
+    // sum() is NULL — the meaningful zero-dup answer is (0, 0, 0, null)
     truth.join(found, Seq("id1", "id2"), "left")
       .agg(count(lit(1)).as("true_pairs"),
-        sum(coalesce(col("__f"), lit(0L))).as("found_pairs"))
+        coalesce(sum(coalesce(col("__f"), lit(0L))), lit(0L)).as("found_pairs"))
       .withColumn("missed_pairs", col("true_pairs") - col("found_pairs"))
       .withColumn("recall_micro", when(col("true_pairs") > 0,
         graft.functions.ldiv(col("found_pairs") * lit(1000000L),
@@ -422,13 +439,9 @@ object Dedup {
       threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // the whole pipeline — prefix order, candidate join keys, verify
-    // sets — runs on 8-BYTE SHINGLE HASHES ([[minhashPairs]]' verify
-    // discipline): join keys shuffle as longs, verify arrays carry
-    // ~8 B/shingle, and the oracle hashes identically so even a md5
-    // collision (~|vocab|²/2⁶¹) leaves both engines agreeing
-    val hsets = shingled(df, id, text, shingleK)
-      .select(col("doc_id"),
-        array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
+    // sets — runs on [[hashedSets]] hashes: join keys shuffle as
+    // longs, verify arrays carry ~8 B/shingle
+    val hsets = hashedSets(shingled(df, id, text, shingleK))
       .filter(size(col("hs")) > 0) // zero-shingle docs contain nothing
       .localCheckpoint() // feeds the token stream and both verify joins
     val toks = hsets.select(col("doc_id"), size(col("hs")).as("sz"),

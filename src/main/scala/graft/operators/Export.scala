@@ -42,12 +42,6 @@ object Export {
   }
 
   /**
-   * The physical write path: one task per shard, rows pre-sorted in
-   * the deterministic (hash, id) order — no driver involvement, no
-   * global sort. Returns the writer so callers pick format/path:
-   * `Export.writeShards(df, $"doc_id", 1024).parquet(out)`.
-   */
-  /**
    * Per-shard export manifest: the checksum/accounting sidecar a
    * released dataset ships next to its shards — doc counts, token and
    * byte volumes, and an order-free content checksum per shard, so a
@@ -80,6 +74,12 @@ object Export {
           .cast("long").as("checksum"))
   }
 
+  /**
+   * The physical write path: one task per shard, rows pre-sorted in
+   * the deterministic (hash, id) order — no driver involvement, no
+   * global sort. Returns the writer so callers pick format/path:
+   * `Export.writeShards(df, $"doc_id", 1024).parquet(out)`.
+   */
   def writeShards(df: DataFrame, id: Column, n: Int): DataFrameWriter[Row] = {
     require(n >= 1, "need at least one shard")
     val h = graft.functions.Hash60Expr.hash60(id.cast("string"))

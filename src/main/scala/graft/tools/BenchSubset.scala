@@ -16,8 +16,15 @@ import org.apache.spark.sql.SparkSession
  */
 object BenchSubset {
   def main(args: Array[String]): Unit = {
-    val Array(dir, namesCsv) = args.take(2)
-    val names = namesCsv.split(",").toSeq
+    if (args.length < 2) {
+      System.err.println(
+        "usage: BenchSubset <sfDir> <name1,name2,...>  (names from SparkEntry.queries)")
+      sys.exit(2)
+    }
+    val dir = args(0)
+    val (names, unknown) = args(1).split(",").toSeq
+      .partition(graft.SparkEntry.queries.contains)
+    unknown.foreach(n => System.err.println(s"[benchsubset] unknown query: $n"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,20 +35,32 @@ object BenchSubset {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup on the smallest available SF, derived like graft.Bench:
+    // the codegen cost (2-5× steady-state) must bill the warmup pass,
+    // and a hardcoded path would silently skip warmup on other roots
+    val warmDir = {
+      val tiny = new java.io.File("/root/testdata/sf0.001")
+      if (tiny.isDirectory) tiny.toString else dir
+    }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
       System.gc()
+      var threw = false
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[benchsubset] $name failed: ${e.getMessage}")
+          threw = true
           None
         }
       }
-      println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f")
+      // a query that threw on ANY run is flagged on the result line —
+      // min-of-times alone would read an intermittent crash as healthy
+      val flag = if (threw) " FAILED" else ""
+      println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f$flag")
     }
     spark.stop()
   }

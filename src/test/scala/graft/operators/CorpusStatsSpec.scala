@@ -444,6 +444,13 @@ class CorpusStatsSpec extends SparkSpec {
     val merged = (a.keySet ++ b.keySet)
       .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == cells)
+    // a NEVER-SEEN query value still emits a row, and with an empty
+    // cell its estimate is the canonical 0 — never a silent drop or
+    // an inflation from only its non-empty cells
+    val cm = CorpusStats.countMin(toks(docs), $"w", width = 512, depth = 3)
+    val zs = cm.estimate(Seq("zzz-unseen").toDF("w"), $"w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zs == Map("zzz-unseen" -> 0L), zs.toString)
   }
 
   test("fertility: hand-computed token ratios per source") {
