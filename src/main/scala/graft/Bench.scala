@@ -46,7 +46,8 @@ object Bench {
       "export_kanon", "embed_decontaminate", "text_importance",
       "text_classify_nb", "docs_rrf_fusion", "text_postings",
       "corpus_class_terms", "corpus_fertility", "sample_importance_topk",
-      "dedup_containment", "export_manifest", "corpus_cms", "pack_batches")
+      "dedup_containment", "export_manifest", "corpus_cms", "pack_batches",
+      "sample_upsample")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -1339,6 +1339,29 @@ object Queries {
           padded AS padded_to, (padded - len)::BIGINT AS waste
         FROM b JOIN p USING (band, batch) ORDER BY doc_id""")),
 
+    // deterministic fractional upsampling: src0 repeats ~2.5×, src1
+    // subsamples to 0.3 with the SAME md5 coordinate uniform() uses,
+    // the rest pass through once — the >1-epoch side of mixture
+    // training as a pure scan projection + bounded explode
+    "sample_upsample" -> Entry(
+      (s, dir) => graft.operators.Sampling.repeatWeighted(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"),
+          when(col("source") === "src0", 2.5)
+            .when(col("source") === "src1", 0.3).otherwise(1.0))
+        .orderBy(col("doc_id"), col("epoch")),
+      Some("""WITH r AS (SELECT doc_id, source,
+            CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.3
+              ELSE 1.0 END AS rate,
+            (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0) AS fr
+          FROM documents),
+        n AS (SELECT doc_id, source, (floor(rate)::BIGINT +
+            CASE WHEN fr < rate - floor(rate) THEN 1 ELSE 0 END) AS n
+          FROM r)
+        SELECT doc_id, source, unnest(range(0, n)) AS epoch
+        FROM n WHERE n > 0 ORDER BY doc_id, epoch""")),
+
     // mixture planning: target shares → per-source budgets clamped to
     // supply, shortfall reported (src1 is asked for more than it has)
     "sample_mixture_budgets" -> Entry(

@@ -100,6 +100,32 @@ object Sampling {
   }
 
   /**
+   * Deterministic fractional UPSAMPLING — rates above 1 (the ">1
+   * epoch" side of mixture training, where a small high-quality
+   * source repeats while web bulk subsamples): each row emits
+   * `⌊rate⌋ + (fraction(id) < rate − ⌊rate⌋ ? 1 : 0)` copies, tagged
+   * `epoch = 0..n−1` so downstream shuffling/sharding can spread the
+   * copies (feed `concat(id, '#', epoch)` as the export/packing key).
+   * Rates below 1 degenerate to [[uniform]] exactly (same coordinate,
+   * same kept set — a mixture plan can move a source across 1.0
+   * without re-shuffling which rows it keeps). The expected copy
+   * count is exactly `rate`; determinism means re-runs and engines
+   * agree on WHICH rows got the extra copy.
+   *
+   * Scale shape: a pure scan projection + bounded explode (`⌈rate⌉`
+   * elements) — no shuffle, no state.
+   */
+  def repeatWeighted(df: DataFrame, id: Column, rate: Column): DataFrame = {
+    val r = rate.cast("double")
+    val copies = (floor(r).cast("long") +
+      when(fraction(id) < r - floor(r), 1L).otherwise(0L)).as("__n")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
+  /**
    * Per-group document cap (per-domain / per-source caps of web
    * pipelines): keep at most `caps(group)` rows per group — the
    * deterministic hash-ordered first N, so re-runs and engines agree

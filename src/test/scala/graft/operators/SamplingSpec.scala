@@ -183,4 +183,23 @@ class SamplingSpec extends SparkSpec {
       Seq.empty[(String, Long)].toDF("src", "w"), col("src"), col("w"), 100L)
     assert(empty.count() == 0)
   }
+
+  test("repeatWeighted: copy counts, epoch tags, sub-1 nests with uniform") {
+    val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = Sampling.repeatWeighted(docs, col("doc_id"), lit(2.5))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"),
+        sort_array(collect_list($"epoch")).as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    // every doc gets 2 or 3 copies; the mean lands near 2.5
+    assert(out.forall { case (_, n, es) =>
+      (n == 2L || n == 3L) && es == (0L until n) })
+    val mean = out.map(_._2).sum.toDouble / out.length
+    assert(mean > 2.3 && mean < 2.7, s"mean $mean")
+    // rate < 1 degenerates to uniform(): identical kept set, epoch 0
+    val sub = Sampling.repeatWeighted(docs, col("doc_id"), lit(0.3))
+    val uni = Sampling.uniform(docs, col("doc_id"), 0.3)
+    assert(sub.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      uni.select($"doc_id").as[Long].collect().sorted.toSeq)
+    assert(sub.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
 }
