@@ -320,9 +320,13 @@ object Queries {
 
     // seasonal (hour-of-day) decomposition of the per-event-type
     // hourly count series, then z-flags on the DESEASONALIZED
-    // residual — the seasonality-aware upgrade of events_anomaly
-    // (same DECIMAL-sum portability; residuals are identical doubles
-    // in both engines before any sum)
+    // residual — the seasonality-aware upgrade of events_anomaly.
+    // Residuals are NON-integral doubles, so the z-stats use the
+    // integer micro-unit discipline (quantizeMicro — see
+    // SeriesStats.anomaly): vi = round(resid·1e6) BIGINT, exact
+    // integer Σvi/Σvi², scalar double math only at the end. The
+    // naive DECIMAL(38,12) cast of a derived double is
+    // engine-private at the 12th decimal and flipped one 6-dp z tie.
     "events_seasonal" -> Entry(
       (s, dir) => SeriesStats.anomaly(
           SeriesStats.seasonal(
@@ -332,7 +336,8 @@ object Queries {
               .agg(count(lit(1)).cast("double").as("n")),
             col("n"), groupMs = 3600000L, period = 24,
             partitionBy = Seq("event_type")),
-          col("residual"), threshold = 2.0, partitionBy = Seq("event_type"))
+          col("residual"), threshold = 2.0, partitionBy = Seq("event_type"),
+          quantizeMicro = true)
         .withColumn("seasonal_mean", round(col("seasonal_mean"), 6))
         .withColumn("residual", round(col("residual"), 6))
         .orderBy("event_type", "bucket_ms"),
@@ -346,16 +351,19 @@ object Queries {
             CAST(sum(CAST(n AS DECIMAL(38,12))) AS DOUBLE) / count(n) AS smv
           FROM p GROUP BY 1, 2),
         r AS (SELECT p.event_type, bucket_ms, n, phase, smv,
-            n - smv AS resid
+            n - smv AS resid,
+            round((n - smv) * 1000000.0)::BIGINT AS vi
           FROM p JOIN sm USING (event_type, phase)),
         st AS (SELECT event_type,
-            CAST(sum(CAST(resid AS DECIMAL(38,12))) AS DOUBLE) AS s,
-            CAST(sum(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE) AS ss,
-            count(resid) AS cnt
+            sum(vi::HUGEINT) AS s,
+            sum(vi::HUGEINT * vi::HUGEINT) AS ss,
+            count(vi) AS cnt
           FROM r GROUP BY 1),
         zt AS (SELECT r.event_type, bucket_ms, n, phase, smv, resid,
-            round(CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
-              THEN (resid - s / cnt) / sqrt(ss / cnt - (s / cnt) * (s / cnt))
+            round(CASE WHEN ss::DOUBLE / cnt
+                - (s::DOUBLE / cnt) * (s::DOUBLE / cnt) > 0
+              THEN (vi::DOUBLE - s::DOUBLE / cnt)
+                / sqrt(ss::DOUBLE / cnt - (s::DOUBLE / cnt) * (s::DOUBLE / cnt))
               END, 6) AS z
           FROM r JOIN st USING (event_type))
         SELECT event_type, bucket_ms, n, phase,
@@ -1850,7 +1858,7 @@ object Queries {
         UNION ALL
         SELECT vec_id, NULL::BIGINT AS eval_id, NULL::DOUBLE AS max_sim,
           false AS contaminated
-        FROM c WHERE NOT (vn > 0)
+        FROM c WHERE vn IS NULL OR NOT (vn > 0)
         ORDER BY vec_id""")),
 
     // symmetric int8 quantization: identical double arithmetic +
@@ -2105,8 +2113,8 @@ object Queries {
         SELECT d.doc_id, d.lang AS label, b.cls AS pred, b.s AS nll_micro,
           (r2.s - b.s)::BIGINT AS margin_micro, d.lang = b.cls AS correct
         FROM documents d
-        JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
-        JOIN rk r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
+        LEFT JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
+        LEFT JOIN rk r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
         ORDER BY d.doc_id""")),
 
     // the NB classifier's confusion matrix: per (true label, predicted)
@@ -2123,7 +2131,7 @@ object Queries {
       Some(s"""WITH ${nbScoreCte(64)}
         SELECT d.lang AS label, b.cls AS pred, count(*)::BIGINT AS n_docs
         FROM documents d
-        JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
+        LEFT JOIN rk b ON b.doc_id = d.doc_id AND b.rn = 1
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // reciprocal-rank fusion of two discrete ranking signals into one
@@ -2214,8 +2222,8 @@ object Queries {
               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE /
             sum(len(string_split(text, ' ')))::DOUBLE, 6) AS fertility,
           round(sum(length(text))::DOUBLE /
-            sum(len(regexp_extract_all(text,
-              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE, 6)
+            NULLIF(sum(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE, 0.0), 6)
             AS chars_per_token
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
@@ -3120,7 +3128,9 @@ object Queries {
   /** Label-outlier mining in DuckDB, mirroring
    * [[graft.operators.Embeddings.labelOutliers]]: kmeansOracle's
    * DECIMAL centroid means, own-label d2 expansion, per-label
-   * DECIMAL-sum z (the events_anomaly stat construction). */
+   * micro-unit z — d2 is a derived non-integral double, so both
+   * engines quantize it to round(d2·1e6) BIGINT and derive the z
+   * from exact integer sums (the events_seasonal discipline). */
   private def labelOutliersOracle(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
@@ -3136,16 +3146,19 @@ object Queries {
           ${dotSql.format("v", "v")} - 2.0 * ${dotSql.format("v", "cv")} +
             ${dotSql.format("cv", "cv")} AS d2
         FROM e JOIN cent ON e.label = cent.lbl),
+      vq AS (SELECT *, round(d2 * 1000000.0)::BIGINT AS vi FROM sc),
       st AS (SELECT label,
-          CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS s,
-          CAST(sum(CAST(d2 * d2 AS DECIMAL(38,12))) AS DOUBLE) AS ss,
-          count(d2) AS cnt
-        FROM sc GROUP BY 1),
-      zt AS (SELECT vec_id, sc.label, d2,
-          round(CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
-            THEN (d2 - s / cnt) / sqrt(ss / cnt - (s / cnt) * (s / cnt))
+          sum(vi::HUGEINT) AS s,
+          sum(vi::HUGEINT * vi::HUGEINT) AS ss,
+          count(vi) AS cnt
+        FROM vq GROUP BY 1),
+      zt AS (SELECT vec_id, vq.label, d2,
+          round(CASE WHEN ss::DOUBLE / cnt
+              - (s::DOUBLE / cnt) * (s::DOUBLE / cnt) > 0
+            THEN (vi::DOUBLE - s::DOUBLE / cnt)
+              / sqrt(ss::DOUBLE / cnt - (s::DOUBLE / cnt) * (s::DOUBLE / cnt))
             END, 6) AS z
-        FROM sc JOIN st USING (label))
+        FROM vq JOIN st USING (label))
       SELECT vec_id, label, round(d2, 6) AS d2, z,
         coalesce(z > $threshold, false) AS is_outlier
       FROM zt ORDER BY vec_id"""

@@ -750,6 +750,15 @@ object CorpusStats {
    *
    * A null signal value gets a null rank and contributes 0 to the
    * fusion (the "skip missing lists" RRF convention).
+   *
+   * Precision contract: signals are cast to DOUBLE for the histogram
+   * build and the rank join, so integral values must stay below 2⁵³
+   * — distinct longs beyond that (or doubles that collapse under the
+   * cast) silently merge into one histogram cell and share a rank.
+   * NaN values rely on Spark's NaN-equality join/group semantics
+   * (all NaNs are one histogram cell, ranked after +∞ in the
+   * descending order); engines with IEEE NaN joins would drop them —
+   * filter or bin NaN signals first if the fusion must be portable.
    */
   def rrfFuse(df: DataFrame, id: Column, signals: Seq[(String, Column)],
       rrfK: Int = 60): DataFrame = {
@@ -949,7 +958,12 @@ object CorpusStats {
         sum(length(text).cast("long")).as("n_chars"))
       .withColumn("fertility",
         col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      // bpe_tokens CAN be 0 (whitespace-only texts tokenize to no
+      // runs; ws_tokens cannot — split always emits >= 1): null the
+      // ratio rather than ride an engine-private 0-division (Spark's
+      // non-ANSI Divide yields null, IEEE engines yield inf)
       .withColumn("chars_per_token",
-        col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+        when(col("bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
   }
 }

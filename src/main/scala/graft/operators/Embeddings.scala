@@ -82,8 +82,13 @@ object Embeddings {
    * [[centroids]]' DECIMAL means broadcast back (the [[kmeansIter]]
    * join shape — the corpus never shuffles with its vectors), `d2`
    * is the same `‖x‖² − 2·x·c + ‖c‖²` sequential-dot expansion, and
-   * the per-label stats are [[SeriesStats.anomaly]]'s order-free
-   * DECIMAL sum construction. One scan, two broadcast-sized frames.
+   * the per-label stats use [[SeriesStats.anomaly]]'s integer
+   * micro-unit discipline (`quantizeMicro`): `d2` is a DERIVED
+   * non-integral double, so it quantizes to `round(d2·10⁶)` LONGs
+   * and the z derives from EXACT integer Σvi/Σvi² — a direct
+   * double→DECIMAL(38,12) cast of a derived double rounds the 12th
+   * decimal in an engine-private way (the events_seasonal defect).
+   * One scan, two broadcast-sized frames.
    */
   def labelOutliers(df: DataFrame, id: Column, vec: Column, label: Column,
       threshold: Double = 2.0): DataFrame = {
@@ -98,17 +103,18 @@ object Embeddings {
         dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("cv")) +
           col("__cc"))
       .select(col("vec_id"), col("lbl").as("label"), col("d2"))
+    val vi = round(col("d2") * lit(1000000.0)).cast("long")
     val stats = scored.groupBy(col("label"))
-      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("__s"),
-        sum((col("d2") * col("d2")).cast("decimal(38,12)")).cast("double")
-          .as("__ss"),
+      .agg(sum(vi.cast("decimal(38,0)")).cast("double").as("__s"),
+        sum(vi.cast("decimal(19,0)") * vi.cast("decimal(19,0)"))
+          .cast("double").as("__ss"),
         count(col("d2")).as("__n"))
       .select(col("label"), (col("__s") / col("__n")).as("__m"),
         (col("__ss") / col("__n") -
           (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__var"))
     scored.join(broadcast(stats), "label")
       .withColumn("z", round(when(col("__var") > 0,
-        (col("d2") - col("__m")) / sqrt(col("__var"))), 6))
+        (vi.cast("double") - col("__m")) / sqrt(col("__var"))), 6))
       .withColumn("is_outlier", coalesce(col("z") > threshold, lit(false)))
       .select(col("vec_id"), col("label"), round(col("d2"), 6).as("d2"),
         col("z"), col("is_outlier"))

@@ -258,15 +258,41 @@ object SeriesStats {
       .drop("__vi", "__sv", "__n", "__cum", "__i", "__s", "__cpb")
   }
 
+  /**
+   * `quantizeMicro = true` switches the sums onto [[changepoint]]'s
+   * integer micro-unit discipline: values quantize to
+   * `vi = round(v·10⁶)` LONGs, and mean/variance derive from EXACT
+   * integer sums (`Σvi`, `Σvi²` in DECIMAL(38,0)) before the single
+   * scalar double division. Required when `value` is a DERIVED
+   * NON-INTEGRAL double (e.g. [[seasonal]]'s residual): casting such
+   * doubles to DECIMAL(38,12) quantizes at the 12th decimal in an
+   * engine-private way (Spark rounds the exact decimal expansion;
+   * other engines multiply by 10¹² in float), so cross-engine sums
+   * drift in the last decimal and a 6-dp-rounded z can flip on a tie.
+   * The micro-unit z is the z of the 6-dp-quantized series — scale
+   * cancels in (vi − μ)/σ — and is bit-reproducible on any engine
+   * that rounds half away from zero. Integral inputs (counts) are
+   * unchanged by the default path, which stays DECIMAL(38,12)-exact.
+   */
   def anomaly(buckets: DataFrame, value: Column, threshold: Double = 2.0,
-      partitionBy: Seq[String] = Nil): DataFrame = {
+      partitionBy: Seq[String] = Nil,
+      quantizeMicro: Boolean = false): DataFrame = {
     require(threshold > 0, "threshold must be positive")
     val parts = partitionBy.map(col)
     val v = value.cast("double")
+    val (scoreV, sumTerm, sqTerm) =
+      if (quantizeMicro) {
+        val vi = round(v * lit(1000000.0)).cast("long")
+        (vi.cast("double"),
+          vi.cast("decimal(38,0)"),
+          vi.cast("decimal(19,0)") * vi.cast("decimal(19,0)"))
+      } else {
+        (v, v.cast("decimal(38,12)"), (v * v).cast("decimal(38,12)"))
+      }
     val stats = buckets
       .groupBy(parts: _*)
-      .agg(sum(v.cast("decimal(38,12)")).cast("double").as("__s"),
-        sum((v * v).cast("decimal(38,12)")).cast("double").as("__ss"),
+      .agg(sum(sumTerm).cast("double").as("__s"),
+        sum(sqTerm).cast("double").as("__ss"),
         count(v).as("__n"))
       .select(parts :+ (col("__s") / col("__n")).as("__m") :+
         (col("__ss") / col("__n") -
@@ -276,7 +302,8 @@ object SeriesStats {
       else buckets.join(broadcast(stats), partitionBy)
     joined
       .withColumn("z",
-        round(when(col("__var") > 0, (v - col("__m")) / sqrt(col("__var"))), 6))
+        round(when(col("__var") > 0,
+          (scoreV - col("__m")) / sqrt(col("__var"))), 6))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__m", "__var")
   }

@@ -191,6 +191,60 @@ class SeriesStatsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("gapFill")), e.toString)
   }
 
+  test("anomaly: quantizeMicro z derives from exact integer sums " +
+      "(property over non-integral series)") {
+    // the cross-engine contract: after vi = round(v·1e6), z must equal
+    // what ANY engine computes from the exact integer Σvi / Σvi² —
+    // recompute those sums here in BigInt (the independent "engine")
+    // over seeded random NON-integral values and compare at 6 dp
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val series = (0 until 400).map { i =>
+      ("s" + (i % 3), i.toLong * 1000L,
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(5) - 1))
+    }
+    val b = series.toDF("k", "bucket_ms", "v")
+    val got = SeriesStats.anomaly(b, col("v"), threshold = 2.0,
+        partitionBy = Seq("k"), quantizeMicro = true)
+      .orderBy("k", "bucket_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val expected = series.groupBy(_._1).flatMap { case (k, rows) =>
+      val vis = rows.map(r => BigDecimal(r._3 * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt)
+      val n = vis.size
+      val s = vis.sum
+      val ss = vis.map(x => x * x).sum
+      val m = s.toDouble / n
+      val v = ss.toDouble / n - m * m
+      rows.zip(vis).map { case (r, vi) =>
+        (r._1, r._2, if (v > 0)
+          Some(BigDecimal((vi.toDouble - m) / math.sqrt(v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None)
+      }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
+  }
+
+  test("seasonal + anomaly(quantizeMicro) composes deterministically " +
+      "on non-integral residuals") {
+    // the events_seasonal shape: residuals are derived non-integral
+    // doubles; two runs with different partition layouts must agree
+    // exactly (order-free integer sums, no double-summation drift)
+    val rnd = new scala.util.Random(42)
+    val b = (0 until 300).map(i =>
+      (i.toLong * 3600000L, 50.0 + 10 * math.sin(i % 24) + rnd.nextDouble()))
+      .toDF("bucket_ms", "v")
+    def run(parts: Int) = SeriesStats.anomaly(
+        SeriesStats.seasonal(b.repartition(parts), col("v"),
+          groupMs = 3600000L, period = 24),
+        col("residual"), threshold = 2.0, quantizeMicro = true)
+      .orderBy("bucket_ms")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+    assert(run(1).toSeq == run(13).toSeq)
+  }
+
   test("gapFill: adaptive chunking keeps wide spines contiguous") {
     // 3,000,000 buckets: fixed 1024-chunking would make the OUTER
     // array ~2930 elements; adaptive √n chunking (~1733 per level)
