@@ -92,10 +92,26 @@ object Bench {
       (name, if (times.nonEmpty) times.min else 999.0, threw)
     }
     val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    }
+    // full-precision per-query artifact: the stdout line has been
+    // truncated by log-capture tails between rounds, losing per-query
+    // history — the file is the durable record
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line(_.toString) + "\n").getBytes("UTF-8"))
     spark.stop()
+    // the machine-parsed line: printed LAST (nothing after it on
+    // stdout) and compacted to 4 dp (~0.1 ms — well under the
+    // run-to-run jitter) so the whole ~90-query map fits inside a
+    // bounded tail capture
+    println(line(v =>
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString))
+    System.out.flush()
   }
 }

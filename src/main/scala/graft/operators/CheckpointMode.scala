@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Per-round persistence policy for the iterative operator family
+ * ([[Graphs.pagerank]] / [[Graphs.hits]] /
+ * [[Graphs.personalizedPagerank]], [[Dedup.clusters]],
+ * [[Embeddings.kmeansRun]]): each round materializes its state frame
+ * so the loop's lineage stays flat instead of growing exponentially.
+ *
+ * [[CheckpointMode.Local]] (the default) is `localCheckpoint` —
+ * executor block storage, no distributed write, the right choice for
+ * local mode and short loops. Its durability caveat on a REAL
+ * cluster: a truncated lineage cannot recompute lost blocks, so any
+ * executor death kills the job mid-loop, and dynamic de-allocation
+ * must be fenced off for the loop's lifetime.
+ *
+ * [[CheckpointMode.Reliable]] switches the SAME call sites to
+ * `DataFrame.checkpoint()` into a fault-tolerant directory (HDFS /
+ * object store): each round's state survives executor loss at the
+ * cost of one distributed write per round — the production setting
+ * for a 100 TB corpus where hundreds of iterative tasks otherwise
+ * gamble on zero executor churn.
+ *
+ * Both modes are EAGER materializations of the identical frame — a
+ * checkpoint changes where blocks live, never values — asserted by
+ * `CheckpointModeSpec`.
+ */
+sealed trait CheckpointMode {
+  def apply(df: DataFrame): DataFrame
+}
+
+object CheckpointMode {
+
+  /** Executor-local blocks: fast, not fault-tolerant. */
+  case object Local extends CheckpointMode {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /**
+   * Reliable checkpoint under `dir`. The directory is installed on
+   * the SparkContext once, only if none is set — an
+   * already-configured `spark.checkpoint.dir` (or an earlier
+   * Reliable instance) wins, since the setting is context-global.
+   */
+  final case class Reliable(dir: String) extends CheckpointMode {
+    def apply(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    }
+  }
+}

@@ -489,9 +489,10 @@ object Dedup {
    * (duplicate clusters are near-cliques, so typically 1-3). Each
    * round is one equi-join + group-by over the EDGE list — nothing is
    * ever collected to the driver, so components of any size stay
-   * distributed. `localCheckpoint` materializes each round's labels,
-   * cutting the exponentially growing lineage the loop would
-   * otherwise build.
+   * distributed. Each round's labels materialize via `ckpt` —
+   * `localCheckpoint` by default, or [[CheckpointMode.Reliable]] for
+   * a fault-tolerant checkpoint dir on a real cluster — cutting the
+   * exponentially growing lineage the loop would otherwise build.
    *
    * `alternatingStars = true` switches to alternating large-star /
    * small-star rounds ([[clustersStars]]) — O(log diameter) rounds
@@ -502,13 +503,16 @@ object Dedup {
    * near-clique components it converges in the same 1-3 rounds with
    * one fewer shuffle per round.
    */
-  def clusters(pairs: DataFrame, alternatingStars: Boolean = false): DataFrame =
-    (if (alternatingStars) clustersStars(pairs) else clustersLabelProp(pairs))._1
+  def clusters(pairs: DataFrame, alternatingStars: Boolean = false,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    (if (alternatingStars) clustersStars(pairs, ckpt)
+     else clustersLabelProp(pairs, ckpt))._1
 
   /** Min-label propagation rounds (see [[clusters]]); returns the
    * round count for convergence tests. */
-  private[operators] def clustersLabelProp(pairs: DataFrame): (DataFrame, Int) = {
-    val edges = pairs
+  private[operators] def clustersLabelProp(pairs: DataFrame,
+      ckpt: CheckpointMode = CheckpointMode.Local): (DataFrame, Int) = {
+    val edges0 = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -518,17 +522,16 @@ object Dedup {
       // join exchanges only the label frame — the edge list, the big
       // side, crosses the wire once here instead of once per round
       .repartition(col("dst"))
-      .localCheckpoint() // pairs may be a whole LSH pipeline: run it once
+    val edges = ckpt(edges0) // pairs may be a whole LSH pipeline: run it once
     // Seeded initialization = the first propagation round for free:
     // with identity labels, a node's neighbor labels ARE its neighbor
     // ids, so round 1 collapses to one group-by over the edge list —
     // no label join, and near-clique components (the common dedup
     // case) arrive converged, leaving the loop only the verify pass.
-    var labels = edges.groupBy(col("src"))
+    var labels = ckpt(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("src").as("doc_id"),
-        least(col("src"), col("nbr")).as("cluster_id"))
-      .localCheckpoint()
+        least(col("src"), col("nbr")).as("cluster_id")))
     var rounds = 1 // the seeded init is round one
     var changed = 1L
     while (changed > 0) {
@@ -541,11 +544,10 @@ object Dedup {
       // old and new labels ride the SAME checkpointed frame, so the
       // convergence check is a scan of it — joining labels back for a
       // `prev` column would add a whole shuffle per round
-      val step = labels.join(viaNbr, Seq("doc_id"), "left")
+      val step = ckpt(labels.join(viaNbr, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
+            .as("cluster_id")))
       changed = step.filter(col("cluster_id") =!= col("prev")).count()
       labels = step.select(col("doc_id"), col("cluster_id"))
     }
@@ -576,13 +578,13 @@ object Dedup {
    * — checked with a node-set semi-join, no driver-side edge
    * materialization anywhere.
    */
-  private[operators] def clustersStars(pairs: DataFrame): (DataFrame, Int) = {
-    var e = pairs
+  private[operators] def clustersStars(pairs: DataFrame,
+      ckpt: CheckpointMode = CheckpointMode.Local): (DataFrame, Int) = {
+    var e = ckpt(pairs
       .select(greatest(col("id1"), col("id2")).as("n"),
         least(col("id1"), col("id2")).as("p"))
       .filter(col("n") =!= col("p"))
-      .distinct()
-      .localCheckpoint() // pairs may be a whole LSH pipeline: run it once
+      .distinct()) // pairs may be a whole LSH pipeline: run it once
     var rounds = 0
     var done = e.isEmpty
     while (!done) {
@@ -599,14 +601,13 @@ object Dedup {
       // small-star: all edges already point downward (p < n), so
       // min(N ∪ u) = min(N); each edge re-emits both endpoints → min
       val smins = large.groupBy(col("n")).agg(min(col("p")).as("m"))
-      val small = large.join(smins, "n")
+      val small = ckpt(large.join(smins, "n")
         .select(explode(array(
           struct(col("n").as("a"), col("m").as("b")),
           struct(col("p").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("n"), col("e.b").as("p"))
         .filter(col("n") =!= col("p"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       done = small
         .join(small.select(col("n").as("p")).distinct(), Seq("p"), "left_semi")
         .isEmpty

@@ -139,30 +139,30 @@ object Embeddings {
    * deterministic seeding (`hash60(id) mod k` — engine-reproducible,
    * no RNG state) until no vector changes cluster or `maxIters` runs
    * out. Each round is one scan + one tiny exchange; labels
-   * `localCheckpoint` per round so the loop's lineage stays flat
-   * (the [[Dedup.clusters]] discipline), and the moved-count rides
-   * the already-materialized frame. Returns the final
+   * materialize per round so the loop's lineage stays flat (the
+   * [[Dedup.clusters]] discipline — `localCheckpoint` by default,
+   * [[CheckpointMode.Reliable]] for executor-loss durability), and
+   * the moved-count rides the already-materialized frame. Returns the final
    * (vec_id, label, d2) assignment; callers wanting the centroid
    * table feed it back through [[centroids]].
    */
   def kmeansRun(df: DataFrame, id: Column, vec: Column, k: Int,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(k >= 1 && maxIters >= 1, "k and maxIters must be >= 1")
-    val base = df.filter(vec.isNotNull && size(vec) > 0)
+    val base = ckpt(df.filter(vec.isNotNull && size(vec) > 0)
       .select(id.as("vec_id"), vec.as("emb"))
-      .localCheckpoint() // the loop re-scans this frame every round
-    var labels = base.select(col("vec_id"),
+      ) // the loop re-scans this frame every round
+    var labels = ckpt(base.select(col("vec_id"),
         pmod(graft.functions.Hash60Expr.hash60(col("vec_id").cast("string")),
-          lit(k.toLong)).as("label"))
-      .localCheckpoint()
+          lit(k.toLong)).as("label")))
     var moved = 1L
     var iters = 0
     while (moved > 0 && iters < maxIters) {
-      val step = kmeansIter(base.join(labels, "vec_id"),
+      val step = ckpt(kmeansIter(base.join(labels, "vec_id"),
           col("vec_id"), col("emb"), col("label"))
         .select(col("vec_id"), col("old_label"),
-          col("new_label").as("label"), col("d2"))
-        .localCheckpoint()
+          col("new_label").as("label"), col("d2")))
       moved = step.filter(col("label") =!= col("old_label")).count()
       labels = step.select(col("vec_id"), col("label"), col("d2"))
       iters += 1

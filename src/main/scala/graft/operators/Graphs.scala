@@ -30,8 +30,11 @@ import graft.functions.ldiv
  * out-weights; each iteration is edges ⋈ ranks on `src` (both sides
  * partitioned by the join key; AQE broadcasts the rank frame when
  * |nodes| is small) followed by a map-side-combined sum per `dst`.
- * Ranks `localCheckpoint` per round (the [[Dedup.clusters]]
- * discipline) so lineage stays flat; the dangling mass is the one
+ * Ranks materialize per round (the [[Dedup.clusters]] discipline)
+ * so lineage stays flat — `localCheckpoint` by default, or a
+ * reliable checkpoint directory via the `ckpt` parameter
+ * ([[CheckpointMode.Reliable]]) when executor loss must not kill a
+ * long run; the dangling mass is the one
  * driver scalar per round — O(1) data, same as k-means' moved-count.
  * Nothing corpus-sized ever sits in driver memory.
  */
@@ -70,16 +73,16 @@ object Graphs {
    * as the oracle's left join + coalesce does.
    */
   def hits(edges: DataFrame, src: Column, dst: Column,
-      iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int = 3, scale: Long = 1000000000000L,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 1 && scale <= 1000000000000L, "scale in [1, 1e12]")
-    val e = edges.select(src.cast("string").as("src"),
+    val e = ckpt(edges.select(src.cast("string").as("src"),
         dst.cast("string").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .localCheckpoint() // re-joined twice per iteration
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      ) // re-joined twice per iteration
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     // no edges ⇒ no nodes: an empty (node, auth, hub) frame, not a
     // division-by-zero on the uniform init
@@ -93,24 +96,22 @@ object Graphs {
     def norm(raw: Column, total: Column): Column =
       coalesce(ldiv((raw.cast("decimal(38,0)") * lit(scale))
         .cast("decimal(38,0)"), total), lit(0L))
-    var hub = nodes.withColumn("hub", lit(scale / n)).localCheckpoint()
+    var hub = ckpt(nodes.withColumn("hub", lit(scale / n)))
     var auth = nodes.withColumn("auth", lit(scale / n))
     var k = 0
     while (k < iterations) {
       val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub").cast("decimal(38,0)") * col("w")).as("ar"))
-      auth = nodes.join(araw, Seq("node"), "left")
+      auth = ckpt(nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(araw.agg(sum(col("ar")).as("__atot"))))
-        .select(col("node"), norm(col("ar"), col("__atot")).as("auth"))
-        .localCheckpoint()
+        .select(col("node"), norm(col("ar"), col("__atot")).as("auth")))
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth").cast("decimal(38,0)") * col("w")).as("hr"))
-      hub = nodes.join(hraw, Seq("node"), "left")
+      hub = ckpt(nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(hraw.agg(sum(col("hr")).as("__htot"))))
-        .select(col("node"), norm(col("hr"), col("__htot")).as("hub"))
-        .localCheckpoint()
+        .select(col("node"), norm(col("hr"), col("__htot")).as("hub")))
       k += 1
     }
     nodes.join(auth, "node").join(hub, "node")
@@ -203,7 +204,8 @@ object Graphs {
    */
   def personalizedPagerank(edges: DataFrame, src: Column, dst: Column,
       teleport: DataFrame, iterations: Int = 4, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 1 && scale <= 1000000000000L,
@@ -212,27 +214,23 @@ object Graphs {
         dst.cast("string").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val ew = e.join(outw, "src")
+    val ew = ckpt(e.join(outw, "src")
       .select(col("src"), col("dst"),
-        ldiv(col("w") * lit(1000000L), col("ow")).as("ew"))
-      .localCheckpoint()
+        ldiv(col("w") * lit(1000000L), col("ow")).as("ew")))
     val t = teleport.select(teleport.columns.head).toDF("node")
       .select(col("node").cast("string").as("node")).distinct()
-    val nodes = e.select(col("src").as("node"))
+    val nodes = ckpt(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(t.withColumn("__t", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__t"), lit(false)).as("__t"))
-      .localCheckpoint()
+      .select(col("node"), coalesce(col("__t"), lit(false)).as("__t")))
     val n = nodes.count()
     if (n == 0) return nodes.select(col("node"), lit(0L).as("pr"))
     val tn = nodes.filter(col("__t")).count()
     require(tn > 0, "teleport set must intersect the graph's nodes")
-    val dangling = nodes.select(col("node"))
-      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .localCheckpoint()
+    val dangling = ckpt(nodes.select(col("node"))
+      .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
     val base = ((100L - dampingPct) * (scale / tn)) / 100L
-    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
-      .localCheckpoint()
+    var pr = ckpt(nodes.select(col("node"), lit(scale / n).as("pr")))
     var k = 0
     while (k < iterations) {
       val dmF = broadcast(pr.join(dangling, Seq("node"), "left_semi")
@@ -240,7 +238,7 @@ object Graphs {
       val contrib = ew.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(ldiv(col("pr") * col("ew"), 1000000L)).as("c"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      pr = ckpt(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(dmF)
         .select(col("node"),
           (when(col("__t"),
@@ -248,8 +246,7 @@ object Graphs {
               ldiv(lit(dampingPct.toLong) * ldiv(col("__dm"), tn), 100L))
             .otherwise(lit(0L)) +
             ldiv(lit(dampingPct.toLong) * coalesce(col("c"), lit(0L)), 100L))
-            .as("pr"))
-        .localCheckpoint()
+            .as("pr")))
       k += 1
     }
     pr
@@ -257,7 +254,8 @@ object Graphs {
 
   def pagerank(edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 4, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 1 && scale <= 1000000000000L,
@@ -270,21 +268,21 @@ object Graphs {
     // pre-dividing caps the per-iteration product at pr·1e6 no matter
     // how heavy the edge, which is what makes LONG arithmetic safe at
     // any corpus size
-    val ew = e.join(outw, "src")
+    val ew = ckpt(e.join(outw, "src")
       .select(col("src"), col("dst"),
         ldiv(col("w") * lit(1000000L), col("ow")).as("ew"))
-      .localCheckpoint() // re-joined every iteration
-    val nodes = e.select(col("src").as("node"))
+      ) // re-joined every iteration
+    val nodes = ckpt(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint() // re-joined every iteration
+      ) // re-joined every iteration
     val n = nodes.count()
     // no edges ⇒ no nodes: empty result, not a division-by-zero
     if (n == 0) return nodes.select(col("node"), lit(0L).as("pr"))
-    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
+    val dangling = ckpt(nodes.join(e.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
-      .localCheckpoint() // dangling-mass probe every iteration
+      ) // dangling-mass probe every iteration
     val base = ((100L - dampingPct) * (scale / n)) / 100L
-    var pr = nodes.withColumn("pr", lit(scale / n)).localCheckpoint()
+    var pr = ckpt(nodes.withColumn("pr", lit(scale / n)))
     var k = 0
     while (k < iterations) {
       // dangling nodes donate their mass uniformly. The mass rides as
@@ -298,14 +296,13 @@ object Graphs {
       val contrib = ew.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(ldiv(col("pr") * col("ew"), 1000000L)).as("c"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      pr = ckpt(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(dmF)
         .select(col("node"),
           (lit(base) +
             ldiv(lit(dampingPct.toLong) * ldiv(col("__dm"), n), 100L) +
             ldiv(lit(dampingPct.toLong) * coalesce(col("c"), lit(0L)), 100L))
-            .as("pr"))
-        .localCheckpoint()
+            .as("pr")))
       k += 1
     }
     pr

@@ -42,7 +42,7 @@ object BenchSubset {
       val tiny = new java.io.File("/root/testdata/sf0.001")
       if (tiny.isDirectory) tiny.toString else dir
     }
-    names.foreach { name =>
+    val results = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
@@ -61,7 +61,19 @@ object BenchSubset {
       // min-of-times alone would read an intermittent crash as healthy
       val flag = if (threw) " FAILED" else ""
       println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f$flag")
+      (name, if (times.nonEmpty) times.min else 999.0, threw)
     }
+    // durable machine-readable record, same shape as Bench's
+    // target/bench.json (per-probe history survives log truncation)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val out = java.nio.file.Paths.get("target/bench-subset.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (s"""{"queries":$qs,"failed":$failed,"sf":"$dir"}""" + "\n")
+        .getBytes("UTF-8"))
     spark.stop()
   }
 }
