@@ -1456,7 +1456,8 @@ object Queries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val clusters = Dedup.clusters(Dedup.minhashPairs(docs,
-          col("doc_id"), col("text"), threshold = 0.8))
+          col("doc_id"), col("text"), threshold = 0.8,
+          bands = Dedup.bandsFor(0.8)))
         val grouped = docs.join(clusters, Seq("doc_id"), "left")
           .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
         graft.operators.Sampling.split(grouped, col("group_id"),
@@ -1467,7 +1468,8 @@ object Queries {
       },
       Some(s"""WITH g AS (SELECT d.doc_id,
             coalesce(c.cluster_id, d.doc_id) AS group_id
-          FROM documents d LEFT JOIN (${clustersOracle(0.8)}) c USING (doc_id)),
+          FROM documents d LEFT JOIN (${clustersOracle(0.8,
+            bands = Dedup.bandsFor(0.8))}) c USING (doc_id)),
         f AS (SELECT doc_id,
           (('0x' || substr(md5(group_id::VARCHAR), 1, 15))::BIGINT
             / 1152921504606846976.0) AS fr FROM g)
@@ -1485,7 +1487,8 @@ object Queries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val clusters = Dedup.clusters(Dedup.minhashPairs(docs,
-          col("doc_id"), col("text"), threshold = 0.8))
+          col("doc_id"), col("text"), threshold = 0.8,
+          bands = Dedup.bandsFor(0.8)))
         val scored = docs.select(col("doc_id"),
           TextOps.qualityColumns(col("text")).toMap.apply("quality")
             .as("quality"))
@@ -1493,16 +1496,17 @@ object Queries {
             col("quality"), clusters)
           .orderBy(col("cluster_id"))
       },
-      Some(preferenceOracle(0.8))),
+      Some(preferenceOracle(0.8, bands = Dedup.bandsFor(0.8)))),
 
     // pairs → connected components → keeper per component: the
     // keep-list step a dedup pipeline consumes (transitive closure,
     // not pairwise keeper-wins)
     "dedup_clusters" -> Entry(
       (s, dir) => Dedup.clusters(Dedup.minhashPairs(t(s, dir, "documents"),
-          col("doc_id"), col("text"), threshold = 0.8))
+          col("doc_id"), col("text"), threshold = 0.8,
+          bands = Dedup.bandsFor(0.8)))
         .orderBy(col("doc_id")),
-      Some(clustersOracle(0.8))),
+      Some(clustersOracle(0.8, bands = Dedup.bandsFor(0.8)))),
 
     "dedup_simhash" -> Entry(
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"),
@@ -2736,10 +2740,11 @@ object Queries {
       (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
           col("doc_id"), col("text"),
           langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
-          useClusters = true)
+          useClusters = true, lshBands = Dedup.bandsFor(0.8))
         .orderBy(col("doc_id")),
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
-        jaccardThreshold = 0.8, useClusters = true))),
+        jaccardThreshold = 0.8, useClusters = true,
+        bands = Dedup.bandsFor(0.8)))),
 
     // every stage enabled: dedup chains via transitive closure,
     // Gopher-style repetition filter, eval-set decontamination
@@ -2750,13 +2755,14 @@ object Queries {
             langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
             useClusters = true, maxTopNgramFrac = 0.08,
             bench = Some(docs.filter(pmod(col("doc_id"), lit(97)) === 0)),
-            benchText = col("text"))
+            benchText = col("text"), lshBands = Dedup.bandsFor(0.8))
           .orderBy(col("doc_id"))
       },
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
         jaccardThreshold = 0.8, useClusters = true,
         maxTopNgramFrac = Some(0.08),
-        deconBenchSql = Some("doc_id % 97 = 0")))),
+        deconBenchSql = Some("doc_id % 97 = 0"),
+        bands = Dedup.bandsFor(0.8)))),
 
     // the full pipeline with the perplexity stage armed: avg-NLL
     // above 3.41 (≈ the corpus p90) drops as 'perplexity' after the
@@ -2766,12 +2772,13 @@ object Queries {
         val docs = t(s, dir, "documents")
         operators.Pipeline.cleanCorpus(docs, col("doc_id"), col("text"),
             langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
-            useClusters = true, maxAvgNll = 3.41, nllVocabK = 32)
+            useClusters = true, maxAvgNll = 3.41, nllVocabK = 32,
+            lshBands = Dedup.bandsFor(0.8))
           .orderBy(col("doc_id"))
       },
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
         jaccardThreshold = 0.8, useClusters = true,
-        maxAvgNll = Some((3.41, 32))))),
+        maxAvgNll = Some((3.41, 32)), bands = Dedup.bandsFor(0.8)))),
 
     "multimodal_frames" -> Entry(
       (s, dir) => Multimodal.sampleFrames(
@@ -2874,8 +2881,8 @@ object Queries {
         WHERE jaccard >= $threshold)"""
   }
 
-  private def minhashOracle(threshold: Double): String =
-    s"""WITH ${minhashPairsCte(threshold)}
+  private def minhashOracle(threshold: Double, bands: Int = 16): String =
+    s"""WITH ${minhashPairsCte(threshold, bands = bands)}
       SELECT id1, id2, jaccard FROM pairs ORDER BY 1, 2"""
 
   /** Exact 8-gram decontamination vs the `doc_id % 97 == 0` eval
@@ -2922,8 +2929,8 @@ object Queries {
   /** Transitive closure of the pair graph via a recursive CTE: every
    * (node, reachable node) pair, then min per node — the component
    * minimum [[Dedup.clusters]] computes by label propagation. */
-  private def clustersOracle(threshold: Double): String =
-    s"""WITH RECURSIVE ${minhashPairsCte(threshold)},
+  private def clustersOracle(threshold: Double, bands: Int = 16): String =
+    s"""WITH RECURSIVE ${minhashPairsCte(threshold, bands = bands)},
       ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
         UNION SELECT id2, id1 FROM pairs),
       walk(id, r) AS (
@@ -3363,7 +3370,8 @@ object Queries {
       jaccardThreshold: Double, useClusters: Boolean = false,
       maxAvgNll: Option[(Double, Int)] = None,
       maxTopNgramFrac: Option[Double] = None,
-      deconBenchSql: Option[String] = None): String = {
+      deconBenchSql: Option[String] = None,
+      bands: Int = 16): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     // mirrors CorpusStats.unigramNll over the non-empty corpus: vocab
     // cut (count desc, word asc), micro-nat rounding, long sums
@@ -3420,8 +3428,8 @@ object Queries {
     // component (the clustersOracle shape composed into the pipeline)
     val nearCte =
       if (useClusters)
-        s"""ed AS (SELECT id1 AS src, id2 AS dst FROM (${minhashOracle(jaccardThreshold)})
-            UNION SELECT id2, id1 FROM (${minhashOracle(jaccardThreshold)})),
+        s"""ed AS (SELECT id1 AS src, id2 AS dst FROM (${minhashOracle(jaccardThreshold, bands)})
+            UNION SELECT id2, id1 FROM (${minhashOracle(jaccardThreshold, bands)})),
           walk(id, r) AS (
             SELECT src, src FROM ed
             UNION
@@ -3429,7 +3437,7 @@ object Queries {
           near AS (SELECT id AS doc_id FROM walk GROUP BY id
             HAVING id <> min(r))"""
       else
-        s"near AS (SELECT DISTINCT id2 AS doc_id FROM (${minhashOracle(jaccardThreshold)}))"
+        s"near AS (SELECT DISTINCT id2 AS doc_id FROM (${minhashOracle(jaccardThreshold, bands)}))"
     s"""WITH ${if (useClusters) "RECURSIVE " else ""}fpt AS (
         SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fp
         FROM documents),
@@ -3492,9 +3500,9 @@ object Queries {
   /** Preference pairs in DuckDB: clustersOracle's components joined to
    * the quality expression; chosen/rejected via the same
    * (score, id) tie-breaks as [[graft.operators.Pipeline.preferencePairs]]. */
-  private def preferenceOracle(threshold: Double): String =
+  private def preferenceOracle(threshold: Double, bands: Int = 16): String =
     s"""WITH q AS (SELECT doc_id, $qualityExprSql AS q FROM documents),
-      cl AS (${clustersOracle(threshold)}),
+      cl AS (${clustersOracle(threshold, bands)}),
       j AS (SELECT cl.doc_id, cl.cluster_id, q.q
         FROM cl JOIN q USING (doc_id)),
       r AS (SELECT *,

@@ -218,36 +218,105 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /**
+   * Banding preset: among the divisors `b` of `n` (rows `r = n/b`),
+   * the band count whose LSH S-curve midpoint `(1/b)^(1/r)` sits
+   * nearest the target threshold — at n = 64: t ≈ 0.5 → 16 bands,
+   * t ≈ 0.8 → 8, t ≈ 0.92 → 4. The default 16-band/4-row layout has
+   * its midpoint at 0.5, so a HIGH-threshold query over a corpus
+   * with large just-below-threshold cliques (replica families at
+   * ~2/3 Jaccard — the ScaleGen 100× shape) turns nearly every
+   * clique pair into a candidate that the exact verify then pays for
+   * and discards; midpoint-matched banding keeps those cliques out
+   * of the candidate set (~0.66-similarity pair probability drops
+   * 0.97 → 0.26 at b = 8/r = 8) at the price of single-run recall at
+   * the threshold itself (~0.77 at t = 0.8 — measure with
+   * [[lshRecallAudit]], raise `n` if the miss rate matters).
+   */
+  def bandsFor(threshold: Double, n: Int = 64): Int = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    require(n >= 1, "n must be >= 1")
+    (1 to n).filter(n % _ == 0)
+      .minBy(b => math.abs(math.pow(1.0 / b, b.toDouble / n) - threshold))
+  }
+
   /** End-to-end MinHash near-dup pairs: one shared shingle frame →
-   * scalar signatures → LSH band buckets → per-bucket candidate pairs
-   * → exact-Jaccard verify ≥ threshold. No self-join: candidates come
-   * out of one group-by on (band, key). The shingle frame is
-   * localCheckpoint'd because four plan branches consume it
-   * (signatures, the size prefilter, and both verify sides) — without
-   * it the shingling regex re-runs per branch.
+   * scalar signatures → LSH band buckets → in-bucket exact-Jaccard
+   * verify ≥ threshold. No self-join: candidates stream out of one
+   * group-by on (band, key). The shingle frame is localCheckpoint'd
+   * because two plan branches consume it (signatures, hash sets) —
+   * without it the shingling regex re-runs per branch.
    *
-   * Bucket-cardinality contract: [[lshCandidates]] materializes each
-   * (band, key) bucket's id array in one aggregation buffer (8 bytes
-   * per doc), and — more fundamentally — N exact copies of a document
-   * yield N²/2 output pairs. Collapse EXACT duplicates first (one
-   * hash group-by — [[exact]]; [[Pipeline.cleanCorpus]] orders its
-   * stages this way) so bucket size is bounded by the near-dup
-   * cluster size, not by boilerplate multiplicity. */
+   * Bucket-cardinality contract: each (band, key) bucket materializes
+   * its members' (id, hash-set) structs in one aggregation buffer
+   * (~8 bytes per shingle), and — more fundamentally — N exact copies
+   * of a document yield N²/2 output pairs. Collapse EXACT duplicates
+   * first (one hash group-by — [[exact]]; [[Pipeline.cleanCorpus]]
+   * orders its stages this way) so bucket size is bounded by the
+   * near-dup cluster size, not by boilerplate multiplicity. For a
+   * high threshold over a corpus with just-below-threshold cliques,
+   * match the banding to the threshold ([[bandsFor]]). */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
+    require(n % bands == 0,
+      s"bands ($bands) must divide the signature width ($n)")
     val sets = shingled(df, id, text, shingleK).localCheckpoint()
-    // the verify runs on [[hashedSets]] hashes, not shingle strings:
-    // LSH floods candidates with just-below-threshold lookalikes (a
-    // near-dup CLIQUE — replica families, template spam — collides in
-    // nearly every band), and the verify join shuffles each doc's set
-    // once per candidate pair — ~8 B/shingle instead of the strings is
-    // the difference between a verify that fits the shuffle and one
-    // that spills (the BASELINE.md 100× probe: 159 s → 32 s)
-    val hsets = hashedSets(sets)
-      .localCheckpoint() // consumed 3×: sizes + both verify sides
-    minhashVerify(lshCandidates(sigsOf(sets, n), bands, n), hsets, threshold)
-      .orderBy(col("id1"), col("id2"))
+    val rows = n / bands
+    // Two verify shapes, chosen by band geometry. A pair colliding in
+    // k bands is enumerated k times; E[k | ≥1] ≈ bands·J^rows / P(≥1)
+    // at the flood similarity, which is ~1 for steep curves (rows ≥ 8
+    // — a multi-band collision is a fluke) but ~4 at bands = 16 /
+    // rows = 4 over ~0.7-Jaccard cliques. When multi-band collisions
+    // are rare, verifying IN THE BUCKET wins: the ~8 B/shingle hash
+    // set shuffles once per (doc, band) — bands·corpus bytes,
+    // independent of how badly candidates flood — instead of twice
+    // per candidate pair, and near-duplicate re-verifies are noise
+    // (100× probe, b = 8: 21 s → 16 s). When they are common, the
+    // candidate-distinct + per-pair join path verifies each pair
+    // exactly once, which beats re-running the set intersect k times
+    // (b = 16 at the same probe: bucket-verify 50 s vs 32–47 s).
+    if (rows >= 8) {
+      val withHs = bandKeys(sigsOf(sets, n), bands, n)
+        .join(hashedSets(sets), "doc_id")
+        .select(col("band"), col("key"),
+          struct(col("doc_id"), col("hs")).as("e"))
+      // bucket buffers hold (id, hs) structs — ~8 B per SHINGLE of
+      // each member doc rather than 8 B per doc (the contract note
+      // above: collapse exact dups first so bucket size stays bounded
+      // by near-dup cluster size)
+      val buckets = withHs.groupBy(col("band"), col("key"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+        .filter(size(col("es")) > 1)
+      buckets
+        .select(col("es"), posexplode(col("es"))).toDF("es", "i", "e1")
+        .select(col("e1"), explode(slice(col("es"), col("i") + lit(2),
+          size(col("es")) - col("i") - 1)).as("e2"))
+        // duplicate input ids would otherwise self-pair
+        .filter(col("e1.doc_id") =!= col("e2.doc_id"))
+        // exact length-ratio bound (J ≤ min|·|/max|·|) ahead of the
+        // intersect — same prune as [[minhashVerify]]
+        .filter(least(size(col("e1.hs")), size(col("e2.hs"))).cast("double") >=
+          lit(threshold) *
+            greatest(size(col("e1.hs")), size(col("e2.hs"))).cast("double"))
+        // one set pass, not two: hs arrays are distinct by
+        // construction, so |A∪B| = |A| + |B| − |A∩B| exactly — the
+        // division sees the same two integers either way
+        // (oracle-identical doubles)
+        .withColumn("__i", size(array_intersect(col("e1.hs"), col("e2.hs"))))
+        .withColumn("jaccard", col("__i").cast("double") /
+          (size(col("e1.hs")) + size(col("e2.hs")) - col("__i")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("e1.doc_id").as("id1"), col("e2.doc_id").as("id2"),
+          col("jaccard"))
+        .distinct()
+        .orderBy(col("id1"), col("id2"))
+    } else {
+      val hsets = hashedSets(sets)
+        .localCheckpoint() // consumed 3×: sizes + both verify sides
+      minhashVerify(lshCandidates(sigsOf(sets, n), bands, n), hsets, threshold)
+        .orderBy(col("id1"), col("id2"))
+    }
   }
 
   /** Shared size-prune + exact-Jaccard verify over candidate (id1,

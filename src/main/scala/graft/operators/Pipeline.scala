@@ -76,13 +76,19 @@ object Pipeline {
       .filter(col("margin") >= minMargin)
   }
 
+  /** `lshBands`: band count of the near-dup LSH stage —
+   * [[Dedup.bandsFor]]`(jaccardThreshold)` matches the candidate
+   * S-curve to the threshold (keeps just-below-threshold replica
+   * cliques out of the verify); the 16-band default preserves the
+   * historical maximum-recall tuning. */
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double = 0.8, useClusters: Boolean = false,
       maxAvgNll: Double = Double.PositiveInfinity, nllVocabK: Int = 65536,
       maxTopNgramFrac: Double = 1.0,
       bench: Option[DataFrame] = None,
-      benchText: Column = col("text")): DataFrame = {
+      benchText: Column = col("text"),
+      lshBands: Int = 16): DataFrame = {
     // bounded per-group state: only min(doc_id) aggregates; the dup
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
@@ -105,7 +111,7 @@ object Pipeline {
     val keeperDocs = nonEmpty.select(id.as("doc_id"), text.as("__text"))
       .join(exactDups.select("doc_id"), Seq("doc_id"), "left_anti")
     val pairs = Dedup.minhashPairs(keeperDocs, col("doc_id"), col("__text"),
-      jaccardThreshold)
+      jaccardThreshold, bands = lshBands)
     val nearDups = (if (useClusters)
         // transitive closure: a doc survives only as its component's
         // minimum — a chain A~B~C keeps exactly A
