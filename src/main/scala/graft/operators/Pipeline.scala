@@ -58,6 +58,21 @@ object Pipeline {
    * cluster — no per-cluster window, nothing corpus-sized in any
    * buffer.
    */
+  /**
+   * Variant taking the raw verified near-dup PAIRS frame (`id1`,
+   * `id2` — [[Dedup.minhashPairs]]' direct output) and resolving the
+   * transitive closure internally. Use [[preferencePairs]] itself
+   * when the dedup pass has already materialized the clusters frame:
+   * the miner is a BYPRODUCT consumer, and sharing the LSH build is
+   * the whole point — re-running shingle→minhash→verify for the
+   * miner doubles the most expensive stage of the pipeline.
+   */
+  def preferencePairsFromPairs(scored: DataFrame, id: Column, score: Column,
+      pairs: DataFrame, minMargin: Double = 0.0,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    preferencePairs(scored, id, score, Dedup.clusters(pairs, ckpt = ckpt),
+      minMargin)
+
   def preferencePairs(scored: DataFrame, id: Column, score: Column,
       clusters: DataFrame, minMargin: Double = 0.0): DataFrame = {
     require(minMargin >= 0, "minMargin must be >= 0")

@@ -91,4 +91,34 @@ class PipelineSpec extends SparkSpec {
       clusters, minMargin = 0.1)
     assert(strict.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("preferencePairs: a shared precomputed build equals an inline one") {
+    import org.apache.spark.sql.functions.{col, length}
+    // near-dup family (two word-level variants of one text) + noise:
+    // the miner must produce the IDENTICAL frame whether it is handed
+    // the dedup pass's materialized pairs/clusters or rebuilds them —
+    // sharing the LSH build is a plan decision, never a result change
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "an entirely different document about spark physical plans"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("s"))
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5).localCheckpoint()
+    val shared = Pipeline.preferencePairs(scored, col("doc_id"), col("s"),
+        Dedup.clusters(pairs).localCheckpoint())
+      .orderBy("cluster_id").collect().toSeq
+    val fromPairs = Pipeline.preferencePairsFromPairs(scored, col("doc_id"),
+        col("s"), pairs)
+      .orderBy("cluster_id").collect().toSeq
+    val inline = Pipeline.preferencePairs(scored, col("doc_id"), col("s"),
+        Dedup.clusters(Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+          threshold = 0.5)))
+      .orderBy("cluster_id").collect().toSeq
+    assert(shared.nonEmpty) // the variant pair must actually cluster
+    assert(shared == fromPairs)
+    assert(shared == inline)
+  }
 }
