@@ -286,14 +286,16 @@ class SeriesHttp(store: SeriesStore, port: Int = 0,
       seasonalPeriod = p.get("seasonal").map(_.head.toInt),
       changepoint = truthy("changepoint"))
     // the timer wraps the full emit (compute + stream), matching the
-    // reference's executeQuery timing (query.go:318-331); cache hits
-    // stream chunked exactly like computed responses instead of being
-    // buffered into one send. Post-processed responses cache too —
-    // the key mixes every PostProcess field.
+    // reference's executeQuery timing (query.go:318-331). Both cache
+    // hits AND misses stream chunked: a miss tees per-bucket chunks
+    // into the cache as they leave (QueryCache.queryJsonChunks), so
+    // enabling the cache never delays the first byte behind a full
+    // materialization. Post-processed responses cache too — the key
+    // mixes every PostProcess field.
     timedQuery(s"_query $db ${ex.getRequestURI.getQuery}") {
       cache match {
         case Some(c) =>
-          sendStream(ex, c.queryJson(db, q, post).grouped(streamChunkChars))
+          sendStream(ex, c.queryJsonChunks(db, q, post, streamChunkChars))
         case _ => sendStream(ex, store.queryJsonChunks(db, q, post))
       }
     }

@@ -66,6 +66,55 @@ class QueryCache(store: SeriesStore, capacity: Int = 256,
     }
   }
 
+  /**
+   * Streaming form of [[queryJson]] — the `_query` HTTP emit path: a
+   * cache HIT streams the stored response in `chunkChars` slices; a
+   * MISS streams the engine's per-bucket chunks AS THEY ARRIVE while
+   * teeing them into a side buffer, and the assembled response enters
+   * the cache only when the stream is exhausted. First-byte latency
+   * and server memory on a miss therefore match the uncached path
+   * (the reference streams each bucket as it completes,
+   * handlers.go:177-227) — the cache never forces the whole response
+   * to materialize before the first chunk leaves. Responses that
+   * outgrow the cache's byte budget stop teeing (the buffer is
+   * dropped mid-stream), so a pathologically large identity scan
+   * cannot pin response-sized memory just to fail [[putEntry]]'s
+   * budget check at the end. An abandoned stream (client gone,
+   * deadline hit) inserts nothing.
+   */
+  def queryJsonChunks(db: String, q: SeriesQuery,
+      post: graft.operators.SeriesEngine.PostProcess,
+      chunkChars: Int = 8192): Iterator[String] = {
+    val key = "q#" + java.lang.Long.toUnsignedString(cacheKey(db, q, post))
+    val cached = lru.get(key)
+    if (cached != null) { hitCount.increment(); cached.grouped(chunkChars) }
+    else {
+      missCount.increment()
+      val inner = store.queryJsonChunks(db, q, post)
+      new Iterator[String] {
+        private var buf: StringBuilder = new StringBuilder
+        private var inserted = false
+        def hasNext: Boolean = {
+          val h = inner.hasNext
+          if (!h && !inserted && buf != null) {
+            inserted = true
+            putEntry(key, buf.toString)
+            buf = null
+          }
+          h
+        }
+        def next(): String = {
+          val c = inner.next()
+          if (buf != null) {
+            if (2L * (buf.length + c.length) > maxBytes) buf = null // uncacheable
+            else buf.append(c)
+          }
+          c
+        }
+      }
+    }
+  }
+
   /** Raw-keyed surface for the memcached transport ([[graft.http
    * .SeriesMc]]): a seriesly-style client GETs/SETQs query results
    * under its own content-derived keys (reference cache.go:157-172 —

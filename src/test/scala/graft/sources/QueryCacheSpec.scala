@@ -157,4 +157,51 @@ class QueryCacheSpec extends SparkSpec {
     assert(gen1._1 != gen2._1, "incarnation UIDs must differ")
     assert(cache.queryJson("dr", q) == """{"1346189040000":[30]}""")
   }
+
+  test("queryJsonChunks: a miss streams before caching; exhaustion caches") {
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qcs").toString)
+    store.create("db")
+    (0 until 4).foreach(i =>
+      store.store("db", Some(s"2012-08-28T21:2$i:00Z"), s"""{"v": $i}"""))
+    val cache = new QueryCache(store)
+    val q = SeriesQuery(60000, Seq("/v"), Seq("sum"), names = Seq("s"))
+    val post = graft.operators.SeriesEngine.PostProcess()
+
+    // MISS: chunks arrive per bucket; the first chunk leaves BEFORE
+    // the response exists anywhere in full — nothing is cached until
+    // the stream is exhausted (an abandoned client caches nothing)
+    val it = cache.queryJsonChunks("db", q, post)
+    val head = it.next()
+    assert(head == "{")
+    val missesMid = cache.misses
+    val hitsMid = cache.hits
+    assert(cache.queryJsonChunks("db", q, post).next() == "{")
+    assert(cache.misses == missesMid + 1 && cache.hits == hitsMid,
+      "partially-consumed stream must not have populated the cache")
+    val full = (head +: it.toSeq).mkString
+    assert(full == cache.queryJson("db", q)) // now a HIT on the teed entry
+    assert(cache.hits == hitsMid + 1)
+    // and the chunked surface hits too, slicing the stored string
+    assert(cache.queryJsonChunks("db", q, post, chunkChars = 7)
+      .mkString == full)
+  }
+
+  test("queryJsonChunks: over-budget responses stream whole, cache nothing") {
+    val store = new SeriesStore(spark,
+      Files.createTempDirectory("graft-qcx").toString)
+    store.create("db")
+    (0 until 4).foreach(i =>
+      store.store("db", Some(s"2012-08-28T21:2$i:00Z"), s"""{"v": $i}"""))
+    // budget smaller than any response: the tee buffer is dropped
+    // mid-stream, the emit still completes, nothing enters the cache
+    val cache = new QueryCache(store, maxBytes = 8)
+    val q = SeriesQuery(60000, Seq("/v"), Seq("sum"), names = Seq("s"))
+    val post = graft.operators.SeriesEngine.PostProcess()
+    val full = cache.queryJsonChunks("db", q, post).mkString
+    assert(full.startsWith("{") && full.endsWith("}"))
+    val missesBefore = cache.misses
+    cache.queryJsonChunks("db", q, post).foreach(_ => ())
+    assert(cache.misses == missesBefore + 1, "nothing was cached")
+  }
 }
