@@ -555,7 +555,9 @@ object Queries {
     // timelib/time.go:132-145).
     "q_time_parse" -> Entry(
       (s, dir) => {
-        val parse = udf((x: String) => graft.timelib.TimeLib.parseTime(x))
+        // codegen'd TimeParseExpr, not a UDF: the parse stays inside
+        // the whole-stage loop (timelib/time.go:44-45 — hot by design)
+        val parse = graft.functions.TimeParseExpr.timeParse _
         eventsNs(s, dir)
           .filter(col("event_id") < 500)
           .select(col("event_id"), expr("ts div 1000").as("us"))
