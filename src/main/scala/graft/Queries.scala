@@ -1798,22 +1798,35 @@ object Queries {
       },
       Some(annLshOracle(tables = 4, planes = 4, k = 10))),
 
+    // centroid choice pins the COUNT, not a corpus fraction: every
+    // 16th id up to a 4096-id horizon caps the codebook at 256
+    // centroids however large the corpus grows (a %16-only rule makes
+    // the N x C assignment quadratic in N — the classic fixed-fraction
+    // scale bug; production IVF sizes the codebook ~sqrt(N), fixed per
+    // deployment). Below the horizon (sf0.01, sf0.1) the rule is
+    // exactly the old one, so small-SF output is unchanged.
     "ann_ivf_topk" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-            centroids = emb.filter(pmod(col("vec_id"), lit(16)) === 0),
+            centroids = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+              col("vec_id") < 4096),
             k = 10, nprobe = 2)
           .withColumn("sim", round(col("sim"), 6))
       },
-      Some(annIvfOracle(centMod = 16, k = 10, nprobe = 2))),
+      Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
+    // maxBucket=1024 bounds the sketch buckets however large the
+    // corpus grows (a no-op at the sf0.01 gate size; at the 100×
+    // probe it caps the per-bucket quadratic the replica cliques
+    // otherwise flood)
     "dedup_embedding" -> Entry(
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-          threshold = 0.4, tables = 4, planes = 4)
+          threshold = 0.4, tables = 4, planes = 4, maxBucket = 1024)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy(col("id1"), col("id2")),
-      Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4))),
+      Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4,
+        maxBucket = 1024))),
 
     // cross-corpus alignment pairs: even-id vs odd-id halves of the
     // embedding table, shared LSH buckets, exact cosine verify — the
@@ -1824,27 +1837,33 @@ object Queries {
         Similarity.crossCosinePairs(
             emb.filter(pmod(col("vec_id"), lit(2)) === 0),
             emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-            threshold = 0.4, tables = 4, planes = 4)
+            threshold = 0.4, tables = 4, planes = 4, maxBucket = 1024)
           .withColumn("sim", round(col("sim"), 6))
           .orderBy(col("id1"), col("id2"))
       },
-      Some(crossPairsOracle(threshold = 0.4, tables = 4, planes = 4))),
+      Some(crossPairsOracle(threshold = 0.4, tables = 4, planes = 4,
+        maxBucket = 1024))),
 
     // SemDeDup: cluster the embedding space (one Lloyd assignment —
     // the same portable construction embed_kmeans gates), then score
     // ONLY same-cluster pairs. Exact within a cluster, sub-quadratic
-    // across the corpus when k ≈ √N
+    // across the corpus when k ≈ √N. The gate pins k to the 10 labels,
+    // so cluster size grows as N/10 with the corpus — maxBucket=1000
+    // re-imposes the bound via sketch-bit refinement (a no-op at the
+    // sf0.01 gate and sf0.1 bench sizes, where clusters stay ≤1000;
+    // at the 100× probe it caps the in-cluster quadratic)
     "dedup_semantic" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val assign = graft.operators.Embeddings.kmeansIter(emb,
             col("vec_id"), col("embedding"), col("label"))
           .select(col("vec_id"), col("new_label").as("cluster"))
-        Similarity.semanticNearDupPairs(emb, assign, threshold = 0.4)
+        Similarity.semanticNearDupPairs(emb, assign, threshold = 0.4,
+            maxBucket = 1000)
           .withColumn("sim", round(col("sim"), 6))
           .orderBy(col("cluster"), col("id1"), col("id2"))
       },
-      Some(semanticDedupOracle(threshold = 0.4))),
+      Some(semanticDedupOracle(threshold = 0.4, maxBucket = 1000))),
 
     // embedding-level benchmark decontamination: eval side (vec_id<16)
     // broadcast, per-corpus-row max cosine via map-side-combined
@@ -2961,15 +2980,19 @@ object Queries {
   /** DuckDB mirror of [[Similarity.sketchKey]]: the `planes` sign bits
    * of dot(v, r_p) for hash table `t`, with the same md5-derived ±1
    * Rademacher planes (term-for-term float order). */
-  private def sketchKeySql(t: Int, planes: Int): String = {
-    val bits = (0 until planes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-        i -> embedding[i]::DOUBLE *
+  /** Bare sign-sketch bit string (no table prefix) of vector
+   * expression `v` for hash table `t`, mirroring
+   * [[graft.operators.Similarity.sketchKey]]'s bits. */
+  private def sketchBitsSql(t: Int, planes: Int, v: String): String =
+    (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len($v) + 1),
+        i -> $v[i]::DOUBLE *
           (CASE WHEN ('0x' || substr(md5('$t' || ':' || '$p' || ':' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 1
            THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END)"""
     }.mkString(" || ")
-    s"'$t' || '#' || ($bits)"
-  }
+
+  private def sketchKeySql(t: Int, planes: Int): String =
+    s"'$t' || '#' || (${sketchBitsSql(t, planes, "embedding")})"
 
   private def tksSql(tables: Int, planes: Int): String =
     (0 until tables).map(sketchKeySql(_, planes)).mkString(", ")
@@ -3000,10 +3023,11 @@ object Queries {
   /** IVF top-k in DuckDB, mirroring [[Similarity.ivfTopK]]: nearest-
    * centroid assignment per corpus vector, nprobe nearest centroids
    * per query, exact cosine within the probed lists. */
-  private def annIvfOracle(centMod: Int, k: Int, nprobe: Int): String =
+  private def annIvfOracle(centMod: Int, centCap: Int, k: Int,
+      nprobe: Int): String =
     s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv,
             ${nrmSql("embedding")} AS cn
-          FROM embeddings WHERE vec_id % $centMod = 0),
+          FROM embeddings WHERE vec_id % $centMod = 0 AND vec_id < $centCap),
       asn AS (SELECT e.vec_id, e.embedding AS v, c.cent_id,
           row_number() OVER (PARTITION BY e.vec_id ORDER BY
             ${dotSql.format("e.embedding", "cv")} / (${nrmSql("e.embedding")} * cn)
@@ -3083,15 +3107,46 @@ object Queries {
           row_number() OVER (PARTITION BY doc_id ORDER BY s, cls) AS rn
         FROM sc)"""
 
+  /** Per-table full-[[graft.operators.Similarity.RefineBits]]-bit
+   * sketch structs `[{t, sk}, ...]` for the bounded-bucket oracles —
+   * the base bucket key is `(t, first planes bits)`, the refinement
+   * deepens with the next bits of the same string. */
+  private def tssFullSql(tables: Int): String =
+    (0 until tables).map(t => s"{'t': $t, 'sk': " +
+      sketchBitsSql(t, graft.operators.Similarity.RefineBits, "embedding") +
+      "}").mkString(", ")
+
+  /** The ceil-div CASE ladder: smallest b with m ≤ 2^b, capped at
+   * RefineBits − planes — integer-exact mirror of
+   * [[graft.operators.Similarity]]'s refinement bits. */
+  private def bitsLadderSql(planes: Int): String = {
+    val maxExt = graft.operators.Similarity.RefineBits - planes
+    val cases = (0 until maxExt).map(b => s"WHEN m <= ${1L << b} THEN $b")
+      .mkString(" ")
+    s"CASE $cases ELSE $maxExt END"
+  }
+
   /** Embedding-cosine near-dup pairs in DuckDB: LSH-bucketed self-join
-   * + exact cosine verify, mirroring [[Similarity.cosineNearDupPairs]]. */
-  private def embNearDupOracle(threshold: Double, tables: Int, planes: Int): String =
-    s"""WITH b AS (SELECT vec_id, embedding, [${tksSql(tables, planes)}] AS tks
-          FROM embeddings),
-      e AS (SELECT vec_id, embedding AS v, unnest(tks) AS tk FROM b),
+   * + exact cosine verify, mirroring [[Similarity.cosineNearDupPairs]]
+   * including the `maxBucket` key deepening (bucket keys never cross
+   * engines, so only the PARTITION of rows into buckets must agree:
+   * same table, same prefix bits, same integer bits ladder). */
+  private def embNearDupOracle(threshold: Double, tables: Int, planes: Int,
+      maxBucket: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding, [${tssFullSql(tables)}] AS tss
+          FROM embeddings WHERE ${nrmSql("embedding")} > 0),
+      e AS (SELECT vec_id, embedding AS v, u.t AS t, u.sk AS sk,
+          u.t::VARCHAR || '#' || substr(u.sk, 1, $planes) AS tk
+        FROM (SELECT vec_id, embedding, unnest(tss) AS u FROM b)),
+      bz AS (SELECT tk, ${bitsLadderSql(planes)} AS bits FROM
+        (SELECT tk, (count(*)::BIGINT + ${maxBucket.toLong - 1L}) // ${maxBucket.toLong} AS m
+          FROM e GROUP BY 1)),
+      e2 AS (SELECT e.vec_id, e.v,
+          e.tk || '|' || substr(e.sk, ${planes + 1}, bz.bits) AS k2
+        FROM e JOIN bz USING (tk)),
       cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2,
           l.v AS v1, r.v AS v2
-        FROM e l JOIN e r ON l.tk = r.tk AND l.vec_id < r.vec_id),
+        FROM e2 l JOIN e2 r ON l.k2 = r.k2 AND l.vec_id < r.vec_id),
       scored AS (SELECT id1, id2,
           ${dotSql.format("v1", "v2")} / (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
         FROM cand)
@@ -3100,17 +3155,25 @@ object Queries {
 
   /** Cross-corpus LSH pairs in DuckDB, mirroring
    * [[Similarity.crossCosinePairs]] over the even/odd halves: same
-   * sketch keys, same-bucket (left, right) candidates, exact cosine
-   * verify. */
+   * sketch buckets (sizes counted across BOTH sides, as the Spark
+   * side does), same key deepening, exact cosine verify. */
   private def crossPairsOracle(threshold: Double, tables: Int,
-      planes: Int): String =
-    s"""WITH b AS (SELECT vec_id, embedding, [${tksSql(tables, planes)}] AS tks
-          FROM embeddings),
-      l AS (SELECT vec_id AS id1, embedding AS v1, unnest(tks) AS tk
-        FROM b WHERE vec_id % 2 = 0),
-      r AS (SELECT vec_id AS id2, embedding AS v2, unnest(tks) AS tk
-        FROM b WHERE vec_id % 2 = 1),
-      cand AS (SELECT DISTINCT id1, id2, v1, v2 FROM l JOIN r USING (tk)),
+      planes: Int, maxBucket: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding, [${tssFullSql(tables)}] AS tss
+          FROM embeddings WHERE ${nrmSql("embedding")} > 0),
+      e AS (SELECT vec_id, embedding AS v, u.t AS t, u.sk AS sk,
+          u.t::VARCHAR || '#' || substr(u.sk, 1, $planes) AS tk
+        FROM (SELECT vec_id, embedding, unnest(tss) AS u FROM b)),
+      bz AS (SELECT tk, ${bitsLadderSql(planes)} AS bits FROM
+        (SELECT tk, (count(*)::BIGINT + ${maxBucket.toLong - 1L}) // ${maxBucket.toLong} AS m
+          FROM e GROUP BY 1)),
+      e2 AS (SELECT e.vec_id, e.v,
+          e.tk || '|' || substr(e.sk, ${planes + 1}, bz.bits) AS k2
+        FROM e JOIN bz USING (tk)),
+      cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2,
+          l.v AS v1, r.v AS v2
+        FROM e2 l JOIN e2 r ON l.k2 = r.k2
+        WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1),
       scored AS (SELECT id1, id2,
           ${dotSql.format("v1", "v2")} /
             (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
@@ -3123,7 +3186,13 @@ object Queries {
    * assignment: the kmeansOracle CTEs produce the cluster per vector
    * (same DECIMAL centroid means, same (d2, cent_id) tie-break), then
    * a within-cluster self-join scores exact cosine. */
-  private def semanticDedupOracle(threshold: Double): String =
+  private def semanticDedupOracle(threshold: Double,
+      maxBucket: Int = Int.MaxValue): String = {
+    // bits = smallest b with ceil(cnt/maxBucket) <= 2^b, as an
+    // integer CASE ladder — mirrors the Spark side exactly (no
+    // floating log2 on either engine)
+    val ladder = (0 until graft.operators.Similarity.RefineBits)
+      .map(b => s"WHEN m <= ${1L << b} THEN $b").mkString(" ")
     s"""WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
@@ -3142,13 +3211,24 @@ object Queries {
       asn AS (SELECT e.vec_id, cent_id AS cluster, v
         FROM ranked JOIN e USING (vec_id)
         WHERE rn = 1 AND ${nrmSql("v")} > 0),
+      bz AS (SELECT cluster, CASE $ladder
+            ELSE ${graft.operators.Similarity.RefineBits} END AS bits
+        FROM (SELECT cluster,
+            (count(*)::BIGINT + ${maxBucket.toLong - 1L}) // ${maxBucket.toLong} AS m
+          FROM asn GROUP BY 1)),
+      a2 AS (SELECT asn.vec_id, asn.cluster, asn.v,
+          asn.cluster::VARCHAR || '@' ||
+            substr(${sketchBitsSql(0,
+              graft.operators.Similarity.RefineBits, "asn.v")}, 1, bz.bits) AS sub
+        FROM asn JOIN bz USING (cluster)),
       pairs AS (SELECT a.cluster, a.vec_id AS id1, b.vec_id AS id2,
           ${dotSql.format("a.v", "b.v")} /
             (${nrmSql("a.v")} * ${nrmSql("b.v")}) AS sim
-        FROM asn a JOIN asn b
-          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        FROM a2 a JOIN a2 b
+          ON a.sub = b.sub AND a.vec_id < b.vec_id)
       SELECT cluster, id1, id2, round(sim, 6) AS sim FROM pairs
       WHERE sim >= $threshold ORDER BY 1, 2, 3"""
+  }
 
   /** Label-outlier mining in DuckDB, mirroring
    * [[graft.operators.Embeddings.labelOutliers]]: kmeansOracle's

@@ -224,21 +224,117 @@ object Similarity {
    * vectors rejoin only the deduped candidate set).
    */
   def crossCosinePairs(left: DataFrame, right: DataFrame, threshold: Double,
-      tables: Int = 4, planes: Int = 8): DataFrame = {
-    def bucketed(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
-        .withColumn("tk", explode(array((0 until tables).map(t =>
-          concat_ws("#", lit(t), sketchKey(col(s"${idName}_v"), t, planes))): _*)))
-        .select(col(idName), col("tk"))
-    bucketed(left, "id1").join(bucketed(right, "id2"), Seq("tk"))
-      .select(col("id1"), col("id2"))
-      .distinct()
-      .join(left.select(col("vec_id").as("id1"), col("embedding").as("v1")), Seq("id1"))
-      .join(right.select(col("vec_id").as("id2"), col("embedding").as("v2")), Seq("id2"))
-      .filter(l2norm(col("v1")) > 0 && l2norm(col("v2")) > 0)
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      tables: Int = 4, planes: Int = 8): DataFrame =
+    crossCosinePairs(left, right, threshold, tables, planes,
+      maxBucket = Int.MaxValue)
+
+  /** Smallest b in [0, maxExt] with m ≤ 2^b, as a pure-integer CASE
+   * ladder (no floating log2 — any SQL engine mirrors it exactly). */
+  private def refineBitsCol(m: Column, maxExt: Int): Column =
+    (maxExt - 1 to 0 by -1).foldLeft(lit(maxExt)) {
+      (acc, b) => when(m <= lit(1L << b), lit(b)).otherwise(acc)
+    }
+
+  /** One row per (vector, hash table): id/vector/norm, the table id
+   * `__t`, and the base `planes`-bit bucket key `tk`. Only the base
+   * bits are hashed here — the [[RefineBits]]-deep sketch is computed
+   * lazily in [[extendKeys]], and only for rows whose bucket turned
+   * out oversized (on a healthy corpus that's nobody, so the bounded
+   * overloads cost one count aggregate over the base path). Zero-norm
+   * rows are dropped — they can never pass a cosine threshold. */
+  private def explodedBuckets(df: DataFrame, idName: String, tables: Int,
+      planes: Int): DataFrame =
+    df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
+      .withColumn(s"${idName}_n", l2norm(col(s"${idName}_v")))
+      .filter(col(s"${idName}_n") > 0)
+      .withColumn("__t", explode(array((0 until tables).map(lit): _*)))
+      .withColumn("tk", (0 until tables).foldLeft(lit("")) { (acc, t) =>
+        when(col("__t") === t, concat_ws("#", lit(t),
+          sketchKey(col(s"${idName}_v"), t, planes))).otherwise(acc)
+      })
+
+  /** Extend each bucket row's key by enough further sketch bits to
+   * re-bound the bucket at ~`maxBucket` rows: `sizes(tk, count)` →
+   * bits = smallest b with ceil(count/maxBucket) ≤ 2^b (capped at the
+   * sketch length), key2 = tk | next-b-bits. The size table is
+   * broadcast — there are at most tables·2^planes base buckets — and
+   * the deep sketch evaluates per row only under the bits > 0 branch,
+   * i.e. only inside genuinely oversized buckets. */
+  private def extendKeys(buckets: DataFrame, v: Column, sizes: DataFrame,
+      tables: Int, planes: Int, maxBucket: Int): DataFrame = {
+    val m = floor((col("count") + lit(maxBucket.toLong) - 1L) /
+      lit(maxBucket.toDouble)).cast("long")
+    val bz = sizes.select(col("tk"),
+      refineBitsCol(m, RefineBits - planes).as("__bits"))
+    val deepExt = (0 until tables).foldLeft(lit("")) { (acc, t) =>
+      when(col("__t") === t, sketchKey(v, t, RefineBits)
+        .substr(lit(planes + 1), col("__bits"))).otherwise(acc)
+    }
+    buckets.join(broadcast(bz), Seq("tk"))
+      .withColumn("k2", concat(col("tk"), lit("|"),
+        when(col("__bits") > 0, deepExt).otherwise(lit(""))))
+      .drop("__bits")
+  }
+
+  /**
+   * [[crossCosinePairs]] with a BOUNDED bucket size, the same
+   * discipline as [[semanticNearDupPairs]]'s `maxBucket`: any sketch
+   * bucket holding more than `maxBucket` rows (both sides counted —
+   * the join does left·right work in it) is deepened by further bits
+   * of the SAME table's sketch until ceil(size/maxBucket) ≤ 2^bits.
+   * On a replica-heavy corpus the hot buckets are near-duplicate
+   * cliques whose members agree on every sign bit, so true pairs ride
+   * the deepened key together; what the refinement sheds is the
+   * dissimilar bulk that happened to share a short prefix — exactly
+   * the candidates an exact verify would reject anyway. Recall loss
+   * is confined to oversized buckets and to pairs that disagree on an
+   * extension bit (the lower-cosine tail). `maxBucket` = ∞ is the
+   * exact LSH candidate set.
+   *
+   * In-bucket verify (the discipline the MinHash family uses): the
+   * vectors ride THROUGH the bucket join and the exact cosine is
+   * scored inline in the join stage, so the candidate flood never
+   * hits an exchange — only pairs that already pass the threshold
+   * reach the cross-table distinct. The alternative (dedup bare id
+   * pairs first, rejoin vectors after) shuffles every candidate
+   * twice and re-attaches both vectors with two more shuffle joins;
+   * on replica-heavy corpora (where most of a bucket IS one clique)
+   * that candidate exchange is the job. Norms are computed once per
+   * row before the table explode, so the per-pair work is one
+   * codegen'd dot. The result set is bit-identical either way —
+   * scoring is deterministic, so the multi-table duplicates the
+   * distinct collapses carry equal sims.
+   */
+  def crossCosinePairs(left: DataFrame, right: DataFrame, threshold: Double,
+      tables: Int, planes: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val joined =
+      if (maxBucket == Int.MaxValue) {
+        // unbounded: skip the sizing pass and the 16-bit sketch carry
+        def bucketed(df: DataFrame, idName: String): DataFrame =
+          df.select(col("vec_id").as(idName),
+              col("embedding").as(s"${idName}_v"))
+            .withColumn(s"${idName}_n", l2norm(col(s"${idName}_v")))
+            .filter(col(s"${idName}_n") > 0)
+            .withColumn("tk", explode(array((0 until tables).map(t =>
+              concat_ws("#", lit(t),
+                sketchKey(col(s"${idName}_v"), t, planes))): _*)))
+        bucketed(left, "id1").join(bucketed(right, "id2"), Seq("tk"))
+      } else {
+        val l = explodedBuckets(left, "id1", tables, planes)
+        val r = explodedBuckets(right, "id2", tables, planes)
+        val sizes = l.select(col("tk")).unionAll(r.select(col("tk")))
+          .groupBy(col("tk")).count()
+        extendKeys(l, col("id1_v"), sizes, tables, planes, maxBucket)
+          .join(extendKeys(r, col("id2_v"), sizes, tables, planes, maxBucket),
+            Seq("k2"))
+      }
+    joined
+      .withColumn("sim",
+        dot(col("id1_v"), col("id2_v")) / (col("id1_n") * col("id2_n")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
+      .distinct()
   }
 
   /**
@@ -265,15 +361,61 @@ object Similarity {
    * giant cluster is a mis-sized k, not a shuffle pathology.
    */
   def semanticNearDupPairs(corpus: DataFrame, assign: DataFrame,
-      threshold: Double): DataFrame = {
-    val e = corpus.select(col("vec_id"), col("embedding"))
+      threshold: Double): DataFrame =
+    semanticNearDupPairs(corpus, assign, threshold, maxBucket = Int.MaxValue)
+
+  /** Maximum sketch-bit refinement depth for [[semanticNearDupPairs]]:
+   * a cluster is never split into more than 2^16 sub-buckets. */
+  val RefineBits = 16
+
+  /**
+   * [[semanticNearDupPairs]] with a BOUNDED per-bucket pair search:
+   * any cluster larger than `maxBucket` is refined by hyperplane
+   * sketch bits — the smallest b with ceil(|cluster|/maxBucket) ≤ 2^b
+   * leading bits of a per-vector 16-bit sign sketch — and only pairs
+   * agreeing on those bits score. This is how a fixed-k clustering
+   * survives corpus growth: with k frozen, clusters grow as N/k and
+   * the in-cluster self-join is quadratic in that; the refinement
+   * re-imposes the ≈`maxBucket` bound the k ≈ √N sizing would have
+   * given, trading recall ONLY inside oversized clusters (pairs that
+   * disagree on a sign bit are the obtuse-ish ones — exactly the
+   * pairs least likely to pass a high cosine threshold; replicas and
+   * tight paraphrase groups share sketch prefixes and stay together).
+   * With `maxBucket` = ∞ (the 3-arg overload) no cluster refines and
+   * the output is the exact within-cluster pair set.
+   *
+   * The bits count is computed INTEGER-exactly (a CASE ladder on
+   * ceil-div, no floating log2), so any SQL engine reproduces the
+   * same refinement deterministically — the oracle mirrors it term
+   * for term. Cluster sizes come from one count aggregate broadcast
+   * back onto the scan (at k ≈ √N the size table is √N rows).
+   */
+  def semanticNearDupPairs(corpus: DataFrame, assign: DataFrame,
+      threshold: Double, maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val e0 = corpus.select(col("vec_id"), col("embedding"))
       .filter(l2norm(col("embedding")) > 0) // cosine undefined at 0
       .join(assign.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-    val l = e.select(col("cluster"), col("vec_id").as("id1"),
+    // ceil(count/maxBucket) compared against successive powers of two:
+    // integer arithmetic end to end (the ceil-div sum stays far below
+    // 2^53, so the double floor is exact), so the engine's floating
+    // log2 has no say in the bits count — any SQL mirror agrees.
+    val m = floor((col("count") + lit(maxBucket.toLong) - 1L) /
+      lit(maxBucket.toDouble)).cast("long")
+    val bits = (RefineBits - 1 to 0 by -1).foldLeft(lit(RefineBits)) {
+      (acc, b) => when(m <= lit(1L << b), lit(b)).otherwise(acc)
+    }
+    val sizes = e0.groupBy(col("cluster")).count()
+      .select(col("cluster"), bits.as("__bits"))
+    val e = e0.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("__sub", concat_ws("@", col("cluster"),
+        sketchKey(col("embedding"), table = 0, planes = RefineBits)
+          .substr(lit(1), col("__bits"))))
+    val l = e.select(col("__sub"), col("cluster"), col("vec_id").as("id1"),
       col("embedding").as("v1"))
-    val r = e.select(col("cluster"), col("vec_id").as("id2"),
+    val r = e.select(col("__sub"), col("vec_id").as("id2"),
       col("embedding").as("v2"))
-    l.join(r, Seq("cluster"))
+    l.join(r, Seq("__sub"))
       .filter(col("id1") < col("id2"))
       .withColumn("sim", cosine(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
@@ -283,25 +425,44 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs over one corpus: LSH-
    * bucketed self-join, exact cosine verify ≥ threshold. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      tables: Int = 4, planes: Int = 8): DataFrame = {
-    // Same slimming as hyperplaneTopK: hash, then drop the vectors so
-    // the cross-table candidate dedup shuffles bare id pairs; exact
-    // verification rejoins embeddings against the deduped pair set.
-    val b = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("tk", explode(array((0 until tables).map(t =>
-        concat_ws("#", lit(t), sketchKey(col("embedding"), t, planes))): _*)))
-      .select(col("vec_id"), col("tk"))
-    val l = b.alias("l")
-    val r = b.alias("r")
-    l.join(r, col("l.tk") === col("r.tk") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"))
-      .distinct()
-      .join(corpus.select(col("vec_id").as("id1"), col("embedding").as("v1")), Seq("id1"))
-      .join(corpus.select(col("vec_id").as("id2"), col("embedding").as("v2")), Seq("id2"))
-      .filter(l2norm(col("v1")) > 0 && l2norm(col("v2")) > 0)
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      tables: Int = 4, planes: Int = 8): DataFrame =
+    cosineNearDupPairs(corpus, threshold, tables, planes,
+      maxBucket = Int.MaxValue)
+
+  /** [[cosineNearDupPairs]] with [[crossCosinePairs]]'s bounded
+   * bucket size: sketch buckets beyond `maxBucket` rows deepen their
+   * key by further bits of the same sketch. In-bucket verify, as in
+   * [[crossCosinePairs]]: vectors ride the self-join, the exact
+   * cosine scores inline, and only threshold survivors reach the
+   * cross-table distinct — no bare-candidate exchange, no vector
+   * rejoins. Norms precompute per row before the table explode. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      tables: Int, planes: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val b =
+      if (maxBucket == Int.MaxValue)
+        corpus.select(col("vec_id"), col("embedding"))
+          .withColumn("vn", l2norm(col("embedding")))
+          .filter(col("vn") > 0) // zero vectors can never pass the verify
+          .withColumn("k2", explode(array((0 until tables).map(t =>
+            concat_ws("#", lit(t),
+              sketchKey(col("embedding"), t, planes))): _*)))
+      else {
+        val e = explodedBuckets(corpus, "vec_id", tables, planes)
+          .withColumnRenamed("vec_id_v", "embedding")
+          .withColumnRenamed("vec_id_n", "vn")
+        extendKeys(e, col("embedding"), e.groupBy(col("tk")).count(),
+          tables, planes, maxBucket)
+      }
+    val l = b.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      col("vn").as("n1"), col("k2"))
+    val r = b.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      col("vn").as("n2"), col("k2"))
+    l.join(r, Seq("k2")).filter(col("id1") < col("id2"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
+      .distinct()
   }
 
   /**

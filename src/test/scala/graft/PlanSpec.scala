@@ -76,6 +76,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"benchmark side not broadcast:\n$p")
   }
 
+  test("embedding pair joins verify in-bucket: no bare-candidate rejoin") {
+    assume(available)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // in-bucket verify: ONE equi-join on the sketch key (vectors ride
+    // it), cosine scored inline, distinct on survivors. A plan with
+    // more joins means the bare-candidate-dedup-then-rejoin shape is
+    // back — the one that shuffles the full candidate flood twice
+    val p = planOf(Similarity.crossCosinePairs(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      threshold = 0.4, tables = 4, planes = 4))
+    assert("Join".r.findAllIn(p).size <= 2, // one logical join (SMJ/SHJ + AQE variants)
+      s"crossCosinePairs rejoins vectors after candidate dedup:\n$p")
+    val p2 = planOf(Similarity.cosineNearDupPairs(emb, threshold = 0.4,
+      tables = 4, planes = 4))
+    assert("Join".r.findAllIn(p2).size <= 2,
+      s"cosineNearDupPairs rejoins vectors after candidate dedup:\n$p2")
+  }
+
+  test("semantic refinement broadcasts the cluster-size table") {
+    assume(available)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val assign = emb.select(col("vec_id"), col("label").as("cluster"))
+    val p = planOf(Similarity.semanticNearDupPairs(emb, assign,
+      threshold = 0.4, maxBucket = 4))
+    // the per-cluster bits table must come back as a broadcast, never
+    // a shuffle join keyed on cluster (that would re-exchange the
+    // corpus a second time before the pair join)
+    assert(p.contains("BroadcastExchange"),
+      s"cluster sizes not broadcast:\n$p")
+  }
+
   test("no registry query degenerates to a non-broadcast cartesian product") {
     assume(available)
     // BroadcastNestedLoopJoin with a bounded broadcast side is a

@@ -134,6 +134,59 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.head.getInt(0) == 20)
   }
 
+  test("LSH pair ops: bounded buckets are a no-op below maxBucket and " +
+      "keep cliques together above") {
+    // 30 near-parallel vectors (a replica clique) + 2 distant ones:
+    // below maxBucket the bounded overloads must equal the unbounded
+    // candidate set exactly; above, the clique's sketch bits agree so
+    // its true pairs survive the key deepening
+    val rows = (0L until 30L).map(i => i -> Seq(1f, 1e-4f * i, 0.01f)) ++
+      Seq(90L -> Seq(0f, 1f, 0f), 91L -> Seq(0f, 0.9f, 0.1f))
+    val df = vecs(rows: _*)
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Similarity.cosineNearDupPairs(df, threshold = 0.99,
+      tables = 4, planes = 2))
+    assert(exact.nonEmpty)
+    assert(pairsOf(Similarity.cosineNearDupPairs(df, threshold = 0.99,
+      tables = 4, planes = 2, maxBucket = 64)) == exact) // 32 rows: no-op
+    assert(pairsOf(Similarity.cosineNearDupPairs(df, threshold = 0.99,
+      tables = 4, planes = 2, maxBucket = 4)) == exact) // clique coheres
+    val l = vecs(rows.filter(_._1 % 2 == 0): _*)
+    val r = vecs(rows.filter(_._1 % 2 == 1): _*)
+    val exactX = pairsOf(Similarity.crossCosinePairs(l, r, threshold = 0.99,
+      tables = 4, planes = 2))
+    assert(exactX.nonEmpty)
+    assert(pairsOf(Similarity.crossCosinePairs(l, r, threshold = 0.99,
+      tables = 4, planes = 2, maxBucket = 64)) == exactX)
+    assert(pairsOf(Similarity.crossCosinePairs(l, r, threshold = 0.99,
+      tables = 4, planes = 2, maxBucket = 4)) == exactX)
+  }
+
+  test("semantic near-dup refinement: no-op below maxBucket, bounded above") {
+    // 40 near-identical vectors in one cluster plus one distant pair:
+    // with maxBucket >= 40 the refined overload must equal the exact
+    // within-cluster pair set; with a small maxBucket the clique stays
+    // together (near-identical vectors share every sketch bit) while
+    // the work is bucket-bounded
+    val rows = (0L until 40L).map(i =>
+      i -> Seq(1f, 1e-4f * i, 0f)) :+ (90L -> Seq(0f, 1f, 0f))
+    val df = vecs(rows: _*)
+    val assign = rows.map { case (id, _) => (id, 7) }.toDF("vec_id", "cluster")
+    val exact = Similarity.semanticNearDupPairs(df, assign, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val refinedNoop = Similarity.semanticNearDupPairs(df, assign,
+        threshold = 0.9, maxBucket = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(refinedNoop == exact) // 41 <= 64: zero refinement bits
+    val refined = Similarity.semanticNearDupPairs(df, assign,
+        threshold = 0.9, maxBucket = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // the 40-clique's sketch bits agree (vectors are near-parallel), so
+    // every true pair survives the split; nothing new can appear
+    assert(refined == exact)
+  }
+
   test("semantic near-dup: zero vectors are excluded, each pair once") {
     val df = vecs(0L -> Seq(0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f),
       2L -> Seq(1f, 0f, 0f))
