@@ -1202,10 +1202,17 @@ object Queries {
         SELECT f.doc_id, k.keep_id, c.n, f.doc_id = k.keep_id AS is_keeper
         FROM f JOIN k USING (fp) JOIN c USING (fp) ORDER BY f.doc_id""")),
 
+    // threshold-matched banding (b=8/r=8 at t=0.8): the default
+    // b=16/r=4 preset's S-curve midpoint sits at ~0.5, so sub-
+    // threshold near-dup cliques (ScaleGen's ~0.66 replicas; real
+    // corpora's boilerplate families) flood the candidate set at
+    // scale. Single-run recall at the threshold is ~0.77 —
+    // dedup_lsh_audit MEASURES it; raise n if the miss rate matters
     "dedup_minhash_lsh" -> Entry(
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"),
-        col("doc_id"), col("text"), threshold = 0.8),
-      Some(minhashOracle(0.8))),
+        col("doc_id"), col("text"), threshold = 0.8,
+        bands = Dedup.bandsFor(0.8)),
+      Some(minhashOracle(0.8, bands = Dedup.bandsFor(0.8)))),
 
     // deterministic hash-based sampling: reproducible on any engine
     // with md5 — the oracle recomputes the exact subset
@@ -1546,8 +1553,9 @@ object Queries {
     // same sample — the measured recall number banding tuning needs
     "dedup_lsh_audit" -> Entry(
       (s, dir) => Dedup.lshRecallAudit(t(s, dir, "documents"),
-          col("doc_id"), col("text"), threshold = 0.8, rate = 0.5),
-      Some(s"""WITH ${minhashPairsCte(0.8, docsWhere =
+          col("doc_id"), col("text"), threshold = 0.8, rate = 0.5,
+          bands = Dedup.bandsFor(0.8)),
+      Some(s"""WITH ${minhashPairsCte(0.8, bands = Dedup.bandsFor(0.8), docsWhere =
             "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT" +
             " / 1152921504606846976.0) < 0.5")},
           truth AS (SELECT a.doc_id AS id1, b.doc_id AS id2
@@ -2274,11 +2282,12 @@ object Queries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Dedup.sourceOverlap(
-            Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8),
+            Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8,
+              bands = Dedup.bandsFor(0.8)),
             docs, col("doc_id"), col("source"))
           .orderBy(col("src1"), col("src2"))
       },
-      Some(s"""WITH ${minhashPairsCte(0.8)},
+      Some(s"""WITH ${minhashPairsCte(0.8, bands = Dedup.bandsFor(0.8))},
           src AS (SELECT doc_id, source FROM documents),
           po AS (SELECT least(s1.source, s2.source) AS src1,
               greatest(s1.source, s2.source) AS src2
@@ -2765,13 +2774,18 @@ object Queries {
             '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
         FROM p ORDER BY doc_id""")),
 
+    // threshold-matched banding (b=8/r=8 at t=0.8), as the clusters/
+    // perplexity variants already use: the default b=16/r=4 preset is
+    // tuned for t≈0.5 and floods candidates from sub-threshold
+    // near-dup cliques at scale
     "pipeline_clean" -> Entry(
       (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
           col("doc_id"), col("text"),
-          langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8)
+          langs = Seq("en", "es"), minQuality = 0.35, jaccardThreshold = 0.8,
+          lshBands = Dedup.bandsFor(0.8))
         .orderBy(col("doc_id")),
       Some(pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
-        jaccardThreshold = 0.8))),
+        jaccardThreshold = 0.8, bands = Dedup.bandsFor(0.8)))),
 
     "pipeline_clean_clusters" -> Entry(
       (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
