@@ -408,6 +408,67 @@ class PropertySpec extends AnyFunSuite {
     }, min = 25)
   }
 
+  test("bounded LSH buckets partition exactly like the in-memory reference") {
+    // The maxBucket refinement must be reproducible by ANY engine
+    // from the spec alone (the DuckDB oracles reimplement it): this
+    // re-derives buckets — md5-sign hyperplanes, planes-bit prefix,
+    // integer ceil-div bits ladder, key deepening — in plain Scala
+    // and requires the refined pair set to match pair-for-pair, sims
+    // exact. maxBucket is drawn small so refinement genuinely fires.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val dims = 3
+    def signs(t: Int, p: Int): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dims) { i =>
+        if (graft.functions.SimHash60.hash60(md,
+            s"$t:$p:$i".getBytes("UTF-8")) % 2 == 1) 1.0 else -1.0
+      }
+    }
+    def d(x: Seq[Float], y: Seq[Double]): Double =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q }
+    def dp(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + p.toDouble * q.toDouble }
+    val tables = 3
+    val planes = 2
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-5, 5).map(_.toFloat))
+    val gen = Gen.zip(Gen.listOfN(10, vecGen), Gen.oneOf(1, 2, 3))
+    check(Prop.forAllNoShrink(gen) { case (vs, maxBucket) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val nz = rows.filter { case (_, v) => dp(v, v) > 0 }
+      // reference buckets: (table, prefix) → deepened key
+      val exploded = for { (id, v) <- nz; t <- 0 until tables } yield {
+        val sk = (0 until Similarity.RefineBits).map(p =>
+          if (d(v, signs(t, p).toSeq) >= 0) '1' else '0').mkString
+        (id, v, t, sk)
+      }
+      val counts = exploded.groupBy { case (_, _, t, sk) =>
+        (t, sk.take(planes)) }.map { case (k, g) => (k, g.size) }
+      def bits(cnt: Int): Int = {
+        val m = (cnt + maxBucket - 1) / maxBucket
+        (0 to Similarity.RefineBits - planes)
+          .find(b => m <= (1L << b)).getOrElse(Similarity.RefineBits - planes)
+      }
+      val keyed = exploded.map { case (id, v, t, sk) =>
+        val base = (t, sk.take(planes))
+        (id, v, (base, sk.slice(planes, planes + bits(counts(base)))))
+      }
+      val expected = (for {
+        (i1, v1, k1) <- keyed; (i2, v2, k2) <- keyed
+        if k1 == k2 && i1 < i2
+        c = dp(v1, v2) / (math.sqrt(dp(v1, v1)) * math.sqrt(dp(v2, v2)))
+        if c >= 0.5
+      } yield (i1, i2) -> c).toMap
+      val got = Similarity.cosineNearDupPairs(
+          rows.toDF("vec_id", "embedding"), threshold = 0.5,
+          tables = tables, planes = planes, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      got == expected
+    }, min = 12)
+  }
+
   test("unigram NLL matches an in-memory model with vocab cut and OOV floor") {
     import graft.operators.CorpusStats
     import org.apache.spark.sql.functions.col
