@@ -153,12 +153,20 @@ object Similarity {
     // product — the difference between IVF build being scan-bound and
     // being the job's dominant exchange at corpus scale.) The struct
     // max replicates the window's tie-break exactly: highest __csim,
-    // then LOWEST cent_id via the negated id.
-    val lists = scored(corpus, "vec_id")
+    // then LOWEST cent_id via the negated id. The N·C scored stream
+    // carries only (id, cent_id, sim) — dragging the vector itself
+    // through the cross product writes C copies of every embedding
+    // into the stage's rows (a ~10× memory-bandwidth tax at 64 dims ×
+    // C=256); the vector instead rejoins the N-row assignment by id.
+    val assigned = scored(corpus, "vec_id")
+      .select(col("vec_id"), col("cent_id"), col("__csim"))
       .groupBy(col("vec_id"))
-      .agg(first(col("vec_id_v")).as("vec_id_v"),
-        max(struct(col("__csim").as("s"), (-col("cent_id")).as("negid"))).as("m"))
-      .select(col("vec_id"), col("vec_id_v"), (-col("m.negid")).as("cent_id"))
+      .agg(max(struct(col("__csim").as("s"),
+        (-col("cent_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), (-col("m.negid")).as("cent_id"))
+    val lists = assigned.join(
+      corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
+      Seq("vec_id"))
     // queries probe nprobe > 1 lists and the query set is small by
     // construction — the window shuffle is over #queries · C rows
     val wProbe = Window.partitionBy(col("query_id"))
