@@ -41,8 +41,12 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
       .filter(col("qn") > 0)
+    // the ranking window shuffles N·|Q| rows — project down to the
+    // three output columns first so the exchange never carries the
+    // embeddings themselves (they've done their job in the dot)
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -112,6 +116,7 @@ object Similarity {
       .join(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("query_id_v")), Seq("query_id"))
       .withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
+      .select(col("query_id"), col("vec_id"), col("sim")) // slim the window exchange
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -180,6 +185,7 @@ object Similarity {
     lists.join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
+      .select(col("query_id"), col("vec_id"), col("sim")) // slim the window exchange
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
@@ -210,6 +216,8 @@ object Similarity {
       .filter(col("qn") > 0)
     val scored = c.join(broadcast(q), col("neg_label") =!= col("query_label"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("neg_label"), col("sim")) // slim the window exchange
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
