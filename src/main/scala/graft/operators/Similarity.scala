@@ -423,8 +423,13 @@ object Similarity {
     }
     val sizes = e0.groupBy(col("cluster")).count()
       .select(col("cluster"), bits.as("__bits"))
+    // concat (not concat_ws): a NULL cluster must null the sub-key so
+    // the pair join drops it — the same null-never-matches semantics
+    // the plain cluster equi-join has, and what the SQL mirror's `||`
+    // does. concat_ws would silently SKIP the null and pair
+    // null-cluster rows by sketch bits alone.
     val e = e0.join(broadcast(sizes), Seq("cluster"))
-      .withColumn("__sub", concat_ws("@", col("cluster"),
+      .withColumn("__sub", concat(col("cluster").cast("string"), lit("@"),
         sketchKey(col("embedding"), table = 0, planes = RefineBits)
           .substr(lit(1), col("__bits"))))
     val l = e.select(col("__sub"), col("cluster"), col("vec_id").as("id1"),

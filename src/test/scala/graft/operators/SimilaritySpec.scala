@@ -187,6 +187,20 @@ class SimilaritySpec extends SparkSpec {
     assert(refined == exact)
   }
 
+  test("semantic near-dup: null-cluster rows never pair, refined or not") {
+    // the cluster equi-join's null-never-matches semantics must
+    // survive refinement: a null sub-key (concat null-propagates)
+    // keeps null-assigned rows out, exactly as the SQL mirror's ||
+    val df = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 1e-4f, 0f),
+      2L -> Seq(1f, 2e-4f, 0f))
+    val assign = Seq((0L, Some(5)), (1L, None), (2L, None))
+      .toDF("vec_id", "cluster")
+    assert(Similarity.semanticNearDupPairs(df, assign, threshold = 0.9)
+      .collect().isEmpty)
+    assert(Similarity.semanticNearDupPairs(df, assign, threshold = 0.9,
+      maxBucket = 1).collect().isEmpty)
+  }
+
   test("semantic near-dup: zero vectors are excluded, each pair once") {
     val df = vecs(0L -> Seq(0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f),
       2L -> Seq(1f, 0f, 0f))
