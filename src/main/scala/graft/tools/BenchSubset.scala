@@ -61,6 +61,11 @@ object BenchSubset {
       // min-of-times alone would read an intermittent crash as healthy
       val flag = if (threw) " FAILED" else ""
       println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f$flag")
+      // release this query's localCheckpoint blocks before the next
+      // one times: ContextCleaner frees them only after the RDD
+      // objects are GC'd, and accumulated blocks from earlier heavy
+      // queries have OOM'd (and skewed) later ones in the same JVM
+      System.gc()
       (name, if (times.nonEmpty) times.min else 999.0, threw)
     }
     // durable machine-readable record, same shape as Bench's
