@@ -165,26 +165,59 @@ object SeriesStats {
    * one double subtraction. The profile frame is
    * (#series · period)-sized and broadcasts back onto the buckets —
    * no window, no sort, one map-side-combined groupBy.
+   *
+   * `microQuantize = true` (requires an INTEGRAL `value`, e.g. a
+   * count series) makes the whole decomposition rounding-free across
+   * engines: the phase mean is computed directly in integer
+   * micro-units — `smv_micro = (2·Σn·10⁶ + cnt) div (2·cnt)`, i.e.
+   * round-half-up of Σn·10⁶/cnt in pure BIGINT arithmetic (all terms
+   * positive, so floor and truncate agree on any engine) — and the
+   * residual is the exact integer `vi = n·10⁶ − smv_micro`, emitted
+   * alongside as `residual_micro` for [[anomaly]]'s `microValue`.
+   * The emitted `seasonal_mean`/`residual` doubles are each a SINGLE
+   * correctly-rounded IEEE division of an exactly-representable
+   * integer by 10⁶ — no `round(double)` anywhere, so no engine's
+   * tie-rounding convention can ever enter the result.
    */
   def seasonal(buckets: DataFrame, value: Column, groupMs: Long,
       period: Int, bucketCol: String = "bucket_ms",
-      partitionBy: Seq[String] = Nil): DataFrame = {
+      partitionBy: Seq[String] = Nil,
+      microQuantize: Boolean = false): DataFrame = {
     require(groupMs > 0, "groupMs must be positive")
     require(period >= 1, "period must be >= 1")
     val parts = partitionBy.map(col)
     val v = value.cast("double")
     val wp = buckets.withColumn("phase",
       pmod(graft.functions.ldiv(col(bucketCol), groupMs), lit(period.toLong)))
-    val profile = wp.groupBy(parts :+ col("phase"): _*)
-      .agg(sum(v.cast("decimal(38,12)")).cast("double").as("__s"),
-        count(v).as("__n"))
-      .select(parts :+ col("phase") :+
-        (col("__s") / col("__n")).as("seasonal_mean"): _*)
-    // equi-join reorders its keys to the front; restore input order
-    wp.join(broadcast(profile), partitionBy :+ "phase")
-      .select(buckets.columns.map(col) :+ col("phase") :+
-        col("seasonal_mean") :+
-        (v - col("seasonal_mean")).as("residual"): _*)
+    if (microQuantize) {
+      // integral inputs only: round() here is a no-op defending
+      // against `.0` float noise, never a tie decision
+      val nLong = round(v).cast("long")
+      val profile = wp.groupBy(parts :+ col("phase"): _*)
+        .agg(sum(nLong).as("__sn"), count(nLong).as("__cnt"))
+        .select(parts :+ col("phase") :+
+          graft.functions.ldiv(
+            col("__sn") * lit(2000000L) + col("__cnt"),
+            col("__cnt") * lit(2L)).as("__smv_micro"): _*)
+      val vi = nLong * lit(1000000L) - col("__smv_micro")
+      wp.join(broadcast(profile), partitionBy :+ "phase")
+        .select(buckets.columns.map(col) :+ col("phase") :+
+          (col("__smv_micro").cast("double") / lit(1000000.0))
+            .as("seasonal_mean") :+
+          (vi.cast("double") / lit(1000000.0)).as("residual") :+
+          vi.as("residual_micro"): _*)
+    } else {
+      val profile = wp.groupBy(parts :+ col("phase"): _*)
+        .agg(sum(v.cast("decimal(38,12)")).cast("double").as("__s"),
+          count(v).as("__n"))
+        .select(parts :+ col("phase") :+
+          (col("__s") / col("__n")).as("seasonal_mean"): _*)
+      // equi-join reorders its keys to the front; restore input order
+      wp.join(broadcast(profile), partitionBy :+ "phase")
+        .select(buckets.columns.map(col) :+ col("phase") :+
+          col("seasonal_mean") :+
+          (v - col("seasonal_mean")).as("residual"): _*)
+    }
   }
 
   /**
@@ -273,16 +306,30 @@ object SeriesStats {
    * cancels in (vi − μ)/σ — and is bit-reproducible on any engine
    * that rounds half away from zero. Integral inputs (counts) are
    * unchanged by the default path, which stays DECIMAL(38,12)-exact.
+   *
+   * In micro mode the EMIT edge is rounding-free too: instead of
+   * `round(z_double, 6)` — whose half-way tie behavior is
+   * engine/version-private (a shortest-repr BigDecimal walk on the
+   * JVM vs a scaled `std::round` elsewhere flipped one z at the
+   * 5·10⁻⁷ boundary) — the raw z is quantized to an integer micro-z
+   * `zi = round(z·10⁶)` (a SCALE-0 round, where the tie point 0.5 IS
+   * exactly representable so every engine's half-away convention
+   * agrees) and the emitted `z` is the single IEEE division
+   * `zi / 10⁶`. The flag compares the integer: `|zi| > threshold·10⁶`.
+   * Callers that already hold the exact integer micro-residual (e.g.
+   * [[seasonal]]'s `residual_micro`) pass it as `microValue` so the
+   * sums use it directly instead of re-deriving it from the double.
    */
   def anomaly(buckets: DataFrame, value: Column, threshold: Double = 2.0,
       partitionBy: Seq[String] = Nil,
-      quantizeMicro: Boolean = false): DataFrame = {
+      quantizeMicro: Boolean = false,
+      microValue: Option[Column] = None): DataFrame = {
     require(threshold > 0, "threshold must be positive")
     val parts = partitionBy.map(col)
     val v = value.cast("double")
     val (scoreV, sumTerm, sqTerm) =
       if (quantizeMicro) {
-        val vi = round(v * lit(1000000.0)).cast("long")
+        val vi = microValue.getOrElse(round(v * lit(1000000.0)).cast("long"))
         (vi.cast("double"),
           vi.cast("decimal(38,0)"),
           vi.cast("decimal(19,0)") * vi.cast("decimal(19,0)"))
@@ -300,11 +347,22 @@ object SeriesStats {
     val joined =
       if (partitionBy.isEmpty) buckets.crossJoin(broadcast(stats))
       else buckets.join(broadcast(stats), partitionBy)
-    joined
-      .withColumn("z",
-        round(when(col("__var") > 0,
-          (scoreV - col("__m")) / sqrt(col("__var"))), 6))
-      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
-      .drop("__m", "__var")
+    val zRaw = when(col("__var") > 0,
+      (scoreV - col("__m")) / sqrt(col("__var")))
+    if (quantizeMicro) {
+      val thrMicro = math.round(threshold * 1000000.0)
+      joined
+        .withColumn("__zi", round(zRaw * lit(1000000.0)).cast("long"))
+        .withColumn("z", col("__zi").cast("double") / lit(1000000.0))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("__zi")) > lit(thrMicro), lit(false)))
+        .drop("__m", "__var", "__zi")
+    } else {
+      joined
+        .withColumn("z", round(zRaw, 6))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > threshold, lit(false)))
+        .drop("__m", "__var")
+    }
   }
 }
