@@ -339,12 +339,16 @@ object Queries {
     // seasonal (hour-of-day) decomposition of the per-event-type
     // hourly count series, then z-flags on the DESEASONALIZED
     // residual — the seasonality-aware upgrade of events_anomaly.
-    // Residuals are NON-integral doubles, so the z-stats use the
-    // integer micro-unit discipline (quantizeMicro — see
-    // SeriesStats.anomaly): vi = round(resid·1e6) BIGINT, exact
-    // integer Σvi/Σvi², scalar double math only at the end. The
-    // naive DECIMAL(38,12) cast of a derived double is
-    // engine-private at the 12th decimal and flipped one 6-dp z tie.
+    // The WHOLE decomposition runs in integer micro-units
+    // (microQuantize/microValue — see SeriesStats.seasonal/anomaly):
+    // phase means are half-up BIGINT divides, the residual is the
+    // exact integer vi = n·10⁶ − smv_micro, z quantizes to integer
+    // micro-z before emit, and every emitted decimal is ONE IEEE
+    // division of an exactly-representable integer by 10⁶ — no
+    // round(double) anywhere on either engine, so no engine's
+    // tie-rounding convention can enter the result (the r7/r8/r9
+    // red-gate mechanism: driver-side DuckDB rounds round(x, 6)
+    // half-way ties differently from the JVM's shortest-repr walk).
     "events_seasonal" -> Entry(
       (s, dir) => SeriesStats.anomaly(
           SeriesStats.seasonal(
@@ -353,40 +357,42 @@ object Queries {
                 (expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
               .agg(count(lit(1)).cast("double").as("n")),
             col("n"), groupMs = 3600000L, period = 24,
-            partitionBy = Seq("event_type")),
+            partitionBy = Seq("event_type"), microQuantize = true),
           col("residual"), threshold = 2.0, partitionBy = Seq("event_type"),
-          quantizeMicro = true)
-        .withColumn("seasonal_mean", round(col("seasonal_mean"), 6))
-        .withColumn("residual", round(col("residual"), 6))
+          quantizeMicro = true, microValue = Some(col("residual_micro")))
+        .drop("residual_micro")
         .orderBy("event_type", "bucket_ms"),
       Some("""WITH b AS (SELECT event_type,
             (epoch_us(ts) // 3600000000) * 3600000 AS bucket_ms,
-            count(*)::DOUBLE AS n
+            count(*)::BIGINT AS n
           FROM events GROUP BY 1, 2),
         p AS (SELECT *, ((bucket_ms // 3600000) % 24)::BIGINT AS phase
           FROM b),
         sm AS (SELECT event_type, phase,
-            CAST(sum(CAST(n AS DECIMAL(38,12))) AS DOUBLE) / count(n) AS smv
+            ((2 * sum(n::HUGEINT) * 1000000 + count(n))
+              // (2 * count(n)))::BIGINT AS smv_micro
           FROM p GROUP BY 1, 2),
-        r AS (SELECT p.event_type, bucket_ms, n, phase, smv,
-            n - smv AS resid,
-            round((n - smv) * 1000000.0)::BIGINT AS vi
+        r AS (SELECT p.event_type, bucket_ms, n, phase, smv_micro,
+            n * 1000000 - smv_micro AS vi
           FROM p JOIN sm USING (event_type, phase)),
         st AS (SELECT event_type,
             sum(vi::HUGEINT) AS s,
             sum(vi::HUGEINT * vi::HUGEINT) AS ss,
             count(vi) AS cnt
           FROM r GROUP BY 1),
-        zt AS (SELECT r.event_type, bucket_ms, n, phase, smv, resid,
+        zt AS (SELECT r.event_type, bucket_ms, n, phase, smv_micro, vi,
             round(CASE WHEN ss::DOUBLE / cnt
                 - (s::DOUBLE / cnt) * (s::DOUBLE / cnt) > 0
               THEN (vi::DOUBLE - s::DOUBLE / cnt)
                 / sqrt(ss::DOUBLE / cnt - (s::DOUBLE / cnt) * (s::DOUBLE / cnt))
-              END, 6) AS z
+                * 1000000.0
+              END)::BIGINT AS zi
           FROM r JOIN st USING (event_type))
-        SELECT event_type, bucket_ms, n, phase,
-          round(smv, 6) AS seasonal_mean, round(resid, 6) AS residual, z,
-          coalesce(abs(z) > 2.0, false) AS is_anomaly
+        SELECT event_type, bucket_ms, n::DOUBLE AS n, phase,
+          smv_micro::DOUBLE / 1000000.0 AS seasonal_mean,
+          vi::DOUBLE / 1000000.0 AS residual,
+          zi::DOUBLE / 1000000.0 AS z,
+          coalesce(abs(zi) > 2000000, false) AS is_anomaly
         FROM zt ORDER BY 1, 2""")),
 
     // CUSUM changepoint over the per-event-type daily COUNT series:

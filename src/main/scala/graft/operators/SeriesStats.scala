@@ -193,14 +193,24 @@ object SeriesStats {
       // integral inputs only: round() here is a no-op defending
       // against `.0` float noise, never a tie decision
       val nLong = round(v).cast("long")
-      val profile = wp.groupBy(parts :+ col("phase"): _*)
-        .agg(sum(nLong).as("__sn"), count(nLong).as("__cnt"))
+      // the (2a+c) div (2c) half-up formula needs a ≥ 0: IntegralDivide
+      // truncates toward zero, so a negative Σn would silently flip it
+      // to round-half-DOWN on floor-div engines. Counts are the
+      // contract; fail loudly rather than drift.
+      val wpc = wp.where(assert_true(nLong.isNull || nLong >= 0,
+        concat(lit("seasonal(microQuantize): requires non-negative " +
+          "integral values, got "), v)).isNull)
+      // sums in DECIMAL(38,0): a raw LONG sum wraps silently past
+      // ~4.6e12 per (series, phase) once scaled by 2·10⁶
+      val profile = wpc.groupBy(parts :+ col("phase"): _*)
+        .agg(sum(nLong.cast("decimal(38,0)")).as("__sn"),
+          count(nLong).as("__cnt"))
         .select(parts :+ col("phase") :+
           graft.functions.ldiv(
             col("__sn") * lit(2000000L) + col("__cnt"),
-            col("__cnt") * lit(2L)).as("__smv_micro"): _*)
+            col("__cnt").cast("decimal(38,0)") * lit(2L)).as("__smv_micro"): _*)
       val vi = nLong * lit(1000000L) - col("__smv_micro")
-      wp.join(broadcast(profile), partitionBy :+ "phase")
+      wpc.join(broadcast(profile), partitionBy :+ "phase")
         .select(buckets.columns.map(col) :+ col("phase") :+
           (col("__smv_micro").cast("double") / lit(1000000.0))
             .as("seasonal_mean") :+
@@ -325,22 +335,28 @@ object SeriesStats {
       quantizeMicro: Boolean = false,
       microValue: Option[Column] = None): DataFrame = {
     require(threshold > 0, "threshold must be positive")
+    require(microValue.isEmpty || quantizeMicro,
+      "microValue requires quantizeMicro = true (it would be silently ignored)")
     val parts = partitionBy.map(col)
     val v = value.cast("double")
-    val (scoreV, sumTerm, sqTerm) =
+    // cntTerm counts the SAME column the sums aggregate: with a
+    // caller-supplied microValue whose null pattern differs from
+    // `value`, counting `value` would silently bias mean and variance
+    val (scoreV, sumTerm, sqTerm, cntTerm) =
       if (quantizeMicro) {
         val vi = microValue.getOrElse(round(v * lit(1000000.0)).cast("long"))
         (vi.cast("double"),
           vi.cast("decimal(38,0)"),
-          vi.cast("decimal(19,0)") * vi.cast("decimal(19,0)"))
+          vi.cast("decimal(19,0)") * vi.cast("decimal(19,0)"),
+          vi)
       } else {
-        (v, v.cast("decimal(38,12)"), (v * v).cast("decimal(38,12)"))
+        (v, v.cast("decimal(38,12)"), (v * v).cast("decimal(38,12)"), v)
       }
     val stats = buckets
       .groupBy(parts: _*)
       .agg(sum(sumTerm).cast("double").as("__s"),
         sum(sqTerm).cast("double").as("__ss"),
-        count(v).as("__n"))
+        count(cntTerm).as("__n"))
       .select(parts :+ (col("__s") / col("__n")).as("__m") :+
         (col("__ss") / col("__n") -
           (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__var"): _*)

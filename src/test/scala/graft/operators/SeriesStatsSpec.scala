@@ -217,9 +217,12 @@ class SeriesStatsSpec extends SparkSpec {
       val m = s.toDouble / n
       val v = ss.toDouble / n - m * m
       rows.zip(vis).map { case (r, vi) =>
+        // the emit contract is zi = round(z·10⁶) then zi/10⁶ — a
+        // SCALE-0 half-away round of the double product, not the old
+        // round(z, 6) shortest-repr walk (they differ at 5e-7 ties)
         (r._1, r._2, if (v > 0)
-          Some(BigDecimal((vi.toDouble - m) / math.sqrt(v))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          Some(BigDecimal((vi.toDouble - m) / math.sqrt(v) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
           else None)
       }
     }.toSeq.sortBy(x => (x._1, x._2))
@@ -243,6 +246,127 @@ class SeriesStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
     assert(run(1).toSeq == run(13).toSeq)
+  }
+
+  test("seasonal: microQuantize emits half-up micro means and exact " +
+      "integer residuals") {
+    // period 2 over counts 10,1,12,3 + a phase-0 third value 11:
+    // phase-0 mean = 33/3 = 11 exactly; phase-1 mean = 4/2 = 2.
+    // And a half-up tie: phase-1 of series b has counts 1,2 —
+    // mean 1.5 → smv_micro 1500000 (half-up), residuals ∓0.5
+    val b = Seq(("a", 0L, 10.0), ("a", 1000L, 1.0), ("a", 2000L, 12.0),
+        ("a", 3000L, 3.0), ("a", 4000L, 11.0),
+        ("b", 1000L, 1.0), ("b", 3000L, 2.0))
+      .toDF("k", "bucket_ms", "v")
+    val got = SeriesStats.seasonal(b, col("v"), groupMs = 1000L,
+        period = 2, partitionBy = Seq("k"), microQuantize = true)
+      .orderBy("k", "bucket_ms")
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getDouble(5),
+        r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("a", 11.0, -1.0, -1000000L), ("a", 2.0, -1.0, -1000000L),
+      ("a", 11.0, 1.0, 1000000L), ("a", 2.0, 1.0, 1000000L),
+      ("a", 11.0, 0.0, 0L),
+      ("b", 1.5, -0.5, -500000L), ("b", 1.5, 0.5, 500000L)))
+  }
+
+  test("seasonal: microQuantize rejects negative values loudly") {
+    val b = Seq((0L, 1.0), (1000L, -2.0)).toDF("bucket_ms", "v")
+    val e = intercept[Exception] {
+      SeriesStats.seasonal(b, col("v"), groupMs = 1000L, period = 2,
+        microQuantize = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-negative")), e.toString)
+  }
+
+  test("seasonal: microQuantize phase sums survive LONG-overflow scale") {
+    // per-phase Σn = 6e12 — raw-LONG micro math (Σn·2e6 = 1.2e19)
+    // overflows Long.MaxValue; the DECIMAL(38,0) sums must not.
+    // Individual micro values (2e18, 4e18) still fit in LONG.
+    val b = Seq((0L, 2.0e12), (2000L, 4.0e12)).toDF("bucket_ms", "v")
+    val got = SeriesStats.seasonal(b, col("v"), groupMs = 1000L,
+        period = 2, microQuantize = true)
+      .orderBy("bucket_ms")
+      .collect().map(r => (r.getDouble(3), r.getLong(5)))
+    // mean 3e12 → residuals ∓1e12 (micro: ∓1e18)
+    assert(got.toSeq == Seq((3.0e12, -1000000000000000000L),
+      (3.0e12, 1000000000000000000L)))
+  }
+
+  test("anomaly: microValue's null pattern drives the stats, not the " +
+      "double column's") {
+    // v is non-null on every row but the supplied micro column is null
+    // on one — mean/var must come from the micro column's 2 occupied
+    // rows (count(vi) = 2), not count(v) = 3
+    val b = Seq((0L, 1.0, Some(1000000L)), (1000L, 9.0, None),
+        (2000L, 3.0, Some(3000000L)))
+      .toDF("bucket_ms", "v", "vi")
+    val got = SeriesStats.anomaly(b, col("v"), threshold = 0.5,
+        quantizeMicro = true, microValue = Some(col("vi")))
+      .orderBy("bucket_ms")
+      .collect().map(r => (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))
+    // micro stats over {1e6, 3e6}: m = 2e6, σ = 1e6 → z = ∓1; the
+    // null-vi row scores null and never flags
+    assert(got.toSeq == Seq((Some(-1.0), true), (None, false),
+      (Some(1.0), true)))
+  }
+
+  test("anomaly: microValue without quantizeMicro is rejected") {
+    val b = Seq((0L, 1.0)).toDF("bucket_ms", "v")
+    val e = intercept[IllegalArgumentException] {
+      SeriesStats.anomaly(b, col("v"), microValue = Some(col("v")))
+    }
+    assert(e.getMessage.contains("quantizeMicro"))
+  }
+
+  test("seasonal(microQuantize) + anomaly(microValue) is the exact " +
+      "integer composition (the events_seasonal shape)") {
+    // counts with a seasonal profile; verify against an independent
+    // BigInt recomputation of the full micro pipeline
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 240).map { i =>
+      ("t" + (i % 2), i.toLong * 3600000L,
+        (20 + 10 * (i % 24 % 5) + rnd.nextInt(8)).toDouble)
+    }
+    val b = rows.toDF("k", "bucket_ms", "n")
+    val got = SeriesStats.anomaly(
+        SeriesStats.seasonal(b, col("n"), groupMs = 3600000L, period = 24,
+          partitionBy = Seq("k"), microQuantize = true),
+        col("residual"), threshold = 2.0, partitionBy = Seq("k"),
+        quantizeMicro = true, microValue = Some(col("residual_micro")))
+      .orderBy("k", "bucket_ms")
+      .collect()
+      // cols: k, bucket_ms, n, phase, seasonal_mean, residual,
+      //       residual_micro, z, is_anomaly
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4),
+        r.getDouble(5), if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val byPhase = rs.groupBy(r => (r._2 / 3600000L) % 24)
+      val smv = byPhase.map { case (ph, prs) =>
+        val s = prs.map(r => BigInt(r._3.toLong)).sum
+        val c = prs.size
+        ph -> (s * 2000000 + c) / (c * 2) // half-up in exact BigInt
+      }
+      val vis = rs.map(r =>
+        BigInt(r._3.toLong) * 1000000 - smv((r._2 / 3600000L) % 24))
+      val n = vis.size
+      val s = vis.sum
+      val ss = vis.map(x => x * x).sum
+      val m = s.toDouble / n
+      val vr = ss.toDouble / n - m * m
+      rs.zip(vis).map { case (r, vi) =>
+        (r._1, r._2, smv((r._2 / 3600000L) % 24).toDouble / 1e6,
+          vi.toDouble / 1e6,
+          if (vr > 0) Some(BigDecimal(
+              (vi.toDouble - m) / math.sqrt(vr) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
+          else None)
+      }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected)
   }
 
   test("gapFill: adaptive chunking keeps wide spines contiguous") {
