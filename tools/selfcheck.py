@@ -9,6 +9,12 @@ import pandas as pd
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify"
 
+# The oracle engine version IS part of the contract: round 8's only
+# red gate was a DuckDB-version rounding delta invisible locally.
+# Rounding-free emit edges (integer micro-units) are the durable fix;
+# this line makes any residual version skew diagnosable.
+print(f"oracle: duckdb {duckdb.__version__} / pandas {pd.__version__}")
+
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
