@@ -341,9 +341,22 @@ object Similarity {
         val r = explodedBuckets(right, "id2", tables, planes)
         val sizes = l.select(col("tk")).unionAll(r.select(col("tk")))
           .groupBy(col("tk")).count()
-        extendKeys(l, col("id1_v"), sizes, tables, planes, maxBucket)
-          .join(extendKeys(r, col("id2_v"), sizes, tables, planes, maxBucket),
-            Seq("k2"))
+        // With no oversized bucket the refinement is the IDENTITY
+        // (every __bits is 0, k2 = tk + "|"), so the extend-keys
+        // machinery — two broadcast sizing joins plus the deep-sketch
+        // carry — buys nothing; join on the base keys directly. The
+        // check is one aggregate action over the base bucket keys
+        // (already needed for the refinement) and keeps the healthy-
+        // corpus cost at the unbounded path's; only a corpus that
+        // actually HAS a hot bucket pays for the bounding. Output is
+        // bit-identical either way, so the oracle (which mirrors the
+        // refinement term for term) agrees in both branches.
+        if (sizes.filter(col("count") > maxBucket).isEmpty)
+          l.join(r, Seq("tk"))
+        else
+          extendKeys(l, col("id1_v"), sizes, tables, planes, maxBucket)
+            .join(extendKeys(r, col("id2_v"), sizes, tables, planes,
+              maxBucket), Seq("k2"))
       }
     joined
       .withColumn("sim",
@@ -409,9 +422,15 @@ object Similarity {
   def semanticNearDupPairs(corpus: DataFrame, assign: DataFrame,
       threshold: Double, maxBucket: Int): DataFrame = {
     require(maxBucket > 0, "maxBucket must be positive")
+    // checkpointed: the assignment is often an upstream COMPUTATION
+    // (a k-means pass), and the joined frame feeds the size decision
+    // plus both self-join sides — one materialization instead of
+    // three re-evaluations (the shingled-sets discipline the MinHash
+    // family uses, Dedup.minhashPairs)
     val e0 = corpus.select(col("vec_id"), col("embedding"))
       .filter(l2norm(col("embedding")) > 0) // cosine undefined at 0
       .join(assign.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .localCheckpoint()
     // ceil(count/maxBucket) compared against successive powers of two:
     // integer arithmetic end to end (the ceil-div sum stays far below
     // 2^53, so the double floor is exact), so the engine's floating
@@ -421,17 +440,37 @@ object Similarity {
     val bits = (RefineBits - 1 to 0 by -1).foldLeft(lit(RefineBits)) {
       (acc, b) => when(m <= lit(1L << b), lit(b)).otherwise(acc)
     }
-    val sizes = e0.groupBy(col("cluster")).count()
-      .select(col("cluster"), bits.as("__bits"))
-    // concat (not concat_ws): a NULL cluster must null the sub-key so
-    // the pair join drops it — the same null-never-matches semantics
-    // the plain cluster equi-join has, and what the SQL mirror's `||`
-    // does. concat_ws would silently SKIP the null and pair
-    // null-cluster rows by sketch bits alone.
-    val e = e0.join(broadcast(sizes), Seq("cluster"))
-      .withColumn("__sub", concat(col("cluster").cast("string"), lit("@"),
-        sketchKey(col("embedding"), table = 0, planes = RefineBits)
-          .substr(lit(1), col("__bits"))))
+    // With every cluster within maxBucket the refinement is the
+    // identity (__bits = 0 everywhere, sub-key = cluster alone) — the
+    // plain cluster equi-join is the same pair set without the sizing
+    // broadcast or the 16-bit sketch eval. One aggregate action over
+    // the checkpointed frame decides; only a corpus whose clusters
+    // actually outgrew maxBucket pays for the bounding. Output is
+    // identical in both branches, as is the oracle's term-for-term
+    // mirror of the refinement.
+    val e =
+      if (maxBucket == Int.MaxValue ||
+          e0.groupBy(col("cluster")).count()
+            .filter(col("count") > maxBucket).isEmpty)
+        // concat (not concat_ws): a NULL cluster must null the sub-key
+        // so the pair join drops it — the same null-never-matches
+        // semantics the plain cluster equi-join has
+        e0.withColumn("__sub",
+          concat(col("cluster").cast("string"), lit("@")))
+      else {
+        // bits derive from e0's TRUE in-join counts, not the
+        // assignment's upper bound — the oracle mirrors these
+        val sizes = e0.groupBy(col("cluster")).count()
+          .select(col("cluster"), bits.as("__bits"))
+        // the sketch evaluates only under the __bits > 0 branch —
+        // right-sized clusters never pay for the 16 hyperplane dots
+        e0.join(broadcast(sizes), Seq("cluster"))
+          .withColumn("__sub", concat(col("cluster").cast("string"),
+            lit("@"),
+            when(col("__bits") > 0,
+              sketchKey(col("embedding"), table = 0, planes = RefineBits)
+                .substr(lit(1), col("__bits"))).otherwise(lit(""))))
+      }
     val l = e.select(col("__sub"), col("cluster"), col("vec_id").as("id1"),
       col("embedding").as("v1"))
     val r = e.select(col("__sub"), col("vec_id").as("id2"),
@@ -472,8 +511,14 @@ object Similarity {
         val e = explodedBuckets(corpus, "vec_id", tables, planes)
           .withColumnRenamed("vec_id_v", "embedding")
           .withColumnRenamed("vec_id_n", "vn")
-        extendKeys(e, col("embedding"), e.groupBy(col("tk")).count(),
-          tables, planes, maxBucket)
+        val sizes = e.groupBy(col("tk")).count()
+        // no oversized bucket → refinement is the identity; join on
+        // the base keys and skip the sizing broadcast (see
+        // crossCosinePairs — one aggregate action decides)
+        if (sizes.filter(col("count") > maxBucket).isEmpty)
+          e.withColumnRenamed("tk", "k2")
+        else
+          extendKeys(e, col("embedding"), sizes, tables, planes, maxBucket)
       }
     val l = b.select(col("vec_id").as("id1"), col("embedding").as("v1"),
       col("vn").as("n1"), col("k2"))
