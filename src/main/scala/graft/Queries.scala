@@ -2857,11 +2857,17 @@ object Queries {
     // equi-join (no all-pairs), pair rollup map-side combined — the
     // video-dedup fingerprint-frame construction over the same hex
     // windows multimodal_frames gates
+    // maxDf = 256 bounds the frame-hash buckets: sized above the 100×
+    // replica-clique multiplicity (~100, whose shared frames ARE the
+    // duplication signal) but below the degenerate boilerplate frames
+    // (df up to ~1200 at 100×) whose buckets were the one unbounded
+    // quadratic term. A no-op at the gate scales (max df: 3 at
+    // sf0.01, 14 at sf0.1) — the oracle mirrors the cut regardless.
     "multimodal_near_dup" -> Entry(
       (s, dir) => Multimodal.frameNearDupPairs(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text",
             "source"),
-          frameChars = 64, stride = 2, minShared = 2)
+          frameChars = 64, stride = 2, minShared = 2, maxDf = 256)
         .orderBy(col("id1"), col("id2")),
       Some("""WITH f AS (SELECT doc_id,
             regexp_extract_all(lower(hex(encode(text))), '.{1,64}') AS fs
@@ -2872,9 +2878,12 @@ object Queries {
             ('0x' || substr(md5(u.hx), 1, 15))::BIGINT AS fh
           FROM x WHERE u.no % 2 = 0),
         nf AS (SELECT mid, count(*)::BIGINT AS nf FROM fr GROUP BY 1),
+        frc AS (SELECT mid, fh FROM (SELECT mid, fh,
+            count(*) OVER (PARTITION BY fh) AS dfc FROM fr)
+          WHERE dfc <= 256),
         p AS (SELECT a.mid AS id1, b.mid AS id2,
             count(*)::BIGINT AS shared_frames
-          FROM fr a JOIN fr b ON a.fh = b.fh AND a.mid < b.mid
+          FROM frc a JOIN frc b ON a.fh = b.fh AND a.mid < b.mid
           GROUP BY 1, 2)
         SELECT id1, id2, shared_frames,
           round(shared_frames / least(n1.nf, n2.nf), 6) AS containment

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -184,21 +185,41 @@ object Multimodal {
    * Scale shape: frame hashes are 8-byte longs; the self-join is
    * equi-keyed on the hash (each distinct frame is its own bucket —
    * no all-pairs stage), and the pair rollup is a map-side-combined
-   * count. The same bucket-cardinality contract as MinHash LSH
-   * applies: collapse exact-duplicate payloads first so a
-   * boilerplate frame (black frame, silence) doesn't fan out — or
-   * raise `stride`.
+   * count. `maxDf` BOUNDS the bucket: a frame hash present in more
+   * than `maxDf` media is dropped from the pair join — a black frame
+   * or silence window shared by thousands of unrelated media is
+   * boilerplate, not a duplication signal, and its bucket is the one
+   * quadratic term in the plan (per-bucket work ≤ maxDf², exactly
+   * the df-cut an inverted-index near-dup search applies). Size it
+   * ABOVE the expected true-duplicate multiplicity so genuine copy
+   * cliques keep their frames. Per-media frame counts (`nf`, the
+   * containment denominator) stay PRE-cut: containment grades shared
+   * distinctive frames against the whole media, and two media
+   * sharing only boilerplate emit no pair at all. The cut is an
+   * ANTI-JOIN against the materialized HOT-hash set — which holds at
+   * most |frame rows|/maxDf entries by construction, so it stays
+   * broadcast-sized (AQE picks the broadcast) instead of sorting the
+   * whole frame table under a window count.
    */
   def frameNearDupPairs(media: DataFrame, frameChars: Int, stride: Int,
-      minShared: Long = 2): DataFrame = {
+      minShared: Long = 2, maxDf: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
+    require(maxDf >= 1, "maxDf must be >= 1")
     val fh = sampleFrames(media, frameChars, stride)
       .select(col("media_id"), TextOps.hash60(col("frame_hex")).as("fh"))
       .distinct()
       .localCheckpoint() // consumed by both join sides + the counts
     val nf = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
-    fh.alias("a")
-      .join(fh.alias("b"),
+    val joinable =
+      if (maxDf == Int.MaxValue) fh
+      else {
+        val hot = fh.groupBy(col("fh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select(col("fh"))
+          .localCheckpoint() // tiny; consumed by both join sides
+        fh.join(hot, Seq("fh"), "left_anti")
+      }
+    joinable.alias("a")
+      .join(joinable.alias("b"),
         col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
       .agg(count(lit(1)).as("shared_frames"))

@@ -133,4 +133,30 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((10L, 11L)))
     assert(pairs.head._3 == 2L && pairs.head._4 == 0.666667) // 2/3 @ 6 dp
   }
+
+  test("frameNearDupPairs: maxDf drops boilerplate frames but keeps " +
+      "the containment denominator whole") {
+    import spark.implicits._
+    // frames: B = boilerplate (in ALL four media), u1/u2 = genuinely
+    // shared by 20/21 only; frameChars 32 / stride 1 → 16-byte windows
+    val boiler = "BBBBBBBBBBBBBBBB"
+    val u1 = "1111111111111111"; val u2 = "2222222222222222"
+    val m = Multimodal.asMedia(Seq(
+      (20L, boiler + u1 + u2, "s"),
+      (21L, boiler + u1 + u2, "s"),
+      (22L, boiler + "CCCCCCCCCCCCCCCC", "s"),
+      (23L, boiler + "DDDDDDDDDDDDDDDD", "s"))
+      .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    def run(maxDf: Int) = Multimodal.frameNearDupPairs(m, frameChars = 32,
+        stride = 1, minShared = 2, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(p => (p._1, p._2))
+    // unbounded: (20,21) share 3 frames (B,u1,u2) → containment 1.0
+    assert(run(Int.MaxValue).toSeq ==
+      Seq((20L, 21L, 3L, 1.0)))
+    // maxDf = 3 cuts B (df = 4): (20,21) keep u1+u2 = 2 shared, but
+    // nf stays 3 (pre-cut) → containment 2/3; boilerplate-only pairs
+    // (22, 23 vs anyone) never appear
+    assert(run(3).toSeq == Seq((20L, 21L, 2L, 0.666667)))
+  }
 }
