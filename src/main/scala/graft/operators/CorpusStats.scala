@@ -743,10 +743,21 @@ object CorpusStats {
    * signal collapses to its value histogram (map-side combined; the
    * shuffle carries distinct values), cumulative counts over the
    * descending histogram give each value's min-rank, and ranks come
-   * back via a broadcast join on the value. Same contract as
-   * [[quantiles]]: signals must have BOUNDED distinct values (lengths,
-   * counts, quantized scores — bin continuous doubles first), which is
-   * what keeps the histogram window trivial at any corpus size.
+   * back via a broadcast join on the value.
+   *
+   * The histogram cumulative sum itself is RANGE-BUCKETED (the
+   * [[Packing.packSequences]] prefix construction): up to
+   * `RrfBuckets − 1` approximate percentiles of the distinct values
+   * become order-preserving split points, per-bucket totals prefix on
+   * a ≤`RrfBuckets`-row frame, and the exact cumulative window runs
+   * partitioned by bucket — so a CONTINUOUS signal (distinct values ≈
+   * corpus size) never collapses the rank pass to one partition.
+   * Split points steer only the PARTITIONING: ranks are exact for any
+   * order-preserving split, so `percentile_approx`'s sampling
+   * nondeterminism cannot reach the output. Bounded-distinct signals
+   * (lengths, counts, quantized scores) stay the preferred input —
+   * their histograms are tiny — but are no longer a correctness-of-
+   * scale requirement.
    *
    * A null signal value gets a null rank and contributes 0 to the
    * fusion (the "skip missing lists" RRF convention).
@@ -760,8 +771,29 @@ object CorpusStats {
    * descending order); engines with IEEE NaN joins would drop them —
    * filter or bin NaN signals first if the fusion must be portable.
    */
+  /** Range buckets for [[rrfFuse]]'s histogram prefix sums, and the
+   * estimated input size under which one cumulative window is cheaper
+   * than the bucketed construction (a histogram from a ≤64 MB input
+   * sorts in ms on one partition). */
+  val RrfBuckets = 1024
+  val RrfSmallCorpusBytes = 64L << 20
+
   def rrfFuse(df: DataFrame, id: Column, signals: Seq[(String, Column)],
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60): DataFrame =
+    // Decision without ANY job: Catalyst's sizeInBytes estimate for
+    // the input (the statistic autoBroadcastJoinThreshold reads). A
+    // small corpus cannot have a big histogram; a big corpus takes the
+    // bucketed path even for bounded-distinct signals — harmless,
+    // since every extra pass there runs over the (tiny) histogram,
+    // not the corpus. Both branches are exact; the threshold is
+    // purely a performance heuristic, so an estimate is enough.
+    rrfFuseImpl(df, id, signals, rrfK,
+      smallCorpus = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= RrfSmallCorpusBytes)
+
+  private[operators] def rrfFuseImpl(df: DataFrame, id: Column,
+      signals: Seq[(String, Column)], rrfK: Int,
+      smallCorpus: Boolean): DataFrame = {
     require(signals.nonEmpty, "need at least one signal")
     require(rrfK >= 0, "rrfK must be >= 0")
     val base = df.select(id.as("doc_id") +:
@@ -770,11 +802,48 @@ object CorpusStats {
     // progressively-joined frame — otherwise signal i's histogram job
     // would re-execute the i−1 prior joins (O(S²) scan work)
     val ranked = signals.map { case (n, _) =>
-      n -> base.filter(col(s"__v_$n").isNotNull)
+      val hist = base.filter(col(s"__v_$n").isNotNull)
         .groupBy(col(s"__v_$n").as("__hv")).agg(count(lit(1)).as("__hc"))
-        .withColumn("__cum",
-          sum(col("__hc")).over(Window.orderBy(col("__hv").desc)))
-        .select(col("__hv"), (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+      n -> (if (smallCorpus)
+        // bounded-distinct signal (the common case): one trivial window
+        hist.withColumn("__cum",
+            sum(col("__hc")).over(Window.orderBy(col("__hv").desc)))
+          .select(col("__hv"),
+            (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+      else {
+        // continuous signal: order-preserving split points over the
+        // DISTINCT values (one-row frame, broadcast back) range-bucket
+        // the cumulative sum so it never collapses to one partition.
+        // Split points steer only the PARTITIONING — ranks are exact
+        // for any order-preserving split, so percentile_approx's
+        // sampling nondeterminism cannot reach the output. Spark's NaN
+        // total order (NaN > +∞, NaN = NaN) puts NaN cells in the top
+        // bucket — first in descending rank order, the doc'd contract.
+        // Checkpointed: the histogram feeds the split-point aggregate
+        // AND the rank pass (corpus-sized here, so worth one
+        // materialization; the small path never pays it).
+        val ckHist = hist.localCheckpoint()
+        val splits = ckHist.agg(percentile_approx(col("__hv"),
+          array((1 until RrfBuckets).map(i =>
+            lit(i.toDouble / RrfBuckets)): _*), lit(10000)).as("__sp"))
+        val bucketed = ckHist.crossJoin(broadcast(splits))
+          .withColumn("__bkt",
+            size(filter(col("__sp"), s => s < col("__hv"))))
+          .drop("__sp")
+        val pfx = bucketed.groupBy(col("__bkt"))
+          .agg(sum(col("__hc")).as("__bsum"))
+          .withColumn("__bbefore", coalesce(
+            sum(col("__bsum")).over(Window.orderBy(col("__bkt").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__bkt"), col("__bbefore"))
+        val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__hv").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(broadcast(pfx), Seq("__bkt"))
+          .withColumn("__cum",
+            col("__bbefore") + sum(col("__hc")).over(wIn))
+          .select(col("__hv"),
+            (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+      })
     }
     var out = base
     ranked.foreach { case (n, r) =>

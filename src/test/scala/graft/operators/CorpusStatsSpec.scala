@@ -386,6 +386,35 @@ class CorpusStatsSpec extends SparkSpec {
       (4L, None, Some(3L), 0L + t(3))), out.toString)
   }
 
+  test("rrfFuse: continuous signals rank exactly and the histogram " +
+      "window never collapses to one partition") {
+    // distinct random doubles — the histogram IS corpus-sized, the
+    // shape the bounded-distinct contract used to exclude; drive the
+    // bucketed branch directly (the public entry picks it by the
+    // input's sizeInBytes estimate, infeasible to reach in-test)
+    val rnd = new scala.util.Random(0xBEEF)
+    val rows = (1L to 70000L).map(i => (i, rnd.nextDouble() * 1e6))
+    val docs = rows.toDF("doc_id", "s")
+    val fused = CorpusStats.rrfFuseImpl(docs, $"doc_id",
+      Seq("s" -> $"s"), rrfK = 60, smallCorpus = false)
+    val got = fused.orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // independent expectation: competition rank by descending value
+    val rankOf = rows.map(_._2).sorted(Ordering[Double].reverse)
+      .zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> (g.map(_._2).min + 1L) }
+    val expected = rows.map { case (id, v) =>
+      (id, rankOf(v), 1000000000L / (60L + rankOf(v))) }
+    assert(got == expected)
+    // every per-value cumulative window must be partitioned (by the
+    // range bucket); the only permissible unpartitioned window is the
+    // ≤RrfBuckets-row bucket prefix (its frame sums __bsum, not __hc)
+    val plan = fused.queryExecution.optimizedPlan.toString
+    val hcWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("__hc"))
+    assert(hcWindows.forall(_.contains("__bkt")), plan)
+  }
+
   test("postings caps lists, counts full df, and dedups within a doc") {
     val docs = Seq(
       (3L, "w w a"), (1L, "w b"), (2L, "w c"), (4L, "b b")) // w in 3 docs
