@@ -122,6 +122,31 @@ object Funnel {
       .withColumn("__cix", row_number().over(
         Window.partitionBy(col("__k"), col("__cts")).orderBy(col("__cts"))))
 
+  /** Touches ⋈ conversions restricted to the lookback window, as a
+   * BUCKETED interval join (the [[RangeJoin.pointInInterval]]
+   * construction, width = the lookback itself): touches carry their
+   * single time bucket, each conversion explodes to the ≤2 buckets
+   * its window spans, and the join key is (key, bucket) — so a
+   * touch only ever pairs with conversions whose window can contain
+   * it. A plain key join would cross ALL of a key's touches with all
+   * its conversions and range-filter after the fact: per-key work
+   * quadratic in the key's event count, 10⁴× at a 100× probe. The
+   * bucket pairing is exact for any timestamp sign (trunc-div is
+   * monotone, a point owns one bucket), so the residual filter is
+   * the original predicate and the output is row-identical. */
+  private def inWindowJoin(t: DataFrame, conv: DataFrame,
+      lookbackUs: Long): DataFrame = {
+    val p = t.withColumn("__bkt",
+      graft.functions.ldiv(col("__tts"), lookbackUs))
+    val c = conv.withColumn("__bkt", explode(sequence(
+      graft.functions.ldiv(col("__cts") - lookbackUs + 1, lookbackUs),
+      graft.functions.ldiv(col("__cts"), lookbackUs))))
+    p.join(c, Seq("__k", "__bkt"))
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - lookbackUs)
+      .drop("__bkt")
+  }
+
   private def channelRollup(weighted: DataFrame): DataFrame =
     weighted.groupBy(col("channel"))
       .agg(count(lit(1)).as("touches"),
@@ -148,11 +173,13 @@ object Funnel {
    * is one final division. A conversion's total attributed credit is
    * therefore ≤ 1 by exactly the floor dust (documented, determinate).
    *
-   * Scale shape: touches ⋈ conversions is an equi-join on the key
-   * (both sides partitioned by it; per-key volumes are user-bounded),
-   * the in-window filter rides the join, the per-conversion touch
-   * count is one bounded window over the join output (no second join
-   * of the same subtree), and the rollup is map-side-combined.
+   * Scale shape: touches ⋈ conversions is the BUCKETED interval
+   * equi-join of [[inWindowJoin]] — keyed on (key, lookback-width
+   * time bucket), so out-of-window events are dropped by the join
+   * key itself instead of crossing every touch with every conversion
+   * per key. The per-conversion touch count is one bounded window
+   * over the join output (no second join of the same subtree), and
+   * the rollup is map-side-combined.
    * Conversions with NO in-window touch simply contribute nothing
    * (the reference set for conversion-rate math is the caller's).
    */
@@ -162,9 +189,8 @@ object Funnel {
     require(lookbackUs > 0, "lookbackUs must be positive")
     val t = touches.select(key.as("__k"), touchTs.as("__tts"),
       channel.as("channel"))
-    val inWindow = t.join(convFrame(conversions, key, convTs), "__k")
-      .filter(col("__tts") <= col("__cts") &&
-        col("__tts") > col("__cts") - lookbackUs)
+    val inWindow = inWindowJoin(t, convFrame(conversions, key, convTs),
+      lookbackUs)
     channelRollup(inWindow
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(col("__k"), col("__cts"), col("__cix"))))
@@ -193,9 +219,8 @@ object Funnel {
     require(halfLifeUs > 0, "halfLifeUs must be positive")
     val t = touches.select(key.as("__k"), touchTs.as("__tts"),
       channel.as("channel"))
-    val inWindow = t.join(convFrame(conversions, key, convTs), "__k")
-      .filter(col("__tts") <= col("__cts") &&
-        col("__tts") > col("__cts") - lookbackUs)
+    val inWindow = inWindowJoin(t, convFrame(conversions, key, convTs),
+      lookbackUs)
     val conv = Window.partitionBy(col("__k"), col("__cts"), col("__cix"))
     inWindow
       .withColumn("__w", round(lit(1000000.0) *
@@ -226,9 +251,8 @@ object Funnel {
     require(lookbackUs > 0, "lookbackUs must be positive")
     val t = touches.select(key.as("__k"), touchTs.as("__tts"),
       tie.as("__tie"), channel.as("channel"))
-    val inWindow = t.join(convFrame(conversions, key, convTs), "__k")
-      .filter(col("__tts") <= col("__cts") &&
-        col("__tts") > col("__cts") - lookbackUs)
+    val inWindow = inWindowJoin(t, convFrame(conversions, key, convTs),
+      lookbackUs)
     val conv = Window.partitionBy(col("__k"), col("__cts"), col("__cix"))
     val weighted = inWindow
       .withColumn("__rn", row_number().over(
