@@ -505,14 +505,34 @@ object Dedup {
    * exact-intersect verify ever sees a pair.
    */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleK: Int = 3): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+      threshold: Double, shingleK: Int = 3): DataFrame =
     // the whole pipeline — prefix order, candidate join keys, verify
     // sets — runs on [[hashedSets]] hashes: join keys shuffle as
     // longs, verify arrays carry ~8 B/shingle
-    val hsets = hashedSets(shingled(df, id, text, shingleK))
+    containmentPairsFromSets(
+      hashedShingleSets(df, id, text, shingleK)
+        .localCheckpoint(), // feeds the token stream and both verify joins
+      threshold)
+
+  /** The `(doc_id, hs)` hashed-shingle-set frame every set-overlap
+   * stage consumes — exposed so a pipeline that runs several of them
+   * (containment + minhash + audit) shingles the corpus ONCE and
+   * shares the materialized frame, instead of re-running the most
+   * expensive scan per stage (the [[Pipeline.preferencePairs]]
+   * shared-byproduct discipline). Pass it through `localCheckpoint`
+   * (or [[CheckpointMode]]'s reliable variant) before fanning out. */
+  def hashedShingleSets(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3): DataFrame =
+    hashedSets(shingled(df, id, text, shingleK))
+
+  /** [[containmentPairs]] over a PRECOMPUTED [[hashedShingleSets]]
+   * frame — bit-identical output to the end-to-end entry (the
+   * equivalence is spec-pinned), zero re-shingling. */
+  def containmentPairsFromSets(hsetsIn: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val hsets = hsetsIn
       .filter(size(col("hs")) > 0) // zero-shingle docs contain nothing
-      .localCheckpoint() // feeds the token stream and both verify joins
     val toks = hsets.select(col("doc_id"), size(col("hs")).as("sz"),
       explode(col("hs")).as("sh"))
     val freq = toks.groupBy(col("sh")).agg(count(lit(1)).as("c"))

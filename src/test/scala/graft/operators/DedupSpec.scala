@@ -160,6 +160,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L)), got.toString)
   }
 
+  test("containment: the precomputed-sets variant is bit-identical to " +
+      "the end-to-end entry (shared-build equivalence)") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro alpha beta gamma delta epsilon plus long tail words"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "totally unrelated content with no overlap at all"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val direct = norm(Dedup.containmentPairs(d, col("doc_id"),
+      col("text"), threshold = 0.8))
+    // the pipeline shape: shingle once, checkpoint, fan out
+    val shared = Dedup.hashedShingleSets(d, col("doc_id"), col("text"))
+      .localCheckpoint()
+    assert(norm(Dedup.containmentPairsFromSets(shared,
+      threshold = 0.8)) == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("lshRecallAudit: exact truth vs banded pipeline, full recall on dups") {
     val d = (0L to 39L).map(i => (i, if (i % 10 == 0)
         "the quick brown fox jumps over the lazy dog again and again"
