@@ -117,6 +117,17 @@ object Queries {
   private def dbBucket(g: Long): String =
     s"(epoch_us(ts) // ${g * 1000}) * $g"
 
+  /** DuckDB mirror of [[graft.functions.ratio6]]: half-away 6-dp
+   * rounding of an INTEGER ratio in pure integral arithmetic —
+   * `round(double, 6)` of an integer ratio sits exactly on 5e-7 ties
+   * (3/128 = 0.0234375), where engines' double-round conventions
+   * diverge (the events_seasonal red-gate mechanism). `//` on the
+   * non-negative magnitude is floor = truncate on any engine. */
+  private def sqlRatio6(num: String, den: String): String =
+    s"((CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) * " +
+      s"((2 * abs(($num)::HUGEINT) * 1000000 + ($den)) // (2 * ($den))))" +
+      "::DOUBLE / 1000000.0"
+
   val registry: Map[String, Entry] = Map(
 
     // ================= seriesly _query parity (events) =================
@@ -407,7 +418,7 @@ object Queries {
             .agg(count(lit(1)).as("n")),
           col("n"), partitionBy = Seq("event_type"))
         .orderBy("event_type", "bucket_ms"),
-      Some("""WITH b AS (SELECT event_type,
+      Some(s"""WITH b AS (SELECT event_type,
             (epoch_us(ts) // 86400000000) * 86400000 AS bucket_ms,
             count(*)::BIGINT AS n
           FROM events GROUP BY 1, 2),
@@ -428,7 +439,7 @@ object Queries {
         cpb AS (SELECT sc.event_type, min(bucket_ms) AS cpb
           FROM sc JOIN pk USING (event_type) WHERE abs(s) = mx GROUP BY 1)
         SELECT sc.event_type, sc.bucket_ms, sc.n,
-          round(s::DOUBLE / (cnt * 1000000.0), 6) AS cusum,
+          ${sqlRatio6("s", "cnt * 1000000")} AS cusum,
           sc.bucket_ms = cpb.cpb AS is_changepoint
         FROM sc JOIN cpb USING (event_type) ORDER BY 1, 2""")),
 
@@ -2262,23 +2273,24 @@ object Queries {
 
     // tokenizer fertility per source: BPE-ish tokens per whitespace
     // word + chars per token — integer sums, one final division each
+    // raw ratio emits (no round(double)): each is ONE IEEE division of
+    // identical integer sums on both engines — bit-identical without
+    // rounding, and engine-private only WITH it (the 5e-7 tie rule)
     "corpus_fertility" -> Entry(
       (s, dir) => graft.operators.CorpusStats.fertility(
           t(s, dir, "documents"), col("source"), col("text"))
-        .withColumn("fertility", round(col("fertility"), 6))
-        .withColumn("chars_per_token", round(col("chars_per_token"), 6))
         .orderBy(col("source")),
       Some("""SELECT source, count(*)::BIGINT AS n_docs,
           sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
           sum(len(regexp_extract_all(text,
             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::BIGINT AS bpe_tokens,
           sum(length(text))::BIGINT AS n_chars,
-          round(sum(len(regexp_extract_all(text,
+          sum(len(regexp_extract_all(text,
               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE /
-            sum(len(string_split(text, ' ')))::DOUBLE, 6) AS fertility,
-          round(sum(length(text))::DOUBLE /
+            sum(len(string_split(text, ' ')))::DOUBLE AS fertility,
+          sum(length(text))::DOUBLE /
             NULLIF(sum(len(regexp_extract_all(text,
-              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE, 0.0), 6)
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')))::DOUBLE, 0.0)
             AS chars_per_token
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
@@ -2657,14 +2669,16 @@ object Queries {
 
     // exact per-language percentile rank of doc length off the
     // histogram — no per-group total-order window
+    // raw emit, no round(double): pct_rank is ONE IEEE division of
+    // identical integers on both engines (the jaccard-family rule) —
+    // rounding it re-introduced the engine-private 5e-7 tie behavior
     "text_length_rank" -> Entry(
       (s, dir) => graft.operators.CorpusStats.percentileRank(
           t(s, dir, "documents"), col("lang"), col("n_chars"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(col("pct_rank"), 6).as("pct_rank"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pct_rank"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, lang, n_chars,
-          round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+          percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
             AS pct_rank
         FROM documents ORDER BY doc_id""")),
 
@@ -2692,7 +2706,7 @@ object Queries {
       (s, dir) => TextOps.novelty(t(s, dir, "documents"),
           col("doc_id"), col("text"), k = 12)
         .orderBy("doc_id"),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           dg AS (SELECT DISTINCT doc_id, gram FROM (
             SELECT doc_id, unnest(CASE WHEN len(w) >= 12
               THEN list_transform(range(1, len(w) - 10), i ->
@@ -2707,7 +2721,7 @@ object Queries {
         SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
           coalesce(p.n_unique, 0)::BIGINT AS n_unique,
           CASE WHEN coalesce(p.n_grams, 0) > 0
-            THEN round(p.n_unique::DOUBLE / p.n_grams, 6) END AS novelty
+            THEN ${sqlRatio6("p.n_unique", "p.n_grams")} END AS novelty
         FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""")),
 
     "text_decontaminate" -> Entry(
@@ -2869,7 +2883,7 @@ object Queries {
             "source"),
           frameChars = 64, stride = 2, minShared = 2, maxDf = 256)
         .orderBy(col("id1"), col("id2")),
-      Some("""WITH f AS (SELECT doc_id,
+      Some(s"""WITH f AS (SELECT doc_id,
             regexp_extract_all(lower(hex(encode(text))), '.{1,64}') AS fs
           FROM documents),
         x AS (SELECT doc_id, unnest(list_transform(range(1, len(fs) + 1),
@@ -2886,7 +2900,7 @@ object Queries {
           FROM frc a JOIN frc b ON a.fh = b.fh AND a.mid < b.mid
           GROUP BY 1, 2)
         SELECT id1, id2, shared_frames,
-          round(shared_frames / least(n1.nf, n2.nf), 6) AS containment
+          ${sqlRatio6("shared_frames", "least(n1.nf, n2.nf)")} AS containment
         FROM p JOIN nf n1 ON p.id1 = n1.mid JOIN nf n2 ON p.id2 = n2.mid
         WHERE shared_frames >= 2 ORDER BY 1, 2""")),
 

@@ -227,8 +227,10 @@ object Multimodal {
       .join(nf.select(col("media_id").as("id1"), col("nf").as("nf1")), "id1")
       .join(nf.select(col("media_id").as("id2"), col("nf").as("nf2")), "id2")
       .select(col("id1"), col("id2"), col("shared_frames"),
-        round(col("shared_frames").cast("double") /
-          least(col("nf1"), col("nf2")).cast("double"), 6).as("containment"))
+        // integer-ratio emit: engines' round(double, 6) conventions
+        // diverge exactly at the 5e-7 ties an int ratio routinely hits
+        graft.functions.ratio6(col("shared_frames"),
+          least(col("nf1"), col("nf2"))).as("containment"))
   }
 
   /** Frame sampling stub for video-shaped payloads: every `stride`-th

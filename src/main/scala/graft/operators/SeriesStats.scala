@@ -294,8 +294,11 @@ object SeriesStats {
       if (partitionBy.isEmpty) scored.crossJoin(broadcast(peak))
       else scored.join(broadcast(peak), partitionBy)
     flagged
-      .withColumn("cusum", round(col("__s").cast("double") /
-        (col("__n") * lit(1000000L)).cast("double"), 6))
+      // integer-ratio emit (no round(double) — see functions.ratio6):
+      // cusum = s / (n·10⁶) quantized half-away at 6 dp in pure
+      // integral arithmetic, then ONE IEEE division
+      .withColumn("cusum",
+        graft.functions.ratio6(col("__s"), col("__n") * lit(1000000L)))
       .withColumn("is_changepoint",
         coalesce(col(bucketCol) === col("__cpb"), lit(false)))
       .drop("__vi", "__sv", "__n", "__cum", "__i", "__s", "__cpb")

@@ -161,9 +161,11 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        // explicit null for gram-less docs: double 0/0 would be NaN
+        // explicit null for gram-less docs: double 0/0 would be NaN.
+        // Integer-ratio emit (functions.ratio6): int ratios sit on
+        // the 5e-7 ties where engines' round(double, 6) diverge
         when(coalesce(col("n_grams"), lit(0L)) > 0,
-          round(col("n_unique").cast("double") / col("n_grams"), 6))
+          graft.functions.ratio6(col("n_unique"), col("n_grams")))
           .as("novelty"))
   }
 
