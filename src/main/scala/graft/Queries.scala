@@ -128,6 +128,21 @@ object Queries {
       s"((2 * abs(($num)::HUGEINT) * 1000000 + ($den)) // (2 * ($den))))" +
       "::DOUBLE / 1000000.0"
 
+  /** PORTABLE 6-dp quantization of an engine-identical double —
+   * `round(x·10⁶)` at SCALE 0 (where the tie point 0.5 is exactly
+   * representable, so every engine's half-away convention agrees)
+   * then one IEEE division. `round(x, 6)` is NOT this: Spark walks
+   * the shortest decimal repr while other engines scale-and-round in
+   * float, and the two flip on 5e-7 ties of derived rationals (an
+   * avg over 32 events lands there). Requires |x|·10⁶ < 2⁵³.
+   * [[sqlRound6]] is the DuckDB mirror — both engines scale by the
+   * same 10⁶ product, so they round the SAME double. */
+  private def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * lit(1000000.0)) / lit(1000000.0)
+
+  private def sqlRound6(x: String): String =
+    s"round(($x) * 1000000.0) / 1000000.0"
+
   val registry: Map[String, Entry] = Map(
 
     // ================= seriesly _query parity (events) =================
@@ -140,15 +155,18 @@ object Queries {
         round(coalesce(sum(value), 0), 6) AS sum_v
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // avg is a DERIVED RATIONAL (decimal-sum / count): its 6-dp emit
+    // uses the portable scale-0 quantization (see round6) — an avg
+    // over 32 two-decimal values sits exactly on a 5e-7 tie
     "q_series_avg_filtered" -> Entry(
       (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
           SeriesQuery(HourMs, Seq("/v"), Seq("avg"),
             filters = Seq("/type" -> "purchase"), names = Seq("avg_v")))
-        .withColumn("avg_v", round(col("avg_v"), 6)),
+        .withColumn("avg_v", round6(col("avg_v"))),
       Some(s"""SELECT ${dbBucket(HourMs)} AS bucket_ms,
-        round(CAST(sum(CAST(value AS DECIMAL(38,12)))
+        ${sqlRound6("""CAST(sum(CAST(value AS DECIMAL(38,12)))
                      FILTER (WHERE event_type = 'purchase') AS DOUBLE)
-              / count(value) FILTER (WHERE event_type = 'purchase'), 6) AS avg_v
+              / count(value) FILTER (WHERE event_type = 'purchase')""")} AS avg_v
         FROM events GROUP BY 1 ORDER BY 1""")),
 
     "q_series_multi_day" -> Entry(
@@ -185,8 +203,8 @@ object Queries {
           SeriesQuery(HourMs, Seq("/v", "/v", "/v", "/v"),
             Seq("c", "c_min", "c_avg", "c_max"),
             names = Seq("c", "c_min", "c_avg", "c_max")))
-        .withColumn("c", round(col("c"), 6))
-        .withColumn("c_avg", round(col("c_avg"), 6)),
+        .withColumn("c", round6(col("c")))
+        .withColumn("c_avg", round6(col("c_avg"))),
       Some(s"""WITH s AS (
           SELECT epoch_us(ts)*1000 AS tns, value AS v, event_id,
                  (epoch_us(ts) // ${HourMs * 1000}) * ${HourMs * 1000 * 1000} AS bucket
@@ -205,8 +223,8 @@ object Queries {
                  avg(rate) AS c_avg, max(rate) AS c_max
           FROM r GROUP BY bucket)
         SELECT b.bucket // 1000000 AS bucket_ms,
-          round(coalesce(a.c, 0), 6) AS c, a.c_min AS c_min,
-          round(a.c_avg, 6) AS c_avg, a.c_max AS c_max
+          ${sqlRound6("coalesce(a.c, 0)")} AS c, a.c_min AS c_min,
+          ${sqlRound6("a.c_avg")} AS c_avg, a.c_max AS c_max
         FROM (SELECT DISTINCT bucket FROM s) b
         LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
 
@@ -217,7 +235,7 @@ object Queries {
       (s, dir) => SeriesEngine.query(eventsSeries(s, dir),
           SeriesQuery(HourMs, Seq("/v", "/user"), Seq("c", "c_max"),
             names = Seq("c_v", "cmax_u")))
-        .withColumn("c_v", round(col("c_v"), 6)),
+        .withColumn("c_v", round6(col("c_v"))),
       Some(s"""WITH s AS (
           SELECT epoch_us(ts)*1000 AS tns, value AS v, user_id::DOUBLE AS u,
                  event_id,
@@ -239,7 +257,7 @@ object Queries {
                  max(ru) FILTER (WHERE isfinite(ru)) AS cmax
           FROM r GROUP BY bucket)
         SELECT b.bucket // 1000000 AS bucket_ms,
-          round(coalesce(a.c, 0), 6) AS c_v, a.cmax AS cmax_u
+          ${sqlRound6("coalesce(a.c, 0)")} AS c_v, a.cmax AS cmax_u
         FROM (SELECT DISTINCT bucket FROM s) b
         LEFT JOIN agg a ON a.bucket = b.bucket ORDER BY 1""")),
 
@@ -296,8 +314,8 @@ object Queries {
             lag(sum_v, 7) OVER (ORDER BY bucket_ms) AS l7
           FROM b)
         SELECT bucket_ms, round(sum_v, 6) AS sum_v,
-          round(roll, 6) AS roll_mean,
-          round((1.0::DOUBLE * sum_v
+          round(roll * 1000000.0) / 1000000.0 AS roll_mean,
+          round(((1.0::DOUBLE * sum_v
               + CASE WHEN l1 IS NULL THEN 0 ELSE 0.7::DOUBLE * l1 END
               + CASE WHEN l2 IS NULL THEN 0 ELSE 0.49::DOUBLE * l2 END
               + CASE WHEN l3 IS NULL THEN 0 ELSE 0.343::DOUBLE * l3 END
@@ -312,7 +330,8 @@ object Queries {
               + CASE WHEN l4 IS NULL THEN 0 ELSE 0.2401::DOUBLE END
               + CASE WHEN l5 IS NULL THEN 0 ELSE 0.16807::DOUBLE END
               + CASE WHEN l6 IS NULL THEN 0 ELSE 0.117649::DOUBLE END
-              + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0823543::DOUBLE END), 6)
+              + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0823543::DOUBLE END))
+              * 1000000.0) / 1000000.0
             AS ewma
         FROM s ORDER BY 1""")),
 
@@ -339,9 +358,9 @@ object Queries {
             count(n) AS cnt
           FROM b GROUP BY 1),
         zt AS (SELECT b.event_type, b.bucket_ms, b.n,
-            round(CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
+            round((CASE WHEN ss / cnt - (s / cnt) * (s / cnt) > 0
               THEN (n - s / cnt) / sqrt(ss / cnt - (s / cnt) * (s / cnt))
-              END, 6) AS z
+              END) * 1000000.0) / 1000000.0 AS z
           FROM b JOIN st USING (event_type))
         SELECT event_type, bucket_ms, n, z,
           coalesce(abs(z) > 2.0, false) AS is_anomaly
@@ -484,7 +503,7 @@ object Queries {
               names = Seq("sum_v", "c_v")),
             partitionBy = Seq("series"))
           .withColumn("sum_v", round(col("sum_v"), 6))
-          .withColumn("c_v", round(col("c_v"), 6))
+          .withColumn("c_v", round6(col("c_v")))
       },
       Some(s"""WITH s AS (
           SELECT event_type AS series, epoch_us(ts) * 1000 AS tns, value AS v,
@@ -501,7 +520,7 @@ object Queries {
         agg AS (SELECT series, bucket, sum(rate) AS c FROM r GROUP BY 1, 2),
         sums AS (SELECT series, bucket, sum(v) AS sv FROM s GROUP BY 1, 2)
         SELECT sums.series, sums.bucket // 1000000 AS bucket_ms,
-          round(sums.sv, 6) AS sum_v, round(coalesce(agg.c, 0), 6) AS c_v
+          round(sums.sv, 6) AS sum_v, ${sqlRound6("coalesce(agg.c, 0)")} AS c_v
         FROM sums LEFT JOIN agg USING (series, bucket)
         ORDER BY 1, 2""")),
 
@@ -1306,7 +1325,8 @@ object Queries {
         .select(col("doc_id"), col("key")),
       Some("""WITH f AS (SELECT doc_id, n_chars,
           round(pow(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-            / 1152921504606846976.0, 1.0 / n_chars), 6) AS key
+            / 1152921504606846976.0, 1.0 / n_chars) * 1000000.0)
+            / 1000000.0 AS key
         FROM documents WHERE n_chars > 0)
         SELECT doc_id, key FROM f ORDER BY key DESC, doc_id LIMIT 100""")),
 
@@ -1968,7 +1988,7 @@ object Queries {
     "embed_kmeans" -> Entry(
       (s, dir) => graft.operators.Embeddings.kmeansIter(t(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), col("label"))
-        .withColumn("d2", round(col("d2"), 6))
+        .withColumn("d2", round6(col("d2")))
         .orderBy(col("vec_id")),
       Some(kmeansOracle)),
 
@@ -2411,7 +2431,8 @@ object Queries {
               ORDER BY c DESC, lang) AS rn FROM l) WHERE rn = 1)
         SELECT s.source, n_docs, n_tokens, n_chars, mean_chars, n_langs,
           top_lang, top_lang_docs,
-          round(top_lang_docs / n_docs, 6) AS top_lang_share
+          ((2 * top_lang_docs::HUGEINT * 1000000 + n_docs)
+            // (2 * n_docs))::DOUBLE / 1000000.0 AS top_lang_share
         FROM s JOIN nl USING (source) JOIN top USING (source)
         ORDER BY source""")),
 
@@ -2617,7 +2638,8 @@ object Queries {
           vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 16),
           n AS (SELECT count(*)::DOUBLE AS n FROM documents),
           sc AS (SELECT doc_id, term, tf,
-              round(tf * ln(n.n / coalesce(vocab.df, 1)), 6) AS score
+              round(tf * ln(n.n / coalesce(vocab.df, 1)) * 1000000.0)
+                / 1000000.0 AS score
             FROM tf LEFT JOIN vocab USING (term) CROSS JOIN n),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY score DESC, term) AS rank FROM sc)
@@ -3300,14 +3322,14 @@ object Queries {
           sum(vi::HUGEINT * vi::HUGEINT) AS ss,
           count(vi) AS cnt
         FROM vq GROUP BY 1),
-      zt AS (SELECT vec_id, vq.label, d2,
-          round(CASE WHEN ss::DOUBLE / cnt
+      zt AS (SELECT vec_id, vq.label, vi,
+          round((CASE WHEN ss::DOUBLE / cnt
               - (s::DOUBLE / cnt) * (s::DOUBLE / cnt) > 0
             THEN (vi::DOUBLE - s::DOUBLE / cnt)
               / sqrt(ss::DOUBLE / cnt - (s::DOUBLE / cnt) * (s::DOUBLE / cnt))
-            END, 6) AS z
+            END) * 1000000.0) / 1000000.0 AS z
         FROM vq JOIN st USING (label))
-      SELECT vec_id, label, round(d2, 6) AS d2, z,
+      SELECT vec_id, label, vi::DOUBLE / 1000000.0 AS d2, z,
         coalesce(z > $threshold, false) AS is_outlier
       FROM zt ORDER BY vec_id"""
 
@@ -3496,7 +3518,8 @@ object Queries {
         FROM e CROSS JOIN cent),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
           ORDER BY d2, cent_id) AS rn FROM scored)
-      SELECT vec_id, old_label, cent_id AS new_label, round(d2, 6) AS d2
+      SELECT vec_id, old_label, cent_id AS new_label,
+        round(d2 * 1000000.0) / 1000000.0 AS d2
       FROM ranked WHERE rn = 1 ORDER BY vec_id"""
 
   /** Corpus-clean decisions in DuckDB, mirroring
@@ -3655,7 +3678,7 @@ object Queries {
         FROM j)
       SELECT b.cluster_id, b.doc_id AS chosen_id, b.q AS chosen_q,
         w.doc_id AS rejected_id, w.q AS rejected_q,
-        round(b.q - w.q, 6) AS margin
+        round((b.q - w.q) * 1000000.0) / 1000000.0 AS margin
       FROM (SELECT * FROM r WHERE rb = 1 AND sz >= 2) b
       JOIN (SELECT * FROM r WHERE rw = 1) w USING (cluster_id)
       ORDER BY cluster_id"""

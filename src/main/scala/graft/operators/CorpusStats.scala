@@ -288,8 +288,10 @@ object CorpusStats {
       .select(col("source"), col("lang").as("top_lang"),
         col("c").as("top_lang_docs"))
     stats.join(nl, "source").join(top, "source")
+      // integer-ratio emit (functions.ratio6): round(double, 6) is
+      // engine-private exactly at the 5e-7 ties int ratios sit on
       .withColumn("top_lang_share",
-        round(col("top_lang_docs") / col("n_docs"), 6))
+        graft.functions.ratio6(col("top_lang_docs"), col("n_docs")))
   }
 
   /**
@@ -380,8 +382,12 @@ object CorpusStats {
       .foreach(r => table.put(r.getString(0), r.getLong(1)))
     val dfCol = graft.functions.LongMapLookupExpr.lookup(col("term"),
       df.sparkSession.sparkContext.broadcast(table), 1L)
+    // scale-0 quantization of the scaled product (not round(x, 6)):
+    // both engines round the SAME score·10⁶ double, where half-away
+    // conventions agree — the derived-rational tie rule
     val scored = tf.withColumn("score",
-      round(col("tf") * log(lit(n) / dfCol.cast("double")), 6))
+      round(col("tf") * log(lit(n) / dfCol.cast("double")) *
+        lit(1000000.0)) / lit(1000000.0))
     TopK.perGroup(scored, col("doc_id"), col("score").desc, col("term"), k)
       .select(col("doc_id"), col("term"), col("tf"), col("score"),
         col("rank").cast("long").as("rank"))

@@ -113,10 +113,15 @@ object Embeddings {
         (col("__ss") / col("__n") -
           (col("__s") / col("__n")) * (col("__s") / col("__n"))).as("__var"))
     scored.join(broadcast(stats), "label")
+      // scale-0 quantization (the anomaly micro-z discipline): both
+      // engines round the SAME scaled double; round(x, 6) is
+      // engine-private at 5e-7 ties of derived rationals
       .withColumn("z", round(when(col("__var") > 0,
-        (vi.cast("double") - col("__m")) / sqrt(col("__var"))), 6))
+        (vi.cast("double") - col("__m")) / sqrt(col("__var"))) *
+        lit(1000000.0)) / lit(1000000.0))
       .withColumn("is_outlier", coalesce(col("z") > threshold, lit(false)))
-      .select(col("vec_id"), col("label"), round(col("d2"), 6).as("d2"),
+      .select(col("vec_id"), col("label"),
+        (round(col("d2") * lit(1000000.0)) / lit(1000000.0)).as("d2"),
         col("z"), col("is_outlier"))
   }
 

@@ -87,7 +87,11 @@ object Pipeline {
       .select(col("cluster_id"),
         (-col("b.nid")).as("chosen_id"), col("b.q").as("chosen_q"),
         (-col("w.nid")).as("rejected_id"), col("w.q").as("rejected_q"))
-      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 6))
+      // scale-0 quantization: round(x, 6) is engine-private at 5e-7
+      // ties of a derived difference; round(x·10⁶) is not
+      .withColumn("margin",
+        round((col("chosen_q") - col("rejected_q")) * lit(1000000.0)) /
+          lit(1000000.0))
       .filter(col("margin") >= minMargin)
   }
 

@@ -92,7 +92,11 @@ object Sampling {
    */
   def weighted(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val key = round(pow(fraction(id), lit(1.0) / weight.cast("double")), 6)
+    // scale-0 quantization of the scaled key — the selection ORDER
+    // depends on it, so an engine-private round(x, 6) tie would flip
+    // which rows make the sample
+    val key = round(pow(fraction(id), lit(1.0) / weight.cast("double")) *
+      lit(1000000.0)) / lit(1000000.0)
     df.filter(weight > 0)
       .withColumn("key", key)
       .orderBy(col("key").desc, id)

@@ -126,10 +126,14 @@ object SeriesStats {
     // guard it so the result is null, not an ANSI DIVIDE_BY_ZERO
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
+    // 6-dp emit via SCALE-0 rounding of the scaled product (the
+    // micro-z discipline — see anomaly): round(x, 6) is engine-
+    // private at 5e-7 ties of derived rationals, round(x·10⁶) is not
+    def q6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
     buckets
       .withColumn("roll_mean",
-        round(avg(v).over(w.rowsBetween(-(rollN - 1), 0)), 6))
-      .withColumn("ewma", round(when(den > 0.0, num / den), 6))
+        q6(avg(v).over(w.rowsBetween(-(rollN - 1), 0))))
+      .withColumn("ewma", q6(when(den > 0.0, num / den)))
   }
 
   /**
@@ -378,7 +382,10 @@ object SeriesStats {
         .drop("__m", "__var", "__zi")
     } else {
       joined
-        .withColumn("z", round(zRaw, 6))
+        // scale-0 quantization (see quantizeMicro doc): both engines
+        // round the SAME z·10⁶ product, where half-away conventions
+        // agree — round(z, 6) is engine-private at 5e-7 ties
+        .withColumn("z", round(zRaw * lit(1000000.0)) / lit(1000000.0))
         .withColumn("is_anomaly",
           coalesce(abs(col("z")) > threshold, lit(false)))
         .drop("__m", "__var")
