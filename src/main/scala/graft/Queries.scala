@@ -1785,7 +1785,7 @@ object Queries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
-          .withColumn("sim", round(col("sim"), 6))
+          .withColumn("sim", round6(col("sim")))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
         n AS (SELECT vec_id, embedding AS v,
@@ -1801,7 +1801,7 @@ object Queries {
         ranked AS (SELECT query_id, vec_id, sim,
           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
           FROM scored)
-        SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+        SELECT query_id, vec_id, round(sim * 1000000.0) / 1000000.0 AS sim, rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // contrastive hard-negative mining: per anchor, the 10 nearest
@@ -1811,7 +1811,7 @@ object Queries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 10)
-          .withColumn("sim", round(col("sim"), 6))
+          .withColumn("sim", round6(col("sim")))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
             FROM embeddings WHERE vec_id < 8),
@@ -1831,7 +1831,7 @@ object Queries {
               ORDER BY sim DESC, vec_id) AS rank
             FROM scored)
         SELECT query_id, query_label, vec_id, neg_label,
-          round(sim, 6) AS sim, rank
+          round(sim * 1000000.0) / 1000000.0 AS sim, rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     "ann_lsh_topk" -> Entry(
@@ -1839,7 +1839,7 @@ object Queries {
         val emb = t(s, dir, "embeddings")
         Similarity.hyperplaneTopK(emb, emb.filter(col("vec_id") < 8), k = 10,
             tables = 4, planes = 4)
-          .withColumn("sim", round(col("sim"), 6))
+          .withColumn("sim", round6(col("sim")))
       },
       Some(annLshOracle(tables = 4, planes = 4, k = 10))),
 
@@ -1857,7 +1857,7 @@ object Queries {
             centroids = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
               col("vec_id") < 4096),
             k = 10, nprobe = 2)
-          .withColumn("sim", round(col("sim"), 6))
+          .withColumn("sim", round6(col("sim")))
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
@@ -1868,7 +1868,7 @@ object Queries {
     "dedup_embedding" -> Entry(
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
           threshold = 0.4, tables = 4, planes = 4, maxBucket = 1024)
-        .withColumn("sim", round(col("sim"), 6))
+        .withColumn("sim", round6(col("sim")))
         .orderBy(col("id1"), col("id2")),
       Some(embNearDupOracle(threshold = 0.4, tables = 4, planes = 4,
         maxBucket = 1024))),
@@ -1883,7 +1883,7 @@ object Queries {
             emb.filter(pmod(col("vec_id"), lit(2)) === 0),
             emb.filter(pmod(col("vec_id"), lit(2)) === 1),
             threshold = 0.4, tables = 4, planes = 4, maxBucket = 1024)
-          .withColumn("sim", round(col("sim"), 6))
+          .withColumn("sim", round6(col("sim")))
           .orderBy(col("id1"), col("id2"))
       },
       Some(crossPairsOracle(threshold = 0.4, tables = 4, planes = 4,
@@ -1905,7 +1905,7 @@ object Queries {
           .select(col("vec_id"), col("new_label").as("cluster"))
         Similarity.semanticNearDupPairs(emb, assign, threshold = 0.4,
             maxBucket = 1000)
-          .withColumn("sim", round(col("sim"), 6))
+          .withColumn("sim", round6(col("sim")))
           .orderBy(col("cluster"), col("id1"), col("id2"))
       },
       Some(semanticDedupOracle(threshold = 0.4, maxBucket = 1000))),
@@ -1920,7 +1920,7 @@ object Queries {
         Similarity.decontaminateSemantic(
             emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
             threshold = 0.4)
-          .withColumn("max_sim", round(col("max_sim"), 6))
+          .withColumn("max_sim", round6(col("max_sim")))
           .orderBy(col("vec_id"))
       },
       Some("""WITH e AS (SELECT vec_id AS eval_id, embedding AS ev,
@@ -1938,7 +1938,7 @@ object Queries {
         r AS (SELECT vec_id, eval_id, sim, row_number() OVER
             (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
           FROM s)
-        SELECT vec_id, eval_id, round(sim, 6) AS max_sim,
+        SELECT vec_id, eval_id, round(sim * 1000000.0) / 1000000.0 AS max_sim,
           sim >= 0.4 AS contaminated
         FROM r WHERE rn = 1
         UNION ALL
@@ -2002,7 +2002,7 @@ object Queries {
           t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           outDim = 8, inDim = 64)
         proj.select(col("vec_id") +: (0 until 8).map(k =>
-            (round(element_at(col("proj"), k + 1), 6) + lit(0.0)).as(s"p$k")): _*)
+            (round6(element_at(col("proj"), k + 1)) + lit(0.0)).as(s"p$k")): _*)
           .orderBy(col("vec_id"))
       },
       Some(projectionOracle(outDim = 8, inDim = 64, seed = "jl"))),
@@ -2104,7 +2104,7 @@ object Queries {
     "text_bm25" -> Entry(
       (s, dir) => graft.operators.CorpusStats.bm25(t(s, dir, "documents"),
           col("doc_id"), col("text"), terms = Seq("join", "vector", "spark"))
-        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .select(col("doc_id"), round6(col("bm25")).as("bm25"))
         .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
             FROM documents),
@@ -2114,7 +2114,7 @@ object Queries {
             sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)::DOUBLE AS df1,
             sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df2
           FROM t)
-        SELECT doc_id, round(
+        SELECT doc_id, round((
             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) *
               len(list_filter(toks, x -> x = 'join'))::DOUBLE * (1.2 + 1) /
               (len(list_filter(toks, x -> x = 'join'))::DOUBLE +
@@ -2126,7 +2126,8 @@ object Queries {
             ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) *
               len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (1.2 + 1) /
               (len(list_filter(toks, x -> x = 'spark'))::DOUBLE +
-                1.2 * (1.0 - 0.75 + 0.75 * len(toks)::DOUBLE / avglen)), 6)
+                1.2 * (1.0 - 0.75 + 0.75 * len(toks)::DOUBLE / avglen)))
+            * 1000000.0) / 1000000.0
             AS bm25
         FROM t, s ORDER BY doc_id""")),
 
@@ -2271,7 +2272,7 @@ object Queries {
     "corpus_class_terms" -> Entry(
       (s, dir) => graft.operators.CorpusStats.classTerms(
           t(s, dir, "documents"), col("source"), col("text"), k = 10)
-        .withColumn("ctfidf", round(col("ctfidf"), 6))
+        .withColumn("ctfidf", round6(col("ctfidf")))
         .orderBy(col("cls"), col("rank")),
       Some("""WITH cw AS (SELECT cls, w AS term, count(*)::BIGINT AS tf FROM
             (SELECT source AS cls, unnest(string_split(text, ' ')) AS w
@@ -2288,7 +2289,8 @@ object Queries {
               row_number() OVER (PARTITION BY cls ORDER BY s DESC, term)
                 AS rank
             FROM sc)
-        SELECT cls, term, tf, round(s::DOUBLE / 1e9, 6) AS ctfidf, rank
+        SELECT cls, term, tf,
+          round(s::DOUBLE / 1e9 * 1000000.0) / 1000000.0 AS ctfidf, rank
         FROM rk WHERE rank <= 10 ORDER BY cls, rank""")),
 
     // tokenizer fertility per source: BPE-ish tokens per whitespace
@@ -2656,14 +2658,14 @@ object Queries {
           t(s, dir, "documents"), col("lang"), col("n_chars"),
           Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         q.select(col("grp").as("lang") +:
-            Seq("p25", "p50", "p90", "p99").map(c => round(col(c), 6).as(c)): _*)
+            Seq("p25", "p50", "p90", "p99").map(c => round6(col(c)).as(c)): _*)
           .orderBy(col("lang"))
       },
       Some("""SELECT lang,
-          round(quantile_cont(n_chars, 0.25), 6) AS p25,
-          round(quantile_cont(n_chars, 0.5), 6) AS p50,
-          round(quantile_cont(n_chars, 0.9), 6) AS p90,
-          round(quantile_cont(n_chars, 0.99), 6) AS p99
+          round(quantile_cont(n_chars, 0.25) * 1000000.0) / 1000000.0 AS p25,
+          round(quantile_cont(n_chars, 0.5) * 1000000.0) / 1000000.0 AS p50,
+          round(quantile_cont(n_chars, 0.9) * 1000000.0) / 1000000.0 AS p90,
+          round(quantile_cont(n_chars, 0.99) * 1000000.0) / 1000000.0 AS p99
         FROM documents GROUP BY lang ORDER BY lang""")),
 
     // per-language robust scaling of doc lengths: exact median/IQR
@@ -2672,8 +2674,8 @@ object Queries {
       (s, dir) => graft.operators.CorpusStats.normalize(
           t(s, dir, "documents"), col("lang"), col("n_chars"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(col("robust"), 6).as("robust"),
-          round(col("minmax"), 6).as("minmax"))
+          round6(col("robust")).as("robust"),
+          round6(col("minmax")).as("minmax"))
         .orderBy(col("doc_id")),
       Some("""WITH s AS (SELECT lang,
             quantile_cont(n_chars, 0.25) AS q25,
@@ -2682,10 +2684,12 @@ object Queries {
             min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
           FROM documents GROUP BY 1)
         SELECT doc_id, d.lang, n_chars,
-          round(CASE WHEN q75 <> q25
-            THEN (n_chars::DOUBLE - q50) / (q75 - q25) END, 6) AS robust,
-          round(CASE WHEN mx <> mn
-            THEN (n_chars::DOUBLE - mn) / (mx - mn) END, 6) AS minmax
+          round((CASE WHEN q75 <> q25
+            THEN (n_chars::DOUBLE - q50) / (q75 - q25) END)
+            * 1000000.0) / 1000000.0 AS robust,
+          round((CASE WHEN mx <> mn
+            THEN (n_chars::DOUBLE - mn) / (mx - mn) END)
+            * 1000000.0) / 1000000.0 AS minmax
         FROM documents d JOIN s ON d.lang = s.lang
         ORDER BY doc_id""")),
 
@@ -3082,7 +3086,7 @@ object Queries {
       ranked AS (SELECT query_id, vec_id, sim,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         FROM scored)
-      SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+      SELECT query_id, vec_id, round(sim * 1000000.0) / 1000000.0 AS sim, rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** IVF top-k in DuckDB, mirroring [[Similarity.ivfTopK]]: nearest-
@@ -3107,7 +3111,7 @@ object Queries {
       ranked AS (SELECT query_id, vec_id, sim,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         FROM scored)
-      SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+      SELECT query_id, vec_id, round(sim * 1000000.0) / 1000000.0 AS sim, rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** DSIR importance scores in DuckDB, mirroring
@@ -3215,7 +3219,7 @@ object Queries {
       scored AS (SELECT id1, id2,
           ${dotSql.format("v1", "v2")} / (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
         FROM cand)
-      SELECT id1, id2, round(sim, 6) AS sim FROM scored
+      SELECT id1, id2, round(sim * 1000000.0) / 1000000.0 AS sim FROM scored
       WHERE sim >= $threshold ORDER BY 1, 2"""
 
   /** Cross-corpus LSH pairs in DuckDB, mirroring
@@ -3243,7 +3247,7 @@ object Queries {
           ${dotSql.format("v1", "v2")} /
             (${nrmSql("v1")} * ${nrmSql("v2")}) AS sim
         FROM cand)
-      SELECT id1, id2, round(sim, 6) AS sim FROM scored
+      SELECT id1, id2, round(sim * 1000000.0) / 1000000.0 AS sim FROM scored
       WHERE sim >= $threshold ORDER BY 1, 2"""
 
   /** SemDeDup in DuckDB, mirroring
@@ -3291,7 +3295,7 @@ object Queries {
             (${nrmSql("a.v")} * ${nrmSql("b.v")}) AS sim
         FROM a2 a JOIN a2 b
           ON a.sub = b.sub AND a.vec_id < b.vec_id)
-      SELECT cluster, id1, id2, round(sim, 6) AS sim FROM pairs
+      SELECT cluster, id1, id2, round(sim * 1000000.0) / 1000000.0 AS sim FROM pairs
       WHERE sim >= $threshold ORDER BY 1, 2, 3"""
   }
 
@@ -3477,8 +3481,10 @@ object Queries {
           SELECT unnest([n0, n1, n2]) AS node FROM tri) GROUP BY 1)
       SELECT deg.node, deg.deg AS degree,
         coalesce(pn.triangles, 0)::BIGINT AS triangles,
-        CASE WHEN deg.deg >= 2 THEN round(
-          2.0 * coalesce(pn.triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
+        CASE WHEN deg.deg >= 2 THEN
+          ((2 * (2 * coalesce(pn.triangles, 0))::HUGEINT * 1000000
+              + (deg.deg * (deg.deg - 1)))
+            // (2 * (deg.deg * (deg.deg - 1))))::DOUBLE / 1000000.0
         END AS clustering
       FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node"""
 
@@ -3492,7 +3498,8 @@ object Queries {
     }.mkString(",\n        ")
     val comps = (0 until outDim).map(k =>
       s"round(list_sum(list_transform(range(1, ${inDim + 1}), " +
-        s"i -> embedding[i]::DOUBLE * s$k[i])), 6) + 0 AS p$k")
+        s"i -> embedding[i]::DOUBLE * s$k[i])) * 1000000.0) / 1000000.0" +
+        s" + 0 AS p$k")
       .mkString(",\n        ")
     s"""WITH sg AS (SELECT $lists)
       SELECT vec_id,

@@ -179,10 +179,12 @@ object Graphs {
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg").as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+      // integer-ratio emit (functions.ratio6): 2t/(d(d−1)) sits on
+      // the 5e-7 ties where engines' round(double, 6) diverge
       .withColumn("clustering",
-        when(col("degree") >= 2, round(
-          lit(2.0) * col("triangles") /
-            (col("degree") * (col("degree") - 1)), 6)))
+        when(col("degree") >= 2, graft.functions.ratio6(
+          lit(2L) * col("triangles"),
+          col("degree") * (col("degree") - 1))))
   }
 
   /**
