@@ -783,6 +783,9 @@ object CorpusStats {
    * sorts in ms on one partition). */
   val RrfBuckets = 1024
   val RrfSmallCorpusBytes = 64L << 20
+  /** Histogram row count under which one cumulative window beats the
+   * bucketed construction (a 64k-row window sorts in ms). */
+  val RrfSmallHist = 65536L
 
   def rrfFuse(df: DataFrame, id: Column, signals: Seq[(String, Column)],
       rrfK: Int = 60): DataFrame =
@@ -807,15 +810,32 @@ object CorpusStats {
     // every histogram derives from the BASE projection, not the
     // progressively-joined frame — otherwise signal i's histogram job
     // would re-execute the i−1 prior joins (O(S²) scan work)
+    def oneWindow(hist: DataFrame, n: String): DataFrame =
+      hist.withColumn("__cum",
+          sum(col("__hc")).over(Window.orderBy(col("__hv").desc)))
+        .select(col("__hv"),
+          (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+    // Big corpus: ONE sketch pass sizes every signal's histogram, so
+    // bounded-distinct signals (lengths, counts — tiny histograms)
+    // keep the plain single-window plan with no checkpoint, and only
+    // genuinely continuous signals pay for the bucketed machinery.
+    // Approximation is safe: both branches are exact, the threshold
+    // is purely a performance heuristic.
+    lazy val approxSizes: Map[String, Long] = {
+      val row = base.agg(
+        approx_count_distinct(col(s"__v_${signals.head._1}")),
+        signals.tail.map { case (n, _) =>
+          approx_count_distinct(col(s"__v_$n")) }: _*).head()
+      signals.map(_._1).zipWithIndex
+        .map { case (n, i) => n -> row.getLong(i) }.toMap
+    }
     val ranked = signals.map { case (n, _) =>
       val hist = base.filter(col(s"__v_$n").isNotNull)
         .groupBy(col(s"__v_$n").as("__hv")).agg(count(lit(1)).as("__hc"))
-      n -> (if (smallCorpus)
-        // bounded-distinct signal (the common case): one trivial window
-        hist.withColumn("__cum",
-            sum(col("__hc")).over(Window.orderBy(col("__hv").desc)))
-          .select(col("__hv"),
-            (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+      n -> (if (smallCorpus || approxSizes(n) <= RrfSmallHist)
+        // small corpus or bounded-distinct signal: one trivial
+        // window; no checkpoint, no percentile pass
+        oneWindow(hist, n)
       else {
         // continuous signal: order-preserving split points over the
         // DISTINCT values (one-row frame, broadcast back) range-bucket
@@ -827,28 +847,30 @@ object CorpusStats {
         // bucket — first in descending rank order, the doc'd contract.
         // Checkpointed: the histogram feeds the split-point aggregate
         // AND the rank pass (corpus-sized here, so worth one
-        // materialization; the small path never pays it).
+        // materialization; the bounded-distinct paths never pay it).
         val ckHist = hist.localCheckpoint()
-        val splits = ckHist.agg(percentile_approx(col("__hv"),
-          array((1 until RrfBuckets).map(i =>
-            lit(i.toDouble / RrfBuckets)): _*), lit(10000)).as("__sp"))
-        val bucketed = ckHist.crossJoin(broadcast(splits))
-          .withColumn("__bkt",
-            size(filter(col("__sp"), s => s < col("__hv"))))
-          .drop("__sp")
-        val pfx = bucketed.groupBy(col("__bkt"))
-          .agg(sum(col("__hc")).as("__bsum"))
-          .withColumn("__bbefore", coalesce(
-            sum(col("__bsum")).over(Window.orderBy(col("__bkt").desc)
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("__bkt"), col("__bbefore"))
-        val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__hv").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        bucketed.join(broadcast(pfx), Seq("__bkt"))
-          .withColumn("__cum",
-            col("__bbefore") + sum(col("__hc")).over(wIn))
-          .select(col("__hv"),
-            (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+        locally {
+          val splits = ckHist.agg(percentile_approx(col("__hv"),
+            array((1 until RrfBuckets).map(i =>
+              lit(i.toDouble / RrfBuckets)): _*), lit(10000)).as("__sp"))
+          val bucketed = ckHist.crossJoin(broadcast(splits))
+            .withColumn("__bkt",
+              size(filter(col("__sp"), s => s < col("__hv"))))
+            .drop("__sp")
+          val pfx = bucketed.groupBy(col("__bkt"))
+            .agg(sum(col("__hc")).as("__bsum"))
+            .withColumn("__bbefore", coalesce(
+              sum(col("__bsum")).over(Window.orderBy(col("__bkt").desc)
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("__bkt"), col("__bbefore"))
+          val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__hv").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          bucketed.join(broadcast(pfx), Seq("__bkt"))
+            .withColumn("__cum",
+              col("__bbefore") + sum(col("__hc")).over(wIn))
+            .select(col("__hv"),
+              (col("__cum") - col("__hc") + 1).as(s"rank_$n"))
+        }
       })
     }
     var out = base
