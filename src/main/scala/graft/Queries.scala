@@ -2038,6 +2038,32 @@ object Queries {
         .orderBy(col("doc_id")),
       Some(qualityOracle)),
 
+    // Gopher rule-filter bundle (Rae et al. 2021 §A1.1): word-count /
+    // mean-word-length / alpha-word-fraction / stopword-hit gates in
+    // one codegen'd scan pass. All ratios are integer micro-units
+    // (truncating div of non-negative longs) and the keep flag
+    // compares integers only — no float at the emit edge.
+    "text_gopher_quality" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +: TextOps.gopherRules(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          s AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+              list_sum(list_transform(ws, x -> length(x)))::BIGINT AS sum_word_chars,
+              len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS alpha_words,
+              len(list_filter(ws, x -> x IN ('the','a','of','to','and','in','is','it','you','that')))::BIGINT AS stop_hits
+            FROM w)
+        SELECT doc_id, n_words, sum_word_chars,
+          (sum_word_chars * 1000000) // NULLIF(n_words, 0) AS mean_word_len_micro,
+          (alpha_words * 1000000) // NULLIF(n_words, 0) AS alpha_word_frac_micro,
+          stop_hits,
+          coalesce(n_words BETWEEN 25 AND 90
+            AND (sum_word_chars * 1000000) // NULLIF(n_words, 0) BETWEEN 2500000 AND 8000000
+            AND (alpha_words * 1000000) // NULLIF(n_words, 0) >= 800000
+            AND stop_hits >= 2, false) AS gopher_keep
+        FROM s ORDER BY doc_id""")),
+
     "text_tokens" -> Entry(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id") +: TextOps.tokenCounts(col("text"))
@@ -2758,6 +2784,38 @@ object Queries {
           .orderBy(col("doc_id"))
       },
       Some(deconExactOracle)),
+
+    // per-source contamination dashboard: the decontaminate probe
+    // rolled up to one row per source — doc counts, contaminated
+    // counts, and the rate as integer parts-per-million (truncating
+    // integral divide; no float at the emit edge). The report a
+    // curation run reads before deciding which sources to re-crawl.
+    "corpus_contamination_report" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.contaminationReport(docs, col("doc_id"), col("text"),
+            col("source"),
+            docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"), n = 8)
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          dg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 6), i ->
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+              ELSE [] END) AS gram FROM w)),
+          bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+          h AS (SELECT d.doc_id, count(*) AS hits FROM dg d
+            JOIN bg USING (gram) GROUP BY 1)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN coalesce(hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_contaminated,
+          (sum(CASE WHEN coalesce(hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+            * 1000000) // count(*) AS contam_ppm
+        FROM documents LEFT JOIN h USING (doc_id)
+        GROUP BY 1 ORDER BY 1""")),
 
     // bloom-prefiltered decontamination: same EXACT result as
     // text_decontaminate (probe, then confirm against the exact gram

@@ -84,6 +84,54 @@ object TextOps {
       "punct_ratio" -> punct, "stopword_ratio" -> stop, "quality" -> score)
   }
 
+  /**
+   * Gopher-style document rule filter (Rae et al. 2021,
+   * arXiv:2112.11446 §A1.1): the cheap per-document heuristics a
+   * pre-training ingest applies before any model-based scoring —
+   * word-count bounds, mean-word-length bounds, a minimum fraction of
+   * words containing an alphabetic character, and a minimum stopword
+   * hit count. One codegen'd pass over a let-bound token array; no
+   * shuffle, scan-bound at any corpus size.
+   *
+   * Every ratio is emitted as an integer micro-unit derived by
+   * truncating integral division of non-negative longs (`a·10⁶ div
+   * n`) — bit-identical on any engine, no `round(double)` at the emit
+   * edge — and the keep flag compares only integers.
+   */
+  def gopherRules(text: Column,
+      minWords: Long = 25, maxWords: Long = 90,
+      minMeanWordLenMicro: Long = 2500000L,
+      maxMeanWordLenMicro: Long = 8000000L,
+      minAlphaWordFracMicro: Long = 800000L,
+      minStopHits: Long = 2): Seq[(String, Column)] = {
+    import graft.functions.ldiv
+    val enStops = stopwords.toMap.apply("en")
+    val w = tokens(text)
+    // size(null array) is -1 in non-ANSI Spark; SQL's len(NULL) is
+    // NULL — gate on the text itself so null docs emit null signals
+    // (and a coalesced-false keep) on both engines
+    def sz(c: Column): Column = when(text.isNotNull, size(c)).cast("long")
+    val nWords = sz(w)
+    val sumChars = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val alphaWords = sz(filter(w, x => x.rlike("[a-zA-Z]")))
+    val stopHits = sz(filter(w, x => x.isInCollection(enStops)))
+    val den = nullif(nWords, lit(0L))
+    val mwlMicro = ldiv(sumChars * lit(1000000L), den)
+    val alphaMicro = ldiv(alphaWords * lit(1000000L), den)
+    Seq(
+      "n_words" -> nWords,
+      "sum_word_chars" -> sumChars,
+      "mean_word_len_micro" -> mwlMicro,
+      "alpha_word_frac_micro" -> alphaMicro,
+      "stop_hits" -> stopHits,
+      "gopher_keep" -> coalesce(
+        nWords.between(minWords, maxWords) &&
+          mwlMicro.between(minMeanWordLenMicro, maxMeanWordLenMicro) &&
+          alphaMicro >= minAlphaWordFracMicro &&
+          stopHits >= minStopHits,
+        lit(false)))
+  }
+
   // Whitespace as an EXPLICIT class: Java's \s includes vertical tab
   // (\x0B) while RE2 (DuckDB) excludes it — spelled out, both engines
   // agree byte for byte.
@@ -196,6 +244,31 @@ object TextOps {
     docs.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /**
+   * Per-group contamination dashboard: [[decontaminate]] rolled up by
+   * a grouping column (source, domain, shard…) — the report a curation
+   * run reads before deciding which sources need re-crawling. Emits
+   * doc counts, contaminated counts, and the contamination rate as
+   * integer parts-per-million (`n_contaminated·10⁶ div n_docs`; a
+   * truncating integral divide of non-negative longs, identical on
+   * every engine). Scale shape: the decontaminate probe (broadcast
+   * bench gram set, per-doc dedup before the explode) followed by one
+   * map-side-combined rollup to |groups| rows.
+   */
+  def contaminationReport(docs: DataFrame, id: Column, text: Column,
+      group: Column, bench: DataFrame, benchText: Column,
+      n: Int = 8): DataFrame = {
+    val flags = decontaminate(docs, id, text, bench, benchText, n)
+    docs.select(id.as("doc_id"), group.as("grp"))
+      .join(flags, "doc_id")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contam_ppm",
+        graft.functions.ldiv(col("n_contaminated") * lit(1000000L),
+          col("n_docs")))
   }
 
   /**

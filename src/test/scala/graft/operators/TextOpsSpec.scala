@@ -186,4 +186,51 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, Some(0.5)), (2L, 1L, 0L, Some(0.0)),
       (3L, 0L, 0L, None)))
   }
+
+  test("gopher rules: integer micro signals and the keep gate") {
+    // 30 words, all alpha, stopwords 'the' ×2 → keeps; the others each
+    // fail exactly one rule (too short / no stopwords / long words)
+    val keepDoc = (Seq.fill(14)("the word") :+ "tail ok").mkString(" ")
+    val docs = Seq(
+      (1L, keepDoc),
+      (2L, "the a short doc"),                           // < minWords
+      (3L, Seq.fill(30)("word").mkString(" ")),          // no stopwords
+      (4L, (Seq.fill(13)("the") :+
+        Seq.fill(17)("extraordinarily").mkString(" ")).mkString(" ")),
+      (5L, null.asInstanceOf[String]))                   // null text
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +:
+        TextOps.gopherRules(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getBoolean(6))
+    assert(!byId(2L).getBoolean(6) && byId(2L).getLong(1) == 4L)
+    assert(!byId(3L).getBoolean(6) && byId(3L).getLong(5) == 0L)
+    assert(!byId(4L).getBoolean(6)) // mean word len 15e6/30... over cap
+    assert(byId(5L).isNullAt(1) && !byId(5L).getBoolean(6))
+    // micro ratios are exact truncating divides: doc 1 has 30 words,
+    // 14×"the"(3)+14×"word"(4)+"tail"(4)+"ok"(2) = 104 chars
+    assert(byId(1L).getLong(2) == 104L)
+    assert(byId(1L).getLong(3) == 104L * 1000000L / 30L)
+    assert(byId(1L).getLong(4) == 1000000L)
+    assert(byId(1L).getLong(5) == 14L)
+  }
+
+  test("contamination report: per-group ppm rates, truncating divide") {
+    val bench = Seq("w1 w2 w3 w4 w5 w6 w7 w8").toDF("text")
+    val docs = Seq(
+      (0L, "pre w1 w2 w3 w4 w5 w6 w7 w8 post", "srcA"), // contaminated
+      (1L, "clean a b c d e f g h i j",        "srcA"),
+      (2L, "also clean k l m n o p q r",       "srcA"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8",          "srcB"), // contaminated
+      (4L, "fine here",                        "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.contaminationReport(docs, $"doc_id", $"text",
+        $"source", bench, $"text")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("srcA", 3L, 1L, 333333L), // 1/3 → truncated micro
+      ("srcB", 2L, 1L, 500000L)))
+  }
 }
