@@ -335,6 +335,30 @@ object Queries {
             AS ewma
         FROM s ORDER BY 1""")),
 
+    // hopping 1h windows sliding every 15min over per-type value
+    // series: each 15-min fine bucket (the only event-volume pass)
+    // fans out to its 4 covering window starts. sum_v is the single
+    // IEEE cast of an exact DECIMAL(38,12) sum — no round() on either
+    // engine; n/min/max are raw integers/inputs.
+    "q_series_hopping" -> Entry(
+      (s, dir) => SeriesStats.hopping(eventsNs(s, dir),
+          col("ts"), col("value"),
+          windowMs = 3600000L, slideMs = 900000L,
+          partitionBy = Seq("event_type"))
+        .orderBy("event_type", "window_ms"),
+      Some("""WITH f AS (SELECT event_type,
+            (epoch_us(ts) // 900000000) * 900000 AS fine,
+            sum(CAST(value AS DECIMAL(38,12))) AS s, count(value) AS n,
+            min(value) AS mn, max(value) AS mx
+          FROM events GROUP BY 1, 2),
+        e AS (SELECT event_type,
+            unnest(range(fine - 2700000, fine + 900000, 900000))
+              AS window_ms, s, n, mn, mx FROM f)
+        SELECT event_type, window_ms, sum(n)::BIGINT AS n,
+          CAST(sum(s) AS DOUBLE) AS sum_v,
+          min(mn) AS min_v, max(mx) AS max_v
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // per-event-type hourly COUNT series, each bucket z-scored
     // against its own series' mean/σ over occupied buckets. Counts
     // are integers, so both engines derive mean and variance from

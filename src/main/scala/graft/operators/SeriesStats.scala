@@ -391,4 +391,54 @@ object SeriesStats {
         .drop("__m", "__var")
     }
   }
+
+  /**
+   * Hopping (sliding) window aggregation over raw events — the
+   * overlapping-window upgrade of the engine's tumbling buckets
+   * (reference `query.go:264-289` only ever floors each row into ONE
+   * bucket; a window of `windowMs` sliding every `slideMs` assigns
+   * each row to `windowMs / slideMs` windows). Emits one row per
+   * (series keys, window start) with `n`, `sum_v`, `min_v`, `max_v`
+   * over the window `[window_ms, window_ms + windowMs)`.
+   *
+   * Scale shape — two-level, so the k-fold window overlap NEVER
+   * multiplies the event volume: level 1 collapses events into
+   * `slideMs` tumbling fine buckets with an ordinary map-side-combined
+   * groupBy (the 100 TB pass; sums in DECIMAL(38,12) so the result is
+   * order-free); level 2 explodes each FINE BUCKET row to its
+   * k = windowMs/slideMs covering window starts and re-aggregates —
+   * bucket-frame work, bounded by time-range/slideMs × #series, not
+   * by event volume. A window row exists iff ≥1 event row fell in it
+   * (matching the engine's occupied-buckets-only contract); `sum_v`
+   * is the single IEEE cast of the exact DECIMAL sum.
+   *
+   * `tsNs` is epoch nanoseconds; window starts are epoch ms on the
+   * `slideMs` grid (truncating division — the non-negative-ts
+   * convention every bucket operator here shares).
+   */
+  def hopping(events: DataFrame, tsNs: Column, value: Column,
+      windowMs: Long, slideMs: Long,
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    require(slideMs > 0, "slideMs must be positive")
+    require(windowMs > 0 && windowMs % slideMs == 0,
+      "windowMs must be a positive multiple of slideMs")
+    val k = windowMs / slideMs
+    val parts = partitionBy.map(col)
+    val v = value.cast("double")
+    val fine = events
+      .groupBy(parts :+
+        (graft.functions.ldiv(tsNs, slideMs * 1000000L) * slideMs)
+          .as("__fine"): _*)
+      .agg(sum(v.cast("decimal(38,12)")).as("__s"), count(v).as("__n"),
+        min(v).as("__mn"), max(v).as("__mx"))
+    fine
+      .select(parts :+
+        explode(sequence(col("__fine") - lit((k - 1) * slideMs),
+          col("__fine"), lit(slideMs))).as("window_ms") :+
+        col("__s") :+ col("__n") :+ col("__mn") :+ col("__mx"): _*)
+      .groupBy(parts :+ col("window_ms"): _*)
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("sum_v"),
+        min(col("__mn")).as("min_v"), max(col("__mx")).as("max_v"))
+  }
 }

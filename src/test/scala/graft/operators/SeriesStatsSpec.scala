@@ -369,6 +369,50 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("hopping: each event lands in windowMs/slideMs windows; " +
+      "occupied windows only; exact decimal sums") {
+    // slide 1000ms, window 2000ms (k=2). Events at 500 (v=1), 1500
+    // (v=2), 9500 (v=4, isolated), plus a null value at 1500.
+    val ev = Seq((500L, Some(1.0)), (1500L, Some(2.0)),
+        (1500L, None), (9500L, Some(4.0)))
+      .toDF("ts_ms", "v")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val got = SeriesStats.hopping(ev, col("ts_ns"), col("v"),
+        windowMs = 2000L, slideMs = 1000L)
+      .orderBy("window_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // windows: [-1000,1000) sees v=1; [0,2000) sees 1+2; [1000,3000)
+    // sees 2; [8000,10000) and [9000,11000) see the isolated 4. The
+    // null-value row contributes presence (its fine bucket exists)
+    // but not to n/sum/min/max.
+    assert(got.toSeq == Seq(
+      (-1000L, 1L, Some(1.0), Some(1.0), Some(1.0)),
+      (0L, 2L, Some(3.0), Some(1.0), Some(2.0)),
+      (1000L, 1L, Some(2.0), Some(2.0), Some(2.0)),
+      (8000L, 1L, Some(4.0), Some(4.0), Some(4.0)),
+      (9000L, 1L, Some(4.0), Some(4.0), Some(4.0))))
+  }
+
+  test("hopping: per-series windows are independent; all-null fine " +
+      "buckets emit n=0 null-stat windows") {
+    val ev = Seq(("a", 100L, Some(1.0)), ("b", 100L, None))
+      .toDF("k", "ts_ms", "v")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    val got = SeriesStats.hopping(ev, col("ts_ns"), col("v"),
+        windowMs = 1000L, slideMs = 1000L, partitionBy = Seq("k"))
+      .orderBy("k", "window_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.isNullAt(3)))
+    assert(got.toSeq == Seq(("a", 0L, 1L, false), ("b", 0L, 0L, true)))
+    // window must divide into slides
+    val e = intercept[IllegalArgumentException] {
+      SeriesStats.hopping(ev, col("ts_ns"), col("v"), 1500L, 1000L)
+    }
+    assert(e.getMessage.contains("multiple"))
+  }
+
   test("gapFill: adaptive chunking keeps wide spines contiguous") {
     // 3,000,000 buckets: fixed 1024-chunking would make the OUTER
     // array ~2930 elements; adaptive √n chunking (~1733 per level)
