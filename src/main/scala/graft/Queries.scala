@@ -2595,6 +2595,51 @@ object Queries {
             ELSE (1152921504606846976 // kth_hash) * 63 END AS est_distinct
         FROM kt ORDER BY source""")),
 
+    // pairwise source vocabulary similarity from merged KMV sketches:
+    // k smallest union hashes per pair, J ≈ both-flagged survivors / k
+    // (exact below k). Every emit is an integer (ppm by truncating
+    // divide) — rounding-free. The corpus touches only the per-source
+    // k-min cut; all 190 pairs work on 64-hash sketches.
+    "corpus_source_similarity" -> Entry(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        graft.operators.CorpusStats.kmvSimilarity(tok, col("source"),
+            col("w"), k = 64)
+          .withColumnRenamed("grp_a", "source_a")
+          .withColumnRenamed("grp_b", "source_b")
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          h AS (SELECT DISTINCT source,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+          r AS (SELECT source, hv, row_number() OVER (PARTITION BY source
+            ORDER BY hv) AS rn FROM h),
+          sk AS (SELECT source, hv FROM r WHERE rn <= 64),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b
+            FROM (SELECT DISTINCT source FROM sk) a,
+              (SELECT DISTINCT source FROM sk) b
+            WHERE a.source < b.source),
+          m AS (SELECT source_a, source_b, hv,
+              max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+              max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+            FROM (
+              SELECT pr.source_a, pr.source_b, sk.hv, 0 AS side
+                FROM pr JOIN sk ON sk.source = pr.source_a
+              UNION ALL
+              SELECT pr.source_a, pr.source_b, sk.hv, 1
+                FROM pr JOIN sk ON sk.source = pr.source_b)
+            GROUP BY 1, 2, 3),
+          kt AS (SELECT source_a, source_b, in_a, in_b, row_number()
+              OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rn
+            FROM m)
+        SELECT source_a, source_b, count(*)::BIGINT AS n_merged,
+          sum(in_a * in_b)::BIGINT AS n_both,
+          (sum(in_a * in_b)::BIGINT * 1000000) // count(*) AS jaccard_ppm
+        FROM kt WHERE rn <= 64 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // column-level table profile: row/null counts, exact-below-k KMV
     // cardinality, canonical-string length stats — one stacked scan,
     // two aggregations, every statistic integer-derived

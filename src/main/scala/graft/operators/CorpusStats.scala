@@ -177,6 +177,59 @@ object CorpusStats {
   }
 
   /**
+   * Pairwise group-similarity matrix from merged KMV sketches — the
+   * "which sources share vocabulary / content" overview
+   * ([[distinctKmv]]'s algebra applied to set RESEMBLANCE, the
+   * mergeable-sketch route to the matrix [[Dedup.sourceOverlap]]
+   * computes from exact doc fingerprints). For every unordered group
+   * pair (a, b): the k smallest distinct hashes of a ∪ b are the
+   * union's KMV sketch (KMV merge = union the two k-min sets, re-cut
+   * to k), and the classic estimator J ≈ |{h ∈ MinK(a∪b) : h ∈ a ∧
+   * h ∈ b}| / k (Beyer et al., SIGMOD 2007) falls out by counting
+   * which survivors carry both membership flags. EXACT when the union
+   * has fewer than k distinct values; `jaccard_ppm` is a truncating
+   * integral divide so the estimate itself is engine-portable.
+   *
+   * Scale shape: the ONLY corpus-scale work is the per-(group, hash)
+   * distinct + the k-smallest cut — the same k·|groups|-bounded
+   * PARTIAL WindowGroupLimit exchange as [[distinctKmv]]. Everything
+   * pairwise happens on the sketch frame: |pairs| = |groups|²/2 rows
+   * of ≤ 2k sketch entries each, with the pair list broadcast into
+   * both expansion joins. Sources/domains/shards number in the
+   * thousands at worst; the corpus never touches the quadratic part.
+   */
+  def kmvSimilarity(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val h = df.select(group.as("grp"), TextOps.hash60(value).as("hv"))
+      .distinct()
+    val sk = TopK.perGroup(h, col("grp"), col("hv").asc, col("hv"), k)
+      .drop("rank")
+    val groups = sk.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("grp_a"))
+      .crossJoin(groups.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val fromA = sk.join(broadcast(pairs), col("grp") === col("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("hv"),
+        lit(1L).as("__in_a"), lit(0L).as("__in_b"))
+    val fromB = sk.join(broadcast(pairs), col("grp") === col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("hv"),
+        lit(0L).as("__in_a"), lit(1L).as("__in_b"))
+    val merged = fromA.union(fromB)
+      .groupBy(col("grp_a"), col("grp_b"), col("hv"))
+      .agg(max(col("__in_a")).as("__in_a"), max(col("__in_b")).as("__in_b"))
+    merged
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("grp_a"), col("grp_b")).orderBy(col("hv"))))
+      .filter(col("__rn") <= k)
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("__in_a") * col("__in_b")).as("n_both"))
+      .withColumn("jaccard_ppm",
+        graft.functions.ldiv(col("n_both") * lit(1000000L), col("n_merged")))
+  }
+
+  /**
    * Column-level table profile — the schema-quality report a pipeline
    * run records next to [[dataCard]]'s content stats: one row per
    * profiled column with row/null counts, null fraction, a

@@ -267,6 +267,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(dup == est)
   }
 
+  test("kmvSimilarity: exact Jaccard below k; disjoint pairs hit 0; " +
+      "duplicates cannot move it; above-k estimate lands near truth") {
+    // a ∩ b = {s1..s10}, |a| = |b| = 30, |a ∪ b| = 50 < k=64 → exact:
+    // J = 10/50 = 0.2 → 200000 ppm
+    val rows = ((1 to 10).map(i => ("a", s"s$i")) ++
+      (1 to 20).map(i => ("a", s"x$i")) ++
+      (1 to 10).map(i => ("b", s"s$i")) ++
+      (1 to 20).map(i => ("b", s"y$i")) ++
+      (1 to 10).map(i => ("c", s"s$i")) ++      // c == the shared set
+      (1 to 20).map(i => ("d", s"z$i"))).toDF("g", "v")
+    val got = CorpusStats.kmvSimilarity(rows.union(rows), $"g", $"v", k = 64)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "b")) == ((50L, 10L, 200000L)))
+    assert(got(("a", "c")) == ((30L, 10L, 333333L))) // 10/30 truncated
+    assert(got(("c", "d")) == ((30L, 0L, 0L)))       // disjoint
+    assert(got.size == 6)                            // all C(4,2) pairs
+    // above k the estimate still lands near truth: two 600-value sets
+    // sharing 300 (J = 1/3), k=128 → ±3/√k ≈ ±27% of 333333
+    val big = ((1 to 600).map(i => ("p", s"t$i")) ++
+      (301 to 900).map(i => ("q", s"t$i"))).toDF("g", "v")
+    val est = CorpusStats.kmvSimilarity(big, $"g", $"v", k = 128)
+      .collect().head.getLong(4)
+    assert(est > 240000 && est < 430000, s"est=$est")
+  }
+
   test("collocations: hand-computed PMI, support floor, tie-break") {
     // "new york" always co-occurs (PMI high); "the cat" shares "the"
     // with other pairs (PMI lower); pairs under minCount vanish
