@@ -2009,6 +2009,45 @@ object Queries {
         .orderBy(col("vec_id")),
       Some(labelOutliersOracle(2.0))),
 
+    // centroid-based (simplified) silhouette of the label assignment:
+    // a = distance to own centroid, b = nearest OTHER centroid,
+    // sil = (b−a)/max(a,b). DECIMAL-exact centroids, clamped sqrt,
+    // scale-0 micro-quantized emits — the labelOutliers discipline
+    // applied to BETWEEN-cluster separation
+    "embed_silhouette" -> Entry(
+      (s, dir) => graft.operators.Embeddings.silhouette(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          col("label"))
+        .orderBy(col("vec_id")),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0
+            AND label IS NOT NULL),
+        ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
+            unnest(v) AS xv FROM e),
+        cpos AS (SELECT lbl, pos,
+            (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+          FROM ex GROUP BY 1, 2),
+        cent AS (SELECT lbl, list(cv ORDER BY pos) AS cv
+          FROM cpos GROUP BY 1),
+        d AS (SELECT vec_id, e.label, cent.lbl,
+            sqrt(greatest(${dotSql.format("v", "v")}
+              - 2.0 * ${dotSql.format("v", "cv")}
+              + ${dotSql.format("cv", "cv")}, 0.0)) AS dist
+          FROM e CROSS JOIN cent),
+        g AS (SELECT vec_id, label,
+            max(CASE WHEN lbl = label THEN dist END) AS a,
+            min(CASE WHEN lbl <> label THEN dist END) AS b
+          FROM d GROUP BY 1, 2)
+        SELECT vec_id, label,
+          round(a * 1000000.0) / 1000000.0 AS a_dist,
+          round(b * 1000000.0) / 1000000.0 AS b_dist,
+          CASE WHEN a IS NULL OR b IS NULL THEN NULL
+            WHEN greatest(a, b) > 0
+              THEN round((b - a) / greatest(a, b) * 1000000.0) / 1000000.0
+            ELSE 0.0 END AS sil
+        FROM g ORDER BY vec_id""")),
+
     "embed_kmeans" -> Entry(
       (s, dir) => graft.operators.Embeddings.kmeansIter(t(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), col("label"))

@@ -126,6 +126,57 @@ object Embeddings {
   }
 
   /**
+   * Centroid-based (simplified) silhouette of a labeling — the
+   * cluster-quality score of a label assignment, per vector
+   * (Hruschka et al.'s simplified silhouette: distances to CLUSTER
+   * CENTROIDS instead of all-pairs mean distances, which turns the
+   * O(N²) classic definition into one broadcast pass — the only form
+   * that exists at corpus scale). For each vector: `a_dist` = the
+   * euclidean distance to its OWN label's centroid, `b_dist` = the
+   * distance to the NEAREST OTHER label's centroid, and
+   * `sil = (b − a) / max(a, b)` ∈ [−1, 1] — negative means the
+   * vector sits closer to another cluster than its own (a mislabel
+   * signal that complements [[labelOutliers]]' within-class z), near
+   * +1 means tight-and-separated. Degenerate cases pinned: a
+   * single-label corpus has no "other" centroid → `b_dist`/`sil`
+   * null; a vector exactly on both centroids (max = 0) → sil 0.
+   *
+   * Portability: distances are `sqrt(max(‖x‖² − 2·x·c + ‖c‖², 0))` of
+   * [[centroids]]' DECIMAL-exact means — both engines take the same
+   * correctly-rounded sqrt of the same double (the clamp kills the
+   * −1e−17 FP residue a vector-on-centroid produces); emits are
+   * scale-0 micro-quantized (`round(x·10⁶)/10⁶`), never
+   * `round(double, 6)`. Scale: centroid frame broadcast, the corpus
+   * never shuffles with its vectors; the per-(vector, label) distance
+   * rows collapse in a map-side-combined aggregate to one row per
+   * vector.
+   */
+  def silhouette(df: DataFrame, id: Column, vec: Column,
+      label: Column): DataFrame = {
+    val base = df.filter(vec.isNotNull && size(vec) > 0 && label.isNotNull)
+      .select(id.as("vec_id"), label.as("label"), vec.as("__v"))
+    val cents = broadcast(centroids(
+        df.filter(label.isNotNull), vec, label)
+      .select(col("lbl").as("__cl"), col("cv"))
+      .withColumn("__cc", dot(col("cv"), col("cv"))))
+    def q6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
+    val g = base.crossJoin(cents)
+      .withColumn("__dist", sqrt(greatest(
+        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), col("cv")) +
+          col("__cc"), lit(0.0))))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("__cl") === col("label"), col("__dist"))).as("__a"),
+        min(when(col("__cl") =!= col("label"), col("__dist"))).as("__b"))
+    g.select(col("vec_id"), col("label"),
+      q6(col("__a")).as("a_dist"), q6(col("__b")).as("b_dist"),
+      when(col("__a").isNull || col("__b").isNull,
+        lit(null).cast("double"))
+        .otherwise(when(greatest(col("__a"), col("__b")) > 0,
+          q6((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))))
+          .otherwise(lit(0.0))).as("sil"))
+  }
+
+  /**
    * One Lloyd (k-means) iteration: recompute centroids from the
    * current `label` assignment ([[centroids]]), then re-assign every
    * vector to its nearest centroid by squared euclidean distance

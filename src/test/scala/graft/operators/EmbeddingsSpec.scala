@@ -140,4 +140,56 @@ class EmbeddingsSpec extends SparkSpec {
         .toDF("vec_id", "embedding"), $"vec_id", $"embedding", 4, 8)
     assert(e.count() == 0)
   }
+
+  test("silhouette: hand-computed a/b/sil; negative for a mislabel") {
+    // Vector 5 is labeled 0 but sits exactly ON label 1's centroid
+    // (10, 1) → b = 0, a > 0, sil = −1.
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 2.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1), (4L, Array(10.0f, 2.0f), 1),
+      (5L, Array(10.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Embeddings.silhouette(df, $"vec_id", $"embedding", $"label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def q6(x: Double) = math.round(x * 1e6) / 1e6
+    // centroid 0 dragged by vec 5: ((0+0+10)/3, (0+2+1)/3) = (10/3, 1)
+    val c0 = (10.0 / 3, 1.0); val c1 = (10.0, 1.0)
+    def d(x: (Double, Double), c: (Double, Double)) =
+      math.sqrt((x._1 - c._1) * (x._1 - c._1) + (x._2 - c._2) * (x._2 - c._2))
+    def sil(v: (Double, Double), own: (Double, Double),
+        other: (Double, Double)) = {
+      val (a, b) = (d(v, own), d(v, other))
+      (a, b, if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0)
+    }
+    for ((id, v, own, other) <- Seq(
+        (1L, (0.0, 0.0), c0, c1), (2L, (0.0, 2.0), c0, c1),
+        (3L, (10.0, 0.0), c1, c0), (4L, (10.0, 2.0), c1, c0),
+        (5L, (10.0, 1.0), c0, c1))) {
+      val (a, b, s) = sil(v, own, other)
+      assert(got(id)._1 == q6(a) && got(id)._2 == q6(b),
+        s"vec $id a/b mismatch: ${got(id)} vs ($a, $b)")
+      assert(math.abs(got(id)._3 - s) < 2e-6, s"vec $id sil ${got(id)._3} vs $s")
+    }
+    // the mislabel is maximally negative, its in-place peers positive
+    assert(got(5L)._3 == -1.0)
+    assert(got(3L)._3 > 0.5 && got(4L)._3 > 0.5)
+  }
+
+  test("silhouette: single-label corpus → null b/sil; coincident " +
+      "centroids → sil 0") {
+    val single = Seq((1L, Array(1.0f, 2.0f), 7), (2L, Array(3.0f, 4.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val g1 = Embeddings.silhouette(single, $"vec_id", $"embedding", $"label")
+      .collect()
+    assert(g1.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    assert(g1.forall(r => !r.isNullAt(2)))
+    // two labels, both centroids AT the same point, vectors on it:
+    // a = b = 0 → sil pinned to 0, not NaN
+    val coin = Seq((1L, Array(1.0f, 1.0f), 0), (2L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val g2 = Embeddings.silhouette(coin, $"vec_id", $"embedding", $"label")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(g2.forall(t => t == ((0.0, 0.0, 0.0))))
+  }
 }
