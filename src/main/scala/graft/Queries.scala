@@ -2009,6 +2009,37 @@ object Queries {
         .orderBy(col("vec_id")),
       Some(labelOutliersOracle(2.0))),
 
+    // per-label representative selection: the 3 vectors closest to
+    // their own label's centroid (k=1 ⇒ approximate medoid). Rank
+    // order is integer-first: micro-quantized d2 then vec_id — no
+    // double comparison can decide a rank boundary
+    "embed_representatives" -> Entry(
+      (s, dir) => graft.operators.Embeddings.representatives(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          col("label"), k = 3)
+        .orderBy(col("label"), col("rank")),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0
+            AND label IS NOT NULL),
+        ex AS (SELECT label AS lbl, unnest(range(1, len(v) + 1)) AS pos,
+            unnest(v) AS xv FROM e),
+        cpos AS (SELECT lbl, pos,
+            (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+          FROM ex GROUP BY 1, 2),
+        cent AS (SELECT lbl, list(cv ORDER BY pos) AS cv
+          FROM cpos GROUP BY 1),
+        sc AS (SELECT e.label, vec_id,
+            round((${dotSql.format("v", "v")}
+              - 2.0 * ${dotSql.format("v", "cv")}
+              + ${dotSql.format("cv", "cv")}) * 1000000.0)::BIGINT
+              AS d2_micro
+          FROM e JOIN cent ON e.label = cent.lbl),
+        r AS (SELECT label, vec_id, d2_micro, row_number() OVER (
+            PARTITION BY label ORDER BY d2_micro, vec_id) AS rn FROM sc)
+        SELECT label, vec_id, d2_micro, rn::INT AS rank
+        FROM r WHERE rn <= 3 ORDER BY label, rank""")),
+
     // centroid-based (simplified) silhouette of the label assignment:
     // a = distance to own centroid, b = nearest OTHER centroid,
     // sil = (b−a)/max(a,b). DECIMAL-exact centroids, clamped sqrt,

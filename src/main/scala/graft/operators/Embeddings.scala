@@ -177,6 +177,40 @@ object Embeddings {
   }
 
   /**
+   * Per-cluster representative selection: the k vectors CLOSEST to
+   * their own label's centroid — the "keep one exemplar per semantic
+   * cluster" step of SemDeDup-style curation and the medoid picker
+   * for cluster inspection/labeling UIs (k=1 ⇒ the approximate
+   * medoid). Output: (label, vec_id, d2_micro, rank 1..k), smallest
+   * distance first.
+   *
+   * Determinism is integer-first: candidates order by the
+   * MICRO-QUANTIZED distance `round(d2·10⁶)` with `vec_id` as the
+   * tie-break, so rank boundaries can never depend on an
+   * engine-private double comparison at representation ties. Scale:
+   * [[centroids]] broadcast back (corpus never shuffles with its
+   * vectors); the per-label top-k rides the `row_number ≤ k` shape
+   * the optimizer lowers to a PARTIAL WindowGroupLimit — each
+   * partition ships at most k rows per label.
+   */
+  def representatives(df: DataFrame, id: Column, vec: Column,
+      label: Column, k: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cents = broadcast(centroids(df.filter(label.isNotNull), vec, label)
+      .select(col("lbl").as("label"), col("cv"))
+      .withColumn("__cc", dot(col("cv"), col("cv"))))
+    val scored = df.filter(vec.isNotNull && size(vec) > 0 && label.isNotNull)
+      .select(id.as("vec_id"), label.as("label"), vec.as("__v"))
+      .join(cents, "label")
+      .withColumn("d2_micro", round((dot(col("__v"), col("__v"))
+        - lit(2.0) * dot(col("__v"), col("cv")) + col("__cc"))
+        * lit(1000000.0)).cast("long"))
+      .select(col("label"), col("vec_id"), col("d2_micro"))
+    TopK.perGroup(scored, col("label"),
+      struct(col("d2_micro"), col("vec_id")).asc, col("vec_id"), k)
+  }
+
+  /**
    * One Lloyd (k-means) iteration: recompute centroids from the
    * current `label` assignment ([[centroids]]), then re-assign every
    * vector to its nearest centroid by squared euclidean distance

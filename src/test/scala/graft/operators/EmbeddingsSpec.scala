@@ -176,6 +176,28 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(3L)._3 > 0.5 && got(4L)._3 > 0.5)
   }
 
+  test("representatives: k nearest-to-centroid per label, micro-d2 " +
+      "order, vec_id tie-break") {
+    // label 0 centroid = (1, 0): vec 2 sits on it (d2=0), vec 1 and
+    // vec 3 are symmetric at d2=1 → tie broken by vec_id
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, -1.0f), 0),
+      (4L, Array(9.0f, 9.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Embeddings.representatives(df, $"vec_id", $"embedding",
+        $"label", k = 2)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // centroid 0 is ((1+1+1)/3, (1+0−1)/3) = (1, 0)
+    assert(got.toSeq == Seq(
+      (0, 2L, 0L, 1), (0, 1L, 1000000L, 2), (1, 4L, 0L, 1)))
+    // the rank<=k shape must lower to a partial WindowGroupLimit
+    val p = Embeddings.representatives(df, $"vec_id", $"embedding",
+      $"label", k = 2).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+  }
+
   test("silhouette: single-label corpus → null b/sil; coincident " +
       "centroids → sil 0") {
     val single = Seq((1L, Array(1.0f, 2.0f), 7), (2L, Array(3.0f, 4.0f), 7))
