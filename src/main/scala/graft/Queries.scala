@@ -2158,6 +2158,41 @@ object Queries {
             AND stop_hits >= 2, false) AS gopher_keep
         FROM s ORDER BY doc_id""")),
 
+    // script/charset profile: literal-range character counts (no
+    // \p{} property tables — engine-private) + fixed->= dominant
+    // chain. All integers; one codegen'd scan pass
+    "text_script" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +: TextOps.scriptProfile(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id, text,
+            CASE WHEN text IS NULL THEN NULL ELSE length(text) END
+              ::BIGINT AS n_chars,
+            (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+              ::BIGINT AS latin_chars,
+            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              ::BIGINT AS digit_chars,
+            (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+              ::BIGINT AS cjk_chars,
+            (length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))
+              ::BIGINT AS cyrillic_chars,
+            (length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')))
+              ::BIGINT AS arabic_chars
+          FROM documents)
+        SELECT doc_id, n_chars, latin_chars, digit_chars, cjk_chars,
+          cyrillic_chars, arabic_chars,
+          CASE WHEN text IS NULL THEN NULL
+            WHEN latin_chars = 0 AND cjk_chars = 0 AND cyrillic_chars = 0
+              AND arabic_chars = 0 THEN 'none'
+            WHEN latin_chars >= cjk_chars AND latin_chars >= cyrillic_chars
+              AND latin_chars >= arabic_chars THEN 'latin'
+            WHEN cjk_chars >= cyrillic_chars AND cjk_chars >= arabic_chars
+              THEN 'cjk'
+            WHEN cyrillic_chars >= arabic_chars THEN 'cyrillic'
+            ELSE 'arabic' END AS script
+        FROM c ORDER BY doc_id""")),
+
     "text_tokens" -> Entry(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id") +: TextOps.tokenCounts(col("text"))

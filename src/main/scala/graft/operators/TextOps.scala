@@ -132,6 +132,42 @@ object TextOps {
         lit(false)))
   }
 
+  /**
+   * Script/charset composition per document — the writing-system
+   * profile a multilingual ingest reads next to [[langId]] (stopword
+   * language-ID is useless on non-Latin text; script counts are the
+   * cheap first router, and mixed-script docs are a spam/injection
+   * signal). Counts characters in explicit Unicode ranges — Latin
+   * letters, ASCII digits, CJK Unified (U+4E00–9FFF), Cyrillic
+   * (U+0400–04FF), Arabic (U+0600–06FF) — by the
+   * length-minus-replaced construction, which any regex engine
+   * reproduces exactly for literal character-class ranges (no \\p{}
+   * property names, whose tables differ between engines). `script` is
+   * the dominant non-digit script by a fixed >= comparison chain
+   * (latin ≻ cjk ≻ cyrillic ≻ arabic on ties), `none` when no scripted
+   * character appears, null on null text. One codegen'd scan pass, no
+   * shuffle.
+   */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    def cnt(cls: String): Column = when(text.isNotNull,
+      length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val cjk = cnt("[一-鿿]")
+    val cyr = cnt("[Ѐ-ӿ]")
+    val ar = cnt("[؀-ۿ]")
+    val dominant = when(text.isNull, lit(null).cast("string"))
+      .when(latin === 0 && cjk === 0 && cyr === 0 && ar === 0, lit("none"))
+      .when(latin >= cjk && latin >= cyr && latin >= ar, lit("latin"))
+      .when(cjk >= cyr && cjk >= ar, lit("cjk"))
+      .when(cyr >= ar, lit("cyrillic"))
+      .otherwise(lit("arabic"))
+    Seq("n_chars" -> when(text.isNotNull, length(text)).cast("long"),
+      "latin_chars" -> latin, "digit_chars" -> digit,
+      "cjk_chars" -> cjk, "cyrillic_chars" -> cyr, "arabic_chars" -> ar,
+      "script" -> dominant)
+  }
+
   // Whitespace as an EXPLICIT class: Java's \s includes vertical tab
   // (\x0B) while RE2 (DuckDB) excludes it — spelled out, both engines
   // agree byte for byte.

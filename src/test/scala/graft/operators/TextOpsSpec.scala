@@ -216,6 +216,33 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(1L).getLong(5) == 14L)
   }
 
+  test("scriptProfile: range counts, dominant-script chain, nulls") {
+    val docs = Seq(
+      (1L, "hello world 123"),
+      (2L, "你好世界 hello"),      // 4 CJK > ... but 5 latin wins ties? 5>4
+      (3L, "你好世界你好"),         // pure CJK
+      (4L, "привет мир"),          // cyrillic
+      (5L, "مرحبا"),               // arabic
+      (6L, "12345 !!!"),           // digits only → none
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +:
+        TextOps.scriptProfile(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(2) == 10L && byId(1L).getLong(3) == 3L &&
+      byId(1L).getString(7) == "latin")
+    assert(byId(2L).getLong(4) == 4L && byId(2L).getLong(2) == 5L &&
+      byId(2L).getString(7) == "latin") // 5 latin >= 4 cjk
+    assert(byId(3L).getString(7) == "cjk" && byId(3L).getLong(4) == 6L)
+    assert(byId(4L).getString(7) == "cyrillic" && byId(4L).getLong(5) == 9L)
+    assert(byId(5L).getString(7) == "arabic" && byId(5L).getLong(6) == 5L)
+    assert(byId(6L).getString(7) == "none" && byId(6L).getLong(3) == 5L)
+    assert(byId(7L).isNullAt(1) && byId(7L).isNullAt(7))
+    // n_chars counts codepoints, not bytes: doc 3 is 6 chars
+    assert(byId(3L).getLong(1) == 6L)
+  }
+
   test("contamination report: per-group ppm rates, truncating divide") {
     val bench = Seq("w1 w2 w3 w4 w5 w6 w7 w8").toDF("text")
     val docs = Seq(
