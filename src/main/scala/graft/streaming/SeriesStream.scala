@@ -303,6 +303,39 @@ object SeriesStream {
   }
 
   /**
+   * Streaming hopping-window aggregation — the online counterpart of
+   * `graft.operators.SeriesStats.hopping`, on Structured Streaming's
+   * native overlapping `window()` state (each event updates its
+   * window/slide covering windows; the watermark finalizes a window
+   * and emits it once in append mode). Same emit contract as the
+   * batch operator: (keys, window_ms, n, sum_v, min_v, max_v) with
+   * `sum_v` the single IEEE cast of an exact DECIMAL(38,12) sum —
+   * replaying the stream or running the batch operator over the same
+   * events produces identical finalized rows.
+   *
+   * State is one aggregation buffer per (keys, open window) —
+   * windowMs/slideMs buffers per live key, bounded by the watermark
+   * horizon, independent of event volume.
+   */
+  def hoppingAgg(events: DataFrame, tsCol: String, valueCol: String,
+      windowMs: Long, slideMs: Long, keyCols: Seq[String] = Nil,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(slideMs > 0, "slideMs must be positive")
+    require(windowMs > 0 && windowMs % slideMs == 0,
+      "windowMs must be a positive multiple of slideMs")
+    val v = col(valueCol).cast("double")
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), s"$windowMs milliseconds",
+        s"$slideMs milliseconds") +: keyCols.map(col): _*)
+      .agg(count(v).as("n"),
+        sum(v.cast("decimal(38,12)")).cast("double").as("sum_v"),
+        min(v).as("min_v"), max(v).as("max_v"))
+      .select(keyCols.map(col) :+
+        unix_millis(col("window.start")).as("window_ms") :+
+        col("n") :+ col("sum_v") :+ col("min_v") :+ col("max_v"): _*)
+  }
+
+  /**
    * Stateless streaming corpus scoring: language ID, quality
    * columns, token counts, and PII redaction are pure projections,
    * so the SAME codegen'd expressions the batch pipeline uses apply

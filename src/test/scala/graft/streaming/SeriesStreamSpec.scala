@@ -78,6 +78,43 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows: overlap fan-out, watermark " +
+      "finalization, batch-identical rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = 1346189040000L // on the 1 s slide grid
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val out = SeriesStream.hoppingAgg(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "v",
+      windowMs = 2000L, slideMs = 1000L, keyCols = Seq("k"),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("hop")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(500), "a", 1.0), (ts(1500), "a", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past every open window
+      mem.addData((ts(60000), "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("hop")
+        .filter(col("window_ms") < base + 10000)
+        .orderBy("window_ms").collect()
+        .map(r => (r.getLong(1) - base, r.getLong(2), r.getDouble(3)))
+      // event@500 covers windows −1000 and 0; event@1500 covers 0 and
+      // 1000 — exactly the batch operator's fan-out
+      assert(rows.toSeq == Seq((-1000L, 1L, 1.0), (0L, 2L, 3.0),
+        (1000L, 1L, 2.0)))
+      // batch operator over the same events emits the same rows
+      val batch = graft.operators.SeriesStats.hopping(
+        Seq((base + 500) * 1000000L -> 1.0, (base + 1500) * 1000000L -> 2.0)
+          .toDF("ts_ns", "v"), col("ts_ns"), col("v"), 2000L, 1000L)
+        .orderBy("window_ms").collect()
+        .map(r => (r.getLong(0) - base, r.getLong(1), r.getDouble(2)))
+      assert(batch.toSeq == rows.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival per fingerprint") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
