@@ -1354,6 +1354,25 @@ object Queries {
         FROM documents WHERE n_chars > 0)
         SELECT doc_id, key FROM f ORDER BY key DESC, doc_id LIMIT 100""")),
 
+    // per-source weighted sampling: 5 Efraimidis–Spirakis winners per
+    // source — the stratified form of sample_weighted (PARTIAL
+    // WindowGroupLimit instead of a global TakeOrdered)
+    "sample_weighted_per_group" -> Entry(
+      (s, dir) => graft.operators.Sampling.weightedPerGroup(
+          t(s, dir, "documents"), col("doc_id"), col("source"),
+          col("n_chars"), k = 5)
+        .select(col("source"), col("doc_id"), col("key"), col("rank"))
+        .orderBy(col("source"), col("rank")),
+      Some("""WITH f AS (SELECT source, doc_id,
+          round(pow(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0, 1.0 / n_chars) * 1000000.0)
+            / 1000000.0 AS key
+        FROM documents WHERE n_chars > 0),
+        r AS (SELECT source, doc_id, key, row_number() OVER (
+            PARTITION BY source ORDER BY key DESC, doc_id) AS rn FROM f)
+        SELECT source, doc_id, key, rn::INT AS rank
+        FROM r WHERE rn <= 5 ORDER BY source, rank""")),
+
     // deterministic export sharding: shard = md5-hash mod 8, position
     // = hash rank within the shard — contents AND order are pure
     // functions of the ids, so any engine reproduces the shards

@@ -104,6 +104,27 @@ object Sampling {
   }
 
   /**
+   * Per-group weighted sampling without replacement — [[weighted]]
+   * partitioned by a group column ("k quality-weighted exemplars per
+   * domain/language", the stratified form mixture builders actually
+   * run): same Efraimidis–Spirakis `u^(1/w)` keys, same 6-dp
+   * scale-0-quantized ordering with id tie-break, but the top-k is
+   * per group via the `row_number ≤ k` shape the optimizer lowers to
+   * a PARTIAL WindowGroupLimit — each partition ships at most k rows
+   * per group, so a million-group corpus never funnels through one
+   * task (the global [[weighted]]'s `TakeOrderedAndProject` can't do
+   * groups). Output adds the per-group `rank` (best key first).
+   */
+  def weightedPerGroup(df: DataFrame, id: Column, group: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = round(pow(fraction(id), lit(1.0) / weight.cast("double")) *
+      lit(1000000.0)) / lit(1000000.0)
+    TopK.perGroup(df.filter(weight > 0).withColumn("key", key),
+      group, col("key").desc, id, k)
+  }
+
+  /**
    * Deterministic fractional UPSAMPLING — rates above 1 (the ">1
    * epoch" side of mixture training, where a small high-quality
    * source repeats while web bulk subsamples): each row emits

@@ -120,6 +120,25 @@ class SamplingSpec extends SparkSpec {
     assert(a.size == 200)
   }
 
+  test("weightedPerGroup: per-group winners equal the global sampler " +
+      "run per group; bounded-exchange plan") {
+    val df = (0L until 600L)
+      .map(i => (i, s"g${i % 3}", 1L + i % 7)).toDF("id", "g", "w")
+    val per = Sampling.weightedPerGroup(df, $"id", $"g", $"w", k = 10)
+    val got = per.select("g", "id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sampling.weighted(df.filter($"g" === g), $"id", $"w", 10)
+        .select("id").as[Long].collect().toSet
+      assert(got(g) == solo, s"group $g diverges from the global sampler")
+    }
+    // every group fills its k and ranks are 1..k
+    assert(per.groupBy("g").count().as[(String, Long)].collect()
+      .forall(_._2 == 10))
+    val p = per.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+  }
+
   test("split is disjoint, exhaustive, and weight-proportional") {
     val parts = Sampling.split(ids, $"id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val counts = parts.groupBy("split").count().as[(String, Long)].collect().toMap
