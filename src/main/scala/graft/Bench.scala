@@ -49,7 +49,8 @@ object Bench {
       "dedup_containment", "export_manifest", "corpus_cms", "pack_batches",
       "sample_upsample", "text_gopher_quality", "corpus_contamination_report",
       "q_series_hopping", "corpus_source_similarity", "embed_silhouette",
-      "embed_representatives", "text_script", "sample_weighted_per_group")
+      "embed_representatives", "text_script", "sample_weighted_per_group",
+      "events_forecast")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -449,6 +449,53 @@ object Queries {
           coalesce(abs(zi) > 2000000, false) AS is_anomaly
         FROM zt ORDER BY 1, 2""")),
 
+    // seasonal-naive forecast: 12 hourly buckets beyond each series'
+    // last observation, phase-mean forecast ± 2σ residual band — the
+    // events_seasonal machinery projected forward. Same integer
+    // micro-unit discipline: every emitted decimal is one IEEE
+    // division of an exact integer by 1e6
+    "events_forecast" -> Entry(
+      (s, dir) => SeriesStats.forecast(
+          eventsNs(s, dir)
+            .groupBy(col("event_type"),
+              (expr("ts div 3600000000000") * 3600000L).as("bucket_ms"))
+            .agg(count(lit(1)).cast("double").as("n")),
+          col("n"), groupMs = 3600000L, period = 24, horizon = 12,
+          z = 2.0, partitionBy = Seq("event_type"))
+        .orderBy("event_type", "bucket_ms"),
+      Some("""WITH b AS (SELECT event_type,
+            (epoch_us(ts) // 3600000000) * 3600000 AS bucket_ms,
+            count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT *, ((bucket_ms // 3600000) % 24)::BIGINT AS phase
+          FROM b),
+        sm AS (SELECT event_type, phase,
+            ((2 * sum(n::HUGEINT) * 1000000 + count(n))
+              // (2 * count(n)))::BIGINT AS smv_micro
+          FROM p GROUP BY 1, 2),
+        r AS (SELECT p.event_type, bucket_ms, n * 1000000 - smv_micro AS vi
+          FROM p JOIN sm USING (event_type, phase)),
+        st AS (SELECT event_type,
+            sum(vi::HUGEINT) AS s, sum(vi::HUGEINT * vi::HUGEINT) AS ss,
+            count(vi) AS cnt, max(bucket_ms) AS maxb
+          FROM r GROUP BY 1),
+        fut AS (SELECT event_type, s, ss, cnt,
+            maxb + k * 3600000 AS bucket_ms,
+            (((maxb + k * 3600000) // 3600000) % 24)::BIGINT AS phase
+          FROM st CROSS JOIN (SELECT unnest(range(1, 13)) AS k)),
+        j AS (SELECT f.*, smv_micro,
+            CASE WHEN ss::DOUBLE / cnt
+                - (s::DOUBLE / cnt) * (s::DOUBLE / cnt) > 0
+              THEN round(sqrt(ss::DOUBLE / cnt
+                - (s::DOUBLE / cnt) * (s::DOUBLE / cnt)) * 2.0)::BIGINT
+              END AS hw
+          FROM fut f JOIN sm USING (event_type, phase))
+        SELECT event_type, bucket_ms, phase,
+          smv_micro::DOUBLE / 1000000.0 AS forecast,
+          (smv_micro - hw)::DOUBLE / 1000000.0 AS lo,
+          (smv_micro + hw)::DOUBLE / 1000000.0 AS hi
+        FROM j ORDER BY 1, 2""")),
+
     // CUSUM changepoint over the per-event-type daily COUNT series:
     // integer micro-unit cumulative sums (order-free, exact in both
     // engines), peak-|cusum| bucket flagged, single final double

@@ -393,6 +393,80 @@ object SeriesStats {
   }
 
   /**
+   * Seasonal-naive forecasting with residual bands — the projection
+   * step after [[seasonal]]'s decomposition: the next `horizon`
+   * buckets beyond each series' last observed bucket are forecast as
+   * their phase's historical mean, with a ±z·σ band from the
+   * deseasonalized residual spread (σ pooled per series — the same
+   * stat [[anomaly]] scores against, so "outside the band" for an
+   * arrival agrees with `is_anomaly` by construction). The capacity
+   * check a monitoring consumer runs off the graphing engine's
+   * buckets.
+   *
+   * Integral inputs only (counts — the [[seasonal]] microQuantize
+   * contract, enforced by the same loud guard): phase means are
+   * half-up BIGINT divides over DECIMAL(38,0) sums, residuals are
+   * exact integer micro-units, σ·z quantizes to an integer micro
+   * half-width, and every emitted decimal is ONE IEEE division of an
+   * exact integer by 10⁶ — engine-portable end to end. A zero-spread
+   * or single-point series emits null bands (never a false ±0 band).
+   *
+   * Scale shape: two map-side-combined aggregates over the BUCKET
+   * frame (phase profile, per-series stats), a `horizon`-element
+   * explode off the #series-sized stats frame, and broadcast joins —
+   * nothing event-volume-sized moves.
+   */
+  def forecast(buckets: DataFrame, value: Column, groupMs: Long,
+      period: Int, horizon: Int, z: Double = 2.0,
+      bucketCol: String = "bucket_ms",
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    require(groupMs > 0, "groupMs must be positive")
+    require(period >= 1, "period must be >= 1")
+    require(horizon >= 1, "horizon must be >= 1")
+    require(z > 0, "z must be positive")
+    val parts = partitionBy.map(col)
+    val v = value.cast("double")
+    val nLong = round(v).cast("long")
+    val wp = buckets
+      .where(assert_true(nLong.isNull || nLong >= 0,
+        concat(lit("forecast: requires non-negative integral values, " +
+          "got "), v)).isNull)
+      .withColumn("__phase",
+        pmod(graft.functions.ldiv(col(bucketCol), groupMs),
+          lit(period.toLong)))
+    val profile = wp.groupBy(parts :+ col("__phase"): _*)
+      .agg(sum(nLong.cast("decimal(38,0)")).as("__sn"),
+        count(nLong).as("__cnt"))
+      .select(parts :+ col("__phase") :+
+        graft.functions.ldiv(col("__sn") * lit(2000000L) + col("__cnt"),
+          col("__cnt").cast("decimal(38,0)") * lit(2L))
+          .as("__smv_micro"): _*)
+    val withVi = wp.join(broadcast(profile), partitionBy :+ "__phase")
+    val vi = nLong * lit(1000000L) - col("__smv_micro")
+    val stats = withVi.groupBy(parts: _*)
+      .agg(sum(vi.cast("decimal(38,0)")).cast("double").as("__s"),
+        sum(vi.cast("decimal(19,0)") * vi.cast("decimal(19,0)"))
+          .cast("double").as("__ss"),
+        count(vi).as("__n"), max(col(bucketCol)).as("__maxb"))
+    val fut = stats
+      .select(parts :+ col("__maxb") :+ col("__s") :+ col("__ss") :+
+        col("__n") :+
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("__k"): _*)
+      .withColumn(bucketCol, col("__maxb") + col("__k") * groupMs)
+      .withColumn("__phase",
+        pmod(graft.functions.ldiv(col(bucketCol), groupMs),
+          lit(period.toLong)))
+      .join(broadcast(profile), partitionBy :+ "__phase")
+    val mean = col("__s") / col("__n")
+    val variance = col("__ss") / col("__n") - mean * mean
+    val hw = when(variance > 0, round(sqrt(variance) * lit(z))).cast("long")
+    fut.select(parts :+ col(bucketCol) :+ col("__phase").as("phase") :+
+      (col("__smv_micro").cast("double") / lit(1000000.0)).as("forecast") :+
+      ((col("__smv_micro") - hw).cast("double") / lit(1000000.0)).as("lo") :+
+      ((col("__smv_micro") + hw).cast("double") / lit(1000000.0)).as("hi"): _*)
+  }
+
+  /**
    * Hopping (sliding) window aggregation over raw events — the
    * overlapping-window upgrade of the engine's tumbling buckets
    * (reference `query.go:264-289` only ever floors each row into ONE

@@ -369,6 +369,43 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("forecast: phase-mean projection, ±zσ residual band, " +
+      "hand-computed") {
+    // period 2 over buckets 0..3000: phase-0 mean (2+4)/2 = 3,
+    // phase-1 mean (4+6)/2 = 5; residual micro ±1e6 everywhere →
+    // σ = 1e6, band half-width = 2e6
+    val b = Seq(("a", 0L, 2.0), ("a", 1000L, 4.0),
+        ("a", 2000L, 4.0), ("a", 3000L, 6.0))
+      .toDF("k", "bucket_ms", "n")
+    val got = SeriesStats.forecast(b, col("n"), groupMs = 1000L,
+        period = 2, horizon = 3, z = 2.0, partitionBy = Seq("k"))
+      .orderBy("bucket_ms").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (4000L, 0L, 3.0, 1.0, 5.0),
+      (5000L, 1L, 5.0, 3.0, 7.0),
+      (6000L, 0L, 3.0, 1.0, 5.0)))
+  }
+
+  test("forecast: zero-spread series emits null bands; negative " +
+      "values fail loudly") {
+    val flat = Seq(("a", 0L, 5.0), ("a", 1000L, 5.0))
+      .toDF("k", "bucket_ms", "n")
+    val got = SeriesStats.forecast(flat, col("n"), 1000L, period = 1,
+        horizon = 2, partitionBy = Seq("k"))
+      .orderBy("bucket_ms").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2000L, 3000L))
+    assert(got.forall(r => r.getDouble(3) == 5.0 && r.isNullAt(4) &&
+      r.isNullAt(5)))
+    val neg = Seq(("a", 0L, -2.0)).toDF("k", "bucket_ms", "n")
+    val e = intercept[Exception] {
+      SeriesStats.forecast(neg, col("n"), 1000L, 1, 1,
+        partitionBy = Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("hopping: each event lands in windowMs/slideMs windows; " +
       "occupied windows only; exact decimal sums") {
     // slide 1000ms, window 2000ms (k=2). Events at 500 (v=1), 1500
