@@ -1236,6 +1236,53 @@ object Queries {
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    // interval OVERLAP join: cross-user session pairs that were
+    // concurrent. Both interval sides bucket to 1h, equi-join on the
+    // bucket, residual closed-interval predicate, and each pair emits
+    // in exactly ONE bucket (max-start's bucket) — no post-join
+    // distinct. The oracle runs the raw quadratic overlap self-join
+    "events_interval_join" -> Entry(
+      (s, dir) => {
+        val ev = eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
+          col("event_id"), col("user_id"))
+        val sess = graft.operators.Sessionize.sessions(ev, col("user_id"),
+          col("ts"), col("event_id"), gap = 1800000000L)
+        val a = sess.select(col("user_id").as("user_a"),
+          col("session").as("session_a"), col("session_start").as("start_a"),
+          col("session_end").as("end_a"))
+        val b = sess.select(col("user_id").as("user_b"),
+          col("session").as("session_b"), col("session_start").as("start_b"),
+          col("session_end").as("end_b"))
+        graft.operators.RangeJoin.intervalOverlap(a, "start_a", "end_a",
+            b, "start_b", "end_b", on = Nil, width = 3600000000L)
+          .filter(col("user_a") < col("user_b"))
+          .select(col("user_a"), col("session_a"), col("user_b"),
+            col("session_b"),
+            greatest(col("start_a"), col("start_b")).as("overlap_start"),
+            least(col("end_a"), col("end_b")).as("overlap_end"))
+          .orderBy(col("user_a"), col("session_a"), col("user_b"),
+            col("session_b"))
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts, event_id, user_id
+            FROM events),
+        l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev FROM e),
+        s AS (SELECT *, (sum(CASE WHEN prev IS NULL OR ts - prev > 1800000000
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS session
+          FROM l),
+        g AS (SELECT user_id, session, min(ts) AS st, max(ts) AS en
+          FROM s GROUP BY 1, 2)
+        SELECT a.user_id AS user_a, a.session AS session_a,
+          b.user_id AS user_b, b.session AS session_b,
+          greatest(a.st, b.st) AS overlap_start,
+          least(a.en, b.en) AS overlap_end
+        FROM g a JOIN g b ON a.st <= b.en AND b.st <= a.en
+          AND a.user_id < b.user_id
+        ORDER BY 1, 2, 3, 4""")),
+
     // bucketed interval join (attribution): clicks landing in the 30
     // minutes before each same-user purchase. RangeJoin turns the
     // BETWEEN predicate into an equi-join on (user, time-bucket) —

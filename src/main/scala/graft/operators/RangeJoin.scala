@@ -47,4 +47,45 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bkt")
   }
+
+  /**
+   * Interval×interval OVERLAP join — "which sessions/deploys/windows
+   * were concurrent": both sides explode to their covering buckets,
+   * the join is an equi-join on (keys…, bucket), and the residual
+   * closed-interval predicate `aLo ≤ bHi AND bLo ≤ aHi` keeps true
+   * overlaps. Same motivation as [[pointInInterval]]: a raw overlap
+   * predicate is a nested-loop/sort-merge cross per key group in
+   * Spark; bucketing restores a hash join.
+   *
+   * An overlapping pair shares every bucket of its intersection — so
+   * instead of a post-join `distinct` (a second full shuffle of the
+   * pair volume), each pair is emitted in exactly ONE bucket: the
+   * bucket of `max(aLo, bLo)`, the intersection's first bucket, which
+   * both sides always cover when they overlap. The `_bkt =
+   * greatest(aLo div w, bLo div w)` filter runs inside the joined
+   * bucket, before anything else moves.
+   *
+   * The two frames must share only the `on` key names; lo/hi column
+   * names must not collide across sides. Per-bucket work is
+   * |left∩bucket|·|right∩bucket| — pick `width` near the typical
+   * interval length (explode factor stays ~2) and note that output
+   * volume itself is quadratic in true concurrency, which no plan can
+   * undercut.
+   */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      on: Seq[String], width: Long): DataFrame = {
+    require(width > 0, "bucket width must be > 0")
+    val l = left.filter(col(leftLo) <= col(leftHi))
+      .withColumn("_bkt",
+        explode(sequence(ldiv(col(leftLo), width), ldiv(col(leftHi), width))))
+    val r = right.filter(col(rightLo) <= col(rightHi))
+      .withColumn("_bkt",
+        explode(sequence(ldiv(col(rightLo), width), ldiv(col(rightHi), width))))
+    l.join(r, on :+ "_bkt")
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col("_bkt") ===
+        greatest(ldiv(col(leftLo), width), ldiv(col(rightLo), width)))
+      .drop("_bkt")
+  }
 }

@@ -51,4 +51,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // intervalOverlap: left (lid, s1, e1) vs right (rid, s2, e2)
+  private lazy val ivA = Seq(
+    (1L, 0L, 35L),    // spans 4 width-10 buckets
+    (2L, 50L, 55L),
+    (3L, 90L, 90L))   // degenerate point-interval
+    .toDF("lid", "s1", "e1")
+  private lazy val ivB = Seq(
+    (10L, 30L, 60L),  // overlaps 1 (at 30..35) and 2 (50..55)
+    (11L, 36L, 49L),  // gap between 1 and 2 — overlaps neither
+    (12L, 90L, 95L),  // closed-boundary touch with 3
+    (13L, 200L, 300L))
+    .toDF("rid", "s2", "e2")
+
+  private def overlapped = RangeJoin.intervalOverlap(
+    ivA, "s1", "e1", ivB, "s2", "e2", on = Nil, width = 10L)
+
+  test("intervalOverlap: exact closed-interval overlap pairs, each " +
+      "emitted once despite shared buckets") {
+    val got = overlapped.select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (3L, 12L)))
+    assert(got.length == 3) // multi-bucket intersections emit once
+  }
+
+  test("intervalOverlap: on-keys scope the match; equi-join plan") {
+    val l = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L))
+      .toDF("k", "lid", "s1", "e1")
+    val r = Seq(("a", 10L, 50L, 60L)).toDF("k", "rid", "s2", "e2")
+    val out = RangeJoin.intervalOverlap(l, "s1", "e1", r, "s2", "e2",
+      on = Seq("k"), width = 10L)
+    assert(out.select("lid", "rid").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L)))
+    val plan = overlapped.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
