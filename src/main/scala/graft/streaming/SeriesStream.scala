@@ -302,6 +302,72 @@ object SeriesStream {
                        AND purchase_ts"""))
   }
 
+  /** Quota state for [[quotaStream]]: the window currently being
+   * filled and how many rows it has admitted. */
+  case class QuotaWindow(windowMs: Long, admitted: Long)
+
+  /**
+   * Streaming per-key admission quota — "at most `quota` rows per key
+   * per `windowMs` tumbling window", the crawler-politeness /
+   * per-domain ingestion cap an unbounded pipeline applies before the
+   * expensive stages (a hot domain must not monopolize the batch).
+   * Exact integer semantics: rows within a batch process in (ts,
+   * then input order per the iterator) and each row is admitted iff
+   * its key's CURRENT window has admitted fewer than `quota` rows —
+   * so replaying the stream reproduces the identical admitted set.
+   * Emits every row with an `admitted` flag (callers filter) plus the
+   * running `n_in_window` AFTER the row.
+   *
+   * State is ONE (window, count) pair per live key — the previous
+   * window's count resets the moment a row from a newer window
+   * arrives, and the event-time timeout removes keys idle past the
+   * watermark entirely, so state is bounded by live keys, not
+   * history. Late rows from an already-rolled window are admitted
+   * against the CURRENT window (counted conservatively) rather than
+   * resurrecting a closed one.
+   */
+  def quotaStream(events: DataFrame, keyCol: String, tsCol: String,
+      windowMs: Long, quota: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    require(quota >= 0, "quota must be >= 0")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaWindow, (String, Long, Boolean, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[QuotaWindow]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption.getOrElse(QuotaWindow(Long.MinValue, 0L))
+            var lastMs = Long.MinValue
+            val out = rows.toArray.sortBy(_._2.getTime).map { r =>
+              val ms = r._2.getTime
+              lastMs = math.max(lastMs, ms)
+              val w = Math.floorDiv(ms, windowMs) * windowMs
+              if (w > cur.windowMs) cur = QuotaWindow(w, 0L)
+              val ok = cur.admitted < quota
+              if (ok) cur = cur.copy(admitted = cur.admitted + 1)
+              (key, ms, ok, cur.admitted)
+            }
+            state.update(cur)
+            // expire the key once its window is a full windowMs past
+            // the last activity (event-time based — a watermark-based
+            // target can sit in the past and evict live state)
+            state.setTimeoutTimestamp(math.max(lastMs + windowMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("key", "ts_ms", "admitted", "n_in_window")
+  }
+
   /**
    * Streaming hopping-window aggregation — the online counterpart of
    * `graft.operators.SeriesStats.hopping`, on Structured Streaming's

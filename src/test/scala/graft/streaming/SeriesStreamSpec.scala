@@ -115,6 +115,34 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota: at most k per key per window, window rolls, " +
+      "exact across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val base = 1346189040000L // on the 10 s window grid
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val out = SeriesStream.quotaStream(mem.toDF().toDF("ts", "k"),
+      "k", "ts", windowMs = 10000L, quota = 2L)
+    val q = out.writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(100), "a"), (ts(200), "a"),
+        (ts(0), "b"))
+      q.processAllAvailable()
+      // third 'a' row in the same window exceeds quota=2
+      mem.addData((ts(300), "a"))       // still over, new micro-batch
+      q.processAllAvailable()
+      mem.addData((ts(10000), "a"))     // next window → resets
+      q.processAllAvailable()
+      val rows = spark.table("quota").orderBy("key", "ts_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1) - base, r.getBoolean(2)))
+      assert(rows.toSeq == Seq(
+        ("a", 0L, true), ("a", 100L, true), ("a", 200L, false),
+        ("a", 300L, false), ("a", 10000L, true), ("b", 0L, true)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival per fingerprint") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
