@@ -2122,6 +2122,43 @@ object Queries {
         .orderBy(col("vec_id")),
       Some(labelOutliersOracle(2.0))),
 
+    // per-source embedding drift: each source's DECIMAL-exact
+    // centroid vs the global centroid, sequential-order difference
+    // dot, micro-quantized distance — the embedding-space counterpart
+    // of corpus_vocab_drift/corpus_psi
+    "embed_source_drift" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").join(
+          t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+            col("source")), "vec_id")
+        graft.operators.Embeddings.groupDrift(e, col("embedding"),
+            col("source"))
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH e AS (SELECT d.source,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings JOIN documents d ON vec_id = d.doc_id
+          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        ex AS (SELECT source, unnest(range(1, len(v) + 1)) AS pos,
+            unnest(v) AS xv FROM e),
+        gc0 AS (SELECT source, pos,
+            (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+          FROM ex GROUP BY 1, 2),
+        gc AS (SELECT source, list(cv ORDER BY pos) AS cv
+          FROM gc0 GROUP BY 1),
+        gl0 AS (SELECT pos, (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*)
+            AS cv FROM ex GROUP BY 1),
+        gl AS (SELECT list(cv ORDER BY pos) AS gcv FROM gl0),
+        n AS (SELECT source, count(*)::BIGINT AS n_vecs FROM e GROUP BY 1)
+        SELECT source, n_vecs,
+          round(sqrt(greatest(list_sum(list_transform(
+            range(1, len(gc.cv) + 1),
+            i -> (gc.cv[i] - gl.gcv[i]) * (gc.cv[i] - gl.gcv[i]))), 0.0))
+            * 1000000.0) / 1000000.0 AS drift_dist
+        FROM gc CROSS JOIN gl JOIN n USING (source)
+        ORDER BY source""")),
+
     // per-label representative selection: the 3 vectors closest to
     // their own label's centroid (k=1 ⇒ approximate medoid). Rank
     // order is integer-first: micro-quantized d2 then vec_id — no

@@ -177,6 +177,39 @@ object Embeddings {
   }
 
   /**
+   * Per-group embedding drift — how far each group's (source's,
+   * shard's, day's) centroid sits from the GLOBAL centroid, the
+   * embedding-space counterpart of `CorpusStats.vocabDivergence`/
+   * `psi`: a source whose centroid wanders is shipping different
+   * content than the corpus at large (crawl change, spam influx,
+   * encoding bug) before any token-level signal moves. Emits
+   * (grp, n_vecs, drift_dist) with the euclidean centroid distance
+   * scale-0 micro-quantized.
+   *
+   * Portability: both centroids are [[centroids]]' DECIMAL-exact
+   * means; the distance is a sequential-order dot of the elementwise
+   * difference (both engines fold the same doubles in the same
+   * order). Scale: two map-side-combined aggregates over one scan
+   * (per-group and global sums), then |groups| rows cross-joined with
+   * one broadcast global row — nothing corpus-sized moves.
+   */
+  def groupDrift(df: DataFrame, vec: Column, group: Column): DataFrame = {
+    val perGroup = centroids(df.filter(group.isNotNull), vec, group)
+      .select(col("lbl").as("grp"), col("cv"))
+    val global = broadcast(
+      centroids(df.filter(group.isNotNull), vec, lit(1)).select(col("cv").as("__gcv")))
+    val counts = df.filter(group.isNotNull)
+      .filter(vec.isNotNull && size(vec) > 0)
+      .groupBy(group.as("grp")).agg(count(lit(1)).as("n_vecs"))
+    val diff = zip_with(col("cv"), col("__gcv"), (a, b) => a - b)
+    perGroup.join(counts, "grp")
+      .crossJoin(global)
+      .select(col("grp"), col("n_vecs"),
+        (round(sqrt(greatest(dot(diff, diff), lit(0.0))) * lit(1000000.0))
+          / lit(1000000.0)).as("drift_dist"))
+  }
+
+  /**
    * Per-cluster representative selection: the k vectors CLOSEST to
    * their own label's centroid — the "keep one exemplar per semantic
    * cluster" step of SemDeDup-style curation and the medoid picker

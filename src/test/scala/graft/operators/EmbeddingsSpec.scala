@@ -176,6 +176,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(3L)._3 > 0.5 && got(4L)._3 > 0.5)
   }
 
+  test("groupDrift: per-group centroid distance to the global " +
+      "centroid, hand-computed") {
+    // group a centroid (0,0), group b centroid (4,0) → global (2,0)
+    // (equal sizes); both drift exactly 2.0
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f), "a"), (2L, Array(0.0f, -1.0f), "a"),
+      (3L, Array(4.0f, 1.0f), "b"), (4L, Array(4.0f, -1.0f), "b"))
+      .toDF("vec_id", "embedding", "src")
+    val got = Embeddings.groupDrift(df, $"embedding", $"src")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 2L, 2.0), ("b", 2L, 2.0)))
+    // a lone centered group drifts 0
+    val one = Seq((1L, Array(3.0f, 3.0f), "x")).toDF("vec_id", "embedding", "src")
+    assert(Embeddings.groupDrift(one, $"embedding", $"src")
+      .collect().head.getDouble(2) == 0.0)
+  }
+
   test("representatives: k nearest-to-centroid per label, micro-d2 " +
       "order, vec_id tie-break") {
     // label 0 centroid = (1, 0): vec 2 sits on it (d2=0), vec 1 and
