@@ -50,7 +50,8 @@ object Bench {
       "sample_upsample", "text_gopher_quality", "corpus_contamination_report",
       "q_series_hopping", "corpus_source_similarity", "embed_silhouette",
       "embed_representatives", "text_script", "sample_weighted_per_group",
-      "events_forecast", "events_interval_join", "embed_source_drift")
+      "events_forecast", "events_interval_join", "embed_source_drift",
+      "pipeline_report")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -3202,6 +3202,28 @@ object Queries {
             '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
         FROM p ORDER BY doc_id""")),
 
+    // per-source drop-reason dashboard: cleanCorpus's verdicts rolled
+    // up to (source, reason) counts — the "which source is full of
+    // dups / low quality" report a curation run reads first. Pure
+    // composition: the pipeline's corpus passes plus one map-side-
+    // combined rollup to |sources|·|reasons| rows
+    "pipeline_report" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.Pipeline.cleanCorpus(docs, col("doc_id"), col("text"),
+            langs = Seq("en", "es"), minQuality = 0.35,
+            jaccardThreshold = 0.8, lshBands = Dedup.bandsFor(0.8))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"), col("reason"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("reason"))
+      },
+      Some(s"""SELECT source, reason, count(*)::BIGINT AS n_docs
+        FROM (${pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
+          jaccardThreshold = 0.8, bands = Dedup.bandsFor(0.8))}) p
+        JOIN documents USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // threshold-matched banding (b=8/r=8 at t=0.8), as the clusters/
     // perplexity variants already use: the default b=16/r=4 preset is
     // tuned for t≈0.5 and floods candidates from sub-threshold
