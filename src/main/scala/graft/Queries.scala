@@ -3208,16 +3208,14 @@ object Queries {
     // composition: the pipeline's corpus passes plus one map-side-
     // combined rollup to |sources|·|reasons| rows
     "pipeline_report" -> Entry(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        operators.Pipeline.cleanCorpus(docs, col("doc_id"), col("text"),
-            langs = Seq("en", "es"), minQuality = 0.35,
-            jaccardThreshold = 0.8, lshBands = Dedup.bandsFor(0.8))
-          .join(docs.select(col("doc_id"), col("source")), "doc_id")
-          .groupBy(col("source"), col("reason"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("source"), col("reason"))
-      },
+      (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          langs = Seq("en", "es"), minQuality = 0.35,
+          jaccardThreshold = 0.8, lshBands = Dedup.bandsFor(0.8),
+          carryCols = Seq("source"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("reason")),
       Some(s"""SELECT source, reason, count(*)::BIGINT AS n_docs
         FROM (${pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,
           jaccardThreshold = 0.8, bands = Dedup.bandsFor(0.8))}) p

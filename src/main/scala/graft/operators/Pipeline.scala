@@ -99,7 +99,13 @@ object Pipeline {
    * [[Dedup.bandsFor]]`(jaccardThreshold)` matches the candidate
    * S-curve to the threshold (keeps just-below-threshold replica
    * cliques out of the verify); the 16-band default preserves the
-   * historical maximum-recall tuning. */
+   * historical maximum-recall tuning.
+   *
+   * `carryCols`: input columns (by name) passed through to the
+   * verdict frame — a downstream per-source/shard rollup reads them
+   * directly off the scan instead of joining the corpus-sized verdict
+   * frame back to the corpus on doc_id (two full-volume shuffles the
+   * carry avoids — the carried column rides projections only). */
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double = 0.8, useClusters: Boolean = false,
@@ -107,7 +113,8 @@ object Pipeline {
       maxTopNgramFrac: Double = 1.0,
       bench: Option[DataFrame] = None,
       benchText: Column = col("text"),
-      lshBands: Int = 16): DataFrame = {
+      lshBands: Int = 16,
+      carryCols: Seq[String] = Nil): DataFrame = {
     // bounded per-group state: only min(doc_id) aggregates; the dup
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
@@ -139,10 +146,11 @@ object Pipeline {
       else pairs.select(col("id2").as("doc_id")).distinct())
       .withColumn("__near", lit(true))
 
-    val scored = df.select(id.as("doc_id"),
+    val scored = df.select(Seq(id.as("doc_id"),
       (text.isNull || length(text) === 0).as("__empty"),
       TextOps.langId(text).as("__lang"),
-      TextOps.qualityColumns(text).toMap.apply("quality").as("__quality"))
+      TextOps.qualityColumns(text).toMap.apply("quality").as("__quality")) ++
+      carryCols.map(col): _*)
 
     // optional stages join as more per-doc flag frames — each is its
     // own independent branch over the corpus scan family
@@ -183,6 +191,7 @@ object Pipeline {
           .when(repetCond, "repetition")
           .when(contamCond, "contaminated")
           .otherwise("keep"))
-      .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
+      .select(Seq(col("doc_id"), (col("reason") === "keep").as("keep"),
+        col("reason")) ++ carryCols.map(col): _*)
   }
 }

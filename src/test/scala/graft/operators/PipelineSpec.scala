@@ -29,6 +29,19 @@ class PipelineSpec extends SparkSpec {
       Seq(true, false, false, true, false, false, false, false))
   }
 
+  test("carryCols thread input columns through to the verdict frame") {
+    val good = "the cat sat of the mat and it is a good day to you that " * 3
+    val docs = Seq((0L, good, "s1"), (1L, good, "s2"), (2L, "", "s2"))
+      .toDF("doc_id", "text", "src")
+    val r = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+        langs = Seq("en"), minQuality = 0.2, jaccardThreshold = 0.5,
+        carryCols = Seq("src"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(2), x.getString(3)))
+    assert(r.toSeq == Seq((0L, "keep", "s1"), (1L, "exact_dup", "s2"),
+      (2L, "empty", "s2")))
+  }
+
   test("perplexity stage drops the doc that doesn't read like the corpus") {
     // nine docs share a vocabulary; the outlier is all rare words →
     // every token scores at/near the OOV floor, far above the rest
