@@ -294,6 +294,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(est > 240000 && est < 430000, s"est=$est")
   }
 
+  test("kmvSimilarity: property — exact floor-ppm Jaccard for every " +
+      "pair of random sets under k") {
+    val rng = new scala.util.Random(7L)
+    val groups = (0 until 6).map(g => s"g$g" ->
+      (1 to 30).map(_ => s"v${rng.nextInt(40)}").toSet)
+    val rows = groups.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v")
+    val got = CorpusStats.kmvSimilarity(rows, $"g", $"v", k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    for {
+      (ga, va) <- groups; (gb, vb) <- groups if ga < gb
+    } {
+      val expected = (va & vb).size.toLong * 1000000L / (va | vb).size
+      assert(got((ga, gb)) == expected, s"pair ($ga,$gb)")
+    }
+  }
+
   test("collocations: hand-computed PMI, support floor, tie-break") {
     // "new york" always co-occurs (PMI high); "the cat" shares "the"
     // with other pairs (PMI lower); pairs under minCount vanish

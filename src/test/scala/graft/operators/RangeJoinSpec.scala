@@ -75,6 +75,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.length == 3) // multi-bucket intersections emit once
   }
 
+  test("intervalOverlap: property — equals the quadratic overlap " +
+      "join on random intervals, each pair exactly once") {
+    val rng = new scala.util.Random(42L)
+    def mk(n: Int) = (1 to n).map { i =>
+      val lo = rng.nextInt(1000).toLong
+      (i.toLong, lo, lo + rng.nextInt(80).toLong)
+    }
+    val la = mk(120); val rb = mk(150)
+    for (width <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(
+        la.toDF("lid", "s1", "e1"), "s1", "e1",
+        rb.toDF("rid", "s2", "e2"), "s2", "e2", on = Nil, width = width)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      val expected = for {
+        (li, ls, le) <- la; (ri, rs, re) <- rb
+        if ls <= re && rs <= le
+      } yield (li, ri)
+      assert(got.length == expected.length, s"width=$width: dup or missing")
+      assert(got.toSet == expected.toSet, s"width=$width")
+    }
+  }
+
   test("intervalOverlap: on-keys scope the match; equi-join plan") {
     val l = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L))
       .toDF("k", "lid", "s1", "e1")

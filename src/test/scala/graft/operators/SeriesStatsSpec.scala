@@ -450,6 +450,41 @@ class SeriesStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple"))
   }
 
+  test("hopping: property — matches the brute-force window sweep on " +
+      "random events for several window/slide shapes") {
+    val rng = new scala.util.Random(20260815L)
+    val events = (1 to 400).map { _ =>
+      (rng.nextInt(20000).toLong,
+        if (rng.nextInt(10) == 0) None else Some(rng.nextInt(100).toDouble))
+    }
+    val df = events.toDF("ts_ms", "v")
+      .withColumn("ts_ns", col("ts_ms") * 1000000L)
+    for ((w, s) <- Seq((2000L, 500L), (2000L, 1000L), (2000L, 2000L),
+        (3000L, 1000L))) {
+      val got = SeriesStats.hopping(df, col("ts_ns"), col("v"), w, s)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      // brute force: a window at every slide multiple that contains
+      // at least one event row (null-valued rows included)
+      val starts = events.map(_._1 / s * s)
+        .flatMap(b => (0L until w / s).map(i => b - i * s)).distinct
+      val expected = starts.flatMap { ws =>
+        val in = events.filter(e => e._1 >= ws && e._1 < ws + w)
+        if (in.isEmpty) None else {
+          val vs = in.flatMap(_._2)
+          Some(ws -> ((vs.size.toLong,
+            if (vs.isEmpty) None
+            else Some(vs.map(BigDecimal(_)).sum.toDouble),
+            if (vs.isEmpty) None else Some(vs.min),
+            if (vs.isEmpty) None else Some(vs.max))))
+        }
+      }.toMap
+      assert(got == expected, s"window=$w slide=$s")
+    }
+  }
+
   test("gapFill: adaptive chunking keeps wide spines contiguous") {
     // 3,000,000 buckets: fixed 1024-chunking would make the OUTER
     // array ~2930 elements; adaptive √n chunking (~1733 per level)
