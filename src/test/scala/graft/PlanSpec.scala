@@ -108,6 +108,34 @@ class PlanSpec extends SparkSpec {
       s"cluster sizes not broadcast:\n$p")
   }
 
+  test("round-10 operators keep their claimed plan shapes") {
+    assume(available)
+    // AQE plan strings repeat the tree under "== Initial Plan ==" —
+    // count exchanges in the FINAL section only
+    def finalSection(p: String): String = p.split("== Initial Plan ==").head
+    // text_script / text_gopher_quality: pure scan projections
+    for (name <- Seq("text_script", "text_gopher_quality")) {
+      val p = finalSection(planOf(SparkEntry.queries(name)(spark, dir)))
+      // the gate adds a global orderBy (one exchange for the sort);
+      // nothing else may shuffle
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$name shuffles:\n$p")
+    }
+    // hopping: two aggregation exchanges (fine buckets, windows) +
+    // the gate's sort — the k-fold fan-out must not add more
+    val ph = finalSection(planOf(SparkEntry.queries("q_series_hopping")(spark, dir)))
+    assert("Exchange".r.findAllIn(ph).size <= 3,
+      s"hopping has stray exchanges:\n$ph")
+    // silhouette/drift/representatives: centroid frames come back
+    // broadcast, the corpus never re-shuffles with its vectors
+    for (name <- Seq("embed_silhouette", "embed_source_drift",
+        "embed_representatives")) {
+      val p = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$name centroids not broadcast:\n$p")
+    }
+  }
+
   test("no registry query degenerates to a non-broadcast cartesian product") {
     assume(available)
     // BroadcastNestedLoopJoin with a bounded broadcast side is a
