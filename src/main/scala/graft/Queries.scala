@@ -922,6 +922,58 @@ object Queries {
           f0 AS first_us, f2 - f0 AS convert_us
         FROM g ORDER BY user_id""")),
 
+    // session-scoped funnel: steps must complete inside ONE 30-min-gap
+    // session (the common product-analytics form — a purchase in a
+    // later visit is a new journey, not a conversion). Pure
+    // composition: Sessionize.assign mints the session id (one
+    // per-user window exchange), stepReach keys on the (user,
+    // session) struct (one more, session-frame-grained) — two bounded
+    // window exchanges total, no joins
+    "events_session_funnel" -> Entry(
+      (s, dir) => {
+        val ev = eventsNs(s, dir).select(expr("ts div 1000").as("ts"),
+          col("event_id"), col("user_id"), col("event_type"))
+        val assigned = graft.operators.Sessionize.assign(ev, col("user_id"),
+          col("ts"), col("event_id"), gap = 1800000000L)
+        graft.operators.Funnel.stepReach(assigned,
+            struct(col("user_id"), col("session")).as("uk"),
+            col("ts"), col("event_type"),
+            steps = Seq("view", "click", "purchase"))
+          .select(col("user_id").getField("user_id").as("user_id"),
+            col("user_id").getField("session").as("session"),
+            col("depth"), col("first_us"), col("convert_us"))
+          .orderBy(col("user_id"), col("session"))
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts, event_id, user_id,
+            event_type AS s FROM events),
+        l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev FROM e),
+        a AS (SELECT *, (sum(CASE WHEN prev IS NULL OR ts - prev > 1800000000
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS session
+          FROM l),
+        w1 AS (SELECT *, CASE WHEN s = 'view' THEN ts END AS v0 FROM a),
+        w2 AS (SELECT *, min(v0) OVER (PARTITION BY user_id, session
+            ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS r0 FROM w1),
+        w3 AS (SELECT *, CASE WHEN s = 'click' AND r0 IS NOT NULL
+            THEN ts END AS v1 FROM w2),
+        w4 AS (SELECT *, min(v1) OVER (PARTITION BY user_id, session
+            ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS r1 FROM w3),
+        w5 AS (SELECT *, CASE WHEN s = 'purchase' AND r1 IS NOT NULL
+            THEN ts END AS v2 FROM w4),
+        g AS (SELECT user_id, session, min(v0) AS f0, min(v1) AS f1,
+            min(v2) AS f2
+          FROM w5 GROUP BY 1, 2)
+        SELECT user_id, session,
+          (CASE WHEN f2 IS NOT NULL THEN 3 WHEN f1 IS NOT NULL THEN 2
+                WHEN f0 IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS depth,
+          f0 AS first_us, f2 - f0 AS convert_us
+        FROM g ORDER BY 1, 2""")),
+
     // funnel with a conversion deadline: steps qualify only within
     // 3 days of the user's FIRST view (anchored, deterministic)
     "events_funnel_windowed" -> Entry(
