@@ -2360,6 +2360,25 @@ object Queries {
             AND stop_hits >= 2, false) AS gopher_keep
         FROM s ORDER BY doc_id""")),
 
+    // canonical text normalization (the exact-dedup key's text form,
+    // materialized): whitespace runs → one space, trim, lowercase.
+    // Pure codegen'd projection
+    "text_normalize" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalize(col("text")).as("norm_text"),
+          (TextOps.normalize(col("text")) =!= col("text")).as("changed"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+            AS norm_text,
+          lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+            <> text AS changed,
+          md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))))
+            AS fp
+        FROM documents ORDER BY doc_id""")),
+
     // script/charset profile: literal-range character counts (no
     // \p{} property tables — engine-private) + fixed->= dominant
     // chain. All integers; one codegen'd scan pass

@@ -187,7 +187,17 @@ object TextOps {
    * mapping vs utf8proc simple mapping — e.g. 'İ'), so cross-engine
    * fingerprints are guaranteed only for ASCII text. */
   def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, s"[$WsClass]+", " "))))
+    md5(normalize(text))
+
+  /** The canonical text form behind [[fingerprint]], exposed as its
+   * own operator — whitespace runs collapsed to one space, trimmed,
+   * lowercased. The normalization every exact-dedup/cache key in the
+   * engine keys on, available to callers that want to MATERIALIZE the
+   * cleaned text (export, display, downstream tokenization) rather
+   * than just hash it. Pure codegen'd projection; same non-ASCII
+   * lowercasing caveat as the fingerprint. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, s"[$WsClass]+", " ")))
 
   /**
    * Repetition signals (the Gopher/C4 quality-filter family): per
