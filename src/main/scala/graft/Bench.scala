@@ -51,7 +51,8 @@ object Bench {
       "q_series_hopping", "corpus_source_similarity", "embed_silhouette",
       "embed_representatives", "text_script", "sample_weighted_per_group",
       "events_forecast", "events_interval_join", "embed_source_drift",
-      "pipeline_report", "events_session_funnel", "text_normalize")
+      "pipeline_report", "events_session_funnel", "text_normalize",
+      "text_length_trimmed_mean")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

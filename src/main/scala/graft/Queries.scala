@@ -2966,6 +2966,34 @@ object Queries {
           (sum(in_a * in_b)::BIGINT * 1000000) // count(*) AS jaccard_ppm
         FROM kt WHERE rn <= 64 GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // exact 10%-trimmed mean length per source off the (group, value)
+    // histogram: integer overlap weights, micro-quantized values,
+    // fixed two-division emit — no row-level sort, no decimal-division
+    // scale rules
+    "text_length_trimmed_mean" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.trimmedMean(
+          t(s, dir, "documents"), col("source"), col("n_chars"),
+          trimPpm = 100000L)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source")),
+      Some("""WITH h AS (SELECT source AS grp, n_chars::DOUBLE AS v,
+            count(*)::BIGINT AS c
+          FROM documents GROUP BY 1, 2),
+        cw AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY v) AS hi,
+            sum(c) OVER (PARTITION BY grp ORDER BY v) - c AS lo,
+            sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        b AS (SELECT *, (n * 100000) // 1000000 AS cut FROM cw),
+        w AS (SELECT grp, v, n,
+            greatest(least(hi, n - cut) - greatest(lo + 1, cut + 1) + 1, 0)
+              AS w
+          FROM b)
+        SELECT grp AS source, max(n)::BIGINT AS n_total,
+          sum(w)::BIGINT AS n_kept,
+          CASE WHEN sum(w) > 0
+            THEN (sum(round(v * 1000000.0)::BIGINT::HUGEINT * w))::DOUBLE
+              / (sum(w))::DOUBLE / 1000000.0 END AS trimmed_mean
+        FROM w GROUP BY 1 ORDER BY 1""")),
+
     // column-level table profile: row/null counts, exact-below-k KMV
     // cardinality, canonical-string length stats — one stacked scan,
     // two aggregations, every statistic integer-derived

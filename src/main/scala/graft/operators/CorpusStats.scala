@@ -646,6 +646,57 @@ object CorpusStats {
   }
 
   /**
+   * Exact per-group TRIMMED mean — the robust center statistic
+   * ("mean length ignoring the top/bottom α of occurrences") computed
+   * off the same (group, value) histogram [[quantiles]] uses, so no
+   * per-group total-order pass over ROWS ever happens: each distinct
+   * value row carries its cumulative rank range [lo+1, hi], the kept
+   * rank band is [⌊n·α⌋+1, n−⌊n·α⌋], and the value contributes
+   * `overlap = min(hi, band_hi) − max(lo+1, band_lo) + 1` occurrences
+   * — an EXACT integer. Values micro-quantize (`round(v·10⁶)`, the
+   * scale-0 round every engine agrees on) so the weighted sum is pure
+   * DECIMAL(38,0) integer arithmetic and the mean is a fixed
+   * two-division IEEE sequence — engine-portable, no decimal-division
+   * scale rules (which differ across engines) anywhere. `trimPpm` is
+   * the per-side trim fraction in parts-per-million (50000 = 5 %
+   * each side); a band that trims everything emits null.
+   *
+   * Scale shape: one map-side-combined histogram aggregate over the
+   * corpus, then windows over DISTINCT VALUES per group (bounded by
+   * value cardinality, not row count — the [[quantiles]] contract),
+   * then one rollup to |groups| rows.
+   */
+  def trimmedMean(df: DataFrame, group: Column, value: Column,
+      trimPpm: Long = 50000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      "trimPpm must be in [0, 500000)")
+    val hist = df.groupBy(group.as("grp"), value.cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    val cut = graft.functions.ldiv(col("n") * lit(trimPpm), lit(1000000L))
+    val bandLo = cut + lit(1L)
+    val bandHi = col("n") - cut
+    val overlap = least(col("hi"), bandHi) -
+      greatest(col("lo") + lit(1L), bandLo) + lit(1L)
+    val vi = round(col("v") * lit(1000000.0)).cast("long")
+    cum
+      .withColumn("__w", greatest(overlap, lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(vi.cast("decimal(38,0)") * col("__w")).as("__s"),
+        sum(col("__w")).as("n_kept"),
+        max(col("n")).as("n_total"))
+      .select(col("grp"), col("n_total"), col("n_kept"),
+        when(col("n_kept") > 0,
+          col("__s").cast("double") / col("n_kept").cast("double")
+            / lit(1000000.0))
+          .as("trimmed_mean"))
+  }
+
+  /**
    * DSIR-style importance weighting (cf. Xie et al. 2023, "Data
    * Selection for Language Models via Importance Resampling",
    * arXiv:2302.03169): score every RAW-corpus document by how much

@@ -294,6 +294,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(est > 240000 && est < 430000, s"est=$est")
   }
 
+  test("trimmedMean: hand-computed band, duplicate-aware overlaps, " +
+      "degenerate trims") {
+    // group a: occurrences 1,2,2,3,100 (n=5). 20% trim each side →
+    // cut=1, keep ranks 2..4 = values 2,2,3 → mean 7/3
+    val df = (Seq(1.0, 2.0, 2.0, 3.0, 100.0).map(("a", _)) ++
+      Seq(("b", 7.0))).toDF("g", "v")
+    val got = CorpusStats.trimmedMean(df, $"g", $"v", trimPpm = 200000L)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got(0) == (("a", 5L, 3L, Some(7000000.0 / 3 / 1e6))))
+    // b: n=1, cut=0 → keeps its single value exactly
+    assert(got(1) == (("b", 1L, 1L, Some(7.0))))
+    // a 49.99% trim of n=2 keeps both (cut = floor(2*.4999...) = 0);
+    // property: trimPpm=0 equals the plain mean
+    val plain = CorpusStats.trimmedMean(df, $"g", $"v", trimPpm = 0L)
+      .filter($"grp" === "a").collect().head.getDouble(3)
+    assert(plain == 108000000.0 / 5 / 1e6)
+  }
+
   test("kmvSimilarity: property — exact floor-ppm Jaccard for every " +
       "pair of random sets under k") {
     val rng = new scala.util.Random(7L)
