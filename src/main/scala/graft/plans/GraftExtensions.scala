@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomContainsExpr, DotExpr, Hash60Expr, JsonPointersExpr, SimHash60}
+import graft.functions.{BloomContainsExpr, DotExpr, Hash60Expr, JsonPointersExpr, SimHash60, TimeParseExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes two arguments")
         DotExpr(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_parse_ts"),
+      info("graft_parse_ts",
+        "graft_parse_ts(str) - lenient seriesly timestamp parse to epoch ns"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_parse_ts takes one argument")
+        TimeParseExpr(args.head)
       }))
     ext.injectFunction((FunctionIdentifier("graft_json_ptr"),
       info("graft_json_ptr",

@@ -42,6 +42,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 7.0)
   }
 
+  test("graft_parse_ts parses the lenient timestamp formats to epoch ns") {
+    val r = spark.sql(
+      """SELECT graft_parse_ts('2012-08-28T21:24:35.37465188Z') AS a,
+                graft_parse_ts('1346189075374651880') AS b,
+                graft_parse_ts('not a time') AS c""").head()
+    assert(r.getLong(0) == 1346189075374651880L)
+    assert(r.getLong(1) == 1346189075374651880L)
+    assert(r.isNullAt(2))
+  }
+
   test("non-literal pointer arguments are rejected at plan time") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_json_ptr('{}', lower('X'))").head()
