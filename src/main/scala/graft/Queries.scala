@@ -2921,6 +2921,31 @@ object Queries {
             ELSE (1152921504606846976 // kth_hash) * 63 END AS est_distinct
         FROM kt ORDER BY source""")),
 
+    // approximate daily active users: the KMV distinct sketch per day
+    // bucket — the mergeable approximate form of events_rolling_active
+    // (exact below k=64; floor-integer estimator). One k·|days|-
+    // bounded exchange regardless of event volume
+    "events_approx_dau" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.distinctKmv(
+          eventsNs(s, dir).select(
+            (expr("ts div 86400000000000") * 86400000L).as("day_ms"),
+            col("user_id")),
+          col("day_ms"), col("user_id").cast("string"), k = 64)
+        .withColumnRenamed("source", "day_ms")
+        .orderBy(col("day_ms")),
+      Some("""WITH h AS (SELECT DISTINCT
+            (epoch_us(ts) // 86400000000) * 86400000 AS day_ms,
+            ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+          FROM events),
+        r AS (SELECT day_ms, hv, row_number() OVER (PARTITION BY day_ms
+            ORDER BY hv) AS rn FROM h),
+        kt AS (SELECT day_ms, count(*)::BIGINT AS n_kept,
+            max(hv) AS kth_hash FROM r WHERE rn <= 64 GROUP BY 1)
+        SELECT day_ms, n_kept, kth_hash,
+          CASE WHEN n_kept < 64 THEN n_kept
+            ELSE (1152921504606846976 // kth_hash) * 63 END AS est_distinct
+        FROM kt ORDER BY day_ms""")),
+
     // pairwise source vocabulary similarity from merged KMV sketches:
     // k smallest union hashes per pair, J ≈ both-flagged survivors / k
     // (exact below k). Every emit is an integer (ppm by truncating
