@@ -412,7 +412,8 @@ object SeriesStream {
     val t = col(textCol)
     val cols = Seq("lang_pred" -> TextOps.langId(t)) ++
       TextOps.qualityColumns(t) ++ TextOps.tokenCounts(t) ++
-      TextOps.redactPii(t)
+      TextOps.redactPii(t) ++ TextOps.gopherRules(t) ++
+      TextOps.scriptProfile(t).filterNot(_._1 == "n_chars")
     cols.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
   }
 }

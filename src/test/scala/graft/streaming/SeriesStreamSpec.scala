@@ -301,6 +301,9 @@ class SeriesStreamSpec extends SparkSpec {
       assert(r.getAs[Long]("n_emails") == 1)
       assert(r.getAs[String]("redacted").endsWith("mail me <EMAIL>"))
       assert(r.getAs[Long]("ws_tokens") == 12)
+      // the round-10 rule/script signals ride the same projection
+      assert(!r.getAs[Boolean]("gopher_keep")) // 12 words < minWords
+      assert(r.getAs[String]("script") == "latin")
     } finally q.stop()
   }
 
