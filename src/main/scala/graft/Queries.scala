@@ -2174,6 +2174,35 @@ object Queries {
         .orderBy(col("vec_id")),
       Some(labelOutliersOracle(2.0))),
 
+    // per-label centroid table export — the artifact Similarity.ivfTopK
+    // and kmeansIter consume, gated directly: DECIMAL-exact means
+    // (order-free), components micro-quantized to INTEGER CSV for the
+    // hash compare (double→string rendering differs across engines —
+    // scientific vs positional for small magnitudes — so strings of
+    // integers are the only portable array emit)
+    "embed_centroids" -> Entry(
+      (s, dir) => graft.operators.Embeddings.centroids(
+          t(s, dir, "embeddings"), col("embedding"), col("label"))
+        .select(col("lbl").as("label"),
+          array_join(transform(col("cv"),
+            x => round(x * lit(1000000.0)).cast("long").cast("string")),
+            ",").as("centroid_micro"),
+          size(col("cv")).as("dim"))
+        .orderBy(col("label")),
+      Some("""WITH e AS (SELECT label,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+            unnest(v) AS xv FROM e),
+        c AS (SELECT label, pos,
+            (sum(xv::DECIMAL(38,12)))::DOUBLE / count(*) AS cv
+          FROM ex GROUP BY 1, 2)
+        SELECT label,
+          array_to_string(list(round(cv * 1000000.0)::BIGINT::VARCHAR
+            ORDER BY pos), ',') AS centroid_micro,
+          count(*)::INT AS dim
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
     // per-source embedding drift: each source's DECIMAL-exact
     // centroid vs the global centroid, sequential-order difference
     // dot, micro-quantized distance — the embedding-space counterpart
