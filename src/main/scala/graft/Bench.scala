@@ -52,7 +52,8 @@ object Bench {
       "embed_representatives", "text_script", "sample_weighted_per_group",
       "events_forecast", "events_interval_join", "embed_source_drift",
       "pipeline_report", "events_session_funnel", "text_normalize",
-      "text_length_trimmed_mean", "events_approx_dau", "embed_centroids")
+      "text_length_trimmed_mean", "events_approx_dau", "embed_centroids",
+      "q_series_twap_hour")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -335,6 +335,39 @@ object Queries {
             AS ewma
         FROM s ORDER BY 1""")),
 
+    // hourly time-weighted average per event type: each sample holds
+    // [ts, next-sample) clipped to its bucket — the irregular-gauge
+    // mean the sample-weighted avg reducer gets wrong. Integer-ns
+    // durations, micro-quantized values, DECIMAL weighted sums,
+    // fixed two-division emit
+    "q_series_twap_hour" -> Entry(
+      (s, dir) => SeriesStats.twap(
+          eventsNs(s, dir).select((expr("ts div 1000") * 1000).as("tns"),
+            col("event_id"), col("event_type"), col("value")),
+          col("tns"), col("event_id"), col("value"),
+          groupMs = 3600000L, partitionBy = Seq("event_type"))
+        .orderBy("event_type", "bucket_ms"),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) * 1000 AS tns,
+            event_id, value
+          FROM events WHERE value IS NOT NULL),
+        l AS (SELECT *, lead(tns) OVER (PARTITION BY event_type
+            ORDER BY tns, event_id) AS nxt FROM e),
+        b AS (SELECT event_type,
+            (tns // 3600000000000) * 3600000 AS bucket_ms,
+            ((tns // 3600000000000) + 1) * 3600000000000 AS bend,
+            round(value * 1000000.0)::BIGINT AS vi, tns, nxt FROM l),
+        d AS (SELECT event_type, bucket_ms, vi,
+            least(coalesce(nxt, bend), bend) - tns AS dt FROM b),
+        g AS (SELECT event_type, bucket_ms, count(*)::BIGINT AS n,
+            sum(vi::HUGEINT * dt) AS s, sum(dt)::HUGEINT AS d
+          FROM d GROUP BY 1, 2)
+        SELECT event_type, bucket_ms, n,
+          CASE WHEN d > 0 THEN
+            (CASE WHEN s < 0 THEN -((-s * 2 + d) // (2 * d))
+              ELSE (s * 2 + d) // (2 * d) END)::BIGINT::DOUBLE
+              / 1000000.0 END AS twap
+        FROM g ORDER BY 1, 2""")),
+
     // hopping 1h windows sliding every 15min over per-type value
     // series: each 15-min fine bucket (the only event-volume pass)
     // fans out to its 4 covering window starts. sum_v is the single

@@ -467,6 +467,68 @@ object SeriesStats {
   }
 
   /**
+   * Time-weighted average (TWAP) per bucket — the mean that weights
+   * each sample by HOW LONG it was the current value, the correct
+   * center for irregularly-sampled gauges (a value sampled once and
+   * held for 59 minutes must not count the same as 59 one-minute
+   * samples; the reference's `avg` reducer is sample-weighted,
+   * `query.go:311-333`). Each sample holds `[ts, next-sample-ts)`
+   * clipped to its own bucket's end; the last sample in a bucket
+   * holds to bucket end. Samples do NOT carry across bucket
+   * boundaries (an empty bucket emits nothing rather than inheriting
+   * a stale value — the engine's occupied-buckets-only contract;
+   * callers wanting step interpolation run [[gapFill]] + a
+   * `last(ignoreNulls)` window downstream). Null-valued samples are
+   * excluded entirely (they neither hold value nor clip neighbors).
+   *
+   * Portability: durations are exact integer nanoseconds, values
+   * micro-quantize (`round(v·10⁶)`), the weighted sum runs in
+   * DECIMAL(38,0), and the twap quantizes to an integer micro value
+   * by a HALF-UP INTEGRAL division (`(2·|Σvi·Δt| + ΣΔt) div
+   * (2·ΣΔt)`, sign re-attached) before the single IEEE `/10⁶` emit —
+   * deliberately NOT `(Σvi·Δt)ᴰ/(ΣΔt)ᴰ`: casting a >2⁵³ integer to
+   * double is not correctly rounded on every engine (DuckDB's
+   * hugeint→double goes through two roundings and lands one ulp off),
+   * so the big integers must never touch a double. A bucket whose
+   * total held time is 0 (all samples on the bucket's last instant)
+   * emits null. `ord` breaks equal-timestamp ordering
+   * deterministically.
+   *
+   * Scale shape: one per-series ordered window over the events (the
+   * same exchange class as the engine's lookahead `c*` rate family)
+   * then a map-side-combined rollup to bucket-frame size.
+   */
+  def twap(events: DataFrame, tsNs: Column, ord: Column, value: Column,
+      groupMs: Long, partitionBy: Seq[String] = Nil): DataFrame = {
+    require(groupMs > 0, "groupMs must be positive")
+    val parts = partitionBy.map(col)
+    val v = value.cast("double")
+    val groupNs = groupMs * 1000000L
+    val w = Window.partitionBy(
+      (if (parts.isEmpty) Seq(lit(1)) else parts): _*).orderBy(tsNs, ord)
+    val bucket = graft.functions.ldiv(tsNs, groupNs) * groupMs
+    val bucketEndNs = (graft.functions.ldiv(tsNs, groupNs) + 1L) * groupNs
+    val dt = least(coalesce(lead(tsNs, 1).over(w), bucketEndNs),
+      bucketEndNs) - tsNs
+    val vi = round(v * lit(1000000.0)).cast("long")
+    events.filter(v.isNotNull)
+      .select(parts :+ bucket.as("bucket_ms") :+
+        vi.as("__vi") :+ dt.as("__dt"): _*)
+      .groupBy(parts :+ col("bucket_ms"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__dt")).as("__sdt"),
+        sum(col("__vi").cast("decimal(38,0)") * col("__dt")).as("__svd"))
+      .select(parts :+ col("bucket_ms") :+ col("n") :+ {
+        val d0 = col("__sdt").cast("decimal(38,0)")
+        val mag = graft.functions.ldiv(
+          abs(col("__svd")) * lit(2L) + d0, d0 * lit(2L))
+        val micro = when(col("__svd") < 0, -mag).otherwise(mag)
+        when(col("__sdt") > 0,
+          micro.cast("double") / lit(1000000.0)).as("twap")
+      }: _*)
+  }
+
+  /**
    * Hopping (sliding) window aggregation over raw events — the
    * overlapping-window upgrade of the engine's tumbling buckets
    * (reference `query.go:264-289` only ever floors each row into ONE

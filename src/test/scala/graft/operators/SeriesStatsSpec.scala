@@ -369,6 +369,31 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("twap: hold-until-next weighting clipped to buckets; nulls " +
+      "excluded; equal-ts ties deterministic via ord") {
+    // bucket width 10 s. v=10 held 2 s, v=20 held 8 s (clipped at the
+    // bucket end even though the next sample is at 14 s) → 18.0;
+    // the null sample at 6 s must not clip v=20's hold
+    val ev = Seq(
+      (0L, 1L, Some(10.0)), (2000L, 2L, Some(20.0)),
+      (6000L, 3L, None), (14000L, 4L, Some(30.0)))
+      .toDF("ts_ms", "eid", "v")
+      .withColumn("tns", col("ts_ms") * 1000000L)
+    val got = SeriesStats.twap(ev, col("tns"), col("eid"), col("v"),
+        groupMs = 10000L)
+      .orderBy("bucket_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 2L, 18.0), (10000L, 1L, 30.0)))
+    // equal-ts tie: ord decides which sample's value holds — the
+    // first (by ord) holds 0 ns, the second holds to bucket end
+    val tie = Seq((1000L, 1L, 5.0), (1000L, 2L, 7.0))
+      .toDF("ts_ms", "eid", "v")
+      .withColumn("tns", col("ts_ms") * 1000000L)
+    val t = SeriesStats.twap(tie, col("tns"), col("eid"), col("v"), 10000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(t.toSeq == Seq((2L, 7.0)))
+  }
+
   test("forecast: phase-mean projection, ±zσ residual band, " +
       "hand-computed") {
     // period 2 over buckets 0..3000: phase-0 mean (2+4)/2 = 3,
