@@ -3073,13 +3073,18 @@ object Queries {
         w AS (SELECT grp, v, n,
             greatest(least(hi, n - cut) - greatest(lo + 1, cut + 1) + 1, 0)
               AS w
-          FROM b)
-        SELECT grp AS source, max(n)::BIGINT AS n_total,
-          sum(w)::BIGINT AS n_kept,
-          CASE WHEN sum(w) > 0
-            THEN (sum(round(v * 1000000.0)::BIGINT::HUGEINT * w))::DOUBLE
-              / (sum(w))::DOUBLE / 1000000.0 END AS trimmed_mean
-        FROM w GROUP BY 1 ORDER BY 1""")),
+          FROM b),
+        g AS (SELECT grp AS source, max(n)::BIGINT AS n_total,
+            sum(w)::BIGINT AS n_kept,
+            sum(round(v * 1000000.0)::BIGINT::HUGEINT * w) AS s
+          FROM w GROUP BY 1)
+        SELECT source, n_total, n_kept,
+          CASE WHEN n_kept > 0 THEN
+            (CASE WHEN s < 0
+              THEN -((-s * 2 + n_kept) // (2 * n_kept::HUGEINT))
+              ELSE (s * 2 + n_kept) // (2 * n_kept::HUGEINT) END)
+              ::BIGINT::DOUBLE / 1000000.0 END AS trimmed_mean
+        FROM g ORDER BY 1""")),
 
     // column-level table profile: row/null counts, exact-below-k KMV
     // cardinality, canonical-string length stats — one stacked scan,

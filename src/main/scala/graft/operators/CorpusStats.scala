@@ -689,11 +689,17 @@ object CorpusStats {
       .agg(sum(vi.cast("decimal(38,0)") * col("__w")).as("__s"),
         sum(col("__w")).as("n_kept"),
         max(col("n")).as("n_total"))
-      .select(col("grp"), col("n_total"), col("n_kept"),
+      .select(col("grp"), col("n_total"), col("n_kept"), {
+        // half-up integral division down to a < 2^63 micro value
+        // BEFORE any double: a > 2^64 decimal→double cast is one ulp
+        // off nearest on some engines (SURVEY §7.5, the twap finding)
+        val d0 = col("n_kept").cast("decimal(38,0)")
+        val mag = graft.functions.ldiv(
+          abs(col("__s")) * lit(2L) + d0, d0 * lit(2L))
+        val micro = when(col("__s") < 0, -mag).otherwise(mag)
         when(col("n_kept") > 0,
-          col("__s").cast("double") / col("n_kept").cast("double")
-            / lit(1000000.0))
-          .as("trimmed_mean"))
+          micro.cast("double") / lit(1000000.0)).as("trimmed_mean")
+      })
   }
 
   /**

@@ -304,7 +304,8 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy("grp").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3))))
-    assert(got(0) == (("a", 5L, 3L, Some(7000000.0 / 3 / 1e6))))
+    // 7e6/3 micro → half-up integral 2333333 → single /1e6 emit
+    assert(got(0) == (("a", 5L, 3L, Some(2333333.0 / 1e6))))
     // b: n=1, cut=0 → keeps its single value exactly
     assert(got(1) == (("b", 1L, 1L, Some(7.0))))
     // a 49.99% trim of n=2 keeps both (cut = floor(2*.4999...) = 0);
