@@ -1057,6 +1057,26 @@ object Queries {
     // cohort retention matrix: first-seen day buckets × day offsets →
     // distinct active users; cohort assignment is one per-user window,
     // no self-join of the event stream
+    // daily new-vs-returning growth accounting: exact first-seen
+    // split over the deduped (day, user) frame — all exchanges
+    // bounded by distinct pairs, never event volume
+    "events_new_users" -> Entry(
+      (s, dir) => graft.operators.Retention.newVsReturning(
+          eventsNs(s, dir), col("user_id"),
+          expr("ts div 86400000000000") * 86400000L)
+        .orderBy(col("period_ms")),
+      Some("""WITH pu AS (SELECT DISTINCT
+            (epoch_us(ts) // 86400000000) * 86400000 AS period_ms,
+            user_id
+          FROM events WHERE user_id IS NOT NULL),
+        f AS (SELECT user_id, min(period_ms) AS fp FROM pu GROUP BY 1)
+        SELECT period_ms, count(*)::BIGINT AS n_active,
+          sum(CASE WHEN period_ms = fp THEN 1 ELSE 0 END)::BIGINT AS n_new,
+          (count(*) - sum(CASE WHEN period_ms = fp THEN 1 ELSE 0 END))
+            ::BIGINT AS n_returning
+        FROM pu JOIN f USING (user_id)
+        GROUP BY 1 ORDER BY 1""")),
+
     "events_retention" -> Entry(
       (s, dir) => graft.operators.Retention.matrix(
           eventsNs(s, dir).select(expr("ts div 1000").as("ts"),

@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
 object Retention {
 
   /**
+   * New-vs-returning split per period — the growth-accounting
+   * companion to [[rollingActive]]: for every period, how many
+   * distinct actives appear for the FIRST time ever (`n_new`) vs have
+   * history (`n_returning`). Exact (no sketch): the per-user first
+   * period is one map-side-combined `min` over the deduped
+   * (period, user) frame, joined back on user — every exchange is
+   * bounded by distinct (period, user) pairs, never raw event volume.
+   *
+   * `period` is the caller's bucket expression (epoch-ms day/week);
+   * null users are excluded (they are no identity to track).
+   */
+  def newVsReturning(events: DataFrame, user: Column,
+      period: Column): DataFrame = {
+    val pu = events.filter(user.isNotNull)
+      .select(period.as("period_ms"), user.as("__u")).distinct()
+    val first = pu.groupBy(col("__u")).agg(min(col("period_ms")).as("__f"))
+    pu.join(first, "__u")
+      .groupBy(col("period_ms"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("period_ms") === col("__f"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
+  /**
    * `user`/`ts` columns over an event frame; `periodUs` the cohort
    * granularity in the `ts` unit (e.g. 86400e6 µs for daily).
    * Output: (cohort, offset, users) — `cohort` the first-activity

@@ -22,6 +22,23 @@ class RetentionSpec extends SparkSpec {
       (1L, 0L) -> 1L))  // u2's own cohort
   }
 
+  test("newVsReturning splits each period's actives by first-ever " +
+      "appearance; duplicate events collapse; null users drop") {
+    val events = Seq(
+      (Some(1L), 0L), (Some(1L), 5L),          // u1 day 0 (twice)
+      (Some(2L), 3L),                          // u2 day 0
+      (Some(1L), 12L), (Some(3L), 15L),        // day 1: u1 back, u3 new
+      (Some(2L), 25L),                         // day 2: u2 back
+      (None, 14L))                             // anonymous — dropped
+      .toDF("user_id", "ts")
+    val got = Retention.newVsReturning(events, $"user_id",
+        graft.functions.ldiv($"ts", 10L) * 10L)
+      .orderBy("period_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 0L), (10L, 2L, 1L, 1L), (20L, 1L, 0L, 1L)))
+  }
+
   test("rollingActive counts trailing-window distinct users exactly") {
     // period 10, window 3: u1 active p0 and p2; u2 active p0 only.
     // windows: p0 {u1,u2}=2, p1 {u1,u2}=2 (trailing), p2 {u1,u2}=2,
