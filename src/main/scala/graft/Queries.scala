@@ -388,7 +388,7 @@ object Queries {
             unnest(range(fine - 2700000, fine + 900000, 900000))
               AS window_ms, s, n, mn, mx FROM f)
         SELECT event_type, window_ms, sum(n)::BIGINT AS n,
-          CAST(sum(s) AS DOUBLE) AS sum_v,
+          CAST(CAST(sum(s) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v,
           min(mn) AS min_v, max(mx) AS max_v
         FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 

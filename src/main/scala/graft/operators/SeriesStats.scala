@@ -546,7 +546,11 @@ object SeriesStats {
    * bucket-frame work, bounded by time-range/slideMs × #series, not
    * by event volume. A window row exists iff ≥1 event row fell in it
    * (matching the engine's occupied-buckets-only contract); `sum_v`
-   * is the single IEEE cast of the exact DECIMAL sum.
+   * is the exact DECIMAL sum rounded to 6 dp IN DECIMAL (half-away on
+   * every engine — no double is involved until the final cast, whose
+   * scaled-integer magnitude stays far below the 2⁶⁴ threshold where
+   * some engines' wide-int→double conversion drifts an ulp; SURVEY
+   * §7.5).
    *
    * `tsNs` is epoch nanoseconds; window starts are epoch ms on the
    * `slideMs` grid (truncating division — the non-negative-ts
@@ -574,7 +578,7 @@ object SeriesStats {
         col("__s") :+ col("__n") :+ col("__mn") :+ col("__mx"): _*)
       .groupBy(parts :+ col("window_ms"): _*)
       .agg(sum(col("__n")).as("n"),
-        sum(col("__s")).cast("double").as("sum_v"),
+        sum(col("__s")).cast("decimal(38,6)").cast("double").as("sum_v"),
         min(col("__mn")).as("min_v"), max(col("__mx")).as("max_v"))
   }
 }
