@@ -3506,6 +3506,34 @@ object Queries {
         SELECT doc_id AS media_id, u.no AS frame_no, u.hx AS frame_hex
         FROM x WHERE u.no % 2 = 0 ORDER BY 1, 2""")),
 
+    // per-media frame stats: sampled-frame count, distinct count (by
+    // 60-bit content hash), duplicate ratio in integer ppm — the
+    // static/looping-media detector
+    "multimodal_frame_stats" -> Entry(
+      (s, dir) => Multimodal.frameStats(Multimodal.sampleFrames(
+          Multimodal.asMedia(t(s, dir, "documents")
+            .filter(col("doc_id") < 100), "doc_id", "text", "source"),
+          frameChars = 64, stride = 2))
+        .orderBy(col("media_id")),
+      Some("""WITH f AS (
+          SELECT doc_id, regexp_extract_all(lower(hex(encode(text))), '.{1,64}') AS fs
+          FROM documents WHERE doc_id < 100),
+        x AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(fs) + 1),
+              i -> {'no': i - 1, 'hx': fs[i]})) AS u
+          FROM f),
+        fr AS (SELECT doc_id AS media_id, u.hx AS hx FROM x
+          WHERE u.no % 2 = 0),
+        h AS (SELECT DISTINCT media_id,
+            ('0x' || substr(md5(hx), 1, 15))::BIGINT AS hv FROM fr),
+        n AS (SELECT media_id, count(*)::BIGINT AS n_frames
+          FROM fr GROUP BY 1),
+        d AS (SELECT media_id, count(*)::BIGINT AS n_distinct
+          FROM h GROUP BY 1)
+        SELECT media_id, n_frames, n_distinct,
+          ((n_frames - n_distinct) * 1000000) // n_frames AS dup_ppm
+        FROM n JOIN d USING (media_id) ORDER BY media_id""")),
+
     // media near-dup by shared sampled frames: hash-bucketed frame
     // equi-join (no all-pairs), pair rollup map-side combined — the
     // video-dedup fingerprint-frame construction over the same hex

@@ -241,6 +241,31 @@ object Multimodal {
    * Spark's base64 is MIME-chunked with CRLFs — hex is stable across
    * engines). Empty payloads yield no frames; the last window may be
    * short. `frameChars` counts hex chars, i.e. frameChars/2 bytes. */
+  /**
+   * Per-media frame statistics — the "static/looping video" and
+   * "padded junk" detector a media-curation pass runs right after
+   * [[sampleFrames]]: how many sampled frames, how many DISTINCT
+   * (by content hash), and the duplicate ratio as integer ppm
+   * (truncating divide — rounding-free). A media item whose frames
+   * are mostly one repeated frame (`dup_ppm` near 10⁶) is a station
+   * logo, a stalled encode, or black padding; drop before expensive
+   * downstream decode. Scale shape: one map-side pre-dedup of
+   * (media, frame-hash) then one rollup — nothing unbounded, hashes
+   * are 8-byte longs, not the hex payloads.
+   */
+  def frameStats(frames: DataFrame): DataFrame = {
+    val n = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val d = frames
+      .select(col("media_id"), TextOps.hash60(col("frame_hex")).as("__h"))
+      .distinct()
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_distinct"))
+    n.join(d, "media_id")
+      .withColumn("dup_ppm", graft.functions.ldiv(
+        (col("n_frames") - col("n_distinct")) * lit(1000000L),
+        col("n_frames")))
+  }
+
   def sampleFrames(media: DataFrame, frameChars: Int, stride: Int): DataFrame =
     media.select(col("media_id"), lower(hex(col("bytes"))).as("__hex"))
       .filter(length(col("__hex")) > 0)

@@ -159,4 +159,16 @@ class MultimodalSpec extends SparkSpec {
     // (22, 23 vs anyone) never appear
     assert(run(3).toSeq == Seq((20L, 21L, 2L, 0.666667)))
   }
+
+  test("frameStats: dup ratio flags the static media item") {
+    import spark.implicits._
+    // media 1 repeats one frame 4x (dup_ppm 750000); media 2 all-distinct
+    val frames = Seq(
+      (1L, 0L, "aa"), (1L, 1L, "aa"), (1L, 2L, "aa"), (1L, 3L, "aa"),
+      (2L, 0L, "bb"), (2L, 1L, "cc"))
+      .toDF("media_id", "frame_no", "frame_hex")
+    val got = Multimodal.frameStats(frames).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 750000L), (2L, 2L, 2L, 0L)))
+  }
 }
