@@ -1077,6 +1077,27 @@ object Queries {
         FROM pu JOIN f USING (user_id)
         GROUP BY 1 ORDER BY 1""")),
 
+    // cumulative distinct users to date: each identity counts once at
+    // its first-seen day; one bounded #days window accumulates
+    "events_cumulative_users" -> Entry(
+      (s, dir) => graft.operators.Retention.cumulativeUsers(
+          eventsNs(s, dir), col("user_id"),
+          expr("ts div 86400000000000") * 86400000L)
+        .orderBy(col("period_ms")),
+      Some("""WITH pu AS (SELECT DISTINCT
+            (epoch_us(ts) // 86400000000) * 86400000 AS period_ms,
+            user_id
+          FROM events WHERE user_id IS NOT NULL),
+        f AS (SELECT user_id, min(period_ms) AS fp FROM pu GROUP BY 1),
+        nn AS (SELECT fp AS period_ms, count(*)::BIGINT AS n_new
+          FROM f GROUP BY 1),
+        p AS (SELECT DISTINCT period_ms FROM pu)
+        SELECT period_ms, coalesce(n_new, 0)::BIGINT AS n_new,
+          (sum(coalesce(n_new, 0)) OVER (ORDER BY period_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS n_total
+        FROM p LEFT JOIN nn USING (period_ms) ORDER BY period_ms""")),
+
     "events_retention" -> Entry(
       (s, dir) => graft.operators.Retention.matrix(
           eventsNs(s, dir).select(expr("ts div 1000").as("ts"),

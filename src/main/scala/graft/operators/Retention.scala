@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
 object Retention {
 
   /**
+   * Cumulative distinct users to date — the total-audience growth
+   * curve ("how many identities have we EVER seen, by period"),
+   * computed exactly without any per-period giant distinct: each
+   * user contributes once at their first-seen period
+   * ([[newVsReturning]]'s frame), and a running sum over the
+   * #periods-sized rollup (one bounded window) accumulates the curve.
+   * Periods with no NEW users still appear when they had activity
+   * (joined from the per-period activity frame) with the carried
+   * total.
+   */
+  def cumulativeUsers(events: DataFrame, user: Column,
+      period: Column): DataFrame = {
+    val pu = events.filter(user.isNotNull)
+      .select(period.as("period_ms"), user.as("__u")).distinct()
+    val firsts = pu.groupBy(col("__u")).agg(min(col("period_ms")).as("__f"))
+      .groupBy(col("__f").as("period_ms")).agg(count(lit(1)).as("n_new"))
+    val periods = pu.select(col("period_ms")).distinct()
+    periods.join(firsts, Seq("period_ms"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_total", sum(col("n_new")).over(
+        Window.orderBy(col("period_ms"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /**
    * New-vs-returning split per period — the growth-accounting
    * companion to [[rollingActive]]: for every period, how many
    * distinct actives appear for the FIRST time ever (`n_new`) vs have

@@ -39,6 +39,20 @@ class RetentionSpec extends SparkSpec {
       (0L, 2L, 2L, 0L), (10L, 2L, 1L, 1L), (20L, 1L, 0L, 1L)))
   }
 
+  test("cumulativeUsers: running audience total; active-but-no-new " +
+      "periods carry the total") {
+    val events = Seq(
+      (1L, 0L), (2L, 3L),                 // p0: u1, u2 new
+      (1L, 12L),                          // p1: activity, nothing new
+      (3L, 25L), (1L, 27L))               // p2: u3 new
+      .toDF("user_id", "ts")
+    val got = Retention.cumulativeUsers(events, $"user_id",
+        graft.functions.ldiv($"ts", 10L) * 10L)
+      .orderBy("period_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L, 2L), (10L, 0L, 2L), (20L, 1L, 3L)))
+  }
+
   test("rollingActive counts trailing-window distinct users exactly") {
     // period 10, window 3: u1 active p0 and p2; u2 active p0 only.
     // windows: p0 {u1,u2}=2, p1 {u1,u2}=2 (trailing), p2 {u1,u2}=2,
