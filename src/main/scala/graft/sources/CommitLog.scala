@@ -240,10 +240,29 @@ object CommitLog {
   private val ckptSuffix = ".ckpt.json"
 
   /** One immutable data file: name relative to the db dir + size (so
-   * `info`'s space accounting never walks the directory). */
-  case class FileEntry(name: String, bytes: Long) {
-    def toJson: String =
-      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes}"""
+   * `info`'s space accounting never walks the directory), plus
+   * OPTIONAL per-file ts statistics `(minTs, maxTs, rows)` recorded at
+   * commit time from the parquet footer. The stats make the manifest a
+   * file-level index: a time-bounded read drops files whose [minTs,
+   * maxTs] misses the range BEFORE Spark ever lists or footer-reads
+   * them — the table-format analog of the reference's B-tree subrange
+   * walk (database.go:339-364), which visits only the key range's
+   * leaves instead of the whole tree. `rows < 0` means "stats unknown"
+   * (legacy manifest): such files are always scanned, so old tables
+   * stay correct and pick up stats on their next compact. */
+  case class FileEntry(name: String, bytes: Long,
+      minTs: Long = 0L, maxTs: Long = 0L, rows: Long = -1L) {
+    def hasStats: Boolean = rows >= 0
+    /** File may contain a ts in [fromNs, toNs)? Unknown stats ⇒ true. */
+    def mayOverlap(fromNs: Option[Long], toNs: Option[Long]): Boolean =
+      if (!hasStats) true
+      else if (rows == 0) false
+      else fromNs.forall(maxTs >= _) && toNs.forall(minTs < _)
+    def toJson: String = {
+      val stats = if (hasStats) s""","min":$minTs,"max":$maxTs,"rows":$rows"""
+        else ""
+      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats}"""
+    }
   }
 
   /** `uid` is set on `create` manifests only: the table-incarnation
@@ -298,7 +317,10 @@ object CommitLog {
     val it = arr.elements()
     while (it.hasNext) {
       val e = it.next()
-      b += FileEntry(e.get("f").asText(), e.get("bytes").asLong())
+      b += FileEntry(e.get("f").asText(), e.get("bytes").asLong(),
+        if (e.has("min")) e.get("min").asLong() else 0L,
+        if (e.has("max")) e.get("max").asLong() else 0L,
+        if (e.has("rows")) e.get("rows").asLong() else -1L)
     }
     b.result()
   }

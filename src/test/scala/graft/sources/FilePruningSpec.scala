@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SeriesEngine.SeriesQuery
+import java.nio.file.Files
+
+/**
+ * Manifest-level file skipping: per-file (minTs, maxTs, rows) recorded
+ * at commit time make a time-bounded read touch only the files whose
+ * range intersects the query — the table-format analog of the
+ * reference's B-tree subrange walk (database.go:339-364).
+ */
+class FilePruningSpec extends SparkSpec {
+  import spark.implicits._
+  import CommitLog._
+
+  def newStore(): SeriesStore =
+    new SeriesStore(spark, Files.createTempDirectory("graft-prune").toString)
+
+  private def day(d: Int): Long = // 2024-01-(d+1)T00Z in ns
+    (1704067200L + d * 86400L) * 1000000000L
+
+  private def loadThreeDays(s: SeriesStore): Unit = {
+    s.create("db")
+    // three separate commits = three (or more) disjoint-range files
+    (0 until 3).foreach { d =>
+      val docs = (0 until 50).map(i => (day(d) + i * 60L * 1000000000L,
+        s"""{"d": $d, "i": $i}"""))
+      s.storeBatch("db", docs.toDF("ts", "doc"))
+    }
+  }
+
+  test("commits record per-file ts stats in the manifest") {
+    val s = newStore()
+    loadThreeDays(s)
+    val files = s.scanFiles("db")
+    assert(files.nonEmpty)
+    assert(files.forall(_.hasStats), "every committed file carries stats")
+    assert(files.forall(f => f.rows > 0 && f.minTs <= f.maxTs))
+    assert(files.map(_.rows).sum == 150)
+  }
+
+  test("narrow time range scans a strict subset of the live files") {
+    val s = newStore()
+    loadThreeDays(s)
+    val all = s.scanFiles("db")
+    val d1 = s.scanFiles("db", Some(day(1)), Some(day(2)))
+    assert(d1.size < all.size, s"expected pruning: ${d1.size} vs ${all.size}")
+    assert(d1.nonEmpty)
+    // pruned scan result == unpruned scan result, row for row
+    val pruned = s.frame("db", Some(day(1)), Some(day(2)))
+      .filter($"ts" >= day(1) && $"ts" < day(2))
+    val full = s.frame("db").filter($"ts" >= day(1) && $"ts" < day(2))
+    assert(pruned.orderBy("ts").collect().toSeq ==
+      full.orderBy("ts").collect().toSeq)
+    assert(pruned.count() == 50)
+  }
+
+  test("_query and _all prune files yet match unpruned results") {
+    val s = newStore()
+    loadThreeDays(s)
+    val q = SeriesQuery(groupMs = 3600000L, ptrs = Seq("/i"),
+      reducers = Seq("sum"),
+      from = Some("2024-01-02T00:00:00Z"), to = Some("2024-01-03T00:00:00Z"))
+    val viaStore = s.query("db", q).collect().toSeq
+    val viaFull = graft.operators.SeriesEngine.query(s.frame("db"), q)
+      .collect().toSeq
+    assert(viaStore == viaFull)
+    assert(viaStore.map(_.getDouble(1)).sum == (0 until 50).sum.toDouble)
+    val ranged = s.all("db", from = Some("2024-01-02T00:00:00Z"),
+      to = Some("2024-01-03T00:00:00Z"))
+    assert(ranged.count() == 50)
+  }
+
+  test("out-of-range query reads zero files and returns empty") {
+    val s = newStore()
+    loadThreeDays(s)
+    assert(s.scanFiles("db", Some(day(10)), Some(day(11))).isEmpty)
+    assert(s.frame("db", Some(day(10)), Some(day(11))).count() == 0)
+  }
+
+  test("point get prunes to the owning file") {
+    val s = newStore()
+    loadThreeDays(s)
+    val ts = day(2) + 5 * 60L * 1000000000L
+    val hit = s.scanFiles("db", Some(ts), Some(ts + 1))
+    assert(hit.size < s.scanFiles("db").size)
+    assert(s.get("db", graft.timelib.TimeLib.formatCanonical(ts))
+      .contains("""{"d": 2, "i": 5}"""))
+  }
+
+  test("dirty snapshots prune safely: all replicas of an in-range ts survive") {
+    val s = newStore()
+    s.create("db")
+    val ts = day(0)
+    s.store("db", Some("2024-01-01T00:00:00Z"), """{"v": 1}""")
+    s.store("db", Some("2024-01-01T00:00:00Z"), """{"v": 2}""") // overwrite, dirty
+    // both files straddle ts, so the dedup group is complete post-prune
+    val f = s.frame("db", Some(ts), Some(ts + 1))
+    assert(f.select("doc").as[String].collect().toSeq == Seq("""{"v": 2}"""))
+  }
+
+  test("compaction rewrites carry stats; pruning still works after replace") {
+    val s = newStore()
+    loadThreeDays(s)
+    s.compact("db")
+    val files = s.scanFiles("db")
+    assert(files.forall(_.hasStats))
+    val d0 = s.scanFiles("db", Some(day(0)), Some(day(1)))
+    // single-file result after compact is fine; the pruned set must
+    // still cover day 0 exactly
+    assert(s.frame("db", Some(day(0)), Some(day(1)))
+      .filter($"ts" < day(1)).count() == 50)
+    assert(d0.forall(f => f.minTs < day(1) && f.maxTs >= day(0)))
+  }
+
+  test("stats-free legacy entries are never pruned (backward compat)") {
+    val legacy = FileEntry("part-0.parquet", 10) // rows = -1 sentinel
+    assert(!legacy.hasStats)
+    assert(legacy.mayOverlap(Some(0L), Some(1L)))
+    assert(legacy.mayOverlap(None, None))
+    val statted = FileEntry("a.parquet", 10, 100L, 200L, 5L)
+    assert(statted.mayOverlap(Some(150L), Some(160L)))
+    assert(statted.mayOverlap(Some(200L), None)) // inclusive max
+    assert(!statted.mayOverlap(Some(201L), None))
+    assert(!statted.mayOverlap(None, Some(100L))) // to is exclusive
+    assert(statted.mayOverlap(None, Some(101L)))
+    val empty = FileEntry("e.parquet", 0, 0L, 0L, 0L)
+    assert(!empty.mayOverlap(None, None)) // zero rows: nothing to scan
+  }
+
+  test("FileEntry stats survive the manifest JSON round-trip") {
+    val m = Manifest(7, "append",
+      Seq(FileEntry("a.parquet", 5, -10L, 99L, 3L), FileEntry("b.parquet", 6)),
+      seqHi = 12, clean = false)
+    val back = Manifest.fromJson(m.toJson)
+    assert(back == m)
+    val snap = Snapshot(7, back.files.toVector, clean = false, 12)
+    assert(Snapshot.fromJson(snap.toJson) == snap)
+  }
+
+  test("legacy adoption records stats for adopted part- files") {
+    val root = Files.createTempDirectory("graft-prune").toString
+    // fabricate a pre-commit-log db: plain part-*.parquet in the dir
+    val dir = java.nio.file.Paths.get(root, "old.series")
+    Files.createDirectories(dir)
+    val df = Seq((day(0), 1L, """{"v": 1}"""), (day(1), 2L, """{"v": 2}"""))
+      .toDF("ts", "seq", "doc")
+    val tmp = Files.createTempDirectory("graft-prune-write")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString + "/out")
+    val part = Files.list(java.nio.file.Paths.get(tmp.toString, "out"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, dir.resolve("part-00000.parquet"))
+    val s = new SeriesStore(spark, root)
+    assert(s.frame("old").count() == 2)
+    val files = s.scanFiles("old")
+    assert(files.forall(_.hasStats))
+    assert(files.head.minTs == day(0) && files.head.maxTs == day(1))
+  }
+}
