@@ -2457,8 +2457,8 @@ object Queries {
           (sum_word_chars * 1000000) // NULLIF(n_words, 0) AS mean_word_len_micro,
           (alpha_words * 1000000) // NULLIF(n_words, 0) AS alpha_word_frac_micro,
           stop_hits,
-          coalesce(n_words BETWEEN 25 AND 90
-            AND (sum_word_chars * 1000000) // NULLIF(n_words, 0) BETWEEN 2500000 AND 8000000
+          coalesce(n_words BETWEEN 50 AND 100000
+            AND (sum_word_chars * 1000000) // NULLIF(n_words, 0) BETWEEN 3000000 AND 10000000
             AND (alpha_words * 1000000) // NULLIF(n_words, 0) >= 800000
             AND stop_hits >= 2, false) AS gopher_keep
         FROM s ORDER BY doc_id""")),
@@ -3440,13 +3440,13 @@ object Queries {
     // composition: the pipeline's corpus passes plus one map-side-
     // combined rollup to |sources|·|reasons| rows
     "pipeline_report" -> Entry(
-      (s, dir) => operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
-          col("doc_id"), col("text"),
-          langs = Seq("en", "es"), minQuality = 0.35,
-          jaccardThreshold = 0.8, lshBands = Dedup.bandsFor(0.8),
-          carryCols = Seq("source"))
-        .groupBy(col("source"), col("reason"))
-        .agg(count(lit(1)).as("n_docs"))
+      (s, dir) => operators.Pipeline.report(
+          operators.Pipeline.cleanCorpus(t(s, dir, "documents"),
+            col("doc_id"), col("text"),
+            langs = Seq("en", "es"), minQuality = 0.35,
+            jaccardThreshold = 0.8, lshBands = Dedup.bandsFor(0.8),
+            carryCols = Seq("source")),
+          Seq("source"))
         .orderBy(col("source"), col("reason")),
       Some(s"""SELECT source, reason, count(*)::BIGINT AS n_docs
         FROM (${pipelineOracle(langs = Seq("en", "es"), minQuality = 0.35,

@@ -199,13 +199,24 @@ object CorpusStats {
    * thousands at worst; the corpus never touches the quadratic part.
    */
   def kmvSimilarity(df: DataFrame, group: Column, value: Column,
-      k: Int): DataFrame = {
+      k: Int, maxGroups: Int = 4096): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val h = df.select(group.as("grp"), TextOps.hash60(value).as("hv"))
       .distinct()
+    // checkpointed: consumed by both expansion joins below (one sketch
+    // build instead of two) and by the cardinality guard's count
     val sk = TopK.perGroup(h, col("grp"), col("hv").asc, col("hv"), k)
-      .drop("rank")
+      .drop("rank").localCheckpoint()
     val groups = sk.select(col("grp")).distinct()
+    // the pair list is |groups|²/2 rows broadcast into two joins —
+    // guard the cardinality so a high-cardinality column passed by
+    // mistake (a per-doc id) fails loudly here instead of OOMing the
+    // driver on the broadcast build
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"kmvSimilarity: $nGroups groups exceed maxGroups=$maxGroups — the " +
+        "pairwise matrix is |groups|^2/2; pass a coarse group column " +
+        "(source/domain/shard), or raise maxGroups deliberately")
     val pairs = groups.select(col("grp").as("grp_a"))
       .crossJoin(groups.select(col("grp").as("grp_b")))
       .filter(col("grp_a") < col("grp_b"))
@@ -425,10 +436,16 @@ object CorpusStats {
   def keywords(df: DataFrame, id: Column, text: Column, k: Int,
       vocabK: Int = 65536): DataFrame = {
     require(k >= 1 && vocabK >= 1, "k and vocabK must be >= 1")
-    val n = df.count().toDouble
-    val tf = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("term"))
+    // explode_outer keeps token-less docs as one null-term row, so the
+    // corpus doc count N rides the same scan + shuffle as tf — no
+    // separate full-corpus count action (ids are assumed unique per
+    // doc, the contract every per-doc operator here shares)
+    val tf0 = df.select(id.as("doc_id"),
+        explode_outer(TextOps.tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // consumed twice: df build + scoring
+      .localCheckpoint() // consumed thrice: N, df build, scoring
+    val n = tf0.agg(count_distinct(col("doc_id"))).head().getLong(0).toDouble
+    val tf = tf0.filter(col("term").isNotNull)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val table = new java.util.HashMap[String, java.lang.Long](vocabK * 2)
     dfreq.orderBy(col("df").desc, col("term")).limit(vocabK).collect()
@@ -670,7 +687,12 @@ object CorpusStats {
       trimPpm: Long = 50000L): DataFrame = {
     require(trimPpm >= 0 && trimPpm < 500000L,
       "trimPpm must be in [0, 500000)")
-    val hist = df.groupBy(group.as("grp"), value.cast("double").as("v"))
+    // nulls are excluded OUTRIGHT, not ranked: a null histogram row
+    // would occupy trim-band rank positions (biasing the mean low) and
+    // rank differently across engines — Spark orders nulls first
+    // ascending, DuckDB last
+    val hist = df.filter(value.isNotNull)
+      .groupBy(group.as("grp"), value.cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("hi", sum(col("c")).over(

@@ -41,6 +41,25 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /**
+   * Per-(group, reason) rollup of an already-computed verdict frame —
+   * the drop-reason dashboard a curation run reads first. Takes
+   * [[cleanCorpus]]'s output (or the same frame re-read from storage),
+   * so the expensive verdict pass is computed ONCE and every report —
+   * per source, per shard, per language — is a map-side-combined
+   * aggregate over it, |groups|·|reasons| rows out. A production run
+   * persists the verdict frame and reports from the parquet; re-running
+   * the pipeline per dashboard view re-pays its LSH/scoring stages,
+   * the single most expensive thing a 100-TB curation pass does.
+   *
+   * `groupCols` must exist on the verdict frame — pass them through
+   * [[cleanCorpus]]'s `carryCols` so they ride the scan instead of
+   * joining back on doc_id.
+   */
+  def report(verdicts: DataFrame, groupCols: Seq[String]): DataFrame =
+    verdicts.groupBy(groupCols.map(col) :+ col("reason"): _*)
+      .agg(count(lit(1)).as("n_docs"))
+
+  /**
    * Preference-pair mining — DPO/reward-model data prep from the
    * dedup byproduct: within each near-dup cluster of ≥ 2 docs
    * ([[Dedup.clusters]] output), emit `(chosen, rejected)` = the

@@ -456,7 +456,11 @@ object SeriesStats {
       .withColumn("__phase",
         pmod(graft.functions.ldiv(col(bucketCol), groupMs),
           lit(period.toLong)))
-      .join(broadcast(profile), partitionBy :+ "__phase")
+      // LEFT join: a series shorter than one full period has phases
+      // with no profile row — those future buckets still emit (all
+      // `horizon` of them), with null forecast/bands, rather than
+      // silently vanishing from the horizon
+      .join(broadcast(profile), partitionBy :+ "__phase", "left")
     val mean = col("__s") / col("__n")
     val variance = col("__ss") / col("__n") - mean * mean
     val hw = when(variance > 0, round(sqrt(variance) * lit(z))).cast("long")

@@ -97,11 +97,15 @@ object TextOps {
    * truncating integral division of non-negative longs (`a·10⁶ div
    * n`) — bit-identical on any engine, no `round(double)` at the emit
    * edge — and the keep flag compares only integers.
+   *
+   * Defaults are the paper's §A1.1 bounds: 50–100,000 words, mean
+   * word length 3–10 characters, ≥80% of words containing an
+   * alphabetic character, ≥2 stopword hits.
    */
   def gopherRules(text: Column,
-      minWords: Long = 25, maxWords: Long = 90,
-      minMeanWordLenMicro: Long = 2500000L,
-      maxMeanWordLenMicro: Long = 8000000L,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLenMicro: Long = 3000000L,
+      maxMeanWordLenMicro: Long = 10000000L,
       minAlphaWordFracMicro: Long = 800000L,
       minStopHits: Long = 2): Seq[(String, Column)] = {
     import graft.functions.ldiv

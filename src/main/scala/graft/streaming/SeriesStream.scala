@@ -410,13 +410,29 @@ object SeriesStream {
    * so the SAME codegen'd expressions the batch pipeline uses apply
    * to an unbounded stream unchanged — no state, no watermark, one
    * more reason the operators avoid UDFs and driver-side steps.
+   * `gopher` overrides the Gopher-rule thresholds (defaults are the
+   * paper's §A1.1 bounds — [[TextOps.gopherRules]]) so an ingest tuned
+   * for short-form or non-prose content is not stuck with them.
    */
-  def scoreStream(docs: DataFrame, textCol: String): DataFrame = {
+  def scoreStream(docs: DataFrame, textCol: String,
+      gopher: GopherThresholds = GopherThresholds()): DataFrame = {
     val t = col(textCol)
     val cols = Seq("lang_pred" -> TextOps.langId(t)) ++
       TextOps.qualityColumns(t) ++ TextOps.tokenCounts(t) ++
-      TextOps.redactPii(t) ++ TextOps.gopherRules(t) ++
+      TextOps.redactPii(t) ++
+      TextOps.gopherRules(t, gopher.minWords, gopher.maxWords,
+        gopher.minMeanWordLenMicro, gopher.maxMeanWordLenMicro,
+        gopher.minAlphaWordFracMicro, gopher.minStopHits) ++
       TextOps.scriptProfile(t).filterNot(_._1 == "n_chars")
     cols.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
   }
+
+  /** [[TextOps.gopherRules]]' thresholds as one value, for pass-through
+   * from streaming callers. Defaults mirror the paper's §A1.1. */
+  case class GopherThresholds(
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLenMicro: Long = 3000000L,
+      maxMeanWordLenMicro: Long = 10000000L,
+      minAlphaWordFracMicro: Long = 800000L,
+      minStopHits: Long = 2)
 }

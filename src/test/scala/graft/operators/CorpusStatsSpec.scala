@@ -315,6 +315,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(plain == 108000000.0 / 5 / 1e6)
   }
 
+  test("kmvSimilarity: group-cardinality guard fails loudly, not OOM") {
+    val rows = (1 to 40).map(i => (s"g$i", "v")).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      CorpusStats.kmvSimilarity(rows, $"g", $"v", k = 8, maxGroups = 10)
+        .collect())
+    assert(e.getMessage.contains("maxGroups"))
+    // at or under the bound it runs
+    assert(CorpusStats.kmvSimilarity(rows.filter($"g".isin("g1", "g2")),
+      $"g", $"v", k = 8, maxGroups = 10).count() == 1)
+  }
+
+  test("trimmedMean: null values are excluded, not ranked into the band") {
+    // nulls must neither occupy trim-band ranks nor count in n_kept:
+    // with two nulls present the a-group result is IDENTICAL to the
+    // null-free fixture above
+    val df = (Seq(Some(1.0), Some(2.0), Some(2.0), Some(3.0), Some(100.0),
+        None, None).map(("a", _)) ++ Seq(("b", Some(7.0))))
+      .toDF("g", "v")
+    val got = CorpusStats.trimmedMean(df, $"g", $"v", trimPpm = 200000L)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got(0) == (("a", 5L, 3L, Some(2333333.0 / 1e6))))
+    assert(got(1) == (("b", 1L, 1L, Some(7.0))))
+  }
+
   test("kmvSimilarity: property — exact floor-ppm Jaccard for every " +
       "pair of random sets under k") {
     val rng = new scala.util.Random(7L)

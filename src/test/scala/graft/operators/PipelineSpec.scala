@@ -42,6 +42,27 @@ class PipelineSpec extends SparkSpec {
       (2L, "empty", "s2")))
   }
 
+  test("report rolls up a verdict frame; persisted verdicts report identically") {
+    val good = "the cat sat of the mat and it is a good day to you that " * 3
+    val docs = Seq((0L, good, "s1"), (1L, good, "s2"), (2L, "", "s2"),
+      (3L, "zz!!! ??? !!!", "s1")).toDF("doc_id", "text", "src")
+    val verdicts = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+      langs = Seq("en"), minQuality = 0.2, jaccardThreshold = 0.5,
+      carryCols = Seq("src"))
+    val inline = Pipeline.report(verdicts, Seq("src"))
+      .orderBy("src", "reason").collect().toSeq
+    assert(inline.map(r => (r.getString(0), r.getString(1), r.getLong(2))) ==
+      Seq(("s1", "keep", 1L), ("s1", "lang", 1L),
+        ("s2", "empty", 1L), ("s2", "exact_dup", 1L)))
+    // the production shape: verdicts persisted once, dashboards report
+    // from the stored frame — identical rollup, zero pipeline re-runs
+    val dir = java.nio.file.Files.createTempDirectory("graft-verdicts")
+    verdicts.write.mode("overwrite").parquet(dir.toString)
+    val stored = Pipeline.report(spark.read.parquet(dir.toString), Seq("src"))
+      .orderBy("src", "reason").collect().toSeq
+    assert(stored == inline)
+  }
+
   test("perplexity stage drops the doc that doesn't read like the corpus") {
     // nine docs share a vocabulary; the outlier is all rare words →
     // every token scores at/near the OOV floor, far above the rest

@@ -431,6 +431,24 @@ class SeriesStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-negative"))
   }
 
+  test("forecast: series shorter than one period emits the full " +
+      "horizon, null forecast for unseen phases") {
+    // period 3 but only phases 0 and 1 observed: the phase-2 future
+    // bucket must still emit (null forecast/bands), not vanish
+    val b = Seq(("a", 0L, 2.0), ("a", 1000L, 4.0))
+      .toDF("k", "bucket_ms", "n")
+    val got = SeriesStats.forecast(b, col("n"), groupMs = 1000L,
+        period = 3, horizon = 3, partitionBy = Seq("k"))
+      .orderBy("bucket_ms").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2000L, 3000L, 4000L))
+    val byPhase = got.map(r => r.getLong(2) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(byPhase(0L) == Some(2.0) && byPhase(1L) == Some(4.0))
+    assert(byPhase(2L).isEmpty) // unseen phase: emitted, null forecast
+    assert(got.filter(_.getLong(2) == 2L)
+      .forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("hopping: each event lands in windowMs/slideMs windows; " +
       "occupied windows only; exact decimal sums") {
     // slide 1000ms, window 2000ms (k=2). Events at 500 (v=1), 1500

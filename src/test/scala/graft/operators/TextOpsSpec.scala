@@ -188,15 +188,16 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("gopher rules: integer micro signals and the keep gate") {
-    // 30 words, all alpha, stopwords 'the' ×2 → keeps; the others each
-    // fail exactly one rule (too short / no stopwords / long words)
-    val keepDoc = (Seq.fill(14)("the word") :+ "tail ok").mkString(" ")
+    // 50 words (the paper's §A1.1 floor), all alpha, stopwords 'the'
+    // ×24 → keeps; the others each fail exactly one rule (too short /
+    // no stopwords / long words)
+    val keepDoc = (Seq.fill(24)("the word") :+ "tail ok").mkString(" ")
     val docs = Seq(
       (1L, keepDoc),
       (2L, "the a short doc"),                           // < minWords
-      (3L, Seq.fill(30)("word").mkString(" ")),          // no stopwords
-      (4L, (Seq.fill(13)("the") :+
-        Seq.fill(17)("extraordinarily").mkString(" ")).mkString(" ")),
+      (3L, Seq.fill(50)("word").mkString(" ")),          // no stopwords
+      (4L, (Seq.fill(10)("the") ++
+        Seq.fill(40)("extraordinarily")).mkString(" ")), // mwl 12.6 > 10
       (5L, null.asInstanceOf[String]))                   // null text
       .toDF("doc_id", "text")
     val got = docs.select(col("doc_id") +:
@@ -206,14 +207,19 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(1L).getBoolean(6))
     assert(!byId(2L).getBoolean(6) && byId(2L).getLong(1) == 4L)
     assert(!byId(3L).getBoolean(6) && byId(3L).getLong(5) == 0L)
-    assert(!byId(4L).getBoolean(6)) // mean word len 15e6/30... over cap
+    assert(!byId(4L).getBoolean(6)) // mean word len (30+600)/50 over cap
     assert(byId(5L).isNullAt(1) && !byId(5L).getBoolean(6))
-    // micro ratios are exact truncating divides: doc 1 has 30 words,
-    // 14×"the"(3)+14×"word"(4)+"tail"(4)+"ok"(2) = 104 chars
-    assert(byId(1L).getLong(2) == 104L)
-    assert(byId(1L).getLong(3) == 104L * 1000000L / 30L)
+    // micro ratios are exact truncating divides: doc 1 has 50 words,
+    // 24×("the"(3)+"word"(4))+"tail"(4)+"ok"(2) = 174 chars
+    assert(byId(1L).getLong(2) == 174L)
+    assert(byId(1L).getLong(3) == 174L * 1000000L / 50L)
     assert(byId(1L).getLong(4) == 1000000L)
-    assert(byId(1L).getLong(5) == 14L)
+    assert(byId(1L).getLong(5) == 24L)
+    // threshold overrides restore a bench-tuned short-form gate
+    val short = docs.filter(col("doc_id") === 2L)
+      .select(TextOps.gopherRules(col("text"), minWords = 2, maxWords = 90)
+        .toMap.apply("gopher_keep").as("k")).head()
+    assert(short.getBoolean(0))
   }
 
   test("scriptProfile: range counts, dominant-script chain, nulls") {
