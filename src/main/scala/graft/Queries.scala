@@ -42,6 +42,77 @@ object Queries {
           bands = Dedup.bandsFor(0.8)))
         .localCheckpoint())
 
+  // ---- synthetic crawl URLs -------------------------------------------
+  // The documents table carries no URL column, so the URL gates derive
+  // one deterministically from (doc_id, source) — same construction on
+  // both engines (the text_redact pattern). Coverage: uppercase scheme/
+  // host, a multi-label public suffix with a port, variable path depth,
+  // a trailing-slash variant, tracking params, and an unparsable row.
+  private def synthUrl: Column =
+    when(pmod(col("doc_id"), lit(31)) === 0, lit("not a url"))
+      .otherwise(concat(
+        lit("HTTPS://"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("Sub.News."), col("source"), lit(".co.uk:8080")))
+          .otherwise(concat(lit("www."), col("source"), lit(".com"))),
+        lit("/cat/"), pmod(col("doc_id"), lit(5)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/page/"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("?utm_source=x&q=spark&gclid=1"))
+          .otherwise(lit("?q=spark"))))
+
+  private def urlSynthSql: String =
+    """SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN 'not a url'
+      ELSE 'HTTPS://' ||
+        CASE WHEN doc_id % 7 = 0 THEN 'Sub.News.' || source || '.co.uk:8080'
+             ELSE 'www.' || source || '.com' END ||
+        '/cat/' || (doc_id % 5)::VARCHAR ||
+        CASE WHEN doc_id % 2 = 0 THEN '/page/' ELSE '' END ||
+        CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&q=spark&gclid=1'
+             ELSE '?q=spark' END
+      END AS url FROM documents"""
+
+  /** DuckDB mirror of [[TextOps.urlParts]] over `u(doc_id, url)`:
+   * emits doc_id + the seven part columns. */
+  private def urlPartsSql: String = {
+    val sfx = TextOps.MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""p AS (SELECT doc_id, url,
+        nullif(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme0,
+        nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') AS hostraw,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS q0
+      FROM u),
+      hh AS (SELECT *,
+        lower(regexp_replace(regexp_replace(hostraw, '^[^@]*@', ''), ':[0-9]+$$', '')) AS host0
+      FROM p),
+      h AS (SELECT *, string_split(host0, '.') AS labs,
+        scheme0 IS NOT NULL AND host0 IS NOT NULL AS ok,
+        array_to_string(list_filter(string_split(q0, '&'),
+          x -> NOT regexp_matches(x, '^(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=')), '&') AS kept
+      FROM hh),
+      parts AS (SELECT doc_id,
+        CASE WHEN ok THEN scheme0 END AS scheme,
+        CASE WHEN ok THEN host0 END AS host,
+        CASE WHEN ok THEN
+          CASE WHEN regexp_matches(host0, '^[0-9.]+$$') THEN host0
+               WHEN len(labs) >= 3 AND (labs[-2] || '.' || labs[-1]) IN ($sfx)
+                 THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+               WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]
+               ELSE host0 END END AS registered_domain,
+        CASE WHEN ok THEN path0 END AS path,
+        CASE WHEN ok THEN len(list_filter(string_split(path0, '/'),
+          x -> x <> ''))::BIGINT END AS path_depth,
+        CASE WHEN ok THEN (CASE WHEN q0 IS NULL THEN 0
+          ELSE len(list_filter(string_split(q0, '&'), x -> x <> '')) END)::BIGINT
+          END AS n_params,
+        CASE WHEN ok THEN scheme0 || '://' || host0 ||
+          regexp_replace(path0, '/+$$', '') ||
+          CASE WHEN q0 IS NOT NULL AND length(kept) > 0
+            THEN '?' || kept ELSE '' END END AS url_canon
+      FROM h)"""
+  }
+
   // ---- events table: schema-adaptive epoch-ns contract -----------------
   // The engine is ns-native: every series/events operator does integer
   // epoch-nanosecond arithmetic on `ts`. The driver's testdata has
@@ -2462,6 +2533,45 @@ object Queries {
             AND (alpha_words * 1000000) // NULLIF(n_words, 0) >= 800000
             AND stop_hits >= 2, false) AS gopher_keep
         FROM s ORDER BY doc_id""")),
+
+    // URL decomposition over deterministic synthetic crawl URLs (the
+    // documents table has no URL column; both engines build the same
+    // one) — host/registered-domain/path-depth/params/canonical form,
+    // all regex+array codegen, one scan pass
+    "text_url_parts" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), synthUrl.as("url"))
+        .select(col("doc_id") +:
+          TextOps.urlParts(col("url")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH u AS ($urlSynthSql), $urlPartsSql
+        SELECT * FROM parts ORDER BY doc_id""")),
+
+    // per-domain cap — the crawl-curation composition urlParts exists
+    // for: registered domain as the groupCap key (invalid URLs pool
+    // under one sentinel group)
+    "sample_group_cap_domain" -> Entry(
+      (s, dir) => {
+        val rd = TextOps.urlParts(synthUrl).toMap.apply("registered_domain")
+        graft.operators.Sampling.groupCap(
+            t(s, dir, "documents")
+              .withColumn("domain", coalesce(rd, lit("__invalid"))),
+            col("doc_id"), col("domain"),
+            Map("src0.com" -> 5L, "src1.co.uk" -> 2L), default = 9L)
+          .select(col("doc_id"), col("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS ($urlSynthSql), $urlPartsSql,
+        d AS (SELECT doc_id, coalesce(registered_domain, '__invalid') AS domain
+          FROM parts),
+        hx AS (SELECT doc_id, domain,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM d),
+        w AS (SELECT *, row_number() OVER (PARTITION BY domain
+            ORDER BY h, doc_id) AS rn FROM hx)
+        SELECT doc_id, domain FROM w
+        WHERE rn <= (CASE domain WHEN 'src0.com' THEN 5
+                                 WHEN 'src1.co.uk' THEN 2 ELSE 9 END)
+        ORDER BY doc_id""")),
 
     // canonical text normalization (the exact-dedup key's text form,
     // materialized): whitespace runs → one space, trim, lowercase.

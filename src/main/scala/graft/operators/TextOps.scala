@@ -152,6 +152,78 @@ object TextOps {
    * character appears, null on null text. One codegen'd scan pass, no
    * shuffle.
    */
+  /** Common multi-label public suffixes — a bounded, embedded subset
+   * of the public suffix list covering the registrars a crawl corpus
+   * actually hits in volume. Deliberately static (like [[stopwords]]):
+   * the operator shape — label arithmetic against a suffix set — is
+   * what matters; callers needing the full PSL pass their own seq. */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "co.kr", "or.kr", "com.sg",
+    "com.hk", "co.za", "org.za", "com.tw", "com.my", "com.sa")
+
+  /**
+   * URL decomposition + canonicalization — the crawl-curation key
+   * derivation every per-domain operation needs ([[Sampling.groupCap]]
+   * caps, [[CorpusStats.dataCard]] per-domain rollups, host-level
+   * dedup). Emits `scheme`, `host` (lowercased, userinfo/port
+   * stripped), `registered_domain` (host cut to the registrable label
+   * pair, or triple when the trailing pair is a known multi-label
+   * public suffix; IP hosts pass through whole), `path`, `path_depth`,
+   * `n_params`, and `url_canon` (lowercased scheme+host, trailing
+   * slashes trimmed, fragment dropped, tracking params — `utm_*`,
+   * `fbclid`, `gclid`, `msclkid` — removed). Strings that do not parse
+   * as absolute URLs emit all-null parts.
+   *
+   * Everything is regex/array `functions._` composition — codegen'd,
+   * no UDFs, and every regex uses only literal classes/anchors so any
+   * engine's regex dialect (the DuckDB oracle's included) reproduces
+   * it exactly. One scan pass, no shuffle.
+   */
+  def urlParts(url: Column,
+      multiSuffixes: Seq[String] = MultiLabelSuffixes): Seq[(String, Column)] = {
+    def ne(c: Column): Column = nullif(c, lit(""))
+    val scheme = lower(ne(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)))
+    val hostRaw = ne(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = lower(regexp_replace(regexp_replace(hostRaw,
+      "^[^@]*@", ""), ":[0-9]+$", ""))
+    val valid = scheme.isNotNull && host0.isNotNull
+    def v(c: Column): Column = when(valid, c)
+    val host = v(host0)
+    val path = v(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+    val query = v(ne(regexp_extract(url, "\\?([^#]*)", 1)))
+    val labels = split(host, "\\.")
+    val last1 = element_at(labels, -1)
+    val last2 = concat_ws(".", element_at(labels, -2), last1)
+    val last3 = concat_ws(".", element_at(labels, -3),
+      element_at(labels, -2), last1)
+    val regDomain = when(host.rlike("^[0-9.]+$"), host)
+      .when(size(labels) >= 3 && last2.isInCollection(multiSuffixes), last3)
+      .when(size(labels) >= 2, last2)
+      .otherwise(host)
+    val pathDepth = v(size(filter(split(path, "/"), s => s =!= "")))
+      .cast(LongType)
+    val nParams = v(when(query.isNull, lit(0))
+      .otherwise(size(filter(split(query, "&"), s => s =!= ""))))
+      .cast(LongType)
+    val keptParams = array_join(filter(split(query, "&"),
+      s => !s.rlike("^(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=")), "&")
+    val canon = v(concat(scheme, lit("://"), host,
+      regexp_replace(path, "/+$", ""),
+      when(query.isNotNull && length(keptParams) > 0,
+        concat(lit("?"), keptParams)).otherwise(lit(""))))
+    Seq("scheme" -> v(scheme), "host" -> host,
+      "registered_domain" -> v(regDomain),
+      "path" -> path, "path_depth" -> pathDepth, "n_params" -> nParams,
+      "url_canon" -> canon)
+  }
+
   def scriptProfile(text: Column): Seq[(String, Column)] = {
     def cnt(cls: String): Column = when(text.isNotNull,
       length(text) - length(regexp_replace(text, cls, ""))).cast("long")

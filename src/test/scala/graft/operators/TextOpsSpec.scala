@@ -222,6 +222,46 @@ class TextOpsSpec extends SparkSpec {
     assert(short.getBoolean(0))
   }
 
+  test("urlParts: host/domain/path/canonical decomposition") {
+    val urls = Seq(
+      (1L, "https://www.Example.com/a/b/c?q=1&utm_source=x#frag"),
+      (2L, "http://user:pw@Sub.News.example.CO.UK:8080/path/"),
+      (3L, "https://example.com"),
+      (4L, "https://10.0.0.1/x"),
+      (5L, "not a url"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "https://localhost/a"),
+      (8L, "https://a.b.example.com/?gclid=1&utm_campaign=z"))
+      .toDF("id", "url")
+    val got = urls.select(col("id") +:
+        TextOps.urlParts(col("url")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    def s(id: Long, i: Int) = Option(byId(id).getAs[String](i))
+    // 1: lowercased host, frag dropped, utm stripped, depth 3, 2 params
+    assert(s(1L, 2) == Some("www.example.com"))
+    assert(s(1L, 3) == Some("example.com"))
+    assert(byId(1L).getLong(5) == 3L && byId(1L).getLong(6) == 2L)
+    assert(s(1L, 7) == Some("https://www.example.com/a/b/c?q=1"))
+    // 2: userinfo + port stripped, multi-label suffix → 3-label domain,
+    // trailing slash trimmed in canon
+    assert(s(2L, 2) == Some("sub.news.example.co.uk"))
+    assert(s(2L, 3) == Some("example.co.uk"))
+    assert(s(2L, 7) == Some("http://sub.news.example.co.uk/path"))
+    // 3: no path → depth 0; canon has no trailing slash
+    assert(byId(3L).getLong(5) == 0L && s(3L, 7) == Some("https://example.com"))
+    // 4: IP host passes through whole
+    assert(s(4L, 3) == Some("10.0.0.1"))
+    // 5/6: invalid / null → all-null parts
+    assert((1 to 7).forall(i => byId(5L).isNullAt(i)))
+    assert((1 to 7).forall(i => byId(6L).isNullAt(i)))
+    // 7: single-label host is its own registered domain
+    assert(s(7L, 3) == Some("localhost"))
+    // 8: all params tracking → canon drops the '?' entirely
+    assert(s(8L, 7) == Some("https://a.b.example.com"))
+    assert(byId(8L).getLong(6) == 2L) // n_params counts raw params
+  }
+
   test("scriptProfile: range counts, dominant-script chain, nulls") {
     val docs = Seq(
       (1L, "hello world 123"),
