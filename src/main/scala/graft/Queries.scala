@@ -2195,6 +2195,25 @@ object Queries {
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
+    // the persisted-artifact path: build ivfIndex, round-trip it
+    // through parquet (what a standing pipeline stores), probe with
+    // ivfTopKIndexed — bit-identical to ann_ivf_topk's oracle, and the
+    // probe never re-pays the N·C assignment scan
+    "ann_ivf_topk_indexed" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-ivf-index").toString
+        Similarity.ivfIndex(emb, cents)
+          .write.mode("overwrite").parquet(idxDir)
+        Similarity.ivfTopKIndexed(s.read.parquet(idxDir), emb,
+            emb.filter(col("vec_id") < 8), cents, k = 10, nprobe = 2)
+          .withColumn("sim", round6(col("sim")))
+      },
+      Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
+
     // maxBucket=1024 bounds the sketch buckets however large the
     // corpus grows (a no-op at the sf0.01 gate size; at the 100×
     // probe it caps the per-bucket quadratic the replica cliques

@@ -140,43 +140,105 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(centroids
+    val cents = centsOf(centroids)
+    probeLists(assignedOf(corpus, cents)
+        .join(corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
+          Seq("vec_id")),
+      queries, cents, k, nprobe)
+  }
+
+  /**
+   * The persistable IVF artifact: the corpus→centroid ASSIGNMENT frame
+   * `(vec_id, cent_id, idx_params)` — the output of the N·C assignment
+   * scan, which dominates every [[ivfTopK]] call on a standing corpus.
+   * Save it (parquet / the store) next to the centroid table and probe
+   * with [[ivfTopKIndexed]]: per query batch the corpus then costs one
+   * skinny index join instead of re-scoring N·C. Same pattern as
+   * [[Dedup.corpusIndex]] / [[Dedup.incrementalIndexed]]. `idx_params`
+   * tags the artifact version so a probe against a foreign frame fails
+   * loudly rather than silently mis-bucketing.
+   */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignedOf(corpus, centsOf(centroids))
+      .withColumn("idx_params", lit(ivfParams))
+
+  /**
+   * [[ivfTopK]] against a PREBUILT [[ivfIndex]] — bit-identical output
+   * (the assignment is the same frame, persisted), none of the
+   * assignment cost. The centroid table must be the one the index was
+   * built with: every index row's `cent_id` is scan-checked against
+   * the broadcast centroid set, so a swapped/retrained centroid table
+   * fails loudly instead of probing the wrong lists.
+   */
+  def ivfTopKIndexed(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centsOf(centroids)
+    val idx0 =
+      if (index.columns.contains("idx_params"))
+        index.where(assert_true(col("idx_params") === lit(ivfParams),
+          concat(lit("ivfIndex built as "), col("idx_params"),
+            lit(s", probed as $ivfParams"))).isNull)
+      else index
+    // centroid-set integrity rides the broadcast join (no driver
+    // action): an index row whose cent_id the table lacks → error
+    val idx = idx0.select(col("vec_id"), col("cent_id"))
+      .join(broadcast(cents.select(col("cent_id"),
+        lit(1).as("__cent_ok"))), Seq("cent_id"), "left")
+      .where(assert_true(col("__cent_ok").isNotNull,
+        concat(lit("ivfIndex references centroid "), col("cent_id"),
+          lit(" absent from the supplied centroid table"))).isNull)
+      .select(col("vec_id"), col("cent_id"))
+    probeLists(idx.join(
+        corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
+        Seq("vec_id")),
+      queries, cents, k, nprobe)
+  }
+
+  private val ivfParams = "ivf:v1:argmax-cosine:tie-min-cent"
+
+  private def centsOf(centroids: DataFrame): DataFrame =
+    broadcast(centroids
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
       .filter(col("cn") > 0)) // a zero centroid has no direction
-    def scored(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
-        .withColumn("__n", l2norm(col(s"${idName}_v")))
-        .filter(col("__n") > 0) // cosine is undefined for zero vectors
-        .crossJoin(cents)
-        .withColumn("__csim",
-          dot(col(s"${idName}_v"), col("cv")) / (col("__n") * col("cn")))
-    // corpus assignment keeps ONE centroid per vector, so it lowers to
-    // an aggregate with map-side partial combine: the broadcast-join
-    // stage reduces N·C scored rows to N before any exchange. (A
-    // row_number window here would shuffle the whole N·C cross
-    // product — the difference between IVF build being scan-bound and
-    // being the job's dominant exchange at corpus scale.) The struct
-    // max replicates the window's tie-break exactly: highest __csim,
-    // then LOWEST cent_id via the negated id. The N·C scored stream
-    // carries only (id, cent_id, sim) — dragging the vector itself
-    // through the cross product writes C copies of every embedding
-    // into the stage's rows (a ~10× memory-bandwidth tax at 64 dims ×
-    // C=256); the vector instead rejoins the N-row assignment by id.
-    val assigned = scored(corpus, "vec_id")
+
+  private def scoredAgainst(cents: DataFrame, df: DataFrame,
+      idName: String): DataFrame =
+    df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_v"))
+      .withColumn("__n", l2norm(col(s"${idName}_v")))
+      .filter(col("__n") > 0) // cosine is undefined for zero vectors
+      .crossJoin(cents)
+      .withColumn("__csim",
+        dot(col(s"${idName}_v"), col("cv")) / (col("__n") * col("cn")))
+
+  // corpus assignment keeps ONE centroid per vector, so it lowers to
+  // an aggregate with map-side partial combine: the broadcast-join
+  // stage reduces N·C scored rows to N before any exchange. (A
+  // row_number window here would shuffle the whole N·C cross
+  // product — the difference between IVF build being scan-bound and
+  // being the job's dominant exchange at corpus scale.) The struct
+  // max replicates the window's tie-break exactly: highest __csim,
+  // then LOWEST cent_id via the negated id. The N·C scored stream
+  // carries only (id, cent_id, sim) — dragging the vector itself
+  // through the cross product writes C copies of every embedding
+  // into the stage's rows (a ~10× memory-bandwidth tax at 64 dims ×
+  // C=256); the vector instead rejoins the N-row assignment by id.
+  private def assignedOf(corpus: DataFrame, cents: DataFrame): DataFrame =
+    scoredAgainst(cents, corpus, "vec_id")
       .select(col("vec_id"), col("cent_id"), col("__csim"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("__csim").as("s"),
         (-col("cent_id")).as("negid"))).as("m"))
       .select(col("vec_id"), (-col("m.negid")).as("cent_id"))
-    val lists = assigned.join(
-      corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
-      Seq("vec_id"))
-    // queries probe nprobe > 1 lists and the query set is small by
-    // construction — the window shuffle is over #queries · C rows
+
+  // queries probe nprobe > 1 lists and the query set is small by
+  // construction — the window shuffle is over #queries · C rows
+  private def probeLists(lists: DataFrame, queries: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cent_id"))
-    val probes = scored(queries, "query_id")
+    val probes = scoredAgainst(cents, queries, "query_id")
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("query_id_v"), col("cent_id"))

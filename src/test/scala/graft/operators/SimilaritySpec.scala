@@ -50,6 +50,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.length == 9)
   }
 
+  test("ivfIndex round-trips through parquet; indexed probe equals ivfTopK") {
+    val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f))
+    val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f))
+    val df = vecs(cluster1 ++ cluster2: _*)
+    val cents = df.filter($"vec_id" === 2 || $"vec_id" === 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfIndex(df, cents).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    // the assignment is the clustering: each vector in its own list
+    assert(idx.count() == 10)
+    assert(idx.filter($"vec_id" < 5 && $"cent_id" =!= 2).count() == 0)
+    assert(idx.filter($"vec_id" >= 5 && $"cent_id" =!= 7).count() == 0)
+    val q = df.filter($"vec_id" === 0)
+    val direct = Similarity.ivfTopK(df, q, cents, k = 9, nprobe = 2)
+      .collect().toSeq
+    val indexed = Similarity.ivfTopKIndexed(idx, df, q, cents,
+      k = 9, nprobe = 2).collect().toSeq
+    assert(indexed == direct)
+    // foreign centroid table (missing a referenced centroid) fails
+    // loudly at scan time, not silently with wrong lists
+    val e = intercept[Exception] {
+      Similarity.ivfTopKIndexed(idx, df, q,
+        cents.filter($"vec_id" === 2), k = 3, nprobe = 1).collect()
+    }
+    assert(e.getMessage.contains("absent from the supplied centroid"))
+    // a params-tag mismatch fails loudly too
+    val e2 = intercept[Exception] {
+      Similarity.ivfTopKIndexed(
+        idx.withColumn("idx_params", lit("ivf:v0")), df, q, cents,
+        k = 3, nprobe = 1).collect()
+    }
+    assert(e2.getMessage.contains("probed as"))
+  }
+
   test("hyperplane LSH finds the exact nearest neighbor for clustered data") {
     // two tight clusters; LSH must at least retrieve same-cluster items
     val a = (0L to 9L).map(i => i -> Seq(1f, 0.01f * i, 0f))
