@@ -15,6 +15,29 @@ package object functions {
   def ldiv(a: Column, b: Long): Column =
     ldiv(a, org.apache.spark.sql.functions.lit(b))
 
+  /** Engine-portable DECIMAL→DOUBLE emit for exact decimal aggregates.
+   * A wide-decimal→double cast is only correctly rounded on every
+   * engine while the decimal's UNSCALED integer stays below 2⁶³
+   * (DuckDB's hugeint→double is upper·2⁶⁴ + lower — TWO roundings,
+   * one ulp off nearest past 2⁶⁴; SURVEY §7.5, the twap finding).
+   * This emit picks the widest scale whose unscaled form still fits:
+   * full input scale below 9·10⁶, 6 dp below 9·10¹², 0 dp beyond —
+   * each branch is one exact in-decimal rounding plus one correctly-
+   * rounded cast, and the branch predicate is an exact decimal-vs-
+   * integer compare every engine reproduces. Bit-identical to the
+   * plain cast below 9·10⁶ (the domain of every driver gate), defined
+   * and portable to |value| < 9.2·10¹⁸; the decimals a coarser branch
+   * drops sit below the double's own ulp at that magnitude, so no
+   * branch is less precise than the double could hold anyway.
+   * Accepts any input scale ≤ 12 (the widest used in this codebase). */
+  def decToDouble(s: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, lit, when}
+    val a = abs(s)
+    when(a <= lit(9000000L), s.cast("double"))
+      .when(a <= lit(9000000000000L), s.cast("decimal(38,6)").cast("double"))
+      .otherwise(s.cast("decimal(38,0)").cast("double"))
+  }
+
   /** Half-away-from-zero rounding of the INTEGER ratio `num/den` at
    * 6 dp, emitted as the single IEEE division micro/10⁶ — pure
    * integral arithmetic in DECIMAL(38,0), no `round(double)` anywhere.

@@ -50,7 +50,11 @@ object Embeddings {
    * Per-label elementwise mean vectors — the centroid-update half of
    * a Lloyd iteration. Sums run in DECIMAL(38,12) so the mean is
    * independent of partition/summation order (bit-exact across
-   * engines and cluster layouts), then return to double.
+   * engines and cluster layouts), then return to double via the
+   * tiered-scale emit (`functions.decToDouble`) — identical to the
+   * plain cast below a 9·10⁶ per-(label, dim) sum, and still
+   * correctly-rounded-everywhere past the 2⁶⁴ unscaled-cast cliff a
+   * billion-row cluster can reach (SURVEY §7.5).
    *
    * Scale shape: the dim-explode multiplies rows ×dims, but the
    * (label, dim) group-by partial-aggregates map-side, so the
@@ -61,7 +65,8 @@ object Embeddings {
       .select(label.as("lbl"), posexplode(vec))
       .toDF("lbl", "pos", "xv")
       .groupBy(col("lbl"), col("pos"))
-      .agg((sum(col("xv").cast("double").cast("decimal(38,12)")).cast("double") /
+      .agg((graft.functions.decToDouble(
+        sum(col("xv").cast("double").cast("decimal(38,12)"))) /
         count(lit(1))).as("cv"))
       .groupBy(col("lbl"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),

@@ -371,14 +371,17 @@ object SeriesEngine {
       // decimal is null, which would silently DROP the value the
       // reference's float fold poisons the whole sum with) — any
       // passing Inf/NaN forces the fold's non-finite outcome, which
-      // the result edge then nulls.
+      // the result edge then nulls. The emit is the tiered-scale
+      // decToDouble, so a hot bucket whose sum crosses the 2⁶⁴
+      // unscaled-cast cliff stays engine-portable (SURVEY §7.5).
       case "avg" =>
         val nonfinite = isnan(num) ||
           num === lit(Double.PositiveInfinity) ||
           num === lit(Double.NegativeInfinity)
         when(count(when(pass && nonfinite, lit(1))) > lit(0), lit(Double.NaN))
           .otherwise(
-            sum(when(pass, num).cast("decimal(38,12)")).cast("double") /
+            graft.functions.decToDouble(
+              sum(when(pass, num).cast("decimal(38,12)"))) /
               count(when(pass, num)))
       case "obj_keys" =>
         // every included object's keys, in ts order, duplicates kept

@@ -222,7 +222,8 @@ object SeriesStats {
           vi.as("residual_micro"): _*)
     } else {
       val profile = wp.groupBy(parts :+ col("phase"): _*)
-        .agg(sum(v.cast("decimal(38,12)")).cast("double").as("__s"),
+        .agg(graft.functions.decToDouble(sum(v.cast("decimal(38,12)")))
+          .as("__s"),
           count(v).as("__n"))
         .select(parts :+ col("phase") :+
           (col("__s") / col("__n")).as("seasonal_mean"): _*)
@@ -361,8 +362,8 @@ object SeriesStats {
       }
     val stats = buckets
       .groupBy(parts: _*)
-      .agg(sum(sumTerm).cast("double").as("__s"),
-        sum(sqTerm).cast("double").as("__ss"),
+      .agg(graft.functions.decToDouble(sum(sumTerm)).as("__s"),
+        graft.functions.decToDouble(sum(sqTerm)).as("__ss"),
         count(cntTerm).as("__n"))
       .select(parts :+ (col("__s") / col("__n")).as("__m") :+
         (col("__ss") / col("__n") -
@@ -582,7 +583,8 @@ object SeriesStats {
         col("__s") :+ col("__n") :+ col("__mn") :+ col("__mx"): _*)
       .groupBy(parts :+ col("window_ms"): _*)
       .agg(sum(col("__n")).as("n"),
-        sum(col("__s")).cast("decimal(38,6)").cast("double").as("sum_v"),
+        graft.functions.decToDouble(sum(col("__s")).cast("decimal(38,6)"))
+          .as("sum_v"),
         min(col("__mn")).as("min_v"), max(col("__mx")).as("max_v"))
   }
 }

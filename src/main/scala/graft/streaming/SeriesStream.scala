@@ -396,8 +396,8 @@ object SeriesStream {
       .agg(count(v).as("n"),
         // 6-dp DECIMAL round before the double cast — the batch
         // operator's emit contract (SeriesStats.hopping)
-        sum(v.cast("decimal(38,12)")).cast("decimal(38,6)").cast("double")
-          .as("sum_v"),
+        graft.functions.decToDouble(
+          sum(v.cast("decimal(38,12)")).cast("decimal(38,6)")).as("sum_v"),
         min(v).as("min_v"), max(v).as("max_v"))
       .select(keyCols.map(col) :+
         unix_millis(col("window.start")).as("window_ms") :+
