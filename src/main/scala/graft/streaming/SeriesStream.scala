@@ -404,6 +404,181 @@ object SeriesStream {
         col("n") :+ col("sum_v") :+ col("min_v") :+ col("max_v"): _*)
   }
 
+  /** Buffered bucket state for [[anomalyStream]]/[[changepointStream]]:
+   * the series' buckets so far (micro-quantized values; None = the
+   * batch operators' null-valued-bucket contract) plus the max bucket
+   * time for the quiet-timeout arithmetic. */
+  case class SeriesBuffer(rows: List[(Long, Option[Long])], maxMs: Long)
+
+  /**
+   * Streaming z-score anomaly detection — the ingest-side counterpart
+   * of `graft.operators.SeriesStats.anomaly(quantizeMicro = true)`.
+   * Per series key, bucket rows accumulate in state; when the series
+   * goes QUIET — the watermark passes its last bucket + `quietMs` —
+   * the whole window is finalized and every bucket emits with the z
+   * and flag THE BATCH OPERATOR WOULD PRODUCE, bit for bit: values
+   * micro-quantize through the identical Catalyst `round(v·10⁶)`
+   * projection before they reach state, the finalize replays the
+   * batch micro-path arithmetic exactly (BigInt Σvi/Σvi², the tiered
+   * `decToDouble` emit, the same IEEE op sequence to z, scale-0
+   * half-up micro-z, integer threshold compare), and null-valued
+   * buckets ride along scoring null/false. "Score the completed
+   * window when it closes" is the deployment-window / daily-batch
+   * monitoring semantic; a RUNNING online score against history-so-far
+   * is deliberately not this operator (it could not match batch).
+   *
+   * State per live series is its buffered buckets — bounded by
+   * time-range/granularity like every bucket-frame operator here, and
+   * freed at finalize. Output (append):
+   * (key, bucket_ms, v, z, is_anomaly).
+   */
+  def anomalyStream(buckets: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, threshold: Double = 2.0,
+      quietMs: Long = 3600000L,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    finalizeByQuiet(buckets, keyCol, tsCol, valueCol, quietMs, watermark) {
+      rows =>
+        val vis = rows.flatMap(_._2)
+        val n = vis.length.toLong
+        if (n == 0) rows.map { case (ms, _) => (ms, None, None, false) }
+        else {
+          val s = jvmDecToDouble(BigDecimal(vis.map(BigInt(_)).sum))
+          val ss = jvmDecToDouble(BigDecimal(
+            vis.map(v => BigInt(v) * BigInt(v)).sum))
+          // the batch plan's exact IEEE op sequence (SeriesStats.anomaly)
+          val m = s / n
+          val variance = ss / n - (s / n) * (s / n)
+          val thrMicro = math.round(threshold * 1000000.0)
+          rows.map { case (ms, vi) =>
+            val zi = vi.flatMap { v =>
+              if (variance > 0) Some(jvmRoundHalfUp(
+                (v.toDouble - m) / math.sqrt(variance) * 1000000.0))
+              else None
+            }
+            (ms, vi, zi.map(_.toDouble / 1000000.0),
+              zi.exists(z => math.abs(z) > thrMicro))
+          }
+        }
+    }.toDF("key", "bucket_ms", "v", "z", "is_anomaly")
+      .withColumn("v", col("v").cast("double") / lit(1000000.0))
+  }
+
+  /**
+   * Streaming CUSUM changepoint detection — the ingest-side
+   * counterpart of `graft.operators.SeriesStats.changepoint`, same
+   * finalize-on-quiet contract as [[anomalyStream]]: when a series
+   * goes quiet, its buckets emit in order with the exact batch cusum
+   * (integer `cum·n − sv·i` products, `ratio6` half-away emit) and
+   * the peak-|cusum| bucket flagged (earliest on ties). Null-valued
+   * buckets contribute nothing and emit null cusum, unflagged.
+   * Output (append): (key, bucket_ms, v, cusum, is_changepoint).
+   */
+  def changepointStream(buckets: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, quietMs: Long = 3600000L,
+      watermark: String = "10 minutes"): DataFrame =
+    finalizeByQuiet(buckets, keyCol, tsCol, valueCol, quietMs, watermark) {
+      rows =>
+        val ordered = rows.sortBy(_._1)
+        val sv = ordered.flatMap(_._2).map(BigInt(_)).sum
+        val n = BigInt(ordered.count(_._2.isDefined))
+        var cum = BigInt(0)
+        var i = BigInt(0)
+        val scored = ordered.map { case (ms, vi) =>
+          val sBig = vi.map { v =>
+            cum += v; i += 1
+            cum * n - sv * i
+          }
+          (ms, vi, sBig)
+        }
+        // peak: max |cusum|, earliest bucket on ties (the batch
+        // max(struct(abs, -bucket)) tie rule)
+        val peak = scored.collect { case (ms, _, Some(sBig)) =>
+          (sBig.abs, -ms)
+        }.sorted.lastOption.map(p => -p._2)
+        scored.map { case (ms, vi, sBig) =>
+          (ms, vi, sBig.map(jvmRatio6(_, n * BigInt(1000000))),
+            peak.contains(ms))
+        }
+    }.toDF("key", "bucket_ms", "v", "cusum", "is_changepoint")
+      .withColumn("v", col("v").cast("double") / lit(1000000.0))
+
+  /** Shared quiet-finalize scaffold: micro-quantize `valueCol` with
+   * the BATCH operators' identical Catalyst projection, buffer
+   * (bucket_ms, vi) per key, and when the watermark passes the
+   * series' last bucket + `quietMs`, emit `score(rows)` — one output
+   * row per buffered bucket: (ms, vi, scoreA, flag). */
+  private def finalizeByQuiet(buckets: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, quietMs: Long, watermark: String)(
+      score: List[(Long, Option[Long])] => List[(Long, Option[Long],
+        Option[Double], Boolean)])
+      : org.apache.spark.sql.Dataset[(String, Long, Option[Long],
+        Option[Double], Boolean)] = {
+    require(quietMs > 0, "quietMs must be > 0")
+    import buckets.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = buckets
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        // the EXACT batch micro-quantization (SeriesStats.anomaly /
+        // changepoint): computed by Catalyst here so batch and stream
+        // share one rounding implementation
+        round(col(valueCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("vi"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, Option[Long])]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SeriesBuffer,
+          (String, Long, Option[Long], Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Option[Long])],
+            state: GroupState[SeriesBuffer]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            score(buf.rows.reverse).iterator
+              .map { case (ms, vi, a, f) => (key, ms, vi, a, f) }
+          } else {
+            val prev = state.getOption.getOrElse(SeriesBuffer(Nil, Long.MinValue))
+            val buf = rows.foldLeft(prev) { (b, r) =>
+              SeriesBuffer((r._2.getTime, r._3) :: b.rows,
+                math.max(b.maxMs, r._2.getTime))
+            }
+            state.update(buf)
+            state.setTimeoutTimestamp(math.max(buf.maxMs + quietMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** JVM mirror of `functions.decToDouble` over a scale-0 decimal —
+   * the tiered-scale emit (full below 9e6, 6 dp below 9e12, 0 dp
+   * beyond; each branch's unscaled < 2⁶³ so the cast is one correct
+   * rounding). Mirrors Spark's HALF_UP decimal rescale exactly. */
+  private def jvmDecToDouble(s: BigDecimal): Double = {
+    val a = s.abs
+    val t =
+      if (a <= BigDecimal(9000000L)) s
+      else if (a <= BigDecimal(9000000000000L))
+        s.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      else s.setScale(0, BigDecimal.RoundingMode.HALF_UP)
+    t.doubleValue
+  }
+
+  /** JVM mirror of Spark's `round(double)`: BigDecimal half-up at
+   * scale 0 (Catalyst's Round on DoubleType), as a long. */
+  private def jvmRoundHalfUp(d: Double): Long =
+    BigDecimal.valueOf(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+
+  /** JVM mirror of `functions.ratio6` for BigInt num/den (den > 0):
+   * half-away 6-dp integer ratio, one IEEE division. */
+  private def jvmRatio6(num: BigInt, den: BigInt): Double = {
+    val mag = (num.abs * BigInt(2000000) + den) / (den * BigInt(2))
+    val signed = if (num < 0) -mag else mag
+    signed.toDouble / 1000000.0
+  }
+
   /**
    * Stateless streaming corpus scoring: language ID, quality
    * columns, token counts, and PII redaction are pure projections,

@@ -143,6 +143,92 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly finalizes a quiet series bit-for-bit with batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = 1346189040000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // per-series hourly-ish buckets: 'a' has one clear spike; 'b' flat;
+    // one null-valued bucket rides along. Fractional values exercise
+    // the micro-quantization path.
+    // 9 flat-ish points + one spike: a single outlier among n points
+    // caps at z = (n-1)/sqrt(n), so n = 10 gives z ≈ 2.85 > 2
+    val rowsA = (0 until 9).map(i =>
+      i * 3600000L -> (10.0 + (i % 4) * 0.25)) :+ (9 * 3600000L -> 55.5)
+    val rowsB = Seq(0L -> 7.0, 3600000L -> 7.0)
+    val out = SeriesStream.anomalyStream(mem.toDF().toDF("ts", "k", "v"),
+      "k", "ts", "v", threshold = 2.0, quietMs = 3600000L,
+      watermark = "6 hours")
+    val q = out.writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    try {
+      mem.addData(rowsA.take(3).map { case (m, v) => (ts(m), "a", v) } ++
+        rowsB.map { case (m, v) => (ts(m), "b", v) }: _*)
+      q.processAllAvailable()
+      mem.addData(rowsA.drop(3).map { case (m, v) => (ts(m), "a", v) }: _*)
+      q.processAllAvailable()
+      // 'a' is still live (watermark hasn't passed its quiet horizon);
+      // 'b' may already have finalized — its last bucket is old
+      assert(spark.table("anom").filter($"key" === "a").count() == 0)
+      // a far-future sentinel pushes the watermark past every series'
+      // quiet horizon → everything finalizes
+      mem.addData((ts(200000000L), "zz", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anom").filter($"key" =!= "zz")
+        .select("key", "bucket_ms", "v", "z", "is_anomaly")
+        .orderBy("key", "bucket_ms").collect().toSeq
+      // the batch reference over the same buckets, micro discipline
+      val batch = (rowsA.map { case (m, v) => ("a", base + m, v) } ++
+        rowsB.map { case (m, v) => ("b", base + m, v) })
+        .toDF("key", "bucket_ms", "v")
+      val expect = graft.operators.SeriesStats.anomaly(batch, $"v",
+          threshold = 2.0, partitionBy = Seq("key"), quantizeMicro = true)
+        .select($"key", $"bucket_ms", $"v", $"z", $"is_anomaly")
+        .orderBy("key", "bucket_ms").collect().toSeq
+      assert(got == expect)
+      assert(got.count(_.getBoolean(4)) == 1) // exactly the spike
+    } finally q.stop()
+  }
+
+  test("streaming changepoint finalizes the batch cusum walk exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = 1346189040000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // level shift at bucket 3: 5,5,5 → 20,20,20
+    val rows = Seq(0L -> 5.0, 3600000L -> 5.0, 7200000L -> 5.0,
+      10800000L -> 20.0, 14400000L -> 20.0, 18000000L -> 20.0)
+    val out = SeriesStream.changepointStream(
+      mem.toDF().toDF("ts", "k", "v"), "k", "ts", "v",
+      quietMs = 3600000L, watermark = "6 hours")
+    val q = out.writeStream.format("memory").queryName("cpt")
+      .outputMode("append").start()
+    try {
+      // deliberately out-of-order arrival: finalize must re-sort
+      mem.addData(rows.drop(3).map { case (m, v) => (ts(m), "s", v) }: _*)
+      q.processAllAvailable()
+      mem.addData(rows.take(3).map { case (m, v) => (ts(m), "s", v) }: _*)
+      q.processAllAvailable()
+      mem.addData((ts(200000000L), "zz", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("cpt").filter($"key" =!= "zz")
+        .select("key", "bucket_ms", "v", "cusum", "is_changepoint")
+        .orderBy("bucket_ms").collect().toSeq
+      val batch = rows.map { case (m, v) => ("s", base + m, v) }
+        .toDF("key", "bucket_ms", "v")
+      val expect = graft.operators.SeriesStats.changepoint(batch, $"v",
+          partitionBy = Seq("key"))
+        .select($"key", $"bucket_ms", $"v", $"cusum", $"is_changepoint")
+        .orderBy("bucket_ms").collect().toSeq
+      assert(got == expect)
+      // the peak (deepest deviation) localizes the shift boundary
+      assert(got.count(_.getBoolean(4)) == 1)
+      assert(got.filter(_.getBoolean(4)).head.getLong(1) == base + 7200000L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first arrival per fingerprint") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
