@@ -54,7 +54,8 @@ object Bench {
       "pipeline_report", "events_session_funnel", "text_normalize",
       "text_length_trimmed_mean", "events_approx_dau", "embed_centroids",
       "q_series_twap_hour", "events_new_users", "multimodal_frame_stats",
-      "events_cumulative_users")
+      "events_cumulative_users", "text_url_parts", "sample_group_cap_domain",
+      "ann_ivf_topk_indexed")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state
