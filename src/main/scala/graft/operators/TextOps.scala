@@ -189,39 +189,56 @@ object TextOps {
   def urlParts(url: Column,
       multiSuffixes: Seq[String] = MultiLabelSuffixes): Seq[(String, Column)] = {
     def ne(c: Column): Column = nullif(c, lit(""))
-    val scheme = lower(ne(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)))
-    val hostRaw = ne(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    val host0 = lower(regexp_replace(regexp_replace(hostRaw,
-      "^[^@]*@", ""), ":[0-9]+$", ""))
-    val valid = scheme.isNotNull && host0.isNotNull
-    def v(c: Column): Column = when(valid, c)
-    val host = v(host0)
-    val path = v(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
-    val query = v(ne(regexp_extract(url, "\\?([^#]*)", 1)))
-    val labels = split(host, "\\.")
-    val last1 = element_at(labels, -1)
-    val last2 = concat_ws(".", element_at(labels, -2), last1)
-    val last3 = concat_ws(".", element_at(labels, -3),
-      element_at(labels, -2), last1)
-    val regDomain = when(host.rlike("^[0-9.]+$"), host)
-      .when(size(labels) >= 3 && last2.isInCollection(multiSuffixes), last3)
-      .when(size(labels) >= 2, last2)
-      .otherwise(host)
-    val pathDepth = v(size(filter(split(path, "/"), s => s =!= "")))
-      .cast(LongType)
-    val nParams = v(when(query.isNull, lit(0))
-      .otherwise(size(filter(split(query, "&"), s => s =!= ""))))
-      .cast(LongType)
-    val keptParams = array_join(filter(split(query, "&"),
-      s => !s.rlike("^(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=")), "&")
-    val canon = v(concat(scheme, lit("://"), host,
-      regexp_replace(path, "/+$", ""),
-      when(query.isNotNull && length(keptParams) > 0,
-        concat(lit("?"), keptParams)).otherwise(lit(""))))
-    Seq("scheme" -> v(scheme), "host" -> host,
-      "registered_domain" -> v(regDomain),
-      "path" -> path, "path_depth" -> pathDepth, "n_params" -> nParams,
-      "url_canon" -> canon)
+    // every intermediate (host, path, query, label array) is
+    // LET-BOUND so it appears ONCE in the expression tree: the naive
+    // inline form re-expands the regex chain at every reference
+    // (~100 regexp nodes after CollapseProject), which blows up the
+    // generated code — at that point codegen COMPILATION, not row
+    // evaluation, dominates any query using these columns. The seven
+    // emitted columns are fields of one struct, so physical common-
+    // subexpression elimination evaluates the whole chain once per row.
+    val parts = let(url) { u =>
+      let(lower(regexp_replace(regexp_replace(
+          ne(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+          "^[^@]*@", ""), ":[0-9]+$", ""))) { host =>
+        let(lower(ne(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)))) { scheme =>
+          let(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)) { path =>
+            let(ne(regexp_extract(u, "\\?([^#]*)", 1))) { query =>
+              let(split(host, "\\.")) { labels =>
+                val last1 = element_at(labels, -1)
+                val last2 = concat_ws(".", element_at(labels, -2), last1)
+                val last3 = concat_ws(".", element_at(labels, -3),
+                  element_at(labels, -2), last1)
+                val regDomain = when(host.rlike("^[0-9.]+$"), host)
+                  .when(size(labels) >= 3 &&
+                    last2.isInCollection(multiSuffixes), last3)
+                  .when(size(labels) >= 2, last2)
+                  .otherwise(host)
+                val keptParams = array_join(filter(split(query, "&"),
+                  s => !s.rlike("^(utm_[a-zA-Z]+|fbclid|gclid|msclkid)=")), "&")
+                when(scheme.isNotNull && host.isNotNull, struct(
+                  scheme.as("scheme"),
+                  host.as("host"),
+                  regDomain.as("registered_domain"),
+                  path.as("path"),
+                  size(filter(split(path, "/"), s => s =!= ""))
+                    .cast(LongType).as("path_depth"),
+                  when(query.isNull, lit(0))
+                    .otherwise(size(filter(split(query, "&"), s => s =!= "")))
+                    .cast(LongType).as("n_params"),
+                  concat(scheme, lit("://"), host,
+                    regexp_replace(path, "/+$", ""),
+                    when(query.isNotNull && length(keptParams) > 0,
+                      concat(lit("?"), keptParams)).otherwise(lit("")))
+                    .as("url_canon")))
+              }
+            }
+          }
+        }
+      }
+    }
+    Seq("scheme", "host", "registered_domain", "path", "path_depth",
+      "n_params", "url_canon").map(n => n -> parts.getField(n))
   }
 
   def scriptProfile(text: Column): Seq[(String, Column)] = {

@@ -13,7 +13,17 @@ package object operators {
    * through untouched, so at real scale this adds no shuffle.
    */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Plan-side decision: a file scan splits at maxPartitionBytes, so
+    // "fewer partitions than cores" ⟺ "estimated size below cores ×
+    // split bytes" up to rounding — readable off the optimized plan's
+    // statistics without materializing an RDD lineage just to count
+    // partitions (df.rdd forces full physical planning + the
+    // row-deserializer chain). Oversized estimates (join blowups) err
+    // toward passing through, which is the no-shuffle default anyway.
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(target) * splitBytes) df.repartition(target) else df
   }
 }
