@@ -136,6 +136,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-11 operators keep their claimed plan shapes") {
+    assume(available)
+    def finalSection(p: String): String = p.split("== Initial Plan ==").head
+    // text_url_parts: a pure let-bound projection — nothing but the
+    // gate's sort may exchange, and the regex chain must not re-expand
+    // into the plan (the pre-let form inlined ~100 regexp nodes and
+    // codegen compile time dominated)
+    val pu = finalSection(planOf(SparkEntry.queries("text_url_parts")(spark, dir)))
+    assert("Exchange".r.findAllIn(pu).size <= 1, s"url_parts shuffles:\n$pu")
+    // the plan STRING prints the let-chain once per emitted field (7
+    // identical struct roots — runtime subexpression elimination
+    // evaluates it once); the pre-let form re-expanded the chain at
+    // every INTERNAL reference too (~100 regexp_replace nodes). Guard
+    // the boundary between those regimes.
+    assert("regexp_replace".r.findAllIn(pu).size <= 30,
+      s"urlParts regex chain re-expanded (let-binding lost):\n$pu")
+    // indexed IVF probe: centroids broadcast; NO window partitioned by
+    // the corpus id (that would mean the N·C assignment is being
+    // recomputed despite the index)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
+    val idx = Similarity.ivfIndex(emb, cents).localCheckpoint()
+    val pi = planOf(Similarity.ivfTopKIndexed(idx, emb,
+      emb.filter(col("vec_id") < 4), cents, k = 5, nprobe = 2))
+    assert(!pi.contains("windowspecdefinition(vec_id"),
+      s"indexed probe recomputes the assignment window:\n$pi")
+    assert(pi.contains("BroadcastExchange"), s"centroids not broadcast:\n$pi")
+    // the indexed probe must not contain the corpus×centroid cross
+    // product at all — that is exactly what the index replaces
+    assert(!pi.contains("CartesianProduct"),
+      s"indexed probe re-crosses corpus with centroids:\n$pi")
+  }
+
+  test("manifest pruning keeps time-bounded store reads file-bounded") {
+    val store = new graft.sources.SeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-plan-prune").toString)
+    store.create("db")
+    import spark.implicits._
+    (0 until 4).foreach { d =>
+      val t0 = (1704067200L + d * 86400L) * 1000000000L
+      store.storeBatch("db",
+        (0 until 10).map(i => (t0 + i * 1000000000L, s"""{"v": $i}"""))
+          .toDF("ts", "doc"))
+    }
+    val from = (1704067200L + 2 * 86400L) * 1000000000L
+    val to = from + 86400L * 1000000000L
+    val p = planOf(store.frame("db", Some(from), Some(to)))
+    // exactly ONE of the four commit files may appear in the scan
+    assert("\\.parquet".r.findAllIn(p).size <= 1 ||
+      "InMemoryFileIndex\\(1 paths\\)".r.findAllIn(p).nonEmpty,
+      s"pruned read lists more than the in-range file:\n$p")
+  }
+
   test("no registry query degenerates to a non-broadcast cartesian product") {
     assume(available)
     // BroadcastNestedLoopJoin with a bounded broadcast side is a

@@ -235,6 +235,42 @@ class PropertySpec extends AnyFunSuite {
     }, min = 30)
   }
 
+  test("manifest pruning is SAFE: never drops a file intersecting the range") {
+    import graft.sources.CommitLog.FileEntry
+    // random file populations (statted, stats-free, empty) × random
+    // query ranges: every row in [from, to) must live in a file the
+    // prune keeps — correctness can tolerate over-scanning, never a
+    // dropped in-range file
+    val fileGen = for {
+      lo <- Gen.chooseNum(-1000000L, 1000000L)
+      w <- Gen.chooseNum(0L, 500000L)
+      kind <- Gen.frequency(6 -> "stats", 1 -> "legacy", 1 -> "empty")
+    } yield kind match {
+      case "stats" => FileEntry("f", 1, lo, lo + w, w + 1)
+      case "legacy" => FileEntry("f", 1) // unknown stats: always kept
+      case "empty" => FileEntry("f", 1, 0, 0, 0)
+    }
+    val rangeGen = for {
+      a <- Gen.option(Gen.chooseNum(-1500000L, 1500000L))
+      b <- Gen.option(Gen.chooseNum(-1500000L, 1500000L))
+    } yield (a, b)
+    check(Prop.forAll(Gen.listOfN(40, fileGen), rangeGen) {
+      case (files, (from, to)) =>
+        files.forall { f =>
+          val kept = f.mayOverlap(from, to)
+          // a ts this file could contain that the query wants ⇒ kept.
+          // For statted files the candidate set is [minTs, maxTs];
+          // legacy files could contain anything.
+          val couldMatter =
+            if (!f.hasStats) true
+            else if (f.rows == 0) false
+            else from.getOrElse(Long.MinValue) <= f.maxTs &&
+              f.minTs < to.getOrElse(Long.MaxValue)
+          !couldMatter || kept
+        }
+    })
+  }
+
   test("deterministic split partitions exactly and nests with uniform") {
     // pure-function check of the md5 coordinate: every id lands in
     // exactly one split, and a uniform sample at rate r is a subset
