@@ -585,6 +585,68 @@ class SeriesStore(spark: SparkSession, root: String) {
     stat(db).compacts.increment()
   }
 
+  /** Incremental (bin-packing) compaction: rewrite ONLY the live
+   * files smaller than `smallBytes`, merging them into range-
+   * partitioned right-sized files, and keep every already-sized file
+   * untouched — the table-format OPTIMIZE a 100 TB table actually
+   * runs. A steady-state ingest accretes one small file per commit;
+   * [[compact]]'s full-table rewrite would move petabytes to fix
+   * kilobytes, while this path's cost tracks the small-file volume
+   * alone. Rows are copied VERBATIM (no last-write-wins resolution —
+   * that requires reading every file a key appears in, exactly what
+   * this avoids), so the snapshot's `clean` flag is preserved: a
+   * clean table stays clean (no duplicate keys existed), a dirty one
+   * stays dirty and read-side dedup keeps applying. Concurrent
+   * appends rebase into the kept set, like [[compact]]. Returns
+   * (files merged, files kept). */
+  def compactSmall(db: String, smallBytes: Long = 32L << 20): (Int, Int) =
+    withWriteLock(db)(withStageGuard(db) {
+      val log = logOf(db)
+      var outer = 0
+      var result: (Int, Int) = null
+      while (outer < 10 && result == null) {
+        val snap = snapshotOf(db)
+        val (small, big) = snap.files.partition(_.bytes < smallBytes)
+        if (small.size < 2) result = (0, snap.files.size) // nothing to merge
+        else {
+          val paths = small.map(f => dbPath(db).resolve(f.name).toString)
+          val rows = spark.read.schema(schema).parquet(paths: _*)
+          val totalBytes = small.map(_.bytes).sum
+          val partitions = math.max(1, (totalBytes / (128L << 20)).toInt)
+          val sized =
+            if (partitions == 1) rows.coalesce(1)
+            else rows.repartitionByRange(partitions, col("ts"))
+          val staged = stage(db, sized.sortWithinPartitions("ts"))
+          var committed = false
+          var aborted = false
+          while (!committed && !aborted) {
+            val current = log.snapshot()
+            log.commitsSinceExact(snap.version) match {
+              case Some(since) if since.forall(_.kind == "append") =>
+                val appended = since.flatMap(_.files)
+                committed = log.tryCommit(CommitLog.Manifest(
+                  current.version + 1, "replace",
+                  big ++ staged ++ appended,
+                  seqHi = current.lastSeq,
+                  // verbatim copy: cleanliness is whatever it was,
+                  // and any rebased append dirties it as usual
+                  clean = snap.clean && appended.isEmpty))
+              case _ => aborted = true
+            }
+          }
+          if (committed) {
+            log.checkpointMaybe(log.snapshot())
+            result = (small.size, big.size)
+          } else unstage(db, staged)
+        }
+        outer += 1
+      }
+      if (result == null) throw new IllegalStateException(
+        s"compactSmall of $db lost $outer races to concurrent rewrites")
+      stat(db).compacts.increment()
+      result
+    })
+
   /** Copy-compact as a `replace` commit; returns (rows read, rows
    * written). The transformed input is cached across its two passes
    * (sizing count + write). Range partitioning by ts keeps per-file

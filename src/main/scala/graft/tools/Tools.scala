@@ -194,6 +194,23 @@ object Compact {
   }
 }
 
+/** `CompactSmall <root> <db> [smallBytes] [graceMs]` — incremental
+ * bin-packing compaction: merge only the live files below
+ * `smallBytes` (default 32 MiB), keep the rest untouched
+ * ([[SeriesStore.compactSmall]] — the steady-state OPTIMIZE whose
+ * cost tracks small-file volume, not table size). */
+object CompactSmall {
+  def main(args: Array[String]): Unit = {
+    val store = new SeriesStore(ToolSession.spark(), args(0))
+    val small = args.lift(2).map(_.toLong).getOrElse(32L << 20)
+    val (merged, kept) = store.compactSmall(args(1), small)
+    val removed = args.lift(3).map(_.toLong)
+      .fold(store.vacuum(args(1)))(store.vacuum(args(1), _))
+    println(s"merged $merged small files into right-sized ones, " +
+      s"kept $kept; vacuumed $removed stale files")
+  }
+}
+
 /** Shared `<root> <db> [graceMs]` vacuum invocation. */
 private object vacuumWithGrace {
   def apply(store: SeriesStore, args: Array[String]): Int =

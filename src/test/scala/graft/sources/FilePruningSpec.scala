@@ -114,6 +114,47 @@ class FilePruningSpec extends SparkSpec {
     assert(d0.forall(f => f.minTs < day(1) && f.maxTs >= day(0)))
   }
 
+  test("compactSmall merges only small files; data and pruning intact") {
+    val s = newStore()
+    loadThreeDays(s)
+    val before = s.scanFiles("db")
+    val sizes = before.map(_.bytes).sorted
+    // threshold above every file: all merge into one right-sized file
+    val (merged, kept) = s.compactSmall("db", smallBytes = sizes.max + 1)
+    assert(merged == before.size && kept == 0)
+    val after = s.scanFiles("db")
+    assert(after.size == 1 && after.forall(_.hasStats))
+    assert(s.frame("db").count() == 150)
+    // stats re-recorded on the merged file → pruning still file-bounded
+    assert(s.scanFiles("db", Some(day(1)), Some(day(2))).size == 1)
+    assert(s.frame("db", Some(day(1)), Some(day(2)))
+      .filter($"ts" >= day(1) && $"ts" < day(2)).count() == 50)
+    // threshold below every file: no-op
+    val (m2, k2) = s.compactSmall("db", smallBytes = 1L)
+    assert(m2 == 0 && k2 == 1)
+  }
+
+  test("compactSmall keeps big files untouched and preserves overwrite dedup") {
+    val s = newStore()
+    s.create("db")
+    // one 'big' file (50 rows), then two small overwrite commits on
+    // the same ts — the small merge must copy rows verbatim and leave
+    // read-side last-write-wins intact
+    s.storeBatch("db", (0 until 50).map(i =>
+      (day(0) + i * 1000000000L, s"""{"i": $i}""")).toDF("ts", "doc")
+      .coalesce(1))
+    val bigName = s.scanFiles("db").head.name
+    s.store("db", Some("2024-01-05T00:00:00Z"), """{"v": 1}""")
+    s.store("db", Some("2024-01-05T00:00:00Z"), """{"v": 2}""")
+    val bigBytes = s.scanFiles("db").find(_.name == bigName).get.bytes
+    val (merged, kept) = s.compactSmall("db", smallBytes = bigBytes)
+    assert(merged == 2 && kept == 1)
+    assert(s.scanFiles("db").exists(_.name == bigName), "big file rewritten")
+    // dedup still applies post-merge (clean flag was preserved false)
+    assert(s.get("db", "2024-01-05T00:00:00Z").contains("""{"v": 2}"""))
+    assert(s.frame("db").count() == 51)
+  }
+
   test("stats-free legacy entries are never pruned (backward compat)") {
     val legacy = FileEntry("part-0.parquet", 10) // rows = -1 sentinel
     assert(!legacy.hasStats)
