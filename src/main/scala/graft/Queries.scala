@@ -2214,6 +2214,24 @@ object Queries {
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
+    // incremental index maintenance: base corpus indexed, the rest
+    // upserted as a batch — probing the upserted index must equal
+    // probing a from-scratch build (the annIvfOracle)
+    "ann_ivf_upsert" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val base = Similarity.ivfIndex(
+          emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), cents)
+        val idx = Similarity.ivfIndexUpsert(base,
+          emb.filter(pmod(col("vec_id"), lit(3)) === 0), cents)
+        Similarity.ivfTopKIndexed(idx, emb, emb.filter(col("vec_id") < 8),
+            cents, k = 10, nprobe = 2)
+          .withColumn("sim", round6(col("sim")))
+      },
+      Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
+
     // maxBucket=1024 bounds the sketch buckets however large the
     // corpus grows (a no-op at the sf0.01 gate size; at the 100×
     // probe it caps the per-bucket quadratic the replica cliques
@@ -2591,6 +2609,27 @@ object Queries {
         WHERE rn <= (CASE domain WHEN 'src0.com' THEN 5
                                  WHEN 'src1.co.uk' THEN 2 ELSE 9 END)
         ORDER BY doc_id""")),
+
+    // canonical-URL exact dedup — the crawl-frontier "seen this URL"
+    // key: urlParts' canonical form (tracking params stripped, case/
+    // port/fragment normalized) feeding the key-based min-id keeper;
+    // unparsable URLs never cluster (each is its own keeper)
+    "dedup_url" -> Entry(
+      (s, dir) => {
+        val canon = TextOps.urlParts(synthUrl).toMap.apply("url_canon")
+        Dedup.byKey(t(s, dir, "documents"), col("doc_id"), canon)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH u AS ($urlSynthSql), $urlPartsSql,
+        d AS (SELECT doc_id, url_canon FROM parts),
+        k AS (SELECT url_canon, min(doc_id) AS keep_id,
+            count(*)::BIGINT AS n FROM d
+          WHERE url_canon IS NOT NULL GROUP BY 1)
+        SELECT doc_id, url_canon AS key,
+          coalesce(keep_id, doc_id) AS keep_id,
+          coalesce(n, 1)::BIGINT AS n_copies,
+          coalesce(keep_id, doc_id) = doc_id AS is_keeper
+        FROM d LEFT JOIN k USING (url_canon) ORDER BY doc_id""")),
 
     // canonical text normalization (the exact-dedup key's text form,
     // materialized): whitespace runs → one space, trim, lowercase.

@@ -24,6 +24,28 @@ object Dedup {
       .filter(col("n") > 1)
 
   /**
+   * Exact dedup on an ARBITRARY derived key — canonical URL
+   * ([[TextOps.urlParts]]' `url_canon`, the crawl-frontier dedup key),
+   * host+path, normalized title — with [[exact]]'s min-id keeper rule,
+   * one verdict row per input doc. Null keys never cluster: a doc
+   * with no key (an unparsable URL) is its own keeper. Same scale
+   * shape as [[exact]]: one hash group-by collapsed map-side, then a
+   * per-doc rejoin on the key.
+   */
+  def byKey(df: DataFrame, id: Column, key: Column): DataFrame = {
+    val withK = df.select(id.as("doc_id"), key.as("key"))
+    val keepers = withK.filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("__keep"), count(lit(1)).as("__n"))
+    withK.join(keepers, Seq("key"), "left")
+      .select(col("doc_id"), col("key"),
+        coalesce(col("__keep"), col("doc_id")).as("keep_id"),
+        coalesce(col("__n"), lit(1L)).as("n_copies"),
+        (coalesce(col("__keep"), col("doc_id")) === col("doc_id"))
+          .as("is_keeper"))
+  }
+
+  /**
    * Exact dedup with QUALITY-AWARE keeper selection: instead of
    * [[exact]]'s min-id keeper, each content-fingerprint cluster keeps
    * the copy with the highest `quality` (longest, best-scored, …; tie

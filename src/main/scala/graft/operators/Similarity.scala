@@ -195,6 +195,29 @@ object Similarity {
       queries, cents, k, nprobe)
   }
 
+  /**
+   * Incremental [[ivfIndex]] maintenance: assign ONLY the new batch
+   * (batch·C work, never the standing corpus) and upsert it into the
+   * stored index — batch vec_ids replace their existing rows, so
+   * re-ingested vectors re-assign cleanly. The admission-pipeline
+   * complement of [[Dedup.incrementalIndexed]]: a standing ANN corpus
+   * pays per batch what the batch costs. Same params guard as
+   * [[ivfTopKIndexed]].
+   */
+  def ivfIndexUpsert(index: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val guarded =
+      if (index.columns.contains("idx_params"))
+        index.where(assert_true(col("idx_params") === lit(ivfParams),
+          concat(lit("ivfIndex built as "), col("idx_params"),
+            lit(s", upserted as $ivfParams"))).isNull)
+      else index.withColumn("idx_params", lit(ivfParams))
+    val fresh = ivfIndex(batch, centroids)
+    guarded.select("vec_id", "cent_id", "idx_params")
+      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
   private val ivfParams = "ivf:v1:argmax-cosine:tie-min-cent"
 
   private def centsOf(centroids: DataFrame): DataFrame =

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  test("byKey: min-id keeper per derived key; null keys never cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "https://a.com/x"), (3L, "https://a.com/x"), // dup, keeper 3
+      (7L, "https://b.com/y"),                          // singleton
+      (9L, null.asInstanceOf[String]),                  // null key
+      (11L, null.asInstanceOf[String]))                 // null key too
+      .toDF("doc_id", "url")
+    val r = Dedup.byKey(docs, col("doc_id"), col("url"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (3L, 3L, 2L, true), (5L, 3L, 2L, false), (7L, 7L, 1L, true),
+      (9L, 9L, 1L, true), (11L, 11L, 1L, true))) // nulls: own keepers
+  }
+
   test("clusters: transitive closure maps chains to one keeper") {
     import spark.implicits._
     // components: {1,5,2} via chain 1-5, 5-2 (no 1-2 pair); {7,9}; 3 unpaired

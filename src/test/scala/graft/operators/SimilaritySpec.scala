@@ -84,6 +84,24 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("probed as"))
   }
 
+  test("ivfIndexUpsert equals a from-scratch rebuild; batch rows replace") {
+    val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f))
+    val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f))
+    val df = vecs(cluster1 ++ cluster2: _*)
+    val cents = df.filter($"vec_id" === 2 || $"vec_id" === 7)
+    val base = Similarity.ivfIndex(df.filter($"vec_id" < 7), cents)
+    val upserted = Similarity.ivfIndexUpsert(base,
+      df.filter($"vec_id" >= 7), cents)
+    val rebuilt = Similarity.ivfIndex(df, cents)
+    assert(upserted.orderBy("vec_id").collect().toSeq ==
+      rebuilt.orderBy("vec_id").collect().toSeq)
+    // re-ingested vectors REPLACE their rows (no duplicates)
+    val again = Similarity.ivfIndexUpsert(upserted,
+      df.filter($"vec_id" === 3), cents)
+    assert(again.count() == 10)
+    assert(again.filter($"vec_id" === 3).count() == 1)
+  }
+
   test("hyperplane LSH finds the exact nearest neighbor for clustered data") {
     // two tight clusters; LSH must at least retrieve same-cluster items
     val a = (0L to 9L).map(i => i -> Seq(1f, 0.01f * i, 0f))
