@@ -55,7 +55,8 @@ object Bench {
       "text_length_trimmed_mean", "events_approx_dau", "embed_centroids",
       "q_series_twap_hour", "events_new_users", "multimodal_frame_stats",
       "events_cumulative_users", "text_url_parts", "sample_group_cap_domain",
-      "ann_ivf_topk_indexed", "dedup_url", "ann_ivf_upsert")
+      "ann_ivf_topk_indexed", "dedup_url", "ann_ivf_upsert",
+      "corpus_bpe_pairs")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -2610,6 +2610,20 @@ object Queries {
                                  WHEN 'src1.co.uk' THEN 2 ELSE 9 END)
         ORDER BY doc_id""")),
 
+    // corpus-weighted adjacent char-pair counts — the statistic BPE
+    // tokenizer training's first merge decision reads; deterministic
+    // top-k (count desc, pair asc)
+    "corpus_bpe_pairs" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.bpePairCounts(
+        t(s, dir, "documents"), col("text"), k = 40),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          p AS (SELECT unnest(list_transform(range(1, length(w)),
+              i -> substr(w, i, 2))) AS pair
+            FROM w WHERE length(w) >= 2)
+        SELECT pair, count(*)::BIGINT AS n FROM p
+        GROUP BY 1 ORDER BY n DESC, pair LIMIT 40""")),
+
     // canonical-URL exact dedup — the crawl-frontier "seen this URL"
     // key: urlParts' canonical form (tracking params stripped, case/
     // port/fragment normalized) feeding the key-based min-id keeper;

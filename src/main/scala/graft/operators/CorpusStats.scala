@@ -1195,4 +1195,86 @@ object CorpusStats {
         when(col("bpe_tokens") > 0,
           col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
   }
+
+  /**
+   * Corpus-weighted adjacent character-pair counts — the statistic a
+   * BPE tokenizer trainer's FIRST merge decision reads (Sennrich et
+   * al. 2016, arXiv:1508.07909), exposed as a top-k table for vocab
+   * analysis and as the oracle-checkable step of [[bpeTrain]]'s loop.
+   * One explode pass (each word contributes its `len−1` overlapping
+   * 2-char substrings), a map-side-combined count, and a
+   * TakeOrderedAndProject top-k — no corpus-sized shuffle beyond the
+   * pair histogram.
+   */
+  def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(explode(TextOps.tokens(text)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
+  /**
+   * BPE merge-rule training (Sennrich et al. 2016): learn `merges`
+   * byte-pair merge rules from the corpus. The construction real BPE
+   * trainers use: ONE corpus pass builds the word-TYPE histogram
+   * (map-side combined, bounded by vocabulary size, guarded by
+   * `maxWordTypes`), and every merge round then runs on that
+   * driver-held table — pair counting and rule application never
+   * touch the corpus again, so training cost is
+   * O(word types · word length · merges), independent of corpus rows.
+   * Deterministic: the argmax breaks count ties by (left, right)
+   * lexicographic order, and merges apply left-to-right
+   * non-overlapping. Returns (merge_rank, left, right, pair_count) —
+   * the tokenizer artifact, persistable like [[unigramModel]]'s
+   * tables.
+   */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int,
+      maxWordTypes: Int = 1000000): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = df.sparkSession
+    val hist = df.select(explode(TextOps.tokens(text)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val rows = hist.limit(maxWordTypes + 1).collect()
+    require(rows.length <= maxWordTypes,
+      s"bpeTrain: more than $maxWordTypes word types — raise the bound " +
+        "deliberately or pre-normalize the corpus")
+    var words: Array[(Array[String], Long)] =
+      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        words = words.map { case (syms, n) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2 // left-to-right, non-overlapping
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), n)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
 }

@@ -574,6 +574,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(zs == Map("zzz-unseen" -> 0L), zs.toString)
   }
 
+  test("bpePairCounts: hand-computed pair histogram, deterministic top-k") {
+    val docs = Seq((1L, "abab ab x"), (2L, "abab")).toDF("doc_id", "text")
+    // abab → ab, ba, ab (×2 docs); ab → ab; x contributes nothing
+    val got = CorpusStats.bpePairCounts(docs, $"text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 5L), ("ba", 2L)))
+  }
+
+  test("bpeTrain: classic merge sequence, ties lexicographic, early stop") {
+    val docs = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    // round 0: pairs aa×6, ab×3 → merge (a,a); words become [aa,a,b]
+    // round 1: (aa,a)=3 ties (a,b)=3 → lexicographic picks (a,b)
+    // round 2: (aa,ab)=3 → merge; round 3: single symbols → stop
+    val got = CorpusStats.bpeTrain(docs, $"text", merges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, "a", "a", 6L), (1, "a", "b", 3L), (2, "aa", "ab", 3L)))
+    // word-type guard fails loudly
+    val many = (0 until 50).map(i => (i.toLong, s"w$i word$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      CorpusStats.bpeTrain(many, $"text", 1, maxWordTypes = 10))
+    assert(e.getMessage.contains("word types"))
+  }
+
   test("fertility: hand-computed token ratios per source") {
     val docs = Seq((1L, "ab cd", "s1"), (2L, "a-b x1y", "s1"),
       (3L, "hello", "s2")).toDF("doc_id", "text", "src")
