@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.TextOps
 import graft.sources.SeriesStore
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -89,6 +89,27 @@ object SeriesStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /**
+   * Streaming dedup on an ARBITRARY derived key — the crawl frontier's
+   * "seen this URL" admission check when keyed on
+   * [[TextOps.urlParts]]' `url_canon` (the streaming counterpart of
+   * `Dedup.byKey`, same watermark-bounded state contract as
+   * [[dedupExact]]). Rows whose key is NULL (unparsable URLs) are
+   * never deduplicated against each other — each passes through, the
+   * batch operator's null-key contract.
+   */
+  def dedupByKey(docs: DataFrame, key: Column, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val keyed = docs.withColumn("__k", key)
+      .withWatermark(tsCol, watermark)
+    // dropDuplicates treats null keys as EQUAL (they'd all collapse to
+    // one row) — split the null-key rows around the dedup instead
+    keyed.filter(col("__k").isNotNull)
+      .dropDuplicatesWithinWatermark("__k")
+      .unionByName(keyed.filter(col("__k").isNull))
+      .drop("__k")
+  }
 
   /** Open-session state for [[sessionize]]: epoch-ms bounds plus the
    * running count/sum. */

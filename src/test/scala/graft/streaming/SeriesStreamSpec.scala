@@ -252,6 +252,37 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming key dedup: first arrival per canonical URL; nulls pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val canon = graft.operators.TextOps.urlParts($"url")
+      .toMap.apply("url_canon")
+    val out = SeriesStream.dedupByKey(
+      mem.toDF().toDF("ts", "doc_id", "url"), canon, "ts",
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("urldd")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(1346189040000L + s * 1000)
+    try {
+      mem.addData(
+        (ts(0), 0L, "https://A.com/x?utm_source=a"),
+        (ts(1), 1L, "https://b.com/y"),
+        (ts(2), 2L, "not a url"))
+      q.processAllAvailable()
+      // same canonical URL despite case/tracking-param jitter →
+      // dropped across micro-batches; null keys always pass
+      mem.addData(
+        (ts(3), 3L, "https://a.com/x/"),
+        (ts(4), 4L, "also not a url"),
+        (ts(5), 5L, "https://c.com/z"))
+      q.processAllAvailable()
+      val kept = spark.table("urldd").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 1L, 2L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming admission filter drops exact AND near corpus dups") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
