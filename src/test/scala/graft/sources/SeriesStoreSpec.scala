@@ -146,6 +146,7 @@ class SeriesStoreSpec extends SparkSpec {
       spawn { s.info("db"); () },
       spawn { s.get("db", "2012-08-28T21:24:15Z"); () },
       spawn { s.compact("db") },
+      spawn { s.compactSmall("db", smallBytes = 1L << 20); () },
       spawn { s.store("db", None, """{"v": 99}"""); () })
     Thread.sleep(4000)
     stop.set(true)
