@@ -2228,6 +2228,24 @@ object Queries {
       },
       Some(annPqOracle(codeMod = 64, codeCap = 4096, m = 4, k = 10))),
 
+    // IVF-PQ: probe nprobe lists, ADC-score only in-list codes — the
+    // production composition; both artifacts (assignment, codes) are
+    // the persisted frames the standalone gates already verify
+    "ann_ivfpq_topk" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0 &&
+          col("vec_id") < 4096)
+        Similarity.ivfPqTopK(Similarity.ivfIndex(emb, cents),
+          Similarity.pqEncode(emb, cb, m = 4),
+          emb.filter(col("vec_id") < 8), cents, cb,
+          m = 4, k = 10, nprobe = 2)
+      },
+      Some(annIvfPqOracle(centMod = 16, centCap = 4096, codeMod = 64,
+        codeCap = 4096, m = 4, k = 10, nprobe = 2))),
+
     // incremental index maintenance: base corpus indexed, the rest
     // upserted as a batch — probing the upserted index must equal
     // probing a from-scratch build (the annIvfOracle)
@@ -3956,8 +3974,10 @@ object Queries {
    * subspace) argmin over micro-quantized squared L2 (the kmeans-gate
    * `x·x − 2x·y + y·y` construction on list slices), queries score as
    * the integer sum of per-subspace LUT rows. */
-  private def annPqOracle(codeMod: Int, codeCap: Int, m: Int,
-      k: Int): String = {
+  /** Shared PQ CTE block over `embeddings`: `cb` (dense-ranked
+   * codebook), `sub` (per (vector, subspace, codeword) micro d2),
+   * `codes` (per-subspace argmin), `lut` (query-side table). */
+  private def pqCtes(codeMod: Int, codeCap: Int, m: Int): String = {
     val w = 64 / m // testdata embeddings are 64-dim
     val d2uExpr = s"""round((${dotSql.format(
         s"list_slice(e.embedding, s.s * $w + 1, s.s * $w + $w)",
@@ -3968,7 +3988,7 @@ object Queries {
       + ${dotSql.format(
         s"list_slice(cb.cv, s.s * $w + 1, s.s * $w + $w)",
         s"list_slice(cb.cv, s.s * $w + 1, s.s * $w + $w)")}) * 1000000.0)::BIGINT"""
-    s"""WITH cb AS (SELECT embedding AS cv,
+    s"""cb AS (SELECT embedding AS cv,
           row_number() OVER (ORDER BY vec_id) - 1 AS code_ix
         FROM embeddings WHERE vec_id % $codeMod = 0 AND vec_id < $codeCap),
       sub AS (SELECT e.vec_id, cb.code_ix, s.s AS s, $d2uExpr AS d2u
@@ -3978,7 +3998,12 @@ object Queries {
           PARTITION BY vec_id, s ORDER BY d2u, code_ix) AS rn FROM sub),
       codes AS (SELECT vec_id, s, code_ix FROM enc WHERE rn = 1),
       lut AS (SELECT vec_id AS query_id, s, code_ix, d2u FROM sub
-        WHERE vec_id < 8),
+        WHERE vec_id < 8)"""
+  }
+
+  private def annPqOracle(codeMod: Int, codeCap: Int, m: Int,
+      k: Int): String =
+    s"""WITH ${pqCtes(codeMod, codeCap, m)},
       adc AS (SELECT l.query_id, c.vec_id, sum(l.d2u)::BIGINT AS d2u
         FROM codes c JOIN lut l ON c.s = l.s AND c.code_ix = l.code_ix
         WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
@@ -3987,7 +4012,38 @@ object Queries {
       SELECT query_id, vec_id, d2u::DOUBLE / 1000000.0 AS adc_d2,
         rank::BIGINT AS rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
-  }
+
+  /** IVF-PQ: the IVF probe restricts candidates to nprobe lists; PQ
+   * ADC scores only those. Mirrors
+   * [[graft.operators.Similarity.ivfPqTopK]]. */
+  private def annIvfPqOracle(centMod: Int, centCap: Int, codeMod: Int,
+      codeCap: Int, m: Int, k: Int, nprobe: Int): String =
+    s"""WITH ${pqCtes(codeMod, codeCap, m)},
+      ivfc AS (SELECT vec_id AS cent_id, embedding AS cv2,
+          ${nrmSql("embedding")} AS cn
+        FROM embeddings WHERE vec_id % $centMod = 0 AND vec_id < $centCap),
+      asn AS (SELECT e.vec_id, ivfc.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${dotSql.format("e.embedding", "cv2")} /
+              (${nrmSql("e.embedding")} * cn) DESC, cent_id) AS rn
+        FROM embeddings e CROSS JOIN ivfc
+        WHERE ${nrmSql("e.embedding")} > 0),
+      lists AS (SELECT vec_id, cent_id FROM asn WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cent_id FROM asn
+        WHERE rn <= $nprobe AND vec_id < 8),
+      cand AS (SELECT p.query_id, l.vec_id
+        FROM lists l JOIN probes p USING (cent_id)
+        WHERE l.vec_id <> p.query_id),
+      adc AS (SELECT cand.query_id, cand.vec_id, sum(l.d2u)::BIGINT AS d2u
+        FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+        JOIN lut l ON l.query_id = cand.query_id AND l.s = c.s
+          AND l.code_ix = c.code_ix
+        GROUP BY 1, 2),
+      ranked AS (SELECT query_id, vec_id, d2u, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2u, vec_id) AS rank FROM adc)
+      SELECT query_id, vec_id, d2u::DOUBLE / 1000000.0 AS adc_d2,
+        rank::BIGINT AS rank
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
   private def annIvfOracle(centMod: Int, centCap: Int, k: Int,
       nprobe: Int): String =

@@ -310,6 +310,60 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ top-k — the production composition (the FAISS `IVFx,PQy`
+   * shape): queries probe their `nprobe` nearest IVF lists
+   * ([[ivfIndex]]'s persisted assignment), and ONLY in-list vectors
+   * score, by PQ asymmetric distance over their m-byte codes
+   * ([[pqEncode]]'s persisted artifact). Neither corpus artifact is
+   * recomputed and corpus EMBEDDINGS are never read — the scan cost
+   * is (lists probed) × (codes per list) integer lookups. Candidate
+   * scoring joins on centroid id, so it is co-partitioned with the
+   * code lists; re-rank survivors against exact vectors downstream
+   * when recall matters.
+   */
+  def ivfPqTopK(index: DataFrame, codes: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    val cents = centsOf(centroids)
+    val kCodes = codebook.count().toInt
+    val lut = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(rankedCodebook(codebook))
+      .select(col("query_id"), col("code_ix"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => subD2Micro(col("qv"), col("cv"), s, m))))
+      .toDF("query_id", "code_ix", "s", "d2u")
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("s"), col("code_ix"), col("d2u")))),
+        x => x.getField("d2u")).as("lut"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cent_id"))
+    val probes = scoredAgainst(cents, queries, "query_id")
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+      .join(lut, "query_id")
+    val listCodes = index.select(col("vec_id"), col("cent_id"))
+      .join(codes, Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    listCodes.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2u", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, s) => acc + element_at(col("lut"),
+          s * lit(kCodes) + element_at(col("codes"), s + 1) + 1)))
+      .select(col("query_id"), col("vec_id"), col("d2u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (col("d2u").cast("double") / lit(1000000.0)).as("adc_d2"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Real PQ codebook training: `m` INDEPENDENT per-subspace k-means
    * runs ([[Embeddings.kmeansRun]] on each dim slice), re-assembled
    * into [[pqEncode]]'s full-width `(vec_id, embedding)` artifact —

@@ -126,6 +126,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getDouble(2) == top.head.getDouble(2)) // non-null
   }
 
+  test("IVF-PQ: probes restrict candidates to lists; ADC ranks in-list") {
+    val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f, 1f))
+    val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f, 1f))
+    val df = vecs(cluster1 ++ cluster2: _*)
+    val cents = df.filter($"vec_id" === 2 || $"vec_id" === 7)
+    val cb = df.filter($"vec_id" === 0 || $"vec_id" === 5)
+    val idx = Similarity.ivfIndex(df, cents)
+    val codes = Similarity.pqEncode(df, cb, m = 2)
+    val r = Similarity.ivfPqTopK(idx, codes, df.filter($"vec_id" === 0),
+      cents, cb, m = 2, k = 9, nprobe = 1).collect()
+    // nprobe=1 from a cluster-1 query: candidates are cluster 1 only
+    assert(r.nonEmpty && r.forall(_.getLong(1) < 5L))
+    // nprobe=2 reaches both lists
+    val r2 = Similarity.ivfPqTopK(idx, codes, df.filter($"vec_id" === 0),
+      cents, cb, m = 2, k = 9, nprobe = 2).collect()
+    assert(r2.length == 9)
+  }
+
   test("pqTrain learns per-subspace codebooks pqEncode separates with") {
     // two tight 4-dim clusters; m=2, k=2 per subspace: after training,
     // encoding must give every cluster-1 member one code pair and
