@@ -2228,6 +2228,39 @@ object Queries {
       },
       Some(annPqOracle(codeMod = 64, codeCap = 4096, m = 4, k = 10))),
 
+    // PQ shortlist + exact re-rank: ADC picks 30 candidates off the
+    // codes, only those 30 re-score exactly — recall recovery at a
+    // sliver of brute-force cost
+    "ann_pq_rerank" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0 &&
+          col("vec_id") < 4096)
+        Similarity.pqTopKRerank(Similarity.pqEncode(emb, cb, m = 4),
+            emb, emb.filter(col("vec_id") < 8), cb,
+            m = 4, k = 10, shortlist = 30)
+          .withColumn("sim", round6(col("sim")))
+      },
+      Some(s"""WITH ${pqCtes(codeMod = 64, codeCap = 4096, m = 4)},
+        adc AS (SELECT l.query_id, c.vec_id, sum(l.d2u)::BIGINT AS d2u
+          FROM codes c JOIN lut l ON c.s = l.s AND c.code_ix = l.code_ix
+          WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+        sl AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY d2u, vec_id) AS rn FROM adc)
+          WHERE rn <= 30),
+        ex AS (SELECT sl.query_id, sl.vec_id,
+            ${dotSql.format("c.embedding", "q.embedding")} /
+              (${nrmSql("c.embedding")} * ${nrmSql("q.embedding")}) AS sim
+          FROM sl JOIN embeddings c ON c.vec_id = sl.vec_id
+          JOIN embeddings q ON q.vec_id = sl.query_id),
+        ranked AS (SELECT query_id, vec_id, sim, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+          FROM ex)
+        SELECT query_id, vec_id,
+          round(sim * 1000000.0) / 1000000.0 AS sim, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // IVF-PQ: probe nprobe lists, ADC-score only in-list codes — the
     // production composition; both artifacts (assignment, codes) are
     // the persisted frames the standalone gates already verify

@@ -364,6 +364,35 @@ object Similarity {
   }
 
   /**
+   * PQ with exact re-ranking — the standard recall-recovery step: ADC
+   * over the codes produces a `shortlist`-sized candidate set per
+   * query (cheap, embeddings never read), and ONLY those candidates
+   * re-score exactly (cosine) against the true vectors. The exact
+   * pass touches `#queries · shortlist` embeddings — a semi-join
+   * sliver of the corpus — so recall approaches exact search at a
+   * fraction of brute-force cost. Output is [[cosineTopK]]-shaped
+   * (`sim`, ranked desc).
+   */
+  def pqTopKRerank(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      codebook: DataFrame, m: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val cand = pqTopK(codes, queries, codebook, m, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding").as("v")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Real PQ codebook training: `m` INDEPENDENT per-subspace k-means
    * runs ([[Embeddings.kmeansRun]] on each dim slice), re-assembled
    * into [[pqEncode]]'s full-width `(vec_id, embedding)` artifact —
