@@ -2675,6 +2675,54 @@ object Queries {
                                  WHEN 'src1.co.uk' THEN 2 ELSE 9 END)
         ORDER BY doc_id""")),
 
+    // classifier-eval pair over the quality score as an "is English"
+    // predictor: reliability bins + exact rank-sum AUC, both in
+    // integer arithmetic off histograms (no float emit edges)
+    "text_quality_calibration" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.calibration(
+          t(s, dir, "documents"),
+          TextOps.qualityColumns(col("text")).toMap.apply("quality"),
+          col("lang") === "en", bins = 10)
+        .orderBy(col("bin")),
+      Some(s"""WITH q AS (SELECT ($qualityExprSql) AS s,
+            (lang = 'en') AS pos FROM documents),
+          b AS (SELECT least(greatest(floor(s * 10), 0), 9)::BIGINT AS bin,
+            s, pos FROM q WHERE s IS NOT NULL),
+          g AS (SELECT bin, count(*)::BIGINT AS n,
+            sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+            sum(round(s * 1000000.0)::BIGINT)::BIGINT AS ssum
+          FROM b GROUP BY 1)
+        SELECT bin, n, n_pos,
+          (n_pos * 1000000) // n AS pos_rate_ppm,
+          ((2 * ssum + n) // (2 * n))::DOUBLE / 1000000.0 AS mean_score
+        FROM g ORDER BY bin""")),
+
+    "text_quality_auc" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.aucPpm(
+        t(s, dir, "documents"),
+        TextOps.qualityColumns(col("text")).toMap.apply("quality"),
+        col("lang") === "en"),
+      Some(s"""WITH q AS (SELECT ($qualityExprSql) AS s,
+            (lang = 'en') AS pos FROM documents),
+          h AS (SELECT s, count(*)::BIGINT AS n,
+            sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS p
+          FROM q WHERE s IS NOT NULL GROUP BY 1),
+          w AS (SELECT s, n, p, coalesce(sum(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM h),
+          agg AS (SELECT sum(p)::BIGINT AS n_pos,
+            (sum(n) - sum(p))::BIGINT AS n_neg,
+            sum((2 * below + n + 1)::HUGEINT * p::HUGEINT) AS sr2 FROM w)
+        SELECT n_pos, n_neg,
+          (CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            ((sr2 - n_pos::HUGEINT * (n_pos + 1)::HUGEINT) * 1000000)
+              // (n_pos::HUGEINT * n_neg::HUGEINT * 2) END)::BIGINT AS auc_ppm,
+          (CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            ((sr2 - n_pos::HUGEINT * (n_pos + 1)::HUGEINT) * 1000000)
+              // (n_pos::HUGEINT * n_neg::HUGEINT * 2) END)::DOUBLE
+            / 1000000.0 AS auc
+        FROM agg""")),
+
     // corpus-weighted adjacent char-pair counts — the statistic BPE
     // tokenizer training's first merge decision reads; deterministic
     // top-k (count desc, pair asc)

@@ -1197,6 +1197,88 @@ object CorpusStats {
   }
 
   /**
+   * Classifier calibration table — the reliability diagram a
+   * quality/langid classifier's threshold is picked from: scores in
+   * [0, 1] bucket into `bins` equal-width bins, each emitting its row
+   * count, positive count, positive rate (integer ppm), and mean
+   * score (micro, twap-discipline integral divide) — compare
+   * `mean_score` to `pos_rate` per bin and the gap IS the
+   * calibration error. Scores outside [0, 1] clamp into the edge
+   * bins; null scores drop. One map-side-combined groupBy over a
+   * codegen'd projection; |bins| rows out.
+   */
+  def calibration(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val s = score.cast("double")
+    val bin = least(greatest(floor(s * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val si = round(s * lit(1000000.0)).cast("long")
+    df.filter(s.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(si.cast("decimal(38,0)")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        graft.functions.ldiv(col("n_pos") * lit(1000000L), col("n"))
+          .as("pos_rate_ppm"),
+        {
+          // half-up integral micro mean (the twap construction)
+          val d0 = col("n").cast("decimal(38,0)")
+          val mag = graft.functions.ldiv(
+            abs(col("__ssum")) * lit(2L) + d0, d0 * lit(2L))
+          (when(col("__ssum") < 0, -mag).otherwise(mag).cast("double") /
+            lit(1000000.0)).as("mean_score")
+        })
+  }
+
+  /**
+   * Exact AUC by the rank-sum (Mann–Whitney U) identity, in pure
+   * integer arithmetic off the SCORE HISTOGRAM: with tied scores
+   * sharing their average rank, `AUC = (Σ_pos rank − P(P+1)/2)/(P·N)`.
+   * Doubling every rank keeps the ±½ tie terms integral:
+   * `rank2 = 2·(items below) + n_at_score + 1`, `AUC_ppm =
+   * ⌊(Σ p·rank2 − P(P+1))·10⁶ / (2·P·N)⌋` — no float ever, so the
+   * number is bit-identical on any engine. This is also the
+   * probability a random positive outranks a random negative (ties
+   * count ½) — the metric a quality-classifier sweep reports.
+   *
+   * Scale shape: one histogram groupBy (bounded by distinct scores,
+   * the [[quantiles]] contract), one ordered window over it, one
+   * 1-row rollup. Null scores drop. Returns
+   * (n_pos, n_neg, auc_ppm, auc); AUC is null when either class is
+   * empty.
+   */
+  def aucPpm(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = score.cast("double")
+    val hist = df.filter(s.isNotNull)
+      .groupBy(s.as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("p"))
+    val wOrd = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the histogram is distinct-score-sized; the unpartitioned window
+    // is over THAT, never the corpus (quantiles' argument)
+    hist
+      .withColumn("below", coalesce(sum(col("n")).over(wOrd), lit(0L)))
+      .withColumn("r2p",
+        (lit(2L) * col("below") + col("n") + 1L).cast("decimal(38,0)") *
+          col("p").cast("decimal(38,0)"))
+      .agg(sum(col("p")).as("n_pos"),
+        (sum(col("n")) - sum(col("p"))).as("n_neg"),
+        sum(col("r2p")).as("__sr2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          graft.functions.ldiv(
+            (col("__sr2") - col("n_pos").cast("decimal(38,0)") *
+              (col("n_pos") + 1L).cast("decimal(38,0)")) * lit(1000000L),
+            col("n_pos").cast("decimal(38,0)") *
+              col("n_neg").cast("decimal(38,0)") * lit(2L)))
+          .as("auc_ppm"))
+      .withColumn("auc", col("auc_ppm").cast("double") / lit(1000000.0))
+  }
+
+  /**
    * Corpus-weighted adjacent character-pair counts — the statistic a
    * BPE tokenizer trainer's FIRST merge decision reads (Sennrich et
    * al. 2016, arXiv:1508.07909), exposed as a top-k table for vocab

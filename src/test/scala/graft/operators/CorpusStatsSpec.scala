@@ -574,6 +574,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(zs == Map("zzz-unseen" -> 0L), zs.toString)
   }
 
+  test("aucPpm: hand-computed rank-sum AUC with ties; degenerate null") {
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
+    // both) + (0.7 beats 0.3, ties 0.7 → ½) + (0.5 beats 0.3) =
+    // 2 + 1.5 + 1 = 4.5 of 6 → AUC = 0.75
+    val df = Seq((0.9, true), (0.7, true), (0.5, true),
+      (0.7, false), (0.3, false)).toDF("s", "y")
+    val r = CorpusStats.aucPpm(df, $"s", $"y").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 750000L && r.getDouble(3) == 0.75)
+    // perfect separation → 1.0; one-class input → null
+    val perfect = Seq((0.9, true), (0.1, false)).toDF("s", "y")
+    assert(CorpusStats.aucPpm(perfect, $"s", $"y").head().getLong(2)
+      == 1000000L)
+    val oneClass = Seq((0.9, true), (0.5, true)).toDF("s", "y")
+    assert(CorpusStats.aucPpm(oneClass, $"s", $"y").head().isNullAt(2))
+  }
+
+  test("calibration: bin edges clamp, rates and micro means exact") {
+    val df = Seq(
+      (Some(0.05), true), (Some(0.08), false), (Some(0.95), true),
+      (Some(1.2), true), (Some(-0.1), false), (Some(0.55), false),
+      (Option.empty[Double], true)).toDF("s", "y")
+    val r = CorpusStats.calibration(df, $"s", $"y", bins = 10)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    // bin 0: 0.05, 0.08, -0.1 (clamped) → n=3, pos=1, mean=(50000+80000-100000+...
+    // micro sum = 50000+80000-100000 = 30000 → half-up /3 = 10000 → 0.01
+    assert(r(0) == ((0L, 3L, 1L, 333333L, 0.01)))
+    assert(r(1) == ((5L, 1L, 0L, 0L, 0.55)))
+    // bin 9: 0.95 and 1.2 (clamped) → mean (950000+1200000+... )/2
+    assert(r(2) == ((9L, 2L, 2L, 1000000L, 1.075)))
+  }
+
   test("bpePairCounts: hand-computed pair histogram, deterministic top-k") {
     val docs = Seq((1L, "abab ab x"), (2L, "abab")).toDF("doc_id", "text")
     // abab → ab, ba, ab (×2 docs); ab → ab; x contributes nothing
