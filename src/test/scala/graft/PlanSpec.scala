@@ -169,6 +169,30 @@ class PlanSpec extends SparkSpec {
       s"indexed probe re-crosses corpus with centroids:\n$pi")
   }
 
+  test("PQ plans: encode is one map-side argmin exchange; ADC scan never joins vectors") {
+    assume(available)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val enc = Similarity.pqEncode(emb, cb, m = 4)
+    val pe = planOf(enc)
+    // the m per-subspace argmins ride ONE aggregation pair around one
+    // exchange; a per-(vector, subspace) explode shape would show a
+    // second shuffle (it read 77s vs 3.2s at 100×)
+    assert("Exchange hashpartitioning".r.findAllIn(
+      pe.split("== Initial Plan ==").head).size <= 1,
+      s"pqEncode shuffles more than the argmin exchange:\n$pe")
+    assert(pe.contains("BroadcastExchange") ||
+      pe.contains("BroadcastNestedLoopJoin"),
+      s"codebook not broadcast:\n$pe")
+    // ADC scoring: the codes scan joins the broadcast LUT only —
+    // corpus EMBEDDINGS must not appear in the probe plan
+    val pt = planOf(Similarity.pqTopK(enc.localCheckpoint(),
+      emb.filter(col("vec_id") < 4), cb, m = 4, k = 5))
+    assert(!pt.contains("embedding#") ||
+      !pt.split("BroadcastExchange").head.contains("Scan parquet"),
+      s"ADC scan reads embeddings:\n$pt")
+  }
+
   test("manifest pruning keeps time-bounded store reads file-bounded") {
     val store = new graft.sources.SeriesStore(spark,
       java.nio.file.Files.createTempDirectory("graft-plan-prune").toString)
