@@ -126,6 +126,47 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getDouble(2) == top.head.getDouble(2)) // non-null
   }
 
+  test("PQ property: ADC equals an in-memory reference on random vectors") {
+    // random corpus/codebook; the engine's codes and ADC micro
+    // distances must equal a straightforward in-memory PQ
+    val rng = new scala.util.Random(13L)
+    val m = 2
+    val dim = 6
+    def randVec() = Seq.fill(dim)((rng.nextInt(2000) - 1000) / 100f)
+    val corpus = (0L until 30L).map(i => i -> randVec())
+    val cbRows = (100L until 104L).map(i => i -> randVec())
+    val df = vecs(corpus: _*)
+    val cb = vecs(cbRows: _*)
+    val w = dim / m
+    def subD2(v: Seq[Float], c: Seq[Float], s: Int): Long = {
+      def dot(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      val a = v.slice(s * w, s * w + w)
+      val b = c.slice(s * w, s * w + w)
+      BigDecimal.valueOf((dot(a, a) - 2.0 * dot(a, b) + dot(b, b)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    }
+    val cbSorted = cbRows.sortBy(_._1).map(_._2)
+    def encode(v: Seq[Float]): Seq[Int] = (0 until m).map { s =>
+      cbSorted.zipWithIndex.minBy { case (c, ix) => (subD2(v, c, s), ix) }._2
+    }
+    val expectCodes = corpus.map { case (id, v) => id -> encode(v) }.toMap
+    val gotCodes = Similarity.pqEncode(df, cb, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(gotCodes == expectCodes)
+    // ADC against query 0 equals the reference LUT sums
+    val q = corpus.head._2
+    val expectD = corpus.tail.map { case (id, _) =>
+      id -> expectCodes(id).zipWithIndex.map { case (c, s) =>
+        subD2(q, cbSorted(c), s)
+      }.sum
+    }.toMap
+    val got = Similarity.pqTopK(Similarity.pqEncode(df, cb, m),
+        df.filter($"vec_id" === 0), cb, m, k = 29).collect()
+      .map(r => r.getLong(1) -> math.round(r.getDouble(2) * 1e6)).toMap
+    assert(got == expectD)
+  }
+
   test("IVF-PQ: probes restrict candidates to lists; ADC ranks in-list") {
     val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f, 1f))
     val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f, 1f))
