@@ -1214,7 +1214,10 @@ object CorpusStats {
     val bin = least(greatest(floor(s * bins), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
     val si = round(s * lit(1000000.0)).cast("long")
-    df.filter(s.isNotNull)
+    // NaN would pass a bare isNotNull and clamp into the top bin
+    // (greatest/least treat NaN as the largest double) while its
+    // micro cast contributes nothing — drop it like null
+    df.filter(s.isNotNull && !isnan(s))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(label, 1L).otherwise(0L)).as("n_pos"),
@@ -1251,16 +1254,28 @@ object CorpusStats {
    */
   def aucPpm(df: DataFrame, score: Column, label: Column): DataFrame = {
     val s = score.cast("double")
-    val hist = df.filter(s.isNotNull)
+    val hist = df.filter(s.isNotNull && !isnan(s))
       .groupBy(s.as("s"))
       .agg(count(lit(1)).as("n"),
         sum(when(label, 1L).otherwise(0L)).as("p"))
-    val wOrd = Window.orderBy(col("s"))
+      .withColumn("b", floor(col("s") * lit(1024.0)))
+    // two-pass cumulative count so a CONTINUOUS score (near-per-doc
+    // distinct values at 100 TB) never funnels its whole histogram
+    // through one unpartitioned-window task: within-bucket prefix
+    // sums run partitioned by a coarse score bucket (floor(s·1024) —
+    // monotonic in s, so bucket order extends score order), and only
+    // the ~1024-per-unit-range bucket TOTALS ride the ordered window.
+    // Exactness is untouched: ranks are over the raw double scores.
+    val wB = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // the histogram is distinct-score-sized; the unpartitioned window
-    // is over THAT, never the corpus (quantiles' argument)
-    hist
-      .withColumn("below", coalesce(sum(col("n")).over(wOrd), lit(0L)))
+    val bucketBelow = hist.groupBy(col("b")).agg(sum(col("n")).as("bn"))
+      .withColumn("bbelow", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("b"), col("bbelow"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.join(broadcast(bucketBelow), Seq("b"))
+      .withColumn("below",
+        col("bbelow") + coalesce(sum(col("n")).over(wIn), lit(0L)))
       .withColumn("r2p",
         (lit(2L) * col("below") + col("n") + 1L).cast("decimal(38,0)") *
           col("p").cast("decimal(38,0)"))
@@ -1324,8 +1339,13 @@ object CorpusStats {
     require(rows.length <= maxWordTypes,
       s"bpeTrain: more than $maxWordTypes word types — raise the bound " +
         "deliberately or pre-normalize the corpus")
+    // split on CODE POINTS, not UTF-16 units — [[bpePairCounts]] uses
+    // Spark substr (code-point based); a char-wise split would turn
+    // astral-plane characters (emoji, CJK ext) into lone surrogates
+    // and the two operators would disagree on such corpora
     var words: Array[(Array[String], Long)] =
-      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      rows.map(r => (r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
     val out = Vector.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false

@@ -213,8 +213,12 @@ object Similarity {
             lit(s", upserted as $ivfParams"))).isNull)
       else index.withColumn("idx_params", lit(ivfParams))
     val fresh = ivfIndex(batch, centroids)
+    // anti-join on the RAW batch's vec_ids, not fresh's: assignedOf
+    // drops zero-norm embeddings, so a re-ingested vector whose new
+    // embedding is zero-norm must still RETIRE its stale index row
+    // (a from-scratch rebuild would not index it at all)
     guarded.select("vec_id", "cent_id", "idx_params")
-      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
       .unionByName(fresh)
   }
 

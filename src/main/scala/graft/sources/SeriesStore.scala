@@ -446,12 +446,15 @@ class SeriesStore(spark: SparkSession, root: String) {
    * manifest-recorded (minTs, maxTs) miss the range are dropped before
    * Spark ever lists or footer-reads them — at 100 TB the difference
    * between O(files-in-range) and O(all-files) per narrow query (the
-   * reference's B-tree subrange walk, database.go:339-364). Pruning is
-   * file-granular; row-level filtering stays the caller's job. Dedup
-   * correctness is preserved: last-write-wins groups by `ts`, and every
-   * row of an in-range `ts` lives in a file whose [minTs, maxTs]
-   * intersects the range, so no group member is pruned away. Files
-   * from pre-stats manifests (no recorded rows) are always scanned. */
+   * reference's B-tree subrange walk, database.go:339-364). The
+   * [fromNs, toNs) row filter is ALSO applied, before the dirty-dedup
+   * — which is what makes dedup exact: last-write-wins groups by `ts`,
+   * every row of an in-range `ts` lives in a file whose [minTs, maxTs]
+   * intersects the range, so in-range groups are complete, while an
+   * out-of-range ts could dedup over a PARTIAL group (its newest copy
+   * pruned) and yield a stale row — such rows are excluded, not
+   * returned. Files from pre-stats manifests (no recorded rows) are
+   * always scanned. */
   def frame(db: String, fromNs: Option[Long], toNs: Option[Long]): DataFrame =
     frameOf(db, snapshotOf(db), fromNs, toNs)
 
@@ -500,7 +503,16 @@ class SeriesStore(spark: SparkSession, root: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
       val paths = files.map(f => dbPath(db).resolve(f.name).toString)
-      val raw = spark.read.schema(schema).parquet(paths: _*)
+      val raw0 = spark.read.schema(schema).parquet(paths: _*)
+      // bounds given → apply the row filter HERE, before the dirty
+      // dedup: an out-of-range ts whose newest copy lives in a pruned
+      // file would otherwise dedup over a partial group and emit a
+      // STALE row. In-range groups are complete by construction, so
+      // filter-then-dedup is exact — and the callers' re-filter
+      // becomes a redundant (harmless) predicate.
+      var raw = raw0
+      fromNs.foreach(n => raw = raw.filter(col("ts") >= n))
+      toNs.foreach(n => raw = raw.filter(col("ts") < n))
       if (snap.clean) raw
       else raw.groupBy(col("ts"))
         .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
