@@ -116,12 +116,31 @@ object Bench {
     java.nio.file.Files.write(out,
       (line(_.toString) + "\n").getBytes("UTF-8"))
     spark.stop()
-    // the machine-parsed line: printed LAST (nothing after it on
-    // stdout) and compacted to 4 dp (~0.1 ms — well under the
-    // run-to-run jitter) so the whole ~90-query map fits inside a
-    // bounded tail capture
-    println(line(v =>
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString))
+    def fmt4(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // the full map for humans/logs (also durable in target/bench.json)
+    println(line(fmt4))
+    // the machine-parsed line, printed LAST: the driver keeps only the
+    // final ~2000 bytes of stdout and sbt appends a "[success]" trailer
+    // after main returns, so every round so far the full ~120-query
+    // line (~4.5 KB) lost its HEAD to the tail window and parsed as
+    // null. This line is budget-capped to fit the window whole:
+    // slowest queries first (where a regression is visible), count +
+    // pointer to the complete map, failures always included.
+    val budget = 1500
+    val head = s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":{"""
+    val tail = s"""},"n_queries":${results.size},"queries_full":"target/bench.json","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val sb = new StringBuilder(head)
+    var used = head.length + tail.length
+    var first = true
+    results.sortBy { case (k, v, _) => (-v, k) }.foreach { case (k, v, _) =>
+      val piece = (if (first) "" else ",") + "\"" + k + "\":" + fmt4(v)
+      if (used + piece.length <= budget) {
+        sb.append(piece); used += piece.length; first = false
+      }
+    }
+    sb.append(tail)
+    println(sb.toString)
     System.out.flush()
   }
 }
