@@ -57,7 +57,8 @@ object Bench {
       "events_cumulative_users", "text_url_parts", "sample_group_cap_domain",
       "ann_ivf_topk_indexed", "dedup_url", "ann_ivf_upsert",
       "corpus_bpe_pairs", "ann_pq_topk", "ann_ivfpq_topk", "ann_pq_rerank",
-      "text_quality_calibration", "text_quality_auc")
+      "text_quality_calibration", "text_quality_auc",
+      "text_bpe_encode", "corpus_fertility_bpe")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

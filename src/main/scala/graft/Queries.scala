@@ -42,6 +42,31 @@ object Queries {
           bands = Dedup.bandsFor(0.8)))
         .localCheckpoint())
 
+  // ---- fixed BPE merge table ------------------------------------------
+  // A rank-consistent merge list over the corpus vocabulary (every
+  // pair's component symbols merged at lower ranks — the invariant
+  // bpeTrain guarantees), FIXED so the DuckDB oracle can mirror the
+  // encode as chained replaces over a marker-delimited form;
+  // bpeTrain-learned tables are spec-verified (BpeEncodeSpec) since
+  // the training loop is not SQL-expressible.
+  private val fixedMerges: Seq[(Int, String, String)] = Seq(
+    (0, "t", "a"), (1, "ta", "b"), (2, "l", "e"), (3, "tab", "le"),
+    (4, "s", "c"), (5, "a", "n"), (6, "r", "o"), (7, "v", "a"),
+    (8, "u", "e"))
+  private def fixedMergesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixedMerges.map { case (r, l, rr) => (r, l, rr, 0L) }
+      .toDF("merge_rank", "left", "right", "pair_count")
+  }
+  // rank-order chained replaces over the '§'-marked form: '§l§r'→'§lr'
+  // matches exactly where symbol l precedes symbol r (symbols never
+  // contain the marker), and SQL replace scans left-to-right
+  // non-overlapping — the trainer's application pass
+  private def fixedMergesReplaceSql(inner: String): String =
+    fixedMerges.foldLeft(inner) { case (acc, (_, l, r)) =>
+      s"replace($acc, '§$l§$r', '§$l$r')"
+    }
+
   // ---- synthetic crawl URLs -------------------------------------------
   // The documents table carries no URL column, so the URL gates derive
   // one deterministically from (doc_id, source) — same construction on
@@ -2736,6 +2761,57 @@ object Queries {
             FROM w WHERE length(w) >= 2)
         SELECT pair, count(*)::BIGINT AS n FROM p
         GROUP BY 1 ORDER BY n DESC, pair LIMIT 40""")),
+
+    // BPE ENCODE — the apply half of the tokenizer loop: corpus text
+    // tokenized under a merge table, emitting the joined subword
+    // stream and the TRUE token count (the weight tokenBudget/
+    // packSequences should consume). The oracle mirrors the encode as
+    // rank-order chained replaces over a marker-delimited form; the
+    // space symbol is never a merge operand, so word boundaries are
+    // protected by construction.
+    "text_bpe_encode" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.bpeEncode(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          fixedMergesDf(s))
+        .select(col("id").as("doc_id"),
+          array_join(col("bpe_tokens"), "§").as("bpe_join"),
+          col("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH enc AS (SELECT doc_id,
+            ${fixedMergesReplaceSql(
+              "regexp_replace(text, '(.)', '§\\1', 'g')")} AS e
+          FROM documents),
+          flat AS (SELECT doc_id, replace(e, '§ ', '') AS f FROM enc)
+        SELECT doc_id,
+          CASE WHEN length(f) > 0 THEN substr(f, 2) ELSE '' END AS bpe_join,
+          (length(f) - length(replace(f, '§', '')))::BIGINT AS n_bpe_tokens
+        FROM flat ORDER BY doc_id""")),
+
+    // fertility under the TRUE tokenizer (bpeEncode's merge table),
+    // not the BPE-ish regex approximation — per-source subword
+    // inflation as a real multilingual-tokenizer analysis reports it
+    "corpus_fertility_bpe" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.fertilityBpe(
+          t(s, dir, "documents"), col("source"), col("text"),
+          fixedMergesDf(s))
+        .orderBy(col("source")),
+      Some(s"""WITH enc AS (SELECT source, text,
+            ${fixedMergesReplaceSql(
+              "regexp_replace(text, '(.)', '§\\1', 'g')")} AS e
+          FROM documents),
+          flat AS (SELECT source, text,
+            length(replace(e, '§ ', '')) -
+              length(replace(replace(e, '§ ', ''), '§', '')) AS nb
+          FROM enc)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+          sum(nb)::BIGINT AS bpe_tokens,
+          sum(length(text))::BIGINT AS n_chars,
+          sum(nb)::DOUBLE / sum(len(string_split(text, ' ')))::DOUBLE
+            AS fertility,
+          sum(length(text))::DOUBLE / NULLIF(sum(nb)::DOUBLE, 0.0)
+            AS chars_per_token
+        FROM flat GROUP BY 1 ORDER BY 1""")),
 
     // canonical-URL exact dedup — the crawl-frontier "seen this URL"
     // key: urlParts' canonical form (tracking params stripped, case/

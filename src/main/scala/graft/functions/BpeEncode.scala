@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `bpe_encode(word)` — apply a trained BPE merge table (Sennrich et
+ * al. 2016, arXiv:1508.07909) to one word, returning its subword
+ * tokens. This closes the tokenizer loop that
+ * `CorpusStats.bpeTrain` opens: merges learned in-engine now tokenize
+ * the corpus in-engine, so token budgets, packing, and fertility run
+ * on the SAME tokenizer training will use, not a regex approximation.
+ *
+ * Semantics mirror the trainer's application loop exactly: the word
+ * splits into CODE POINTS (what `bpePairCounts`' substr sees), then
+ * each rule applies in merge-rank order as ONE left-to-right
+ * non-overlapping pass. For any rank-consistent merge table (every
+ * pair's component symbols merged at lower ranks — the invariant BPE
+ * training guarantees by construction), one pass per rule is exact:
+ * when rule i runs, no rule < i is applicable anywhere, and the new
+ * symbol only participates in rules > i. This is also why the
+ * correctness oracle can mirror the encode as CHAINED `replace` calls
+ * over a marker-delimited form.
+ *
+ * The merge table ships as a `Broadcast` HANDLE (the serialized
+ * expression carries only the reference; TorrentBroadcast moves the
+ * table once per executor — the `UnigramNllExpr` shape). Word-TYPE
+ * memoization makes the amortized cost per corpus row one hash probe:
+ * natural-language corpora repeat word types heavily (Zipf), so the
+ * O(rules · word length) walk runs roughly once per type per task,
+ * not once per token. The memo is per-thread (eval path: expression
+ * instances are shared across local-mode task threads) / per
+ * codegen object, and capped so an adversarial corpus of unique
+ * words cannot grow it unboundedly.
+ */
+case class BpeEncodeExpr(child: Expression,
+    merges: Broadcast[Array[Array[String]]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, ArrayData]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, ArrayData]())
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.encode(input.asInstanceOf[UTF8String], merges.value,
+      memo.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the BROADCAST (small), resolve .value() once into a
+    // mutable-state local — not per row. Raw types: Janino, no generics.
+    val ref = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.lang.String[][]", "bpeMerges",
+      v => s"$v = (java.lang.String[][]) $ref.value();")
+    val memoV = ctx.addMutableState("java.util.HashMap", "bpeMemo",
+      v => s"$v = new java.util.HashMap();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeExpr.encode($c, $tbl, $memoV)")
+  }
+}
+
+object BpeEncodeExpr {
+
+  // word types actually seen per task stay far below this for any
+  // natural corpus; the cap only bounds adversarial all-unique input
+  private val memoCap = 1 << 20
+
+  /** Generated-code / eval entry point. */
+  def encode(w: UTF8String, rules: Array[Array[String]],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val s = w.toString
+    val hit = memo.get(s)
+    if (hit != null) return hit
+    // code-point split (NOT UTF-16 units): matches bpePairCounts'
+    // substr semantics and bpeTrain's driver split
+    var syms: Array[String] =
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var i = 0
+    while (i < rules.length && syms.length >= 2) {
+      val l = rules(i)(0)
+      val r = rules(i)(1)
+      // one left-to-right, non-overlapping pass (the trainer's loop)
+      var j = 0
+      var changed = false
+      while (j < syms.length - 1 && !changed) {
+        changed = syms(j) == l && syms(j + 1) == r
+        j += 1
+      }
+      if (changed) {
+        val b = Array.newBuilder[String]
+        j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            b += (l + r); j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+      }
+      i += 1
+    }
+    val out = new GenericArrayData(
+      syms.map(x => UTF8String.fromString(x): Any))
+    if (memo.size < memoCap) memo.put(s, out)
+    out
+  }
+
+  def bpe(word: Column, merges: Broadcast[Array[Array[String]]]): Column =
+    Bridge.column(BpeEncodeExpr(Bridge.expression(word), merges))
+}

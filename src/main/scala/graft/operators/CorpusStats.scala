@@ -1379,4 +1379,101 @@ object CorpusStats {
     import spark.implicits._
     out.result().toDF("merge_rank", "left", "right", "pair_count")
   }
+
+  /** [[bpeTrain]]'s merge table collected rank-ascending and shipped
+   * as a broadcast handle — the bounded tokenizer artifact every
+   * encode-side operator probes (the codebook/unigram-table shape). */
+  private def mergeRules(merges: DataFrame):
+      org.apache.spark.broadcast.Broadcast[Array[Array[String]]] = {
+    val rules = merges
+      .select(col("merge_rank").cast("int").as("r"),
+        col("left").cast("string").as("l"),
+        col("right").cast("string").as("r2"))
+      .collect().sortBy(_.getInt(0))
+      .map(row => Array(row.getString(1), row.getString(2)))
+    merges.sparkSession.sparkContext.broadcast(rules)
+  }
+
+  /** Per-document tokens under a trained BPE merge table: the encode
+   * half of the tokenizer loop ([[bpeTrain]] is the train half).
+   * Whitespace words each encode independently ([[TextOps.tokens]] is
+   * the pre-tokenizer, as in the paper), rules apply in merge-rank
+   * order, and the resulting subword streams concatenate in word
+   * order. `n_bpe_tokens` is the TRUE token count — feed it to
+   * `Sampling.tokenBudget` / `Packing.packSequences` as the weight so
+   * budget and packing decisions use the tokenizer training uses.
+   *
+   * Scale shape: the merge table is a broadcast artifact; encoding is
+   * a per-row codegen'd projection with per-task word-TYPE
+   * memoization ([[graft.functions.BpeEncodeExpr]]) — the corpus pays
+   * one scan, no join, no shuffle.
+   */
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    val bc = mergeRules(merges)
+    df.select(id.as("id"),
+        flatten(transform(TextOps.tokens(text),
+          w => graft.functions.BpeEncodeExpr.bpe(w, bc))).as("bpe_tokens"))
+      .select(col("id"), col("bpe_tokens"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+  }
+
+  /**
+   * [[bpeEncode]] with integer token IDS — what a packing/training
+   * export actually ships. The vocabulary is corpus-deterministic:
+   * every distinct emitted token (≤ distinct corpus code points +
+   * |merges|, bounded by construction) gets its lexicographic rank.
+   * The vocab table returns alongside the encoded frame so the
+   * id↔token mapping is persistable next to the merge table; ids
+   * resolve through one broadcast hash probe per token
+   * ([[graft.functions.LongMapLookupExpr]]), never a corpus-side
+   * join. Two corpus passes total (one to discover the emitted vocab,
+   * one to emit ids); `maxVocab` guards the driver-held table.
+   */
+  def bpeEncodeIds(df: DataFrame, id: Column, text: Column,
+      merges: DataFrame, maxVocab: Int = 1 << 20): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val enc = bpeEncode(df, id, text, merges)
+    val vocabRows = enc.select(explode(col("bpe_tokens")).as("token"))
+      .distinct().orderBy(col("token")).limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"bpeEncodeIds: more than $maxVocab distinct tokens — raise the " +
+        "bound deliberately or train more merges")
+    val table = new java.util.HashMap[String, java.lang.Long]()
+    vocabRows.zipWithIndex.foreach { case (r, i) =>
+      table.put(r.getString(0), i.toLong)
+    }
+    val bc = spark.sparkContext.broadcast(table)
+    val ids = enc.select(col("id"),
+      transform(col("bpe_tokens"),
+        t => graft.functions.LongMapLookupExpr.lookup(t, bc, -1L))
+        .as("token_ids"),
+      col("n_bpe_tokens"))
+    import spark.implicits._
+    val vocab = vocabRows.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getString(0)) }.toSeq
+      .toDF("token_id", "token")
+    (ids, vocab)
+  }
+
+  /** [[fertility]] with the TRUE tokenizer: `bpe_tokens` counts come
+   * from [[bpeEncode]]'s merge-table application instead of the
+   * BPE-ish regex approximation — the number a multilingual-tokenizer
+   * fertility analysis actually reports. Same output schema. */
+  def fertilityBpe(df: DataFrame, group: Column, text: Column,
+      merges: DataFrame): DataFrame = {
+    val bc = mergeRules(merges)
+    val nTrue = size(flatten(transform(TextOps.tokens(text),
+      w => graft.functions.BpeEncodeExpr.bpe(w, bc)))).cast("long")
+    df.groupBy(group.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(text)).cast("long")).as("ws_tokens"),
+        sum(nTrue).as("bpe_tokens"),
+        sum(length(text).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        when(col("bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
+  }
 }
