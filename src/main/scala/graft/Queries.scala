@@ -2787,6 +2787,62 @@ object Queries {
           (length(f) - length(replace(f, '§', '')))::BIGINT AS n_bpe_tokens
         FROM flat ORDER BY doc_id""")),
 
+    // mergeable fixed-grid quantile sketch over a CONTINUOUS value
+    // (per-doc ratio → near-per-doc distinct micro values): k=64 so
+    // the grid tier actually engages; the oracle reproduces the whole
+    // construction (micro round, pow2 width via bin-length, floor-div
+    // cells, clamped cell-start lower quantiles) integer-for-integer
+    "corpus_quantile_sketch" -> Entry(
+      (s, dir) => {
+        val v = length(col("text")).cast("double") /
+          (lit(1.0) + pmod(col("doc_id"), lit(97)).cast("double"))
+        graft.operators.CorpusStats.quantileSketchQuantiles(
+          graft.operators.CorpusStats.quantileSketch(
+            t(s, dir, "documents"), col("source"), v, k = 64),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          .orderBy(col("source"))
+      },
+      Some("""WITH v AS (SELECT source,
+            round(length(text)::DOUBLE / (1.0 + doc_id % 97)
+              * 1000000)::BIGINT AS vi
+          FROM documents),
+          mm AS (SELECT source, min(vi) AS mn, max(vi) AS mx
+            FROM v GROUP BY 1),
+          wv AS (SELECT source, mn, mx,
+            CASE WHEN (mx - mn + 1 + 63) // 64 <= 1 THEN 1::BIGINT
+              ELSE (1::BIGINT <<
+                length(bin((mx - mn + 1 + 63) // 64 - 1))) END AS w
+          FROM mm),
+          cells AS (SELECT v.source AS source, w, mn, mx,
+              vi // w AS cell, count(*) AS cn
+            FROM v JOIN wv ON v.source = wv.source
+            GROUP BY 1, 2, 3, 4, 5),
+          cum AS (SELECT source,
+              greatest(least(cell * w, mx), mn) AS cv, cn,
+              sum(cn) OVER (PARTITION BY source ORDER BY cell) AS hi,
+              sum(cn) OVER (PARTITION BY source) AS nt
+            FROM cells)
+        SELECT source, max(nt)::BIGINT AS n_rows,
+          max(CASE WHEN hi - cn < floor(0.5 * (nt - 1))::BIGINT + 1
+            AND floor(0.5 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::BIGINT AS p50_micro,
+          max(CASE WHEN hi - cn < floor(0.5 * (nt - 1))::BIGINT + 1
+            AND floor(0.5 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::DOUBLE / 1000000.0 AS p50,
+          max(CASE WHEN hi - cn < floor(0.9 * (nt - 1))::BIGINT + 1
+            AND floor(0.9 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::BIGINT AS p90_micro,
+          max(CASE WHEN hi - cn < floor(0.9 * (nt - 1))::BIGINT + 1
+            AND floor(0.9 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::DOUBLE / 1000000.0 AS p90,
+          max(CASE WHEN hi - cn < floor(0.99 * (nt - 1))::BIGINT + 1
+            AND floor(0.99 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::BIGINT AS p99_micro,
+          max(CASE WHEN hi - cn < floor(0.99 * (nt - 1))::BIGINT + 1
+            AND floor(0.99 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::DOUBLE / 1000000.0 AS p99
+        FROM cum GROUP BY 1 ORDER BY 1""")),
+
     // fertility under the TRUE tokenizer (bpeEncode's merge table),
     // not the BPE-ish regex approximation — per-source subword
     // inflation as a real multilingual-tokenizer analysis reports it

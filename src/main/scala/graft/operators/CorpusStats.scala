@@ -1476,4 +1476,132 @@ object CorpusStats {
         when(col("bpe_tokens") > 0,
           col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
   }
+
+  // ---- mergeable fixed-grid quantile sketch ---------------------------
+  // The sketch tier [[quantiles]]/[[percentileRank]] lack for
+  // CONTINUOUS columns: their exact histograms are distinct-VALUE-
+  // bounded, which for micro-quantized scores or norms is row-scale at
+  // 100 TB. This sketch is k-bounded BY CONSTRUCTION — per group, a
+  // power-of-two-width grid over the micro domain, width chosen as the
+  // smallest 2^j with ≤ k cells over the group's value range — and
+  // mergeable like [[distinctKmv]]: grids at multiples of 2^j NEST, so
+  // re-gridding a finer sketch into a coarser one is exact cell
+  // arithmetic. Merging is a HOMOMORPHISM: because a part's range is
+  // contained in the union's, part widths never exceed the union's
+  // width, so merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly —
+  // per-partition sketches roll up to the same artifact one global
+  // build produces (the property the spec pins, with associativity).
+  // Exactness below the bound: a group whose micro RANGE fits in k
+  // cells keeps width 1 — the sketch IS the exact micro histogram.
+  // Estimates are cell STARTS clamped to [sk_min, sk_max]: integer,
+  // engine-portable, within one cell width (≤ 2·range/k micro) of the
+  // true order statistic.
+
+  /** Smallest power-of-two cell width with ≤ `k` grid cells over a
+   * micro-value span of `range` slots: ceil(range/k) rounded up to a
+   * power of two (`bin()`-length trick — integer-exact, and the
+   * oracle reproduces it verbatim). */
+  private def gridW(range: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val raw = graft.functions.ldiv(range + lit((k - 1).toLong), lit(k.toLong))
+    val shifted = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        Bridge.expression(lit(1L)),
+        Bridge.expression(length(bin(raw - lit(1L))).cast("int"))))
+    when(raw <= 1L, lit(1L)).otherwise(shifted)
+  }
+
+  /** Floor division of a micro value by a positive width (pmod keeps
+   * it exact for negatives, where truncating div would round UP). */
+  private def cellOf(x: Column, w: Column): Column =
+    graft.functions.ldiv(x - pmod(x, w), w)
+
+  /**
+   * Build the per-group sketch: `(source, sk_w, sk_min, sk_max, cell,
+   * n)`, ≤ k cells per group. Values micro-quantize (`round(v·10⁶)`,
+   * the [[trimmedMean]] round); nulls and NaN drop. Two bounded
+   * shuffles: a per-group (min, max) pre-pass (2 longs per group,
+   * map-side combined) picks the width, then the corpus aggregates
+   * straight into grid cells — the distinct-VALUE histogram is never
+   * materialized, which is the whole point at row-scale cardinality.
+   */
+  def quantileSketch(df: DataFrame, group: Column, value: Column,
+      k: Int = 4096): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val v = value.cast("double")
+    val rows = df.filter(v.isNotNull && !isnan(v))
+      .select(group.as("source"),
+        round(v * lit(1000000.0)).cast("long").as("vi"))
+    val mm = rows.groupBy(col("source"))
+      .agg(min(col("vi")).as("sk_min"), max(col("vi")).as("sk_max"))
+      .withColumn("sk_w", gridW(col("sk_max") - col("sk_min") + 1L, k))
+    rows.join(broadcast(mm), Seq("source"))
+      .groupBy(col("source"), col("sk_w"), col("sk_min"), col("sk_max"),
+        cellOf(col("vi"), col("sk_w")).as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Merge sketch frames (a union of [[quantileSketch]] outputs for
+   * the same k — per-partition builds, per-day builds, standing
+   * artifact + fresh batch): per group the merged width is
+   * `max(part widths, gridW(merged range))` and every part cell
+   * re-grids exactly (widths are powers of two, grids nest). The
+   * width rule is a max of maxes plus a monotone function of the
+   * merged range, so the merge is ASSOCIATIVE and commutative — and
+   * equal to building the sketch from the unioned raw data.
+   */
+  def quantileSketchMerge(sketches: DataFrame, k: Int = 4096): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val mm = sketches.groupBy(col("source"))
+      .agg(min(col("sk_min")).as("mn"), max(col("sk_max")).as("mx"),
+        max(col("sk_w")).as("wmax"))
+      .withColumn("w2", greatest(col("wmax"),
+        gridW(col("mx") - col("mn") + 1L, k)))
+      .select(col("source"), col("mn"), col("mx"), col("w2"))
+    sketches.join(broadcast(mm), Seq("source"))
+      .withColumn("cell2", cellOf(col("cell") * col("sk_w"), col("w2")))
+      .groupBy(col("source"), col("w2"), col("mn"), col("mx"), col("cell2"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("source"), col("w2").as("sk_w"), col("mn").as("sk_min"),
+        col("mx").as("sk_max"), col("cell2").as("cell"), col("n"))
+  }
+
+  /**
+   * Quantile estimates off a sketch: for each (name, q) the LOWER
+   * order statistic's cell — rank `⌊q·(n−1)⌋ + 1` — emitted as the
+   * clamped cell start, both micro (`<name>_micro` long, integer-
+   * exact) and double (`<name>`, one division). Exact when the
+   * group's width is 1 (range under the bound); within one cell width
+   * otherwise. The ordered window runs over ≤ k cells per group —
+   * never the corpus ([[quantiles]]' argument, with the cardinality
+   * now GUARANTEED by the sketch, not assumed of the column).
+   */
+  def quantileSketchQuantiles(sketch: DataFrame,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 },
+      "quantiles must be in [0, 1]")
+    val cum = sketch
+      .withColumn("cv", greatest(least(col("cell") * col("sk_w"),
+        col("sk_max")), col("sk_min")))
+      .withColumn("hi", sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("cell"))))
+      .withColumn("lo", col("hi") - col("n"))
+      .withColumn("nt", sum(col("n")).over(
+        Window.partitionBy(col("source"))))
+    val aggs = max(col("nt")).as("n_rows") +:
+      qs.zipWithIndex.map { case ((_, q), i) =>
+        val kr = floor(lit(q) * (col("nt") - 1).cast("double"))
+          .cast("long") + lit(1L)
+        max(when(col("lo") < kr && kr <= col("hi"), col("cv")))
+          .as(s"_m$i")
+      }
+    val outs = qs.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(col(s"_m$i").as(s"${name}_micro"),
+        (col(s"_m$i").cast("double") / lit(1000000.0)).as(name))
+    }
+    cum.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source") +: col("n_rows") +: outs: _*)
+  }
 }
