@@ -2322,6 +2322,63 @@ object Queries {
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
+    // incremental PQ code maintenance: base corpus encoded, the rest
+    // upserted as a batch — probing the upserted codes must equal the
+    // from-scratch encode (the annPqOracle), mirroring ann_ivf_upsert
+    "ann_pq_upsert" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0 &&
+          col("vec_id") < 4096)
+        val base = Similarity.pqEncode(
+          emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), cb, m = 4)
+        val codes = Similarity.pqUpsert(base,
+          emb.filter(pmod(col("vec_id"), lit(3)) === 0), cb, m = 4)
+        Similarity.pqTopK(codes, emb.filter(col("vec_id") < 8), cb,
+          m = 4, k = 10)
+      },
+      Some(annPqOracle(codeMod = 64, codeCap = 4096, m = 4, k = 10))),
+
+    // measured ADC recall vs exact cosine on the deterministic query
+    // sample — the number the m/K presets ship with; the oracle
+    // recomputes BOTH sides (integer ADC ranking, exact cosine
+    // ranking) and the same ppm division
+    "ann_pq_recall_audit" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0 &&
+          col("vec_id") < 4096)
+        Similarity.pqRecallAudit(Similarity.pqEncode(emb, cb, m = 4),
+          emb, emb.filter(col("vec_id") < 8), cb, m = 4, k = 10)
+      },
+      Some(s"""WITH ${pqCtes(codeMod = 64, codeCap = 4096, m = 4)},
+        adc AS (SELECT l.query_id, c.vec_id, sum(l.d2u)::BIGINT AS d2u
+          FROM codes c JOIN lut l ON c.s = l.s AND c.code_ix = l.code_ix
+          WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+        found AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY d2u, vec_id) AS rn FROM adc) WHERE rn <= 10),
+        nv AS (SELECT vec_id, embedding AS v, ${nrmSql("embedding")} AS n
+          FROM embeddings),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id,
+            ${dotSql.format("c.v", "q.v")} / (q.n * c.n) AS sim
+          FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 8 AND q.n > 0 AND c.n > 0),
+        truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS rn FROM scored)
+          WHERE rn <= 10),
+        j AS (SELECT t.query_id, t.vec_id,
+            CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END AS fnd
+          FROM truth t LEFT JOIN found f
+            ON f.query_id = t.query_id AND f.vec_id = t.vec_id)
+        SELECT count(*)::BIGINT AS true_pairs,
+          sum(fnd)::BIGINT AS found_pairs,
+          (count(*) - sum(fnd))::BIGINT AS missed_pairs,
+          (sum(fnd)::BIGINT * 1000000 // count(*)::BIGINT)::BIGINT
+            AS recall_micro
+        FROM j""")),
+
     // maxBucket=1024 bounds the sketch buckets however large the
     // corpus grows (a no-op at the sf0.01 gate size; at the 100×
     // probe it caps the per-bucket quadratic the replica cliques

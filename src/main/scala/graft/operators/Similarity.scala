@@ -283,9 +283,6 @@ object Similarity {
   def pqTopK(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
       m: Int, k: Int): DataFrame = {
     require(m >= 1 && k >= 1, "m and k must be >= 1")
-    // K bounds the LUT index arithmetic; the codebook is a bounded
-    // artifact, so the one driver count is model-table-sized
-    val kCodes = codebook.count().toInt
     val lut = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(rankedCodebook(codebook))
@@ -297,13 +294,17 @@ object Similarity {
       .agg(transform(array_sort(collect_list(
           struct(col("s"), col("code_ix"), col("d2u")))),
         x => x.getField("d2u")).as("lut")) // ordered by (s, code_ix)
+      // K rides the LUT itself (|lut| = m·K): no per-call
+      // codebook.count() driver action, so composed probes (rerank =
+      // pqTopK + join) launch one fewer job per query batch
+      .withColumn("kc", (size(col("lut")) / lit(m)).cast("int"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2u").asc, col("vec_id"))
     codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("d2u", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
         (acc, s) => acc + element_at(col("lut"),
-          s * lit(kCodes) + element_at(col("codes"), s + 1) + 1)))
+          s * col("kc") + element_at(col("codes"), s + 1) + 1)))
       .select(col("query_id"), col("vec_id"), col("d2u"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -330,7 +331,6 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     require(m >= 1 && k >= 1, "m and k must be >= 1")
     val cents = centsOf(centroids)
-    val kCodes = codebook.count().toInt
     val lut = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(rankedCodebook(codebook))
@@ -342,6 +342,8 @@ object Similarity {
       .agg(transform(array_sort(collect_list(
           struct(col("s"), col("code_ix"), col("d2u")))),
         x => x.getField("d2u")).as("lut"))
+      // |lut| = m·K — same no-driver-action K derivation as pqTopK
+      .withColumn("kc", (size(col("lut")) / lit(m)).cast("int"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__csim").desc, col("cent_id"))
     val probes = scoredAgainst(cents, queries, "query_id")
@@ -357,7 +359,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("d2u", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
         (acc, s) => acc + element_at(col("lut"),
-          s * lit(kCodes) + element_at(col("codes"), s + 1) + 1)))
+          s * col("kc") + element_at(col("codes"), s + 1) + 1)))
       .select(col("query_id"), col("vec_id"), col("d2u"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -395,6 +397,61 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /**
+   * Incremental PQ code maintenance — [[ivfIndexUpsert]]'s complement
+   * for the code artifact: encode ONLY the new batch (batch·K·m work,
+   * never the standing corpus) and upsert into the stored code frame;
+   * every raw-batch vec_id replaces (or re-creates) its prior row, so
+   * re-ingested vectors re-encode cleanly. Equal to a from-scratch
+   * [[pqEncode]] of the merged corpus (the gate's contract) because
+   * encoding is per-row deterministic in the codebook.
+   */
+  def pqUpsert(codes: DataFrame, batch: DataFrame, codebook: DataFrame,
+      m: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val fresh = pqEncode(batch, codebook, m)
+    codes.join(batch.select(col("vec_id")).distinct(), Seq("vec_id"),
+        "left_anti")
+      .unionByName(fresh)
+  }
+
+  /**
+   * Measured PQ recall — [[graft.operators.Dedup.lshRecallAudit]]'s
+   * ANN counterpart, so the m/K presets ship with a NUMBER: ADC top-k
+   * over the codes vs exact cosine top-k over the true vectors, on
+   * the caller's (deterministic) query sample. `recall_micro` =
+   * found∩truth / |truth| in ppm. Truth excludes zero-norm corpus
+   * vectors (cosine undefined — [[cosineTopK]]'s filter); extra ADC
+   * rows outside the truth set only lower recall, never error. The
+   * exact pass costs one broadcast scan over the sample — audit-
+   * sized, not corpus-pair-sized.
+   */
+  def pqRecallAudit(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, codebook: DataFrame, m: Int, k: Int): DataFrame =
+    recallOf(cosineTopK(corpus, queries, k),
+      pqTopK(codes, queries, codebook, m, k))
+
+  /** [[pqRecallAudit]] for the composed IVF-PQ probe: how much recall
+   * the list restriction + code quantization cost TOGETHER vs exact
+   * cosine — the number that picks `nprobe`. */
+  def ivfPqRecallAudit(index: DataFrame, codes: DataFrame,
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, k: Int, nprobe: Int = 2): DataFrame =
+    recallOf(cosineTopK(corpus, queries, k),
+      ivfPqTopK(index, codes, queries, centroids, codebook, m, k, nprobe))
+
+  private def recallOf(truth: DataFrame, found: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("vec_id"))
+      .join(found.select(col("query_id"), col("vec_id"),
+        lit(1L).as("__f")), Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("true_pairs"),
+        coalesce(sum(coalesce(col("__f"), lit(0L))), lit(0L))
+          .as("found_pairs"))
+      .withColumn("missed_pairs", col("true_pairs") - col("found_pairs"))
+      .withColumn("recall_micro", when(col("true_pairs") > 0,
+        graft.functions.ldiv(col("found_pairs") * lit(1000000L),
+          col("true_pairs"))))
 
   /**
    * Real PQ codebook training: `m` INDEPENDENT per-subspace k-means
