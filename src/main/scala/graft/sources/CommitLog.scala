@@ -251,17 +251,27 @@ object CommitLog {
    * (legacy manifest): such files are always scanned, so old tables
    * stay correct and pick up stats on their next compact. */
   case class FileEntry(name: String, bytes: Long,
-      minTs: Long = 0L, maxTs: Long = 0L, rows: Long = -1L) {
+      minTs: Long = 0L, maxTs: Long = 0L, rows: Long = -1L,
+      cats: Option[Vector[String]] = None) {
     def hasStats: Boolean = rows >= 0
     /** File may contain a ts in [fromNs, toNs)? Unknown stats ⇒ true. */
     def mayOverlap(fromNs: Option[Long], toNs: Option[Long]): Boolean =
       if (!hasStats) true
       else if (rows == 0) false
       else fromNs.forall(maxTs >= _) && toNs.forall(minTs < _)
+    /** File may contain a row whose DECLARED categorical column equals
+     * `v`? Unrecorded set (legacy manifests, undeclared writes, sets
+     * over the write-time cap) ⇒ true — pruning is only ever an
+     * optimization, never a correctness dependency. The recorded set
+     * excludes nulls: a null category can never satisfy an equality
+     * predicate, so an all-null file prunes away soundly. */
+    def mayContainCat(v: String): Boolean = cats.forall(_.contains(v))
     def toJson: String = {
       val stats = if (hasStats) s""","min":$minTs,"max":$maxTs,"rows":$rows"""
         else ""
-      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats}"""
+      val cstats = cats.fold("")(cs =>
+        s""","cats":${cs.map(SeriesStore.jsonQuote).mkString("[", ",", "]")}""")
+      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats$cstats}"""
     }
   }
 
@@ -317,10 +327,18 @@ object CommitLog {
     val it = arr.elements()
     while (it.hasNext) {
       val e = it.next()
+      val cats =
+        if (e.has("cats")) {
+          val cb = Vector.newBuilder[String]
+          val cit = e.get("cats").elements()
+          while (cit.hasNext) cb += cit.next().asText()
+          Some(cb.result())
+        } else None
       b += FileEntry(e.get("f").asText(), e.get("bytes").asLong(),
         if (e.has("min")) e.get("min").asLong() else 0L,
         if (e.has("max")) e.get("max").asLong() else 0L,
-        if (e.has("rows")) e.get("rows").asLong() else -1L)
+        if (e.has("rows")) e.get("rows").asLong() else -1L,
+        cats)
     }
     b.result()
   }

@@ -246,7 +246,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * manifest publishes them). Staging through a private temp dir per
    * write job removes the shared `_temporary/0` that makes concurrent
    * appends to one directory mutually destructive. */
-  private def stage(db: String, data: DataFrame): Seq[CommitLog.FileEntry] = {
+  private def stage(db: String, data: DataFrame,
+      catPtr: Option[String] = None): Seq[CommitLog.FileEntry] = {
     val p = dbPath(db)
     val id = java.util.UUID.randomUUID().toString
     val tmp = p.resolve(s"_stage-$id")
@@ -265,8 +266,45 @@ class SeriesStore(spark: SparkSession, root: String) {
       SeriesStore.fileEntry(p.resolve(name))
     }.toSeq
     walked(tmp)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-    entries
+    withCatStats(db, entries, catPtr)
   }
+
+  /** Record each staged file's bounded distinct set of the declared
+   * categorical column (a JSON pointer into `doc`) next to its time
+   * stats — the second manifest pruning axis ([[frame]]'s `catPtr`
+   * overload). One batch-scale job per commit (per-file `collect_set`
+   * over the just-written files); a file whose set exceeds
+   * [[SeriesStore.CatsMax]] records nothing and is simply never
+   * pruned, and any failure degrades to stat-less (unpruned) entries
+   * — pruning stays an optimization, never a dependency. */
+  private def withCatStats(db: String, entries: Seq[CommitLog.FileEntry],
+      catPtr: Option[String]): Seq[CommitLog.FileEntry] =
+    if (catPtr.isEmpty || entries.isEmpty) entries
+    else try {
+      val p = dbPath(db)
+      val paths = entries.map(e => p.resolve(e.name).toString)
+      val byFile = spark.read.schema(schema).parquet(paths: _*)
+        .select(input_file_name().as("__f"),
+          SeriesStore.catValueCol(catPtr.get).as("__c"))
+        .filter(col("__c").isNotNull)
+        .groupBy(col("__f"))
+        .agg(slice(sort_array(collect_set(col("__c"))), 1,
+          SeriesStore.CatsMax + 1).as("cs"))
+        .collect()
+        .map(r => (r.getString(0).substring(
+          r.getString(0).lastIndexOf('/') + 1), r.getSeq[String](1).toVector))
+        .toMap
+      entries.map { e =>
+        byFile.get(e.name) match {
+          case Some(cs) if cs.size <= SeriesStore.CatsMax =>
+            e.copy(cats = Some(cs))
+          case Some(_) => e // over the cap — record nothing
+          // no non-null category anywhere in the file: the empty set
+          // is sound for equality pruning (nulls never match)
+          case None => e.copy(cats = Some(Vector()))
+        }
+      }
+    } catch { case _: Exception => entries }
 
   private def unstage(db: String, entries: Seq[CommitLog.FileEntry]): Unit =
     entries.foreach(e => Files.deleteIfExists(dbPath(db).resolve(e.name)))
@@ -383,7 +421,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * another writer consumed our seq range — restage against the new
    * snapshot and try again. `mk` receives the first free seq and
    * returns (frame to stage, highest seq reserved). */
-  private def appendCommit(db: String)(
+  private def appendCommit(db: String, catPtr: Option[String] = None)(
       mk: Long => (DataFrame, Long)): Unit = withStageGuard(db) {
     ensureMigrated(db)
     val log = logOf(db)
@@ -393,7 +431,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       val snap = log.snapshot()
       require(snap.version >= 1, s"no such database: $db")
       val (data, seqHi) = mk(snap.lastSeq + 1)
-      val staged = stage(db, data)
+      val staged = stage(db, data, catPtr)
       val m = CommitLog.Manifest(snap.version + 1, "append", staged,
         seqHi = seqHi, clean = false)
       if (log.tryCommit(m)) { log.checkpointMaybe(log.snapshot()); done = true }
@@ -417,12 +455,22 @@ class SeriesStore(spark: SparkSession, root: String) {
    * (partition index · 2³³ + row), so the reserved range is
    * `numPartitions · 2³³` wide; a partition would need > 8.6 B rows
    * to overflow its slot. */
-  def storeBatch(db: String, docs: DataFrame): Unit = {
+  def storeBatch(db: String, docs: DataFrame): Unit =
+    storeBatch(db, docs, None)
+
+  /** [[storeBatch]] with a DECLARED categorical column (`catPtr`, a
+   * JSON pointer like `/source`): each staged file additionally
+   * records its bounded distinct set of that column in the manifest,
+   * so [[frame]]'s categorical overload can prune files the way time
+   * stats already do. Declaration is per write — batches written
+   * without it (or with a different pointer) simply never prune. */
+  def storeBatch(db: String, docs: DataFrame,
+      catPtr: Option[String]): Unit = {
     val selected = docs.select(col("ts").cast(LongType).as("ts"),
       col("doc").cast(StringType).as("doc"))
     val parts = math.max(1, selected.rdd.getNumPartitions)
     withWriteLock(db) {
-      appendCommit(db) { seqBase =>
+      appendCommit(db, catPtr) { seqBase =>
         (selected.select(col("ts"),
           (monotonically_increasing_id() + lit(seqBase)).as("seq"), col("doc")),
           seqBase + (parts.toLong << 33) - 1)
@@ -458,11 +506,36 @@ class SeriesStore(spark: SparkSession, root: String) {
   def frame(db: String, fromNs: Option[Long], toNs: Option[Long]): DataFrame =
     frameOf(db, snapshotOf(db), fromNs, toNs)
 
+  /** Queryable view restricted to rows whose declared categorical
+   * column (`catPtr`, the pointer [[storeBatch]]/[[compact]] recorded
+   * stats for) equals `catValue` — time bounds optional. On a CLEAN
+   * snapshot, files whose recorded category set lacks the value are
+   * dropped before Spark lists them (the per-source/per-domain analog
+   * of time pruning; [[compact]]'s `catPtr` clustering is what makes
+   * the file sets narrow). On a dirty snapshot no categorical file
+   * pruning happens and the filter applies AFTER last-write-wins
+   * dedup — an overwrite can CHANGE a row's category, so both
+   * pre-dedup filtering and pruning could resurrect a superseded
+   * version; time pruning has no such hazard because ts IS the dedup
+   * key. */
+  def frame(db: String, fromNs: Option[Long], toNs: Option[Long],
+      catPtr: String, catValue: String): DataFrame =
+    frameOf(db, snapshotOf(db), fromNs, toNs, Some((catPtr, catValue)))
+
   /** The live files a [fromNs, toNs) scan touches after manifest-stat
    * pruning — the spec/diagnostic surface for the file-skipping path. */
   private[graft] def scanFiles(db: String, fromNs: Option[Long] = None,
-      toNs: Option[Long] = None): Seq[CommitLog.FileEntry] =
-    snapshotOf(db).files.filter(_.mayOverlap(fromNs, toNs))
+      toNs: Option[Long] = None,
+      cat: Option[String] = None): Seq[CommitLog.FileEntry] = {
+    val snap = snapshotOf(db)
+    val base = cat match {
+      // same clean-only rule as frameOf — the diagnostic must mirror
+      // exactly what a read would scan
+      case Some(v) if snap.clean => snap.files.filter(_.mayContainCat(v))
+      case _ => snap.files
+    }
+    base.filter(_.mayOverlap(fromNs, toNs))
+  }
 
   /** Time travel: the queryable view as of committed `version`
    * ([[history]] lists them). Exact while the version's files
@@ -497,8 +570,17 @@ class SeriesStore(spark: SparkSession, root: String) {
   }
 
   private def frameOf(db: String, snap: CommitLog.Snapshot,
-      fromNs: Option[Long] = None, toNs: Option[Long] = None): DataFrame = {
-    val files = snap.files.filter(_.mayOverlap(fromNs, toNs))
+      fromNs: Option[Long] = None, toNs: Option[Long] = None,
+      catEq: Option[(String, String)] = None): DataFrame = {
+    // categorical pruning ONLY on clean snapshots: dirty, a pruned
+    // file could hold the NEWEST version of a ts whose older copy
+    // (different category) survives — see the frame overload's doc
+    val catFiles = catEq match {
+      case Some((_, v)) if snap.clean =>
+        snap.files.filter(_.mayContainCat(v))
+      case _ => snap.files
+    }
+    val files = catFiles.filter(_.mayOverlap(fromNs, toNs))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -513,9 +595,16 @@ class SeriesStore(spark: SparkSession, root: String) {
       var raw = raw0
       fromNs.foreach(n => raw = raw.filter(col("ts") >= n))
       toNs.foreach(n => raw = raw.filter(col("ts") < n))
-      if (snap.clean) raw
-      else raw.groupBy(col("ts"))
-        .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
+      val resolved =
+        if (snap.clean) raw
+        else raw.groupBy(col("ts"))
+          .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
+      // the categorical row filter runs AFTER dedup (an overwrite can
+      // change the category; ts cannot change — that asymmetry is why
+      // the time filter may run before and this one must not)
+      catEq.fold(resolved) { case (ptr, v) =>
+        resolved.filter(SeriesStore.catValueCol(ptr) === lit(v))
+      }
     }
   }
 
@@ -592,8 +681,24 @@ class SeriesStore(spark: SparkSession, root: String) {
    * merge small files (database.go:136-171 — the table-format
    * OPTIMIZE). Replaced files stay on disk for in-flight readers
    * until [[vacuum]]. */
-  def compact(db: String): Unit = {
-    withWriteLock(db)(rewrite(db, identity, countBase = false))
+  def compact(db: String): Unit = compact(db, None)
+
+  /** [[compact]] with a DECLARED categorical column: the rewrite
+   * range-partitions by (category, ts) instead of ts alone and
+   * records each output file's category set in the manifest — after
+   * this, a per-source/per-domain read ([[frame]]'s `catPtr`
+   * overload) touches only that category's files, the curation-table
+   * analog of the time-subrange walk. Tradeoff made explicit: ts
+   * ranges then interleave ACROSS categories, so pure-time pruning
+   * coarsens to per-category file runs — declare the column the
+   * table is actually read by. `rowsPerFile` sizes output files
+   * (default 4M rows ≈ the 128 MB-class file the unparametrized
+   * compact always produced). */
+  def compact(db: String, catPtr: Option[String],
+      rowsPerFile: Long = 4000000L): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    withWriteLock(db)(rewrite(db, identity, countBase = false,
+      catPtr, rowsPerFile))
     stat(db).compacts.increment()
   }
 
@@ -674,7 +779,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * new state (the standard table-format conflict rule: append vs
    * replace commutes, replace vs replace does not). */
   private def rewrite(db: String, xform: DataFrame => DataFrame,
-      countBase: Boolean): (Long, Long) = withStageGuard(db) {
+      countBase: Boolean, catPtr: Option[String] = None,
+      rowsPerFile: Long = 4000000L): (Long, Long) = withStageGuard(db) {
     val log = logOf(db)
     var outer = 0
     var result: (Long, Long) = null
@@ -689,11 +795,19 @@ class SeriesStore(spark: SparkSession, root: String) {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = cached.count()
-        val partitions = math.max(1, (n / 4000000L).toInt)
+        val partitions = math.max(1, (n / rowsPerFile).toInt)
+        // declared category → cluster files by (category, ts) so the
+        // manifest's per-file category sets come out narrow; plain
+        // compact keeps the ts-only layout (tight time pruning)
+        val rangeCols = catPtr match {
+          case Some(ptr) => Seq(SeriesStore.catValueCol(ptr), col("ts"))
+          case None => Seq(col("ts"))
+        }
         val sized =
           if (partitions == 1) cached.coalesce(1)
-          else cached.repartitionByRange(partitions, col("ts"))
-        val staged = stage(db, sized.sortWithinPartitions("ts"))
+          else cached.repartitionByRange(partitions, rangeCols: _*)
+        val staged = stage(db,
+          sized.sortWithinPartitions(rangeCols: _*), catPtr)
         var committed = false
         var aborted = false
         while (!committed && !aborted) {
@@ -845,6 +959,20 @@ object SeriesStore {
     StructField("ts", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("doc", StringType, nullable = false)))
+
+  /** Per-file categorical-set cap: a source/domain/shard column has a
+   * handful of values per time-clustered file; a column that exceeds
+   * this in one file is not categorical enough to prune on, so the
+   * file records nothing (and is never pruned). */
+  val CatsMax = 16
+
+  /** The declared categorical column: a JSON-pointer scalar out of
+   * `doc`, stringified by the engine's canonical Go-`%v` rules — the
+   * SAME representation at stat-record time and predicate time, so
+   * equality pruning and the row filter can never disagree. */
+  private[graft] def catValueCol(ptr: String) =
+    graft.functions.JsonPointersExpr.jsonPointers(col("doc"), Seq(ptr))
+      .getField("p0").getField("str")
 
   case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
 

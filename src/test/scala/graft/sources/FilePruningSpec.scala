@@ -180,6 +180,96 @@ class FilePruningSpec extends SparkSpec {
     assert(Snapshot.fromJson(snap.toJson) == snap)
   }
 
+  // ---- categorical manifest stats (the second pruning axis) ----------
+
+  private def loadThreeSources(s: SeriesStore, catPtr: Option[String]): Unit = {
+    s.create("db")
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (src, d) =>
+      val docs = (0 until 40).map(i => (day(d) + i * 60L * 1000000000L,
+        s"""{"src": "$src", "i": $i}"""))
+      s.storeBatch("db", docs.toDF("ts", "doc"), catPtr)
+    }
+  }
+
+  test("declared categorical column records per-file sets; compact clusters and prunes") {
+    val s = newStore()
+    loadThreeSources(s, Some("/src"))
+    // recorded on append commits already (even though dirty snapshots
+    // won't prune on them)
+    assert(s.scanFiles("db").forall(_.cats.isDefined))
+    // clean + clustered: compact by the declared column, small files
+    s.compact("db", Some("/src"), rowsPerFile = 40L)
+    val all = s.scanFiles("db")
+    assert(all.size > 1, s"need multiple files to prune, got ${all.size}")
+    assert(all.forall(_.cats.isDefined))
+    val hit = s.scanFiles("db", cat = Some("beta"))
+    assert(hit.size < all.size, s"expected pruning: ${hit.size} vs ${all.size}")
+    // pruned read ≡ unpruned read, row for row
+    val pruned = s.frame("db", None, None, "/src", "beta")
+    val full = s.frame("db").filter(
+      SeriesStore.catValueCol("/src") === "beta")
+    assert(pruned.orderBy("ts").collect().toSeq ==
+      full.orderBy("ts").collect().toSeq)
+    assert(pruned.count() == 40)
+  }
+
+  test("category pruning never applies to dirty snapshots: overwrites that change category stay correct") {
+    val s = newStore()
+    s.create("db")
+    val ts = day(0)
+    s.storeBatch("db", Seq((ts, """{"src": "a", "v": 1}""")).toDF("ts", "doc"),
+      Some("/src"))
+    // overwrite the SAME ts with a different category (dirty snapshot)
+    s.storeBatch("db", Seq((ts, """{"src": "b", "v": 2}""")).toDF("ts", "doc"),
+      Some("/src"))
+    // the superseded version (src=a) must NOT resurrect
+    assert(s.frame("db", None, None, "/src", "a").count() == 0)
+    val b = s.frame("db", None, None, "/src", "b")
+      .select("doc").as[String].collect().toSeq
+    assert(b == Seq("""{"src": "b", "v": 2}"""))
+  }
+
+  test("undeclared writes and legacy manifests never categorically prune") {
+    val s = newStore()
+    loadThreeSources(s, None) // no declaration — no cats recorded
+    s.compact("db") // clean, but still no cats
+    assert(s.scanFiles("db").forall(_.cats.isEmpty))
+    assert(s.scanFiles("db", cat = Some("beta")).size ==
+      s.scanFiles("db").size)
+    val r = s.frame("db", None, None, "/src", "beta")
+    assert(r.count() == 40) // row filter alone is still exact
+  }
+
+  test("a file over the category cap records nothing and is never pruned") {
+    val s = newStore()
+    s.create("db")
+    val docs = (0 until (SeriesStore.CatsMax + 5)).map(i =>
+      (day(0) + i * 1000000000L, s"""{"src": "s$i"}"""))
+    // one partition → one file holding CatsMax+5 distinct categories
+    s.storeBatch("db", docs.toDF("ts", "doc").coalesce(1), Some("/src"))
+    val files = s.scanFiles("db")
+    assert(files.size == 1)
+    assert(files.head.cats.isEmpty, "over-cap file must record nothing")
+    assert(files.head.mayContainCat("s0") && files.head.mayContainCat("nope"))
+    s.compact("db", Some("/src"), rowsPerFile = 1000L) // clean, 1 file
+    assert(s.frame("db", None, None, "/src", "s3").count() == 1)
+  }
+
+  test("FileEntry cats survive the manifest JSON round-trip") {
+    val m = Manifest(7, "append",
+      Seq(FileEntry("a.parquet", 5, -10L, 99L, 3L,
+          cats = Some(Vector("x", "y"))),
+        FileEntry("b.parquet", 6, 0L, 1L, 1L, cats = Some(Vector())),
+        FileEntry("c.parquet", 6)),
+      seqHi = 12, clean = false)
+    val back = Manifest.fromJson(m.toJson)
+    assert(back == m)
+    assert(back.files(0).mayContainCat("x"))
+    assert(!back.files(0).mayContainCat("z"))
+    assert(!back.files(1).mayContainCat("x")) // empty set: all-null file
+    assert(back.files(2).mayContainCat("anything")) // unrecorded
+  }
+
   test("legacy adoption records stats for adopted part- files") {
     val root = Files.createTempDirectory("graft-prune").toString
     // fabricate a pre-commit-log db: plain part-*.parquet in the dir
