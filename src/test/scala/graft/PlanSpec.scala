@@ -213,6 +213,40 @@ class PlanSpec extends SparkSpec {
       s"pruned read lists more than the in-range file:\n$p")
   }
 
+  test("every unpartitioned window in the registry rides a bounded frame") {
+    assume(available)
+    import org.apache.spark.sql.catalyst.plans.logical
+    // An ordered window with NO partition spec funnels its whole input
+    // through one task — acceptable ONLY on frames bounded by
+    // construction. Two bounded classes exist in this codebase:
+    //   (a) the frame sits on an Aggregate (value histograms, score
+    //       buckets, per-period rollups, 4096-bucket prefix tables) —
+    //       cardinality-bounded by the group keys' domain, never rows;
+    //   (b) the broadcast-sized codebook row_number (rankedCodebook),
+    //       which has no aggregate beneath but is a bounded artifact
+    //       by contract — whitelisted BY QUERY NAME below.
+    // Anything else is a new unbounded single-task shuffle: fail until
+    // it is either re-shaped or deliberately whitelisted here.
+    val codebookOk = Set("ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
+      "ann_pq_upsert", "ann_pq_recall_audit")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val unbounded = lp.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty =>
+          w.child.collectFirst {
+            case _: logical.Aggregate => ()
+            case _: logical.LocalRelation => ()
+          }.isEmpty
+      }.count(identity)
+      if (unbounded > 0 && !codebookOk.contains(name))
+        Some(s"$name($unbounded)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows on non-aggregate frames in: $offenders")
+  }
+
   test("no registry query degenerates to a non-broadcast cartesian product") {
     assume(available)
     // BroadcastNestedLoopJoin with a bounded broadcast side is a
