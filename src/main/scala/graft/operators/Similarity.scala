@@ -441,6 +441,33 @@ object Similarity {
     recallOf(cosineTopK(corpus, queries, k),
       ivfPqTopK(index, codes, queries, centroids, codebook, m, k, nprobe))
 
+  /**
+   * Semantic admission screen against a STANDING PQ index: each batch
+   * vector ADC-probes the persisted codes ([[pqTopK]], k=1) and is
+   * admitted iff its nearest standing neighbor sits FURTHER than
+   * `maxD2Micro` (micro-quantized squared L2 — the integer domain
+   * every PQ artifact already uses). Batch-scaled work on a
+   * corpus-scale standing set: the corpus contributes its m-byte
+   * codes to one broadcast-LUT scan, embeddings never read — the
+   * [[graft.operators.Dedup.incremental]] shape for the semantic
+   * tier. Batch vectors with no scoreable neighbor (empty standing
+   * set) admit. A batch vec_id colliding with a standing vec_id is
+   * screened against the OTHER standing vectors only (the probe's
+   * self-exclusion), matching re-ingest semantics.
+   */
+  def admitSemantic(batch: DataFrame, codes: DataFrame,
+      codebook: DataFrame, m: Int, maxD2Micro: Long): DataFrame = {
+    require(maxD2Micro >= 0, "maxD2Micro must be >= 0")
+    val nn = pqTopK(codes, batch, codebook, m, k = 1)
+      .select(col("query_id").as("vec_id"),
+        col("vec_id").as("nearest_id"),
+        round(col("adc_d2") * lit(1000000.0)).cast("long").as("d2_micro"))
+    batch.select(col("vec_id")).distinct()
+      .join(nn, Seq("vec_id"), "left")
+      .withColumn("admit",
+        coalesce(col("d2_micro") > maxD2Micro, lit(true)))
+  }
+
   private def recallOf(truth: DataFrame, found: DataFrame): DataFrame =
     truth.select(col("query_id"), col("vec_id"))
       .join(found.select(col("query_id"), col("vec_id"),

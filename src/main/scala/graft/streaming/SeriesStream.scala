@@ -73,6 +73,35 @@ object SeriesStream {
       .start()
 
   /**
+   * Streaming SEMANTIC admission against a standing PQ index — the
+   * third admission tier next to [[admitStream]]'s exact+MinHash text
+   * screen: each micro-batch of `(vec_id, embedding)` rows ADC-probes
+   * the persisted code/codebook artifacts
+   * ([[graft.operators.Similarity.admitSemantic]]) and only vectors
+   * whose nearest standing neighbor is FURTHER than `maxD2Micro`
+   * reach the sink. Per micro-batch the work is batch-scaled (the
+   * standing corpus participates as m-byte codes under one broadcast
+   * LUT), so the screen sustains a continuous feed over an arbitrary
+   * standing corpus. Spec-pinned bit-equal to the batch operator on
+   * a replayed stream.
+   */
+  def admitSemanticStream(vecs: DataFrame, codes: DataFrame,
+      codebook: DataFrame, m: Int, maxD2Micro: Long, checkpoint: String,
+      sink: DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdict = graft.operators.Similarity.admitSemantic(
+          batch, codes, codebook, m, maxD2Micro)
+        sink(batch.join(verdict.filter(col("admit"))
+          .select(col("vec_id")), Seq("vec_id"), "left_semi"))
+      }
+      .start()
+
+  /**
    * Streaming exact dedup for a continuously-ingested corpus: keep
    * the FIRST arrival per content fingerprint, dropping later copies
    * that arrive within the watermark horizon. State is the set of

@@ -315,6 +315,54 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic admission equals the batch PQ screen on a replayed stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val standing = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f)),
+      (102L, Array(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val cb = standing // codewords = the standing vectors (K = 3)
+    val codes = graft.operators.Similarity.pqEncode(standing, cb, m = 2)
+      .localCheckpoint()
+    val feed = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), // exact dup of 100 → blocked
+      (2L, Array(0.9f, 0.05f, 0f, 0f)), // near 100 → blocked
+      (3L, Array(5f, 5f, 5f, 5f)), // far from everything → admitted
+      (4L, Array(0f, 1f, 0f, 0f)), // exact dup of 101 → blocked
+      (5L, Array(-3f, 0f, 0f, 2f))) // novel → admitted
+    val maxD2Micro = 100000L // 0.1 squared-L2
+    val mem = MemoryStream[(Long, Array[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = SeriesStream.admitSemanticStream(
+      mem.toDF().toDF("vec_id", "embedding"), codes, cb, m = 2,
+      maxD2Micro = maxD2Micro,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-admit-sem").toString,
+      sink = b => admitted.synchronized {
+        admitted ++= b.select("vec_id").collect().map(_.getLong(0))
+      })
+    try {
+      // out-of-order replay across two micro-batches
+      mem.addData(feed(3), feed(0), feed(2))
+      q.processAllAvailable()
+      mem.addData(feed(4), feed(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchVerdict = graft.operators.Similarity.admitSemantic(
+      feed.toDF("vec_id", "embedding"), codes, cb, m = 2,
+      maxD2Micro = maxD2Micro)
+    val batchAdmitted = batchVerdict.filter($"admit")
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted.toSet == batchAdmitted)
+    assert(batchAdmitted == Set(3L, 5L))
+    // empty standing set admits everything (left join null branch)
+    val none = graft.operators.Similarity.admitSemantic(
+      feed.toDF("vec_id", "embedding"), codes.limit(0), cb, m = 2,
+      maxD2Micro = maxD2Micro)
+    assert(none.filter($"admit").count() == 5)
+  }
+
   test("streaming attribution join: clicks pair with in-window purchases only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
