@@ -2900,6 +2900,46 @@ object Queries {
             END)::DOUBLE / 1000000.0 AS p99
         FROM cum GROUP BY 1 ORDER BY 1""")),
 
+    // per-row percentile rank off the SKETCH (percentileRank's scale
+    // tier): the rank of each row's grid-cell lower boundary — exact
+    // when width=1, within one cell otherwise; rows never shuffle
+    // (broadcast cumulative table). Oracle reproduces cells + ranks.
+    "text_pct_rank_sketch" -> Entry(
+      (s, dir) => {
+        val v = length(col("text")).cast("double") /
+          (lit(1.0) + pmod(col("doc_id"), lit(97)).cast("double"))
+        graft.operators.CorpusStats.percentileRankSketch(
+          t(s, dir, "documents"), col("source"), v, k = 64)
+          .select(col("doc_id"), col("pct_rank_est"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (SELECT doc_id, source,
+            round(length(text)::DOUBLE / (1.0 + doc_id % 97)
+              * 1000000)::BIGINT AS vi
+          FROM documents),
+          mm AS (SELECT source, min(vi) AS mn, max(vi) AS mx
+            FROM v GROUP BY 1),
+          wv AS (SELECT source, mn, mx,
+            CASE WHEN (mx - mn + 1 + 63) // 64 <= 1 THEN 1::BIGINT
+              ELSE (1::BIGINT <<
+                length(bin((mx - mn + 1 + 63) // 64 - 1))) END AS w
+          FROM mm),
+          cells AS (SELECT v.source AS source, w,
+              vi // w AS cell, count(*) AS cn
+            FROM v JOIN wv ON v.source = wv.source
+            GROUP BY 1, 2, 3),
+          cum AS (SELECT source, w, cell,
+              sum(cn) OVER (PARTITION BY source ORDER BY cell) - cn AS lo,
+              sum(cn) OVER (PARTITION BY source) AS nt
+            FROM cells)
+        SELECT v.doc_id,
+          CASE WHEN nt > 1 THEN lo::DOUBLE / (nt - 1)::DOUBLE
+            ELSE 0.0 END AS pct_rank_est
+        FROM v JOIN wv ON v.source = wv.source
+        JOIN cum ON cum.source = v.source AND cum.w = wv.w
+          AND cum.cell = vi // wv.w
+        ORDER BY v.doc_id""")),
+
     // fertility under the TRUE tokenizer (bpeEncode's merge table),
     // not the BPE-ish regex approximation — per-source subword
     // inflation as a real multilingual-tokenizer analysis reports it

@@ -1568,6 +1568,39 @@ object CorpusStats {
   }
 
   /**
+   * Per-row percentile rank off the sketch — [[percentileRank]]'s
+   * scale tier for continuous columns: each row's rank estimate is
+   * the exact count of rows in STRICTLY LOWER grid cells over (n−1),
+   * i.e. the rank of its cell's lower boundary. Identical to the
+   * exact operator when the group's width is 1; within one cell's
+   * population otherwise. The join back to rows is a broadcast of the
+   * ≤ k-cells-per-group cumulative table — rows never shuffle, and
+   * the distinct-value histogram [[percentileRank]] would build is
+   * never materialized. Rows with null/NaN values drop (the exact
+   * operator's histogram join does the same).
+   */
+  def percentileRankSketch(df: DataFrame, group: Column, value: Column,
+      k: Int = 4096): DataFrame = {
+    val cum = quantileSketch(df, group, value, k)
+      .withColumn("__pslo", coalesce(sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__psn", sum(col("n")).over(
+        Window.partitionBy(col("source"))))
+      .select(col("source").as("__psg"), col("sk_w").as("__psw"),
+        col("cell").as("__psc"), col("__pslo"), col("__psn"))
+    val vi = round(value.cast("double") * lit(1000000.0)).cast("long")
+    df.withColumn("__g", group).withColumn("__vi", vi)
+      .join(broadcast(cum), col("__g") === col("__psg") &&
+        cellOf(col("__vi"), col("__psw")) === col("__psc"))
+      .withColumn("pct_rank_est",
+        when(col("__psn") > 1,
+          col("__pslo").cast("double") / (col("__psn") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__g", "__vi", "__psg", "__psw", "__psc", "__pslo", "__psn")
+  }
+
+  /**
    * Quantile estimates off a sketch: for each (name, q) the LOWER
    * order statistic's cell — rank `⌊q·(n−1)⌋ + 1` — emitted as the
    * clamped cell start, both micro (`<name>_micro` long, integer-

@@ -103,6 +103,36 @@ class QuantileSketchSpec extends SparkSpec {
     assert(p100 <= 3000000L && 3000000L - p100 < w)
   }
 
+  test("percentileRankSketch equals the exact operator on width-1 groups") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong, "g" + (i % 2), rng.nextInt(K - 3).toDouble * 1e-6))
+    val df = rows.toDF("id", "source", "v")
+    val est = CorpusStats.percentileRankSketch(df, $"source", $"v", K)
+      .select($"id", $"pct_rank_est").as[(Long, Double)].collect().toMap
+    val exact = CorpusStats.percentileRank(df, $"source", $"v")
+      .select($"id", $"pct_rank").as[(Long, Double)].collect().toMap
+    assert(est == exact)
+  }
+
+  test("percentileRankSketch error is bounded by the row's cell population") {
+    val rows = (0 until 400).map(i =>
+      (i.toLong, rng.nextDouble() * 1000 - 200))
+    val df = rows.map { case (i, v) => (i, "g", v) }.toDF("id", "source", "v")
+    val est = CorpusStats.percentileRankSketch(df, $"source", $"v", K)
+      .select($"id", $"pct_rank_est").as[(Long, Double)].collect().toMap
+    val exact = CorpusStats.percentileRank(df, $"source", $"v")
+      .select($"id", $"pct_rank").as[(Long, Double)].collect().toMap
+    // lower boundary of the cell: estimate never exceeds the true
+    // rank, and sits within one cell's population of it
+    val sk = sketch(rows.map { case (_, v) => ("g", v) })
+    val maxCell = sk.agg(max($"n")).head().getLong(0).toDouble
+    est.foreach { case (id, e) =>
+      assert(e <= exact(id) + 1e-12)
+      assert(exact(id) - e <= maxCell / (rows.size - 1) + 1e-12,
+        s"row $id: est $e vs exact ${exact(id)}")
+    }
+  }
+
   test("per-group widths are independent") {
     val rows = Seq.fill(100)(("narrow", rng.nextInt(10).toDouble * 1e-6)) ++
       Seq.fill(100)(("wide", rng.nextDouble() * 1e6))
