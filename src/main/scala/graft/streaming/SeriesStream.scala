@@ -102,6 +102,84 @@ object SeriesStream {
       .start()
 
   /**
+   * Standing quantile-sketch maintenance: every micro-batch builds
+   * its own bounded sketch and MERGES it into a persisted artifact —
+   * the streaming face of
+   * [[graft.operators.CorpusStats.quantileSketchMerge]]'s
+   * homomorphism, which guarantees the standing artifact is
+   * bit-identical to a from-scratch batch sketch of everything ever
+   * ingested, regardless of how rows were chopped into batches
+   * (spec-pinned). Per-batch cost is the batch's own sketch build
+   * plus a merge of two ≤ k-cells-per-group frames; the corpus is
+   * never re-read. Re-delivered batches (restart replay) are skipped
+   * by the recorded `batch_id`, making the merge idempotent — the
+   * standard exactly-once foreachBatch recipe. Single-writer: the
+   * stream owns the artifact directory.
+   */
+  def quantileSketchStream(rows: DataFrame, groupCol: String,
+      valueCol: String, k: Int, storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sketchMergeBatch(batch, groupCol, valueCol, k, storePath, id)
+      }
+      .start()
+
+  /** One idempotent merge step (exposed for the spec's re-delivery
+   * case). Swap discipline: merged artifact lands in `.tmp` (fully
+   * materialized — it READS the standing dir), the standing dir
+   * rotates to `.old`, `.tmp` moves in, `.old` deletes; a crash
+   * between steps leaves either the old or the new artifact readable
+   * ([[standingSketch]] falls back to `.old`). */
+  private[graft] def sketchMergeBatch(batch: DataFrame, groupCol: String,
+      valueCol: String, k: Int, storePath: String, batchId: Long): Unit = {
+    import graft.operators.CorpusStats
+    val spark = batch.sparkSession
+    val standing = standingSketch(spark, storePath)
+    val seen = standing.exists(s =>
+      !s.filter(col("batch_id") >= batchId).isEmpty)
+    if (seen) return // re-delivered batch after a restart: already in
+    val fresh = CorpusStats.quantileSketch(batch,
+      col(groupCol), col(valueCol), k)
+    val merged = CorpusStats.quantileSketchMerge(
+      standing.map(_.drop("batch_id").unionByName(fresh)).getOrElse(fresh), k)
+      .withColumn("batch_id", lit(batchId))
+    val p = java.nio.file.Paths.get(storePath)
+    val tmp = java.nio.file.Paths.get(storePath + ".tmp")
+    val old = java.nio.file.Paths.get(storePath + ".old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    deleteTree(old)
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.move(p, old)
+    java.nio.file.Files.move(tmp, p)
+    deleteTree(old)
+  }
+
+  /** The current standing sketch, if any (prefers the live dir, falls
+   * back to the pre-swap rotation after a crash). */
+  private[graft] def standingSketch(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(storePath)
+    val old = java.nio.file.Paths.get(storePath + ".old")
+    if (java.nio.file.Files.isDirectory(p))
+      Some(spark.read.parquet(storePath))
+    else if (java.nio.file.Files.isDirectory(old))
+      Some(spark.read.parquet(old.toString))
+    else None
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /**
    * Streaming exact dedup for a continuously-ingested corpus: keep
    * the FIRST arrival per content fingerprint, dropping later copies
    * that arrive within the watermark horizon. State is the set of

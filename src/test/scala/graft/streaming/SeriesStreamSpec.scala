@@ -363,6 +363,42 @@ class SeriesStreamSpec extends SparkSpec {
     assert(none.filter($"admit").count() == 5)
   }
 
+  test("standing quantile sketch: stream-merged artifact equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      ("g" + (i % 3), rng.nextDouble() * 800 - 100))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-qsketch").toString + "/sk"
+    val mem = MemoryStream[(String, Double)]
+    val q = SeriesStream.quantileSketchStream(
+      mem.toDF().toDF("source", "v"), "source", "v", k = 64,
+      storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-qsketch-ck").toString)
+    try {
+      // arbitrary chopping: 3 uneven micro-batches
+      mem.addData(rows.take(100))
+      q.processAllAvailable()
+      mem.addData(rows.slice(100, 150))
+      q.processAllAvailable()
+      mem.addData(rows.drop(150))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(store).drop("batch_id")
+    val direct = graft.operators.CorpusStats.quantileSketch(
+      rows.toDF("source", "v"), $"source", $"v", 64)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "sk_w", "sk_min", "sk_max", "cell", "n")
+        .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(norm(streamed) == norm(direct)) // the merge homomorphism
+    // re-delivered batch id is a no-op (restart replay idempotence)
+    SeriesStream.sketchMergeBatch(rows.take(100).toDF("source", "v"),
+      "source", "v", 64, store, batchId = 0L)
+    assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
+  }
+
   test("streaming attribution join: clicks pair with in-window purchases only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
