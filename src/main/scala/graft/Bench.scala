@@ -59,7 +59,8 @@ object Bench {
       "corpus_bpe_pairs", "ann_pq_topk", "ann_ivfpq_topk", "ann_pq_rerank",
       "text_quality_calibration", "text_quality_auc",
       "text_bpe_encode", "corpus_fertility_bpe", "corpus_quantile_sketch",
-      "ann_pq_upsert", "ann_pq_recall_audit", "text_pct_rank_sketch")
+      "ann_pq_upsert", "ann_pq_recall_audit", "text_pct_rank_sketch",
+      "ann_ivfpq_residual")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -2322,6 +2322,30 @@ object Queries {
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
 
+    // residual IVF-PQ — the full FAISS composition: codes quantize
+    // each vector's WITHIN-LIST displacement (x − centroid), and each
+    // query builds one LUT per probed list from its own residual, so
+    // ADC approximates true ||q − x||² with the quantizer's range
+    // spent on the small residuals. Integer micro end to end.
+    "ann_ivfpq_residual" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val idx = Similarity.ivfIndex(emb, cents).localCheckpoint()
+        val rescb = Similarity.ivfResiduals(emb, idx, cents)
+          .filter(pmod(col("vec_id"), lit(64)) === 0 &&
+            col("vec_id") < 4096)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val codes = Similarity.pqEncodeResidual(emb, idx, cents, rescb,
+          m = 4)
+        Similarity.ivfPqTopKResidual(idx, codes,
+          emb.filter(col("vec_id") < 8), cents, rescb,
+          m = 4, k = 10, nprobe = 2)
+      },
+      Some(annIvfPqResidualOracle(centMod = 16, centCap = 4096,
+        codeMod = 64, codeCap = 4096, m = 4, k = 10, nprobe = 2))),
+
     // incremental PQ code maintenance: base corpus encoded, the rest
     // upserted as a batch — probing the upserted codes must equal the
     // from-scratch encode (the annPqOracle), mirroring ann_ivf_upsert
@@ -4354,6 +4378,69 @@ object Queries {
       SELECT query_id, vec_id, d2u::DOUBLE / 1000000.0 AS adc_d2,
         rank::BIGINT AS rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Residual IVF-PQ in DuckDB: residuals off the IVF assignment,
+   * residual-space codebook, per-(query, probed-list) LUT. Mirrors
+   * [[graft.operators.Similarity.ivfPqTopKResidual]]. */
+  private def annIvfPqResidualOracle(centMod: Int, centCap: Int,
+      codeMod: Int, codeCap: Int, m: Int, k: Int, nprobe: Int): String = {
+    val w = 64 / m
+    def slc(v: String) = s"list_slice($v, s.s * $w + 1, s.s * $w + $w)"
+    def d2u(a: String, b: String) =
+      s"""round((${dotSql.format(slc(a), slc(a))}
+        - 2.0 * ${dotSql.format(slc(a), slc(b))}
+        + ${dotSql.format(slc(b), slc(b))}) * 1000000.0)::BIGINT"""
+    s"""WITH ivfc AS (SELECT vec_id AS cent_id, embedding AS cv2,
+          ${nrmSql("embedding")} AS cn
+        FROM embeddings WHERE vec_id % $centMod = 0 AND vec_id < $centCap),
+      asn AS (SELECT e.vec_id, ivfc.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${dotSql.format("e.embedding", "cv2")} /
+              (${nrmSql("e.embedding")} * cn) DESC, cent_id) AS rn
+        FROM embeddings e CROSS JOIN ivfc
+        WHERE ${nrmSql("e.embedding")} > 0),
+      lists AS (SELECT vec_id, cent_id FROM asn WHERE rn = 1),
+      res AS (SELECT e.vec_id, l.cent_id,
+          list_transform(range(1, len(e.embedding) + 1),
+            i -> e.embedding[i]::DOUBLE - c.cv2[i]::DOUBLE) AS rv
+        FROM embeddings e JOIN lists l ON l.vec_id = e.vec_id
+        JOIN ivfc c ON c.cent_id = l.cent_id),
+      cb AS (SELECT rv AS cv, row_number() OVER (ORDER BY vec_id) - 1
+            AS code_ix
+        FROM res WHERE vec_id % $codeMod = 0 AND vec_id < $codeCap),
+      sub AS (SELECT r.vec_id, cb.code_ix, s.s AS s,
+          ${d2u("r.rv", "cb.cv")} AS d2u
+        FROM res r CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(0, $m)) AS s) s),
+      enc AS (SELECT vec_id, s, code_ix, d2u, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2u, code_ix) AS rn FROM sub),
+      codes AS (SELECT vec_id, s, code_ix FROM enc WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cent_id FROM asn
+        WHERE rn <= $nprobe AND vec_id < 8),
+      qres AS (SELECT p.query_id, p.cent_id,
+          list_transform(range(1, len(q.embedding) + 1),
+            i -> q.embedding[i]::DOUBLE - c.cv2[i]::DOUBLE) AS qrv
+        FROM probes p JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN ivfc c ON c.cent_id = p.cent_id),
+      lut AS (SELECT qr.query_id, qr.cent_id, cb.code_ix, s.s AS s,
+          ${d2u("qr.qrv", "cb.cv")} AS d2u
+        FROM qres qr CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(0, $m)) AS s) s),
+      cand AS (SELECT p.query_id, l.vec_id, l.cent_id
+        FROM lists l JOIN probes p USING (cent_id)
+        WHERE l.vec_id <> p.query_id),
+      adc AS (SELECT cand.query_id, cand.vec_id, sum(l.d2u)::BIGINT AS d2u
+        FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+        JOIN lut l ON l.query_id = cand.query_id
+          AND l.cent_id = cand.cent_id
+          AND l.s = c.s AND l.code_ix = c.code_ix
+        GROUP BY 1, 2),
+      ranked AS (SELECT query_id, vec_id, d2u, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2u, vec_id) AS rank FROM adc)
+      SELECT query_id, vec_id, d2u::DOUBLE / 1000000.0 AS adc_d2,
+        rank::BIGINT AS rank
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 
   private def annIvfOracle(centMod: Int, centCap: Int, k: Int,
       nprobe: Int): String =

@@ -399,6 +399,89 @@ object Similarity {
   }
 
   /**
+   * Per-vector IVF residuals `r = x − centroid(x)` over a prebuilt
+   * [[ivfIndex]] assignment — the vectors residual PQ quantizes
+   * (Jégou et al. 2011 §IV: encoding the residual instead of the raw
+   * vector concentrates the quantizer's dynamic range on the
+   * within-list displacement, the accuracy step that makes IVF-PQ
+   * production-grade in FAISS). Double-precision elementwise
+   * subtraction (engine-exact), centroids ride the broadcast.
+   * Zero-norm vectors have no assignment and emit no residual,
+   * matching every IVF probe's contract.
+   */
+  def ivfResiduals(corpus: DataFrame, index: DataFrame,
+      centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").as("__x"))
+      .join(index.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+      .join(centsOf(centroids).select(col("cent_id"), col("cv")),
+        Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("__x"), col("cv"),
+          (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+
+  /** [[pqEncode]] over IVF residuals: the codes store each vector's
+   * within-list displacement. `codebook` must be residual-space
+   * (e.g. a deterministic subset of [[ivfResiduals]], or
+   * [[pqTrain]] over them). */
+  def pqEncodeResidual(corpus: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    pqEncode(ivfResiduals(corpus, index, centroids)
+      .select(col("vec_id"), col("embedding")), codebook, m)
+
+  /**
+   * Residual IVF-PQ top-k — the full FAISS composition: queries probe
+   * their `nprobe` lists, and within each probed list the query's OWN
+   * residual against THAT centroid builds the ADC lookup table, so
+   * candidate distances approximate ‖(q−c) − (x−c)‖² = ‖q−x‖² with
+   * the quantizer spending its codes on the small residual vectors
+   * rather than the raw space. Costs one LUT per (query, probed
+   * list) — #queries·nprobe·K·m bounded rows, broadcast — while the
+   * corpus still contributes only its m-byte codes. Integer micro
+   * distances end to end, like [[pqTopK]].
+   */
+  def ivfPqTopKResidual(index: DataFrame, codes: DataFrame,
+      queries: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      m: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    val cents = centsOf(centroids)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cent_id"))
+    val probes = scoredAgainst(cents, queries, "query_id")
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"),
+        zip_with(col("query_id_v"), col("cv"),
+          (a, b) => a.cast("double") - b.cast("double")).as("qrv"))
+    val lut = probes
+      .crossJoin(rankedCodebook(codebook))
+      .select(col("query_id"), col("cent_id"), col("code_ix"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => subD2Micro(col("qrv"), col("cv"), s, m))))
+      .toDF("query_id", "cent_id", "code_ix", "s", "d2u")
+      .groupBy(col("query_id"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(
+          struct(col("s"), col("code_ix"), col("d2u")))),
+        x => x.getField("d2u")).as("lut"))
+      .withColumn("kc", (size(col("lut")) / lit(m)).cast("int"))
+    val listCodes = index.select(col("vec_id"), col("cent_id"))
+      .join(codes, Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    listCodes.join(broadcast(lut), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2u", aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, s) => acc + element_at(col("lut"),
+          s * col("kc") + element_at(col("codes"), s + 1) + 1)))
+      .select(col("query_id"), col("vec_id"), col("d2u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (col("d2u").cast("double") / lit(1000000.0)).as("adc_d2"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * Incremental PQ code maintenance — [[ivfIndexUpsert]]'s complement
    * for the code artifact: encode ONLY the new batch (batch·K·m work,
    * never the standing corpus) and upsert into the stored code frame;
@@ -431,6 +514,16 @@ object Similarity {
       queries: DataFrame, codebook: DataFrame, m: Int, k: Int): DataFrame =
     recallOf(cosineTopK(corpus, queries, k),
       pqTopK(codes, queries, codebook, m, k))
+
+  /** [[ivfPqRecallAudit]] for the RESIDUAL composition — the number
+   * that justifies the residual encode (same codes budget, higher
+   * recall, per Jégou §IV). */
+  def ivfPqResidualRecallAudit(index: DataFrame, codes: DataFrame,
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, k: Int, nprobe: Int = 2): DataFrame =
+    recallOf(cosineTopK(corpus, queries, k),
+      ivfPqTopKResidual(index, codes, queries, centroids, codebook, m, k,
+        nprobe))
 
   /** [[pqRecallAudit]] for the composed IVF-PQ probe: how much recall
    * the list restriction + code quantization cost TOGETHER vs exact

@@ -403,4 +403,42 @@ class SimilaritySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), s"eval side not broadcast:\n$p")
   }
+
+  test("residual IVF-PQ with the full residual codebook is exact in-list L2") {
+    import spark.implicits._
+    // two clusters around (10,0,0,0) and (0,10,0,0); every residual in
+    // the codebook → each vector encodes to ITS OWN residual, so ADC
+    // = ||(q−c) − (x−c)||² = ||q−x||² up to the per-subspace micro
+    // rounding (≤ m/2 micro each way)
+    val rows = Seq(
+      (0L, Array(10f, 0f, 0.5f, 0f)), (1L, Array(10.5f, 0f, 0f, 0.25f)),
+      (2L, Array(9.5f, 0.5f, 0f, 0f)), (3L, Array(0f, 10f, 0f, 0.5f)),
+      (4L, Array(0.5f, 10.5f, 0f, 0f)), (5L, Array(0f, 9.5f, 0.25f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = emb.filter($"vec_id" === 0 || $"vec_id" === 3)
+    val idx = Similarity.ivfIndex(emb, cents).localCheckpoint()
+    val rescb = Similarity.ivfResiduals(emb, idx, cents)
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val codes = Similarity.pqEncodeResidual(emb, idx, cents, rescb, m = 2)
+    val out = Similarity.ivfPqTopKResidual(idx, codes,
+        emb.filter($"vec_id" < 2), cents, rescb, m = 2, k = 3, nprobe = 1)
+      .select($"query_id", $"vec_id", $"adc_d2")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val byId = rows.toMap
+    out.foreach { case (q, x, adc) =>
+      val (qv, xv) = (byId(q), byId(x))
+      val d2 = qv.zip(xv).map { case (a, b) =>
+        (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+      assert(math.abs(adc * 1e6 - d2 * 1e6) <= 2.0, // m subspace roundings
+        s"q=$q x=$x adc=$adc true=$d2")
+    }
+    // in-list ranking follows true distance (cluster 0 queries see
+    // only cluster-0 candidates under nprobe=1)
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).toSeq == rs.map(_._3).toSeq.sorted)
+      assert(rs.forall(r => Set(0L, 1L, 2L).contains(r._2) ==
+        Set(0L, 1L, 2L).contains(r._1)))
+    }
+  }
 }
