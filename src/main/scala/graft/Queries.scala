@@ -1747,6 +1747,36 @@ object Queries {
             AS n_seqs
         FROM c ORDER BY doc_id""")),
 
+    // shard writer assignments over the packed layout: one row per
+    // (shard, doc) for every doc intersecting the shard's window
+    // range — the contract that lets 1000 writers materialize 1000
+    // shards independently and restart per shard
+    "pack_shards" -> Entry(
+      (s, dir) => graft.operators.Packing.shardAssignments(
+          graft.operators.Packing.packSequences(
+            t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+            seqLen = 2048L),
+          windowsPerShard = 4L)
+        .select(col("shard"), col("doc_id"), col("start_seq"),
+          col("offset"), col("n_seqs"))
+        .orderBy(col("shard"), col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, n_chars AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h),
+        p AS (SELECT doc_id, (cum // 2048)::BIGINT AS start_seq,
+          (cum % 2048)::BIGINT AS "offset",
+          (CASE WHEN w = 0 THEN 0
+                ELSE (cum + w - 1) // 2048 - cum // 2048 + 1 END)::BIGINT
+            AS n_seqs
+        FROM c)
+        SELECT unnest(range(start_seq // 4,
+            (start_seq + n_seqs - 1) // 4 + 1))::BIGINT AS shard,
+          doc_id, start_seq, "offset", n_seqs
+        FROM p WHERE n_seqs > 0 ORDER BY shard, doc_id""")),
+
     // length-bucketed batch construction: 200-char bands, 8-row
     // batches in portable hash order; every doc learns batch, slot,
     // the batch's padded length and its own padding waste
@@ -2923,6 +2953,28 @@ object Queries {
             AND floor(0.99 * (nt - 1))::BIGINT + 1 <= hi THEN cv
             END)::DOUBLE / 1000000.0 AS p99
         FROM cum GROUP BY 1 ORDER BY 1""")),
+
+    // tokenizer usage data card: per-token corpus count, document
+    // frequency, corpus share (ppm) under the fixed merge table —
+    // the "which merges earn their slot" readout
+    "text_bpe_vocab" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.bpeVocabStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        fixedMergesDf(s), k = 40),
+      Some(s"""WITH enc AS (SELECT doc_id,
+            ${fixedMergesReplaceSql(
+              "regexp_replace(text, '(.)', '§\\1', 'g')")} AS e
+          FROM documents),
+          tok AS (SELECT doc_id,
+              unnest(string_split(replace(e, '§ ', ''), '§')) AS token
+            FROM enc),
+          t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+          tot AS (SELECT count(*) AS n FROM t2)
+        SELECT token, count(*)::BIGINT AS n,
+          count(DISTINCT doc_id)::BIGINT AS n_docs,
+          (count(*) * 1000000 //
+            greatest((SELECT n FROM tot), 1))::BIGINT AS share_ppm
+        FROM t2 GROUP BY 1 ORDER BY n DESC, token LIMIT 40""")),
 
     // per-row percentile rank off the SKETCH (percentileRank's scale
     // tier): the rank of each row's grid-cell lower boundary — exact

@@ -1456,6 +1456,31 @@ object CorpusStats {
     (ids, vocab)
   }
 
+  /**
+   * Tokenizer usage statistics — the data-card table a trained
+   * tokenizer ships with: each emitted token's corpus count, document
+   * frequency, and corpus share (ppm, truncating integral divide),
+   * top `k` by count. Reads the [[bpeEncode]] stream once
+   * (map-side-combined counts over the bounded emitted vocabulary);
+   * the "how much of the corpus do the top tokens cover / which
+   * merges earn their slot" readout that decides whether to retrain
+   * with more or fewer merges.
+   */
+  def bpeVocabStats(df: DataFrame, id: Column, text: Column,
+      merges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val enc = bpeEncode(df, id, text, merges)
+    val total = enc.agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    enc.select(col("id"), explode(col("bpe_tokens")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("n_docs"))
+      .withColumn("share_ppm",
+        graft.functions.ldiv(col("n") * lit(1000000L),
+          lit(math.max(1L, total))))
+      .orderBy(col("n").desc, col("token")).limit(k)
+  }
+
   /** [[fertility]] with the TRUE tokenizer: `bpe_tokens` counts come
    * from [[bpeEncode]]'s merge-table application instead of the
    * BPE-ish regex approximation — the number a multilingual-tokenizer

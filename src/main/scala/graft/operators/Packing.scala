@@ -65,6 +65,28 @@ object Packing {
   }
 
   /**
+   * Writer-task assignment over [[packSequences]]' layout: one row
+   * per (shard, doc) for every doc whose token span intersects the
+   * shard's window range [shard·windowsPerShard, (shard+1)·
+   * windowsPerShard). This is what makes the layout MATERIALIZABLE at
+   * 100 TB: shard writer s reads exactly its own assignment slice
+   * (ordered by (start_seq, offset) it reconstructs its windows
+   * without seeing any other shard's docs), writers run independently
+   * and restart independently, and a failed shard re-materializes
+   * from the same deterministic assignment. Output size is linear:
+   * docs + (total windows)/windowsPerShard boundary repeats. Empty
+   * docs (n_seqs = 0) occupy no window and appear in no shard.
+   */
+  def shardAssignments(packed: DataFrame,
+      windowsPerShard: Long): DataFrame = {
+    require(windowsPerShard > 0, "windowsPerShard must be > 0")
+    packed.filter(col("n_seqs") > 0)
+      .withColumn("shard", explode(sequence(
+        ldiv(col("start_seq"), windowsPerShard),
+        ldiv(col("start_seq") + col("n_seqs") - 1L, windowsPerShard))))
+  }
+
+  /**
    * Length-bucketed batch construction — the padding-minimizing
    * alternative to [[packSequences]]' concatenation for training
    * setups that pad rather than pack (fine-tuning, contrastive,

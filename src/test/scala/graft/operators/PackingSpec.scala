@@ -75,4 +75,30 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("shardAssignments: each shard sees exactly the docs intersecting its windows") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 120).map(i => (i.toLong, rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "w")
+    val packed = Packing.packSequences(df, $"id", $"w", seqLen = 16L)
+      .localCheckpoint()
+    val wps = 3L
+    val asg = Packing.shardAssignments(packed, wps)
+      .select($"shard", $"id").as[(Long, Long)].collect().toSet
+    val p = packed.select($"id", $"start_seq", $"n_seqs")
+      .as[(Long, Long, Long)].collect()
+    val expected = p.filter(_._3 > 0).flatMap { case (id, s0, n) =>
+      (s0 / wps to (s0 + n - 1) / wps).map(sh => (sh, id))
+    }.toSet
+    assert(asg == expected)
+    // per shard: assigned docs == docs whose span intersects the range
+    val totalWindows = p.map { case (_, s0, n) => s0 + n }.max
+    (0L until (totalWindows + wps - 1) / wps).foreach { sh =>
+      val docs = p.filter { case (_, s0, n) =>
+        n > 0 && s0 < (sh + 1) * wps && s0 + n > sh * wps }.map(_._1).toSet
+      assert(asg.filter(_._1 == sh).map(_._2) == docs, s"shard $sh")
+    }
+    // empty docs appear nowhere
+    assert(!asg.exists { case (_, id) => rows(id.toInt)._2 == 0L })
+  }
 }
