@@ -469,6 +469,56 @@ object Queries {
     // fans out to its 4 covering window starts. sum_v is the single
     // IEEE cast of an exact DECIMAL(38,12) sum — no round() on either
     // engine; n/min/max are raw integers/inputs.
+    // per-hour quantiles off the mergeable fixed-grid sketch — the
+    // p50/p95 dashboard readout; every (type, hour) bucket grids
+    // independently at k=64, floor-safe cell division in the oracle
+    "q_series_quantile_hour" -> Entry(
+      (s, dir) => SeriesStats.windowQuantiles(eventsNs(s, dir),
+          col("ts"), col("value"), windowMs = 3600000L,
+          qs = Seq("p50" -> 0.5, "p95" -> 0.95), k = 64,
+          partitionBy = Seq("event_type"))
+        .orderBy("event_type", "window_ms"),
+      Some("""WITH v AS (SELECT event_type,
+            (epoch_us(ts) // 3600000000) * 3600000 AS window_ms,
+            round(value * 1000000)::BIGINT AS vi
+          FROM events),
+          mm AS (SELECT event_type, window_ms, min(vi) AS mn,
+              max(vi) AS mx
+            FROM v GROUP BY 1, 2),
+          wv AS (SELECT event_type, window_ms, mn, mx,
+            CASE WHEN (mx - mn + 1 + 63) // 64 <= 1 THEN 1::BIGINT
+              ELSE (1::BIGINT <<
+                length(bin((mx - mn + 1 + 63) // 64 - 1))) END AS w
+          FROM mm),
+          cells AS (SELECT v.event_type AS et, v.window_ms AS wm,
+              w, mn, mx,
+              CASE WHEN vi >= 0 THEN vi // w
+                ELSE -((-vi + w - 1) // w) END AS cell,
+              count(*) AS cn
+            FROM v JOIN wv ON v.event_type = wv.event_type
+              AND v.window_ms = wv.window_ms
+            GROUP BY 1, 2, 3, 4, 5, 6),
+          cum AS (SELECT et, wm,
+              greatest(least(cell * w, mx), mn) AS cv, cn,
+              sum(cn) OVER (PARTITION BY et, wm ORDER BY cell) AS hi,
+              sum(cn) OVER (PARTITION BY et, wm) AS nt
+            FROM cells)
+        SELECT et AS event_type, wm AS window_ms,
+          max(nt)::BIGINT AS n_rows,
+          max(CASE WHEN hi - cn < floor(0.5 * (nt - 1))::BIGINT + 1
+            AND floor(0.5 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::BIGINT AS p50_micro,
+          max(CASE WHEN hi - cn < floor(0.5 * (nt - 1))::BIGINT + 1
+            AND floor(0.5 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::DOUBLE / 1000000.0 AS p50,
+          max(CASE WHEN hi - cn < floor(0.95 * (nt - 1))::BIGINT + 1
+            AND floor(0.95 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::BIGINT AS p95_micro,
+          max(CASE WHEN hi - cn < floor(0.95 * (nt - 1))::BIGINT + 1
+            AND floor(0.95 * (nt - 1))::BIGINT + 1 <= hi THEN cv
+            END)::DOUBLE / 1000000.0 AS p95
+        FROM cum GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "q_series_hopping" -> Entry(
       (s, dir) => SeriesStats.hopping(eventsNs(s, dir),
           col("ts"), col("value"),

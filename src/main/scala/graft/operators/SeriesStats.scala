@@ -587,4 +587,32 @@ object SeriesStats {
           .as("sum_v"),
         min(col("__mn")).as("min_v"), max(col("__mx")).as("max_v"))
   }
+
+  /**
+   * Per-time-bucket quantiles off the mergeable fixed-grid sketch
+   * ([[graft.operators.CorpusStats.quantileSketch]]) — the p50/p95/p99
+   * latency-dashboard readout `sum/min/max` aggregates can't give.
+   * Each (partition, window) group grids independently (≤ `k` cells),
+   * so a bucket of continuous values costs two bounded shuffles and
+   * never materializes a distinct-value histogram; estimates are
+   * clamped cell starts — exact when a bucket's micro range fits the
+   * bound, within one cell width otherwise. Group count is
+   * #windows · #partitions (the broadcast pre-pass frame), the same
+   * bound [[hopping]]'s fine-bucket frame lives under.
+   */
+  def windowQuantiles(events: DataFrame, tsNs: Column, value: Column,
+      windowMs: Long, qs: Seq[(String, Double)], k: Int = 4096,
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    val parts = partitionBy.map(col)
+    val keyed = events.select(parts :+
+      (graft.functions.ldiv(tsNs, windowMs * 1000000L) * windowMs)
+        .as("window_ms") :+ value.cast("double").as("__v"): _*)
+    val grp = struct(parts :+ col("window_ms"): _*)
+    val out = CorpusStats.quantileSketchQuantiles(
+      CorpusStats.quantileSketch(keyed, grp, col("__v"), k), qs)
+    out.select(partitionBy.map(p => col(s"source.$p").as(p)) ++
+      (col("source.window_ms").as("window_ms") +: col("n_rows") +:
+        qs.flatMap { case (n, _) => Seq(col(s"${n}_micro"), col(n)) }): _*)
+  }
 }
