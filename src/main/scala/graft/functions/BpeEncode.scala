@@ -69,6 +69,44 @@ case class BpeEncodeExpr(child: Expression,
   }
 }
 
+/**
+ * `bpe_encode_text(text)` — whole-document BPE encode: splits on
+ * single spaces (the [[graft.operators.TextOps]] `tokens` contract,
+ * `split(text, " ")`) and concatenates each word's
+ * [[BpeEncodeExpr]] tokens in order. One codegen'd virtual call per
+ * ROW instead of one interpreted higher-order-function lambda per
+ * WORD — the HOF form (`flatten(transform(tokens, bpe(_)))`)
+ * evaluates the lambda outside whole-stage codegen and read 17 s at
+ * the 100× probe; this form reads ~2 s for identical output.
+ */
+case class BpeEncodeTextExpr(child: Expression,
+    merges: Broadcast[Array[Array[String]]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_text"
+  override protected def withNewChildInternal(c: Expression): BpeEncodeTextExpr =
+    copy(child = c)
+
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, ArrayData]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, ArrayData]())
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.encodeText(input.asInstanceOf[UTF8String], merges.value,
+      memo.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.lang.String[][]", "bpeMerges",
+      v => s"$v = (java.lang.String[][]) $ref.value();")
+    val memoV = ctx.addMutableState("java.util.HashMap", "bpeMemo",
+      v => s"$v = new java.util.HashMap();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeExpr.encodeText($c, $tbl, $memoV)")
+  }
+}
+
 object BpeEncodeExpr {
 
   // word types actually seen per task stay far below this for any
@@ -114,6 +152,30 @@ object BpeEncodeExpr {
     out
   }
 
+  /** Whole-text entry point: split on single spaces (the exact
+   * `split(text, " ")` semantics — a regex whose pattern is one
+   * space splits on literal spaces, keeping empty tokens, which
+   * encode to nothing), words encoded via the shared memo. */
+  def encodeText(t: UTF8String, rules: Array[Array[String]],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val parts = t.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) {
+        val a = encode(UTF8String.fromString(parts(i)), rules, memo)
+        var j = 0
+        val n = a.numElements()
+        while (j < n) { out += a.getUTF8String(j); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def bpe(word: Column, merges: Broadcast[Array[Array[String]]]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(word), merges))
+
+  def bpeText(text: Column, merges: Broadcast[Array[Array[String]]]): Column =
+    Bridge.column(BpeEncodeTextExpr(Bridge.expression(text), merges))
 }
