@@ -1827,6 +1827,42 @@ object Queries {
           doc_id, start_seq, "offset", n_seqs
         FROM p WHERE n_seqs > 0 ORDER BY shard, doc_id""")),
 
+    // the packed layout MATERIALIZED: every 2048-token training
+    // window reassembled from its docs' slices (synthetic per-doc
+    // token ids, deterministic on both engines); first/last/sum per
+    // window pin the content and order without hashing giant arrays
+    "pack_materialize" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("toks",
+          transform(sequence(lit(1), col("n_chars").cast("int")),
+            i => col("doc_id") * 100000L + i.cast("long")))
+        val packed = graft.operators.Packing.packSequences(
+          docs, col("doc_id"), size(col("toks")).cast("long"),
+          seqLen = 2048L)
+        graft.operators.Packing.materializeWindows(
+            packed, col("toks"), seqLen = 2048L)
+          .select(col("seq"), col("n_tokens"),
+            element_at(col("token_ids"), 1).as("first_tok"),
+            element_at(col("token_ids"), -1).as("last_tok"),
+            aggregate(col("token_ids"), lit(0L),
+              (a, x) => a + x).as("sum_tok"))
+          .orderBy(col("seq"))
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h),
+        t AS (SELECT doc_id, cum, unnest(range(1, w + 1)) AS i FROM c),
+        pos AS (SELECT doc_id * 100000 + i AS tok, cum + i - 1 AS p
+          FROM t)
+        SELECT (p // 2048)::BIGINT AS seq, count(*)::BIGINT AS n_tokens,
+          arg_min(tok, p)::BIGINT AS first_tok,
+          arg_max(tok, p)::BIGINT AS last_tok,
+          sum(tok)::BIGINT AS sum_tok
+        FROM pos GROUP BY 1 ORDER BY 1""")),
+
     // length-bucketed batch construction: 200-char bands, 8-row
     // batches in portable hash order; every doc learns batch, slot,
     // the batch's padded length and its own padding waste

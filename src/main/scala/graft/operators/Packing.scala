@@ -87,6 +87,50 @@ object Packing {
   }
 
   /**
+   * Materialize [[packSequences]]' layout: the actual training
+   * windows, one row per `seq` with its `seqLen` token ids in stream
+   * order (the final window may be shorter). `packed` must carry the
+   * SAME token array the weights were computed from
+   * (`weight = size(tokens)` — the [[packSequences]] call's
+   * contract); each doc contributes one slice per window it
+   * intersects, and a window reassembles its pieces by stream
+   * position. This is the writer step [[shardAssignments]] schedules:
+   * filter to one shard's assignment slice and the same code
+   * materializes just that shard.
+   *
+   * Scale shape: one explode to (doc, window)-piece rows (docs +
+   * total-windows boundary repeats — linear), ONE shuffle keyed on
+   * `seq` to lay the stream out (the unavoidable write shuffle), and
+   * every window group is ≤ seqLen tokens by construction, so no
+   * reducer ever buffers more than one window.
+   */
+  def materializeWindows(packed: DataFrame, tokens: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be > 0")
+    val L = lit(seqLen)
+    val pieces = packed.filter(col("n_seqs") > 0)
+      .withColumn("__cum", col("start_seq") * L + col("offset"))
+      .withColumn("__toks", tokens)
+      .select(
+        explode(sequence(col("start_seq"),
+          col("start_seq") + col("n_seqs") - 1)).as("seq"),
+        col("__cum"), col("__toks"))
+      .withColumn("__a",
+        greatest(lit(0L), col("seq") * L - col("__cum")))
+      .withColumn("__b", least(size(col("__toks")).cast("long"),
+        (col("seq") + 1) * L - col("__cum")))
+      .withColumn("pos", greatest(lit(0L), col("__cum") - col("seq") * L))
+      .select(col("seq"), col("pos"),
+        slice(col("__toks"), (col("__a") + 1).cast("int"),
+          (col("__b") - col("__a")).cast("int")).as("piece"))
+    pieces.groupBy(col("seq"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        x => x.getField("piece"))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /**
    * Length-bucketed batch construction — the padding-minimizing
    * alternative to [[packSequences]]' concatenation for training
    * setups that pad rather than pack (fine-tuning, contrastive,

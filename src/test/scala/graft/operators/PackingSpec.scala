@@ -101,4 +101,27 @@ class PackingSpec extends SparkSpec {
     // empty docs appear nowhere
     assert(!asg.exists { case (_, id) => rows(id.toInt)._2 == 0L })
   }
+
+  test("materializeWindows: windows concatenate back to the exact token stream") {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, (0 until rng.nextInt(40)).map(j => i * 1000L + j)))
+    val df = rows.toDF("id", "toks")
+    val L = 16L
+    val packed = Packing.packSequences(df, $"id", size($"toks").cast("long"), L)
+      .localCheckpoint()
+    val wins = Packing.materializeWindows(packed, $"toks", L)
+      .select($"seq", $"token_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    // reference stream: docs in (hash60(id), id) order, concatenated
+    val order = packed.select($"id", $"start_seq", $"offset")
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (_, s0, o) => (s0, o) }.map(_._1)
+    val stream = order.flatMap(id => rows(id.toInt)._2)
+    assert(wins.flatMap(_._2).toSeq == stream.toSeq)
+    // every window is full except possibly the last; seqs contiguous
+    assert(wins.map(_._1).toSeq == wins.indices.map(_.toLong))
+    wins.dropRight(1).foreach { case (_, t) => assert(t.size == L) }
+    assert(wins.last._2.size == (stream.size - 1) % L + 1)
+  }
 }
