@@ -61,7 +61,7 @@ object Bench {
       "text_bpe_encode", "corpus_fertility_bpe", "corpus_quantile_sketch",
       "ann_pq_upsert", "ann_pq_recall_audit", "text_pct_rank_sketch",
       "ann_ivfpq_residual", "text_bpe_vocab", "pack_shards",
-      "q_series_quantile_hour", "pack_materialize")
+      "q_series_quantile_hour", "pack_materialize", "corpus_kmv_merged")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -3481,6 +3481,37 @@ object Queries {
             AS chars_per_token
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // the KMV artifact path: three per-split sketches merged, then
+    // estimated — the merge homomorphism makes the result equal a
+    // from-scratch build, so the oracle IS corpus_distinct_kmv's
+    "corpus_kmv_merged" -> Entry(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("source"), col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+        val parts = (0 until 3).map(i =>
+          graft.operators.CorpusStats.kmvSketch(
+            tok.filter(pmod(col("doc_id"), lit(3)) === i),
+            col("source"), col("w"), k = 64))
+        graft.operators.CorpusStats.kmvEstimate(
+            graft.operators.CorpusStats.kmvMerge(
+              parts.reduce(_ unionByName _), k = 64), k = 64)
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          h AS (SELECT DISTINCT source,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+          r AS (SELECT source, hv, row_number() OVER (PARTITION BY source
+            ORDER BY hv) AS rn FROM h),
+          kt AS (SELECT source, count(*)::BIGINT AS n_kept,
+            max(hv) AS kth_hash FROM r WHERE rn <= 64 GROUP BY 1)
+        SELECT source, n_kept, kth_hash,
+          CASE WHEN n_kept < 64 THEN n_kept
+            ELSE (1152921504606846976 // kth_hash) * 63 END AS est_distinct
+        FROM kt ORDER BY source""")),
+
     // cross-source near-dup overlap matrix: where duplication comes
     // from; pair order normalized so each source combo is one row
     "dedup_source_overlap" -> Entry(

@@ -177,6 +177,44 @@ object CorpusStats {
   }
 
   /**
+   * The persistable KMV artifact behind [[distinctKmv]]: each group's
+   * `k` smallest DISTINCT 60-bit value hashes, as plain rows —
+   * save it, merge it ([[kmvMerge]]), read the estimate off it
+   * ([[kmvEstimate]]). Merging is an EXACT homomorphism (k-min of a
+   * union of k-min sets IS the union's k-min set), so per-partition /
+   * per-day sketches roll up to precisely the artifact one global
+   * build produces — the same contract as
+   * [[quantileSketch]]/[[quantileSketchMerge]], spec-pinned.
+   */
+  def kmvSketch(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val h = df.select(group.as("source"), TextOps.hash60(value).as("hv"))
+      .distinct()
+    TopK.perGroup(h, col("source"), col("hv").asc, col("hv"), k)
+      .drop("rank")
+  }
+
+  /** Merge [[kmvSketch]] frames: union, distinct, re-cut to the k
+   * smallest per group. Associative and exact by construction. */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    TopK.perGroup(sketches.select(col("source"), col("hv")).distinct(),
+      col("source"), col("hv").asc, col("hv"), k).drop("rank")
+  }
+
+  /** [[distinctKmv]]'s estimator read off a persisted/merged sketch. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    sketch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(graft.functions.ldiv(lit(1152921504606846976L),
+            col("kth_hash")) * lit((k - 1).toLong)))
+  }
+
+  /**
    * Pairwise group-similarity matrix from merged KMV sketches — the
    * "which sources share vocabulary / content" overview
    * ([[distinctKmv]]'s algebra applied to set RESEMBLANCE, the

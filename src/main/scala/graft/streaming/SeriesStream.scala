@@ -128,24 +128,61 @@ object SeriesStream {
       }
       .start()
 
-  /** One idempotent merge step (exposed for the spec's re-delivery
-   * case). Swap discipline: merged artifact lands in `.tmp` (fully
-   * materialized — it READS the standing dir), the standing dir
-   * rotates to `.old`, `.tmp` moves in, `.old` deletes; a crash
-   * between steps leaves either the old or the new artifact readable
-   * ([[standingSketch]] falls back to `.old`). */
+  /** One idempotent merge step for [[quantileSketchStream]] (exposed
+   * for the spec's re-delivery case). */
   private[graft] def sketchMergeBatch(batch: DataFrame, groupCol: String,
       valueCol: String, k: Int, storePath: String, batchId: Long): Unit = {
     import graft.operators.CorpusStats
+    artifactMergeBatch(batch,
+      b => CorpusStats.quantileSketch(b, col(groupCol), col(valueCol), k),
+      u => CorpusStats.quantileSketchMerge(u, k), storePath, batchId)
+  }
+
+  /**
+   * Standing KMV distinct-count maintenance — the same
+   * merge-a-bounded-artifact-per-batch shape as
+   * [[quantileSketchStream]], for [[graft.operators.CorpusStats
+   * .kmvSketch]]: the persisted artifact always equals a from-scratch
+   * batch sketch of everything ingested (KMV merge is an exact
+   * homomorphism), and [[graft.operators.CorpusStats.kmvEstimate]]
+   * reads the running per-group distinct estimate off it at any time
+   * — the standing form of the approx-DAU readout.
+   */
+  def kmvSketchStream(rows: DataFrame, groupCol: String,
+      valueCol: String, k: Int, storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.CorpusStats
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => CorpusStats.kmvSketch(b, col(groupCol), col(valueCol), k),
+          u => CorpusStats.kmvMerge(u, k), storePath, id)
+      }
+      .start()
+  }
+
+  /** The shared idempotent standing-artifact step: build the batch's
+   * bounded artifact, merge with the persisted one, swap. Swap
+   * discipline: merged artifact lands in `.tmp` (fully materialized —
+   * it READS the standing dir), the standing dir rotates to `.old`,
+   * `.tmp` moves in, `.old` deletes; a crash between steps leaves
+   * either the old or the new artifact readable ([[standingSketch]]
+   * falls back to `.old`). Re-delivered batches skip via the recorded
+   * `batch_id`. */
+  private[graft] def artifactMergeBatch(batch: DataFrame,
+      build: DataFrame => DataFrame, merge: DataFrame => DataFrame,
+      storePath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val standing = standingSketch(spark, storePath)
     val seen = standing.exists(s =>
       !s.filter(col("batch_id") >= batchId).isEmpty)
     if (seen) return // re-delivered batch after a restart: already in
-    val fresh = CorpusStats.quantileSketch(batch,
-      col(groupCol), col(valueCol), k)
-    val merged = CorpusStats.quantileSketchMerge(
-      standing.map(_.drop("batch_id").unionByName(fresh)).getOrElse(fresh), k)
+    val fresh = build(batch)
+    val merged = merge(
+      standing.map(_.drop("batch_id").unionByName(fresh)).getOrElse(fresh))
       .withColumn("batch_id", lit(batchId))
     val p = java.nio.file.Paths.get(storePath)
     val tmp = java.nio.file.Paths.get(storePath + ".tmp")

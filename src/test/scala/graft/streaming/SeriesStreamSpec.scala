@@ -399,6 +399,42 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("standing KMV sketch: stream-merged artifact equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 600).map(i =>
+      ("g" + (i % 2), "tok" + rng.nextInt(200)))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-kmv").toString + "/sk"
+    val mem = MemoryStream[(String, String)]
+    val q = SeriesStream.kmvSketchStream(
+      mem.toDF().toDF("source", "w"), "source", "w", k = 32,
+      storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-kmv-ck").toString)
+    try {
+      mem.addData(rows.take(250))
+      q.processAllAvailable()
+      mem.addData(rows.drop(250))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(store).drop("batch_id")
+      .select("source", "hv").as[(String, Long)].collect().toSet
+    val direct = graft.operators.CorpusStats.kmvSketch(
+        rows.toDF("source", "w"), $"source", $"w", 32)
+      .select("source", "hv").as[(String, Long)].collect().toSet
+    assert(streamed == direct) // the exact KMV merge homomorphism
+    // and the estimate off the artifact equals the one-shot operator
+    val estA = graft.operators.CorpusStats.kmvEstimate(
+        spark.read.parquet(store), 32)
+      .select("source", "est_distinct").as[(String, Long)].collect().toSet
+    val estB = graft.operators.CorpusStats.distinctKmv(
+        rows.toDF("source", "w"), $"source", $"w", 32)
+      .select("source", "est_distinct").as[(String, Long)].collect().toSet
+    assert(estA == estB)
+  }
+
   test("streaming attribution join: clicks pair with in-window purchases only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
