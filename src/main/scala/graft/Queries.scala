@@ -1827,6 +1827,58 @@ object Queries {
           doc_id, start_seq, "offset", n_seqs
         FROM p WHERE n_seqs > 0 ORDER BY shard, doc_id""")),
 
+    // THE TERMINAL FLOW, end to end in one gate: tokenize with the
+    // trained merge table (bpeEncodeIds — true ids, lexicographic
+    // vocab), pack the TRUE token counts into 512-token windows, and
+    // materialize every window's ids. The oracle rebuilds the same
+    // stream: marker-form encode → lexicographic vocab ranks → hash
+    // packing order → per-position window aggregation.
+    "pipeline_tokenize_pack" -> Entry(
+      (s, dir) => {
+        val (ids, _) = graft.operators.CorpusStats.bpeEncodeIds(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          fixedMergesDf(s))
+        val packed = graft.operators.Packing.packSequences(
+          ids, col("id"), col("n_bpe_tokens"), seqLen = 512L)
+        graft.operators.Packing.materializeWindows(
+            packed, col("token_ids"), seqLen = 512L)
+          .select(col("seq"), col("n_tokens"),
+            element_at(col("token_ids"), 1).as("first_tok"),
+            element_at(col("token_ids"), -1).as("last_tok"),
+            aggregate(col("token_ids"), lit(0L),
+              (a, x) => a + x).as("sum_tok"))
+          .orderBy(col("seq"))
+      },
+      Some(s"""WITH enc AS (SELECT doc_id,
+            replace(${fixedMergesReplaceSql(
+              "regexp_replace(text, '(.)', '§\\1', 'g')")}, '§ ', '') AS f
+          FROM documents),
+          d AS (SELECT doc_id,
+            CASE WHEN length(f) > 0
+              THEN string_split(substr(f, 2), '§')
+              ELSE [] END AS toks
+          FROM enc),
+          vocab AS (SELECT token, row_number() OVER (ORDER BY token) - 1
+              AS tid
+            FROM (SELECT DISTINCT unnest(toks) AS token FROM d)),
+          h AS (SELECT doc_id, toks, len(toks) AS w,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM d),
+          c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM h),
+          stream AS (SELECT cum + ord - 1 AS p, tok FROM (
+            SELECT cum, unnest(toks) AS tok,
+              unnest(range(1, len(toks) + 1)) AS ord
+            FROM c WHERE w > 0)),
+          pos AS (SELECT p, tid FROM stream JOIN vocab
+            ON vocab.token = stream.tok)
+        SELECT (p // 512)::BIGINT AS seq, count(*)::BIGINT AS n_tokens,
+          arg_min(tid, p)::BIGINT AS first_tok,
+          arg_max(tid, p)::BIGINT AS last_tok,
+          sum(tid)::BIGINT AS sum_tok
+        FROM pos GROUP BY 1 ORDER BY 1""")),
+
     // the packed layout MATERIALIZED: every 2048-token training
     // window reassembled from its docs' slices (synthetic per-doc
     // token ids, deterministic on both engines); first/last/sum per
@@ -3678,6 +3730,29 @@ object Queries {
             .select(explode(TextOps.tokens(col("text"))).as("w")),
           col("w"), width = 256, depth = 4)
         .orderBy(col("row"), col("bucket")),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          rb AS (SELECT r.range::INTEGER AS row,
+              (('0x' || substr(md5('cms' || r.range || ':' || w), 1, 15))::BIGINT
+                % 256)::INTEGER AS bucket
+            FROM tok CROSS JOIN range(0, 4) r)
+        SELECT row, bucket, count(*)::BIGINT AS c
+        FROM rb GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // CMS merge homomorphism: three per-split sketches summed
+    // cell-wise equal the from-scratch build (the corpus_cms oracle)
+    "corpus_cms_merged" -> Entry(
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val parts = (0 until 3).map(i =>
+          graft.operators.CorpusStats.countMinSketch(
+            tok.filter(pmod(col("doc_id"), lit(3)) === i),
+            col("w"), width = 256, depth = 4))
+        graft.operators.CorpusStats.countMinMerge(
+            parts.reduce(_ unionByName _))
+          .orderBy(col("row"), col("bucket"))
+      },
       Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
             FROM documents),
           rb AS (SELECT r.range::INTEGER AS row,

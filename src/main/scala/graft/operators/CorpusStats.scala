@@ -1162,6 +1162,15 @@ object CorpusStats {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Merge [[countMinSketch]] frames built with the SAME
+   * (width, depth): cell-wise count addition — an exact homomorphism
+   * (counts are additive), so per-split/per-day/streamed sketches sum
+   * to precisely the global build. Parameter agreement is the
+   * caller's contract, as in [[countMinEstimate]]. */
+  def countMinMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
   /** Point-frequency estimates off a [[countMinSketch]]: for each
    * queried value, `min` over the depth rows of its bucket's count.
    * The probe is a `depth`-way explode LEFT-joined once against the
