@@ -228,7 +228,7 @@ class PlanSpec extends SparkSpec {
     // Anything else is a new unbounded single-task shuffle: fail until
     // it is either re-shaped or deliberately whitelisted here.
     val codebookOk = Set("ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
-      "ann_pq_upsert", "ann_pq_recall_audit")
+      "ann_pq_upsert", "ann_pq_recall_audit", "ann_ivfpq_residual")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val lp = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
