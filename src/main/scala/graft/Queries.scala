@@ -1797,6 +1797,30 @@ object Queries {
             AS n_seqs
         FROM c ORDER BY doc_id""")),
 
+    // per-group packing: every source packs its own window stream —
+    // no training window mixes sources; group-local layout verified
+    // against a per-source cumulative rebuild
+    "pack_sequences_by" -> Entry(
+      (s, dir) => graft.operators.Packing.packSequencesBy(
+          t(s, dir, "documents"), col("source"), col("doc_id"),
+          col("n_chars"), seqLen = 2048L)
+        .select(col("source"), col("doc_id"), col("start_seq"),
+          col("offset"), col("n_seqs"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT source, doc_id, n_chars AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (PARTITION BY source
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h)
+        SELECT source, doc_id, (cum // 2048)::BIGINT AS start_seq,
+          (cum % 2048)::BIGINT AS "offset",
+          (CASE WHEN w = 0 THEN 0
+                ELSE (cum + w - 1) // 2048 - cum // 2048 + 1 END)::BIGINT
+            AS n_seqs
+        FROM c ORDER BY doc_id""")),
+
     // shard writer assignments over the packed layout: one row per
     // (shard, doc) for every doc intersecting the shard's window
     // range — the contract that lets 1000 writers materialize 1000

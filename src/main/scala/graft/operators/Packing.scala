@@ -87,6 +87,51 @@ object Packing {
   }
 
   /**
+   * Per-group [[packSequences]]: each group (language, source,
+   * curriculum stage) packs into its OWN window stream, so no
+   * training window ever mixes groups — the layout a multilingual or
+   * staged build actually wants. `start_seq`/`offset`/`n_seqs` are
+   * group-local (window w of group g); compose with
+   * [[materializeWindows]] per group by filtering, or with
+   * [[shardAssignments]] whose shard ids then also become
+   * group-local. Same deterministic (hash60(id), id) order and the
+   * same 4096-bucket two-level prefix per group — the broadcast
+   * prefix frame grows to 4096·|groups| rows (sources/languages:
+   * thousands at worst). Rows with a NULL group pack into their own
+   * stream (the join is null-safe).
+   */
+  def packSequencesBy(df: DataFrame, group: Column, id: Column,
+      weight: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be > 0")
+    val base = df
+      .withColumn("_g", group)
+      .withColumn("_h", graft.functions.Hash60Expr.hash60(id.cast("string")))
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_bkt", shiftright(col("_h"), 48))
+    val bucketPrefix = base.groupBy(col("_g"), col("_bkt"))
+      .agg(sum(col("_w")).as("_bsum"))
+      .withColumn("_bbefore", coalesce(
+        sum(col("_bsum")).over(Window.partitionBy(col("_g"))
+          .orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_g").as("_g2"), col("_bkt").as("_bkt2"),
+        col("_bbefore"))
+    val inBucket = Window.partitionBy(col("_g"), col("_bkt"))
+      .orderBy(col("_h"), id).rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(bucketPrefix),
+        col("_g") <=> col("_g2") && col("_bkt") === col("_bkt2"))
+      .withColumn("_cum",
+        col("_bbefore") + coalesce(sum(col("_w")).over(inBucket), lit(0L)))
+      .withColumn("start_seq", ldiv(col("_cum"), seqLen))
+      .withColumn("offset", col("_cum") - col("start_seq") * seqLen)
+      .withColumn("n_seqs", when(col("_w") === 0, lit(0L))
+        .otherwise(ldiv(col("_cum") + col("_w") - 1, seqLen) -
+          col("start_seq") + 1))
+      .drop("_g", "_g2", "_h", "_w", "_bkt", "_bkt2", "_bbefore", "_cum")
+  }
+
+  /**
    * Materialize [[packSequences]]' layout: the actual training
    * windows, one row per `seq` with its `seqLen` token ids in stream
    * order (the final window may be shorter). `packed` must carry the

@@ -102,6 +102,22 @@ class PackingSpec extends SparkSpec {
     assert(!asg.exists { case (_, id) => rows(id.toInt)._2 == 0L })
   }
 
+  test("packSequencesBy equals packSequences run per group") {
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 150).map(i =>
+      (i.toLong, "g" + (i % 3), rng.nextInt(30).toLong))
+    val df = rows.toDF("id", "grp", "w")
+    val by = Packing.packSequencesBy(df, $"grp", $"id", $"w", seqLen = 16L)
+      .select($"id", $"start_seq", $"offset", $"n_seqs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val perGroup = (0 until 3).flatMap { g =>
+      Packing.packSequences(df.filter($"grp" === s"g$g"), $"id", $"w", 16L)
+        .select($"id", $"start_seq", $"offset", $"n_seqs")
+        .as[(Long, Long, Long, Long)].collect()
+    }.toSet
+    assert(by == perGroup)
+  }
+
   test("materializeWindows: windows concatenate back to the exact token stream") {
     val rng = new scala.util.Random(5)
     val rows = (0 until 80).map(i =>
