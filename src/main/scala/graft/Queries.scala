@@ -2877,6 +2877,32 @@ object Queries {
       },
       Some(projectionOracle(outDim = 8, inDim = 64, seed = "jl"))),
 
+    // exact mean-centered covariance on the 2^20 integer grid — the
+    // 64x64 bounded artifact PCA/whitening/drift read; every cell is
+    // integer arithmetic end-to-end (no float forms anywhere), d²
+    // cells after one map-side-combined exchange
+    "embed_covariance" -> Entry(
+      (s, dir) => graft.operators.Embeddings.covarianceMicro(
+          t(s, dir, "embeddings"), col("embedding"), dim = 64)
+        .orderBy(col("i"), col("j")),
+      Some(s"""WITH ${pcaCovCtes(64)}
+        SELECT i, j, cov_micro FROM covm ORDER BY i, j""")),
+
+    // principal-component scores: covariance -> 4 integer power
+    // iterations (max-norm rescale, driver loop on the d² artifact)
+    // -> exact per-vector projection; the oracle unrolls the same
+    // iterations over the covariance CTE
+    "embed_pca_project" -> Entry(
+      (s, dir) => graft.operators.Embeddings.pca(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          dim = 64, iters = 4)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${pcaCovCtes(64)}, ${pcaPowerCtes(64, 4)}
+        SELECT q.vec_id,
+          list_sum(list_transform(range(1, ${64 + 1}),
+            k -> q.q[k] * vf.vl[k]))::BIGINT AS proj_pico
+        FROM q, vf ORDER BY q.vec_id""")),
+
     "text_fingerprint" -> Entry(
       (s, dir) => t(s, dir, "documents")
         .filter(length(col("text")) >= 11)
@@ -3020,6 +3046,20 @@ object Queries {
               // (n_pos::HUGEINT * n_neg::HUGEINT * 2) END)::DOUBLE
             / 1000000.0 AS auc
         FROM agg""")),
+
+    // trained quality classifier: 4 GD iterations of logistic
+    // regression over integer micro features (bias/punct/stopword/
+    // word-len), labels = source-is-target — the fastText-style
+    // bootstrap filter. Weights are exact integers on both engines
+    // (rational-arithmetic step); the oracle unrolls the identical
+    // iterations as CTEs
+    "text_quality_logreg" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.logregQuality(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          col("source") === "src0", iters = 4)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${logregCtes(4, 1L, 1L)}
+        ${logregScoreSql(4)}""")),
 
     // corpus-weighted adjacent char-pair counts — the statistic BPE
     // tokenizer training's first merge decision reads; deterministic
@@ -4755,6 +4795,112 @@ object Queries {
             AS nll_target_micro
         FROM tok LEFT JOIN voc USING (w) LEFT JOIN voct USING (w)
         CROSS JOIN tot CROSS JOIN tott GROUP BY 1)"""
+
+  /** Unrolled full-batch GD for the text_quality_logreg oracle —
+   * [[graft.operators.CorpusStats.logregQuality]]'s exact arithmetic,
+   * one (residual, gradient, weight) CTE triple per iteration. All
+   * integer except the micro-quantized sigmoid residual (the
+   * unigramNll discipline); the weight step is the half-away-from-
+   * zero integer-ratio construction, so no double-tie divergence.
+   * Ends with CTEs `f` (design matrix) and `w$iters` (final
+   * weights). */
+  private def logregCtes(iters: Int, lrNum: Long, lrDen: Long): String = {
+    val en = "('the','a','of','to','and','in','is','it','you','that')"
+    def zSql(w: String): String =
+      s"(f.x0*$w.wa + f.x1*$w.wb + f.x2*$w.wc + f.x3*$w.wd)::BIGINT"
+    val cols = Seq("wa" -> ("ga", "x0"), "wb" -> ("gb", "x1"),
+      "wc" -> ("gc", "x2"), "wd" -> ("gd", "x3"))
+    val head = s"""f AS (SELECT doc_id,
+        CASE WHEN source = 'src0' THEN 1::BIGINT ELSE 0::BIGINT END AS y,
+        1000000::BIGINT AS x0,
+        (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1000000)
+          // NULLIF(length(text), 0) AS x1,
+        (len(list_filter(string_split(text, ' '), t -> t IN $en)) * 1000000)
+          // NULLIF(len(string_split(text, ' ')), 0) AS x2,
+        least((list_sum(list_transform(string_split(text, ' '),
+            t -> length(t))) * 1000000)
+          // NULLIF(len(string_split(text, ' ')), 0), 10000000) // 10 AS x3
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      nn AS (SELECT count(*)::HUGEINT AS n FROM f),
+      w0 AS (SELECT 0::HUGEINT AS wa, 0::HUGEINT AS wb,
+        0::HUGEINT AS wc, 0::HUGEINT AS wd)"""
+    val steps = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"
+      val upd = cols.map { case (wc, (gc, _)) =>
+        s"""$pw.$wc - (CASE WHEN g.$gc < 0 THEN -1 ELSE 1 END) *
+          ((2*abs(g.$gc)*$lrNum + $lrDen*nn.n*1000000)
+            // (2*$lrDen*nn.n*1000000)) AS $wc"""
+      }.mkString(",\n        ")
+      val gsum = cols.map { case (_, (gc, x)) =>
+        s"sum(r*$x)::HUGEINT AS $gc" }.mkString(", ")
+      s"""r$i AS (SELECT f.x0, f.x1, f.x2, f.x3,
+          round((1.0/(1.0 + exp(-(${zSql(pw)} / 1000000000000.0))) - f.y)
+            * 1000000.0)::BIGINT AS r
+        FROM f, $pw),
+      g$i AS (SELECT $gsum FROM r$i),
+      w$i AS (SELECT
+        $upd
+      FROM $pw, g$i g, nn)"""
+    }
+    (head +: steps).mkString(",\n      ")
+  }
+
+  /** Covariance cells on the 2^20 grid in DuckDB, mirroring
+   * [[graft.operators.Embeddings.covarianceMicro]] exactly (integer
+   * arithmetic end to end, half-away-from-zero integer-ratio micro
+   * emit). Ends with CTEs `q(vec_id, q)`, `pos(p)`, `nn(n)` and
+   * `covm(i, j, cov_micro)`. */
+  private def pcaCovCtes(dim: Int): String =
+    s"""q AS (SELECT vec_id,
+        list_transform(embedding, x -> round(x * 1048576.0)::BIGINT) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+    pos AS (SELECT unnest(range($dim)) AS p),
+    cells AS (SELECT pi.p AS i, pj.p AS j,
+        sum(q.q[pi.p + 1] * q.q[pj.p + 1])::HUGEINT AS s
+      FROM q, pos pi, pos pj GROUP BY 1, 2),
+    mom AS (SELECT pos.p AS i, sum(q.q[pos.p + 1])::HUGEINT AS m
+      FROM q, pos GROUP BY 1),
+    nn AS (SELECT count(*)::HUGEINT AS n FROM q),
+    covn AS (SELECT c.i, c.j, (nn.n * c.s - m1.m * m2.m) AS num,
+        (nn.n * nn.n * ${1L << 40}::HUGEINT) AS den
+      FROM cells c JOIN mom m1 ON c.i = m1.i JOIN mom m2 ON c.j = m2.i, nn),
+    covm AS (SELECT i, j,
+        ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+          ((2 * abs(num) * 1000000 + den) // (2 * den)))::BIGINT AS cov_micro
+      FROM covn)"""
+
+  /** Unrolled integer power iterations over `covm` (max-norm rescale,
+   * the [[graft.operators.Embeddings.pcaPowerMicro]] arithmetic).
+   * Ends with `vf(vl)` — the final micro component vector as a
+   * dim-long list. */
+  private def pcaPowerCtes(dim: Int, iters: Int): String = {
+    val head = s"v0 AS (SELECT p AS i, 1000000::HUGEINT AS v FROM pos)"
+    val steps = (1 to iters).map { t =>
+      val pv = s"v${t - 1}"
+      s"""s$t AS (SELECT c.i, sum(c.cov_micro * v.v)::HUGEINT AS s
+          FROM covm c JOIN $pv v ON c.j = v.i GROUP BY 1),
+        m$t AS (SELECT max(abs(s)) AS m FROM s$t),
+        v$t AS (SELECT s$t.i,
+            CASE WHEN m$t.m = 0 THEN vp.v
+              ELSE (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+                ((2 * abs(s) * 1000000 + m$t.m) // (2 * m$t.m)) END AS v
+          FROM s$t JOIN $pv vp ON s$t.i = vp.i, m$t)"""
+    }
+    val tail = s"vf AS (SELECT list(v ORDER BY i) AS vl FROM v$iters)"
+    (head +: steps :+ tail).mkString(",\n      ")
+  }
+
+  /** The final-weights scoring tail shared by the logreg gate. */
+  private def logregScoreSql(iters: Int): String = {
+    val z = s"(f.x0*w.wa + f.x1*w.wb + f.x2*w.wc + f.x3*w.wd)::BIGINT"
+    s"""SELECT f.doc_id, f.y, $z AS z_pico,
+        round((1.0/(1.0 + exp(-($z / 1000000000000.0)))) * 1000000.0)::BIGINT
+          AS p_micro,
+        round((1.0/(1.0 + exp(-($z / 1000000000000.0)))) * 1000000.0)::BIGINT
+          >= 500000 AS pred
+      FROM f, w$iters w ORDER BY f.doc_id"""
+  }
 
   /** NB classifier per-(doc, class) scores in DuckDB, mirroring
    * [[graft.operators.CorpusStats.naiveBayesModel]] on the documents

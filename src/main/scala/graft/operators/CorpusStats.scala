@@ -1721,4 +1721,105 @@ object CorpusStats {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("source") +: col("n_rows") +: outs: _*)
   }
+
+  /**
+   * The four micro-integer features the trained quality classifier
+   * reads — shared by [[logregQuality]] and the oracle generator so
+   * both engines score the identical design matrix. All integer
+   * arithmetic (`ldiv` = truncating long division, the
+   * [[graft.operators.TextOps.gopherRules]] discipline): bias,
+   * punctuation ratio, English-stopword ratio, and mean word length
+   * capped at 10 chars — each lands in [0, 10⁶].
+   */
+  def logregFeatures(text: Column): Seq[(String, Column)] = {
+    import graft.functions.ldiv
+    val w = TextOps.tokens(text)
+    val nWords = nullif(size(w).cast("long"), lit(0L))
+    val nChars = nullif(length(text).cast("long"), lit(0L))
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("long")
+    val stops = size(filter(w,
+      x => x.isInCollection(TextOps.stopwords.toMap.apply("en")))).cast("long")
+    val sumChars = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    Seq(
+      "x0" -> lit(1000000L),
+      "x1" -> ldiv(punct * lit(1000000L), nChars),
+      "x2" -> ldiv(stops * lit(1000000L), nWords),
+      "x3" -> ldiv(least(ldiv(sumChars * lit(1000000L), nWords),
+        lit(10000000L)), lit(10L)))
+  }
+
+  /**
+   * Trained quality classifier: full-batch logistic regression by
+   * gradient descent over [[logregFeatures]], labels from the
+   * caller's `positive` predicate (the fastText-style "wiki = good,
+   * crawl = bad" bootstrap every production quality filter starts
+   * from — Joulin et al. 2016 shape; the reference has no learned
+   * surface at all). Emits per-doc `(id, y, z_pico, p_micro, pred)`
+   * under the FINAL weights.
+   *
+   * Exactness discipline — the whole train loop is reproducible
+   * bit-for-bit on any engine/cluster layout:
+   *   - features and weights are micro LONGs; the margin
+   *     `z_pico = Σ wⱼ·xⱼ` is an exact integer (|z| ≤ 10¹⁴ < 2⁵³);
+   *   - the ONLY transcendental touch is the per-row residual
+   *     `r_micro = round((σ(z) − y)·10⁶)` — the [[unigramNll]]
+   *     micro-quantization point (engines' exp agree far inside
+   *     10⁻⁶); iteration 1 has z ≡ 0 so σ is exactly ½ and r is
+   *     integral on both engines;
+   *   - gradients Σ r·xⱼ sum in DECIMAL(38,0) (exact, order-free —
+   *     a 100-TB corpus overflows a LONG here);
+   *   - the weight step is EXACT rational arithmetic: half-away-
+   *     from-zero of `lr·gⱼ/(n·10⁶)` via the [[graft.functions.ratio6]]
+   *     integer construction on driver-side BigInts — `round(double)`
+   *     on an integer ratio hits 5·10⁻⁷ ties (the events_seasonal
+   *     mechanism), so no double ever enters the update.
+   *
+   * Scale shape: one scan per iteration against a checkpointed
+   * feature frame (the [[graft.operators.Embeddings.kmeansRun]]
+   * loop), map-side partial aggregation down to ONE 4-cell gradient
+   * row per pass; weights are a d+1-value driver artifact (the
+   * [[bpeTrain]] bounded-artifact pattern). Nothing driver-side ever
+   * scales with the corpus.
+   */
+  def logregQuality(df: DataFrame, id: Column, text: Column,
+      positive: Column, iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(lrNum >= 1 && lrDen >= 1, "learning rate must be positive")
+    val featCols = logregFeatures(text)
+    val feats = ckpt(df
+      .filter(text.isNotNull && length(text) > 0)
+      .select((id.as("doc_id") +:
+        when(positive, 1L).otherwise(0L).as("y") +:
+        featCols.map { case (n, c) => c.as(n) }): _*))
+    val n = feats.count()
+    require(n > 0, "no trainable rows (all texts null/empty)")
+    val den = BigInt(lrDen) * BigInt(n) * BigInt(1000000L)
+    var w = Vector.fill(featCols.size)(BigInt(0))
+    def zPico(wv: Vector[BigInt]): Column =
+      featCols.indices.map(j => lit(wv(j).toLong) * col(s"x$j"))
+        .reduce(_ + _)
+    def rMicro(wv: Vector[BigInt]): Column =
+      round((lit(1.0) / (lit(1.0) +
+        exp(-(zPico(wv).cast("double") / lit(1.0e12)))) -
+        col("y").cast("double")) * lit(1000000.0)).cast("long")
+    for (_ <- 1 to iters) {
+      val gs = featCols.indices.map(j =>
+        sum((col("r") * col(s"x$j")).cast("decimal(38,0)")).as(s"g$j"))
+      val grads = feats.select(rMicro(w).as("r"), col("*"))
+        .agg(gs.head, gs.tail: _*)
+        .collect()(0)
+      w = featCols.indices.map { j =>
+        val g = BigInt(grads.getDecimal(j).toBigInteger)
+        val step = (g.abs * 2 * lrNum + den) / (den * 2)
+        w(j) - (if (g < 0) -step else step)
+      }.toVector
+    }
+    val z = zPico(w)
+    val p = round((lit(1.0) / (lit(1.0) +
+      exp(-(z.cast("double") / lit(1.0e12))))) * lit(1000000.0))
+      .cast("long")
+    feats.select(col("doc_id"), col("y"), z.as("z_pico"),
+      p.as("p_micro"), (p >= 500000L).as("pred"))
+  }
 }

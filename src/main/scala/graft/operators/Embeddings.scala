@@ -353,4 +353,127 @@ object Embeddings {
       .select(col("vec_id"), col("old_label"),
         col("m.cent_id").as("new_label"), col("m.d2").as("d2"))
   }
+
+  /** Fixed-grid component quantization shared by the covariance/PCA
+   * family: `q_i = round(x_i · 2^scaleBits)` — a power-of-two grid,
+   * so the float→double widening and the scale multiply are both
+   * EXACT and every engine lands on the identical integer. Kept as
+   * integral DOUBLES (exact below 2⁵³) so [[Similarity.dot]] consumes
+   * the grid directly; covariance casts to long for the integer
+   * aggregates. */
+  private def qGrid(vec: Column, scaleBits: Int): Column =
+    transform(vec, x =>
+      round(x.cast("double") * lit(math.pow(2.0, scaleBits))))
+
+  /**
+   * Exact mean-centered covariance of an embedding column on the
+   * 2^`scaleBits` integer grid — the matrix PCA/whitening/drift
+   * detection read. Emits one row per (i, j) cell:
+   * `cov_micro = round_half_away(10⁶ · (n·S_ij − M_i·M_j) / (n²·2^(2·scaleBits)))`
+   * where `S_ij = Σ q_i·q_j` and `M_i = Σ q_i` over grid-quantized
+   * components — covariance·10⁶ in the ORIGINAL units, n-normalized
+   * (population form). Every step is integer/DECIMAL(38,0) with the
+   * [[graft.functions.ratio6]] half-away division, so any engine
+   * reproduces the cells bit-for-bit — no double ever forms.
+   *
+   * Scale shape: the double dim-explode generates N·d² product rows,
+   * but they partial-aggregate map-side into ≤ d² cells per task —
+   * the exchange carries d² tiny rows (the [[centroids]] argument,
+   * squared). The d²-cell result is a BOUNDED artifact: corpus size
+   * never reaches the driver or the shuffle. Exact covariance is
+   * inherently O(N·d²) multiply-adds; for d ≫ 10³ cut with
+   * [[randomProjection]] first.
+   */
+  def covarianceMicro(df: DataFrame, vec: Column, dim: Int,
+      scaleBits: Int = 20): DataFrame = {
+    require(dim >= 1 && scaleBits >= 0 && scaleBits <= 25,
+      "dim >= 1 and 0 <= scaleBits <= 25 required")
+    import graft.functions.ldiv
+    val q = df.filter(vec.isNotNull && size(vec) === dim)
+      .select(transform(qGrid(vec, scaleBits), x => x.cast("long")).as("q"))
+    val exploded = q.select(posexplode(col("q")).as(Seq("i", "qi")),
+      col("q"))
+    val cells = exploded
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("s"))
+    val moments = exploded.groupBy(col("i"))
+      .agg(sum(col("qi").cast("decimal(38,0)")).as("m"))
+    val n = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val num = (col("n") * col("s") -
+      col("mi") * col("mj")).cast("decimal(38,0)")
+    val den = (col("n") * col("n") *
+      lit(math.pow(2.0, 2 * scaleBits).toLong).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    cells
+      .join(broadcast(moments.select(col("i"), col("m").as("mi"))), "i")
+      .join(broadcast(moments.select(col("i").as("j"), col("m").as("mj"))),
+        "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (when(num < 0, lit(-1L)).otherwise(lit(1L)) *
+          ldiv(abs(num) * lit(2000000L) + den, den * lit(2L))
+        ).cast("long").as("cov_micro"))
+  }
+
+  /**
+   * Dominant eigenvector of a [[covarianceMicro]] matrix by power
+   * iteration with max-norm rescaling — every step INTEGER (BigInt
+   * multiply-adds, half-away-from-zero integer-ratio rescale), so the
+   * result is engine-reproducible with no float anywhere: an L2
+   * rescale would need a sqrt no SQL engine evaluates exactly, while
+   * `max|s|` is exact on all of them. The matrix is a d²-cell bounded
+   * artifact, so the loop runs driver-side (the
+   * [[graft.operators.CorpusStats.bpeTrain]] pattern); corpus size
+   * never enters. Returns the micro-scaled component vector
+   * (∞-norm = 10⁶; sign as the iteration converges — deterministic,
+   * both engines land on the same one). A zero matrix returns the
+   * all-10⁶ start vector unchanged.
+   */
+  def pcaPowerMicro(cov: DataFrame, dim: Int, iters: Int = 4): Array[Long] = {
+    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
+    val cells = cov
+      .select(col("i").cast("long"), col("j").cast("long"), col("cov_micro"))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        BigInt(r.getLong(2)))).toMap
+    var v = Array.fill(dim)(BigInt(1000000L))
+    for (_ <- 1 to iters) {
+      val s = Array.tabulate(dim) { i =>
+        (0 until dim).map(j => cells.getOrElse((i, j), BigInt(0)) * v(j)).sum
+      }
+      val m = s.map(_.abs).max
+      if (m > 0)
+        v = s.map(si =>
+          (if (si < 0) -BigInt(1) else BigInt(1)) *
+            ((si.abs * 2000000L + m) / (m * 2)))
+    }
+    v.map(_.toLong)
+  }
+
+  /**
+   * Projection of every vector onto a micro-scaled component (the
+   * [[pcaPowerMicro]] artifact): `proj_pico = Σ v_j · q_j` on the
+   * same 2^`scaleBits` grid. All addends are integers below 2⁵³, so
+   * the codegen'd sequential dot is EXACT even in double — one
+   * projection over the scan, no shuffle ([[randomProjection]]'s
+   * shape). Scores are uncentered: centering shifts every projection
+   * by the same constant, so ranking/thresholding semantics are
+   * identical.
+   */
+  def pcaProject(df: DataFrame, id: Column, vec: Column, v: Array[Long],
+      scaleBits: Int = 20): DataFrame = {
+    val vlit = array(v.map(x => lit(x.toDouble)): _*)
+    df.filter(vec.isNotNull && size(vec) === v.length)
+      .select(id.as("vec_id"),
+        dot(qGrid(vec, scaleBits), vlit).cast("long").as("proj_pico"))
+  }
+
+  /** The composed flagship: covariance → power iteration → per-vector
+   * principal-component scores, end to end. */
+  def pca(df: DataFrame, id: Column, vec: Column, dim: Int,
+      iters: Int = 4, scaleBits: Int = 20): DataFrame =
+    pcaProject(df, id, vec,
+      pcaPowerMicro(covarianceMicro(df, vec, dim, scaleBits), dim, iters),
+      scaleBits)
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Embeddings.covarianceMicro / pcaPowerMicro / pcaProject — the exact
+ * integer-grid covariance + power-iteration family. Checks
+ * hand-computed covariance cells, convergence to the dominant axis,
+ * projection exactness against a BigInt reimplementation, and the
+ * wrong-length/null-vector exclusion.
+ */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 1L << 20 // the 2^20 grid
+  private def vecs2 = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(-1.0f, 0.0f)),
+    (3L, Array(2.0f, 1.0f)),
+    (4L, Array(-2.0f, -1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("covariance matches the exact hand formula on a tiny frame") {
+    val got = Embeddings.covarianceMicro(vecs2, col("embedding"), dim = 2)
+      .orderBy("i", "j").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // grid-exact components: +-1, +-2 scale exactly; means are zero, so
+    // cov = E[x_i x_j] exactly. var(x0) = (1+1+4+4)/4 = 2.5,
+    // var(x1) = 0.5, cov(x0,x1) = (0+0+2+2)/4 = 1.0 — all in micro
+    assert(got((0L, 0L)) == 2500000L)
+    assert(got((1L, 1L)) == 500000L)
+    assert(got((0L, 1L)) == 1000000L)
+    assert(got((1L, 0L)) == 1000000L)
+  }
+
+  test("mean-centering: a constant offset does not change covariance") {
+    val shifted = vecs2.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.25f)).as("embedding"))
+    val a = Embeddings.covarianceMicro(vecs2, col("embedding"), 2)
+      .orderBy("i", "j").collect().map(_.getLong(2)).toSeq
+    val b = Embeddings.covarianceMicro(shifted, col("embedding"), 2)
+      .orderBy("i", "j").collect().map(_.getLong(2)).toSeq
+    assert(a == b)
+  }
+
+  test("power iteration finds the dominant axis; projections are exact") {
+    val cov = Embeddings.covarianceMicro(vecs2, col("embedding"), 2)
+    val v = Embeddings.pcaPowerMicro(cov, dim = 2, iters = 8)
+    // dominant eigenvector of [[2.5, 1.0], [1.0, 0.5]] is ~(0.92, 0.38):
+    // component 0 dominates, same sign, infinity-norm = 1e6
+    assert(v.map(math.abs).max == 1000000L)
+    assert(math.abs(v(0)) == 1000000L)
+    assert(v(0) * v(1) > 0, s"components flipped sign: ${v.toSeq}")
+    val ratio = v(1).toDouble / v(0).toDouble
+    assert(ratio > 0.3 && ratio < 0.5, s"unexpected direction: ${v.toSeq}")
+
+    val proj = Embeddings.pcaProject(vecs2, col("vec_id"), col("embedding"), v)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Seq(
+      1L -> (BigInt(v(0)) * B).toLong,
+      2L -> (-BigInt(v(0)) * B).toLong,
+      3L -> (BigInt(v(0)) * 2 * B + BigInt(v(1)) * B).toLong,
+      4L -> (-BigInt(v(0)) * 2 * B - BigInt(v(1)) * B).toLong)
+    assert(proj.toSeq == expected)
+  }
+
+  test("null and wrong-length vectors are excluded") {
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 3.0f)),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val cov = Embeddings.covarianceMicro(mixed, col("embedding"), dim = 2)
+    assert(cov.count() == 4) // 2x2 cells from the single valid row
+    val proj = Embeddings.pcaProject(mixed, col("vec_id"), col("embedding"),
+      Array(1000000L, 0L))
+    assert(proj.select("vec_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("composed pca is deterministic across runs") {
+    def run() = Embeddings.pca(vecs2, col("vec_id"), col("embedding"),
+      dim = 2, iters = 4).orderBy("vec_id").collect().toSeq
+    assert(run() == run())
+  }
+
+  test("zero covariance keeps the start vector (no division by zero)") {
+    val const = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cov = Embeddings.covarianceMicro(const, col("embedding"), 2)
+    val v = Embeddings.pcaPowerMicro(cov, dim = 2, iters = 3)
+    assert(v.toSeq == Seq(1000000L, 1000000L))
+  }
+}
