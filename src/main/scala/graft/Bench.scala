@@ -63,7 +63,9 @@ object Bench {
       "ann_ivfpq_residual", "text_bpe_vocab", "pack_shards",
       "q_series_quantile_hour", "pack_materialize", "corpus_kmv_merged",
       "corpus_cms_merged", "pipeline_tokenize_pack", "pack_sequences_by",
-      "text_quality_logreg", "embed_covariance", "embed_pca_project")
+      "text_quality_logreg", "embed_covariance", "embed_pca_project",
+      "corpus_heavy_hitters_audit", "ann_ivf_recall_audit",
+      "text_logreg_report")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

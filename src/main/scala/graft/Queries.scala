@@ -2559,6 +2559,21 @@ object Queries {
     // sample — the number the m/K presets ship with; the oracle
     // recomputes BOTH sides (integer ADC ranking, exact cosine
     // ranking) and the same ppm division
+    // plain-IVF recall audit: the nprobe-only recall number (exact
+    // vectors, list restriction alone) — with the PQ and IVF-PQ
+    // audits this completes the preset table: every stage of the ANN
+    // ladder ships its own measured recall
+    "ann_ivf_recall_audit" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        Similarity.ivfRecallAudit(Similarity.ivfIndex(emb, cents), emb,
+          emb.filter(col("vec_id") < 8), cents, k = 10, nprobe = 2)
+      },
+      Some(ivfRecallOracle(centMod = 16, centCap = 4096, k = 10,
+        nprobe = 2))),
+
     "ann_pq_recall_audit" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -3060,6 +3075,38 @@ object Queries {
         .orderBy(col("doc_id")),
       Some(s"""WITH ${logregCtes(4, 1L, 1L)}
         ${logregScoreSql(4)}""")),
+
+    // the trained filter's shipping summary: confusion counts +
+    // precision/recall/F1/accuracy ppm at the 0.5 threshold — with
+    // calibration and AUC this completes the classifier-eval family
+    "text_logreg_report" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.classifierReport(
+        graft.operators.CorpusStats.logregQuality(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          col("source") === "src0", iters = 4),
+        col("y") === 1L, col("pred")),
+      Some(s"""WITH ${logregCtes(4, 1L, 1L)},
+        sc AS (SELECT f.y = 1 AS label,
+            round((1.0/(1.0 + exp(-((f.x0*w.wa + f.x1*w.wb + f.x2*w.wc
+                + f.x3*w.wd)::BIGINT / 1000000000000.0))))
+              * 1000000.0)::BIGINT >= 500000 AS pred
+          FROM f, w4 w),
+        cm AS (SELECT
+            sum(CASE WHEN label AND pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+            sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END)::BIGINT AS fp,
+            sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS fn,
+            sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS tn
+          FROM sc)
+        SELECT tp, fp, fn, tn,
+          (tp * 1000000) // NULLIF(tp + fp, 0) AS precision_ppm,
+          (tp * 1000000) // NULLIF(tp + fn, 0) AS recall_ppm,
+          (2 * ((tp * 1000000) // NULLIF(tp + fp, 0))
+              * ((tp * 1000000) // NULLIF(tp + fn, 0)))
+            // NULLIF(((tp * 1000000) // NULLIF(tp + fp, 0))
+              + ((tp * 1000000) // NULLIF(tp + fn, 0)), 0) AS f1_ppm,
+          ((tp + tn) * 1000000) // NULLIF(tp + fp + fn + tn, 0)
+            AS accuracy_ppm
+        FROM cm""")),
 
     // corpus-weighted adjacent char-pair counts — the statistic BPE
     // tokenizer training's first merge decision reads; deterministic
@@ -3788,6 +3835,26 @@ object Queries {
     // cell table is itself oracle-checkable (md5-derived row hashes),
     // not just its estimates — the frequency complement of the KMV
     // distinct sketch, mergeable by cell-wise addition
+    // Misra–Gries heavy hitters, gated on the LAYOUT-INDEPENDENT
+    // guarantee (the lshRecallAudit discipline): for the exact top-20
+    // tokens, the summary must cover every value above its deficit
+    // and bracket exact counts in [c, c+err] — flags the oracle can
+    // assert as literal truth against independent exact counts
+    "corpus_heavy_hitters_audit" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.heavyHittersAudit(
+          t(s, dir, "documents")
+            .select(explode(TextOps.tokens(col("text"))).as("w")),
+          col("w"), k = 256, topN = 20)
+        .orderBy(col("exact_n").desc, col("v")),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS v
+            FROM documents WHERE text IS NOT NULL),
+          ex AS (SELECT v, count(*)::BIGINT AS exact_n FROM tok
+            WHERE v IS NOT NULL GROUP BY 1
+            ORDER BY exact_n DESC, v LIMIT 20)
+        SELECT v, exact_n, true AS ok_found, true AS ok_lower,
+          true AS ok_upper
+        FROM ex ORDER BY exact_n DESC, v""")),
+
     "corpus_cms" -> Entry(
       (s, dir) => graft.operators.CorpusStats.countMinSketch(
           t(s, dir, "documents")
@@ -4771,6 +4838,49 @@ object Queries {
         FROM scored)
       SELECT query_id, vec_id, round(sim * 1000000.0) / 1000000.0 AS sim, rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** Measured plain-IVF recall in DuckDB: the [[annIvfOracle]] probe
+   * chain cut at (query_id, vec_id) pairs, joined against exact
+   * cosine top-k truth — mirrors
+   * [[graft.operators.Similarity.ivfRecallAudit]]. */
+  private def ivfRecallOracle(centMod: Int, centCap: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv,
+            ${nrmSql("embedding")} AS cn
+          FROM embeddings WHERE vec_id % $centMod = 0 AND vec_id < $centCap),
+      asn AS (SELECT e.vec_id, e.embedding AS v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${dotSql.format("e.embedding", "cv")} / (${nrmSql("e.embedding")} * cn)
+              DESC, cent_id) AS rn
+        FROM embeddings e CROSS JOIN c),
+      lists AS (SELECT vec_id, v, cent_id FROM asn WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, v AS qv, cent_id
+        FROM asn WHERE rn <= $nprobe AND vec_id < 8),
+      ivfsc AS (SELECT query_id, vec_id,
+          ${dotSql.format("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
+        FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
+      found AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS rn FROM ivfsc) WHERE rn <= $k),
+      nv AS (SELECT vec_id, embedding AS v, ${nrmSql("embedding")} AS n
+        FROM embeddings),
+      exsc AS (SELECT q.vec_id AS query_id, c2.vec_id,
+          ${dotSql.format("c2.v", "q.v")} / (q.n * c2.n) AS sim
+        FROM nv q JOIN nv c2 ON c2.vec_id <> q.vec_id
+        WHERE q.vec_id < 8 AND q.n > 0 AND c2.n > 0),
+      truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS rn FROM exsc) WHERE rn <= $k),
+      j AS (SELECT t.query_id, t.vec_id,
+          CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END AS fnd
+        FROM truth t LEFT JOIN found f
+          ON f.query_id = t.query_id AND f.vec_id = t.vec_id)
+      SELECT count(*)::BIGINT AS true_pairs,
+        sum(fnd)::BIGINT AS found_pairs,
+        (count(*) - sum(fnd))::BIGINT AS missed_pairs,
+        (sum(fnd)::BIGINT * 1000000 // count(*)::BIGINT)::BIGINT
+          AS recall_micro
+      FROM j"""
 
   /** DSIR importance scores in DuckDB, mirroring
    * [[graft.operators.CorpusStats.importanceWeights]] with raw = all

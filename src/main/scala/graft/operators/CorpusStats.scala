@@ -1723,6 +1723,138 @@ object CorpusStats {
   }
 
   /**
+   * Per-partition Misra–Gries heavy-hitter summaries — the mergeable
+   * frequent-items sketch (Misra & Gries 1982; merge rule per Agarwal
+   * et al. 2012, "Mergeability of Summaries" §3.1) that completes the
+   * sketch family next to [[kmvSketch]] (distinct), [[countMinSketch]]
+   * (point counts) and [[quantileSketch]] (order stats). Each
+   * partition keeps ≤ `k` counters with the classic deficit contract:
+   * for every value, `c ≤ exact ≤ c + err`, and any value with
+   * `exact > err` is PRESENT — err ≤ N_p/(k+1). The compression step
+   * is the merge rule itself (subtract the (k+1)-th largest counter,
+   * drop non-positives) run whenever the map hits 2k distincts, so
+   * per-item cost is O(log k) amortized. Emits `(sid, v, c, err)` —
+   * `err` constant within a summary (`sid` = partition id).
+   *
+   * This is the ONE family where `mapPartitions` is the right tool:
+   * the summary is inherently an imperative bounded-state pass (the
+   * whole point is to never materialize the vocabulary), and each
+   * task emits ≤ k rows — the shuffle carries k·P rows, never the
+   * corpus. Summary CONTENT depends on the partition layout (any MG
+   * does); the deficit/coverage bounds hold for every layout, which
+   * is what [[heavyHittersAudit]] gates.
+   */
+  def mgSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(value.cast("string").as("v")).na.drop("any")
+      .as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap[String, Long]()
+        var err = 0L
+        def compress(): Unit = {
+          // (k+1)-th largest counter = the merge-rule threshold
+          val t = m.values.toArray.sortInPlace()(Ordering[Long].reverse)
+            .apply(k)
+          err += t
+          m.mapValuesInPlace((_, c) => c - t)
+          m.filterInPlace((_, c) => c > 0L)
+        }
+        it.foreach { v =>
+          m.update(v, m.getOrElse(v, 0L) + 1L)
+          if (m.size >= 2 * k) compress()
+        }
+        if (m.size > k) compress()
+        val sid = org.apache.spark.TaskContext.getPartitionId()
+        // an all-ties compression can empty the map: the sentinel row
+        // (null v, c 0) still carries this partition's err downstream
+        val rows = m.iterator.map { case (v, c) => (sid, v, c, err) }
+        if (m.isEmpty && err > 0L)
+          Iterator.single((sid, null.asInstanceOf[String], 0L, err))
+        else rows
+      }
+      .toDF("sid", "v", "c", "err")
+  }
+
+  /**
+   * Merge [[mgSketch]] summaries into one (sid = 0): pointwise
+   * counter sums, per-summary errs added once, ONE truncation back to
+   * k (subtract the (k+1)-th largest, drop non-positives, charge it
+   * to err). Order-free — the sum is commutative and the single
+   * truncation sees all summaries — so re-merging replayed artifacts
+   * is idempotent-safe for the standing stream. Every frame in the
+   * plan is summary-sized (≤ k·#summaries rows); the unpartitioned
+   * rank window rides the value-sum Aggregate, never raw data.
+   */
+  def mgMerge(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val errSum = sketches.groupBy(col("sid"))
+      .agg(max(col("err")).as("e"))
+      .agg(coalesce(sum(col("e")), lit(0L)).as("err_in"))
+    val summed = sketches.filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("c")).as("c"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("v"))))
+    val t = summed
+      .agg(coalesce(max(when(col("rank") === k + 1, col("c"))), lit(0L))
+        .as("t"))
+    val body = summed.filter(col("rank") <= k)
+      .crossJoin(broadcast(t)).crossJoin(broadcast(errSum))
+      .filter(col("c") > col("t"))
+      .select(lit(-1).as("sid"), col("v"),
+        (col("c") - col("t")).as("c"),
+        (col("err_in") + col("t")).as("err"))
+    // the same all-ties degeneracy as the partition pass: an empty
+    // merged body must still carry err forward for chained merges
+    val sentinel = t.crossJoin(errSum)
+      .crossJoin(body.agg(count(lit(1)).as("nb")))
+      .filter(col("nb") === 0 && col("err_in") + col("t") > 0)
+      .select(lit(-1).as("sid"), lit(null).cast("string").as("v"),
+        lit(0L).as("c"), (col("err_in") + col("t")).as("err"))
+    body.unionByName(sentinel)
+  }
+
+  /** The composed corpus heavy-hitter summary: per-partition
+   * [[mgSketch]] → one [[mgMerge]]. ≤ k rows, deficit contract
+   * `c ≤ exact ≤ c + err`, coverage for every value with
+   * `exact > err`. */
+  def heavyHitters(df: DataFrame, value: Column, k: Int): DataFrame =
+    mgMerge(mgSketch(df, value, k), k)
+
+  /**
+   * The measured-guarantee gate for [[heavyHitters]] (the
+   * [[graft.operators.Dedup.lshRecallAudit]] discipline: ship the
+   * BOUND as a number the oracle can check, not a hope): for the
+   * exact top-`topN` values (count desc, value asc — deterministic),
+   * verify the summary's theory contract. All three flags are
+   * guaranteed TRUE for any partition layout — a red cell means the
+   * sketch itself is broken, so the oracle asserts literal truth
+   * against independently-computed exact counts.
+   */
+  def heavyHittersAudit(df: DataFrame, value: Column, k: Int,
+      topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val hh = heavyHitters(df, value, k)
+      .select(col("v"), col("c"), col("err"))
+    // err must reach UNFOUND rows too: attach it as a scalar, not via
+    // the left join (which nulls it exactly where ok_found needs it)
+    val errS = hh.agg(coalesce(max(col("err")), lit(0L)).as("err"))
+    val exact = df.select(value.cast("string").as("v")).na.drop("any")
+      .groupBy(col("v")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("v")).limit(topN)
+    exact.join(broadcast(hh.select(col("v"), col("c"))), Seq("v"), "left")
+      .crossJoin(broadcast(errS))
+      .select(col("v"), col("exact_n"),
+        (col("c").isNotNull || col("exact_n") <= col("err"))
+          .as("ok_found"),
+        (col("c").isNull || col("c") <= col("exact_n")).as("ok_lower"),
+        (col("c").isNull || col("exact_n") <= col("c") + col("err"))
+          .as("ok_upper"))
+  }
+
+  /**
    * The four micro-integer features the trained quality classifier
    * reads — shared by [[logregQuality]] and the oracle generator so
    * both engines score the identical design matrix. All integer
@@ -1821,5 +1953,35 @@ object CorpusStats {
       .cast("long")
     feats.select(col("doc_id"), col("y"), z.as("z_pico"),
       p.as("p_micro"), (p >= 500000L).as("pred"))
+  }
+
+  /**
+   * Confusion counts + threshold metrics for any binary classifier
+   * output ([[logregQuality]], [[naiveBayesClassify]] verdicts, a
+   * rule filter) — the one-row summary a filter ships with next to
+   * its [[calibration]] bins and [[aucPpm]]. Counts are one
+   * map-side-combined aggregate; the ppm ratios are the
+   * `gopherRules` truncating-integer construction (no float at the
+   * emit edge, zero denominators → null). F1 derives from the ppm
+   * precision/recall integers, so it is engine-exact too.
+   */
+  def classifierReport(df: DataFrame, label: Column, pred: Column): DataFrame = {
+    import graft.functions.ldiv
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val base = df.agg(
+      cnt(label && pred).as("tp"), cnt(!label && pred).as("fp"),
+      cnt(label && !pred).as("fn"), cnt(!label && !pred).as("tn"))
+    val prec = ldiv(col("tp") * lit(1000000L),
+      nullif(col("tp") + col("fp"), lit(0L)))
+    val rec = ldiv(col("tp") * lit(1000000L),
+      nullif(col("tp") + col("fn"), lit(0L)))
+    base
+      .withColumn("precision_ppm", prec)
+      .withColumn("recall_ppm", rec)
+      .withColumn("f1_ppm", ldiv(
+        lit(2L) * col("precision_ppm") * col("recall_ppm"),
+        nullif(col("precision_ppm") + col("recall_ppm"), lit(0L))))
+      .withColumn("accuracy_ppm", ldiv((col("tp") + col("tn")) * lit(1000000L),
+        nullif(col("tp") + col("fp") + col("fn") + col("tn"), lit(0L))))
   }
 }

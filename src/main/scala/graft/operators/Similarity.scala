@@ -515,6 +515,16 @@ object Similarity {
     recallOf(cosineTopK(corpus, queries, k),
       pqTopK(codes, queries, codebook, m, k))
 
+  /** [[pqRecallAudit]] for the PLAIN IVF probe (exact vectors, list
+   * restriction only): isolates the recall cost of `nprobe` alone,
+   * so the list-count/nprobe preset ships with its own number before
+   * PQ quantization enters. */
+  def ivfRecallAudit(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame =
+    recallOf(cosineTopK(corpus, queries, k),
+      ivfTopKIndexed(index, corpus, queries, centroids, k, nprobe))
+
   /** [[ivfPqRecallAudit]] for the RESIDUAL composition — the number
    * that justifies the residual encode (same codes budget, higher
    * recall, per Jégou §IV). */

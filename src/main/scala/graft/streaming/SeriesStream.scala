@@ -164,6 +164,34 @@ object SeriesStream {
       .start()
   }
 
+  /**
+   * Standing heavy-hitter maintenance — the Misra–Gries counterpart
+   * of [[kmvSketchStream]]: each micro-batch contributes its
+   * per-partition [[graft.operators.CorpusStats.mgSketch]] summaries
+   * and [[graft.operators.CorpusStats.mgMerge]] folds them into the
+   * persisted ≤ k-row artifact. The deficit contract
+   * (`c ≤ exact ≤ c + err`, coverage for `exact > err`) holds over
+   * EVERYTHING ingested, for any batch split — the summaries are
+   * mergeable, errors add, and the artifact stays bounded forever.
+   * The fresh batch's partition sids never collide with the standing
+   * summary's sid −1, so per-summary errs sum correctly.
+   */
+  def heavyHittersStream(rows: DataFrame, valueCol: String, k: Int,
+      storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.CorpusStats
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => CorpusStats.mgSketch(b, col(valueCol), k),
+          u => CorpusStats.mgMerge(u, k), storePath, id)
+      }
+      .start()
+  }
+
   /** The shared idempotent standing-artifact step: build the batch's
    * bounded artifact, merge with the persisted one, swap. Swap
    * discipline: merged artifact lands in `.tmp` (fully materialized —

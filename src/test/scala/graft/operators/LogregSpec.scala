@@ -89,6 +89,26 @@ class LogregSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("classifierReport: exact confusion counts and ppm metrics") {
+    val scored = Seq(
+      (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)
+    ).toDF("label", "pred")
+    val r = CorpusStats.classifierReport(scored, col("label"), col("pred"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getLong(4) == 666666L) // precision 2/3 truncated ppm
+    assert(r.getLong(5) == 666666L) // recall 2/3
+    assert(r.getLong(6) == 666666L) // f1 of equal prec/rec
+    assert(r.getLong(7) == 666666L) // accuracy 4/6
+    // nothing predicted positive: precision/f1 null, recall 0
+    val none = Seq((true, false), (false, false)).toDF("label", "pred")
+    val r2 = CorpusStats.classifierReport(none, col("label"), col("pred"))
+      .collect()(0)
+    assert(r2.isNullAt(4) && r2.getLong(5) == 0L && r2.isNullAt(6))
+  }
+
   test("learning rate must be a positive rational; iters >= 1") {
     intercept[IllegalArgumentException] {
       CorpusStats.logregQuality(toyDocs, col("doc_id"), col("text"),

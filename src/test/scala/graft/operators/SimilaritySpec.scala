@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.length == 9)
   }
 
+  test("ivfRecallAudit: full recall when every list is probed, partial when not") {
+    val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f))
+    val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f))
+    val df = vecs(cluster1 ++ cluster2: _*)
+    val cents = df.filter($"vec_id" === 2 || $"vec_id" === 7)
+    val idx = Similarity.ivfIndex(df, cents)
+    val q = df.filter($"vec_id" === 0)
+    // nprobe = #lists: the probe sees the whole corpus -> recall 1.0
+    val full = Similarity.ivfRecallAudit(idx, df, q, cents, k = 8,
+      nprobe = 2).collect()(0)
+    assert(full.getAs[Long]("true_pairs") == 8L)
+    assert(full.getAs[Long]("recall_micro") == 1000000L)
+    // nprobe = 1 from a cluster-1 query: the 4 same-cluster truths are
+    // found, the cross-cluster tail is not -> recall 4/8
+    val part = Similarity.ivfRecallAudit(idx, df, q, cents, k = 8,
+      nprobe = 1).collect()(0)
+    assert(part.getAs[Long]("found_pairs") == 4L)
+    assert(part.getAs[Long]("missed_pairs") == 4L)
+    assert(part.getAs[Long]("recall_micro") == 500000L)
+  }
+
   test("ivfIndex round-trips through parquet; indexed probe equals ivfTopK") {
     val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f))
     val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f))

@@ -399,6 +399,49 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("standing heavy hitters: the streamed artifact honors the MG contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(29)
+    // hot values plus a distinct tail, split across two micro-batches
+    val rows = (0 until 900).map(i =>
+      if (i % 3 == 0) "hot" + (i % 9) else "tail" + rng.nextInt(5000))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hh").toString + "/sk"
+    val mem = MemoryStream[String]
+    val q = SeriesStream.heavyHittersStream(
+      mem.toDF().toDF("w"), "w", k = 48, storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-hh-ck").toString)
+    try {
+      mem.addData(rows.take(400))
+      q.processAllAvailable()
+      mem.addData(rows.drop(400))
+      q.processAllAvailable()
+    } finally q.stop()
+    val standing = spark.read.parquet(store)
+      .select("v", "c", "err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(standing.length <= 48 + 1) // k rows (+ sentinel at worst)
+    val exact = rows.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    val err = if (standing.isEmpty) 0L else standing.map(_._3).max
+    standing.foreach { case (v, c, _) =>
+      if (v != null) {
+        val ex = exact.getOrElse(v, 0L)
+        assert(c <= ex && ex <= c + err,
+          s"MG deficit contract broken across batches: $v c=$c err=$err exact=$ex")
+      }
+    }
+    val present = standing.map(_._1).toSet
+    exact.foreach { case (v, ex) =>
+      if (ex > err) assert(present.contains(v),
+        s"coverage broken across batches: $v exact=$ex err=$err")
+    }
+    // every hot value (i % 3 == 0 forces i % 9 into {0, 3, 6}; each
+    // occurs ~100 times, far above the deficit) must be present
+    Seq(0, 3, 6).foreach(i => assert(present.contains("hot" + i)))
+  }
+
   test("standing KMV sketch: stream-merged artifact equals the batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
