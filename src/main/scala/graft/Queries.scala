@@ -3855,6 +3855,27 @@ object Queries {
           true AS ok_upper
         FROM ex ORDER BY exact_n DESC, v""")),
 
+    // per-source Misra–Gries: one independent summary per group (the
+    // per-domain frequent-items pass), gated on the same layout-
+    // independent contract per group
+    "corpus_heavy_hitters_by_audit" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.heavyHittersByAudit(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(TextOps.tokens(col("text"))).as("w")),
+          col("source"), col("w"), k = 128, topN = 10)
+        .orderBy(col("g"), col("exact_n").desc, col("v")),
+      Some("""WITH tok AS (SELECT source AS g,
+            unnest(string_split(text, ' ')) AS v
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+          ex AS (SELECT g, v, count(*)::BIGINT AS exact_n FROM tok
+            WHERE v IS NOT NULL GROUP BY 1, 2),
+          rk AS (SELECT g, v, exact_n, row_number() OVER (PARTITION BY g
+            ORDER BY exact_n DESC, v) AS rn FROM ex)
+        SELECT g, v, exact_n, true AS ok_found, true AS ok_lower,
+          true AS ok_upper
+        FROM rk WHERE rn <= 10 ORDER BY g, exact_n DESC, v""")),
+
     "corpus_cms" -> Entry(
       (s, dir) => graft.operators.CorpusStats.countMinSketch(
           t(s, dir, "documents")

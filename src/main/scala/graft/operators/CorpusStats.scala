@@ -1855,6 +1855,133 @@ object CorpusStats {
   }
 
   /**
+   * Per-group [[mgSketch]] — one independent Misra–Gries summary per
+   * group value (the per-domain/per-source frequent-items pass a
+   * curation pipeline runs next to the corpus-wide one). Each
+   * partition keeps ≤ k counters PER GROUP it sees, with a per-group
+   * deficit: `c ≤ exact_g ≤ c + err_g`, coverage for
+   * `exact_g > err_g`. Emits `(sid, g, v, c, err)`; `err` constant
+   * within a (sid, g) cell. State per task is k·|groups seen by the
+   * task| counters — the caller picks the group granularity (domain,
+   * source, language), which is bounded in curation practice.
+   */
+  def mgSketchBy(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(group.cast("string").as("g"), value.cast("string").as("v"))
+      .na.drop("any")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val maps = scala.collection.mutable
+          .HashMap[String, scala.collection.mutable.HashMap[String, Long]]()
+        val errs = scala.collection.mutable.HashMap[String, Long]()
+        def compress(g: String): Unit = {
+          val m = maps(g)
+          val t = m.values.toArray.sortInPlace()(Ordering[Long].reverse)
+            .apply(k)
+          errs.update(g, errs.getOrElse(g, 0L) + t)
+          m.mapValuesInPlace((_, c) => c - t)
+          m.filterInPlace((_, c) => c > 0L)
+        }
+        it.foreach { case (g, v) =>
+          val m = maps.getOrElseUpdate(g,
+            scala.collection.mutable.HashMap[String, Long]())
+          m.update(v, m.getOrElse(v, 0L) + 1L)
+          if (m.size >= 2 * k) compress(g)
+        }
+        maps.keysIterator.toArray.foreach(g =>
+          if (maps(g).size > k) compress(g))
+        val sid = org.apache.spark.TaskContext.getPartitionId()
+        maps.iterator.flatMap { case (g, m) =>
+          val err = errs.getOrElse(g, 0L)
+          if (m.isEmpty && err > 0L)
+            Iterator.single((sid, g, null.asInstanceOf[String], 0L, err))
+          else m.iterator.map { case (v, c) => (sid, g, v, c, err) }
+        }
+      }
+      .toDF("sid", "g", "v", "c", "err")
+  }
+
+  /**
+   * Merge [[mgSketchBy]] summaries group-by-group: the [[mgMerge]]
+   * rule applied independently inside each `g` — counter sums, one
+   * truncation per group, per-(sid, g) errs added once. The rank
+   * window partitions by `g`, so the merge scales across groups; each
+   * group's frame is summary-bounded.
+   */
+  def mgMergeBy(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val errSum = sketches.groupBy(col("sid"), col("g"))
+      .agg(max(col("err")).as("e"))
+      .groupBy(col("g")).agg(sum(col("e")).as("err_in"))
+    val summed = sketches.filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("c")).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("c").desc, col("v"))))
+    // the group universe comes from errSum (EVERY summary row has a
+    // g, sentinels included) — a group whose partition summaries all
+    // degenerated to sentinels is absent from `summed`, and an inner
+    // join on a summed-derived t would silently drop it and its err
+    val t = errSum.select(col("g"))
+      .join(summed.groupBy(col("g"))
+        .agg(coalesce(max(when(col("rank") === k + 1, col("c"))), lit(0L))
+          .as("t0")), Seq("g"), "left")
+      .select(col("g"), coalesce(col("t0"), lit(0L)).as("t"))
+    val body = summed.filter(col("rank") <= k)
+      .join(t, Seq("g")).join(errSum, Seq("g"))
+      .filter(col("c") > col("t"))
+      .select(lit(-1).as("sid"), col("g"), col("v"),
+        (col("c") - col("t")).as("c"),
+        (col("err_in") + col("t")).as("err"))
+    // groups whose merged body emptied (all-ties) still carry err
+    val sentinel = t.join(errSum, Seq("g"))
+      .join(body.groupBy(col("g")).agg(count(lit(1)).as("nb")),
+        Seq("g"), "left")
+      .filter(coalesce(col("nb"), lit(0L)) === 0 &&
+        col("err_in") + col("t") > 0)
+      .select(lit(-1).as("sid"), col("g"),
+        lit(null).cast("string").as("v"), lit(0L).as("c"),
+        (col("err_in") + col("t")).as("err"))
+    body.unionByName(sentinel)
+  }
+
+  /** Per-group [[heavyHitters]]: sketch → merge, one summary per
+   * group. */
+  def heavyHittersBy(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame =
+    mgMergeBy(mgSketchBy(df, group, value, k), k)
+
+  /** Per-group [[heavyHittersAudit]]: the layout-independent deficit/
+   * coverage contract checked against each group's exact top-`topN`
+   * (count desc, value asc). All flags are theory-guaranteed true. */
+  def heavyHittersByAudit(df: DataFrame, group: Column, value: Column,
+      k: Int, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val hh = heavyHittersBy(df, group, value, k)
+    val errS = hh.groupBy(col("g"))
+      .agg(coalesce(max(col("err")), lit(0L)).as("err"))
+    val counts = df
+      .select(group.cast("string").as("g"), value.cast("string").as("v"))
+      .na.drop("any")
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("exact_n"))
+    val exact = TopK.perGroup(counts, col("g"),
+      col("exact_n").desc, col("v"), topN).drop("rank")
+    exact
+      .join(hh.filter(col("v").isNotNull).select(col("g"), col("v"),
+        col("c")), Seq("g", "v"), "left")
+      .join(errS, Seq("g"), "left")
+      .select(col("g"), col("v"), col("exact_n"),
+        (col("c").isNotNull || col("exact_n") <= coalesce(col("err"),
+          lit(0L))).as("ok_found"),
+        (col("c").isNull || col("c") <= col("exact_n")).as("ok_lower"),
+        (col("c").isNull || col("exact_n") <= col("c") +
+          coalesce(col("err"), lit(0L))).as("ok_upper"))
+  }
+
+  /**
    * The four micro-integer features the trained quality classifier
    * reads — shared by [[logregQuality]] and the oracle generator so
    * both engines score the identical design matrix. All integer

@@ -94,6 +94,28 @@ class MgSpec extends SparkSpec {
       CorpusStats.mgSketch(rows, col("v"), 4), 4)), exactCounts(rows))
   }
 
+  test("per-group sketch: independent contracts per group") {
+    val rows = ((1 to 2000).map(i => ("a", s"v${i % 300}")) ++
+      (1 to 1500).map(i => ("b", s"w${i % 80}")))
+      .toDF("g", "v")
+    val hh = CorpusStats.heavyHittersBy(rows, col("g"), col("v"), k = 48)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // group b has 80 distincts <= k after merge truncation headroom:
+    // within each group the deficit contract must hold independently
+    Seq("a", "b").foreach { g =>
+      val sub = hh.filter(_._1 == g).map { case (_, v, c, e) => (v, c, e) }
+      val exact = rows.filter(col("g") === g).groupBy("v")
+        .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+      contract(sub, exact)
+    }
+    val audit = CorpusStats.heavyHittersByAudit(rows, col("g"), col("v"),
+      k = 48, topN = 8).collect()
+    assert(audit.length == 16)
+    audit.foreach(r => assert(
+      r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5), s"failed: $r"))
+  }
+
   test("nulls are excluded from counting") {
     val rows = Seq("a", "a", null, "b", null).toDF("v")
     val hh = collect(CorpusStats.heavyHitters(rows, col("v"), 8))
