@@ -1820,8 +1820,14 @@ object CorpusStats {
    * [[mgSketch]] → one [[mgMerge]]. ≤ k rows, deficit contract
    * `c ≤ exact ≤ c + err`, coverage for every value with
    * `exact > err`. */
-  def heavyHitters(df: DataFrame, value: Column, k: Int): DataFrame =
-    mgMerge(mgSketch(df, value, k), k)
+  /** The composed corpus heavy-hitter summary: per-partition
+   * [[mgSketch]] → one [[mgMerge]]. The summary frame materializes
+   * (k·P rows — tiny) before the merge: [[mgMerge]] reads it for the
+   * counter sums AND the truncation threshold, and a lazy frame would
+   * re-run the corpus mapPartitions pass per read. */
+  def heavyHitters(df: DataFrame, value: Column, k: Int,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    mgMerge(ckpt(mgSketch(df, value, k)), k)
 
   /**
    * The measured-guarantee gate for [[heavyHitters]] (the
@@ -1834,10 +1840,12 @@ object CorpusStats {
    * against independently-computed exact counts.
    */
   def heavyHittersAudit(df: DataFrame, value: Column, k: Int,
-      topN: Int): DataFrame = {
+      topN: Int, ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(topN >= 1, "topN must be >= 1")
-    val hh = heavyHitters(df, value, k)
-      .select(col("v"), col("c"), col("err"))
+    // materialized twice-read artifact (≤ k rows): the scalar err
+    // aggregate and the join below must not each re-run the sketch
+    val hh = ckpt(heavyHitters(df, value, k, ckpt)
+      .select(col("v"), col("c"), col("err")))
     // err must reach UNFOUND rows too: attach it as a scalar, not via
     // the left join (which nulls it exactly where ok_found needs it)
     val errS = hh.agg(coalesce(max(col("err")), lit(0L)).as("err"))
@@ -1951,16 +1959,17 @@ object CorpusStats {
   /** Per-group [[heavyHitters]]: sketch → merge, one summary per
    * group. */
   def heavyHittersBy(df: DataFrame, group: Column, value: Column,
-      k: Int): DataFrame =
-    mgMergeBy(mgSketchBy(df, group, value, k), k)
+      k: Int, ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    mgMergeBy(ckpt(mgSketchBy(df, group, value, k)), k)
 
   /** Per-group [[heavyHittersAudit]]: the layout-independent deficit/
    * coverage contract checked against each group's exact top-`topN`
    * (count desc, value asc). All flags are theory-guaranteed true. */
   def heavyHittersByAudit(df: DataFrame, group: Column, value: Column,
-      k: Int, topN: Int): DataFrame = {
+      k: Int, topN: Int,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(topN >= 1, "topN must be >= 1")
-    val hh = heavyHittersBy(df, group, value, k)
+    val hh = ckpt(heavyHittersBy(df, group, value, k, ckpt))
     val errS = hh.groupBy(col("g"))
       .agg(coalesce(max(col("err")), lit(0L)).as("err"))
     val counts = df

@@ -385,7 +385,8 @@ object Embeddings {
    * [[randomProjection]] first.
    */
   def covarianceMicro(df: DataFrame, vec: Column, dim: Int,
-      scaleBits: Int = 20): DataFrame = {
+      scaleBits: Int = 20,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(dim >= 1 && scaleBits >= 0 && scaleBits <= 25,
       "dim >= 1 and 0 <= scaleBits <= 25 required")
     import graft.functions.ldiv
@@ -393,13 +394,38 @@ object Embeddings {
       .select(transform(qGrid(vec, scaleBits), x => x.cast("long")).as("q"))
     val exploded = q.select(posexplode(col("q")).as(Seq("i", "qi")),
       col("q"))
-    val cells = exploded
-      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+    // tiered exact summation: the N·d² product rows sum as LONGs
+    // within each input partition (primitive codegen — a straight
+    // DECIMAL sum here measured 5× the whole query), and only the
+    // d²·P partition partials merge in DECIMAL(38,0). Exact while a
+    // partition's Σ|q_i·q_j| stays under 2⁶³: at scaleBits=20 and
+    // |x| ≤ 1 that is ~8M rows per input partition — set
+    // spark.sql.files.maxPartitionBytes accordingly for wider inputs.
+    // symmetry: generate only the upper triangle (slice the tail of
+    // the vector at each i) — halves the dominant agg's input — and
+    // mirror the d²/2-cell result after the merge
+    val upper = ckpt(exploded
+      .select(col("i"), col("qi"),
+        posexplode(slice(col("q"), col("i") + lit(1), lit(dim)))
+          .as(Seq("dj", "qj")),
+        spark_partition_id().as("pid"))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"), col("pid"))
+      .agg(sum(col("qi") * col("qj")).as("sl"))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("s"))
-    val moments = exploded.groupBy(col("i"))
-      .agg(sum(col("qi").cast("decimal(38,0)")).as("m"))
-    val n = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      .agg(sum(col("sl").cast("decimal(38,0)")).as("s")))
+    val cells = upper.unionByName(upper.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("s")))
+    // n rides the moments pass (every i sees all n rows), and the
+    // d-row moment frame MATERIALIZES: its three consumers (mi, mj,
+    // n) would otherwise each re-run the corpus explode
+    val moments = ckpt(exploded
+      .select(col("i"), col("qi"), spark_partition_id().as("pid"))
+      .groupBy(col("i"), col("pid"))
+      .agg(sum(col("qi")).as("ml"), count(lit(1)).as("nl"))
+      .groupBy(col("i"))
+      .agg(sum(col("ml").cast("decimal(38,0)")).as("m"),
+        sum(col("nl")).cast("decimal(38,0)").as("n_i")))
+    val n = moments.agg(max(col("n_i")).as("n"))
     val num = (col("n") * col("s") -
       col("mi") * col("mj")).cast("decimal(38,0)")
     val den = (col("n") * col("n") *
