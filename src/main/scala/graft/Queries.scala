@@ -2918,6 +2918,25 @@ object Queries {
             k -> q.q[k] * vf.vl[k]))::BIGINT AS proj_pico
         FROM q, vf ORDER BY q.vec_id""")),
 
+    // top-2 principal components: the same integer machinery plus an
+    // exact Hotelling deflation between components — one covariance
+    // build, one projection scan, m-wide reduced representation
+    "embed_pca_top2" -> Entry(
+      (s, dir) => graft.operators.Embeddings.pcaTopM(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          dim = 64, m = 2, iters = 4)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${pcaCovCtes(64)},
+        ${pcaPowerCtes(64, 4)},
+        ${pcaDeflateCtes("v4", "covm2")},
+        ${pcaPowerCtes(64, 4, cov = "covm2", pfx = "b")}
+        SELECT q.vec_id,
+          list_sum(list_transform(range(1, 65),
+            k -> q.q[k] * vf.vl[k]))::BIGINT AS proj0_pico,
+          list_sum(list_transform(range(1, 65),
+            k -> q.q[k] * vfb.vl[k]))::BIGINT AS proj1_pico
+        FROM q, vf, vfb ORDER BY q.vec_id""")),
+
     "text_fingerprint" -> Entry(
       (s, dir) => t(s, dir, "documents")
         .filter(length(col("text")) >= 11)
@@ -4982,11 +5001,11 @@ object Queries {
    * emit). Ends with CTEs `q(vec_id, q)`, `pos(p)`, `nn(n)` and
    * `covm(i, j, cov_micro)`. */
   private def pcaCovCtes(dim: Int): String =
-    s"""q AS (SELECT vec_id,
+    s"""q AS MATERIALIZED (SELECT vec_id,
         list_transform(embedding, x -> round(x * 1048576.0)::BIGINT) AS q
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = $dim),
-    pos AS (SELECT unnest(range($dim)) AS p),
+    pos AS MATERIALIZED (SELECT unnest(range($dim)) AS p),
     cells AS (SELECT pi.p AS i, pj.p AS j,
         sum(q.q[pi.p + 1] * q.q[pj.p + 1])::HUGEINT AS s
       FROM q, pos pi, pos pj GROUP BY 1, 2),
@@ -4996,7 +5015,7 @@ object Queries {
     covn AS (SELECT c.i, c.j, (nn.n * c.s - m1.m * m2.m) AS num,
         (nn.n * nn.n * ${1L << 40}::HUGEINT) AS den
       FROM cells c JOIN mom m1 ON c.i = m1.i JOIN mom m2 ON c.j = m2.i, nn),
-    covm AS (SELECT i, j,
+    covm AS MATERIALIZED (SELECT i, j,
         ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
           ((2 * abs(num) * 1000000 + den) // (2 * den)))::BIGINT AS cov_micro
       FROM covn)"""
@@ -5005,22 +5024,53 @@ object Queries {
    * the [[graft.operators.Embeddings.pcaPowerMicro]] arithmetic).
    * Ends with `vf(vl)` — the final micro component vector as a
    * dim-long list. */
-  private def pcaPowerCtes(dim: Int, iters: Int): String = {
-    val head = s"v0 AS (SELECT p AS i, 1000000::HUGEINT AS v FROM pos)"
+  private def pcaPowerCtes(dim: Int, iters: Int, cov: String = "covm",
+      pfx: String = ""): String = {
+    // every per-iteration CTE is MATERIALIZED: DuckDB inlines plain
+    // CTEs per reference, and the doubly-nested power/deflation
+    // chains would otherwise expand the parquet scan combinatorially
+    // (observed as fd exhaustion on the top-2 oracle)
+    val head =
+      s"v${pfx}0 AS MATERIALIZED (SELECT p AS i, 1000000::HUGEINT AS v FROM pos)"
     val steps = (1 to iters).map { t =>
-      val pv = s"v${t - 1}"
-      s"""s$t AS (SELECT c.i, sum(c.cov_micro * v.v)::HUGEINT AS s
-          FROM covm c JOIN $pv v ON c.j = v.i GROUP BY 1),
-        m$t AS (SELECT max(abs(s)) AS m FROM s$t),
-        v$t AS (SELECT s$t.i,
-            CASE WHEN m$t.m = 0 THEN vp.v
+      val pv = s"v$pfx${t - 1}"
+      s"""s$pfx$t AS MATERIALIZED (
+          SELECT c.i, sum(c.cov_micro * v.v)::HUGEINT AS s
+          FROM $cov c JOIN $pv v ON c.j = v.i GROUP BY 1),
+        m$pfx$t AS MATERIALIZED (SELECT max(abs(s)) AS m FROM s$pfx$t),
+        v$pfx$t AS MATERIALIZED (SELECT s$pfx$t.i,
+            CASE WHEN m$pfx$t.m = 0 THEN vp.v
               ELSE (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
-                ((2 * abs(s) * 1000000 + m$t.m) // (2 * m$t.m)) END AS v
-          FROM s$t JOIN $pv vp ON s$t.i = vp.i, m$t)"""
+                ((2 * abs(s) * 1000000 + m$pfx$t.m) // (2 * m$pfx$t.m))
+            END AS v
+          FROM s$pfx$t JOIN $pv vp ON s$pfx$t.i = vp.i, m$pfx$t)"""
     }
-    val tail = s"vf AS (SELECT list(v ORDER BY i) AS vl FROM v$iters)"
+    val tail =
+      s"vf$pfx AS MATERIALIZED (SELECT list(v ORDER BY i) AS vl FROM v$pfx$iters)"
     (head +: steps :+ tail).mkString(",\n      ")
   }
+
+  /** Integer Hotelling deflation in DuckDB — mirrors the
+   * [[graft.operators.Embeddings.pcaComponentsMicro]] step: Rayleigh
+   * λ over the converged component `lastV`, outer-product subtraction
+   * with the same half-away integer-ratio rounding. Ends with CTE
+   * `out(i, j, cov_micro)`. */
+  private def pcaDeflateCtes(lastV: String, out: String,
+      cov: String = "covm"): String =
+    s"""ray_$out AS MATERIALIZED (SELECT
+        (SELECT sum(c.cov_micro * va.v * vb.v) FROM $cov c
+          JOIN $lastV va ON c.i = va.i
+          JOIN $lastV vb ON c.j = vb.i)::HUGEINT AS num,
+        (SELECT sum(v * v) FROM $lastV)::HUGEINT AS den),
+      ${out}_p AS (SELECT c.i, c.j, c.cov_micro,
+          (r.num * va.v * vb.v)::HUGEINT AS p,
+          (r.den * r.den)::HUGEINT AS dd
+        FROM $cov c JOIN $lastV va ON c.i = va.i
+          JOIN $lastV vb ON c.j = vb.i, ray_$out r),
+      $out AS MATERIALIZED (SELECT i, j,
+          (cov_micro - (CASE WHEN p < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(p) + dd) // (2 * dd)))::BIGINT AS cov_micro
+        FROM ${out}_p)"""
 
   /** The final-weights scoring tail shared by the logreg gate. */
   private def logregScoreSql(iters: Int): String = {

@@ -456,25 +456,59 @@ object Embeddings {
    * both engines land on the same one). A zero matrix returns the
    * all-10⁶ start vector unchanged.
    */
-  def pcaPowerMicro(cov: DataFrame, dim: Int, iters: Int = 4): Array[Long] = {
-    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
-    val cells = cov
-      .select(col("i").cast("long"), col("j").cast("long"), col("cov_micro"))
-      .collect()
-      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
-        BigInt(r.getLong(2)))).toMap
-    var v = Array.fill(dim)(BigInt(1000000L))
-    for (_ <- 1 to iters) {
-      val s = Array.tabulate(dim) { i =>
-        (0 until dim).map(j => cells.getOrElse((i, j), BigInt(0)) * v(j)).sum
-      }
-      val m = s.map(_.abs).max
-      if (m > 0)
-        v = s.map(si =>
-          (if (si < 0) -BigInt(1) else BigInt(1)) *
-            ((si.abs * 2000000L + m) / (m * 2)))
+  def pcaPowerMicro(cov: DataFrame, dim: Int, iters: Int = 4): Array[Long] =
+    pcaComponentsMicro(cov, dim, m = 1, iters).head
+
+  /**
+   * Top-`m` principal components by power iteration + INTEGER
+   * Hotelling deflation: after each component converges, subtract its
+   * Rayleigh-scaled outer product — `C ← C − ⌈λ·v vᵀ/(vᵀv)⌉_half`
+   * with `λ = (vᵀCv)/(vᵀv)` — all in exact BigInt arithmetic with the
+   * same half-away-from-zero integer-ratio rounding as the covariance
+   * cells, so every engine lands on the identical deflated matrix and
+   * the identical next component. Deflation at micro rounding keeps
+   * components orthogonal to ~10⁻⁶, which is the grid's own
+   * resolution. The whole loop is driver-side on the d²-cell bounded
+   * artifact ([[pcaPowerMicro]]'s argument, m times over).
+   */
+  def pcaComponentsMicro(cov: DataFrame, dim: Int, m: Int,
+      iters: Int = 4): Array[Array[Long]] = {
+    require(dim >= 1 && iters >= 1 && m >= 1 && m <= dim,
+      "need dim >= 1, iters >= 1, 1 <= m <= dim")
+    val cells = scala.collection.mutable.Map[(Int, Int), BigInt]()
+    cov.select(col("i").cast("long"), col("j").cast("long"),
+        col("cov_micro")).collect()
+      .foreach(r => cells.update(
+        (r.getLong(0).toInt, r.getLong(1).toInt), BigInt(r.getLong(2))))
+    def halfAway(p: BigInt, d: BigInt): BigInt = {
+      val mag = (p.abs * 2 + d) / (d * 2)
+      if (p < 0) -mag else mag
     }
-    v.map(_.toLong)
+    (0 until m).map { _ =>
+      var v = Array.fill(dim)(BigInt(1000000L))
+      for (_ <- 1 to iters) {
+        val s = Array.tabulate(dim) { i =>
+          (0 until dim).map(j =>
+            cells.getOrElse((i, j), BigInt(0)) * v(j)).sum
+        }
+        val mx = s.map(_.abs).max
+        if (mx > 0)
+          v = s.map(si =>
+            (if (si < 0) -BigInt(1) else BigInt(1)) *
+              ((si.abs * 2000000L + mx) / (mx * 2)))
+      }
+      // Hotelling deflation in the same exact integer discipline
+      val num = (for (i <- 0 until dim; j <- 0 until dim)
+        yield cells.getOrElse((i, j), BigInt(0)) * v(i) * v(j)).sum
+      val den = v.map(x => x * x).sum
+      val dd = den * den
+      for (i <- 0 until dim; j <- 0 until dim) {
+        val delta = halfAway(num * v(i) * v(j), dd)
+        if (delta != 0)
+          cells.update((i, j), cells.getOrElse((i, j), BigInt(0)) - delta)
+      }
+      v.map(_.toLong)
+    }.toArray
   }
 
   /**
@@ -502,4 +536,20 @@ object Embeddings {
     pcaProject(df, id, vec,
       pcaPowerMicro(covarianceMicro(df, vec, dim, scaleBits), dim, iters),
       scaleBits)
+
+  /** [[pca]] for the top `m` components: one covariance build, m
+   * deflation rounds, one projection scan emitting
+   * `(vec_id, proj0_pico … proj{m-1}_pico)` — the m-wide reduced
+   * representation a curation pipeline plots/buckets on. */
+  def pcaTopM(df: DataFrame, id: Column, vec: Column, dim: Int, m: Int,
+      iters: Int = 4, scaleBits: Int = 20): DataFrame = {
+    val comps = pcaComponentsMicro(
+      covarianceMicro(df, vec, dim, scaleBits), dim, m, iters)
+    val g = qGrid(vec, scaleBits)
+    df.filter(vec.isNotNull && size(vec) === dim)
+      .select(id.as("vec_id") +: comps.zipWithIndex.map { case (v, c) =>
+        dot(g, array(v.map(x => lit(x.toDouble)): _*))
+          .cast("long").as(s"proj${c}_pico")
+      }.toSeq: _*)
+  }
 }

@@ -84,6 +84,41 @@ class PcaSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("deflation: second component is near-orthogonal and finds axis 2") {
+    // three clusters of variance: axis 0 dominates, axis 1 second,
+    // axis 2 noise-free zero — after deflating PC1 the power
+    // iteration must land on axis 1
+    val rows = Seq(
+      (1L, Array(4.0f, 1.0f, 0.0f)), (2L, Array(-4.0f, 1.0f, 0.0f)),
+      (3L, Array(4.0f, -1.0f, 0.0f)), (4L, Array(-4.0f, -1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val comps = Embeddings.pcaComponentsMicro(
+      Embeddings.covarianceMicro(rows, col("embedding"), 3), dim = 3,
+      m = 2, iters = 8)
+    val v1 = comps(0); val v2 = comps(1)
+    assert(math.abs(v1(0)) == 1000000L && math.abs(v1(1)) < 1000L,
+      s"PC1 should be axis 0: ${v1.toSeq}")
+    assert(math.abs(v2(1)) == 1000000L && math.abs(v2(0)) < 1000L,
+      s"PC2 should be axis 1: ${v2.toSeq}")
+    // orthogonality at grid resolution
+    val dotVal = v1.zip(v2).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val norm = BigInt(1000000L) * BigInt(1000000L)
+    assert((dotVal.abs * 1000 / norm) < 5, s"not orthogonal: $dotVal")
+    // pcaTopM projections are the exact per-component dots
+    val proj = Embeddings.pcaTopM(rows, col("vec_id"), col("embedding"),
+      dim = 3, m = 2, iters = 8).orderBy("vec_id").collect()
+    val B = 1L << 20
+    proj.zip(Seq(
+      (4.0, 1.0), (-4.0, 1.0), (4.0, -1.0), (-4.0, -1.0))).foreach {
+      case (r, (x0, x1)) =>
+        val e0 = BigInt(v1(0)) * BigInt((x0 * B).toLong) +
+          BigInt(v1(1)) * BigInt((x1 * B).toLong)
+        val e1 = BigInt(v2(0)) * BigInt((x0 * B).toLong) +
+          BigInt(v2(1)) * BigInt((x1 * B).toLong)
+        assert(r.getLong(1) == e0.toLong && r.getLong(2) == e1.toLong)
+    }
+  }
+
   test("zero covariance keeps the start vector (no division by zero)") {
     val const = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
