@@ -2052,38 +2052,68 @@ object CorpusStats {
   def logregQuality(df: DataFrame, id: Column, text: Column,
       positive: Column, iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
       ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    require(lrNum >= 1 && lrDen >= 1, "learning rate must be positive")
-    val featCols = logregFeatures(text)
-    val feats = ckpt(df
-      .filter(text.isNotNull && length(text) > 0)
+    val feats = ckpt(logregFeatFrame(df, id, text, positive))
+    val w = logregSteps(feats, Vector.fill(4)(BigInt(0)), iters,
+      lrNum, lrDen, requireRows = true)
+    logregScoreFeats(feats, w)
+  }
+
+  /** The (doc_id, y, x0..x3) design matrix [[logregQuality]],
+   * [[logregSteps]] and the standing stream all read — null/empty
+   * texts excluded on both engines identically. */
+  def logregFeatFrame(df: DataFrame, id: Column, text: Column,
+      positive: Column): DataFrame =
+    df.filter(text.isNotNull && length(text) > 0)
       .select((id.as("doc_id") +:
         when(positive, 1L).otherwise(0L).as("y") +:
-        featCols.map { case (n, c) => c.as(n) }): _*))
+        logregFeatures(text).map { case (n, c) => c.as(n) }): _*)
+
+  private def logregZ(wv: Vector[BigInt]): Column =
+    wv.indices.map(j => lit(wv(j).toLong) * col(s"x$j")).reduce(_ + _)
+
+  /**
+   * `iters` exact GD steps over a [[logregFeatFrame]], starting from
+   * `init` — the reusable training kernel: [[logregQuality]] starts
+   * from zeros; the standing stream
+   * ([[graft.streaming.SeriesStream.logregStream]]) starts each batch
+   * from the persisted weights, which makes the online model a pure
+   * fold of the batch kernel over the batch sequence (bit-exact to
+   * replaying the batches through this function by hand). An empty
+   * frame returns `init` unchanged unless `requireRows`.
+   */
+  private[graft] def logregSteps(feats: DataFrame, init: Vector[BigInt],
+      iters: Int, lrNum: Long = 1L, lrDen: Long = 1L,
+      requireRows: Boolean = false): Vector[BigInt] = {
+    require(iters >= 1, "iters must be >= 1")
+    require(lrNum >= 1 && lrDen >= 1, "learning rate must be positive")
     val n = feats.count()
-    require(n > 0, "no trainable rows (all texts null/empty)")
+    if (requireRows) require(n > 0, "no trainable rows (all texts null/empty)")
+    if (n == 0) return init
     val den = BigInt(lrDen) * BigInt(n) * BigInt(1000000L)
-    var w = Vector.fill(featCols.size)(BigInt(0))
-    def zPico(wv: Vector[BigInt]): Column =
-      featCols.indices.map(j => lit(wv(j).toLong) * col(s"x$j"))
-        .reduce(_ + _)
+    var w = init
     def rMicro(wv: Vector[BigInt]): Column =
       round((lit(1.0) / (lit(1.0) +
-        exp(-(zPico(wv).cast("double") / lit(1.0e12)))) -
+        exp(-(logregZ(wv).cast("double") / lit(1.0e12)))) -
         col("y").cast("double")) * lit(1000000.0)).cast("long")
     for (_ <- 1 to iters) {
-      val gs = featCols.indices.map(j =>
+      val gs = w.indices.map(j =>
         sum((col("r") * col(s"x$j")).cast("decimal(38,0)")).as(s"g$j"))
       val grads = feats.select(rMicro(w).as("r"), col("*"))
         .agg(gs.head, gs.tail: _*)
         .collect()(0)
-      w = featCols.indices.map { j =>
+      w = w.indices.map { j =>
         val g = BigInt(grads.getDecimal(j).toBigInteger)
         val step = (g.abs * 2 * lrNum + den) / (den * 2)
         w(j) - (if (g < 0) -step else step)
       }.toVector
     }
-    val z = zPico(w)
+    w
+  }
+
+  /** Score a [[logregFeatFrame]] under fixed micro weights — the
+   * serving half: `(doc_id, y, z_pico, p_micro, pred)`. */
+  def logregScoreFeats(feats: DataFrame, w: Vector[BigInt]): DataFrame = {
+    val z = logregZ(w)
     val p = round((lit(1.0) / (lit(1.0) +
       exp(-(z.cast("double") / lit(1.0e12))))) * lit(1000000.0))
       .cast("long")

@@ -192,6 +192,52 @@ object SeriesStream {
       .start()
   }
 
+  /**
+   * Online quality-classifier maintenance — the SEQUENTIAL standing
+   * artifact: each micro-batch runs `stepsPerBatch` exact GD steps of
+   * [[graft.operators.CorpusStats.logregSteps]] starting from the
+   * persisted weights (mini-batch gradient descent with the engine's
+   * bit-reproducible integer arithmetic), then swaps the 4-row weight
+   * artifact in. The standing model is a PURE FOLD of the batch
+   * kernel over the batch sequence: replaying the same batches
+   * through `logregSteps` by hand yields bit-identical weights
+   * (spec'd). Batches with no trainable rows keep the weights and
+   * still record their batch_id. Score a live stream against the
+   * artifact with [[graft.operators.CorpusStats.logregScoreFeats]].
+   *
+   * `positiveSql` is a SQL boolean expression over the batch's
+   * columns (e.g. `"source = 'src0'"`) — the label bootstrap.
+   */
+  def logregStream(docs: DataFrame, idCol: String, textCol: String,
+      positiveSql: String, storePath: String, checkpoint: String,
+      stepsPerBatch: Int = 1, lrNum: Long = 1L, lrDen: Long = 1L,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.{CorpusStats, CheckpointMode}
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        artifactUpdateBatch(spark, storePath, id, { standing =>
+          val w0 = standing match {
+            case Some(s) =>
+              val m = s.select(col("j"), col("w")).collect()
+                .map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+              Vector.tabulate(4)(j => m.getOrElse(j, BigInt(0)))
+            case None => Vector.fill(4)(BigInt(0))
+          }
+          val feats = CheckpointMode.Local(CorpusStats.logregFeatFrame(
+            batch, col(idCol), col(textCol), expr(positiveSql)))
+          val w = CorpusStats.logregSteps(feats, w0, stepsPerBatch,
+            lrNum, lrDen)
+          import spark.implicits._
+          w.indices.map(j => (j, w(j).toLong)).toDF("j", "w")
+        })
+      }
+      .start()
+  }
+
   /** The shared idempotent standing-artifact step: build the batch's
    * bounded artifact, merge with the persisted one, swap. Swap
    * discipline: merged artifact lands in `.tmp` (fully materialized —
@@ -202,16 +248,26 @@ object SeriesStream {
    * `batch_id`. */
   private[graft] def artifactMergeBatch(batch: DataFrame,
       build: DataFrame => DataFrame, merge: DataFrame => DataFrame,
-      storePath: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+      storePath: String, batchId: Long): Unit =
+    artifactUpdateBatch(batch.sparkSession, storePath, batchId,
+      standing => merge(standing
+        .map(_.drop("batch_id").unionByName(build(batch)))
+        .getOrElse(build(batch))))
+
+  /** The generalized standing-artifact step ([[artifactMergeBatch]]'s
+   * skip + swap discipline with a caller-supplied update): `update`
+   * maps the current standing frame (if any, batch_id still attached)
+   * to the next artifact — for SEQUENTIAL artifacts (model weights)
+   * where the new state is a fold over the old, not a merge of
+   * summaries. */
+  private[graft] def artifactUpdateBatch(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      batchId: Long, update: Option[DataFrame] => DataFrame): Unit = {
     val standing = standingSketch(spark, storePath)
     val seen = standing.exists(s =>
       !s.filter(col("batch_id") >= batchId).isEmpty)
     if (seen) return // re-delivered batch after a restart: already in
-    val fresh = build(batch)
-    val merged = merge(
-      standing.map(_.drop("batch_id").unionByName(fresh)).getOrElse(fresh))
-      .withColumn("batch_id", lit(batchId))
+    val merged = update(standing).withColumn("batch_id", lit(batchId))
     val p = java.nio.file.Paths.get(storePath)
     val tmp = java.nio.file.Paths.get(storePath + ".tmp")
     val old = java.nio.file.Paths.get(storePath + ".old")

@@ -399,6 +399,50 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("standing logreg: streamed weights equal the hand-folded batch kernel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(
+      (1L, "the cat is in the hat and it is you that know", "good"),
+      (2L, "@@@### $$$%% ^^^&&& !!!??? ***((( )))[[[", "bad"),
+      (3L, "it is the best of the things and you like it", "good"))
+    val b2 = Seq(
+      (4L, "??!! ##@@ %%^^ &&** (()) {{}} [[]] ;;::", "bad"),
+      (5L, "the dog and the fox ran to you in a field", "good"),
+      (6L, "", "bad")) // no trainable text: must not move the weights
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-lr").toString + "/w"
+    val mem = MemoryStream[(Long, String, String)]
+    val q = SeriesStream.logregStream(
+      mem.toDF().toDF("doc_id", "text", "src"), "doc_id", "text",
+      "src = 'good'", storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-lr-ck").toString,
+      stepsPerBatch = 2)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(store)
+      .select("j", "w").collect().map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    // the same fold by hand: batch-1 kernel from zeros, batch-2 kernel
+    // from batch-1's weights
+    import org.apache.spark.sql.functions.{col, expr}
+    def feats(rows: Seq[(Long, String, String)]) =
+      graft.operators.CorpusStats.logregFeatFrame(
+        rows.toDF("doc_id", "text", "src"), col("doc_id"), col("text"),
+        expr("src = 'good'"))
+    val w1 = graft.operators.CorpusStats.logregSteps(
+      feats(b1), Vector.fill(4)(BigInt(0)), iters = 2)
+    val w2 = graft.operators.CorpusStats.logregSteps(
+      feats(b2), w1, iters = 2)
+    assert(streamed == w2.indices.map(j => j -> w2(j).toLong).toMap)
+    assert(streamed.values.exists(_ != 0L), "weights never moved")
+  }
+
   test("standing heavy hitters: the streamed artifact honors the MG contract") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
