@@ -3166,6 +3166,29 @@ object Queries {
           (length(f) - length(replace(f, '§', '')))::BIGINT AS n_bpe_tokens
         FROM flat ORDER BY doc_id""")),
 
+    // unigram-LM (SentencePiece) Viterbi segmentation under a FIXED
+    // piece table (the text_bpe_encode discipline: the TRAINER is
+    // spec'd, the encoder gates against an oracle that reproduces the
+    // exact DP — unrolled positional best-state CTEs with the same
+    // (nll, count, longest-piece) triple order). Distinct word types
+    // of <= 12 code points segment once; unknown single code points
+    // cost the unk penalty
+    "text_unigram_encode" -> Entry(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").isNotNull && length(col("w")).between(1, 12))
+          .distinct()
+        val bc = s.sparkContext.broadcast(fixedUnigramVocab)
+        val enc = graft.functions.UnigramEncodeExpr.unigram(
+          col("w"), bc, maxPieceLen = 6, unkNllMicro = 20000000L)
+        words.select(col("w"), array_join(enc, "§").as("seg_join"),
+            size(enc).cast("long").as("n_pieces"))
+          .orderBy(col("w"))
+      },
+      Some(unigramEncodeOracle(maxLen = 12, maxPieceLen = 6,
+        unkNllMicro = 20000000L))),
+
     // mergeable fixed-grid quantile sketch over a CONTINUOUS value
     // (per-doc ratio → near-per-doc distinct micro values): k=64 so
     // the grid tier actually engages; the oracle reproduces the whole
@@ -4945,6 +4968,69 @@ object Queries {
             AS nll_target_micro
         FROM tok LEFT JOIN voc USING (w) LEFT JOIN voct USING (w)
         CROSS JOIN tot CROSS JOIN tott GROUP BY 1)"""
+
+  /** The fixed unigram piece table (piece → micro-nat score) for
+   * text_unigram_encode — chosen so real corpus words exercise whole-
+   * word pieces, multi-piece splits, score-driven choices AND the
+   * single-code-point fallback. Shared verbatim with the oracle. */
+  // lazy: the registry map initializes before this declaration point
+  private lazy val fixedUnigramVocab: Array[(String, Long)] = Array(
+    "table" -> 2200000L, "ta" -> 1400000L, "ble" -> 1500000L,
+    "join" -> 1800000L, "jo" -> 1600000L, "in" -> 900000L,
+    "scan" -> 2000000L, "sc" -> 1700000L, "an" -> 1000000L,
+    "row" -> 1500000L, "hash" -> 2100000L, "ha" -> 1500000L,
+    "sh" -> 1600000L, "er" -> 1100000L, "custom" -> 3200000L,
+    "om" -> 1300000L, "cust" -> 2400000L, "or" -> 1200000L,
+    "der" -> 1900000L, "val" -> 1900000L, "ue" -> 1800000L,
+    "sm" -> 1900000L, "all" -> 1700000L, "a" -> 2500000L,
+    "e" -> 2600000L, "t" -> 2400000L, "r" -> 2700000L)
+
+  /** DuckDB mirror of the Viterbi DP in
+   * [[graft.functions.UnigramEncodeExpr.Memo]]: per distinct word
+   * type, one best-state CTE per code-point position (unrolled to
+   * `maxLen`), candidates drawn from the previous `maxPieceLen`
+   * positions, ranked by the identical (nll, count, smallest-split)
+   * triple. Unknown single code points cost `unkNllMicro`; unknown
+   * longer pieces are not candidates. */
+  private def unigramEncodeOracle(maxLen: Int, maxPieceLen: Int,
+      unkNllMicro: Long): String = {
+    val values = fixedUnigramVocab
+      .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
+    val steps = (1 to maxLen).map { i =>
+      val cands = (math.max(0, i - maxPieceLen) until i).map { j =>
+        s"""SELECT b.w, b.nll, b.cnt, b.path, $j AS j,
+            substr(b.w, ${j + 1}, ${i - j}) AS piece
+          FROM b$j b WHERE length(b.w) >= $i"""
+      }.mkString("\n          UNION ALL ")
+      s"""b$i AS MATERIALIZED (
+        SELECT w, nll, cnt, path FROM (
+          SELECT c.w, c.nll + sc AS nll, c.cnt + 1 AS cnt,
+              c.path || '§' || c.piece AS path,
+              row_number() OVER (PARTITION BY c.w
+                ORDER BY c.nll + sc, c.cnt + 1, c.j) AS rn
+          FROM (
+            SELECT cand.*, coalesce(voc.nll, CASE
+                WHEN length(cand.piece) = 1 THEN ${unkNllMicro}::BIGINT
+              END) AS sc
+            FROM ($cands) cand
+            LEFT JOIN voc ON voc.piece = cand.piece
+          ) c WHERE c.sc IS NOT NULL
+        ) WHERE rn = 1)"""
+    }
+    val fin = (1 to maxLen).map(i =>
+      s"SELECT w, cnt, path FROM b$i WHERE length(w) = $i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH voc(piece, nll) AS (VALUES $values),
+      wt AS MATERIALIZED (SELECT DISTINCT w FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          WHERE text IS NOT NULL)
+        WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND $maxLen),
+      b0 AS MATERIALIZED (SELECT w, 0::BIGINT AS nll, 0 AS cnt,
+        '' AS path FROM wt),
+      ${steps.mkString(",\n      ")}
+      SELECT w, substr(path, 2) AS seg_join, cnt::BIGINT AS n_pieces
+      FROM ($fin) ORDER BY w"""
+  }
 
   /** Unrolled full-batch GD for the text_quality_logreg oracle —
    * [[graft.operators.CorpusStats.logregQuality]]'s exact arithmetic,

@@ -1595,6 +1595,119 @@ object CorpusStats {
     when(raw <= 1L, lit(1L)).otherwise(shifted)
   }
 
+  /**
+   * Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+   * SentencePiece algorithm, completing the subword family next to
+   * [[bpeTrain]]): seed a large candidate vocabulary from the
+   * corpus's substrings, then EM — E-step Viterbi-segments every word
+   * type under the current piece scores, M-step recounts pieces from
+   * the segmentations — and prune to `vocabSize` keeping every
+   * single code point (coverage). Scores are micro nats
+   * (`round(−ln(count/total)·10⁶)`, the [[unigramModel]] convention).
+   *
+   * Scale shape is [[bpeTrain]]'s: the corpus pays ONE tokenize scan
+   * for the word-TYPE histogram; the EM loop runs driver-side over
+   * the top-`topTypes` histogram rows (a bounded artifact — Zipf
+   * coverage makes the tail immaterial to piece counts), reusing the
+   * EXACT segmentation kernel the serving expression runs
+   * ([[graft.functions.UnigramEncodeExpr.Memo]]), so training and
+   * encoding can never disagree. Emits `(piece, n, nll_micro)`.
+   */
+  def unigramTrain(df: DataFrame, text: Column, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 6, topTypes: Int = 50000,
+      minCount: Long = 2L, unkNllMicro: Long = 20000000L): DataFrame = {
+    require(vocabSize >= 1 && iters >= 1 && maxPieceLen >= 1 &&
+      topTypes >= 1, "vocabSize, iters, maxPieceLen, topTypes must be >= 1")
+    val spark = df.sparkSession
+    val types: Array[(String, Long)] = df
+      .select(explode(TextOps.tokens(text)).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(types.nonEmpty, "no word types (empty corpus)")
+    def cps(s: String): Array[String] =
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    // seed: substring counts weighted by type frequency
+    val seedCounts = scala.collection.mutable.HashMap[String, Long]()
+    val singles = scala.collection.mutable.HashMap[String, Long]()
+    types.foreach { case (w, c) =>
+      val units = cps(w)
+      units.foreach(u =>
+        singles.update(u, singles.getOrElse(u, 0L) + c))
+      for (a <- units.indices; b <- (a + 1) to
+          math.min(units.length, a + maxPieceLen)) {
+        val p = units.slice(a, b).mkString
+        seedCounts.update(p, seedCounts.getOrElse(p, 0L) + c)
+      }
+    }
+    val seedCap = math.max(vocabSize * 8, singles.size + vocabSize)
+    var vocab: Map[String, Long] = { // piece -> count
+      val multi = seedCounts.iterator
+        .filter { case (p, c) => p.length > 1 || !singles.contains(p) }
+        .filter(_._2 >= minCount)
+        .toArray.sortBy { case (p, c) => (-c, p) }
+        .take(seedCap - singles.size)
+      (singles.iterator ++ multi.iterator).toMap
+    }
+    def scoresOf(counts: Map[String, Long]): Array[(String, Long)] = {
+      val total = math.max(counts.values.sum, 1L)
+      counts.iterator.map { case (p, c) =>
+        p -> math.round(-math.log(
+          math.max(c, 1L).toDouble / total.toDouble) * 1e6)
+      }.toArray.sortBy(_._1)
+    }
+    for (_ <- 1 to iters) {
+      val memo = new graft.functions.UnigramEncodeExpr.Memo(
+        scoresOf(vocab), maxPieceLen, unkNllMicro)
+      val next = scala.collection.mutable.HashMap[String, Long]()
+      types.foreach { case (w, c) =>
+        memo.segment(w).foreach(p =>
+          next.update(p, next.getOrElse(p, 0L) + c))
+      }
+      // coverage floor: single code points survive at count >= 1
+      singles.keysIterator.foreach(u =>
+        if (!next.contains(u)) next.update(u, 1L))
+      vocab = next.toMap
+    }
+    // prune to vocabSize: singles are mandatory, the rest by count
+    val mandatory = vocab.iterator.filter(kv => singles.contains(kv._1))
+      .toArray
+    val rest = vocab.iterator.filterNot(kv => singles.contains(kv._1))
+      .toArray.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(vocabSize - mandatory.length, 0))
+    val kept = (mandatory ++ rest).toMap
+    val total = math.max(kept.values.sum, 1L)
+    import spark.implicits._
+    kept.iterator.map { case (p, c) =>
+      (p, c, math.round(-math.log(c.toDouble / total.toDouble) * 1e6))
+    }.toArray.sortBy { case (p, c, _) => (-c, p) }
+      .toSeq.toDF("piece", "n", "nll_micro")
+  }
+
+  /**
+   * Viterbi-tokenize the corpus under a unigram vocab frame
+   * (`(piece, nll_micro)` — [[unigramTrain]]'s output or a fixed
+   * table): one codegen'd whole-text call per row against the
+   * broadcast model, emitting `(id, pieces, n_pieces)`. The
+   * [[bpeEncode]] counterpart for the unigram tokenizer.
+   */
+  def unigramEncode(df: DataFrame, id: Column, text: Column,
+      vocab: DataFrame, maxPieceLen: Int = 6,
+      unkNllMicro: Long = 20000000L): DataFrame = {
+    val spark = df.sparkSession
+    val v: Array[(String, Long)] = vocab
+      .select(col("piece").cast("string"), col("nll_micro").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bc = spark.sparkContext.broadcast(v)
+    val enc = graft.functions.UnigramEncodeExpr.unigramText(
+      text, bc, maxPieceLen, unkNllMicro)
+    df.filter(text.isNotNull)
+      .select(id.as("id"), enc.as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Floor division of a micro value by a positive width (pmod keeps
    * it exact for negatives, where truncating div would round UP). */
   private def cellOf(x: Column, w: Column): Column =
