@@ -3189,6 +3189,38 @@ object Queries {
       Some(unigramEncodeOracle(maxLen = 12, maxPieceLen = 6,
         unkNllMicro = 20000000L))),
 
+    // per-source unigram fertility (pieces per word under the fixed
+    // table) — the token-budget planning metric for the unigram
+    // tokenizer, the corpus_fertility_bpe counterpart; token stream
+    // joins the once-segmented word-TYPE table in both engines
+    "corpus_fertility_unigram" -> Entry(
+      (s, dir) => {
+        val bc = s.sparkContext.broadcast(fixedUnigramVocab)
+        val enc = graft.functions.UnigramEncodeExpr.unigram(
+          col("w"), bc, maxPieceLen = 6, unkNllMicro = 20000000L)
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").isNotNull && length(col("w")).between(1, 12))
+          .withColumn("np", size(enc).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+          .withColumn("pieces_per_word_ppm",
+            graft.functions.ldiv(col("n_pieces") * lit(1000000L),
+              col("n_words")))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ${unigramDpCtes(12, 6, 20000000L)},
+        tok AS (SELECT source, w FROM (SELECT source,
+            unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL)
+          WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND 12)
+        SELECT source, count(*)::BIGINT AS n_words,
+          sum(seg.cnt)::BIGINT AS n_pieces,
+          (sum(seg.cnt) * 1000000 // count(*))::BIGINT
+            AS pieces_per_word_ppm
+        FROM tok JOIN seg USING (w) GROUP BY 1 ORDER BY 1""")),
+
     // mergeable fixed-grid quantile sketch over a CONTINUOUS value
     // (per-doc ratio → near-per-doc distinct micro values): k=64 so
     // the grid tier actually engages; the oracle reproduces the whole
@@ -4992,7 +5024,7 @@ object Queries {
    * positions, ranked by the identical (nll, count, smallest-split)
    * triple. Unknown single code points cost `unkNllMicro`; unknown
    * longer pieces are not candidates. */
-  private def unigramEncodeOracle(maxLen: Int, maxPieceLen: Int,
+  private def unigramDpCtes(maxLen: Int, maxPieceLen: Int,
       unkNllMicro: Long): String = {
     val values = fixedUnigramVocab
       .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
@@ -5020,17 +5052,22 @@ object Queries {
     val fin = (1 to maxLen).map(i =>
       s"SELECT w, cnt, path FROM b$i WHERE length(w) = $i")
       .mkString("\n        UNION ALL ")
-    s"""WITH voc(piece, nll) AS (VALUES $values),
+    s"""voc(piece, nll) AS (VALUES $values),
       wt AS MATERIALIZED (SELECT DISTINCT w FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents
           WHERE text IS NOT NULL)
         WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND $maxLen),
       b0 AS MATERIALIZED (SELECT w, 0::BIGINT AS nll, 0 AS cnt,
         '' AS path FROM wt),
-      ${steps.mkString(",\n      ")}
-      SELECT w, substr(path, 2) AS seg_join, cnt::BIGINT AS n_pieces
-      FROM ($fin) ORDER BY w"""
+      ${steps.mkString(",\n      ")},
+      seg AS MATERIALIZED ($fin)"""
   }
+
+  private def unigramEncodeOracle(maxLen: Int, maxPieceLen: Int,
+      unkNllMicro: Long): String =
+    s"""WITH ${unigramDpCtes(maxLen, maxPieceLen, unkNllMicro)}
+      SELECT w, substr(path, 2) AS seg_join, cnt::BIGINT AS n_pieces
+      FROM seg ORDER BY w"""
 
   /** Unrolled full-batch GD for the text_quality_logreg oracle —
    * [[graft.operators.CorpusStats.logregQuality]]'s exact arithmetic,
