@@ -66,7 +66,8 @@ object Bench {
       "text_quality_logreg", "embed_covariance", "embed_pca_project",
       "corpus_heavy_hitters_audit", "ann_ivf_recall_audit",
       "text_logreg_report", "corpus_heavy_hitters_by_audit",
-      "embed_pca_top2", "text_unigram_encode", "corpus_fertility_unigram")
+      "embed_pca_top2", "text_unigram_encode", "corpus_fertility_unigram",
+      "embed_covariance_merged")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -2903,6 +2903,26 @@ object Queries {
       Some(s"""WITH ${pcaCovCtes(64)}
         SELECT i, j, cov_micro FROM covm ORDER BY i, j""")),
 
+    // covariance-sketch homomorphism: three per-split second-moment
+    // sketches merged then finalized ≡ the from-scratch covariance
+    // oracle — the artifact the standing stream maintains, so
+    // incremental PCA is bit-equal to a full rebuild (the
+    // corpus_kmv_merged / corpus_cms_merged discipline)
+    "embed_covariance_merged" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val parts = (0 until 3).map(p =>
+          graft.operators.Embeddings.covarianceSketch(
+            emb.filter(pmod(col("vec_id"), lit(3)) === p),
+            col("embedding"), dim = 64))
+        graft.operators.Embeddings.covarianceFinalize(
+            graft.operators.Embeddings.covarianceMerge(
+              parts.reduce(_ unionByName _)), scaleBits = 20)
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""WITH ${pcaCovCtes(64)}
+        SELECT i, j, cov_micro FROM covm ORDER BY i, j""")),
+
     // principal-component scores: covariance -> 4 integer power
     // iterations (max-norm rescale, driver loop on the d² artifact)
     // -> exact per-vector projection; the oracle unrolls the same

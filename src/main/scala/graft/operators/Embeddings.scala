@@ -386,25 +386,44 @@ object Embeddings {
    */
   def covarianceMicro(df: DataFrame, vec: Column, dim: Int,
       scaleBits: Int = 20,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    covarianceFinalize(covarianceSketch(df, vec, dim, scaleBits, ckpt),
+      scaleBits)
+
+  /**
+   * The PERSISTABLE second-moment sketch behind [[covarianceMicro]]:
+   * `(stat, i, j, v)` rows holding the exact DECIMAL(38,0) sums —
+   * upper-triangle `Σ q_i·q_j` cells (`stat 's'`), per-dimension
+   * `Σ q_i` moments (`'m'`, j = −1) and the row count (`'n'`,
+   * i = j = −1). All three are plain sums, so [[covarianceMerge]] is
+   * an EXACT homomorphism: part/day/stream sketches add up to
+   * precisely the union's sketch, and [[covarianceFinalize]] of the
+   * merged artifact is bit-identical to a from-scratch build — the
+   * [[graft.operators.CorpusStats.kmvSketch]] discipline for the
+   * covariance/PCA family (standing stream:
+   * [[graft.streaming.SeriesStream.covarianceSketchStream]]).
+   *
+   * Tiered exact summation: the N·d² product rows sum as LONGs within
+   * each input partition (primitive codegen — a straight DECIMAL sum
+   * here measured 5× the whole query), and only the d²·P partition
+   * partials merge in DECIMAL(38,0). Exact while a partition's
+   * Σ|q_i·q_j| stays under 2⁶³: at scaleBits=20 and |x| ≤ 1 that is
+   * ~8M rows per input partition — set
+   * spark.sql.files.maxPartitionBytes accordingly for wider inputs.
+   * Symmetry: only the upper triangle is generated (slice the tail of
+   * the vector at each i), halving the dominant agg's input;
+   * [[covarianceFinalize]] mirrors the cells after the merge.
+   */
+  def covarianceSketch(df: DataFrame, vec: Column, dim: Int,
+      scaleBits: Int = 20,
       ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(dim >= 1 && scaleBits >= 0 && scaleBits <= 25,
       "dim >= 1 and 0 <= scaleBits <= 25 required")
-    import graft.functions.ldiv
     val q = df.filter(vec.isNotNull && size(vec) === dim)
       .select(transform(qGrid(vec, scaleBits), x => x.cast("long")).as("q"))
     val exploded = q.select(posexplode(col("q")).as(Seq("i", "qi")),
       col("q"))
-    // tiered exact summation: the N·d² product rows sum as LONGs
-    // within each input partition (primitive codegen — a straight
-    // DECIMAL sum here measured 5× the whole query), and only the
-    // d²·P partition partials merge in DECIMAL(38,0). Exact while a
-    // partition's Σ|q_i·q_j| stays under 2⁶³: at scaleBits=20 and
-    // |x| ≤ 1 that is ~8M rows per input partition — set
-    // spark.sql.files.maxPartitionBytes accordingly for wider inputs.
-    // symmetry: generate only the upper triangle (slice the tail of
-    // the vector at each i) — halves the dominant agg's input — and
-    // mirror the d²/2-cell result after the merge
-    val upper = ckpt(exploded
+    val upper = exploded
       .select(col("i"), col("qi"),
         posexplode(slice(col("q"), col("i") + lit(1), lit(dim)))
           .as(Seq("dj", "qj")),
@@ -412,12 +431,11 @@ object Embeddings {
       .groupBy(col("i"), (col("i") + col("dj")).as("j"), col("pid"))
       .agg(sum(col("qi") * col("qj")).as("sl"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("sl").cast("decimal(38,0)")).as("s")))
-    val cells = upper.unionByName(upper.filter(col("i") < col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("s")))
-    // n rides the moments pass (every i sees all n rows), and the
-    // d-row moment frame MATERIALIZES: its three consumers (mi, mj,
-    // n) would otherwise each re-run the corpus explode
+      .agg(sum(col("sl").cast("decimal(38,0)")).as("v"))
+      .select(lit("s").as("stat"), col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("v"))
+    // materialized: mRows AND nRow read it — lazy, each would re-run
+    // the corpus explode (the regression the probe caught)
     val moments = ckpt(exploded
       .select(col("i"), col("qi"), spark_partition_id().as("pid"))
       .groupBy(col("i"), col("pid"))
@@ -425,7 +443,36 @@ object Embeddings {
       .groupBy(col("i"))
       .agg(sum(col("ml").cast("decimal(38,0)")).as("m"),
         sum(col("nl")).cast("decimal(38,0)").as("n_i")))
-    val n = moments.agg(max(col("n_i")).as("n"))
+    val mRows = moments.select(lit("m").as("stat"),
+      col("i").cast("long").as("i"), lit(-1L).as("j"), col("m").as("v"))
+    val nRow = moments
+      .agg(coalesce(max(col("n_i")), lit(0L).cast("decimal(38,0)")).as("v"))
+      .select(lit("n").as("stat"), lit(-1L).as("i"), lit(-1L).as("j"),
+        col("v"))
+    // the sketch MATERIALIZES (≤ d²/2 + d + 1 rows): its consumers
+    // (cells, moments, n in finalize) must not re-run the corpus pass
+    ckpt(upper.unionByName(mRows).unionByName(nRow))
+  }
+
+  /** Merge [[covarianceSketch]] frames: per-(stat, i, j) DECIMAL sums
+   * — associative, commutative, exact. */
+  def covarianceMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("stat"), col("i"), col("j"))
+      .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
+
+  /** The ratio emit of [[covarianceMicro]], off a (possibly merged)
+   * [[covarianceSketch]]: mirror the upper triangle, join moments,
+   * half-away integer-ratio micro cells. */
+  def covarianceFinalize(sketch: DataFrame, scaleBits: Int): DataFrame = {
+    import graft.functions.ldiv
+    val upper = sketch.filter(col("stat") === "s")
+      .select(col("i"), col("j"), col("v").as("s"))
+    val cells = upper.unionByName(upper.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("s")))
+    val moments = sketch.filter(col("stat") === "m")
+      .select(col("i"), col("v").as("m"))
+    val n = sketch.filter(col("stat") === "n")
+      .agg(coalesce(sum(col("v")), lit(0L).cast("decimal(38,0)")).as("n"))
     val num = (col("n") * col("s") -
       col("mi") * col("mj")).cast("decimal(38,0)")
     val den = (col("n") * col("n") *
@@ -436,7 +483,7 @@ object Embeddings {
       .join(broadcast(moments.select(col("i").as("j"), col("m").as("mj"))),
         "j")
       .crossJoin(broadcast(n))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+      .select(col("i"), col("j"),
         (when(num < 0, lit(-1L)).otherwise(lit(1L)) *
           ldiv(abs(num) * lit(2000000L) + den, den * lit(2L))
         ).cast("long").as("cov_micro"))

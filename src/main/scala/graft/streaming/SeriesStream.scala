@@ -193,6 +193,32 @@ object SeriesStream {
   }
 
   /**
+   * Standing covariance/PCA maintenance — the mergeable-artifact
+   * stream for [[graft.operators.Embeddings.covarianceSketch]]: each
+   * micro-batch's exact second-moment sums add into the persisted
+   * sketch (an EXACT homomorphism, like [[kmvSketchStream]]), so
+   * `covarianceFinalize` + `pcaComponentsMicro` read an
+   * always-current covariance/PCA off the artifact at any time —
+   * incremental PCA over the ingest stream, bit-identical to a
+   * from-scratch batch build of everything ingested.
+   */
+  def covarianceSketchStream(vecs: DataFrame, vecCol: String, dim: Int,
+      storePath: String, checkpoint: String, scaleBits: Int = 20,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.Embeddings
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => Embeddings.covarianceSketch(b, col(vecCol), dim, scaleBits),
+          u => Embeddings.covarianceMerge(u), storePath, id)
+      }
+      .start()
+  }
+
+  /**
    * Online quality-classifier maintenance — the SEQUENTIAL standing
    * artifact: each micro-batch runs `stepsPerBatch` exact GD steps of
    * [[graft.operators.CorpusStats.logregSteps]] starting from the

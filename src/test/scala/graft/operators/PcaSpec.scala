@@ -119,6 +119,36 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covariance sketch merge is an exact homomorphism") {
+    val all = Seq(
+      (1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, 0.25f)),
+      (3L, Array(2.0f, 1.0f)), (4L, Array(-2.0f, -1.0f)),
+      (5L, Array(0.5f, -0.75f))
+    ).toDF("vec_id", "embedding")
+    val whole = Embeddings.covarianceMicro(all, col("embedding"), 2)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val parts = (0 until 2).map(p =>
+      Embeddings.covarianceSketch(
+        all.filter(pmod(col("vec_id"), lit(2)) === p), col("embedding"), 2))
+    val merged = Embeddings.covarianceFinalize(
+        Embeddings.covarianceMerge(parts.reduce(_ unionByName _)),
+        scaleBits = 20)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(merged == whole)
+    // associativity: merging a merged sketch with a third part works
+    val extra = Seq((6L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val withExtra = Embeddings.covarianceFinalize(
+        Embeddings.covarianceMerge(
+          Embeddings.covarianceMerge(parts.reduce(_ unionByName _))
+            .unionByName(Embeddings.covarianceSketch(extra,
+              col("embedding"), 2))), scaleBits = 20)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val direct = Embeddings.covarianceMicro(all.unionByName(extra),
+        col("embedding"), 2)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(withExtra == direct)
+  }
+
   test("zero covariance keeps the start vector (no division by zero)") {
     val const = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
       .toDF("vec_id", "embedding")

@@ -399,6 +399,44 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("standing covariance sketch: incremental PCA equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(41)
+    val rows = (1L to 300L).map(i =>
+      (i, Array.fill(4)((rng.nextInt(2001) - 1000) / 1000.0f)))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cov").toString + "/sk"
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = SeriesStream.covarianceSketchStream(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", dim = 4,
+      storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-cov-ck").toString)
+    try {
+      mem.addData(rows.take(120))
+      q.processAllAvailable()
+      mem.addData(rows.drop(120))
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.operators.Embeddings.covarianceFinalize(
+        spark.read.parquet(store).drop("batch_id"), scaleBits = 20)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Embeddings.covarianceMicro(
+        rows.toDF("vec_id", "embedding"), col("embedding"), dim = 4)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(streamed == direct) // the exact second-moment homomorphism
+    // and the PCA read off the standing artifact matches batch PCA
+    val vS = graft.operators.Embeddings.pcaPowerMicro(
+      graft.operators.Embeddings.covarianceFinalize(
+        spark.read.parquet(store).drop("batch_id"), 20), dim = 4)
+    val vB = graft.operators.Embeddings.pcaPowerMicro(
+      graft.operators.Embeddings.covarianceMicro(
+        rows.toDF("vec_id", "embedding"), col("embedding"), 4), dim = 4)
+    assert(vS.toSeq == vB.toSeq)
+  }
+
   test("standing logreg: streamed weights equal the hand-folded batch kernel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
