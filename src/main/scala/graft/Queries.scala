@@ -2923,6 +2923,26 @@ object Queries {
       Some(s"""WITH ${pcaCovCtes(64)}
         SELECT i, j, cov_micro FROM covm ORDER BY i, j""")),
 
+    // dimension-redundancy matrix: signed r² ppm off the covariance
+    // cells — integer-exact (no sqrt), zero-variance dims null, pure
+    // joins over the d² artifact
+    "embed_correlation" -> Entry(
+      (s, dir) => graft.operators.Embeddings.correlationPpm(
+          graft.operators.Embeddings.covarianceMicro(
+            t(s, dir, "embeddings"), col("embedding"), dim = 64))
+        .orderBy(col("i"), col("j")),
+      Some(s"""WITH ${pcaCovCtes(64)},
+        diag AS (SELECT i AS d, cov_micro AS vr FROM covm WHERE i = j)
+        SELECT c.i, c.j,
+          (CASE WHEN di.vr > 0 AND dj.vr > 0 THEN
+            (CASE WHEN c.cov_micro < 0 THEN -1 ELSE 1 END) *
+              ((2 * c.cov_micro::HUGEINT * c.cov_micro::HUGEINT * 1000000
+                  + di.vr::HUGEINT * dj.vr::HUGEINT)
+                // (2 * di.vr::HUGEINT * dj.vr::HUGEINT))
+          END)::BIGINT AS r2_ppm
+        FROM covm c JOIN diag di ON c.i = di.d JOIN diag dj ON c.j = dj.d
+        ORDER BY c.i, c.j""")),
+
     // principal-component scores: covariance -> 4 integer power
     // iterations (max-norm rescale, driver loop on the d² artifact)
     // -> exact per-vector projection; the oracle unrolls the same

@@ -490,6 +490,36 @@ object Embeddings {
   }
 
   /**
+   * Signed squared correlation off a [[covarianceMicro]] frame:
+   * `r2_ppm = sign(cov_ij) · ⌈cov_ij²·10⁶ / (cov_ii·cov_jj)⌉_half` —
+   * the dimension-redundancy matrix (which embedding coordinates
+   * carry the same signal) WITHOUT the square root that would break
+   * integer exactness: |r| = √(|r²|), and ranking/thresholding on r²
+   * is order-equivalent. Zero-variance dimensions emit null. Pure
+   * joins over the d²-cell artifact — no corpus access.
+   */
+  def correlationPpm(cov: DataFrame): DataFrame = {
+    import graft.functions.ldiv
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov_micro").as("vr"))
+    val num = (col("cov_micro").cast("decimal(38,0)") *
+      col("cov_micro").cast("decimal(38,0)") * lit(1000000L))
+      .cast("decimal(38,0)")
+    val den = (col("vi").cast("decimal(38,0)") *
+      col("vj").cast("decimal(38,0)")).cast("decimal(38,0)")
+    cov
+      .join(broadcast(diag.select(col("d").as("i"), col("vr").as("vi"))),
+        "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("vr").as("vj"))),
+        "j")
+      .select(col("i"), col("j"),
+        when(col("vi") > 0 && col("vj") > 0,
+          when(col("cov_micro") < 0, lit(-1L)).otherwise(lit(1L)) *
+            ldiv(num * lit(2L) + den, den * lit(2L))
+        ).cast("long").as("r2_ppm"))
+  }
+
+  /**
    * Dominant eigenvector of a [[covarianceMicro]] matrix by power
    * iteration with max-norm rescaling — every step INTEGER (BigInt
    * multiply-adds, half-away-from-zero integer-ratio rescale), so the

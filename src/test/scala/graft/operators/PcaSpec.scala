@@ -119,6 +119,32 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("correlationPpm: exact signed r-squared, unit diagonal, null on flats") {
+    val cov = Embeddings.covarianceMicro(vecs2, col("embedding"), 2)
+    val r = Embeddings.correlationPpm(cov).orderBy("i", "j").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(r((0L, 0L)).contains(1000000L) && r((1L, 1L)).contains(1000000L))
+    // r^2 = cov^2/(v0*v1) = 1.0/(2.5*0.5) = 0.8, positive sign
+    assert(r((0L, 1L)).contains(800000L) && r((1L, 0L)).contains(800000L))
+    // anti-correlated pair: sign carries through
+    val anti = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ra = Embeddings.correlationPpm(
+        Embeddings.covarianceMicro(anti, col("embedding"), 2))
+      .orderBy("i", "j").collect()
+    assert(ra.find(x => x.getLong(0) == 0 && x.getLong(1) == 1)
+      .get.getLong(2) == -1000000L)
+    // constant dimension -> zero variance -> null correlation
+    val flat = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val rf = Embeddings.correlationPpm(
+        Embeddings.covarianceMicro(flat, col("embedding"), 2))
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.isNullAt(2)))
+      .toMap
+    assert(rf((0L, 1L)) && rf((1L, 1L)))
+  }
+
   test("covariance sketch merge is an exact homomorphism") {
     val all = Seq(
       (1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, 0.25f)),
