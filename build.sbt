@@ -17,6 +17,9 @@ run / fork := true
 // "parsed": null for exactly this reason).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// the bare run-scope key above is belt-and-suspenders; silence sbt's
+// unused-key lint so its 7-line warning stays out of the parsed logs
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
