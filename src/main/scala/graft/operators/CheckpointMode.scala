@@ -38,6 +38,15 @@ object CheckpointMode {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 
+  /** No materialization — the raw lazy frame. For plan introspection
+   * (a checkpoint collapses the build plan to a Scan ExistingRDD) and
+   * for callers that persist the artifact themselves anyway. The
+   * multi-consumer operators re-run their corpus pass per read under
+   * this mode; production paths keep [[Local]]/[[Reliable]]. */
+  case object Off extends CheckpointMode {
+    def apply(df: DataFrame): DataFrame = df
+  }
+
   /**
    * Reliable checkpoint under `dir`. The directory is installed on
    * the SparkContext once, only if none is set — an

@@ -169,6 +169,55 @@ class PlanSpec extends SparkSpec {
       s"indexed probe re-crosses corpus with centroids:\n$pi")
   }
 
+  test("round-12 operators keep their claimed plan shapes") {
+    assume(available)
+    def finalSection(p: String): String = p.split("== Initial Plan ==").head
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // covariance sketch: the corpus-side aggregation must be the
+    // tiered LONG form — partition-local partials under a
+    // (i, j, pid) hash aggregate, with DECIMAL sums only ABOVE it
+    // (the straight decimal row-stream sum measured 5x the query) —
+    // and the d²-cell artifact must never join the corpus again
+    val psk = planOf(graft.operators.Embeddings.covarianceSketch(
+      emb, col("embedding"), dim = 64,
+      ckpt = graft.operators.CheckpointMode.Off))
+    assert(psk.contains("SPARK_PARTITION_ID") ||
+      psk.toLowerCase.contains("spark_partition_id"),
+      s"tiered partial sums lost (no pid grouping):\n$psk")
+    // the decimal merge reads partials: no sum over a generated
+    // product column cast to decimal below the pid aggregate
+    assert(!psk.contains("CartesianProduct"),
+      s"covariance sketch crossed frames:\n$psk")
+    // the trained classifier's gradient pass: ONE exchange per
+    // iteration (the 4-cell partial aggregate), no window, no join —
+    // the corpus never shuffles its rows for training
+    val feats = graft.operators.CorpusStats.logregFeatFrame(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      col("doc_id"), col("text"), col("source") === "src0")
+    val gs = (0 until 4).map(j =>
+      sum((col("r") * col(s"x$j")).cast("decimal(38,0)")).as(s"g$j"))
+    val grad = feats
+      .select((lit(1L)).as("r"), col("*"))
+      .agg(gs.head, gs.tail: _*)
+    val pg = finalSection(planOf(grad))
+    assert("Exchange".r.findAllIn(pg).size == 1,
+      s"logreg gradient pass is not one partial-agg exchange:\n$pg")
+    assert(!pg.contains("Window") && !pg.contains("SortMergeJoin"),
+      s"logreg gradient pass grew a window/join:\n$pg")
+    // unigram encode: a pure projection over the scan plus the gate's
+    // own distinct/sort — no join anywhere (the vocab rides the
+    // broadcast HANDLE inside the expression, not a join)
+    val pue = planOf(SparkEntry.queries("text_unigram_encode")(spark, dir))
+    assert(!pue.contains("Join"), s"unigram encode joins:\n$pue")
+    // correlation: joins over the d²-cell artifact only — broadcast,
+    // no corpus-sized shuffle beyond the covariance build itself
+    val pc = planOf(graft.operators.Embeddings.correlationPpm(
+      graft.operators.Embeddings.covarianceMicro(emb, col("embedding"),
+        dim = 64)))
+    assert(pc.contains("BroadcastHashJoin") && !pc.contains("SortMergeJoin"),
+      s"correlation joins are not broadcast:\n$pc")
+  }
+
   test("PQ plans: encode is one map-side argmin exchange; ADC scan never joins vectors") {
     assume(available)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
