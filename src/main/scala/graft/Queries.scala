@@ -2943,6 +2943,57 @@ object Queries {
         FROM covm c JOIN diag di ON c.i = di.d JOIN diag dj ON c.j = dj.d
         ORDER BY c.i, c.j""")),
 
+    // explained variance: each component's exact Rayleigh eigenvalue
+    // (covariance micro units) and its share of the trace in ppm —
+    // the scree-plot row the reduced representation ships with
+    "embed_pca_variance" -> Entry(
+      (s, dir) => {
+        val cov = graft.operators.Embeddings.covarianceMicro(
+          t(s, dir, "embeddings"), col("embedding"), dim = 64)
+        val comps = graft.operators.Embeddings.pcaVariancesMicro(
+          cov, dim = 64, m = 2, iters = 4)
+        val trace = BigInt(cov.filter(col("i") === col("j"))
+          .agg(coalesce(sum(col("cov_micro")), lit(0L)).as("t"))
+          .collect()(0).getLong(0))
+        def halfAway(p: BigInt, d: BigInt): BigInt = {
+          val m = (p.abs * 2 + d) / (d * 2)
+          if (p < 0) -m else m
+        }
+        val rows = comps.zipWithIndex.map { case ((_, lam), c) =>
+          (c.toLong, lam,
+            if (trace > 0) Some(halfAway(BigInt(lam) * 1000000L, trace)
+              .toLong)
+            else None)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("component", "lambda_micro", "explained_ppm")
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH ${pcaCovCtes(64)},
+        ${pcaPowerCtes(64, 4)},
+        ${pcaDeflateCtes("v4", "covm2")},
+        ${pcaPowerCtes(64, 4, cov = "covm2", pfx = "b")},
+        ${pcaDeflateCtes("vb4", "covm3", cov = "covm2")},
+        trc AS (SELECT sum(cov_micro)::HUGEINT AS tr FROM covm
+          WHERE i = j),
+        lams AS (
+          SELECT 0::BIGINT AS component,
+            ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+              ((2 * abs(num) + den) // (2 * den)))::BIGINT AS lambda_micro
+          FROM ray_covm2
+          UNION ALL
+          SELECT 1::BIGINT,
+            ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+              ((2 * abs(num) + den) // (2 * den)))::BIGINT
+          FROM ray_covm3)
+        SELECT component, lambda_micro,
+          (CASE WHEN trc.tr > 0 THEN
+            (CASE WHEN lambda_micro < 0 THEN -1 ELSE 1 END) *
+              ((2 * abs(lambda_micro::HUGEINT) * 1000000 + trc.tr)
+                // (2 * trc.tr))
+          END)::BIGINT AS explained_ppm
+        FROM lams, trc ORDER BY component""")),
+
     // principal-component scores: covariance -> 4 integer power
     // iterations (max-norm rescale, driver loop on the d² artifact)
     // -> exact per-vector projection; the oracle unrolls the same

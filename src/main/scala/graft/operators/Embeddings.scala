@@ -549,7 +549,15 @@ object Embeddings {
    * artifact ([[pcaPowerMicro]]'s argument, m times over).
    */
   def pcaComponentsMicro(cov: DataFrame, dim: Int, m: Int,
-      iters: Int = 4): Array[Array[Long]] = {
+      iters: Int = 4): Array[Array[Long]] =
+    pcaVariancesMicro(cov, dim, m, iters).map(_._1)
+
+  /** [[pcaComponentsMicro]] plus each component's Rayleigh eigenvalue
+   * `λ_micro = ⌈vᵀCv / vᵀv⌉_half` (covariance micro units) — the
+   * number the explained-variance report reads; exact integers, same
+   * rounding as the cells. */
+  def pcaVariancesMicro(cov: DataFrame, dim: Int, m: Int,
+      iters: Int = 4): Array[(Array[Long], Long)] = {
     require(dim >= 1 && iters >= 1 && m >= 1 && m <= dim,
       "need dim >= 1, iters >= 1, 1 <= m <= dim")
     val cells = scala.collection.mutable.Map[(Int, Int), BigInt]()
@@ -584,7 +592,7 @@ object Embeddings {
         if (delta != 0)
           cells.update((i, j), cells.getOrElse((i, j), BigInt(0)) - delta)
       }
-      v.map(_.toLong)
+      (v.map(_.toLong), halfAway(num, den).toLong)
     }.toArray
   }
 

@@ -119,6 +119,19 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("pcaVariancesMicro: Rayleigh eigenvalues match the closed form") {
+    // cov = [[2.5, 1.0], [1.0, 0.5]] micro: eigenvalues (3 ± sqrt(8))/2
+    // = 2.914..., 0.0857...; deflation must find both, summing to the
+    // trace up to grid rounding
+    val lams = Embeddings.pcaVariancesMicro(
+      Embeddings.covarianceMicro(vecs2, col("embedding"), 2),
+      dim = 2, m = 2, iters = 12).map(_._2)
+    assert(lams(0) > 2900000L && lams(0) < 2930000L, s"l1=${lams(0)}")
+    assert(lams(1) > 75000L && lams(1) < 95000L, s"l2=${lams(1)}")
+    assert(math.abs(lams.sum - 3000000L) < 5000L,
+      s"trace mismatch: ${lams.toSeq}")
+  }
+
   test("correlationPpm: exact signed r-squared, unit diagonal, null on flats") {
     val cov = Embeddings.covarianceMicro(vecs2, col("embedding"), 2)
     val r = Embeddings.correlationPpm(cov).orderBy("i", "j").collect()
