@@ -2994,6 +2994,46 @@ object Queries {
           END)::BIGINT AS explained_ppm
         FROM lams, trc ORDER BY component""")),
 
+    // PCA-space outliers: truncated Mahalanobis over the top-2
+    // components — per-component exact integer ratios
+    // proj²/(2^40·λ), micro units, summed after rounding; the
+    // embedding-anomaly number reviewed next to label outliers
+    "embed_pca_outliers" -> Entry(
+      (s, dir) => graft.operators.Embeddings.pcaOutliers(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          dim = 64, m = 2, iters = 4)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${pcaCovCtes(64)},
+        ${pcaPowerCtes(64, 4)},
+        ${pcaDeflateCtes("v4", "covm2")},
+        ${pcaPowerCtes(64, 4, cov = "covm2", pfx = "b")},
+        ${pcaDeflateCtes("vb4", "covm3", cov = "covm2")},
+        lam0 AS (SELECT ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+            ((2 * abs(num) + den) // (2 * den)))::BIGINT AS l
+          FROM ray_covm2),
+        lam1 AS (SELECT ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+            ((2 * abs(num) + den) // (2 * den)))::BIGINT AS l
+          FROM ray_covm3),
+        pj AS (SELECT q.vec_id,
+            list_sum(list_transform(range(1, 65),
+              k -> q.q[k] * vf.vl[k]))::HUGEINT AS p0,
+            list_sum(list_transform(range(1, 65),
+              k -> q.q[k] * vfb.vl[k]))::HUGEINT AS p1
+          FROM q, vf, vfb),
+        sc AS (SELECT pj.vec_id,
+            (CASE WHEN lam0.l > 0 THEN
+              ((2 * pj.p0 * pj.p0 + ${1L << 40}::HUGEINT * lam0.l)
+                // (2 * ${1L << 40}::HUGEINT * lam0.l))
+            ELSE 0 END)::BIGINT AS m0_micro,
+            (CASE WHEN lam1.l > 0 THEN
+              ((2 * pj.p1 * pj.p1 + ${1L << 40}::HUGEINT * lam1.l)
+                // (2 * ${1L << 40}::HUGEINT * lam1.l))
+            ELSE 0 END)::BIGINT AS m1_micro
+          FROM pj, lam0, lam1)
+        SELECT vec_id, m0_micro, m1_micro,
+          (m0_micro + m1_micro)::BIGINT AS score_micro
+        FROM sc ORDER BY vec_id""")),
+
     // principal-component scores: covariance -> 4 integer power
     // iterations (max-norm rescale, driver loop on the d² artifact)
     // -> exact per-vector projection; the oracle unrolls the same

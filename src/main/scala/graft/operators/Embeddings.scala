@@ -622,6 +622,41 @@ object Embeddings {
       pcaPowerMicro(covarianceMicro(df, vec, dim, scaleBits), dim, iters),
       scaleBits)
 
+  /**
+   * PCA-space outlier scores — the truncated-Mahalanobis anomaly
+   * measure over the top `m` components: each vector's
+   * `Σ_c proj_c² / λ_c` (projection variance-normalized by its
+   * component's eigenvalue), the "how unusual is this embedding along
+   * the directions that matter" number a curation pipeline reviews
+   * next to [[labelOutliers]]. Per-component contributions are exact
+   * integer ratios (`⌈proj_pico² / (2^(2·scaleBits)·λ_micro)⌉_half`,
+   * micro units) summed AFTER rounding — engine-reproducible like
+   * everything else in the family; non-positive-λ components
+   * contribute 0. One covariance build + one projection scan.
+   */
+  def pcaOutliers(df: DataFrame, id: Column, vec: Column, dim: Int,
+      m: Int, iters: Int = 4, scaleBits: Int = 20): DataFrame = {
+    import graft.functions.ldiv
+    val comps = pcaVariancesMicro(
+      covarianceMicro(df, vec, dim, scaleBits), dim, m, iters)
+    val g = qGrid(vec, scaleBits)
+    val contribs = comps.zipWithIndex.map { case ((v, lam), c) =>
+      val proj = dot(g, array(v.map(x => lit(x.toDouble)): _*))
+        .cast("long").cast("decimal(38,0)")
+      val den = java.math.BigDecimal.valueOf(lam)
+        .multiply(new java.math.BigDecimal(
+          java.math.BigInteger.ONE.shiftLeft(2 * scaleBits)))
+      if (lam > 0)
+        ldiv(proj * proj * lit(2L) + lit(den), lit(den) * lit(2L))
+          .cast("long").as(s"m${c}_micro")
+      else lit(0L).as(s"m${c}_micro")
+    }
+    df.filter(vec.isNotNull && size(vec) === dim)
+      .select(id.as("vec_id") +: contribs: _*)
+      .withColumn("score_micro",
+        (0 until m).map(c => col(s"m${c}_micro")).reduce(_ + _))
+  }
+
   /** [[pca]] for the top `m` components: one covariance build, m
    * deflation rounds, one projection scan emitting
    * `(vec_id, proj0_pico … proj{m-1}_pico)` — the m-wide reduced

@@ -192,6 +192,27 @@ object SeriesStream {
       .start()
   }
 
+  /** Per-group [[heavyHittersStream]]: one standing Misra–Gries
+   * summary per group value (per-domain frequent items over the
+   * ingest stream), merged group-by-group each micro-batch. The
+   * per-group deficit/coverage contract holds over everything
+   * ingested for any batch split. */
+  def heavyHittersByStream(rows: DataFrame, groupCol: String,
+      valueCol: String, k: Int, storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.CorpusStats
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => CorpusStats.mgSketchBy(b, col(groupCol), col(valueCol), k),
+          u => CorpusStats.mgMergeBy(u, k), storePath, id)
+      }
+      .start()
+  }
+
   /**
    * Standing covariance/PCA maintenance — the mergeable-artifact
    * stream for [[graft.operators.Embeddings.covarianceSketch]]: each

@@ -119,6 +119,26 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("pcaOutliers: variance-normalized scores rank the true outlier first") {
+    // cluster along axis 0 plus one point far out along axis 1 (the
+    // LOW-variance direction): normalizing by lambda must rank it top
+    val rows = Seq(
+      (1L, Array(4.0f, 0.1f)), (2L, Array(-4.0f, -0.1f)),
+      (3L, Array(3.5f, 0.05f)), (4L, Array(-3.5f, -0.05f)),
+      (5L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.pcaOutliers(rows, col("vec_id"), col("embedding"),
+        dim = 2, m = 2, iters = 8)
+      .orderBy(desc("score_micro")).collect()
+    assert(out.head.getLong(0) == 5L,
+      s"true outlier not ranked first: ${out.map(_.toSeq).toSeq}")
+    // per-component contributions are non-negative and sum to score
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+      assert(r.getLong(3) == r.getLong(1) + r.getLong(2))
+    }
+  }
+
   test("pcaVariancesMicro: Rayleigh eigenvalues match the closed form") {
     // cov = [[2.5, 1.0], [1.0, 0.5]] micro: eigenvalues (3 ± sqrt(8))/2
     // = 2.914..., 0.0857...; deflation must find both, summing to the

@@ -399,6 +399,52 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("standing per-group heavy hitters honor each group's MG contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 800).map { i =>
+      val g = "g" + (i % 2)
+      val v = if (i % 4 == 0) s"$g-hot${i % 3}" else s"$g-t${rng.nextInt(999)}"
+      (g, v)
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hhby").toString + "/sk"
+    val mem = MemoryStream[(String, String)]
+    val q = SeriesStream.heavyHittersByStream(
+      mem.toDF().toDF("g", "w"), "g", "w", k = 32, storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-hhby-ck").toString)
+    try {
+      mem.addData(rows.take(300))
+      q.processAllAvailable()
+      mem.addData(rows.drop(300))
+      q.processAllAvailable()
+    } finally q.stop()
+    val standing = spark.read.parquet(store)
+      .select("g", "v", "c", "err").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    Seq("g0", "g1").foreach { g =>
+      val sub = standing.filter(_._1 == g)
+      val exact = rows.filter(_._1 == g).map(_._2)
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val err = if (sub.isEmpty) 0L else sub.map(_._4).max
+      sub.foreach { case (_, v, c, _) =>
+        if (v != null) {
+          val ex = exact.getOrElse(v, 0L)
+          assert(c <= ex && ex <= c + err,
+            s"group $g deficit broken: $v c=$c err=$err exact=$ex")
+        }
+      }
+      val present = sub.map(_._2).toSet
+      exact.foreach { case (v, ex) =>
+        if (ex > err) assert(present.contains(v),
+          s"group $g coverage broken: $v exact=$ex err=$err")
+      }
+    }
+  }
+
   test("standing covariance sketch: incremental PCA equals the batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
