@@ -3258,6 +3258,24 @@ object Queries {
             AS accuracy_ppm
         FROM cm""")),
 
+    // the trained filter's SELECTION step: top-50 docs by classifier
+    // probability (the DSIR-selection shape with the learned model) —
+    // lowers to TakeOrderedAndProject, never a global sort
+    "sample_quality_topk" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.logregQuality(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          col("source") === "src0", iters = 4)
+        .orderBy(col("p_micro").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("p_micro")),
+      Some(s"""WITH ${logregCtes(4, 1L, 1L)},
+        scq AS (SELECT f.doc_id,
+            round((1.0/(1.0 + exp(-((f.x0*w.wa + f.x1*w.wb + f.x2*w.wc
+                + f.x3*w.wd)::BIGINT / 1000000000000.0))))
+              * 1000000.0)::BIGINT AS p_micro
+          FROM f, w4 w)
+        SELECT doc_id, p_micro FROM scq
+        ORDER BY p_micro DESC, doc_id LIMIT 50""")),
+
     // corpus-weighted adjacent char-pair counts — the statistic BPE
     // tokenizer training's first merge decision reads; deterministic
     // top-k (count desc, pair asc)
