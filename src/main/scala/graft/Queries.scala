@@ -3338,6 +3338,48 @@ object Queries {
       Some(unigramEncodeOracle(maxLen = 12, maxPieceLen = 6,
         unkNllMicro = 20000000L))),
 
+    // unigram tokenizer data card (the text_bpe_vocab counterpart):
+    // per-piece corpus count, document frequency and corpus share ppm
+    // under the fixed table — top-40 by count; the (doc, piece)
+    // pre-aggregate keeps doc frequency off a countDistinct shuffle
+    "text_unigram_vocab" -> Entry(
+      (s, dir) => {
+        val bc = s.sparkContext.broadcast(fixedUnigramVocab)
+        val enc = graft.functions.UnigramEncodeExpr.unigram(
+          col("w"), bc, maxPieceLen = 6, unkNllMicro = 20000000L)
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").isNotNull && length(col("w")).between(1, 12))
+          .select(col("doc_id"), explode(enc).as("piece"))
+        val st = base.groupBy(col("doc_id"), col("piece"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("piece"))
+          .agg(sum(col("cnt")).as("n"), count(lit(1)).as("doc_freq"))
+        val tot = st.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
+        st.crossJoin(broadcast(tot))
+          .select(col("piece"), col("n"), col("doc_freq"),
+            graft.functions.ldiv(col("n") * lit(1000000L),
+              nullif(col("t"), lit(0L))).as("share_ppm"))
+          .orderBy(col("n").desc, col("piece")).limit(40)
+      },
+      Some(s"""WITH ${unigramDpCtes(12, 6, 20000000L)},
+        tok AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL)
+          WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND 12),
+        pc AS (SELECT t.doc_id,
+            unnest(string_split(substr(s.path, 2), '§')) AS piece
+          FROM tok t JOIN seg s USING (w)),
+        dpc AS (SELECT doc_id, piece, count(*) AS cnt FROM pc
+          GROUP BY 1, 2),
+        st AS (SELECT piece, sum(cnt)::BIGINT AS n,
+            count(*)::BIGINT AS doc_freq FROM dpc GROUP BY 1),
+        tot AS (SELECT sum(n)::BIGINT AS t FROM st)
+        SELECT piece, n, doc_freq,
+          (n * 1000000 // NULLIF(tot.t, 0))::BIGINT AS share_ppm
+        FROM st, tot ORDER BY n DESC, piece LIMIT 40""")),
+
     // per-source unigram fertility (pieces per word under the fixed
     // table) — the token-budget planning metric for the unigram
     // tokenizer, the corpus_fertility_bpe counterpart; token stream
