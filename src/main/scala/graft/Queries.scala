@@ -3276,6 +3276,26 @@ object Queries {
         SELECT doc_id, p_micro FROM scq
         ORDER BY p_micro DESC, doc_id LIMIT 50""")),
 
+    // range-partitioned export: shard boundaries as exact histogram
+    // ranks (no sampled RangePartitioner), non-overlapping key ranges
+    // per shard — the zone-map-friendly layout for dataloader range
+    // scans; gated on the per-shard accounting
+    "export_ranged_shards" -> Entry(
+      (s, dir) => graft.operators.Export.rangedShardStats(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          length(col("text")), n = 8)
+        .orderBy(col("shard")),
+      Some("""WITH h AS (SELECT length(text)::BIGINT AS k,
+            count(*)::BIGINT AS c
+          FROM documents WHERE text IS NOT NULL GROUP BY 1),
+          cum AS (SELECT k, c, coalesce(sum(c) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+            (SELECT sum(c) FROM h) AS t FROM h),
+          a AS (SELECT k, c, ((lo * 8) // t)::INTEGER AS shard FROM cum)
+        SELECT shard, sum(c)::BIGINT AS n_docs, min(k)::BIGINT AS min_key,
+          max(k)::BIGINT AS max_key
+        FROM a GROUP BY 1 ORDER BY 1""")),
+
     // corpus-weighted adjacent char-pair counts — the statistic BPE
     // tokenizer training's first merge decision reads; deterministic
     // top-k (count desc, pair asc)

@@ -96,4 +96,52 @@ object Export {
       .drop("_h")
       .write.partitionBy("shard")
   }
+
+  /**
+   * RANGE-partitioned shard assignment — [[shards]]' hash layout
+   * randomizes for training; this layout CLUSTERS by a sort key
+   * (length, timestamp, score) so each shard's files carry tight
+   * zone-map min/max and a range scan touches one shard — the
+   * length-bucketed-serving / curriculum-ordering counterpart.
+   * Assignment is the EXACT 0-based rank read off the (key, count)
+   * histogram: `shard = ⌊rank·n / total⌋`, ties share a rank and
+   * therefore a shard, so shard key-ranges never overlap and the
+   * boundaries are engine-reproducible integers (no sampling-based
+   * RangePartitioner nondeterminism). The corpus collapses to the
+   * histogram FIRST ([[graft.operators.CorpusStats.quantiles]]'
+   * argument): the ordered window runs over distinct KEYS, not rows —
+   * exact for discrete keys; bin continuous ones first (or grid them
+   * with the quantile sketch).
+   */
+  def rangedShards(df: DataFrame, id: Column, key: Column,
+      n: Int): DataFrame = {
+    df.filter(key.isNotNull).withColumn("__k", key.cast("long"))
+      .join(broadcast(rangedCuts(df, key, n)
+        .select(col("k").as("__k"), col("shard"))), Seq("__k"))
+      .select(id.as("doc_id"), col("__k").as("key"), col("shard"))
+  }
+
+  /** Per-shard accounting for [[rangedShards]]: row count and the
+   * key range each shard covers — computed off the histogram alone
+   * (no row join), so the audit costs one distinct-key pass. */
+  def rangedShardStats(df: DataFrame, key: Column, n: Int): DataFrame =
+    rangedCuts(df, key, n)
+      .groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+
+  private def rangedCuts(df: DataFrame, key: Column, n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    val hist = df.filter(key.isNotNull)
+      .groupBy(key.cast("long").as("k")).agg(count(lit(1)).as("c"))
+    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+    hist
+      .withColumn("hi", sum(col("c")).over(Window.orderBy(col("k"))))
+      .withColumn("lo", col("hi") - col("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("shard",
+        graft.functions.ldiv(col("lo") * lit(n.toLong), col("t"))
+          .cast("int"))
+      .select(col("k"), col("c"), col("shard"))
+  }
 }

@@ -23,6 +23,38 @@ class ExportSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("rangedShards: non-overlapping key ranges, ties stay together") {
+    // skewed keys incl. a heavy tie group
+    val rows = ((1L to 60L).map(i => (i, i % 7)) ++
+      (61L to 100L).map(i => (i, 50L))).toDF("doc_id", "k")
+    val asg = Export.rangedShards(rows, col("doc_id"), col("k"), n = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(asg.length == 100 && asg.map(_._1).distinct.length == 100)
+    // same key -> same shard
+    asg.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+    // shard key ranges are ordered and non-overlapping
+    val stats = Export.rangedShardStats(rows, col("k"), n = 4)
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    stats.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+    // stats account for every row
+    assert(stats.map(_._2).sum == 100L)
+    // assignment and stats agree
+    val fromAsg = asg.groupBy(_._3).map { case (s, g) =>
+      (s, g.size.toLong, g.map(_._2).min, g.map(_._2).max) }.toSet
+    assert(fromAsg == stats.toSet)
+    // null keys are excluded
+    val withNull = rows.unionByName(
+      Seq((999L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "k"))
+    assert(Export.rangedShards(withNull, col("doc_id"), col("k"), 4)
+      .count() == 100)
+  }
+
   test("within-shard order is the hash order, not the input order") {
     val byPos = Export.shards(docs, $"doc_id", n = 1)
       .orderBy($"pos").as[(Long, Int, Int)].collect().map(_._1)
