@@ -3358,6 +3358,25 @@ object Queries {
       Some(unigramEncodeOracle(maxLen = 12, maxPieceLen = 6,
         unkNllMicro = 20000000L))),
 
+    // greedy longest-match segmentation (the WordPiece inference rule)
+    // under the same fixed table — the third classic subword
+    // algorithm next to BPE merges and unigram Viterbi; oracle =
+    // unrolled advance steps with a longest-piece CASE ladder
+    "text_greedy_encode" -> Entry(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").isNotNull && length(col("w")).between(1, 12))
+          .distinct()
+        val bc = s.sparkContext.broadcast(fixedUnigramVocab)
+        val enc = graft.functions.UnigramEncodeExpr.greedy(
+          col("w"), bc, maxPieceLen = 6)
+        words.select(col("w"), array_join(enc, "§").as("seg_join"),
+            size(enc).cast("long").as("n_pieces"))
+          .orderBy(col("w"))
+      },
+      Some(greedyEncodeOracle(maxLen = 12, maxPieceLen = 6))),
+
     // unigram tokenizer data card (the text_bpe_vocab counterpart):
     // per-piece corpus count, document frequency and corpus share ppm
     // under the fixed table — top-40 by count; the (doc, piece)
@@ -5272,6 +5291,39 @@ object Queries {
         '' AS path FROM wt),
       ${steps.mkString(",\n      ")},
       seg AS MATERIALIZED ($fin)"""
+  }
+
+  /** Greedy longest-match segmentation in DuckDB — mirrors
+   * `Memo.segmentGreedy`: unrolled advance steps (each consumes ≥ 1
+   * code point, so `maxLen` steps suffice), the CASE ladder takes the
+   * longest vocab piece at the cursor, unknown single code points
+   * pass through. Finished rows ride along unchanged. */
+  private def greedyEncodeOracle(maxLen: Int, maxPieceLen: Int): String = {
+    val values = fixedUnigramVocab
+      .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
+    val ladder = (maxPieceLen to 2 by -1).map(l =>
+      s"""WHEN length(g.w) - g.pos >= $l AND substr(g.w, g.pos + 1, $l)
+          IN (SELECT piece FROM voc) THEN $l""").mkString("\n            ")
+    val steps = (1 to maxLen).map { t =>
+      s"""g$t AS MATERIALIZED (
+        SELECT w, pos + take AS pos,
+            path || '§' || substr(w, pos + 1, take) AS path
+        FROM (SELECT g.w, g.pos, g.path,
+            CASE $ladder ELSE 1 END AS take
+          FROM g${t - 1} g WHERE g.pos < length(g.w))
+        UNION ALL
+        SELECT w, pos, path FROM g${t - 1} WHERE pos >= length(w))"""
+    }
+    s"""WITH voc(piece, nll) AS (VALUES $values),
+      wt AS MATERIALIZED (SELECT DISTINCT w FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          WHERE text IS NOT NULL)
+        WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND $maxLen),
+      g0 AS MATERIALIZED (SELECT w, 0 AS pos, '' AS path FROM wt),
+      ${steps.mkString(",\n      ")}
+      SELECT w, substr(path, 2) AS seg_join,
+        (length(path) - length(replace(path, '§', '')))::BIGINT AS n_pieces
+      FROM g$maxLen ORDER BY w"""
   }
 
   private def unigramEncodeOracle(maxLen: Int, maxPieceLen: Int,

@@ -89,6 +89,37 @@ case class UnigramEncodeTextExpr(child: Expression,
   }
 }
 
+/** `greedy_encode(word)` — [[UnigramEncodeExpr.Memo.segmentGreedy]]
+ * as a codegen'd expression: greedy longest-match over the same
+ * broadcast piece table (the score column is ignored; membership
+ * decides). */
+case class GreedyEncodeExpr(child: Expression,
+    vocab: Broadcast[Array[(String, Long)]], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_encode"
+  override protected def withNewChildInternal(c: Expression): GreedyEncodeExpr =
+    copy(child = c)
+
+  @transient private lazy val memo: ThreadLocal[UnigramEncodeExpr.Memo] =
+    ThreadLocal.withInitial(() =>
+      new UnigramEncodeExpr.Memo(vocab.value, maxPieceLen, 0L))
+
+  override def nullSafeEval(input: Any): Any =
+    memo.get().encodeGreedyU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugVocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    val memoV = ctx.addMutableState("graft.functions.UnigramEncodeExpr.Memo",
+      "ugMemo",
+      v => s"""$v = new graft.functions.UnigramEncodeExpr.Memo(
+        (scala.Tuple2[]) $ref.value(), $maxPieceLen, 0L);""")
+    defineCodeGen(ctx, ev, c => s"$memoV.encodeGreedyU($c)")
+  }
+}
+
 object UnigramEncodeExpr {
 
   private val memoCap = 1 << 20
@@ -107,6 +138,47 @@ object UnigramEncodeExpr {
     }
     private val cache = new java.util.HashMap[String, Array[String]]()
     private val cacheU = new java.util.HashMap[String, ArrayData]()
+
+    /**
+     * Greedy longest-match segmentation (the WordPiece inference
+     * rule, sans continuation marks): at each position take the
+     * LONGEST vocab piece starting there, unknown single code points
+     * pass through — the third classic subword algorithm next to BPE
+     * merges and unigram Viterbi, here as the cheap O(len·maxLen)
+     * tier sharing the same vocab table and memo.
+     */
+    def segmentGreedy(word: String): Array[String] = {
+      val hit = cacheG.get(word)
+      if (hit != null) return hit
+      val cps = word.codePoints().toArray
+      val n = cps.length
+      val off = new Array[Int](n + 1)
+      var k = 0
+      var co = 0
+      while (k < n) { co += Character.charCount(cps(k)); off(k + 1) = co; k += 1 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < n) {
+        var l = math.min(maxPieceLen, n - i)
+        var found = -1
+        while (l >= 1 && found < 0) {
+          if (vocab.containsKey(word.substring(off(i), off(i + l)))) found = l
+          else l -= 1
+        }
+        val take = if (found > 0) found else 1
+        out += word.substring(off(i), off(i + take))
+        i += take
+      }
+      val arr = out.toArray
+      if (cacheG.size < memoCap) cacheG.put(word, arr)
+      arr
+    }
+
+    private val cacheG = new java.util.HashMap[String, Array[String]]()
+
+    def encodeGreedyU(w: UTF8String): ArrayData =
+      new GenericArrayData(segmentGreedy(w.toString)
+        .map(x => UTF8String.fromString(x): Any))
 
     /** Viterbi over code points; returns the piece list. */
     def segment(word: String): Array[String] = {
@@ -209,6 +281,11 @@ object UnigramEncodeExpr {
       maxPieceLen: Int, unkNllMicro: Long): Column =
     Bridge.column(UnigramEncodeExpr(Bridge.expression(word), vocab,
       maxPieceLen, unkNllMicro))
+
+  def greedy(word: Column, vocab: Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int): Column =
+    Bridge.column(GreedyEncodeExpr(Bridge.expression(word), vocab,
+      maxPieceLen))
 
   def unigramText(text: Column, vocab: Broadcast[Array[(String, Long)]],
       maxPieceLen: Int, unkNllMicro: Long): Column =

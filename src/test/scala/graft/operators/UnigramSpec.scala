@@ -51,6 +51,20 @@ class UnigramSpec extends SparkSpec {
     assert(got == Seq("ab", "c", "ab"))
   }
 
+  test("greedy longest-match takes the longest piece, not the best score") {
+    val m = memo("abc" -> 9000000L, "ab" -> 1000000L, "c" -> 1000000L)
+    // Viterbi prefers the cheap [ab, c]; greedy takes the LONGEST [abc]
+    assert(m.segment("abc").toSeq == Seq("ab", "c"))
+    assert(m.segmentGreedy("abc").toSeq == Seq("abc"))
+    // unknown single code points pass through; astral safe
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(m.segmentGreedy("abx" + emoji).toSeq == Seq("ab", "x", emoji))
+    // greedy can be suboptimal: with only [aa, aab absent] shapes the
+    // classic trap still terminates and covers every code point
+    val t = memo("aa" -> 1000000L, "ab" -> 1000000L)
+    assert(t.segmentGreedy("aab").toSeq == Seq("aa", "b"))
+  }
+
   test("EM trainer finds the obvious pieces and keeps coverage") {
     val docs = (Seq.fill(30)("hello hello world") ++
       Seq.fill(10)("hell low")).toDF("text")
