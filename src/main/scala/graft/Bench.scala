@@ -69,7 +69,8 @@ object Bench {
       "embed_pca_top2", "text_unigram_encode", "corpus_fertility_unigram",
       "embed_covariance_merged", "embed_correlation", "embed_pca_variance",
       "embed_pca_outliers", "sample_quality_topk", "text_unigram_vocab",
-      "export_ranged_shards", "text_greedy_encode")
+      "export_ranged_shards", "text_greedy_encode",
+      "corpus_tokenizer_comparison")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

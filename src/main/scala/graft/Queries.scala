@@ -3377,6 +3377,56 @@ object Queries {
       },
       Some(greedyEncodeOracle(maxLen = 12, maxPieceLen = 6))),
 
+    // three-way tokenizer comparison on the SAME corpus: pieces per
+    // word for BPE merges, greedy longest-match, and unigram Viterbi
+    // — the "pick your tokenizer with a number" card; all three
+    // segmentation constructions are mirrored exactly in the oracle
+    "corpus_tokenizer_comparison" -> Entry(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").isNotNull && length(col("w")).between(1, 12))
+        val bcU = s.sparkContext.broadcast(fixedUnigramVocab)
+        val bcB = s.sparkContext.broadcast(fixedMerges.sortBy(_._1)
+          .map { case (_, l, r) => Array(l, r) }.toArray)
+        def stats(algo: String, enc: Column) =
+          toks.withColumn("np", size(enc).cast("long"))
+            .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+            .select(lit(algo).as("algo"), col("n_words"), col("n_pieces"),
+              graft.functions.ldiv(col("n_pieces") * lit(1000000L),
+                nullif(col("n_words"), lit(0L))).as("ppw_ppm"))
+        stats("bpe", graft.functions.BpeEncodeExpr.bpe(col("w"), bcB))
+          .unionByName(stats("greedy",
+            graft.functions.UnigramEncodeExpr.greedy(col("w"), bcU, 6)))
+          .unionByName(stats("unigram",
+            graft.functions.UnigramEncodeExpr.unigram(col("w"), bcU, 6,
+              20000000L)))
+          .orderBy(col("algo"))
+      },
+      Some(s"""WITH ${unigramDpCtes(12, 6, 20000000L)},
+        ${greedyStepCtes(12, 6)},
+        tok AS (SELECT w FROM (SELECT
+            unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL)
+          WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND 12),
+        bseg AS (SELECT w,
+            (length(f) - length(replace(f, '§', '')))::BIGINT AS np
+          FROM (SELECT w, ${fixedMergesReplaceSql(
+            "regexp_replace(w, '(.)', '§\\1', 'g')")} AS f FROM wt)),
+        gsegn AS (SELECT w,
+            (length(path) - length(replace(path, '§', '')))::BIGINT AS np
+          FROM g12),
+        un AS (
+          SELECT 'bpe' AS algo, t.w, b.np FROM tok t JOIN bseg b USING (w)
+          UNION ALL
+          SELECT 'greedy', t.w, g.np FROM tok t JOIN gsegn g USING (w)
+          UNION ALL
+          SELECT 'unigram', t.w, u.cnt FROM tok t JOIN seg u USING (w))
+        SELECT algo, count(*)::BIGINT AS n_words,
+          sum(np)::BIGINT AS n_pieces,
+          (sum(np) * 1000000 // NULLIF(count(*), 0))::BIGINT AS ppw_ppm
+        FROM un GROUP BY 1 ORDER BY 1""")),
+
     // unigram tokenizer data card (the text_bpe_vocab counterpart):
     // per-piece corpus count, document frequency and corpus share ppm
     // under the fixed table — top-40 by count; the (doc, piece)
@@ -5298,9 +5348,10 @@ object Queries {
    * code point, so `maxLen` steps suffice), the CASE ladder takes the
    * longest vocab piece at the cursor, unknown single code points
    * pass through. Finished rows ride along unchanged. */
-  private def greedyEncodeOracle(maxLen: Int, maxPieceLen: Int): String = {
-    val values = fixedUnigramVocab
-      .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
+  /** The greedy advance-step CTEs alone (assumes `voc` and `wt`
+   * already exist in the WITH scope — shared with the unigram DP
+   * chain); ends with `g$maxLen(w, pos, path)`. */
+  private def greedyStepCtes(maxLen: Int, maxPieceLen: Int): String = {
     val ladder = (maxPieceLen to 2 by -1).map(l =>
       s"""WHEN length(g.w) - g.pos >= $l AND substr(g.w, g.pos + 1, $l)
           IN (SELECT piece FROM voc) THEN $l""").mkString("\n            ")
@@ -5314,13 +5365,19 @@ object Queries {
         UNION ALL
         SELECT w, pos, path FROM g${t - 1} WHERE pos >= length(w))"""
     }
+    (s"g0 AS MATERIALIZED (SELECT w, 0 AS pos, '' AS path FROM wt)" +:
+      steps).mkString(",\n      ")
+  }
+
+  private def greedyEncodeOracle(maxLen: Int, maxPieceLen: Int): String = {
+    val values = fixedUnigramVocab
+      .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
     s"""WITH voc(piece, nll) AS (VALUES $values),
       wt AS MATERIALIZED (SELECT DISTINCT w FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents
           WHERE text IS NOT NULL)
         WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND $maxLen),
-      g0 AS MATERIALIZED (SELECT w, 0 AS pos, '' AS path FROM wt),
-      ${steps.mkString(",\n      ")}
+      ${greedyStepCtes(maxLen, maxPieceLen)}
       SELECT w, substr(path, 2) AS seg_join,
         (length(path) - length(replace(path, '§', '')))::BIGINT AS n_pieces
       FROM g$maxLen ORDER BY w"""
