@@ -2996,8 +2996,10 @@ object Queries {
 
     // PCA-space outliers: truncated Mahalanobis over the top-2
     // components — per-component exact integer ratios
-    // proj²/(2^40·λ), micro units, summed after rounding; the
-    // embedding-anomaly number reviewed next to label outliers
+    // (proj − μ)²/(2^40·λ) on MEAN-CENTERED projections (μ from the
+    // sketch's exact moment rows, one half-away pico ratio), micro
+    // units, summed after rounding; the embedding-anomaly number
+    // reviewed next to label outliers
     "embed_pca_outliers" -> Entry(
       (s, dir) => graft.operators.Embeddings.pcaOutliers(
           t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
@@ -3014,12 +3016,22 @@ object Queries {
         lam1 AS (SELECT ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
             ((2 * abs(num) + den) // (2 * den)))::BIGINT AS l
           FROM ray_covm3),
+        mus0 AS (SELECT sum(mom.m * vf.vl[mom.i + 1])::HUGEINT AS s
+          FROM mom, vf),
+        mu0 AS (SELECT ((CASE WHEN mus0.s < 0 THEN -1 ELSE 1 END) *
+            ((2 * abs(mus0.s) + nn.n) // (2 * nn.n)))::HUGEINT AS mu
+          FROM mus0, nn),
+        mus1 AS (SELECT sum(mom.m * vfb.vl[mom.i + 1])::HUGEINT AS s
+          FROM mom, vfb),
+        mu1 AS (SELECT ((CASE WHEN mus1.s < 0 THEN -1 ELSE 1 END) *
+            ((2 * abs(mus1.s) + nn.n) // (2 * nn.n)))::HUGEINT AS mu
+          FROM mus1, nn),
         pj AS (SELECT q.vec_id,
             list_sum(list_transform(range(1, 65),
-              k -> q.q[k] * vf.vl[k]))::HUGEINT AS p0,
+              k -> q.q[k] * vf.vl[k]))::HUGEINT - mu0.mu AS p0,
             list_sum(list_transform(range(1, 65),
-              k -> q.q[k] * vfb.vl[k]))::HUGEINT AS p1
-          FROM q, vf, vfb),
+              k -> q.q[k] * vfb.vl[k]))::HUGEINT - mu1.mu AS p1
+          FROM q, vf, vfb, mu0, mu1),
         sc AS (SELECT pj.vec_id,
             (CASE WHEN lam0.l > 0 THEN
               ((2 * pj.p0 * pj.p0 + ${1L << 40}::HUGEINT * lam0.l)

@@ -1856,6 +1856,13 @@ object CorpusStats {
    * corpus. Summary CONTENT depends on the partition layout (any MG
    * does); the deficit/coverage bounds hold for every layout, which
    * is what [[heavyHittersAudit]] gates.
+   *
+   * `sid` names one summary and is unique WITHIN this frame
+   * (`"p<partition>"`); two independently built sketch frames reuse
+   * the same names, so union them through [[mgMergeFrames]] (which
+   * renumbers into disjoint namespaces), never by hand — colliding
+   * sids make [[mgMerge]] count two summaries' errs as one and
+   * silently break the deficit bound.
    */
   def mgSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
@@ -1879,7 +1886,7 @@ object CorpusStats {
           if (m.size >= 2 * k) compress()
         }
         if (m.size > k) compress()
-        val sid = org.apache.spark.TaskContext.getPartitionId()
+        val sid = "p" + org.apache.spark.TaskContext.getPartitionId()
         // an all-ties compression can empty the map: the sentinel row
         // (null v, c 0) still carries this partition's err downstream
         val rows = m.iterator.map { case (v, c) => (sid, v, c, err) }
@@ -1899,6 +1906,17 @@ object CorpusStats {
    * is idempotent-safe for the standing stream. Every frame in the
    * plan is summary-sized (≤ k·#summaries rows); the unpartitioned
    * rank window rides the value-sum Aggregate, never raw data.
+   *
+   * PRECONDITION: `sid` values must be DISJOINT across distinct
+   * summaries — the per-summary errs are recovered as
+   * `groupBy(sid).max(err)`, so two summaries sharing a sid collapse
+   * their errs to a max instead of a sum and the deficit bound
+   * `c ≤ exact ≤ c + err` silently breaks. One [[mgSketch]] frame
+   * satisfies this by construction (sids `"p0".."pP"`), and so does
+   * unioning it with ONE standing merged artifact (sid `"m"`, the
+   * stream's shape). To combine several independently built frames —
+   * including two merged artifacts, which BOTH carry sid `"m"` —
+   * use [[mgMergeFrames]], which renumbers first.
    */
   def mgMerge(sketches: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
@@ -1916,7 +1934,7 @@ object CorpusStats {
     val body = summed.filter(col("rank") <= k)
       .crossJoin(broadcast(t)).crossJoin(broadcast(errSum))
       .filter(col("c") > col("t"))
-      .select(lit(-1).as("sid"), col("v"),
+      .select(lit("m").as("sid"), col("v"),
         (col("c") - col("t")).as("c"),
         (col("err_in") + col("t")).as("err"))
     // the same all-ties degeneracy as the partition pass: an empty
@@ -1924,9 +1942,23 @@ object CorpusStats {
     val sentinel = t.crossJoin(errSum)
       .crossJoin(body.agg(count(lit(1)).as("nb")))
       .filter(col("nb") === 0 && col("err_in") + col("t") > 0)
-      .select(lit(-1).as("sid"), lit(null).cast("string").as("v"),
+      .select(lit("m").as("sid"), lit(null).cast("string").as("v"),
         lit(0L).as("c"), (col("err_in") + col("t")).as("err"))
     body.unionByName(sentinel)
+  }
+
+  /** [[mgMerge]] over INDEPENDENTLY BUILT summary frames — sketch
+   * frames, merged artifacts, or a mix. Each frame's sids are
+   * renumbered into a disjoint namespace (`"f<idx>/<sid>"`) before
+   * the union, so the per-summary errs sum correctly even when the
+   * inputs reuse names (every [[mgSketch]] numbers partitions from
+   * `p0`; every merged artifact is `m`). This is the only safe way
+   * to union MG frames you did not build in the same pass. */
+  def mgMergeFrames(frames: Seq[DataFrame], k: Int): DataFrame = {
+    require(frames.nonEmpty, "need at least one frame")
+    mgMerge(frames.zipWithIndex.map { case (f, i) =>
+      f.withColumn("sid", concat(lit(s"f$i/"), col("sid").cast("string")))
+    }.reduce(_ unionByName _), k)
   }
 
   /** The composed corpus heavy-hitter summary: per-partition
@@ -1984,11 +2016,17 @@ object CorpusStats {
    * `exact_g > err_g`. Emits `(sid, g, v, c, err)`; `err` constant
    * within a (sid, g) cell. State per task is k·|groups seen by the
    * task| counters — the caller picks the group granularity (domain,
-   * source, language), which is bounded in curation practice.
+   * source, language), which is bounded in curation practice, and
+   * `maxGroups` enforces it: a task that sees more distinct groups
+   * fails fast with the [[kmvSimilarity]] guard's message instead of
+   * growing k·|groups| state until the executor OOMs (the failure
+   * mode of grouping by URL). Sids carry the disjointness contract
+   * documented on [[mgSketch]]/[[mgMerge]].
    */
   def mgSketchBy(df: DataFrame, group: Column, value: Column,
-      k: Int): DataFrame = {
+      k: Int, maxGroups: Int = 4096): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(group.cast("string").as("g"), value.cast("string").as("v"))
@@ -2007,14 +2045,22 @@ object CorpusStats {
           m.filterInPlace((_, c) => c > 0L)
         }
         it.foreach { case (g, v) =>
-          val m = maps.getOrElseUpdate(g,
-            scala.collection.mutable.HashMap[String, Long]())
+          val m = maps.getOrElseUpdate(g, {
+            // fail fast at the memory unit that actually OOMs — the
+            // per-task group map — not after the executor dies
+            require(maps.size < maxGroups,
+              s"mgSketchBy: a task saw more than maxGroups=$maxGroups " +
+                "distinct groups — per-task state is k*|groups|; pass a " +
+                "coarse group column (source/domain/shard), or raise " +
+                "maxGroups deliberately")
+            scala.collection.mutable.HashMap[String, Long]()
+          })
           m.update(v, m.getOrElse(v, 0L) + 1L)
           if (m.size >= 2 * k) compress(g)
         }
         maps.keysIterator.toArray.foreach(g =>
           if (maps(g).size > k) compress(g))
-        val sid = org.apache.spark.TaskContext.getPartitionId()
+        val sid = "p" + org.apache.spark.TaskContext.getPartitionId()
         maps.iterator.flatMap { case (g, m) =>
           val err = errs.getOrElse(g, 0L)
           if (m.isEmpty && err > 0L)
@@ -2030,7 +2076,9 @@ object CorpusStats {
    * rule applied independently inside each `g` — counter sums, one
    * truncation per group, per-(sid, g) errs added once. The rank
    * window partitions by `g`, so the merge scales across groups; each
-   * group's frame is summary-bounded.
+   * group's frame is summary-bounded. Same disjoint-sid PRECONDITION
+   * as [[mgMerge]] — combine independently built frames through
+   * [[mgMergeByFrames]].
    */
   def mgMergeBy(sketches: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
@@ -2054,7 +2102,7 @@ object CorpusStats {
     val body = summed.filter(col("rank") <= k)
       .join(t, Seq("g")).join(errSum, Seq("g"))
       .filter(col("c") > col("t"))
-      .select(lit(-1).as("sid"), col("g"), col("v"),
+      .select(lit("m").as("sid"), col("g"), col("v"),
         (col("c") - col("t")).as("c"),
         (col("err_in") + col("t")).as("err"))
     // groups whose merged body emptied (all-ties) still carry err
@@ -2063,17 +2111,29 @@ object CorpusStats {
         Seq("g"), "left")
       .filter(coalesce(col("nb"), lit(0L)) === 0 &&
         col("err_in") + col("t") > 0)
-      .select(lit(-1).as("sid"), col("g"),
+      .select(lit("m").as("sid"), col("g"),
         lit(null).cast("string").as("v"), lit(0L).as("c"),
         (col("err_in") + col("t")).as("err"))
     body.unionByName(sentinel)
   }
 
+  /** [[mgMergeFrames]] for the per-group family: renumber each
+   * frame's sids into a disjoint namespace, union, [[mgMergeBy]] —
+   * the safe way to combine independently built per-group summaries
+   * (each numbers partitions from `p0`; merged artifacts are `m`). */
+  def mgMergeByFrames(frames: Seq[DataFrame], k: Int): DataFrame = {
+    require(frames.nonEmpty, "need at least one frame")
+    mgMergeBy(frames.zipWithIndex.map { case (f, i) =>
+      f.withColumn("sid", concat(lit(s"f$i/"), col("sid").cast("string")))
+    }.reduce(_ unionByName _), k)
+  }
+
   /** Per-group [[heavyHitters]]: sketch → merge, one summary per
-   * group. */
+   * group. `maxGroups` is [[mgSketchBy]]'s fail-fast state bound. */
   def heavyHittersBy(df: DataFrame, group: Column, value: Column,
-      k: Int, ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
-    mgMergeBy(ckpt(mgSketchBy(df, group, value, k)), k)
+      k: Int, ckpt: CheckpointMode = CheckpointMode.Local,
+      maxGroups: Int = 4096): DataFrame =
+    mgMergeBy(ckpt(mgSketchBy(df, group, value, k, maxGroups)), k)
 
   /** Per-group [[heavyHittersAudit]]: the layout-independent deficit/
    * coverage contract checked against each group's exact top-`topN`

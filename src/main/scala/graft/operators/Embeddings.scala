@@ -365,6 +365,19 @@ object Embeddings {
     transform(vec, x =>
       round(x.cast("double") * lit(math.pow(2.0, scaleBits))))
 
+  /** ⌊√x⌋ by Newton iteration — exact integer square root for the
+   * overflow-bound arithmetic ([[covarianceFinalize]]'s N guard). */
+  private def bigIntSqrt(x: BigInt): BigInt = {
+    require(x >= 0, "sqrt of a negative bound")
+    if (x < 2) x
+    else {
+      var r = BigInt(1) << ((x.bitLength + 1) / 2)
+      var next = (r + x / r) >> 1
+      while (next < r) { r = next; next = (r + x / r) >> 1 }
+      r
+    }
+  }
+
   /**
    * Exact mean-centered covariance of an embedding column on the
    * 2^`scaleBits` integer grid — the matrix PCA/whitening/drift
@@ -462,7 +475,16 @@ object Embeddings {
 
   /** The ratio emit of [[covarianceMicro]], off a (possibly merged)
    * [[covarianceSketch]]: mirror the upper triangle, join moments,
-   * half-away integer-ratio micro cells. */
+   * half-away integer-ratio micro cells.
+   *
+   * Exactness bound on N (next to the per-partition 2⁶³ bound on the
+   * sketch): the emit computes `|n·s − mᵢ·mⱼ|·2·10⁶ + n²·2^(2·sb)`
+   * in DECIMAL(38,0); with |x| ≤ 1 that stays under 10³⁸ while
+   * `n ≤ √(10³⁸ / (2^(2·scaleBits)·(4·10⁶+1)))` — ≈ 4.7e9 rows at
+   * scaleBits=20. Past it, non-ANSI decimal overflow would NULL the
+   * cell silently, so the n row is scan-asserted against the bound
+   * and a too-large corpus fails loudly (drop scaleBits or
+   * pre-reduce with [[randomProjection]]). */
   def covarianceFinalize(sketch: DataFrame, scaleBits: Int): DataFrame = {
     import graft.functions.ldiv
     val upper = sketch.filter(col("stat") === "s")
@@ -471,8 +493,16 @@ object Embeddings {
       .select(col("j").as("i"), col("i").as("j"), col("s")))
     val moments = sketch.filter(col("stat") === "m")
       .select(col("i"), col("v").as("m"))
+    val nLim = bigIntSqrt((BigInt(10).pow(38) - 1) /
+      ((BigInt(1) << (2 * scaleBits)) * BigInt(4000001)))
     val n = sketch.filter(col("stat") === "n")
       .agg(coalesce(sum(col("v")), lit(0L).cast("decimal(38,0)")).as("n"))
+      .where(assert_true(
+        col("n") <= lit(nLim.toString).cast("decimal(38,0)"),
+        concat(lit("covarianceFinalize: n="), col("n"),
+          lit(s" exceeds the decimal(38,0) exactness bound $nLim at " +
+            s"scaleBits=$scaleBits — cells would overflow to null; " +
+            "lower scaleBits or reduce dimensionality first"))).isNull)
     val num = (col("n") * col("s") -
       col("mi") * col("mj")).cast("decimal(38,0)")
     val den = (col("n") * col("n") *
@@ -625,29 +655,62 @@ object Embeddings {
   /**
    * PCA-space outlier scores — the truncated-Mahalanobis anomaly
    * measure over the top `m` components: each vector's
-   * `Σ_c proj_c² / λ_c` (projection variance-normalized by its
-   * component's eigenvalue), the "how unusual is this embedding along
-   * the directions that matter" number a curation pipeline reviews
-   * next to [[labelOutliers]]. Per-component contributions are exact
-   * integer ratios (`⌈proj_pico² / (2^(2·scaleBits)·λ_micro)⌉_half`,
-   * micro units) summed AFTER rounding — engine-reproducible like
+   * `Σ_c (proj_c − μ_c)² / λ_c` (MEAN-CENTERED projection,
+   * variance-normalized by its component's eigenvalue), the "how
+   * unusual is this embedding along the directions that matter"
+   * number a curation pipeline reviews next to [[labelOutliers]].
+   * Centering matters HERE where it doesn't in [[pcaProject]]: a
+   * constant shift preserves linear rankings but not squared ones —
+   * on data with a nonzero mean (typical for real embeddings) an
+   * uncentered square adds a per-vector cross-term that biases the
+   * ranking toward vectors far from the ORIGIN rather than far from
+   * the mean. Each component's projected mean
+   * `μ_c = ⌈(Σ_i v_i·m_i) / n⌉_half` (pico units) comes EXACTLY from
+   * the covariance sketch's own moment rows — one BigInt ratio
+   * driver-side, embedded as a literal; its half-away rounding is
+   * ≤ 0.5 pico, the grid's own resolution. Per-component
+   * contributions are exact integer ratios
+   * (`⌈(proj_pico − μ_c)² / (2^(2·scaleBits)·λ_micro)⌉_half`, micro
+   * units) summed AFTER rounding — engine-reproducible like
    * everything else in the family; non-positive-λ components
    * contribute 0. One covariance build + one projection scan.
    */
   def pcaOutliers(df: DataFrame, id: Column, vec: Column, dim: Int,
       m: Int, iters: Int = 4, scaleBits: Int = 20): DataFrame = {
     import graft.functions.ldiv
-    val comps = pcaVariancesMicro(
-      covarianceMicro(df, vec, dim, scaleBits), dim, m, iters)
+    // one sketch build feeds BOTH the covariance cells (components)
+    // and the moment rows (projection means) — covarianceSketch
+    // materializes, so the second read is artifact-sized
+    val sketch = covarianceSketch(df, vec, dim, scaleBits)
+    val comps = pcaVariancesMicro(covarianceFinalize(sketch, scaleBits),
+      dim, m, iters)
+    val mo = Array.fill(dim)(BigInt(0))
+    sketch.filter(col("stat") === "m").select(col("i"), col("v"))
+      .collect()
+      .foreach(r => mo(r.getLong(0).toInt) =
+        BigInt(r.getDecimal(1).toBigInteger))
+    val n = sketch.filter(col("stat") === "n").select(col("v"))
+      .collect().headOption
+      .map(r => BigInt(r.getDecimal(0).toBigInteger))
+      .getOrElse(BigInt(0))
+    def halfAway(p: BigInt, d: BigInt): BigInt = {
+      val mag = (p.abs * 2 + d) / (d * 2)
+      if (p < 0) -mag else mag
+    }
     val g = qGrid(vec, scaleBits)
     val contribs = comps.zipWithIndex.map { case ((v, lam), c) =>
-      val proj = dot(g, array(v.map(x => lit(x.toDouble)): _*))
-        .cast("long").cast("decimal(38,0)")
+      val mu =
+        if (n > 0)
+          halfAway(v.zipWithIndex.map { case (vi, i) =>
+            BigInt(vi) * mo(i) }.sum, n).toLong
+        else 0L
+      val cp = (dot(g, array(v.map(x => lit(x.toDouble)): _*))
+        .cast("long") - lit(mu)).cast("decimal(38,0)")
       val den = java.math.BigDecimal.valueOf(lam)
         .multiply(new java.math.BigDecimal(
           java.math.BigInteger.ONE.shiftLeft(2 * scaleBits)))
       if (lam > 0)
-        ldiv(proj * proj * lit(2L) + lit(den), lit(den) * lit(2L))
+        ldiv(cp * cp * lit(2L) + lit(den), lit(den) * lit(2L))
           .cast("long").as(s"m${c}_micro")
       else lit(0L).as(s"m${c}_micro")
     }

@@ -115,7 +115,13 @@ object Export {
    */
   def rangedShards(df: DataFrame, id: Column, key: Column,
       n: Int): DataFrame = {
-    df.filter(key.isNotNull).withColumn("__k", key.cast("long"))
+    // cast FIRST, then null-filter: a non-null key that fails the
+    // long cast (a non-numeric string) must be excluded the same way
+    // a null is — filtering on the raw key would let it through to
+    // the equi-join with a null __k, where it silently vanishes with
+    // no accounting ([[rangedCuts]] applies the identical rule, so
+    // assignment and [[rangedShardStats]] agree row-for-row)
+    df.withColumn("__k", key.cast("long")).filter(col("__k").isNotNull)
       .join(broadcast(rangedCuts(df, key, n)
         .select(col("k").as("__k"), col("shard"))), Seq("__k"))
       .select(id.as("doc_id"), col("__k").as("key"), col("shard"))
@@ -132,8 +138,12 @@ object Export {
 
   private def rangedCuts(df: DataFrame, key: Column, n: Int): DataFrame = {
     require(n >= 1, "need at least one shard")
-    val hist = df.filter(key.isNotNull)
-      .groupBy(key.cast("long").as("k")).agg(count(lit(1)).as("c"))
+    // same cast-then-filter rule as [[rangedShards]]: uncastable keys
+    // leave the histogram too, so stats never count a row the
+    // assignment dropped
+    val hist = df.select(key.cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
     val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
     hist
       .withColumn("hi", sum(col("c")).over(Window.orderBy(col("k"))))

@@ -173,8 +173,10 @@ object SeriesStream {
    * (`c ≤ exact ≤ c + err`, coverage for `exact > err`) holds over
    * EVERYTHING ingested, for any batch split — the summaries are
    * mergeable, errors add, and the artifact stays bounded forever.
-   * The fresh batch's partition sids never collide with the standing
-   * summary's sid −1, so per-summary errs sum correctly.
+   * The fresh batch's partition sids (`"p0".."pP"`) never collide
+   * with the standing summary's sid `"m"`, so per-summary errs sum
+   * correctly (the [[graft.operators.CorpusStats.mgMerge]]
+   * disjoint-sid precondition holds by construction here).
    */
   def heavyHittersStream(rows: DataFrame, valueCol: String, k: Int,
       storePath: String, checkpoint: String,
@@ -196,10 +198,14 @@ object SeriesStream {
    * summary per group value (per-domain frequent items over the
    * ingest stream), merged group-by-group each micro-batch. The
    * per-group deficit/coverage contract holds over everything
-   * ingested for any batch split. */
+   * ingested for any batch split. `maxGroups` is
+   * [[graft.operators.CorpusStats.mgSketchBy]]'s fail-fast bound on
+   * per-task group state — a high-cardinality group column kills the
+   * batch loudly instead of OOMing executors. */
   def heavyHittersByStream(rows: DataFrame, groupCol: String,
       valueCol: String, k: Int, storePath: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      maxGroups: Int = 4096): StreamingQuery = {
     import graft.operators.CorpusStats
     rows.writeStream
       .outputMode("append")
@@ -207,7 +213,8 @@ object SeriesStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         artifactMergeBatch(batch,
-          b => CorpusStats.mgSketchBy(b, col(groupCol), col(valueCol), k),
+          b => CorpusStats.mgSketchBy(b, col(groupCol), col(valueCol), k,
+            maxGroups),
           u => CorpusStats.mgMergeBy(u, k), storePath, id)
       }
       .start()

@@ -55,6 +55,30 @@ class ExportSpec extends SparkSpec {
       .count() == 100)
   }
 
+  test("rangedShards: uncastable keys fail loudly, never vanish silently") {
+    // under ANSI (this engine's mode) a non-numeric key hits the
+    // long cast and FAILS both the assignment and the stats — the
+    // pre-fix shape filtered on the raw key first, so the uncastable
+    // row reached the equi-join with a null __k and silently
+    // disappeared from the export with the stats none the wiser
+    val rows = ((1L to 20L).map(i => (i, i.toString)) :+
+      (998L, "not-a-number") :+ (999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "k")
+    intercept[Exception] {
+      Export.rangedShards(rows, col("doc_id"), col("k"), n = 2).count()
+    }
+    intercept[Exception] {
+      Export.rangedShardStats(rows, col("k"), n = 2).collect()
+    }
+    // numeric strings + nulls: nulls excluded consistently on both
+    // paths, every surviving row accounted for
+    val clean = rows.filter(col("doc_id") =!= 998L)
+    val asg = Export.rangedShards(clean, col("doc_id"), col("k"), n = 2)
+    assert(asg.count() == 20L)
+    val stats = Export.rangedShardStats(clean, col("k"), n = 2).collect()
+    assert(stats.map(_.getLong(1)).sum == 20L)
+  }
+
   test("within-shard order is the hash order, not the input order") {
     val byPos = Export.shards(docs, $"doc_id", n = 1)
       .orderBy($"pos").as[(Long, Int, Int)].collect().map(_._1)

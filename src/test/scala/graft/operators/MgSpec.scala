@@ -62,12 +62,47 @@ class MgSpec extends SparkSpec {
   test("merge of split halves satisfies the contract against the whole") {
     val a = (1 to 2000).map(i => s"v${i % 300}").toDF("v")
     val b = (1 to 2000).map(i => s"w${i % 150}").toDF("v")
-    val merged = CorpusStats.mgMerge(
-      CorpusStats.mgSketch(a, col("v"), 32)
-        .unionByName(CorpusStats.mgSketch(b, col("v"), 32)
-          // disjoint summary ids for the second sketch's partitions
-          .withColumn("sid", col("sid") + lit(1000))), 32)
+    // mgMergeFrames renumbers each frame's sids into a disjoint
+    // namespace — no manual sid surgery
+    val merged = CorpusStats.mgMergeFrames(Seq(
+      CorpusStats.mgSketch(a, col("v"), 32),
+      CorpusStats.mgSketch(b, col("v"), 32)), 32)
     contract(collect(merged), exactCounts(a.unionByName(b)))
+  }
+
+  test("two MERGED artifacts combine via mgMergeFrames: errs sum, not max") {
+    // both merged artifacts carry sid "m"; a naive union would
+    // collapse their errs to a max and break the deficit bound —
+    // mgMergeFrames renumbers, so the bound must hold on the union
+    def skewed(pfx: String) = spark.sparkContext.parallelize(
+      (0 until 2)
+        .flatMap(i => Seq.fill(60)(s"$pfx-hot$i")) ++
+        (0 until 200).map(i => s"$pfx-tail$i"), 4).toDF("v")
+    val a = skewed("a")
+    val b = skewed("b")
+    val ma = CorpusStats.heavyHitters(a, col("v"), k = 4)
+    val mb = CorpusStats.heavyHitters(b, col("v"), k = 4)
+    val errA = collect(ma).map(_._3).max
+    val errB = collect(mb).map(_._3).max
+    assert(errA > 0L && errB > 0L, "test needs nonzero per-artifact errs")
+    val merged = collect(CorpusStats.mgMergeFrames(Seq(ma, mb), 4))
+    assert(merged.map(_._3).max >= errA + errB,
+      "merged err must carry BOTH artifacts' errs (sum, not max)")
+    contract(merged, exactCounts(a.unionByName(b)))
+  }
+
+  test("mgSketchBy fails fast when a task exceeds maxGroups") {
+    val rows = spark.sparkContext.parallelize(
+      (0 until 64).map(i => (s"g$i", "v")), 1).toDF("g", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      CorpusStats.mgSketchBy(rows, col("g"), col("v"), k = 4,
+        maxGroups = 16).collect()
+    }
+    assert(e.getMessage.contains("maxGroups") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxGroups")))
+    // under the bound the same data sketches fine
+    assert(CorpusStats.mgSketchBy(rows, col("g"), col("v"), k = 4,
+      maxGroups = 64).count() == 64L)
   }
 
   test("audit flags are all true (found, lower, upper)") {

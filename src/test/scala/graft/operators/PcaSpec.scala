@@ -139,6 +139,27 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("pcaOutliers: Mahalanobis scores are shift-invariant (mean-centered)") {
+    // a +1.0 offset lands exactly on the 2^20 grid, so the
+    // covariance (shift-invariant) and components are IDENTICAL —
+    // properly centered scores must then be bit-for-bit equal, while
+    // the uncentered square would add a per-vector cross-term and
+    // reorder the ranking on this decidedly non-zero-mean data
+    val base = Seq(
+      (1L, Array(4.0f, 0.1f)), (2L, Array(-4.0f, -0.1f)),
+      (3L, Array(3.5f, 0.05f)), (4L, Array(-3.5f, -0.05f)),
+      (5L, Array(0.0f, 2.0f)))
+    val rows = base.toDF("vec_id", "embedding")
+    val shifted = base.map { case (i, v) => (i, v.map(_ + 1.0f)) }
+      .toDF("vec_id", "embedding")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      Embeddings.pcaOutliers(df, col("vec_id"), col("embedding"),
+          dim = 2, m = 2, iters = 8)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(scores(rows) == scores(shifted))
+  }
+
   test("pcaVariancesMicro: Rayleigh eigenvalues match the closed form") {
     // cov = [[2.5, 1.0], [1.0, 0.5]] micro: eigenvalues (3 ± sqrt(8))/2
     // = 2.914..., 0.0857...; deflation must find both, summing to the
