@@ -2332,6 +2332,33 @@ object Queries {
       },
       Some(incrementalOracle(0.8))),
 
+    // incremental admission-index maintenance: base index built on
+    // part of the corpus, the rest UPSERTED as admitted batches (one
+    // overlapping with the base, so retirement is exercised) — then
+    // probing the upserted index must equal probing a from-scratch
+    // corpusIndex (the ann_ivf_upsert discipline; same oracle as
+    // dedup_incremental_indexed because the upserted index derives
+    // bit-identical fp/size/band keys)
+    "dedup_index_upsert" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val base = Dedup.corpusIndex(
+          corpus.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          col("doc_id"), col("text"))
+        // batch = the missing third PLUS a slice already indexed:
+        // upsert must retire the stale rows, not duplicate them
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === 0 ||
+          pmod(col("doc_id"), lit(6)) === 2)
+        val idx = Dedup.corpusIndexUpsert(base, batch,
+          col("doc_id"), col("text"))
+        Dedup.incrementalIndexed(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx, corpus,
+            col("doc_id"), col("text"), threshold = 0.8)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalOracle(0.8))),
+
     "ann_cosine_topk" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

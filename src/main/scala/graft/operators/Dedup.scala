@@ -796,6 +796,40 @@ object Dedup {
   }
 
   /**
+   * Incremental [[corpusIndex]] maintenance — the missing half of the
+   * admission loop: [[incrementalIndexed]] screens a batch against the
+   * standing index at batch cost, and THIS folds the admitted batch
+   * back in at batch cost (re-derive fp/size/band keys for the batch
+   * alone, retire its ids from the standing index, union), so the
+   * index a crawl pipeline probes every batch never needs a corpus
+   * rebuild to absorb what it just admitted. Mirrors
+   * [[graft.operators.Similarity.ivfIndexUpsert]] exactly: the same
+   * params guard (a mismatched index fails loudly), and retirement
+   * anti-joins the RAW batch's ids — not the fresh index's — so a
+   * re-ingested doc whose new text is degenerate (null → null fp, no
+   * shingles) still REPLACES its stale entry rather than leaving both.
+   * Upserted index ≡ from-scratch [[corpusIndex]] of (corpus ∖ batch
+   * ids) ∪ batch, bit-for-bit (spec-pinned; the gate probes it
+   * through [[incrementalIndexed]] against the from-scratch oracle).
+   */
+  def corpusIndexUpsert(index: DataFrame, batch: DataFrame, id: Column,
+      text: Column, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val expect = indexParams(n, bands, shingleK)
+    val guarded =
+      if (index.columns.contains("idx_params"))
+        index.where(assert_true(col("idx_params") === lit(expect),
+          concat(lit("corpusIndex built with "), col("idx_params"),
+            lit(s", upserted with $expect"))).isNull)
+      else index.withColumn("idx_params", lit(expect))
+    val fresh = corpusIndex(batch, id, text, n, bands, shingleK)
+    guarded.select("doc_id", "fp", "sz", "bkeys", "idx_params")
+      .join(batch.select(id.as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /**
    * [[incremental]] against a PREBUILT [[corpusIndex]] — bit-identical
    * output, radically different corpus cost: the exact check probes
    * index fingerprints, candidates come from the batch-bands ⋈

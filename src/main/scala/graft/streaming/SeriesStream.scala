@@ -73,6 +73,69 @@ object SeriesStream {
       .start()
 
   /**
+   * SELF-MAINTAINING streaming admission — [[admitStream]] closed
+   * into a loop over its own standing artifacts: each micro-batch is
+   * screened against the persisted MinHash band index
+   * ([[graft.operators.Dedup.incrementalIndexed]], batch cost — the
+   * corpus participates as its compact index; TEXT is read only for
+   * the candidate sliver), admitted docs flow to the sink, land in
+   * the corpus store, and FOLD INTO the index at batch cost
+   * ([[graft.operators.Dedup.corpusIndexUpsert]]) — so the next
+   * micro-batch is screened against everything previously admitted,
+   * with no index rebuild ever. The stream owns both artifacts:
+   * `indexPath` rotates under the [[artifactUpdateBatch]] swap
+   * discipline (re-delivered batches skip via the recorded batch_id
+   * — sink and writes fire at most once per batch), and the admitted
+   * corpus text lands in per-batch subdirs of `corpusPath`
+   * (overwrite-by-batch-id, so a replayed batch is idempotent).
+   * Batch-INTERNAL duplicates are not screened here (same contract
+   * as [[admitStream]]) — compose exact/minhashPairs over the batch
+   * upstream for a full filter. Spec-pinned: an out-of-order
+   * replayed stream ends with the index bit-equal to a from-scratch
+   * [[graft.operators.Dedup.corpusIndex]] of the admitted corpus.
+   */
+  def admitIndexedStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, corpusPath: String, checkpoint: String,
+      sink: DataFrame => Unit, threshold: Double = 0.8, n: Int = 64,
+      bands: Int = 16, shingleK: Int = 3,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Dedup
+        artifactUpdateBatch(spark, indexPath, id, { standing =>
+          val idx = standing.map(_.drop("batch_id"))
+            .getOrElse(Dedup.corpusIndex(batch.limit(0), col(idCol),
+              col(textCol), n, bands, shingleK))
+          val cp = java.nio.file.Paths.get(corpusPath)
+          val corpus =
+            if (java.nio.file.Files.isDirectory(cp) && {
+              val s = java.nio.file.Files.list(cp)
+              try s.findFirst().isPresent finally s.close()
+            })
+              spark.read.option("recursiveFileLookup", "true")
+                .parquet(corpusPath)
+            else batch.limit(0).select(col(idCol), col(textCol))
+          val verdict = Dedup.incrementalIndexed(batch, idx, corpus,
+            col(idCol), col(textCol), threshold, n, bands, shingleK)
+          // consumed three ways (sink, corpus append, index upsert) —
+          // materialize once, don't re-screen per consumer
+          val admitted = batch.join(verdict.filter(col("keep") === 1)
+              .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+            .localCheckpoint()
+          sink(admitted)
+          admitted.select(col(idCol), col(textCol)).write
+            .mode("overwrite").parquet(s"$corpusPath/b$id")
+          Dedup.corpusIndexUpsert(idx, admitted, col(idCol),
+            col(textCol), n, bands, shingleK)
+        })
+      }
+      .start()
+
+  /**
    * Streaming SEMANTIC admission against a standing PQ index — the
    * third admission tier next to [[admitStream]]'s exact+MinHash text
    * screen: each micro-batch of `(vec_id, embedding)` rows ADC-probes

@@ -298,6 +298,57 @@ class DedupSpec extends SparkSpec {
     assert(indexed == Seq((11L, 1, 1, 0), (13L, 0, 1, 0), (15L, 0, 0, 1)))
   }
 
+  test("corpusIndexUpsert equals a from-scratch rebuild, bit for bit") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some corpus document about distributed query engines"),
+      (4L, "an early draft that will be re-ingested with new text"),
+      (6L, ""))                        // shingle-less: null bkeys path
+      .toDF("doc_id", "text")
+    val base = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+    val batch = Seq(
+      (8L, "a freshly admitted document about streaming admission"),
+      // re-ingest with CHANGED text: the stale row must retire
+      (4L, "the re-ingested replacement text, entirely different now"),
+      // re-ingest degenerating to null text: stale row must STILL
+      // retire (the raw-batch-ids anti-join, not fresh's)
+      (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val upserted = Dedup.corpusIndexUpsert(base, batch,
+      col("doc_id"), col("text"))
+    val scratch = Dedup.corpusIndex(
+      corpus.filter(!col("doc_id").isin(2L, 4L)).unionByName(batch),
+      col("doc_id"), col("text"))
+    // collect_list order inside bkeys is plan-dependent — compare
+    // the band-key SETS (sorted), which is what probing consumes
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("fp"), col("sz"),
+          array_sort(col("bkeys")).as("bk"), col("idx_params"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)), Option(r.get(3)).map(_.toString),
+          r.getString(4)))
+        .sortBy(_._1).toSeq
+    assert(rows(upserted) == rows(scratch))
+    // exactly one row per doc — no stale duplicates survived
+    assert(upserted.groupBy("doc_id").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("corpusIndexUpsert rejects an index built with other parameters") {
+    val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "some new batch document")).toDF("doc_id", "text")
+    val index = Dedup.corpusIndex(corpus, col("doc_id"), col("text"),
+      shingleK = 3)
+    val e = intercept[Exception] {
+      Dedup.corpusIndexUpsert(index, batch,
+        col("doc_id"), col("text"), shingleK = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("corpusIndex built with")), e.toString)
+  }
+
   test("incrementalIndexed rejects an index built with other parameters") {
     val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

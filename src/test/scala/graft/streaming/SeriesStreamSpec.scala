@@ -315,6 +315,61 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("self-maintaining admission: the standing index absorbs what it admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxPath = Files.createTempDirectory("graft-admit-idx")
+      .resolve("index").toString
+    val corpusPath = Files.createTempDirectory("graft-admit-corpus").toString
+    val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docB = "one two three four five six seven eight nine ten eleven twelve"
+    val docC = "red orange yellow green blue indigo violet cyan magenta umber ochre teal"
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = SeriesStream.admitIndexedStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idxPath, corpusPath,
+      checkpoint = Files.createTempDirectory("graft-admit-idx-ck").toString,
+      sink = b => admitted.synchronized {
+        admitted ++= b.select("doc_id").collect().map(_.getLong(0))
+      },
+      threshold = 0.5)
+    try {
+      // batch 1: empty standing artifacts → both novel docs admitted
+      mem.addData((1L, docA), (2L, docB))
+      q.processAllAvailable()
+      // batch 2: exact dup of doc 1 and a near dup of doc 2 — both
+      // admitted only LAST batch, never part of any seed corpus: the
+      // screen must see them because the index absorbed the batch
+      mem.addData(
+        (3L, docA),
+        (4L, docB.replace("twelve", "thirteen")),
+        (5L, docC))
+      q.processAllAvailable()
+      // batch 3: near dup of doc 5 (admitted one batch ago) → blocked
+      mem.addData((6L, docC.replace("teal", "plaid")))
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(1L, 2L, 5L))
+      // the standing index equals a from-scratch corpusIndex over the
+      // admitted corpus store (band-key SETS — collect_list order is
+      // plan-dependent)
+      val corpus = spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpusPath)
+      assert(corpus.select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 2L, 5L))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("fp"), col("sz"),
+            array_sort(col("bkeys")).cast("string").as("bk"),
+            col("idx_params"))
+          .collect().map(_.toSeq)
+          .sortBy(_.head.asInstanceOf[Long].toString).toSeq
+      val standing = spark.read.parquet(idxPath).drop("batch_id")
+      val scratch = graft.operators.Dedup.corpusIndex(corpus,
+        col("doc_id"), col("text"))
+      assert(rows(standing) == rows(scratch))
+    } finally q.stop()
+  }
+
   test("streaming semantic admission equals the batch PQ screen on a replayed stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
