@@ -67,6 +67,44 @@ object Queries {
       s"replace($acc, '§$l§$r', '§$l$r')"
     }
 
+  /** Oracle for the byte-fallback encode: words (≤ 8 cps, distinct)
+   * get the 2-byte + astral suffix appended, each code point outside
+   * `alphabet` expands to its UTF-8 `<0xXX>` pieces via the SAME
+   * integer arithmetic as
+   * [[graft.functions.BpeEncodeExpr.byteFallback]] (computed from
+   * `unicode(c)` — pure CASE + div/mod), then the marker-form merge
+   * replaces chain as in text_bpe_encode. */
+  private def byteFallbackEncodeOracle(alphabet: String): String = {
+    def bp(e: String) =
+      s"'§<0x' || upper(lpad(to_hex($e), 2, '0')) || '>'"
+    val lam = s"""CASE WHEN contains('$alphabet', c) THEN '§' || c
+      WHEN unicode(c) < 128 THEN ${bp("unicode(c)")}
+      WHEN unicode(c) < 2048 THEN
+        ${bp("192 + unicode(c) // 64")} || ${bp("128 + unicode(c) % 64")}
+      WHEN unicode(c) < 65536 THEN
+        ${bp("224 + unicode(c) // 4096")} ||
+        ${bp("128 + (unicode(c) // 64) % 64")} ||
+        ${bp("128 + unicode(c) % 64")}
+      ELSE
+        ${bp("240 + unicode(c) // 262144")} ||
+        ${bp("128 + (unicode(c) // 4096) % 64")} ||
+        ${bp("128 + (unicode(c) // 64) % 64")} ||
+        ${bp("128 + unicode(c) % 64")} END"""
+    s"""WITH words AS (
+        SELECT DISTINCT w0 || 'é😀' AS w FROM (
+          SELECT unnest(string_split(text, ' ')) AS w0 FROM documents)
+        WHERE w0 IS NOT NULL AND length(w0) BETWEEN 1 AND 8),
+      fb AS (SELECT w,
+          list_aggregate(list_transform(string_to_array(w, ''),
+            c -> $lam), 'string_agg', '') AS marked
+        FROM words),
+      enc AS (SELECT w, ${fixedMergesReplaceSql("marked")} AS e FROM fb)
+      SELECT w,
+        CASE WHEN length(e) > 0 THEN substr(e, 2) ELSE '' END AS bpe_join,
+        (length(e) - length(replace(e, '§', '')))::BIGINT AS n_bpe_tokens
+      FROM enc ORDER BY w"""
+  }
+
   // ---- synthetic crawl URLs -------------------------------------------
   // The documents table carries no URL column, so the URL gates derive
   // one deterministically from (doc_id, source) — same construction on
@@ -3373,6 +3411,29 @@ object Queries {
           CASE WHEN length(f) > 0 THEN substr(f, 2) ELSE '' END AS bpe_join,
           (length(f) - length(replace(f, '§', '')))::BIGINT AS n_bpe_tokens
         FROM flat ORDER BY doc_id""")),
+
+    // byte-fallback BPE encode (the GPT-2/SentencePiece norm): code
+    // points outside the alphabet (here a..u — so merge rules still
+    // fire on in-alphabet letters while v..z and the appended
+    // 2-byte/astral suffix decompose to <0xXX> pieces) byte-fallback
+    // BEFORE the merge pass; the oracle reproduces the UTF-8 byte
+    // arithmetic from unicode(c) and chains the same marker replaces
+    "text_bpe_encode_bytes" -> Entry(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w0"))
+          .filter(col("w0").isNotNull && length(col("w0")).between(1, 8))
+          .distinct()
+          .select(concat(col("w0"), lit("é😀")).as("w"))
+        graft.operators.CorpusStats.bpeEncodeBytes(words, col("w"),
+            col("w"), fixedMergesDf(s),
+            alphabet = ('a' to 'u').map(_.toString))
+          .select(col("id").as("w"),
+            array_join(col("bpe_tokens"), "§").as("bpe_join"),
+            col("n_bpe_tokens"))
+          .orderBy(col("w"))
+      },
+      Some(byteFallbackEncodeOracle("abcdefghijklmnopqrstu"))),
 
     // unigram-LM (SentencePiece) Viterbi segmentation under a FIXED
     // piece table (the text_bpe_encode discipline: the TRAINER is

@@ -113,16 +113,12 @@ object BpeEncodeExpr {
   // natural corpus; the cap only bounds adversarial all-unique input
   private val memoCap = 1 << 20
 
-  /** Generated-code / eval entry point. */
-  def encode(w: UTF8String, rules: Array[Array[String]],
-      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
-    val s = w.toString
-    val hit = memo.get(s)
-    if (hit != null) return hit
-    // code-point split (NOT UTF-16 units): matches bpePairCounts'
-    // substr semantics and bpeTrain's driver split
-    var syms: Array[String] =
-      s.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+  /** One rank-ordered application of the merge table over a symbol
+   * array — the trainer's left-to-right non-overlapping pass, shared
+   * by the plain and byte-fallback encodes. */
+  private def mergePass(start: Array[String],
+      rules: Array[Array[String]]): Array[String] = {
+    var syms = start
     var i = 0
     while (i < rules.length && syms.length >= 2) {
       val l = rules(i)(0)
@@ -146,10 +142,92 @@ object BpeEncodeExpr {
       }
       i += 1
     }
+    syms
+  }
+
+  /** The `<0xXX>` piece for one byte — SentencePiece's byte-fallback
+   * rendering (uppercase hex). */
+  def bytePiece(b: Int): String = f"<0x$b%02X>"
+
+  /** UTF-8 byte pieces of one code point — pure integer arithmetic
+   * (so the SQL oracle reproduces it from `unicode(c)` exactly). */
+  def byteFallback(cp: Int): Array[String] =
+    if (cp < 0x80) Array(bytePiece(cp))
+    else if (cp < 0x800)
+      Array(bytePiece(0xC0 | (cp >> 6)), bytePiece(0x80 | (cp & 0x3F)))
+    else if (cp < 0x10000)
+      Array(bytePiece(0xE0 | (cp >> 12)),
+        bytePiece(0x80 | ((cp >> 6) & 0x3F)),
+        bytePiece(0x80 | (cp & 0x3F)))
+    else
+      Array(bytePiece(0xF0 | (cp >> 18)),
+        bytePiece(0x80 | ((cp >> 12) & 0x3F)),
+        bytePiece(0x80 | ((cp >> 6) & 0x3F)),
+        bytePiece(0x80 | (cp & 0x3F)))
+
+  /** Generated-code / eval entry point. */
+  def encode(w: UTF8String, rules: Array[Array[String]],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val s = w.toString
+    val hit = memo.get(s)
+    if (hit != null) return hit
+    // code-point split (NOT UTF-16 units): matches bpePairCounts'
+    // substr semantics and bpeTrain's driver split
+    val syms = mergePass(
+      s.codePoints().toArray.map(cp => new String(Character.toChars(cp))),
+      rules)
     val out = new GenericArrayData(
       syms.map(x => UTF8String.fromString(x): Any))
     if (memo.size < memoCap) memo.put(s, out)
     out
+  }
+
+  /** Byte-fallback word encode: code points OUTSIDE the alphabet
+   * (sorted cp array, binary-searched) decompose into their UTF-8
+   * `<0xXX>` pieces BEFORE the merge pass — the GPT-2/SentencePiece
+   * byte_fallback norm, so arbitrary UTF-8 always encodes with zero
+   * unknown-piece loss. Merge rules then apply to the mixed
+   * char/byte-piece stream as usual (rules trained over byte pieces
+   * fire on them; rules over out-of-alphabet chars simply never
+   * match, on both engines alike). */
+  def encodeBytes(w: UTF8String, rules: Array[Array[String]],
+      alpha: Array[Int],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val s = w.toString
+    val hit = memo.get(s)
+    if (hit != null) return hit
+    val b = Array.newBuilder[String]
+    s.codePoints().toArray.foreach { cp =>
+      if (java.util.Arrays.binarySearch(alpha, cp) >= 0)
+        b += new String(Character.toChars(cp))
+      else b ++= byteFallback(cp)
+    }
+    val syms = mergePass(b.result(), rules)
+    val out = new GenericArrayData(
+      syms.map(x => UTF8String.fromString(x): Any))
+    if (memo.size < memoCap) memo.put(s, out)
+    out
+  }
+
+  /** Whole-text byte-fallback entry point — [[encodeText]]'s split
+   * contract with [[encodeBytes]] per word. */
+  def encodeTextBytes(t: UTF8String, rules: Array[Array[String]],
+      alpha: Array[Int],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val parts = t.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) {
+        val a = encodeBytes(UTF8String.fromString(parts(i)), rules,
+          alpha, memo)
+        var j = 0
+        val n = a.numElements()
+        while (j < n) { out += a.getUTF8String(j); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Whole-text entry point: split on single spaces (the exact
@@ -178,4 +256,51 @@ object BpeEncodeExpr {
 
   def bpeText(text: Column, merges: Broadcast[Array[Array[String]]]): Column =
     Bridge.column(BpeEncodeTextExpr(Bridge.expression(text), merges))
+
+  def bpeTextBytes(text: Column, merges: Broadcast[Array[Array[String]]],
+      alphabet: Broadcast[Array[Int]]): Column =
+    Bridge.column(BpeEncodeTextBytesExpr(Bridge.expression(text), merges,
+      alphabet))
+}
+
+/**
+ * `bpe_encode_text_bytes(text)` — [[BpeEncodeTextExpr]] with BYTE
+ * FALLBACK: code points outside the broadcast alphabet decompose
+ * into UTF-8 `<0xXX>` pieces before the merge pass (the
+ * GPT-2/SentencePiece byte_fallback norm), so arbitrary multilingual
+ * UTF-8 — including astral-plane characters — always encodes to
+ * known pieces with zero loss. Same broadcast-handle / word-type
+ * memoization / codegen shape as the plain form.
+ */
+case class BpeEncodeTextBytesExpr(child: Expression,
+    merges: Broadcast[Array[Array[String]]],
+    alphabet: Broadcast[Array[Int]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_text_bytes"
+  override protected def withNewChildInternal(c: Expression): BpeEncodeTextBytesExpr =
+    copy(child = c)
+
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, ArrayData]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, ArrayData]())
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.encodeTextBytes(input.asInstanceOf[UTF8String],
+      merges.value, alphabet.value, memo.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.lang.String[][]", "bpeMerges",
+      v => s"$v = (java.lang.String[][]) $ref.value();")
+    val aref = ctx.addReferenceObj("bpeAlphaBc", alphabet,
+      "org.apache.spark.broadcast.Broadcast")
+    val alpha = ctx.addMutableState("int[]", "bpeAlpha",
+      v => s"$v = (int[]) $aref.value();")
+    val memoV = ctx.addMutableState("java.util.HashMap", "bpeMemo",
+      v => s"$v = new java.util.HashMap();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeExpr.encodeTextBytes($c, $tbl, $alpha, $memoV)")
+  }
 }

@@ -1506,6 +1506,87 @@ object CorpusStats {
   }
 
   /**
+   * The tokenizer ALPHABET artifact for byte-fallback encoding: the
+   * corpus's distinct non-space code points, sorted — the bounded
+   * "characters this tokenizer knows" table persisted next to the
+   * merge table (Unicode is ≤ ~150k assigned cps; real corpora are
+   * far under `maxAlphabet`). One distinct-aggregate scan.
+   */
+  def bpeAlphabet(df: DataFrame, text: Column,
+      maxAlphabet: Int = 65536): Array[String] = {
+    val rows = df.select(explode(split(text, "")).as("c"))
+      .filter(col("c") =!= "" && col("c") =!= " ")
+      .distinct().orderBy(col("c")).limit(maxAlphabet + 1).collect()
+    require(rows.length <= maxAlphabet,
+      s"bpeAlphabet: more than $maxAlphabet distinct code points — raise " +
+        "the bound deliberately or pre-normalize the corpus")
+    rows.map(_.getString(0))
+  }
+
+  /**
+   * [[bpeEncode]] with BYTE FALLBACK — the GPT-2/SentencePiece norm
+   * for 100-TB multilingual crawl data: code points outside
+   * `alphabet` decompose into their UTF-8 `<0xXX>` pieces before the
+   * merge pass ([[graft.functions.BpeEncodeExpr.byteFallback]]), so
+   * ANY UTF-8 input — unseen scripts, astral-plane emoji — encodes
+   * with zero unknown-piece loss instead of diverging from what
+   * production tokenizers do. The alphabet is a bounded broadcast
+   * extension (build it with [[bpeAlphabet]] from the TRAINING
+   * corpus); same one-scan, no-join, word-type-memoized shape as
+   * [[bpeEncode]].
+   */
+  def bpeEncodeBytes(df: DataFrame, id: Column, text: Column,
+      merges: DataFrame, alphabet: Seq[String]): DataFrame = {
+    val bc = mergeRules(merges)
+    val alpha = df.sparkSession.sparkContext.broadcast(
+      alphabet.flatMap(_.codePoints().toArray).distinct.sorted.toArray)
+    df.select(id.as("id"),
+        graft.functions.BpeEncodeExpr.bpeTextBytes(text, bc, alpha)
+          .as("bpe_tokens"))
+      .select(col("id"), col("bpe_tokens"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+  }
+
+  /**
+   * [[bpeEncodeIds]] under byte fallback, with a CLOSED vocabulary:
+   * `alphabet chars ∪ merge outputs ∪ all 256 byte pieces` — fully
+   * determined by the tokenizer artifacts, independent of any corpus.
+   * Closure argument: every initial symbol is an alphabet char or a
+   * byte piece, and the merge pass only ever creates rule outputs —
+   * so NO emitted token can miss the table, for this corpus or any
+   * future one (the -1 sentinel is unreachable; spec-pinned). This
+   * also drops [[bpeEncodeIds]]'s vocab-discovery pass: ONE corpus
+   * scan total.
+   */
+  def bpeEncodeIdsBytes(df: DataFrame, id: Column, text: Column,
+      merges: DataFrame, alphabet: Seq[String]): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val mergeOut = merges
+      .select(concat(col("left"), col("right")).as("t"))
+      .collect().map(_.getString(0))
+    val alphaSyms = alphabet.flatMap(_.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))))
+    val bytes = (0 until 256).map(graft.functions.BpeEncodeExpr.bytePiece)
+    val vocabTokens = (alphaSyms ++ mergeOut ++ bytes).distinct.sorted
+    val table = new java.util.HashMap[String, java.lang.Long]()
+    vocabTokens.zipWithIndex.foreach { case (t, i) =>
+      table.put(t, i.toLong)
+    }
+    val bcT = spark.sparkContext.broadcast(table)
+    val ids = bpeEncodeBytes(df, id, text, merges, alphabet)
+      .select(col("id"),
+        transform(col("bpe_tokens"),
+          t => graft.functions.LongMapLookupExpr.lookup(t, bcT, -1L))
+          .as("token_ids"),
+        col("n_bpe_tokens"))
+    import spark.implicits._
+    val vocab = vocabTokens.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq
+      .toDF("token_id", "token")
+    (ids, vocab)
+  }
+
+  /**
    * Tokenizer usage statistics — the data-card table a trained
    * tokenizer ships with: each emitted token's corpus count, document
    * frequency, and corpus share (ppm, truncating integral divide),

@@ -100,6 +100,67 @@ class BpeEncodeSpec extends SparkSpec {
     assert(strings.map(_.map(idOf)) == numeric)
   }
 
+  test("byte fallback: arbitrary UTF-8 encodes with zero loss, round-trips") {
+    val merges = CorpusStats.bpeTrain(sennrichDocs, $"text", merges = 4)
+    val alphabet = CorpusStats.bpeAlphabet(sennrichDocs, $"text")
+    // mixed scripts + punctuation + 2/3/4-byte code points, all
+    // OUTSIDE the training alphabet (which is d,e,i,l,n,o,r,s,t,w)
+    val wild = Seq(
+      (1L, "lowest Köln 東京 😀🦜 mixé"),
+      (2L, "newest кот!"),
+      (3L, "𝔘nicode")) // astral math letter leading a known tail
+      .toDF("doc_id", "text")
+    val enc = CorpusStats.bpeEncodeBytes(wild, $"doc_id", $"text",
+      merges, alphabet.toSeq)
+    val rows = enc.orderBy("id").select("id", "bpe_tokens")
+      .as[(Long, Seq[String])].collect()
+    // decode: chars pass through, <0xXX> pieces reassemble as UTF-8 —
+    // the round trip must reproduce every word byte-for-byte
+    def decode(pieces: Seq[String]): String = {
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val sb = new StringBuilder
+      def flush(): Unit = if (bytes.nonEmpty) {
+        sb.append(new String(bytes.toArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        bytes.clear()
+      }
+      pieces.foreach { p =>
+        if (p.length == 6 && p.startsWith("<0x") && p.endsWith(">"))
+          bytes += Integer.parseInt(p.substring(3, 5), 16).toByte
+        else { flush(); sb.append(p) }
+      }
+      flush(); sb.toString
+    }
+    val texts = wild.orderBy("doc_id").select("text")
+      .as[String].collect()
+    rows.zip(texts).foreach { case ((_, pieces), text) =>
+      assert(decode(pieces) == text.split(" ").mkString(""),
+        s"round trip lost content for: $text")
+    }
+    // in-alphabet words still merge normally ("lowest" → low,est)
+    assert(rows(0)._2.take(2) == Seq("low", "est"))
+  }
+
+  test("byte fallback ids: CLOSED vocab, the -1 sentinel is unreachable") {
+    val merges = CorpusStats.bpeTrain(sennrichDocs, $"text", merges = 4)
+    val alphabet = CorpusStats.bpeAlphabet(sennrichDocs, $"text")
+    // encode a corpus DISJOINT from anything the vocab was built from
+    // — unseen scripts and astral chars; the closed vocabulary
+    // (alphabet ∪ merge outputs ∪ 256 byte pieces) must cover it all
+    val wild = Seq((1L, "Zürich 北京 🦜 shout"), (2L, "žluťoučký kůň"))
+      .toDF("doc_id", "text")
+    val (ids, vocab) = CorpusStats.bpeEncodeIdsBytes(wild, $"doc_id",
+      $"text", merges, alphabet.toSeq)
+    val v = vocab.orderBy("token_id").as[(Long, String)].collect().toSeq
+    assert(v.map(_._2) == v.map(_._2).sorted)
+    // all 256 byte pieces are present regardless of corpus content
+    assert((0 until 256).forall(b =>
+      v.exists(_._2 == graft.functions.BpeEncodeExpr.bytePiece(b))))
+    val allIds = ids.select(explode($"token_ids")).as[Long].collect()
+    assert(allIds.nonEmpty && allIds.forall(i => i >= 0 && i < v.size),
+      "closed vocab must make the -1 unknown sentinel unreachable")
+  }
+
   test("packSequences over true token ids conserves the stream layout") {
     val merges = CorpusStats.bpeTrain(sennrichDocs, $"text", merges = 4)
     val (ids, _) = CorpusStats.bpeEncodeIds(sennrichDocs, $"doc_id",
