@@ -3541,10 +3541,14 @@ object Queries {
             explode(TextOps.tokens(col("text"))).as("w"))
           .filter(col("w").isNotNull && length(col("w")).between(1, 12))
           .select(col("doc_id"), explode(enc).as("piece"))
+        // piece-bounded and MATERIALIZED: `tot` and the final select
+        // both read it — lazy, each would re-run the corpus encode
+        // (the second full pass the 100× probe flagged)
         val st = base.groupBy(col("doc_id"), col("piece"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("piece"))
           .agg(sum(col("cnt")).as("n"), count(lit(1)).as("doc_freq"))
+          .localCheckpoint()
         val tot = st.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
         st.crossJoin(broadcast(tot))
           .select(col("piece"), col("n"), col("doc_freq"),

@@ -209,6 +209,43 @@ object BpeEncodeExpr {
     out
   }
 
+  /** Whole-text vocab-card entry point: the doc's BPE tokens
+   * PRE-AGGREGATED doc-locally — one `(token, cnt)` row per DISTINCT
+   * token in the doc (a hash pass, no sort) — so one explode feeds
+   * corpus counts (`sum(cnt)`) AND document frequency (`count(*)`)
+   * in a single scan, over per-doc-distinct rows instead of every
+   * token occurrence. Computed here, inside codegen: the
+   * `transform(..., (x, i) => …)` HOF form of the same derivation
+   * evaluates its lambda interpreted per ELEMENT and measured 2× the
+   * whole query at the 100× probe, and per-occurrence struct rows
+   * still read 1.5× — the doc-local combine is what pays. */
+  def encodeTextCard(t: UTF8String, rules: Array[Array[String]],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val toks = encodeText(t, rules, memo)
+    val n = toks.numElements()
+    // mutable-cell values: ONE hash probe per occurrence (get+put
+    // would double it — this loop runs once per corpus token and
+    // dominated the card's 100× probe)
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](32)
+    var i = 0
+    while (i < n) {
+      val tok = toks.getUTF8String(i)
+      val c = counts.get(tok)
+      if (c == null) counts.put(tok, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Whole-text byte-fallback entry point — [[encodeText]]'s split
    * contract with [[encodeBytes]] per word. */
   def encodeTextBytes(t: UTF8String, rules: Array[Array[String]],
@@ -261,6 +298,48 @@ object BpeEncodeExpr {
       alphabet: Broadcast[Array[Int]]): Column =
     Bridge.column(BpeEncodeTextBytesExpr(Bridge.expression(text), merges,
       alphabet))
+
+  def bpeTextCard(text: Column,
+      merges: Broadcast[Array[Array[String]]]): Column =
+    Bridge.column(BpeEncodeTextCardExpr(Bridge.expression(text), merges))
+}
+
+/** `bpe_encode_text_card(text)` — [[BpeEncodeTextExpr]]'s tokens
+ * pre-aggregated doc-locally to `(token, cnt)` runs
+ * ([[BpeEncodeExpr.encodeTextCard]]): the one-scan input of the
+ * vocab data card. */
+case class BpeEncodeTextCardExpr(child: Expression,
+    merges: Broadcast[Array[Array[String]]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bpe_encode_text_card"
+  override protected def withNewChildInternal(c: Expression): BpeEncodeTextCardExpr =
+    copy(child = c)
+
+  @transient private lazy val memo:
+      ThreadLocal[java.util.HashMap[String, ArrayData]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, ArrayData]())
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.encodeTextCard(input.asInstanceOf[UTF8String],
+      merges.value, memo.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.lang.String[][]", "bpeMerges",
+      v => s"$v = (java.lang.String[][]) $ref.value();")
+    val memoV = ctx.addMutableState("java.util.HashMap", "bpeMemo",
+      v => s"$v = new java.util.HashMap();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeExpr.encodeTextCard($c, $tbl, $memoV)")
+  }
 }
 
 /**

@@ -1599,25 +1599,37 @@ object CorpusStats {
   def bpeVocabStats(df: DataFrame, id: Column, text: Column,
       merges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val enc = bpeEncode(df, id, text, merges)
-    // corpus counts and document frequency as TWO map-side-combined
-    // vocab-bounded aggregates (df via per-doc array_distinct before
-    // the explode — a countDistinct(doc) here would shuffle every
-    // (token, doc) pair, row-scale at 100 TB; this shape read 17 s at
-    // the 100× probe vs 2.5 s after). The counts frame is pinned so
-    // the corpus total doesn't re-encode the corpus for its action.
-    val counts = enc.select(explode(col("bpe_tokens")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val total = counts.agg(coalesce(sum(col("n")), lit(0L)))
+    val bc = mergeRules(merges)
+    // ONE encode pass for BOTH aggregates (the old shape paid a
+    // second full corpus encode just for document frequency): sort
+    // each doc's token array, flag first occurrences (s[i] ≠ s[i−1] —
+    // doc-local, no shuffle), explode once; then count(*) is the
+    // corpus count and sum(first) the document frequency, combined
+    // map-side to a vocab-bounded exchange. NOT the word-type-
+    // histogram derivation: exact too, but its groupBy(word) exchange
+    // is TYPE-scale, which adversarial/synthetic corpora (unique-
+    // token noise) push to row-scale — this shape's exchange is
+    // vocab-bounded for any corpus.
+    // the doc-local (token, cnt) combine happens INSIDE the codegen'd
+    // expression ([[graft.functions.BpeEncodeExpr.encodeTextCard]]):
+    // the explode then carries per-doc-DISTINCT rows, not every token
+    // occurrence, and corpus count + doc frequency fall out of one
+    // aggregate (sum(cnt) / count(*)). The transform((x, i) => …) HOF
+    // form of the same derivation evaluates interpreted per element
+    // and measured 2× the whole query at the 100× probe.
+    val st = df
+      .select(explode(graft.functions.BpeEncodeExpr.bpeTextCard(text, bc))
+        .as("t"))
+      .select(col("t.token").as("token"), col("t.cnt").as("cnt"))
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_docs"))
+      .localCheckpoint() // total + the emit below: don't re-encode
+    val total = st.agg(coalesce(sum(col("n")), lit(0L)))
       .head().getLong(0)
-    val docFreq = enc
-      .select(explode(array_distinct(col("bpe_tokens"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
-    counts.join(docFreq, Seq("token"))
-      .withColumn("share_ppm",
+    st.withColumn("share_ppm",
         graft.functions.ldiv(col("n") * lit(1000000L),
           lit(math.max(1L, total))))
+      .select(col("token"), col("n"), col("n_docs"), col("share_ppm"))
       .orderBy(col("n").desc, col("token")).limit(k)
   }
 

@@ -100,6 +100,23 @@ class BpeEncodeSpec extends SparkSpec {
     assert(strings.map(_.map(idOf)) == numeric)
   }
 
+  test("bpeVocabStats: one-pass card equals hand counts (n, df, share)") {
+    val merges = CorpusStats.bpeTrain(sennrichDocs, $"text", merges = 4)
+    // one multi-word doc with in-doc repetition so count > doc_freq
+    val docs = Seq((1L, "low low newest"), (2L, "lowest"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val card = CorpusStats.bpeVocabStats(docs, $"doc_id", $"text",
+        merges, k = 10)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // tokens: doc1 = [low, low, n, e, w, est], doc2 = [low, est],
+    // doc3 = [low] → total 9
+    assert(card("low") == ((4L, 3L, 4L * 1000000L / 9L)))
+    assert(card("est") == ((2L, 2L, 2L * 1000000L / 9L)))
+    assert(card("n") == ((1L, 1L, 1L * 1000000L / 9L)))
+    assert(card.keySet == Set("low", "est", "n", "e", "w"))
+  }
+
   test("byte fallback: arbitrary UTF-8 encodes with zero loss, round-trips") {
     val merges = CorpusStats.bpeTrain(sennrichDocs, $"text", merges = 4)
     val alphabet = CorpusStats.bpeAlphabet(sennrichDocs, $"text")
