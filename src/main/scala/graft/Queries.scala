@@ -67,6 +67,54 @@ object Queries {
       s"replace($acc, '§$l§$r', '§$l$r')"
     }
 
+  /**
+   * Unrolled WordPiece training iterations
+   * ([[graft.operators.CorpusStats.wordpieceTrain]]'s exact loop, the
+   * logreg-oracle discipline): word-type histogram → per-iteration
+   * symbol counts + adjacent-pair counts off the '§'-marked
+   * segmentation state, argmax of the exact integer likelihood-gain
+   * key `c·10¹⁸ // (c_l·c_r)` (ties (a, b) ascending), then ONE
+   * delimiter-exact replace. The marked form carries a TRAILING '§'
+   * so the pattern `'§l§r§' → '§lr§'` matches only complete symbols
+   * (the prefix-aliasing trap a trailing-delimiter-less pattern has:
+   * `'§v§a'` would also match symbol "an"). Ends with
+   * `wpw1..wpw{iters}` (one winner row each: a, b, c) and
+   * `wpm{iters}` (final segmentation state).
+   */
+  private def wordpieceTrainCtes(iters: Int): String = {
+    val head = Seq(
+      s"""wpwt AS MATERIALIZED (SELECT w, count(*)::HUGEINT AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          WHERE text IS NOT NULL)
+        WHERE w IS NOT NULL AND length(w) >= 2 GROUP BY w)""",
+      """wpm0 AS MATERIALIZED (SELECT w,
+        regexp_replace(w, '(.)', '§\1', 'g') || '§' AS f, n FROM wpwt)""")
+    val steps = (1 to iters).flatMap { t =>
+      val p = s"wpm${t - 1}"
+      Seq(
+        s"""wpsy$t AS (SELECT n, list_filter(string_split(substr(f, 2), '§'),
+            x -> x <> '') AS sy FROM $p)""",
+        s"""wps$t AS MATERIALIZED (SELECT sym, sum(n)::HUGEINT AS c FROM
+          (SELECT n, unnest(sy) AS sym FROM wpsy$t) GROUP BY 1)""",
+        s"""wpp$t AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b,
+            sum(n)::HUGEINT AS c
+          FROM (SELECT n, unnest(list_transform(range(1, len(sy)),
+              i -> {'a': sy[i], 'b': sy[i + 1]})) AS pr FROM wpsy$t)
+          GROUP BY 1, 2)""",
+        s"""wpw$t AS MATERIALIZED (SELECT a, b, c FROM (
+          SELECT p.a, p.b, p.c,
+            (p.c * 1000000000000000000::HUGEINT) // (sa.c * sb.c) AS k
+          FROM wpp$t p JOIN wps$t sa ON p.a = sa.sym
+            JOIN wps$t sb ON p.b = sb.sym)
+          ORDER BY k DESC, a, b LIMIT 1)""",
+        s"""wpm$t AS MATERIALIZED (SELECT m.w,
+          replace(m.f, '§' || x.a || '§' || x.b || '§',
+            '§' || x.a || x.b || '§') AS f, m.n
+          FROM $p m, wpw$t x)""")
+    }
+    (head ++ steps).mkString(",\n      ")
+  }
+
   /** Oracle for the byte-fallback encode: words (≤ 8 cps, distinct)
    * get the 2-byte + astral suffix appended, each code point outside
    * `alphabet` expands to its UTF-8 `<0xXX>` pieces via the SAME
@@ -3481,6 +3529,10 @@ object Queries {
     // word for BPE merges, greedy longest-match, and unigram Viterbi
     // — the "pick your tokenizer with a number" card; all three
     // segmentation constructions are mirrored exactly in the oracle
+    // four-way card: the three fixed-table algos plus greedy
+    // inference under the TRAINED WordPiece vocab (trained in-gate;
+    // the oracle unrolls the same training iterations and feeds the
+    // resulting merge outputs into the greedy step chain)
     "corpus_tokenizer_comparison" -> Entry(
       (s, dir) => {
         val toks = t(s, dir, "documents")
@@ -3489,6 +3541,10 @@ object Queries {
         val bcU = s.sparkContext.broadcast(fixedUnigramVocab)
         val bcB = s.sparkContext.broadcast(fixedMerges.sortBy(_._1)
           .map { case (_, l, r) => Array(l, r) }.toArray)
+        val bcW = s.sparkContext.broadcast(
+          graft.operators.CorpusStats.wordpieceVocab(
+            graft.operators.CorpusStats.wordpieceTrain(
+              t(s, dir, "documents"), col("text"), merges = 6)))
         def stats(algo: String, enc: Column) =
           toks.withColumn("np", size(enc).cast("long"))
             .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
@@ -3501,10 +3557,16 @@ object Queries {
           .unionByName(stats("unigram",
             graft.functions.UnigramEncodeExpr.unigram(col("w"), bcU, 6,
               20000000L)))
+          .unionByName(stats("wordpiece",
+            graft.functions.UnigramEncodeExpr.greedy(col("w"), bcW, 8)))
           .orderBy(col("algo"))
       },
       Some(s"""WITH ${unigramDpCtes(12, 6, 20000000L)},
         ${greedyStepCtes(12, 6)},
+        ${wordpieceTrainCtes(6)},
+        wpvoc(piece) AS (${(1 to 6)
+          .map(t => s"SELECT a || b FROM wpw$t").mkString(" UNION ")}),
+        ${greedyStepCtes(12, 8, voc = "wpvoc", pfx = "wp")},
         tok AS (SELECT w FROM (SELECT
             unnest(string_split(text, ' ')) AS w FROM documents
             WHERE text IS NOT NULL)
@@ -3516,16 +3578,39 @@ object Queries {
         gsegn AS (SELECT w,
             (length(path) - length(replace(path, '§', '')))::BIGINT AS np
           FROM g12),
+        wsegn AS (SELECT w,
+            (length(path) - length(replace(path, '§', '')))::BIGINT AS np
+          FROM wp12),
         un AS (
           SELECT 'bpe' AS algo, t.w, b.np FROM tok t JOIN bseg b USING (w)
           UNION ALL
           SELECT 'greedy', t.w, g.np FROM tok t JOIN gsegn g USING (w)
           UNION ALL
-          SELECT 'unigram', t.w, u.cnt FROM tok t JOIN seg u USING (w))
+          SELECT 'unigram', t.w, u.cnt FROM tok t JOIN seg u USING (w)
+          UNION ALL
+          SELECT 'wordpiece', t.w, x.np FROM tok t JOIN wsegn x USING (w))
         SELECT algo, count(*)::BIGINT AS n_words,
           sum(np)::BIGINT AS n_pieces,
           (sum(np) * 1000000 // NULLIF(count(*), 0))::BIGINT AS ppw_ppm
         FROM un GROUP BY 1 ORDER BY 1""")),
+
+    // the WordPiece merge table itself, gated against UNROLLED
+    // training iterations in SQL (the logreg-oracle discipline) — the
+    // strongest trainer gate in the tokenizer family: both engines
+    // replay the identical likelihood-gain argmax over the word-type
+    // histogram, exact-integer keys, delimiter-exact merge replaces
+    "corpus_wordpiece_merges" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.wordpieceTrain(
+          t(s, dir, "documents"), col("text"), merges = 6)
+        .select(col("merge_rank").cast("long").as("merge_rank"),
+          col("left"), col("right"), col("pair_count"))
+        .orderBy(col("merge_rank")),
+      Some(s"""WITH ${wordpieceTrainCtes(6)}
+        SELECT merge_rank, a AS "left", b AS "right", pair_count
+        FROM (${(1 to 6).map(t =>
+          s"""SELECT ${t - 1}::BIGINT AS merge_rank, a, b,
+            c::BIGINT AS pair_count FROM wpw$t""").mkString(" UNION ALL ")})
+        ORDER BY merge_rank""")),
 
     // unigram tokenizer data card (the text_bpe_vocab counterpart):
     // per-piece corpus count, document frequency and corpus share ppm
@@ -5455,21 +5540,22 @@ object Queries {
   /** The greedy advance-step CTEs alone (assumes `voc` and `wt`
    * already exist in the WITH scope — shared with the unigram DP
    * chain); ends with `g$maxLen(w, pos, path)`. */
-  private def greedyStepCtes(maxLen: Int, maxPieceLen: Int): String = {
+  private def greedyStepCtes(maxLen: Int, maxPieceLen: Int,
+      voc: String = "voc", wt: String = "wt", pfx: String = "g"): String = {
     val ladder = (maxPieceLen to 2 by -1).map(l =>
       s"""WHEN length(g.w) - g.pos >= $l AND substr(g.w, g.pos + 1, $l)
-          IN (SELECT piece FROM voc) THEN $l""").mkString("\n            ")
+          IN (SELECT piece FROM $voc) THEN $l""").mkString("\n            ")
     val steps = (1 to maxLen).map { t =>
-      s"""g$t AS MATERIALIZED (
+      s"""$pfx$t AS MATERIALIZED (
         SELECT w, pos + take AS pos,
             path || '§' || substr(w, pos + 1, take) AS path
         FROM (SELECT g.w, g.pos, g.path,
             CASE $ladder ELSE 1 END AS take
-          FROM g${t - 1} g WHERE g.pos < length(g.w))
+          FROM $pfx${t - 1} g WHERE g.pos < length(g.w))
         UNION ALL
-        SELECT w, pos, path FROM g${t - 1} WHERE pos >= length(w))"""
+        SELECT w, pos, path FROM $pfx${t - 1} WHERE pos >= length(w))"""
     }
-    (s"g0 AS MATERIALIZED (SELECT w, 0 AS pos, '' AS path FROM wt)" +:
+    (s"${pfx}0 AS MATERIALIZED (SELECT w, 0 AS pos, '' AS path FROM $wt)" +:
       steps).mkString(",\n      ")
   }
 

@@ -1427,6 +1427,97 @@ object CorpusStats {
     out.result().toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /**
+   * WordPiece tokenizer training (Schuster & Nakajima 2012, "Japanese
+   * and Korean Voice Search", ICASSP; the BERT tokenizer's trainer) —
+   * the likelihood-gain counterpart of [[bpeTrain]]: same word-type
+   * histogram, same driver loop, but each round merges the pair
+   * maximizing `count(lr) / (count(l)·count(r))` — the unigram-LM
+   * likelihood gain — instead of the raw pair count. Scores compare
+   * as EXACT integers: the argmax key is
+   * `⌊count·10¹⁸ / (count_l·count_r)⌋` (BigInt floor — a 10⁻¹⁸
+   * score quantization both engines reproduce, which is what lets
+   * the gate's oracle UNROLL the training iterations as SQL CTEs,
+   * the logreg-gate discipline); ties break on (left, right)
+   * ascending. Inference for the trained vocab is greedy
+   * longest-match ([[graft.functions.GreedyEncodeExpr]], via
+   * [[wordpieceVocab]]). Completes the classic subword trio's
+   * TRAINING side: BPE (count), WordPiece (likelihood gain), unigram
+   * LM (EM pruning). Emits `(merge_rank, left, right, pair_count)`,
+   * [[bpeTrain]]'s schema.
+   */
+  def wordpieceTrain(df: DataFrame, text: Column, merges: Int,
+      maxWordTypes: Int = 1000000): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = df.sparkSession
+    val hist = df.select(explode(TextOps.tokens(text)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val rows = hist.limit(maxWordTypes + 1).collect()
+    require(rows.length <= maxWordTypes,
+      s"wordpieceTrain: more than $maxWordTypes word types — raise the " +
+        "bound deliberately or pre-normalize the corpus")
+    var words: Array[(Array[String], Long)] =
+      rows.map(r => (r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
+    val e18 = BigInt(10).pow(18)
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val syms = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (ss, n) =>
+        var i = 0
+        while (i < ss.length) {
+          syms(ss(i)) = syms.getOrElse(ss(i), 0L) + n
+          if (i < ss.length - 1) {
+            val p = (ss(i), ss(i + 1))
+            pairs(p) = pairs.getOrElse(p, 0L) + n
+          }
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((a, b), n) =>
+          // likelihood-gain argmax: key DESC, then (a, b) ASC —
+          // negate the exact integer key for minBy
+          (-(BigInt(n) * e18 / (BigInt(syms(a)) * BigInt(syms(b)))),
+            a, b)
+        }
+        out += ((rank, l, r, c))
+        words = words.map { case (ss, n) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == r) {
+              b += (l + r); i += 2 // left-to-right, non-overlapping
+            } else { b += ss(i); i += 1 }
+          }
+          (b.result(), n)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /**
+   * The greedy-inference vocab off a [[wordpieceTrain]] (or
+   * [[bpeTrain]]) merge table: the distinct merge OUTPUTS with their
+   * counts, rank-stable — what [[graft.functions.GreedyEncodeExpr]]
+   * consumes (scores are membership-only there). Single code points
+   * need no entries: greedy passes unknown singles through, so the
+   * outputs ARE the vocabulary that changes segmentation.
+   */
+  def wordpieceVocab(merges: DataFrame): Array[(String, Long)] =
+    merges.select(concat(col("left"), col("right")).as("p"),
+        col("pair_count").cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .distinct
+
   /** [[bpeTrain]]'s merge table collected rank-ascending and shipped
    * as a broadcast handle — the bounded tokenizer artifact every
    * encode-side operator probes (the codebook/unigram-table shape). */

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * CorpusStats.wordpieceTrain / wordpieceVocab — the likelihood-gain
+ * merge trainer (Schuster & Nakajima 2012), pinned on the classic
+ * worked example (hug×10 pug×5 pun×12 bun×4 hugs×5): WordPiece's
+ * score c(lr)/(c(l)·c(r)) must pick the rare-but-always-together
+ * pair (g,s) first, where BPE's raw count would pick (u,g) — the
+ * textbook contrast between the two trainers.
+ */
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (
+    Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+      Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+  ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+  test("likelihood gain picks (g,s) first where BPE count picks (u,g)") {
+    val wp = CorpusStats.wordpieceTrain(corpus, $"text", merges = 2)
+      .orderBy("merge_rank")
+      .select("merge_rank", "left", "right", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // merge 0: score(g,s) = 5/(20·5) = 0.05 beats every 1/36 pair
+    assert(wp.head == ((0, "g", "s", 5L)))
+    // merge 1: every remaining pair scores EXACTLY 1/36 — the
+    // deterministic tie-break is (left, right) ascending → (b,u)
+    assert(wp(1) == ((1, "b", "u", 4L)))
+    // the contrast: BPE's count argmax starts (u,g) on the same data
+    val bpe = CorpusStats.bpeTrain(corpus, $"text", merges = 1)
+      .select("left", "right").as[(String, String)].collect().head
+    assert(bpe == (("u", "g")))
+  }
+
+  test("exhaustion: no pairs left ends training early") {
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val wp = CorpusStats.wordpieceTrain(tiny, $"text", merges = 5)
+      .collect()
+    assert(wp.length == 1) // (a,b) merges once, then no pairs remain
+  }
+
+  test("wordpieceVocab feeds greedy inference directly") {
+    val merges = CorpusStats.wordpieceTrain(corpus, $"text", merges = 4)
+    val vocab = CorpusStats.wordpieceVocab(merges)
+    // vocab = the merge outputs, rank-stable
+    assert(vocab.map(_._1).toSeq ==
+      merges.orderBy("merge_rank")
+        .select(concat($"left", $"right")).as[String].collect().toSeq)
+    val bc = spark.sparkContext.broadcast(vocab)
+    val words = Seq("bun", "hugs", "zzz").toDF("w")
+    val seg = words.select($"w",
+        graft.functions.UnigramEncodeExpr.greedy($"w", bc, 8).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    // the 4 merges are (g,s),(b,u),(bu,n),(h,u) — hand-derivable:
+    // (bu,n) scores 4/(4·16) = 1/16 at round 3, and round 4 is an
+    // all-1/32 tie broken to (h,u)
+    assert(vocab.map(_._1).toSeq == Seq("gs", "bu", "bun", "hu"))
+    // greedy longest-match under the trained vocab; unknown singles
+    // pass through (so "zzz" needs no vocab entries)
+    assert(seg("bun") == Seq("bun"))
+    assert(seg("hugs") == Seq("hu", "gs"))
+    assert(seg("zzz") == Seq("z", "z", "z"))
+  }
+
+  test("training is deterministic across partitionings") {
+    val a = CorpusStats.wordpieceTrain(corpus, $"text", merges = 4)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val b = CorpusStats.wordpieceTrain(corpus.repartition(7), $"text",
+        merges = 4)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
