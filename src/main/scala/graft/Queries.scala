@@ -5079,6 +5079,59 @@ object Queries {
         FROM p JOIN nf n1 ON p.id1 = n1.mid JOIN nf n2 ON p.id2 = n2.mid
         WHERE shared_frames >= 2 ORDER BY 1, 2""")),
 
+    // perceptual (dHash) media near-dups: the corpus plus a
+    // bit-jittered copy of every doc (one byte overlaid at position
+    // 41) — the jittered copy MUST still pair with its source
+    // (hamming ≤ 2 by the one-byte argument), which the exact
+    // content hashes of multimodal_near_dup can never do. The oracle
+    // reproduces every hash bit from the byte values (ASCII corpus:
+    // unicode(c) = byte), then takes all-pairs at hamming ≤ 3 —
+    // equal to the banded build by the pigeonhole recall guarantee
+    "multimodal_perceptual_dup" -> Entry(
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 66)
+          .select(col("doc_id"), col("text"), col("source"))
+        val jit = base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 40), lit("x"),
+            substring(col("text"), 42, 1 << 24)).as("text"),
+          col("source"))
+        Multimodal.perceptualDupPairs(
+            Multimodal.asMedia(base.unionByName(jit), "doc_id", "text",
+              "source"), maxDist = 3)
+          .select(col("id1"), col("id2"), col("hamming").cast("long")
+            .as("hamming"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH src AS (SELECT doc_id, text FROM documents
+          WHERE doc_id < 200 AND length(text) >= 66),
+        corp AS (SELECT doc_id, text FROM src
+          UNION ALL
+          SELECT doc_id + 100000,
+            substr(text, 1, 40) || 'x' || substr(text, 42) FROM src),
+        bv AS (SELECT doc_id,
+            list_transform(string_to_array(text, ''), c -> unicode(c)) AS bs,
+            length(text)::BIGINT AS n
+          FROM corp),
+        cells AS (SELECT doc_id, list_transform(range(0, 66), s -> {
+            'sm': coalesce(list_sum(list_slice(bs,
+              ((s * n) // 66)::INT + 1, (((s + 1) * n) // 66)::INT)), 0),
+            'ct': ((s + 1) * n) // 66 - (s * n) // 66 }) AS cl
+          FROM bv),
+        h AS (SELECT doc_id,
+            list_sum(list_transform(range(0, 60), k -> CASE WHEN
+              cl[(k // 10) * 11 + (k % 10) + 1].sm
+                * cl[(k // 10) * 11 + (k % 10) + 2].ct
+              > cl[(k // 10) * 11 + (k % 10) + 2].sm
+                * cl[(k // 10) * 11 + (k % 10) + 1].ct
+              THEN (1::BIGINT << k::INT) ELSE 0 END))::BIGINT AS ph
+          FROM cells)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        ORDER BY 1, 2""")),
+
     "multimodal_meta" -> Entry(
       (s, dir) => Multimodal.extractFeatures(
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))

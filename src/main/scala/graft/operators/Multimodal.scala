@@ -233,6 +233,56 @@ object Multimodal {
           least(col("nf1"), col("nf2"))).as("containment"))
   }
 
+  /** Per-media 60-bit PERCEPTUAL hash
+   * ([[graft.functions.DHash60Expr]]): average-pooled 6×11 grid over
+   * the payload bytes, horizontal-difference bits — the dHash
+   * construction, integer-exact. Null/empty payloads drop. */
+  def perceptualHashes(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.DHash60Expr.dhash60(col("bytes")).as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /**
+   * Perceptual near-duplicate media pairs — the RE-ENCODE detector
+   * [[frameNearDupPairs]]' exact content hashes cannot be: a
+   * resized/re-encoded/bit-jittered payload lands within a few dHash
+   * bits of its source (one perturbed byte flips ≤ 2 bits — the
+   * [[graft.functions.DHash60Expr]] argument), so near-identical
+   * media pair at `hamming ≤ maxDist` where any md5-style hash
+   * scatters. Blocking is [[Dedup.simhashPairs]]' 15-bit × 4-band
+   * scheme verbatim (pigeonhole: recall guaranteed for maxDist ≤ 3);
+   * pairs are generated inside (band, key) buckets after one
+   * group-by shuffle — never an all-pairs join. Hamming is exact
+   * (`bit_count(xor)`), so the oracle can mirror the whole
+   * construction including every hash bit.
+   */
+  def perceptualDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      "4-band blocking guarantees recall only to hamming 3")
+    val ph = perceptualHashes(media)
+    val banded = ph.select(col("media_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .toDF("media_id", "phash", "band", "key")
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(struct(col("media_id"), col("phash"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+    // the Dedup.explodedPairs shape: stream pairs out of each bucket
+    buckets
+      .select(col("ids"), posexplode(col("ids")))
+      .toDF("ids", "i", "m1")
+      .select(col("m1"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - 1)).as("m2"))
+      .select(col("m1.media_id").as("id1"), col("m2.media_id").as("id2"),
+        bit_count(col("m1.phash").bitwiseXOR(col("m2.phash")))
+          .as("hamming"))
+      .filter(col("id1") =!= col("id2"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Frame sampling stub for video-shaped payloads: every `stride`-th
    * fixed-size window of the hex-encoded byte stream becomes one
    * "frame" row — the explode/partition plumbing a real frame sampler

@@ -171,4 +171,65 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((1L, 4L, 1L, 750000L), (2L, 2L, 2L, 0L)))
   }
+
+  test("perceptualDupPairs: a bit-jittered re-encode still pairs; " +
+      "unrelated media do not") {
+    import spark.implicits._
+    // payloads with SIGNAL STRUCTURE (a triangle wave over printable
+    // bytes — the stand-in for an image's luminance profile): the
+    // pooled-grid hash keys on that structure, which is exactly what
+    // survives a re-encode. Flat payloads (uniform text) have
+    // near-tied cells everywhere and only carry the guaranteed
+    // single-byte-substitution bound — see the jitter case below.
+    def wave(n: Int, periods: Double, phase: Double): String = {
+      val sb = new StringBuilder
+      (0 until n).foreach { i =>
+        val t = (i.toDouble / n * periods + phase) % 1.0
+        val v = if (t < 0.5) 2 * t else 2 * (1 - t)
+        sb.append((33 + (v * 93).toInt).toChar)
+      }
+      sb.toString
+    }
+    val payload = wave(2400, 4, 0)
+    // bit-jitter: ONE byte changed mid-payload (what a transmission
+    // flip does) — an exact content hash scatters, the dHash moves at
+    // most 2 bits (guaranteed: one cell's sum)
+    val jitter = payload.updated(payload.length / 2, 'x')
+    // trailing padding (re-encode metadata): every pooling boundary
+    // drifts by < 1 byte of a ~36-byte cell — the structure's bits
+    // stay put
+    val padded = payload + "!"
+    val other = wave(2400, 5, 0.37)
+    val media = Multimodal.asMedia(
+      Seq((1L, payload, "s"), (2L, jitter, "s"), (3L, other, "s"),
+        (4L, padded, "s")).toDF("id", "text", "src"),
+      "id", "text", "src")
+    val pairs = Multimodal.perceptualDupPairs(media, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)), s"jittered copy must pair: $pairs")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 <= 2)
+    assert(pairSet.contains((1L, 4L)), s"padded copy must pair: $pairs")
+    assert(!pairSet.contains((1L, 3L)) && !pairSet.contains((2L, 3L)),
+      s"unrelated media must not pair: $pairs")
+    // exact content hashes CANNOT pair the jittered copy (the gap
+    // this operator closes): whole-payload hash60s differ
+    val exact = media.select(
+        graft.operators.TextOps.hash60(col("bytes").cast("string")))
+      .as[Long].collect()
+    assert(exact.distinct.length == 4)
+  }
+
+  test("perceptualHashes: empty and null payloads drop") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "", "s"), (3L, "some real content here", "s"))
+        .toDF("id", "text", "src"), "id", "text", "src")
+      .unionByName(Seq((2L, null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "bytes")
+        .select(col("media_id"), col("bytes"),
+          struct(lit("m").as("mime"), lit("s").as("source")).as("meta")))
+    val ph = Multimodal.perceptualHashes(media).collect()
+    assert(ph.map(_.getLong(0)).toSet == Set(3L))
+  }
 }
