@@ -252,7 +252,8 @@ object CommitLog {
    * stay correct and pick up stats on their next compact. */
   case class FileEntry(name: String, bytes: Long,
       minTs: Long = 0L, maxTs: Long = 0L, rows: Long = -1L,
-      cats: Option[Vector[String]] = None) {
+      cats: Option[Vector[String]] = None,
+      num: Option[Vector[Double]] = None) {
     def hasStats: Boolean = rows >= 0
     /** File may contain a ts in [fromNs, toNs)? Unknown stats ⇒ true. */
     def mayOverlap(fromNs: Option[Long], toNs: Option[Long]): Boolean =
@@ -266,12 +267,27 @@ object CommitLog {
      * excludes nulls: a null category can never satisfy an equality
      * predicate, so an all-null file prunes away soundly. */
     def mayContainCat(v: String): Boolean = cats.forall(_.contains(v))
+    /** File may contain a row whose DECLARED numeric pointer value
+     * lands in [lo, hi)? The third manifest pruning axis (the
+     * quality-score band read). `num` is `Vector(min, max)` of the
+     * file's non-null parsed values, `Vector()` when the file has
+     * none (all-null prunes soundly — a null can't satisfy a range
+     * predicate), absent (legacy manifests, undeclared writes,
+     * stat-job failure) ⇒ always scan. */
+    def mayContainNum(lo: Option[Double], hi: Option[Double]): Boolean =
+      num match {
+        case None => true
+        case Some(Vector()) => false
+        case Some(v) => lo.forall(v(1) >= _) && hi.forall(v(0) < _)
+      }
     def toJson: String = {
       val stats = if (hasStats) s""","min":$minTs,"max":$maxTs,"rows":$rows"""
         else ""
       val cstats = cats.fold("")(cs =>
         s""","cats":${cs.map(SeriesStore.jsonQuote).mkString("[", ",", "]")}""")
-      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats$cstats}"""
+      val nstats = num.fold("")(v =>
+        s""","num":${v.mkString("[", ",", "]")}""")
+      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats$cstats$nstats}"""
     }
   }
 
@@ -334,11 +350,18 @@ object CommitLog {
           while (cit.hasNext) cb += cit.next().asText()
           Some(cb.result())
         } else None
+      val num =
+        if (e.has("num")) {
+          val nb = Vector.newBuilder[Double]
+          val nit = e.get("num").elements()
+          while (nit.hasNext) nb += nit.next().asDouble()
+          Some(nb.result())
+        } else None
       b += FileEntry(e.get("f").asText(), e.get("bytes").asLong(),
         if (e.has("min")) e.get("min").asLong() else 0L,
         if (e.has("max")) e.get("max").asLong() else 0L,
         if (e.has("rows")) e.get("rows").asLong() else -1L,
-        cats)
+        cats, num)
     }
     b.result()
   }

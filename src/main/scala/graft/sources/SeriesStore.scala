@@ -247,7 +247,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * write job removes the shared `_temporary/0` that makes concurrent
    * appends to one directory mutually destructive. */
   private def stage(db: String, data: DataFrame,
-      catPtr: Option[String] = None): Seq[CommitLog.FileEntry] = {
+      catPtr: Option[String] = None,
+      numPtr: Option[String] = None): Seq[CommitLog.FileEntry] = {
     val p = dbPath(db)
     val id = java.util.UUID.randomUUID().toString
     val tmp = p.resolve(s"_stage-$id")
@@ -266,7 +267,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       SeriesStore.fileEntry(p.resolve(name))
     }.toSeq
     walked(tmp)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-    withCatStats(db, entries, catPtr)
+    withNumStats(db, withCatStats(db, entries, catPtr), numPtr)
   }
 
   /** Record each staged file's bounded distinct set of the declared
@@ -304,6 +305,35 @@ class SeriesStore(spark: SparkSession, root: String) {
           case None => e.copy(cats = Some(Vector()))
         }
       }
+    } catch { case _: Exception => entries }
+
+  /** Record each staged file's min/max of the declared NUMERIC column
+   * (a JSON pointer into `doc`, parsed by the engine's own
+   * float-parse rules — the SAME `num` field predicate time reads, so
+   * range pruning and the row filter can never disagree) — the third
+   * manifest pruning axis ([[frame]]'s numeric overload; the
+   * quality-score band read). A file with no parsable value records
+   * the empty vector (prunes soundly against any range — nulls never
+   * match); any failure degrades to stat-less (unpruned) entries. */
+  private def withNumStats(db: String, entries: Seq[CommitLog.FileEntry],
+      numPtr: Option[String]): Seq[CommitLog.FileEntry] =
+    if (numPtr.isEmpty || entries.isEmpty) entries
+    else try {
+      val p = dbPath(db)
+      val paths = entries.map(e => p.resolve(e.name).toString)
+      val byFile = spark.read.schema(schema).parquet(paths: _*)
+        .select(input_file_name().as("__f"),
+          SeriesStore.numValueCol(numPtr.get).as("__n"))
+        .filter(col("__n").isNotNull)
+        .groupBy(col("__f"))
+        .agg(min(col("__n")).as("lo"), max(col("__n")).as("hi"))
+        .collect()
+        .map(r => (r.getString(0).substring(
+          r.getString(0).lastIndexOf('/') + 1),
+          Vector(r.getDouble(1), r.getDouble(2))))
+        .toMap
+      entries.map(e =>
+        e.copy(num = Some(byFile.getOrElse(e.name, Vector[Double]()))))
     } catch { case _: Exception => entries }
 
   private def unstage(db: String, entries: Seq[CommitLog.FileEntry]): Unit =
@@ -421,7 +451,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * another writer consumed our seq range — restage against the new
    * snapshot and try again. `mk` receives the first free seq and
    * returns (frame to stage, highest seq reserved). */
-  private def appendCommit(db: String, catPtr: Option[String] = None)(
+  private def appendCommit(db: String, catPtr: Option[String] = None,
+      numPtr: Option[String] = None)(
       mk: Long => (DataFrame, Long)): Unit = withStageGuard(db) {
     ensureMigrated(db)
     val log = logOf(db)
@@ -431,7 +462,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       val snap = log.snapshot()
       require(snap.version >= 1, s"no such database: $db")
       val (data, seqHi) = mk(snap.lastSeq + 1)
-      val staged = stage(db, data, catPtr)
+      val staged = stage(db, data, catPtr, numPtr)
       val m = CommitLog.Manifest(snap.version + 1, "append", staged,
         seqHi = seqHi, clean = false)
       if (log.tryCommit(m)) { log.checkpointMaybe(log.snapshot()); done = true }
@@ -465,12 +496,21 @@ class SeriesStore(spark: SparkSession, root: String) {
    * stats already do. Declaration is per write — batches written
    * without it (or with a different pointer) simply never prune. */
   def storeBatch(db: String, docs: DataFrame,
-      catPtr: Option[String]): Unit = {
+      catPtr: Option[String]): Unit =
+    storeBatch(db, docs, catPtr, None)
+
+  /** [[storeBatch]] with a declared categorical column AND/OR a
+   * declared NUMERIC column (`numPtr`, a JSON pointer like
+   * `/quality`): each staged file additionally records the min/max of
+   * that column's parsed values, so [[frame]]'s numeric overload can
+   * prune a quality-band read the way time stats prune a range. */
+  def storeBatch(db: String, docs: DataFrame, catPtr: Option[String],
+      numPtr: Option[String]): Unit = {
     val selected = docs.select(col("ts").cast(LongType).as("ts"),
       col("doc").cast(StringType).as("doc"))
     val parts = math.max(1, selected.rdd.getNumPartitions)
     withWriteLock(db) {
-      appendCommit(db, catPtr) { seqBase =>
+      appendCommit(db, catPtr, numPtr) { seqBase =>
         (selected.select(col("ts"),
           (monotonically_increasing_id() + lit(seqBase)).as("seq"), col("doc")),
           seqBase + (parts.toLong << 33) - 1)
@@ -522,11 +562,27 @@ class SeriesStore(spark: SparkSession, root: String) {
       catPtr: String, catValue: String): DataFrame =
     frameOf(db, snapshotOf(db), fromNs, toNs, Some((catPtr, catValue)))
 
+  /** Queryable view restricted to rows whose declared NUMERIC column
+   * (`numPtr`, the pointer [[storeBatch]]/[[compact]] recorded
+   * min/max stats for) lands in `[lo, hi)` — the quality-band read.
+   * On a CLEAN snapshot, files whose recorded range misses the band
+   * are dropped before Spark lists them ([[compact]]'s `numPtr`
+   * clustering is what makes per-file ranges narrow). Same dirty-
+   * snapshot rule as the categorical overload: an overwrite can
+   * CHANGE a row's value, so on dirty snapshots no numeric file
+   * pruning happens and the filter applies AFTER last-write-wins
+   * dedup. Legacy manifests (no recorded range) always scan. */
+  def frameNum(db: String, fromNs: Option[Long], toNs: Option[Long],
+      numPtr: String, lo: Option[Double], hi: Option[Double]): DataFrame =
+    frameOf(db, snapshotOf(db), fromNs, toNs,
+      numRange = Some((numPtr, lo, hi)))
+
   /** The live files a [fromNs, toNs) scan touches after manifest-stat
    * pruning — the spec/diagnostic surface for the file-skipping path. */
   private[graft] def scanFiles(db: String, fromNs: Option[Long] = None,
-      toNs: Option[Long] = None,
-      cat: Option[String] = None): Seq[CommitLog.FileEntry] = {
+      toNs: Option[Long] = None, cat: Option[String] = None,
+      numBand: Option[(Option[Double], Option[Double])] = None)
+      : Seq[CommitLog.FileEntry] = {
     val snap = snapshotOf(db)
     val base = cat match {
       // same clean-only rule as frameOf — the diagnostic must mirror
@@ -534,7 +590,12 @@ class SeriesStore(spark: SparkSession, root: String) {
       case Some(v) if snap.clean => snap.files.filter(_.mayContainCat(v))
       case _ => snap.files
     }
-    base.filter(_.mayOverlap(fromNs, toNs))
+    val banded = numBand match {
+      case Some((lo, hi)) if snap.clean =>
+        base.filter(_.mayContainNum(lo, hi))
+      case _ => base
+    }
+    banded.filter(_.mayOverlap(fromNs, toNs))
   }
 
   /** Time travel: the queryable view as of committed `version`
@@ -571,16 +632,23 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   private def frameOf(db: String, snap: CommitLog.Snapshot,
       fromNs: Option[Long] = None, toNs: Option[Long] = None,
-      catEq: Option[(String, String)] = None): DataFrame = {
-    // categorical pruning ONLY on clean snapshots: dirty, a pruned
-    // file could hold the NEWEST version of a ts whose older copy
-    // (different category) survives — see the frame overload's doc
+      catEq: Option[(String, String)] = None,
+      numRange: Option[(String, Option[Double], Option[Double])] = None)
+      : DataFrame = {
+    // categorical/numeric pruning ONLY on clean snapshots: dirty, a
+    // pruned file could hold the NEWEST version of a ts whose older
+    // copy (different category/value) survives — see the overloads
     val catFiles = catEq match {
       case Some((_, v)) if snap.clean =>
         snap.files.filter(_.mayContainCat(v))
       case _ => snap.files
     }
-    val files = catFiles.filter(_.mayOverlap(fromNs, toNs))
+    val numFiles = numRange match {
+      case Some((_, lo, hi)) if snap.clean =>
+        catFiles.filter(_.mayContainNum(lo, hi))
+      case _ => catFiles
+    }
+    val files = numFiles.filter(_.mayOverlap(fromNs, toNs))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -599,11 +667,18 @@ class SeriesStore(spark: SparkSession, root: String) {
         if (snap.clean) raw
         else raw.groupBy(col("ts"))
           .agg(max(col("seq")).as("seq"), max_by(col("doc"), col("seq")).as("doc"))
-      // the categorical row filter runs AFTER dedup (an overwrite can
-      // change the category; ts cannot change — that asymmetry is why
-      // the time filter may run before and this one must not)
-      catEq.fold(resolved) { case (ptr, v) =>
+      // the categorical/numeric row filters run AFTER dedup (an
+      // overwrite can change the value; ts cannot change — that
+      // asymmetry is why the time filter may run before and these
+      // must not)
+      val catDone = catEq.fold(resolved) { case (ptr, v) =>
         resolved.filter(SeriesStore.catValueCol(ptr) === lit(v))
+      }
+      numRange.fold(catDone) { case (ptr, lo, hi) =>
+        var f = catDone.filter(SeriesStore.numValueCol(ptr).isNotNull)
+        lo.foreach(v => f = f.filter(SeriesStore.numValueCol(ptr) >= v))
+        hi.foreach(v => f = f.filter(SeriesStore.numValueCol(ptr) < v))
+        f
       }
     }
   }
@@ -695,10 +770,22 @@ class SeriesStore(spark: SparkSession, root: String) {
    * (default 4M rows ≈ the 128 MB-class file the unparametrized
    * compact always produced). */
   def compact(db: String, catPtr: Option[String],
-      rowsPerFile: Long = 4000000L): Unit = {
+      rowsPerFile: Long = 4000000L): Unit =
+    compact(db, catPtr, rowsPerFile, None)
+
+  /** [[compact]] with a DECLARED NUMERIC column (`numPtr`, a JSON
+   * pointer like `/quality`): without a categorical declaration the
+   * rewrite range-partitions by (value, ts) and records each output
+   * file's value min/max in the manifest — after this, a
+   * quality-band read ([[frame]]'s numeric overload) touches only
+   * the band's files. The same tradeoff as categorical clustering:
+   * ts ranges interleave across bands, so declare the axis the table
+   * is actually read by. */
+  def compact(db: String, catPtr: Option[String], rowsPerFile: Long,
+      numPtr: Option[String]): Unit = {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
     withWriteLock(db)(rewrite(db, identity, countBase = false,
-      catPtr, rowsPerFile))
+      catPtr, rowsPerFile, numPtr))
     stat(db).compacts.increment()
   }
 
@@ -780,7 +867,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * replace commutes, replace vs replace does not). */
   private def rewrite(db: String, xform: DataFrame => DataFrame,
       countBase: Boolean, catPtr: Option[String] = None,
-      rowsPerFile: Long = 4000000L): (Long, Long) = withStageGuard(db) {
+      rowsPerFile: Long = 4000000L,
+      numPtr: Option[String] = None): (Long, Long) = withStageGuard(db) {
     val log = logOf(db)
     var outer = 0
     var result: (Long, Long) = null
@@ -797,17 +885,21 @@ class SeriesStore(spark: SparkSession, root: String) {
         val n = cached.count()
         val partitions = math.max(1, (n / rowsPerFile).toInt)
         // declared category → cluster files by (category, ts) so the
-        // manifest's per-file category sets come out narrow; plain
+        // manifest's per-file category sets come out narrow; declared
+        // numeric column → cluster by (value, ts) so per-file min/max
+        // bands come out tight (the quality-band read's layout); plain
         // compact keeps the ts-only layout (tight time pruning)
-        val rangeCols = catPtr match {
-          case Some(ptr) => Seq(SeriesStore.catValueCol(ptr), col("ts"))
-          case None => Seq(col("ts"))
+        val rangeCols = (catPtr, numPtr) match {
+          case (Some(ptr), _) => Seq(SeriesStore.catValueCol(ptr), col("ts"))
+          case (None, Some(ptr)) =>
+            Seq(SeriesStore.numValueCol(ptr), col("ts"))
+          case _ => Seq(col("ts"))
         }
         val sized =
           if (partitions == 1) cached.coalesce(1)
           else cached.repartitionByRange(partitions, rangeCols: _*)
         val staged = stage(db,
-          sized.sortWithinPartitions(rangeCols: _*), catPtr)
+          sized.sortWithinPartitions(rangeCols: _*), catPtr, numPtr)
         var committed = false
         var aborted = false
         while (!committed && !aborted) {
@@ -973,6 +1065,14 @@ object SeriesStore {
   private[graft] def catValueCol(ptr: String) =
     graft.functions.JsonPointersExpr.jsonPointers(col("doc"), Seq(ptr))
       .getField("p0").getField("str")
+
+  /** The declared numeric column: a JSON-pointer scalar out of `doc`
+   * parsed by the engine's own float rules (the pointer struct's
+   * `num` field) — the SAME value at stat-record time and predicate
+   * time, so range pruning and the row filter can never disagree. */
+  private[graft] def numValueCol(ptr: String) =
+    graft.functions.JsonPointersExpr.jsonPointers(col("doc"), Seq(ptr))
+      .getField("p0").getField("num")
 
   case class DbInfo(docCount: Long, spaceUsed: Long, lastSeq: Long)
 

@@ -270,6 +270,102 @@ class FilePruningSpec extends SparkSpec {
     assert(back.files(2).mayContainCat("anything")) // unrecorded
   }
 
+  // ---- numeric manifest stats (the third pruning axis) ---------------
+
+  private def loadThreeBands(s: SeriesStore, numPtr: Option[String]): Unit = {
+    s.create("db")
+    // three commits, quality bands [0.0,0.2), [0.3,0.5), [0.6,0.8)
+    (0 until 3).foreach { d =>
+      val docs = (0 until 40).map(i => (day(d) + i * 60L * 1000000000L,
+        s"""{"q": ${d * 0.3 + (i % 20) * 0.01}, "i": $i}"""))
+      s.storeBatch("db", docs.toDF("ts", "doc"), None, numPtr)
+    }
+  }
+
+  test("declared numeric column records per-file min/max; compact clusters and prunes") {
+    val s = newStore()
+    loadThreeBands(s, Some("/q"))
+    // recorded on append commits already (dirty snapshots won't prune)
+    assert(s.scanFiles("db").forall(_.num.isDefined))
+    // clean + clustered: compact by the declared column, small files
+    s.compact("db", None, rowsPerFile = 40L, numPtr = Some("/q"))
+    val all = s.scanFiles("db")
+    assert(all.size > 1, s"need multiple files to prune, got ${all.size}")
+    assert(all.forall(_.num.isDefined))
+    val hit = s.scanFiles("db", numBand = Some((Some(0.6), Some(0.8))))
+    assert(hit.size < all.size, s"expected pruning: ${hit.size} vs ${all.size}")
+    // pruned read ≡ unpruned read, row for row (the quality-band read)
+    val pruned = s.frameNum("db", None, None, "/q", Some(0.6), Some(0.8))
+    val full = s.frame("db").filter(
+      SeriesStore.numValueCol("/q") >= 0.6 &&
+        SeriesStore.numValueCol("/q") < 0.8)
+    assert(pruned.orderBy("ts").collect().toSeq ==
+      full.orderBy("ts").collect().toSeq)
+    assert(pruned.count() == 40)
+    // open-ended band: top-quality read
+    val top = s.frameNum("db", None, None, "/q", Some(0.6), None)
+    assert(top.count() == 40)
+  }
+
+  test("numeric pruning never applies to dirty snapshots: overwrites that change the value stay correct") {
+    val s = newStore()
+    s.create("db")
+    val ts = day(0)
+    s.storeBatch("db", Seq((ts, """{"q": 0.1, "v": 1}""")).toDF("ts", "doc"),
+      None, Some("/q"))
+    // overwrite the SAME ts with a different value (dirty snapshot)
+    s.storeBatch("db", Seq((ts, """{"q": 0.9, "v": 2}""")).toDF("ts", "doc"),
+      None, Some("/q"))
+    // the superseded version (q=0.1) must NOT resurrect
+    assert(s.frameNum("db", None, None, "/q", Some(0.0), Some(0.5))
+      .count() == 0)
+    val b = s.frameNum("db", None, None, "/q", Some(0.5), None)
+      .select("doc").as[String].collect().toSeq
+    assert(b == Seq("""{"q": 0.9, "v": 2}"""))
+  }
+
+  test("undeclared writes and legacy manifests never numerically prune") {
+    val s = newStore()
+    loadThreeBands(s, None) // no declaration — no num stats recorded
+    s.compact("db") // clean, but still no num stats
+    assert(s.scanFiles("db").forall(_.num.isEmpty))
+    assert(s.scanFiles("db", numBand = Some((Some(0.6), Some(0.8)))).size ==
+      s.scanFiles("db").size)
+    val r = s.frameNum("db", None, None, "/q", Some(0.6), Some(0.8))
+    assert(r.count() == 40) // row filter alone is still exact
+  }
+
+  test("all-null numeric files record the empty range and prune soundly") {
+    val s = newStore()
+    s.create("db")
+    // no /q anywhere: the recorded empty range can never match a band
+    val docs = (0 until 10).map(i =>
+      (day(0) + i * 1000000000L, s"""{"other": $i}"""))
+    s.storeBatch("db", docs.toDF("ts", "doc"), None, Some("/q"))
+    s.compact("db", None, rowsPerFile = 1000L, numPtr = Some("/q"))
+    val files = s.scanFiles("db")
+    assert(files.forall(_.num.contains(Vector[Double]())))
+    assert(s.scanFiles("db", numBand = Some((Some(0.0), None))).isEmpty)
+    assert(s.frameNum("db", None, None, "/q", Some(0.0), None).count() == 0)
+    // and the unfiltered read still sees every row
+    assert(s.frame("db").count() == 10)
+  }
+
+  test("FileEntry num stats survive the manifest JSON round-trip") {
+    val m = Manifest(9, "append",
+      Seq(FileEntry("a.parquet", 5, -10L, 99L, 3L,
+          num = Some(Vector(0.25, 0.75))),
+        FileEntry("b.parquet", 6, num = Some(Vector[Double]())),
+        FileEntry("c.parquet", 7)),
+      seqHi = 12, clean = false)
+    val back = Manifest.fromJson(m.toJson)
+    assert(back == m)
+    assert(back.files(0).mayContainNum(Some(0.5), Some(0.9)))
+    assert(!back.files(0).mayContainNum(Some(0.8), None))
+    assert(!back.files(1).mayContainNum(None, None))
+    assert(back.files(2).mayContainNum(Some(0.8), None))
+  }
+
   test("legacy adoption records stats for adopted part- files") {
     val root = Files.createTempDirectory("graft-prune").toString
     // fabricate a pre-commit-log db: plain part-*.parquet in the dir
