@@ -70,7 +70,9 @@ object Bench {
       "embed_covariance_merged", "embed_correlation", "embed_pca_variance",
       "embed_pca_outliers", "sample_quality_topk", "text_unigram_vocab",
       "export_ranged_shards", "text_greedy_encode",
-      "corpus_tokenizer_comparison")
+      "corpus_tokenizer_comparison", "dedup_index_upsert",
+      "text_bpe_encode_bytes", "corpus_wordpiece_merges",
+      "multimodal_perceptual_dup", "corpus_wordpiece_merges_hist")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -3612,6 +3612,32 @@ object Queries {
             c::BIGINT AS pair_count FROM wpw$t""").mkString(" UNION ALL ")})
         ORDER BY merge_rank""")),
 
+    // word-type-histogram homomorphism closing the tokenizer loop at
+    // scale: three per-split histograms merged, then WordPiece
+    // trained OFF THE ARTIFACT ≡ training from the corpus (the
+    // embed_covariance_merged discipline — the artifact the standing
+    // wordHistStream maintains, so a 100-TB corpus retrains its
+    // tokenizer without a corpus scan)
+    "corpus_wordpiece_merges_hist" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val parts = (0 until 3).map(p =>
+          graft.operators.CorpusStats.wordTypeHistogram(
+            docs.filter(pmod(col("doc_id"), lit(3)) === p), col("text")))
+        graft.operators.CorpusStats.wordpieceTrainFromHist(
+            graft.operators.CorpusStats.wordHistMerge(
+              parts.reduce(_ unionByName _)), merges = 6)
+          .select(col("merge_rank").cast("long").as("merge_rank"),
+            col("left"), col("right"), col("pair_count"))
+          .orderBy(col("merge_rank"))
+      },
+      Some(s"""WITH ${wordpieceTrainCtes(6)}
+        SELECT merge_rank, a AS "left", b AS "right", pair_count
+        FROM (${(1 to 6).map(t =>
+          s"""SELECT ${t - 1}::BIGINT AS merge_rank, a, b,
+            c::BIGINT AS pair_count FROM wpw$t""").mkString(" UNION ALL ")})
+        ORDER BY merge_rank""")),
+
     // unigram tokenizer data card (the text_bpe_vocab counterpart):
     // per-piece corpus count, document frequency and corpus share ppm
     // under the fixed table — top-40 by count; the (doc, piece)

@@ -1376,13 +1376,39 @@ object CorpusStats {
    * tables.
    */
   def bpeTrain(df: DataFrame, text: Column, merges: Int,
+      maxWordTypes: Int = 1000000): DataFrame =
+    bpeTrainFromHist(wordTypeHistogram(df, text), merges, maxWordTypes)
+
+  /**
+   * The word-TYPE histogram `(w, n)` every tokenizer trainer reads —
+   * exposed as its own PERSISTABLE artifact: per-part histograms
+   * merge exactly ([[wordHistMerge]] — counts are plain sums), so a
+   * standing corpus can keep the histogram current per ingest batch
+   * ([[graft.streaming.SeriesStream.wordHistStream]]) and retrain
+   * ANY of the three tokenizers at any time WITHOUT a corpus scan —
+   * at 100 TB the difference between a retrain that reads an
+   * artifact and one that re-tokenizes the fleet's worth of text.
+   */
+  def wordTypeHistogram(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextOps.tokens(text)).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Merge [[wordTypeHistogram]] parts: per-word count sums —
+   * associative, commutative, exact (the KMV/CMS/covariance merge
+   * discipline for the tokenizer family). */
+  def wordHistMerge(parts: DataFrame): DataFrame =
+    parts.groupBy(col("w")).agg(sum(col("n")).as("n"))
+
+  /** [[bpeTrain]] off a prebuilt [[wordTypeHistogram]] — identical
+   * merges, none of the corpus scan. */
+  def bpeTrainFromHist(hist: DataFrame, merges: Int,
       maxWordTypes: Int = 1000000): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
-    val spark = df.sparkSession
-    val hist = df.select(explode(TextOps.tokens(text)).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("n"))
-    val rows = hist.limit(maxWordTypes + 1).collect()
+    val spark = hist.sparkSession
+    val rows = hist.filter(length(col("w")) >= 2)
+      .select(col("w").cast("string"), col("n").cast("long"))
+      .limit(maxWordTypes + 1).collect()
     require(rows.length <= maxWordTypes,
       s"bpeTrain: more than $maxWordTypes word types — raise the bound " +
         "deliberately or pre-normalize the corpus")
@@ -1447,13 +1473,20 @@ object CorpusStats {
    * [[bpeTrain]]'s schema.
    */
   def wordpieceTrain(df: DataFrame, text: Column, merges: Int,
+      maxWordTypes: Int = 1000000): DataFrame =
+    wordpieceTrainFromHist(wordTypeHistogram(df, text), merges,
+      maxWordTypes)
+
+  /** [[wordpieceTrain]] off a prebuilt [[wordTypeHistogram]] —
+   * identical merges, none of the corpus scan (the standing-artifact
+   * retrain path). */
+  def wordpieceTrainFromHist(hist: DataFrame, merges: Int,
       maxWordTypes: Int = 1000000): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
-    val spark = df.sparkSession
-    val hist = df.select(explode(TextOps.tokens(text)).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("n"))
-    val rows = hist.limit(maxWordTypes + 1).collect()
+    val spark = hist.sparkSession
+    val rows = hist.filter(length(col("w")) >= 2)
+      .select(col("w").cast("string"), col("n").cast("long"))
+      .limit(maxWordTypes + 1).collect()
     require(rows.length <= maxWordTypes,
       s"wordpieceTrain: more than $maxWordTypes word types — raise the " +
         "bound deliberately or pre-normalize the corpus")
@@ -1799,14 +1832,21 @@ object CorpusStats {
    */
   def unigramTrain(df: DataFrame, text: Column, vocabSize: Int,
       iters: Int = 2, maxPieceLen: Int = 6, topTypes: Int = 50000,
+      minCount: Long = 2L, unkNllMicro: Long = 20000000L): DataFrame =
+    unigramTrainFromHist(wordTypeHistogram(df, text), vocabSize, iters,
+      maxPieceLen, topTypes, minCount, unkNllMicro)
+
+  /** [[unigramTrain]] off a prebuilt [[wordTypeHistogram]] —
+   * identical EM, none of the corpus scan (the standing-artifact
+   * retrain path; all three trainers now read the same artifact). */
+  def unigramTrainFromHist(hist: DataFrame, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 6, topTypes: Int = 50000,
       minCount: Long = 2L, unkNllMicro: Long = 20000000L): DataFrame = {
     require(vocabSize >= 1 && iters >= 1 && maxPieceLen >= 1 &&
       topTypes >= 1, "vocabSize, iters, maxPieceLen, topTypes must be >= 1")
-    val spark = df.sparkSession
-    val types: Array[(String, Long)] = df
-      .select(explode(TextOps.tokens(text)).as("w"))
-      .filter(col("w").isNotNull && length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val spark = hist.sparkSession
+    val types: Array[(String, Long)] = hist
+      .select(col("w").cast("string"), col("n").cast("long").as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(topTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -284,6 +284,35 @@ object SeriesStream {
   }
 
   /**
+   * Standing word-type-histogram maintenance — the tokenizer
+   * family's mergeable artifact: each micro-batch's
+   * [[graft.operators.CorpusStats.wordTypeHistogram]] adds into the
+   * persisted `(w, n)` frame (count sums — an EXACT homomorphism, so
+   * the artifact always equals a from-scratch histogram of
+   * everything ingested, for any batch split; spec-pinned). All
+   * three tokenizer trainers
+   * ([[graft.operators.CorpusStats.bpeTrainFromHist]] /
+   * `wordpieceTrainFromHist` / `unigramTrainFromHist`) read it
+   * directly, so a standing corpus retrains its tokenizer at any
+   * time WITHOUT a corpus scan.
+   */
+  def wordHistStream(rows: DataFrame, textCol: String, storePath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.CorpusStats
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => CorpusStats.wordTypeHistogram(b, col(textCol)),
+          u => CorpusStats.wordHistMerge(u), storePath, id)
+      }
+      .start()
+  }
+
+  /**
    * Standing covariance/PCA maintenance — the mergeable-artifact
    * stream for [[graft.operators.Embeddings.covarianceSketch]]: each
    * micro-batch's exact second-moment sums add into the persisted

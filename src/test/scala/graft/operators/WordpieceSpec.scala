@@ -65,6 +65,22 @@ class WordpieceSpec extends SparkSpec {
     assert(seg("zzz") == Seq("z", "z", "z"))
   }
 
+  test("all three trainers off the histogram artifact equal corpus training") {
+    // per-split histograms merged (the standing artifact's shape)
+    val parts = (0 until 3).map(p => CorpusStats.wordTypeHistogram(
+      corpus.filter(col("doc_id") % 3 === p), $"text"))
+    val hist = CorpusStats.wordHistMerge(parts.reduce(_ unionByName _))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(rows(CorpusStats.wordpieceTrainFromHist(hist, merges = 4)) ==
+      rows(CorpusStats.wordpieceTrain(corpus, $"text", merges = 4)))
+    assert(rows(CorpusStats.bpeTrainFromHist(hist, merges = 4)) ==
+      rows(CorpusStats.bpeTrain(corpus, $"text", merges = 4)))
+    assert(rows(CorpusStats.unigramTrainFromHist(hist, vocabSize = 12)) ==
+      rows(CorpusStats.unigramTrain(corpus, $"text", vocabSize = 12)))
+  }
+
   test("training is deterministic across partitionings") {
     val a = CorpusStats.wordpieceTrain(corpus, $"text", merges = 4)
       .orderBy("merge_rank").collect().map(_.toSeq).toSeq

@@ -370,6 +370,40 @@ class SeriesStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("standing word histogram equals a from-scratch build; trainers read it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusStats
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = Files.createTempDirectory("graft-whist")
+      .resolve("hist").toString
+    val docs = Seq(
+      (1L, "low low lower"), (2L, "newest widest low"),
+      (3L, "newest newest lowest"), (4L, "widest low newest"))
+    val mem = MemoryStream[(Long, String)]
+    val q = SeriesStream.wordHistStream(
+      mem.toDF().toDF("doc_id", "text"), "text", store,
+      Files.createTempDirectory("graft-whist-ck").toString)
+    try {
+      // out-of-order replay across three micro-batches
+      mem.addData(docs(2)); q.processAllAvailable()
+      mem.addData(docs(0), docs(3)); q.processAllAvailable()
+      mem.addData(docs(1)); q.processAllAvailable()
+    } finally q.stop()
+    val standing = spark.read.parquet(store).drop("batch_id")
+    val batch = CorpusStats.wordTypeHistogram(
+      docs.toDF("doc_id", "text"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("w").collect().map(_.toSeq).toSeq
+    assert(rows(standing) == rows(batch))
+    // the whole point: a trainer reads the artifact, no corpus scan
+    val fromArtifact = CorpusStats.wordpieceTrainFromHist(standing, 2)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val fromCorpus = CorpusStats.wordpieceTrain(
+        docs.toDF("doc_id", "text"), col("text"), 2)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(fromArtifact == fromCorpus)
+  }
+
   test("streaming semantic admission equals the batch PQ screen on a replayed stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
