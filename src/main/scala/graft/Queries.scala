@@ -67,32 +67,104 @@ object Queries {
       s"replace($acc, '§$l§$r', '§$l$r')"
     }
 
+  /** The trigram-LM oracle shared by text_perplexity_trigram and
+   * its histogram-homomorphism sibling: full stupid-backoff CASE
+   * chain over SQL-derived count tables. */
+  private lazy val trigramOracle: Option[String] =
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents),
+          cnt AS (SELECT w AS wd, count(*)::BIGINT AS c FROM (
+            SELECT unnest(w) AS w FROM tok) GROUP BY 1),
+          tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+          voc AS (SELECT wd, c FROM cnt ORDER BY c DESC, wd LIMIT 32),
+          bgr AS (SELECT s.pv AS pv, s.x AS x, count(*)::BIGINT AS c2 FROM (
+            SELECT unnest(CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                i -> {'pv': w[i], 'x': w[i+1]})
+              ELSE [] END) AS s FROM tok) GROUP BY 1, 2),
+          bvoc AS (SELECT pv, x, c2 FROM bgr
+            ORDER BY c2 DESC, pv || ' ' || x LIMIT 64),
+          tgr AS (SELECT s.p1 AS p1, s.p2 AS p2, s.x AS x,
+              count(*)::BIGINT AS c3 FROM (
+            SELECT unnest(CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                i -> {'p1': w[i], 'p2': w[i+1], 'x': w[i+2]})
+              ELSE [] END) AS s FROM tok) GROUP BY 1, 2, 3),
+          tvoc AS (SELECT p1, p2, x, c3 FROM tgr
+            ORDER BY c3 DESC, p1 || ' ' || p2 || ' ' || x LIMIT 96),
+          pos AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+              i -> {'i': i, 'wd': w[i],
+                'pv': CASE WHEN i > 1 THEN w[i-1] END,
+                'pv2': CASE WHEN i > 2 THEN w[i-2] END})) AS s FROM tok),
+          t2 AS (SELECT doc_id, s.i AS i, s.wd AS wd, s.pv AS pv,
+            s.pv2 AS pv2 FROM pos),
+          sc AS (SELECT t2.doc_id, count(*)::BIGINT AS n_tokens,
+              sum(CASE
+                WHEN i = 1 THEN
+                  round(-ln(coalesce(voc.c, 1) / tot.total) * 1000000)::BIGINT
+                WHEN i = 2 AND bvoc.c2 IS NOT NULL THEN
+                  round(-ln(bvoc.c2 / pc.c) * 1000000)::BIGINT
+                WHEN i = 2 THEN
+                  round(-ln(0.4 * (coalesce(voc.c, 1) / tot.total))
+                    * 1000000)::BIGINT
+                WHEN tvoc.c3 IS NOT NULL THEN
+                  round(-ln(tvoc.c3 / pbg.c2) * 1000000)::BIGINT
+                WHEN bvoc.c2 IS NOT NULL THEN
+                  round(-ln(0.4 * (bvoc.c2 / pc.c)) * 1000000)::BIGINT
+                ELSE
+                  round(-ln((0.4 * 0.4) * (coalesce(voc.c, 1) / tot.total))
+                    * 1000000)::BIGINT
+                END)::BIGINT AS nll_micro
+            FROM t2 LEFT JOIN voc ON t2.wd = voc.wd
+              LEFT JOIN bvoc ON t2.pv = bvoc.pv AND t2.wd = bvoc.x
+              LEFT JOIN cnt pc ON bvoc.pv = pc.wd
+              LEFT JOIN tvoc ON t2.pv2 = tvoc.p1 AND t2.pv = tvoc.p2
+                AND t2.wd = tvoc.x
+              LEFT JOIN bgr pbg ON tvoc.p1 = pbg.pv AND tvoc.p2 = pbg.x
+              CROSS JOIN tot GROUP BY 1)
+        SELECT doc_id, n_tokens, nll_micro,
+          nll_micro / (n_tokens * 1000000.0) AS avg_nll
+        FROM sc ORDER BY doc_id""")
+
   /**
    * Unrolled WordPiece training iterations
    * ([[graft.operators.CorpusStats.wordpieceTrain]]'s exact loop, the
    * logreg-oracle discipline): word-type histogram → per-iteration
-   * symbol counts + adjacent-pair counts off the '§'-marked
-   * segmentation state, argmax of the exact integer likelihood-gain
-   * key `c·10¹⁸ // (c_l·c_r)` (ties (a, b) ascending), then ONE
-   * delimiter-exact replace. The marked form carries a TRAILING '§'
-   * so the pattern `'§l§r§' → '§lr§'` matches only complete symbols
-   * (the prefix-aliasing trap a trailing-delimiter-less pattern has:
-   * `'§v§a'` would also match symbol "an"). Ends with
-   * `wpw1..wpw{iters}` (one winner row each: a, b, c) and
-   * `wpm{iters}` (final segmentation state).
+   * symbol counts + adjacent-pair counts off the marked segmentation
+   * state, argmax of the exact integer likelihood-gain key
+   * `c·10¹⁸ // (c_l·c_r)` (ties (a, b) ascending), then ONE
+   * delimiter-exact replace. Symbols carry DUAL markers (`§sym¤`) so
+   * the pattern `'§l¤§r¤' → '§lr¤'` (a) matches only COMPLETE
+   * symbols — a single-sided `'§l§r'` also matches where the real
+   * symbol merely STARTS with r — and (b) chains across adjacent
+   * merge sites: a single-marker trailing form (`'§l§r§'`) shares
+   * its trailing marker with the next site's lead, so non-overlapping
+   * replace skips every second site in a run ("1 0 1 0" under-merged
+   * to [10, 1, 0] — caught by the 10× digit-noise probe), while the
+   * dual form's sites are character-disjoint and L2R replace equals
+   * the trainer's array pass exactly. Ends with `wpw1..wpw{iters}`
+   * (one winner row each: a, b, c) and `wpm{iters}` (final state).
    */
-  private def wordpieceTrainCtes(iters: Int): String = {
+  private def wordpieceTrainCtes(iters: Int,
+      topTypes: Int = 50000): String = {
     val head = Seq(
-      s"""wpwt AS MATERIALIZED (SELECT w, count(*)::HUGEINT AS n FROM (
-          SELECT unnest(string_split(text, ' ')) AS w FROM documents
-          WHERE text IS NOT NULL)
-        WHERE w IS NOT NULL AND length(w) >= 2 GROUP BY w)""",
+      // top-types cut (count desc, word asc — deterministic): a no-op
+      // at the oracle's scales (≤ tens of types) but what keeps the
+      // driver-held histogram bounded when synthetic unique-token
+      // noise pushes raw types to row scale (8.8M at the 100× probe)
+      s"""wpwt AS MATERIALIZED (SELECT w, n FROM (
+          SELECT w, count(*)::HUGEINT AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL)
+          WHERE w IS NOT NULL AND length(w) >= 2 GROUP BY w)
+        ORDER BY n DESC, w LIMIT $topTypes)""",
       """wpm0 AS MATERIALIZED (SELECT w,
-        regexp_replace(w, '(.)', '§\1', 'g') || '§' AS f, n FROM wpwt)""")
+        regexp_replace(w, '(.)', '§\1¤', 'g') AS f, n FROM wpwt)""")
     val steps = (1 to iters).flatMap { t =>
       val p = s"wpm${t - 1}"
       Seq(
-        s"""wpsy$t AS (SELECT n, list_filter(string_split(substr(f, 2), '§'),
+        s"""wpsy$t AS (SELECT n, list_filter(
+            string_split(substr(replace(f, '¤', ''), 2), '§'),
             x -> x <> '') AS sy FROM $p)""",
         s"""wps$t AS MATERIALIZED (SELECT sym, sum(n)::HUGEINT AS c FROM
           (SELECT n, unnest(sy) AS sym FROM wpsy$t) GROUP BY 1)""",
@@ -108,8 +180,8 @@ object Queries {
             JOIN wps$t sb ON p.b = sb.sym)
           ORDER BY k DESC, a, b LIMIT 1)""",
         s"""wpm$t AS MATERIALIZED (SELECT m.w,
-          replace(m.f, '§' || x.a || '§' || x.b || '§',
-            '§' || x.a || x.b || '§') AS f, m.n
+          replace(m.f, '§' || x.a || '¤§' || x.b || '¤',
+            '§' || x.a || x.b || '¤') AS f, m.n
           FROM $p m, wpw$t x)""")
     }
     (head ++ steps).mkString(",\n      ")
@@ -3543,8 +3615,12 @@ object Queries {
           .map { case (_, l, r) => Array(l, r) }.toArray)
         val bcW = s.sparkContext.broadcast(
           graft.operators.CorpusStats.wordpieceVocab(
-            graft.operators.CorpusStats.wordpieceTrain(
-              t(s, dir, "documents"), col("text"), merges = 6)))
+            graft.operators.CorpusStats.wordpieceTrainFromHist(
+              graft.operators.CorpusStats.wordTypeHistogram(
+                  t(s, dir, "documents"), col("text"))
+                .filter(length(col("w")) >= 2)
+                .orderBy(col("n").desc, col("w")).limit(50000),
+              merges = 6)))
         def stats(algo: String, enc: Column) =
           toks.withColumn("np", size(enc).cast("long"))
             .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
@@ -3600,8 +3676,12 @@ object Queries {
     // replay the identical likelihood-gain argmax over the word-type
     // histogram, exact-integer keys, delimiter-exact merge replaces
     "corpus_wordpiece_merges" -> Entry(
-      (s, dir) => graft.operators.CorpusStats.wordpieceTrain(
-          t(s, dir, "documents"), col("text"), merges = 6)
+      (s, dir) => graft.operators.CorpusStats.wordpieceTrainFromHist(
+          graft.operators.CorpusStats.wordTypeHistogram(
+              t(s, dir, "documents"), col("text"))
+            .filter(length(col("w")) >= 2)
+            .orderBy(col("n").desc, col("w")).limit(50000),
+          merges = 6)
         .select(col("merge_rank").cast("long").as("merge_rank"),
           col("left"), col("right"), col("pair_count"))
         .orderBy(col("merge_rank")),
@@ -3626,7 +3706,9 @@ object Queries {
             docs.filter(pmod(col("doc_id"), lit(3)) === p), col("text")))
         graft.operators.CorpusStats.wordpieceTrainFromHist(
             graft.operators.CorpusStats.wordHistMerge(
-              parts.reduce(_ unionByName _)), merges = 6)
+              parts.reduce(_ unionByName _))
+              .filter(length(col("w")) >= 2)
+              .orderBy(col("n").desc, col("w")).limit(50000), merges = 6)
           .select(col("merge_rank").cast("long").as("merge_rank"),
             col("left"), col("right"), col("pair_count"))
           .orderBy(col("merge_rank"))
@@ -4716,6 +4798,39 @@ object Queries {
         SELECT doc_id, n_tokens, nll_micro,
           nll_micro / (n_tokens * 1000000.0) AS avg_nll
         FROM sc ORDER BY doc_id""")),
+
+    // trigram LM with two-level stupid backoff — the n=3 tier of the
+    // perplexity ladder (the in-engine KenLM-style quality scorer):
+    // position 1 unigram, 2 bigram (α backoff), ≥3 trigram with
+    // α·bigram then α²·unigram backoff; every case pre-rounded to
+    // micro-nats, trigram denominators are UNCUT prefix-bigram counts
+    "text_perplexity_trigram" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.trigramNll(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          vocabK = 32, bigramK = 64, trigramK = 96, alpha = 0.4)
+        .orderBy(col("doc_id")),
+      trigramOracle),
+
+    // n-gram-count homomorphism for the LM scorer: three per-split
+    // count artifacts (n = 1, 2, 3) merged, then trigram scoring OFF
+    // THE ARTIFACTS ≡ scoring from the corpus (same oracle as
+    // text_perplexity_trigram — the corpus_wordpiece_merges_hist
+    // discipline; the artifacts the standing ngramHistStream
+    // maintains, so quality-LM rescoring never re-counts the corpus)
+    "text_perplexity_trigram_hist" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def merged(n: Int) = graft.operators.CorpusStats.ngramHistMerge(
+          (0 until 3).map(p => graft.operators.CorpusStats.ngramHistogram(
+            docs.filter(pmod(col("doc_id"), lit(3)) === p), col("text"), n))
+            .reduce(_ unionByName _))
+        graft.operators.CorpusStats.trigramNllFromHists(
+            docs, col("doc_id"), col("text"),
+            merged(1), merged(2), merged(3),
+            vocabK = 32, bigramK = 64, trigramK = 96, alpha = 0.4)
+          .orderBy(col("doc_id"))
+      },
+      trigramOracle),
 
     // TF-IDF keyword extraction: top-3 characteristic terms per doc.
     // df exact for the 16 most common words, floored at 1 (max idf)

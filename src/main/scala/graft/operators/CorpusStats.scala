@@ -452,6 +452,114 @@ object CorpusStats {
   }
 
   /**
+   * Trigram-LM scoring with two-level stupid backoff — the n=3 tier
+   * of the [[unigramNll]]/[[bigramNll]] ladder and the in-engine
+   * form of the KenLM-style quality scorer (CCNet's perplexity
+   * filter at n=5): position 1 scores the unigram, position 2 the
+   * bigram (backing off to `α·p(w)`), positions ≥ 3 the trigram
+   * `−ln(c(w₁w₂w₃)/c(w₁w₂))`, backing off to `α·` the bigram score
+   * and then `α²·` the unigram — the canonical S(w|context) chain.
+   *
+   * Same scale/portability shape as [[bigramNll]]: three
+   * map-side-combined count aggregations (words, pairs, triples),
+   * tables cut deterministically (count desc, gram asc), every
+   * per-token case pre-rounded to integer micro-nats at build (α/α²
+   * variants are distinct entries — rounding does not distribute
+   * over the product), LONG sums, scoring a pure codegen projection
+   * ([[graft.functions.TrigramNllExpr]], ≤ 3 probes per token).
+   * Trigram denominators are the UNCUT prefix-bigram counts, so a
+   * trigram can make the table even when its prefix bigram missed
+   * the bigram cut.
+   */
+  def trigramNll(df: DataFrame, id: Column, text: Column,
+      vocabK: Int = 65536, bigramK: Int = 262144, trigramK: Int = 262144,
+      alpha: Double = 0.4): DataFrame =
+    trigramNllFromHists(df, id, text,
+      ngramHistogram(df, text, 1), ngramHistogram(df, text, 2),
+      ngramHistogram(df, text, 3), vocabK, bigramK, trigramK, alpha)
+
+  /**
+   * The n-gram count frame `(g, c)` the LM scorers read — exposed as
+   * its own PERSISTABLE artifact (the [[wordTypeHistogram]] pattern
+   * for the perplexity family): per-part counts merge exactly
+   * ([[ngramHistMerge]]), the standing
+   * [[graft.streaming.SeriesStream.ngramHistStream]] keeps one
+   * current per ingest batch, and [[trigramNllFromHists]] builds its
+   * scoring tables off the artifacts — so a standing corpus rescores
+   * documents under an always-current LM with zero count scans.
+   * n = 1 counts raw tokens (the LM convention — empties included,
+   * unlike [[wordTypeHistogram]]'s trainer filter); n ≥ 2 counts
+   * space-joined n-grams.
+   */
+  def ngramHistogram(df: DataFrame, text: Column, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val g = if (n == 1) TextOps.tokens(text) else TextOps.ngrams(text, n)
+    df.select(explode(g).as("g")).groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge [[ngramHistogram]] parts: per-gram count sums — exact. */
+  def ngramHistMerge(parts: DataFrame): DataFrame =
+    parts.groupBy(col("g")).agg(sum(col("c")).as("c"))
+
+  /** [[trigramNll]] with the count tables built off prebuilt
+   * [[ngramHistogram]] artifacts (n = 1, 2, 3) — identical scores,
+   * none of the three corpus count scans. */
+  def trigramNllFromHists(df: DataFrame, id: Column, text: Column,
+      uniHist: DataFrame, biHist: DataFrame, triHist: DataFrame,
+      vocabK: Int = 65536, bigramK: Int = 262144, trigramK: Int = 262144,
+      alpha: Double = 0.4): DataFrame = {
+    require(vocabK >= 1 && bigramK >= 1 && trigramK >= 1,
+      "vocabK, bigramK, trigramK must be >= 1")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val uniCounts = uniHist.select(col("g").as("w"), col("c"))
+      .localCheckpoint() // consumed by total, vocab cut, bigram join
+    val total = uniCounts.agg(sum(col("c"))).head.getLong(0)
+    def mUni(c: Long, a: Double): Long =
+      Math.round(-Math.log(a * (c.toDouble / total.toDouble)) * 1000000.0)
+    val uni = new java.util.HashMap[String, Array[Long]](vocabK * 2)
+    uniCounts.orderBy(col("c").desc, col("w")).limit(vocabK).collect()
+      .foreach { r =>
+        val c = r.getLong(1)
+        uni.put(r.getString(0),
+          Array(mUni(c, 1.0), mUni(c, alpha), mUni(c, alpha * alpha)))
+      }
+    // uncut bigram counts: the bigram TABLE cut reads them, and the
+    // trigram denominators need them regardless of the cut
+    val biCounts = biHist.select(col("g"), col("c").as("c2"))
+      .localCheckpoint()
+    def mRatio(num: Long, den: Long, a: Double): Long =
+      Math.round(-Math.log(a * (num.toDouble / den.toDouble)) * 1000000.0)
+    val bi = new java.util.HashMap[String, Array[Long]](bigramK * 2)
+    biCounts
+      .withColumn("p", substring_index(col("g"), " ", 1))
+      .join(uniCounts.select(col("w").as("p"), col("c").as("c1")), "p")
+      .orderBy(col("c2").desc, col("g")).limit(bigramK).collect()
+      .foreach { r =>
+        val c2 = r.getAs[Long]("c2"); val c1 = r.getAs[Long]("c1")
+        bi.put(r.getAs[String]("g"),
+          Array(mRatio(c2, c1, 1.0), mRatio(c2, c1, alpha)))
+      }
+    val tri = new java.util.HashMap[String, java.lang.Long](trigramK * 2)
+    triHist.select(col("g"), col("c").as("c3"))
+      .withColumn("p2", substring_index(col("g"), " ", 2))
+      .join(biCounts.select(col("g").as("p2"), col("c2").as("cp")), "p2")
+      .orderBy(col("c3").desc, col("g")).limit(trigramK).collect()
+      .foreach { r =>
+        tri.put(r.getAs[String]("g"),
+          mRatio(r.getAs[Long]("c3"), r.getAs[Long]("cp"), 1.0))
+      }
+    val sc = df.sparkSession.sparkContext // tables broadcast once per executor
+    val nll = graft.functions.TrigramNllExpr.nllMicro(text,
+      sc.broadcast(uni), sc.broadcast(bi), sc.broadcast(tri),
+      mUni(1L, 1.0), mUni(1L, alpha), mUni(1L, alpha * alpha))
+    df.select(id.as("doc_id"),
+        size(TextOps.tokens(text)).cast("long").as("n_tokens"),
+        nll.as("nll_micro"))
+      .withColumn("avg_nll", col("nll_micro") / (col("n_tokens") * lit(1000000.0)))
+  }
+
+  /**
    * TF-IDF keyword extraction: the top-`k` most characteristic terms
    * per document — the tagging/labeling pass of a corpus build and
    * the lightweight alternative to embedding-based topic assignment.

@@ -804,6 +804,15 @@ class SeriesStore(spark: SparkSession, root: String) {
    * appends rebase into the kept set, like [[compact]]. Returns
    * (files merged, files kept). */
   def compactSmall(db: String, smallBytes: Long = 32L << 20): (Int, Int) =
+    compactSmall(db, smallBytes, None, None)
+
+  /** [[compactSmall]] with declared categorical/numeric columns: the
+   * merged output files re-record their stats (an undeclared
+   * incremental compact would otherwise write stat-less files and
+   * silently degrade category/band pruning until the next full
+   * compact — kept files keep whatever stats they had). */
+  def compactSmall(db: String, smallBytes: Long,
+      catPtr: Option[String], numPtr: Option[String]): (Int, Int) =
     withWriteLock(db)(withStageGuard(db) {
       val log = logOf(db)
       var outer = 0
@@ -820,7 +829,8 @@ class SeriesStore(spark: SparkSession, root: String) {
           val sized =
             if (partitions == 1) rows.coalesce(1)
             else rows.repartitionByRange(partitions, col("ts"))
-          val staged = stage(db, sized.sortWithinPartitions("ts"))
+          val staged = stage(db, sized.sortWithinPartitions("ts"),
+            catPtr, numPtr)
           var committed = false
           var aborted = false
           while (!committed && !aborted) {

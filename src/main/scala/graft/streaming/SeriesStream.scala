@@ -313,6 +313,31 @@ object SeriesStream {
   }
 
   /**
+   * Standing n-gram-count maintenance — [[wordHistStream]]'s shape
+   * for the perplexity family's count artifacts
+   * ([[graft.operators.CorpusStats.ngramHistogram]], n = 1/2/3):
+   * per-batch counts add exactly, so
+   * [[graft.operators.CorpusStats.trigramNllFromHists]] builds its
+   * scoring tables off always-current artifacts — an always-fresh
+   * quality-scoring LM with zero count scans.
+   */
+  def ngramHistStream(rows: DataFrame, textCol: String, n: Int,
+      storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    import graft.operators.CorpusStats
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => CorpusStats.ngramHistogram(b, col(textCol), n),
+          u => CorpusStats.ngramHistMerge(u), storePath, id)
+      }
+      .start()
+  }
+
+  /**
    * Standing covariance/PCA maintenance — the mergeable-artifact
    * stream for [[graft.operators.Embeddings.covarianceSketch]]: each
    * micro-batch's exact second-moment sums add into the persisted

@@ -218,6 +218,45 @@ class PlanSpec extends SparkSpec {
       s"correlation joins are not broadcast:\n$pc")
   }
 
+  test("round-13 operators keep their claimed plan shapes") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // trigram LM scoring: a pure projection over the scan (all three
+    // tables ride broadcast HANDLES inside the codegen'd expression,
+    // never a join) — the corpus pays one pass, no shuffle beyond
+    // the gate's own sort
+    val pt = planOf(graft.operators.CorpusStats.trigramNll(
+      docs, col("doc_id"), col("text"), vocabK = 32, bigramK = 64,
+      trigramK = 64))
+    assert(!pt.contains("Join"), s"trigram scoring joins:\n$pt")
+    // perceptual near-dup: banded buckets only — no cartesian, no
+    // non-broadcast join anywhere in the pair generation
+    val pp = planOf(graft.operators.Multimodal.perceptualDupPairs(
+      graft.operators.Multimodal.asMedia(docs, "doc_id", "text",
+        "source"), maxDist = 3))
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"perceptual pairs degenerate to all-pairs:\n$pp")
+    // one-pass vocab card: exactly ONE aggregate pair (partial+final
+    // exchange) over the card explode — a second encode pass would
+    // show as a second scan of the documents parquet
+    val pv = planOf(graft.operators.CorpusStats.bpeVocabStats(
+      docs, col("doc_id"), col("text"),
+      graft.operators.CorpusStats.bpeTrain(docs.limit(50), col("text"),
+        merges = 2), k = 10))
+    assert("Scan parquet".r.findAllIn(pv).size <= 1,
+      s"vocab card re-scans the corpus:\n$pv")
+    // index upsert: the anti-join retires by batch ids (broadcast or
+    // hash — never cartesian), and the fresh half is the corpusIndex
+    // build alone
+    val idx = graft.operators.Dedup.corpusIndex(
+      docs.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"))
+    val pu = planOf(graft.operators.Dedup.corpusIndexUpsert(idx,
+      docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text")))
+    assert(!pu.contains("CartesianProduct"),
+      s"index upsert crossed frames:\n$pu")
+  }
+
   test("PQ plans: encode is one map-side argmin exchange; ADC scan never joins vectors") {
     assume(available)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -164,6 +164,42 @@ class CorpusStatsSpec extends SparkSpec {
     assert(oov.getLong(2) > 0L)
   }
 
+  test("trigramNll: trigram hit, both backoff levels, OOV — hand-computed") {
+    // corpus: "a b c" ×3, "a b d" ×1 → unigrams a=4,b=4,c=3,d=1
+    // (total 12); bigrams "a b"=4, "b c"=3, "b d"=1; trigrams
+    // "a b c"=3, "a b d"=1. trigramK=1 keeps only "a b c";
+    // bigramK=2 keeps "a b","b c" (count desc, gram asc) — "b d" cut.
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "a b d")).toDF("doc_id", "text")
+    val out = CorpusStats.trigramNll(docs, $"doc_id", $"text",
+        vocabK = 8, bigramK = 2, trigramK = 1, alpha = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def mU(c: Long, a: Double) = Math.round(-Math.log(a * c / 12.0) * 1e6)
+    def mR(n: Long, d: Long, a: Double) =
+      Math.round(-Math.log(a * n.toDouble / d) * 1e6)
+    // doc 1 "a b c": uni(a) + bigram("a b") + trigram("a b c")
+    assert(out(1L) == mU(4, 1.0) + mR(4, 4, 1.0) + mR(3, 4, 1.0))
+    // doc 4 "a b d": uni(a) + bigram("a b") + ["a b d" cut → "b d"
+    // also cut → α²·unigram(d)]
+    assert(out(4L) == mU(4, 1.0) + mR(4, 4, 1.0) + mU(1, 0.4 * 0.4))
+    // middle backoff level (trigram untabled, bigram tabled): add
+    // "x b c". Corpus becomes 15 tokens (a=4,b=5,c=4,d=1,x=1);
+    // bigrams "a b"=4,"b c"=4,"b d"=1,"x b"=1 — bigramK=3 keeps
+    // "a b","b c" and the 1-count tie resolves lexicographically to
+    // "b d", cutting "x b"; trigramK=1 keeps "a b c" only. So
+    // "x b c" scores: uni(x) + α·uni(b) ("x b" cut) + α·bigram("b c")
+    // (trigram "x b c" untabled, "b c" tabled)
+    val probe = CorpusStats.trigramNll(
+        docs.union(Seq((9L, "x b c")).toDF("doc_id", "text")),
+        $"doc_id", $"text", vocabK = 8, bigramK = 3, trigramK = 1,
+        alpha = 0.4)
+      .filter($"doc_id" === 9).head().getLong(2)
+    val e = Math.round(-Math.log(1 / 15.0) * 1e6) +
+      Math.round(-Math.log(0.4 * (5 / 15.0)) * 1e6) +
+      Math.round(-Math.log(0.4 * (4.0 / 5.0)) * 1e6)
+    assert(probe == e)
+  }
+
   test("vocabDivergence: identical slice has zero KL, skewed slice positive") {
     // s1 and s2 share the corpus distribution exactly (KL 0 up to
     // quantization); s3 is all one rare-overall word → large KL

@@ -351,6 +351,20 @@ class FilePruningSpec extends SparkSpec {
     assert(s.frame("db").count() == 10)
   }
 
+  test("compactSmall with declarations re-records cat/num stats") {
+    val s = newStore()
+    loadThreeBands(s, Some("/q"))
+    val sizes = s.scanFiles("db").map(_.bytes)
+    val (merged, _) = s.compactSmall("db", smallBytes = sizes.max + 1,
+      catPtr = None, numPtr = Some("/q"))
+    assert(merged >= 2)
+    assert(s.scanFiles("db").forall(_.num.isDefined),
+      "merged files must re-record numeric stats")
+    // band read stays exact over the merged layout
+    val pruned = s.frameNum("db", None, None, "/q", Some(0.6), Some(0.8))
+    assert(pruned.count() == 40)
+  }
+
   test("FileEntry num stats survive the manifest JSON round-trip") {
     val m = Manifest(9, "append",
       Seq(FileEntry("a.parquet", 5, -10L, 99L, 3L,
