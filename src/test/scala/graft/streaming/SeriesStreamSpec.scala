@@ -404,6 +404,45 @@ class SeriesStreamSpec extends SparkSpec {
     assert(fromArtifact == fromCorpus)
   }
 
+  test("standing n-gram counts equal a from-scratch build; the LM reads them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CorpusStats
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dirs = (1 to 3).map(n => Files.createTempDirectory("graft-ngram")
+      .resolve(s"h$n").toString)
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a b c"), (3L, "b c a b c"))
+    val mem = MemoryStream[(Long, String)]
+    val qs = (1 to 3).map(n => SeriesStream.ngramHistStream(
+      mem.toDF().toDF("doc_id", "text"), "text", n, dirs(n - 1),
+      Files.createTempDirectory(s"graft-ngram-ck$n").toString))
+    try {
+      mem.addData(docs(1)); qs.foreach(_.processAllAvailable())
+      mem.addData(docs(0), docs(2)); qs.foreach(_.processAllAvailable())
+    } finally qs.foreach(_.stop())
+    val batchDf = docs.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().map(_.toSeq).toSeq
+    (1 to 3).foreach { n =>
+      val standing = spark.read.parquet(dirs(n - 1)).drop("batch_id")
+      assert(rows(standing) ==
+        rows(CorpusStats.ngramHistogram(batchDf, col("text"), n)),
+        s"n=$n standing artifact diverged")
+    }
+    // scoring off the standing artifacts ≡ scoring from the corpus
+    val fromArtifacts = CorpusStats.trigramNllFromHists(batchDf,
+        col("doc_id"), col("text"),
+        spark.read.parquet(dirs(0)).drop("batch_id"),
+        spark.read.parquet(dirs(1)).drop("batch_id"),
+        spark.read.parquet(dirs(2)).drop("batch_id"),
+        vocabK = 8, bigramK = 8, trigramK = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = CorpusStats.trigramNll(batchDf, col("doc_id"),
+        col("text"), vocabK = 8, bigramK = 8, trigramK = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fromArtifacts == direct)
+  }
+
   test("streaming semantic admission equals the batch PQ screen on a replayed stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
