@@ -1827,6 +1827,37 @@ object Queries {
     // oracle recomputes the identical prefix with one window — the
     // engine's bucketed prefix-sum selects the same set without a
     // per-group single-partition window (see Sampling.tokenBudget)
+    // training-mixture planner: per-source targets from ppm weights
+    // against a token budget, capped at 2.5 epochs — src1's target
+    // overruns its cap (shortfall reported), the others land under
+    // it (fractional-epoch rates); all truncating integer arithmetic
+    "sample_mixture_plan" -> Entry(
+      (s, dir) => graft.operators.Sampling.mixturePlan(
+          t(s, dir, "documents"), col("source"), col("text"),
+          weightsPpm = Map("src1" -> 500000L, "src2" -> 300000L,
+            "src3" -> 200000L),
+          budgetTokens = 8000L, maxEpochsMicro = 2500000L)
+        .orderBy(col("source")),
+      Some("""WITH avail AS (SELECT source,
+            sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+          FROM documents GROUP BY 1),
+        w AS (SELECT source, avail_tokens,
+            (CASE source WHEN 'src1' THEN 500000 WHEN 'src2' THEN 300000
+              WHEN 'src3' THEN 200000 ELSE 0 END)::BIGINT AS weight_ppm
+          FROM avail),
+        p AS (SELECT *,
+            ((weight_ppm * 8000) // 1000000)::BIGINT AS target_tokens,
+            least((weight_ppm * 8000) // 1000000,
+              (avail_tokens * 2500000) // 1000000)::BIGINT AS plan_tokens
+          FROM w)
+        SELECT source, avail_tokens, weight_ppm, target_tokens,
+          plan_tokens,
+          (CASE WHEN avail_tokens > 0
+            THEN (plan_tokens * 1000000) // avail_tokens
+            ELSE 0 END)::BIGINT AS rate_ppm,
+          (target_tokens - plan_tokens)::BIGINT AS shortfall_tokens
+        FROM p ORDER BY source""")),
+
     "sample_token_budget" -> Entry(
       (s, dir) => graft.operators.Sampling.tokenBudget(t(s, dir, "documents"),
           col("doc_id"), col("lang"), col("n_chars"),

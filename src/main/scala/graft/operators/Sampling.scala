@@ -276,6 +276,51 @@ object Sampling {
     df.join(counts, keys)
   }
 
+  /**
+   * Training-mixture planner — the data-recipe calculation a corpus
+   * build runs LAST: given per-source available tokens (one
+   * aggregate scan), target mixture weights (ppm of the budget), a
+   * total token budget, and an epoch cap, emit per source:
+   * `target_tokens` (the weight's share of the budget),
+   * `plan_tokens` (target capped at `maxEpochs` passes over the
+   * source — the repetition ceiling the data-diet literature keeps),
+   * `rate_ppm` (plan/available — ≤ 10⁶ feeds [[sample]]'s rate,
+   * > 10⁶ is fractional epochs for [[upsample]]), and
+   * `shortfall_tokens` (what the cap refuses — the number that says
+   * "find more of this source or re-weight"). All integer-exact
+   * truncating arithmetic (`ldiv`), so the plan is
+   * engine-reproducible and auditable; sources without a declared
+   * weight plan 0 (present in the output with their inventory).
+   * Everything after the one avail aggregate is a constant-folded
+   * projection over ≤ |sources| rows.
+   */
+  def mixturePlan(df: DataFrame, source: Column, text: Column,
+      weightsPpm: Map[String, Long], budgetTokens: Long,
+      maxEpochsMicro: Long = 4000000L): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    require(maxEpochsMicro >= 0, "maxEpochsMicro must be >= 0")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
+    import graft.functions.ldiv
+    val avail = df.groupBy(source.as("source"))
+      .agg(sum(size(TextOps.tokens(text)).cast("long")).as("avail_tokens"))
+    val wCol = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, w)) =>
+        when(col("source") === lit(k), lit(w)).otherwise(acc)
+    }
+    avail
+      .withColumn("weight_ppm", wCol)
+      .withColumn("target_tokens",
+        ldiv(col("weight_ppm") * lit(budgetTokens), lit(1000000L)))
+      .withColumn("plan_tokens", least(col("target_tokens"),
+        ldiv(col("avail_tokens") * lit(maxEpochsMicro), lit(1000000L))))
+      .withColumn("rate_ppm",
+        when(col("avail_tokens") > 0,
+          ldiv(col("plan_tokens") * lit(1000000L), col("avail_tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("shortfall_tokens",
+        col("target_tokens") - col("plan_tokens"))
+  }
+
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {
     require((default +: budgets.values.toSeq).forall(_ >= 0),

@@ -221,4 +221,29 @@ class SamplingSpec extends SparkSpec {
       uni.select($"doc_id").as[Long].collect().sorted.toSeq)
     assert(sub.select($"epoch").distinct().as[Long].collect().toSeq == Seq(0L))
   }
+
+  test("mixturePlan: targets, epoch cap, shortfall, zero-weight — hand-computed") {
+    // inventory: web 100 tokens, code 20, books 10, junk 5
+    val docs = Seq(
+      (1L, "web", Seq.fill(100)("w").mkString(" ")),
+      (2L, "code", Seq.fill(20)("c").mkString(" ")),
+      (3L, "books", Seq.fill(10)("b").mkString(" ")),
+      (4L, "junk", Seq.fill(5)("j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // budget 200, weights web .6 / code .2 / books .2, cap 3 epochs
+    val plan = Sampling.mixturePlan(docs, $"source", $"text",
+        Map("web" -> 600000L, "code" -> 200000L, "books" -> 200000L),
+        budgetTokens = 200L, maxEpochsMicro = 3000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // web: target 120 ≤ avail·3 = 300 → plan 120, rate 1.2 epochs
+    assert(plan("web") == ((100L, 600000L, 120L, 120L, 1200000L, 0L)))
+    // code: target 40 vs cap 60 → plan 40, rate 2 epochs
+    assert(plan("code") == ((20L, 200000L, 40L, 40L, 2000000L, 0L)))
+    // books: target 40 vs cap 30 → CAP BINDS, shortfall 10
+    assert(plan("books") == ((10L, 200000L, 40L, 30L, 3000000L, 10L)))
+    // undeclared source plans zero but stays visible with inventory
+    assert(plan("junk") == ((5L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
