@@ -290,7 +290,10 @@ object Sampling {
    * "find more of this source or re-weight"). All integer-exact
    * truncating arithmetic (`ldiv`), so the plan is
    * engine-reproducible and auditable; sources without a declared
-   * weight plan 0 (present in the output with their inventory).
+   * weight plan 0 (present in the output with their inventory), and
+   * DECLARED sources absent from the corpus still emit their row
+   * (avail 0, full shortfall) — the "find more of this source"
+   * signal must not vanish exactly when the source is missing.
    * Everything after the one avail aggregate is a constant-folded
    * projection over ≤ |sources| rows.
    */
@@ -301,13 +304,18 @@ object Sampling {
     require(maxEpochsMicro >= 0, "maxEpochsMicro must be >= 0")
     require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
     import graft.functions.ldiv
+    val spark = df.sparkSession
+    import spark.implicits._
     val avail = df.groupBy(source.as("source"))
       .agg(sum(size(TextOps.tokens(text)).cast("long")).as("avail_tokens"))
+    val declared = weightsPpm.keys.toSeq.sorted.toDF("source")
+    val inv = avail.join(declared, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("avail_tokens"))
     val wCol = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (k, w)) =>
         when(col("source") === lit(k), lit(w)).otherwise(acc)
     }
-    avail
+    inv
       .withColumn("weight_ppm", wCol)
       .withColumn("target_tokens",
         ldiv(col("weight_ppm") * lit(budgetTokens), lit(1000000L)))

@@ -245,5 +245,16 @@ class SamplingSpec extends SparkSpec {
     assert(plan("books") == ((10L, 200000L, 40L, 30L, 3000000L, 10L)))
     // undeclared source plans zero but stays visible with inventory
     assert(plan("junk") == ((5L, 0L, 0L, 0L, 0L, 0L)))
+    // a DECLARED source with no corpus presence keeps its row: full
+    // shortfall, rate 0 — the signal must not vanish with the source
+    val missing = Sampling.mixturePlan(docs, $"source", $"text",
+        Map("web" -> 500000L, "wiki" -> 500000L),
+        budgetTokens = 200L, maxEpochsMicro = 3000000L)
+      .filter($"source" === "wiki").collect()
+    assert(missing.length == 1)
+    assert(missing.head.getLong(1) == 0L &&   // avail
+      missing.head.getLong(3) == 100L &&      // target
+      missing.head.getLong(4) == 0L &&        // plan
+      missing.head.getLong(6) == 100L)        // shortfall
   }
 }
