@@ -1858,6 +1858,69 @@ object Queries {
           (target_tokens - plan_tokens)::BIGINT AS shortfall_tokens
         FROM p ORDER BY source""")),
 
+    // the mixture plan EXECUTES: plan rates joined back to the
+    // corpus, repeatWeighted materializes the fractional epochs, and
+    // the achieved per-source token counts audit against plan_tokens
+    // (delta = the per-doc discretization the hash-fractional
+    // sampling leaves) — the end-to-end recipe gate
+    "sample_mixture_apply" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val plan = graft.operators.Sampling.mixturePlan(docs,
+            col("source"), col("text"),
+            weightsPpm = Map("src1" -> 500000L, "src2" -> 300000L,
+              "src3" -> 200000L),
+            budgetTokens = 8000L, maxEpochsMicro = 2500000L)
+          .localCheckpoint() // rates AND the final audit read it
+        val rated = docs.join(
+          broadcast(plan.select(col("source"), col("rate_ppm"))),
+          Seq("source"))
+        val applied = graft.operators.Sampling.repeatWeighted(rated,
+          col("doc_id"),
+          col("rate_ppm").cast("double") / lit(1000000.0))
+        val achieved = applied.groupBy(col("source"))
+          .agg(sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("achieved_tokens"))
+        plan.select(col("source"), col("plan_tokens"))
+          .join(achieved, Seq("source"), "left")
+          .na.fill(0L, Seq("achieved_tokens"))
+          .withColumn("delta_tokens",
+            col("achieved_tokens") - col("plan_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH avail AS (SELECT source,
+            sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+          FROM documents GROUP BY 1),
+        w AS (SELECT source, avail_tokens,
+            (CASE source WHEN 'src1' THEN 500000 WHEN 'src2' THEN 300000
+              WHEN 'src3' THEN 200000 ELSE 0 END)::BIGINT AS weight_ppm
+          FROM avail),
+        p0 AS (SELECT source, avail_tokens,
+            least((weight_ppm * 8000) // 1000000,
+              (avail_tokens * 2500000) // 1000000)::BIGINT AS plan_tokens
+          FROM w),
+        pr AS (SELECT source, plan_tokens,
+            (CASE WHEN avail_tokens > 0
+              THEN (plan_tokens * 1000000) // avail_tokens
+              ELSE 0 END)::BIGINT AS rate_ppm
+          FROM p0),
+        r AS (SELECT d.doc_id, d.source,
+            len(string_split(d.text, ' '))::BIGINT AS nt,
+            pr.rate_ppm / 1000000.0 AS rate,
+            (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0) AS fr
+          FROM documents d JOIN pr USING (source)),
+        nn AS (SELECT source, nt, (floor(rate)::BIGINT +
+            CASE WHEN fr < rate - floor(rate) THEN 1 ELSE 0 END) AS n
+          FROM r),
+        ach AS (SELECT source, sum(nt * n)::BIGINT AS achieved_tokens
+          FROM nn GROUP BY 1)
+        SELECT pr.source, pr.plan_tokens,
+          coalesce(ach.achieved_tokens, 0)::BIGINT AS achieved_tokens,
+          (coalesce(ach.achieved_tokens, 0) - pr.plan_tokens)::BIGINT
+            AS delta_tokens
+        FROM pr LEFT JOIN ach USING (source) ORDER BY pr.source""")),
+
     "sample_token_budget" -> Entry(
       (s, dir) => graft.operators.Sampling.tokenBudget(t(s, dir, "documents"),
           col("doc_id"), col("lang"), col("n_chars"),
