@@ -5319,9 +5319,11 @@ object Queries {
     // 41) — the jittered copy MUST still pair with its source
     // (hamming ≤ 2 by the one-byte argument), which the exact
     // content hashes of multimodal_near_dup can never do. The oracle
-    // reproduces every hash bit from the byte values (ASCII corpus:
-    // unicode(c) = byte), then takes all-pairs at hamming ≤ 3 —
-    // equal to the banded build by the pigeonhole recall guarantee
+    // reproduces every hash bit from the UTF-8 payload bytes
+    // (hex(encode(text)) expanded two nibbles at a time — the same
+    // byte stream the engine pools, faithful on non-ASCII corpora
+    // too), then takes all-pairs at hamming ≤ 3 — equal to the
+    // banded build by the pigeonhole recall guarantee
     "multimodal_perceptual_dup" -> Entry(
       (s, dir) => {
         val base = t(s, dir, "documents")
@@ -5345,8 +5347,9 @@ object Queries {
           SELECT doc_id + 100000,
             substr(text, 1, 40) || 'x' || substr(text, 42) FROM src),
         bv AS (SELECT doc_id,
-            list_transform(string_to_array(text, ''), c -> unicode(c)) AS bs,
-            length(text)::BIGINT AS n
+            list_transform(regexp_extract_all(hex(encode(text)), '.{2}'),
+              b -> ('0x' || b)::BIGINT) AS bs,
+            octet_length(encode(text))::BIGINT AS n
           FROM corp),
         cells AS (SELECT doc_id, list_transform(range(0, 66), s -> {
             'sm': coalesce(list_sum(list_slice(bs,

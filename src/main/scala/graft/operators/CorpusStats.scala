@@ -121,6 +121,26 @@ object CorpusStats {
   /** Estimate the [[UnigramModel]] from a STATIC corpus (two Spark
    * actions: the total and the vocab cut — streams cannot run these,
    * which is exactly why the model is a separate value). */
+  /** UTF-8 byte-order string comparison — the collation SQL engines
+   * (and every engine-side deterministic cut here) use for ORDER BY.
+   * Java's natural String order is UTF-16 code units, which ranks
+   * supplementary-plane symbols BELOW U+E000..U+FFFF; tie-breaks in
+   * the tokenizer trainers must match the unrolled SQL oracles, so
+   * they compare UTF-8 bytes. */
+  private val utf8Ord: Ordering[String] = (x: String, y: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+
+  /** Collected count total for an LM build; fails loudly on an empty
+   * corpus/histogram, where the null sum would otherwise NPE (and a
+   * zero total would poison every `-ln(c/total)` micro-nat). */
+  private def tokenTotal(counts: DataFrame, c: String, what: String): Long = {
+    val r = counts.agg(sum(col(c))).head
+    require(!r.isNullAt(0) && r.getLong(0) > 0,
+      s"$what: empty corpus/histogram — no token counts to model")
+    r.getLong(0)
+  }
+
   def unigramModel(df: DataFrame, text: Column,
       vocabK: Int = 65536): UnigramModel = {
     require(vocabK >= 1, "vocabK must be >= 1")
@@ -128,7 +148,7 @@ object CorpusStats {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // consumed twice: total + vocab cut — without
       // this the corpus-sized token explode runs twice
-    val total = counts.agg(sum(col("c"))).head.getLong(0)
+    val total = tokenTotal(counts, "c", "unigramModel")
     val micro = new java.util.HashMap[String, java.lang.Long](vocabK * 2)
     def microNll(c: Long): Long =
       Math.round(-Math.log(c.toDouble / total.toDouble) * 1000000.0)
@@ -344,11 +364,11 @@ object CorpusStats {
     val uni = df.select(explode(TextOps.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
       .localCheckpoint() // consumed thrice: total + both endpoint joins
-    val t1 = uni.agg(sum(col("c1"))).head.getLong(0).toDouble
+    val t1 = tokenTotal(uni, "c1", "collocations").toDouble
     val bi = df.select(explode(TextOps.ngrams(text, 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c2"))
       .localCheckpoint() // consumed twice: total + scoring
-    val t2 = bi.agg(sum(col("c2"))).head.getLong(0).toDouble
+    val t2 = tokenTotal(bi, "c2", "collocations").toDouble
     bi.filter(col("c2") >= minCount)
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
@@ -420,7 +440,7 @@ object CorpusStats {
     val uniCounts = df.select(explode(TextOps.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // consumed by total, vocab cut, and bigram join
-    val total = uniCounts.agg(sum(col("c"))).head.getLong(0)
+    val total = tokenTotal(uniCounts, "c", "bigramNll")
     def mUni(c: Long): Long =
       Math.round(-Math.log(c.toDouble / total.toDouble) * 1000000.0)
     def mBack(c: Long): Long =
@@ -514,7 +534,7 @@ object CorpusStats {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val uniCounts = uniHist.select(col("g").as("w"), col("c"))
       .localCheckpoint() // consumed by total, vocab cut, bigram join
-    val total = uniCounts.agg(sum(col("c"))).head.getLong(0)
+    val total = tokenTotal(uniCounts, "c", "trigramNllFromHists")
     def mUni(c: Long, a: Double): Long =
       Math.round(-Math.log(a * (c.toDouble / total.toDouble)) * 1000000.0)
     val uni = new java.util.HashMap[String, Array[Long]](vocabK * 2)
@@ -1542,7 +1562,8 @@ object CorpusStats {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
         out += ((rank, l, r, c))
         words = words.map { case (syms, n) =>
           val b = Array.newBuilder[String]
@@ -1626,7 +1647,7 @@ object CorpusStats {
           // negate the exact integer key for minBy
           (-(BigInt(n) * e18 / (BigInt(syms(a)) * BigInt(syms(b)))),
             a, b)
-        }
+        }(Ordering.Tuple3(Ordering.BigInt, utf8Ord, utf8Ord))
         out += ((rank, l, r, c))
         words = words.map { case (ss, n) =>
           val b = Array.newBuilder[String]

@@ -84,10 +84,12 @@ object SeriesStream {
    * micro-batch is screened against everything previously admitted,
    * with no index rebuild ever. The stream owns both artifacts:
    * `indexPath` rotates under the [[artifactUpdateBatch]] swap
-   * discipline (re-delivered batches skip via the recorded batch_id
-   * — sink and writes fire at most once per batch), and the admitted
-   * corpus text lands in per-batch subdirs of `corpusPath`
-   * (overwrite-by-batch-id, so a replayed batch is idempotent).
+   * discipline (re-delivered batches skip via the durable batch
+   * marker). Sink semantics are AT-LEAST-ONCE: sink and corpus write
+   * run before the index swap commits, so a crash in that window
+   * replays the batch and re-fires the sink — make the sink
+   * idempotent (the corpus write itself is: per-batch subdirs of
+   * `corpusPath`, overwrite-by-batch-id).
    * Batch-INTERNAL duplicates are not screened here (same contract
    * as [[admitStream]]) — compose exact/minhashPairs over the batch
    * upstream for a full filter. Spec-pinned: an out-of-order
@@ -416,14 +418,34 @@ object SeriesStream {
    * `.tmp` moves in, `.old` deletes; a crash between steps leaves
    * either the old or the new artifact readable ([[standingSketch]]
    * falls back to `.old`). Re-delivered batches skip via the recorded
-   * `batch_id`. */
+   * `batch_id`. Standing columns are cast to the fresh build's types
+   * before the union, so an artifact persisted under an older column
+   * type (e.g. the pre-r13 int `sid` of the MG family, now string —
+   * int sids cast to `"0".."P"`/`"-1"`, disjoint from `"p*"`/`"m"` by
+   * construction) keeps reading instead of failing the union. */
   private[graft] def artifactMergeBatch(batch: DataFrame,
       build: DataFrame => DataFrame, merge: DataFrame => DataFrame,
       storePath: String, batchId: Long): Unit =
     artifactUpdateBatch(batch.sparkSession, storePath, batchId,
-      standing => merge(standing
-        .map(_.drop("batch_id").unionByName(build(batch)))
-        .getOrElse(build(batch))))
+      { standing =>
+        val fresh = build(batch)
+        merge(standing
+          .map(s => alignTypes(s.drop("batch_id"), fresh.schema)
+            .unionByName(fresh))
+          .getOrElse(fresh))
+      })
+
+  /** Cast `df`'s columns to `target`'s types where the names match
+   * and the types differ — the standing-artifact schema-migration
+   * rule: the CURRENT code version's build schema wins. */
+  private def alignTypes(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val want = target.map(f => f.name -> f.dataType).toMap
+    df.columns.foldLeft(df) { (d, c) =>
+      want.get(c).filter(_ != d.schema(c).dataType)
+        .map(t => d.withColumn(c, col(c).cast(t))).getOrElse(d)
+    }
+  }
 
   /** The generalized standing-artifact step ([[artifactMergeBatch]]'s
    * skip + swap discipline with a caller-supplied update): `update`
@@ -435,19 +457,40 @@ object SeriesStream {
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       batchId: Long, update: Option[DataFrame] => DataFrame): Unit = {
     val standing = standingSketch(spark, storePath)
-    val seen = standing.exists(s =>
-      !s.filter(col("batch_id") >= batchId).isEmpty)
+    // Durable marker first; row-based fallback only for artifacts
+    // written before the marker existed. The marker survives a
+    // zero-row artifact (e.g. a batch whose every doc was rejected),
+    // which the row-based check would replay forever.
+    val seen = readBatchMarker(storePath).map(_ >= batchId).getOrElse(
+      standing.exists(s => !s.filter(col("batch_id") >= batchId).isEmpty))
     if (seen) return // re-delivered batch after a restart: already in
     val merged = update(standing).withColumn("batch_id", lit(batchId))
     val p = java.nio.file.Paths.get(storePath)
     val tmp = java.nio.file.Paths.get(storePath + ".tmp")
     val old = java.nio.file.Paths.get(storePath + ".old")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // Marker rides the swap: it lands in `.tmp` BEFORE the rotation,
+    // so the batch_id commits atomically with the artifact (parquet
+    // readers skip `_`-prefixed files).
+    java.nio.file.Files.write(tmp.resolve(BatchMarkerName),
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     deleteTree(old)
     if (java.nio.file.Files.isDirectory(p))
       java.nio.file.Files.move(p, old)
     java.nio.file.Files.move(tmp, p)
     deleteTree(old)
+  }
+
+  private val BatchMarkerName = "_GRAFT_BATCH_ID"
+
+  /** Highest committed batch id, from whichever artifact dir
+   * [[standingSketch]] would read (live, else pre-swap `.old`). */
+  private[graft] def readBatchMarker(storePath: String): Option[Long] = {
+    val f = Seq(storePath, storePath + ".old")
+      .map(d => java.nio.file.Paths.get(d).resolve(BatchMarkerName))
+      .find(java.nio.file.Files.isRegularFile(_))
+    f.map(p => new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
   }
 
   /** The current standing sketch, if any (prefers the live dir, falls

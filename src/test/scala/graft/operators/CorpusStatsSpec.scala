@@ -140,6 +140,24 @@ class CorpusStatsSpec extends SparkSpec {
       s2.getAs[Double]("top_lang_share") == 1.0)
   }
 
+  test("LM builders fail loudly on an empty corpus/histogram") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val eh = Seq.empty[(String, Long)].toDF("g", "c")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusStats.trigramNllFromHists(empty, $"doc_id", $"text",
+        eh, eh, eh)
+    }
+    assert(e1.getMessage.contains("empty corpus/histogram"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStats.bigramNll(empty, $"doc_id", $"text")
+    }
+    assert(e2.getMessage.contains("empty corpus/histogram"))
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusStats.unigramModel(empty, $"text")
+    }
+    assert(e3.getMessage.contains("empty corpus/histogram"))
+  }
+
   test("bigramNll: bigram hit, backoff, and OOV floor — hand-computed") {
     // corpus: "a b" ×3, "a c" ×1 → unigrams a=4,b=3,c=1 (total 8);
     // bigrams "a b"=3, "a c"=1. bigramK=1 keeps only "a b".

@@ -35,6 +35,23 @@ class WordpieceSpec extends SparkSpec {
     assert(bpe == (("u", "g")))
   }
 
+  test("exact-score ties break on UTF-8 bytes, not UTF-16 code units") {
+    // U+E000 (UTF-8 EE 80 80) vs U+10000 (UTF-8 F0 90 80 80): UTF-16
+    // ranks the surrogate pair (D800 DC00) BELOW E000; UTF-8 ranks it
+    // ABOVE. Equal counts make both pair scores tie exactly, so the
+    // ascending (left, right) tie-break decides — and must match the
+    // oracle's byte collation: U+E000 first.
+    val pua = ""           // U+E000
+    val astral = new String(Character.toChars(0x10000))
+    val docs = Seq((1L, pua + "a"), (2L, astral + "a"))
+      .toDF("doc_id", "text")
+    val wp = CorpusStats.wordpieceTrain(docs, $"text", merges = 1)
+      .head()
+    assert(wp.getString(1) == pua && wp.getString(2) == "a")
+    val bpe = CorpusStats.bpeTrain(docs, $"text", merges = 1).head()
+    assert(bpe.getString(1) == pua && bpe.getString(2) == "a")
+  }
+
   test("exhaustion: no pairs left ends training early") {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     val wp = CorpusStats.wordpieceTrain(tiny, $"text", merges = 5)

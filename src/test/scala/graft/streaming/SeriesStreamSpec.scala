@@ -527,6 +527,60 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("pre-r13 int-sid MG artifacts migrate on read (cast to string sid)") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mg-mig").toString + "/sk"
+    // old-format standing artifact: sid was int (partition id / -1)
+    Seq((0, "hot", 40L, 2L), (1, "warm", 9L, 1L), (-1, "hot", 7L, 0L))
+      .toDF("sid", "v", "c", "err")
+      .withColumn("batch_id", lit(0L))
+      .write.parquet(store)
+    val batch = (Seq.fill(25)("hot") ++ Seq.fill(6)("cold")).toDF("w")
+    SeriesStream.artifactMergeBatch(batch,
+      b => CorpusStats.mgSketch(b, $"w", 8),
+      u => CorpusStats.mgMerge(u, 8), store, batchId = 1L)
+    val out = spark.read.parquet(store)
+      .select("v", "c").as[(String, Long)].collect().toMap
+    // hot: 40+7 standing + 25 fresh = 72 (within err of exact); the
+    // old int sids merged as "0"/"1"/"-1" — disjoint from "p*"/"m"
+    assert(out.contains("hot") && out("hot") <= 72 && out("hot") >= 72 - 4)
+    assert(spark.read.parquet(store).schema("sid").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("empty-artifact batches still commit their batch_id (durable marker)") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-marker").toString + "/sk"
+    var calls = 0
+    def emptyUpdate(s: Option[org.apache.spark.sql.DataFrame]) = {
+      calls += 1
+      Seq.empty[(String, Long)].toDF("k", "v")
+    }
+    SeriesStream.artifactUpdateBatch(spark, store, 0L, emptyUpdate)
+    assert(calls == 1)
+    assert(spark.read.parquet(store).drop("batch_id").isEmpty)
+    assert(SeriesStream.readBatchMarker(store).contains(0L))
+    // re-delivery of batch 0 skips even though the artifact has 0 rows
+    // (the row-based guard alone would replay it forever)
+    SeriesStream.artifactUpdateBatch(spark, store, 0L, emptyUpdate)
+    assert(calls == 1)
+    // a NEW batch id proceeds and advances the marker
+    SeriesStream.artifactUpdateBatch(spark, store, 1L,
+      { s => calls += 1; Seq(("a", 1L)).toDF("k", "v") })
+    assert(calls == 2)
+    assert(SeriesStream.readBatchMarker(store).contains(1L))
+    // pre-marker artifacts (marker file absent) fall back to the
+    // row-based guard: delete the marker, re-deliver batch 1 — the
+    // surviving rows carry batch_id=1 so it still skips
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(store).resolve("_GRAFT_BATCH_ID"))
+    SeriesStream.artifactUpdateBatch(spark, store, 1L, emptyUpdate)
+    assert(calls == 2)
+  }
+
   test("standing per-group heavy hitters honor each group's MG contract") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
