@@ -74,7 +74,8 @@ object Bench {
       "text_bpe_encode_bytes", "corpus_wordpiece_merges",
       "multimodal_perceptual_dup", "corpus_wordpiece_merges_hist",
       "text_perplexity_trigram", "text_perplexity_trigram_hist",
-      "sample_mixture_plan", "sample_mixture_apply")
+      "sample_mixture_plan", "sample_mixture_apply",
+      "dedup_exact_substring")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

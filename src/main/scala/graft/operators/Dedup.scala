@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.SimHash60.simhash60
 import graft.operators.TextOps.{hash60, shingles, tokens}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -1022,5 +1023,112 @@ object Dedup {
           x => x =!= ""), " ").as("text"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /**
+   * EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better" — their ExactSubstr/
+   * suffix-array semantics, token-level): remove every MAXIMAL
+   * duplicated substring of ≥ `l` tokens from all but its globally
+   * first occurrence. Where [[spanDedup]] cuts text into FIXED
+   * non-overlapping k-spans (so a duplicated passage straddling a
+   * span boundary survives), this marks duplication at ARBITRARY
+   * offsets, which is what the suffix-array tools compute.
+   *
+   * The Spark-shaped equivalence that avoids a global suffix array:
+   * a token lies in some duplicated substring of length ≥ l iff it is
+   * covered by an l-window whose content occurs ≥ 2 times in the
+   * corpus (any duplicated m ≥ l substring is the union of its
+   * duplicated l-windows, and every duplicated l-window IS such a
+   * substring) — so maximal duplicated spans are exactly maximal
+   * runs of duplicated window STARTS, merged at gap ≤ l. Keep-first:
+   * the globally first occurrence `min(doc_id, pos)` of each window
+   * content is a KEEPER; dropped tokens = union(non-keeper windows)
+   * MINUS union(keeper windows), so one copy of every duplicated
+   * passage survives (ties bias to keep, deterministically).
+   *
+   * Scale shape: windows are 61-bit rolling hashes
+   * ([[graft.functions.GramHashExpr]], one O(n) pass — never L
+   * token-reads per position), the first-occurrence resolution is one
+   * map-side-combinable `groupBy(gh).agg(count, min)` (hot
+   * boilerplate windows collapse BEFORE the shuffle; a window
+   * function over gh would ship every occurrence of the hottest gram
+   * to one task), only DUPLICATED windows rejoin (broadcast-sized
+   * under realistic duplication rates, AQE decides), and the
+   * run-merge / interval-subtraction windows all partition by
+   * `doc_id` — per-group state is bounded by the document. Nothing
+   * is quadratic; the one corpus-scale shuffle is the gram count,
+   * the same magnitude as any token-level histogram.
+   *
+   * Output: one row per input doc — rebuilt `text` (single-space
+   * re-joined, [[spanDedup]]'s documented whitespace normalization),
+   * `n_tokens`, dropped-token count and maximal-drop-span count.
+   * Docs shorter than `l` tokens pass through verbatim.
+   */
+  def exactSubstringDedup(docs: DataFrame, id: Column, text: Column,
+      l: Int = 50): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("ws"))
+    val gh = base.select(col("doc_id"),
+      posexplode(graft.functions.GramHashExpr.gramHashes(col("ws"), l))
+        .as(Seq("pos", "gh")))
+    val firsts = gh.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).as("__f"))
+      .filter(col("__c") >= 2)
+      .select(col("gh"), col("__f"))
+    val marked = gh.join(firsts, "gh")
+      .select(col("doc_id"), col("pos"),
+        (struct(col("doc_id"), col("pos")) === col("__f")).as("is_first"))
+    // maximal intervals per (doc, class): window starts sorted, new
+    // island when the gap exceeds l (the [pos, pos+l) unions split)
+    val ord = Window.partitionBy(col("doc_id"), col("is_first"))
+      .orderBy(col("pos"))
+    val iv = marked
+      .withColumn("__ni",
+        when(coalesce(col("pos") > lag(col("pos"), 1).over(ord) + l,
+          lit(true)), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("is_first"), col("__isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + l).as("e"))
+    val fi = iv.filter(col("is_first"))
+      .select(col("doc_id"), col("s").as("fs"), col("e").as("fe"))
+    val di = iv.filter(!col("is_first"))
+      .select(col("doc_id"), col("s").as("ds"), col("e").as("de"))
+    // interval subtraction D \ F: keeper intervals punch holes in
+    // drop intervals (keeper sets are disjoint post-merge, so the
+    // lag sweep per drop interval is a proper sweep)
+    val ov = di.join(fi, Seq("doc_id"))
+      .filter(col("fs") < col("de") && col("fe") > col("ds"))
+    val sweep = Window.partitionBy(col("doc_id"), col("ds"))
+      .orderBy(col("fs"))
+    val mids = ov.select(col("doc_id"),
+        greatest(col("ds"),
+          coalesce(lag(col("fe"), 1).over(sweep), col("ds"))).as("ss"),
+        least(col("de"), col("fs")).as("se"))
+    val tails = ov.groupBy(col("doc_id"), col("ds"), col("de"))
+      .agg(max(col("fe")).as("__m"))
+      .select(col("doc_id"), greatest(col("ds"), col("__m")).as("ss"),
+        col("de").as("se"))
+    val whole = di.join(ov.select(col("doc_id"), col("ds"), col("de"))
+        .distinct(), Seq("doc_id", "ds", "de"), "left_anti")
+      .select(col("doc_id"), col("ds").as("ss"), col("de").as("se"))
+    val segs = mids.unionByName(tails).unionByName(whole)
+      .filter(col("se") > col("ss"))
+    val per = segs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ss"), col("se"))))
+          .as("__segs"),
+        sum(col("se") - col("ss")).as("n_dropped_tokens"),
+        count(lit(1)).as("n_drop_spans"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__segs").isNull, array_join(col("ws"), " "))
+          .otherwise(array_join(expr(
+            "filter(ws, (w, i) -> NOT exists(__segs, " +
+              "x -> i >= x.ss AND i < x.se))"), " ")).as("text"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
+        coalesce(col("n_drop_spans"), lit(0L)).as("n_drop_spans"))
   }
 }

@@ -440,4 +440,64 @@ class DedupSpec extends SparkSpec {
         r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq(("a", "x y", 1L, 0L), ("b", "tail", 1L, 1L)))
   }
+
+  test("exactSubstringDedup: maximal duplicated passage cut once, kept once") {
+    import spark.implicits._
+    // passage P = p1..p8 (8 tokens) embedded at DIFFERENT offsets —
+    // the case spanDedup's fixed span grid cannot cut. l=4: every
+    // 4-window of P is duplicated, the windows merge to ONE maximal
+    // span, doc a (first) keeps it, doc b loses exactly P.
+    val p = (1 to 8).map("p" + _).mkString(" ")
+    val r8 = (1 to 8).map("r" + _).mkString(" ")
+    val docs = Seq(
+      ("a", s"a1 a2 a3 $p z1 z2"),
+      ("b", s"b1 $p y1 y2 y3 y4 y5"),
+      ("c", "c1 c2 c3"), // shorter than l: verbatim
+      ("d", s"$r8 d1 d2 d3 d4 $r8")) // self-dup: 2nd copy cut
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, col("doc_id"), col("text"),
+        l = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", s"a1 a2 a3 $p z1 z2", 0L, 0L),
+      ("b", "b1 y1 y2 y3 y4 y5", 8L, 1L),
+      ("c", "c1 c2 c3", 0L, 0L),
+      ("d", s"$r8 d1 d2 d3 d4", 8L, 1L)))
+  }
+
+  test("exactSubstringDedup: keeper window punches a hole in a drop span") {
+    import spark.implicits._
+    // doc e repeats doc a's passage AND owns a fresh passage Q that
+    // doc f later duplicates: inside e, Q's tokens are covered by
+    // KEEPER windows (first occurrence of Q) — they survive even
+    // where adjacent to dropped tokens; f loses its copy of Q.
+    val p = (1 to 6).map("p" + _).mkString(" ")
+    val q = (1 to 6).map("q" + _).mkString(" ")
+    val docs = Seq(
+      ("a", s"$p a1 a2 a3 a4 a5"),
+      ("e", s"$p $q"),
+      ("f", s"f1 f2 $q f3")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, col("doc_id"), col("text"),
+        l = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("a", s"$p a1 a2 a3 a4 a5"),
+      ("e", q), // P dropped (2nd copy), Q kept (1st copy)
+      ("f", "f1 f2 f3")))
+  }
+
+  test("exactSubstringDedup: self-overlapping periodic repeat") {
+    import spark.implicits._
+    // "a b a b a b", l=2: keeper windows ab@0, ba@1 cover [0,3);
+    // non-keepers ab@2, ba@3, ab@4 cover [2,6) — the overlapping
+    // subtraction keeps exactly the first period-plus-one tokens
+    val docs = Seq(("g", "a b a b a b")).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedup(docs, col("doc_id"), col("text"),
+      l = 2).head()
+    assert(r.getString(1) == "a b a" && r.getLong(3) == 3L &&
+      r.getLong(4) == 1L)
+  }
 }
