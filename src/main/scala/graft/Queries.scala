@@ -146,7 +146,22 @@ object Queries {
    * (one winner row each: a, b, c) and `wpm{iters}` (final state).
    */
   private def wordpieceTrainCtes(iters: Int,
-      topTypes: Int = 50000): String = {
+      topTypes: Int = 50000, marked: Boolean = false): String = {
+    // marked = the BERT `##` namespace: the first code point splits
+    // plain, every later one `##`-prefixed, and a merge keeps the
+    // left symbol's marker while stripping the right's — so the
+    // symbol/pair counts (hence the likelihood-gain argmax) run in
+    // the positional namespace
+    val init =
+      if (marked)
+        """'§' || substr(w, 1, 1) || '¤' ||
+          regexp_replace(substr(w, 2), '(.)', '§##\1¤', 'g')"""
+      else """regexp_replace(w, '(.)', '§\1¤', 'g')"""
+    val mergedSym =
+      if (marked)
+        """x.a || CASE WHEN x.b LIKE '##%' THEN substr(x.b, 3)
+          ELSE x.b END"""
+      else "x.a || x.b"
     val head = Seq(
       // top-types cut (count desc, word asc — deterministic): a no-op
       // at the oracle's scales (≤ tens of types) but what keeps the
@@ -158,8 +173,7 @@ object Queries {
             WHERE text IS NOT NULL)
           WHERE w IS NOT NULL AND length(w) >= 2 GROUP BY w)
         ORDER BY n DESC, w LIMIT $topTypes)""",
-      """wpm0 AS MATERIALIZED (SELECT w,
-        regexp_replace(w, '(.)', '§\1¤', 'g') AS f, n FROM wpwt)""")
+      s"""wpm0 AS MATERIALIZED (SELECT w, $init AS f, n FROM wpwt)""")
     val steps = (1 to iters).flatMap { t =>
       val p = s"wpm${t - 1}"
       Seq(
@@ -181,7 +195,7 @@ object Queries {
           ORDER BY k DESC, a, b LIMIT 1)""",
         s"""wpm$t AS MATERIALIZED (SELECT m.w,
           replace(m.f, '§' || x.a || '¤§' || x.b || '¤',
-            '§' || x.a || x.b || '¤') AS f, m.n
+            '§' || $mergedSym || '¤') AS f, m.n
           FROM $p m, wpw$t x)""")
     }
     (head ++ steps).mkString(",\n      ")
@@ -194,22 +208,31 @@ object Queries {
    * [[graft.functions.BpeEncodeExpr.byteFallback]] (computed from
    * `unicode(c)` — pure CASE + div/mod), then the marker-form merge
    * replaces chain as in text_bpe_encode. */
-  private def byteFallbackEncodeOracle(alphabet: String): String = {
-    def bp(e: String) =
-      s"'§<0x' || upper(lpad(to_hex($e), 2, '0')) || '>'"
-    val lam = s"""CASE WHEN contains('$alphabet', c) THEN '§' || c
-      WHEN unicode(c) < 128 THEN ${bp("unicode(c)")}
-      WHEN unicode(c) < 2048 THEN
-        ${bp("192 + unicode(c) // 64")} || ${bp("128 + unicode(c) % 64")}
-      WHEN unicode(c) < 65536 THEN
-        ${bp("224 + unicode(c) // 4096")} ||
-        ${bp("128 + (unicode(c) // 64) % 64")} ||
-        ${bp("128 + unicode(c) % 64")}
+  /** Marker-form UTF-8 byte pieces of one code point (`'§<0xXX>'`
+   * per byte) from pure `unicode(e)` integer arithmetic — the SQL
+   * mirror of [[graft.functions.BpeEncodeExpr.byteFallback]], shared
+   * by every byte-fallback oracle. `e` is a one-code-point string
+   * expression. */
+  private def utf8BytePiecesSql(e: String): String = {
+    def bp(x: String) =
+      s"'§<0x' || upper(lpad(to_hex($x), 2, '0')) || '>'"
+    s"""CASE WHEN unicode($e) < 128 THEN ${bp(s"unicode($e)")}
+      WHEN unicode($e) < 2048 THEN
+        ${bp(s"192 + unicode($e) // 64")} || ${bp(s"128 + unicode($e) % 64")}
+      WHEN unicode($e) < 65536 THEN
+        ${bp(s"224 + unicode($e) // 4096")} ||
+        ${bp(s"128 + (unicode($e) // 64) % 64")} ||
+        ${bp(s"128 + unicode($e) % 64")}
       ELSE
-        ${bp("240 + unicode(c) // 262144")} ||
-        ${bp("128 + (unicode(c) // 4096) % 64")} ||
-        ${bp("128 + (unicode(c) // 64) % 64")} ||
-        ${bp("128 + unicode(c) % 64")} END"""
+        ${bp(s"240 + unicode($e) // 262144")} ||
+        ${bp(s"128 + (unicode($e) // 4096) % 64")} ||
+        ${bp(s"128 + (unicode($e) // 64) % 64")} ||
+        ${bp(s"128 + unicode($e) % 64")} END"""
+  }
+
+  private def byteFallbackEncodeOracle(alphabet: String): String = {
+    val lam = s"""CASE WHEN contains('$alphabet', c) THEN '§' || c
+      ELSE ${utf8BytePiecesSql("c")} END"""
     s"""WITH words AS (
         SELECT DISTINCT w0 || 'é😀' AS w FROM (
           SELECT unnest(string_split(text, ' ')) AS w0 FROM documents)
@@ -3757,6 +3780,47 @@ object Queries {
       },
       Some(greedyEncodeOracle(maxLen = 12, maxPieceLen = 6))),
 
+    // unigram Viterbi with BYTE FALLBACK (SentencePiece
+    // byte_fallback): the DP is identical, but unknown single code
+    // points emit as UTF-8 <0xXX> pieces — zero unknown-piece loss
+    // on the mixed-script + astral suffix every word carries; the
+    // oracle reuses the BPE-bytes UTF-8 integer arithmetic on the
+    // DP path's unknown pieces
+    "text_unigram_encode_bytes" -> Entry(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w0"))
+          .filter(col("w0").isNotNull && length(col("w0")).between(1, 8))
+          .distinct()
+          .select(concat(col("w0"), lit("é😀")).as("w"))
+        val bc = s.sparkContext.broadcast(fixedUnigramVocab)
+        val enc = graft.functions.UnigramEncodeExpr.unigramBytes(
+          col("w"), bc, maxPieceLen = 6, unkNllMicro = 20000000L)
+        words.select(col("w"), array_join(enc, "§").as("seg_join"),
+            size(enc).cast("long").as("n_pieces"))
+          .orderBy(col("w"))
+      },
+      Some(unigramEncodeBytesOracle(maxPieceLen = 6,
+        unkNllMicro = 20000000L))),
+
+    // greedy longest-match with the same emit-time byte fallback —
+    // the WordPiece-inference member of the byte-fallback trio
+    "text_greedy_encode_bytes" -> Entry(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w0"))
+          .filter(col("w0").isNotNull && length(col("w0")).between(1, 8))
+          .distinct()
+          .select(concat(col("w0"), lit("é😀")).as("w"))
+        val bc = s.sparkContext.broadcast(fixedUnigramVocab)
+        val enc = graft.functions.UnigramEncodeExpr.greedyBytes(
+          col("w"), bc, maxPieceLen = 6)
+        words.select(col("w"), array_join(enc, "§").as("seg_join"),
+            size(enc).cast("long").as("n_pieces"))
+          .orderBy(col("w"))
+      },
+      Some(greedyEncodeBytesOracle(maxPieceLen = 6))),
+
     // three-way tokenizer comparison on the SAME corpus: pieces per
     // word for BPE merges, greedy longest-match, and unigram Viterbi
     // — the "pick your tokenizer with a number" card; all three
@@ -3774,8 +3838,8 @@ object Queries {
         val bcB = s.sparkContext.broadcast(fixedMerges.sortBy(_._1)
           .map { case (_, l, r) => Array(l, r) }.toArray)
         val bcW = s.sparkContext.broadcast(
-          graft.operators.CorpusStats.wordpieceVocab(
-            graft.operators.CorpusStats.wordpieceTrainFromHist(
+          graft.operators.CorpusStats.wordpieceVocabMarked(
+            graft.operators.CorpusStats.wordpieceTrainMarkedFromHist(
               graft.operators.CorpusStats.wordTypeHistogram(
                   t(s, dir, "documents"), col("text"))
                 .filter(length(col("w")) >= 2)
@@ -3794,15 +3858,16 @@ object Queries {
             graft.functions.UnigramEncodeExpr.unigram(col("w"), bcU, 6,
               20000000L)))
           .unionByName(stats("wordpiece",
-            graft.functions.UnigramEncodeExpr.greedy(col("w"), bcW, 8)))
+            graft.functions.UnigramEncodeExpr.greedyMarked(col("w"), bcW, 8)))
           .orderBy(col("algo"))
       },
       Some(s"""WITH ${unigramDpCtes(12, 6, 20000000L)},
         ${greedyStepCtes(12, 6)},
-        ${wordpieceTrainCtes(6)},
+        ${wordpieceTrainCtes(6, marked = true)},
         wpvoc(piece) AS (${(1 to 6)
-          .map(t => s"SELECT a || b FROM wpw$t").mkString(" UNION ")}),
-        ${greedyStepCtes(12, 8, voc = "wpvoc", pfx = "wp")},
+          .map(t => s"""SELECT a || CASE WHEN b LIKE '##%'
+            THEN substr(b, 3) ELSE b END FROM wpw$t""").mkString(" UNION ")}),
+        ${greedyStepCtes(12, 8, voc = "wpvoc", pfx = "wp", marked = true)},
         tok AS (SELECT w FROM (SELECT
             unnest(string_split(text, ' ')) AS w FROM documents
             WHERE text IS NOT NULL)
@@ -3836,7 +3901,7 @@ object Queries {
     // replay the identical likelihood-gain argmax over the word-type
     // histogram, exact-integer keys, delimiter-exact merge replaces
     "corpus_wordpiece_merges" -> Entry(
-      (s, dir) => graft.operators.CorpusStats.wordpieceTrainFromHist(
+      (s, dir) => graft.operators.CorpusStats.wordpieceTrainMarkedFromHist(
           graft.operators.CorpusStats.wordTypeHistogram(
               t(s, dir, "documents"), col("text"))
             .filter(length(col("w")) >= 2)
@@ -3845,7 +3910,7 @@ object Queries {
         .select(col("merge_rank").cast("long").as("merge_rank"),
           col("left"), col("right"), col("pair_count"))
         .orderBy(col("merge_rank")),
-      Some(s"""WITH ${wordpieceTrainCtes(6)}
+      Some(s"""WITH ${wordpieceTrainCtes(6, marked = true)}
         SELECT merge_rank, a AS "left", b AS "right", pair_count
         FROM (${(1 to 6).map(t =>
           s"""SELECT ${t - 1}::BIGINT AS merge_rank, a, b,
@@ -3864,7 +3929,7 @@ object Queries {
         val parts = (0 until 3).map(p =>
           graft.operators.CorpusStats.wordTypeHistogram(
             docs.filter(pmod(col("doc_id"), lit(3)) === p), col("text")))
-        graft.operators.CorpusStats.wordpieceTrainFromHist(
+        graft.operators.CorpusStats.wordpieceTrainMarkedFromHist(
             graft.operators.CorpusStats.wordHistMerge(
               parts.reduce(_ unionByName _))
               .filter(length(col("w")) >= 2)
@@ -3873,7 +3938,7 @@ object Queries {
             col("left"), col("right"), col("pair_count"))
           .orderBy(col("merge_rank"))
       },
-      Some(s"""WITH ${wordpieceTrainCtes(6)}
+      Some(s"""WITH ${wordpieceTrainCtes(6, marked = true)}
         SELECT merge_rank, a AS "left", b AS "right", pair_count
         FROM (${(1 to 6).map(t =>
           s"""SELECT ${t - 1}::BIGINT AS merge_rank, a, b,
@@ -5850,8 +5915,16 @@ object Queries {
    * positions, ranked by the identical (nll, count, smallest-split)
    * triple. Unknown single code points cost `unkNllMicro`; unknown
    * longer pieces are not candidates. */
+  /** The default word-type source for the encode oracles: distinct
+   * whitespace tokens of 1..`maxLen` code points. */
+  private def wtSqlDefault(maxLen: Int): String =
+    s"""SELECT DISTINCT w FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          WHERE text IS NOT NULL)
+        WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND $maxLen"""
+
   private def unigramDpCtes(maxLen: Int, maxPieceLen: Int,
-      unkNllMicro: Long): String = {
+      unkNllMicro: Long, wtSql: String = null): String = {
     val values = fixedUnigramVocab
       .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
     val steps = (1 to maxLen).map { i =>
@@ -5879,10 +5952,7 @@ object Queries {
       s"SELECT w, cnt, path FROM b$i WHERE length(w) = $i")
       .mkString("\n        UNION ALL ")
     s"""voc(piece, nll) AS (VALUES $values),
-      wt AS MATERIALIZED (SELECT DISTINCT w FROM (
-          SELECT unnest(string_split(text, ' ')) AS w FROM documents
-          WHERE text IS NOT NULL)
-        WHERE w IS NOT NULL AND length(w) BETWEEN 1 AND $maxLen),
+      wt AS MATERIALIZED (${Option(wtSql).getOrElse(wtSqlDefault(maxLen))}),
       b0 AS MATERIALIZED (SELECT w, 0::BIGINT AS nll, 0 AS cnt,
         '' AS path FROM wt),
       ${steps.mkString(",\n      ")},
@@ -5898,9 +5968,14 @@ object Queries {
    * already exist in the WITH scope — shared with the unigram DP
    * chain); ends with `g$maxLen(w, pos, path)`. */
   private def greedyStepCtes(maxLen: Int, maxPieceLen: Int,
-      voc: String = "voc", wt: String = "wt", pfx: String = "g"): String = {
+      voc: String = "voc", wt: String = "wt", pfx: String = "g",
+      marked: Boolean = false): String = {
+    // marked = BERT continuation inference: probe plain at the word
+    // start, '##'-prefixed at every later position
+    val mk = if (marked) "(CASE WHEN g.pos = 0 THEN '' ELSE '##' END) || "
+      else ""
     val ladder = (maxPieceLen to 2 by -1).map(l =>
-      s"""WHEN length(g.w) - g.pos >= $l AND substr(g.w, g.pos + 1, $l)
+      s"""WHEN length(g.w) - g.pos >= $l AND $mk substr(g.w, g.pos + 1, $l)
           IN (SELECT piece FROM $voc) THEN $l""").mkString("\n            ")
     val steps = (1 to maxLen).map { t =>
       s"""$pfx$t AS MATERIALIZED (
@@ -5935,6 +6010,46 @@ object Queries {
     s"""WITH ${unigramDpCtes(maxLen, maxPieceLen, unkNllMicro)}
       SELECT w, substr(path, 2) AS seg_join, cnt::BIGINT AS n_pieces
       FROM seg ORDER BY w"""
+
+  /** Word source for the byte-fallback encode gates: short distinct
+   * tokens with the 2-byte + astral suffix appended (the
+   * text_bpe_encode_bytes construction), ≤ 10 code points total. */
+  // lazy: the registry map initializes before this declaration point
+  private lazy val byteWordsSql: String =
+    """SELECT DISTINCT w0 || 'é😀' AS w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w0 FROM documents
+        WHERE text IS NOT NULL)
+      WHERE w0 IS NOT NULL AND length(w0) BETWEEN 1 AND 8"""
+
+  /** Shared final SELECT for the unigram/greedy byte-fallback
+   * oracles: every path piece the vocab doesn't know (single code
+   * points by construction — the DP and the greedy matcher admit no
+   * other unknowns) expands to its marker-form UTF-8 byte pieces. */
+  private def byteExpandFinalSql(src: String): String = {
+    val vocList = fixedUnigramVocab
+      .map { case (p, _) => s"'$p'" }.mkString(", ")
+    s"""SELECT w, substr(exp, 2) AS seg_join,
+        (length(exp) - length(replace(exp, '§', '')))::BIGINT AS n_pieces
+      FROM (SELECT w, list_aggregate(list_transform(
+          string_split(substr(path, 2), '§'),
+          p -> CASE WHEN p IN ($vocList) THEN '§' || p
+            ELSE ${utf8BytePiecesSql("p")} END), 'string_agg', '') AS exp
+        FROM $src) ORDER BY w"""
+  }
+
+  private def unigramEncodeBytesOracle(maxPieceLen: Int,
+      unkNllMicro: Long): String =
+    s"""WITH ${unigramDpCtes(10, maxPieceLen, unkNllMicro, byteWordsSql)}
+      ${byteExpandFinalSql("seg")}"""
+
+  private def greedyEncodeBytesOracle(maxPieceLen: Int): String = {
+    val values = fixedUnigramVocab
+      .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
+    s"""WITH voc(piece, nll) AS (VALUES $values),
+      wt AS MATERIALIZED ($byteWordsSql),
+      ${greedyStepCtes(10, maxPieceLen)}
+      ${byteExpandFinalSql("g10")}"""
+  }
 
   /** Unrolled full-batch GD for the text_quality_logreg oracle —
    * [[graft.operators.CorpusStats.logregQuality]]'s exact arithmetic,

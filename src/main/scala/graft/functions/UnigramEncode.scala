@@ -120,6 +120,105 @@ case class GreedyEncodeExpr(child: Expression,
   }
 }
 
+/** `unigram_encode_bytes(word)` — [[UnigramEncodeExpr]] with BYTE
+ * FALLBACK (the SentencePiece `byte_fallback` norm): the Viterbi DP
+ * is IDENTICAL (unknown single code points still score
+ * `unkNllMicro`, so the segmentation decision matches the plain
+ * form piece for piece), but at emit time every unknown single-cp
+ * piece renders as its UTF-8 `<0xXX>` pieces
+ * ([[BpeEncodeExpr.byteFallback]]) — so arbitrary mixed-script +
+ * astral input encodes with ZERO unknown-piece loss, and `n_pieces`
+ * counts the bytes actually emitted. */
+case class UnigramEncodeBytesExpr(child: Expression,
+    vocab: Broadcast[Array[(String, Long)]], maxPieceLen: Int,
+    unkNllMicro: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode_bytes"
+  override protected def withNewChildInternal(c: Expression): UnigramEncodeBytesExpr =
+    copy(child = c)
+
+  @transient private lazy val memo: ThreadLocal[UnigramEncodeExpr.Memo] =
+    ThreadLocal.withInitial(() =>
+      new UnigramEncodeExpr.Memo(vocab.value, maxPieceLen, unkNllMicro))
+
+  override def nullSafeEval(input: Any): Any =
+    memo.get().encodeBytesU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugVocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    val memoV = ctx.addMutableState("graft.functions.UnigramEncodeExpr.Memo",
+      "ugMemo",
+      v => s"""$v = new graft.functions.UnigramEncodeExpr.Memo(
+        (scala.Tuple2[]) $ref.value(), $maxPieceLen, ${unkNllMicro}L);""")
+    defineCodeGen(ctx, ev, c => s"$memoV.encodeBytesU($c)")
+  }
+}
+
+/** `greedy_encode_marked(word)` —
+ * [[UnigramEncodeExpr.Memo.segmentGreedyMarked]] as a codegen'd
+ * expression: BERT-style continuation-aware WordPiece inference over
+ * a `##`-marked vocab ([[graft.operators.CorpusStats
+ * .wordpieceVocabMarked]]). */
+case class GreedyEncodeMarkedExpr(child: Expression,
+    vocab: Broadcast[Array[(String, Long)]], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_encode_marked"
+  override protected def withNewChildInternal(c: Expression): GreedyEncodeMarkedExpr =
+    copy(child = c)
+
+  @transient private lazy val memo: ThreadLocal[UnigramEncodeExpr.Memo] =
+    ThreadLocal.withInitial(() =>
+      new UnigramEncodeExpr.Memo(vocab.value, maxPieceLen, 0L))
+
+  override def nullSafeEval(input: Any): Any =
+    memo.get().encodeGreedyMarkedU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugVocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    val memoV = ctx.addMutableState("graft.functions.UnigramEncodeExpr.Memo",
+      "ugMemo",
+      v => s"""$v = new graft.functions.UnigramEncodeExpr.Memo(
+        (scala.Tuple2[]) $ref.value(), $maxPieceLen, 0L);""")
+    defineCodeGen(ctx, ev, c => s"$memoV.encodeGreedyMarkedU($c)")
+  }
+}
+
+/** `greedy_encode_bytes(word)` — [[GreedyEncodeExpr]] with the same
+ * emit-time byte fallback: greedy longest-match is unchanged, and
+ * unknown single code points (which the plain form passes through
+ * raw) render as their UTF-8 `<0xXX>` pieces. */
+case class GreedyEncodeBytesExpr(child: Expression,
+    vocab: Broadcast[Array[(String, Long)]], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_encode_bytes"
+  override protected def withNewChildInternal(c: Expression): GreedyEncodeBytesExpr =
+    copy(child = c)
+
+  @transient private lazy val memo: ThreadLocal[UnigramEncodeExpr.Memo] =
+    ThreadLocal.withInitial(() =>
+      new UnigramEncodeExpr.Memo(vocab.value, maxPieceLen, 0L))
+
+  override def nullSafeEval(input: Any): Any =
+    memo.get().encodeGreedyBytesU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugVocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    val memoV = ctx.addMutableState("graft.functions.UnigramEncodeExpr.Memo",
+      "ugMemo",
+      v => s"""$v = new graft.functions.UnigramEncodeExpr.Memo(
+        (scala.Tuple2[]) $ref.value(), $maxPieceLen, 0L);""")
+    defineCodeGen(ctx, ev, c => s"$memoV.encodeGreedyBytesU($c)")
+  }
+}
+
 object UnigramEncodeExpr {
 
   private val memoCap = 1 << 20
@@ -178,6 +277,52 @@ object UnigramEncodeExpr {
 
     def encodeGreedyU(w: UTF8String): ArrayData =
       new GenericArrayData(segmentGreedy(w.toString)
+        .map(x => UTF8String.fromString(x): Any))
+
+    /**
+     * CONTINUATION-MARKED greedy longest-match — BERT's actual
+     * WordPiece inference: at the word start the candidate piece is
+     * probed PLAIN, at every later position with the `##` prefix, so
+     * word-initial and word-internal vocab entries match separately
+     * ([[graft.operators.CorpusStats.wordpieceTrainMarked]]'s
+     * namespace). Emitted pieces carry their marker (`un ##aff
+     * ##able`); unknown single code points pass through in the same
+     * positional form (`c` / `##c`). `maxPieceLen` bounds the
+     * UNMARKED piece content length.
+     */
+    def segmentGreedyMarked(word: String): Array[String] = {
+      val hit = cacheGM.get(word)
+      if (hit != null) return hit
+      val cps = word.codePoints().toArray
+      val n = cps.length
+      val off = new Array[Int](n + 1)
+      var k = 0
+      var co = 0
+      while (k < n) { co += Character.charCount(cps(k)); off(k + 1) = co; k += 1 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < n) {
+        val mark = if (i == 0) "" else "##"
+        var l = math.min(maxPieceLen, n - i)
+        var found = -1
+        while (l >= 1 && found < 0) {
+          if (vocab.containsKey(mark + word.substring(off(i), off(i + l))))
+            found = l
+          else l -= 1
+        }
+        val take = if (found > 0) found else 1
+        out += (mark + word.substring(off(i), off(i + take)))
+        i += take
+      }
+      val arr = out.toArray
+      if (cacheGM.size < memoCap) cacheGM.put(word, arr)
+      arr
+    }
+
+    private val cacheGM = new java.util.HashMap[String, Array[String]]()
+
+    def encodeGreedyMarkedU(w: UTF8String): ArrayData =
+      new GenericArrayData(segmentGreedyMarked(w.toString)
         .map(x => UTF8String.fromString(x): Any))
 
     /** Viterbi over code points; returns the piece list. */
@@ -255,6 +400,48 @@ object UnigramEncodeExpr {
       out
     }
 
+    /** Emit-time byte fallback: every piece the model doesn't know
+     * (by construction a single code point — the DP/greedy admit no
+     * other unknowns) expands to its UTF-8 `<0xXX>` pieces. */
+    private def expandUnknown(pieces: Array[String]): Array[String] = {
+      var any = false
+      var i = 0
+      while (i < pieces.length && !any) {
+        any = !vocab.containsKey(pieces(i)); i += 1
+      }
+      if (!any) return pieces
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      pieces.foreach { p =>
+        if (vocab.containsKey(p)) out += p
+        else p.codePoints().toArray.foreach(cp =>
+          out ++= BpeEncodeExpr.byteFallback(cp))
+      }
+      out.toArray
+    }
+
+    private val cacheB = new java.util.HashMap[String, ArrayData]()
+    private val cacheGB = new java.util.HashMap[String, ArrayData]()
+
+    def encodeBytesU(w: UTF8String): ArrayData = {
+      val s = w.toString
+      val hit = cacheB.get(s)
+      if (hit != null) return hit
+      val out = new GenericArrayData(expandUnknown(segment(s))
+        .map(x => UTF8String.fromString(x): Any))
+      if (cacheB.size < memoCap) cacheB.put(s, out)
+      out
+    }
+
+    def encodeGreedyBytesU(w: UTF8String): ArrayData = {
+      val s = w.toString
+      val hit = cacheGB.get(s)
+      if (hit != null) return hit
+      val out = new GenericArrayData(expandUnknown(segmentGreedy(s))
+        .map(x => UTF8String.fromString(x): Any))
+      if (cacheGB.size < memoCap) cacheGB.put(s, out)
+      out
+    }
+
     /** Generated-code entry points (UTF8String in/out). */
     def encodeU(w: UTF8String): ArrayData = encode(w.toString)
 
@@ -291,4 +478,19 @@ object UnigramEncodeExpr {
       maxPieceLen: Int, unkNllMicro: Long): Column =
     Bridge.column(UnigramEncodeTextExpr(Bridge.expression(text), vocab,
       maxPieceLen, unkNllMicro))
+
+  def unigramBytes(word: Column, vocab: Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int, unkNllMicro: Long): Column =
+    Bridge.column(UnigramEncodeBytesExpr(Bridge.expression(word), vocab,
+      maxPieceLen, unkNllMicro))
+
+  def greedyBytes(word: Column, vocab: Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int): Column =
+    Bridge.column(GreedyEncodeBytesExpr(Bridge.expression(word), vocab,
+      maxPieceLen))
+
+  def greedyMarked(word: Column, vocab: Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int): Column =
+    Bridge.column(GreedyEncodeMarkedExpr(Bridge.expression(word), vocab,
+      maxPieceLen))
 }

@@ -1680,6 +1680,104 @@ object CorpusStats {
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .distinct
 
+  /**
+   * CONTINUATION-MARKED WordPiece training — the BERT `##` namespace
+   * [[wordpieceTrain]] flattens: a word splits to its first code
+   * point PLAIN and every later code point `##`-prefixed, so
+   * word-initial and word-internal occurrences of the same character
+   * count (and merge) SEPARATELY — `c("t")` is "t starting a word",
+   * `c("##t")` is "t inside one", which changes both the
+   * likelihood-gain scores and the trained segmentation (Schuster &
+   * Nakajima's actual construction; [[wordpieceTrain]] remains as
+   * the single-namespace variant). Merging keeps the LEFT symbol's
+   * marker and strips the right's (`"hu" + "##g" → "hug"`,
+   * `"##u" + "##g" → "##ug"`), so trained pieces land in the correct
+   * positional namespace. Inference is
+   * [[graft.functions.GreedyEncodeMarkedExpr]] (longest-match with
+   * the positional `##` probe). Emits [[bpeTrain]]'s schema with the
+   * markers visible in `left`/`right`.
+   */
+  def wordpieceTrainMarked(df: DataFrame, text: Column, merges: Int,
+      maxWordTypes: Int = 1000000): DataFrame =
+    wordpieceTrainMarkedFromHist(wordTypeHistogram(df, text), merges,
+      maxWordTypes)
+
+  /** [[wordpieceTrainMarked]] off a prebuilt [[wordTypeHistogram]] —
+   * identical merges, none of the corpus scan. */
+  def wordpieceTrainMarkedFromHist(hist: DataFrame, merges: Int,
+      maxWordTypes: Int = 1000000): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = hist.sparkSession
+    val rows = hist.filter(length(col("w")) >= 2)
+      .select(col("w").cast("string"), col("n").cast("long"))
+      .limit(maxWordTypes + 1).collect()
+    require(rows.length <= maxWordTypes,
+      s"wordpieceTrainMarked: more than $maxWordTypes word types — raise " +
+        "the bound deliberately or pre-normalize the corpus")
+    def strip(s: String): String =
+      if (s.startsWith("##")) s.substring(2) else s
+    var words: Array[(Array[String], Long)] =
+      rows.map { r =>
+        val cps = r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (cps.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c else "##" + c }, r.getLong(1))
+      }
+    val e18 = BigInt(10).pow(18)
+    val out = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val syms = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (ss, n) =>
+        var i = 0
+        while (i < ss.length) {
+          syms(ss(i)) = syms.getOrElse(ss(i), 0L) + n
+          if (i < ss.length - 1) {
+            val p = (ss(i), ss(i + 1))
+            pairs(p) = pairs.getOrElse(p, 0L) + n
+          }
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((a, b), n) =>
+          (-(BigInt(n) * e18 / (BigInt(syms(a)) * BigInt(syms(b)))),
+            a, b)
+        }(Ordering.Tuple3(Ordering.BigInt, utf8Ord, utf8Ord))
+        out += ((rank, l, r, c))
+        val merged = l + strip(r)
+        words = words.map { case (ss, n) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == l && ss(i + 1) == r) {
+              b += merged; i += 2 // left-to-right, non-overlapping
+            } else { b += ss(i); i += 1 }
+          }
+          (b.result(), n)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** [[wordpieceVocab]] for the MARKED trainer: merge outputs keep
+   * the left operand's marker and strip the right's — the positional
+   * vocabulary [[graft.functions.GreedyEncodeMarkedExpr]] probes. */
+  def wordpieceVocabMarked(merges: DataFrame): Array[(String, Long)] =
+    merges.select(concat(col("left"),
+          when(col("right").startsWith("##"),
+            col("right").substr(lit(3), length(col("right"))))
+            .otherwise(col("right"))).as("p"),
+        col("pair_count").cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .distinct
+
   /** [[bpeTrain]]'s merge table collected rank-ascending and shipped
    * as a broadcast handle — the bounded tokenizer artifact every
    * encode-side operator probes (the codebook/unigram-table shape). */

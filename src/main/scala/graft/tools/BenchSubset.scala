@@ -47,6 +47,10 @@ object BenchSubset {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
       System.gc()
+      // io-state sample next to the measurement (BASELINE item 19's
+      // dd protocol, in-harness): a slow-state MB/s on the line tells
+      // the reader this sample is NOT a like-for-like floor
+      val io = IoProbe.sampleMbps()
       var threw = false
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -60,24 +64,29 @@ object BenchSubset {
       // a query that threw on ANY run is flagged on the result line —
       // min-of-times alone would read an intermittent crash as healthy
       val flag = if (threw) " FAILED" else ""
-      println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f$flag")
+      val slow = if (io >= 0 && io < IoProbe.SlowMbps) " SLOW-IO" else ""
+      println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f io=${io}%.0fMB/s$flag$slow")
       // release this query's localCheckpoint blocks before the next
       // one times: ContextCleaner frees them only after the RDD
       // objects are GC'd, and accumulated blocks from earlier heavy
       // queries have OOM'd (and skewed) later ones in the same JVM
       System.gc()
-      (name, if (times.nonEmpty) times.min else 999.0, threw)
+      (name, if (times.nonEmpty) times.min else 999.0, threw, io)
     }
     // durable machine-readable record, same shape as Bench's
     // target/bench.json (per-probe history survives log truncation)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val io = results.map { case (k, _, _, m) =>
+        "\"" + k + "\":" + BigDecimal(m).setScale(1,
+          BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val out = java.nio.file.Paths.get("target/bench-subset.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (s"""{"queries":$qs,"failed":$failed,"sf":"$dir"}""" + "\n")
+      (s"""{"queries":$qs,"io_mbps":$io,"failed":$failed,"sf":"$dir"}""" + "\n")
         .getBytes("UTF-8"))
     spark.stop()
   }

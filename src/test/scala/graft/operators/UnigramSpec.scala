@@ -44,6 +44,31 @@ class UnigramSpec extends SparkSpec {
     assert(m.segment("he" + emoji).toSeq == Seq("he", emoji))
   }
 
+  test("byte fallback: zero unknown-piece loss on mixed-script + astral input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = memo("he" -> 1000000L)
+    def bytesOf(w: String, greedy: Boolean) = {
+      val a = if (greedy) m.encodeGreedyBytesU(UTF8String.fromString(w))
+        else m.encodeBytesU(UTF8String.fromString(w))
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    }
+    val emoji = new String(Character.toChars(0x1F600)) // U+1F600, 4 bytes
+    // "heé😀" → [he] + é (C3 A9) + 😀 (F0 9F 98 80) for BOTH encoders
+    val want = Seq("he", "<0xC3>", "<0xA9>",
+      "<0xF0>", "<0x9F>", "<0x98>", "<0x80>")
+    assert(bytesOf("heé" + emoji, greedy = false) == want)
+    assert(bytesOf("heé" + emoji, greedy = true) == want)
+    // every emitted piece is a vocab piece or a byte piece — no raw
+    // unknowns survive (the zero-loss contract)
+    val mixed = "heВαé" + emoji // Cyrillic + Greek + Latin-1 + astral
+    Seq(true, false).foreach { g =>
+      bytesOf(mixed, g).foreach(p =>
+        assert(p == "he" || p.matches("<0x[0-9A-F]{2}>"), s"raw unknown: $p"))
+    }
+    // known pieces never expand
+    assert(bytesOf("hehe", greedy = false) == Seq("he", "he"))
+  }
+
   test("whole-text encode splits on single spaces, skips empties") {
     val m = memo("ab" -> 1000000L, "c" -> 1000000L)
     val out = m.encodeText("abc  ab")

@@ -82,6 +82,41 @@ class WordpieceSpec extends SparkSpec {
     assert(seg("zzz") == Seq("z", "z", "z"))
   }
 
+  test("marked trainer + matcher: the BERT ## namespace") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // matcher: word-initial and word-internal pieces are separate
+    // namespaces — the canonical BERT example segments with markers,
+    // and plain "aff" only matches at a word START
+    val m = new graft.functions.UnigramEncodeExpr.Memo(
+      Array("un" -> 1L, "##aff" -> 1L, "##able" -> 1L, "aff" -> 1L), 6, 0L)
+    def seg(w: String) = {
+      val a = m.encodeGreedyMarkedU(UTF8String.fromString(w))
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    }
+    assert(seg("unaffable") == Seq("un", "##aff", "##able"))
+    assert(seg("affable") == Seq("aff", "##able"))
+    // unknown singles pass through in positional form
+    assert(seg("unzip") == Seq("un", "##z", "##i", "##p"))
+
+    // trainer: "tt"x16 "at"x6 — word-initial t (c=16) and internal
+    // ##t (c=22) count separately: both pairs score exactly 1/22
+    // (every left is always followed by ##t), the UTF-8 ascending
+    // tie-break picks (a,##t), and the merged symbol strips the
+    // right's marker ("at"). Merge 2 is then (t,##t) -> "tt" — the
+    // marked vocab carries both positional outputs
+    val docs = (Seq.fill(16)("tt") ++ Seq.fill(6)("at")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges2 = CorpusStats.wordpieceTrainMarked(docs, $"text",
+      merges = 2).orderBy("merge_rank").collect()
+    assert(merges2(0).getString(1) == "a" &&
+      merges2(0).getString(2) == "##t" && merges2(0).getLong(3) == 6L)
+    assert(merges2(1).getString(1) == "t" &&
+      merges2(1).getString(2) == "##t" && merges2(1).getLong(3) == 16L)
+    val vocab = CorpusStats.wordpieceVocabMarked(
+      CorpusStats.wordpieceTrainMarked(docs, $"text", merges = 2))
+    assert(vocab.toSeq.sorted == Seq("at" -> 6L, "tt" -> 16L))
+  }
+
   test("all three trainers off the histogram artifact equal corpus training") {
     // per-split histograms merged (the standing artifact's shape)
     val parts = (0 until 3).map(p => CorpusStats.wordTypeHistogram(
