@@ -365,18 +365,6 @@ object Embeddings {
     transform(vec, x =>
       round(x.cast("double") * lit(math.pow(2.0, scaleBits))))
 
-  /** ⌊√x⌋ by Newton iteration — exact integer square root for the
-   * overflow-bound arithmetic ([[covarianceFinalize]]'s N guard). */
-  private def bigIntSqrt(x: BigInt): BigInt = {
-    require(x >= 0, "sqrt of a negative bound")
-    if (x < 2) x
-    else {
-      var r = BigInt(1) << ((x.bitLength + 1) / 2)
-      var next = (r + x / r) >> 1
-      while (next < r) { r = next; next = (r + x / r) >> 1 }
-      r
-    }
-  }
 
   /**
    * Exact mean-centered covariance of an embedding column on the
@@ -475,48 +463,40 @@ object Embeddings {
 
   /** The ratio emit of [[covarianceMicro]], off a (possibly merged)
    * [[covarianceSketch]]: mirror the upper triangle, join moments,
-   * half-away integer-ratio micro cells.
-   *
-   * Exactness bound on N (next to the per-partition 2⁶³ bound on the
-   * sketch): the emit computes `|n·s − mᵢ·mⱼ|·2·10⁶ + n²·2^(2·sb)`
-   * in DECIMAL(38,0); with |x| ≤ 1 that stays under 10³⁸ while
-   * `n ≤ √(10³⁸ / (2^(2·scaleBits)·(4·10⁶+1)))` — ≈ 4.7e9 rows at
-   * scaleBits=20. Past it, non-ANSI decimal overflow would NULL the
-   * cell silently, so the n row is scan-asserted against the bound
-   * and a too-large corpus fails loudly (drop scaleBits or
-   * pre-reduce with [[randomProjection]]). */
+   * half-away integer-ratio micro cells via
+   * [[graft.functions.CovRatioMicroExpr]] — exact BigInteger
+   * arithmetic per d²-bounded cell, so the emit has NO row-count
+   * ceiling of its own (the pre-r14 DECIMAL(38,0) chain overflowed
+   * at n ≈ 4.7e9 for scaleBits = 20). What remains is the SKETCH
+   * sums' own DECIMAL(38,0) capacity: `s ≤ n·2^(2·sb)` must stay
+   * under 10³⁸, i.e. n ≤ ~8.7e25 at sb = 20 — past any physical
+   * corpus, but still scan-asserted so a silent sum overflow can
+   * never reach the cells. */
   def covarianceFinalize(sketch: DataFrame, scaleBits: Int): DataFrame = {
-    import graft.functions.ldiv
     val upper = sketch.filter(col("stat") === "s")
       .select(col("i"), col("j"), col("v").as("s"))
     val cells = upper.unionByName(upper.filter(col("i") < col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("s")))
     val moments = sketch.filter(col("stat") === "m")
       .select(col("i"), col("v").as("m"))
-    val nLim = bigIntSqrt((BigInt(10).pow(38) - 1) /
-      ((BigInt(1) << (2 * scaleBits)) * BigInt(4000001)))
+    val nLim = (BigInt(10).pow(38) - 1) / (BigInt(1) << (2 * scaleBits))
     val n = sketch.filter(col("stat") === "n")
       .agg(coalesce(sum(col("v")), lit(0L).cast("decimal(38,0)")).as("n"))
       .where(assert_true(
         col("n") <= lit(nLim.toString).cast("decimal(38,0)"),
         concat(lit("covarianceFinalize: n="), col("n"),
-          lit(s" exceeds the decimal(38,0) exactness bound $nLim at " +
-            s"scaleBits=$scaleBits — cells would overflow to null; " +
-            "lower scaleBits or reduce dimensionality first"))).isNull)
-    val num = (col("n") * col("s") -
-      col("mi") * col("mj")).cast("decimal(38,0)")
-    val den = (col("n") * col("n") *
-      lit(math.pow(2.0, 2 * scaleBits).toLong).cast("decimal(38,0)"))
-      .cast("decimal(38,0)")
+          lit(s" exceeds the sketch-sum decimal(38,0) capacity $nLim at " +
+            s"scaleBits=$scaleBits — second-moment sums would have " +
+            "overflowed; lower scaleBits or reduce dimensionality first")))
+        .isNull)
     cells
       .join(broadcast(moments.select(col("i"), col("m").as("mi"))), "i")
       .join(broadcast(moments.select(col("i").as("j"), col("m").as("mj"))),
         "j")
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"),
-        (when(num < 0, lit(-1L)).otherwise(lit(1L)) *
-          ldiv(abs(num) * lit(2000000L) + den, den * lit(2L))
-        ).cast("long").as("cov_micro"))
+        graft.functions.CovRatioMicroExpr.covRatioMicro(col("n"), col("s"),
+          col("mi"), col("mj"), scaleBits).as("cov_micro"))
   }
 
   /**

@@ -30,6 +30,31 @@ class EmbeddingsSpec extends SparkSpec {
     out.values.foreach(r => assert(r._4 <= r._2 / 2 + 1e-12))
   }
 
+  test("covarianceFinalize is exact past the pre-r14 decimal emit ceiling") {
+    // synthetic sketch for n = 2e10 rows (4x the old ~4.7e9 bound,
+    // where the DECIMAL(38,0) emit chain overflowed): a virtual
+    // corpus with dim-0 split evenly between ±0.5 (q = ±2^19 at
+    // scaleBits = 20) and dim-1 constant 0.5 — cov must come out
+    // EXACTLY (0.25, 0, 0) in micro units
+    val q = BigInt(524288)
+    val n = BigInt("20000000000")
+    val sketch = Seq(
+      ("n", -1L, -1L, n.toString),
+      ("m", 0L, -1L, "0"),
+      ("m", 1L, -1L, (n * q).toString),
+      ("s", 0L, 0L, (n * q * q).toString),
+      ("s", 0L, 1L, "0"),
+      ("s", 1L, 1L, (n * q * q).toString))
+      .toDF("stat", "i", "j", "v")
+      .withColumn("v", col("v").cast("decimal(38,0)"))
+    val got = Embeddings.covarianceFinalize(sketch, scaleBits = 20)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 0L)) == 250000L)
+    assert(got((1L, 1L)) == 0L)
+    assert(got((0L, 1L)) == 0L && got((1L, 0L)) == 0L)
+  }
+
   test("quantize plan is a pure projection: no shuffle") {
     val p = Embeddings.quantize(vecs, $"vec_id", $"embedding")
       .queryExecution.executedPlan.toString
