@@ -253,7 +253,9 @@ object CommitLog {
   case class FileEntry(name: String, bytes: Long,
       minTs: Long = 0L, maxTs: Long = 0L, rows: Long = -1L,
       cats: Option[Vector[String]] = None,
-      num: Option[Vector[Double]] = None) {
+      num: Option[Vector[Double]] = None,
+      catsBy: Option[Map[String, Vector[String]]] = None,
+      numBy: Option[Map[String, Vector[Double]]] = None) {
     def hasStats: Boolean = rows >= 0
     /** File may contain a ts in [fromNs, toNs)? Unknown stats ⇒ true. */
     def mayOverlap(fromNs: Option[Long], toNs: Option[Long]): Boolean =
@@ -280,6 +282,28 @@ object CommitLog {
         case Some(Vector()) => false
         case Some(v) => lo.forall(v(1) >= _) && hi.forall(v(0) < _)
       }
+    /** POINTER-KEYED categorical pruning — the multi-pointer manifest
+     * axis: `catsBy` maps each DECLARED pointer to the file's bounded
+     * distinct set, so compound predicates (source AND quality AND
+     * ts) prune on every declared axis at once. A new-format entry
+     * whose map lacks `ptr` never falls back to the legacy anonymous
+     * `cats` (whose pointer identity was never recorded — that
+     * fallback could prune on the WRONG column); legacy entries keep
+     * the legacy single-axis behavior and its caller contract. */
+    def mayContainCatAt(ptr: String, v: String): Boolean = catsBy match {
+      case Some(m) => m.get(ptr).forall(_.contains(v))
+      case None => mayContainCat(v)
+    }
+    /** Pointer-keyed numeric pruning ([[mayContainCatAt]]'s rules). */
+    def mayContainNumAt(ptr: String, lo: Option[Double],
+        hi: Option[Double]): Boolean = numBy match {
+      case Some(m) => m.get(ptr) match {
+        case None => true
+        case Some(Vector()) => false
+        case Some(v) => lo.forall(v(1) >= _) && hi.forall(v(0) < _)
+      }
+      case None => mayContainNum(lo, hi)
+    }
     def toJson: String = {
       val stats = if (hasStats) s""","min":$minTs,"max":$maxTs,"rows":$rows"""
         else ""
@@ -287,7 +311,16 @@ object CommitLog {
         s""","cats":${cs.map(SeriesStore.jsonQuote).mkString("[", ",", "]")}""")
       val nstats = num.fold("")(v =>
         s""","num":${v.mkString("[", ",", "]")}""")
-      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats$cstats$nstats}"""
+      val cbstats = catsBy.fold("")(m =>
+        s""","catsBy":${m.toSeq.sortBy(_._1).map { case (p, cs) =>
+          s"${SeriesStore.jsonQuote(p)}:${cs.map(SeriesStore.jsonQuote)
+            .mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")}""")
+      val nbstats = numBy.fold("")(m =>
+        s""","numBy":${m.toSeq.sortBy(_._1).map { case (p, v) =>
+          s"${SeriesStore.jsonQuote(p)}:${v.mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")}""")
+      s"""{"f":${SeriesStore.jsonQuote(name)},"bytes":$bytes$stats$cstats$nstats$cbstats$nbstats}"""
     }
   }
 
@@ -357,11 +390,37 @@ object CommitLog {
           while (nit.hasNext) nb += nit.next().asDouble()
           Some(nb.result())
         } else None
+      val catsBy =
+        if (e.has("catsBy")) {
+          val mb = Map.newBuilder[String, Vector[String]]
+          val fit = e.get("catsBy").fields()
+          while (fit.hasNext) {
+            val f = fit.next()
+            val cb = Vector.newBuilder[String]
+            val cit = f.getValue.elements()
+            while (cit.hasNext) cb += cit.next().asText()
+            mb += (f.getKey -> cb.result())
+          }
+          Some(mb.result())
+        } else None
+      val numBy =
+        if (e.has("numBy")) {
+          val mb = Map.newBuilder[String, Vector[Double]]
+          val fit = e.get("numBy").fields()
+          while (fit.hasNext) {
+            val f = fit.next()
+            val nb = Vector.newBuilder[Double]
+            val nit = f.getValue.elements()
+            while (nit.hasNext) nb += nit.next().asDouble()
+            mb += (f.getKey -> nb.result())
+          }
+          Some(mb.result())
+        } else None
       b += FileEntry(e.get("f").asText(), e.get("bytes").asLong(),
         if (e.has("min")) e.get("min").asLong() else 0L,
         if (e.has("max")) e.get("max").asLong() else 0L,
         if (e.has("rows")) e.get("rows").asLong() else -1L,
-        cats, num)
+        cats, num, catsBy, numBy)
     }
     b.result()
   }

@@ -4,7 +4,7 @@ import graft.functions.JsonPointersExpr
 import graft.operators.{SeriesEngine, SeriesStats}
 import graft.operators.SeriesEngine.SeriesQuery
 import graft.timelib.TimeLib
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -247,8 +247,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * write job removes the shared `_temporary/0` that makes concurrent
    * appends to one directory mutually destructive. */
   private def stage(db: String, data: DataFrame,
-      catPtr: Option[String] = None,
-      numPtr: Option[String] = None): Seq[CommitLog.FileEntry] = {
+      catPtrs: Seq[String] = Nil,
+      numPtrs: Seq[String] = Nil): Seq[CommitLog.FileEntry] = {
     val p = dbPath(db)
     val id = java.util.UUID.randomUUID().toString
     val tmp = p.resolve(s"_stage-$id")
@@ -267,73 +267,74 @@ class SeriesStore(spark: SparkSession, root: String) {
       SeriesStore.fileEntry(p.resolve(name))
     }.toSeq
     walked(tmp)(_.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_)))
-    withNumStats(db, withCatStats(db, entries, catPtr), numPtr)
+    withPtrStats(db, entries, catPtrs, numPtrs)
   }
 
-  /** Record each staged file's bounded distinct set of the declared
-   * categorical column (a JSON pointer into `doc`) next to its time
-   * stats — the second manifest pruning axis ([[frame]]'s `catPtr`
-   * overload). One batch-scale job per commit (per-file `collect_set`
-   * over the just-written files); a file whose set exceeds
-   * [[SeriesStore.CatsMax]] records nothing and is simply never
-   * pruned, and any failure degrades to stat-less (unpruned) entries
-   * — pruning stays an optimization, never a dependency. */
-  private def withCatStats(db: String, entries: Seq[CommitLog.FileEntry],
-      catPtr: Option[String]): Seq[CommitLog.FileEntry] =
-    if (catPtr.isEmpty || entries.isEmpty) entries
+  /** Record each staged file's manifest stats for EVERY declared
+   * pointer in ONE batch-scale job per commit: per-file bounded
+   * distinct sets for the categorical pointers (the per-source /
+   * per-domain pruning axis) and per-file min/max for the numeric
+   * pointers (the quality-band axis), all computed in a single
+   * grouped pass over the just-written files. A categorical set over
+   * [[SeriesStore.CatsMax]] records nothing for that pointer (the
+   * file is simply never pruned on it); a numeric pointer with no
+   * parsable value records the empty vector (prunes soundly — nulls
+   * never match a range); any failure degrades to stat-less
+   * (unpruned) entries — pruning stays an optimization, never a
+   * correctness dependency. The FIRST pointer of each kind also
+   * mirrors into the legacy `cats`/`num` single-axis fields. */
+  private def withPtrStats(db: String, entries: Seq[CommitLog.FileEntry],
+      catPtrs: Seq[String], numPtrs: Seq[String]): Seq[CommitLog.FileEntry] =
+    if ((catPtrs.isEmpty && numPtrs.isEmpty) || entries.isEmpty) entries
     else try {
       val p = dbPath(db)
       val paths = entries.map(e => p.resolve(e.name).toString)
+      val catCols = catPtrs.zipWithIndex.map { case (ptr, i) =>
+        SeriesStore.catValueCol(ptr).as(s"__c$i") }
+      val numCols = numPtrs.zipWithIndex.map { case (ptr, i) =>
+        SeriesStore.numValueCol(ptr).as(s"__n$i") }
+      val aggs: Seq[Column] =
+        catPtrs.indices.map(i =>
+          slice(sort_array(collect_set(col(s"__c$i"))), 1,
+            SeriesStore.CatsMax + 1).as(s"cs$i")) ++
+        numPtrs.indices.flatMap(i => Seq(
+          min(col(s"__n$i")).as(s"lo$i"), max(col(s"__n$i")).as(s"hi$i")))
       val byFile = spark.read.schema(schema).parquet(paths: _*)
-        .select(input_file_name().as("__f"),
-          SeriesStore.catValueCol(catPtr.get).as("__c"))
-        .filter(col("__c").isNotNull)
+        .select(Seq(input_file_name().as("__f")) ++ catCols ++ numCols: _*)
         .groupBy(col("__f"))
-        .agg(slice(sort_array(collect_set(col("__c"))), 1,
-          SeriesStore.CatsMax + 1).as("cs"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => (r.getString(0).substring(
-          r.getString(0).lastIndexOf('/') + 1), r.getSeq[String](1).toVector))
+        .map(r => r.getString(0).substring(
+          r.getString(0).lastIndexOf('/') + 1) -> r)
         .toMap
       entries.map { e =>
-        byFile.get(e.name) match {
-          case Some(cs) if cs.size <= SeriesStore.CatsMax =>
-            e.copy(cats = Some(cs))
-          case Some(_) => e // over the cap — record nothing
-          // no non-null category anywhere in the file: the empty set
-          // is sound for equality pruning (nulls never match)
-          case None => e.copy(cats = Some(Vector()))
-        }
+        val row = byFile.get(e.name)
+        val catsBy = catPtrs.zipWithIndex.flatMap { case (ptr, i) =>
+          row match {
+            // no rows in the file at all: empty sets are sound
+            case None => Some(ptr -> Vector.empty[String])
+            case Some(r) =>
+              val cs = r.getSeq[String](r.fieldIndex(s"cs$i")).toVector
+              if (cs.size <= SeriesStore.CatsMax) Some(ptr -> cs)
+              else None // over the cap: record nothing for this pointer
+          }
+        }.toMap
+        val numBy = numPtrs.zipWithIndex.map { case (ptr, i) =>
+          row match {
+            case None => ptr -> Vector.empty[Double]
+            case Some(r) =>
+              if (r.isNullAt(r.fieldIndex(s"lo$i")))
+                ptr -> Vector.empty[Double] // all-null: prunes soundly
+              else ptr -> Vector(r.getDouble(r.fieldIndex(s"lo$i")),
+                r.getDouble(r.fieldIndex(s"hi$i")))
+          }
+        }.toMap
+        e.copy(
+          cats = catPtrs.headOption.flatMap(catsBy.get).orElse(e.cats),
+          num = numPtrs.headOption.flatMap(numBy.get).orElse(e.num),
+          catsBy = if (catPtrs.nonEmpty) Some(catsBy) else e.catsBy,
+          numBy = if (numPtrs.nonEmpty) Some(numBy) else e.numBy)
       }
-    } catch { case _: Exception => entries }
-
-  /** Record each staged file's min/max of the declared NUMERIC column
-   * (a JSON pointer into `doc`, parsed by the engine's own
-   * float-parse rules — the SAME `num` field predicate time reads, so
-   * range pruning and the row filter can never disagree) — the third
-   * manifest pruning axis ([[frame]]'s numeric overload; the
-   * quality-score band read). A file with no parsable value records
-   * the empty vector (prunes soundly against any range — nulls never
-   * match); any failure degrades to stat-less (unpruned) entries. */
-  private def withNumStats(db: String, entries: Seq[CommitLog.FileEntry],
-      numPtr: Option[String]): Seq[CommitLog.FileEntry] =
-    if (numPtr.isEmpty || entries.isEmpty) entries
-    else try {
-      val p = dbPath(db)
-      val paths = entries.map(e => p.resolve(e.name).toString)
-      val byFile = spark.read.schema(schema).parquet(paths: _*)
-        .select(input_file_name().as("__f"),
-          SeriesStore.numValueCol(numPtr.get).as("__n"))
-        .filter(col("__n").isNotNull)
-        .groupBy(col("__f"))
-        .agg(min(col("__n")).as("lo"), max(col("__n")).as("hi"))
-        .collect()
-        .map(r => (r.getString(0).substring(
-          r.getString(0).lastIndexOf('/') + 1),
-          Vector(r.getDouble(1), r.getDouble(2))))
-        .toMap
-      entries.map(e =>
-        e.copy(num = Some(byFile.getOrElse(e.name, Vector[Double]()))))
     } catch { case _: Exception => entries }
 
   private def unstage(db: String, entries: Seq[CommitLog.FileEntry]): Unit =
@@ -451,8 +452,8 @@ class SeriesStore(spark: SparkSession, root: String) {
    * another writer consumed our seq range — restage against the new
    * snapshot and try again. `mk` receives the first free seq and
    * returns (frame to stage, highest seq reserved). */
-  private def appendCommit(db: String, catPtr: Option[String] = None,
-      numPtr: Option[String] = None)(
+  private def appendCommit(db: String, catPtrs: Seq[String] = Nil,
+      numPtrs: Seq[String] = Nil)(
       mk: Long => (DataFrame, Long)): Unit = withStageGuard(db) {
     ensureMigrated(db)
     val log = logOf(db)
@@ -462,7 +463,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       val snap = log.snapshot()
       require(snap.version >= 1, s"no such database: $db")
       val (data, seqHi) = mk(snap.lastSeq + 1)
-      val staged = stage(db, data, catPtr, numPtr)
+      val staged = stage(db, data, catPtrs, numPtrs)
       val m = CommitLog.Manifest(snap.version + 1, "append", staged,
         seqHi = seqHi, clean = false)
       if (log.tryCommit(m)) { log.checkpointMaybe(log.snapshot()); done = true }
@@ -505,12 +506,28 @@ class SeriesStore(spark: SparkSession, root: String) {
    * that column's parsed values, so [[frame]]'s numeric overload can
    * prune a quality-band read the way time stats prune a range. */
   def storeBatch(db: String, docs: DataFrame, catPtr: Option[String],
-      numPtr: Option[String]): Unit = {
+      numPtr: Option[String]): Unit =
+    storeBatch(db, docs, catPtr.toSeq, numPtr.toSeq)
+
+  /** [[storeBatch]] with a DECLARED SET of pointers — the
+   * multi-pointer manifest axis: each staged file records the bounded
+   * distinct set of EVERY `catPtrs` pointer and the min/max of every
+   * `numPtrs` pointer (one combined stats job per commit), so
+   * compound reads ([[frameMulti]]: source AND quality AND ts) prune
+   * on all axes at once. The per-file manifest footprint stays
+   * bounded: ≤ [[SeriesStore.PtrsMax]] pointers, ≤
+   * [[SeriesStore.CatsMax]] values per categorical pointer. The
+   * FIRST pointer of each kind also populates the legacy single-axis
+   * fields, so pre-r14 readers keep pruning. */
+  def storeBatch(db: String, docs: DataFrame, catPtrs: Seq[String],
+      numPtrs: Seq[String]): Unit = {
+    require(catPtrs.size + numPtrs.size <= SeriesStore.PtrsMax,
+      s"at most ${SeriesStore.PtrsMax} declared pointers per table")
     val selected = docs.select(col("ts").cast(LongType).as("ts"),
       col("doc").cast(StringType).as("doc"))
     val parts = math.max(1, selected.rdd.getNumPartitions)
     withWriteLock(db) {
-      appendCommit(db, catPtr, numPtr) { seqBase =>
+      appendCommit(db, catPtrs, numPtrs) { seqBase =>
         (selected.select(col("ts"),
           (monotonically_increasing_id() + lit(seqBase)).as("seq"), col("doc")),
           seqBase + (parts.toLong << 33) - 1)
@@ -560,7 +577,7 @@ class SeriesStore(spark: SparkSession, root: String) {
    * key. */
   def frame(db: String, fromNs: Option[Long], toNs: Option[Long],
       catPtr: String, catValue: String): DataFrame =
-    frameOf(db, snapshotOf(db), fromNs, toNs, Some((catPtr, catValue)))
+    frameOf(db, snapshotOf(db), fromNs, toNs, Seq((catPtr, catValue)))
 
   /** Queryable view restricted to rows whose declared NUMERIC column
    * (`numPtr`, the pointer [[storeBatch]]/[[compact]] recorded
@@ -575,13 +592,31 @@ class SeriesStore(spark: SparkSession, root: String) {
   def frameNum(db: String, fromNs: Option[Long], toNs: Option[Long],
       numPtr: String, lo: Option[Double], hi: Option[Double]): DataFrame =
     frameOf(db, snapshotOf(db), fromNs, toNs,
-      numRange = Some((numPtr, lo, hi)))
+      numRanges = Seq((numPtr, lo, hi)))
+
+  /** COMPOUND queryable view — the multi-pointer read real curation
+   * tables run: rows matching EVERY categorical equality and EVERY
+   * numeric band (AND semantics), time bounds optional. On a clean
+   * snapshot every declared axis prunes files at the manifest level
+   * at once (pointer-keyed stats, [[storeBatch]]'s multi-pointer
+   * overload; [[compact]]'s multi-pointer clustering is what makes
+   * the per-file sets/bands narrow on every axis), so a
+   * (source AND quality-band AND ts) read touches the files of the
+   * intersection, not of any single axis. Same dirty-snapshot rule
+   * as the single-axis overloads. */
+  def frameMulti(db: String, fromNs: Option[Long], toNs: Option[Long],
+      catEqs: Seq[(String, String)],
+      numBands: Seq[(String, Option[Double], Option[Double])] = Nil)
+      : DataFrame =
+    frameOf(db, snapshotOf(db), fromNs, toNs, catEqs, numBands)
 
   /** The live files a [fromNs, toNs) scan touches after manifest-stat
    * pruning — the spec/diagnostic surface for the file-skipping path. */
   private[graft] def scanFiles(db: String, fromNs: Option[Long] = None,
       toNs: Option[Long] = None, cat: Option[String] = None,
-      numBand: Option[(Option[Double], Option[Double])] = None)
+      numBand: Option[(Option[Double], Option[Double])] = None,
+      catEqs: Seq[(String, String)] = Nil,
+      numBands: Seq[(String, Option[Double], Option[Double])] = Nil)
       : Seq[CommitLog.FileEntry] = {
     val snap = snapshotOf(db)
     val base = cat match {
@@ -595,7 +630,13 @@ class SeriesStore(spark: SparkSession, root: String) {
         base.filter(_.mayContainNum(lo, hi))
       case _ => base
     }
-    banded.filter(_.mayOverlap(fromNs, toNs))
+    val multi =
+      if (snap.clean)
+        banded.filter(f =>
+          catEqs.forall { case (p, v) => f.mayContainCatAt(p, v) } &&
+          numBands.forall { case (p, lo, hi) => f.mayContainNumAt(p, lo, hi) })
+      else banded
+    multi.filter(_.mayOverlap(fromNs, toNs))
   }
 
   /** Time travel: the queryable view as of committed `version`
@@ -632,22 +673,24 @@ class SeriesStore(spark: SparkSession, root: String) {
 
   private def frameOf(db: String, snap: CommitLog.Snapshot,
       fromNs: Option[Long] = None, toNs: Option[Long] = None,
-      catEq: Option[(String, String)] = None,
-      numRange: Option[(String, Option[Double], Option[Double])] = None)
+      catEqs: Seq[(String, String)] = Nil,
+      numRanges: Seq[(String, Option[Double], Option[Double])] = Nil)
       : DataFrame = {
     // categorical/numeric pruning ONLY on clean snapshots: dirty, a
     // pruned file could hold the NEWEST version of a ts whose older
-    // copy (different category/value) survives — see the overloads
-    val catFiles = catEq match {
-      case Some((_, v)) if snap.clean =>
-        snap.files.filter(_.mayContainCat(v))
-      case _ => snap.files
-    }
-    val numFiles = numRange match {
-      case Some((_, lo, hi)) if snap.clean =>
-        catFiles.filter(_.mayContainNum(lo, hi))
-      case _ => catFiles
-    }
+    // copy (different category/value) survives — see the overloads.
+    // COMPOUND predicates prune on every declared axis at once
+    // (pointer-keyed stats; AND semantics, so filters compose)
+    val catFiles =
+      if (catEqs.nonEmpty && snap.clean)
+        snap.files.filter(f => catEqs.forall { case (ptr, v) =>
+          f.mayContainCatAt(ptr, v) })
+      else snap.files
+    val numFiles =
+      if (numRanges.nonEmpty && snap.clean)
+        catFiles.filter(f => numRanges.forall { case (ptr, lo, hi) =>
+          f.mayContainNumAt(ptr, lo, hi) })
+      else catFiles
     val files = numFiles.filter(_.mayOverlap(fromNs, toNs))
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -671,11 +714,11 @@ class SeriesStore(spark: SparkSession, root: String) {
       // overwrite can change the value; ts cannot change — that
       // asymmetry is why the time filter may run before and these
       // must not)
-      val catDone = catEq.fold(resolved) { case (ptr, v) =>
-        resolved.filter(SeriesStore.catValueCol(ptr) === lit(v))
+      val catDone = catEqs.foldLeft(resolved) { case (d, (ptr, v)) =>
+        d.filter(SeriesStore.catValueCol(ptr) === lit(v))
       }
-      numRange.fold(catDone) { case (ptr, lo, hi) =>
-        var f = catDone.filter(SeriesStore.numValueCol(ptr).isNotNull)
+      numRanges.foldLeft(catDone) { case (d, (ptr, lo, hi)) =>
+        var f = d.filter(SeriesStore.numValueCol(ptr).isNotNull)
         lo.foreach(v => f = f.filter(SeriesStore.numValueCol(ptr) >= v))
         hi.foreach(v => f = f.filter(SeriesStore.numValueCol(ptr) < v))
         f
@@ -773,6 +816,23 @@ class SeriesStore(spark: SparkSession, root: String) {
       rowsPerFile: Long = 4000000L): Unit =
     compact(db, catPtr, rowsPerFile, None)
 
+  /** [[compact]] with a DECLARED SET of pointers: the rewrite
+   * range-partitions by (cat₁..catₙ, num₁..numₘ, ts) and records
+   * each output file's stats on EVERY declared axis — after this a
+   * compound read ([[frameMulti]]) touches only files narrow on all
+   * of them. The single-axis tradeoff compounds too: each later axis
+   * subdivides within the earlier ones, so declare pointers in the
+   * table's dominant read order. */
+  def compactMulti(db: String, catPtrs: Seq[String], numPtrs: Seq[String],
+      rowsPerFile: Long = 4000000L): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    require(catPtrs.size + numPtrs.size <= SeriesStore.PtrsMax,
+      s"at most ${SeriesStore.PtrsMax} declared pointers per table")
+    withWriteLock(db)(rewrite(db, identity, countBase = false,
+      catPtrs, rowsPerFile, numPtrs))
+    stat(db).compacts.increment()
+  }
+
   /** [[compact]] with a DECLARED NUMERIC column (`numPtr`, a JSON
    * pointer like `/quality`): without a categorical declaration the
    * rewrite range-partitions by (value, ts) and records each output
@@ -785,7 +845,7 @@ class SeriesStore(spark: SparkSession, root: String) {
       numPtr: Option[String]): Unit = {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
     withWriteLock(db)(rewrite(db, identity, countBase = false,
-      catPtr, rowsPerFile, numPtr))
+      catPtr.toSeq, rowsPerFile, numPtr.toSeq))
     stat(db).compacts.increment()
   }
 
@@ -830,7 +890,7 @@ class SeriesStore(spark: SparkSession, root: String) {
             if (partitions == 1) rows.coalesce(1)
             else rows.repartitionByRange(partitions, col("ts"))
           val staged = stage(db, sized.sortWithinPartitions("ts"),
-            catPtr, numPtr)
+            catPtr.toSeq, numPtr.toSeq)
           var committed = false
           var aborted = false
           while (!committed && !aborted) {
@@ -876,9 +936,9 @@ class SeriesStore(spark: SparkSession, root: String) {
    * new state (the standard table-format conflict rule: append vs
    * replace commutes, replace vs replace does not). */
   private def rewrite(db: String, xform: DataFrame => DataFrame,
-      countBase: Boolean, catPtr: Option[String] = None,
+      countBase: Boolean, catPtrs: Seq[String] = Nil,
       rowsPerFile: Long = 4000000L,
-      numPtr: Option[String] = None): (Long, Long) = withStageGuard(db) {
+      numPtrs: Seq[String] = Nil): (Long, Long) = withStageGuard(db) {
     val log = logOf(db)
     var outer = 0
     var result: (Long, Long) = null
@@ -899,17 +959,18 @@ class SeriesStore(spark: SparkSession, root: String) {
         // numeric column → cluster by (value, ts) so per-file min/max
         // bands come out tight (the quality-band read's layout); plain
         // compact keeps the ts-only layout (tight time pruning)
-        val rangeCols = (catPtr, numPtr) match {
-          case (Some(ptr), _) => Seq(SeriesStore.catValueCol(ptr), col("ts"))
-          case (None, Some(ptr)) =>
-            Seq(SeriesStore.numValueCol(ptr), col("ts"))
-          case _ => Seq(col("ts"))
-        }
+        // COMPOUND clustering: every declared categorical pointer,
+        // then every numeric pointer, then ts — files come out narrow
+        // on ALL declared axes at once, which is what makes the
+        // multi-pointer manifest prune ([[frameMulti]]) effective
+        val rangeCols =
+          catPtrs.map(SeriesStore.catValueCol) ++
+          numPtrs.map(SeriesStore.numValueCol) ++ Seq(col("ts"))
         val sized =
           if (partitions == 1) cached.coalesce(1)
           else cached.repartitionByRange(partitions, rangeCols: _*)
         val staged = stage(db,
-          sized.sortWithinPartitions(rangeCols: _*), catPtr, numPtr)
+          sized.sortWithinPartitions(rangeCols: _*), catPtrs, numPtrs)
         var committed = false
         var aborted = false
         while (!committed && !aborted) {
@@ -1067,6 +1128,12 @@ object SeriesStore {
    * this in one file is not categorical enough to prune on, so the
    * file records nothing (and is never pruned). */
   val CatsMax = 16
+
+  /** Declared-pointer cap per table: bounds the per-file manifest
+   * footprint (≤ PtrsMax stat entries per file) and the per-commit
+   * stats job width. Real curation tables prune on a handful of axes
+   * (source, quality, language, ts); more belongs in partitioning. */
+  val PtrsMax = 8
 
   /** The declared categorical column: a JSON-pointer scalar out of
    * `doc`, stringified by the engine's canonical Go-`%v` rules — the

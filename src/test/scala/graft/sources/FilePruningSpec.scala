@@ -380,6 +380,92 @@ class FilePruningSpec extends SparkSpec {
     assert(back.files(2).mayContainNum(Some(0.8), None))
   }
 
+  // ---- multi-pointer manifest stats (compound pruning) ---------------
+
+  private def loadCompound(s: SeriesStore): Unit = {
+    s.create("db")
+    // 3 sources × 2 quality bands, one commit per (source, band) —
+    // declared on BOTH axes at write time
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (src, d) =>
+      Seq(0.2, 0.8).zipWithIndex.foreach { case (q, qi) =>
+        val docs = (0 until 20).map(i =>
+          (day(d) + (qi * 3600 + i * 60) * 1000000000L,
+            s"""{"src": "$src", "q": ${q + i * 0.001}}"""))
+        s.storeBatch("db", docs.toDF("ts", "doc"),
+          catPtrs = Seq("/src"), numPtrs = Seq("/q"))
+      }
+    }
+  }
+
+  test("multi-pointer stats record per file; compound read prunes on every axis") {
+    val s = newStore()
+    loadCompound(s)
+    assert(s.scanFiles("db").forall(f =>
+      f.catsBy.exists(_.contains("/src")) && f.numBy.exists(_.contains("/q"))))
+    // compound clustering: (src, q, ts)
+    s.compactMulti("db", Seq("/src"), Seq("/q"), rowsPerFile = 20L)
+    val all = s.scanFiles("db")
+    assert(all.size > 2, s"need several files, got ${all.size}")
+    val bySrc = s.scanFiles("db", catEqs = Seq(("/src", "beta")))
+    val byQ = s.scanFiles("db",
+      numBands = Seq(("/q", Some(0.7), None)))
+    val both = s.scanFiles("db", catEqs = Seq(("/src", "beta")),
+      numBands = Seq(("/q", Some(0.7), None)))
+    assert(bySrc.size < all.size && byQ.size < all.size)
+    // the compound prune beats each single axis
+    assert(both.size < bySrc.size && both.size < byQ.size,
+      s"compound ${both.size} vs src ${bySrc.size} / q ${byQ.size}")
+    // pruned compound read ≡ unpruned filter, row for row
+    val pruned = s.frameMulti("db", None, None,
+      Seq(("/src", "beta")), Seq(("/q", Some(0.7), None)))
+    val full = s.frame("db")
+      .filter(SeriesStore.catValueCol("/src") === "beta")
+      .filter(SeriesStore.numValueCol("/q").isNotNull &&
+        SeriesStore.numValueCol("/q") >= 0.7)
+    assert(pruned.orderBy("ts").collect().toSeq ==
+      full.orderBy("ts").collect().toSeq)
+    assert(pruned.count() == 20)
+  }
+
+  test("pointer-keyed pruning never falls back to the wrong axis") {
+    val s = newStore()
+    s.create("db")
+    val docs = (0 until 10).map(i => (day(0) + i * 1000000000L,
+      s"""{"src": "only", "lang": "en$i"}"""))
+    s.storeBatch("db", docs.toDF("ts", "doc"), catPtrs = Seq("/src"),
+      numPtrs = Nil)
+    s.compactMulti("db", Seq("/src"), Nil, rowsPerFile = 1000L)
+    // /lang was never declared: a query on it must NOT prune via the
+    // /src sets (new-format entries have no anonymous fallback)
+    assert(s.scanFiles("db", catEqs = Seq(("/lang", "zz"))).size ==
+      s.scanFiles("db").size)
+    // ...but the declared pointer still prunes
+    assert(s.scanFiles("db", catEqs = Seq(("/src", "nope"))).isEmpty)
+  }
+
+  test("FileEntry catsBy/numBy survive the manifest JSON round-trip") {
+    val m = Manifest(11, "append",
+      Seq(FileEntry("a.parquet", 5, -10L, 99L, 3L,
+          cats = Some(Vector("x")), num = Some(Vector(0.1, 0.9)),
+          catsBy = Some(Map("/src" -> Vector("x"),
+            "/lang" -> Vector("de", "en"))),
+          numBy = Some(Map("/q" -> Vector(0.1, 0.9),
+            "/len" -> Vector[Double]()))),
+        FileEntry("b.parquet", 6)),
+      seqHi = 12, clean = false)
+    val back = Manifest.fromJson(m.toJson)
+    assert(back == m)
+    val f = back.files.head
+    assert(f.mayContainCatAt("/src", "x") && !f.mayContainCatAt("/src", "y"))
+    assert(f.mayContainCatAt("/undeclared", "anything"))
+    assert(f.mayContainNumAt("/q", Some(0.5), None))
+    assert(!f.mayContainNumAt("/q", Some(0.95), None))
+    assert(!f.mayContainNumAt("/len", None, None)) // empty range
+    assert(f.mayContainNumAt("/other", Some(99.0), None))
+    // legacy entry (no maps): anonymous fallback still applies
+    assert(back.files(1).mayContainCatAt("/src", "anything"))
+  }
+
   test("legacy adoption records stats for adopted part- files") {
     val root = Files.createTempDirectory("graft-prune").toString
     // fabricate a pre-commit-log db: plain part-*.parquet in the dir
