@@ -1895,12 +1895,8 @@ object Queries {
               "src3" -> 200000L),
             budgetTokens = 8000L, maxEpochsMicro = 2500000L)
           .localCheckpoint() // rates AND the final audit read it
-        val rated = docs.join(
-          broadcast(plan.select(col("source"), col("rate_ppm"))),
-          Seq("source"))
-        val applied = graft.operators.Sampling.repeatWeighted(rated,
-          col("doc_id"),
-          col("rate_ppm").cast("double") / lit(1000000.0))
+        val applied = graft.operators.Sampling.applyMixture(docs,
+          col("doc_id"), col("source"), plan)
         val achieved = applied.groupBy(col("source"))
           .agg(sum(size(TextOps.tokens(col("text"))).cast("long"))
             .as("achieved_tokens"))

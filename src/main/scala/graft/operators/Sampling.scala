@@ -300,16 +300,32 @@ object Sampling {
   def mixturePlan(df: DataFrame, source: Column, text: Column,
       weightsPpm: Map[String, Long], budgetTokens: Long,
       maxEpochsMicro: Long = 4000000L): DataFrame = {
+    val avail = df.groupBy(source.as("source"))
+      .agg(sum(size(TextOps.tokens(text)).cast("long")).as("avail_tokens"))
+    mixturePlanFromInventory(avail, weightsPpm, budgetTokens,
+      maxEpochsMicro)
+  }
+
+  /** [[mixturePlan]] off a prebuilt per-source token INVENTORY
+   * (`(source, avail_tokens)`) — identical plan, none of the corpus
+   * scan. The inventory is a plain per-source sum, so it merges
+   * exactly across splits/batches (the wordTypeHistogram artifact
+   * discipline): a standing stream keeps one current per micro-batch
+   * ([[graft.streaming.SeriesStream.mixtureInventoryStream]]) and a
+   * 100-TB corpus re-plans its mixture with zero corpus scans. */
+  def mixturePlanFromInventory(inventory: DataFrame,
+      weightsPpm: Map[String, Long], budgetTokens: Long,
+      maxEpochsMicro: Long = 4000000L): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     require(maxEpochsMicro >= 0, "maxEpochsMicro must be >= 0")
     require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
     import graft.functions.ldiv
-    val spark = df.sparkSession
+    val spark = inventory.sparkSession
     import spark.implicits._
-    val avail = df.groupBy(source.as("source"))
-      .agg(sum(size(TextOps.tokens(text)).cast("long")).as("avail_tokens"))
     val declared = weightsPpm.keys.toSeq.sorted.toDF("source")
-    val inv = avail.join(declared, Seq("source"), "full_outer")
+    val inv = inventory.select(col("source"),
+        col("avail_tokens").cast("long").as("avail_tokens"))
+      .join(declared, Seq("source"), "full_outer")
       .na.fill(0L, Seq("avail_tokens"))
     val wCol = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (k, w)) =>
@@ -328,6 +344,23 @@ object Sampling {
       .withColumn("shortfall_tokens",
         col("target_tokens") - col("plan_tokens"))
   }
+
+  /** Apply a [[mixturePlan]] to a document frame: per-source
+   * `rate_ppm` admission through [[repeatWeighted]] — sources above
+   * 1.0 repeat (epoch-tagged copies), sources below subsample, and
+   * the kept set is id-hash deterministic, so applying the SAME plan
+   * to the same docs — batch or streamed, once or replayed — admits
+   * bit-identical rows. Undeclared sources (no plan row) drop. The
+   * plan is |sources|-bounded, so it broadcasts. */
+  def applyMixture(docs: DataFrame, id: Column, source: Column,
+      plan: DataFrame): DataFrame =
+    repeatWeighted(
+      docs.withColumn("__src", source)
+        .join(broadcast(plan.select(col("source").as("__src"),
+          col("rate_ppm"))), Seq("__src"))
+        .drop("__src"),
+      id, col("rate_ppm").cast("double") / lit(1000000.0))
+      .drop("rate_ppm")
 
   def tokenBudget(df: DataFrame, id: Column, group: Column, weight: Column,
       budgets: Map[String, Long], default: Long = 0L): DataFrame = {

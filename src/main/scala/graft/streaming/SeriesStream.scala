@@ -315,6 +315,103 @@ object SeriesStream {
   }
 
   /**
+   * Standing per-source token INVENTORY maintenance — the mixture
+   * family's mergeable artifact ([[wordHistStream]]'s shape): each
+   * micro-batch's per-source token counts sum exactly into the
+   * persisted `(source, avail_tokens)` frame, so
+   * [[standingMixturePlan]] re-derives the CURRENT mixture plan at
+   * any time with zero corpus scans — the standing half of the
+   * sample_mixture_plan/apply loop.
+   */
+  def mixtureInventoryStream(docs: DataFrame, sourceCol: String,
+      textCol: String, storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mixtureInventoryBatch(batch, sourceCol, textCol, storePath, id)
+      }
+      .start()
+
+  /** One idempotent inventory-merge step (exposed for the spec's
+   * re-delivery case and for [[admitMixtureStream]]). */
+  private[graft] def mixtureInventoryBatch(batch: DataFrame,
+      sourceCol: String, textCol: String, storePath: String,
+      batchId: Long): Unit =
+    artifactMergeBatch(batch,
+      b => b.groupBy(col(sourceCol).as("source"))
+        .agg(sum(size(graft.operators.TextOps.tokens(col(textCol)))
+          .cast("long")).as("avail_tokens")),
+      u => u.groupBy(col("source"))
+        .agg(sum(col("avail_tokens")).cast("long").as("avail_tokens")),
+      storePath, batchId)
+
+  /** The CURRENT mixture plan off the standing inventory artifact —
+   * [[graft.operators.Sampling.mixturePlanFromInventory]] over
+   * whatever [[mixtureInventoryStream]] has folded so far (empty
+   * inventory if nothing yet). Derivation is deterministic and
+   * |sources|-bounded, so the plan needs no persistence of its own:
+   * the inventory IS the durable state. */
+  def standingMixturePlan(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, weightsPpm: Map[String, Long],
+      budgetTokens: Long, maxEpochsMicro: Long = 4000000L): DataFrame = {
+    import spark.implicits._
+    val inv = standingSketch(spark, storePath)
+      .map(_.drop("batch_id"))
+      .getOrElse(Seq.empty[(String, Long)].toDF("source", "avail_tokens"))
+    graft.operators.Sampling.mixturePlanFromInventory(inv, weightsPpm,
+      budgetTokens, maxEpochsMicro)
+  }
+
+  /**
+   * The STREAMING MIXTURE EXECUTOR — the standing form of the
+   * sample_mixture_plan/apply loop (the [[admitIndexedStream]]
+   * pattern for curation mixing): each micro-batch (1) folds its
+   * per-source token counts into the persisted inventory
+   * (idempotent under replay — the [[artifactUpdateBatch]] marker),
+   * (2) re-derives the mixture plan from the UPDATED standing
+   * inventory, and (3) admits the batch through that plan
+   * ([[graft.operators.Sampling.applyMixture]]: deterministic
+   * per-source up/down-sampling, epoch-tagged) into `sink`. Sink
+   * semantics are AT-LEAST-ONCE (a crash between sink and the
+   * streaming checkpoint replays the batch; admission under a
+   * replayed batch re-derives the same plan because the inventory
+   * fold is skipped by the marker — the admitted row set is
+   * id-hash deterministic, so re-fires are bit-identical).
+   */
+  def admitMixtureStream(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, weightsPpm: Map[String, Long], budgetTokens: Long,
+      storePath: String, checkpoint: String, sink: DataFrame => Unit,
+      maxEpochsMicro: Long = 4000000L,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(mixtureAdmitBatch(batch, idCol, sourceCol, textCol,
+          weightsPpm, budgetTokens, storePath, id, maxEpochsMicro))
+      }
+      .start()
+
+  /** One executor step: fold the batch's inventory (idempotent), then
+   * admit the batch under the refreshed standing plan. Exposed for
+   * the spec's replay case. */
+  private[graft] def mixtureAdmitBatch(batch: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, weightsPpm: Map[String, Long],
+      budgetTokens: Long, storePath: String, batchId: Long,
+      maxEpochsMicro: Long = 4000000L): DataFrame = {
+    mixtureInventoryBatch(batch, sourceCol, textCol, storePath, batchId)
+    val plan = standingMixturePlan(batch.sparkSession, storePath,
+      weightsPpm, budgetTokens, maxEpochsMicro)
+      .localCheckpoint() // consumed per admitted row via broadcast
+    graft.operators.Sampling.applyMixture(batch, col(idCol),
+      col(sourceCol), plan)
+  }
+
+  /**
    * Standing n-gram-count maintenance — [[wordHistStream]]'s shape
    * for the perplexity family's count artifacts
    * ([[graft.operators.CorpusStats.ngramHistogram]], n = 1/2/3):

@@ -527,6 +527,82 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("streaming mixture executor: standing plan ≡ batch plan; replay admits the batch apply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Sampling
+    val rng = new scala.util.Random(11)
+    // 3 sources with lopsided availability so rates straddle 1.0
+    val corpus = (0 until 240).map { i =>
+      val src = if (i % 8 < 5) "web" else if (i % 8 < 7) "books" else "code"
+      (i.toLong, src, (0 to rng.nextInt(9)).map(j => s"w${i % 17}$j")
+        .mkString(" "))
+    }
+    val weights = Map("web" -> 200000L, "books" -> 300000L,
+      "code" -> 500000L)
+    val budget = 900L
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mix").toString + "/inv"
+    val admitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = SeriesStream.admitMixtureStream(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "source", "text", weights, budget,
+      storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-mix-ck").toString,
+      sink = df => admitted.synchronized {
+        admitted ++= df.select("doc_id", "source", "text", "epoch")
+          .as[(Long, String, String, Long)].collect()
+      })
+    try {
+      mem.addData(corpus.take(50))
+      q.processAllAvailable()
+      mem.addData(corpus.slice(50, 90))
+      q.processAllAvailable()
+      mem.addData(corpus.drop(90))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.nonEmpty)
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+    // the standing inventory yields EXACTLY the batch plan
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "avail_tokens", "weight_ppm", "target_tokens",
+          "plan_tokens", "rate_ppm", "shortfall_tokens")
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+    val batchPlan = Sampling.mixturePlan(corpusDf, $"source", $"text",
+      weights, budget)
+    assert(norm(SeriesStream.standingMixturePlan(spark, store, weights,
+      budget)) == norm(batchPlan))
+    // restart replay: re-deliver every batch id — inventory folds are
+    // skipped (idempotent), each batch admits under the now-complete
+    // standing plan, so the replayed stream's admitted rows equal the
+    // batch apply of the full corpus, row for row and epoch for epoch
+    val replayed = Seq(corpus.take(50), corpus.slice(50, 90),
+      corpus.drop(90)).zipWithIndex.map { case (b, i) =>
+      SeriesStream.mixtureAdmitBatch(b.toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text", weights, budget, store, i.toLong)
+    }.reduce(_ unionByName _)
+    def admits(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "epoch")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    val batchApply = Sampling.applyMixture(corpusDf, $"doc_id",
+      $"source", batchPlan)
+    assert(admits(replayed) == admits(batchApply))
+    // the inventory is unchanged by the replay (still the batch avail)
+    assert(norm(SeriesStream.standingMixturePlan(spark, store, weights,
+      budget)) == norm(batchPlan))
+    // per-source admitted token totals ≡ the batch plan's apply
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source")
+        .agg(sum(size(graft.operators.TextOps.tokens($"text"))
+          .cast("long")).as("t"))
+        .as[(String, Long)].collect().sorted.toSeq
+    assert(totals(replayed) == totals(batchApply))
+  }
+
   test("pre-r13 int-sid MG artifacts migrate on read (cast to string sid)") {
     import spark.implicits._
     import graft.operators.CorpusStats
