@@ -2392,6 +2392,39 @@ object Queries {
         .orderBy(col("doc_id")),
       Some(clustersOracle(0.8, bands = Dedup.bandsFor(0.8)))),
 
+    // leakage-free split: near-dup clusters land WHOLE in one split
+    // (a doc-level hash split would scatter a cluster across
+    // train/eval — self-inflicted contamination); representative's
+    // hash coordinate picks the split deterministically
+    "sample_cluster_split" -> Entry(
+      (s, dir) => Dedup.clusterSplit(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          splits = Seq(("train", 800000L), ("val", 100000L),
+            ("test", 100000L)),
+          threshold = 0.8, bands = Dedup.bandsFor(0.8))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${minhashPairsCte(0.8,
+          bands = Dedup.bandsFor(0.8))},
+        ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        walk(id, r) AS (
+          SELECT src, src FROM ed
+          UNION
+          SELECT wk.id, e.dst FROM walk wk JOIN ed e ON wk.r = e.src),
+        cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk
+          GROUP BY id),
+        rep AS (SELECT d.doc_id,
+            coalesce(cl.cluster_id, d.doc_id) AS rep_id
+          FROM documents d LEFT JOIN cl USING (doc_id)),
+        coord AS (SELECT doc_id, rep_id,
+            floor((('0x' || substr(md5(rep_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0) * 1000000.0)::BIGINT AS ppm
+          FROM rep)
+        SELECT doc_id, rep_id,
+          CASE WHEN ppm < 800000 THEN 'train'
+               WHEN ppm < 900000 THEN 'val' ELSE 'test' END AS split
+        FROM coord ORDER BY doc_id""")),
+
     "dedup_simhash" -> Entry(
       (s, dir) => Dedup.simhashes(t(s, dir, "documents"),
         col("doc_id"), col("text")).orderBy(col("doc_id")),
@@ -2718,6 +2751,48 @@ object Queries {
           FROM scored)
         SELECT query_id, vec_id, round(sim * 1000000.0) / 1000000.0 AS sim, rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // RADIUS search: the full similarity ball (sim >= 0.15) per query
+    // — recall-complete retrieval with NO ranking window at all (the
+    // filter is the output, zero exchanges)
+    "ann_range_search" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 8),
+            minSim = 0.15)
+          .withColumn("sim", round6(col("sim")))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        n AS (SELECT vec_id, embedding AS v,
+          sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT qid AS query_id, vec_id,
+            list_sum(list_transform(range(1, len(qv) + 1),
+              i -> v[i]::DOUBLE * qv[i]::DOUBLE)) /
+            ((SELECT nrm FROM n x WHERE x.vec_id = q.qid) * n.nrm) AS sim
+          FROM n JOIN q ON vec_id <> qid)
+        SELECT query_id, vec_id,
+          round(sim * 1000000.0) / 1000000.0 AS sim
+        FROM scored WHERE sim >= 0.15 ORDER BY query_id, vec_id""")),
+
+    // the IVF tier of the radius search: the ball is collected from
+    // the nprobe probed lists only — per-query cost tracks probed
+    // volume, not N (same recall contract as every IVF read)
+    "ann_range_search_ivf" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfRangeSearch(emb, emb.filter(col("vec_id") < 8),
+            centroids = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+              col("vec_id") < 4096),
+            minSim = 0.15, nprobe = 2)
+          .withColumn("sim", round6(col("sim")))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some(annIvfRangeOracle(centMod = 16, centCap = 4096,
+        minSim = 0.15, nprobe = 2))),
 
     // contrastive hard-negative mining: per anchor, the 10 nearest
     // DIFFERENT-label vectors — the label-mismatch predicate rides
@@ -5820,6 +5895,29 @@ object Queries {
         FROM scored)
       SELECT query_id, vec_id, round(sim * 1000000.0) / 1000000.0 AS sim, rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** [[annIvfOracle]]'s probe chain with the radius filter replacing
+   * the ranking window — the DuckDB mirror of
+   * [[graft.operators.Similarity.ivfRangeSearch]]. */
+  private def annIvfRangeOracle(centMod: Int, centCap: Int,
+      minSim: Double, nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv,
+            ${nrmSql("embedding")} AS cn
+          FROM embeddings WHERE vec_id % $centMod = 0 AND vec_id < $centCap),
+      asn AS (SELECT e.vec_id, e.embedding AS v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${dotSql.format("e.embedding", "cv")} / (${nrmSql("e.embedding")} * cn)
+              DESC, cent_id) AS rn
+        FROM embeddings e CROSS JOIN c),
+      lists AS (SELECT vec_id, v, cent_id FROM asn WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, v AS qv, cent_id
+        FROM asn WHERE rn <= $nprobe AND vec_id < 8),
+      scored AS (SELECT query_id, vec_id,
+          ${dotSql.format("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
+        FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id)
+      SELECT query_id, vec_id,
+        round(sim * 1000000.0) / 1000000.0 AS sim
+      FROM scored WHERE sim >= $minSim ORDER BY query_id, vec_id"""
 
   /** Measured plain-IVF recall in DuckDB: the [[annIvfOracle]] probe
    * chain cut at (query_id, vec_id) pairs, joined against exact

@@ -1026,6 +1026,50 @@ object Dedup {
   }
 
   /**
+   * LEAKAGE-FREE train/val/test split — near-duplicate clusters are
+   * assigned WHOLE to one split: a doc-level hash split puts a
+   * document's near-duplicates in DIFFERENT splits, so the eval set
+   * "memorizes" training text and benchmark numbers inflate (the
+   * contamination the decontamination family guards against,
+   * introduced by the split itself). Here the [[minhashPairs]] →
+   * [[clusters]] chain labels near-dup components, every doc takes
+   * its cluster representative (singletons: its own id), and the
+   * REPRESENTATIVE's hash coordinate picks the split against the
+   * cumulative `splits` ppm boundaries — so all members land
+   * together, deterministically (re-runs and engines agree), and
+   * reweighting splits only MOVES whole clusters.
+   *
+   * Scale shape: the cluster chain is the banded LSH pipeline (no
+   * all-pairs); the assignment adds one broadcast-able left join
+   * (cluster labels exist only for paired docs — sparse under
+   * realistic duplication) and a scan projection. Output: `(doc_id,
+   * rep_id, split)`.
+   */
+  def clusterSplit(docs: DataFrame, id: Column, text: Column,
+      splits: Seq[(String, Long)], threshold: Double = 0.8,
+      n: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 1000000L,
+      "splits must be (name, ppm) weights summing to 1000000")
+    val cl = clusters(minhashPairs(docs, id, text, threshold, n, bands,
+      shingleK))
+    val rep = docs.select(id.as("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+    // ppm coordinate of the representative; boundaries are the
+    // cumulative split weights, first match wins
+    val coordPpm = floor(graft.operators.Sampling.fraction(col("rep_id"))
+      * lit(1000000.0))
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val assign = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>
+        when(coordPpm < lit(hi), lit(name)).otherwise(acc)
+      }
+    rep.withColumn("split", assign)
+  }
+
+  /**
    * EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
    * Data Makes Language Models Better" — their ExactSubstr/
    * suffix-array semantics, token-level): remove every MAXIMAL

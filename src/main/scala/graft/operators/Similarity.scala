@@ -148,6 +148,68 @@ object Similarity {
   }
 
   /**
+   * RADIUS (range) search — every corpus vector with cosine
+   * similarity ≥ `minSim` to each query, the recall-complete
+   * retrieval mode top-k can't express (semantic-dedup thresholding,
+   * "everything near this centroid" audits, near-neighbor graph
+   * construction all want the FULL ball, not the first k). Exact
+   * brute-force tier: queries broadcast, the corpus scan stays
+   * partitioned, and because the radius predicate replaces the
+   * ranking window there is NO exchange at all — the filter is the
+   * output, a strictly better scale shape than [[cosineTopK]].
+   * Output volume is the true ball size; pick `minSim` accordingly.
+   */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      minSim: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("vn", l2norm(col("v")))
+      .filter(col("vn") > 0) // cosine is undefined for zero vectors
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .filter(col("qn") > 0)
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("vn") * col("qn")))
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /**
+   * [[rangeSearch]] through IVF lists — the scale tier: each query
+   * scores only its `nprobe` nearest centroids' inverted lists
+   * (probe-list construction shared with [[ivfTopK]]), so the
+   * per-query cost is the probed-list volume, not N. Same recall
+   * contract as every IVF read: a ball member whose list wasn't
+   * probed is missed — measure with [[ivfRecallAudit]]'s pattern
+   * and raise `nprobe` if the measured recall isn't enough.
+   */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, minSim: Double, nprobe: Int = 2): DataFrame = {
+    val cents = centsOf(centroids)
+    probeBall(assignedOf(corpus, cents)
+        .join(corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
+          Seq("vec_id")),
+      queries, cents, minSim, nprobe)
+  }
+
+  /** The probed-lists radius scan ([[probeLists]] without the ranking
+   * window — the filter is the output). */
+  private def probeBall(lists: DataFrame, queries: DataFrame,
+      cents: DataFrame, minSim: Double, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cent_id"))
+    val probes = scoredAgainst(cents, queries, "query_id")
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("query_id_v"), col("cent_id"))
+    lists.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("vec_id_v"), col("query_id_v")))
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /**
    * The persistable IVF artifact: the corpus→centroid ASSIGNMENT frame
    * `(vec_id, cent_id, idx_params)` — the output of the N·C assignment
    * scan, which dominates every [[ivfTopK]] call on a standing corpus.

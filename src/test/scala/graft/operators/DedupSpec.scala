@@ -441,6 +441,38 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(("a", "x y", 1L, 0L), ("b", "tail", 1L, 1L)))
   }
 
+  test("clusterSplit: near-dup clusters land whole in one split") {
+    import spark.implicits._
+    // a + b are near-dups (shared shingles), c/d/e singletons
+    val base = (1 to 30).map("tok" + _).mkString(" ")
+    val docs = Seq(
+      ("a", base), ("b", base + " extra"),
+      ("c", (1 to 20).map("x" + _).mkString(" ")),
+      ("d", (1 to 20).map("y" + _).mkString(" ")),
+      ("e", (1 to 20).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterSplit(docs, col("doc_id"), col("text"),
+        splits = Seq(("train", 800000L), ("val", 100000L),
+          ("test", 100000L)), threshold = 0.8)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "e"))
+    // the near-dup pair shares a representative AND a split — the
+    // leakage-free property a doc-level hash split cannot give
+    assert(out("a") == out("b"))
+    // singletons represent themselves
+    assert(out("c")._1 == "c" && out("d")._1 == "d")
+    assert(out.values.forall(v =>
+      Set("train", "val", "test").contains(v._2)))
+    // deterministic: re-run is identical
+    val again = Dedup.clusterSplit(docs, col("doc_id"), col("text"),
+        splits = Seq(("train", 800000L), ("val", 100000L),
+          ("test", 100000L)), threshold = 0.8)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(again == out)
+  }
+
   test("exactSubstringDedup: maximal duplicated passage cut once, kept once") {
     import spark.implicits._
     // passage P = p1..p8 (8 tokens) embedded at DIFFERENT offsets —

@@ -20,6 +20,41 @@ class SimilaritySpec extends SparkSpec {
     assert(r(3L) == -1.0)
   }
 
+  test("rangeSearch returns the full ball; no ranking window in the plan") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(1f, 0.1f, 0f),
+      2L -> Seq(0.7f, 0.7f, 0f), 3L -> Seq(0f, 1f, 0f),
+      4L -> Seq(-1f, 0f, 0f))
+    val ball = Similarity.rangeSearch(df, df.filter($"vec_id" === 0),
+      minSim = 0.5)
+    val got = ball.collect().map(_.getLong(1)).toSet
+    // sims vs v0: v1 ~0.995, v2 ~0.707, v3 = 0, v4 = -1
+    assert(got == Set(1L, 2L))
+    // the radius filter replaces the ranking window: no shuffle, no
+    // window — only the query-side broadcast moves
+    val plan = ball.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"),
+      s"rangeSearch plan has a window/shuffle:\n$plan")
+  }
+
+  test("ivfRangeSearch: ball members from probed lists only") {
+    // corpus split around two centroids; with nprobe=1 the query only
+    // sees its own centroid's list — the IVF recall contract
+    val df = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.8f, 0.2f),
+      10L -> Seq(0f, 1f), 11L -> Seq(0.1f, 0.9f))
+    val cents = vecs(100L -> Seq(1f, 0f), 200L -> Seq(0f, 1f))
+    val near = Similarity.ivfRangeSearch(df, df.filter($"vec_id" === 0),
+        cents, minSim = 0.0, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(near == Set(1L, 2L)) // 10/11 live in the unprobed list
+    val both = Similarity.ivfRangeSearch(df, df.filter($"vec_id" === 0),
+        cents, minSim = 0.0, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(both == Set(1L, 2L, 10L, 11L)) // all sims >= 0 here
+  }
+
   test("brute-force top-k ranks by similarity with deterministic ties") {
     val df = vecs((0L to 20L).map(i =>
       i -> Seq(1f, i.toFloat / 20f, 0.5f)): _*)
