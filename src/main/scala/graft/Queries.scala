@@ -2794,6 +2794,27 @@ object Queries {
       Some(annIvfRangeOracle(centMod = 16, centCap = 4096,
         minSim = 0.15, nprobe = 2))),
 
+    // radius search against the PERSISTED ivf index artifact — the
+    // ann_ivf_topk_indexed relationship for the ball read: identical
+    // output, no N·C assignment scan
+    "ann_range_search_indexed" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-ivf-range-index").toString
+        Similarity.ivfIndex(emb, cents)
+          .write.mode("overwrite").parquet(idxDir)
+        Similarity.ivfRangeSearchIndexed(s.read.parquet(idxDir), emb,
+            emb.filter(col("vec_id") < 8), cents, minSim = 0.15,
+            nprobe = 2)
+          .withColumn("sim", round6(col("sim")))
+          .orderBy(col("query_id"), col("vec_id"))
+      },
+      Some(annIvfRangeOracle(centMod = 16, centCap = 4096,
+        minSim = 0.15, nprobe = 2))),
+
     // contrastive hard-negative mining: per anchor, the 10 nearest
     // DIFFERENT-label vectors — the label-mismatch predicate rides
     // the broadcast join, so same-label rows never score

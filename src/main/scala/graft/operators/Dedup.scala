@@ -1047,12 +1047,21 @@ object Dedup {
    */
   def clusterSplit(docs: DataFrame, id: Column, text: Column,
       splits: Seq[(String, Long)], threshold: Double = 0.8,
-      n: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+      n: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame =
+    clusterSplitFromPairs(docs, id,
+      minhashPairs(docs, id, text, threshold, n, bands, shingleK), splits)
+
+  /** [[clusterSplit]] from a PRECOMPUTED near-dup pair frame
+   * (`(id1, id2, …)`) — composes with ANY pair producer: MinHash,
+   * [[simhashPairs]], [[graft.operators.Similarity]]'s embedding
+   * near-dup pairs, or a union of several (split leakage cares about
+   * every kind of duplication at once). */
+  def clusterSplitFromPairs(docs: DataFrame, id: Column, pairs: DataFrame,
+      splits: Seq[(String, Long)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
       splits.map(_._2).sum == 1000000L,
       "splits must be (name, ppm) weights summing to 1000000")
-    val cl = clusters(minhashPairs(docs, id, text, threshold, n, bands,
-      shingleK))
+    val cl = clusters(pairs)
     val rep = docs.select(id.as("doc_id"))
       .join(cl, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -192,6 +192,22 @@ object Similarity {
       queries, cents, minSim, nprobe)
   }
 
+  /**
+   * [[ivfRangeSearch]] against a PREBUILT [[ivfIndex]] — bit-identical
+   * ball, none of the N·C assignment cost (the [[ivfTopKIndexed]]
+   * relationship, with the same params/centroid-set integrity
+   * guards).
+   */
+  def ivfRangeSearchIndexed(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, centroids: DataFrame, minSim: Double,
+      nprobe: Int = 2): DataFrame = {
+    val cents = centsOf(centroids)
+    probeBall(guardedIndex(index, cents)
+        .join(corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
+          Seq("vec_id")),
+      queries, cents, minSim, nprobe)
+  }
+
   /** The probed-lists radius scan ([[probeLists]] without the ranking
    * window — the filter is the output). */
   private def probeBall(lists: DataFrame, queries: DataFrame,
@@ -236,25 +252,31 @@ object Similarity {
       queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
     val cents = centsOf(centroids)
+    probeLists(guardedIndex(index, cents).join(
+        corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
+        Seq("vec_id")),
+      queries, cents, k, nprobe)
+  }
+
+  /** The [[ivfTopKIndexed]] integrity guards, shared with the radius
+   * read: params-version scan-check plus centroid-set membership
+   * riding the broadcast join (no driver action) — a swapped or
+   * retrained centroid table fails loudly instead of probing the
+   * wrong lists. */
+  private def guardedIndex(index: DataFrame, cents: DataFrame): DataFrame = {
     val idx0 =
       if (index.columns.contains("idx_params"))
         index.where(assert_true(col("idx_params") === lit(ivfParams),
           concat(lit("ivfIndex built as "), col("idx_params"),
             lit(s", probed as $ivfParams"))).isNull)
       else index
-    // centroid-set integrity rides the broadcast join (no driver
-    // action): an index row whose cent_id the table lacks → error
-    val idx = idx0.select(col("vec_id"), col("cent_id"))
+    idx0.select(col("vec_id"), col("cent_id"))
       .join(broadcast(cents.select(col("cent_id"),
         lit(1).as("__cent_ok"))), Seq("cent_id"), "left")
       .where(assert_true(col("__cent_ok").isNotNull,
         concat(lit("ivfIndex references centroid "), col("cent_id"),
           lit(" absent from the supplied centroid table"))).isNull)
       .select(col("vec_id"), col("cent_id"))
-    probeLists(idx.join(
-        corpus.select(col("vec_id"), col("embedding").as("vec_id_v")),
-        Seq("vec_id")),
-      queries, cents, k, nprobe)
   }
 
   /**
