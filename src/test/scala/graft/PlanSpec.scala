@@ -257,6 +257,37 @@ class PlanSpec extends SparkSpec {
       s"index upsert crossed frames:\n$pu")
   }
 
+  test("round-14 operators keep their claimed plan shapes") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // exact-substring dedup: the hot-gram resolution is a map-side
+    // combinable aggregate pair (hot boilerplate windows collapse
+    // BEFORE the shuffle), every Window partitions by doc_id, and
+    // nothing degenerates to all-pairs
+    val pe = planOf(graft.operators.Dedup.exactSubstringDedup(
+      docs, col("doc_id"), col("text"), l = 15))
+    assert(!pe.contains("CartesianProduct"),
+      s"exact-substring dedup crossed frames:\n$pe")
+    assert("HashAggregate".r.findAllIn(pe).size >= 2,
+      s"gram count lost its partial aggregate:\n$pe")
+    // (window partitioning discipline is covered by the registry-wide
+    // unpartitioned-window audit below — dedup_exact_substring is in
+    // the registry)
+    // radius search: the filter IS the output — no window, no shuffle
+    val pr = planOf(graft.operators.Similarity.rangeSearch(
+      emb, emb.filter(col("vec_id") < 4), minSim = 0.2))
+    assert(!pr.contains("Window") && !pr.contains("hashpartitioning"),
+      s"rangeSearch grew a window/shuffle:\n$pr")
+    // cluster split: the pair chain stays banded (no all-pairs) and
+    // the final assignment is a projection over one left join
+    val ps = planOf(graft.operators.Dedup.clusterSplit(
+      docs, col("doc_id"), col("text"),
+      splits = Seq(("train", 900000L), ("test", 100000L))))
+    assert(!ps.contains("CartesianProduct"),
+      s"clusterSplit degenerated to all-pairs:\n$ps")
+  }
+
   test("PQ plans: encode is one map-side argmin exchange; ADC scan never joins vectors") {
     assume(available)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
