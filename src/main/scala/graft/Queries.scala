@@ -2621,53 +2621,7 @@ object Queries {
       (s, dir) => Dedup.exactSubstringDedup(t(s, dir, "documents"),
           col("doc_id"), col("text"), l = 15)
         .orderBy(col("doc_id")),
-      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
-            FROM documents),
-          g AS (SELECT doc_id,
-              unnest(range(0, greatest(len(ws) - 14, 0)))::INT AS pos, ws
-            FROM base),
-          gr AS (SELECT doc_id, pos,
-              array_to_string(list_slice(ws, pos + 1, pos + 15), ' ') AS gram
-            FROM g),
-          m AS (SELECT doc_id, pos,
-              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) = 1
-                AS is_first
-            FROM gr QUALIFY count(*) OVER (PARTITION BY gram) >= 2),
-          isl AS (SELECT doc_id, is_first, pos,
-              CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 15
-                THEN 1 ELSE 0 END AS ni
-            FROM m WINDOW w AS (PARTITION BY doc_id, is_first ORDER BY pos)),
-          isl2 AS (SELECT doc_id, is_first, pos,
-              sum(ni) OVER (PARTITION BY doc_id, is_first ORDER BY pos) AS gid
-            FROM isl),
-          iv AS (SELECT doc_id, is_first, min(pos) AS s, max(pos) + 15 AS e
-            FROM isl2 GROUP BY doc_id, is_first, gid),
-          fi AS (SELECT doc_id, s AS fs, e AS fe FROM iv WHERE is_first),
-          di AS (SELECT doc_id, s AS ds, e AS de FROM iv WHERE NOT is_first),
-          ov AS (SELECT d.doc_id, d.ds, d.de, f.fs, f.fe FROM di d JOIN fi f
-            ON d.doc_id = f.doc_id AND f.fs < d.de AND f.fe > d.ds),
-          mids AS (SELECT doc_id,
-              greatest(ds, coalesce(
-                lag(fe) OVER (PARTITION BY doc_id, ds ORDER BY fs), ds)) AS ss,
-              least(de, fs) AS se FROM ov),
-          tails AS (SELECT doc_id, greatest(ds, max(fe)) AS ss, de AS se
-            FROM ov GROUP BY doc_id, ds, de),
-          whole AS (SELECT d.doc_id, d.ds AS ss, d.de AS se FROM di d
-            WHERE NOT EXISTS (SELECT 1 FROM fi f WHERE f.doc_id = d.doc_id
-              AND f.fs < d.de AND f.fe > d.ds)),
-          segs AS (SELECT doc_id, ss, se FROM (
-              SELECT * FROM mids UNION ALL SELECT * FROM tails
-              UNION ALL SELECT * FROM whole) WHERE se > ss),
-          tok AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
-              i -> {'i': i - 1, 'w': ws[i]})) AS u FROM base),
-          kept AS (SELECT t.doc_id, t.u.w AS w, t.u.i AS i FROM tok t
-            WHERE NOT EXISTS (SELECT 1 FROM segs s
-              WHERE s.doc_id = t.doc_id AND t.u.i >= s.ss AND t.u.i < s.se)),
-          reb AS (SELECT doc_id,
-              coalesce(string_agg(w, ' ' ORDER BY i), '') AS text
-            FROM kept GROUP BY doc_id),
-          st AS (SELECT doc_id, sum(se - ss)::BIGINT AS n_dropped_tokens,
-              count(*)::BIGINT AS n_drop_spans FROM segs GROUP BY doc_id)
+      Some(s"""WITH ${exactSubstringCtes(15)}
         SELECT b.doc_id, coalesce(reb.text, '') AS text,
           len(b.ws)::BIGINT AS n_tokens,
           coalesce(st.n_dropped_tokens, 0)::BIGINT AS n_dropped_tokens,
@@ -2675,6 +2629,26 @@ object Queries {
         FROM base b LEFT JOIN reb ON b.doc_id = reb.doc_id
         LEFT JOIN st ON b.doc_id = st.doc_id
         ORDER BY b.doc_id""")),
+
+    // per-source duplicated-substring share: the data-card number the
+    // exact-substring cut implies (mirror crawls and boilerplate show
+    // as high dup_share_ppm) — same CTE chain, |sources| rollup
+    "dedup_substring_report" -> Entry(
+      (s, dir) => Dedup.exactSubstringReport(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("source"), l = 15)
+        .orderBy(col("source")),
+      Some(s"""WITH ${exactSubstringCtes(15)},
+          per AS (SELECT b.doc_id, len(b.ws)::BIGINT AS nt,
+              coalesce(st.n_dropped_tokens, 0)::BIGINT AS nd,
+              coalesce(st.n_drop_spans, 0)::BIGINT AS nsp
+            FROM base b LEFT JOIN st ON b.doc_id = st.doc_id)
+        SELECT doc.source, sum(per.nt)::BIGINT AS n_tokens,
+          sum(per.nd)::BIGINT AS n_dropped_tokens,
+          sum(per.nsp)::BIGINT AS n_drop_spans,
+          (sum(per.nd) * 1000000 // NULLIF(sum(per.nt), 0))::BIGINT
+            AS dup_share_ppm
+        FROM per JOIN documents doc ON per.doc_id = doc.doc_id
+        GROUP BY 1 ORDER BY 1""")),
 
     "dedup_incremental" -> Entry(
       (s, dir) => {
@@ -6030,6 +6004,62 @@ object Queries {
    * positions, ranked by the identical (nll, count, smallest-split)
    * triple. Unknown single code points cost `unkNllMicro`; unknown
    * longer pieces are not candidates. */
+  /** The exact-substring dedup CTE chain (DuckDB mirror of
+   * [[graft.operators.Dedup.exactSubstringDedup]] on gram STRINGS):
+   * duplicated l-window marking with global keep-first, run-merge to
+   * maximal intervals, keeper-hole subtraction, token rebuild. Ends
+   * with `base(doc_id, ws)`, `segs(doc_id, ss, se)`,
+   * `reb(doc_id, text)` and `st(doc_id, n_dropped_tokens,
+   * n_drop_spans)` for the consumers to compose. */
+  private def exactSubstringCtes(l: Int): String =
+    s"""base AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        g AS (SELECT doc_id,
+            unnest(range(0, greatest(len(ws) - ${l - 1}, 0)))::INT AS pos, ws
+          FROM base),
+        gr AS (SELECT doc_id, pos,
+            array_to_string(list_slice(ws, pos + 1, pos + $l), ' ') AS gram
+          FROM g),
+        m AS (SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) = 1
+              AS is_first
+          FROM gr QUALIFY count(*) OVER (PARTITION BY gram) >= 2),
+        isl AS (SELECT doc_id, is_first, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $l
+              THEN 1 ELSE 0 END AS ni
+          FROM m WINDOW w AS (PARTITION BY doc_id, is_first ORDER BY pos)),
+        isl2 AS (SELECT doc_id, is_first, pos,
+            sum(ni) OVER (PARTITION BY doc_id, is_first ORDER BY pos) AS gid
+          FROM isl),
+        iv AS (SELECT doc_id, is_first, min(pos) AS s, max(pos) + $l AS e
+          FROM isl2 GROUP BY doc_id, is_first, gid),
+        fi AS (SELECT doc_id, s AS fs, e AS fe FROM iv WHERE is_first),
+        di AS (SELECT doc_id, s AS ds, e AS de FROM iv WHERE NOT is_first),
+        ov AS (SELECT d.doc_id, d.ds, d.de, f.fs, f.fe FROM di d JOIN fi f
+          ON d.doc_id = f.doc_id AND f.fs < d.de AND f.fe > d.ds),
+        mids AS (SELECT doc_id,
+            greatest(ds, coalesce(
+              lag(fe) OVER (PARTITION BY doc_id, ds ORDER BY fs), ds)) AS ss,
+            least(de, fs) AS se FROM ov),
+        tails AS (SELECT doc_id, greatest(ds, max(fe)) AS ss, de AS se
+          FROM ov GROUP BY doc_id, ds, de),
+        whole AS (SELECT d.doc_id, d.ds AS ss, d.de AS se FROM di d
+          WHERE NOT EXISTS (SELECT 1 FROM fi f WHERE f.doc_id = d.doc_id
+            AND f.fs < d.de AND f.fe > d.ds)),
+        segs AS (SELECT doc_id, ss, se FROM (
+            SELECT * FROM mids UNION ALL SELECT * FROM tails
+            UNION ALL SELECT * FROM whole) WHERE se > ss),
+        tok AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> {'i': i - 1, 'w': ws[i]})) AS u FROM base),
+        kept AS (SELECT t.doc_id, t.u.w AS w, t.u.i AS i FROM tok t
+          WHERE NOT EXISTS (SELECT 1 FROM segs s
+            WHERE s.doc_id = t.doc_id AND t.u.i >= s.ss AND t.u.i < s.se)),
+        reb AS (SELECT doc_id,
+            coalesce(string_agg(w, ' ' ORDER BY i), '') AS text
+          FROM kept GROUP BY doc_id),
+        st AS (SELECT doc_id, sum(se - ss)::BIGINT AS n_dropped_tokens,
+            count(*)::BIGINT AS n_drop_spans FROM segs GROUP BY doc_id)"""
+
   /** The default word-type source for the encode oracles: distinct
    * whitespace tokens of 1..`maxLen` code points. */
   private def wtSqlDefault(maxLen: Int): String =

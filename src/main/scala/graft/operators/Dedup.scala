@@ -1026,6 +1026,29 @@ object Dedup {
   }
 
   /**
+   * Per-source duplicated-substring report — the data-card face of
+   * [[exactSubstringDedup]]: how many tokens of each source sit
+   * inside duplicated ≥ l-token substrings that the cut would remove
+   * (mirror crawls and re-posted boilerplate show up as high
+   * `dup_share_ppm` long before anyone reads the text). Same engine
+   * pass as the dedup plus one broadcast-able source join and a
+   * |sources|-bounded rollup.
+   */
+  def exactSubstringReport(docs: DataFrame, id: Column, text: Column,
+      source: Column, l: Int = 50): DataFrame = {
+    import graft.functions.ldiv
+    exactSubstringDedup(docs, id, text, l)
+      .join(docs.select(id.as("doc_id"), source.as("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_dropped_tokens")).as("n_dropped_tokens"),
+        sum(col("n_drop_spans")).as("n_drop_spans"))
+      .withColumn("dup_share_ppm",
+        ldiv(col("n_dropped_tokens") * lit(1000000L),
+          nullif(col("n_tokens"), lit(0L))))
+  }
+
+  /**
    * LEAKAGE-FREE train/val/test split — near-duplicate clusters are
    * assigned WHOLE to one split: a doc-level hash split puts a
    * document's near-duplicates in DIFFERENT splits, so the eval set
