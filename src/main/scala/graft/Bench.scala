@@ -78,7 +78,8 @@ object Bench {
       "dedup_exact_substring", "text_unigram_encode_bytes",
       "text_greedy_encode_bytes", "ann_range_search",
       "ann_range_search_ivf", "sample_cluster_split",
-      "ann_range_search_indexed", "dedup_substring_report")
+      "ann_range_search_indexed", "dedup_substring_report",
+      "dedup_substring_incremental")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

@@ -2630,6 +2630,31 @@ object Queries {
         LEFT JOIN st ON b.doc_id = st.doc_id
         ORDER BY b.doc_id""")),
 
+    // incremental exact-substring dedup: the batch screens against a
+    // standing gram index (first-occurrence per window content) —
+    // BIT-IDENTICAL to running the batch operator over corpus+batch
+    // and keeping the batch rows, which is exactly what the oracle
+    // computes (the full chain restricted to the batch's docs)
+    "dedup_substring_incremental" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.exactSubstringIncremental(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            Dedup.gramIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+              col("doc_id"), col("text"), l = 15),
+            col("doc_id"), col("text"), l = 15)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${exactSubstringCtes(15)}
+        SELECT b.doc_id, coalesce(reb.text, '') AS text,
+          len(b.ws)::BIGINT AS n_tokens,
+          coalesce(st.n_dropped_tokens, 0)::BIGINT AS n_dropped_tokens,
+          coalesce(st.n_drop_spans, 0)::BIGINT AS n_drop_spans
+        FROM base b LEFT JOIN reb ON b.doc_id = reb.doc_id
+        LEFT JOIN st ON b.doc_id = st.doc_id
+        WHERE b.doc_id % 2 = 1
+        ORDER BY b.doc_id""")),
+
     // per-source duplicated-substring share: the data-card number the
     // exact-substring cut implies (mirror crawls and boilerplate show
     // as high dup_share_ppm) — same CTE chain, |sources| rollup

@@ -1145,9 +1145,7 @@ object Dedup {
       l: Int = 50): DataFrame = {
     require(l >= 2, "l must be >= 2")
     val base = docs.select(id.as("doc_id"), split(text, " ").as("ws"))
-    val gh = base.select(col("doc_id"),
-      posexplode(graft.functions.GramHashExpr.gramHashes(col("ws"), l))
-        .as(Seq("pos", "gh")))
+    val gh = gramStream(base, l)
     val firsts = gh.groupBy(col("gh"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id"), col("pos"))).as("__f"))
@@ -1156,6 +1154,83 @@ object Dedup {
     val marked = gh.join(firsts, "gh")
       .select(col("doc_id"), col("pos"),
         (struct(col("doc_id"), col("pos")) === col("__f")).as("is_first"))
+    cutMarkedSpans(base, marked, l)
+  }
+
+  /**
+   * The PERSISTABLE exact-substring index: one row per distinct
+   * l-window content with its globally FIRST occurrence
+   * (`(gh, f struct(doc_id, pos))`) — what the incremental form
+   * screens against. Min-merge is an exact homomorphism
+   * ([[gramIndexUpsert]]), so the artifact a standing stream folds
+   * batch-by-batch equals a from-scratch build of everything
+   * ingested. Size is the corpus's distinct-window count × 16 bytes
+   * — the [[corpusIndex]] size class.
+   */
+  def gramIndex(corpus: DataFrame, id: Column, text: Column,
+      l: Int = 50): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    gramStream(corpus.select(id.as("doc_id"), split(text, " ").as("ws")), l)
+      .groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+  }
+
+  /** Fold a batch into a [[gramIndex]]: per-gram min of first
+   * occurrences — exact, order-free, batch-build + index-sized
+   * merge (the [[corpusIndexUpsert]] cost shape). */
+  def gramIndexUpsert(index: DataFrame, batch: DataFrame, id: Column,
+      text: Column, l: Int = 50): DataFrame =
+    index.unionByName(gramIndex(batch, id, text, l))
+      .groupBy(col("gh")).agg(min(col("f")).as("f"))
+
+  /**
+   * INCREMENTAL exact-substring dedup — [[exactSubstringDedup]]'s
+   * semantics for a batch screened against a standing [[gramIndex]]:
+   * a batch window is duplicated iff its content occurred ANYWHERE
+   * before (the index) or ≥ 2 times in batch ∪ index, and the keeper
+   * is the globally smallest (doc_id, pos) across both — so the
+   * output is BIT-IDENTICAL to running the batch operator over
+   * corpus ∪ batch and keeping the batch's rows (spec-pinned). The
+   * batch pays its own gram stream plus one join against the index;
+   * the corpus text is never read.
+   */
+  def exactSubstringIncremental(batch: DataFrame, index: DataFrame,
+      id: Column, text: Column, l: Int = 50): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    val base = batch.select(id.as("doc_id"), split(text, " ").as("ws"))
+    val gh = gramStream(base, l)
+    val bAgg = gh.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).as("__bf"))
+    val joined = bAgg.join(index.select(col("gh"), col("f").as("__xf")),
+      Seq("gh"), "left")
+    // duplicated: an earlier corpus occurrence exists, or the batch
+    // itself repeats the window; keeper = min over both sides
+    val firsts = joined
+      .filter(col("__xf").isNotNull || col("__c") >= 2)
+      .select(col("gh"),
+        when(col("__xf").isNotNull && col("__xf") < col("__bf"),
+          col("__xf")).otherwise(col("__bf")).as("__f"))
+    val marked = gh.join(firsts, "gh")
+      .select(col("doc_id"), col("pos"),
+        (struct(col("doc_id"), col("pos")) === col("__f")).as("is_first"))
+    cutMarkedSpans(base, marked, l)
+  }
+
+  /** The per-doc position-indexed rolling window-hash stream
+   * (`(doc_id, pos, gh)`) over a `(doc_id, ws)` frame. */
+  private def gramStream(base: DataFrame, l: Int): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(graft.functions.GramHashExpr.gramHashes(col("ws"), l))
+        .as(Seq("pos", "gh")))
+
+  /** The exact-substring CUT half, shared by the batch and
+   * incremental forms: merge duplicated window starts to maximal
+   * intervals per (doc, keeper-class), subtract keeper intervals
+   * from drop intervals, rebuild text around the survivors. `marked`
+   * is `(doc_id, pos, is_first)` for DUPLICATED windows only. */
+  private def cutMarkedSpans(base: DataFrame, marked: DataFrame,
+      l: Int): DataFrame = {
     // maximal intervals per (doc, class): window starts sorted, new
     // island when the gap exceeds l (the [pos, pos+l) unions split)
     val ord = Window.partitionBy(col("doc_id"), col("is_first"))

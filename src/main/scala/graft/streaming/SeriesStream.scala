@@ -138,6 +138,56 @@ object SeriesStream {
       .start()
 
   /**
+   * Streaming EXACT-SUBSTRING cleaning against a standing gram index
+   * — the sub-document member of the self-maintaining admission
+   * family ([[admitIndexedStream]] cleans whole near-dup docs; this
+   * cuts duplicated ≥ l-token SPANS out of each arriving doc): every
+   * micro-batch screens against the persisted first-occurrence index
+   * ([[graft.operators.Dedup.exactSubstringIncremental]] — the
+   * corpus participates as its window index, text never re-read),
+   * the cleaned batch flows to the sink, and the batch's windows
+   * fold into the index (min-merge homomorphism,
+   * [[graft.operators.Dedup.gramIndexUpsert]]) so the next batch is
+   * screened against everything seen. Same artifact discipline as
+   * [[admitIndexedStream]]: marker-idempotent under replay, sink
+   * AT-LEAST-ONCE (a crash between sink and swap re-fires it — the
+   * cleaned output is deterministic, so re-fires are bit-identical).
+   * Spec-pinned: with batch order following doc order, the
+   * concatenated cleaned stream ≡ the batch
+   * [[graft.operators.Dedup.exactSubstringDedup]] of everything
+   * ingested.
+   */
+  def admitSubstringStream(docs: DataFrame, idCol: String, textCol: String,
+      l: Int, indexPath: String, checkpoint: String,
+      sink: DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        substringAdmitBatch(batch, idCol, textCol, l, indexPath, id, sink)
+      }
+      .start()
+
+  /** One executor step for [[admitSubstringStream]] (exposed for the
+   * spec's replay case). */
+  private[graft] def substringAdmitBatch(batch: DataFrame, idCol: String,
+      textCol: String, l: Int, indexPath: String, batchId: Long,
+      sink: DataFrame => Unit): Unit = {
+    import graft.operators.Dedup
+    artifactUpdateBatch(batch.sparkSession, indexPath, batchId, { standing =>
+      val idx = standing.map(_.drop("batch_id"))
+        .getOrElse(Dedup.gramIndex(batch.limit(0), col(idCol),
+          col(textCol), l))
+      val cleaned = Dedup.exactSubstringIncremental(batch, idx,
+        col(idCol), col(textCol), l).localCheckpoint()
+      sink(cleaned)
+      Dedup.gramIndexUpsert(idx, batch, col(idCol), col(textCol), l)
+    })
+  }
+
+  /**
    * Streaming SEMANTIC admission against a standing PQ index — the
    * third admission tier next to [[admitStream]]'s exact+MinHash text
    * screen: each micro-batch of `(vec_id, embedding)` rows ADC-probes

@@ -521,6 +521,39 @@ class DedupSpec extends SparkSpec {
       ("f", "f1 f2 f3")))
   }
 
+  test("exactSubstringIncremental ≡ batch dedup restricted to the batch") {
+    import spark.implicits._
+    val p = (1 to 10).map("p" + _).mkString(" ")
+    val q = (1 to 10).map("q" + _).mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $p a3"), (2L, s"b1 $q"), // corpus (even)
+      (1L, s"c1 $p c2 c3"), // batch doc repeating a corpus passage
+      (3L, s"$q d1 $q"), // batch doc repeating corpus + itself
+      (5L, "e1 e2 e3")) // clean batch doc
+      .toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val inc = Dedup.exactSubstringIncremental(batch,
+        Dedup.gramIndex(corpus, $"doc_id", $"text", l = 4),
+        $"doc_id", $"text", l = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val full = Dedup.exactSubstringDedup(docs, $"doc_id", $"text", l = 4)
+      .filter($"doc_id" % 2 === 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(inc.toSeq == full.toSeq)
+    // and the cuts are the expected ones: both corpus passages gone
+    assert(inc.toMap.apply(1L) == "c1 c2 c3")
+    assert(inc.toMap.apply(3L) == "d1")
+    // upsert ≡ rebuild, bit for bit
+    val upserted = Dedup.gramIndexUpsert(
+        Dedup.gramIndex(corpus, $"doc_id", $"text", l = 4),
+        batch, $"doc_id", $"text", l = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Dedup.gramIndex(docs, $"doc_id", $"text", l = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(upserted == rebuilt)
+  }
+
   test("exactSubstringDedup: self-overlapping periodic repeat") {
     import spark.implicits._
     // "a b a b a b", l=2: keeper windows ab@0, ba@1 cover [0,3);

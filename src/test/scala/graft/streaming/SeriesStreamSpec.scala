@@ -527,6 +527,53 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("streaming exact-substring cleaning ≡ batch dedup of everything ingested") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val p = (1 to 8).map("p" + _).mkString(" ")
+    val q = (1 to 8).map("q" + _).mkString(" ")
+    // doc order follows batch order (the streaming keep-first premise)
+    val corpus = Seq(
+      (0L, s"a1 $p a2"), (1L, s"b1 b2 $q"), // batch 1
+      (2L, s"$p c1 c2"), (3L, "d1 d2 d3"), // batch 2: repeats p
+      (4L, s"$q $p e1")) // batch 3: repeats both
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-substr").toString + "/gidx"
+    val cleaned = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val qr = SeriesStream.admitSubstringStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", l = 4,
+      indexPath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-substr-ck").toString,
+      sink = df => cleaned.synchronized {
+        cleaned ++= df.select("doc_id", "text")
+          .as[(Long, String)].collect()
+      })
+    try {
+      mem.addData(corpus.take(2)); qr.processAllAvailable()
+      mem.addData(corpus.slice(2, 4)); qr.processAllAvailable()
+      mem.addData(corpus.drop(4)); qr.processAllAvailable()
+    } finally qr.stop()
+    val batchOut = Dedup.exactSubstringDedup(
+        corpus.toDF("doc_id", "text"), $"doc_id", $"text", l = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+    assert(cleaned.sorted.toSeq == batchOut)
+    // the folded index ≡ a from-scratch build of everything ingested
+    val standing = spark.read.parquet(store).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Dedup.gramIndex(corpus.toDF("doc_id", "text"),
+        $"doc_id", $"text", l = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(standing == direct)
+    // replayed batch id: fold skipped, index unchanged (idempotent)
+    SeriesStream.substringAdmitBatch(corpus.take(2).toDF("doc_id", "text"),
+      "doc_id", "text", 4, store, batchId = 0L, _ => ())
+    assert(spark.read.parquet(store).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq == direct)
+  }
+
   test("streaming mixture executor: standing plan ≡ batch plan; replay admits the batch apply") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
