@@ -1037,8 +1037,13 @@ object Dedup {
   def exactSubstringReport(docs: DataFrame, id: Column, text: Column,
       source: Column, l: Int = 50): DataFrame = {
     import graft.functions.ldiv
-    exactSubstringDedup(docs, id, text, l)
-      .join(docs.select(id.as("doc_id"), source.as("source")), "doc_id")
+    require(l >= 2, "l must be >= 2")
+    // source rides the base frame through the cut — ONE corpus scan,
+    // no corpus-sized rejoin for the rollup key
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("ws"),
+      source.as("source"))
+    cutMarkedSpans(base, markedWindows(base, l), l,
+        extra = Seq("source"))
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_dropped_tokens")).as("n_dropped_tokens"),
@@ -1145,16 +1150,23 @@ object Dedup {
       l: Int = 50): DataFrame = {
     require(l >= 2, "l must be >= 2")
     val base = docs.select(id.as("doc_id"), split(text, " ").as("ws"))
+    cutMarkedSpans(base, markedWindows(base, l), l)
+  }
+
+  /** The duplicated-window marking half: every window start whose
+   * content occurs ≥ 2 times corpus-wide, flagged keeper iff it is
+   * the global `min(doc_id, pos)` occurrence. Map-side-combinable
+   * groupBy — hot boilerplate windows collapse before the shuffle. */
+  private def markedWindows(base: DataFrame, l: Int): DataFrame = {
     val gh = gramStream(base, l)
     val firsts = gh.groupBy(col("gh"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id"), col("pos"))).as("__f"))
       .filter(col("__c") >= 2)
       .select(col("gh"), col("__f"))
-    val marked = gh.join(firsts, "gh")
+    gh.join(firsts, "gh")
       .select(col("doc_id"), col("pos"),
         (struct(col("doc_id"), col("pos")) === col("__f")).as("is_first"))
-    cutMarkedSpans(base, marked, l)
   }
 
   /**
@@ -1230,7 +1242,7 @@ object Dedup {
    * from drop intervals, rebuild text around the survivors. `marked`
    * is `(doc_id, pos, is_first)` for DUPLICATED windows only. */
   private def cutMarkedSpans(base: DataFrame, marked: DataFrame,
-      l: Int): DataFrame = {
+      l: Int, extra: Seq[String] = Nil): DataFrame = {
     // maximal intervals per (doc, class): window starts sorted, new
     // island when the gap exceeds l (the [pos, pos+l) unions split)
     val ord = Window.partitionBy(col("doc_id"), col("is_first"))
@@ -1273,13 +1285,13 @@ object Dedup {
         sum(col("se") - col("ss")).as("n_dropped_tokens"),
         count(lit(1)).as("n_drop_spans"))
     base.join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id") +: extra.map(col) ++: Seq(
         when(col("__segs").isNull, array_join(col("ws"), " "))
           .otherwise(array_join(expr(
             "filter(ws, (w, i) -> NOT exists(__segs, " +
               "x -> i >= x.ss AND i < x.se))"), " ")).as("text"),
         size(col("ws")).cast("long").as("n_tokens"),
         coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
-        coalesce(col("n_drop_spans"), lit(0L)).as("n_drop_spans"))
+        coalesce(col("n_drop_spans"), lit(0L)).as("n_drop_spans")): _*)
   }
 }
