@@ -1038,8 +1038,9 @@ object Dedup {
       source: Column, l: Int = 50): DataFrame = {
     import graft.functions.ldiv
     require(l >= 2, "l must be >= 2")
-    // source rides the base frame through the cut — ONE corpus scan,
-    // no corpus-sized rejoin for the rollup key
+    // source rides the base frame through the cut: the rollup key
+    // comes from scans the cut already pays (gram stream + rebuild),
+    // not a THIRD corpus-scale scan-and-join
     val base = docs.select(id.as("doc_id"), split(text, " ").as("ws"),
       source.as("source"))
     cutMarkedSpans(base, markedWindows(base, l), l,
