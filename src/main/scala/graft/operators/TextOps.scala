@@ -461,8 +461,24 @@ object TextOps {
    */
   def decontaminateBloom(docs: DataFrame, id: Column, text: Column,
       bench: DataFrame, benchText: Column, n: Int = 8,
-      fpp: Double = 0.01): DataFrame = {
-    val bg = bench.select(explode(ngrams(benchText, n)).as("gram")).distinct()
+      fpp: Double = 0.01): DataFrame =
+    decontaminateFromGrams(docs, id, text,
+      evalGrams(bench, benchText, n), n, fpp)
+
+  /** The eval set's distinct word-n-gram frame (`(gram)`) — the
+   * PERSISTABLE decontamination artifact: distinct-union is an exact
+   * set homomorphism, so per-batch artifacts merge into exactly the
+   * from-scratch build ([[graft.streaming.SeriesStream
+   * .evalGramStream]] maintains one as benchmark sets evolve). */
+  def evalGrams(bench: DataFrame, benchText: Column, n: Int = 8): DataFrame =
+    bench.select(explode(ngrams(benchText, n)).as("gram")).distinct()
+
+  /** [[decontaminateBloom]] against a prebuilt [[evalGrams]] frame —
+   * identical output, none of the eval-side gram scan (the
+   * standing-artifact scoring path). */
+  def decontaminateFromGrams(docs: DataFrame, id: Column, text: Column,
+      grams: DataFrame, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val bg = grams.select(col("gram"))
     val hashed = bg.select(hash60(col("gram")).as("gh"))
     // sizing aggregate: one count over the (small) eval side — the
     // same metadata-scale job stat.bloomFilter itself runs next

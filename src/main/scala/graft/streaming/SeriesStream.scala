@@ -365,6 +365,30 @@ object SeriesStream {
   }
 
   /**
+   * Standing EVAL-GRAM maintenance — the decontamination family's
+   * mergeable artifact: each micro-batch of benchmark documents folds
+   * its distinct word-n-grams into the persisted
+   * [[graft.operators.TextOps.evalGrams]] frame (distinct-union is an
+   * exact set homomorphism), so
+   * [[graft.operators.TextOps.decontaminateFromGrams]] always screens
+   * against the CURRENT benchmark set as eval suites evolve — no
+   * eval-side rescan, the [[wordHistStream]] discipline.
+   */
+  def evalGramStream(bench: DataFrame, textCol: String, n: Int,
+      storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    bench.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        artifactMergeBatch(batch,
+          b => graft.operators.TextOps.evalGrams(b, col(textCol), n),
+          u => u.select(col("gram")).distinct(), storePath, id)
+      }
+      .start()
+
+  /**
    * Standing per-source token INVENTORY maintenance — the mixture
    * family's mergeable artifact ([[wordHistStream]]'s shape): each
    * micro-batch's per-source token counts sum exactly into the

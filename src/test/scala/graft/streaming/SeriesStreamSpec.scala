@@ -527,6 +527,41 @@ class SeriesStreamSpec extends SparkSpec {
     assert(norm(spark.read.parquet(store).drop("batch_id")) == norm(direct))
   }
 
+  test("standing eval-gram artifact ≡ batch grams; scoring against it ≡ batch decontamination") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    val bench = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"e${(i * 7 + j) % 23}").mkString(" ")))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-eg").toString + "/grams"
+    val mem = MemoryStream[(Long, String)]
+    val q = SeriesStream.evalGramStream(
+      mem.toDF().toDF("bid", "text"), "text", n = 4,
+      storePath = store,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-eg-ck").toString)
+    try {
+      mem.addData(bench.take(15)); q.processAllAvailable()
+      mem.addData(bench.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val benchDf = bench.toDF("bid", "text")
+    val standing = spark.read.parquet(store).select("gram")
+      .as[String].collect().sorted.toSeq
+    val direct = TextOps.evalGrams(benchDf, $"text", 4)
+      .as[String].collect().sorted.toSeq
+    assert(standing == direct) // distinct-union homomorphism
+    // scoring a corpus against the artifact ≡ the batch operator
+    val docs = Seq((1L, bench(3)._2 + " tail tail"), (2L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().sorted.toSeq
+    assert(norm(TextOps.decontaminateFromGrams(docs, $"doc_id", $"text",
+        spark.read.parquet(store), n = 4)) ==
+      norm(TextOps.decontaminateBloom(docs, $"doc_id", $"text", benchDf,
+        $"text", n = 4)))
+  }
+
   test("streaming exact-substring cleaning ≡ batch dedup of everything ingested") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
