@@ -6144,13 +6144,20 @@ object Queries {
     // start, '##'-prefixed at every later position
     val mk = if (marked) "(CASE WHEN g.pos = 0 THEN '' ELSE '##' END) || "
       else ""
+    // The emitted piece carries the same positional marker the probe
+    // used, matching the engine's segmentGreedyMarked output
+    // ('un ##aff ##able', unknowns as 'c' / '##c') — count-only
+    // consumers are unaffected ('##' adds no '§'), and a future
+    // string-comparing oracle sees the engine's exact pieces.
+    val mkOut = if (marked) "(CASE WHEN pos = 0 THEN '' ELSE '##' END) || "
+      else ""
     val ladder = (maxPieceLen to 2 by -1).map(l =>
       s"""WHEN length(g.w) - g.pos >= $l AND $mk substr(g.w, g.pos + 1, $l)
           IN (SELECT piece FROM $voc) THEN $l""").mkString("\n            ")
     val steps = (1 to maxLen).map { t =>
       s"""$pfx$t AS MATERIALIZED (
         SELECT w, pos + take AS pos,
-            path || '§' || substr(w, pos + 1, take) AS path
+            path || '§' || $mkOut substr(w, pos + 1, take) AS path
         FROM (SELECT g.w, g.pos, g.path,
             CASE $ladder ELSE 1 END AS take
           FROM $pfx${t - 1} g WHERE g.pos < length(g.w))

@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * (the correctness oracle compares gram STRINGS), so only the
  * equality classes matter: collision odds at 10⁹ distinct windows
  * are ~10⁻⁴ per corpus, and one collision merges one anchor pair.
+ *
+ * Null tokens hash as the SENTINEL 0L — every null token falls in
+ * one equality class (and collides with a real token whose 60-bit
+ * hash happens to be 0, odds 2⁻⁶⁰ per token). No current caller can
+ * produce one (`split()` never yields null elements and every Dedup
+ * site tokenizes with it), so the sentinel is a defensive contract
+ * for future callers, pinned by GramHashSpec, not a live path.
  */
 case class GramHashExpr(child: Expression, l: Int)
     extends UnaryExpression {

@@ -50,6 +50,10 @@ class SeriesStore(spark: SparkSession, root: String) {
     val queries = new java.util.concurrent.atomic.LongAdder
     val deletes = new java.util.concurrent.atomic.LongAdder
     val compacts = new java.util.concurrent.atomic.LongAdder
+    // manifest-stats jobs that failed and degraded to stat-less
+    // (unpruned) entries — a persistently nonzero count means every
+    // future read of those files full-scans instead of pruning
+    val statErrors = new java.util.concurrent.atomic.LongAdder
   }
   private val dbStats =
     new java.util.concurrent.ConcurrentHashMap[String, DbStat]()
@@ -65,7 +69,8 @@ class SeriesStore(spark: SparkSession, root: String) {
       first = false
       sb.append(jsonQuote(db)).append(s""":{"written":${s.written.sum()},""" +
         s""""queries":${s.queries.sum()},"deletes":${s.deletes.sum()},""" +
-        s""""compacts":${s.compacts.sum()}}""")
+        s""""compacts":${s.compacts.sum()},""" +
+        s""""stat_errors":${s.statErrors.sum()}}""")
     }
     sb.append('}').toString
   }
@@ -335,7 +340,17 @@ class SeriesStore(spark: SparkSession, root: String) {
           catsBy = if (catPtrs.nonEmpty) Some(catsBy) else e.catsBy,
           numBy = if (numPtrs.nonEmpty) Some(numBy) else e.numBy)
       }
-    } catch { case _: Exception => entries }
+    } catch { case e: Exception =>
+      // degrade to stat-less (unpruned) entries, but OBSERVABLY: a
+      // systematic failure (e.g. a bad pointer expression for a
+      // declared axis) would otherwise silently disable compound
+      // pruning for every future read of these files
+      stat(db).statErrors.increment()
+      System.err.println(
+        s"seriesly: manifest-stats job failed for db '$db' " +
+        s"(${entries.size} files degrade to unpruned): $e")
+      entries
+    }
 
   private def unstage(db: String, entries: Seq[CommitLog.FileEntry]): Unit =
     entries.foreach(e => Files.deleteIfExists(dbPath(db).resolve(e.name)))

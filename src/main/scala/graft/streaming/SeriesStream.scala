@@ -608,13 +608,24 @@ object SeriesStream {
 
   /** Cast `df`'s columns to `target`'s types where the names match
    * and the types differ — the standing-artifact schema-migration
-   * rule: the CURRENT code version's build schema wins. */
+   * rule: the CURRENT code version's build schema wins. A cast that
+   * NULLs a non-null standing value (an incompatible migration, e.g.
+   * string → long over non-numeric sids) fails the batch loudly via
+   * `raise_error` instead of silently persisting a degraded artifact
+   * as the new truth — the known-safe directions (int → string sid)
+   * never null. */
   private def alignTypes(df: DataFrame,
       target: org.apache.spark.sql.types.StructType): DataFrame = {
     val want = target.map(f => f.name -> f.dataType).toMap
     df.columns.foldLeft(df) { (d, c) =>
       want.get(c).filter(_ != d.schema(c).dataType)
-        .map(t => d.withColumn(c, col(c).cast(t))).getOrElse(d)
+        .map(t => d.withColumn(c,
+          when(col(c).isNotNull && col(c).try_cast(t).isNull,
+            raise_error(concat(lit(s"alignTypes: standing-artifact " +
+              s"column '$c' does not migrate to $t; value: "),
+              col(c).cast("string"))))
+            .otherwise(col(c).try_cast(t))))
+        .getOrElse(d)
     }
   }
 

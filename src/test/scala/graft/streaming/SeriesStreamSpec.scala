@@ -708,6 +708,31 @@ class SeriesStreamSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("an incompatible artifact migration fails loudly, not silently") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-badmig").toString + "/sk"
+    // standing artifact persisted with string counts that do NOT
+    // parse as the fresh build's long type — a silent null-out here
+    // would persist a corrupted artifact as the new truth
+    Seq(("hot", "forty"), ("cold", "9"))
+      .toDF("v", "c").withColumn("batch_id", lit(0L))
+      .write.parquet(store)
+    val batch = Seq("hot", "hot", "cold").toDF("w")
+    val e = intercept[Exception] {
+      SeriesStream.artifactMergeBatch(batch,
+        b => b.groupBy($"w".as("v")).agg(count(lit(1)).as("c")),
+        u => u.groupBy("v").agg(sum("c").as("c")), store, batchId = 1L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("alignTypes")),
+      s"expected the alignTypes guard to fire, got: $e")
+    // the standing artifact is untouched (swap never happened)
+    assert(spark.read.parquet(store).count() == 2)
+  }
+
   test("empty-artifact batches still commit their batch_id (durable marker)") {
     import spark.implicits._
     val store = java.nio.file.Files
