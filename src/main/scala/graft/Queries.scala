@@ -67,6 +67,38 @@ object Queries {
       s"replace($acc, '§$l§$r', '§$l$r')"
     }
 
+  // ---- fixed PRETOK BPE merge table -----------------------------------
+  // The pretok-mode sibling of [[fixedMerges]]: symbols may CONTAIN the
+  // leading space the GPT-2 pre-tokenizer attaches (`Ġ`-style), so the
+  // space participates in merges — the vocabulary shape ws-split BPE
+  // can never learn. Rank-consistent like fixedMerges; the oracle
+  // chains the same '§l§r'→'§lr' replaces (symbols still never contain
+  // the marker), with a '¤' sentinel at each segment start so a merge
+  // can never fire across a pre-tokenizer boundary (the engine encodes
+  // each segment independently).
+  private val fixedMergesPretok: Seq[(Int, String, String)] = Seq(
+    (0, " ", "t"), (1, " t", "h"), (2, " th", "e"),
+    (3, "a", "n"), (4, " ", "a"), (5, " a", "n"),
+    (6, "i", "n"), (7, " ", "s"), (8, "e", "r"))
+  private def fixedMergesPretokDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixedMergesPretok.map { case (r, l, rr) => (r, l, rr, 0L) }
+      .toDF("merge_rank", "left", "right", "pair_count")
+  }
+  private def fixedMergesPretokReplaceSql(inner: String): String =
+    fixedMergesPretok.foldLeft(inner) { case (acc, (_, l, r)) =>
+      s"replace($acc, '§$l§$r', '§$l$r')"
+    }
+  /** The '¤'-sentineled marker form of `text` pre-tokenized by the
+   * SHARED regex ([[graft.functions.PreTokenizeExpr.PatternString]],
+   * spliced verbatim into DuckDB `regexp_extract_all`): each segment
+   * becomes `¤§c§c…`, so the chained replaces see exactly the
+   * per-segment symbol streams the engine's encodeTextPretok merges. */
+  private def pretokMarkedSql(text: String): String =
+    s"""array_to_string(list_transform(regexp_extract_all($text,
+        ${graft.functions.PreTokenizeExpr.patternSqlLiteral}),
+      w -> '¤' || regexp_replace(w, '(.)', '§\\1', 'g')), '')"""
+
   /** The trigram-LM oracle shared by text_perplexity_trigram and
    * its histogram-homomorphism sibling: full stupid-backoff CASE
    * chain over SQL-derived count tables. */
@@ -3806,6 +3838,31 @@ object Queries {
           (length(f) - length(replace(f, '§', '')))::BIGINT AS n_bpe_tokens
         FROM flat ORDER BY doc_id""")),
 
+    // BPE encode in PRETOK mode: the GPT-2 regex pre-tokenizer
+    // (contractions, leading-space-attached letter/digit/punctuation
+    // runs) replaces the ws split, segments keep their leading space
+    // (which participates in merges — the Ġ-style vocabulary), and
+    // merges never span a segment boundary. The oracle pre-tokenizes
+    // with the IDENTICAL pattern via regexp_extract_all (the pattern
+    // is lookahead-free so java.util.regex and RE2 agree) and blocks
+    // cross-segment merges with a '¤' sentinel per segment start.
+    "text_bpe_encode_pretok" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.bpeEncode(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          fixedMergesPretokDf(s), pretok = true)
+        .select(col("id").as("doc_id"),
+          array_join(col("bpe_tokens"), "§").as("bpe_join"),
+          col("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH enc AS (SELECT doc_id,
+            ${fixedMergesPretokReplaceSql(pretokMarkedSql("text"))} AS e
+          FROM documents),
+          flat AS (SELECT doc_id, replace(e, '¤', '') AS f FROM enc)
+        SELECT doc_id,
+          CASE WHEN length(f) > 0 THEN substr(f, 2) ELSE '' END AS bpe_join,
+          (length(f) - length(replace(f, '§', '')))::BIGINT AS n_bpe_tokens
+        FROM flat ORDER BY doc_id""")),
+
     // byte-fallback BPE encode (the GPT-2/SentencePiece norm): code
     // points outside the alphabet (here a..u — so merge rules still
     // fire on in-alphabet letters while v..z and the appended
@@ -4247,6 +4304,32 @@ object Queries {
           flat AS (SELECT source, text,
             length(replace(e, '§ ', '')) -
               length(replace(replace(e, '§ ', ''), '§', '')) AS nb
+          FROM enc)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+          sum(nb)::BIGINT AS bpe_tokens,
+          sum(length(text))::BIGINT AS n_chars,
+          sum(nb)::DOUBLE / sum(len(string_split(text, ' ')))::DOUBLE
+            AS fertility,
+          sum(length(text))::DOUBLE / NULLIF(sum(nb)::DOUBLE, 0.0)
+            AS chars_per_token
+        FROM flat GROUP BY 1 ORDER BY 1""")),
+
+    // fertilityBpe in PRETOK mode — the same per-source inflation
+    // card with the encode running on GPT-2 regex segments (space-led
+    // merges firing); ws_tokens stays the whitespace denominator so
+    // the two modes' fertility numbers compare directly
+    "corpus_fertility_bpe_pretok" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.fertilityBpe(
+          t(s, dir, "documents"), col("source"), col("text"),
+          fixedMergesPretokDf(s), pretok = true)
+        .orderBy(col("source")),
+      Some(s"""WITH enc AS (SELECT source, text,
+            ${fixedMergesPretokReplaceSql(pretokMarkedSql("text"))} AS e
+          FROM documents),
+          flat AS (SELECT source, text,
+            length(replace(e, '¤', '')) -
+              length(replace(replace(e, '¤', ''), '§', '')) AS nb
           FROM enc)
         SELECT source, count(*)::BIGINT AS n_docs,
           sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,

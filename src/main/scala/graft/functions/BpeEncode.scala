@@ -78,9 +78,17 @@ case class BpeEncodeExpr(child: Expression,
  * WORD — the HOF form (`flatten(transform(tokens, bpe(_)))`)
  * evaluates the lambda outside whole-stage codegen and read 17 s at
  * the 100× probe; this form reads ~2 s for identical output.
+ *
+ * `pretok = true` switches the split to the GPT-2 regex
+ * pre-tokenizer ([[PreTokenizeExpr]]): segments keep their leading
+ * space (which then participates in merges, the `Ġ`-style GPT-2
+ * vocabulary shape) and each segment encodes independently —
+ * merges never span a segment boundary, the pre-tokenizer's whole
+ * point. The ws split stays the default.
  */
 case class BpeEncodeTextExpr(child: Expression,
-    merges: Broadcast[Array[Array[String]]]) extends UnaryExpression {
+    merges: Broadcast[Array[Array[String]]],
+    pretok: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode_text"
@@ -92,8 +100,12 @@ case class BpeEncodeTextExpr(child: Expression,
     ThreadLocal.withInitial(() => new java.util.HashMap[String, ArrayData]())
 
   override def nullSafeEval(input: Any): Any =
-    BpeEncodeExpr.encodeText(input.asInstanceOf[UTF8String], merges.value,
-      memo.get())
+    if (pretok)
+      BpeEncodeExpr.encodeTextPretok(input.asInstanceOf[UTF8String],
+        merges.value, memo.get())
+    else
+      BpeEncodeExpr.encodeText(input.asInstanceOf[UTF8String], merges.value,
+        memo.get())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMergesBc", merges,
@@ -102,8 +114,9 @@ case class BpeEncodeTextExpr(child: Expression,
       v => s"$v = (java.lang.String[][]) $ref.value();")
     val memoV = ctx.addMutableState("java.util.HashMap", "bpeMemo",
       v => s"$v = new java.util.HashMap();")
+    val fn = if (pretok) "encodeTextPretok" else "encodeText"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeEncodeExpr.encodeText($c, $tbl, $memoV)")
+      c => s"graft.functions.BpeEncodeExpr.$fn($c, $tbl, $memoV)")
   }
 }
 
@@ -288,11 +301,33 @@ object BpeEncodeExpr {
     new GenericArrayData(out.toArray)
   }
 
+  /** Whole-text PRETOK entry point: [[PreTokenizeExpr]]'s regex
+   * segments (leading spaces attached) each encode independently via
+   * the shared word-type memo — a segment is never empty by regex
+   * construction, and whitespace-run segments encode like any other
+   * (their symbols merge only if the table says so). */
+  def encodeTextPretok(t: UTF8String, rules: Array[Array[String]],
+      memo: java.util.HashMap[String, ArrayData]): ArrayData = {
+    val segs = PreTokenizeExpr.segments(t)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val np = segs.numElements()
+    while (i < np) {
+      val a = encode(segs.getUTF8String(i), rules, memo)
+      var j = 0
+      val n = a.numElements()
+      while (j < n) { out += a.getUTF8String(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def bpe(word: Column, merges: Broadcast[Array[Array[String]]]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(word), merges))
 
-  def bpeText(text: Column, merges: Broadcast[Array[Array[String]]]): Column =
-    Bridge.column(BpeEncodeTextExpr(Bridge.expression(text), merges))
+  def bpeText(text: Column, merges: Broadcast[Array[Array[String]]],
+      pretok: Boolean = false): Column =
+    Bridge.column(BpeEncodeTextExpr(Bridge.expression(text), merges, pretok))
 
   def bpeTextBytes(text: Column, merges: Broadcast[Array[Array[String]]],
       alphabet: Broadcast[Array[Int]]): Column =

@@ -1504,8 +1504,9 @@ object CorpusStats {
    * tables.
    */
   def bpeTrain(df: DataFrame, text: Column, merges: Int,
-      maxWordTypes: Int = 1000000): DataFrame =
-    bpeTrainFromHist(wordTypeHistogram(df, text), merges, maxWordTypes)
+      maxWordTypes: Int = 1000000, pretok: Boolean = false): DataFrame =
+    bpeTrainFromHist(wordTypeHistogram(df, text, pretok), merges,
+      maxWordTypes)
 
   /**
    * The word-TYPE histogram `(w, n)` every tokenizer trainer reads —
@@ -1517,8 +1518,10 @@ object CorpusStats {
    * at 100 TB the difference between a retrain that reads an
    * artifact and one that re-tokenizes the fleet's worth of text.
    */
-  def wordTypeHistogram(df: DataFrame, text: Column): DataFrame =
-    df.select(explode(TextOps.tokens(text)).as("w"))
+  def wordTypeHistogram(df: DataFrame, text: Column,
+      pretok: Boolean = false): DataFrame =
+    df.select(explode(
+        if (pretok) TextOps.pretokens(text) else TextOps.tokens(text)).as("w"))
       .filter(col("w").isNotNull && length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
 
@@ -1602,8 +1605,8 @@ object CorpusStats {
    * [[bpeTrain]]'s schema.
    */
   def wordpieceTrain(df: DataFrame, text: Column, merges: Int,
-      maxWordTypes: Int = 1000000): DataFrame =
-    wordpieceTrainFromHist(wordTypeHistogram(df, text), merges,
+      maxWordTypes: Int = 1000000, pretok: Boolean = false): DataFrame =
+    wordpieceTrainFromHist(wordTypeHistogram(df, text, pretok), merges,
       maxWordTypes)
 
   /** [[wordpieceTrain]] off a prebuilt [[wordTypeHistogram]] —
@@ -1698,8 +1701,8 @@ object CorpusStats {
    * markers visible in `left`/`right`.
    */
   def wordpieceTrainMarked(df: DataFrame, text: Column, merges: Int,
-      maxWordTypes: Int = 1000000): DataFrame =
-    wordpieceTrainMarkedFromHist(wordTypeHistogram(df, text), merges,
+      maxWordTypes: Int = 1000000, pretok: Boolean = false): DataFrame =
+    wordpieceTrainMarkedFromHist(wordTypeHistogram(df, text, pretok), merges,
       maxWordTypes)
 
   /** [[wordpieceTrainMarked]] off a prebuilt [[wordTypeHistogram]] —
@@ -1807,13 +1810,14 @@ object CorpusStats {
    * one scan, no join, no shuffle.
    */
   def bpeEncode(df: DataFrame, id: Column, text: Column,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame, pretok: Boolean = false): DataFrame = {
     val bc = mergeRules(merges)
     // one codegen'd whole-text call per row — the flatten(transform(..))
     // HOF form evaluates its lambda interpreted per WORD and read 17 s
     // at the 100x probe vs ~2 s for this shape, identical output
     df.select(id.as("id"),
-        graft.functions.BpeEncodeExpr.bpeText(text, bc).as("bpe_tokens"))
+        graft.functions.BpeEncodeExpr.bpeText(text, bc, pretok)
+          .as("bpe_tokens"))
       .select(col("id"), col("bpe_tokens"),
         size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
   }
@@ -1989,9 +1993,12 @@ object CorpusStats {
    * BPE-ish regex approximation — the number a multilingual-tokenizer
    * fertility analysis actually reports. Same output schema. */
   def fertilityBpe(df: DataFrame, group: Column, text: Column,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame, pretok: Boolean = false): DataFrame = {
     val bc = mergeRules(merges)
-    val nTrue = size(graft.functions.BpeEncodeExpr.bpeText(text, bc))
+    // `ws_tokens` stays the whitespace count in BOTH modes — the
+    // comparability denominator fertility is defined over
+    val nTrue = size(
+        graft.functions.BpeEncodeExpr.bpeText(text, bc, pretok))
       .cast("long")
     df.groupBy(group.as("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2059,9 +2066,10 @@ object CorpusStats {
    */
   def unigramTrain(df: DataFrame, text: Column, vocabSize: Int,
       iters: Int = 2, maxPieceLen: Int = 6, topTypes: Int = 50000,
-      minCount: Long = 2L, unkNllMicro: Long = 20000000L): DataFrame =
-    unigramTrainFromHist(wordTypeHistogram(df, text), vocabSize, iters,
-      maxPieceLen, topTypes, minCount, unkNllMicro)
+      minCount: Long = 2L, unkNllMicro: Long = 20000000L,
+      pretok: Boolean = false): DataFrame =
+    unigramTrainFromHist(wordTypeHistogram(df, text, pretok), vocabSize,
+      iters, maxPieceLen, topTypes, minCount, unkNllMicro)
 
   /** [[unigramTrain]] off a prebuilt [[wordTypeHistogram]] —
    * identical EM, none of the corpus scan (the standing-artifact

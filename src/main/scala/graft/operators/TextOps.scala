@@ -15,6 +15,15 @@ object TextOps {
   /** Whitespace tokens (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT-2-style regex pre-tokenization segments — the production
+   * tokenizer-family alternative to [[tokens]] (contractions,
+   * leading-space-attached letter/digit/punctuation runs, whitespace
+   * runs). Opt-in: every trainer/encoder defaults to [[tokens]];
+   * passing `pretok = true` routes them here. See
+   * [[graft.functions.PreTokenizeExpr]] for the pattern contract. */
+  def pretokens(text: Column): Column =
+    graft.functions.PreTokenizeExpr.pretokenize(text)
+
   /** All overlapping k-word grams in position order (duplicates
    * kept). The token array is let-bound so `split` runs once per
    * document — an expression referenced inside a higher-order-
