@@ -2058,6 +2058,37 @@ object Queries {
             - 1)::INTEGER AS pos
         FROM h ORDER BY doc_id""")),
 
+    // deterministic PER-EPOCH shuffle of packed windows: rank =
+    // hash60(seed ':' seq) — different seeds give independent global
+    // orders, the same seed reproduces the epoch byte-for-byte, every
+    // window appears exactly once (spec pins the permutation
+    // properties; the gate pins the exact md5 rank order)
+    "export_epoch_shuffle" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("toks",
+          transform(sequence(lit(1), col("n_chars").cast("int")),
+            i => col("doc_id") * 100000L + i.cast("long")))
+        val packed = graft.operators.Packing.packSequences(
+          docs, col("doc_id"), size(col("toks")).cast("long"),
+          seqLen = 2048L)
+        val wins = graft.operators.Packing.materializeWindows(
+          packed, col("toks"), seqLen = 2048L)
+        graft.operators.Export.epochShuffle(wins, col("seq"),
+            seed = 7L, n = 8)
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH h AS (SELECT n_chars::BIGINT AS w FROM documents),
+        seqs AS (SELECT unnest(range(0,
+            (SELECT ((sum(w) + 2047) // 2048)::BIGINT FROM h)))::BIGINT
+          AS seq),
+        r AS (SELECT seq,
+          ('0x' || substr(md5('7:' || seq::VARCHAR), 1, 15))::BIGINT AS rh
+        FROM seqs)
+        SELECT seq, (rh % 8)::INTEGER AS shard,
+          (row_number() OVER (PARTITION BY rh % 8 ORDER BY rh, seq)
+            - 1)::INTEGER AS pos
+        FROM r ORDER BY shard, pos""")),
+
     // per-shard export manifest: doc/token/byte volumes + an order-free
     // mod-2^61−1 content checksum — the integrity sidecar a released
     // dataset ships; one map-side-combined rollup, no window
@@ -2218,13 +2249,21 @@ object Queries {
         val packed = graft.operators.Packing.packSequences(
           docs, col("doc_id"), size(col("toks")).cast("long"),
           seqLen = 2048L)
+        // the doc-span overload: n_spans / span_sum pin each window's
+        // (doc_id, start, len) tiling — the attention-mask /
+        // takedown-trace metadata — against the oracle's per-doc
+        // position arithmetic
         graft.operators.Packing.materializeWindows(
-            packed, col("toks"), seqLen = 2048L)
+            packed, col("doc_id"), col("toks"), seqLen = 2048L)
           .select(col("seq"), col("n_tokens"),
             element_at(col("token_ids"), 1).as("first_tok"),
             element_at(col("token_ids"), -1).as("last_tok"),
             aggregate(col("token_ids"), lit(0L),
-              (a, x) => a + x).as("sum_tok"))
+              (a, x) => a + x).as("sum_tok"),
+            size(col("doc_spans")).cast("long").as("n_spans"),
+            aggregate(col("doc_spans"), lit(0L), (a, x) =>
+              a + x.getField("doc_id") *
+                (x.getField("start") + x.getField("len"))).as("span_sum"))
           .orderBy(col("seq"))
       },
       Some("""WITH h AS (SELECT doc_id, n_chars AS w,
@@ -2234,13 +2273,23 @@ object Queries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
           FROM h),
         t AS (SELECT doc_id, cum, unnest(range(1, w + 1)) AS i FROM c),
-        pos AS (SELECT doc_id * 100000 + i AS tok, cum + i - 1 AS p
-          FROM t)
-        SELECT (p // 2048)::BIGINT AS seq, count(*)::BIGINT AS n_tokens,
+        pos AS (SELECT doc_id, doc_id * 100000 + i AS tok, cum + i - 1 AS p
+          FROM t),
+        win AS (SELECT (p // 2048)::BIGINT AS seq, count(*)::BIGINT AS n_tokens,
           arg_min(tok, p)::BIGINT AS first_tok,
           arg_max(tok, p)::BIGINT AS last_tok,
           sum(tok)::BIGINT AS sum_tok
-        FROM pos GROUP BY 1 ORDER BY 1""")),
+        FROM pos GROUP BY 1),
+        sp AS (SELECT (p // 2048)::BIGINT AS seq, doc_id,
+            count(*)::BIGINT AS len,
+            (min(p) % 2048)::BIGINT AS start
+          FROM pos GROUP BY 1, 2),
+        spa AS (SELECT seq, count(*)::BIGINT AS n_spans,
+            sum(doc_id * (start + len))::BIGINT AS span_sum
+          FROM sp GROUP BY 1)
+        SELECT win.seq, n_tokens, first_tok, last_tok, sum_tok,
+          n_spans, span_sum
+        FROM win JOIN spa USING (seq) ORDER BY win.seq""")),
 
     // length-bucketed batch construction: 200-char bands, 8-row
     // batches in portable hash order; every doc learns batch, slot,
@@ -5410,6 +5459,26 @@ object Queries {
         TextOps.decontaminateBloom(docs, col("doc_id"), col("text"),
             docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"),
             n = 8, fpp = 0.01)
+          .orderBy(col("doc_id"))
+      },
+      Some(deconExactOracle)),
+
+    // the STANDING-ARTIFACT decontamination path, gated directly: the
+    // eval-gram frame persists to parquet and the corpus scores
+    // against the READ-BACK artifact (evalGrams →
+    // decontaminateFromGrams — the path evalGramStream maintains per
+    // batch); identical output to text_decontaminate, same oracle
+    "text_decontaminate_artifact" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-evalgrams").toString + "/grams"
+        TextOps.evalGrams(
+            docs.filter(pmod(col("doc_id"), lit(97)) === 0), col("text"),
+            n = 8)
+          .write.mode("overwrite").parquet(path)
+        TextOps.decontaminateFromGrams(docs, col("doc_id"), col("text"),
+            s.read.parquet(path), n = 8, fpp = 0.01)
           .orderBy(col("doc_id"))
       },
       Some(deconExactOracle)),

@@ -98,6 +98,37 @@ object Export {
   }
 
   /**
+   * Deterministic PER-EPOCH shuffle of packed training windows:
+   * training runs want a DIFFERENT global order each epoch that is
+   * still restartable — rank every window by
+   * `hash60(seed ‖ ':' ‖ seq)` and lay the ranks out as
+   * (shard, pos), so epoch e's order is a pure function of
+   * (seed_e, window ids): different seeds give independent
+   * permutations, the same seed reproduces the epoch byte-for-byte
+   * on any engine/cluster/partitioning, and a resumed run seeks
+   * (shard, pos) to exactly where it stopped. Every window appears
+   * exactly once per epoch (the rank is a permutation — ties on the
+   * 60-bit hash break by `seq`).
+   *
+   * Same scale shape as [[shards]]: shard-partitioned rank windows,
+   * each `windows / n` rows by construction — pick `n` at file-unit
+   * granularity and the physical write is
+   * `repartition(n) + sortWithinPartitions` exactly.
+   */
+  def epochShuffle(windows: DataFrame, seq: Column, seed: Long,
+      n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    val h = graft.functions.Hash60Expr.hash60(
+      concat(lit(seed.toString), lit(":"), seq.cast("string")))
+    windows.select(seq.as("seq"), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(n.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("_h"), col("seq"))) - 1)
+      .drop("_h")
+  }
+
+  /**
    * RANGE-partitioned shard assignment — [[shards]]' hash layout
    * randomizes for training; this layout CLUSTERS by a sort key
    * (length, timestamp, score) so each shard's files carry tight

@@ -150,16 +150,37 @@ object Packing {
    * reducer ever buffers more than one window.
    */
   def materializeWindows(packed: DataFrame, tokens: Column,
+      seqLen: Long): DataFrame =
+    materializeWindows(packed, lit(null).cast("long"), tokens, seqLen)
+      .drop("doc_spans")
+
+  /**
+   * [[materializeWindows]] carrying DOC-BOUNDARY metadata: alongside
+   * `token_ids`, each window emits `doc_spans:
+   * array<struct<doc_id, start, len>>` — which document contributed
+   * tokens `[start, start+len)` of the window, in window order. This
+   * is what a trainer needs to build attention masks that stop
+   * cross-document attention inside a packed window, and what a
+   * takedown trace follows from a training window back to its source
+   * docs. Spans tile the window exactly: starts are 0, len₀, len₀+l₁,
+   * … and Σ len = n_tokens (PackingSpec pins it).
+   *
+   * Same plan as the spans-free form — the spans reassemble from the
+   * SAME slice explode and the SAME per-window sort, no extra shuffle
+   * (the doc id rides the piece struct).
+   */
+  def materializeWindows(packed: DataFrame, id: Column, tokens: Column,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be > 0")
     val L = lit(seqLen)
     val pieces = packed.filter(col("n_seqs") > 0)
       .withColumn("__cum", col("start_seq") * L + col("offset"))
       .withColumn("__toks", tokens)
+      .withColumn("__did", id)
       .select(
         explode(sequence(col("start_seq"),
           col("start_seq") + col("n_seqs") - 1)).as("seq"),
-        col("__cum"), col("__toks"))
+        col("__cum"), col("__toks"), col("__did"))
       .withColumn("__a",
         greatest(lit(0L), col("seq") * L - col("__cum")))
       .withColumn("__b", least(size(col("__toks")).cast("long"),
@@ -167,11 +188,21 @@ object Packing {
       .withColumn("pos", greatest(lit(0L), col("__cum") - col("seq") * L))
       .select(col("seq"), col("pos"),
         slice(col("__toks"), (col("__a") + 1).cast("int"),
-          (col("__b") - col("__a")).cast("int")).as("piece"))
+          (col("__b") - col("__a")).cast("int")).as("piece"),
+        col("__did"))
+    // positions within a window are disjoint across docs, so the
+    // (pos, …) struct sort is total and orders pieces AND spans alike
     pieces.groupBy(col("seq"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"), col("piece")))),
-        x => x.getField("piece"))).as("token_ids"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("piece"), col("__did")))).as("__ps"))
+      .select(col("seq"),
+        flatten(transform(col("__ps"), x => x.getField("piece")))
+          .as("token_ids"),
+        transform(col("__ps"), x => struct(
+          x.getField("__did").as("doc_id"),
+          x.getField("pos").as("start"),
+          size(x.getField("piece")).cast("long").as("len")))
+          .as("doc_spans"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 

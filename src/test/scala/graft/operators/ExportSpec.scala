@@ -117,6 +117,26 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: permutation per epoch, reproducible per seed") {
+    val wins = (0L until 300L).map(i => Tuple1(i)).toDF("seq")
+    def order(seed: Long) = Export.epochShuffle(wins, $"seq", seed, n = 4)
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._2, r._3))
+    val e0 = order(0L)
+    // every window exactly once; positions gap-free per shard
+    assert(e0.map(_._1).sorted.toSeq == (0L until 300L))
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length)) }
+    // same seed ⇒ byte-identical (re-run, different partitioning)
+    val e0b = Export.epochShuffle(wins.repartition(7), $"seq", 0L, n = 4)
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._2, r._3))
+    assert(e0.toSeq == e0b.toSeq)
+    // different seeds ⇒ different global orders (and different from
+    // the identity order)
+    val e1 = order(1L)
+    assert(e0.map(_._1).toSeq != e1.map(_._1).toSeq)
+    assert(e0.map(_._1).toSeq != (0L until 300L).toSeq)
+  }
+
   test("manifest: volumes roll up per shard; checksum moves on any edit") {
     val docs = (1L to 40L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
     val m = Export.manifest(docs, $"doc_id", $"text", n = 4)

@@ -140,4 +140,36 @@ class PackingSpec extends SparkSpec {
     wins.dropRight(1).foreach { case (_, t) => assert(t.size == L) }
     assert(wins.last._2.size == (stream.size - 1) % L + 1)
   }
+
+  test("doc_spans tile each window exactly and name the right docs") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, (0 until (1 + rng.nextInt(30))).map(j => i * 1000L + j)))
+    val df = rows.toDF("id", "toks")
+    val L = 16L
+    val packed = Packing.packSequences(df, $"id", size($"toks").cast("long"), L)
+      .localCheckpoint()
+    val wins = Packing.materializeWindows(packed, $"id", $"toks", L)
+      .select($"seq", $"token_ids", $"doc_spans")
+      .as[(Long, Seq[Long], Seq[(Long, Long, Long)])]
+      .collect().sortBy(_._1)
+    wins.foreach { case (seq, toks, spans) =>
+      // spans tile the window: starts chain 0, l0, l0+l1, …, Σlen = n
+      val starts = spans.scanLeft(0L)(_ + _._3).dropRight(1)
+      assert(spans.map(_._2) == starts, s"window $seq spans don't tile")
+      assert(spans.map(_._3).sum == toks.size)
+      // every span's tokens really belong to its doc (synthetic ids
+      // encode the doc: tok / 1000 == doc_id)
+      spans.foreach { case (did, st, len) =>
+        toks.slice(st.toInt, (st + len).toInt)
+          .foreach(tk => assert(tk / 1000L == did,
+            s"window $seq span ($did,$st,$len) holds foreign token $tk"))
+      }
+    }
+    // spans-free overload returns the identical token stream
+    val plain = Packing.materializeWindows(packed, $"toks", L)
+      .select($"seq", $"token_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(plain.map(_._2).toSeq == wins.map(_._2).toSeq)
+  }
 }
