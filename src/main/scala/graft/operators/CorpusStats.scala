@@ -205,6 +205,12 @@ object CorpusStats {
    * per-day sketches roll up to precisely the artifact one global
    * build produces — the same contract as
    * [[quantileSketch]]/[[quantileSketchMerge]], spec-pinned.
+   *
+   * DELETION: non-invertible — values beyond the k-min cut were
+   * discarded, so retiring a doc's values cannot restore the
+   * runners-up. A takedown REBUILDS from corpus ∖ ids
+   * ([[countMinDelete]]'s scaladoc lists the whole family's
+   * contracts).
    */
   def kmvSketch(df: DataFrame, group: Column, value: Column,
       k: Int): DataFrame = {
@@ -1299,6 +1305,36 @@ object CorpusStats {
     sketches.groupBy(col("row"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
+  /**
+   * TAKEDOWN propagation for the CMS — the one sketch in this family
+   * whose delete is EXACTLY invertible (the classic turnstile
+   * property: cells are plain sums): sketch the deleted rows alone
+   * and subtract cell-wise. Post-delete ≡ from-scratch
+   * [[countMinSketch]] over corpus ∖ deleted, bit-for-bit
+   * (spec-pinned; zeroed cells drop, matching the from-scratch
+   * build's sparse shape), PROVIDED `deleted` is a sub-multiset of
+   * what the sketch ingested — the standing-artifact contract.
+   *
+   * The rest of the sketch family is NOT invertible — takedowns
+   * there rebuild from the remaining corpus: [[kmvSketch]] (values
+   * beyond the k-min cut were discarded), [[mgSketch]] (decrements
+   * destroyed counts), [[quantileSketch]] (a shrunken value range
+   * re-grids at a width the standing sketch cannot refine to),
+   * [[graft.operators.TextOps.evalGrams]] as a DISTINCT set (a gram
+   * shared with surviving docs must stay — recount required), and
+   * Bloom filters (bits are ORs). Each carries this note; the
+   * invertible paths are this, [[wordHistMerge]]-style count
+   * histograms (subtract the deleted batch's histogram), and the
+   * covariance/moment partials (plain sums).
+   */
+  def countMinDelete(sketch: DataFrame, deleted: DataFrame, value: Column,
+      width: Int = 1024, depth: Int = 4): DataFrame =
+    sketch.unionByName(countMinSketch(deleted, value, width, depth)
+        .withColumn("c", -col("c")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0L)
+
   /** Point-frequency estimates off a [[countMinSketch]]: for each
    * queried value, `min` over the depth rows of its bucket's count.
    * The probe is a `depth`-way explode LEFT-joined once against the
@@ -2206,6 +2242,11 @@ object CorpusStats {
    * width rule is a max of maxes plus a monotone function of the
    * merged range, so the merge is ASSOCIATIVE and commutative — and
    * equal to building the sketch from the unioned raw data.
+   *
+   * DELETION: non-invertible — widths only coarsen (a delete that
+   * shrinks a group's value range would need a FINER grid than the
+   * standing sketch holds), so takedowns rebuild from corpus ∖ ids
+   * ([[countMinDelete]]'s scaladoc lists the family's contracts).
    */
   def quantileSketchMerge(sketches: DataFrame, k: Int = 4096): DataFrame = {
     require(k >= 2, "k must be >= 2")
@@ -2322,6 +2363,11 @@ object CorpusStats {
    * renumbers into disjoint namespaces), never by hand — colliding
    * sids make [[mgMerge]] count two summaries' errs as one and
    * silently break the deficit bound.
+   *
+   * DELETION: non-invertible — MG decrements destroy counts (a
+   * decremented-away value is unrecoverable), so a takedown REBUILDS
+   * from corpus ∖ ids ([[countMinDelete]]'s scaladoc lists the
+   * family's contracts).
    */
   def mgSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")

@@ -831,6 +831,20 @@ object Dedup {
   }
 
   /**
+   * TAKEDOWN propagation for the admission index: retire the listed
+   * doc ids. Because every [[corpusIndex]] row is a PER-DOC local
+   * derivation (fp/size/band keys read nothing outside the doc), the
+   * anti-join IS the exact delete: post-delete index ≡ from-scratch
+   * [[corpusIndex]] over corpus ∖ ids, bit-for-bit (spec-pinned).
+   * Cost: one index-sized anti-join against a broadcastable id list —
+   * the corpus text is never read.
+   */
+  def corpusIndexDelete(index: DataFrame, ids: DataFrame,
+      id: Column): DataFrame =
+    index.join(ids.select(id.as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /**
    * [[incremental]] against a PREBUILT [[corpusIndex]] — bit-identical
    * output, radically different corpus cost: the exact check probes
    * index fingerprints, candidates come from the batch-bands ⋈
@@ -1195,6 +1209,49 @@ object Dedup {
       text: Column, l: Int = 50): DataFrame =
     index.unionByName(gramIndex(batch, id, text, l))
       .groupBy(col("gh")).agg(min(col("f")).as("f"))
+
+  /**
+   * TAKEDOWN propagation for the exact-substring index — the one
+   * standing artifact whose delete is NOT a row retire: the index
+   * keeps only each window content's MIN first occurrence, so a gram
+   * whose keeper lived in a deleted doc needs a RE-MIN over the
+   * remaining corpus (the dropped runner-up occurrences were never
+   * stored). Three-way split, exact by construction:
+   *
+   *  - grams whose keeper doc survives: carried over verbatim (the
+   *    corpus-wide min was a surviving doc, so it equals the
+   *    remaining-corpus min);
+   *  - grams whose keeper doc is deleted: re-min'd from `remaining`'s
+   *    gram stream, restricted to exactly those grams;
+   *  - grams occurring ONLY in deleted docs: vanish (the re-min scan
+   *    finds no occurrence), as a from-scratch build would.
+   *
+   * Post-delete ≡ [[gramIndex]] over corpus ∖ ids, bit-for-bit
+   * (spec-pinned), PROVIDED `index` is current for
+   * `remaining ∪ deleted` — the standing-artifact contract.
+   *
+   * Cost shape at 100 TB: the remaining corpus pays ONE gram-stream
+   * scan (unavoidable — a deleted keeper's runner-up can live
+   * anywhere), but the shuffle carries only occurrences of AFFECTED
+   * grams (the semi-join cuts map-side) — vs a from-scratch rebuild's
+   * corpus-scale gram shuffle. A takedown batch of k docs touches
+   * ~k·doc-len grams of shuffle, not the corpus's.
+   */
+  def gramIndexDelete(index: DataFrame, ids: DataFrame, id: Column,
+      remaining: DataFrame, rid: Column, rtext: Column,
+      l: Int = 50): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    val dels = ids.select(id.as("__d")).distinct()
+    val keeperDoc = col("f").getField("doc_id")
+    val kept = index.join(dels, keeperDoc === col("__d"), "left_anti")
+    val affected = index.join(dels, keeperDoc === col("__d"), "left_semi")
+      .select(col("gh"))
+    val remin = gramStream(
+        remaining.select(rid.as("doc_id"), split(rtext, " ").as("ws")), l)
+      .join(affected, "gh")
+      .groupBy(col("gh")).agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    kept.unionByName(remin)
+  }
 
   /**
    * INCREMENTAL exact-substring dedup — [[exactSubstringDedup]]'s

@@ -307,6 +307,19 @@ object Similarity {
   }
 
   /**
+   * TAKEDOWN propagation for the IVF index: retire the listed
+   * vec_ids. Assignment is per-vector local (nearest centroid reads
+   * nothing outside the row), so the anti-join is the exact delete:
+   * post-delete ≡ from-scratch [[ivfIndex]] over corpus ∖ ids
+   * (spec-pinned). Centroids are NOT retrained — the standing-index
+   * contract everywhere in this family (a retrain is a new index).
+   */
+  def ivfIndexDelete(index: DataFrame, ids: DataFrame,
+      id: Column): DataFrame =
+    index.join(ids.select(id.as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
+  /**
    * Product-quantization encode (Jégou et al. 2011, "Product
    * Quantization for Nearest Neighbor Search", TPAMI 33(1)): each
    * d-dim vector compresses to `m` small codes — subspace `s` keeps
@@ -582,6 +595,17 @@ object Similarity {
         "left_anti")
       .unionByName(fresh)
   }
+
+  /**
+   * TAKEDOWN propagation for the PQ code artifact: retire the listed
+   * vec_ids — encoding is per-row deterministic in the codebook, so
+   * the anti-join is the exact delete: post-delete ≡ from-scratch
+   * [[pqEncode]] over corpus ∖ ids (spec-pinned). The codebook is NOT
+   * retrained, same contract as [[ivfIndexDelete]].
+   */
+  def pqDelete(codes: DataFrame, ids: DataFrame, id: Column): DataFrame =
+    codes.join(ids.select(id.as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
 
   /**
    * Measured PQ recall — [[graft.operators.Dedup.lshRecallAudit]]'s

@@ -810,6 +810,96 @@ class SeriesStore(spark: SparkSession, root: String) {
     TimeLib.parseTime(s).getOrElse(
       throw new IllegalArgumentException(s"unparsable timestamp: $s"))
 
+  /**
+   * ID-KEYED delete — the takedown primitive: remove exactly the
+   * documents whose keys (timestamps, the store's doc ids —
+   * handlers.go's `{db}/{key}` addressing) are listed, and return how
+   * many rows were removed (all copies of a key on dirty snapshots).
+   *
+   * Unlike [[deleteRange]]'s whole-table copy-rewrite, this rewrites
+   * ONLY the files whose manifest ts-range covers a target key — at
+   * 100 TB a takedown of a handful of documents touches a handful of
+   * files, not the table. Kept files are untouched (verbatim, stats
+   * preserved), so a clean snapshot stays clean: removing rows can
+   * never introduce duplicate keys. Concurrent appends rebase into
+   * the replace commit like every rewrite here — but note an append
+   * that re-inserts a deleted key AFTER the delete's snapshot is a
+   * new write and survives (delete-then-write ordering is the
+   * caller's contract, same as the reference's DELETE-then-PUT).
+   *
+   * Standing artifacts derived from the corpus (gram/corpus/IVF/PQ
+   * indexes, sketches) do NOT update here — propagate with their own
+   * delete operators ([[graft.operators.Dedup.corpusIndexDelete]],
+   * `gramIndexDelete`, [[graft.operators.Similarity.ivfIndexDelete]],
+   * `pqDelete`) or rebuild where deletion is non-invertible (KMV/MG
+   * sketches, Bloom filters — see those operators' scaladoc).
+   */
+  def deleteKeys(db: String, keys: Seq[String],
+      catPtrs: Seq[String] = Nil, numPtrs: Seq[String] = Nil): Long = {
+    if (keys.isEmpty) return 0L
+    val ks = keys.map(parseBound).distinct
+    val deleted = withWriteLock(db)(withStageGuard(db) {
+      val log = logOf(db)
+      var outer = 0
+      var result = -1L
+      while (outer < 10 && result < 0) {
+        val snap = snapshotOf(db)
+        val (affected, kept) = snap.files.partition(f =>
+          ks.exists(k => f.mayOverlap(Some(k), Some(k + 1))))
+        if (affected.isEmpty) result = 0L
+        else {
+          val paths = affected.map(f => dbPath(db).resolve(f.name).toString)
+          val rows = spark.read.schema(schema).parquet(paths: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val hit = rows.filter(col("ts").isin(ks: _*)).count()
+            val survivors = rows.filter(!col("ts").isin(ks: _*))
+            val n = survivors.count()
+            val staged =
+              if (n == 0) Seq.empty[CommitLog.FileEntry]
+              else {
+                val parts = math.max(1, affected.size)
+                // declared pointers re-record the rewritten files'
+                // stats (kept files keep theirs) — without them the
+                // survivors' files carry ts stats only until the next
+                // declared compact, compactSmall's documented rule
+                stage(db, (if (parts == 1) survivors.coalesce(1)
+                  else survivors.repartitionByRange(parts, col("ts")))
+                  .sortWithinPartitions("ts"), catPtrs, numPtrs)
+              }
+            var committed = false
+            var aborted = false
+            while (!committed && !aborted) {
+              val current = log.snapshot()
+              log.commitsSinceExact(snap.version) match {
+                case Some(since) if since.forall(_.kind == "append") =>
+                  val appended = since.flatMap(_.files)
+                  committed = log.tryCommit(CommitLog.Manifest(
+                    current.version + 1, "replace",
+                    kept ++ staged ++ appended,
+                    seqHi = current.lastSeq,
+                    // kept + rewritten files are duplicate-free iff
+                    // the snapshot was; rebased appends dirty as usual
+                    clean = snap.clean && appended.isEmpty))
+                case _ => aborted = true
+              }
+            }
+            if (committed) {
+              log.checkpointMaybe(log.snapshot())
+              result = hit
+            } else unstage(db, staged)
+          } finally rows.unpersist()
+        }
+        outer += 1
+      }
+      if (result < 0) throw new IllegalStateException(
+        s"deleteKeys of $db lost $outer races to concurrent rewrites")
+      result
+    })
+    stat(db).deletes.increment()
+    deleted
+  }
+
   /** POST /{db}/_compact: physically drop overwritten versions and
    * merge small files (database.go:136-171 — the table-format
    * OPTIMIZE). Replaced files stay on disk for in-flight readers

@@ -628,6 +628,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(zs == Map("zzz-unseen" -> 0L), zs.toString)
   }
 
+  test("countMinDelete equals a from-scratch sketch on corpus minus deleted") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b d e f"), (3L, "b c c g"))
+      .toDF("doc_id", "text")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextOps.tokens($"text")).as("w"))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = CorpusStats.countMinSketch(toks(docs), $"w",
+      width = 8, depth = 3)
+    // turnstile delete of doc 3's rows: subtract its own sketch
+    val afterDel = CorpusStats.countMinDelete(full,
+      toks(docs.filter($"doc_id" === 3L)), $"w", width = 8, depth = 3)
+    val scratch = CorpusStats.countMinSketch(
+      toks(docs.filter($"doc_id" =!= 3L)), $"w", width = 8, depth = 3)
+    assert(cellsOf(afterDel) == cellsOf(scratch))
+    // deleting EVERYTHING leaves the canonical empty (sparse) sketch
+    val empty = CorpusStats.countMinDelete(full, toks(docs), $"w",
+      width = 8, depth = 3)
+    assert(empty.isEmpty)
+  }
+
   test("aucPpm: hand-computed rank-sum AUC with ties; degenerate null") {
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
     // both) + (0.7 beats 0.3, ties 0.7 → ½) + (0.5 beats 0.3) =

@@ -334,6 +334,58 @@ class DedupSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("corpusIndexDelete equals a from-scratch build on corpus minus ids") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some corpus document about distributed query engines"),
+      (4L, "a document scheduled for takedown with enough words"),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val base = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+    val dels = Seq(4L, 6L, 99L).toDF("id") // 99 absent: no-op
+    val deleted = Dedup.corpusIndexDelete(base, dels, col("id"))
+    val scratch = Dedup.corpusIndex(
+      corpus.filter(!col("doc_id").isin(4L, 6L)), col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("fp"), col("sz"),
+          array_sort(col("bkeys")).as("bk"), col("idx_params"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)), Option(r.get(3)).map(_.toString),
+          r.getString(4)))
+        .sortBy(_._1).toSeq
+    assert(rows(deleted) == rows(scratch))
+  }
+
+  test("gramIndexDelete re-mins deleted keepers; equals from-scratch") {
+    // doc 0 is the keeper of the shared run; doc 2 repeats it (the
+    // runner-up that must become keeper after 0's takedown); doc 4 is
+    // unrelated; doc 0 also holds a run occurring NOWHERE else (must
+    // vanish from the index)
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"only in zero alpha beta gamma delta $shared"),
+      (2L, s"prefix tokens here $shared suffix tail"),
+      (4L, "completely unrelated content with its own words repeated"))
+      .toDF("doc_id", "text")
+    val l = 4
+    val full = Dedup.gramIndex(corpus, col("doc_id"), col("text"), l)
+    val remaining = corpus.filter(col("doc_id") =!= 0L)
+    val deleted = Dedup.gramIndexDelete(full, Seq(0L).toDF("id"),
+      col("id"), remaining, col("doc_id"), col("text"), l)
+    val scratch = Dedup.gramIndex(remaining, col("doc_id"), col("text"), l)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("gh"), col("f.doc_id"), col("f.pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(rows(deleted) == rows(scratch))
+    // the shared run's keeper really moved to doc 2 (re-min fired)
+    val movedKeepers = rows(deleted).map(_._2).toSet
+    assert(movedKeepers.contains(2L))
+    assert(!movedKeepers.contains(0L))
+    // doc-0-only grams vanished: deleted index is strictly smaller
+    assert(rows(deleted).size < rows(full).size)
+  }
+
   test("corpusIndexUpsert rejects an index built with other parameters") {
     val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

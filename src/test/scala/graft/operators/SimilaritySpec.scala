@@ -158,6 +158,28 @@ class SimilaritySpec extends SparkSpec {
     assert(again.filter($"vec_id" === 3).count() == 1)
   }
 
+  test("ivfIndexDelete / pqDelete equal from-scratch builds on corpus minus ids") {
+    val cluster1 = (0L to 4L).map(i => i -> Seq(10f, i.toFloat * 0.1f, 0f))
+    val cluster2 = (5L to 9L).map(i => i -> Seq(0f, 10f, i.toFloat * 0.1f))
+    val df = vecs(cluster1 ++ cluster2: _*)
+    val cents = df.filter($"vec_id" === 2 || $"vec_id" === 7)
+    val dels = Seq(1L, 8L, 99L).toDF("id") // 99 absent: no-op
+    val remaining = df.filter(!$"vec_id".isin(1L, 8L))
+
+    val idxDel = Similarity.ivfIndexDelete(
+      Similarity.ivfIndex(df, cents), dels, col("id"))
+    assert(idxDel.orderBy("vec_id").collect().toSeq ==
+      Similarity.ivfIndex(remaining, cents).orderBy("vec_id")
+        .collect().toSeq)
+
+    val cb = vecs(100L -> Seq(10f, 0f, 0f), 101L -> Seq(0f, 10f, 0f))
+    val codesDel = Similarity.pqDelete(
+      Similarity.pqEncode(df, cb, m = 3), dels, col("id"))
+    assert(codesDel.orderBy("vec_id").collect().toSeq ==
+      Similarity.pqEncode(remaining, cb, m = 3).orderBy("vec_id")
+        .collect().toSeq)
+  }
+
   test("PQ: encode picks per-subspace nearest codewords; ADC ranks right") {
     // 4-dim vectors, m=2 subspaces of width 2. Codebook rows 100/101
     // give subspace codewords (1,0)/(0,1) in EACH subspace.

@@ -89,6 +89,39 @@ class FilePruningSpec extends SparkSpec {
       .contains("""{"d": 2, "i": 5}"""))
   }
 
+  test("deleteKeys rewrites only the owning files; untouched files keep their names") {
+    val s = newStore()
+    loadThreeDays(s)
+    val before = s.scanFiles("db").map(_.name).toSet
+    // two keys, both inside day 2 — days 0 and 1 files must survive
+    // VERBATIM (same manifest entries, no rewrite)
+    val k1 = day(2) + 5 * 60L * 1000000000L
+    val k2 = day(2) + 9 * 60L * 1000000000L
+    val keys = Seq(k1, k2).map(graft.timelib.TimeLib.formatCanonical)
+    val n = s.deleteKeys("db", keys)
+    assert(n == 2L, s"expected 2 deleted rows, got $n")
+    val after = s.scanFiles("db").map(_.name).toSet
+    // the day-0/day-1 files are still the SAME files (no table rewrite)
+    val owning = before.diff(after)
+    assert(owning.nonEmpty && owning.size < before.size,
+      s"expected a targeted rewrite, got before=$before after=$after")
+    assert(before.intersect(after).nonEmpty)
+    // deleted keys are gone; their neighbors survive
+    assert(s.get("db", keys.head).isEmpty)
+    assert(s.get("db",
+      graft.timelib.TimeLib.formatCanonical(day(2) + 6 * 60L * 1000000000L))
+      .contains("""{"d": 2, "i": 6}"""))
+    assert(s.frame("db").count() == 148)
+    // snapshot stays clean: pruned reads still apply on all axes
+    assert(s.scanFiles("db", Some(day(0)), Some(day(1))).size <
+      s.scanFiles("db").size)
+    // absent keys are a no-op (no commit, same manifest)
+    val v0 = s.scanFiles("db").map(_.name).toSet
+    assert(s.deleteKeys("db",
+      Seq(graft.timelib.TimeLib.formatCanonical(day(9)))) == 0L)
+    assert(s.scanFiles("db").map(_.name).toSet == v0)
+  }
+
   test("dirty snapshots prune safely: all replicas of an in-range ts survive") {
     val s = newStore()
     s.create("db")
