@@ -138,6 +138,66 @@ object SeriesStream {
       .start()
 
   /**
+   * Streaming TAKEDOWN propagation — the deletion complement of the
+   * admission family: a stream of doc/vec ids to remove (copyright or
+   * PII takedown requests) retires, per micro-batch, every id from
+   * whichever standing artifacts are configured — the MinHash
+   * admission index ([[graft.operators.Dedup.corpusIndexDelete]]),
+   * the IVF assignment index
+   * ([[graft.operators.Similarity.ivfIndexDelete]]), and the PQ code
+   * frame ([[graft.operators.Similarity.pqDelete]]). Each retire is
+   * the exact delete (post-retire ≡ from-scratch over corpus ∖ ids,
+   * the operators' spec-pinned contract), rides
+   * [[artifactUpdateBatch]]'s swap/marker discipline (a replayed
+   * batch after restart skips — and deletion is idempotent anyway),
+   * and costs one artifact-sized anti-join — the corpus itself is
+   * never read.
+   *
+   * An artifact path whose store does not exist yet is SKIPPED, not
+   * an error: nothing was admitted, so there is nothing to retire
+   * (the ids cannot be in an index that was never built). The corpus
+   * STORE is deliberately not handled here — route document removal
+   * through [[graft.sources.SeriesStore.deleteKeys]]' targeted
+   * rewrite; non-invertible sketches (KMV/MG/quantile-grid/Bloom)
+   * rebuild per their documented contracts.
+   *
+   * Single-writer rule, as everywhere in the standing-artifact
+   * family: while this stream runs it owns the configured artifacts —
+   * serialize takedowns against the admission stream that maintains
+   * the same paths (run them in one pipeline or alternate them),
+   * never write one artifact from two streams at once.
+   */
+  def takedownStream(ids: DataFrame, idCol: String, checkpoint: String,
+      corpusIndexPath: Option[String] = None,
+      ivfIndexPath: Option[String] = None,
+      pqCodesPath: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    require(corpusIndexPath.nonEmpty || ivfIndexPath.nonEmpty ||
+      pqCodesPath.nonEmpty, "configure at least one artifact to maintain")
+    ids.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val dels = batch.select(col(idCol)).distinct().localCheckpoint()
+        def retire(path: String,
+            del: DataFrame => DataFrame): Unit =
+          if (standingSketch(spark, path).nonEmpty)
+            artifactUpdateBatch(spark, path, id, { standing =>
+              del(standing.get.drop("batch_id"))
+            })
+        corpusIndexPath.foreach(p => retire(p, s =>
+          graft.operators.Dedup.corpusIndexDelete(s, dels, col(idCol))))
+        ivfIndexPath.foreach(p => retire(p, s =>
+          graft.operators.Similarity.ivfIndexDelete(s, dels, col(idCol))))
+        pqCodesPath.foreach(p => retire(p, s =>
+          graft.operators.Similarity.pqDelete(s, dels, col(idCol))))
+      }
+      .start()
+  }
+
+  /**
    * Streaming EXACT-SUBSTRING cleaning against a standing gram index
    * — the sub-document member of the self-maintaining admission
    * family ([[admitIndexedStream]] cleans whole near-dup docs; this
@@ -661,6 +721,26 @@ object SeriesStream {
       java.nio.file.Files.move(p, old)
     java.nio.file.Files.move(tmp, p)
     deleteTree(old)
+  }
+
+  /** Persist a BATCH-BUILT artifact for a standing stream to adopt:
+   * the durable batch marker is written as -1 ("no stream batch
+   * folded yet"), so the adopting stream's FIRST micro-batch (id 0)
+   * applies instead of being mistaken for a replay — the footgun of
+   * seeding with a bare `batch_id = 0` column, which the legacy
+   * row-based replay fallback reads as "batch 0 already in" and
+   * silently skips. Use this whenever an artifact built by a batch
+   * operator (corpusIndex, ivfIndex, pqEncode, a sketch) is handed
+   * to [[takedownStream]]/[[admitIndexedStream]]-family maintenance. */
+  def seedArtifact(artifact: DataFrame, storePath: String): Unit = {
+    val cols = artifact.columns
+    val seeded =
+      (if (cols.contains("batch_id")) artifact.drop("batch_id")
+       else artifact).withColumn("batch_id", lit(-1L))
+    seeded.write.mode("overwrite").parquet(storePath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(storePath).resolve(BatchMarkerName),
+      "-1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private val BatchMarkerName = "_GRAFT_BATCH_ID"

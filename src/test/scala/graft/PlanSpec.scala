@@ -288,6 +288,55 @@ class PlanSpec extends SparkSpec {
       s"clusterSplit degenerated to all-pairs:\n$ps")
   }
 
+  test("round-15 operators keep their claimed plan shapes") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    // pretok BPE encode: a pure codegen'd projection — no UDF, no
+    // shuffle, no join (the merge table rides the broadcast handle)
+    val bc = spark.sparkContext.broadcast(
+      Array(Array(" ", "t"), Array(" t", "h")))
+    val pp = planOf(docs.select(
+      graft.functions.BpeEncodeExpr.bpeText(col("text"), bc,
+        pretok = true).as("e")))
+    assert(!pp.contains("Exchange") && !pp.contains("Join") &&
+      !pp.contains("BatchEvalPython"),
+      s"pretok encode grew a shuffle/join:\n$pp")
+    // epochShuffle: the rank window partitions by shard (never a
+    // single global partition) and nothing joins
+    val wins = (0L until 100L).map(Tuple1(_)).toDF("seq")
+    val ps = planOf(graft.operators.Export.epochShuffle(
+      wins, col("seq"), seed = 3L, n = 8))
+    assert(ps.contains("Window") &&
+      "Exchange hashpartitioning\\(shard".r.findAllIn(ps).nonEmpty,
+      s"epochShuffle window lost its shard partitioning:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"epochShuffle crossed:\n$ps")
+    // doc-span materialization: the SAME single stream shuffle as the
+    // spans-free form — spans ride the existing per-window sort, no
+    // second exchange keyed on seq
+    val packed = graft.operators.Packing.packSequences(
+      docs.withColumn("toks", split(col("text"), " ")),
+      col("doc_id"), size(col("toks")).cast("long"), 64L)
+    def seqExchanges(p: String): Int =
+      "Exchange hashpartitioning\\(seq".r.findAllIn(p).size
+    val plain = planOf(graft.operators.Packing.materializeWindows(
+      packed, col("toks"), 64L))
+    val spans = planOf(graft.operators.Packing.materializeWindows(
+      packed, col("doc_id"), col("toks"), 64L))
+    assert(seqExchanges(spans) == seqExchanges(plain),
+      s"doc_spans added a window-keyed exchange:\n$spans")
+    // gramIndexDelete: the re-min is semi/anti joins + one aggregate —
+    // never a cartesian
+    val idx = graft.operators.Dedup.gramIndex(
+      docs, col("doc_id"), col("text"), l = 15)
+    val pd = planOf(graft.operators.Dedup.gramIndexDelete(
+      idx, Seq(1L).toDF("id"), col("id"),
+      docs.filter(col("doc_id") =!= 1L), col("doc_id"), col("text"),
+      l = 15))
+    assert(!pd.contains("CartesianProduct"),
+      s"gramIndexDelete crossed frames:\n$pd")
+  }
+
   test("PQ plans: encode is one map-side argmin exchange; ADC scan never joins vectors") {
     assume(available)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

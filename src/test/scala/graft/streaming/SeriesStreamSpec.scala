@@ -708,6 +708,85 @@ class SeriesStreamSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("takedownStream retires ids from every configured standing artifact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, Similarity}
+    val base = Files.createTempDirectory("graft-takedown").toString
+    val (idxPath, ivfPath, pqPath) =
+      (s"$base/idx", s"$base/ivf", s"$base/pq")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some corpus document about distributed query engines"),
+      (3L, "a document scheduled for takedown with enough words"),
+      (4L, "another takedown target arriving in the second batch"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      1L -> Seq(10f, 0f, 0f), 2L -> Seq(9f, 1f, 0f),
+      3L -> Seq(0f, 10f, 0f), 4L -> Seq(1f, 9f, 0f))
+      .toDF("vec_id", "embedding")
+    val cents = emb.filter($"vec_id" === 1L || $"vec_id" === 3L)
+    // batch-built artifacts handed to the stream via seedArtifact
+    // (marker -1: a bare batch_id=0 seed would alias the stream's
+    // first micro-batch and silently skip the first takedown)
+    SeriesStream.seedArtifact(
+      Dedup.corpusIndex(corpus, col("doc_id"), col("text")), idxPath)
+    SeriesStream.seedArtifact(Similarity.ivfIndex(emb, cents), ivfPath)
+    SeriesStream.seedArtifact(Similarity.pqEncode(emb, cents, m = 3), pqPath)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = SeriesStream.takedownStream(
+      mem.toDF().toDF("doc_id"), "doc_id",
+      checkpoint = Files.createTempDirectory("graft-td-ck").toString,
+      corpusIndexPath = Some(idxPath), ivfIndexPath = Some(ivfPath),
+      pqCodesPath = Some(pqPath))
+    try {
+      mem.addData(3L)
+      q.processAllAvailable()
+      mem.addData(4L, 99L) // 99 never existed: a no-op inside the batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val remainingDocs = corpus.filter(!$"doc_id".isin(3L, 4L))
+    val remainingEmb = emb.filter(!$"vec_id".isin(3L, 4L))
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("fp"), col("sz"),
+          array_sort(col("bkeys")).cast("string").as("bk"))
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(idxRows(spark.read.parquet(idxPath).drop("batch_id")) ==
+      idxRows(Dedup.corpusIndex(remainingDocs, col("doc_id"), col("text"))))
+    assert(spark.read.parquet(ivfPath).drop("batch_id", "idx_params")
+        .orderBy("vec_id").collect().toSeq ==
+      Similarity.ivfIndex(remainingEmb, cents).drop("idx_params")
+        .orderBy("vec_id").collect().toSeq)
+    assert(spark.read.parquet(pqPath).drop("batch_id")
+        .orderBy("vec_id").collect().toSeq ==
+      Similarity.pqEncode(remainingEmb, cents, m = 3)
+        .orderBy("vec_id").collect().toSeq)
+    // replay idempotence: the artifacts recorded batch 1 as their
+    // marker; re-delivering batch ids 0/1 must change nothing
+    SeriesStream.artifactUpdateBatch(spark, idxPath, 1L,
+      _ => sys.error("replayed batch must skip"))
+  }
+
+  test("takedownStream skips artifacts that do not exist yet") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-takedown-abs").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = SeriesStream.takedownStream(
+      mem.toDF().toDF("doc_id"), "doc_id",
+      checkpoint = Files.createTempDirectory("graft-td-ck2").toString,
+      corpusIndexPath = Some(s"$base/never-built"))
+    try {
+      mem.addData(1L)
+      q.processAllAvailable() // must not throw, must not create the store
+    } finally q.stop()
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$base/never-built")))
+  }
+
   test("an incompatible artifact migration fails loudly, not silently") {
     import spark.implicits._
     val store = java.nio.file.Files
