@@ -528,6 +528,22 @@ object CorpusStats {
   def ngramHistMerge(parts: DataFrame): DataFrame =
     parts.groupBy(col("g")).agg(sum(col("c")).as("c"))
 
+  /** [[wordHistDelete]] for the n-gram count artifacts (the trigram
+   * quality-LM's standing tables): subtract the deleted docs' own
+   * n-gram histogram — exact, zero-count grams drop, negative counts
+   * fail loudly. Post-delete ≡ [[ngramHistogram]] over
+   * corpus ∖ deleted (spec-pinned), so the LM rescoring path keeps
+   * its zero-count-scan property through takedowns. */
+  def ngramHistDelete(hist: DataFrame, deleted: DataFrame, text: Column,
+      n: Int): DataFrame =
+    ngramHistMerge(hist.unionByName(
+        ngramHistogram(deleted, text, n).withColumn("c", -col("c"))))
+      .where(assert_true(col("c") >= 0L,
+        concat(lit("ngramHistDelete: count for gram '"), col("g"),
+          lit("' went negative — the deleted rows were not a subset " +
+            "of what this histogram ingested"))).isNull)
+      .filter(col("c") =!= 0L)
+
   /** [[trigramNll]] with the count tables built off prebuilt
    * [[ngramHistogram]] artifacts (n = 1, 2, 3) — identical scores,
    * none of the three corpus count scans. */
@@ -1567,6 +1583,28 @@ object CorpusStats {
   def wordHistMerge(parts: DataFrame): DataFrame =
     parts.groupBy(col("w")).agg(sum(col("n")).as("n"))
 
+  /** TAKEDOWN propagation for the word-type histogram — count
+   * histograms are plain sums, so the delete is exactly invertible
+   * ([[countMinDelete]]'s turnstile contract): subtract the deleted
+   * docs' own histogram; words whose count reaches zero drop (the
+   * from-scratch shape); a count driven NEGATIVE (deleting rows the
+   * histogram never ingested) fails loudly instead of persisting a
+   * corrupt artifact. Post-delete ≡ [[wordTypeHistogram]] over
+   * corpus ∖ deleted, bit-for-bit (spec-pinned) — so a standing
+   * corpus can retrain any tokenizer after a takedown with zero
+   * corpus scans, the [[wordTypeHistogram]] promise preserved
+   * through deletion. */
+  def wordHistDelete(hist: DataFrame, deleted: DataFrame, text: Column,
+      pretok: Boolean = false): DataFrame =
+    wordHistMerge(hist.unionByName(
+        wordTypeHistogram(deleted, text, pretok)
+          .withColumn("n", -col("n"))))
+      .where(assert_true(col("n") >= 0L,
+        concat(lit("wordHistDelete: count for word '"), col("w"),
+          lit("' went negative — the deleted rows were not a subset " +
+            "of what this histogram ingested"))).isNull)
+      .filter(col("n") =!= 0L)
+
   /** [[bpeTrain]] off a prebuilt [[wordTypeHistogram]] — identical
    * merges, none of the corpus scan. */
   def bpeTrainFromHist(hist: DataFrame, merges: Int,
@@ -1871,9 +1909,10 @@ object CorpusStats {
    * one to emit ids); `maxVocab` guards the driver-held table.
    */
   def bpeEncodeIds(df: DataFrame, id: Column, text: Column,
-      merges: DataFrame, maxVocab: Int = 1 << 20): (DataFrame, DataFrame) = {
+      merges: DataFrame, maxVocab: Int = 1 << 20,
+      pretok: Boolean = false): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    val enc = bpeEncode(df, id, text, merges)
+    val enc = bpeEncode(df, id, text, merges, pretok)
     val vocabRows = enc.select(explode(col("bpe_tokens")).as("token"))
       .distinct().orderBy(col("token")).limit(maxVocab + 1).collect()
     require(vocabRows.length <= maxVocab,

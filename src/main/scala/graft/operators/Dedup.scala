@@ -1200,15 +1200,34 @@ object Dedup {
     gramStream(corpus.select(id.as("doc_id"), split(text, " ").as("ws")), l)
       .groupBy(col("gh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .withColumn("idx_params", lit(gramParams(l)))
   }
+
+  /** The gramIndex artifact-version tag — window hashes built under a
+   * different `l` would simply never match a probe's (hash classes of
+   * different window lengths are disjoint-by-construction but every
+   * miss reads as "novel"): silent missed duplicates, the same
+   * failure mode the [[corpusIndex]] guard closes. */
+  private def gramParams(l: Int): String = s"esd:l=$l"
+
+  /** Scan-checked params guard for gramIndex consumers: a mismatched
+   * artifact fails loudly; legacy frames without the column adopt the
+   * expected tag (they predate the guard). */
+  private def guardedGramIndex(index: DataFrame, l: Int): DataFrame =
+    if (index.columns.contains("idx_params"))
+      index.where(assert_true(col("idx_params") === lit(gramParams(l)),
+        concat(lit("gramIndex built with "), col("idx_params"),
+          lit(s", used with ${gramParams(l)}"))).isNull)
+    else index.withColumn("idx_params", lit(gramParams(l)))
 
   /** Fold a batch into a [[gramIndex]]: per-gram min of first
    * occurrences — exact, order-free, batch-build + index-sized
    * merge (the [[corpusIndexUpsert]] cost shape). */
   def gramIndexUpsert(index: DataFrame, batch: DataFrame, id: Column,
       text: Column, l: Int = 50): DataFrame =
-    index.unionByName(gramIndex(batch, id, text, l))
+    guardedGramIndex(index, l).unionByName(gramIndex(batch, id, text, l))
       .groupBy(col("gh")).agg(min(col("f")).as("f"))
+      .withColumn("idx_params", lit(gramParams(l)))
 
   /**
    * TAKEDOWN propagation for the exact-substring index — the one
@@ -1243,13 +1262,15 @@ object Dedup {
     require(l >= 2, "l must be >= 2")
     val dels = ids.select(id.as("__d")).distinct()
     val keeperDoc = col("f").getField("doc_id")
-    val kept = index.join(dels, keeperDoc === col("__d"), "left_anti")
-    val affected = index.join(dels, keeperDoc === col("__d"), "left_semi")
+    val idx = guardedGramIndex(index, l)
+    val kept = idx.join(dels, keeperDoc === col("__d"), "left_anti")
+    val affected = idx.join(dels, keeperDoc === col("__d"), "left_semi")
       .select(col("gh"))
     val remin = gramStream(
         remaining.select(rid.as("doc_id"), split(rtext, " ").as("ws")), l)
       .join(affected, "gh")
       .groupBy(col("gh")).agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .withColumn("idx_params", lit(gramParams(l)))
     kept.unionByName(remin)
   }
 
@@ -1272,7 +1293,8 @@ object Dedup {
     val bAgg = gh.groupBy(col("gh"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id"), col("pos"))).as("__bf"))
-    val joined = bAgg.join(index.select(col("gh"), col("f").as("__xf")),
+    val joined = bAgg.join(
+      guardedGramIndex(index, l).select(col("gh"), col("f").as("__xf")),
       Seq("gh"), "left")
     // duplicated: an earlier corpus occurrence exists, or the batch
     // itself repeats the window; keeper = min over both sides

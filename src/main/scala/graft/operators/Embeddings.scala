@@ -461,6 +461,32 @@ object Embeddings {
     sketches.groupBy(col("stat"), col("i"), col("j"))
       .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
 
+  /** TAKEDOWN propagation for the covariance sketch — the moment
+   * sums are plain additions, so the delete is exactly invertible
+   * (the [[graft.operators.CorpusStats.countMinDelete]] turnstile
+   * contract): sketch the deleted rows alone (same dim/scaleBits —
+   * the caller's params contract, as in [[covarianceMerge]]) and
+   * subtract cell-wise. If every ingested row is deleted (the "n"
+   * count reaches zero) the canonical EMPTY sketch returns, matching
+   * a from-scratch build of the empty corpus; otherwise post-delete
+   * ≡ [[covarianceSketch]] over corpus ∖ deleted, bit-for-bit
+   * (spec-pinned) — standing PCA artifacts survive takedowns without
+   * a corpus re-scan of the remaining embeddings. */
+  def covarianceDelete(sketch: DataFrame, deleted: DataFrame, vec: Column,
+      dim: Int, scaleBits: Int = 20): DataFrame = {
+    val neg = covarianceSketch(deleted, vec, dim, scaleBits)
+      .withColumn("v", negate(col("v")))
+    val merged = covarianceMerge(sketch.unionByName(neg))
+      .localCheckpoint() // read twice: the emptiness probe + the result
+    val alive = merged.filter(col("stat") === "n")
+      .agg(coalesce(sum(col("v")), lit(0L).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    if (alive.signum() < 0) throw new IllegalArgumentException(
+      "covarianceDelete: row count went negative — the deleted rows " +
+        "were not a subset of what this sketch ingested")
+    if (alive.signum() == 0) merged.limit(0) else merged
+  }
+
   /** The ratio emit of [[covarianceMicro]], off a (possibly merged)
    * [[covarianceSketch]]: mirror the upper triangle, join moments,
    * half-away integer-ratio micro cells via

@@ -628,6 +628,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(zs == Map("zzz-unseen" -> 0L), zs.toString)
   }
 
+  test("wordHist/ngramHist deletes equal from-scratch on corpus minus deleted") {
+    val docs = Seq((1L, "a a b c"), (2L, "a b d e f"), (3L, "b c c g"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val wFull = CorpusStats.wordTypeHistogram(docs, $"text")
+    val wAfter = CorpusStats.wordHistDelete(wFull,
+      docs.filter($"doc_id" === 3L), $"text")
+    assert(rows(wAfter) == rows(CorpusStats.wordTypeHistogram(
+      docs.filter($"doc_id" =!= 3L), $"text")))
+    val gFull = CorpusStats.ngramHistogram(docs, $"text", n = 2)
+    val gAfter = CorpusStats.ngramHistDelete(gFull,
+      docs.filter($"doc_id" === 1L), $"text", n = 2)
+    assert(rows(gAfter) == rows(CorpusStats.ngramHistogram(
+      docs.filter($"doc_id" =!= 1L), $"text", n = 2)))
+    // a non-subset delete drives a count negative and fails loudly
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      CorpusStats.wordHistDelete(wFull,
+        docs.unionByName(docs), $"text").collect()
+    }
+    assert(msgs(e).exists(_.contains("went negative")), e.toString)
+  }
+
   test("countMinDelete equals a from-scratch sketch on corpus minus deleted") {
     val docs = Seq((1L, "a a b c"), (2L, "a b d e f"), (3L, "b c c g"))
       .toDF("doc_id", "text")

@@ -606,6 +606,30 @@ class DedupSpec extends SparkSpec {
     assert(upserted == rebuilt)
   }
 
+  test("gramIndex consumers reject an index built under a different l") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val idx4 = Dedup.gramIndex(docs, $"doc_id", $"text", l = 4)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    Seq(
+      () => Dedup.gramIndexUpsert(idx4, docs, $"doc_id", $"text", l = 5)
+        .collect(),
+      () => Dedup.exactSubstringIncremental(docs, idx4,
+        $"doc_id", $"text", l = 5).collect(),
+      () => Dedup.gramIndexDelete(idx4, Seq(1L).toDF("id"), col("id"),
+        docs, $"doc_id", $"text", l = 5).collect()
+    ).foreach { f =>
+      val e = intercept[Exception](f())
+      assert(msgs(e).exists(_.contains("gramIndex built with")), e.toString)
+    }
+    // legacy frames without the tag adopt it (pre-guard artifacts)
+    val legacy = idx4.drop("idx_params")
+    assert(Dedup.gramIndexUpsert(legacy, docs.limit(0), $"doc_id",
+      $"text", l = 4).columns.contains("idx_params"))
+  }
+
   test("exactSubstringDedup: self-overlapping periodic repeat") {
     import spark.implicits._
     // "a b a b a b", l=2: keeper windows ab@0, ba@1 cover [0,3);

@@ -229,6 +229,38 @@ class PcaSpec extends SparkSpec {
     assert(withExtra == direct)
   }
 
+  test("covarianceDelete equals a from-scratch sketch on corpus minus deleted") {
+    val all = Seq(
+      (1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, 0.25f)),
+      (3L, Array(2.0f, 1.0f)), (4L, Array(-2.0f, -1.0f)),
+      (5L, Array(0.5f, -0.75f))
+    ).toDF("vec_id", "embedding")
+    val full = Embeddings.covarianceSketch(all, col("embedding"), 2)
+    val deleted = all.filter(col("vec_id").isin(2L, 5L))
+    val after = Embeddings.covarianceDelete(full, deleted,
+      col("embedding"), 2)
+    val scratch = Embeddings.covarianceSketch(
+      all.filter(!col("vec_id").isin(2L, 5L)), col("embedding"), 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(after) == rows(scratch))
+    // the finalized cells agree too (the artifact a standing PCA reads)
+    assert(rows(Embeddings.covarianceFinalize(after, 20)) ==
+      rows(Embeddings.covarianceFinalize(scratch, 20)))
+    // deleting everything leaves the canonical empty sketch
+    assert(Embeddings.covarianceDelete(full, all, col("embedding"), 2)
+      .isEmpty)
+    // deleting rows the sketch never ingested fails loudly
+    val foreign = Seq((9L, Array(7.0f, 7.0f)), (10L, Array(7.0f, 7.0f)),
+      (11L, Array(7.0f, 7.0f)), (12L, Array(7.0f, 7.0f)),
+      (13L, Array(7.0f, 7.0f)), (14L, Array(7.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Embeddings.covarianceDelete(full, all.unionByName(foreign),
+        col("embedding"), 2)
+    }
+  }
+
   test("zero covariance keeps the start vector (no division by zero)") {
     val const = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
