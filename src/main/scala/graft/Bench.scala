@@ -79,7 +79,9 @@ object Bench {
       "text_greedy_encode_bytes", "ann_range_search",
       "ann_range_search_ivf", "sample_cluster_split",
       "ann_range_search_indexed", "dedup_substring_report",
-      "dedup_substring_incremental")
+      "dedup_substring_incremental", "text_bpe_encode_pretok",
+      "corpus_fertility_bpe_pretok", "export_epoch_shuffle",
+      "text_decontaminate_artifact")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state
