@@ -81,7 +81,8 @@ object Bench {
       "ann_range_search_indexed", "dedup_substring_report",
       "dedup_substring_incremental", "text_bpe_encode_pretok",
       "corpus_fertility_bpe_pretok", "export_epoch_shuffle",
-      "text_decontaminate_artifact")
+      "text_decontaminate_artifact", "dedup_index_delete",
+      "ann_ivf_delete")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

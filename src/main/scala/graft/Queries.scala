@@ -2829,6 +2829,28 @@ object Queries {
       },
       Some(incrementalOracle(0.8))),
 
+    // TAKEDOWN through the standing admission index, oracle-gated:
+    // the full index loses a deleted slice (corpusIndexDelete) and the
+    // incremental screen against it must equal screening against a
+    // from-scratch index of the remaining corpus — the spec's
+    // post-delete ≡ from-scratch contract probed end to end via the
+    // exact DuckDB chain over corpus ∖ deleted
+    "dedup_index_delete" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val full = Dedup.corpusIndex(corpus, col("doc_id"), col("text"))
+        val idx = Dedup.corpusIndexDelete(full,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), col("doc_id"))
+        val remaining = corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Dedup.incrementalIndexed(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx, remaining,
+            col("doc_id"), col("text"), threshold = 0.8)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalOracle(0.8,
+        corpusPred = "doc_id % 2 = 0 AND doc_id % 10 != 0"))),
+
     "ann_cosine_topk" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -3073,6 +3095,27 @@ object Queries {
           .withColumn("sim", round6(col("sim")))
       },
       Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2))),
+
+    // TAKEDOWN through the standing IVF index, oracle-gated: the
+    // full index loses a deleted slice (ivfIndexDelete) and the
+    // indexed probe must rank over exactly the remaining lists — the
+    // oracle restricts its list membership to the same remainder
+    // (deleted vectors may still QUERY; they just can no longer be
+    // found)
+    "ann_ivf_delete" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val idx = Similarity.ivfIndexDelete(
+          Similarity.ivfIndex(emb, cents),
+          emb.filter(pmod(col("vec_id"), lit(5)) === 3), col("vec_id"))
+        Similarity.ivfTopKIndexed(idx, emb, emb.filter(col("vec_id") < 8),
+            cents, k = 10, nprobe = 2)
+          .withColumn("sim", round6(col("sim")))
+      },
+      Some(annIvfOracle(centMod = 16, centCap = 4096, k = 10, nprobe = 2,
+        listsPred = "vec_id % 5 != 3"))),
 
     // residual IVF-PQ — the full FAISS composition: codes quantize
     // each vector's WITHIN-LIST displacement (x − centroid), and each
@@ -5843,14 +5886,16 @@ object Queries {
    * [[Dedup.incremental]]: the shared MinHash chain with a
    * batch(odd)×corpus(even) candidate predicate, plus the normalized
    * exact-fingerprint membership check from the dedup_exact oracle. */
-  private def incrementalOracle(threshold: Double): String =
+  private def incrementalOracle(threshold: Double,
+      corpusPred: String = "doc_id % 2 = 0"): String =
     s"""WITH ${minhashPairsCte(threshold,
-        candPred = "l.doc_id % 2 = 1 AND r.doc_id % 2 = 0")},
+        candPred = s"l.doc_id % 2 = 1 AND " +
+          s"(${corpusPred.replace("doc_id", "r.doc_id")})")},
       near AS (SELECT DISTINCT id1 AS doc_id FROM pairs),
       nfp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text,
           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fp FROM documents),
       cfp AS (SELECT DISTINCT fp FROM nfp
-        WHERE doc_id % 2 = 0 AND fp IS NOT NULL)
+        WHERE ($corpusPred) AND fp IS NOT NULL)
       SELECT b.doc_id,
         CASE WHEN cfp.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
         CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_near,
@@ -6062,7 +6107,7 @@ object Queries {
   }
 
   private def annIvfOracle(centMod: Int, centCap: Int, k: Int,
-      nprobe: Int): String =
+      nprobe: Int, listsPred: String = "TRUE"): String =
     s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv,
             ${nrmSql("embedding")} AS cn
           FROM embeddings WHERE vec_id % $centMod = 0 AND vec_id < $centCap),
@@ -6071,7 +6116,8 @@ object Queries {
             ${dotSql.format("e.embedding", "cv")} / (${nrmSql("e.embedding")} * cn)
               DESC, cent_id) AS rn
         FROM embeddings e CROSS JOIN c),
-      lists AS (SELECT vec_id, v, cent_id FROM asn WHERE rn = 1),
+      lists AS (SELECT vec_id, v, cent_id FROM asn
+        WHERE rn = 1 AND ($listsPred)),
       probes AS (SELECT vec_id AS query_id, v AS qv, cent_id
         FROM asn WHERE rn <= $nprobe AND vec_id < 8),
       scored AS (SELECT query_id, vec_id,
