@@ -129,6 +129,28 @@ object Export {
   }
 
   /**
+   * The physical write path for [[epochShuffle]] — [[writeShards]]'
+   * discipline for the per-epoch order: one task per shard, windows
+   * pre-sorted in the epoch's (hash, seq) order, `partitionBy` sees
+   * rows already ordered by the partition column so no writer-side
+   * sort is inserted. Callers pick format/path:
+   * `Export.writeEpoch(wins, $"seq", seed, 1024).parquet(out)` —
+   * re-running with the same seed writes byte-identical shard files.
+   */
+  def writeEpoch(windows: DataFrame, seq: Column, seed: Long,
+      n: Int): DataFrameWriter[Row] = {
+    require(n >= 1, "need at least one shard")
+    val h = graft.functions.Hash60Expr.hash60(
+      concat(lit(seed.toString), lit(":"), seq.cast("string")))
+    windows.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(n.toLong)).cast("int"))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_h"), seq)
+      .drop("_h")
+      .write.partitionBy("shard")
+  }
+
+  /**
    * RANGE-partitioned shard assignment — [[shards]]' hash layout
    * randomizes for training; this layout CLUSTERS by a sort key
    * (length, timestamp, score) so each shard's files carry tight

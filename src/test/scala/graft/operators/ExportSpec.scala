@@ -117,6 +117,27 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("writeEpoch: per-file row order is the epoch's (hash, seq) order") {
+    val wins = (0L until 200L).map(i => Tuple1(i)).toDF("seq")
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    Export.writeEpoch(wins.repartition(7), $"seq", seed = 5L, n = 4)
+      .parquet(s"$dir/out")
+    val logical = Export.epochShuffle(wins, $"seq", seed = 5L, n = 4)
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$dir/out/shard=$s").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s split across ${files.length} files")
+      val inFile = spark.read.parquet(files.head.getPath)
+        .select($"seq").as[Long].collect()
+      assert(inFile.toSeq == inFile.sortBy(w => logical((w, s))).toSeq,
+        s"shard $s order diverged from the epoch order")
+    }
+    // every window written exactly once across the shard dirs
+    assert(spark.read.parquet(s"$dir/out").select($"seq").as[Long]
+      .collect().sorted.toSeq == (0L until 200L))
+  }
+
   test("epochShuffle: permutation per epoch, reproducible per seed") {
     val wins = (0L until 300L).map(i => Tuple1(i)).toDF("seq")
     def order(seed: Long) = Export.epochShuffle(wins, $"seq", seed, n = 4)
