@@ -198,7 +198,8 @@ object Queries {
    * (one winner row each: a, b, c) and `wpm{iters}` (final state).
    */
   private def wordpieceTrainCtes(iters: Int,
-      topTypes: Int = 50000, marked: Boolean = false): String = {
+      topTypes: Int = 50000, marked: Boolean = false,
+      wordsSql: String = "unnest(string_split(text, ' '))"): String = {
     // marked = the BERT `##` namespace: the first code point splits
     // plain, every later one `##`-prefixed, and a merge keeps the
     // left symbol's marker while stripping the right's — so the
@@ -221,7 +222,7 @@ object Queries {
       // noise pushes raw types to row scale (8.8M at the 100× probe)
       s"""wpwt AS MATERIALIZED (SELECT w, n FROM (
           SELECT w, count(*)::HUGEINT AS n FROM (
-            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            SELECT $wordsSql AS w FROM documents
             WHERE text IS NOT NULL)
           WHERE w IS NOT NULL AND length(w) >= 2 GROUP BY w)
         ORDER BY n DESC, w LIMIT $topTypes)""",
@@ -2257,6 +2258,60 @@ object Queries {
           sum(tid)::BIGINT AS sum_tok
         FROM pos GROUP BY 1 ORDER BY 1""")),
 
+    // the terminal flow in PRETOK mode — the round-14 verdict's whole
+    // motivation for the regex pre-tokenizer: token budgets and
+    // packing running on PRODUCTION-TRUE token counts. Same chain as
+    // pipeline_tokenize_pack (encode → ids → pack → materialize) with
+    // the GPT-2 segments and space-led merge table; the oracle swaps
+    // in the sentineled pretok marker chain and is otherwise the same
+    // stream reconstruction (pieces may contain spaces — the '§'
+    // delimiter splits them regardless)
+    "pipeline_tokenize_pack_pretok" -> Entry(
+      (s, dir) => {
+        val (ids, _) = graft.operators.CorpusStats.bpeEncodeIds(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          fixedMergesPretokDf(s), pretok = true)
+        val packed = graft.operators.Packing.packSequences(
+          ids, col("id"), col("n_bpe_tokens"), seqLen = 512L)
+        graft.operators.Packing.materializeWindows(
+            packed, col("token_ids"), seqLen = 512L)
+          .select(col("seq"), col("n_tokens"),
+            element_at(col("token_ids"), 1).as("first_tok"),
+            element_at(col("token_ids"), -1).as("last_tok"),
+            aggregate(col("token_ids"), lit(0L),
+              (a, x) => a + x).as("sum_tok"))
+          .orderBy(col("seq"))
+      },
+      Some(s"""WITH enc AS (SELECT doc_id,
+            replace(${fixedMergesPretokReplaceSql(
+              pretokMarkedSql("text"))}, '¤', '') AS f
+          FROM documents),
+          d AS (SELECT doc_id,
+            CASE WHEN length(f) > 0
+              THEN string_split(substr(f, 2), '§')
+              ELSE [] END AS toks
+          FROM enc),
+          vocab AS (SELECT token, row_number() OVER (ORDER BY token) - 1
+              AS tid
+            FROM (SELECT DISTINCT unnest(toks) AS token FROM d)),
+          h AS (SELECT doc_id, toks, len(toks) AS w,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM d),
+          c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM h),
+          stream AS (SELECT cum + ord - 1 AS p, tok FROM (
+            SELECT cum, unnest(toks) AS tok,
+              unnest(range(1, len(toks) + 1)) AS ord
+            FROM c WHERE w > 0)),
+          pos AS (SELECT p, tid FROM stream JOIN vocab
+            ON vocab.token = stream.tok)
+        SELECT (p // 512)::BIGINT AS seq, count(*)::BIGINT AS n_tokens,
+          arg_min(tid, p)::BIGINT AS first_tok,
+          arg_max(tid, p)::BIGINT AS last_tok,
+          sum(tid)::BIGINT AS sum_tok
+        FROM pos GROUP BY 1 ORDER BY 1""")),
+
     // the packed layout MATERIALIZED: every 2048-token training
     // window reassembled from its docs' slices (synthetic per-doc
     // token ids, deterministic on both engines); first/last/sum per
@@ -4171,6 +4226,30 @@ object Queries {
           col("left"), col("right"), col("pair_count"))
         .orderBy(col("merge_rank")),
       Some(s"""WITH ${wordpieceTrainCtes(6, marked = true)}
+        SELECT merge_rank, a AS "left", b AS "right", pair_count
+        FROM (${(1 to 6).map(t =>
+          s"""SELECT ${t - 1}::BIGINT AS merge_rank, a, b,
+            c::BIGINT AS pair_count FROM wpw$t""").mkString(" UNION ALL ")})
+        ORDER BY merge_rank""")),
+
+    // the WordPiece TRAINER in pretok mode — segments (leading space
+    // attached) are the word types, so the likelihood-gain argmax
+    // runs over the Ġ-style namespace a production WordPiece trains
+    // on; the oracle unrolls the same iterations with its word
+    // source swapped to the shared regex
+    "corpus_wordpiece_merges_pretok" -> Entry(
+      (s, dir) => graft.operators.CorpusStats.wordpieceTrainMarkedFromHist(
+          graft.operators.CorpusStats.wordTypeHistogram(
+              t(s, dir, "documents"), col("text"), pretok = true)
+            .filter(length(col("w")) >= 2)
+            .orderBy(col("n").desc, col("w")).limit(50000),
+          merges = 6)
+        .select(col("merge_rank").cast("long").as("merge_rank"),
+          col("left"), col("right"), col("pair_count"))
+        .orderBy(col("merge_rank")),
+      Some(s"""WITH ${wordpieceTrainCtes(6, marked = true,
+          wordsSql = "unnest(regexp_extract_all(text, " +
+            graft.functions.PreTokenizeExpr.patternSqlLiteral + "))")}
         SELECT merge_rank, a AS "left", b AS "right", pair_count
         FROM (${(1 to 6).map(t =>
           s"""SELECT ${t - 1}::BIGINT AS merge_rank, a, b,
