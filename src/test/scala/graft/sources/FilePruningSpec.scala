@@ -122,6 +122,22 @@ class FilePruningSpec extends SparkSpec {
     assert(s.scanFiles("db").map(_.name).toSet == v0)
   }
 
+  test("deleteKeys on a dirty snapshot removes every copy of the key") {
+    val s = newStore()
+    s.create("db")
+    // two commits overwrite the same ts (dirty), plus a bystander key
+    s.store("db", Some("2024-01-01T00:00:00Z"), """{"v": 1}""")
+    s.store("db", Some("2024-01-01T00:00:00Z"), """{"v": 2}""")
+    s.store("db", Some("2024-01-02T00:00:00Z"), """{"v": 3}""")
+    val n = s.deleteKeys("db", Seq("2024-01-01T00:00:00Z"))
+    // BOTH physical copies of the overwritten key are gone (file
+    // selection is by ts-range, so every owning file rewrites)
+    assert(n == 2L, s"expected both copies deleted, got $n")
+    assert(s.get("db", "2024-01-01T00:00:00Z").isEmpty)
+    assert(s.get("db", "2024-01-02T00:00:00Z").contains("""{"v": 3}"""))
+    assert(s.frame("db").count() == 1)
+  }
+
   test("dirty snapshots prune safely: all replicas of an in-range ts survive") {
     val s = newStore()
     s.create("db")
