@@ -69,9 +69,15 @@ object Queries {
   // encode as chained replaces over a marker-delimited form;
   // bpeTrain-learned tables are spec-verified (BpeEncodeSpec) since
   // the training loop is not SQL-expressible.
-  private val fixedMerges: Seq[(Int, String, String)] = Seq(
+  // ORDER IS LOAD-BEARING beyond rank consistency (see
+  // fixedMergesPretok): ('v','a') must run BEFORE ('a','n') or the
+  // oracle's '§v§a' replace prefix-captures the symbol 'an' on any
+  // word containing a v-a-n run ("van", "advance") — latent on the
+  // shipped corpus, caught and pinned corpus-free by PropertySpec's
+  // replace-chain ≡ mergePass replay.
+  private[graft] val fixedMerges: Seq[(Int, String, String)] = Seq(
     (0, "t", "a"), (1, "ta", "b"), (2, "l", "e"), (3, "tab", "le"),
-    (4, "s", "c"), (5, "a", "n"), (6, "r", "o"), (7, "v", "a"),
+    (4, "s", "c"), (5, "v", "a"), (6, "a", "n"), (7, "r", "o"),
     (8, "u", "e"))
   private def fixedMergesDf(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -96,9 +102,18 @@ object Queries {
   // the marker), with a '¤' sentinel at each segment start so a merge
   // can never fire across a pre-tokenizer boundary (the engine encodes
   // each segment independently).
-  private val fixedMergesPretok: Seq[(Int, String, String)] = Seq(
+  // ORDER IS LOAD-BEARING beyond rank consistency: the oracle's
+  // chained '§l§r'→'§lr' replaces are prefix-matched, so a rule whose
+  // right operand r is a proper PREFIX of a symbol an EARLIER rule
+  // created would fire inside that symbol (e.g. (' ','a') after
+  // ('a','n') exists captures '§ §an…' as '§ a' + 'n…') and diverge
+  // from the engine's exact-symbol mergePass. This table is chosen so
+  // no rule's right operand prefixes any symbol reachable before it —
+  // PropertySpec replays the replace chain against the engine encode
+  // over random text to pin the equivalence corpus-agnostically.
+  private[graft] val fixedMergesPretok: Seq[(Int, String, String)] = Seq(
     (0, " ", "t"), (1, " t", "h"), (2, " th", "e"),
-    (3, "a", "n"), (4, " ", "a"), (5, " a", "n"),
+    (3, " ", "a"), (4, "a", "n"), (5, " a", "n"),
     (6, "i", "n"), (7, " ", "s"), (8, "e", "r"))
   private def fixedMergesPretokDf(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -115,9 +130,12 @@ object Queries {
    * becomes `¤§c§c…`, so the chained replaces see exactly the
    * per-segment symbol streams the engine's encodeTextPretok merges. */
   private def pretokMarkedSql(text: String): String =
+    // '([\s\S])', not '(.)': RE2's '.' skips '\n', and the pretok
+    // pattern admits newline whitespace runs — an unmarked '\n' would
+    // corrupt the oracle's '§' token accounting
     s"""array_to_string(list_transform(regexp_extract_all($text,
         ${graft.functions.PreTokenizeExpr.patternSqlLiteral}),
-      w -> '¤' || regexp_replace(w, '(.)', '§\\1', 'g')), '')"""
+      w -> '¤' || regexp_replace(w, '([\\s\\S])', '§\\1', 'g')), '')"""
 
   /** The trigram-LM oracle shared by text_perplexity_trigram and
    * its histogram-homomorphism sibling: full stupid-backoff CASE

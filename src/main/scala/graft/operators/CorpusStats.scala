@@ -1349,6 +1349,15 @@ object CorpusStats {
         .withColumn("c", -col("c")))
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("c")).as("c"))
+      // a cell driven negative means the deleted rows were not a
+      // subset of what the sketch ingested — fail loudly like
+      // wordHistDelete, never persist a sketch whose min-over-rows
+      // estimates have gone silently wrong
+      .where(assert_true(col("c") >= 0L,
+        concat(lit("countMinDelete: cell ("), col("row"), lit(","),
+          col("bucket"),
+          lit(") went negative — the deleted rows were not a subset " +
+            "of what this sketch ingested"))).isNull)
       .filter(col("c") =!= 0L)
 
   /** Point-frequency estimates off a [[countMinSketch]]: for each

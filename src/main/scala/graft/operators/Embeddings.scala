@@ -467,9 +467,11 @@ object Embeddings {
    * contract): sketch the deleted rows alone (same dim/scaleBits —
    * the caller's params contract, as in [[covarianceMerge]]) and
    * subtract cell-wise. If every ingested row is deleted (the "n"
-   * count reaches zero) the canonical EMPTY sketch returns, matching
-   * a from-scratch build of the empty corpus; otherwise post-delete
-   * ≡ [[covarianceSketch]] over corpus ∖ deleted, bit-for-bit
+   * count reaches zero) the FROM-SCRATCH EMPTY build returns (the
+   * single ('n', −1, −1, 0) row an empty-corpus covarianceSketch
+   * emits — not a zero-row frame, so the bit-for-bit contract holds
+   * at the boundary too); otherwise post-delete ≡
+   * [[covarianceSketch]] over corpus ∖ deleted, bit-for-bit
    * (spec-pinned) — standing PCA artifacts survive takedowns without
    * a corpus re-scan of the remaining embeddings. */
   def covarianceDelete(sketch: DataFrame, deleted: DataFrame, vec: Column,
@@ -484,7 +486,9 @@ object Embeddings {
     if (alive.signum() < 0) throw new IllegalArgumentException(
       "covarianceDelete: row count went negative — the deleted rows " +
         "were not a subset of what this sketch ingested")
-    if (alive.signum() == 0) merged.limit(0) else merged
+    if (alive.signum() == 0)
+      covarianceSketch(deleted.limit(0), vec, dim, scaleBits)
+    else merged
   }
 
   /** The ratio emit of [[covarianceMicro]], off a (possibly merged)

@@ -845,7 +845,11 @@ class SeriesStore(spark: SparkSession, root: String) {
       while (outer < 10 && result < 0) {
         val snap = snapshotOf(db)
         val (affected, kept) = snap.files.partition(f =>
-          ks.exists(k => f.mayOverlap(Some(k), Some(k + 1))))
+          ks.exists(k => f.mayOverlap(Some(k),
+            // k + 1 overflows at Long.MaxValue (a storable key:
+            // parseTime accepts raw ns) — an unbounded upper bound
+            // has the same "contains exactly k" semantics there
+            if (k == Long.MaxValue) None else Some(k + 1))))
         if (affected.isEmpty) result = 0L
         else {
           val paths = affected.map(f => dbPath(db).resolve(f.name).toString)

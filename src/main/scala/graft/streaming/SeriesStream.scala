@@ -181,11 +181,20 @@ object SeriesStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val dels = batch.select(col(idCol)).distinct().localCheckpoint()
+        // existence probe is a directory check (the semantics
+        // standingSketch encodes), NOT a parquet read: a per-batch
+        // spark.read per artifact would pay file listing + schema
+        // inference on every (possibly empty) micro-batch
+        def exists(p: String): Boolean =
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)) ||
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p + ".old"))
         def retire(path: String,
             del: DataFrame => DataFrame): Unit =
-          if (standingSketch(spark, path).nonEmpty)
+          if (exists(path))
             artifactUpdateBatch(spark, path, id, { standing =>
-              del(standing.get.drop("batch_id"))
+              del(standing.getOrElse(sys.error(
+                s"takedownStream: artifact at $path vanished mid-batch"))
+                .drop("batch_id"))
             })
         corpusIndexPath.foreach(p => retire(p, s =>
           graft.operators.Dedup.corpusIndexDelete(s, dels, col(idCol))))

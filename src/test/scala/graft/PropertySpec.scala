@@ -87,6 +87,54 @@ class PropertySpec extends AnyFunSuite {
     }, min = 20)
   }
 
+  test("oracle replace-chain == engine mergePass for both fixed merge tables") {
+    // The DuckDB oracles mirror BPE encoding as chained
+    // '§l§r' → '§lr' replaces over a marker-delimited form. That
+    // chain equals the engine's exact-symbol mergePass ONLY if no
+    // rule's right operand is a proper prefix of a symbol an earlier
+    // rule created (SQL replace prefix-matches; mergePass compares
+    // whole symbols) — a corpus-dependent hazard the gates alone
+    // cannot pin (they pass as long as the hazardous adjacency is
+    // absent from testdata). This replays the replace chain in Scala
+    // over RANDOM text for both fixed tables, so a future table edit
+    // that reintroduces prefix capture fails here, corpus-free.
+    def chainEncode(word: String,
+        merges: Seq[(Int, String, String)]): Seq[String] = {
+      val marked = word.codePoints().toArray
+        .map(cp => "§" + new String(Character.toChars(cp))).mkString
+      val folded = merges.sortBy(_._1).foldLeft(marked) {
+        case (acc, (_, l, r)) => acc.replace(s"§$l§$r", s"§$l$r")
+      }
+      folded.split('§').toSeq.filter(_.nonEmpty)
+    }
+    def engineEncode(word: String,
+        merges: Seq[(Int, String, String)]): Seq[String] = {
+      val rules = merges.sortBy(_._1).map { case (_, l, r) =>
+        Array(l, r) }.toArray
+      val out = graft.functions.BpeEncodeExpr.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word), rules,
+        new java.util.HashMap[String,
+          org.apache.spark.sql.catalyst.util.ArrayData]())
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    val wsAlpha = "tablescanrovue".distinct
+    val pretokAlpha = " thean isrx".distinct
+    def gen(alpha: String) = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    check(Prop.forAll(gen(wsAlpha)) { w =>
+      chainEncode(w, Queries.fixedMerges) ==
+        engineEncode(w, Queries.fixedMerges)
+    }, min = 400)
+    check(Prop.forAll(gen(pretokAlpha)) { w =>
+      chainEncode(w, Queries.fixedMergesPretok) ==
+        engineEncode(w, Queries.fixedMergesPretok)
+    }, min = 400)
+    // the regression the round-15 review caught, pinned explicitly:
+    // a space-led segment whose letters begin with 'an'
+    assert(chainEncode(" and", Queries.fixedMergesPretok) ==
+      engineEncode(" and", Queries.fixedMergesPretok))
+  }
+
   test("minhash signature expression matches a reference fold on random shingles") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, lit, split}

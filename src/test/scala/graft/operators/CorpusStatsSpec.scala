@@ -673,6 +673,15 @@ class CorpusStatsSpec extends SparkSpec {
     val empty = CorpusStats.countMinDelete(full, toks(docs), $"w",
       width = 8, depth = 3)
     assert(empty.isEmpty)
+    // a non-subset delete drives a cell negative and fails loudly
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      CorpusStats.countMinDelete(full, toks(docs.unionByName(docs)),
+        $"w", width = 8, depth = 3).collect()
+    }
+    assert(msgs(e).exists(_.contains("went negative")), e.toString)
   }
 
   test("aucPpm: hand-computed rank-sum AUC with ties; degenerate null") {

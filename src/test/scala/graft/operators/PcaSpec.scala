@@ -247,9 +247,11 @@ class PcaSpec extends SparkSpec {
     // the finalized cells agree too (the artifact a standing PCA reads)
     assert(rows(Embeddings.covarianceFinalize(after, 20)) ==
       rows(Embeddings.covarianceFinalize(scratch, 20)))
-    // deleting everything leaves the canonical empty sketch
-    assert(Embeddings.covarianceDelete(full, all, col("embedding"), 2)
-      .isEmpty)
+    // deleting everything leaves the FROM-SCRATCH empty build (the
+    // single ('n',-1,-1,0) row), bit-for-bit at the boundary too
+    assert(rows(Embeddings.covarianceDelete(full, all, col("embedding"), 2))
+      == rows(Embeddings.covarianceSketch(
+        all.limit(0), col("embedding"), 2)))
     // deleting rows the sketch never ingested fails loudly
     val foreign = Seq((9L, Array(7.0f, 7.0f)), (10L, Array(7.0f, 7.0f)),
       (11L, Array(7.0f, 7.0f)), (12L, Array(7.0f, 7.0f)),
