@@ -29,6 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * differ on VT. Every non-whitespace character of the input lands in
  * exactly one segment; segments concatenate back to the input.
  *
+ * KNOWN DIVERGENCE from GPT-2's exact segmentation, the price of
+ * dropping the lookahead: GPT-2's `\s+(?!\S)` stops a whitespace run
+ * one character short of a following non-space, so the word keeps
+ * its leading-space attachment even after 2+ spaces or a newline
+ * (`'a  b'` → `['a', ' ', ' b']`). The lookahead-free alternative
+ * `[ \t\n\r\f]+` greedily consumes the whole run, detaching that
+ * word (`['a', '  ', 'b']`). Single-space-separated text — the
+ * overwhelming mass of prose — segments identically; but vocabularies
+ * learned over multi-space/newline-heavy corpora (code, markup) are
+ * NOT drop-in compatible with GPT-2's. Engine and oracle stay
+ * mutually consistent either way (both run THIS pattern).
+ *
  * Scale shape: a per-row codegen'd projection (no UDF, no shuffle)
  * with a thread-local compiled-pattern reuse — the corpus pays one
  * scan, identical to the `split(text, " ")` path it replaces in

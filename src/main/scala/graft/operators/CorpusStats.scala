@@ -530,8 +530,13 @@ object CorpusStats {
 
   /** [[wordHistDelete]] for the n-gram count artifacts (the trigram
    * quality-LM's standing tables): subtract the deleted docs' own
-   * n-gram histogram — exact, zero-count grams drop, negative counts
-   * fail loudly. Post-delete ≡ [[ngramHistogram]] over
+   * n-gram histogram — exact, zero-count grams drop. Non-subset
+   * detection is BEST-EFFORT: only a violation that drives some count
+   * negative fails loudly; a non-subset delete whose per-gram counts
+   * all stay non-negative (e.g. deleting a doc merely similar to an
+   * ingested one) silently persists a wrong artifact — a clean run is
+   * not proof of subset-correctness, that remains the caller's
+   * contract. Post-delete ≡ [[ngramHistogram]] over
    * corpus ∖ deleted (spec-pinned), so the LM rescoring path keeps
    * its zero-count-scan property through takedowns. */
   def ngramHistDelete(hist: DataFrame, deleted: DataFrame, text: Column,
@@ -1330,6 +1335,10 @@ object CorpusStats {
    * (spec-pinned; zeroed cells drop, matching the from-scratch
    * build's sparse shape), PROVIDED `deleted` is a sub-multiset of
    * what the sketch ingested — the standing-artifact contract.
+   * Violations are detected BEST-EFFORT only: a non-subset delete
+   * fails loudly iff some cell goes negative; one whose cells all
+   * stay non-negative persists a silently wrong sketch, so a clean
+   * run is not proof the contract held.
    *
    * The rest of the sketch family is NOT invertible — takedowns
    * there rebuild from the remaining corpus: [[kmvSketch]] (values
@@ -1598,7 +1607,11 @@ object CorpusStats {
    * docs' own histogram; words whose count reaches zero drop (the
    * from-scratch shape); a count driven NEGATIVE (deleting rows the
    * histogram never ingested) fails loudly instead of persisting a
-   * corrupt artifact. Post-delete ≡ [[wordTypeHistogram]] over
+   * corrupt artifact — but that detection is BEST-EFFORT: a
+   * non-subset delete whose counts stay non-negative passes
+   * silently, so subset-correctness remains the caller's contract,
+   * not something a clean run proves. Post-delete ≡
+   * [[wordTypeHistogram]] over
    * corpus ∖ deleted, bit-for-bit (spec-pinned) — so a standing
    * corpus can retrain any tokenizer after a takedown with zero
    * corpus scans, the [[wordTypeHistogram]] promise preserved

@@ -1248,6 +1248,11 @@ object Dedup {
    * Post-delete ≡ [[gramIndex]] over corpus ∖ ids, bit-for-bit
    * (spec-pinned), PROVIDED `index` is current for
    * `remaining ∪ deleted` — the standing-artifact contract.
+   * `remaining` MAY still contain the deleted docs (callers often
+   * have only the full corpus at hand): they are anti-joined out
+   * before the re-min scan, so a deleted doc can never re-elect
+   * itself as a gram's keeper — unlike the histogram/CMS deletes,
+   * that contract violation would have no loud failure.
    *
    * Cost shape at 100 TB: the remaining corpus pays ONE gram-stream
    * scan (unavoidable — a deleted keeper's runner-up can live
@@ -1267,7 +1272,8 @@ object Dedup {
     val affected = idx.join(dels, keeperDoc === col("__d"), "left_semi")
       .select(col("gh"))
     val remin = gramStream(
-        remaining.select(rid.as("doc_id"), split(rtext, " ").as("ws")), l)
+        remaining.select(rid.as("doc_id"), split(rtext, " ").as("ws"))
+          .join(dels, col("doc_id") === col("__d"), "left_anti"), l)
       .join(affected, "gh")
       .groupBy(col("gh")).agg(min(struct(col("doc_id"), col("pos"))).as("f"))
       .withColumn("idx_params", lit(gramParams(l)))

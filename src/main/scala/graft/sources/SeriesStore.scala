@@ -837,27 +837,126 @@ class SeriesStore(spark: SparkSession, root: String) {
   def deleteKeys(db: String, keys: Seq[String],
       catPtrs: Seq[String] = Nil, numPtrs: Seq[String] = Nil): Long = {
     if (keys.isEmpty) return 0L
+    // driver-side parse keeps the Seq form's exact error contract
+    // (throw naming the bad string before any job runs)
     val ks = keys.map(parseBound).distinct
+    import spark.implicits._
+    deleteKeys(db, ks.toDF("key"), catPtrs, numPtrs)
+  }
+
+  /** [[deleteKeys]] for MASS takedown batches (GDPR / opt-out lists of
+   * 10⁵–10⁷ keys) — the keys arrive as a DataFrame and never collapse
+   * to driver-side literals: the Seq form's `isin(ks: _*)` predicate
+   * is a codegen/driver blowup at that size, and its per-file
+   * `ks.exists` selection loop is O(|files|·|keys|). Here file
+   * selection is a SORTED-INTERVAL probe (the manifest's [minTs,
+   * maxTs] ranges broadcast as three sorted arrays; each key
+   * binary-searches its stabbed files — O(|keys|·log |files|) spread
+   * across the cluster, driver collects only affected file ordinals,
+   * bounded by |files|) and the rewrite is a key-frame ANTI-JOIN
+   * (broadcast under [[SeriesStore.DeleteKeysBroadcastMax]], shuffle
+   * hash above — AQE's planning domain). Cost tracks AFFECTED files,
+   * not |files|·|keys| (ProbeMassDelete pins the 100× shape).
+   *
+   * `keys`' first column is the key: LONG = epoch-ns as stored,
+   * STRING = parsed by the store's lenient parser with a loud
+   * per-value failure on unparsable input ([[parseBound]]'s contract,
+   * distributed). Null keys are ignored (a null names no document).
+   * Returns rows removed (all copies of a key on dirty snapshots),
+   * like the Seq form.
+   *
+   * When `catPtrs`/`numPtrs` are empty the declared pointer axes are
+   * RECOVERED from the affected files' own manifest entries (their
+   * `catsBy`/`numBy` record the pointer expressions), so a takedown
+   * does not silently degrade the touched files to ts-only pruning
+   * when the caller forgets to re-declare them.
+   */
+  def deleteKeys(db: String, keys: DataFrame): Long =
+    deleteKeys(db, keys, Nil, Nil)
+
+  def deleteKeys(db: String, keys: DataFrame, catPtrs: Seq[String],
+      numPtrs: Seq[String]): Long = {
+    val kname = keys.columns.headOption.getOrElse(
+      throw new IllegalArgumentException("deleteKeys: keys frame has no columns"))
+    val parsed = keys.schema.head.dataType match {
+      case LongType => keys.select(col(kname).as("__k"))
+      case StringType => keys
+        .select(graft.functions.TimeParseExpr.timeParse(col(kname)).as("__k"),
+          col(kname).as("__raw"))
+        // parseBound's throw-on-unparsable, distributed: fail the job
+        // naming the value rather than silently skipping a takedown
+        .where(assert_true(col("__k").isNotNull || col("__raw").isNull,
+          concat(lit("unparsable timestamp: "), col("__raw"))).isNull)
+        .select(col("__k"))
+      case dt => throw new IllegalArgumentException(
+        s"deleteKeys: key column must be LONG ns or STRING, got $dt")
+    }
+    val ks = parsed.filter(col("__k").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nKeys = ks.count()
+      if (nKeys == 0) return 0L
+      deleteKeyFrame(db, ks, nKeys, catPtrs, numPtrs)
+    } finally ks.unpersist()
+  }
+
+  private def deleteKeyFrame(db: String, ks: DataFrame, nKeys: Long,
+      catPtrs: Seq[String], numPtrs: Seq[String]): Long = {
     val deleted = withWriteLock(db)(withStageGuard(db) {
       val log = logOf(db)
       var outer = 0
       var result = -1L
       while (outer < 10 && result < 0) {
         val snap = snapshotOf(db)
-        val (affected, kept) = snap.files.partition(f =>
-          ks.exists(k => f.mayOverlap(Some(k),
-            // k + 1 overflows at Long.MaxValue (a storable key:
-            // parseTime accepts raw ns) — an unbounded upper bound
-            // has the same "contains exactly k" semantics there
-            if (k == Long.MaxValue) None else Some(k + 1))))
+        // sorted-interval stab: stats files sorted by minTs broadcast
+        // as (mins, maxs, prefix-max-of-maxs); per key, binary-search
+        // the last minTs <= k and walk left while the prefix max still
+        // reaches k — O(log F + stabbed + overlap-depth) per key, the
+        // interval-tree walk without the tree. Stat-less files (legacy
+        // manifests) are always affected, as everywhere.
+        val statFiles = snap.files.filter(f => f.hasStats && f.rows > 0)
+          .sortBy(_.minTs).toArray
+        val mins = statFiles.map(_.minTs)
+        val maxs = statFiles.map(_.maxTs)
+        val pmax = maxs.scanLeft(Long.MinValue)(math.max).tail
+        val bc = spark.sparkContext.broadcast((mins, maxs, pmax))
+        val stabbed = try {
+          val probe = udf((k: Long) =>
+            SeriesStore.stabIntervals(bc.value._1, bc.value._2, bc.value._3, k))
+          ks.select(explode(probe(col("__k"))).as("__i")).distinct()
+            .collect().map(_.getInt(0))
+        } finally bc.unpersist()
+        val affected =
+          stabbed.toSeq.sorted.map(statFiles) ++ snap.files.filter(!_.hasStats)
         if (affected.isEmpty) result = 0L
         else {
+          val affectedNames = affected.map(_.name).toSet
+          val kept = snap.files.filterNot(f => affectedNames(f.name))
+          // pointer-axis recovery: the affected files' own manifest
+          // entries know which pointers were declared — without this,
+          // a takedown with defaulted ptrs would quietly weaken the
+          // touched files to ts-only pruning until the next declared
+          // compact (the kept files keep their stats either way)
+          val effCat =
+            if (catPtrs.nonEmpty) catPtrs
+            else affected.flatMap(_.catsBy).flatMap(_.keys).distinct
+          val effNum =
+            if (numPtrs.nonEmpty) numPtrs
+            else affected.flatMap(_.numBy).flatMap(_.keys).distinct
           val paths = affected.map(f => dbPath(db).resolve(f.name).toString)
           val rows = spark.read.schema(schema).parquet(paths: _*)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val hit = rows.filter(col("ts").isin(ks: _*)).count()
-            val survivors = rows.filter(!col("ts").isin(ks: _*))
+            // anti-join rewrite: broadcast the key frame when it is
+            // small (the common takedown), shuffle-hash when a mass
+            // batch would not fit an executor broadcast
+            val keyJoin =
+              if (nKeys <= SeriesStore.DeleteKeysBroadcastMax) broadcast(ks)
+              else ks
+            val hit = rows.join(keyJoin, col("ts") === col("__k"),
+              "left_semi").count()
+            val survivors = rows.join(keyJoin, col("ts") === col("__k"),
+              "left_anti")
             val n = survivors.count()
             val staged =
               if (n == 0) Seq.empty[CommitLog.FileEntry]
@@ -869,7 +968,7 @@ class SeriesStore(spark: SparkSession, root: String) {
                 // declared compact, compactSmall's documented rule
                 stage(db, (if (parts == 1) survivors.coalesce(1)
                   else survivors.repartitionByRange(parts, col("ts")))
-                  .sortWithinPartitions("ts"), catPtrs, numPtrs)
+                  .sortWithinPartitions("ts"), effCat, effNum)
               }
             var committed = false
             var aborted = false
@@ -1243,6 +1342,36 @@ object SeriesStore {
    * stats job width. Real curation tables prune on a handful of axes
    * (source, quality, language, ts); more belongs in partitioning. */
   val PtrsMax = 8
+
+  /** [[SeriesStore.deleteKeys]]' anti-join broadcast cutover: a LONG
+   * key frame at this size is ~8 MB serialized — comfortably under
+   * executor broadcast budgets; above it the join shuffles both
+   * sides (the mass-batch path). */
+  val DeleteKeysBroadcastMax: Long = 1000000L
+
+  /** Interval stabbing for [[deleteKeys]]' file selection, executed
+   * per key on the executors: `mins`/`maxs` are the stat files'
+   * ts-ranges sorted by `mins`, `pmax(i) = max(maxs(0..i))`. Binary-
+   * search the last `mins(i) <= k`, then walk left while `pmax`
+   * still reaches `k`, emitting every file whose own range covers it
+   * — O(log F + answers + overlap-depth), never O(F). */
+  private[sources] def stabIntervals(mins: Array[Long], maxs: Array[Long],
+      pmax: Array[Long], k: Long): Seq[Int] = {
+    var lo = 0
+    var hi = mins.length - 1
+    var last = -1
+    while (lo <= hi) {
+      val m = (lo + hi) >>> 1
+      if (mins(m) <= k) { last = m; lo = m + 1 } else hi = m - 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = last
+    while (i >= 0 && pmax(i) >= k) {
+      if (maxs(i) >= k) out += i
+      i -= 1
+    }
+    out.toSeq
+  }
 
   /** The declared categorical column: a JSON-pointer scalar out of
    * `doc`, stringified by the engine's canonical Go-`%v` rules — the

@@ -122,6 +122,57 @@ class FilePruningSpec extends SparkSpec {
     assert(s.scanFiles("db").map(_.name).toSet == v0)
   }
 
+  test("deleteKeys takes a 1e5-key DataFrame: anti-join rewrite, no literal blowup") {
+    val s = newStore()
+    loadThreeDays(s)
+    val before = s.scanFiles("db").map(_.name).toSet
+    // 100k keys as a FRAME (the mass-takedown path — the Seq form's
+    // isin literal would be a codegen blowup here): ids 0..49 name
+    // day-2 rows that exist, the other ~99950 keys miss entirely
+    val keys = spark.range(100000L)
+      .select(($"id" * 60L * 1000000000L + day(2)).as("key"))
+    val n = s.deleteKeys("db", keys)
+    assert(n == 50L, s"expected the 50 existing day-2 rows deleted, got $n")
+    val after = s.scanFiles("db").map(_.name).toSet
+    // only the day-2 owning file(s) rewrote; day-0/1 files survive
+    // VERBATIM — file selection is the sorted-interval probe, never
+    // a full-table rewrite
+    assert(before.intersect(after).nonEmpty,
+      "expected untouched files to keep their names")
+    assert(before.diff(after).nonEmpty && before.diff(after).size < before.size)
+    assert(s.frame("db").count() == 100L)
+    assert(s.frame("db").filter($"ts" >= day(2)).count() == 0L)
+    // string-keyed frame parses distributed; absent keys are a no-op
+    val v0 = s.scanFiles("db").map(_.name).toSet
+    assert(s.deleteKeys("db", Seq("2029-01-01T00:00:00Z",
+      "2029-01-02T00:00:00Z").toDF("key")) == 0L)
+    assert(s.scanFiles("db").map(_.name).toSet == v0)
+  }
+
+  test("deleteKeys recovers declared pointer axes from the manifest") {
+    val s = newStore()
+    s.create("db")
+    val docs = (0 until 40).map(i => (day(0) + i * 60L * 1000000000L,
+      s"""{"src": "alpha", "q": ${0.2 + i * 0.001}}"""))
+    s.storeBatch("db", docs.toDF("ts", "doc"),
+      catPtrs = Seq("/src"), numPtrs = Seq("/q"))
+    assert(s.scanFiles("db").forall(f =>
+      f.catsBy.exists(_.contains("/src")) && f.numBy.exists(_.contains("/q"))))
+    // takedown WITHOUT re-declaring the pointers: the rewritten
+    // survivor file must re-record both axes (recovered from the
+    // affected entries' catsBy/numBy), not degrade to ts-only stats
+    val n = s.deleteKeys("db",
+      Seq(graft.timelib.TimeLib.formatCanonical(day(0) + 5 * 60L * 1000000000L)))
+    assert(n == 1L)
+    val files = s.scanFiles("db")
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.catsBy.exists(_.contains("/src"))),
+      s"rewritten files lost their categorical axis: $files")
+    assert(files.forall(f => f.numBy.exists(_.contains("/q"))),
+      s"rewritten files lost their numeric axis: $files")
+    assert(s.frame("db").count() == 39L)
+  }
+
   test("deleteKeys on a dirty snapshot removes every copy of the key") {
     val s = newStore()
     s.create("db")
