@@ -2414,6 +2414,63 @@ object Queries {
           n_spans, span_sum
         FROM win JOIN spa USING (seq) ORDER BY win.seq""")),
 
+    // TAKEDOWN through the packed layout: every window whose
+    // doc_spans name a deleted doc (doc_id % 17 = 3) drops; survivors
+    // are byte-identical to pack_materialize's windows at their
+    // original seq coordinates — the oracle is the same stream
+    // reconstruction minus the span-intersecting window set
+    "pack_takedown" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("toks",
+          transform(sequence(lit(1), col("n_chars").cast("int")),
+            i => col("doc_id") * 100000L + i.cast("long")))
+        val packed = graft.operators.Packing.packSequences(
+          docs, col("doc_id"), size(col("toks")).cast("long"),
+          seqLen = 2048L)
+        val wins = graft.operators.Packing.materializeWindows(
+          packed, col("doc_id"), col("toks"), seqLen = 2048L)
+        graft.operators.Packing.windowsTakedown(wins,
+            docs.filter(pmod(col("doc_id"), lit(17)) === 3), col("doc_id"))
+          .select(col("seq"), col("n_tokens"),
+            element_at(col("token_ids"), 1).as("first_tok"),
+            element_at(col("token_ids"), -1).as("last_tok"),
+            aggregate(col("token_ids"), lit(0L), (a, x) =>
+              a + x).as("sum_tok"),
+            size(col("doc_spans")).cast("long").as("n_spans"),
+            aggregate(col("doc_spans"), lit(0L), (a, x) =>
+              a + x.getField("doc_id") *
+                (x.getField("start") + x.getField("len"))).as("span_sum"))
+          .orderBy(col("seq"))
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h),
+        t AS (SELECT doc_id, cum, unnest(range(1, w + 1)) AS i FROM c),
+        pos AS (SELECT doc_id, doc_id * 100000 + i AS tok, cum + i - 1 AS p
+          FROM t),
+        dropped AS (SELECT DISTINCT (p // 2048)::BIGINT AS seq FROM pos
+          WHERE doc_id % 17 = 3),
+        win AS (SELECT (p // 2048)::BIGINT AS seq, count(*)::BIGINT AS n_tokens,
+          arg_min(tok, p)::BIGINT AS first_tok,
+          arg_max(tok, p)::BIGINT AS last_tok,
+          sum(tok)::BIGINT AS sum_tok
+        FROM pos GROUP BY 1),
+        sp AS (SELECT (p // 2048)::BIGINT AS seq, doc_id,
+            count(*)::BIGINT AS len,
+            (min(p) % 2048)::BIGINT AS start
+          FROM pos GROUP BY 1, 2),
+        spa AS (SELECT seq, count(*)::BIGINT AS n_spans,
+            sum(doc_id * (start + len))::BIGINT AS span_sum
+          FROM sp GROUP BY 1)
+        SELECT win.seq, n_tokens, first_tok, last_tok, sum_tok,
+          n_spans, span_sum
+        FROM win JOIN spa USING (seq)
+        WHERE win.seq NOT IN (SELECT seq FROM dropped)
+        ORDER BY win.seq""")),
+
     // length-bucketed batch construction: 200-char bands, 8-row
     // batches in portable hash order; every doc learns batch, slot,
     // the batch's padded length and its own padding waste
@@ -2827,6 +2884,56 @@ object Queries {
         .orderBy(col("doc_id")),
       Some(s"""WITH ${exactSubstringCtes(15)}
         SELECT b.doc_id, coalesce(reb.text, '') AS text,
+          len(b.ws)::BIGINT AS n_tokens,
+          coalesce(st.n_dropped_tokens, 0)::BIGINT AS n_dropped_tokens,
+          coalesce(st.n_drop_spans, 0)::BIGINT AS n_drop_spans
+        FROM base b LEFT JOIN reb ON b.doc_id = reb.doc_id
+        LEFT JOIN st ON b.doc_id = st.doc_id
+        ORDER BY b.doc_id""")),
+
+    // exact-substring dedup over TRUE TOKEN IDS (Lee et al.'s actual
+    // domain — the BPE id stream, not whitespace words): encode with
+    // the fixed merge table (bpeEncodeIds — lexicographic vocab, the
+    // pipeline_tokenize_pack construction), run the SAME cut chain
+    // over array<bigint>, emit the surviving id arrays. The oracle
+    // rebuilds the identical id stream (marker-chain encode → vocab
+    // ranks → ordered id list) and feeds it through the SAME
+    // exact-substring CTE chain — grams compare as space-joined ids.
+    "dedup_exact_substring_tokens" -> Entry(
+      (s, dir) => {
+        val (ids, _) = graft.operators.CorpusStats.bpeEncodeIds(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          fixedMergesDf(s))
+        Dedup.exactSubstringDedupTokens(ids, col("id"), col("token_ids"),
+            l = 15)
+          .select(col("doc_id"),
+            array_join(transform(col("token_ids"),
+              x => x.cast("string")), " ").as("toks_join"),
+            col("n_tokens"), col("n_dropped_tokens"), col("n_drop_spans"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH enc AS (SELECT doc_id,
+            replace(${fixedMergesReplaceSql(
+              "regexp_replace(text, '(.)', '§\\1', 'g')")}, '§ ', '') AS f
+          FROM documents),
+          d AS (SELECT doc_id,
+            CASE WHEN length(f) > 0
+              THEN string_split(substr(f, 2), '§')
+              ELSE [] END AS toks
+          FROM enc),
+          vocab AS (SELECT token, row_number() OVER (ORDER BY token) - 1
+              AS tid
+            FROM (SELECT DISTINCT unnest(toks) AS token FROM d)),
+          tk AS (SELECT doc_id, unnest(toks) AS tok,
+            unnest(range(1, len(toks) + 1)) AS ord FROM d),
+          wid AS (SELECT doc_id, ord, tid FROM tk
+            JOIN vocab ON vocab.token = tk.tok),
+          idarr AS (SELECT doc_id, list(tid ORDER BY ord) AS ws
+            FROM wid GROUP BY doc_id),
+          ${exactSubstringCtes(15,
+            "SELECT e.doc_id, coalesce(a.ws, []::BIGINT[]) AS ws " +
+              "FROM enc e LEFT JOIN idarr a USING (doc_id)")}
+        SELECT b.doc_id, coalesce(reb.text, '') AS toks_join,
           len(b.ws)::BIGINT AS n_tokens,
           coalesce(st.n_dropped_tokens, 0)::BIGINT AS n_dropped_tokens,
           coalesce(st.n_drop_spans, 0)::BIGINT AS n_drop_spans
@@ -6374,10 +6481,14 @@ object Queries {
    * maximal intervals, keeper-hole subtraction, token rebuild. Ends
    * with `base(doc_id, ws)`, `segs(doc_id, ss, se)`,
    * `reb(doc_id, text)` and `st(doc_id, n_dropped_tokens,
-   * n_drop_spans)` for the consumers to compose. */
-  private def exactSubstringCtes(l: Int): String =
-    s"""base AS (SELECT doc_id, string_split(text, ' ') AS ws
-          FROM documents),
+   * n_drop_spans)` for the consumers to compose. `baseSql` swaps the
+   * tokenization (default: whitespace words; the token-id gate feeds
+   * the BPE id arrays) — every downstream CTE is element-type
+   * agnostic (grams compare space-joined, the rebuild casts). */
+  private def exactSubstringCtes(l: Int,
+      baseSql: String = "SELECT doc_id, string_split(text, ' ') AS ws" +
+        " FROM documents"): String =
+    s"""base AS ($baseSql),
         g AS (SELECT doc_id,
             unnest(range(0, greatest(len(ws) - ${l - 1}, 0)))::INT AS pos, ws
           FROM base),
@@ -6419,7 +6530,7 @@ object Queries {
           WHERE NOT EXISTS (SELECT 1 FROM segs s
             WHERE s.doc_id = t.doc_id AND t.u.i >= s.ss AND t.u.i < s.se)),
         reb AS (SELECT doc_id,
-            coalesce(string_agg(w, ' ' ORDER BY i), '') AS text
+            coalesce(string_agg(w::VARCHAR, ' ' ORDER BY i), '') AS text
           FROM kept GROUP BY doc_id),
         st AS (SELECT doc_id, sum(se - ss)::BIGINT AS n_dropped_tokens,
             count(*)::BIGINT AS n_drop_spans FROM segs GROUP BY doc_id)"""

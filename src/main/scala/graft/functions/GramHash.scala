@@ -34,9 +34,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * produce one (`split()` never yields null elements and every Dedup
  * site tokenizes with it), so the sentinel is a defensive contract
  * for future callers, pinned by GramHashSpec, not a live path.
+ *
+ * Accepts `array<string>` (words — md5 per token) AND `array<bigint>`
+ * (true token IDS, the Lee et al. 2022 domain: BPE/unigram encode
+ * output) — long tokens skip the md5 and mix through a splitmix64
+ * finalizer to the same 60-bit space, so the rolling combine and all
+ * downstream dedup plumbing are identical. The two element types hash
+ * to unrelated equality classes by construction (different per-token
+ * hash functions), which is correct: a word stream and an id stream
+ * are different corpora.
  */
 case class GramHashExpr(child: Expression, l: Int)
     extends UnaryExpression {
+
+  private def isLongInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
@@ -44,11 +58,14 @@ case class GramHashExpr(child: Expression, l: Int)
     copy(child = c)
 
   override def nullSafeEval(input: Any): Any =
-    GramHashExpr.grams(input.asInstanceOf[ArrayData], l)
+    if (isLongInput) GramHashExpr.gramsLong(input.asInstanceOf[ArrayData], l)
+    else GramHashExpr.grams(input.asInstanceOf[ArrayData], l)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isLongInput) "gramsLong" else "grams"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.GramHashExpr.grams($c, $l)")
+      c => s"graft.functions.GramHashExpr.$m($c, $l)")
+  }
 }
 
 object GramHashExpr {
@@ -77,10 +94,39 @@ object GramHashExpr {
       t(i) = if (s == null) 0L else SimHash60.hash60(md, s.getBytes)
       i += 1
     }
-    // bl = B^(l-1) mod p — the leading-coefficient weight the rolling
-    // update strips before shifting the window
+    rollingCombine(t, l)
+  }
+
+  /** [[grams]] for `array<bigint>` token-id streams: per-token hash is
+   * a splitmix64 finalizer masked to the same 60-bit space (no md5 —
+   * ids are already uniform-ish, the finalizer just decorrelates
+   * adjacent ids), then the identical rolling combine. Null ids take
+   * the 0L sentinel like null words. */
+  def gramsLong(ws: ArrayData, l: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < l) return new GenericArrayData(Array.empty[Long])
+    val t = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      t(i) = if (ws.isNullAt(i)) 0L else mix60(ws.getLong(i))
+      i += 1
+    }
+    rollingCombine(t, l)
+  }
+
+  /** splitmix64's finalizer, masked to 60 bits — the long-token
+   * analog of [[SimHash60.hash60]]'s md5 cut. */
+  private def mix60(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    (x ^ (x >>> 31)) & ((1L << 60) - 1)
+  }
+
+  private def rollingCombine(t: Array[Long], l: Int): ArrayData = {
+    val n = t.length
     var bl = 1L
-    i = 1
+    var i = 1
     while (i < l) { bl = mulmod(bl, B); i += 1 }
     val out = new Array[Long](n - l + 1)
     var h = 0L

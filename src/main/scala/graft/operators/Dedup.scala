@@ -1168,6 +1168,29 @@ object Dedup {
     cutMarkedSpans(base, markedWindows(base, l), l)
   }
 
+  /**
+   * [[exactSubstringDedup]] over TRUE TOKEN IDS (`array<bigint>`) —
+   * the domain Lee et al. 2022 actually define duplication on: the
+   * suffix-array tools operate on the tokenizer's id stream, not
+   * whitespace words, and this engine produces that stream
+   * ([[graft.operators.CorpusStats.bpeEncodeIds]], pretok mode
+   * included). Identical semantics and plan to the text form — the
+   * rolling window hashes come from the SAME codegen expression
+   * ([[graft.functions.GramHashExpr]], long-array overload: splitmix
+   * per id instead of md5 per word, same 61-bit combine), the
+   * mark/merge/subtract chain is shared — only the rebuild differs:
+   * output is the SURVIVING ID ARRAY (`token_ids`), not re-joined
+   * text, since ids round-trip losslessly where words needed the
+   * single-space normalization. Docs shorter than `l` tokens pass
+   * through verbatim.
+   */
+  def exactSubstringDedupTokens(docs: DataFrame, id: Column, tokens: Column,
+      l: Int = 50): DataFrame = {
+    require(l >= 2, "l must be >= 2")
+    val base = docs.select(id.as("doc_id"), tokens.as("ws"))
+    cutMarkedSpans(base, markedWindows(base, l), l, tokensOut = true)
+  }
+
   /** The duplicated-window marking half: every window start whose
    * content occurs ≥ 2 times corpus-wide, flagged keeper iff it is
    * the global `min(doc_id, pos)` occurrence. Map-side-combinable
@@ -1322,13 +1345,17 @@ object Dedup {
       posexplode(graft.functions.GramHashExpr.gramHashes(col("ws"), l))
         .as(Seq("pos", "gh")))
 
-  /** The exact-substring CUT half, shared by the batch and
-   * incremental forms: merge duplicated window starts to maximal
+  /** The exact-substring CUT half, shared by the batch, incremental,
+   * and token-id forms: merge duplicated window starts to maximal
    * intervals per (doc, keeper-class), subtract keeper intervals
-   * from drop intervals, rebuild text around the survivors. `marked`
-   * is `(doc_id, pos, is_first)` for DUPLICATED windows only. */
+   * from drop intervals, rebuild the survivors. `marked` is
+   * `(doc_id, pos, is_first)` for DUPLICATED windows only.
+   * `tokensOut = false` re-joins `ws` as single-spaced `text` (the
+   * word paths); `true` emits the surviving elements as `token_ids`
+   * (the id path — same filter, no stringification). */
   private def cutMarkedSpans(base: DataFrame, marked: DataFrame,
-      l: Int, extra: Seq[String] = Nil): DataFrame = {
+      l: Int, extra: Seq[String] = Nil,
+      tokensOut: Boolean = false): DataFrame = {
     // maximal intervals per (doc, class): window starts sorted, new
     // island when the gap exceeds l (the [pos, pos+l) unions split)
     val ord = Window.partitionBy(col("doc_id"), col("is_first"))
@@ -1370,12 +1397,18 @@ object Dedup {
           .as("__segs"),
         sum(col("se") - col("ss")).as("n_dropped_tokens"),
         count(lit(1)).as("n_drop_spans"))
+    val kept = expr(
+      "filter(ws, (w, i) -> NOT exists(__segs, " +
+        "x -> i >= x.ss AND i < x.se))")
+    val payload =
+      if (tokensOut)
+        when(col("__segs").isNull, col("ws")).otherwise(kept).as("token_ids")
+      else
+        when(col("__segs").isNull, array_join(col("ws"), " "))
+          .otherwise(array_join(kept, " ")).as("text")
     base.join(per, Seq("doc_id"), "left")
       .select(col("doc_id") +: extra.map(col) ++: Seq(
-        when(col("__segs").isNull, array_join(col("ws"), " "))
-          .otherwise(array_join(expr(
-            "filter(ws, (w, i) -> NOT exists(__segs, " +
-              "x -> i >= x.ss AND i < x.se))"), " ")).as("text"),
+        payload,
         size(col("ws")).cast("long").as("n_tokens"),
         coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
         coalesce(col("n_drop_spans"), lit(0L)).as("n_drop_spans")): _*)

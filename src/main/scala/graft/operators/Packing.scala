@@ -207,6 +207,47 @@ object Packing {
   }
 
   /**
+   * TAKEDOWN for PACKED TRAINING WINDOWS — the one standing artifact
+   * family whose delete cannot be a row retire: removing a doc from
+   * the packed stream shifts every downstream token offset, so a
+   * takedown invalidates the layout, not just some rows. The industry
+   * practice (and this operator) is to DROP every window that
+   * contains any deleted doc's tokens and keep the rest byte-
+   * identical: the surviving windows never contained deleted content,
+   * their `(seq, token_ids, doc_spans)` are untouched, and a
+   * dataloader keeps seeking them at their original coordinates; the
+   * dropped window ids leave holes a training run skips. A full
+   * repack ([[packSequences]] over corpus ∖ ids) remains the
+   * from-scratch option when hole density grows.
+   *
+   * The trace is the `doc_spans` metadata [[materializeWindows]]'
+   * span-carrying overload emits — exactly what it exists for: a
+   * window names its source docs, so the affected set is
+   * `spans.doc_id ∩ ids`. Windows materialized WITHOUT spans carry
+   * no trace and cannot be taken down (require fails loudly).
+   *
+   * Scale shape: one explode of the span doc-ids (windows × spans-
+   * per-window rows — linear, spans are ≤ docs-per-window by
+   * construction), a join against the distinct takedown ids (AQE
+   * broadcasts the typical small batch), and one anti-join on `seq`.
+   * The windows' token payloads are never shuffled — only (seq, did)
+   * pairs move.
+   */
+  def windowsTakedown(windows: DataFrame, ids: DataFrame,
+      id: Column): DataFrame = {
+    require(windows.columns.contains("doc_spans"),
+      "windowsTakedown needs the doc_spans trace — materialize windows " +
+        "with the span-carrying overload (materializeWindows(packed, id, " +
+        "tokens, seqLen)); spans-free windows cannot be taken down")
+    val dels = ids.select(id.as("__d")).distinct()
+    val touched = windows
+      .select(col("seq"), explode(col("doc_spans.doc_id")).as("__d"))
+      .join(dels, "__d")
+      .select(col("seq")).distinct()
+    windows.join(touched, Seq("seq"), "left_anti")
+  }
+
+  /**
    * Length-bucketed batch construction — the padding-minimizing
    * alternative to [[packSequences]]' concatenation for training
    * setups that pad rather than pack (fine-tuning, contrastive,

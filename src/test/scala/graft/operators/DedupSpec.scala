@@ -551,6 +551,42 @@ class DedupSpec extends SparkSpec {
       ("d", s"$r8 d1 d2 d3 d4", 8L, 1L)))
   }
 
+  test("exactSubstringDedupTokens mirrors the word path over a bijection") {
+    import spark.implicits._
+    // the SAME corpus twice: once as words, once as ids under a
+    // word↔id bijection — every mark/merge/cut decision depends only
+    // on equality classes, so the survivors must correspond exactly
+    // (the id path emits arrays where the word path re-joins text)
+    val p = (1 to 8).map("p" + _)
+    val words = Seq(
+      ("a", Seq("a1", "a2", "a3") ++ p ++ Seq("z1", "z2")),
+      ("b", Seq("b1") ++ p ++ Seq("y1", "y2", "y3", "y4", "y5")),
+      ("c", Seq("c1", "c2", "c3")))
+    val vocab = words.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+    val wdocs = words.map { case (d, ws) => (d, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val tdocs = words.map { case (d, ws) =>
+      (d, ws.map(w => vocab(w).toLong)) }.toDF("doc_id", "toks")
+    val w = Dedup.exactSubstringDedup(wdocs, col("doc_id"), col("text"),
+        l = 4).orderBy("doc_id")
+      .collect().map(r => (r.getString(0),
+        if (r.getString(1).isEmpty) Seq.empty[String]
+        else r.getString(1).split(" ").toSeq,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val t = Dedup.exactSubstringDedupTokens(tdocs, col("doc_id"),
+        col("toks"), l = 4).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(w.map(_._1) == t.map(_._1))
+    w.zip(t).foreach { case ((_, ws, wn, wd, wsp), (_, ts, tn, td, tsp)) =>
+      assert(ts == ws.map(x => vocab(x).toLong),
+        s"id survivors must mirror word survivors: $ws vs $ts")
+      assert((wn, wd, wsp) == (tn, td, tsp))
+    }
+    // and the token path actually cut something
+    assert(t.find(_._1 == "b").get._4 == 8L)
+  }
+
   test("exactSubstringDedup: keeper window punches a hole in a drop span") {
     import spark.implicits._
     // doc e repeats doc a's passage AND owns a fresh passage Q that

@@ -172,4 +172,45 @@ class PackingSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(plain.map(_._2).toSeq == wins.map(_._2).toSeq)
   }
+
+  test("windowsTakedown drops exactly the span-intersecting windows, " +
+      "survivors byte-identical") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, (0 until (1 + rng.nextInt(30))).map(j => i * 1000L + j)))
+    val df = rows.toDF("id", "toks")
+    val L = 16L
+    val packed = Packing.packSequences(df, $"id", size($"toks").cast("long"), L)
+      .localCheckpoint()
+    val wins = Packing.materializeWindows(packed, $"id", $"toks", L)
+      .localCheckpoint()
+    val before = wins
+      .select($"seq", $"token_ids", $"doc_spans", $"n_tokens")
+      .as[(Long, Seq[Long], Seq[(Long, Long, Long)], Long)]
+      .collect().sortBy(_._1)
+    val delIds = Seq(3L, 17L, 41L)
+    val after = Packing.windowsTakedown(wins, delIds.toDF("doc_id"),
+        $"doc_id")
+      .select($"seq", $"token_ids", $"doc_spans", $"n_tokens")
+      .as[(Long, Seq[Long], Seq[(Long, Long, Long)], Long)]
+      .collect().sortBy(_._1)
+    // expected drop set: every window whose spans name a deleted doc
+    val expectDropped = before
+      .filter(_._3.exists(s => delIds.contains(s._1))).map(_._1).toSet
+    assert(expectDropped.nonEmpty, "fixture must actually intersect")
+    assert(after.map(_._1).toSet == before.map(_._1).toSet -- expectDropped)
+    // survivors are BYTE-IDENTICAL rows at their original coordinates
+    val byId = before.map(w => w._1 -> w).toMap
+    after.foreach(w => assert(byId(w._1) == w, s"window ${w._1} mutated"))
+    // no surviving window carries a deleted doc's tokens
+    after.foreach(w => assert(!w._3.exists(s => delIds.contains(s._1))))
+    // an empty takedown batch is a no-op
+    assert(Packing.windowsTakedown(wins,
+      Seq.empty[Long].toDF("doc_id"), $"doc_id").count() == before.length)
+    // spans-free windows cannot be taken down: fails loudly
+    val bare = Packing.materializeWindows(packed, $"toks", L)
+    intercept[IllegalArgumentException] {
+      Packing.windowsTakedown(bare, delIds.toDF("doc_id"), $"doc_id")
+    }
+  }
 }
