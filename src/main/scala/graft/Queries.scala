@@ -5841,6 +5841,82 @@ object Queries {
         JOIN documents USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ONE audited takedown across every standing artifact family:
+    // retire doc_id % 17 = 3 from the admission index, the IVF/PQ
+    // frames, the gram index (fed the FULL corpus as `remaining` —
+    // the delete's own anti-join guard must exclude the dels), and
+    // the packed windows; the report counts each artifact's removed
+    // rows and names the non-invertible families rebuild-required.
+    // Oracle = the per-artifact delete counts computed independently.
+    "pipeline_takedown_report" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val dels = docs.filter(pmod(col("doc_id"), lit(17)) === 3)
+          .select(col("doc_id"))
+        val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
+          col("vec_id") < 4096)
+        val cb = emb.filter(pmod(col("vec_id"), lit(64)) === 0 &&
+          col("vec_id") < 4096)
+        val packedDocs = docs.withColumn("toks",
+          transform(sequence(lit(1), col("n_chars").cast("int")),
+            i => col("doc_id") * 100000L + i.cast("long")))
+        val wins = graft.operators.Packing.materializeWindows(
+          graft.operators.Packing.packSequences(packedDocs, col("doc_id"),
+            size(col("toks")).cast("long"), seqLen = 2048L),
+          col("doc_id"), col("toks"), seqLen = 2048L)
+        val res = graft.operators.Pipeline.takedown(dels, col("doc_id"),
+          graft.operators.Pipeline.TakedownArtifacts(
+            corpusIndex = Some(Dedup.corpusIndex(docs, col("doc_id"),
+              col("text"))),
+            ivfIndex = Some(Similarity.ivfIndex(emb, cents)),
+            pqCodes = Some(Similarity.pqEncode(emb, cb, m = 4)),
+            gramIndex = Some(graft.operators.Pipeline.GramIndexRef(
+              Dedup.gramIndex(docs, col("doc_id"), col("text"), l = 15),
+              docs, col("doc_id"), col("text"), l = 15)),
+            windows = Some(wins)))
+        res.report.orderBy(col("artifact"))
+      },
+      Some("""WITH wsx AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        gp AS (SELECT doc_id,
+            unnest(range(0, greatest(len(ws) - 14, 0)))::INT AS pos, ws
+          FROM wsx),
+        gr AS (SELECT doc_id,
+            array_to_string(list_slice(ws, pos + 1, pos + 15), ' ') AS gram
+          FROM gp),
+        h AS (SELECT doc_id, n_chars AS w,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h),
+        tt AS (SELECT doc_id, cum, unnest(range(1, w + 1)) AS i FROM c),
+        posx AS (SELECT doc_id, cum + i - 1 AS p FROM tt),
+        delw AS (SELECT DISTINCT (p // 2048) AS seq FROM posx
+          WHERE doc_id % 17 = 3),
+        delv AS (SELECT count(*) AS n FROM embeddings
+          WHERE vec_id IN (SELECT doc_id FROM documents
+            WHERE doc_id % 17 = 3))
+        SELECT * FROM (
+          SELECT 'bloom_filter' AS artifact, NULL::BIGINT AS rows_removed,
+            true AS rebuild_required
+          UNION ALL SELECT 'corpus_index', (SELECT count(*) FROM documents
+            WHERE doc_id % 17 = 3)::BIGINT, false
+          UNION ALL SELECT 'eval_grams', NULL::BIGINT, true
+          UNION ALL SELECT 'gram_index',
+            ((SELECT count(DISTINCT gram) FROM gr) -
+             (SELECT count(DISTINCT gram) FROM gr
+                WHERE doc_id % 17 != 3))::BIGINT, false
+          UNION ALL SELECT 'ivf_index', (SELECT n FROM delv)::BIGINT, false
+          UNION ALL SELECT 'kmv_sketch', NULL::BIGINT, true
+          UNION ALL SELECT 'mg_sketch', NULL::BIGINT, true
+          UNION ALL SELECT 'packed_windows',
+            (SELECT count(*) FROM delw)::BIGINT, false
+          UNION ALL SELECT 'pq_codes', (SELECT n FROM delv)::BIGINT, false
+          UNION ALL SELECT 'quantile_grid', NULL::BIGINT, true
+        ) ORDER BY artifact""")),
+
     // threshold-matched banding (b=8/r=8 at t=0.8), as the clusters/
     // perplexity variants already use: the default b=16/r=4 preset is
     // tuned for t≈0.5 and floods candidates from sub-threshold

@@ -40,6 +40,103 @@ import org.apache.spark.sql.functions._
  */
 object Pipeline {
 
+  /** The gram-index argument of [[takedown]]: the standing
+   * first-occurrence index plus the corpus it must re-min against
+   * ([[Dedup.gramIndexDelete]]'s signature — `remaining` MAY be the
+   * full corpus, the delete anti-joins the ids out itself). */
+  case class GramIndexRef(index: DataFrame, remaining: DataFrame,
+      rid: Column, rtext: Column, l: Int = 50)
+
+  /** Which standing artifacts a [[takedown]] call maintains — pass
+   * the ones this pipeline actually persists; absent ones are simply
+   * not reported on (they don't exist, so there is nothing to
+   * retire). */
+  case class TakedownArtifacts(
+      corpusIndex: Option[DataFrame] = None,
+      ivfIndex: Option[DataFrame] = None,
+      pqCodes: Option[DataFrame] = None,
+      gramIndex: Option[GramIndexRef] = None,
+      windows: Option[DataFrame] = None)
+
+  /** [[takedown]]'s output: the post-delete artifact frames (keyed by
+   * the report's artifact names) and the audit report itself. */
+  case class TakedownResult(artifacts: Map[String, DataFrame],
+      report: DataFrame)
+
+  /** The artifact families deletion CANNOT propagate into — each
+   * discarded information a subtraction can't recover (KMV's beyond-
+   * the-cut values, MG's destroyed decrements, the quantile grid's
+   * fixed width, Bloom's OR'd bits, eval-grams' distinct-set sharing)
+   * — so a takedown leaves them REBUILD-REQUIRED and the report says
+   * so by name, per their operators' documented contracts
+   * (CorpusStats/TextOps scaladocs). */
+  val RebuildRequired: Seq[String] =
+    Seq("kmv_sketch", "mg_sketch", "quantile_grid", "bloom_filter",
+      "eval_grams")
+
+  /**
+   * ONE audited takedown entry point — the curator call that retires
+   * a batch of ids from every configured standing artifact and
+   * returns an accounting frame `(artifact, rows_removed,
+   * rebuild_required)`:
+   *
+   *  - each present artifact retires through its own exact delete
+   *    ([[Dedup.corpusIndexDelete]] / [[graft.operators.Similarity
+   *    .ivfIndexDelete]] / `pqDelete` / [[Dedup.gramIndexDelete]] /
+   *    [[Packing.windowsTakedown]] — post-delete ≡ from-scratch, the
+   *    operators' spec-pinned contracts), appears in the report with
+   *    its removed-row count, and comes back post-delete in
+   *    `artifacts`;
+   *  - the NON-INVERTIBLE families ([[RebuildRequired]]) always
+   *    appear, flagged `rebuild_required = true` with a null count —
+   *    the report's whole point is that a curator reads what a
+   *    takedown did NOT cover;
+   *  - the corpus STORE routes through
+   *    [[graft.sources.SeriesStore.deleteKeys]] (targeted file
+   *    rewrite), and the streaming form of this call is
+   *    [[graft.streaming.SeriesStream.takedownStream]].
+   *
+   * This is an AUDIT ACTION, not a lazy plan: each delete
+   * materializes once (localCheckpoint) and is counted — the returned
+   * frames are those materialized results, so persisting them costs
+   * no recompute. Each delete is artifact-sized (anti-joins / one
+   * restricted re-min scan); nothing here re-reads corpus text except
+   * the gram re-min, whose shuffle carries only affected grams.
+   */
+  def takedown(ids: DataFrame, id: Column,
+      arts: TakedownArtifacts): TakedownResult = {
+    val spark = ids.sparkSession
+    val dels = ids.select(id.as("__td")).distinct().localCheckpoint()
+    val updated = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Option[Long],
+      Boolean)]()
+    def run(name: String, opt: Option[DataFrame],
+        del: DataFrame => DataFrame): Unit =
+      opt.foreach { before =>
+        val after = del(before).localCheckpoint()
+        updated(name) = after
+        rows += ((name, Some(before.count() - after.count()), false))
+      }
+    run("corpus_index", arts.corpusIndex,
+      Dedup.corpusIndexDelete(_, dels, col("__td")))
+    run("ivf_index", arts.ivfIndex,
+      Similarity.ivfIndexDelete(_, dels, col("__td")))
+    run("pq_codes", arts.pqCodes,
+      Similarity.pqDelete(_, dels, col("__td")))
+    arts.gramIndex.foreach { g =>
+      run("gram_index", Some(g.index),
+        Dedup.gramIndexDelete(_, dels, col("__td"), g.remaining,
+          g.rid, g.rtext, g.l))
+    }
+    run("packed_windows", arts.windows,
+      Packing.windowsTakedown(_, dels, col("__td")))
+    RebuildRequired.foreach(n => rows += ((n, None, true)))
+    import spark.implicits._
+    val report = rows.toSeq
+      .toDF("artifact", "rows_removed", "rebuild_required")
+    TakedownResult(updated.toMap, report)
+  }
+
   /**
    * Per-(group, reason) rollup of an already-computed verdict frame —
    * the drop-reason dashboard a curation run reads first. Takes

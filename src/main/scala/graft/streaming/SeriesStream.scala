@@ -144,8 +144,11 @@ object SeriesStream {
    * whichever standing artifacts are configured — the MinHash
    * admission index ([[graft.operators.Dedup.corpusIndexDelete]]),
    * the IVF assignment index
-   * ([[graft.operators.Similarity.ivfIndexDelete]]), and the PQ code
-   * frame ([[graft.operators.Similarity.pqDelete]]). Each retire is
+   * ([[graft.operators.Similarity.ivfIndexDelete]]), the PQ code
+   * frame ([[graft.operators.Similarity.pqDelete]]), and packed
+   * training windows ([[graft.operators.Packing.windowsTakedown]] —
+   * windows whose doc_spans name a retired id drop whole, survivors
+   * stay byte-identical). Each retire is
    * the exact delete (post-retire ≡ from-scratch over corpus ∖ ids,
    * the operators' spec-pinned contract), rides
    * [[artifactUpdateBatch]]'s swap/marker discipline (a replayed
@@ -171,9 +174,11 @@ object SeriesStream {
       corpusIndexPath: Option[String] = None,
       ivfIndexPath: Option[String] = None,
       pqCodesPath: Option[String] = None,
+      windowsPath: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
     require(corpusIndexPath.nonEmpty || ivfIndexPath.nonEmpty ||
-      pqCodesPath.nonEmpty, "configure at least one artifact to maintain")
+      pqCodesPath.nonEmpty || windowsPath.nonEmpty,
+      "configure at least one artifact to maintain")
     ids.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -202,6 +207,11 @@ object SeriesStream {
           graft.operators.Similarity.ivfIndexDelete(s, dels, col(idCol))))
         pqCodesPath.foreach(p => retire(p, s =>
           graft.operators.Similarity.pqDelete(s, dels, col(idCol))))
+        // packed training windows: drop every window whose doc_spans
+        // name a retired id (Packing.windowsTakedown's contract —
+        // survivors byte-identical, spans-free frames fail loudly)
+        windowsPath.foreach(p => retire(p, s =>
+          graft.operators.Packing.windowsTakedown(s, dels, col(idCol))))
       }
       .start()
   }

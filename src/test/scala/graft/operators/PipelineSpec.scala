@@ -155,4 +155,63 @@ class PipelineSpec extends SparkSpec {
     assert(shared == fromPairs)
     assert(shared == inline)
   }
+
+  test("takedown: one audited call, per-artifact counts, exact " +
+      "rebuild-required naming") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "takedown target doc with some words in it here"),
+      (4L, "another ordinary document that simply survives"))
+      .toDF("doc_id", "text")
+    val toked = docs.withColumn("toks",
+      transform(split($"text", " "),
+        (_, i) => $"doc_id" * 100L + i.cast("long")))
+    val wins = Packing.materializeWindows(
+      Packing.packSequences(toked, $"doc_id",
+        size($"toks").cast("long"), seqLen = 5L),
+      $"doc_id", $"toks", seqLen = 5L).localCheckpoint()
+    val cidx = Dedup.corpusIndex(docs, $"doc_id", $"text")
+    val gidx = Dedup.gramIndex(docs, $"doc_id", $"text", l = 3)
+    val dels = Seq(3L).toDF("doc_id")
+    val res = Pipeline.takedown(dels, $"doc_id",
+      Pipeline.TakedownArtifacts(
+        corpusIndex = Some(cidx),
+        gramIndex = Some(Pipeline.GramIndexRef(
+          gidx, docs, $"doc_id", $"text", l = 3)),
+        windows = Some(wins)))
+    val rep = res.report
+      .select($"artifact", $"rows_removed", $"rebuild_required")
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2))).toSeq
+    // non-invertible families: named EXACTLY, rebuild-required, no
+    // count (nothing was or could be removed in place)
+    val rebuilds = rep.filter(_._3)
+    assert(rebuilds.map(_._1).sorted == Pipeline.RebuildRequired.sorted)
+    assert(rebuilds.forall(_._2.isEmpty))
+    // configured artifacts: present with true removal counts
+    val counted = rep.filterNot(_._3).map(x => x._1 -> x._2.get).toMap
+    assert(counted.keySet == Set("corpus_index", "gram_index",
+      "packed_windows"))
+    assert(counted("corpus_index") == 1L) // one row per doc
+    assert(counted("gram_index") ==
+      gidx.count() - Dedup.gramIndex(docs.filter($"doc_id" =!= 3L),
+        $"doc_id", $"text", l = 3).count())
+    assert(counted("packed_windows") ==
+      wins.count() - Packing.windowsTakedown(wins, dels, $"doc_id").count())
+    assert(counted("packed_windows") > 0L, "fixture must drop windows")
+    // unconfigured artifacts never appear as counted rows
+    assert(!rep.exists(r => r._1 == "ivf_index" || r._1 == "pq_codes"))
+    // the returned frames ARE the per-operator deletes
+    assert(res.artifacts.keySet == Set("corpus_index", "gram_index",
+      "packed_windows"))
+    assert(res.artifacts("corpus_index").orderBy("doc_id").collect().toSeq ==
+      Dedup.corpusIndexDelete(cidx, dels, $"doc_id")
+        .orderBy("doc_id").collect().toSeq)
+    assert(res.artifacts("packed_windows").orderBy("seq").collect().toSeq ==
+      Packing.windowsTakedown(wins, dels, $"doc_id")
+        .orderBy("seq").collect().toSeq)
+  }
 }

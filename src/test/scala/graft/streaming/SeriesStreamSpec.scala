@@ -713,8 +713,8 @@ class SeriesStreamSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Dedup, Similarity}
     val base = Files.createTempDirectory("graft-takedown").toString
-    val (idxPath, ivfPath, pqPath) =
-      (s"$base/idx", s"$base/ivf", s"$base/pq")
+    val (idxPath, ivfPath, pqPath, winPath) =
+      (s"$base/idx", s"$base/ivf", s"$base/pq", s"$base/win")
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "some corpus document about distributed query engines"),
@@ -733,6 +733,16 @@ class SeriesStreamSpec extends SparkSpec {
       Dedup.corpusIndex(corpus, col("doc_id"), col("text")), idxPath)
     SeriesStream.seedArtifact(Similarity.ivfIndex(emb, cents), ivfPath)
     SeriesStream.seedArtifact(Similarity.pqEncode(emb, cents, m = 3), pqPath)
+    // packed windows with the doc_spans takedown trace (small seqLen
+    // so docs straddle windows): windowsTakedown's streaming member
+    val toked = corpus.withColumn("toks",
+      transform(split($"text", " "),
+        (_, i) => $"doc_id" * 100L + i.cast("long")))
+    val wins0 = graft.operators.Packing.materializeWindows(
+      graft.operators.Packing.packSequences(
+        toked, $"doc_id", size($"toks").cast("long"), seqLen = 6L),
+      $"doc_id", $"toks", seqLen = 6L)
+    SeriesStream.seedArtifact(wins0, winPath)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Long]
@@ -740,7 +750,7 @@ class SeriesStreamSpec extends SparkSpec {
       mem.toDF().toDF("doc_id"), "doc_id",
       checkpoint = Files.createTempDirectory("graft-td-ck").toString,
       corpusIndexPath = Some(idxPath), ivfIndexPath = Some(ivfPath),
-      pqCodesPath = Some(pqPath))
+      pqCodesPath = Some(pqPath), windowsPath = Some(winPath))
     try {
       mem.addData(3L)
       q.processAllAvailable()
@@ -764,6 +774,17 @@ class SeriesStreamSpec extends SparkSpec {
         .orderBy("vec_id").collect().toSeq ==
       Similarity.pqEncode(remainingEmb, cents, m = 3)
         .orderBy("vec_id").collect().toSeq)
+    // packed windows ≡ the batch windowsTakedown of the seeded frame
+    // with the same ids: survivors byte-identical, intersecting
+    // windows gone
+    val winAfter = spark.read.parquet(winPath).drop("batch_id")
+      .orderBy("seq").collect().toSeq
+    val winExpect = graft.operators.Packing.windowsTakedown(wins0,
+        Seq(3L, 4L).toDF("doc_id"), col("doc_id"))
+      .orderBy("seq").collect().toSeq
+    assert(winAfter == winExpect)
+    assert(winAfter.size < wins0.count(),
+      "fixture must actually drop some windows")
     // replay idempotence: the artifacts recorded batch 1 as their
     // marker; re-delivering batch ids 0/1 must change nothing
     SeriesStream.artifactUpdateBatch(spark, idxPath, 1L,
