@@ -13,8 +13,50 @@ import org.apache.spark.sql.SparkSession
  * Prints one `BENCHSUBSET <name> <best-of-3 sec>` line per query
  * (warmup pass on sf0.001 charges codegen to the warmup, mirroring
  * [[graft.Bench]]).
+ *
+ * SAMPLE HYGIENE, automated (the r14/r15 floors were hand-filtered):
+ * two contamination modes get detected and re-run in-harness —
+ *  - SLOW-IO: the box's bimodal buffered-write throttling, probed
+ *    next to each sample ([[IoProbe]]); samples probed slow re-run
+ *    once the state reads fast (bounded passes), [[graft.Bench]]'s
+ *    io_reruns discipline.
+ *  - CHECKPOINT RESIDUE: earlier heavy queries' localCheckpoint
+ *    blocks stay pinned until their RDD objects are GC'd and the
+ *    ContextCleaner drains them; a later sample timed over hundreds
+ *    of MB of standing blocks reads up to 1.5× high (BASELINE items
+ *    23/29). Before each query the harness DRAINS (gc + bounded
+ *    cleaner wait) until executor storage memory falls under
+ *    [[ResidueBytes]]; a sample that still timed over the threshold
+ *    is flagged and re-run after a final drain. The shared gate
+ *    caches (clusters/verdicts frames) are deliberately small and
+ *    sit below the threshold — draining never evicts them.
  */
 object BenchSubset {
+
+  /** Storage-memory level above which a sample is residue-
+   * contaminated: the intentional cross-query caches are a few MB;
+   * heavy queries leave 10²-10³ MB. */
+  val ResidueBytes: Long = 256L * 1024 * 1024
+
+  private def storageBytes(spark: SparkSession): Long =
+    spark.sparkContext.statusTracker.getExecutorInfos
+      .map(e => e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory())
+      .sum
+
+  /** gc + wait for the ContextCleaner to drop unreferenced
+   * checkpoint blocks, bounded; returns the residual bytes. */
+  private def drainResidue(spark: SparkSession): Long = {
+    var tries = 0
+    var b = storageBytes(spark)
+    while (b > ResidueBytes && tries < 6) {
+      System.gc()
+      Thread.sleep(500)
+      b = storageBytes(spark)
+      tries += 1
+    }
+    b
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
@@ -42,15 +84,10 @@ object BenchSubset {
       val tiny = new java.io.File("/root/testdata/sf0.001")
       if (tiny.isDirectory) tiny.toString else dir
     }
-    val results = names.map { name =>
+    case class R(name: String, sec: Double, threw: Boolean, io: Double,
+      residue: Long, reruns: Int)
+    def timeQuery(name: String): (Double, Boolean) = {
       val fn = graft.SparkEntry.queries(name)
-      try fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
-      System.gc()
-      // io-state sample next to the measurement (BASELINE item 19's
-      // dd protocol, in-harness): a slow-state MB/s on the line tells
-      // the reader this sample is NOT a like-for-like floor
-      val io = IoProbe.sampleMbps()
       var threw = false
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -61,33 +98,75 @@ object BenchSubset {
           None
         }
       }
-      // a query that threw on ANY run is flagged on the result line —
-      // min-of-times alone would read an intermittent crash as healthy
-      val flag = if (threw) " FAILED" else ""
-      val slow = if (io >= 0 && io < IoProbe.SlowMbps) " SLOW-IO" else ""
-      println(f"BENCHSUBSET $name ${if (times.nonEmpty) times.min else 999.0}%.2f io=${io}%.0fMB/s$flag$slow")
-      // release this query's localCheckpoint blocks before the next
-      // one times: ContextCleaner frees them only after the RDD
-      // objects are GC'd, and accumulated blocks from earlier heavy
-      // queries have OOM'd (and skewed) later ones in the same JVM
-      System.gc()
-      (name, if (times.nonEmpty) times.min else 999.0, threw, io)
+      (if (times.nonEmpty) times.min else 999.0, threw)
+    }
+    var results = names.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      try fn(spark, warmDir).count()
+      catch { case _: Throwable => () }
+      // drain BEFORE sampling: earlier queries' checkpoint blocks
+      // must not bill this one (and the drain's gc doubles as the
+      // old between-queries System.gc())
+      val residue = drainResidue(spark)
+      // io-state sample next to the measurement (BASELINE item 19's
+      // dd protocol, in-harness): a slow-state MB/s on the line tells
+      // the reader this sample is NOT a like-for-like floor
+      val io = IoProbe.sampleMbps()
+      val (sec, threw) = timeQuery(name)
+      R(name, sec, threw, io, residue, 0)
+    }
+    // bounded contaminated-sample retry (Bench's io_reruns discipline
+    // extended to residue): re-run queries whose sample was taken in
+    // a slow-io OR residue-laden state, once the state clears; the
+    // min across samples stands (a contaminated sample only ever
+    // reads HIGH)
+    def contaminated(r: R): Boolean =
+      (r.io >= 0 && r.io < IoProbe.SlowMbps) || r.residue > ResidueBytes
+    var pass = 0
+    while (pass < 2 && results.exists(contaminated)) {
+      results = results.map { r =>
+        if (!contaminated(r)) r
+        else {
+          val residue2 = drainResidue(spark)
+          val io2 = IoProbe.sampleMbps()
+          if ((io2 >= 0 && io2 < IoProbe.SlowMbps) ||
+              residue2 > ResidueBytes) r // state still bad: keep as-is
+          else {
+            val (sec2, threw2) = timeQuery(r.name)
+            R(r.name, math.min(r.sec, sec2), r.threw || threw2, io2,
+              residue2, r.reruns + 1)
+          }
+        }
+      }
+      pass += 1
+    }
+    results.foreach { r =>
+      val flag = if (r.threw) " FAILED" else ""
+      val slow = if (r.io >= 0 && r.io < IoProbe.SlowMbps) " SLOW-IO" else ""
+      val res = if (r.residue > ResidueBytes)
+        f" RESIDUE=${r.residue / (1024 * 1024)}%dMB" else ""
+      val rr = if (r.reruns > 0) s" reruns=${r.reruns}" else ""
+      println(f"BENCHSUBSET ${r.name} ${r.sec}%.2f io=${r.io}%.0fMB/s$flag$slow$res$rr")
     }
     // durable machine-readable record, same shape as Bench's
     // target/bench.json (per-probe history survives log truncation)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map(r => "\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
-    val io = results.map { case (k, _, _, m) =>
-        "\"" + k + "\":" + BigDecimal(m).setScale(1,
-          BigDecimal.RoundingMode.HALF_UP)
-      }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+    val io = results.map(r =>
+        "\"" + r.name + "\":" + BigDecimal(r.io).setScale(1,
+          BigDecimal.RoundingMode.HALF_UP))
+      .mkString("{", ",", "}")
+    val failed = results.collect { case r if r.threw => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
+    val dirty = results.collect { case r if contaminated(r) =>
+      "\"" + r.name + "\"" }.mkString("[", ",", "]")
+    val reruns = results.map(_.reruns).sum
     val out = java.nio.file.Paths.get("target/bench-subset.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (s"""{"queries":$qs,"io_mbps":$io,"failed":$failed,"sf":"$dir"}""" + "\n")
-        .getBytes("UTF-8"))
+      (s"""{"queries":$qs,"io_mbps":$io,"failed":$failed,""" +
+        s""""contaminated":$dirty,"state_reruns":$reruns,"sf":"$dir"}""" +
+        "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -138,6 +138,38 @@ class ExportSpec extends SparkSpec {
       .collect().sorted.toSeq == (0L until 200L))
   }
 
+  test("writeEpoch re-runs are BYTE-identical on disk: same seed, any " +
+      "input partitioning") {
+    // the physical claim behind "a resumed run seeks (shard, pos)":
+    // two independent writes of the same epoch must produce shard
+    // FILES with equal checksums, not merely equal logical rows —
+    // file bytes are the artifact a dataloader actually consumes
+    val wins = (0L until 200L).map(i => Tuple1(i)).toDF("seq")
+    def writeOnce(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-epoch-sum").toString
+      Export.writeEpoch(df, $"seq", seed = 5L, n = 4).parquet(s"$dir/out")
+      s"$dir/out"
+    }
+    def checksums(out: String): Map[String, String] =
+      (0 until 4).map { s =>
+        val files = new java.io.File(s"$out/shard=$s").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $s split across ${files.length}")
+        val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        s"shard=$s" -> md.digest(bytes).map("%02x".format(_)).mkString
+      }.toMap
+    val a = checksums(writeOnce(wins))
+    val b = checksums(writeOnce(wins.repartition(7)))
+    assert(a == b, s"shard files diverged across re-runs: $a vs $b")
+    // a different seed is a different epoch: files must differ
+    val d3 = java.nio.file.Files
+      .createTempDirectory("graft-epoch-sum").toString
+    Export.writeEpoch(wins, $"seq", seed = 6L, n = 4).parquet(s"$d3/out")
+    assert(checksums(s"$d3/out") != a)
+  }
+
   test("epochShuffle: permutation per epoch, reproducible per seed") {
     val wins = (0L until 300L).map(i => Tuple1(i)).toDF("seq")
     def order(seed: Long) = Export.epochShuffle(wins, $"seq", seed, n = 4)
