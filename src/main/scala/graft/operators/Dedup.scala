@@ -308,31 +308,7 @@ object Dedup {
       // each member doc rather than 8 B per doc (the contract note
       // above: collapse exact dups first so bucket size stays bounded
       // by near-dup cluster size)
-      val buckets = withHs.groupBy(col("band"), col("key"))
-        .agg(array_sort(collect_list(col("e"))).as("es"))
-        .filter(size(col("es")) > 1)
-      buckets
-        .select(col("es"), posexplode(col("es"))).toDF("es", "i", "e1")
-        .select(col("e1"), explode(slice(col("es"), col("i") + lit(2),
-          size(col("es")) - col("i") - 1)).as("e2"))
-        // duplicate input ids would otherwise self-pair
-        .filter(col("e1.doc_id") =!= col("e2.doc_id"))
-        // exact length-ratio bound (J ≤ min|·|/max|·|) ahead of the
-        // intersect — same prune as [[minhashVerify]]
-        .filter(least(size(col("e1.hs")), size(col("e2.hs"))).cast("double") >=
-          lit(threshold) *
-            greatest(size(col("e1.hs")), size(col("e2.hs"))).cast("double"))
-        // one set pass, not two: hs arrays are distinct by
-        // construction, so |A∪B| = |A| + |B| − |A∩B| exactly — the
-        // division sees the same two integers either way
-        // (oracle-identical doubles)
-        .withColumn("__i", size(array_intersect(col("e1.hs"), col("e2.hs"))))
-        .withColumn("jaccard", col("__i").cast("double") /
-          (size(col("e1.hs")) + size(col("e2.hs")) - col("__i")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("e1.doc_id").as("id1"), col("e2.doc_id").as("id2"),
-          col("jaccard"))
-        .distinct()
+      bucketStructVerify(withHs, threshold)
         .orderBy(col("id1"), col("id2"))
     } else {
       val hsets = hashedSets(sets)
@@ -340,6 +316,136 @@ object Dedup {
       minhashVerify(lshCandidates(sigsOf(sets, n), bands, n), hsets, threshold)
         .orderBy(col("id1"), col("id2"))
     }
+  }
+
+  /** The in-bucket exact-Jaccard verify over `(band, key, e struct(
+   * doc_id, hs))` rows — [[minhashPairs]]' steep-curve path, shared
+   * with [[minhashPairsBounded]] (which feeds refined keys). */
+  private def bucketStructVerify(withHs: DataFrame,
+      threshold: Double): DataFrame = {
+    val buckets = withHs.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .filter(size(col("es")) > 1)
+    buckets
+      .select(col("es"), posexplode(col("es"))).toDF("es", "i", "e1")
+      .select(col("e1"), explode(slice(col("es"), col("i") + lit(2),
+        size(col("es")) - col("i") - 1)).as("e2"))
+      // duplicate input ids would otherwise self-pair
+      .filter(col("e1.doc_id") =!= col("e2.doc_id"))
+      // exact length-ratio bound (J ≤ min|·|/max|·|) ahead of the
+      // intersect — same prune as [[minhashVerify]]
+      .filter(least(size(col("e1.hs")), size(col("e2.hs"))).cast("double") >=
+        lit(threshold) *
+          greatest(size(col("e1.hs")), size(col("e2.hs"))).cast("double"))
+      // one set pass, not two: hs arrays are distinct by
+      // construction, so |A∪B| = |A| + |B| − |A∩B| exactly — the
+      // division sees the same two integers either way
+      // (oracle-identical doubles)
+      .withColumn("__i", size(array_intersect(col("e1.hs"), col("e2.hs"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (size(col("e1.hs")) + size(col("e2.hs")) - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("e1.doc_id").as("id1"), col("e2.doc_id").as("id2"),
+        col("jaccard"))
+      .distinct()
+  }
+
+  /** Refinement reservoir for [[minhashPairsBounded]]: extra minhash
+   * rows past the banding signature (rows are seeded per index, so
+   * the first n rows of the deep signature ARE the standard
+   * signature). 32 rows split a threshold-similarity cluster by
+   * ~t³² ≈ 10⁻³ at t = 0.8 — three orders of bucket-size headroom. */
+  private val RefineRows = 32
+
+  /**
+   * [[minhashPairs]] with BOUNDED per-bucket verify cost — the
+   * hot-bucket guard for corpora with PATHOLOGICAL near-dup clusters
+   * (10⁵ slightly-perturbed copies of one boilerplate page land in
+   * one (band, key) bucket; the in-bucket verify is O(k²) and the
+   * TRUE pair set itself is quadratic in the cluster). Two tiers:
+   *
+   *  1. KEY REFINEMENT, [[graft.operators.Similarity
+   *     .semanticNearDupPairs]]'s `maxBucket` discipline: a bucket
+   *     over `maxBucket` members extends its key with e further
+   *     minhash rows from a deep-signature reservoir (e = smallest
+   *     with `count·tᵉ ≤ maxBucket`, capped at [[RefineRows]]) — a
+   *     DIVERSE oversized bucket (distinct near-dup families sharing
+   *     one band key) splits into its families and those verify
+   *     exactly.
+   *  2. ANCHOR-STAR FALLBACK for buckets STILL over the cap after
+   *     refinement — which is precisely the near-identical-cluster
+   *     case, where members share most minima and no key depth can
+   *     split them (measured: J≈0.93 copies split ~0.7× per extra
+   *     row; ProbeHotBucket r16). Such a bucket verifies only
+   *     (min-id anchor, member) pairs — O(k) per bucket, ids-only
+   *     buffering (never the O(k·setsize) struct buffer) — so cost
+   *     and output stay linear in the cluster while [[clusters]]
+   *     still groups every anchor-connected member.
+   *
+   * Semantics: every emitted pair is exact-verified ≥ threshold
+   * (precision unchanged); output ⊆ [[minhashPairs]]' pair set, with
+   * EQUALITY when no refined bucket exceeds `maxBucket`
+   * (spec-pinned). Inside a star-capped cluster, pair recall is
+   * deliberately reduced to the anchor star — the
+   * recall-for-boundedness trade the embedding path documents, and
+   * what a curator wants from a 10⁵-copy boilerplate cluster (its
+   * members are interchangeable). The default [[minhashPairs]]
+   * remains the exact-recall path; opt in where hot buckets are
+   * expected.
+   */
+  def minhashPairsBounded(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(n % bands == 0,
+      s"bands ($bands) must divide the signature width ($n)")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val sets = shingled(df, id, text, shingleK).localCheckpoint()
+    val sigs = sigsOf(sets, n + RefineRows)
+      .localCheckpoint() // consumed by band keys AND the deep-row join
+    val keyed = bandKeys(sigs, bands, n)
+    val sizes = keyed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bc")).filter(col("__bc") > 1)
+    val ext = when(col("__bc") <= maxBucket, lit(0)).otherwise(
+      least(ceil(log(col("__bc").cast("double") / lit(maxBucket.toDouble)) /
+        lit(-math.log(threshold))), lit(RefineRows))).cast("int")
+    val sized = sizes.select(col("band"), col("key"), ext.as("__ext"))
+    val rekeyed = keyed
+      // inner join: singleton-bucket rows leave the plan here
+      .join(sized, Seq("band", "key"))
+      .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+      .withColumn("key2", when(col("__ext") > 0,
+          concat(col("key"), lit("|"), array_join(transform(
+            slice(col("sig"), lit(n + 1), col("__ext")),
+            x => x.cast("string")), ":")))
+        .otherwise(col("key")))
+      .select(col("band"), col("key2").as("key"), col("doc_id"))
+      .localCheckpoint() // consumed by the size recount + both tiers
+    val sizes2 = rekeyed.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__c2")).filter(col("__c2") > 1)
+    val hsets = hashedSets(sets)
+      .localCheckpoint() // consumed by the struct tier + per-pair verify
+    // tier 1: refined buckets within the cap — the exact struct verify
+    val smallHs = rekeyed
+      .join(sizes2.filter(col("__c2") <= maxBucket)
+        .select(col("band"), col("key")), Seq("band", "key"))
+      .join(hsets, "doc_id")
+      .select(col("band"), col("key"),
+        struct(col("doc_id"), col("hs")).as("e"))
+    val smallPairs = bucketStructVerify(smallHs, threshold)
+    // tier 2: buckets refinement could not split — anchor star,
+    // ids-only buffering, verified per pair
+    val bigMembers = rekeyed
+      .join(sizes2.filter(col("__c2") > maxBucket)
+        .select(col("band"), col("key")), Seq("band", "key"))
+    val anchors = bigMembers.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("__a"))
+    val starCands = bigMembers.join(anchors, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("__a"))
+      .select(col("__a").as("id1"), col("doc_id").as("id2"))
+      .distinct()
+    val bigPairs = minhashVerify(starCands, hsets, threshold)
+    smallPairs.unionByName(bigPairs).distinct()
+      .orderBy(col("id1"), col("id2"))
   }
 
   /** Shared size-prune + exact-Jaccard verify over candidate (id1,

@@ -433,6 +433,49 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() >= 800L * 799 / 2)
   }
 
+  test("minhashPairsBounded: equals the exact path when no bucket is " +
+      "oversized; bounded hot buckets emit only true pairs") {
+    import spark.implicits._
+    // normal corpus: no bucket over the cap → BIT-identical output
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "sits down beside the quiet river to watch the slow boats go by"
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, base + s" tail$i")
+      else (i, s"doc $i " + ("unique words nr" + i + " ") * 15)
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val exact = pairs(Dedup.minhashPairs(docs, $"doc_id", $"text",
+      threshold = 0.8, bands = 8))
+    val bounded = pairs(Dedup.minhashPairsBounded(docs, $"doc_id", $"text",
+      threshold = 0.8, bands = 8, maxBucket = 4096))
+    assert(exact.nonEmpty && bounded == exact)
+    // hot cluster: 60 near-identical copies, cap 8 → buckets refine;
+    // every emitted pair is still exact-verified ≥ t and a subset of
+    // the exact path's pair set
+    val page = (1 to 120).map(j => s"w$j").mkString(" ")
+    val hot = (0L until 60L).map { i =>
+      val toks = (1 to 120).map(j =>
+        if (j == 60) s"h${i}x" else s"w$j") // 1-token perturbation
+      (1000L + i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val hotExact = pairs(Dedup.minhashPairs(hot, $"doc_id", $"text",
+      threshold = 0.8, bands = 8)).toSet
+    val hotBounded = pairs(Dedup.minhashPairsBounded(hot, $"doc_id", $"text",
+      threshold = 0.8, bands = 8, maxBucket = 8))
+    assert(hotBounded.nonEmpty, "capped buckets must still pair members")
+    assert(hotBounded.toSet.subsetOf(hotExact))
+    assert(hotBounded.forall(_._3 >= 0.8))
+    // the cap engaged: output is far below the ~k²/2 exact pair set
+    assert(hotBounded.size < hotExact.size / 2,
+      s"expected star-capped output, got ${hotBounded.size} of ${hotExact.size}")
+    // connectivity survives the star: most members still pair
+    val touched = hotBounded.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(touched.size >= 30,
+      s"anchor star must keep the cluster connected, touched ${touched.size}")
+  }
+
   test("duplicate input ids never self-pair") {
     // same doc_id appearing twice (un-deduplicated upstream union)
     val dup = docs.union(docs.filter(col("doc_id") === 0L))
