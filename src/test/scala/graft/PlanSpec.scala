@@ -337,6 +337,41 @@ class PlanSpec extends SparkSpec {
       s"gramIndexDelete crossed frames:\n$pd")
   }
 
+  test("round-16 operators keep their claimed plan shapes") {
+    assume(available)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    // windowsTakedown: spans explode + two joins, nothing crosses and
+    // no window — the token payloads never shuffle (only (seq, did))
+    val packed = graft.operators.Packing.packSequences(
+      docs.withColumn("toks", split(col("text"), " ")),
+      col("doc_id"), size(col("toks")).cast("long"), 64L)
+    val wins = graft.operators.Packing.materializeWindows(
+      packed, col("doc_id"), col("toks"), 64L)
+    val pt = planOf(graft.operators.Packing.windowsTakedown(
+      wins, Seq(1L).toDF("doc_id"), col("doc_id")))
+    assert(!pt.contains("CartesianProduct") && !pt.contains("Window,"),
+      s"windowsTakedown grew a cross/window:\n$pt")
+    // token-level exact-substring: the same map-side-combinable gram
+    // aggregate shape as the word path (partial_min/partial_count
+    // before the exchange), no frame crossing
+    val toks = docs.withColumn("tk",
+      transform(split(col("text"), " "), w => xxhash64(w)))
+    val ptk = planOf(graft.operators.Dedup.exactSubstringDedupTokens(
+      toks, col("doc_id"), col("tk"), l = 15))
+    assert(ptk.contains("partial_min") || ptk.contains("partial_count"),
+      s"token gram agg lost its map-side combine:\n$ptk")
+    assert(!ptk.contains("CartesianProduct"),
+      s"token exact-substring crossed frames:\n$ptk")
+    // bounded minhash: both tiers are joins/aggregates — no cartesian,
+    // and no unpartitioned window anywhere in the chain
+    val pb = planOf(graft.operators.Dedup.minhashPairsBounded(
+      docs, col("doc_id"), col("text"), threshold = 0.8, bands = 8,
+      maxBucket = 64))
+    assert(!pb.contains("CartesianProduct"),
+      s"minhashPairsBounded crossed frames:\n$pb")
+  }
+
   test("PQ plans: encode is one map-side argmin exchange; ADC scan never joins vectors") {
     assume(available)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
