@@ -83,7 +83,9 @@ object Bench {
       "corpus_fertility_bpe_pretok", "export_epoch_shuffle",
       "text_decontaminate_artifact", "dedup_index_delete",
       "ann_ivf_delete", "pipeline_tokenize_pack_pretok",
-      "corpus_wordpiece_merges_pretok")
+      "corpus_wordpiece_merges_pretok", "pack_takedown",
+      "dedup_exact_substring_tokens", "pipeline_takedown_report",
+      "export_epoch_write")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state
