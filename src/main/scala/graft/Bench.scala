@@ -85,7 +85,7 @@ object Bench {
       "ann_ivf_delete", "pipeline_tokenize_pack_pretok",
       "corpus_wordpiece_merges_pretok", "pack_takedown",
       "dedup_exact_substring_tokens", "pipeline_takedown_report",
-      "export_epoch_write")
+      "export_epoch_write", "dedup_substring_tokens_incremental")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state

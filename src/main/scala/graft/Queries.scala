@@ -2987,6 +2987,60 @@ object Queries {
         LEFT JOIN st ON b.doc_id = st.doc_id
         ORDER BY b.doc_id""")),
 
+    // the token family's INCREMENTAL member: odd docs' id arrays
+    // screen against a standing gramIndexTokens of the even docs
+    // (ids from ONE shared vocab over the full corpus — production's
+    // fixed tokenizer); output ≡ the batch token operator over
+    // corpus ∪ batch restricted to the batch, which is exactly what
+    // the oracle computes (the id-array chain + batch filter)
+    "dedup_substring_tokens_incremental" -> Entry(
+      (s, dir) => {
+        val (ids, _) = graft.operators.CorpusStats.bpeEncodeIds(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          fixedMergesDf(s))
+        val idsCk = ids.localCheckpoint() // encode once, consumed 2x
+        Dedup.exactSubstringIncrementalTokens(
+            idsCk.filter(pmod(col("id"), lit(2)) === 1),
+            Dedup.gramIndexTokens(
+              idsCk.filter(pmod(col("id"), lit(2)) === 0),
+              col("id"), col("token_ids"), l = 15),
+            col("id"), col("token_ids"), l = 15)
+          .select(col("doc_id"),
+            array_join(transform(col("token_ids"),
+              x => x.cast("string")), " ").as("toks_join"),
+            col("n_tokens"), col("n_dropped_tokens"), col("n_drop_spans"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH enc AS (SELECT doc_id,
+            replace(${fixedMergesReplaceSql(
+              "regexp_replace(text, '(.)', '§\\1', 'g')")}, '§ ', '') AS f
+          FROM documents),
+          d AS (SELECT doc_id,
+            CASE WHEN length(f) > 0
+              THEN string_split(substr(f, 2), '§')
+              ELSE [] END AS toks
+          FROM enc),
+          vocab AS (SELECT token, row_number() OVER (ORDER BY token) - 1
+              AS tid
+            FROM (SELECT DISTINCT unnest(toks) AS token FROM d)),
+          tk AS (SELECT doc_id, unnest(toks) AS tok,
+            unnest(range(1, len(toks) + 1)) AS ord FROM d),
+          wid AS (SELECT doc_id, ord, tid FROM tk
+            JOIN vocab ON vocab.token = tk.tok),
+          idarr AS (SELECT doc_id, list(tid ORDER BY ord) AS ws
+            FROM wid GROUP BY doc_id),
+          ${exactSubstringCtes(15,
+            "SELECT e.doc_id, coalesce(a.ws, []::BIGINT[]) AS ws " +
+              "FROM enc e LEFT JOIN idarr a USING (doc_id)")}
+        SELECT b.doc_id, coalesce(reb.text, '') AS toks_join,
+          len(b.ws)::BIGINT AS n_tokens,
+          coalesce(st.n_dropped_tokens, 0)::BIGINT AS n_dropped_tokens,
+          coalesce(st.n_drop_spans, 0)::BIGINT AS n_drop_spans
+        FROM base b LEFT JOIN reb ON b.doc_id = reb.doc_id
+        LEFT JOIN st ON b.doc_id = st.doc_id
+        WHERE b.doc_id % 2 = 1
+        ORDER BY b.doc_id""")),
+
     // incremental exact-substring dedup: the batch screens against a
     // standing gram index (first-occurrence per window content) —
     // BIT-IDENTICAL to running the batch operator over corpus+batch

@@ -1324,39 +1324,69 @@ object Dedup {
    * — the [[corpusIndex]] size class.
    */
   def gramIndex(corpus: DataFrame, id: Column, text: Column,
-      l: Int = 50): DataFrame = {
+      l: Int = 50): DataFrame =
+    gramIndexOf(wsBase(corpus, id, text), l, gramParams(l))
+
+  /** [[gramIndex]] over TRUE TOKEN IDS (`array<bigint>`) — the
+   * standing index [[exactSubstringIncrementalTokens]] screens
+   * against. Same min-merge artifact; its params tag is DISJOINT
+   * from the word index's (token and word streams hash to unrelated
+   * classes — cross-use would read every probe as "novel": silent
+   * missed duplicates, exactly what the guard exists to catch). */
+  def gramIndexTokens(corpus: DataFrame, id: Column, tokens: Column,
+      l: Int = 50): DataFrame =
+    gramIndexOf(corpus.select(id.as("doc_id"), tokens.as("ws")), l,
+      gramParamsTokens(l))
+
+  private def wsBase(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), split(text, " ").as("ws"))
+
+  private def gramIndexOf(base: DataFrame, l: Int, tag: String): DataFrame = {
     require(l >= 2, "l must be >= 2")
-    gramStream(corpus.select(id.as("doc_id"), split(text, " ").as("ws")), l)
+    gramStream(base, l)
       .groupBy(col("gh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .withColumn("idx_params", lit(gramParams(l)))
+      .withColumn("idx_params", lit(tag))
   }
 
   /** The gramIndex artifact-version tag — window hashes built under a
    * different `l` would simply never match a probe's (hash classes of
    * different window lengths are disjoint-by-construction but every
    * miss reads as "novel"): silent missed duplicates, the same
-   * failure mode the [[corpusIndex]] guard closes. */
+   * failure mode the [[corpusIndex]] guard closes. The token-id
+   * family carries its own namespace (`esdt:`) for the same reason —
+   * word and token streams hash to unrelated classes. */
   private def gramParams(l: Int): String = s"esd:l=$l"
+  private def gramParamsTokens(l: Int): String = s"esdt:l=$l"
 
   /** Scan-checked params guard for gramIndex consumers: a mismatched
    * artifact fails loudly; legacy frames without the column adopt the
    * expected tag (they predate the guard). */
-  private def guardedGramIndex(index: DataFrame, l: Int): DataFrame =
+  private def guardedGramIndex(index: DataFrame, tag: String): DataFrame =
     if (index.columns.contains("idx_params"))
-      index.where(assert_true(col("idx_params") === lit(gramParams(l)),
+      index.where(assert_true(col("idx_params") === lit(tag),
         concat(lit("gramIndex built with "), col("idx_params"),
-          lit(s", used with ${gramParams(l)}"))).isNull)
-    else index.withColumn("idx_params", lit(gramParams(l)))
+          lit(s", used with $tag"))).isNull)
+    else index.withColumn("idx_params", lit(tag))
 
   /** Fold a batch into a [[gramIndex]]: per-gram min of first
    * occurrences — exact, order-free, batch-build + index-sized
    * merge (the [[corpusIndexUpsert]] cost shape). */
   def gramIndexUpsert(index: DataFrame, batch: DataFrame, id: Column,
       text: Column, l: Int = 50): DataFrame =
-    guardedGramIndex(index, l).unionByName(gramIndex(batch, id, text, l))
+    gramIndexUpsertOf(index, wsBase(batch, id, text), l, gramParams(l))
+
+  /** [[gramIndexUpsert]] for the token-id index. */
+  def gramIndexUpsertTokens(index: DataFrame, batch: DataFrame, id: Column,
+      tokens: Column, l: Int = 50): DataFrame =
+    gramIndexUpsertOf(index,
+      batch.select(id.as("doc_id"), tokens.as("ws")), l, gramParamsTokens(l))
+
+  private def gramIndexUpsertOf(index: DataFrame, base: DataFrame, l: Int,
+      tag: String): DataFrame =
+    guardedGramIndex(index, tag).unionByName(gramIndexOf(base, l, tag))
       .groupBy(col("gh")).agg(min(col("f")).as("f"))
-      .withColumn("idx_params", lit(gramParams(l)))
+      .withColumn("idx_params", lit(tag))
 
   /**
    * TAKEDOWN propagation for the exact-substring index — the one
@@ -1392,20 +1422,34 @@ object Dedup {
    */
   def gramIndexDelete(index: DataFrame, ids: DataFrame, id: Column,
       remaining: DataFrame, rid: Column, rtext: Column,
-      l: Int = 50): DataFrame = {
+      l: Int = 50): DataFrame =
+    gramIndexDeleteOf(index, ids, id, wsBase(remaining, rid, rtext), l,
+      gramParams(l))
+
+  /** [[gramIndexDelete]] for the token-id index — identical re-min
+   * contract over the remaining corpus's ID streams. */
+  def gramIndexDeleteTokens(index: DataFrame, ids: DataFrame, id: Column,
+      remaining: DataFrame, rid: Column, rtokens: Column,
+      l: Int = 50): DataFrame =
+    gramIndexDeleteOf(index, ids, id,
+      remaining.select(rid.as("doc_id"), rtokens.as("ws")), l,
+      gramParamsTokens(l))
+
+  private def gramIndexDeleteOf(index: DataFrame, ids: DataFrame, id: Column,
+      remainingBase: DataFrame, l: Int, tag: String): DataFrame = {
     require(l >= 2, "l must be >= 2")
     val dels = ids.select(id.as("__d")).distinct()
     val keeperDoc = col("f").getField("doc_id")
-    val idx = guardedGramIndex(index, l)
+    val idx = guardedGramIndex(index, tag)
     val kept = idx.join(dels, keeperDoc === col("__d"), "left_anti")
     val affected = idx.join(dels, keeperDoc === col("__d"), "left_semi")
       .select(col("gh"))
     val remin = gramStream(
-        remaining.select(rid.as("doc_id"), split(rtext, " ").as("ws"))
-          .join(dels, col("doc_id") === col("__d"), "left_anti"), l)
+        remainingBase.join(dels, col("doc_id") === col("__d"), "left_anti"),
+        l)
       .join(affected, "gh")
       .groupBy(col("gh")).agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .withColumn("idx_params", lit(gramParams(l)))
+      .withColumn("idx_params", lit(tag))
     kept.unionByName(remin)
   }
 
@@ -1421,15 +1465,30 @@ object Dedup {
    * the corpus text is never read.
    */
   def exactSubstringIncremental(batch: DataFrame, index: DataFrame,
-      id: Column, text: Column, l: Int = 50): DataFrame = {
+      id: Column, text: Column, l: Int = 50): DataFrame =
+    exactSubstringIncrementalOf(wsBase(batch, id, text), index, l,
+      gramParams(l), tokensOut = false)
+
+  /** [[exactSubstringIncremental]] over token-id arrays screened
+   * against a [[gramIndexTokens]] — the incremental member of the
+   * token family: output ≡ [[exactSubstringDedupTokens]] over
+   * corpus ∪ batch restricted to the batch (spec-pinned), emitting
+   * surviving `token_ids` arrays. */
+  def exactSubstringIncrementalTokens(batch: DataFrame, index: DataFrame,
+      id: Column, tokens: Column, l: Int = 50): DataFrame =
+    exactSubstringIncrementalOf(
+      batch.select(id.as("doc_id"), tokens.as("ws")), index, l,
+      gramParamsTokens(l), tokensOut = true)
+
+  private def exactSubstringIncrementalOf(base: DataFrame, index: DataFrame,
+      l: Int, tag: String, tokensOut: Boolean): DataFrame = {
     require(l >= 2, "l must be >= 2")
-    val base = batch.select(id.as("doc_id"), split(text, " ").as("ws"))
     val gh = gramStream(base, l)
     val bAgg = gh.groupBy(col("gh"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col("doc_id"), col("pos"))).as("__bf"))
     val joined = bAgg.join(
-      guardedGramIndex(index, l).select(col("gh"), col("f").as("__xf")),
+      guardedGramIndex(index, tag).select(col("gh"), col("f").as("__xf")),
       Seq("gh"), "left")
     // duplicated: an earlier corpus occurrence exists, or the batch
     // itself repeats the window; keeper = min over both sides
@@ -1441,7 +1500,7 @@ object Dedup {
     val marked = gh.join(firsts, "gh")
       .select(col("doc_id"), col("pos"),
         (struct(col("doc_id"), col("pos")) === col("__f")).as("is_first"))
-    cutMarkedSpans(base, marked, l)
+    cutMarkedSpans(base, marked, l, tokensOut = tokensOut)
   }
 
   /** The per-doc position-indexed rolling window-hash stream

@@ -386,6 +386,66 @@ class DedupSpec extends SparkSpec {
     assert(rows(deleted).size < rows(full).size)
   }
 
+  test("token gram-index family: upsert/delete/incremental ≡ from-scratch; " +
+      "word↔token indexes never cross") {
+    import spark.implicits._
+    // id streams with a shared 6-id run across docs 0 and 2 (doc 0
+    // keeps), a doc-0-only run, and a batch doc 1 repeating the run
+    val shared = (100L to 107L)
+    val docs = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L) ++ shared),
+      (2L, Seq(9L, 8L) ++ shared ++ Seq(7L, 6L, 5L, 11L)),
+      (4L, (200L to 212L).toSeq),
+      (1L, Seq(30L, 31L) ++ shared ++ Seq(32L, 33L, 34L, 35L)),
+      (3L, (300L to 311L).toSeq))
+      .toDF("doc_id", "toks")
+    val l = 4
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("gh"), col("f.doc_id"), col("f.pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    // upsert ≡ from-scratch
+    val part = Dedup.gramIndexTokens(corpus.filter($"doc_id" === 0L),
+      $"doc_id", $"toks", l)
+    val upserted = Dedup.gramIndexUpsertTokens(part,
+      corpus.filter($"doc_id" =!= 0L), $"doc_id", $"toks", l)
+    val full = Dedup.gramIndexTokens(corpus, $"doc_id", $"toks", l)
+    assert(rows(upserted) == rows(full))
+    // delete ≡ from-scratch on corpus ∖ ids (remaining passed
+    // UNFILTERED — the anti-join guard must exclude the deleted doc)
+    val afterDel = Dedup.gramIndexDeleteTokens(full, Seq(0L).toDF("id"),
+      col("id"), corpus, $"doc_id", $"toks", l)
+    val scratch = Dedup.gramIndexTokens(corpus.filter($"doc_id" =!= 0L),
+      $"doc_id", $"toks", l)
+    assert(rows(afterDel) == rows(scratch))
+    assert(rows(afterDel).map(_._2).toSet.contains(2L)) // re-min fired
+    // incremental ≡ batch operator over corpus ∪ batch, batch rows
+    val inc = Dedup.exactSubstringIncrementalTokens(batch, full,
+        $"doc_id", $"toks", l)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(3))).toSeq
+    val all = Dedup.exactSubstringDedupTokens(docs, $"doc_id", $"toks", l)
+      .filter($"doc_id" % 2 === 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(3))).toSeq
+    assert(inc == all)
+    assert(inc.find(_._1 == 1L).get._3 >= shared.size,
+      "batch doc repeating a corpus run must lose it")
+    // namespace guard: a WORD index can never screen token probes
+    val wordIdx = Dedup.gramIndex(
+      Seq((0L, "a b c d e f")).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), l)
+    val e = intercept[Exception] {
+      Dedup.exactSubstringIncrementalTokens(batch, wordIdx,
+        $"doc_id", $"toks", l).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("gramIndex built with")), e.toString)
+  }
+
   test("corpusIndexUpsert rejects an index built with other parameters") {
     val corpus = Seq((0L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
