@@ -173,6 +173,35 @@ class FilePruningSpec extends SparkSpec {
     assert(s.frame("db").count() == 39L)
   }
 
+  test("stabIntervals ≡ brute-force interval stabbing (400 random layouts)") {
+    // the deleteKeys file-selection core is a pure function — replay
+    // it against the O(F) definition over random (possibly
+    // overlapping, duplicated, adjacent) interval layouts and
+    // boundary keys
+    val rng = new scala.util.Random(42)
+    (0 until 400).foreach { trial =>
+      val n = rng.nextInt(30)
+      val files = (0 until n).map { _ =>
+        val lo = rng.nextInt(1000).toLong - 500
+        val hi = lo + rng.nextInt(120)
+        (lo, hi)
+      }.sortBy(_._1).toArray
+      val mins = files.map(_._1)
+      val maxs = files.map(_._2)
+      val pmax = maxs.scanLeft(Long.MinValue)(math.max).tail
+      val keys = Seq.fill(20)(rng.nextInt(1200).toLong - 600) ++
+        files.flatMap { case (lo, hi) => Seq(lo, hi, lo - 1, hi + 1) } ++
+        Seq(Long.MinValue + 1, Long.MaxValue)
+      keys.foreach { k =>
+        val got = SeriesStore.stabIntervals(mins, maxs, pmax, k).toSet
+        val want = files.indices.filter(i =>
+          mins(i) <= k && k <= maxs(i)).toSet
+        assert(got == want,
+          s"trial $trial key $k: got $got want $want over ${files.toSeq}")
+      }
+    }
+  }
+
   test("deleteKeys on a dirty snapshot removes every copy of the key") {
     val s = newStore()
     s.create("db")
