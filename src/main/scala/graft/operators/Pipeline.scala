@@ -221,7 +221,21 @@ object Pipeline {
    * verdict frame — a downstream per-source/shard rollup reads them
    * directly off the scan instead of joining the corpus-sized verdict
    * frame back to the corpus on doc_id (two full-volume shuffles the
-   * carry avoids — the carried column rides projections only). */
+   * carry avoids — the carried column rides projections only).
+   *
+   * `lshMaxBucket`: opt-in hot-bucket guard for the near-dup stage —
+   * below `Int.MaxValue` the LSH pairs come from
+   * [[Dedup.minhashPairsBounded]] (oversized buckets refine, then
+   * star-cap), so a 10⁵-copy slightly-perturbed boilerplate cluster
+   * costs O(k) instead of walling the pipeline at ~k²/2 verified
+   * pairs. Drop/cluster decisions are unchanged wherever no bucket
+   * exceeds the cap (the bounded path is then bit-identical); inside
+   * a capped cluster the drop set follows the refined buckets and
+   * anchor stars — each refined sub-bucket keeps its own min-id, so
+   * a HANDFUL of keepers survive where the exact path keeps exactly
+   * one (spec-pinned ~5× collapse at a tiny cap). The
+   * curator-intended outcome for interchangeable boilerplate, at
+   * O(k) instead of O(k²). */
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
       langs: Seq[String], minQuality: Double,
       jaccardThreshold: Double = 0.8, useClusters: Boolean = false,
@@ -230,7 +244,8 @@ object Pipeline {
       bench: Option[DataFrame] = None,
       benchText: Column = col("text"),
       lshBands: Int = 16,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      lshMaxBucket: Int = Int.MaxValue): DataFrame = {
     // bounded per-group state: only min(doc_id) aggregates; the dup
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
@@ -252,8 +267,13 @@ object Pipeline {
     // drop/cluster decisions are identical with or without copies.
     val keeperDocs = nonEmpty.select(id.as("doc_id"), text.as("__text"))
       .join(exactDups.select("doc_id"), Seq("doc_id"), "left_anti")
-    val pairs = Dedup.minhashPairs(keeperDocs, col("doc_id"), col("__text"),
-      jaccardThreshold, bands = lshBands)
+    val pairs =
+      if (lshMaxBucket == Int.MaxValue)
+        Dedup.minhashPairs(keeperDocs, col("doc_id"), col("__text"),
+          jaccardThreshold, bands = lshBands)
+      else
+        Dedup.minhashPairsBounded(keeperDocs, col("doc_id"), col("__text"),
+          jaccardThreshold, bands = lshBands, maxBucket = lshMaxBucket)
     val nearDups = (if (useClusters)
         // transitive closure: a doc survives only as its component's
         // minimum — a chain A~B~C keeps exactly A

@@ -156,6 +156,41 @@ class PipelineSpec extends SparkSpec {
     assert(shared == inline)
   }
 
+  test("lshMaxBucket: hot boilerplate cluster collapses to a few keepers; " +
+      "healthy corpora unchanged") {
+    val good = "the cat sat of the mat and it is a good day to you that " * 3
+    // 40 slightly-perturbed copies of one page (near-dups, NOT exact)
+    // + one ordinary doc; the bounded path must keep exactly the
+    // min-id copy and drop the rest as near_dup via the anchor star
+    val page = (1 to 120).map(j => s"w$j")
+    val docs = ((0L until 40L).map { i =>
+      (100L + i, (page.updated(60, s"h${i}x") :+ "tail").mkString(" "))
+    } :+ (500L, good)).toDF("doc_id", "text")
+    val r = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+        langs = Seq("en", "und"), minQuality = 0.0,
+        jaccardThreshold = 0.8, lshMaxBucket = 8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(2)))
+    // the documented trade at a tiny cap: each refined sub-bucket
+    // keeps its own min-id, so a HANDFUL of keepers survive (vs
+    // exactly one on the exact path) — the cluster still collapses
+    // ~5x while cost stays O(k)
+    assert(r.count(_._2 == "near_dup") >= 30,
+      s"hot cluster members must drop: ${r.toSeq.take(10)}")
+    assert(r.find(_._1 == 100L).get._2 == "keep", "anchor keeps")
+    assert(r.find(_._1 == 500L).get._2 == "keep")
+    // no bucket over the cap on a small healthy corpus → identical
+    // verdicts with and without the guard
+    val plain = Seq((0L, good), (1L, good), (2L, "el perro y el gato " * 9))
+      .toDF("doc_id", "text")
+    def verdicts(maxB: Int) = Pipeline.cleanCorpus(plain, $"doc_id",
+        $"text", langs = Seq("en", "es"), minQuality = 0.2,
+        jaccardThreshold = 0.5, lshMaxBucket = maxB)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getString(2)))
+      .toSeq
+    assert(verdicts(Int.MaxValue) == verdicts(4096))
+  }
+
   test("takedown: one audited call, per-artifact counts, exact " +
       "rebuild-required naming") {
     val docs = Seq(
