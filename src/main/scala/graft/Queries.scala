@@ -78,8 +78,10 @@ object Queries {
       write: String => Unit): String =
     gateArtifactCache.computeIfAbsent(
       (kind, System.identityHashCode(s), dir), _ => {
+        // uuid suffix, not cache size: two DIFFERENT keys computing
+        // concurrently could read equal sizes and collide paths
         val path = gateArtifactRoot.resolve(
-          s"$kind-${gateArtifactCache.size()}").toString
+          s"$kind-${java.util.UUID.randomUUID()}").toString
         write(path)
         path
       })

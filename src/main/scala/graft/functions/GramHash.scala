@@ -52,6 +52,21 @@ case class GramHashExpr(child: Expression, l: Int)
     case _ => false
   }
 
+  // loud at ANALYSIS time on anything but the two supported element
+  // types — an array<int> reaching the string path would CCE deep in
+  // generated code with no hint of the cause
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | ArrayType(org.apache.spark.sql.types
+          .StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_hashes takes array<string> (words) or array<bigint> " +
+            s"(token ids), got $other")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
   override protected def withNewChildInternal(c: Expression): GramHashExpr =

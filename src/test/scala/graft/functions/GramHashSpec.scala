@@ -97,4 +97,16 @@ class GramHashSpec extends SparkSpec {
     val n = hashesLong(Seq(L(1L, 2L, 3L)), 3).head
     assert(s != n)
   }
+
+  test("unsupported element types fail at analysis, not in codegen") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1, 2, 3))).toDF("ws") // array<int>
+    val e = intercept[Exception] {
+      df.select(GramHashExpr.gramHashes(col("ws"), 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("gram_hashes") ||
+      m.contains("DATATYPE_MISMATCH")), e.toString)
+  }
 }
