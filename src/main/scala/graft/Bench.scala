@@ -85,7 +85,9 @@ object Bench {
       "ann_ivf_delete", "pipeline_tokenize_pack_pretok",
       "corpus_wordpiece_merges_pretok", "pack_takedown",
       "dedup_exact_substring_tokens", "pipeline_takedown_report",
-      "export_epoch_write", "dedup_substring_tokens_incremental")
+      "export_epoch_write", "dedup_substring_tokens_incremental",
+      "dedup_lsh_audit_bounded", "text_redact_v2", "pack_whole_docs",
+      "export_manifest_takedown")
     // untimed warmup: run every headline plan once at the smallest SF.
     // The generated code is scale-independent, so this charges Janino
     // whole-stage-codegen compilation (2-5x a query's steady-state
@@ -107,61 +109,63 @@ object Bench {
     // run-to-run jitter at this data size, and the minimum is the
     // stable estimator of the plan's actual cost (best-of-2 left
     // round totals ±25% apart under box load; the third sample pulls
-    // back-to-back totals inside ±15%). A GC between queries keeps one
-    // query's garbage from billing the next one's pause. Failures are
-    // tracked SEPARATELY from timing: a query that throws on any run
-    // lands in `failed` even if another run succeeded (min-of-times
-    // alone would read an intermittent crash as healthy), and a query
-    // with no successful run records a 999s sentinel (its fast-fail
+    // back-to-back totals inside ±15%). Failures are tracked
+    // SEPARATELY from timing: a query that throws on any run lands in
+    // `failed` even if another run succeeded (min-of-times alone
+    // would read an intermittent crash as healthy), and a query with
+    // no successful run records a 999s sentinel (its fast-fail
     // elapsed would read a regression as a speedup).
-    // io-state instrumentation (BASELINE item 19 folded in): sample
-    // the buffered-write path NEXT TO each query so totals are
-    // attributable to the box's bimodal writeback throttling, and
-    // re-run slow-state samples once the state recovers (bounded).
+    // SAMPLE HYGIENE (r17: BenchSubset's discipline ported into the
+    // official record — the r16 driver record was ~1.36× uniformly
+    // inflated by exactly the contamination this detects): before
+    // each query the harness DRAINS checkpoint residue (gc + bounded
+    // ContextCleaner wait, graft.tools.SampleHygiene) and probes the
+    // bimodal buffered-write state next to the sample; samples taken
+    // slow-io or residue-laden get bounded re-runs once the state
+    // clears, and the recorded io/residue always describe whichever
+    // sample produced the STANDING min.
+    import graft.tools.SampleHygiene
     case class R(name: String, sec: Double, threw: Boolean,
-      ioMbps: Double, reruns: Int)
-    def timeQuery(name: String): (Double, Boolean) = {
-      val fn = SparkEntry.queries(name)
-      var threw = false
-      System.gc()
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          threw = true
-          None
-        }
+      ioMbps: Double, residue: Long, reruns: Int)
+    def sampleQuery(name: String): SampleHygiene.Sample =
+      SampleHygiene.measure(spark, 3) {
+        SparkEntry.queries(name)(spark, sfDir).count(); ()
       }
-      (if (times.nonEmpty) times.min else 999.0, threw)
-    }
     var results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val io = graft.tools.IoProbe.sampleMbps()
-      val (sec, threw) = timeQuery(name)
-      R(name, sec, threw, io, 0)
+      val s = sampleQuery(name)
+      R(name, s.sec, s.threw, s.io, s.residue, 0)
     }
-    // bounded slow-state retry: up to 2 passes over queries whose
-    // probe landed in the throttled mode; a re-run only counts when
-    // the fresh probe reads fast (min-of-times keeps the best sample)
+    // bounded contaminated-sample retry: up to 2 passes over queries
+    // whose sample was taken slow-io or residue-laden; a re-run only
+    // counts when the fresh state reads clean, the min across samples
+    // stands (contamination only ever reads HIGH), and io/residue
+    // follow the standing-min sample so the JSON stays self-describing
+    def dirty(r: R): Boolean = SampleHygiene.contaminated(r.ioMbps, r.residue)
     var pass = 0
-    while (pass < 2 &&
-        results.exists(r => r.ioMbps >= 0 &&
-          r.ioMbps < graft.tools.IoProbe.SlowMbps)) {
+    while (pass < 2 && results.exists(dirty)) {
       results = results.map { r =>
-        if (r.ioMbps < 0 || r.ioMbps >= graft.tools.IoProbe.SlowMbps) r
+        if (!dirty(r)) r
         else {
+          val residue2 = SampleHygiene.drainResidue(spark)
           val io2 = graft.tools.IoProbe.sampleMbps()
-          if (io2 < graft.tools.IoProbe.SlowMbps) r // still throttled
+          if (SampleHygiene.contaminated(io2, residue2)) r // state still bad
           else {
-            val (sec2, threw2) = timeQuery(r.name)
-            R(r.name, math.min(r.sec, sec2), r.threw || threw2, io2,
-              r.reruns + 1)
+            val s2 = SampleHygiene.measure(spark, 3) {
+              SparkEntry.queries(r.name)(spark, sfDir).count(); ()
+            }
+            if (s2.sec <= r.sec)
+              R(r.name, s2.sec, r.threw || s2.threw, s2.io, s2.residue,
+                r.reruns + 1)
+            else // old (contaminated) sample stands: keep ITS state
+              r.copy(threw = r.threw || s2.threw, reruns = r.reruns + 1)
           }
         }
       }
       pass += 1
     }
     val ioReruns = results.map(_.reruns).sum
+    val contaminatedQs = results.collect { case r if dirty(r) =>
+      "\"" + r.name + "\"" }
     val failed = results.collect { case r if r.threw => "\"" + r.name + "\"" }
     val total = if (results.nonEmpty) results.map(_.sec).sum else 0.0
     def line(fmt: Double => String): String = {
@@ -170,7 +174,10 @@ object Bench {
       val io = results.map(r => "\"" + r.name + "\":" +
           BigDecimal(r.ioMbps).setScale(1, BigDecimal.RoundingMode.HALF_UP))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"io_mbps":$io,"io_reruns":$ioReruns,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      val res = results.map(r => "\"" + r.name + "\":" +
+          (r.residue / (1024 * 1024)))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"io_mbps":$io,"residue_mb":$res,"io_reruns":$ioReruns,"contaminated":${contaminatedQs.mkString("[", ",", "]")},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     }
     // full-precision per-query artifact: the stdout line has been
     // truncated by log-capture tails between rounds, losing per-query
@@ -199,7 +206,7 @@ object Bench {
     val ios = results.map(_.ioMbps).filter(_ >= 0).sorted
     val ioSummary =
       if (ios.isEmpty) ""
-      else s""""io_mbps_min":${fmt4(ios.head)},"io_mbps_med":${fmt4(ios(ios.size / 2))},"io_reruns":$ioReruns,"""
+      else s""""io_mbps_min":${fmt4(ios.head)},"io_mbps_med":${fmt4(ios(ios.size / 2))},"io_reruns":$ioReruns,"contaminated_n":${contaminatedQs.size},"""
     val tail = s"""},"n_queries":${results.size},${ioSummary}"queries_full":"target/bench.json","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val sb = new StringBuilder(head)
     var used = head.length + tail.length

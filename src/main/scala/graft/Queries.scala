@@ -2248,6 +2248,48 @@ object Queries {
             AS n_seqs
         FROM c ORDER BY doc_id""")),
 
+    // whole-doc (no-split) packing: harmonic banding — band k =
+    // seqLen div len, k docs per window within each (hash-bucket,
+    // band), window ids globalized by the (bucket, band)-ordered
+    // prefix. seqLen 384 puts the corpus in bands 1-2 WITH oversize
+    // docs present (n_chars > 384), so the fit walk, the band split,
+    // and the oversize contract all gate. The oracle replays the
+    // bucketed walk exactly — unlike pack_sequences, the two-level
+    // prefix here is NOT equivalent to a global walk (partial
+    // windows close per bucket), so the oracle buckets too.
+    "pack_whole_docs" -> Entry(
+      (s, dir) => graft.operators.Packing.packWholeDocs(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+          seqLen = 384L)
+        .select(col("doc_id"), col("len"), col("band_k"), col("seq"),
+          col("pos"), col("oversize"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, n_chars::BIGINT AS len,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        b AS (SELECT doc_id, h, len, len > 384 AS oversize,
+          CASE WHEN len BETWEEN 1 AND 384 THEN 384 // len END AS band_k,
+          h >> 48 AS bkt FROM d),
+        wc AS (SELECT bkt, band_k,
+            (count(*) + band_k - 1) // band_k AS wins
+          FROM b WHERE band_k IS NOT NULL GROUP BY 1, 2),
+        wp AS (SELECT bkt, band_k, coalesce(sum(wins) OVER (
+            ORDER BY bkt, band_k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wbefore
+          FROM wc),
+        r AS (SELECT b.doc_id, b.len, b.band_k, b.oversize, wp.wbefore,
+            CASE WHEN b.band_k IS NOT NULL THEN row_number() OVER (
+              PARTITION BY b.bkt, b.band_k ORDER BY b.h, b.doc_id) - 1
+            END AS rnk
+          FROM b LEFT JOIN wp ON b.bkt = wp.bkt AND b.band_k = wp.band_k)
+        SELECT doc_id, len, band_k,
+          CASE WHEN band_k IS NOT NULL
+            THEN (wbefore + rnk // band_k)::BIGINT END AS seq,
+          CASE WHEN band_k IS NOT NULL
+            THEN (rnk % band_k)::BIGINT END AS pos,
+          oversize
+        FROM r ORDER BY doc_id""")),
+
     // per-group packing: every source packs its own window stream —
     // no training window mixes sources; group-local layout verified
     // against a per-source cumulative rebuild
@@ -2519,6 +2561,77 @@ object Queries {
         WHERE win.seq NOT IN (SELECT seq FROM dropped)
         ORDER BY win.seq""")),
 
+    // post-takedown manifest over the SAME takedown chain: per
+    // 16-window shard range — surviving count, holes, hole density,
+    // token volume, and the order-free span-fold checksum; shards
+    // whose every window dropped still emit (holes = expected, null
+    // checksum). The densitometer behind the documented ~20% repack
+    // threshold (Export.windowsManifest scaladoc).
+    "export_manifest_takedown" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("toks",
+          transform(sequence(lit(1), col("n_chars").cast("int")),
+            i => col("doc_id") * 100000L + i.cast("long")))
+        val packed = graft.operators.Packing.packSequences(
+          docs, col("doc_id"), size(col("toks")).cast("long"),
+          seqLen = 2048L)
+        val wins = graft.operators.Packing.materializeWindows(
+          packed, col("doc_id"), col("toks"), seqLen = 2048L)
+        val after = graft.operators.Packing.windowsTakedown(wins,
+          docs.filter(pmod(col("doc_id"), lit(17)) === 3), col("doc_id"))
+        // the pre-takedown window count comes from the pack step's
+        // own accounting (a 1-row aggregate, not a corpus collect)
+        val totTokens = docs
+          .agg(sum(col("n_chars").cast("long"))).head().getLong(0)
+        graft.operators.Export.windowsManifest(after,
+            totalWindows = (totTokens + 2047L) / 2048L,
+            windowsPerShard = 16L)
+          .orderBy(col("shard"))
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars AS w,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM documents),
+        c AS (SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM h),
+        t AS (SELECT doc_id, cum, unnest(range(1, w + 1)) AS i FROM c),
+        pos AS (SELECT doc_id, cum + i - 1 AS p FROM t),
+        dropped AS (SELECT DISTINCT (p // 2048)::BIGINT AS seq FROM pos
+          WHERE doc_id % 17 = 3),
+        win AS (SELECT (p // 2048)::BIGINT AS seq,
+            count(*)::BIGINT AS n_tokens
+          FROM pos GROUP BY 1),
+        sp AS (SELECT (p // 2048)::BIGINT AS seq, doc_id,
+            count(*)::BIGINT AS len, (min(p) % 2048)::BIGINT AS start
+          FROM pos GROUP BY 1, 2),
+        spa AS (SELECT seq, sum(doc_id * (start + len))::BIGINT AS span_sum
+          FROM sp GROUP BY 1),
+        surv AS (SELECT win.seq, n_tokens, span_sum
+          FROM win JOIN spa USING (seq)
+          WHERE win.seq NOT IN (SELECT seq FROM dropped)),
+        tot AS (SELECT ((sum(w) + 2047) // 2048)::BIGINT AS t FROM h),
+        rh AS (SELECT seq // 16 AS shard, n_tokens,
+            ('0x' || substr(md5(seq::VARCHAR || ':' ||
+              n_tokens::VARCHAR || ':' || span_sum::VARCHAR),
+              1, 15))::BIGINT AS r
+          FROM surv),
+        agg AS (SELECT shard, count(*)::BIGINT AS n_windows,
+            sum(n_tokens)::BIGINT AS n_tokens,
+            (sum(r::HUGEINT) % 2305843009213693951)::BIGINT AS checksum
+          FROM rh GROUP BY 1),
+        sk AS (SELECT unnest(range(0,
+            (SELECT (t + 15) // 16 FROM tot)))::BIGINT AS shard),
+        ske AS (SELECT shard,
+            (least((SELECT t FROM tot), (shard + 1) * 16) -
+              shard * 16)::BIGINT AS expected_windows FROM sk)
+        SELECT ske.shard, expected_windows,
+          coalesce(n_windows, 0)::BIGINT AS n_windows,
+          (expected_windows - coalesce(n_windows, 0))::BIGINT AS holes,
+          ((expected_windows - coalesce(n_windows, 0)) * 1000000 //
+            expected_windows)::BIGINT AS hole_density_micro,
+          coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens, checksum
+        FROM ske LEFT JOIN agg USING (shard) ORDER BY shard""")),
+
     // length-bucketed batch construction: 200-char bands, 8-row
     // batches in portable hash order; every doc learns batch, slot,
     // the batch's padded length and its own padding waste
@@ -2773,6 +2886,34 @@ object Queries {
           CASE WHEN count(*) > 0
             THEN ((sum(f) * 1000000) // count(*))::BIGINT END AS recall_micro
         FROM tp""")),
+
+    // bounded-LSH audit on a HOT corpus — the measured evidence behind
+    // cleanCorpus's bounded-by-default near-dup stage (r17): 2×250
+    // prefix-perturbed replicas of two seed docs (J ≈ 0.9+ pairwise,
+    // one shared (band, key) bucket per band) + 40 ordinary docs, cap
+    // 8 so refinement AND the anchor-star tier both fire. The oracle
+    // simulates the ENTIRE bounded path in SQL (deep 96-row sigs,
+    // per-bucket extension depth, rekey, recount, tier split) — the
+    // summary row pins pair recall (drops by design inside the star),
+    // member COVERAGE (the keep/drop-relevant metric — stays ~10⁶),
+    // and precision (pinned 10⁶ by the exact verify) cross-engine.
+    "dedup_lsh_audit_bounded" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"))
+        val reps = docs.filter(col("doc_id") < 2)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), lit(249L))).as("r"))
+          .select((lit(1000000L) + col("doc_id") * lit(1000L) + col("r"))
+              .as("doc_id"),
+            concat(lit("r"), col("r").cast("string"), lit(" "), col("text"))
+              .as("text"))
+        Dedup.lshBoundedRecallAudit(base.unionByName(reps), col("doc_id"),
+          col("text"), threshold = 0.8, rate = 1.0, maxBucket = 8)
+      },
+      Some(boundedAuditOracle(threshold = 0.8, maxBucket = 8,
+        reps = 250, baseIds = 40, seedIds = 2))),
 
     // asymmetric containment pairs: |A∩B|/|A| ≥ 0.85 — the "doc inside
     // a bigger doc" relation Jaccard-calibrated LSH misses. The oracle
@@ -5928,6 +6069,35 @@ object Queries {
             '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
         FROM p ORDER BY doc_id""")),
 
+    // PII v2: CHECKED identifiers — the synthesized input carries a
+    // Luhn-valid card, a varying card valid only when doc_id%10==9,
+    // a valid IBAN, a varying IBAN valid only at %10==2, a 32-char
+    // high-entropy secret, a 33-char low-entropy reject ('a'*33,
+    // matches the candidate regex, must stay unredacted), an
+    // uncompressed IPv6, and v1's email/ip/phone — so the gate
+    // exercises every validator on both its pass and fail branches.
+    // The oracle reimplements Luhn and IBAN mod-97 as DuckDB list
+    // folds over the SAME interpolated regex constants.
+    "text_redact_v2" -> Entry(
+      (s, dir) => {
+        val withPii = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" card 4111 1111 1111 1111 c2 34000000000000"),
+            pmod(col("doc_id"), lit(10)),
+            lit(" ib DE89370400440532013000 ib2 GB82WEST1234569876543"),
+            pmod(col("doc_id"), lit(10)),
+            lit(" key aB3dE6gH9jK2mN5pQ8sT1vW4yZ7cF0rU lowent "),
+            lit("a" * 33),
+            lit(" v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 contact u"),
+            col("doc_id"),
+            lit("@ex.com ip 10.0."), pmod(col("doc_id"), lit(256)),
+            lit(".7 tel +1 55"), pmod(col("doc_id"), lit(10)),
+            lit(" 0100")).as("__t"))
+        val cols = TextOps.redactPiiV2(col("__t")).map { case (n, c) => c.as(n) }
+        withPii.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+      },
+      Some(redactV2Oracle)),
+
     // per-source drop-reason dashboard: cleanCorpus's verdicts rolled
     // up to (source, reason) counts — the "which source is full of
     // dups / low quality" report a curation run reads first. Pure
@@ -6286,6 +6456,187 @@ object Queries {
   private def minhashOracle(threshold: Double, bands: Int = 16): String =
     s"""WITH ${minhashPairsCte(threshold, bands = bands)}
       SELECT id1, id2, jaccard FROM pairs ORDER BY 1, 2"""
+
+  /** DuckDB mirror of [[TextOps.redactPiiV2]] over the
+   * text_redact_v2 gate's synthesized input: the same interpolated
+   * regex constants, Luhn as a list_sum over the reversed stripped
+   * digits, IBAN mod-97 as a list_reduce fold with a prepended zero
+   * accumulator, the entropy floor as distinct-symbol count + class
+   * diversity, and the checked-literal redaction folds as
+   * list_reduce over list_prepend(text, valid_candidates). */
+  private def redactV2Oracle: String = {
+    // candidate-level validators as SQL lambda bodies over `c`
+    def luhn(c: String): String = {
+      val d = s"reverse(regexp_replace($c, '[ -]', '', 'g'))"
+      s"(list_sum(list_transform(range(1, length($d) + 1), i -> " +
+        s"CASE WHEN i % 2 = 0 THEN " +
+        s"CASE WHEN 2 * (ascii(substr($d, i::INT, 1)) - 48) > 9 " +
+        s"THEN 2 * (ascii(substr($d, i::INT, 1)) - 48) - 9 " +
+        s"ELSE 2 * (ascii(substr($d, i::INT, 1)) - 48) END " +
+        s"ELSE ascii(substr($d, i::INT, 1)) - 48 END)) % 10 = 0)"
+    }
+    def iban(c: String): String = {
+      val r = s"(substr($c, 5) || substr($c, 1, 4))"
+      s"(list_reduce(list_prepend(0, list_transform(" +
+        s"range(1, length($r) + 1), i -> ascii(substr($r, i::INT, 1)))), " +
+        s"(acc, a) -> CASE WHEN a BETWEEN 48 AND 57 " +
+        s"THEN (acc * 10 + a - 48) % 97 " +
+        s"ELSE (acc * 100 + a - 55) % 97 END) = 1)"
+    }
+    def secret(c: String): String =
+      s"(len(list_distinct(list_filter(regexp_split_to_array($c, ''), " +
+        s"x -> length(x) > 0))) >= 16 AND regexp_matches($c, '[a-z]') " +
+        s"AND regexp_matches($c, '[A-Z]') AND regexp_matches($c, '[0-9]'))"
+    s"""WITH p AS (SELECT doc_id,
+          text || ' card 4111 1111 1111 1111 c2 34000000000000' ||
+            (doc_id % 10) ||
+            ' ib DE89370400440532013000 ib2 GB82WEST1234569876543' ||
+            (doc_id % 10) ||
+            ' key aB3dE6gH9jK2mN5pQ8sT1vW4yZ7cF0rU lowent ' ||
+            repeat('a', 33) ||
+            ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 contact u' ||
+            doc_id || '@ex.com ip 10.0.' || (doc_id % 256) ||
+            '.7 tel +1 55' || (doc_id % 10) || ' 0100' AS t
+        FROM documents),
+      v AS (SELECT doc_id, t,
+          list_filter(regexp_extract_all(t, '${TextOps.CardRe}'),
+            c -> ${luhn("c")}) AS cards,
+          list_filter(regexp_extract_all(t, '${TextOps.IbanRe}'),
+            c -> ${iban("c")}) AS ibans,
+          list_filter(regexp_extract_all(t, '${TextOps.SecretRe}'),
+            c -> ${secret("c")}) AS secrets
+        FROM p)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '${TextOps.EmailRe}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(t, '${TextOps.Ipv4Re}'))::BIGINT AS n_ips,
+        len(regexp_extract_all(t, '${TextOps.PhoneRe}'))::BIGINT AS n_phones,
+        len(cards)::BIGINT AS n_cards,
+        len(regexp_extract_all(t, '${TextOps.Ipv6Re}'))::BIGINT AS n_ipv6,
+        len(ibans)::BIGINT AS n_ibans,
+        len(secrets)::BIGINT AS n_secrets,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          list_reduce(list_prepend(
+            list_reduce(list_prepend(
+              list_reduce(list_prepend(t, secrets),
+                (acc, c) -> replace(acc, c, '<SECRET>')), cards),
+              (acc, c) -> replace(acc, c, '<CARD>')), ibans),
+            (acc, c) -> replace(acc, c, '<IBAN>')),
+          '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+          '${TextOps.Ipv6Re}', '<IPV6>', 'g'),
+          '${TextOps.Ipv4Re}', '<IP>', 'g'),
+          '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+      FROM v ORDER BY doc_id"""
+  }
+
+  /** [[Dedup.minhashPairsBounded]] + [[Dedup.lshBoundedRecallAudit]]
+   * in DuckDB SQL, over the dedup_lsh_audit_bounded gate's synthetic
+   * hot corpus (`reps` prefix-perturbed replicas of each doc_id <
+   * `seedIds` seed, plus doc_id < `baseIds` ordinary docs). The
+   * bounded path is simulated term for term: deep (n + refineRows)-
+   * row signatures, per-(band, key) bucket census, extension depth
+   * e = min(⌈ln(bc/cap)/−ln(t)⌉, refineRows), deep-row rekey, size
+   * recount, exact verify inside ≤cap refined buckets, min-id anchor
+   * star over every ORIGINAL bucket that exceeded the cap — so the
+   * two engines cannot drift on the default near-dup semantics
+   * [[graft.operators.Pipeline.cleanCorpus]] now ships. */
+  private def boundedAuditOracle(threshold: Double, maxBucket: Int,
+      reps: Int, baseIds: Int, seedIds: Int, n: Int = 64, bands: Int = 16,
+      refineRows: Int = 32): String = {
+    require(n % bands == 0)
+    val p = Dedup.MinhashP
+    val rows = n / bands
+    val nDeep = n + refineRows
+    val sigExprs = (0 until nDeep).map { i =>
+      s"min((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $p) AS s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"s${b * rows + r}::VARCHAR")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val deepList = (n until nDeep).map(i => s"s$i").mkString("[", ", ", "]")
+    val negLogT = -math.log(threshold)
+    s"""WITH corp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $baseIds
+        UNION ALL
+        SELECT 1000000 + d.doc_id * 1000 + r.range AS doc_id,
+          'r' || r.range::VARCHAR || ' ' || d.text AS text
+        FROM documents d CROSS JOIN range(0, $reps) r
+        WHERE d.doc_id < $seedIds),
+      w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corp),
+      sets AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+        FROM w WHERE len(w) >= 3),
+      sh AS (SELECT doc_id, unnest(ss) AS sh FROM sets),
+      hh AS (SELECT doc_id,
+          ('0x' || substr(md5(sh), 1, 15))::BIGINT % $p AS h FROM sh),
+      sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+      deep AS (SELECT doc_id, $deepList AS dl FROM sig),
+      bandkeys AS ($bandSelects),
+      szs AS (SELECT band, key, count(*) AS bc FROM bandkeys
+        GROUP BY 1, 2 HAVING count(*) > 1),
+      ext AS (SELECT band, key,
+          CASE WHEN bc <= $maxBucket THEN 0
+            ELSE least(ceil(ln(bc::DOUBLE / ${maxBucket.toDouble}) /
+              $negLogT), $refineRows)::INT END AS e
+        FROM szs),
+      rk AS (SELECT b.doc_id, b.band,
+          CASE WHEN x.e > 0 THEN b.key || '|' || array_to_string(
+              list_transform(list_slice(d.dl, 1, x.e), v -> v::VARCHAR), ':')
+            ELSE b.key END AS key
+        FROM bandkeys b JOIN ext x USING (band, key)
+        JOIN deep d ON d.doc_id = b.doc_id),
+      sz2 AS (SELECT band, key, count(*) AS c2 FROM rk
+        GROUP BY 1, 2 HAVING count(*) > 1),
+      small_cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+        FROM rk l JOIN rk r ON l.band = r.band AND l.key = r.key
+          AND l.doc_id < r.doc_id
+        JOIN sz2 s ON s.band = l.band AND s.key = l.key
+        WHERE s.c2 <= $maxBucket),
+      big AS (SELECT b.band, b.key, b.doc_id FROM bandkeys b
+        JOIN ext USING (band, key) WHERE ext.e > 0),
+      anch AS (SELECT band, key, min(doc_id) AS a FROM big GROUP BY 1, 2),
+      star_cand AS (SELECT DISTINCT a AS id1, doc_id AS id2
+        FROM big JOIN anch USING (band, key) WHERE doc_id <> a),
+      cand AS (SELECT id1, id2 FROM small_cand
+        UNION SELECT id1, id2 FROM star_cand),
+      hsets AS (SELECT doc_id, list_distinct(list_transform(ss,
+          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hs FROM sets),
+      pairs AS (SELECT id1, id2 FROM (
+        SELECT c.id1, c.id2,
+          len(list_intersect(a.hs, b.hs))::DOUBLE /
+            len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+        FROM cand c JOIN hsets a ON a.doc_id = c.id1
+        JOIN hsets b ON b.doc_id = c.id2)
+        WHERE jaccard >= $threshold),
+      truth AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM hsets a JOIN hsets b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.hs, b.hs))::DOUBLE /
+          len(list_distinct(list_concat(a.hs, b.hs))) >= $threshold),
+      tp AS (SELECT count(*)::BIGINT AS true_pairs,
+          coalesce(sum(CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END),
+            0)::BIGINT AS found_pairs
+        FROM truth t LEFT JOIN pairs p ON p.id1 = t.id1 AND p.id2 = t.id2),
+      tdocs AS (SELECT id1 AS doc_id FROM truth UNION SELECT id2 FROM truth),
+      fdocs AS (SELECT id1 AS doc_id FROM pairs UNION SELECT id2 FROM pairs),
+      cov AS (SELECT count(*)::BIGINT AS truth_docs,
+          coalesce(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END),
+            0)::BIGINT AS covered_docs
+        FROM tdocs t LEFT JOIN fdocs f ON f.doc_id = t.doc_id),
+      pr AS (SELECT count(*)::BIGINT AS fnd,
+          coalesce(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END),
+            0)::BIGINT AS tp2
+        FROM pairs p LEFT JOIN truth t ON t.id1 = p.id1 AND t.id2 = p.id2)
+    SELECT true_pairs, found_pairs,
+      CASE WHEN true_pairs > 0
+        THEN (found_pairs * 1000000) // true_pairs END AS recall_micro,
+      truth_docs, covered_docs,
+      CASE WHEN truth_docs > 0
+        THEN (covered_docs * 1000000) // truth_docs END AS coverage_micro,
+      CASE WHEN fnd > 0
+        THEN (tp2 * 1000000) // fnd END AS precision_micro
+    FROM tp, cov, pr"""
+  }
 
   /** Exact 8-gram decontamination vs the `doc_id % 97 == 0` eval
    * slice — shared by `text_decontaminate` (broadcast grams) and

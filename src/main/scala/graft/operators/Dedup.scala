@@ -384,26 +384,47 @@ object Dedup {
    *     DIVERSE oversized bucket (distinct near-dup families sharing
    *     one band key) splits into its families and those verify
    *     exactly.
-   *  2. ANCHOR-STAR FALLBACK for buckets STILL over the cap after
-   *     refinement — which is precisely the near-identical-cluster
-   *     case, where members share most minima and no key depth can
-   *     split them (measured: J≈0.93 copies split ~0.7× per extra
-   *     row; ProbeHotBucket r16). Such a bucket verifies only
-   *     (min-id anchor, member) pairs — O(k) per bucket, ids-only
-   *     buffering (never the O(k·setsize) struct buffer) — so cost
-   *     and output stay linear in the cluster while [[clusters]]
-   *     still groups every anchor-connected member.
+   *  2. ANCHOR STAR over every ORIGINAL bucket that exceeded the
+   *     cap: the bucket verifies (min-id anchor, member) pairs for
+   *     ALL its members — O(k) per bucket, ids-only buffering (never
+   *     the O(k·setsize) struct buffer) — so cost and output stay
+   *     linear in the cluster while [[clusters]] still groups every
+   *     anchor-connected member. The star runs on the PRE-refinement
+   *     membership (r17): the deep-row extension is shared across
+   *     bands, so a member whose perturbation steals one deep
+   *     minimum leaves the mother sub-bucket in every band at once —
+   *     starring only refinement-resistant refined buckets measurably
+   *     orphaned ~35% of a J≈0.9 cluster at a tiny cap
+   *     (dedup_lsh_audit_bounded). Near-identical clusters resist
+   *     refinement anyway (J≈0.93 copies split ~0.7× per extra row;
+   *     ProbeHotBucket r16), so the star is the load-bearing tier
+   *     there.
    *
    * Semantics: every emitted pair is exact-verified ≥ threshold
    * (precision unchanged); output ⊆ [[minhashPairs]]' pair set, with
-   * EQUALITY when no refined bucket exceeds `maxBucket`
-   * (spec-pinned). Inside a star-capped cluster, pair recall is
-   * deliberately reduced to the anchor star — the
-   * recall-for-boundedness trade the embedding path documents, and
-   * what a curator wants from a 10⁵-copy boilerplate cluster (its
-   * members are interchangeable). The default [[minhashPairs]]
-   * remains the exact-recall path; opt in where hot buckets are
-   * expected.
+   * EQUALITY when no (band, key) bucket exceeds `maxBucket` BEFORE
+   * refinement (spec-pinned). Equality is stated on the original
+   * buckets, not the refined ones: refining a DIVERSE oversized
+   * bucket splits it by deep-signature rows, and a ≥-threshold pair
+   * whose members land in different sub-buckets (and share no other
+   * band) is dropped even though every refined bucket ends under the
+   * cap — once any bucket refines, only the subset guarantee holds.
+   * Inside a star-capped cluster, pair recall is deliberately
+   * reduced to the anchor star — the recall-for-boundedness trade
+   * the embedding path documents, and what a curator wants from a
+   * 10⁵-copy boilerplate cluster (its members are interchangeable);
+   * [[lshBoundedRecallAudit]] MEASURES that trade (pair recall,
+   * member coverage, precision) on a given corpus. [[minhashPairs]]
+   * remains the exact-recall path ([[Pipeline.cleanCorpus]] defaults
+   * to THIS one since r17 — a web-scale crawl always contains hot
+   * clusters; opt out via `lshMaxBucket = Int.MaxValue`).
+   *
+   * Laziness: the intermediate frames are multi-consumer and are
+   * local-checkpointed with `eager = false` (persist-on-first-action
+   * + lineage truncation) — building the returned frame runs NO
+   * Spark jobs; the first action materializes each stage once and
+   * later consumers reuse the blocks, same sharing as the eager form
+   * without surprising plan-only callers.
    */
   def minhashPairsBounded(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
@@ -411,9 +432,11 @@ object Dedup {
     require(n % bands == 0,
       s"bands ($bands) must divide the signature width ($n)")
     require(maxBucket >= 2, "maxBucket must be >= 2")
-    val sets = shingled(df, id, text, shingleK).localCheckpoint()
+    val sets = shingled(df, id, text, shingleK)
+      .localCheckpoint(eager = false)
     val sigs = sigsOf(sets, n + RefineRows)
-      .localCheckpoint() // consumed by band keys AND the deep-row join
+      // consumed by band keys AND the deep-row join
+      .localCheckpoint(eager = false)
     val keyed = bandKeys(sigs, bands, n)
     val sizes = keyed.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__bc")).filter(col("__bc") > 1)
@@ -431,11 +454,13 @@ object Dedup {
             x => x.cast("string")), ":")))
         .otherwise(col("key")))
       .select(col("band"), col("key2").as("key"), col("doc_id"))
-      .localCheckpoint() // consumed by the size recount + both tiers
+      // consumed by the size recount + tier 1
+      .localCheckpoint(eager = false)
     val sizes2 = rekeyed.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__c2")).filter(col("__c2") > 1)
     val hsets = hashedSets(sets)
-      .localCheckpoint() // consumed by the struct tier + per-pair verify
+      // consumed by the struct tier + per-pair verify
+      .localCheckpoint(eager = false)
     // tier 1: refined buckets within the cap — the exact struct verify
     val smallHs = rekeyed
       .join(sizes2.filter(col("__c2") <= maxBucket)
@@ -444,14 +469,23 @@ object Dedup {
       .select(col("band"), col("key"),
         struct(col("doc_id"), col("hs")).as("e"))
     val smallPairs = bucketStructVerify(smallHs, threshold)
-    // tier 2: buckets refinement could not split — anchor star,
-    // ids-only buffering, verified per pair
-    val bigMembers = rekeyed
-      .join(sizes2.filter(col("__c2") > maxBucket)
-        .select(col("band"), col("key")), Seq("band", "key"))
-    val anchors = bigMembers.groupBy(col("band"), col("key"))
+    // tier 2: every ORIGINAL bucket over the cap gets a full-
+    // membership anchor star — ids-only buffering, verified per pair.
+    // Starring the original bucket (r17; previously only refined
+    // buckets still over the cap) is what keeps COVERAGE: the deep-
+    // row extension is SHARED across bands, so a member whose
+    // perturbation steals even one deep minimum falls out of the
+    // mother sub-bucket in EVERY band simultaneously and — when its
+    // own sub-buckets are singletons — would otherwise end up in no
+    // pair at all (measured 35% of a J≈0.9 hot cluster at cap 8,
+    // dedup_lsh_audit_bounded). The star is O(bucket) per band
+    // either way; refined ≤cap sub-buckets still verify exactly in
+    // tier 1 for precision clustering.
+    val hotOrig = keyed.join(sized.filter(col("__ext") > 0)
+      .select(col("band"), col("key")), Seq("band", "key"))
+    val anchors = hotOrig.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("__a"))
-    val starCands = bigMembers.join(anchors, Seq("band", "key"))
+    val starCands = hotOrig.join(anchors, Seq("band", "key"))
       .filter(col("doc_id") =!= col("__a"))
       .select(col("__a").as("id1"), col("doc_id").as("id2"))
       .distinct()
@@ -609,6 +643,97 @@ object Dedup {
       .withColumn("recall_micro", when(col("true_pairs") > 0,
         graft.functions.ldiv(col("found_pairs") * lit(1000000L),
           col("true_pairs"))))
+  }
+
+  /**
+   * [[lshRecallAudit]] for the BOUNDED path — measure what
+   * [[minhashPairsBounded]]'s recall-for-boundedness trade actually
+   * costs on a given corpus, instead of trusting the star-cap
+   * analysis. On a deterministic `rate` sample, compute the exact
+   * all-pairs ground truth and compare against
+   * `minhashPairsBounded(..., maxBucket)` on the same sample. One
+   * summary row:
+   *
+   *  - `true_pairs` / `found_pairs` / `recall_micro` — as in
+   *    [[lshRecallAudit]]; on a hot corpus recall drops by design
+   *    (a k-member star emits k−1 of its cluster's ~k²/2 pairs).
+   *  - `truth_docs` / `covered_docs` / `coverage_micro` — the
+   *    curator-relevant metric the pair count hides: of the docs
+   *    appearing in ≥ 1 TRUE pair, how many appear in ≥ 1 FOUND
+   *    pair. The full-original-bucket anchor star keeps a capped
+   *    cluster's members connected whenever they verify ≥ t against
+   *    the anchor, so coverage stays ~10⁶ on genuine near-dup
+   *    clusters even where pair recall collapses — and
+   *    [[clusters]]/[[Pipeline.cleanCorpus]] decide keep/drop from
+   *    connectivity, not pair multiplicity. (This row is what caught
+   *    the r16 refined-only star orphaning ~35% of a hot cluster.)
+   *  - `precision_micro` — ⌊(found ∩ true)·10⁶ / found⌋: pinned at
+   *    10⁶ by the exact verify; the audit asserts it instead of
+   *    assuming it.
+   *
+   * Same budget knob as [[lshRecallAudit]] (`rate`; ground truth is
+   * O((rate·N)²)). Run it whenever `maxBucket` or the duplicate
+   * structure changes — in particular on boilerplate-heavy corpora,
+   * where this row is the measured evidence behind
+   * [[Pipeline.cleanCorpus]]'s bounded-by-default near-dup stage.
+   */
+  def lshBoundedRecallAudit(df: DataFrame, id: Column, text: Column,
+      threshold: Double, rate: Double, n: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    val sample = df.filter(Sampling.fraction(id) < lit(rate))
+      .localCheckpoint() // truth chain + the bounded pipeline
+    val sets = shingled(sample, id, text, shingleK).localCheckpoint()
+    val hsets = hashedSets(sets)
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint() // truth join consumes both sides
+    val truth = hsets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
+      .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")),
+        col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint() // consumed by pair join + doc-coverage sides
+    val found = minhashPairsBounded(sample, id, text, threshold, n,
+        bands, shingleK, maxBucket)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint() // consumed by pair join + coverage + precision
+    val pairStats = truth
+      .join(found.withColumn("__f", lit(1L)), Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("true_pairs"),
+        coalesce(sum(coalesce(col("__f"), lit(0L))), lit(0L))
+          .as("found_pairs"))
+    def docsOf(pairsDf: DataFrame): DataFrame =
+      pairsDf.select(col("id1").as("doc_id"))
+        .unionByName(pairsDf.select(col("id2").as("doc_id")))
+        .distinct()
+    val coverage = docsOf(truth)
+      .join(docsOf(found).withColumn("__c", lit(1L)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("truth_docs"),
+        coalesce(sum(coalesce(col("__c"), lit(0L))), lit(0L))
+          .as("covered_docs"))
+    val prec = found
+      .join(truth.withColumn("__t", lit(1L)), Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("__found2"),
+        coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L)).as("__tp"))
+    // three 1-row frames → one summary row; broadcast-joined on
+    // nothing (literal key), never corpus-sized
+    pairStats.withColumn("__k", lit(1))
+      .join(coverage.withColumn("__k", lit(1)), "__k")
+      .join(prec.withColumn("__k", lit(1)), "__k")
+      .select(col("true_pairs"), col("found_pairs"),
+        when(col("true_pairs") > 0,
+          graft.functions.ldiv(col("found_pairs") * lit(1000000L),
+            col("true_pairs"))).as("recall_micro"),
+        col("truth_docs"), col("covered_docs"),
+        when(col("truth_docs") > 0,
+          graft.functions.ldiv(col("covered_docs") * lit(1000000L),
+            col("truth_docs"))).as("coverage_micro"),
+        when(col("__found2") > 0,
+          graft.functions.ldiv(col("__tp") * lit(1000000L),
+            col("__found2"))).as("precision_micro"))
   }
 
   /**

@@ -189,6 +189,91 @@ object Export {
       .agg(sum(col("c")).as("n_docs"), min(col("k")).as("min_key"),
         max(col("k")).as("max_key"))
 
+  /**
+   * Post-takedown manifest for PACKED WINDOW layouts — the
+   * densitometer [[graft.operators.Packing.windowsTakedown]] leaves
+   * the curator without: takedown drops whole windows and leaves
+   * `seq` holes a dataloader must skip, and nothing in the windows
+   * frame says how degraded each shard-range has become or proves
+   * which windows survived unchanged. One row per `windowsPerShard`-
+   * window coordinate range (the same contiguous ranges
+   * [[graft.operators.Packing.shardAssignments]] schedules writers
+   * over):
+   *
+   *  - `expected_windows` (the range's size in the ORIGINAL layout,
+   *    from `totalWindows` — the pre-takedown window count the
+   *    curator has from the pack step), `n_windows` surviving,
+   *    `holes`, and `hole_density_micro = ⌊holes·10⁶/expected⌋`.
+   *  - `n_tokens`: surviving token volume.
+   *  - `checksum`: order-free `Σ hash60(seq‖':'‖n_tokens‖':'‖
+   *    span_sum) mod 2⁶¹−1` over surviving windows, where `span_sum`
+   *    is the doc-span fold `Σ doc_id·(start+len)` — so a re-read
+   *    proves the survivors are the SAME windows at the SAME
+   *    coordinates with the SAME doc composition, without re-hashing
+   *    token payloads (the spans trace is the takedown unit, so it
+   *    is also the right integrity unit). Shards whose every window
+   *    dropped still emit their row (holes = expected, null
+   *    checksum).
+   *
+   * REPACK THRESHOLD (the documented trigger for the from-scratch
+   * [[graft.operators.Packing.packSequences]] rebuild): repack when
+   * global hole density exceeds ~20% (⌊Σholes·10⁶/Σexpected⌋ >
+   * 200000) or any single shard exceeds ~50% — below that, skipping
+   * holes costs a dataloader a seek per hole and the layout keeps
+   * its coordinates; above it, most of every shard read is waste and
+   * the per-shard accounting here no longer amortizes the scan. The
+   * thresholds are operational (seek overhead vs rebuild cost), not
+   * statistical — a compliance-driven takedown of any size is
+   * already complete once the windows are dropped.
+   *
+   * Scale shape: one map-side-combined rollup over (window → shard
+   * range) rows — the span fold is per-window, nothing shuffles but
+   * the ≤ totalWindows/windowsPerShard summary rows; the shard
+   * skeleton is a `spark.range` of that same size.
+   */
+  def windowsManifest(windows: DataFrame, totalWindows: Long,
+      windowsPerShard: Long): DataFrame = {
+    require(windowsPerShard > 0, "windowsPerShard must be > 0")
+    require(totalWindows >= 0, "totalWindows must be >= 0")
+    require(windows.columns.contains("doc_spans"),
+      "windowsManifest needs the doc_spans trace (materialize windows " +
+        "with the span-carrying overload) — it is the takedown unit, " +
+        "so it is the integrity unit too")
+    val nShards = (totalWindows + windowsPerShard - 1) / windowsPerShard
+    val spanSum = aggregate(col("doc_spans"), lit(0L), (a, x) =>
+      a + x.getField("doc_id") * (x.getField("start") + x.getField("len")))
+    val rh = graft.functions.Hash60Expr.hash60(concat(
+      col("seq").cast("string"), lit(":"), col("n_tokens").cast("string"),
+      lit(":"), col("__ss").cast("string")))
+    val perShard = windows
+      .select(col("seq"), col("n_tokens"), spanSum.as("__ss"))
+      .select(graft.functions.ldiv(col("seq"), lit(windowsPerShard))
+          .as("shard"),
+        col("n_tokens"), rh.as("__rh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // same DECIMAL-exact mod-Mersenne sum as [[manifest]]
+        pmod(sum(col("__rh").cast("decimal(38,0)")),
+          lit(2305843009213693951L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+    val skeleton = windows.sparkSession.range(nShards)
+      .select(col("id").as("shard"),
+        (least(lit(totalWindows), (col("id") + 1) * windowsPerShard) -
+          col("id") * windowsPerShard).as("expected_windows"))
+    skeleton.join(perShard, Seq("shard"), "left")
+      .select(col("shard"), col("expected_windows"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        (col("expected_windows") - coalesce(col("n_windows"), lit(0L)))
+          .as("holes"),
+        graft.functions.ldiv(
+          (col("expected_windows") - coalesce(col("n_windows"), lit(0L))) *
+            lit(1000000L), col("expected_windows"))
+          .as("hole_density_micro"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("checksum"))
+  }
+
   private def rangedCuts(df: DataFrame, key: Column, n: Int): DataFrame = {
     require(n >= 1, "need at least one shard")
     // same cast-then-filter rule as [[rangedShards]]: uncastable keys

@@ -248,6 +248,100 @@ object Packing {
   }
 
   /**
+   * WHOLE-DOC (no-split) packing — the fine-tune/contrastive layout
+   * [[packSequences]] deliberately is not: every doc lands INTACT in
+   * exactly one `seqLen`-capacity window (packSequences cuts docs at
+   * window boundaries — correct for pretraining, wrong for setups
+   * whose loss treats a window's docs as complete units). Docs longer
+   * than `seqLen` cannot be placed whole: they flag `oversize` with a
+   * null `seq` (route them to [[packSequences]] or truncate upstream
+   * — a silent cut here would corrupt the no-split contract); empty
+   * docs occupy no window (null `seq`, like n_seqs = 0).
+   *
+   * The placement is HARMONIC banding (the classic harmonic bin-
+   * packing family): a doc of length `len` joins band
+   * `k = seqLen div len` — the largest count of its band's docs that
+   * provably fits, since every band-k doc has len ≤ seqLen/k — and
+   * each band packs k docs per window in the portable
+   * (hash60(id), id) order. Greedy first-fit inside a length band
+   * equals this k-per-window walk (all members fit k-wise, none
+   * (k+1)-wise at the band's top length), and unlike true global
+   * first-fit it needs NO sequential bin state — so it distributes:
+   * ranks come from the same 4096-bucket two-level prefix as
+   * [[packSequences]] (window functions only ever see a
+   * (bucket, band) slice), window ids are globalized by a broadcast
+   * ≤4096·#bands prefix frame, and nothing corpus-sized sits in any
+   * buffer. Waste is bounded per window: a band-k window's k docs
+   * each exceed seqLen/(k+1), so slack < seqLen·(1 − k/(k+1)) =
+   * seqLen/(k+1) except in each band's final partial window.
+   *
+   * Output: input row + `len`, `band_k`, `seq` (global window id,
+   * contiguous from 0 in (bucket, band) order), `pos` (0-based slot
+   * in the window), `oversize`. Deterministic: a pure function of
+   * (id, len) — stable across runs, engines, partitionings.
+   * Compose with [[materializeWholeDocWindows]] for token payloads +
+   * the `doc_spans` trace [[windowsTakedown]] consumes.
+   */
+  def packWholeDocs(df: DataFrame, id: Column, nTokens: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be > 0")
+    val base = df
+      .withColumn("_h", graft.functions.Hash60Expr.hash60(id.cast("string")))
+      .withColumn("len", nTokens.cast("long"))
+      .withColumn("oversize", col("len") > seqLen)
+      .withColumn("band_k", when(col("len").between(1L, seqLen),
+        ldiv(lit(seqLen), col("len"))))
+      .withColumn("_bkt", shiftright(col("_h"), 48))
+    val placeable = col("band_k").isNotNull
+    // windows per (bucket, band) → global window-id prefix, ordered
+    // (bucket, band): ≤ 4096·#bands rows, broadcast back
+    val winCounts = base.filter(placeable)
+      .groupBy(col("_bkt"), col("band_k"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_wins",
+        ldiv(col("_cnt") + col("band_k") - 1, col("band_k")))
+      .withColumn("_wbefore", coalesce(
+        sum(col("_wins")).over(Window.orderBy(col("_bkt"), col("band_k"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("band_k"), col("_wbefore"))
+    val inSlice = Window.partitionBy(col("_bkt"), col("band_k"))
+      .orderBy(col("_h"), id)
+    base.join(broadcast(winCounts), Seq("_bkt", "band_k"), "left")
+      .withColumn("_rank",
+        when(placeable, row_number().over(inSlice).cast("long") - 1))
+      .withColumn("seq",
+        when(placeable, col("_wbefore") + ldiv(col("_rank"), col("band_k"))))
+      .withColumn("pos",
+        when(placeable, col("_rank") - ldiv(col("_rank"), col("band_k")) *
+          col("band_k")))
+      .drop("_h", "_bkt", "_wbefore", "_rank")
+  }
+
+  /**
+   * Materialize [[packWholeDocs]]' layout into training windows with
+   * the same schema as [[materializeWindows]]' span-carrying overload
+   * (`seq, token_ids, doc_spans, n_tokens`) — so
+   * [[windowsTakedown]], [[Export]] sharding, and every other
+   * windows-frame consumer composes unchanged. Internally it IS that
+   * operator: a whole-doc placement is a packed layout with
+   * `start_seq = seq`, `n_seqs = 1`, and `offset` = the summed
+   * lengths of the window's earlier slots (a window-local prefix —
+   * each window holds ≤ band_k docs, never a corpus-sized
+   * partition). Oversize/empty docs are excluded by construction
+   * (null `seq`).
+   */
+  def materializeWholeDocWindows(placed: DataFrame, id: Column,
+      tokens: Column, seqLen: Long): DataFrame = {
+    val offsets = Window.partitionBy(col("seq")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = placed.filter(col("seq").isNotNull)
+      .withColumn("start_seq", col("seq"))
+      .withColumn("offset", coalesce(sum(col("len")).over(offsets), lit(0L)))
+      .withColumn("n_seqs", lit(1L))
+    materializeWindows(packed, id, tokens, seqLen)
+  }
+
+  /**
    * Length-bucketed batch construction — the padding-minimizing
    * alternative to [[packSequences]]' concatenation for training
    * setups that pad rather than pack (fine-tuning, contrastive,

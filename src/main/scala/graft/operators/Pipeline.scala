@@ -223,14 +223,21 @@ object Pipeline {
    * frame back to the corpus on doc_id (two full-volume shuffles the
    * carry avoids — the carried column rides projections only).
    *
-   * `lshMaxBucket`: opt-in hot-bucket guard for the near-dup stage —
-   * below `Int.MaxValue` the LSH pairs come from
+   * `lshMaxBucket`: hot-bucket guard for the near-dup stage — ON BY
+   * DEFAULT since r17 (4096, [[Dedup.minhashPairsBounded]]'s own
+   * default): below `Int.MaxValue` the LSH pairs come from
    * [[Dedup.minhashPairsBounded]] (oversized buckets refine, then
    * star-cap), so a 10⁵-copy slightly-perturbed boilerplate cluster
    * costs O(k) instead of walling the pipeline at ~k²/2 verified
-   * pairs. Drop/cluster decisions are unchanged wherever no bucket
-   * exceeds the cap (the bounded path is then bit-identical); inside
-   * a capped cluster the drop set follows the refined buckets and
+   * pairs — ProbeHotBucket measured the exact path at HOURS for a
+   * k = 10⁵ cluster, a shape every web-scale crawl contains (cookie
+   * banners, parked domains), which is why the safe path is no
+   * longer opt-in. Pass `Int.MaxValue` to opt OUT into the exact
+   * maximal-recall path ([[Dedup.minhashPairs]]) when the corpus is
+   * known hot-bucket-free. Drop/cluster decisions are unchanged
+   * wherever no (band, key) bucket exceeds the cap before refinement
+   * (the bounded path is then bit-identical — spec-pinned); inside a
+   * capped cluster the drop set follows the refined buckets and
    * anchor stars — each refined sub-bucket keeps its own min-id, so
    * a HANDFUL of keepers survive where the exact path keeps exactly
    * one (spec-pinned ~5× collapse at a tiny cap). The
@@ -245,7 +252,8 @@ object Pipeline {
       benchText: Column = col("text"),
       lshBands: Int = 16,
       carryCols: Seq[String] = Nil,
-      lshMaxBucket: Int = Int.MaxValue): DataFrame = {
+      lshMaxBucket: Int = 4096,
+      maxPiiHits: Long = Long.MaxValue): DataFrame = {
     // bounded per-group state: only min(doc_id) aggregates; the dup
     // ids come from joining the fingerprint frame back (a 10^8-times-
     // duplicated boilerplate doc must not build a 10^8-element array
@@ -304,11 +312,24 @@ object Pipeline {
       TextOps.decontaminate(nonEmpty, id, text, b, benchText)
         .filter(col("contaminated"))
         .select(col("doc_id")).withColumn("__contam", lit(true)))
+    // PII census stage (off at the default ∞ cap): docs whose total
+    // checked-PII count (redactPiiV2 classes — Luhn cards, mod-97
+    // IBANs, emails, IPs, phones, secrets) exceeds the cap drop as
+    // "pii" — the curation policy for PII-laden pages; survivors are
+    // redacted downstream (TextOps.redactPiiV2 on the keeper scan),
+    // never here, so the verdict frame stays text-free. One codegen'd
+    // expression over the existing corpus scan family — no shuffle.
+    val piiFlags =
+      if (maxPiiHits == Long.MaxValue) None
+      else Some(nonEmpty.select(id.as("doc_id"),
+          TextOps.piiHits(text).as("__npii"))
+        .filter(col("__npii") > maxPiiHits)
+        .select(col("doc_id")).withColumn("__pii", lit(true)))
 
     // drop lists can be a large fraction of the corpus on real data —
     // no broadcast hint; AQE broadcasts them when they turn out small
     val joined = Seq(Some(exactDups), Some(nearDups), pplFlags, repFlags,
-        conFlags)
+        conFlags, piiFlags)
       .flatten.foldLeft(scored)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
     val pplCond =
       pplFlags.fold(lit(false))(_ => col("__ppl").isNotNull && col("__ppl"))
@@ -316,6 +337,8 @@ object Pipeline {
       repFlags.fold(lit(false))(_ => col("__repet").isNotNull && col("__repet"))
     val contamCond =
       conFlags.fold(lit(false))(_ => col("__contam").isNotNull && col("__contam"))
+    val piiCond =
+      piiFlags.fold(lit(false))(_ => col("__pii").isNotNull && col("__pii"))
     joined
       .withColumn("reason",
         when(col("__empty"), "empty")
@@ -326,6 +349,7 @@ object Pipeline {
           .when(pplCond, "perplexity")
           .when(repetCond, "repetition")
           .when(contamCond, "contaminated")
+          .when(piiCond, "pii")
           .otherwise("keep"))
       .select(Seq(col("doc_id"), (col("reason") === "keep").as("keep"),
         col("reason")) ++ carryCols.map(col): _*)

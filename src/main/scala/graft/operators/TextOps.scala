@@ -553,6 +553,121 @@ object TextOps {
       PhoneRe, "<PHONE>"),
   )
 
+  // ---- PII v2: checked identifiers + secret literals --------------------
+  // Same dialect discipline as v1 (RE2 ∩ Java, no \b, no backrefs;
+  // oracle SQL interpolates these SAME constants). Candidate regexes
+  // deliberately over-match; the CHECK (Luhn, IBAN mod-97, entropy
+  // floor) decides counts and redaction — pattern-only card/IBAN
+  // detectors flag every 16-digit run, which is useless on crawl text.
+  /** 13-19 digits with optional single space/hyphen separators. */
+  private[graft] val CardRe = "[0-9]([ -]?[0-9]){12,18}"
+  /** Uncompressed-form IPv6: 5-8 hex groups (≥4 colons keeps
+   * clock-like `12:30:45` strings out; `::`-compressed forms are out
+   * of scope and documented so). */
+  private[graft] val Ipv6Re = "([0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}"
+  /** IBAN shape: country code + 2 check digits + 11-30 alphanumerics
+   * (shortest real IBAN is 15 chars, longest 33). */
+  private[graft] val IbanRe = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+  /** API-key/secret candidate: a 32+-char run over the base64/url
+   * token alphabet. */
+  private[graft] val SecretRe = "[A-Za-z0-9+/=_-]{32,}"
+
+  /** Luhn checksum over a card CANDIDATE (separators stripped):
+   * from the right, double every second digit (−9 when > 9); valid
+   * iff the sum ≡ 0 (mod 10). Pure integer fold over the reversed
+   * digit string — codegen'd, engine-portable. */
+  private[graft] def luhnValid(cand: Column): Column =
+    let(reverse(regexp_replace(cand, "[ -]", ""))) { d =>
+      pmod(aggregate(sequence(lit(1), length(d)), lit(0), (acc, i) =>
+        acc + let(ascii(d.substr(i, lit(1))) - lit(48)) { v =>
+          when(pmod(i, lit(2)) === 0,
+            when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+        }), lit(10)) === 0
+    }
+
+  /** ISO 13616 IBAN check: move the first 4 chars to the end, map
+   * letters to 10..35, and fold the resulting digit string mod 97
+   * per character (digits shift one decimal place, letters two) —
+   * valid iff the remainder is 1. The per-char running mod keeps the
+   * fold in Long range regardless of IBAN length. */
+  private[graft] def ibanValid(cand: Column): Column =
+    let(concat(cand.substr(lit(5), length(cand) - 4),
+        cand.substr(lit(1), lit(4)))) { r =>
+      aggregate(sequence(lit(1), length(r)), lit(0L), (acc, i) =>
+        let(ascii(r.substr(i, lit(1))).cast("long")) { a =>
+          when(a.between(48, 57), pmod(acc * 10 + a - 48, lit(97L)))
+            .otherwise(pmod(acc * 100 + a - 55, lit(97L)))
+        }) === 1L
+    }
+
+  /** Entropy floor for a secret CANDIDATE, integer-exact by design:
+   * ≥ 16 distinct characters (≥ 4 bits of max-entropy — a float
+   * Shannon estimate would gate-hash-drift at the threshold) AND all
+   * three of lower/upper/digit present (kills `aaaa…` runs and long
+   * hex dumps of one case). The standard detect-secrets heuristic,
+   * made engine-portable. */
+  private[graft] def secretLike(cand: Column): Column =
+    // the empty-delimiter split's empty-string artifacts differ by
+    // engine — drop them before counting distinct symbols
+    size(array_distinct(filter(split(cand, ""), x => length(x) > 0))) >= 16 &&
+      regexp_count(cand, lit("[a-z]")) > 0 &&
+      regexp_count(cand, lit("[A-Z]")) > 0 &&
+      regexp_count(cand, lit("[0-9]")) > 0
+
+  /** Literal-fold redaction: replace every CHECKED candidate (the
+   * `valid`-filtered matches of `re`) with `tag` — regexp_replace
+   * cannot condition on a checksum, so the replace is a fold of
+   * literal `replace()` calls over the validated match list. */
+  private def redactChecked(text: Column, re: String, tag: String,
+      valid: Column => Column): Column =
+    aggregate(filter(regexp_extract_all(text, lit(re), lit(0)), valid),
+      text, (acc, c) => replace(acc, c, lit(tag)))
+
+  /**
+   * [[redactPii]] v2 — the crawl-curation breadth a 100-TB corpus
+   * ships with: v1's email/IPv4/phone plus CHECKED credit cards
+   * (Luhn), CHECKED IBANs (mod-97), uncompressed IPv6, and
+   * high-entropy secret literals ([[secretLike]]). Counts are
+   * per-class over the ORIGINAL text; `redacted` applies checked
+   * literal folds first (longest classes first: secrets, cards,
+   * IBANs — their candidates can embed shorter patterns), then the
+   * regex classes in v1 order with IPv6 before IPv4. Pure
+   * regexp/fold codegen — scan-bound, no shuffle, no UDF. Candidates
+   * failing their check stay unredacted by design (a 16-digit run
+   * that fails Luhn is a phone-ish number, not a card). */
+  def redactPiiV2(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)).cast("long"),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)).cast("long"),
+    "n_cards" -> size(filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+      luhnValid(_))).cast("long"),
+    "n_ipv6" -> regexp_count(text, lit(Ipv6Re)).cast("long"),
+    "n_ibans" -> size(filter(regexp_extract_all(text, lit(IbanRe), lit(0)),
+      ibanValid(_))).cast("long"),
+    "n_secrets" -> size(filter(regexp_extract_all(text, lit(SecretRe), lit(0)),
+      secretLike(_))).cast("long"),
+    "redacted" -> regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            redactChecked(
+              redactChecked(
+                redactChecked(text, SecretRe, "<SECRET>", secretLike),
+                CardRe, "<CARD>", luhnValid),
+              IbanRe, "<IBAN>", ibanValid),
+            EmailRe, "<EMAIL>"),
+          Ipv6Re, "<IPV6>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>"),
+  )
+
+  /** Total v2 PII hits per doc — the scalar [[graft.operators
+   * .Pipeline.cleanCorpus]]'s optional `maxPiiHits` stage thresholds
+   * on. One expression over the scan, no extra pass. */
+  def piiHits(text: Column): Column =
+    redactPiiV2(text).collect { case (n, c) if n.startsWith("n_") => c }
+      .reduce(_ + _)
+
   /** Single-evaluation let-binding: evaluates `c` once and passes the
    * result to `f` via a one-element array + lambda, so expressions
    * that need their input twice (e.g. size + slice) don't recompute

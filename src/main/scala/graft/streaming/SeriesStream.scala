@@ -296,6 +296,94 @@ object SeriesStream {
       .start()
 
   /**
+   * SELF-MAINTAINING streaming ANN index — [[admitIndexedStream]]'s
+   * discipline applied to the IVF/PQ artifact pair: every micro-batch
+   * of `(vec_id, embedding)` rows folds into BOTH standing artifacts
+   * at batch cost ([[graft.operators.Similarity.ivfIndexUpsert]] —
+   * batch·C assignment work; [[graft.operators.Similarity.pqUpsert]]
+   * — batch·K·m encode work; the standing corpus is never re-read),
+   * so the persisted indexes always answer for everything ingested
+   * with no rebuild ever. Centroids and codebook are FIXED artifacts
+   * (trained offline — the standing-index contract everywhere in
+   * this family: a retrain is a new index). Seed standing artifacts
+   * built by the batch operators via [[seedArtifact]].
+   *
+   * `screenMaxD2Micro` turns on SEMANTIC ADMISSION: each batch
+   * vector ADC-probes the CURRENT code artifact — the codes as of
+   * the previous batch, exactly what "is this new content?" means
+   * mid-stream — and only vectors whose nearest standing neighbor
+   * is further than the threshold reach the sink and the indexes
+   * ([[graft.operators.Similarity.admitSemantic]]). The admitted set
+   * is PERSISTED per batch (`<pqCodesPath>.admitted/b<id>`,
+   * overwrite-by-batch-id) BEFORE the code swap commits, and the IVF
+   * update replays from that persisted set — so a crash between the
+   * two artifact swaps re-runs to the identical state instead of
+   * re-screening against already-updated codes (which would reject
+   * the batch against itself). Both artifacts ride
+   * [[artifactUpdateBatch]]'s marker/swap discipline; the sink is
+   * AT-LEAST-ONCE with deterministic content, same as
+   * [[admitIndexedStream]].
+   *
+   * Spec-pinned: a replayed/restarted stream ends with ivf index ≡
+   * from-scratch [[graft.operators.Similarity.ivfIndex]] and codes ≡
+   * from-scratch [[graft.operators.Similarity.pqEncode]] over the
+   * admitted corpus, and screening decisions use the CURRENT index.
+   */
+  def annIndexStream(vecs: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, ivfIndexPath: String,
+      pqCodesPath: String, checkpoint: String,
+      sink: DataFrame => Unit = _ => (),
+      screenMaxD2Micro: Option[Long] = None,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        annIndexBatch(batch, centroids, codebook, m, ivfIndexPath,
+          pqCodesPath, id, sink, screenMaxD2Micro)
+      }
+      .start()
+
+  /** One executor step for [[annIndexStream]] (exposed for the spec's
+   * replay case). */
+  private[graft] def annIndexBatch(batch0: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, ivfIndexPath: String,
+      pqCodesPath: String, batchId: Long, sink: DataFrame => Unit,
+      screenMaxD2Micro: Option[Long]): Unit = {
+    val spark = batch0.sparkSession
+    import graft.operators.Similarity
+    val batch = batch0.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val admittedDir = s"$pqCodesPath.admitted/b$batchId"
+    // codes first: the screen must read the PRE-batch code artifact,
+    // and the admitted set must be durable before the swap commits
+    artifactUpdateBatch(spark, pqCodesPath, batchId, { standing =>
+      val codes0 = standing.map(_.drop("batch_id"))
+        .getOrElse(Similarity.pqEncode(batch.limit(0), codebook, m))
+      val admitted = screenMaxD2Micro match {
+        case Some(maxD2) =>
+          batch.join(
+            Similarity.admitSemantic(batch, codes0, codebook, m, maxD2)
+              .filter(col("admit")).select(col("vec_id")),
+            Seq("vec_id"), "left_semi").localCheckpoint()
+        case None => batch
+      }
+      sink(admitted)
+      admitted.write.mode("overwrite").parquet(admittedDir)
+      Similarity.pqUpsert(codes0, admitted, codebook, m)
+    })
+    // the IVF fold replays from the PERSISTED admitted set — identical
+    // on re-delivery whether or not the code swap already committed
+    artifactUpdateBatch(spark, ivfIndexPath, batchId, { standing =>
+      val admitted = spark.read.parquet(admittedDir)
+      val idx0 = standing.map(_.drop("batch_id"))
+        .getOrElse(Similarity.ivfIndex(batch.limit(0), centroids))
+      Similarity.ivfIndexUpsert(idx0, admitted, centroids)
+    })
+  }
+
+  /**
    * Standing quantile-sketch maintenance: every micro-batch builds
    * its own bounded sketch and MERGES it into a persisted artifact —
    * the streaming face of

@@ -30,32 +30,18 @@ import org.apache.spark.sql.SparkSession
  *    is flagged and re-run after a final drain. The shared gate
  *    caches (clusters/verdicts frames) are deliberately small and
  *    sit below the threshold — draining never evicts them.
+ *
+ * As of r17 the detection/drain mechanics live in [[SampleHygiene]],
+ * shared with the official [[graft.Bench]] main; this tool remains
+ * the arbitrary-SF / arbitrary-subset floors harness. The recorded
+ * io/residue always describe whichever sample produced the STANDING
+ * min (r16 ADVICE: a state field overwritten by a later, slower
+ * sample stops describing the recorded time).
  */
 object BenchSubset {
 
-  /** Storage-memory level above which a sample is residue-
-   * contaminated: the intentional cross-query caches are a few MB;
-   * heavy queries leave 10²-10³ MB. */
-  val ResidueBytes: Long = 256L * 1024 * 1024
-
-  private def storageBytes(spark: SparkSession): Long =
-    spark.sparkContext.statusTracker.getExecutorInfos
-      .map(e => e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory())
-      .sum
-
-  /** gc + wait for the ContextCleaner to drop unreferenced
-   * checkpoint blocks, bounded; returns the residual bytes. */
-  private def drainResidue(spark: SparkSession): Long = {
-    var tries = 0
-    var b = storageBytes(spark)
-    while (b > ResidueBytes && tries < 6) {
-      System.gc()
-      Thread.sleep(500)
-      b = storageBytes(spark)
-      tries += 1
-    }
-    b
-  }
+  /** See [[SampleHygiene.ResidueBytes]]. */
+  val ResidueBytes: Long = SampleHygiene.ResidueBytes
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -86,55 +72,42 @@ object BenchSubset {
     }
     case class R(name: String, sec: Double, threw: Boolean, io: Double,
       residue: Long, reruns: Int)
-    def timeQuery(name: String): (Double, Boolean) = {
-      val fn = graft.SparkEntry.queries(name)
-      var threw = false
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[benchsubset] $name failed: ${e.getMessage}")
-          threw = true
-          None
-        }
+    def sampleQuery(name: String): SampleHygiene.Sample =
+      SampleHygiene.measure(spark, 3) {
+        graft.SparkEntry.queries(name)(spark, dir).count(); ()
       }
-      (if (times.nonEmpty) times.min else 999.0, threw)
-    }
     var results = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
-      // drain BEFORE sampling: earlier queries' checkpoint blocks
-      // must not bill this one (and the drain's gc doubles as the
-      // old between-queries System.gc())
-      val residue = drainResidue(spark)
-      // io-state sample next to the measurement (BASELINE item 19's
-      // dd protocol, in-harness): a slow-state MB/s on the line tells
-      // the reader this sample is NOT a like-for-like floor
-      val io = IoProbe.sampleMbps()
-      val (sec, threw) = timeQuery(name)
-      R(name, sec, threw, io, residue, 0)
+      // SampleHygiene.measure drains residue BEFORE sampling (earlier
+      // queries' checkpoint blocks must not bill this one) and probes
+      // the io state next to the measurement
+      val s = sampleQuery(name)
+      R(name, s.sec, s.threw, s.io, s.residue, 0)
     }
-    // bounded contaminated-sample retry (Bench's io_reruns discipline
-    // extended to residue): re-run queries whose sample was taken in
-    // a slow-io OR residue-laden state, once the state clears; the
-    // min across samples stands (a contaminated sample only ever
-    // reads HIGH)
+    // bounded contaminated-sample retry: re-run queries whose sample
+    // was taken in a slow-io OR residue-laden state, once the state
+    // clears; the min across samples stands (a contaminated sample
+    // only ever reads HIGH) and io/residue follow the standing-min
+    // sample so the emitted JSON stays self-describing
     def contaminated(r: R): Boolean =
-      (r.io >= 0 && r.io < IoProbe.SlowMbps) || r.residue > ResidueBytes
+      SampleHygiene.contaminated(r.io, r.residue)
     var pass = 0
     while (pass < 2 && results.exists(contaminated)) {
       results = results.map { r =>
         if (!contaminated(r)) r
         else {
-          val residue2 = drainResidue(spark)
+          val residue2 = SampleHygiene.drainResidue(spark)
           val io2 = IoProbe.sampleMbps()
-          if ((io2 >= 0 && io2 < IoProbe.SlowMbps) ||
-              residue2 > ResidueBytes) r // state still bad: keep as-is
+          if (SampleHygiene.contaminated(io2, residue2)) r // still bad
           else {
-            val (sec2, threw2) = timeQuery(r.name)
-            R(r.name, math.min(r.sec, sec2), r.threw || threw2, io2,
-              residue2, r.reruns + 1)
+            val s2 = sampleQuery(r.name)
+            if (s2.sec <= r.sec)
+              R(r.name, s2.sec, r.threw || s2.threw, s2.io, s2.residue,
+                r.reruns + 1)
+            else // old (contaminated) sample stands: keep ITS state
+              r.copy(threw = r.threw || s2.threw, reruns = r.reruns + 1)
           }
         }
       }
@@ -156,6 +129,9 @@ object BenchSubset {
         "\"" + r.name + "\":" + BigDecimal(r.io).setScale(1,
           BigDecimal.RoundingMode.HALF_UP))
       .mkString("{", ",", "}")
+    val res = results.map(r =>
+        "\"" + r.name + "\":" + (r.residue / (1024 * 1024)))
+      .mkString("{", ",", "}")
     val failed = results.collect { case r if r.threw => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
     val dirty = results.collect { case r if contaminated(r) =>
@@ -164,7 +140,7 @@ object BenchSubset {
     val out = java.nio.file.Paths.get("target/bench-subset.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (s"""{"queries":$qs,"io_mbps":$io,"failed":$failed,""" +
+      (s"""{"queries":$qs,"io_mbps":$io,"residue_mb":$res,"failed":$failed,""" +
         s""""contaminated":$dirty,"state_reruns":$reruns,"sf":"$dir"}""" +
         "\n").getBytes("UTF-8"))
     spark.stop()

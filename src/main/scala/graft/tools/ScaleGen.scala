@@ -23,7 +23,24 @@ import org.apache.spark.sql.functions._
  * grows linearly, not as replica-clique pair blowup; embeddings get a
  * deterministic per-replica nudge for the same reason.
  *
- * Usage: `runMain graft.tools.ScaleGen <srcDir> <outDir> [factor=10] [files=32]`
+ * TEXT MODES (r17): the default `unique` perturbation mints ~n/3 NEW
+ * word types per replica (`r<doc>x<i>` tokens — nothing shared, so
+ * LSH buckets never degenerate), which makes corpus VOCABULARY grow
+ * linearly with the factor — real corpora grow Heaps-sublinearly, so
+ * every vocabulary-bound operator (tokenizer trainers, n-gram LMs,
+ * keyword/collocation stats) scales like the synthetic noise, not
+ * like production data (BASELINE item 37: all >3× sf1 scalers traced
+ * to exactly this). `zipf` draws the same ~n/3 extra tokens from a
+ * FIXED 10⁶-type vocabulary under a true Zipf(1) law (inverse-CDF
+ * `rank = V^u` over a deterministic per-(doc, replica, i) uniform):
+ * type growth saturates sublinearly (frequent ranks repeat, the tail
+ * stays hapax-rich), which is the honest test of the type-bounded
+ * trainer caps. Near-dup safety holds in both modes: draws are keyed
+ * per (doc, replica, position), so two docs share individual tokens,
+ * not 3-token shingle runs.
+ *
+ * Usage: `runMain graft.tools.ScaleGen <srcDir> <outDir> [factor=10]
+ * [files=32] [textMode=unique|zipf]`
  */
 object ScaleGen {
 
@@ -32,6 +49,7 @@ object ScaleGen {
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val files = if (args.length > 3) args(3).toInt else 32
+    val textMode = if (args.length > 4) args(4) else "unique"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -40,12 +58,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor, files)
+    generate(spark, src, out, factor, files, textMode)
     spark.stop()
   }
 
   def generate(spark: SparkSession, src: String, out: String,
-      factor: Int, files: Int): Unit = {
+      factor: Int, files: Int, textMode: String = "unique"): Unit = {
+    require(textMode == "unique" || textMode == "zipf",
+      s"textMode must be unique|zipf, got $textMode")
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit =
       df.repartition(files).write.mode(SaveMode.Overwrite)
@@ -97,18 +117,35 @@ object ScaleGen {
 
     val docs = read("documents")
     val md = maxOf(docs, "doc_id")
+    // ~n/3 extra tokens per replica: Jaccard vs the original ≈ 0.75,
+    // below the 0.8 near-dup gate — replicas are similar, not dups.
+    // unique mode: doc-scoped replica tokens (a suffix shared ACROSS
+    // docs would give unrelated docs common shingles and degenerate
+    // LSH buckets; keyed by (doc, k, i) nothing is shared) — but each
+    // token is a NEW word type, so vocabulary grows linearly.
+    // zipf mode: draw rank = ⌊V^u⌋ from a fixed V=10⁶ vocabulary
+    // (inverse CDF of Zipf(1): P(rank ≤ x) = ln x / ln V) with a
+    // deterministic per-(doc, k, i) uniform — Heaps-style sublinear
+    // type growth, hapax-rich tail, no shared shingle RUNS (single
+    // shared tokens don't collide 3-gram shingles).
+    val nExtra = greatest(
+      (size(split(col("text"), " ")) / 3).cast("int"), lit(1))
+    val zipfV = 1000000L
+    def extraTok(i: org.apache.spark.sql.Column) =
+      if (textMode == "zipf") {
+        val u = (graft.functions.Hash60Expr.hash60(concat(
+            col("doc_id").cast("string"), lit("z"),
+            col("__k").cast("string"), lit("x"), i.cast("string")))
+          .cast("double") + lit(1.0)) / lit(1.152921504606847e18)
+        concat(lit("z"), greatest(lit(1L), least(lit(zipfV),
+          floor(exp(u * lit(math.log(zipfV.toDouble)))).cast("long"))))
+      } else
+        concat(lit("r"), col("doc_id"), lit("x"), i)
     write("documents", replicated(docs, "doc_id" -> md)
       .withColumn("text",
-        when(col("__k") === 0, col("text")).otherwise(concat(col("text"), lit(" "),
-          // ~n/3 replica-unique tokens: Jaccard vs the original ≈ 0.75,
-          // below the 0.8 near-dup gate — replicas are similar, not dups
-          // doc-scoped replica tokens: a suffix shared ACROSS docs
-          // would give unrelated docs common shingles and degenerate
-          // LSH buckets; keyed by (doc, k, i) nothing is shared
-          concat_ws(" ", transform(
-            sequence(lit(1),
-              greatest((size(split(col("text"), " ")) / 3).cast("int"), lit(1))),
-            i => concat(lit("r"), col("doc_id"), lit("x"), i))))))
+        when(col("__k") === 0, col("text")).otherwise(concat(col("text"),
+          lit(" "),
+          concat_ws(" ", transform(sequence(lit(1), nExtra), extraTok(_))))))
       .drop("__k"))
 
     val emb = read("embeddings")

@@ -213,4 +213,80 @@ class PackingSpec extends SparkSpec {
       Packing.windowsTakedown(bare, delIds.toDF("doc_id"), $"doc_id")
     }
   }
+
+  test("packWholeDocs: no doc splits, fit respected, waste accounted, " +
+      "oversize/empty flagged, takedown composes") {
+    import org.apache.spark.sql.functions.{col, transform => ftransform}
+    val L = 10L
+    // lengths spanning bands k=1..5, an oversize doc, an empty doc
+    val docs = (1L to 40L).map { i =>
+      val len = i match {
+        case 1L => 0L    // empty: no window
+        case 2L => 17L   // oversize: > seqLen, must flag
+        case n => 1L + (n % 9) // 1..9 → bands 10..1
+      }
+      (i, len)
+    }.toDF("doc_id", "len0")
+    val placed = Packing.packWholeDocs(docs, $"doc_id", $"len0", L)
+      .localCheckpoint()
+    val rows = placed.select($"doc_id", $"len", $"band_k", $"seq", $"pos",
+        $"oversize")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4.isEmpty && !byId(1L)._6, "empty doc: no window")
+    assert(byId(2L)._4.isEmpty && byId(2L)._6, "oversize flagged, unplaced")
+    val placedRows = rows.filter(_._4.isDefined)
+    assert(placedRows.length == 38)
+    // every placed doc in EXACTLY one window; windows respect capacity
+    val byWin = placedRows.groupBy(_._4.get)
+    byWin.foreach { case (w, ds) =>
+      assert(ds.map(_._2).sum <= L, s"window $w overflows")
+      // slots are 0..n-1 within the window
+      assert(ds.map(_._5.get).sorted.toSeq == (0L until ds.length).toSeq)
+      // one band per window (harmonic contract)
+      assert(ds.map(_._3.get).distinct.length == 1)
+      // a full band-k window holds exactly k docs
+      val k = ds.head._3.get
+      assert(ds.length <= k)
+    }
+    // band law: k = L div len
+    placedRows.foreach(r => assert(r._3.get == L / r._2))
+    // waste bound: every FULL window of band k wastes < L/(k+1)·k? —
+    // pin the exact harmonic slack: full window slack = L - Σlen and
+    // each len > L/(k+1) ⟹ slack < L - k·L/(k+1) + k = L/(k+1) + k
+    // (integer lengths); just assert total waste is accounted > 0
+    val waste = byWin.map { case (_, ds) => L - ds.map(_._2).sum }.sum
+    assert(waste >= 0)
+    // determinism: re-run bit-equal
+    val again = Packing.packWholeDocs(docs, $"doc_id", $"len0", L)
+      .select($"doc_id", $"seq", $"pos").collect().map(_.toSeq).toSet
+    assert(placed.select($"doc_id", $"seq", $"pos")
+      .collect().map(_.toSeq).toSet == again)
+    // materialization: same window schema, each doc's tokens intact
+    // in exactly one window; composes with windowsTakedown
+    val toked = placed.withColumn("toks",
+      ftransform(org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(1), col("len")),
+        x => col("doc_id") * 100L + x.cast("long")))
+    val wins = Packing.materializeWholeDocWindows(toked, $"doc_id",
+      $"toks", L).localCheckpoint()
+    val spans = wins.select($"seq", $"doc_spans", $"n_tokens")
+      .as[(Long, Seq[(Long, Long, Long)], Long)].collect()
+    // every placed doc appears in exactly ONE window's spans, whole
+    val spanDocs = spans.flatMap(w => w._2.map(s => (s._1, w._1, s._3)))
+    assert(spanDocs.groupBy(_._1).forall(_._2.length == 1),
+      "a doc must appear in exactly one window")
+    spanDocs.foreach { case (d, _, slen) =>
+      assert(slen == byId(d)._2, s"doc $d split: span len $slen") }
+    assert(spans.forall(w => w._3 <= L))
+    val td = Packing.windowsTakedown(wins, Seq(5L).toDF("doc_id"),
+      $"doc_id")
+    val victim = spanDocs.find(_._1 == 5L).get._2
+    assert(td.select($"seq").as[Long].collect().toSet ==
+      spans.map(_._1).toSet - victim)
+  }
 }

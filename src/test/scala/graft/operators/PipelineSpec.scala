@@ -191,6 +191,22 @@ class PipelineSpec extends SparkSpec {
     assert(verdicts(Int.MaxValue) == verdicts(4096))
   }
 
+  test("maxPiiHits: PII-laden docs drop as 'pii'; default cap is off") {
+    val clean = "the cat sat on the mat and it is a good day for all " * 3
+    val laden = clean + " contact a@b.co or c@d.org ip 1.2.3.4 " +
+      "card 4111 1111 1111 1111 tel +1 555 010 0100"
+    val docs = Seq((1L, clean), (2L, laden)).toDF("doc_id", "text")
+    val r = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+        langs = Seq("en", "und"), minQuality = 0.0, maxPiiHits = 2L)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getString(2)))
+    assert(r.toSeq == Seq(1L -> "keep", 2L -> "pii"), r.toSeq.toString)
+    // default Long.MaxValue cap: the stage is off, both keep
+    val off = Pipeline.cleanCorpus(docs, $"doc_id", $"text",
+        langs = Seq("en", "und"), minQuality = 0.0)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getString(2)))
+    assert(off.toSeq == Seq(1L -> "keep", 2L -> "keep"))
+  }
+
   test("takedown: one audited call, per-artifact counts, exact " +
       "rebuild-required naming") {
     val docs = Seq(

@@ -163,6 +163,45 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(3) == "mail <EMAIL> now ip <IP> call <PHONE> end")
   }
 
+  test("PII v2: Luhn/IBAN/entropy checks gate counts and redaction") {
+    // one valid card, one 16-digit Luhn reject, one valid IBAN, one
+    // check-digit-off IBAN, one high-entropy secret, one 33-char
+    // low-entropy reject, an IPv6, plus the v1 trio
+    val t = "c 4111 1111 1111 1111 bad 4111 1111 1111 1112 " +
+      "ib DE89370400440532013000 nb GB82WEST12345698765431 " +
+      "k aB3dE6gH9jK2mN5pQ8sT1vW4yZ7cF0rU lo " + ("a" * 33) +
+      " v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 " +
+      "m a@b.co ip 1.2.3.4 call +1 (555) 010-0100 end"
+    val cols = TextOps.redactPiiV2($"t").map { case (n, c) => c.as(n) }
+    val r = Seq(t).toDF("t").select(cols: _*).head()
+    assert(r.getLong(0) == 1, "emails")
+    assert(r.getLong(1) == 1, "ips")
+    assert(r.getLong(2) == 1, "phones")
+    assert(r.getLong(3) == 1, s"cards: Luhn must reject ...1112")
+    assert(r.getLong(4) == 1, "ipv6")
+    assert(r.getLong(5) == 1, "ibans: mod-97 must reject the off-by-one")
+    assert(r.getLong(6) == 1, "secrets: 'a'*33 fails the entropy floor")
+    val red = r.getString(7)
+    assert(red.contains("<CARD>") && red.contains("4111 1111 1111 1112"),
+      s"valid card redacted, invalid kept: $red")
+    assert(red.contains("<IBAN>") && red.contains("GB82WEST12345698765431"))
+    assert(red.contains("<SECRET>") && red.contains("a" * 33))
+    assert(red.contains("<IPV6>") && red.contains("<EMAIL>") &&
+      red.contains("<IP>") && red.contains("<PHONE>"))
+    // boundary pins for the validators themselves
+    def one(s: String, c: org.apache.spark.sql.Column) =
+      Seq(s).toDF("c").select(c).as[Boolean].head()
+    assert(one("79927398713", TextOps.luhnValid($"c")))   // classic vector
+    assert(!one("79927398714", TextOps.luhnValid($"c")))
+    assert(one("GB82WEST12345698765432", TextOps.ibanValid($"c")))
+    assert(!one("GB82WEST12345698765430", TextOps.ibanValid($"c")))
+    // exactly 16 distinct symbols passes; 15 fails; missing a class fails
+    assert(one("abcdefghijklmN01" + "a" * 16, TextOps.secretLike($"c")))
+    assert(!one("abcdefghijklmN1" + "a" * 17, TextOps.secretLike($"c")))
+    assert(!one("abcdefghijklmn01" + "a" * 16, TextOps.secretLike($"c")),
+      "no uppercase must fail the diversity check")
+  }
+
   test("winnowing fingerprints: shared passages overlap, short docs empty") {
     val a = "the quick brown fox jumps over the lazy dog in the park"
     val b = "a quick brown fox jumps over the lazy dog near me"

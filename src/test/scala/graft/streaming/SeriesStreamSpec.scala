@@ -491,6 +491,64 @@ class SeriesStreamSpec extends SparkSpec {
     assert(none.filter($"admit").count() == 5)
   }
 
+  test("streaming ANN index: standing IVF/PQ equal from-scratch builds; " +
+      "screening uses the CURRENT index; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 0f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("graft-ann-stream")
+    val ivfPath = root.resolve("ivf").toString
+    val pqPath = root.resolve("pq").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = SeriesStream.annIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), cents, cb, m = 2,
+      ivfPath, pqPath,
+      checkpoint = root.resolve("ck").toString,
+      sink = b => admitted.synchronized {
+        admitted ++= b.select("vec_id").collect().map(_.getLong(0))
+      },
+      screenMaxD2Micro = Some(100000L))
+    try {
+      // batch 0: empty standing artifacts → both admitted
+      mem.addData((10L, Array(1f, 0f, 0f, 0f)), (11L, Array(0f, 0f, 1f, 1f)))
+      q.processAllAvailable()
+      // batch 1: 12 duplicates 10 (ingested last batch — the screen
+      // must read the CURRENT code artifact) → blocked; 13 novel
+      mem.addData((12L, Array(1f, 0f, 0f, 0f)), (13L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 2: 14 duplicates 13 (admitted ONE batch ago) → blocked
+      mem.addData((14L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.toSet == Set(10L, 11L, 13L), admitted.toSeq.toString)
+    val corpus = Seq((10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(0f, 0f, 1f, 1f)), (13L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    val ivfStanding = spark.read.parquet(ivfPath).drop("batch_id")
+    val pqStanding = spark.read.parquet(pqPath).drop("batch_id")
+    assert(rows(ivfStanding) ==
+      rows(graft.operators.Similarity.ivfIndex(corpus, cents)))
+    assert(rows(pqStanding) ==
+      rows(graft.operators.Similarity.pqEncode(corpus, cb, m = 2)))
+    // re-delivered batch id: the durable markers skip both folds —
+    // artifacts unchanged even with a would-be-novel payload
+    SeriesStream.annIndexBatch(
+      Seq((99L, Array(9f, 9f, 9f, 9f))).toDF("vec_id", "embedding"),
+      cents, cb, m = 2, ivfPath, pqPath, batchId = 1L,
+      sink = _ => fail("replayed batch must not re-fire the sink"),
+      screenMaxD2Micro = Some(100000L))
+    assert(rows(spark.read.parquet(ivfPath).drop("batch_id")) ==
+      rows(ivfStanding))
+    assert(rows(spark.read.parquet(pqPath).drop("batch_id")) ==
+      rows(pqStanding))
+  }
+
   test("standing quantile sketch: stream-merged artifact equals the batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
