@@ -419,12 +419,25 @@ object Dedup {
    * to THIS one since r17 — a web-scale crawl always contains hot
    * clusters; opt out via `lshMaxBucket = Int.MaxValue`).
    *
-   * Laziness: the intermediate frames are multi-consumer and are
-   * local-checkpointed with `eager = false` (persist-on-first-action
-   * + lineage truncation) — building the returned frame runs NO
-   * Spark jobs; the first action materializes each stage once and
-   * later consumers reuse the blocks, same sharing as the eager form
-   * without surprising plan-only callers.
+   * Laziness: every multi-consumer frame is local-checkpointed with
+   * `eager = false` (persist-on-first-action + lineage truncation) —
+   * building the returned frame runs NO Spark jobs.
+   *
+   * HEALTHY-CORPUS COST (r17 optimization, guide §2.3/§2.4): the deep
+   * (n+32)-row signature is computed ONLY for members of oversized
+   * buckets — previously every doc paid the 1.5× minhash widening and
+   * the rekey join whether or not any bucket was hot, which put the
+   * bounded default ~80% over the exact path on a hot-bucket-free
+   * corpus (measured 0.9 s → 1.6 s at sf0.1, ProbeBounded r17).
+   * Buckets at or under the cap verify straight off their ORIGINAL
+   * band key — identical output, because refinement leaves a ≤cap
+   * bucket's key unchanged (`__ext = 0` ⇒ `key2 = key`). The frames
+   * that exist only for hot corpora (hot-bucket rows, their deep
+   * re-keys, their hash-set restriction) are all EMPTY on a healthy
+   * corpus: their lazy checkpoints cost nothing and AQE's
+   * empty-relation propagation collapses the joins that read them,
+   * so the healthy-path plan degenerates to the exact path's shape
+   * plus one narrow bucket-size count.
    */
   def minhashPairsBounded(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 64, bands: Int = 16,
@@ -433,10 +446,12 @@ object Dedup {
       s"bands ($bands) must divide the signature width ($n)")
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val sets = shingled(df, id, text, shingleK)
-      .localCheckpoint(eager = false)
-    val sigs = sigsOf(sets, n + RefineRows)
-      // consumed by band keys AND the deep-row join
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false) // consumed by sigs, hsets, deep sigs
+    // the 64-row signature is cached (512 B/doc), NOT the banded
+    // frame derived from it — bandKeys over the cached sigs is a
+    // cheap transform its three consumers re-run, so the minhash
+    // itself is computed once whatever the corpus shape
+    val sigs = sigsOf(sets, n).localCheckpoint(eager = false)
     val keyed = bandKeys(sigs, bands, n)
     val sizes = keyed.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__bc")).filter(col("__bc") > 1)
@@ -444,31 +459,57 @@ object Dedup {
       least(ceil(log(col("__bc").cast("double") / lit(maxBucket.toDouble)) /
         lit(-math.log(threshold))), lit(RefineRows))).cast("int")
     val sized = sizes.select(col("band"), col("key"), ext.as("__ext"))
-    val rekeyed = keyed
-      // inner join: singleton-bucket rows leave the plan here
-      .join(sized, Seq("band", "key"))
-      .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
-      .withColumn("key2", when(col("__ext") > 0,
-          concat(col("key"), lit("|"), array_join(transform(
-            slice(col("sig"), lit(n + 1), col("__ext")),
-            x => x.cast("string")), ":")))
-        .otherwise(col("key")))
-      .select(col("band"), col("key2").as("key"), col("doc_id"))
-      // consumed by the size recount + tier 1
+    // checkpointed like the r16 form: on a hot corpus the verify
+    // tiers read it four times (tier-1a, tier-1b, the star's prune +
+    // arrays), and recomputing the md5-per-shingle projection per
+    // read measurably dominates (59.9 s vs 29.2 s at the k = 10⁵
+    // probe); on a healthy corpus the one extra block write is noise
+    val hsets = hashedSets(sets)
+      .localCheckpoint(eager = false)
+    // tier 1a: multi-member buckets already within the cap verify on
+    // their ORIGINAL key (refinement would leave it unchanged)
+    val smallHs = keyed
+      .join(sized.filter(col("__ext") === 0)
+        .select(col("band"), col("key")), Seq("band", "key"))
+      .join(hsets, "doc_id")
+      .select(col("band"), col("key"),
+        struct(col("doc_id"), col("hs")).as("e"))
+    // hot rows: members of oversized buckets — ONLY they need the
+    // deep-signature reservoir. Deliberately NOT checkpointed: a
+    // lazy checkpoint here hides the frame's (usually zero) size
+    // behind a LogicalRDD, which blocks both AQE's empty-relation
+    // propagation on healthy corpora and its broadcast choices on hot
+    // ones (a chained-checkpoint variant measured 121.8 s at the
+    // k = 10⁵ probe vs ~30 s for this form); recomputing it is one
+    // bandKeys transform over the cached sigs plus a reusable
+    // (band, key) exchange.
+    val hotRows = keyed.join(sized.filter(col("__ext") > 0),
+      Seq("band", "key"))
+    val hotIds = hotRows.select(col("doc_id")).distinct()
+    val deepSigs = sigsOf(sets.join(hotIds, "doc_id"), n + RefineRows)
+      .select(col("doc_id"), col("sig").as("__deep"))
+    val rekeyed = hotRows.join(deepSigs, "doc_id")
+      .select(col("band"),
+        concat(col("key"), lit("|"), array_join(transform(
+          slice(col("__deep"), lit(n + 1), col("__ext")),
+          x => x.cast("string")), ":")).as("key"),
+        col("doc_id"))
+      // the one hot-side checkpoint worth its write: both consumers
+      // (size recount, tier-1b join) would otherwise re-run the
+      // deep-signature minhash; empty ⇒ free on healthy corpora
       .localCheckpoint(eager = false)
     val sizes2 = rekeyed.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__c2")).filter(col("__c2") > 1)
-    val hsets = hashedSets(sets)
-      // consumed by the struct tier + per-pair verify
-      .localCheckpoint(eager = false)
-    // tier 1: refined buckets within the cap — the exact struct verify
-    val smallHs = rekeyed
+    // tier 1b: refined sub-buckets within the cap — the exact struct
+    // verify, same as 1a but on the extended keys
+    val refinedHs = rekeyed
       .join(sizes2.filter(col("__c2") <= maxBucket)
         .select(col("band"), col("key")), Seq("band", "key"))
       .join(hsets, "doc_id")
       .select(col("band"), col("key"),
         struct(col("doc_id"), col("hs")).as("e"))
-    val smallPairs = bucketStructVerify(smallHs, threshold)
+    val smallPairs = bucketStructVerify(smallHs.unionByName(refinedHs),
+      threshold)
     // tier 2: every ORIGINAL bucket over the cap gets a full-
     // membership anchor star — ids-only buffering, verified per pair.
     // Starring the original bucket (r17; previously only refined
@@ -481,11 +522,9 @@ object Dedup {
     // dedup_lsh_audit_bounded). The star is O(bucket) per band
     // either way; refined ≤cap sub-buckets still verify exactly in
     // tier 1 for precision clustering.
-    val hotOrig = keyed.join(sized.filter(col("__ext") > 0)
-      .select(col("band"), col("key")), Seq("band", "key"))
-    val anchors = hotOrig.groupBy(col("band"), col("key"))
+    val anchors = hotRows.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("__a"))
-    val starCands = hotOrig.join(anchors, Seq("band", "key"))
+    val starCands = hotRows.join(anchors, Seq("band", "key"))
       .filter(col("doc_id") =!= col("__a"))
       .select(col("__a").as("id1"), col("doc_id").as("id2"))
       .distinct()

@@ -22,8 +22,14 @@ object IoProbe {
    * fails (read-only tmp, etc.) — never throws into the bench. */
   def sampleMbps(mb: Int = 32, dir: String = "/tmp"): Double =
     try {
-      try new ProcessBuilder("sync").start().waitFor()
-      catch { case _: Throwable => () }
+      // bounded: in the throttled writeback mode a full sync can stall
+      // for minutes, and a probe that stalls IS the answer (slow) —
+      // the timed 1 MB writes will read the throttle either way
+      try {
+        val p = new ProcessBuilder("sync").start()
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroy()
+      } catch { case _: Throwable => () }
       val f = java.io.File.createTempFile("graft-ioprobe", ".bin",
         new java.io.File(dir))
       try {

@@ -14,8 +14,22 @@ import org.apache.spark.sql.SparkSession
  *  - CHECKPOINT RESIDUE: earlier queries' localCheckpoint blocks stay
  *    pinned until their RDDs are GC'd and the ContextCleaner drains
  *    them; a sample timed over hundreds of MB of standing blocks reads
- *    up to 1.5× high. [[drainResidue]] gc+waits (bounded) until
- *    executor storage falls under [[ResidueBytes]].
+ *    up to 1.5× high. [[drainResidue]] gc+waits (bounded) until the
+ *    cached-RDD bytes fall back to the session's standing-cache floor.
+ *
+ * RESIDUE METRIC (r17 fix): the old metric —
+ * `statusTracker.getExecutorInfos` storage memory — is a RATCHET on
+ * this runtime: broadcast-block removals never decrement it, so over a
+ * 190-query suite it climbs monotonically (measured 126 → 970 MB while
+ * `getPersistentRDDs` was EMPTY and a 30 s gc loop reclaimed nothing,
+ * ProbeResidue r17). Under that metric the whole r17 baseline run read
+ * permanently contaminated: 178/191 queries flagged, every retry
+ * gated off ("state still bad"), and the drain loops added ~25 min of
+ * pure sleep to the bench wall-clock. The metric is now the live
+ * cached-RDD bytes (`getRDDStorageInfo`), which RDD unpersists do
+ * decrement, and residue is the DELTA above the smallest level ever
+ * observed this session (the intentional standing caches — shared
+ * cluster/verdict frames — are a floor, not contamination).
  *
  * Used by both the official [[graft.Bench]] full-suite main and the
  * [[BenchSubset]] floors tool, so the driver's per-round record and
@@ -25,28 +39,40 @@ import org.apache.spark.sql.SparkSession
  */
 object SampleHygiene {
 
-  /** Storage-memory level above which a sample is residue-
-   * contaminated: the intentional cross-query caches are a few MB;
-   * heavy queries leave 10²-10³ MB. */
+  /** Cached-RDD bytes ABOVE the session floor past which a sample is
+   * residue-contaminated: the intentional cross-query caches live in
+   * the floor; heavy queries leave 10²-10³ MB of dead blocks. */
   val ResidueBytes: Long = 256L * 1024 * 1024
 
+  /** Live cached-RDD memory: counts exactly the blocks a dead
+   * localCheckpoint pins and an unpersist releases — unlike the
+   * executor storage-memory gauge, which never comes back down when
+   * broadcast blocks are removed (see object scaladoc). */
   def storageBytes(spark: SparkSession): Long =
-    spark.sparkContext.statusTracker.getExecutorInfos
-      .map(e => e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory())
-      .sum
+    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+
+  /** Smallest cached-bytes level observed this session — the standing
+   * intentional caches. Residue is measured above this. */
+  @volatile private var floorBytes: Long = Long.MaxValue
 
   /** gc + wait for the ContextCleaner to drop unreferenced
-   * checkpoint blocks, bounded; returns the residual bytes. */
+   * checkpoint blocks, bounded; returns the residual bytes ABOVE the
+   * session floor. Exits early when a gc round reclaims nothing —
+   * whatever remains is referenced (standing caches), and sleeping on
+   * it again per query is how the r17 baseline lost 25 minutes. */
   def drainResidue(spark: SparkSession): Long = {
-    var tries = 0
     var b = storageBytes(spark)
-    while (b > ResidueBytes && tries < 6) {
+    var tries = 0
+    while (b - math.min(floorBytes, b) > ResidueBytes && tries < 6) {
       System.gc()
-      Thread.sleep(500)
-      b = storageBytes(spark)
-      tries += 1
+      Thread.sleep(300)
+      val nb = storageBytes(spark)
+      // no progress ⇒ remaining blocks are live/referenced: stop
+      tries = if (nb >= b) 6 else tries + 1
+      b = nb
     }
-    b
+    if (b < floorBytes) floorBytes = b
+    b - floorBytes
   }
 
   /** One measured sample: the best-of-`runs` seconds for the query,
