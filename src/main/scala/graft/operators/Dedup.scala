@@ -160,7 +160,7 @@ object Dedup {
    * projection. `spread` matters here: with no shuffle left in the
    * signature stage, a few-row-group parquet scan would otherwise pin
    * the per-shingle hashing to a handful of cores. */
-  private def shingled(df: DataFrame, id: Column, text: Column,
+  private[graft] def shingled(df: DataFrame, id: Column, text: Column,
       shingleK: Int): DataFrame =
     spread(df.select(id.as("doc_id"), text.as("__text")))
       .select(col("doc_id"), shingles(col("__text"), shingleK).as("ss"))
@@ -173,11 +173,11 @@ object Dedup {
    * (~|vocab|²/2⁶¹ — and the oracle hashes identically, so even then
    * both engines agree); what it buys is a verify shuffle that
    * carries ~8 B per shingle instead of the strings. */
-  private def hashedSets(sets: DataFrame): DataFrame =
+  private[graft] def hashedSets(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"),
       array_distinct(transform(col("ss"), s => TextOps.hash60(s))).as("hs"))
 
-  private def sigsOf(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def sigsOf(docs: DataFrame, n: Int): DataFrame =
     docs.filter(size(col("ss")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHashSigExpr.minhashSig(col("ss"), n).as("sig"))
@@ -200,7 +200,7 @@ object Dedup {
   /** (doc_id, band, key) LSH bucket keys for a signature frame: the
    * signature splits into `bands` bands of n/bands rows, each
    * concatenated into a bucket key. */
-  private def bandKeys(sigs: DataFrame, bands: Int, n: Int): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame, bands: Int, n: Int): DataFrame = {
     require(n % bands == 0,
       s"bands ($bands) must divide the signature width ($n); a remainder " +
         "would silently drop trailing minima from candidate generation")
@@ -333,7 +333,7 @@ object Dedup {
   /** The in-bucket exact-Jaccard verify over `(band, key, e struct(
    * doc_id, hs))` rows — [[minhashPairs]]' steep-curve path, shared
    * with [[minhashPairsBounded]] (which feeds refined keys). */
-  private def bucketStructVerify(withHs: DataFrame,
+  private[graft] def bucketStructVerify(withHs: DataFrame,
       threshold: Double): DataFrame = {
     val buckets = withHs.groupBy(col("band"), col("key"))
       .agg(array_sort(collect_list(col("e"))).as("es"))
@@ -459,19 +459,18 @@ object Dedup {
       least(ceil(log(col("__bc").cast("double") / lit(maxBucket.toDouble)) /
         lit(-math.log(threshold))), lit(RefineRows))).cast("int")
     val sized = sizes.select(col("band"), col("key"), ext.as("__ext"))
-    // checkpointed like the r16 form: on a hot corpus the verify
-    // tiers read it four times (tier-1a, tier-1b, the star's prune +
-    // arrays), and recomputing the md5-per-shingle projection per
-    // read measurably dominates (59.9 s vs 29.2 s at the k = 10⁵
-    // probe); on a healthy corpus the one extra block write is noise
-    val hsets = hashedSets(sets)
-      .localCheckpoint(eager = false)
     // tier 1a: multi-member buckets already within the cap verify on
-    // their ORIGINAL key (refinement would leave it unchanged)
+    // their ORIGINAL key (refinement would leave it unchanged). The
+    // hash sets are read INLINE here — the exact path's shape: one
+    // md5-per-shingle projection over the cached shingle frame, no
+    // full-corpus block write (a full-corpus hsets checkpoint was
+    // 0.6-1.4 s of the bounded path's healthy premium at sf0.1,
+    // ProbeB2 r17). The HOT tiers get their own hotIds-restricted
+    // checkpoint below.
     val smallHs = keyed
       .join(sized.filter(col("__ext") === 0)
         .select(col("band"), col("key")), Seq("band", "key"))
-      .join(hsets, "doc_id")
+      .join(hashedSets(sets), "doc_id")
       .select(col("band"), col("key"),
         struct(col("doc_id"), col("hs")).as("e"))
     // hot rows: members of oversized buckets — ONLY they need the
@@ -485,27 +484,41 @@ object Dedup {
     // (band, key) exchange.
     val hotRows = keyed.join(sized.filter(col("__ext") > 0),
       Seq("band", "key"))
-    val hotIds = hotRows.select(col("doc_id")).distinct()
-    val deepSigs = sigsOf(sets.join(hotIds, "doc_id"), n + RefineRows)
+    // sets restricted to hot-bucket members — a semi-join (NOT a
+    // distinct-then-inner-join: the semi dedups for free, one fewer
+    // exchange). Both hot scans (hash sets, deep signatures) read it.
+    val hotSets = sets.join(hotRows.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    // hash sets for the HOT tiers only: the refined verify and the
+    // star (via minhashVerify's size prune + both array sides) read
+    // them up to 4x, and recomputing the md5 projection per read
+    // measurably dominates on hot corpora (59.9 s vs 29.2 s at the
+    // k = 10⁵ probe) — so THESE are checkpointed; restricted to hot
+    // members the frame is empty (free) on a healthy corpus, where
+    // tier 1a has already paid the one inline md5 pass
+    val hsetsHot = hashedSets(hotSets)
+      .localCheckpoint(eager = false)
+    val deepSigs = sigsOf(hotSets, n + RefineRows)
       .select(col("doc_id"), col("sig").as("__deep"))
+    // single-consumer chain (r17): the refined-bucket size rides a
+    // window count over the rekeyed frame's own (band, key) exchange,
+    // so the deep-signature minhash has exactly ONE consumer and
+    // needs no checkpoint — on a healthy corpus that is one less
+    // empty materialization barrier, on a hot one the same one pass
     val rekeyed = hotRows.join(deepSigs, "doc_id")
       .select(col("band"),
         concat(col("key"), lit("|"), array_join(transform(
           slice(col("__deep"), lit(n + 1), col("__ext")),
           x => x.cast("string")), ":")).as("key"),
         col("doc_id"))
-      // the one hot-side checkpoint worth its write: both consumers
-      // (size recount, tier-1b join) would otherwise re-run the
-      // deep-signature minhash; empty ⇒ free on healthy corpora
-      .localCheckpoint(eager = false)
-    val sizes2 = rekeyed.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__c2")).filter(col("__c2") > 1)
     // tier 1b: refined sub-buckets within the cap — the exact struct
     // verify, same as 1a but on the extended keys
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
     val refinedHs = rekeyed
-      .join(sizes2.filter(col("__c2") <= maxBucket)
-        .select(col("band"), col("key")), Seq("band", "key"))
-      .join(hsets, "doc_id")
+      .withColumn("__c2", count(lit(1)).over(wRef))
+      .filter(col("__c2") > 1 && col("__c2") <= maxBucket)
+      .join(hsetsHot, "doc_id")
       .select(col("band"), col("key"),
         struct(col("doc_id"), col("hs")).as("e"))
     val smallPairs = bucketStructVerify(smallHs.unionByName(refinedHs),
@@ -522,13 +535,18 @@ object Dedup {
     // dedup_lsh_audit_bounded). The star is O(bucket) per band
     // either way; refined ≤cap sub-buckets still verify exactly in
     // tier 1 for precision clustering.
-    val anchors = hotRows.groupBy(col("band"), col("key"))
-      .agg(min(col("doc_id")).as("__a"))
-    val starCands = hotRows.join(anchors, Seq("band", "key"))
+    // anchor = the bucket's min id, as a window over the SAME
+    // (band, key) exchange the refine tier established — one window
+    // pass instead of the old groupBy-min + join-back (r17)
+    val starCands = hotRows
+      .withColumn("__a", min(col("doc_id")).over(wRef))
       .filter(col("doc_id") =!= col("__a"))
       .select(col("__a").as("id1"), col("doc_id").as("id2"))
       .distinct()
-    val bigPairs = minhashVerify(starCands, hsets, threshold)
+    // star members are hotRows members by construction (anchor = the
+    // bucket's min doc_id), so the hot-restricted hash sets cover
+    // both sides of the verify
+    val bigPairs = minhashVerify(starCands, hsetsHot, threshold)
     smallPairs.unionByName(bigPairs).distinct()
       .orderBy(col("id1"), col("id2"))
   }
@@ -665,6 +683,12 @@ object Dedup {
     val truth = hsets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
       .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")),
         col("id1") < col("id2"))
+      // exact length-ratio bound ahead of the intersect (J ≤
+      // min|·|/max|·|): skips the set arithmetic for size-mismatched
+      // pairs, output unchanged (same prune as minhashVerify)
+      .filter(least(size(col("hs1")), size(col("hs2"))).cast("double") >=
+        lit(threshold) *
+          greatest(size(col("hs1")), size(col("hs2"))).cast("double"))
       .withColumn("jaccard",
         size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
           size(array_union(col("hs1"), col("hs2"))).cast("double"))
@@ -720,25 +744,37 @@ object Dedup {
       threshold: Double, rate: Double, n: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 4096): DataFrame = {
     require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    // multi-consumer frames are LAZY checkpoints (r17): each still
+    // materializes exactly once at first use, but the five stages no
+    // longer run as five serialized plan-construction jobs — the one
+    // final action overlaps them (A/B: min 3.66 s lazy vs 4.21 s
+    // eager on the dedup_lsh_audit_bounded gate, isolated BenchSubset)
     val sample = df.filter(Sampling.fraction(id) < lit(rate))
-      .localCheckpoint() // truth chain + the bounded pipeline
-    val sets = shingled(sample, id, text, shingleK).localCheckpoint()
+      .localCheckpoint(eager = false) // truth chain + bounded pipeline
+    val sets = shingled(sample, id, text, shingleK)
+      .localCheckpoint(eager = false)
     val hsets = hashedSets(sets)
       .filter(size(col("hs")) > 0)
-      .localCheckpoint() // truth join consumes both sides
+      .localCheckpoint(eager = false) // truth join consumes both sides
     val truth = hsets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
       .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")),
         col("id1") < col("id2"))
+      // exact length-ratio bound ahead of the intersect (J ≤
+      // min|·|/max|·| — the minhashVerify prune): skips the set
+      // arithmetic for size-mismatched pairs, output unchanged
+      .filter(least(size(col("hs1")), size(col("hs2"))).cast("double") >=
+        lit(threshold) *
+          greatest(size(col("hs1")), size(col("hs2"))).cast("double"))
       .withColumn("jaccard",
         size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
           size(array_union(col("hs1"), col("hs2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"))
-      .localCheckpoint() // consumed by pair join + doc-coverage sides
+      .localCheckpoint(eager = false) // pair join + doc-coverage sides
     val found = minhashPairsBounded(sample, id, text, threshold, n,
         bands, shingleK, maxBucket)
       .select(col("id1"), col("id2"))
-      .localCheckpoint() // consumed by pair join + coverage + precision
+      .localCheckpoint(eager = false) // pair join + coverage + precision
     val pairStats = truth
       .join(found.withColumn("__f", lit(1L)), Seq("id1", "id2"), "left")
       .agg(count(lit(1)).as("true_pairs"),

@@ -110,26 +110,51 @@ object Pipeline {
     val updated = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
     val rows = scala.collection.mutable.ArrayBuffer[(String, Option[Long],
       Boolean)]()
-    def run(name: String, opt: Option[DataFrame],
-        del: DataFrame => DataFrame): Unit =
-      opt.foreach { before =>
-        val after = del(before).localCheckpoint()
-        updated(name) = after
-        rows += ((name, Some(before.count() - after.count()), false))
-      }
-    run("corpus_index", arts.corpusIndex,
-      Dedup.corpusIndexDelete(_, dels, col("__td")))
-    run("ivf_index", arts.ivfIndex,
-      Similarity.ivfIndexDelete(_, dels, col("__td")))
-    run("pq_codes", arts.pqCodes,
-      Similarity.pqDelete(_, dels, col("__td")))
-    arts.gramIndex.foreach { g =>
-      run("gram_index", Some(g.index),
-        Dedup.gramIndexDelete(_, dels, col("__td"), g.remaining,
-          g.rid, g.rtext, g.l))
+    // the five artifact deletes are INDEPENDENT jobs (each consumes
+    // only `dels` + its own artifact), so they run from a small
+    // thread pool and the Spark scheduler back-fills one delete's
+    // straggler tail with the next delete's tasks (guide §2.6 —
+    // r17: the serial form left the cluster idle per materialization
+    // barrier; measured 2.24 → see OPTIMIZATION_r17.md). Report rows
+    // and the artifacts map are assembled in the FIXED declaration
+    // order below, so output order stays deterministic.
+    val artDefs: Seq[(String, Option[DataFrame], DataFrame => DataFrame)] =
+      Seq(
+        ("corpus_index", arts.corpusIndex,
+          Dedup.corpusIndexDelete(_: DataFrame, dels, col("__td"))),
+        ("ivf_index", arts.ivfIndex,
+          Similarity.ivfIndexDelete(_: DataFrame, dels, col("__td"))),
+        ("pq_codes", arts.pqCodes,
+          Similarity.pqDelete(_: DataFrame, dels, col("__td"))),
+        ("gram_index", arts.gramIndex.map(_.index), (ix: DataFrame) => {
+          val g = arts.gramIndex.get
+          Dedup.gramIndexDelete(ix, dels, col("__td"), g.remaining,
+            g.rid, g.rtext, g.l)
+        }),
+        ("packed_windows", arts.windows,
+          Packing.windowsTakedown(_: DataFrame, dels, col("__td"))))
+    val present = artDefs.count(_._2.isDefined)
+    if (present > 0) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(present)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = artDefs.flatMap { case (name, opt, del) =>
+          opt.map { before =>
+            (name, scala.concurrent.Future {
+              val after = del(before).localCheckpoint()
+              (after, before.count() - after.count())
+            })
+          }
+        }
+        futs.foreach { case (name, f) =>
+          val (after, removed) = scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf)
+          updated(name) = after
+          rows += ((name, Some(removed), false))
+        }
+      } finally pool.shutdown()
     }
-    run("packed_windows", arts.windows,
-      Packing.windowsTakedown(_, dels, col("__td")))
     RebuildRequired.foreach(n => rows += ((n, None, true)))
     import spark.implicits._
     val report = rows.toSeq
