@@ -23,9 +23,18 @@ import org.apache.spark.sql.DataFrame
  * for a 100 TB corpus where hundreds of iterative tasks otherwise
  * gamble on zero executor churn.
  *
- * Both modes are EAGER materializations of the identical frame — a
- * checkpoint changes where blocks live, never values — asserted by
- * `CheckpointModeSpec`.
+ * [[CheckpointMode.Local]] and [[CheckpointMode.Reliable]] are EAGER
+ * materializations of the identical frame — a checkpoint changes
+ * where blocks live, never values — asserted by `CheckpointModeSpec`.
+ * [[CheckpointMode.Lazy]] persists the same blocks with the same
+ * truncated lineage but defers materialization to the first action:
+ * a FIXED-iteration loop (pagerank/hits/ppr — no per-round
+ * convergence action) then runs as ONE job DAG instead of one job
+ * per round, which removes iterations-many scheduling barriers. Not
+ * for convergence loops ([[Dedup.clusters]]' label propagation,
+ * kmeans): their per-round driver decision forces materialization
+ * anyway, and the eager form keeps the convergence count from racing
+ * a concurrent consumer into duplicate partition computation.
  */
 sealed trait CheckpointMode {
   def apply(df: DataFrame): DataFrame
@@ -36,6 +45,13 @@ object CheckpointMode {
   /** Executor-local blocks: fast, not fault-tolerant. */
   case object Local extends CheckpointMode {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Executor-local blocks, materialized at first action instead of
+   * at the call — same storage and lineage truncation as [[Local]],
+   * no per-call job barrier (see object scaladoc for when). */
+  case object Lazy extends CheckpointMode {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
   }
 
   /** No materialization — the raw lazy frame. For plan introspection

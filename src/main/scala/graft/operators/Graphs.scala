@@ -74,7 +74,7 @@ object Graphs {
    */
   def hits(edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 3, scale: Long = 1000000000000L,
-      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      ckpt: CheckpointMode = CheckpointMode.Lazy): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale >= 1 && scale <= 1000000000000L, "scale in [1, 1e12]")
     val e = ckpt(edges.select(src.cast("string").as("src"),
@@ -207,7 +207,7 @@ object Graphs {
   def personalizedPagerank(edges: DataFrame, src: Column, dst: Column,
       teleport: DataFrame, iterations: Int = 4, dampingPct: Int = 85,
       scale: Long = 1000000000000L,
-      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      ckpt: CheckpointMode = CheckpointMode.Lazy): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 1 && scale <= 1000000000000L,
@@ -257,7 +257,7 @@ object Graphs {
   def pagerank(edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 4, dampingPct: Int = 85,
       scale: Long = 1000000000000L,
-      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      ckpt: CheckpointMode = CheckpointMode.Lazy): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 1 && scale <= 1000000000000L,
@@ -290,9 +290,12 @@ object Graphs {
       // dangling nodes donate their mass uniformly. The mass rides as
       // a broadcast 1-row frame crossJoined into the update select
       // (same construction as hits' norm total), NOT a driver .head —
-      // the only per-iteration barrier is the localCheckpoint itself.
-      // Integer shape mirrors the old driver math exactly:
-      // (dampingPct * (dm div n)) div 100, all on non-negative LONGs.
+      // and with the Lazy default (r17) there is NO per-iteration
+      // barrier at all: a fixed-iteration loop has no per-round
+      // driver decision, so all rounds run as ONE job DAG (measured
+      // 3.10 → 2.17 s best-of-3 at sf0.1, outputs hash-identical —
+      // ProbeGraphCkpt). Integer shape mirrors the old driver math
+      // exactly: (dampingPct * (dm div n)) div 100, non-negative LONGs.
       val dmF = broadcast(pr.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("pr")), lit(0L)).as("__dm")))
       val contrib = ew.join(pr.withColumnRenamed("node", "src"), "src")
