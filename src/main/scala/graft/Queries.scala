@@ -3141,7 +3141,10 @@ object Queries {
         val (ids, _) = graft.operators.CorpusStats.bpeEncodeIds(
           t(s, dir, "documents"), col("doc_id"), col("text"),
           fixedMergesDf(s))
-        val idsCk = ids.localCheckpoint() // encode once, consumed 2x
+        // encode once, consumed 2x — lazy (r18): both consumers live
+        // inside the single final action, so the eager barrier only
+        // serialized the encode ahead of it
+        val idsCk = ids.localCheckpoint(eager = false)
         Dedup.exactSubstringIncrementalTokens(
             idsCk.filter(pmod(col("id"), lit(2)) === 1),
             Dedup.gramIndexTokens(
@@ -3580,11 +3583,18 @@ object Queries {
         val emb = t(s, dir, "embeddings")
         val cents = emb.filter(pmod(col("vec_id"), lit(16)) === 0 &&
           col("vec_id") < 4096)
-        val idx = Similarity.ivfIndex(emb, cents).localCheckpoint()
+        // lazy (r18, VERDICT r17 task 5): both artifacts are consumed
+        // only inside the gate's single final action (codes build +
+        // topk) — no concurrent first consumer exists, so the eager
+        // barriers bought nothing; lazy keeps the same blocks/lineage
+        // truncation and folds both materializations into the one job
+        val idx = Similarity.ivfIndex(emb, cents)
+          .localCheckpoint(eager = false)
         val rescb = Similarity.ivfResiduals(emb, idx, cents)
           .filter(pmod(col("vec_id"), lit(64)) === 0 &&
             col("vec_id") < 4096)
-          .select(col("vec_id"), col("embedding")).localCheckpoint()
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint(eager = false)
         val codes = Similarity.pqEncodeResidual(emb, idx, cents, rescb,
           m = 4)
         Similarity.ivfPqTopKResidual(idx, codes,
@@ -3967,13 +3977,18 @@ object Queries {
     "embed_covariance_merged" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val parts = (0 until 3).map(p =>
-          graft.operators.Embeddings.covarianceSketch(
-            emb.filter(pmod(col("vec_id"), lit(3)) === p),
-            col("embedding"), dim = 64))
+        // the three per-split sketches in ONE corpus pass (r18,
+        // guide §6): covarianceSketchBy's per-part rows are
+        // spec-pinned ≡ three separate covarianceSketch builds, and
+        // the merge sums per (stat, i, j) either way — same merged
+        // artifact, one parquet scan instead of six (the r17 shape
+        // ran 2 scans × 3 splits with a barrier between each)
+        val parts = graft.operators.Embeddings.covarianceSketchBy(
+          emb, col("embedding"), pmod(col("vec_id"), lit(3)), dim = 64)
         graft.operators.Embeddings.covarianceFinalize(
             graft.operators.Embeddings.covarianceMerge(
-              parts.reduce(_ unionByName _)), scaleBits = 20)
+              parts.select(col("stat"), col("i"), col("j"), col("v"))),
+            scaleBits = 20)
           .orderBy(col("i"), col("j"))
       },
       Some(s"""WITH ${pcaCovCtes(64)}

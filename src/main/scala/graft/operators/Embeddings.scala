@@ -417,42 +417,90 @@ object Embeddings {
    */
   def covarianceSketch(df: DataFrame, vec: Column, dim: Int,
       scaleBits: Int = 20,
-      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    covarianceSketchImpl(df, vec, None, dim, scaleBits, ckpt)
+
+  /** [[covarianceSketch]] for SEVERAL disjoint splits in ONE corpus
+   * pass: `part` keys the split, and for every non-empty split the
+   * `(stat, i, j, v)` rows under its `part` value are exactly
+   * `covarianceSketch(df.filter(part === p))`'s (spec-pinned) — so
+   * [[covarianceMerge]] over this output (part column projected away)
+   * is bit-identical to merging separately-built per-split sketches,
+   * at ONE corpus scan instead of one per split (guide §6). The one
+   * divergence: an EMPTY split emits no rows here, where the separate
+   * build emits its `('n', −1, −1, 0)` row — immaterial to any merge
+   * (sums of zero), stated for the record. */
+  def covarianceSketchBy(df: DataFrame, vec: Column, part: Column,
+      dim: Int, scaleBits: Int = 20,
+      ckpt: CheckpointMode = CheckpointMode.Local): DataFrame =
+    covarianceSketchImpl(df, vec, Some(part), dim, scaleBits, ckpt)
+
+  private def covarianceSketchImpl(df: DataFrame, vec: Column,
+      part: Option[Column], dim: Int, scaleBits: Int,
+      ckpt: CheckpointMode): DataFrame = {
     require(dim >= 1 && scaleBits >= 0 && scaleBits <= 25,
       "dim >= 1 and 0 <= scaleBits <= 25 required")
+    val pDef = part.map(p => p.as("__part")).toSeq
+    val pKey = part.map(_ => col("__part")).toSeq
     val q = df.filter(vec.isNotNull && size(vec) === dim)
-      .select(transform(qGrid(vec, scaleBits), x => x.cast("long")).as("q"))
-    val exploded = q.select(posexplode(col("q")).as(Seq("i", "qi")),
-      col("q"))
-    val upper = exploded
-      .select(col("i"), col("qi"),
-        posexplode(slice(col("q"), col("i") + lit(1), lit(dim)))
-          .as(Seq("dj", "qj")),
-        spark_partition_id().as("pid"))
-      .groupBy(col("i"), (col("i") + col("dj")).as("j"), col("pid"))
-      .agg(sum(col("qi") * col("qj")).as("sl"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("sl").cast("decimal(38,0)")).as("v"))
-      .select(lit("s").as("stat"), col("i").cast("long").as("i"),
-        col("j").cast("long").as("j"), col("v"))
-    // materialized: mRows AND nRow read it — lazy, each would re-run
-    // the corpus explode (the regression the probe caught)
-    val moments = ckpt(exploded
-      .select(col("i"), col("qi"), spark_partition_id().as("pid"))
-      .groupBy(col("i"), col("pid"))
-      .agg(sum(col("qi")).as("ml"), count(lit(1)).as("nl"))
-      .groupBy(col("i"))
-      .agg(sum(col("ml").cast("decimal(38,0)")).as("m"),
-        sum(col("nl")).cast("decimal(38,0)").as("n_i")))
-    val mRows = moments.select(lit("m").as("stat"),
-      col("i").cast("long").as("i"), lit(-1L).as("j"), col("m").as("v"))
-    val nRow = moments
-      .agg(coalesce(max(col("n_i")), lit(0L).cast("decimal(38,0)")).as("v"))
-      .select(lit("n").as("stat"), lit(-1L).as("i"), lit(-1L).as("j"),
-        col("v"))
-    // the sketch MATERIALIZES (≤ d²/2 + d + 1 rows): its consumers
-    // (cells, moments, n in finalize) must not re-run the corpus pass
-    ckpt(upper.unionByName(mRows).unionByName(nRow))
+      .select(pDef :+
+        transform(qGrid(vec, scaleBits), x => x.cast("long")).as("q"): _*)
+    // ONE corpus pass (r18, guide §1.2/§6 — the pre-r18 shape ran the
+    // N·d² explode twice, products then moments, with an eager
+    // checkpoint barrier between): each (row, i) tail-product explode
+    // carries a SENTINEL 1 appended past the slice, whose "product"
+    // qi·1 is the first moment and whose count is the row count — so
+    // moments and n ride the same aggregation as the second-moment
+    // cells. The sentinel lands at dj = dim − i, i.e. j = dim —
+    // outside every product cell's j ∈ [i, dim).
+    val terms = q
+      .select(pKey ++ Seq(posexplode(col("q")).as(Seq("i", "qi")),
+        col("q")): _*)
+      .select(pKey ++ Seq(col("i"), col("qi"),
+        posexplode(concat(slice(col("q"), col("i") + lit(1), lit(dim)),
+          array(lit(1L)))).as(Seq("dj", "qj")),
+        spark_partition_id().as("pid")): _*)
+    // tiered exact summation, bound unchanged (see scaladoc): LONG
+    // within each input partition, DECIMAL(38,0) across the partials;
+    // the sentinel group's per-partition |Σ q_i·1| sits under the
+    // product bound. Materialized HERE — ≤ d(d+1)/2 + d cells (per
+    // part) — so the three emitted shapes below and every finalize
+    // consumer derive from the checkpointed cells, never re-running
+    // the corpus pass.
+    val partials = ckpt(terms
+      .groupBy(pKey ++ Seq(col("i"), (col("i") + col("dj")).as("j"),
+        col("pid")): _*)
+      .agg(sum(col("qi") * col("qj")).as("sl"), count(lit(1)).as("cl"))
+      .groupBy(pKey ++ Seq(col("i"), col("j")): _*)
+      .agg(sum(col("sl").cast("decimal(38,0)")).as("v"),
+        sum(col("cl")).as("cnt")))
+    val upper = partials.filter(col("j") < lit(dim))
+      .select(pKey ++ Seq(lit("s").as("stat"),
+        col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("v")): _*)
+    val mRows = partials.filter(col("j") === lit(dim))
+      .select(pKey ++ Seq(lit("m").as("stat"),
+        col("i").cast("long").as("i"), lit(-1L).as("j"), col("v")): _*)
+    // n = the sentinel count at any i (every valid row carries every
+    // i) — max over i, exactly the old per-i count's max. The
+    // unsplit form keeps the GLOBAL agg so an empty corpus still
+    // emits its ('n', 0) row (the bit-for-bit empty-build contract,
+    // covarianceDelete); the split form groups by part, so empty
+    // splits emit nothing (documented at [[covarianceSketchBy]]).
+    val nRow = part match {
+      case None => partials.filter(col("j") === lit(dim))
+        .agg(coalesce(max(col("cnt")), lit(0L)).cast("decimal(38,0)")
+          .as("v"))
+        .select(lit("n").as("stat"), lit(-1L).as("i"), lit(-1L).as("j"),
+          col("v"))
+      case Some(_) => partials.filter(col("j") === lit(dim))
+        .groupBy(col("__part"))
+        .agg(max(col("cnt")).cast("decimal(38,0)").as("v"))
+        .select(col("__part"), lit("n").as("stat"), lit(-1L).as("i"),
+          lit(-1L).as("j"), col("v"))
+    }
+    val out = upper.unionByName(mRows).unionByName(nRow)
+    if (part.isDefined) out.withColumnRenamed("__part", "part") else out
   }
 
   /** Merge [[covarianceSketch]] frames: per-(stat, i, j) DECIMAL sums

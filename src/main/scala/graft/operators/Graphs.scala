@@ -26,6 +26,12 @@ import graft.functions.ldiv
  * `pr·ew ≤ 1e18 < 2⁶³`; `w·10⁶` holds to ~9.2e12 edges per src —
  * comfortably past a 100 TB corpus graph.
  *
+ * Materialization semantics under the r17 `Lazy` default (ADVICE
+ * r17): values unchanged, but pagerank/ppr/hits results materialize
+ * at the caller's FIRST action — failures surface there, and
+ * concurrent first consumers should force the frame once (or pass
+ * `CheckpointMode.Local` for the old eager-at-return behavior).
+ *
  * Scale shape: one group-by to collapse raw edges, one to compute
  * out-weights; each iteration is edges ⋈ ranks on `src` (both sides
  * partitioned by the join key; AQE broadcasts the rank frame when
@@ -71,6 +77,15 @@ object Graphs {
    * structure to one pagerank round, run twice. Nodes without
    * in-edges (resp. out-edges) get authority (resp. hub) 0, exactly
    * as the oracle's left join + coalesce does.
+   *
+   * MATERIALIZATION SEMANTICS (r17 Lazy default, ADVICE r17): values
+   * are unchanged, but the returned frame is no longer materialized
+   * at return — failures surface at the caller's FIRST action, and
+   * concurrent first consumers can race into duplicate computation of
+   * the iteration chain. Callers fanning the result out to several
+   * threads should force it first (one action, or pass
+   * `ckpt = CheckpointMode.Local` for the old eager behavior). Same
+   * note on [[pagerank]] and [[personalizedPagerank]].
    */
   def hits(edges: DataFrame, src: Column, dst: Column,
       iterations: Int = 3, scale: Long = 1000000000000L,

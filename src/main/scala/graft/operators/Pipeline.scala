@@ -138,18 +138,36 @@ object Pipeline {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(present)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // every delete runs under ONE cancellable job group: if a
+      // delete throws, the siblings must not keep running Spark jobs
+      // from background threads after this method has rethrown
+      // (ADVICE r17). Await stays unbounded — a big artifact's delete
+      // legitimately takes as long as it takes; a timeout here would
+      // be a semantics change, not a hardening.
+      val group = s"graft-takedown-${java.util.UUID.randomUUID()}"
       try {
         val futs = artDefs.flatMap { case (name, opt, del) =>
           opt.map { before =>
             (name, scala.concurrent.Future {
+              spark.sparkContext.setJobGroup(group,
+                s"takedown: $name", interruptOnCancel = true)
               val after = del(before).localCheckpoint()
               (after, before.count() - after.count())
             })
           }
         }
         futs.foreach { case (name, f) =>
-          val (after, removed) = scala.concurrent.Await
-            .result(f, scala.concurrent.duration.Duration.Inf)
+          val (after, removed) =
+            try scala.concurrent.Await
+              .result(f, scala.concurrent.duration.Duration.Inf)
+            catch { case e: Throwable =>
+              // first failure wins: kill the siblings' jobs and the
+              // pool before propagating, so no delete survives the
+              // call it belongs to
+              spark.sparkContext.cancelJobGroup(group)
+              pool.shutdownNow()
+              throw e
+            }
           updated(name) = after
           rows += ((name, Some(removed), false))
         }
@@ -286,54 +304,23 @@ object Pipeline {
     val nonEmpty = df.filter(text.isNotNull && length(text) > 0)
     val fp = nonEmpty.select(id.as("doc_id"), TextOps.fingerprint(text).as("fp"))
     val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    val exactDups = fp.join(keepers, "fp")
+    val exactDups0 = fp.join(keepers, "fp")
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id")).withColumn("__exact", lit(true))
 
-    // the LSH stage sees only exact-dup KEEPERS: identical copies
-    // share identical signatures, so feeding them through would blow a
-    // single (band, key) bucket to the boilerplate multiplicity (the
-    // bucket-cardinality contract in Dedup.minhashPairs). Dropping
-    // them changes nothing observable — non-keepers drop as
-    // `exact_dup` before `near_dup` is consulted, and a copy's pair
-    // set is its keeper's pair set (same shingles), so keeper
-    // drop/cluster decisions are identical with or without copies.
-    val keeperDocs = nonEmpty.select(id.as("doc_id"), text.as("__text"))
-      .join(exactDups.select("doc_id"), Seq("doc_id"), "left_anti")
-    val pairs =
-      if (lshMaxBucket == Int.MaxValue)
-        Dedup.minhashPairs(keeperDocs, col("doc_id"), col("__text"),
-          jaccardThreshold, bands = lshBands)
-      else
-        Dedup.minhashPairsBounded(keeperDocs, col("doc_id"), col("__text"),
-          jaccardThreshold, bands = lshBands, maxBucket = lshMaxBucket)
-    val nearDups = (if (useClusters)
-        // transitive closure: a doc survives only as its component's
-        // minimum — a chain A~B~C keeps exactly A
-        Dedup.clusters(pairs).filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id"))
-      else pairs.select(col("id2").as("doc_id")).distinct())
-      .withColumn("__near", lit(true))
-
-    val scored = df.select(Seq(id.as("doc_id"),
-      (text.isNull || length(text) === 0).as("__empty"),
-      TextOps.langId(text).as("__lang"),
-      TextOps.qualityColumns(text).toMap.apply("quality").as("__quality")) ++
-      carryCols.map(col): _*)
-
     // optional stages join as more per-doc flag frames — each is its
     // own independent branch over the corpus scan family
-    val pplFlags =
+    val pplFlags0 =
       if (maxAvgNll.isPosInfinity) None
       else Some(CorpusStats.unigramNll(nonEmpty, id, text, nllVocabK)
         .filter(col("avg_nll") > maxAvgNll)
         .select(col("doc_id")).withColumn("__ppl", lit(true)))
-    val repFlags =
+    val repFlags0 =
       if (maxTopNgramFrac >= 1.0) None
       else Some(TextOps.repetition(nonEmpty, id, text, n = 2)
         .filter(col("top_ngram_frac") > maxTopNgramFrac)
         .select(col("doc_id")).withColumn("__repet", lit(true)))
-    val conFlags = bench.map(b =>
+    val conFlags0 = bench.map(b =>
       TextOps.decontaminate(nonEmpty, id, text, b, benchText)
         .filter(col("contaminated"))
         .select(col("doc_id")).withColumn("__contam", lit(true)))
@@ -344,12 +331,80 @@ object Pipeline {
     // redacted downstream (TextOps.redactPiiV2 on the keeper scan),
     // never here, so the verdict frame stays text-free. One codegen'd
     // expression over the existing corpus scan family — no shuffle.
-    val piiFlags =
+    val piiFlags0 =
       if (maxPiiHits == Long.MaxValue) None
       else Some(nonEmpty.select(id.as("doc_id"),
           TextOps.piiHits(text).as("__npii"))
         .filter(col("__npii") > maxPiiHits)
         .select(col("doc_id")).withColumn("__pii", lit(true)))
+
+    // the LSH stage sees only exact-dup KEEPERS: identical copies
+    // share identical signatures, so feeding them through would blow a
+    // single (band, key) bucket to the boilerplate multiplicity (the
+    // bucket-cardinality contract in Dedup.minhashPairs). Dropping
+    // them changes nothing observable — non-keepers drop as
+    // `exact_dup` before `near_dup` is consulted, and a copy's pair
+    // set is its keeper's pair set (same shingles), so keeper
+    // drop/cluster decisions are identical with or without copies.
+    def pairsOf(kd: DataFrame): DataFrame =
+      if (lshMaxBucket == Int.MaxValue)
+        Dedup.minhashPairs(kd, col("doc_id"), col("__text"),
+          jaccardThreshold, bands = lshBands)
+      else
+        Dedup.minhashPairsBounded(kd, col("doc_id"), col("__text"),
+          jaccardThreshold, bands = lshBands, maxBucket = lshMaxBucket)
+
+    // With useClusters the transitive closure runs a CONVERGENCE loop
+    // — eager per-round actions at build time — which used to run
+    // ALONE while the (independent) scoring branches waited for the
+    // caller's final action (guide §2.6: actions are only sequential
+    // because the driver calls them sequentially). r18 (VERDICT r17
+    // task 1): the loop runs from a single-thread pool while this
+    // thread materializes the armed flag branches (perplexity /
+    // repetition / decontamination / PII — each corpus-pass-heavy,
+    // tiny flag output), so the Spark scheduler back-fills the loop's
+    // per-round barrier tails. exactDups materializes FIRST — both
+    // sides read it (the LSH keeper anti-join, the verdict join), and
+    // a shared lazy frame forked across threads risks the documented
+    // dual-compute race. Output frames are identical either way; only
+    // job scheduling changes. The lazy (useClusters = false) path is
+    // untouched: one fully-lazy plan, nothing eager to overlap.
+    val (exactDups, nearDups, pplFlags, repFlags, conFlags, piiFlags) =
+      if (useClusters) {
+        val exactDupsM = exactDups0.localCheckpoint()
+        val keeperDocs = nonEmpty.select(id.as("doc_id"), text.as("__text"))
+          .join(exactDupsM.select("doc_id"), Seq("doc_id"), "left_anti")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val clustersF = scala.concurrent.Future {
+            // transitive closure: a doc survives only as its
+            // component's minimum — a chain A~B~C keeps exactly A
+            Dedup.clusters(pairsOf(keeperDocs))
+              .filter(col("doc_id") =!= col("cluster_id"))
+              .select(col("doc_id")).withColumn("__near", lit(true))
+              .localCheckpoint()
+          }
+          val flagsM = Seq(pplFlags0, repFlags0, conFlags0, piiFlags0)
+            .map(_.map(_.localCheckpoint()))
+          val nd = scala.concurrent.Await.result(clustersF,
+            scala.concurrent.duration.Duration.Inf)
+          (exactDupsM, nd, flagsM(0), flagsM(1), flagsM(2), flagsM(3))
+        } finally pool.shutdown()
+      } else {
+        val keeperDocs = nonEmpty.select(id.as("doc_id"), text.as("__text"))
+          .join(exactDups0.select("doc_id"), Seq("doc_id"), "left_anti")
+        val nd = pairsOf(keeperDocs).select(col("id2").as("doc_id"))
+          .distinct().withColumn("__near", lit(true))
+        (exactDups0, nd, pplFlags0, repFlags0, conFlags0, piiFlags0)
+      }
+
+    val scored = df.select(Seq(id.as("doc_id"),
+      (text.isNull || length(text) === 0).as("__empty"),
+      TextOps.langId(text).as("__lang"),
+      TextOps.qualityColumns(text).toMap.apply("quality").as("__quality")) ++
+      carryCols.map(col): _*)
 
     // drop lists can be a large fraction of the corpus on real data —
     // no broadcast hint; AQE broadcasts them when they turn out small

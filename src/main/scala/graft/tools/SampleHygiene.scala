@@ -51,19 +51,35 @@ object SampleHygiene {
   def storageBytes(spark: SparkSession): Long =
     spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
 
-  /** Smallest cached-bytes level observed this session — the standing
-   * intentional caches. Residue is measured above this. */
-  @volatile private var floorBytes: Long = Long.MaxValue
+  /** Smallest cached-bytes level observed per SESSION — the standing
+   * intentional caches. Residue is measured above this. Keyed per
+   * SparkSession (weakly — ADVICE r17: an object-level var let a
+   * second session in the same JVM inherit the first session's
+   * floor). */
+  private val floors = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
 
   /** gc + wait for the ContextCleaner to drop unreferenced
    * checkpoint blocks, bounded; returns the residual bytes ABOVE the
    * session floor. Exits early when a gc round reclaims nothing —
    * whatever remains is referenced (standing caches), and sleeping on
-   * it again per query is how the r17 baseline lost 25 minutes. */
+   * it again per query is how the r17 baseline lost 25 minutes.
+   *
+   * FIRST call for a session (floor unset): drain unconditionally
+   * until a gc round stops reclaiming, and only THEN pin the floor —
+   * with the floor seeded at MaxValue the old loop condition was 0 by
+   * construction, so the floor pinned at whatever dead blocks the
+   * ~190-query warmup left standing and the first samples ran under
+   * hundreds of MB of unreported residue (ADVICE r18 medium). */
   def drainResidue(spark: SparkSession): Long = {
+    val floor0 = Option(floors.get(spark)).map(_.longValue)
     var b = storageBytes(spark)
     var tries = 0
-    while (b - math.min(floorBytes, b) > ResidueBytes && tries < 6) {
+    def dirty(cur: Long): Boolean = floor0 match {
+      case Some(f) => cur - math.min(f, cur) > ResidueBytes
+      case None    => cur > 0 // first call: drain to the true floor
+    }
+    while (dirty(b) && tries < 6) {
       System.gc()
       Thread.sleep(300)
       val nb = storageBytes(spark)
@@ -71,8 +87,9 @@ object SampleHygiene {
       tries = if (nb >= b) 6 else tries + 1
       b = nb
     }
-    if (b < floorBytes) floorBytes = b
-    b - floorBytes
+    val floor = math.min(floor0.getOrElse(Long.MaxValue), b)
+    floors.put(spark, floor)
+    b - floor
   }
 
   /** One measured sample: the best-of-`runs` seconds for the query,
@@ -89,10 +106,19 @@ object SampleHygiene {
 
   /** Drain, probe, then time `runs` back-to-back executions of `fn`
    * (min is the estimator; a thrown run is tracked separately so an
-   * intermittent crash can't read as healthy). */
+   * intermittent crash can't read as healthy).
+   *
+   * The io state is probed on BOTH sides of the timed runs and the
+   * sample carries the MINIMUM: a writeback-throttle window opening
+   * mid-sample was invisible to the pre-probe alone (r17 measured
+   * back-to-back full suites 90.9 vs 107.7 s from exactly this — the
+   * VERDICT r17 "mid-sample blind spot"), while a window that opens
+   * and fully closes between the probes still biases the recorded
+   * time only UP, which the caller's bounded retry machinery already
+   * treats correctly (min across samples stands). */
   def measure(spark: SparkSession, runs: Int)(fn: => Unit): Sample = {
     val residue = drainResidue(spark)
-    val io = IoProbe.sampleMbps()
+    val ioPre = IoProbe.sampleMbps()
     var threw = false
     val times = (1 to runs).flatMap { _ =>
       val t0 = System.nanoTime()
@@ -103,6 +129,12 @@ object SampleHygiene {
         None
       }
     }
+    val ioPost = IoProbe.sampleMbps()
+    // -1 means "probe failed", not "slow": prefer the valid reading
+    val io =
+      if (ioPre < 0) ioPost
+      else if (ioPost < 0) ioPre
+      else math.min(ioPre, ioPost)
     Sample(if (times.nonEmpty) times.min else 999.0, threw, io, residue)
   }
 }

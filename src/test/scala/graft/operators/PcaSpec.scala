@@ -229,6 +229,37 @@ class PcaSpec extends SparkSpec {
     assert(withExtra == direct)
   }
 
+  test("covarianceSketchBy per-part rows equal separately-built sketches") {
+    val all = Seq(
+      (1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, 0.25f)),
+      (3L, Array(2.0f, 1.0f)), (4L, Array(-2.0f, -1.0f)),
+      (5L, Array(0.5f, -0.75f)), (6L, Array(3.0f, 0.0f)),
+      (7L, Array(-0.5f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val by = Embeddings.covarianceSketchBy(all, col("embedding"),
+      pmod(col("vec_id"), lit(3)), 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    (0 until 3).foreach { p =>
+      assert(rows(by.filter(col("part") === p)
+          .select(col("stat"), col("i"), col("j"), col("v"))) ==
+        rows(Embeddings.covarianceSketch(
+          all.filter(pmod(col("vec_id"), lit(3)) === p),
+          col("embedding"), 2)),
+        s"part $p sketch rows differ from the separate build")
+    }
+    // and the MERGED artifact (the embed_covariance_merged shape) is
+    // bit-identical to merging the separate builds / the whole build
+    val mergedBy = Embeddings.covarianceFinalize(
+        Embeddings.covarianceMerge(
+          by.select(col("stat"), col("i"), col("j"), col("v"))),
+        scaleBits = 20)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val whole = Embeddings.covarianceMicro(all, col("embedding"), 2)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(mergedBy == whole)
+  }
+
   test("covarianceDelete equals a from-scratch sketch on corpus minus deleted") {
     val all = Seq(
       (1L, Array(1.0f, 0.5f)), (2L, Array(-1.0f, 0.25f)),
