@@ -1006,6 +1006,17 @@ object Dedup {
         least(col("src"), col("nbr")).as("cluster_id")))
     var rounds = 1 // the seeded init is round one
     var changed = 1L
+    // in-loop steps take a LAZY local checkpoint under the default
+    // eager Local mode (r18, guide §2.6): the convergence count right
+    // below is a full scan of the step, so it materializes the
+    // checkpoint blocks INSIDE its own job — one job per round instead
+    // of two (eager ckpt job + count job). No dual-compute hazard:
+    // when the count returns, the step is fully materialized, and
+    // everything that reads it (next round, the returned labels) runs
+    // after. Reliable mode keeps its per-round distributed write —
+    // that durability IS the mode's point.
+    val stepCkpt: CheckpointMode =
+      if (ckpt == CheckpointMode.Local) CheckpointMode.Lazy else ckpt
     while (changed > 0) {
       rounds += 1
       val viaNbr = edges
@@ -1016,7 +1027,7 @@ object Dedup {
       // old and new labels ride the SAME checkpointed frame, so the
       // convergence check is a scan of it — joining labels back for a
       // `prev` column would add a whole shuffle per round
-      val step = ckpt(labels.join(viaNbr, Seq("doc_id"), "left")
+      val step = stepCkpt(labels.join(viaNbr, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
             .as("cluster_id")))

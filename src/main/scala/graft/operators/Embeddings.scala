@@ -286,8 +286,14 @@ object Embeddings {
           lit(k.toLong)).as("label")))
     var moved = 1L
     var iters = 0
+    // in-loop steps: LAZY local checkpoint under the default eager
+    // mode — the moved-count scan right below materializes the blocks
+    // inside its own job (one job per round instead of two; the
+    // Dedup.clustersLabelProp r18 note has the full safety argument)
+    val stepCkpt: CheckpointMode =
+      if (ckpt == CheckpointMode.Local) CheckpointMode.Lazy else ckpt
     while (moved > 0 && iters < maxIters) {
-      val step = ckpt(kmeansIter(base.join(labels, "vec_id"),
+      val step = stepCkpt(kmeansIter(base.join(labels, "vec_id"),
           col("vec_id"), col("emb"), col("label"))
         .select(col("vec_id"), col("old_label"),
           col("new_label").as("label"), col("d2")))
