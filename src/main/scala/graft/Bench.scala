@@ -207,7 +207,10 @@ object Bench {
     // `n_off_list` makes a missing query provably "fell off the capped
     // list" rather than "removed" — the full-precision map stays
     // durable in target/bench.json.
-    val budget = 1850
+    // 1880 + the ~75-byte sbt trailer leaves ~45 bytes of margin in
+    // the 2000-byte window (close2 r18: 1840-byte line left exactly
+    // one 15-byte entry out)
+    val budget = 1880
     def fmt2(v: Double): String =
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val head = s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":{"""
@@ -217,7 +220,7 @@ object Bench {
     val ios = results.map(_.ioMbps).filter(_ >= 0).sorted
     val ioSummary =
       if (ios.isEmpty) ""
-      else s""""io_mbps_min":${fmt4(ios.head)},"io_mbps_med":${fmt4(ios(ios.size / 2))},"io_reruns":$ioReruns,"contaminated_n":${contaminatedQs.size},"""
+      else s""""io_mbps_min":${fmt2(ios.head)},"io_mbps_med":${fmt2(ios(ios.size / 2))},"io_reruns":$ioReruns,"contaminated_n":${contaminatedQs.size},"""
     // n_off_list is patched in after the fill: it counts the queries
     // that ran and passed but did not fit the capped list — the judge
     // reads it to distinguish "fell off" from "removed"
